@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Defaults are tuned for the harness (`local[32]`, single JVM) but every
+  * choice is the one we'd make on a real cluster too:
+  *  - AQE on: runtime join re-planning + skew-join splitting, which is the
+  *    scale path for the TPC-H-style joins (SURVEY.md §4).
+  *  - shuffle.partitions follows core count locally; on a 1000-executor
+  *    cluster this is overridden by the submitter (AQE coalesces anyway).
+  *  - UTC session timezone: required for DuckDB-oracle timestamp parity
+  *    (SURVEY.md §7.3.3).
+  */
+object GraftSession {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def builder(appName: String = "graft"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def getOrCreate(appName: String = "graft"): SparkSession = {
+    val spark = builder(appName).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

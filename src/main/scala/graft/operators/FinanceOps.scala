@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's compute surface re-expressed Spark-first (SURVEY.md §2).
+  *
+  * Layering mirrors the reference's zones: raw (typed reads, Tables) →
+  * staging (lazy, view-like projections/casts) → marts (aggregated tables).
+  * dbt `ref()` dependency resolution (reference
+  * dbt_project/models/marts/mart_financial_summary.sql:2) becomes the plain
+  * Scala value graph: `martFinancialSummary(stgFinancialData(raw))`.
+  */
+object FinanceOps {
+
+  /** Money type used everywhere; matches the reference's NUMERIC(18,2)
+    * (README.md:258-264). Decimal (not double) keeps every aggregation
+    * exact and order-insensitive — which is also what makes results
+    * bit-reproducible across partitionings at 100 TB.
+    */
+  val Money: DecimalType = DecimalType(18, 2)
+
+  /** Cast a raw measure to money. Reference staging does `value::numeric`
+    * (dbt_project/models/staging/stg_financial_data.sql:7). Postgres throws
+    * on unparseable input; Spark non-ANSI yields NULL — we keep NULL
+    * semantics (lenient raw zone) per SURVEY.md §7.3.1.
+    */
+  def toMoney(c: Column): Column = c.cast(Money)
+
+  /** Deterministic cross-engine average: decimal sum (exact, any order)
+    * then a single IEEE double division. Plain avg(double) is
+    * accumulation-order-dependent and won't hash-match an oracle.
+    */
+  def avgMoney(c: Column): Column =
+    sum(toMoney(c)).cast(DoubleType) / count(lit(1))
+
+  /** NULLIF-guarded ratio — the dbt macro surface (reference README.md:488-493:
+    * profit margin, ROA, ROE are all `num / NULLIF(den, 0)`). A dbt macro is
+    * just a Column-builder function here (SURVEY.md §2.7 F4).
+    */
+  def ratio(num: Column, den: Column): Column =
+    num.cast(DoubleType) / nullif(den.cast(DoubleType), lit(0.0))
+
+  def profitMargin(netIncome: Column, revenue: Column): Column = ratio(netIncome, revenue)
+  def returnOnAssets(netIncome: Column, assets: Column): Column = ratio(netIncome, assets)
+  def returnOnEquity(netIncome: Column, equity: Column): Column = ratio(netIncome, equity)
+
+  /** Reference's only checked-in helper: normalize_string = strip().lower()
+    * (/root/reference/utils/helpers.py:1-2).
+    */
+  def normalizeString(c: Column): Column = lower(trim(c))
+
+  // ------------------------------------------------------------------
+  // E1/E3: the FRED pipeline (checked-in reference path)
+  // ------------------------------------------------------------------
+
+  /** S4: flatten the nested FRED payload (observations array-of-structs) to
+    * the raw.financial_data shape — the Spark analog of
+    * `pd.DataFrame(data['annualReports'])` (README.md:347-348).
+    */
+  def flattenFredPayload(payload: DataFrame, seriesId: String): DataFrame =
+    payload
+      .filter(col("observations").isNotNull) // P7 key-presence guard
+      .select(explode(col("observations")).as("o"))
+      .select(
+        lit(seriesId).as("series_id"),
+        col("o.date").cast(DateType).as("observation_date"),
+        col("o.value").as("value"))
+
+  /** Staging model — stg_financial_data.sql:1-8: project + cast value. */
+  def stgFinancialData(raw: DataFrame): DataFrame =
+    raw.select(
+      col("series_id"),
+      col("observation_date"),
+      toMoney(col("value")).as("value"))
+
+  /** Mart — mart_financial_summary.sql:4-8:
+    * SELECT DATE_TRUNC('year', observation_date), AVG(value) GROUP BY 1.
+    */
+  def martFinancialSummary(stg: DataFrame): DataFrame =
+    stg
+      .groupBy(date_trunc("year", col("observation_date")).as("year"))
+      .agg(
+        (sum(col("value")).cast(DoubleType) / count(col("value"))).as("avg_value"),
+        count(col("value")).as("n_obs"))
+
+  // ------------------------------------------------------------------
+  // E2: fundamentals pipeline (README surface)
+  // ------------------------------------------------------------------
+
+  /** J2: the long→wide pivot of report types, idiomatic form. The reference
+    * does this as a self-join of `raw_financial_data` filtered by
+    * report_type (README.md:425-448); groupBy().pivot() is the
+    * one-shuffle Spark equivalent.
+    */
+  def pivotReportTypes(raw: DataFrame, pivotCol: String, values: Seq[String],
+                       keys: Seq[String], measure: Column): DataFrame =
+    raw.groupBy(keys.map(col): _*)
+      .pivot(pivotCol, values)
+      .agg(first(measure, ignoreNulls = true))
+
+  /** J1: the reference's own formulation — LEFT JOIN on the composite
+    * (symbol, fiscal_date) key (README.md:461-464). Kept for exact parity;
+    * duplicates keys exactly like the reference would (SURVEY.md §7.3.4).
+    */
+  def joinReportTypes(raw: DataFrame, leftType: String, rightType: String,
+                      keys: Seq[String]): DataFrame = {
+    val l = raw.filter(col("report_type") === leftType)
+    val r = raw.filter(col("report_type") === rightType)
+      .drop("report_type")
+    l.join(r, keys, "left")
+  }
+
+  // ------------------------------------------------------------------
+  // Materialization (S9/S10)
+  // ------------------------------------------------------------------
+
+  /** dbt `materialized='view'` → temp view (lazy, recomputed). */
+  def materializeView(df: DataFrame, name: String): Unit =
+    df.createOrReplaceTempView(name)
+
+  /** dbt `materialized='table'` → physical table. Partition by a time
+    * column when given — the hypertable analog (S8, README.md:268), which
+    * buys partition pruning at scale.
+    */
+  def materializeTable(df: DataFrame, name: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).saveAsTable(name)
+  }
+}
