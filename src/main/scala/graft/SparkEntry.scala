@@ -1,13 +1,429 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Driver contract (see SURVEY.md §7.4): every operator family from
+  * SURVEY.md §2 registered as a named query over the harness testdata, each
+  * with an equivalent DuckDB oracle where SQL-expressible.
+  *
+  * Determinism rules shared by every (query, oracle) pair — the reason
+  * these hash-match across engines (SURVEY.md §7.3):
+  *  - money aggregates: cast to DECIMAL(18,2) *before* summing, pin the
+  *    result type back down (Spark widens to (28,2), DuckDB to (38,2));
+  *  - averages/ratios: exact decimal sum, one double division, round(…, 6);
+  *  - every window/limit ordering carries a unique tiebreak column;
+  *  - int-width pinning: DuckDB year()/length()/row_number() return BIGINT
+  *    where Spark returns INT — oracles cast to match Spark;
+  *  - event timestamps are ns in parquet (Spark truncates to µs on read,
+  *    DuckDB keeps ns) — any ts that reaches an output is CAST to
+  *    microsecond TIMESTAMP in the oracle.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private val Money = DecimalType(18, 2)
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Flagship (driver smoke gate, sf0.001): the reference's E3 mart path —
+    * scan → cast → date_trunc year → avg (mart_financial_summary.sql:4-8)
+    * over orders.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val orders = t(spark, "/root/testdata/sf0.001", "orders")
+    FinanceOps.martFinancialSummary(
+      orders.select(col("o_orderdate").as("observation_date"),
+        col("o_totalprice").as("value")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference parity: staging / mart / pivot / join / ratios ----
+    "stg_cast" -> ((s, d) =>
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        FinanceOps.toMoney(col("l_quantity")).as("qty"))),
+
+    "mart_yearly_avg" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(date_trunc("year", col("o_orderdate")).cast(DateType).as("year"))
+        .agg(FinanceOps.avgMoney(col("o_totalprice")).as("avg_price"))),
+
+    "pivot_status" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(sum(col("o_totalprice").cast(Money)))
+        .select(col("o_custkey"), col("O").cast(Money).as("O"),
+          col("F").cast(Money).as("F"), col("P").cast(Money).as("P"))),
+
+    "left_join_composite" -> ((s, d) => {
+      val agg = t(s, d, "events")
+        .groupBy(col("user_id"),
+          date_trunc("day", col("ts")).cast(DateType).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), RelationalOps.moneySum(col("value")).as("total"))
+      val p = agg.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("day"),
+          col("n").as("n_purchases"), col("total").as("purchase_total"))
+      val sg = agg.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("day"),
+          col("n").as("n_signups"), col("total").as("signup_total"))
+      p.join(sg, Seq("user_id", "day"), "left")
+    }),
+
+    "kpi_ratios" -> ((s, d) =>
+      t(s, d, "orders").groupBy(col("o_custkey")).agg(
+        RelationalOps.moneySum(col("o_totalprice")).as("total_spend"),
+        round(
+          sum(when(col("o_orderstatus") === "O", col("o_totalprice").cast(Money))
+            .otherwise(lit(0).cast(Money))).cast(DoubleType)
+            / nullif(sum(col("o_totalprice").cast(Money)).cast(DoubleType), lit(0.0)),
+          6).as("open_ratio"))),
+
+    "normalize_strings" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"), FinanceOps.normalizeString(col("text")).as("norm_text"))),
+
+    "json_flatten" -> ((s, d) =>
+      t(s, d, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))),
+
+    "case_when_indicator" -> ((s, d) => RelationalOps.eventIndicator(t(s, d, "events"))),
+
+    "filter_project" -> ((s, d) =>
+      t(s, d, "orders").filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), col("o_totalprice").cast(Money).as("total"))),
+
+    "lit_columns" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"), lit("documents").as("source_system"), lit(42).as("batch_id"))),
+
+    // ---- [GAP] windows / sort / set ops / joins / grouping sets ----
+    "window_lag_yoy" -> ((s, d) => RelationalOps.yoySpend(t(s, d, "orders"))),
+    "topk_per_group" -> ((s, d) => RelationalOps.topKOrdersPerCustomer(t(s, d, "orders"), 3)),
+    "rolling_avg" -> ((s, d) => RelationalOps.rollingAvgSpend(t(s, d, "orders"))),
+    "sort_limit" -> ((s, d) => RelationalOps.topNBySpend(t(s, d, "orders"), 100)),
+    "set_except" -> ((s, d) => RelationalOps.openNotFinishedCustomers(t(s, d, "orders"))),
+    "set_intersect" -> ((s, d) => RelationalOps.openAndFinishedCustomers(t(s, d, "orders"))),
+    "semi_join" -> ((s, d) => RelationalOps.customersWithOrders(t(s, d, "customer"), t(s, d, "orders"))),
+    "anti_join" -> ((s, d) => RelationalOps.customersWithoutOrders(t(s, d, "customer"), t(s, d, "orders"))),
+    "range_join" -> ((s, d) => RelationalOps.shippedWithin90Days(t(s, d, "orders"), t(s, d, "lineitem"))),
+    "asof_join" -> ((s, d) => RelationalOps.asOfLastSignup(t(s, d, "events"))),
+    "rollup_region" -> ((s, d) =>
+      RelationalOps.customerRollup(t(s, d, "customer"), t(s, d, "nation"), t(s, d, "region"))),
+    "cube_status_priority" -> ((s, d) => RelationalOps.orderCube(t(s, d, "orders"))),
+    "distinct_count" -> ((s, d) => RelationalOps.distinctCustomersPerStatus(t(s, d, "orders"))),
+
+    "q1_pricing_summary" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          RelationalOps.moneySum(col("l_quantity")).as("sum_qty"),
+          RelationalOps.moneySum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast(Money) * (lit(1) - col("l_discount").cast(Money)))
+            .cast(DecimalType(20, 4)).as("sum_disc_price"),
+          RelationalOps.moneyAvg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))),
+
+    "q3_revenue_topn" -> ((s, d) => {
+      val cutoff = lit("1998-03-15").cast(TimestampType)
+      t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < cutoff)
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > cutoff)
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast(DateType).as("o_orderdate"))
+        .agg(sum(col("l_extendedprice").cast(Money) * (lit(1) - col("l_discount").cast(Money)))
+          .cast(DecimalType(20, 4)).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- [EXT] dedup / text / similarity / multimodal ----
+    "dedup_exact" -> ((s, d) => DedupOps.exactDedup(t(s, d, "documents"))),
+    "minhash_signatures" -> ((s, d) => DedupOps.minhashSignatures(t(s, d, "documents"))),
+    "minhash_lsh_pairs" -> ((s, d) => DedupOps.minhashCandidatePairs(t(s, d, "documents"))),
+    "jaccard_pairs" -> ((s, d) => DedupOps.jaccardPairs(t(s, d, "documents"), 0.5)),
+    "simhash" -> ((s, d) => DedupOps.simhash(t(s, d, "documents"))),
+    "token_count" -> ((s, d) => TextOps.tokenCounts(t(s, d, "documents"))),
+    "lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
+    "quality_score" -> ((s, d) => TextOps.qualityScore(t(s, d, "documents"))),
+    "doc_fingerprint" -> ((s, d) => TextOps.fingerprints(t(s, d, "documents"))),
+    "corpus_stats" -> ((s, d) => TextOps.corpusStats(t(s, d, "documents"))),
+    "hll_distinct" -> ((s, d) => TextOps.approxDistinctContent(t(s, d, "documents"))),
+    "cosine_topk" -> ((s, d) => SimilarityOps.cosineTopK(t(s, d, "embeddings"), 10, 5)),
+    "cosine_topk_lsh" -> ((s, d) => SimilarityOps.lshBucketedTopK(t(s, d, "embeddings"), 10, 5)),
+    "multimodal_meta" -> ((s, d) => MultimodalOps.payloadMeta(t(s, d, "documents"))),
+
+    // ---- streaming analog (batch form of the tumbling rollup, §2.10) ----
+    "events_tumbling_day" -> ((s, d) =>
+      graft.streaming.StreamingOps.tumblingCounts(t(s, d, "events"))),
+  )
+
+  /** Shared oracle CTE prefix for shingle-based dedup queries (DuckDB
+    * spelling of DedupOps.shingles: 1-indexed arrays, generate_subscripts).
+    */
+  private val shingleCtes =
+    """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+      |pos AS (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM tk),
+      |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+      |       FROM pos WHERE i + 2 <= len(toks))""".stripMargin
+
+  private val minhashCtes = shingleCtes +
+    """,
+      |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS hv FROM sh),
+      |seeds(hash_idx, a, b) AS (VALUES (0,7,3),(1,11,17),(2,13,29),(3,17,41),(4,19,53),(5,23,67),
+      |  (6,29,79),(7,31,97),(8,37,103),(9,41,113),(10,43,127),(11,47,137),(12,53,149),(13,59,157),
+      |  (14,61,167),(15,67,179)),
+      |mh AS (SELECT doc_id, hash_idx, min((a * hv + b) % 2147483647) AS minhash
+      |       FROM h CROSS JOIN seeds GROUP BY doc_id, hash_idx)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "stg_cast" ->
+      "SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DECIMAL(18,2)) AS qty FROM lineitem",
+
+    "mart_yearly_avg" ->
+      """SELECT CAST(date_trunc('year', o_orderdate) AS DATE) AS year,
+        |round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "pivot_status" ->
+      """SELECT o_custkey,
+        |CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS "O",
+        |CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS "F",
+        |CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS "P"
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "left_join_composite" ->
+      """WITH agg AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |         COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |  FROM events GROUP BY 1, 2, 3),
+        |p AS (SELECT user_id, day, n AS n_purchases, total AS purchase_total FROM agg WHERE event_type = 'purchase'),
+        |sg AS (SELECT user_id, day, n AS n_signups, total AS signup_total FROM agg WHERE event_type = 'signup')
+        |SELECT p.user_id, p.day, p.n_purchases, p.purchase_total, sg.n_signups, sg.signup_total
+        |FROM p LEFT JOIN sg ON p.user_id = sg.user_id AND p.day = sg.day""".stripMargin,
+
+    "kpi_ratios" ->
+      """SELECT o_custkey,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_spend,
+        |round(CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2))
+        |                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |      / NULLIF(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0), 6) AS open_ratio
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "normalize_strings" ->
+      "SELECT doc_id, lower(trim(text)) AS norm_text FROM documents",
+
+    "json_flatten" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events",
+
+    "case_when_indicator" ->
+      """SELECT event_id,
+        |CASE WHEN event_type = 'purchase' THEN 'Revenue'
+        |     WHEN event_type = 'signup' THEN 'Acquisition'
+        |     WHEN event_type = 'error' THEN 'Reliability'
+        |     ELSE 'Engagement' END AS indicator
+        |FROM events""".stripMargin,
+
+    "filter_project" ->
+      "SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total FROM orders WHERE o_orderstatus = 'O'",
+
+    "lit_columns" ->
+      "SELECT doc_id, 'documents' AS source_system, 42 AS batch_id FROM documents",
+
+    "window_lag_yoy" ->
+      """WITH yearly AS (
+        |  SELECT o_custkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS spend
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_custkey, yr, spend,
+        |CAST(spend - lag(spend) OVER (PARTITION BY o_custkey ORDER BY yr) AS DECIMAL(18,2)) AS yoy_delta
+        |FROM yearly""".stripMargin,
+
+    "topk_per_group" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "rolling_avg" ->
+      """SELECT o_custkey, o_orderkey,
+        |round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) / COUNT(*) OVER w, 6) AS rolling_avg
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "sort_limit" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders
+        |ORDER BY price DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "set_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    "semi_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)",
+
+    "anti_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
+
+    "range_join" ->
+      """SELECT o.o_orderkey, COUNT(*) AS n_shipped_90d
+        |FROM orders o JOIN lineitem l
+        |  ON l.l_orderkey = o.o_orderkey
+        | AND l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate < o.o_orderdate + INTERVAL 90 DAY
+        |GROUP BY o.o_orderkey""".stripMargin,
+
+    "asof_join" ->
+      """SELECT p.event_id, p.user_id,
+        |CAST((SELECT max(sg.ts) FROM events sg
+        |      WHERE sg.user_id = p.user_id AND sg.event_type = 'signup' AND sg.ts <= p.ts)
+        |     AS TIMESTAMP) AS last_signup_ts
+        |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
+
+    "rollup_region" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_cust,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+
+    "cube_status_priority" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "distinct_count" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(20,4)) AS sum_disc_price,
+        |round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+        |COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_revenue_topn" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(20,4)) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "dedup_exact" ->
+      "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+
+    "minhash_signatures" ->
+      (minhashCtes + "\nSELECT doc_id, hash_idx, minhash FROM mh"),
+
+    "minhash_lsh_pairs" ->
+      (minhashCtes +
+      """,
+        |bands AS (
+        |  SELECT doc_id, CAST(hash_idx // 4 AS INTEGER) AS band,
+        |         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY hash_idx) AS band_key
+        |  FROM mh GROUP BY doc_id, CAST(hash_idx // 4 AS INTEGER))
+        |SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+        |FROM bands b1 JOIN bands b2 ON b1.band = b2.band AND b1.band_key = b2.band_key
+        |WHERE b1.doc_id < b2.doc_id""".stripMargin),
+
+    "jaccard_pairs" ->
+      (shingleCtes +
+      """,
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |round(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6) AS jaccard
+        |FROM common JOIN sizes na ON common.doc_a = na.doc_id
+        |            JOIN sizes nb ON common.doc_b = nb.doc_id
+        |WHERE round(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6) >= 0.5""".stripMargin),
+
+    "simhash" ->
+      (shingleCtes +
+      """,
+        |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS hv FROM sh),
+        |bits AS (SELECT * FROM generate_series(0, 31) t(bit)),
+        |votes AS (
+        |  SELECT doc_id, bit, SUM(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM h CROSS JOIN bits GROUP BY doc_id, bit)
+        |SELECT doc_id,
+        |CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM votes GROUP BY doc_id""".stripMargin),
+
+    "token_count" ->
+      """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars_measured,
+        |CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_tokens
+        |FROM documents""".stripMargin,
+
+    "lang_id" ->
+      """SELECT doc_id, lang AS lang_label,
+        |CASE WHEN len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |                          t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) >= 2
+        |     THEN 'en' ELSE 'und' END AS lang_pred
+        |FROM documents""".stripMargin,
+
+    "quality_score" ->
+      """SELECT doc_id,
+        |round(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.5 +
+        |      coalesce(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |                                    t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+        |               / NULLIF(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE), 0), 0) * 0.5,
+        |      6) AS quality
+        |FROM documents""".stripMargin,
+
+    "doc_fingerprint" ->
+      "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents",
+
+    "corpus_stats" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_chars,
+        |round(CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+        |FROM documents GROUP BY lang, source""".stripMargin,
+
+    "cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |scored AS (
+        |  SELECT q_id, vec_id, round(list_cosine_similarity(emb, q_emb), 4) AS score
+        |  FROM c CROSS JOIN q WHERE vec_id <> q_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id, score,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT q_id, vec_id, score, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |CAST((octet_length(encode(text)) * 7 + ascii(substr(text, 1, 1))) % 1024 AS INTEGER) AS fake_width,
+        |CAST((octet_length(encode(text)) * 13 + 31) % 768 AS INTEGER) AS fake_height
+        |FROM documents""".stripMargin,
+
+    "events_tumbling_day" ->
+      """SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP) AS window_start, event_type,
+        |COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
+  )
 }

@@ -29,11 +29,11 @@ object FinanceOps {
   def toMoney(c: Column): Column = c.cast(Money)
 
   /** Deterministic cross-engine average: decimal sum (exact, any order)
-    * then a single IEEE double division. Plain avg(double) is
-    * accumulation-order-dependent and won't hash-match an oracle.
+    * then a single IEEE double division, rounded for oracle hashing. Plain
+    * avg(double) is accumulation-order-dependent and won't hash-match.
     */
   def avgMoney(c: Column): Column =
-    sum(toMoney(c)).cast(DoubleType) / count(lit(1))
+    round(sum(toMoney(c)).cast(DoubleType) / count(lit(1)), 6)
 
   /** NULLIF-guarded ratio — the dbt macro surface (reference README.md:488-493:
     * profit margin, ROA, ROE are all `num / NULLIF(den, 0)`). A dbt macro is
@@ -77,13 +77,15 @@ object FinanceOps {
 
   /** Mart — mart_financial_summary.sql:4-8:
     * SELECT DATE_TRUNC('year', observation_date), AVG(value) GROUP BY 1.
+    * Group key cast to DATE (Postgres date_trunc returns timestamp; the
+    * oracle-parity canonical form is DATE, SURVEY.md §7.3.3) and columns
+    * exactly (year, avg_value) to match the reference mart's shape.
     */
-  def martFinancialSummary(stg: DataFrame): DataFrame =
+  def martFinancialSummary(stg: DataFrame, valueCol: String = "value",
+                           dateCol: String = "observation_date"): DataFrame =
     stg
-      .groupBy(date_trunc("year", col("observation_date")).as("year"))
-      .agg(
-        (sum(col("value")).cast(DoubleType) / count(col("value"))).as("avg_value"),
-        count(col("value")).as("n_obs"))
+      .groupBy(date_trunc("year", col(dateCol)).cast(DateType).as("year"))
+      .agg(avgMoney(col(valueCol)).as("avg_value"))
 
   // ------------------------------------------------------------------
   // E2: fundamentals pipeline (README surface)

@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The [GAP] relational surface from SURVEY.md §2.3–§2.6: windows, top-k,
+  * sorts/limits, set ops, semi/anti joins, rollup/cube, as-of and range
+  * joins. The reference delegates all of this to Postgres/Metabase
+  * (reference readme.md:255-261); here each is a declarative Spark plan so
+  * Catalyst keeps pushdown/pruning/broadcast decisions.
+  *
+  * Determinism discipline (SURVEY.md §7.3.2): every money aggregate casts
+  * double → DECIMAL(18,2) *before* summing (exact, order-insensitive —
+  * required both for the DuckDB-oracle hash gate and for bit-stable results
+  * across partitionings at 100 TB), and every ordering carries a unique
+  * tiebreak key so limits/windows are reproducible.
+  */
+object RelationalOps {
+
+  val Money: DecimalType = DecimalType(18, 2)
+
+  /** Exact, order-insensitive money sum: cast-then-sum, pinned back to
+    * DECIMAL(18,2) (Spark widens sums to (28,2); DuckDB to (38,2) — pinning
+    * makes the schemas agree).
+    */
+  def moneySum(c: Column): Column = sum(c.cast(Money)).cast(Money)
+
+  /** Deterministic cross-engine average: exact decimal sum, one IEEE double
+    * division, rounded. Plain avg(double) is accumulation-order-dependent.
+    */
+  def moneyAvg(c: Column): Column =
+    round(moneySum(c).cast(DoubleType) / count(lit(1)), 6)
+
+  // --- §2.5 windows -------------------------------------------------------
+
+  /** Year-over-year spend delta per customer — the `lag` idiom the finance
+    * user asks for first (VERDICT round-1 #3). One shuffle for the yearly
+    * rollup; the window reuses that partitioning clustered by customer.
+    */
+  def yoySpend(orders: DataFrame): DataFrame = {
+    val yearly = orders
+      .groupBy(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      .agg(moneySum(col("o_totalprice")).as("spend"))
+    val w = Window.partitionBy("o_custkey").orderBy("yr")
+    yearly.select(
+      col("o_custkey"), col("yr"), col("spend"),
+      (col("spend") - lag("spend", 1).over(w)).cast(Money).as("yoy_delta"))
+  }
+
+  /** Top-k rows per group via row_number — the scalable top-k idiom (no
+    * global sort; one hash partition per group key). Tiebreak on the unique
+    * key keeps it deterministic.
+    */
+  def topKOrdersPerCustomer(orders: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").cast(Money).as("price"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= k)
+  }
+
+  /** Rolling 3-order average spend per customer (frame ROWS BETWEEN 2
+    * PRECEDING AND CURRENT ROW). Sum/count inside the frame instead of
+    * avg(decimal) because Spark and DuckDB disagree on avg(decimal) result
+    * types.
+    */
+  def rollingAvgSpend(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-2, 0)
+    orders.select(
+      col("o_custkey"), col("o_orderkey"),
+      round(sum(col("o_totalprice").cast(Money)).over(w).cast(DoubleType)
+        / count(lit(1)).over(w), 6).as("rolling_avg"))
+  }
+
+  // --- §2.6 sort / limit / set ops ---------------------------------------
+
+  def topNBySpend(orders: DataFrame, n: Int): DataFrame =
+    orders
+      .select(col("o_orderkey"), col("o_totalprice").cast(Money).as("price"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+      .limit(n)
+
+  /** Customers with open orders but no finished orders (EXCEPT = distinct
+    * set difference in both Spark and ANSI SQL).
+    */
+  def openNotFinishedCustomers(orders: DataFrame): DataFrame = {
+    val open = orders.filter(col("o_orderstatus") === "O").select("o_custkey")
+    val fin  = orders.filter(col("o_orderstatus") === "F").select("o_custkey")
+    open.except(fin)
+  }
+
+  def openAndFinishedCustomers(orders: DataFrame): DataFrame = {
+    val open = orders.filter(col("o_orderstatus") === "O").select("o_custkey")
+    val fin  = orders.filter(col("o_orderstatus") === "F").select("o_custkey")
+    open.intersect(fin)
+  }
+
+  // --- §2.3 join surface --------------------------------------------------
+
+  /** Semi join: customers that have at least one order. Catalyst plans a
+    * broadcast/shuffled hash LeftSemi — no row duplication, no wide output.
+    */
+  def customersWithOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+
+  /** Anti join: customers with no orders at all. */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  /** Range join: lineitems shipped within 90 days of their order's date.
+    * Equi-key (orderkey) + range predicate — Catalyst executes the equi part
+    * as a hash join and evaluates the range residual inline, so this stays
+    * a single shuffle at any scale (never a cartesian).
+    */
+  def shippedWithin90Days(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.join(
+        lineitem,
+        orders("o_orderkey") === lineitem("l_orderkey") &&
+          lineitem("l_shipdate") >= orders("o_orderdate") &&
+          lineitem("l_shipdate") < orders("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(orders("o_orderkey").as("o_orderkey"))
+      .agg(count(lit(1)).as("n_shipped_90d"))
+
+  /** As-of join: for each purchase event, the most recent signup ts of the
+    * same user at-or-before the purchase. Implemented with the union-sort-
+    * ffill pattern (SURVEY.md §2.3): one shuffle on user_id, then a running
+    * `last(ignoreNulls)` — O(n log n) per user vs O(n·m) for a naive
+    * inequality join; this is the formulation that survives 100 TB.
+    * Secondary sort key puts signups before purchases at equal ts so the
+    * "at-or-before" bound is inclusive.
+    */
+  def asOfLastSignup(events: DataFrame): DataFrame = {
+    val tagged = events
+      .filter(col("event_type").isin("purchase", "signup"))
+      .select(
+        col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "signup", col("ts")).as("signup_ts"),
+        when(col("event_type") === "signup", lit(0)).otherwise(lit(1)).as("kind_rank"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("kind_rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_signup_ts", last("signup_ts", ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("last_signup_ts"))
+  }
+
+  // --- §2.4 grouping sets -------------------------------------------------
+
+  /** ROLLUP over the region→nation hierarchy: customer counts and balances
+    * at leaf, subtotal, and grand-total levels. nation/region are tiny —
+    * Catalyst broadcasts both; the only shuffle is the rollup itself.
+    */
+  def customerRollup(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    customer
+      .join(nation, customer("c_nationkey") === nation("n_nationkey"))
+      .join(region, nation("n_regionkey") === region("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), moneySum(col("c_acctbal")).as("total_bal"))
+
+  /** CUBE over order status × priority. */
+  def orderCube(orders: DataFrame): DataFrame =
+    orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("total_price"))
+
+  /** Distinct aggregate: per-status distinct customers + order count. */
+  def distinctCustomersPerStatus(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+
+  // --- P6 conditional mapping --------------------------------------------
+
+  /** CASE WHEN indicator mapping — the series_id → indicator_name idiom
+    * (reference readme.md:368-372) over the events fixture.
+    */
+  def eventIndicator(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      when(col("event_type") === "purchase", "Revenue")
+        .when(col("event_type") === "signup", "Acquisition")
+        .when(col("event_type") === "error", "Reliability")
+        .otherwise("Engagement").as("indicator"))
+}

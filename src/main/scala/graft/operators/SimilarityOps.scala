@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor / similarity search over the `embeddings`
+  * table ([EXT], SURVEY.md §2.11).
+  *
+  * Two tiers, as the north star mandates:
+  *  - `cosineTopK` — brute-force baseline: broadcast the (small) query set
+  *    against the full corpus. Linear in corpus size, embarrassingly
+  *    parallel, zero shuffle until the final per-query top-k. This is the
+  *    correct plan whenever |queries| is small — even at 100 TB corpus the
+  *    scan is the floor cost and nothing beats a single pass.
+  *  - `lshBucketedTopK` — the scale path when the query set is NOT small:
+  *    random-hyperplane LSH buckets both sides, so candidate scoring is an
+  *    equi-join on the bucket key (shuffle by bucket, not all-pairs). An
+  *    IVF variant would swap the bucket fn for nearest-centroid; the
+  *    plumbing is identical.
+  *
+  * All dot products run on double-cast values with a left-to-right fold
+  * (`aggregate` over `zip_with`) — sequential and engine-portable, so the
+  * scores are bit-stable and oracle-checkable after rounding.
+  */
+object SimilarityOps {
+
+  /** Brute-force top-k cosine neighbors for each query vector (vec_id <
+    * nQueries), excluding self. Query side is broadcast; per-query top-k via
+    * row_number with vec_id tiebreak for determinism.
+    */
+  def cosineTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val corpus = embeddings.select(col("vec_id"), col("embedding"))
+    val queries = embeddings
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = corpus
+      .join(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("dot", foldDot("embedding", "q_emb"))
+      .withColumn("na", foldDot("embedding", "embedding"))
+      .withColumn("nb", foldDot("q_emb", "q_emb"))
+      .withColumn("score", round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 4))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    scored
+      .select(col("q_id"), col("vec_id"), col("score"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+  }
+
+  private def foldDot(x: String, y: String): Column =
+    expr(s"aggregate(zip_with($x, $y, (p, q) -> cast(p as double) * cast(q as double)), " +
+      "cast(0.0 as double), (acc, v) -> acc + v)")
+
+  /** Random-hyperplane LSH bucket id: sign bits of the embedding's
+    * components at fixed positions folded into an int. A stand-in for
+    * learned hyperplanes that keeps everything deterministic and
+    * data-independent; `nBits` buckets ≈ 2^nBits shards.
+    */
+  def lshBucket(embedding: Column, nBits: Int): Column = {
+    // sign of every (dim / nBits)-strided component, packed into an int
+    (0 until nBits).map { i =>
+      (when(expr(s"element_at(embedding, ${i * 4 + 1})") > 0, 1).otherwise(0)
+        * math.pow(2, i).toInt).cast(IntegerType)
+    }.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: both sides bucketed, candidates joined on bucket —
+    * the shuffle distributes by bucket so no executor scores the full
+    * corpus. Recall < 1 by construction (ANN); multi-probe = union over
+    * neighboring buckets if needed.
+    */
+  def lshBucketedTopK(embeddings: DataFrame, nQueries: Int, k: Int, nBits: Int = 8): DataFrame = {
+    val bucketed = embeddings.withColumn("bucket", lshBucket(col("embedding"), nBits))
+    val corpus = bucketed.select(col("bucket"), col("vec_id"), col("embedding"))
+    val queries = bucketed
+      .filter(col("vec_id") < nQueries)
+      .select(col("bucket"), col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = corpus
+      .join(queries, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("dot", foldDot("embedding", "q_emb"))
+      .withColumn("na", foldDot("embedding", "embedding"))
+      .withColumn("nb", foldDot("q_emb", "q_emb"))
+      .withColumn("score", round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 4))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    scored
+      .select(col("q_id"), col("vec_id"), col("score"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+  }
+}

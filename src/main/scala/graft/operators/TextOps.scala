@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for the LLM-data-pipeline surface ([EXT],
+  * SURVEY.md §2.11): tokenization, language-ID heuristics, quality scoring,
+  * and content fingerprinting over the `documents` table.
+  *
+  * Everything here is built from codegen'd SQL expressions (no UDFs): at
+  * 100 TB the per-row cost of a boxed Scala UDF dominates, while these stay
+  * inside whole-stage codegen. Where a lambda/higher-order function is
+  * needed (`filter`, `transform`) we use `expr(...)` so the plan is the
+  * same one Spark SQL would produce.
+  */
+object TextOps {
+
+  /** Tokenizer used across text/dedup ops: lowercase alnum runs. The BPE-ish
+    * regex keeps punctuation out of tokens; identical semantics are
+    * expressible in DuckDB's `regexp_extract_all` for the oracle.
+    */
+  val TokenPattern = "[a-z0-9]+"
+
+  def tokensOf(colName: String): Column =
+    expr(s"regexp_extract_all(lower($colName), '$TokenPattern', 0)")
+
+  /** Per-document token + char counts (whitespace-free token def). */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_measured"),
+      size(tokensOf("text")).as("n_tokens"))
+
+  /** English stopword hits — the n-gram-heuristic core for language ID.
+    * Counting via an array filter (not a join) keeps it one narrow pass.
+    */
+  def stopwordHits(colName: String): Column =
+    expr(s"size(filter(regexp_extract_all(lower($colName), '$TokenPattern', 0), " +
+      "t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))")
+
+  /** Heuristic language ID: stopword-ratio n-gram heuristic. With the
+    * synthetic corpus (English-ish vocab regardless of the `lang` label)
+    * this deterministically classifies by article density — the *shape* of
+    * a real langid pass (score per language, argmax) in one expression.
+    */
+  def langId(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      col("lang").as("lang_label"),
+      when(stopwordHits("text") >= 2, lit("en")).otherwise(lit("und")).as("lang_pred"))
+
+  /** Quality score in [0,1]: half length-based (saturating at 200 chars),
+    * half stopword density. Pure double arithmetic → bit-identical across
+    * engines; rounded for the oracle hash.
+    */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val nToks = size(tokensOf("text")).cast(DoubleType)
+    val lenScore = least(length(col("text")).cast(DoubleType) / 200.0, lit(1.0))
+    val stopRatio = stopwordHits("text").cast(DoubleType) / nullif(nToks, lit(0.0))
+    documents.select(
+      col("doc_id"),
+      round(lenScore * 0.5 + coalesce(stopRatio, lit(0.0)) * 0.5, 6).as("quality"))
+  }
+
+  /** Content fingerprint: md5 of the normalized text (reference
+    * normalize_string, /root/reference/utils/helpers.py:1-2, feeding a
+    * digest). Identical hex in Spark and DuckDB → oracle-checkable, and the
+    * natural exact-dedup / shard-routing key at scale.
+    */
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      md5(FinanceOps.normalizeString(col("text"))).as("fp"))
+
+  /** Corpus stats per (lang, source): the A1-style rollup over documents. */
+  def corpusStats(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        RelationalOps.moneySum(col("n_chars")).as("total_chars"),
+        round(sum(size(tokensOf("text"))).cast(DoubleType) / count(lit(1)), 6)
+          .as("avg_tokens"))
+
+  /** Distinct-content cardinality per source via HLL++
+    * (approx_count_distinct). Not oracle-comparable (sketch internals are
+    * engine-specific) — registered rows-only; the exact variant is
+    * `RelationalOps.distinctCustomersPerStatus`-style countDistinct.
+    */
+  def approxDistinctContent(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(col("source"))
+      .agg(approx_count_distinct(col("text"), 0.01).as("approx_distinct_docs"))
+}

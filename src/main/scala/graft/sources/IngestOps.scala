@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ingest-side sinks and defaults (SURVEY.md §2.1 S3/S5/S8, §2.7 F5/F8,
+  * §2.8 O6): the Spark spellings of the reference's raw-zone writes.
+  */
+object IngestOps {
+
+  /** S3: raw-zone JSON landing (reference data_loader/fetch_data.py:13-14
+    * dumps the API payload verbatim before any parsing — keep that habit:
+    * re-parses are free, re-fetches are not).
+    */
+  def writeRawJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** S5 + F8: CSV sink partitioned by run date — the
+    * `s3://…/financial_data/{ds}/…` layout (reference README.md:353-361)
+    * as a real partition column, which is what makes the raw zone
+    * partition-prunable instead of merely name-spaced.
+    */
+  def writeRunDateCsv(df: DataFrame, path: String, runDate: String): Unit =
+    df.withColumn("dt", lit(runDate))
+      .write.mode("overwrite")
+      .option("header", "true")
+      .partitionBy("dt")
+      .csv(path)
+
+  /** F5: ingest timestamp default — `created_at TIMESTAMPTZ DEFAULT NOW()`
+    * (reference README.md:265).
+    */
+  def withIngestTimestamp(df: DataFrame): DataFrame =
+    df.withColumn("created_at", current_timestamp())
+
+  /** O6: incremental append into a time-partitioned table (the hypertable
+    * analog, S8) — append new run-date partitions; dedup downstream via
+    * DedupOps/`dropDuplicatesWithinWatermark` rather than rewriting
+    * history. Dynamic partition overwrite keeps re-runs idempotent per
+    * partition without touching the rest of the table.
+    */
+  def appendRunPartition(df: DataFrame, table: String, runDate: String): Unit =
+    df.withColumn("dt", lit(runDate))
+      .write.mode("overwrite")
+      .partitionBy("dt")
+      .option("partitionOverwriteMode", "dynamic")
+      .saveAsTable(table)
+}

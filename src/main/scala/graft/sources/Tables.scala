@@ -16,9 +16,18 @@ object Tables {
 
   /** Read one testdata table. Column pruning + predicate pushdown reach the
     * parquet scan because we keep this a plain declarative read.
+    *
+    * `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's TimestampType
+    * (µs) cannot represent — we read it as a long (nanosAsLong) and floor-
+    * divide to µs, the same truncation DuckDB's ns→µs cast applies, so
+    * oracle comparisons agree.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every testdata table as a temp view (staging-zone style:
     * views are lazy and recomputed, matching dbt `materialized='view'`,

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** Structured-Streaming surface (SURVEY.md §2.10) — the Spark-native
+  * generalization of the reference's time-series warehouse (TimescaleDB
+  * hypertable on ingest time, reference README.md:268) and its append-only
+  * daily feed (reference dags/etl_dag.py:14).
+  *
+  * Every transform takes/returns DataFrame so the same code runs on a
+  * batch frame (tests, backfills) and a `readStream` frame (production):
+  * the batch/streaming unification is the point of Structured Streaming.
+  */
+object StreamingOps {
+
+  /** Event-time watermark: bound state for all downstream stateful ops.
+    * At 100 TB/day the watermark is what keeps window state finite.
+    */
+  def withEventTimeBounds(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", delay)
+
+  /** Tumbling-window rollup — the streaming analog of the mart's yearly
+    * aggregate (A1): counts + exact decimal totals per (window, type).
+    */
+  def tumblingCounts(events: DataFrame, width: String = "1 day"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("total"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Sliding-window variant (width, slide). */
+  def slidingCounts(events: DataFrame, width: String = "1 hour", slide: String = "15 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Session windows: activity sessions per user separated by ≥gap. */
+  def userSessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  /** Stateful streaming dedup by event_id, state bounded by the watermark.
+    * (On a batch frame Spark treats this as plain dropDuplicates.)
+    */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.dropDuplicatesWithinWatermark("event_id")
+
+  /** Incremental load (O6, reference README.md:558): catch-up batch
+    * semantics via AvailableNow — processes everything currently available,
+    * checkpoints, and stops; the streaming version of the reference's
+    * daily append.
+    */
+  def availableNowWriter(df: DataFrame, outPath: String, checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+}

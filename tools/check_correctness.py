@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check_correctness.py <sf_dir> <verify_out_dir>
+
+For each query dir under verify_out: load the Spark result parquet and run
+the matching oracle SQL in DuckDB over the sf_dir tables; compare rowcount,
+schema (column names), and a hash of the value matrix with columns sorted
+by name and rows sorted canonically.
+"""
+import sys, os, json, glob
+import duckdb
+
+
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        # canonicalize -0.0 and represent with full precision
+        if v == 0.0:
+            v = 0.0
+        return repr(v)
+    return str(v)
+
+
+def table_of(rows, cols):
+    # sort columns by name, then rows lexicographically
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    mat = [tuple(canon(r[i]) for i in order) for r in rows]
+    mat.sort(key=lambda t: tuple((x is None, x if x is not None else "") for x in t))
+    return [cols[i] for i in order], mat
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        name = os.path.basename(p)[:-8]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    results = {}
+    for qdir in sorted(os.listdir(out_dir)):
+        qpath = os.path.join(out_dir, qdir)
+        if not os.path.isdir(qpath):
+            continue
+        files = glob.glob(os.path.join(qpath, "*.parquet"))
+        r = con.execute(f"SELECT * FROM read_parquet({files!r})")
+        spark_cols = [d[0] for d in r.description]
+        spark_rows = r.fetchall()
+        if qdir not in oracle:
+            results[qdir] = {"status": "rows_only", "rows": len(spark_rows)}
+            continue
+        try:
+            o = con.execute(oracle[qdir])
+            o_cols = [d[0] for d in o.description]
+            o_rows = o.fetchall()
+        except Exception as e:
+            results[qdir] = {"status": "oracle_error", "error": str(e)[:200]}
+            continue
+        sc, sm = table_of(spark_rows, spark_cols)
+        oc, om = table_of(o_rows, o_cols)
+        entry = {
+            "rows": f"{len(sm)}/{len(om)}",
+            "row_match": len(sm) == len(om),
+            "schema_match": sc == oc,
+            "hash_match": sm == om,
+        }
+        if not entry["schema_match"]:
+            entry["spark_cols"], entry["oracle_cols"] = sc, oc
+        if entry["schema_match"] and not entry["hash_match"]:
+            diffs = [(a, b) for a, b in zip(sm, om) if a != b][:3]
+            extra_s = [t for t in sm if t not in set(om)][:2]
+            extra_o = [t for t in om if t not in set(sm)][:2]
+            entry["first_diffs"] = [f"spark={a} oracle={b}" for a, b in diffs]
+            if extra_s: entry["only_spark"] = [str(t) for t in extra_s]
+            if extra_o: entry["only_oracle"] = [str(t) for t in extra_o]
+        entry["status"] = "PASS" if entry["row_match"] and entry["schema_match"] and entry["hash_match"] else "FAIL"
+        results[qdir] = entry
+    npass = sum(1 for v in results.values() if v.get("status") == "PASS")
+    nfail = sum(1 for v in results.values() if v.get("status") == "FAIL")
+    for k, v in results.items():
+        if v.get("status") != "PASS":
+            print(k, json.dumps(v, default=str)[:600])
+    print(f"\nPASS {npass}  FAIL {nfail}  other {len(results)-npass-nfail}  total {len(results)}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
