@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -8,20 +8,24 @@ import org.apache.spark.sql.types._
   * SimHash, and exact n-gram Jaccard.
   *
   * Design for 100 TB:
-  *  - Everything is expressed as explode → shuffle-on-key → aggregate, the
-  *    shape that scales linearly with executors. There is no all-pairs
-  *    comparison anywhere: candidate generation is always an equi-join on a
-  *    bucket key (shingle, LSH band), never a cartesian.
+  *  - Per-document computations (shingling, MinHash signatures, SimHash)
+  *    are *shuffle-free*: higher-order SQL expressions evaluated row-by-row
+  *    inside whole-stage codegen. A signature pass over the corpus is one
+  *    narrow map stage — it scales with executors and never materializes an
+  *    exploded intermediate.
+  *  - Candidate generation is always an equi-join on a bucket key (LSH
+  *    band, shingle) — shuffle distributes by bucket; there is no all-pairs
+  *    comparison anywhere.
   *  - The hash functions are engine-portable by construction: a 32-bit
-  *    integer is derived from the md5 hex prefix (identical in any engine),
-  *    then passed through (a·h + b) mod p universal hashing. This makes the
-  *    whole family DuckDB-oracle-checkable — rare for MinHash pipelines —
-  *    and deterministic across partitionings/retries, which is what makes
-  *    a 100 TB dedup run resumable.
+  *    integer from the md5 hex prefix (identical in any engine) passed
+  *    through (a·h + b) mod p universal hashing. This makes the whole
+  *    family DuckDB-oracle-checkable — rare for MinHash pipelines — and
+  *    deterministic across partitionings/retries, which is what makes a
+  *    100 TB dedup run resumable.
   */
 object DedupOps {
 
-  /** Mersenne prime 2^31-1; a·h stays far below 2^63 for a ≤ 2^20. */
+  /** Mersenne prime 2^31-1; a·h stays far below 2^63 for our multipliers. */
   val P: Long = 2147483647L
 
   /** 16 fixed universal-hash parameter pairs (odd multipliers). */
@@ -38,7 +42,8 @@ object DedupOps {
   /** Exact dedup: one representative (min doc_id) per distinct text.
     * groupBy-min, not dropDuplicates — dropDuplicates keeps an *arbitrary*
     * row per key, which is nondeterministic across partitionings; min() is
-    * reproducible at any scale.
+    * reproducible at any scale. (For very long texts, group by
+    * TextOps.fingerprints' md5 instead to shrink the shuffle key.)
     */
   def exactDedup(documents: DataFrame): DataFrame =
     documents
@@ -46,62 +51,68 @@ object DedupOps {
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), col("text"))
 
-  /** Distinct word-level 3-shingles per doc, exploded to (doc_id, shingle)
-    * rows. Word shingles (not tokens) because candidate joins on a
-    * small-vocabulary corpus would otherwise degenerate: a 31-word vocab
-    * gives ~30k distinct 3-shingles vs 31 distinct tokens, keeping the
+  private val toksSql = s"regexp_extract_all(lower(text), '${TextOps.TokenPattern}', 0)"
+
+  /** Distinct word-level 3-shingles per doc as an array column — a single
+    * narrow projection. Word shingles (not tokens) because candidate joins
+    * on a small-vocabulary corpus would otherwise degenerate: a 31-word
+    * vocab gives ~30k distinct 3-shingles vs 31 distinct tokens, keeping
     * inverted-index buckets small.
     */
-  def shingles(documents: DataFrame): DataFrame = {
-    val toks = TextOps.tokensOf("text")
-    documents
-      .select(
-        col("doc_id"),
-        explode(when(size(toks) >= 3,
-          expr(s"array_distinct(transform(sequence(0, size(${shingleToks}) - 3), " +
-            s"i -> concat_ws(' ', ${shingleToks}[i], ${shingleToks}[i+1], ${shingleToks}[i+2])))"))
-          .otherwise(expr("cast(array() as array<string>)"))).as("shingle"))
-  }
-  private val shingleToks = s"regexp_extract_all(lower(text), '${TextOps.TokenPattern}', 0)"
+  def shinglesArray(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      when(expr(s"size($toksSql)") >= 3,
+        expr(s"array_distinct(transform(sequence(0, size($toksSql) - 3), " +
+          s"i -> concat_ws(' ', $toksSql[i], $toksSql[i+1], $toksSql[i+2])))"))
+        .otherwise(expr("cast(array() as array<string>)")).as("sh"))
 
-  /** Portable 32-bit shingle hash: first 8 md5 hex digits as an integer.
-    * `conv` is the Spark spelling; DuckDB casts '0x…' directly.
+  /** Exploded (doc_id, shingle) rows — the inverted-index feed. */
+  def shingles(documents: DataFrame): DataFrame =
+    shinglesArray(documents).select(col("doc_id"), explode(col("sh")).as("shingle"))
+
+  /** Portable 32-bit hashes of each shingle, per-row. */
+  private val hvsExpr =
+    "transform(sh, s -> cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint))"
+
+  /** (doc_id, mhs) where mhs[i] = min over shingles of (a_i·h + b_i) mod P,
+    * in hash_idx order. Zero shuffles: two nested `transform`s per row.
     */
-  private def h32(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
-
-  private def seedsDf(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    Seeds.toDF("hash_idx", "a", "b")
+  private def signatureArrays(documents: DataFrame): DataFrame = {
+    val seedArr = Seeds
+      .map { case (_, a, b) => s"named_struct('a', ${a}L, 'b', ${b}L)" }
+      .mkString("array(", ", ", ")")
+    shinglesArray(documents)
+      .filter(size(col("sh")) > 0)
+      .withColumn("hvs", expr(hvsExpr))
+      .withColumn("mhs",
+        expr(s"transform($seedArr, p -> array_min(transform(hvs, h -> (p.a * h + p.b) % ${P}L)))"))
+      .select("doc_id", "mhs")
   }
 
-  /** MinHash signatures, long form (doc_id, hash_idx, minhash): explode
-    * shingles × broadcast 16 seeds → min over (a·h32+b) mod p per
-    * (doc, seed). One shuffle on doc_id; the seeds side is a broadcast of
-    * 16 rows, so the fan-out is map-side.
+  /** MinHash signatures, long form (doc_id, hash_idx, minhash) — the
+    * registered/oracled shape. posexplode of the per-row signature array;
+    * still no shuffle.
     */
-  def minhashSignatures(documents: DataFrame): DataFrame = {
-    val sh = shingles(documents).withColumn("hv", h32(col("shingle")))
-    sh.join(broadcast(seedsDf(documents.sparkSession)))
-      .groupBy(col("doc_id"), col("hash_idx"))
-      .agg(min((col("a") * col("hv") + col("b")) % P).as("minhash"))
-  }
+  def minhashSignatures(documents: DataFrame): DataFrame =
+    signatureArrays(documents)
+      .select(col("doc_id"), posexplode(col("mhs")).as(Seq("hash_idx", "minhash")))
 
-  /** LSH band keys: the 16 minhashes folded into NumBands keys of
-    * RowsPerBand each; docs agreeing on any band key are near-dup
-    * candidates. Key = comma-joined minhashes in hash_idx order
-    * (deterministic via array_sort on (hash_idx, minhash) structs).
+  /** LSH band keys per doc: the 16 minhashes sliced into NumBands keys of
+    * RowsPerBand each, comma-joined in hash_idx order. Computed per-row
+    * from the signature array — the first shuffle in the whole MinHash
+    * pipeline is the candidate join below.
     */
   def lshBands(documents: DataFrame): DataFrame =
-    minhashSignatures(documents)
-      .withColumn("band", (col("hash_idx") / RowsPerBand).cast(IntegerType))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(expr(
-        "array_join(transform(array_sort(collect_list(struct(hash_idx, minhash))), " +
-          "x -> cast(x.minhash as string)), ',')").as("band_key"))
+    signatureArrays(documents)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, ${NumBands - 1}), b -> " +
+            s"array_join(transform(slice(mhs, b * $RowsPerBand + 1, $RowsPerBand), " +
+            "x -> cast(x as string)), ','))")).as(Seq("band", "band_key")))
 
   /** Candidate near-dup pairs: self-equi-join on (band, band_key). This is
-    * the whole point of LSH at scale — the join key is the bucket, so the
+    * the point of LSH at scale — the join key is the bucket, so the
     * shuffle distributes by bucket and no executor ever sees the full
     * corpus. doc_a < doc_b halves the output; DISTINCT collapses pairs
     * that collide in multiple bands.
@@ -119,7 +130,7 @@ object DedupOps {
   /** Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle —
     * inverted-index join (shuffle on shingle), never all-pairs. Emits pairs
     * with similarity ≥ threshold. At 100 TB the shingle buckets stay small
-    * as long as shingle entropy is high (wordcount³); a stop-shingle filter
+    * as long as shingle entropy is high (vocab³); a stop-shingle filter
     * (drop the top-frequency shingles) is the standard skew guard and drops
     * in here as one extra filter.
     */
@@ -140,22 +151,21 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 32-bit SimHash per document: per (doc, bit) majority vote over shingle
-    * hash bits, folded back to one long. Relational formulation (explode
-    * 32 bit positions per shingle) so it shuffles by doc and scales out;
-    * near-dup detection = hamming distance on the signatures.
+  /** 32-bit SimHash per document, computed entirely per-row: for each bit,
+    * a fold over the shingle hashes votes +1/−1; positive votes set the
+    * bit. Zero shuffles — the whole corpus signature pass is one codegen'd
+    * map. Near-dup detection = hamming distance ≤ d on the signatures
+    * (bucketable by bit-slices exactly like LSH bands).
     */
-  def simhash(documents: DataFrame): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    val bits = broadcast((0 until 32).toDF("bit"))
-    shingles(documents)
-      .withColumn("hv", h32(col("shingle")))
-      .join(bits)
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(when(expr("shiftright(hv, bit) & 1") === 1, 1).otherwise(-1)).as("vote"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("vote") > 0, expr("shiftleft(1L, bit)")).otherwise(0L))
-        .cast(LongType).as("simhash"))
-  }
+  def simhash(documents: DataFrame): DataFrame =
+    shinglesArray(documents)
+      .filter(size(col("sh")) > 0)
+      .withColumn("hvs", expr(hvsExpr))
+      .select(
+        col("doc_id"),
+        expr("aggregate(transform(sequence(0, 31), b -> " +
+          "case when aggregate(hvs, 0, (acc, h) -> acc + " +
+          "(case when (shiftright(h, b) & 1) = 1 then 1 else -1 end)) > 0 " +
+          "then shiftleft(1L, b) else 0L end), 0L, (acc, x) -> acc + x)")
+          .cast(LongType).as("simhash"))
 }
