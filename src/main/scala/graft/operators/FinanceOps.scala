@@ -23,10 +23,12 @@ object FinanceOps {
 
   /** Cast a raw measure to money. Reference staging does `value::numeric`
     * (dbt_project/models/staging/stg_financial_data.sql:7). Postgres throws
-    * on unparseable input; Spark non-ANSI yields NULL — we keep NULL
-    * semantics (lenient raw zone) per SURVEY.md §7.3.1.
+    * on unparseable input; we keep lenient NULL semantics for the raw zone
+    * per SURVEY.md §7.3.1 — `try_cast`, because Spark 4 runs ANSI mode by
+    * default and a plain cast now throws like Postgres does. (DuckDB oracle
+    * equivalent: TRY_CAST.)
     */
-  def toMoney(c: Column): Column = c.cast(Money)
+  def toMoney(c: Column): Column = c.try_cast(Money)
 
   /** Deterministic cross-engine average: decimal sum (exact, any order)
     * then a single IEEE double division, rounded for oracle hashing. Plain
@@ -105,12 +107,16 @@ object FinanceOps {
   /** J1: the reference's own formulation — LEFT JOIN on the composite
     * (symbol, fiscal_date) key (README.md:461-464). Kept for exact parity;
     * duplicates keys exactly like the reference would (SURVEY.md §7.3.4).
+    * Right-side value columns get a `_<rightType>` suffix, the Spark
+    * spelling of the reference's `b.total_assets`-style aliases.
     */
   def joinReportTypes(raw: DataFrame, leftType: String, rightType: String,
                       keys: Seq[String]): DataFrame = {
     val l = raw.filter(col("report_type") === leftType)
-    val r = raw.filter(col("report_type") === rightType)
-      .drop("report_type")
+    val r0 = raw.filter(col("report_type") === rightType).drop("report_type")
+    val r = r0.columns.foldLeft(r0) { (df, c) =>
+      if (keys.contains(c)) df else df.withColumnRenamed(c, s"${c}_$rightType")
+    }
     l.join(r, keys, "left")
   }
 

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, TextOps}
+
+class DedupTextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the old barn", "en", "s1", 60L),
+    (2L, "the quick brown fox jumps over the lazy dog near the old barn", "en", "s2", 60L), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the red barn", "en", "s1", 60L), // near-dup of 1
+    (4L, "completely different words appear here without any overlap whatsoever today again", "de", "s2", 80L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exactDedup keeps the minimum doc_id per distinct text") {
+    val got = DedupOps.exactDedup(docs).select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L, 4L))
+  }
+
+  test("exactDedup is idempotent") {
+    val once = DedupOps.exactDedup(docs)
+    val twice = DedupOps.exactDedup(once)
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
+
+  test("identical texts get identical minhash signatures; near-dups agree on most") {
+    val sigs = DedupOps.minhashSignatures(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val s1 = (0 until 16).map(i => sigs((1L, i)))
+    val s2 = (0 until 16).map(i => sigs((2L, i)))
+    val s4 = (0 until 16).map(i => sigs((4L, i)))
+    assert(s1 == s2)
+    assert(s1 != s4)
+  }
+
+  test("LSH candidate pairs contain the exact dup pair, not the disjoint pair") {
+    val pairs = DedupOps.minhashCandidatePairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("jaccardPairs: identical docs score 1.0; threshold filters disjoint docs") {
+    val pairs = DedupOps.jaccardPairs(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L))) // one word differs → high but < 1
+    assert(pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming distance") {
+    val sh = DedupOps.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(3L)) < hamming(sh(1L), sh(4L)))
+  }
+
+  test("tokenCounts + fingerprints: counts match, fingerprints equal iff normalized text equal") {
+    val tc = TextOps.tokenCounts(docs).collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(tc(1L) == 13)
+    val fp = TextOps.fingerprints(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
+  }
+
+  test("langId: stopword-dense text → en, sparse → und") {
+    val got = TextOps.langId(docs).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(1L) == "en" && got(4L) == "und")
+  }
+
+  test("quality in [0,1] and monotone in stopword density for same length") {
+    val q = TextOps.qualityScore(docs).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(1L) > q(4L))
+  }
+}

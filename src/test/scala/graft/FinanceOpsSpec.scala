@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.FinanceOps
+
+/** Reference-parity semantics (SURVEY.md §5.2): cast leniency, null-guarded
+  * ratios, the pivot/join equivalence from §7.3.4, and the FRED mart.
+  */
+class FinanceOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("toMoney: unparseable strings become NULL (lenient raw zone, §7.3.1)") {
+    val df = Seq("123.45", "abc", "", "67.891").toDF("value")
+      .select(FinanceOps.toMoney(col("value")).as("v"))
+    val got = df.collect().map(r => Option(r.get(0)).map(_.toString))
+    assert(got.toSeq == Seq(Some("123.45"), None, None, Some("67.89")))
+  }
+
+  test("ratio: zero denominator yields NULL, not error or Inf (F3/F4)") {
+    val df = Seq((10.0, 2.0), (5.0, 0.0)).toDF("n", "d")
+      .select(FinanceOps.ratio(col("n"), col("d")).as("r"))
+    val got = df.collect().map(r => Option(r.get(0)))
+    assert(got(0).contains(5.0) && got(1).isEmpty)
+  }
+
+  test("martFinancialSummary: yearly decimal-exact average, (year, avg_value) schema") {
+    val df = Seq(
+      ("GDP", "2021-03-01", "100.00"), ("GDP", "2021-06-01", "101.00"),
+      ("GDP", "2022-03-01", "200.00"))
+      .toDF("series_id", "observation_date", "value")
+      .withColumn("observation_date", col("observation_date").cast(DateType))
+    val mart = FinanceOps.martFinancialSummary(FinanceOps.stgFinancialData(df))
+    assert(mart.columns.toSeq == Seq("year", "avg_value"))
+    val byYear = mart.collect().map(r => r.getDate(0).toString -> r.getDouble(1)).toMap
+    assert(byYear == Map("2021-01-01" -> 100.5, "2022-01-01" -> 200.0))
+  }
+
+  test("pivot equals self-join for unique (key, type) rows (§7.3.4)") {
+    val raw = Seq(
+      ("AAPL", "2024-01-01", "income_statement", "10.00"),
+      ("AAPL", "2024-01-01", "balance_sheet", "20.00"),
+      ("MSFT", "2024-01-01", "income_statement", "30.00"))
+      .toDF("symbol", "fiscal_date", "report_type", "total")
+      .withColumn("total", FinanceOps.toMoney(col("total")))
+    val piv = FinanceOps.pivotReportTypes(raw, "report_type",
+        Seq("income_statement", "balance_sheet"), Seq("symbol", "fiscal_date"), col("total"))
+      .select("symbol", "fiscal_date", "income_statement", "balance_sheet")
+    val joined = FinanceOps.joinReportTypes(
+        raw.select("symbol", "fiscal_date", "report_type", "total"),
+        "income_statement", "balance_sheet", Seq("symbol", "fiscal_date"))
+    // same keys, and the MSFT row survives the left join with NULL balance side
+    assert(piv.count() == 2 && joined.count() == 2)
+    val msftP = piv.filter(col("symbol") === "MSFT").collect()(0)
+    assert(msftP.isNullAt(3))
+    val msftJ = joined.filter(col("symbol") === "MSFT").collect()(0)
+    assert(msftJ.isNullAt(msftJ.fieldIndex("total_balance_sheet")))
+    // pivot and join agree on the AAPL values
+    val aaplP = piv.filter(col("symbol") === "AAPL").collect()(0)
+    val aaplJ = joined.filter(col("symbol") === "AAPL").collect()(0)
+    assert(aaplP.getDecimal(2) == aaplJ.getDecimal(aaplJ.fieldIndex("total")))
+    assert(aaplP.getDecimal(3) == aaplJ.getDecimal(aaplJ.fieldIndex("total_balance_sheet")))
+  }
+
+  test("flattenFredPayload: nested observations explode to raw rows; null payload guarded (S4/P7)") {
+    val json = Seq(
+      """{"count": 2, "observations": [
+        |{"date": "2024-01-01", "value": "1.5"}, {"date": "2024-02-01", "value": "."}]}""".stripMargin)
+      .toDF("raw")
+    val payload = spark.read.schema(graft.sources.Tables.fredPayloadSchema)
+      .json(json.as[String])
+    val flat = FinanceOps.flattenFredPayload(payload, "GDP")
+    val rows = flat.collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getString(0)).toSet == Set("GDP"))
+    // "." (FRED missing marker) survives as a string here; staging cast nulls it
+    val staged = FinanceOps.stgFinancialData(flat)
+    assert(staged.collect().count(_.isNullAt(2)) == 1)
+  }
+}

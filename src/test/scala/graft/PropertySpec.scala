@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.{DedupOps, RelationalOps}
+
+/** Property-based invariants (SURVEY.md §5.3): results must be independent
+  * of physical layout — the property that makes answers trustworthy on a
+  * 1000-executor cluster where partitioning is arbitrary. Uses raw
+  * ScalaCheck generators with fixed seeds (the scalatest-plus bridge isn't
+  * in the offline cache).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("moneySum/moneyAvg invariant under repartition and row order") {
+    val priceGen = Gen.nonEmptyListOf(Gen.chooseNum(0L, 999999L).map(_ / 100.0))
+    for (prices <- samples(priceGen, 5)) {
+      val df = prices.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("id", "price")
+      def agg(d: org.apache.spark.sql.DataFrame) =
+        d.agg(RelationalOps.moneySum(col("price")).as("s"), RelationalOps.moneyAvg(col("price")).as("a"))
+          .collect()(0)
+      val base = agg(df)
+      val shuffled = agg(df.repartition(7).sortWithinPartitions(desc("price")))
+      assert(base.getDecimal(0) == shuffled.getDecimal(0))
+      assert(base.getDouble(1) == shuffled.getDouble(1))
+    }
+  }
+
+  test("exactDedup: output has no duplicate texts and is invariant under partitioning") {
+    val textGen = Gen.listOfN(5, Gen.oneOf("a b c", "d e f", "g h i")).map(_.mkString(" "))
+    for (texts <- samples(Gen.nonEmptyListOf(textGen), 5)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val d1 = DedupOps.exactDedup(df).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val d2 = DedupOps.exactDedup(df.repartition(5)).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(d1 == d2)
+      assert(d1.map(_._2).size == d1.size) // one representative per text
+    }
+  }
+
+  test("minhash signatures are permutation-invariant") {
+    val docGen = Gen.listOfN(8, Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon")).map(_.mkString(" "))
+    for (texts <- samples(Gen.listOfN(4, docGen), 3)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      def sig(d: org.apache.spark.sql.DataFrame) =
+        DedupOps.minhashSignatures(d).collect()
+          .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(sig(df) == sig(df.repartition(3)))
+    }
+  }
+}

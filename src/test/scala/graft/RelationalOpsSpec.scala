@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.RelationalOps
+
+class RelationalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("topKOrdersPerCustomer: exactly k rows per customer, ties broken by orderkey") {
+    val orders = Seq(
+      (1L, 1L, 100.0), (2L, 1L, 100.0), (3L, 1L, 100.0), (4L, 1L, 50.0),
+      (5L, 2L, 10.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val top = RelationalOps.topKOrdersPerCustomer(orders, 3)
+    val c1 = top.filter($"o_custkey" === 1L).select("o_orderkey").as[Long].collect().sorted
+    assert(c1.toSeq == Seq(1L, 2L, 3L)) // equal prices → lowest orderkeys win deterministically
+    assert(top.filter($"o_custkey" === 2L).count() == 1)
+  }
+
+  test("asOfLastSignup: picks most recent signup at-or-before each purchase") {
+    val events = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00"), "signup", 0.0, ""),
+      (2L, 10L, ts("2024-01-02 00:00:00"), "purchase", 1.0, ""),
+      (3L, 10L, ts("2024-01-03 00:00:00"), "signup", 0.0, ""),
+      (4L, 10L, ts("2024-01-04 00:00:00"), "purchase", 1.0, ""),
+      // purchase exactly at signup ts → inclusive bound
+      (5L, 20L, ts("2024-01-05 00:00:00"), "signup", 0.0, ""),
+      (6L, 20L, ts("2024-01-05 00:00:00"), "purchase", 1.0, ""),
+      // purchase with no prior signup → NULL
+      (7L, 30L, ts("2024-01-06 00:00:00"), "purchase", 1.0, ""))
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val got = RelationalOps.asOfLastSignup(events)
+      .collect().map(r => r.getLong(0) -> Option(r.getTimestamp(2)).map(_.toString)).toMap
+    assert(got(2L).contains("2024-01-01 00:00:00.0"))
+    assert(got(4L).contains("2024-01-03 00:00:00.0"))
+    assert(got(6L).contains("2024-01-05 00:00:00.0"))
+    assert(got(7L).isEmpty)
+  }
+
+  test("set ops: except/intersect are distinct set semantics") {
+    val orders = Seq(
+      (1L, 1L, "O"), (2L, 1L, "O"), (3L, 1L, "F"),
+      (4L, 2L, "O"), (5L, 3L, "F"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus")
+      .withColumn("o_totalprice", lit(1.0))
+    val exceptRows = RelationalOps.openNotFinishedCustomers(orders).as[Long].collect().toSet
+    val intersectRows = RelationalOps.openAndFinishedCustomers(orders).as[Long].collect().toSet
+    assert(exceptRows == Set(2L))    // cust 1 has both; cust 2 open-only
+    assert(intersectRows == Set(1L))
+  }
+
+  test("yoySpend: first year NULL delta, later years exact decimal difference") {
+    val orders = Seq(
+      (1L, 1L, ts("2020-06-01 00:00:00"), 100.0),
+      (2L, 1L, ts("2021-06-01 00:00:00"), 150.5))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val got = RelationalOps.yoySpend(orders)
+      .collect().map(r => r.getInt(1) -> Option(r.getDecimal(3)).map(_.toString)).toMap
+    assert(got(2020).isEmpty)
+    assert(got(2021).contains("50.50"))
+  }
+
+  test("rollup includes leaf, subtotal, and grand-total rows") {
+    val customer = Seq((1L, "a", 1, 10.0), (2L, "b", 1, 20.0)).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    val nation = Seq((1, "N1", 1)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val region = Seq((1, "R1")).toDF("r_regionkey", "r_name")
+    val got = RelationalOps.customerRollup(customer, nation, region).collect()
+    assert(got.length == 3) // (R1,N1), (R1,null), (null,null)
+    val grand = got.find(r => r.isNullAt(0) && r.isNullAt(1)).get
+    assert(grand.getLong(2) == 2 && grand.getDecimal(3).toString == "30.00")
+  }
+}

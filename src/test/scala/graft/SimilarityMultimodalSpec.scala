@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{MultimodalOps, SimilarityOps}
+
+class SimilarityMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val emb = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),
+    (2L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),   // duplicate of 0
+    (3L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),   // near 0
+    (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 2))  // opposite of 0
+    .toDF("vec_id", "embedding", "label")
+
+  test("cosineTopK: duplicate vector ranks first with score 1.0; opposite ranks last") {
+    val got = SimilarityOps.cosineTopK(emb, nQueries = 1, k = 4)
+      .orderBy("rank").collect()
+    assert(got(0).getLong(1) == 2L && got(0).getDouble(2) == 1.0)
+    assert(got(1).getLong(1) == 3L)
+    assert(got.last.getLong(1) == 4L && got.last.getDouble(2) == -1.0)
+  }
+
+  test("lshBucketedTopK: duplicate found within its bucket; never pairs a query with itself") {
+    val got = SimilarityOps.lshBucketedTopK(emb, nQueries = 1, k = 4, nBits = 1)
+    val rows = got.collect()
+    assert(rows.forall(r => r.getLong(1) != r.getLong(0)))
+    assert(rows.exists(r => r.getLong(1) == 2L && r.getDouble(2) == 1.0))
+  }
+
+  test("payloadMeta: deterministic fake dims derived from byte length") {
+    val docs = Seq((1L, "abcd", "en", "s1", 4L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = MultimodalOps.payloadMeta(docs).collect()(0)
+    assert(r.getInt(1) == 4)                       // n_bytes of "abcd"
+    assert(r.getInt(2) == (4 * 7 + 'a'.toInt) % 1024)
+    assert(r.getInt(3) == (4 * 13 + 31) % 768)
+  }
+
+  test("decodeFeatures: batched decode preserves row count and is deterministic") {
+    val docs = Seq(
+      (1L, "hello world", "en", "s1", 11L),
+      (2L, "spark engine", "en", "s2", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val a = MultimodalOps.decodeFeatures(docs).collect().sortBy(_.getLong(0))
+    val b = MultimodalOps.decodeFeatures(docs.repartition(3)).collect().sortBy(_.getLong(0))
+    assert(a.length == 2)
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq) // partition-invariant
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+
+/** Streaming suite (SURVEY.md §2.10 / §5.5): the same StreamingOps
+  * transforms driven both as batch frames and as real file streams with
+  * AvailableNow catch-up semantics (the reference's daily-append analog).
+  */
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def eventsDf = Seq(
+    (1L, ts("2024-01-01 00:10:00"), 10L, "purchase", 5.0),
+    (2L, ts("2024-01-01 05:00:00"), 10L, "purchase", 7.0),
+    (3L, ts("2024-01-02 00:01:00"), 11L, "signup", 0.0),
+    (1L, ts("2024-01-01 00:10:00"), 10L, "purchase", 5.0)) // duplicate event_id
+    .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("tumblingCounts (batch surface): day windows aggregate counts + exact totals") {
+    val got = StreamingOps.tumblingCounts(eventsDf)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1)) -> (r.getLong(2), r.getDecimal(3).toString)).toMap
+    assert(got(("2024-01-01 00:00:00.0", "purchase")) == (3L, "17.00"))
+    assert(got(("2024-01-02 00:00:00.0", "signup")) == (1L, "0.00"))
+  }
+
+  test("userSessions: events split into sessions by 30min gap") {
+    val got = StreamingOps.userSessions(eventsDf).collect()
+    // user 10: two sessions (00:10 and 05:00 are > 30min apart), user 11: one
+    assert(got.count(_.getLong(2) == 10L) == 2)
+    assert(got.count(_.getLong(2) == 11L) == 1)
+  }
+
+  test("file stream end-to-end: watermark + tumbling agg + AvailableNow writes parquet") {
+    val in = Files.createTempDirectory("graft-stream-in")
+    val out = Files.createTempDirectory("graft-stream-out").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    // Three files processed one per micro-batch: append mode only emits a
+    // window once the watermark (computed from *prior* batches) passes its
+    // end, so closing the 01-01 day window takes a batch with later data
+    // plus one more batch to flush — exactly the semantics worth pinning.
+    eventsDf.write.parquet(in.resolve("f1").toString)
+    Seq((10L, ts("2024-01-02 02:00:00"), 12L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(in.resolve("f2").toString)
+    Seq((11L, ts("2024-01-03 12:00:00"), 12L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(in.resolve("f3").toString)
+
+    val stream = spark.readStream.schema(eventsDf.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(in.toString)
+    val agg = StreamingOps.tumblingCounts(StreamingOps.withEventTimeBounds(stream))
+    val q = StreamingOps.availableNowWriter(agg, out, ckpt).start()
+    q.awaitTermination(180000)
+
+    val rows = spark.read.parquet(out)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows(("2024-01-01 00:00:00.0", "purchase")) == 3L)
+    // the 01-03 window stayed open at shutdown → append mode never emitted it
+    assert(!rows.keys.exists(_._1.startsWith("2024-01-03")))
+  }
+
+  test("dedupWithinWatermark on a stream drops duplicate event_ids") {
+    val in = Files.createTempDirectory("graft-dedup-in").toString
+    val out = Files.createTempDirectory("graft-dedup-out").toString
+    val ckpt = Files.createTempDirectory("graft-dedup-ckpt").toString
+    eventsDf.write.mode("overwrite").parquet(in)
+
+    val stream = spark.readStream.schema(eventsDf.schema).parquet(in)
+    val deduped = StreamingOps.dedupWithinWatermark(StreamingOps.withEventTimeBounds(stream))
+    val q = StreamingOps.availableNowWriter(deduped, out, ckpt).start()
+    q.awaitTermination(120000)
+
+    val got = spark.read.parquet(out)
+    assert(got.count() == 3)
+    assert(got.filter($"event_id" === 1L).count() == 1)
+  }
+}
