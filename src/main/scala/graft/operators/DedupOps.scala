@@ -51,7 +51,42 @@ object DedupOps {
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), col("text"))
 
+  /** Let-binding discipline: Spark's higher-order lambdas re-evaluate any
+    * *referenced* expression at every element — `toks[i]` inside a
+    * `transform` would re-run the tokenizer regex per shingle index, and a
+    * downstream fold would multiply that again (observed: O(bits × shingles
+    * × tokens) regex calls pinning a core for minutes). Wrapping a value in
+    * `transform(array(x), t -> body)` binds it to a lambda variable exactly
+    * once per row, so every stage below is a chain of such lets and the
+    * whole signature pass is linear in document length.
+    */
+  private def let(value: String, varName: String, body: String): String =
+    s"flatten(transform(array($value), $varName -> $body))"
+
+  /** Same let-binding for scalar-typed bodies (flatten needs arrays). */
+  private def letScalar(value: String, varName: String, body: String): String =
+    s"element_at(transform(array($value), $varName -> $body), 1)"
+
   private val toksSql = s"regexp_extract_all(lower(text), '${TextOps.TokenPattern}', 0)"
+
+  /** Shingle expression with the token array let-bound (regex runs once). */
+  private val shSql = let(toksSql, "t",
+    s"if(size(t) >= 3, " +
+      "array_distinct(transform(sequence(0, size(t) - 3), " +
+      "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))), " +
+      "cast(array() as array<string>))")
+
+  /** Per-shingle portable 32-bit hashes, from the let-bound shingle array. */
+  private val hvsSql = let(shSql, "s0",
+    "transform(s0, s -> cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint))")
+
+  private val seedArr = Seeds
+    .map { case (_, a, b) => s"named_struct('a', ${a}L, 'b', ${b}L)" }
+    .mkString("array(", ", ", ")")
+
+  /** Full 16-hash signature from text in one let-chained expression. */
+  private val mhsSql = let(hvsSql, "hs",
+    s"transform($seedArr, p -> array_min(transform(hs, h -> (p.a * h + p.b) % ${P}L)))")
 
   /** Distinct word-level 3-shingles per doc as an array column — a single
     * narrow projection. Word shingles (not tokens) because candidate joins
@@ -60,56 +95,37 @@ object DedupOps {
     * inverted-index buckets small.
     */
   def shinglesArray(documents: DataFrame): DataFrame =
-    documents.select(
-      col("doc_id"),
-      when(expr(s"size($toksSql)") >= 3,
-        expr(s"array_distinct(transform(sequence(0, size($toksSql) - 3), " +
-          s"i -> concat_ws(' ', $toksSql[i], $toksSql[i+1], $toksSql[i+2])))"))
-        .otherwise(expr("cast(array() as array<string>)")).as("sh"))
+    documents.select(col("doc_id"), expr(shSql).as("sh"))
 
   /** Exploded (doc_id, shingle) rows — the inverted-index feed. */
   def shingles(documents: DataFrame): DataFrame =
     shinglesArray(documents).select(col("doc_id"), explode(col("sh")).as("shingle"))
 
-  /** Portable 32-bit hashes of each shingle, per-row. */
-  private val hvsExpr =
-    "transform(sh, s -> cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint))"
-
-  /** (doc_id, mhs) where mhs[i] = min over shingles of (a_i·h + b_i) mod P,
-    * in hash_idx order. Zero shuffles: two nested `transform`s per row.
-    */
-  private def signatureArrays(documents: DataFrame): DataFrame = {
-    val seedArr = Seeds
-      .map { case (_, a, b) => s"named_struct('a', ${a}L, 'b', ${b}L)" }
-      .mkString("array(", ", ", ")")
-    shinglesArray(documents)
-      .filter(size(col("sh")) > 0)
-      .withColumn("hvs", expr(hvsExpr))
-      .withColumn("mhs",
-        expr(s"transform($seedArr, p -> array_min(transform(hvs, h -> (p.a * h + p.b) % ${P}L)))"))
-      .select("doc_id", "mhs")
-  }
-
   /** MinHash signatures, long form (doc_id, hash_idx, minhash) — the
     * registered/oracled shape. posexplode of the per-row signature array;
-    * still no shuffle.
+    * zero shuffles.
     */
   def minhashSignatures(documents: DataFrame): DataFrame =
-    signatureArrays(documents)
-      .select(col("doc_id"), posexplode(col("mhs")).as(Seq("hash_idx", "minhash")))
+    documents
+      .filter(expr(s"size($toksSql)") >= 3)
+      .select(col("doc_id"), posexplode(expr(mhsSql)).as(Seq("hash_idx", "minhash")))
 
   /** LSH band keys per doc: the 16 minhashes sliced into NumBands keys of
     * RowsPerBand each, comma-joined in hash_idx order. Computed per-row
-    * from the signature array — the first shuffle in the whole MinHash
-    * pipeline is the candidate join below.
+    * with the signature array let-bound — the first shuffle in the whole
+    * MinHash pipeline is the candidate join below.
     */
-  def lshBands(documents: DataFrame): DataFrame =
-    signatureArrays(documents)
-      .select(col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(0, ${NumBands - 1}), b -> " +
-            s"array_join(transform(slice(mhs, b * $RowsPerBand + 1, $RowsPerBand), " +
-            "x -> cast(x as string)), ','))")).as(Seq("band", "band_key")))
+  def lshBands(documents: DataFrame): DataFrame = {
+    val bandsSql = let(mhsSql, "m",
+      s"transform(sequence(0, ${NumBands - 1}), b -> named_struct(" +
+        s"'band', cast(b as int), " +
+        s"'band_key', array_join(transform(slice(m, b * $RowsPerBand + 1, $RowsPerBand), " +
+        "x -> cast(x as string)), ',')))")
+    documents
+      .filter(expr(s"size($toksSql)") >= 3)
+      .select(col("doc_id"), explode(expr(bandsSql)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
 
   /** Candidate near-dup pairs: self-equi-join on (band, band_key). This is
     * the point of LSH at scale — the join key is the bucket, so the
@@ -152,20 +168,19 @@ object DedupOps {
   }
 
   /** 32-bit SimHash per document, computed entirely per-row: for each bit,
-    * a fold over the shingle hashes votes +1/−1; positive votes set the
-    * bit. Zero shuffles — the whole corpus signature pass is one codegen'd
+    * a fold over the let-bound shingle hashes votes +1/−1; positive votes
+    * set the bit. Zero shuffles — the whole corpus signature pass is one
     * map. Near-dup detection = hamming distance ≤ d on the signatures
     * (bucketable by bit-slices exactly like LSH bands).
     */
-  def simhash(documents: DataFrame): DataFrame =
-    shinglesArray(documents)
-      .filter(size(col("sh")) > 0)
-      .withColumn("hvs", expr(hvsExpr))
-      .select(
-        col("doc_id"),
-        expr("aggregate(transform(sequence(0, 31), b -> " +
-          "case when aggregate(hvs, 0, (acc, h) -> acc + " +
-          "(case when (shiftright(h, b) & 1) = 1 then 1 else -1 end)) > 0 " +
-          "then shiftleft(1L, b) else 0L end), 0L, (acc, x) -> acc + x)")
-          .cast(LongType).as("simhash"))
+  def simhash(documents: DataFrame): DataFrame = {
+    val simhashSql = letScalar(hvsSql, "hs",
+      "aggregate(transform(sequence(0, 31), b -> " +
+        "case when aggregate(hs, 0, (acc, h) -> acc + " +
+        "(case when (shiftright(h, b) & 1) = 1 then 1 else -1 end)) > 0 " +
+        "then shiftleft(1L, b) else 0L end), 0L, (acc, x) -> acc + x)")
+    documents
+      .filter(expr(s"size($toksSql)") >= 3)
+      .select(col("doc_id"), expr(simhashSql).cast(LongType).as("simhash"))
+  }
 }

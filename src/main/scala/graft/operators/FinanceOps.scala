@@ -120,6 +120,36 @@ object FinanceOps {
     l.join(r, keys, "left")
   }
 
+  /** E2 composed: staging model for the fundamentals pipeline — the
+    * README's join/pivot staging model (reference README.md:421-465):
+    * income-statement rows LEFT JOINed to balance-sheet rows of the same
+    * (symbol, fiscal_date). Output column names follow the reference's
+    * staging aliases.
+    */
+  def stgFundamentals(raw: DataFrame): DataFrame =
+    joinReportTypes(raw, "income_statement", "balance_sheet", Seq("symbol", "fiscal_date"))
+      .select(
+        col("symbol"), col("fiscal_date"), col("currency"),
+        col("total_revenue"), col("gross_profit"), col("operating_income"),
+        col("net_income"),
+        col("total_assets_balance_sheet").as("total_assets"),
+        col("total_liabilities_balance_sheet").as("total_liabilities"),
+        col("total_equity_balance_sheet").as("total_equity"))
+
+  /** E2 composed: the KPI mart — the five ratio macros of the reference's
+    * mart_financial_kpis (README.md:467-495): gross/operating/net margin,
+    * ROA, ROE, all NULLIF-guarded (F3/F4). `ref()` lineage is the Scala
+    * val graph: financialKpis(stgFundamentals(raw)).
+    */
+  def financialKpis(stg: DataFrame): DataFrame =
+    stg.select(
+      col("symbol"), col("fiscal_date"),
+      ratio(col("gross_profit"), col("total_revenue")).as("gross_margin"),
+      ratio(col("operating_income"), col("total_revenue")).as("operating_margin"),
+      ratio(col("net_income"), col("total_revenue")).as("net_margin"),
+      ratio(col("net_income"), col("total_assets")).as("return_on_assets"),
+      ratio(col("net_income"), col("total_equity")).as("return_on_equity"))
+
   // ------------------------------------------------------------------
   // Materialization (S9/S10)
   // ------------------------------------------------------------------

@@ -62,6 +62,39 @@ class FinanceOpsSpec extends SparkSpec {
     assert(aaplP.getDecimal(3) == aaplJ.getDecimal(aaplJ.fieldIndex("total_balance_sheet")))
   }
 
+  test("E2 golden pipeline: stgFundamentals → financialKpis (join gaps, zero denominators)") {
+    // fixture per FIXTURES.md §A4: one full pair, one income-only symbol
+    // (join-gap NULLs), one zero-equity row (divide-by-zero → NULL)
+    val raw = Seq(
+      ("AAPL", "income_statement", "2024-01-01", "USD", "100.00", "40.00", "30.00", "20.00", null, null, null),
+      ("AAPL", "balance_sheet", "2024-01-01", "USD", null, null, null, null, "500.00", "300.00", "200.00"),
+      ("MSFT", "income_statement", "2024-01-01", "USD", "80.00", "32.00", "24.00", "16.00", null, null, null),
+      ("ZERO", "income_statement", "2024-01-01", "USD", "10.00", "5.00", "2.00", "1.00", null, null, null),
+      ("ZERO", "balance_sheet", "2024-01-01", "USD", null, null, null, null, "50.00", "50.00", "0.00"))
+      .toDF("symbol", "report_type", "fiscal_date", "currency", "total_revenue",
+        "gross_profit", "operating_income", "net_income", "total_assets",
+        "total_liabilities", "total_equity")
+      .select(col("symbol"), col("report_type"), col("fiscal_date").cast(DateType), col("currency"),
+        FinanceOps.toMoney(col("total_revenue")).as("total_revenue"),
+        FinanceOps.toMoney(col("gross_profit")).as("gross_profit"),
+        FinanceOps.toMoney(col("operating_income")).as("operating_income"),
+        FinanceOps.toMoney(col("net_income")).as("net_income"),
+        FinanceOps.toMoney(col("total_assets")).as("total_assets"),
+        FinanceOps.toMoney(col("total_liabilities")).as("total_liabilities"),
+        FinanceOps.toMoney(col("total_equity")).as("total_equity"))
+    val kpis = FinanceOps.financialKpis(FinanceOps.stgFundamentals(raw))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val aapl = kpis("AAPL")
+    assert(aapl.getDouble(2) == 0.4 && aapl.getDouble(4) == 0.2)  // gross margin, net margin
+    assert(aapl.getDouble(5) == 0.04 && aapl.getDouble(6) == 0.1) // ROA, ROE
+    val msft = kpis("MSFT")
+    assert(msft.getDouble(2) == 0.4)            // margins work without balance sheet
+    assert(msft.isNullAt(5) && msft.isNullAt(6)) // join gap → NULL ROA/ROE
+    val zero = kpis("ZERO")
+    assert(zero.isNullAt(6))                     // zero equity → NULL, not Inf
+    assert(zero.getDouble(5) == 0.02)
+  }
+
   test("flattenFredPayload: nested observations explode to raw rows; null payload guarded (S4/P7)") {
     val json = Seq(
       """{"count": 2, "observations": [
