@@ -159,6 +159,12 @@ object SparkEntry {
     "cosine_topk" -> ((s, d) => SimilarityOps.cosineTopK(t(s, d, "embeddings"), 10, 5)),
     "cosine_topk_lsh" -> ((s, d) => SimilarityOps.lshBucketedTopK(t(s, d, "embeddings"), 10, 5)),
     "multimodal_meta" -> ((s, d) => MultimodalOps.payloadMeta(t(s, d, "documents"))),
+    "text_chunks" -> ((s, d) => TextOps.chunks(t(s, d, "documents"))),
+    "term_frequencies" -> ((s, d) => TextOps.termFrequencies(t(s, d, "documents"))),
+
+    "median_price" -> ((s, d) =>
+      t(s, d, "orders").groupBy(col("o_orderstatus"))
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"))),
 
     // ---- streaming analog (batch form of the tumbling rollup, §2.10) ----
     "events_tumbling_day" -> ((s, d) =>
@@ -420,6 +426,23 @@ object SparkEntry {
         |CAST((octet_length(encode(text)) * 7 + ascii(substr(text, 1, 1))) % 1024 AS INTEGER) AS fake_width,
         |CAST((octet_length(encode(text)) * 13 + 31) % 768 AS INTEGER) AS fake_height
         |FROM documents""".stripMargin,
+
+    "text_chunks" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |st AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 16)) AS s FROM t)
+        |SELECT doc_id, CAST(s // 16 AS INTEGER) AS chunk_idx,
+        |array_to_string(toks[s+1:least(s + 32, len(toks))], ' ') AS chunk,
+        |CAST(least(s + 32, len(toks)) - s AS INTEGER) AS n_chunk_tokens
+        |FROM st WHERE s < len(toks)""".stripMargin,
+
+    "term_frequencies" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents)
+        |GROUP BY token""".stripMargin,
+
+    "median_price" ->
+      """SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS median_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "events_tumbling_day" ->
       """SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP) AS window_start, event_type,

@@ -83,6 +83,37 @@ object TextOps {
         round(sum(size(tokensOf("text"))).cast(DoubleType) / count(lit(1)), 6)
           .as("avg_tokens"))
 
+  /** Token chunking — the one-to-many "table function" of an LLM data
+    * pipeline (SURVEY.md §2.9: explode, not a custom Generator): fixed-size
+    * token windows with 50% overlap. Let-bound so the tokenizer runs once
+    * per document; one Generate node, no shuffle.
+    */
+  def chunks(documents: DataFrame, chunkSize: Int = 32, stride: Int = 16): DataFrame = {
+    val sql =
+      s"""flatten(transform(array(${tokensSql}), t ->
+         |  if(size(t) < 1, cast(array() as array<struct<chunk_idx: int, chunk: string, n_chunk_tokens: int>>),
+         |     transform(sequence(0, size(t) - 1, $stride), st -> named_struct(
+         |       'chunk_idx', cast(st / $stride as int),
+         |       'chunk', concat_ws(' ', slice(t, st + 1, $chunkSize)),
+         |       'n_chunk_tokens', size(slice(t, st + 1, $chunkSize)))))))""".stripMargin
+    documents
+      .select(col("doc_id"), explode(expr(sql)).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.chunk").as("chunk"), col("c.n_chunk_tokens").as("n_chunk_tokens"))
+  }
+
+  private val tokensSql = s"regexp_extract_all(lower(text), '$TokenPattern', 0)"
+
+  /** Global token histogram: explode + one hash aggregate. The groupBy key
+    * is the token — on a skewed corpus AQE's skew handling splits hot
+    * tokens; partial aggregation keeps the shuffle small regardless.
+    */
+  def termFrequencies(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(tokensOf("text")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+
   /** Distinct-content cardinality per source via HLL++
     * (approx_count_distinct). Not oracle-comparable (sketch internals are
     * engine-specific) — registered rows-only; the exact variant is

@@ -39,10 +39,22 @@ object IngestOps {
     * history. Dynamic partition overwrite keeps re-runs idempotent per
     * partition without touching the rest of the table.
     */
-  def appendRunPartition(df: DataFrame, table: String, runDate: String): Unit =
-    df.withColumn("dt", lit(runDate))
-      .write.mode("overwrite")
-      .partitionBy("dt")
-      .option("partitionOverwriteMode", "dynamic")
-      .saveAsTable(table)
+  def appendRunPartition(df: DataFrame, table: String, runDate: String): Unit = {
+    val withDt = df.withColumn("dt", lit(runDate)) // dt last: insertInto is positional
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table))
+      withDt.write.partitionBy("dt").saveAsTable(table)
+    else {
+      // dynamic mode: overwrite replaces only the partitions present in the
+      // incoming frame (this run's dt), leaving history untouched
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try withDt.write.mode("overwrite").insertInto(table)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }

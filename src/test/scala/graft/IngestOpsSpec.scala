@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.IngestOps
+
+/** Ingest sinks/defaults (SURVEY.md §2.1 S3/S5, §2.7 F5/F8, §2.8 O6). */
+class IngestOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("raw JSON sink round-trips (S3)") {
+    val dir = Files.createTempDirectory("graft-json").toString + "/raw"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    IngestOps.writeRawJson(df, dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == 2)
+    assert(back.columns.sorted.toSeq == Seq("id", "v"))
+  }
+
+  test("run-date CSV sink creates a prunable dt partition (S5/F8)") {
+    val dir = Files.createTempDirectory("graft-csv").toString + "/raw"
+    val df = Seq(("AAPL", 10.0), ("MSFT", 20.0)).toDF("symbol", "value")
+    IngestOps.writeRunDateCsv(df, dir, "2024-06-01")
+    // partition directory layout carries the run date
+    assert(new java.io.File(s"$dir/dt=2024-06-01").exists())
+    val back = spark.read.option("header", "true").csv(dir)
+    assert(back.columns.contains("dt"))
+    assert(back.filter(col("dt") === "2024-06-01").count() == 2)
+  }
+
+  test("ingest timestamp default is populated (F5)") {
+    val df = IngestOps.withIngestTimestamp(Seq(1, 2).toDF("id"))
+    assert(df.filter(col("created_at").isNull).count() == 0)
+  }
+
+  test("appendRunPartition: per-partition overwrite is idempotent (O6)") {
+    val table = "ingest_spec_incremental"
+    IngestOps.appendRunPartition(Seq((1L, "x")).toDF("id", "v"), table, "2024-06-01")
+    IngestOps.appendRunPartition(Seq((2L, "y")).toDF("id", "v"), table, "2024-06-02")
+    // re-run of day 1 replaces only that partition
+    IngestOps.appendRunPartition(Seq((3L, "z")).toDF("id", "v"), table, "2024-06-01")
+    val got = spark.table(table).select("id", "dt").as[(Long, String)].collect().toSet
+    assert(got == Set((3L, "2024-06-01"), (2L, "2024-06-02")))
+    spark.sql(s"DROP TABLE $table")
+  }
+}
