@@ -1,0 +1,13 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+
+/** Public Column-API surface for the engine's native Catalyst expressions
+  * (the implementations live under org.apache.spark.sql.graft to access
+  * Spark's private[sql] analysis types).
+  */
+object GraftFunctions {
+  /** Fused, codegen'd cosine similarity over two float-array columns. */
+  def cosineSim(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.CosineSimilarity(a, b)
+}

@@ -20,9 +20,11 @@ import org.apache.spark.sql.types._
   *    IVF variant would swap the bucket fn for nearest-centroid; the
   *    plumbing is identical.
   *
-  * All dot products run on double-cast values with a left-to-right fold
-  * (`aggregate` over `zip_with`) — sequential and engine-portable, so the
-  * scores are bit-stable and oracle-checkable after rounding.
+  * Scoring uses the native `CosineSimilarity` Catalyst expression (fused
+  * dot+norms, whole-stage codegen) — the HOF formulation (`aggregate` over
+  * `zip_with`) is interpreted per element and three passes. Semantics are
+  * identical: left-to-right double accumulation, so scores stay bit-stable
+  * and oracle-checkable after rounding.
   */
 object SimilarityOps {
 
@@ -38,20 +40,14 @@ object SimilarityOps {
     val scored = corpus
       .join(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("dot", foldDot("embedding", "q_emb"))
-      .withColumn("na", foldDot("embedding", "embedding"))
-      .withColumn("nb", foldDot("q_emb", "q_emb"))
-      .withColumn("score", round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 4))
+      .withColumn("score",
+        round(graft.functions.GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 4))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
     scored
       .select(col("q_id"), col("vec_id"), col("score"),
         row_number().over(w).as("rank"))
       .filter(col("rank") <= k)
   }
-
-  private def foldDot(x: String, y: String): Column =
-    expr(s"aggregate(zip_with($x, $y, (p, q) -> cast(p as double) * cast(q as double)), " +
-      "cast(0.0 as double), (acc, v) -> acc + v)")
 
   /** Random-hyperplane LSH bucket id: sign bits of the embedding's
     * components at fixed positions folded into an int. A stand-in for
@@ -80,10 +76,8 @@ object SimilarityOps {
     val scored = corpus
       .join(queries, Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("dot", foldDot("embedding", "q_emb"))
-      .withColumn("na", foldDot("embedding", "embedding"))
-      .withColumn("nb", foldDot("q_emb", "q_emb"))
-      .withColumn("score", round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 4))
+      .withColumn("score",
+        round(graft.functions.GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 4))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
     scored
       .select(col("q_id"), col("vec_id"), col("score"),

@@ -29,6 +29,26 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(rows.exists(r => r.getLong(1) == 2L && r.getDouble(2) == 1.0))
   }
 
+  test("native cosine_sim matches the interpreted HOF fold bit-for-bit") {
+    val pairs = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")))
+    val both = pairs.select(
+      graft.functions.GraftFunctions.cosineSim(col("embedding"), col("e2")).as("native"),
+      (expr("aggregate(zip_with(embedding, e2, (p, q) -> cast(p as double) * cast(q as double)), cast(0.0 as double), (acc, v) -> acc + v)") /
+        (sqrt(expr("aggregate(zip_with(embedding, embedding, (p, q) -> cast(p as double) * cast(q as double)), cast(0.0 as double), (acc, v) -> acc + v)")) *
+         sqrt(expr("aggregate(zip_with(e2, e2, (p, q) -> cast(p as double) * cast(q as double)), cast(0.0 as double), (acc, v) -> acc + v)")))).as("hof"))
+    assert(both.collect().forall(r => r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("cosine_sim registered in SQL via GraftExtensions; zero vector → NULL") {
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f)), (Array(0.0f, 0.0f), Array(1.0f, 0.0f)))
+      .toDF("a", "b")
+    df.createOrReplaceTempView("vv")
+    val got = spark.sql("SELECT cosine_sim(a, b) FROM vv ORDER BY a[0] DESC").collect()
+    assert(got(0).getDouble(0) == 1.0)
+    assert(got(1).isNullAt(0)) // zero norm → NULL, the NULLIF-guard semantics
+  }
+
   test("payloadMeta: deterministic fake dims derived from byte length") {
     val docs = Seq((1L, "abcd", "en", "s1", 4L)).toDF("doc_id", "text", "lang", "source", "n_chars")
     val r = MultimodalOps.payloadMeta(docs).collect()(0)
