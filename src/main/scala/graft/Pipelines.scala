@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.FinanceOps
+import graft.sources.{IngestOps, Tables}
+
+/** The reference's two end-to-end pipelines as linear driver programs
+  * (SURVEY.md §3 E1–E3, §2.8 O1): Spark's lazy plan subsumes intra-query
+  * ordering, so "orchestration" is just function composition — the dbt
+  * `ref()` graph is the Scala val graph (O5).
+  */
+object Pipelines {
+
+  /** O3: source-fetch retry with backoff — the Airflow `retries: 1` analog
+    * (reference dags/etl_dag.py:9). Compute-side retries are Spark's own
+    * task retries; this guards the driver-side fetch only.
+    */
+  def withRetries[A](n: Int, backoffMs: Long = 1000)(f: () => A): A = {
+    var attempt = 0
+    var delay = backoffMs
+    while (true) {
+      try return f()
+      catch {
+        case e: Exception =>
+          if (attempt >= n) throw e
+          attempt += 1
+          Thread.sleep(delay)
+          delay *= 2
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** E1/E3: the FRED pipeline — landed JSON payload → flatten → staging
+    * cast → yearly mart, materialized as a table. Mirrors
+    * extract >> create_tables >> load >> dbt (reference README.md:288)
+    * collapsed into one SparkSession.
+    *
+    * @param payloadPath raw-zone JSON (the fetcher's landing file, S1/S3)
+    * @return the materialized mart
+    */
+  def runFredPipeline(spark: SparkSession, payloadPath: String, seriesId: String,
+                      martTable: String = "mart_financial_summary"): DataFrame = {
+    val payload = Tables.readFredJson(spark, payloadPath)
+    val raw = FinanceOps.flattenFredPayload(payload, seriesId)
+    val stg = FinanceOps.stgFinancialData(raw)
+    FinanceOps.materializeView(stg, "stg_financial_data")        // S9: staging = view
+    val mart = FinanceOps.martFinancialSummary(stg)
+    FinanceOps.materializeTable(mart, martTable)                 // S10: mart = table
+    spark.table(martTable)
+  }
+
+  /** E2: the fundamentals pipeline — raw-zone CSV → ingest defaults →
+    * staging join → KPI mart (reference README.md:421-495).
+    *
+    * @param rawCsvPath raw-zone CSV (the S3→warehouse load input, S6)
+    */
+  def runFundamentalsPipeline(spark: SparkSession, rawCsvPath: String,
+                              kpiTable: String = "mart_financial_kpis"): DataFrame = {
+    val raw = IngestOps.withIngestTimestamp(          // F5: created_at default
+      Tables.readFundamentalsCsv(spark, rawCsvPath))
+    val stg = FinanceOps.stgFundamentals(raw)
+    FinanceOps.materializeView(stg, "stg_fundamentals")
+    val kpis = FinanceOps.financialKpis(stg)
+    FinanceOps.materializeTable(kpis, kpiTable)
+    spark.table(kpiTable)
+  }
+}

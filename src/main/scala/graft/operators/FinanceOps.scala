@@ -35,7 +35,7 @@ object FinanceOps {
     * avg(double) is accumulation-order-dependent and won't hash-match.
     */
   def avgMoney(c: Column): Column =
-    round(sum(toMoney(c)).cast(DoubleType) / count(lit(1)), 6)
+    round(sum(toMoney(c)).cast(DoubleType) / count(toMoney(c)), 6) // AVG skips NULLs
 
   /** NULLIF-guarded ratio — the dbt macro surface (reference README.md:488-493:
     * profit margin, ROA, ROE are all `num / NULLIF(den, 0)`). A dbt macro is

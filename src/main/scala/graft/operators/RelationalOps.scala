@@ -31,7 +31,7 @@ object RelationalOps {
     * division, rounded. Plain avg(double) is accumulation-order-dependent.
     */
   def moneyAvg(c: Column): Column =
-    round(moneySum(c).cast(DoubleType) / count(lit(1)), 6)
+    round(moneySum(c).cast(DoubleType) / count(c.cast(Money)), 6) // AVG skips NULLs
 
   // --- §2.5 windows -------------------------------------------------------
 

@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+/** End-to-end golden pipeline tests (SURVEY.md §5.4): fixture JSON/CSV in,
+  * materialized marts out — the full E1/E2 paths through one SparkSession.
+  */
+class PipelinesSpec extends SparkSpec {
+
+  test("E1 FRED pipeline: landing JSON → flatten → cast → yearly mart table") {
+    val dir = Files.createTempDirectory("graft-fred").toString
+    val payload =
+      """{"realtime_start":"2024-01-01","realtime_end":"2024-01-01","units":"lin","count":4,
+        |"observations":[
+        | {"realtime_start":"x","realtime_end":"x","date":"2021-01-01","value":"100.00"},
+        | {"realtime_start":"x","realtime_end":"x","date":"2021-07-01","value":"102.00"},
+        | {"realtime_start":"x","realtime_end":"x","date":"2022-01-01","value":"."},
+        | {"realtime_start":"x","realtime_end":"x","date":"2022-07-01","value":"110.00"}]}"""
+        .stripMargin.replace("\n", "")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/gdp.json"), payload)
+
+    val mart = Pipelines.runFredPipeline(spark, s"$dir/gdp.json", "GDP", "pspec_mart")
+    val byYear = mart.collect().map(r => r.getDate(0).toString -> Option(r.get(1))).toMap
+    assert(byYear("2021-01-01").contains(101.0))
+    // "." is FRED's missing marker → NULL after lenient cast; AVG skips NULLs
+    assert(byYear("2022-01-01").contains(110.0))
+    assert(spark.catalog.tableExists("pspec_mart"))
+    spark.sql("DROP TABLE pspec_mart")
+  }
+
+  test("E2 fundamentals pipeline: raw CSV → staging join → KPI mart table") {
+    val dir = Files.createTempDirectory("graft-fund").toString
+    val csv =
+      """symbol,report_type,fiscal_date,currency,total_revenue,gross_profit,operating_income,net_income,total_assets,total_liabilities,total_equity,created_at
+        |AAPL,income_statement,2024-01-01,USD,100.00,40.00,30.00,20.00,,,,
+        |AAPL,balance_sheet,2024-01-01,USD,,,,,500.00,300.00,200.00,""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(s"$dir/fund.csv"), csv)
+
+    val kpis = Pipelines.runFundamentalsPipeline(spark, s"$dir/fund.csv", "pspec_kpis")
+    val r = kpis.collect()(0)
+    assert(r.getString(0) == "AAPL")
+    assert(r.getDouble(r.fieldIndex("gross_margin")) == 0.4)
+    assert(r.getDouble(r.fieldIndex("return_on_equity")) == 0.1)
+    spark.sql("DROP TABLE pspec_kpis")
+  }
+
+  test("withRetries: succeeds after transient failures, rethrows when exhausted") {
+    var calls = 0
+    val got = Pipelines.withRetries(3, backoffMs = 1) { () =>
+      calls += 1
+      if (calls < 3) throw new RuntimeException("transient")
+      42
+    }
+    assert(got == 42 && calls == 3)
+    intercept[RuntimeException] {
+      Pipelines.withRetries(1, backoffMs = 1)(() => throw new RuntimeException("always"))
+    }
+  }
+}
