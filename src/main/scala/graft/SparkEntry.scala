@@ -166,6 +166,15 @@ object SparkEntry {
       t(s, d, "orders").groupBy(col("o_orderstatus"))
         .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"))),
 
+    // ---- SQL surface: staging view + GROUP BY ordinal (S9/A2) ----
+    "sql_group_ordinal" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT CAST(date_trunc('year', o_orderdate) AS DATE) AS year,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+          |FROM orders_v GROUP BY 1""".stripMargin)
+    }),
+
     // ---- streaming analog (batch form of the tumbling rollup, §2.10) ----
     "events_tumbling_day" -> ((s, d) =>
       graft.streaming.StreamingOps.tumblingCounts(t(s, d, "events"))),
@@ -443,6 +452,11 @@ object SparkEntry {
     "median_price" ->
       """SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS median_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "sql_group_ordinal" ->
+      """SELECT CAST(date_trunc('year', o_orderdate) AS DATE) AS year,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "events_tumbling_day" ->
       """SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP) AS window_start, event_type,

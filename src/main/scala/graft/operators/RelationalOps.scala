@@ -132,27 +132,42 @@ object RelationalOps {
       .groupBy(orders("o_orderkey").as("o_orderkey"))
       .agg(count(lit(1)).as("n_shipped_90d"))
 
-  /** As-of join: for each purchase event, the most recent signup ts of the
-    * same user at-or-before the purchase. Implemented with the union-sort-
-    * ffill pattern (SURVEY.md §2.3): one shuffle on user_id, then a running
-    * `last(ignoreNulls)` — O(n log n) per user vs O(n·m) for a naive
-    * inequality join; this is the formulation that survives 100 TB.
-    * Secondary sort key puts signups before purchases at equal ts so the
-    * "at-or-before" bound is inclusive.
+  /** Generic as-of join: for each left row, the most recent right values
+    * (per `keys`) at-or-before the left row's `tsCol`. Union-sort-ffill
+    * (SURVEY.md §2.3): one shuffle on the key, then a running
+    * `last(ignoreNulls)` — O(n log n) per key vs O(n·m) for a naive
+    * inequality join; this is the formulation that survives 100 TB. Right
+    * rows sort before left rows at equal ts, making the bound inclusive.
+    * Right value columns come back as `asof_<name>`.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               tsCol: String, rightVals: Seq[String]): DataFrame = {
+    val r = right.select(
+      (keys :+ tsCol).map(col) ++ rightVals.map(c => col(c).as(s"asof_$c")): _*)
+      .withColumn("__side", lit(0))
+    val l = left.withColumn("__side", lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // same window spec for every column → Catalyst fuses into one WindowExec
+    val filled = rightVals.foldLeft(u) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__side")
+  }
+
+  /** As-of join specialization: for each purchase event, the most recent
+    * signup ts of the same user at-or-before the purchase.
     */
   def asOfLastSignup(events: DataFrame): DataFrame = {
-    val tagged = events
-      .filter(col("event_type").isin("purchase", "signup"))
-      .select(
-        col("event_id"), col("user_id"), col("ts"), col("event_type"),
-        when(col("event_type") === "signup", col("ts")).as("signup_ts"),
-        when(col("event_type") === "signup", lit(0)).otherwise(lit(1)).as("kind_rank"))
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("kind_rank"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tagged
-      .withColumn("last_signup_ts", last("signup_ts", ignoreNulls = true).over(w))
-      .filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("last_signup_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("ts").as("signup_ts"))
+    asOfJoin(purchases, signups, Seq("user_id"), "ts", Seq("signup_ts"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_signup_ts").as("last_signup_ts"))
   }
 
   // --- §2.4 grouping sets -------------------------------------------------

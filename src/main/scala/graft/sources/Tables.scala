@@ -78,6 +78,18 @@ object Tables {
       StructField("date", StringType),
       StructField("value", StringType)))))))
 
+  /** S7: DDL-style table creation — the Spark spelling of
+    * `CREATE TABLE IF NOT EXISTS raw.financial_data(...)` (reference
+    * sql/init_db.sql:1-5). Idempotent like the reference's IF NOT EXISTS.
+    */
+  def createRawFinancialTable(spark: SparkSession, name: String = "raw_financial_data_tbl"): Unit =
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS $name (
+         |  series_id STRING,
+         |  observation_date DATE,
+         |  value STRING
+         |) USING parquet""".stripMargin)
+
   /** Read a raw FRED JSON landing file into the nested payload shape (S1). */
   def readFredJson(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(fredPayloadSchema).json(path)

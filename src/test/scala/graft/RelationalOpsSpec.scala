@@ -40,6 +40,25 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got(7L).isEmpty)
   }
 
+  test("asOfJoin (generic): carries multiple right values, per key, inclusive bound") {
+    val quotes = Seq(
+      ("AAPL", ts("2024-01-01 10:00:00"), 100.0, 101.0),
+      ("AAPL", ts("2024-01-01 11:00:00"), 102.0, 103.0),
+      ("MSFT", ts("2024-01-01 10:30:00"), 50.0, 51.0))
+      .toDF("symbol", "ts", "bid", "ask")
+    val trades = Seq(
+      (1L, "AAPL", ts("2024-01-01 10:30:00")),
+      (2L, "AAPL", ts("2024-01-01 11:00:00")), // exactly at quote ts → inclusive
+      (3L, "MSFT", ts("2024-01-01 10:00:00"))) // before any quote → NULLs
+      .toDF("trade_id", "symbol", "ts")
+    val got = RelationalOps.asOfJoin(trades, quotes, Seq("symbol"), "ts", Seq("bid", "ask"))
+      .collect().map(r => r.getLong(r.fieldIndex("trade_id")) ->
+        (Option(r.get(r.fieldIndex("asof_bid"))), Option(r.get(r.fieldIndex("asof_ask"))))).toMap
+    assert(got(1L) == (Some(100.0), Some(101.0)))
+    assert(got(2L) == (Some(102.0), Some(103.0)))
+    assert(got(3L) == (None, None))
+  }
+
   test("set ops: except/intersect are distinct set semantics") {
     val orders = Seq(
       (1L, 1L, "O"), (2L, 1L, "O"), (3L, 1L, "F"),
