@@ -150,9 +150,24 @@ object DedupOps {
     * (drop the top-frequency shingles) is the standard skew guard and drops
     * in here as one extra filter.
     */
-  def jaccardPairs(documents: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingles(documents)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+  def jaccardPairs(documents: DataFrame, threshold: Double,
+                   maxShingleDocFreq: Long = Long.MaxValue): DataFrame = {
+    val allSh = shingles(documents)
+    // Stop-shingle skew guard: a shingle present in a large fraction of the
+    // corpus contributes O(df²) candidate pairs while carrying ~zero
+    // similarity signal. Dropping hyper-frequent shingles bounds the
+    // largest join bucket — the knob that keeps this linear at 100 TB.
+    // Denominators (sizes) still count every shingle, so scores of
+    // surviving pairs only ever shrink, never inflate.
+    val sh =
+      if (maxShingleDocFreq == Long.MaxValue) allSh
+      else {
+        val hot = allSh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDocFreq)
+          .select("shingle")
+        allSh.join(broadcast(hot), Seq("shingle"), "left_anti")
+      }
+    val sizes = allSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = sh.as("x").join(sh.as("y"), Seq("shingle"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

@@ -50,6 +50,17 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("jaccardPairs stop-shingle guard: hot shingles pruned from candidates, scores never inflate") {
+    // every doc shares one hyper-frequent shingle; only 1&2 truly near-dup
+    val full = DedupOps.jaccardPairs(docs, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val guarded = DedupOps.jaccardPairs(docs, 0.0, maxShingleDocFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(guarded.keySet.subsetOf(full.keySet))
+    assert(guarded.forall { case (k, v) => v <= full(k) })
+    assert(guarded.contains((1L, 2L))) // dup pair still surfaces via its rarer shingles
+  }
+
   test("simhash: identical docs equal; near-dups within small hamming distance") {
     val sh = DedupOps.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(1L) == sh(2L))
