@@ -158,6 +158,7 @@ object SparkEntry {
     "hll_distinct" -> ((s, d) => TextOps.approxDistinctContent(t(s, d, "documents"))),
     "cosine_topk" -> ((s, d) => SimilarityOps.cosineTopK(t(s, d, "embeddings"), 10, 5)),
     "cosine_topk_lsh" -> ((s, d) => SimilarityOps.lshBucketedTopK(t(s, d, "embeddings"), 10, 5)),
+    "embedding_dup_pairs" -> ((s, d) => SimilarityOps.embeddingDupPairs(t(s, d, "embeddings"), 0.8)),
     "multimodal_meta" -> ((s, d) => MultimodalOps.payloadMeta(t(s, d, "documents"))),
     "text_chunks" -> ((s, d) => TextOps.chunks(t(s, d, "documents"))),
     "term_frequencies" -> ((s, d) => TextOps.termFrequencies(t(s, d, "documents"))),
@@ -429,6 +430,13 @@ object SparkEntry {
         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
         |  FROM scored)
         |SELECT q_id, vec_id, score, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "embedding_dup_pairs" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |round(list_cosine_similarity(a.emb, b.emb), 4) AS score
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.8""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -167,7 +167,8 @@ object DedupOps {
           .select("shingle")
         allSh.join(broadcast(hot), Seq("shingle"), "left_anti")
       }
-    val sizes = allSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // per-doc shingle counts straight off the array — no explode, no shuffle
+    val sizes = shinglesArray(documents).select(col("doc_id"), size(col("sh")).as("n"))
     val common = sh.as("x").join(sh.as("y"), Seq("shingle"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

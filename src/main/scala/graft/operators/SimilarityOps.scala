@@ -49,6 +49,23 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Embedding-space near-duplicate pairs, brute-force baseline: all pairs
+    * (i < j) with cosine ≥ threshold. O(n²/2) scoring — correct and
+    * oracle-checkable, the right choice only when n is modest (e.g. one
+    * shard). The 100 TB path is the same scoring keyed through
+    * `lshBucket` buckets (see lshBucketedTopK): equi-join on bucket
+    * instead of cross join, trading recall for linearity.
+    */
+  def embeddingDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = embeddings.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("score",
+        round(graft.functions.GraftFunctions.cosineSim(col("emb_a"), col("emb_b")), 4))
+      .filter(col("score") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("score"))
+  }
+
   /** Random-hyperplane LSH bucket id: sign bits of the embedding's
     * components at fixed positions folded into an int. A stand-in for
     * learned hyperplanes that keeps everything deterministic and
