@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ScaleOps
+import graft.functions.TopKAggregator
+import graft.streaming.Sessionize
+
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join with zero Exchange (co-located sort-merge)") {
+    val left = (1L to 200L).map(i => (i, s"l$i")).toDF("k", "lv")
+    val right = (1L to 200L).map(i => (i, s"r$i")).toDF("k", "rv")
+    ScaleOps.writeBucketed(left, "bspec_left", "k", 4)
+    ScaleOps.writeBucketed(right, "bspec_right", "k", 4)
+    // disable broadcast so the join would otherwise need a shuffle exchange
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bspec_left").join(spark.table("bspec_right"), "k")
+      assert(joined.count() == 200)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected no shuffle, got:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE bspec_left"); spark.sql("DROP TABLE bspec_right")
+    }
+  }
+
+  test("saltedJoin produces exactly the rows of the plain join") {
+    // skew: one hot key with many rows
+    val skewed = ((1L to 500L).map(_ => (1L, "hot")) ++ Seq((2L, "cold"), (3L, "cold")))
+      .toDF("k", "v")
+    val dim = Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("k", "name")
+    val plain = skewed.join(dim, "k").groupBy("k").count()
+      .as[(Long, Long)].collect().toMap
+    val salted = ScaleOps.saltedJoin(skewed, dim, "k", salt = 8).groupBy("k").count()
+      .as[(Long, Long)].collect().toMap
+    assert(salted == plain && plain == Map(1L -> 500L, 2L -> 1L))
+  }
+
+  test("saltedCount equals plain count per key") {
+    val df = ((1L to 300L).map(_ => 7L) ++ (1L to 5L)).toDF("k")
+    val plain = df.groupBy("k").count().as[(Long, Long)].collect().toMap
+    val salted = ScaleOps.saltedCount(df, "k", 16).as[(Long, Long)].collect().toMap
+    assert(salted == plain)
+  }
+
+  test("TopKAggregator matches the window top-k, with map-side-sized buffers") {
+    val orders = Seq(
+      (1L, 1L, 100.0), (2L, 1L, 100.0), (3L, 1L, 100.0), (4L, 1L, 50.0),
+      (5L, 2L, 10.0), (6L, 2L, 20.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val windowed = graft.operators.RelationalOps.topKOrdersPerCustomer(orders, 3)
+      .select($"o_custkey", $"o_orderkey").as[(Long, Long)].collect().toSet
+    val agg = new TopKAggregator(3)
+    val typed = orders.select($"o_totalprice", $"o_orderkey", $"o_custkey")
+      .as[(Double, Long, Long)]
+      .groupByKey(_._3)
+      .mapValues(r => (r._1, r._2))
+      .agg(agg.toColumn.name("topk"))
+      .flatMap { case (cust, topk) => topk.map { case (_, id) => (cust, id) } }
+      .collect().toSet
+    assert(typed == windowed)
+  }
+
+  test("sessionization over a real stream: state persists across micro-batches, timeout closes sessions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Event]
+    val withWm = mem.toDS().withWatermark("ts", "0 seconds")
+    val q = Sessionize.sessions(withWm, gapMs = 30 * 60 * 1000)
+      .writeStream.format("memory").queryName("sess_stream").outputMode("append").start()
+    try {
+      // batch 1: two events in one session
+      mem.addData(
+        Sessionize.Event(1L, ts("2024-01-01 10:00:00"), "view"),
+        Sessionize.Event(1L, ts("2024-01-01 10:10:00"), "click"))
+      q.processAllAvailable()
+      assert(spark.table("sess_stream").count() == 0) // session still open
+      // batch 2: event far past the gap → watermark advances, timeout fires,
+      // old session closes and the new one opens
+      mem.addData(Sessionize.Event(1L, ts("2024-01-01 13:00:00"), "view"))
+      q.processAllAvailable()
+      mem.addData(Sessionize.Event(1L, ts("2024-01-01 15:00:00"), "view"))
+      q.processAllAvailable()
+      val got = spark.table("sess_stream").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(3))).toSet
+      assert(got.contains((1L, "2024-01-01 10:00:00.0", 2L))) // first session closed with both events
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization: gap splits, counts, batch flush") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val evs = Seq(
+      Sessionize.Event(1L, ts("2024-01-01 10:00:00"), "view"),
+      Sessionize.Event(1L, ts("2024-01-01 10:10:00"), "click"),
+      Sessionize.Event(1L, ts("2024-01-01 12:00:00"), "view"), // > 30min gap → new session
+      Sessionize.Event(2L, ts("2024-01-01 09:00:00"), "view")).toDS()
+    val got = Sessionize.sessions(evs, gapMs = 30 * 60 * 1000).collect()
+      .map(s => (s.user_id, s.session_start.toString, s.n_events)).toSet
+    assert(got == Set(
+      (1L, "2024-01-01 10:00:00.0", 2L),
+      (1L, "2024-01-01 12:00:00.0", 1L),
+      (2L, "2024-01-01 09:00:00.0", 1L)))
+  }
+}
