@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -166,6 +167,38 @@ object SparkEntry {
     "median_price" -> ((s, d) =>
       t(s, d, "orders").groupBy(col("o_orderstatus"))
         .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"))),
+
+    // lag+cumsum sessionization — the SQL-expressible (oracle-checkable)
+    // formulation of the gap sessions that session_window/Sessionize
+    // compute; one shuffle on user_id, two fused window passes
+    "events_sessions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val run = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("is_new",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))) > 1800L * 1000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("is_new")).over(run))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"))
+    }),
+
+    "ntile_quartiles" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        ntile(4).over(Window.partitionBy("o_orderstatus")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))).as("quartile"))),
+
+    "max_by_order" -> ((s, d) =>
+      t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(max_by(col("o_orderkey"),
+          struct(col("o_orderdate"), col("o_orderkey"))).as("latest_orderkey"))),
+
+    "unpivot_measures" -> ((s, d) =>
+      t(s, d, "lineitem").selectExpr("l_orderkey", "l_linenumber",
+        "stack(3, 'qty', l_quantity, 'price', l_extendedprice, 'disc', l_discount) AS (measure, value)")),
 
     // ---- SQL surface: staging view + GROUP BY ordinal (S9/A2) ----
     "sql_group_ordinal" -> ((s, d) => {
@@ -460,6 +493,37 @@ object SparkEntry {
     "median_price" ->
       """SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS median_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "events_sessions" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |o AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM o)
+        |SELECT user_id, session_id, min(ts) AS session_start, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "ntile_quartiles" ->
+      """SELECT o_orderkey,
+        |CAST(ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
+        |FROM orders""".stripMargin,
+
+    "max_by_order" ->
+      """SELECT o_custkey, o_orderkey AS latest_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) t WHERE rn = 1""".stripMargin,
+
+    "unpivot_measures" ->
+      """SELECT l_orderkey, l_linenumber, 'qty' AS measure, l_quantity AS value FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'disc', l_discount FROM lineitem""".stripMargin,
 
     "sql_group_ordinal" ->
       """SELECT CAST(date_trunc('year', o_orderdate) AS DATE) AS year,
