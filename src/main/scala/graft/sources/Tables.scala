@@ -78,6 +78,26 @@ object Tables {
       StructField("date", StringType),
       StructField("value", StringType)))))))
 
+  // --- Typed readers (SURVEY.md §1.1): Dataset[T] views of the tables ---
+
+  import org.apache.spark.sql.Dataset
+  import graft.model._
+
+  def ordersDs(spark: SparkSession, dir: String): Dataset[Order] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Order]
+    load(spark, dir, "orders").as[Order]
+  }
+
+  def documentsDs(spark: SparkSession, dir: String): Dataset[Document] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Document]
+    load(spark, dir, "documents").as[Document]
+  }
+
+  def eventsDs(spark: SparkSession, dir: String): Dataset[Event] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    load(spark, dir, "events").as[Event]
+  }
+
   /** S7: DDL-style table creation — the Spark spelling of
     * `CREATE TABLE IF NOT EXISTS raw.financial_data(...)` (reference
     * sql/init_db.sql:1-5). Idempotent like the reference's IF NOT EXISTS.
