@@ -212,6 +212,8 @@ object SparkEntry {
     // ---- streaming analog (batch form of the tumbling rollup, §2.10) ----
     "events_tumbling_day" -> ((s, d) =>
       graft.streaming.StreamingOps.tumblingCounts(t(s, d, "events"))),
+    "events_sliding" -> ((s, d) =>
+      graft.streaming.StreamingOps.slidingCounts(t(s, d, "events"), "1 hour", "15 minutes")),
   )
 
   /** Shared oracle CTE prefix for shingle-based dedup queries (DuckDB
@@ -534,5 +536,14 @@ object SparkEntry {
       """SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP) AS window_start, event_type,
         |COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "events_sliding" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |k AS (SELECT unnest(range(0, 4)) AS i),
+        |w AS (SELECT time_bucket(INTERVAL '15 minutes', e.ts) - i * INTERVAL '15 minutes' AS window_start,
+        |             e.event_type
+        |      FROM e CROSS JOIN k
+        |      WHERE time_bucket(INTERVAL '15 minutes', e.ts) - i * INTERVAL '15 minutes' + INTERVAL '1 hour' > e.ts)
+        |SELECT window_start, event_type, COUNT(*) AS n FROM w GROUP BY 1, 2""".stripMargin,
   )
 }
