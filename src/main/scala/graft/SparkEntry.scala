@@ -106,6 +106,25 @@ object SparkEntry {
     // ---- [GAP] windows / sort / set ops / joins / grouping sets ----
     "window_lag_yoy" -> ((s, d) => RelationalOps.yoySpend(t(s, d, "orders"))),
     "topk_per_group" -> ((s, d) => RelationalOps.topKOrdersPerCustomer(t(s, d, "orders"), 3)),
+
+    // same top-k via the typed Aggregator (bounded buffers, map-side merge)
+    // — the scale-path formulation, checked against the same oracle shape
+    "topk_typed" -> ((s, d) => {
+      import s.implicits._
+      val agg = new graft.functions.TopKAggregator(3)
+      t(s, d, "orders")
+        .select(col("o_totalprice"), col("o_orderkey"), col("o_custkey"))
+        .as[(Double, Long, Long)]
+        .groupByKey(_._3)
+        .mapValues(r => (r._1, r._2))
+        .agg(agg.toColumn.name("topk"))
+        .toDF("o_custkey", "topk")
+        .select(col("o_custkey"), posexplode(col("topk")))
+        .select(col("o_custkey"),
+          col("col._2").as("o_orderkey"),
+          col("col._1").cast(Money).as("price"),
+          (col("pos") + 1).cast(IntegerType).as("rn"))
+    }),
     "rolling_avg" -> ((s, d) => RelationalOps.rollingAvgSpend(t(s, d, "orders"))),
     "sort_limit" -> ((s, d) => RelationalOps.topNBySpend(t(s, d, "orders"), 100)),
     "set_except" -> ((s, d) => RelationalOps.openNotFinishedCustomers(t(s, d, "orders"))),
@@ -302,6 +321,14 @@ object SparkEntry {
         |  SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
         |         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
         |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "topk_typed" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |       CAST(rn AS INTEGER) AS rn
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t WHERE rn <= 3""".stripMargin,
 
     "rolling_avg" ->
       """SELECT o_custkey, o_orderkey,
