@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators._
+
+/** Degenerate-input behavior: empty corpora, sub-shingle docs, unicode,
+  * empty strings. Every operator must return empty/safe results, never
+  * throw — at 100 TB some partition somewhere will always be degenerate.
+  */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private def docsOf(rows: Seq[(Long, String, String, String, Long)]) =
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private val emptyDocs =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
+
+  test("empty corpus: every dedup/text operator returns empty, not error") {
+    assert(DedupOps.exactDedup(emptyDocs).count() == 0)
+    assert(DedupOps.minhashSignatures(emptyDocs).count() == 0)
+    assert(DedupOps.minhashCandidatePairs(emptyDocs).count() == 0)
+    assert(DedupOps.jaccardPairs(emptyDocs, 0.5).count() == 0)
+    assert(DedupOps.simhash(emptyDocs).count() == 0)
+    assert(TextOps.tokenCounts(emptyDocs).count() == 0)
+    assert(TextOps.langId(emptyDocs).count() == 0)
+    assert(TextOps.qualityScore(emptyDocs).count() == 0)
+    assert(TextOps.chunks(emptyDocs).count() == 0)
+    assert(TextOps.termFrequencies(emptyDocs).count() == 0)
+  }
+
+  test("sub-shingle and empty texts: signature ops skip, scalar ops stay safe") {
+    val tiny = docsOf(Seq(
+      (1L, "two words", "en", "s", 9L),
+      (2L, "", "en", "s", 0L),
+      (3L, "one two three four", "en", "s", 18L)))
+    // only doc 3 has >= 3 tokens → only it gets signatures
+    assert(DedupOps.minhashSignatures(tiny).select("doc_id").distinct()
+      .as[Long].collect().toSeq == Seq(3L))
+    assert(DedupOps.simhash(tiny).count() == 1)
+    // scalar ops cover all rows; empty text → 0 tokens, quality defined (no NaN)
+    val tc = TextOps.tokenCounts(tiny).collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(tc(2L) == 0 && tc(1L) == 2)
+    val q = TextOps.qualityScore(tiny).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!q.values.exists(_.isNaN))
+    // chunking: empty text → no chunks; 2-token text → one short chunk
+    val ch = TextOps.chunks(tiny).collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(!ch.exists(_._1 == 2L))
+    assert(ch.count(_._1 == 1L) == 1)
+  }
+
+  test("unicode and punctuation tokenize safely") {
+    val uni = docsOf(Seq(
+      (1L, "héllo wörld 模型 data!!! data??? the the the a a", "xx", "s", 40L)))
+    val toks = TextOps.tokenCounts(uni).collect()(0).getInt(2)
+    assert(toks > 0) // ascii alnum runs survive; non-ascii just doesn't tokenize
+    assert(TextOps.langId(uni).collect()(0).getString(2) == "en") // 3×the + 2×a
+    assert(TextOps.fingerprints(uni).count() == 1)
+  }
+
+  test("empty embeddings: similarity ops return empty") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    assert(SimilarityOps.cosineTopK(empty, 10, 5).count() == 0)
+    assert(SimilarityOps.embeddingDupPairs(empty, 0.8).count() == 0)
+  }
+
+  test("asOfJoin with empty right side: left rows survive with NULL asof values") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"))).toDF("id", "k", "ts")
+    val right = Seq.empty[(Long, java.sql.Timestamp, Double)].toDF("k", "ts", "v")
+    val got = RelationalOps.asOfJoin(left, right, Seq("k"), "ts", Seq("v")).collect()
+    assert(got.length == 1 && got(0).isNullAt(got(0).fieldIndex("asof_v")))
+  }
+}
