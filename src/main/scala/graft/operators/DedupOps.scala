@@ -127,21 +127,32 @@ object DedupOps {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
   }
 
-  /** Candidate near-dup pairs: self-equi-join on (band, band_key). This is
-    * the point of LSH at scale — the join key is the bucket, so the
-    * shuffle distributes by bucket and no executor ever sees the full
-    * corpus. doc_a < doc_b halves the output; DISTINCT collapses pairs
-    * that collide in multiple bands.
+  /** Within-bucket ordered pairs from a sorted doc_id array: for each
+    * element, pair it with every later element. (x, i) 2-arg lambda gives
+    * the index; slice is 1-based.
     */
-  def minhashCandidatePairs(documents: DataFrame): DataFrame = {
-    val bands = lshBands(documents)
-    val b1 = bands.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
-    val b2 = bands.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
-    b1.join(b2, Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
+  private val bucketPairsSql =
+    "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), " +
+      "y -> named_struct('doc_a', x, 'doc_b', y))))"
+
+  /** Candidate near-dup pairs: group by (band, band_key), emit pairs
+    * within each bucket. This is the point of LSH at scale — the shuffle
+    * distributes by bucket and no executor ever sees the full corpus.
+    * One signature pass + one shuffle; a band self-join formulation would
+    * recompute the signature expression on both join sides. Pair count per
+    * bucket is O(|bucket|²) — bounded because agreeing on a full band is
+    * the high-precision LSH event (near-identical docs); a corpus of mass
+    * duplicates should run exactDedup first. DISTINCT collapses pairs
+    * colliding in multiple bands.
+    */
+  def minhashCandidatePairs(documents: DataFrame): DataFrame =
+    lshBands(documents)
+      .groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(bucketPairsSql)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
-  }
 
   /** Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle —
     * inverted-index join (shuffle on shingle), never all-pairs. Emits pairs
@@ -169,9 +180,16 @@ object DedupOps {
       }
     // per-doc shingle counts straight off the array — no explode, no shuffle
     val sizes = shinglesArray(documents).select(col("doc_id"), size(col("sh")).as("n"))
-    val common = sh.as("x").join(sh.as("y"), Seq("shingle"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // inverted index as bucket arrays: one explode pass + one shuffle on the
+    // shingle; pairs emitted inside each posting list (a self-join would
+    // recompute the shingle Generate on both sides). Bucket pair count is
+    // O(df²) — the stop-shingle guard is what bounds it at corpus scale.
+    val common = sh
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(bucketPairsSql)).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("common"))
     common
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
