@@ -178,6 +178,7 @@ object SparkEntry {
     "hll_distinct" -> ((s, d) => TextOps.approxDistinctContent(t(s, d, "documents"))),
     "cosine_topk" -> ((s, d) => SimilarityOps.cosineTopK(t(s, d, "embeddings"), 10, 5)),
     "cosine_topk_lsh" -> ((s, d) => SimilarityOps.lshBucketedTopK(t(s, d, "embeddings"), 10, 5)),
+    "cosine_topk_ivf" -> ((s, d) => SimilarityOps.ivfTopK(t(s, d, "embeddings"), 16, 10, 5)),
     "embedding_dup_pairs" -> ((s, d) => SimilarityOps.embeddingDupPairs(t(s, d, "embeddings"), 0.8)),
     "multimodal_meta" -> ((s, d) => MultimodalOps.payloadMeta(t(s, d, "documents"))),
     "text_chunks" -> ((s, d) => TextOps.chunks(t(s, d, "documents"))),

@@ -66,6 +66,58 @@ object SimilarityOps {
       .select(col("vec_a"), col("vec_b"), col("score"))
   }
 
+  /** IVF (inverted-file) assignment: each vector → its nearest of
+    * `nCentroids` centroid vectors. Centroids here are the first
+    * nCentroids corpus vectors (deterministic stand-in for k-means
+    * training — swap in learned centroids without touching the plumbing;
+    * a couple of Lloyd iterations are expressible as repeated
+    * assign+groupBy-avg passes over this same shape). Assignment is a
+    * broadcast crossJoin + row_number: one pass over the corpus.
+    */
+  def ivfAssign(embeddings: DataFrame, nCentroids: Int): DataFrame = {
+    val centroids = embeddings.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("c_score").desc, col("centroid_id"))
+    embeddings
+      .join(broadcast(centroids))
+      .withColumn("c_score",
+        graft.functions.GraftFunctions.cosineSim(col("embedding"), col("c_emb")))
+      .withColumn("c_rank", row_number().over(w))
+      .filter(col("c_rank") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+  }
+
+  /** IVF ANN top-k: corpus sharded by nearest centroid (the inverted
+    * lists); each query probes its `nProbe` nearest centroids and scores
+    * only those lists — an equi-join on centroid_id, so the shuffle
+    * distributes by list and scoring cost drops by ~nCentroids/nProbe.
+    * Recall < 1 by construction; raise nProbe to trade cost for recall.
+    */
+  def ivfTopK(embeddings: DataFrame, nCentroids: Int, nQueries: Int, k: Int,
+              nProbe: Int = 2): DataFrame = {
+    val lists = ivfAssign(embeddings, nCentroids)
+    val centroids = embeddings.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val wq = Window.partitionBy("q_id").orderBy(col("c_score").desc, col("centroid_id"))
+    val probes = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .join(broadcast(centroids))
+      .withColumn("c_score",
+        graft.functions.GraftFunctions.cosineSim(col("q_emb"), col("c_emb")))
+      .withColumn("c_rank", row_number().over(wq))
+      .filter(col("c_rank") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("centroid_id"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    lists.join(probes, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score",
+        round(graft.functions.GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 4))
+      .select(col("q_id"), col("vec_id"), col("score"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+  }
+
   /** Random-hyperplane LSH bucket id: sign bits of the embedding's
     * components at fixed positions folded into an int. A stand-in for
     * learned hyperplanes that keeps everything deterministic and

@@ -29,6 +29,17 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(rows.exists(r => r.getLong(1) == 2L && r.getDouble(2) == 1.0))
   }
 
+  test("ivfTopK: duplicate lands in the same inverted list and is found; deterministic") {
+    // nCentroids=2: centroids are vectors 0 and 1; vec 2 (dup of 0) and
+    // vec 3 (near 0) assign to centroid 0 — query 0 probing 1 list finds both
+    val got = SimilarityOps.ivfTopK(emb, nCentroids = 2, nQueries = 1, k = 3, nProbe = 1)
+      .orderBy("rank").collect()
+    assert(got(0).getLong(1) == 2L && got(0).getDouble(2) == 1.0)
+    assert(got(1).getLong(1) == 3L)
+    val again = SimilarityOps.ivfTopK(emb, 2, 1, 3, 1).orderBy("rank").collect()
+    assert(got.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("native cosine_sim matches the interpreted HOF fold bit-for-bit") {
     val pairs = emb.select(col("vec_id"), col("embedding"))
       .crossJoin(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")))
