@@ -60,6 +60,16 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(got(1).isNullAt(0)) // zero norm → NULL, the NULLIF-guard semantics
   }
 
+  test("cosine_sim constant-folds: literal inputs never reach execution") {
+    val df = spark.sql(
+      "SELECT cosine_sim(array(cast(1.0 as float), cast(0.0 as float)), " +
+        "array(cast(1.0 as float), cast(0.0 as float))) AS s")
+    // foldable children → ConstantFolding evaluates at plan time
+    assert(df.queryExecution.optimizedPlan.toString.contains("1.0"))
+    assert(!df.queryExecution.optimizedPlan.toString.toLowerCase.contains("cosine_sim"))
+    assert(df.collect()(0).getDouble(0) == 1.0)
+  }
+
   test("payloadMeta: deterministic fake dims derived from byte length") {
     val docs = Seq((1L, "abcd", "en", "s1", 4L)).toDF("doc_id", "text", "lang", "source", "n_chars")
     val r = MultimodalOps.payloadMeta(docs).collect()(0)
