@@ -7,6 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.getOrCreate("graft-verify")
+    // Write decimals as FIXED_LEN_BYTE_ARRAY rather than INT32/INT64
+    // physical. Spark's default int-backed encoding for DECIMAL(<=18,s)
+    // is valid parquet but the driver-side comparator mis-decodes it
+    // (round-3 verdict: 15/15 hash failures were int-backed decimals,
+    // 0/34 passes were). Legacy format forces FLBA, which compares clean.
+    spark.conf.set("spark.sql.parquet.writeLegacyFormat", "true")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
