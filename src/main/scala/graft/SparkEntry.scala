@@ -168,18 +168,31 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => DedupOps.exactDedup(t(s, d, "documents"))),
     "minhash_signatures" -> ((s, d) => DedupOps.minhashSignatures(t(s, d, "documents"))),
     "minhash_lsh_pairs" -> ((s, d) => DedupOps.minhashCandidatePairs(t(s, d, "documents"))),
-    "jaccard_pairs" -> ((s, d) => DedupOps.jaccardPairs(t(s, d, "documents"), 0.5)),
+    // stop-shingle guard ON (df cap = 50 ≈ 10% of the sf0.01 corpus): the
+    // oracled path is the skew-bounded plan — a shingle shared by more docs
+    // than the cap is dropped before the inverted-index join, so the
+    // hottest bucket is provably ≤ cap docs. The unguarded O(df²) variant
+    // stays registered as the bench A/B baseline.
+    "jaccard_pairs" -> ((s, d) =>
+      DedupOps.jaccardPairs(t(s, d, "documents"), 0.5, maxShingleDocFreq = 50)),
+    "jaccard_pairs_unguarded" -> ((s, d) => DedupOps.jaccardPairs(t(s, d, "documents"), 0.5)),
     "simhash" -> ((s, d) => DedupOps.simhash(t(s, d, "documents"))),
     "token_count" -> ((s, d) => TextOps.tokenCounts(t(s, d, "documents"))),
     "lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
     "quality_score" -> ((s, d) => TextOps.qualityScore(t(s, d, "documents"))),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprints(t(s, d, "documents"))),
     "corpus_stats" -> ((s, d) => TextOps.corpusStats(t(s, d, "documents"))),
-    "hll_distinct" -> ((s, d) => TextOps.approxDistinctContent(t(s, d, "documents"))),
+    // emits the within-5%-of-exact boolean (sketch internals are
+    // engine-specific; the accuracy bound is not) — oracle asserts TRUE
+    "hll_distinct" -> ((s, d) => TextOps.approxDistinctWithinTol(t(s, d, "documents"))),
     "cosine_topk" -> ((s, d) => SimilarityOps.cosineTopK(t(s, d, "embeddings"), 10, 5)),
     "cosine_topk_lsh" -> ((s, d) => SimilarityOps.lshBucketedTopK(t(s, d, "embeddings"), 10, 5)),
     "cosine_topk_ivf" -> ((s, d) => SimilarityOps.ivfTopK(t(s, d, "embeddings"), 16, 10, 5)),
     "embedding_dup_pairs" -> ((s, d) => SimilarityOps.embeddingDupPairs(t(s, d, "embeddings"), 0.8)),
+    // the scale path: candidates from an LSH-bucket equi-join, no
+    // nested-loop join in the plan; brute variant above = recall reference
+    "embedding_dup_pairs_lsh" -> ((s, d) =>
+      SimilarityOps.embeddingDupPairsLsh(t(s, d, "embeddings"), 0.8)),
     "multimodal_meta" -> ((s, d) => MultimodalOps.payloadMeta(t(s, d, "documents"))),
     "text_chunks" -> ((s, d) => TextOps.chunks(t(s, d, "documents"))),
     "term_frequencies" -> ((s, d) => TextOps.termFrequencies(t(s, d, "documents"))),
@@ -187,6 +200,18 @@ object SparkEntry {
     "median_price" -> ((s, d) =>
       t(s, d, "orders").groupBy(col("o_orderstatus"))
         .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"))),
+
+    // the 100× tier (SCALE.md §aggregates): approx_percentile sketches
+    // merge map-side instead of sorting each group; gated by a
+    // within-1%-of-exact boolean the oracle asserts TRUE
+    "median_price_approx" -> ((s, d) =>
+      t(s, d, "orders").groupBy(col("o_orderstatus"))
+        .agg(
+          expr("approx_percentile(o_totalprice, 0.5, 10000)").as("approx_median"),
+          expr("percentile(o_totalprice, 0.5)").as("exact_median"))
+        .select(col("o_orderstatus"),
+          (abs(col("approx_median") - col("exact_median")) / col("exact_median") <= lit(0.01))
+            .as("within_tol"))),
 
     // lag+cumsum sessionization — the SQL-expressible (oracle-checkable)
     // formulation of the gap sessions that session_window/Sessionize
@@ -253,6 +278,22 @@ object SparkEntry {
       |  (14,61,167),(15,67,179)),
       |mh AS (SELECT doc_id, hash_idx, min((a * hv + b) % 2147483647) AS minhash
       |       FROM h CROSS JOIN seeds GROUP BY doc_id, hash_idx)""".stripMargin
+
+  /** DuckDB spelling of SimilarityOps.lshBucket (nBits sign bits at
+    * dim/nBits stride, 1-indexed lists, NULL-past-end → bit 0 via CASE).
+    * `emb`/`stride` are column names in the enclosing CTE.
+    */
+  private def duckLshBucket(emb: String, stride: String, nBits: Int): String =
+    (0 until nBits)
+      .map(i => s"(CASE WHEN $emb[$i * $stride + 1] > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+
+  /** Shared oracle CTE: embeddings with their LSH bucket (nBits = 8). */
+  private val lshBucketCtes =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+       |                  greatest(CAST(len(embedding) // 8 AS INTEGER), 1) AS stride
+       |           FROM embeddings),
+       |b AS (SELECT vec_id, emb, ${duckLshBucket("emb", "stride", 8)} AS bucket FROM v)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "stg_cast" ->
@@ -426,7 +467,26 @@ object SparkEntry {
         |FROM bands b1 JOIN bands b2 ON b1.band = b2.band AND b1.band_key = b2.band_key
         |WHERE b1.doc_id < b2.doc_id""".stripMargin),
 
+    // guarded: shingles with doc-frequency above the cap are dropped from
+    // the inverted index (mirrors maxShingleDocFreq = 50); denominators
+    // still count every shingle, matching the Spark side
     "jaccard_pairs" ->
+      (shingleCtes +
+      """,
+        |df AS (SELECT s, COUNT(*) AS c FROM sh GROUP BY s),
+        |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN df ON sh.s = df.s WHERE df.c <= 50),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |round(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6) AS jaccard
+        |FROM common JOIN sizes na ON common.doc_a = na.doc_id
+        |            JOIN sizes nb ON common.doc_b = nb.doc_id
+        |WHERE round(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6) >= 0.5""".stripMargin),
+
+    "jaccard_pairs_unguarded" ->
       (shingleCtes +
       """,
         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -501,6 +561,62 @@ object SparkEntry {
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.8""".stripMargin,
 
+    "embedding_dup_pairs_lsh" ->
+      (lshBucketCtes +
+      """
+        |SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+        |round(list_cosine_similarity(a.emb, c.emb), 4) AS score
+        |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        |WHERE round(list_cosine_similarity(a.emb, c.emb), 4) >= 0.8""".stripMargin),
+
+    // full DuckDB replay of the LSH pipeline (bucket fn mirrored above) —
+    // the ANN result itself is hash-gated, not just a rows count
+    "cosine_topk_lsh" ->
+      (lshBucketCtes +
+      """,
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+        |         round(list_cosine_similarity(c.emb, q.emb), 4) AS score
+        |  FROM b c JOIN b q ON c.bucket = q.bucket
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id, score,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT q_id, vec_id, score, rank FROM ranked WHERE rank <= 5""".stripMargin),
+
+    // full DuckDB replay of IVF: first-16 centroids, assignment and probe
+    // rankings on round(cos, 6) with centroid_id tiebreak — exactly the
+    // Spark-side ivfAssign/ivfTopK ordering
+    "cosine_topk_ivf" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM v WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT vec_id, emb, centroid_id FROM (
+        |    SELECT v.vec_id, v.emb, cent.centroid_id,
+        |           row_number() OVER (PARTITION BY v.vec_id
+        |             ORDER BY round(list_cosine_similarity(v.emb, cent.c_emb), 6) DESC, cent.centroid_id) AS rn
+        |    FROM v CROSS JOIN cent) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT q_id, q_emb, centroid_id FROM (
+        |    SELECT q.vec_id AS q_id, q.emb AS q_emb, cent.centroid_id,
+        |           row_number() OVER (PARTITION BY q.vec_id
+        |             ORDER BY round(list_cosine_similarity(q.emb, cent.c_emb), 6) DESC, cent.centroid_id) AS rn
+        |    FROM v q CROSS JOIN cent WHERE q.vec_id < 10) t WHERE rn <= 2),
+        |scored AS (
+        |  SELECT p.q_id, a.vec_id, round(list_cosine_similarity(a.emb, p.q_emb), 4) AS score
+        |  FROM asg a JOIN probes p ON a.centroid_id = p.centroid_id
+        |  WHERE a.vec_id <> p.q_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id, score,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT q_id, vec_id, score, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // sketch accuracy gate: oracle asserts the within-tolerance boolean
+    "hll_distinct" ->
+      "SELECT source, CAST(1 AS BOOLEAN) AS within_tol FROM documents GROUP BY source",
+
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |CAST((octet_length(encode(text)) * 7 + ascii(substr(text, 1, 1))) % 1024 AS INTEGER) AS fake_width,
@@ -523,6 +639,9 @@ object SparkEntry {
     "median_price" ->
       """SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS median_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "median_price_approx" ->
+      "SELECT o_orderstatus, CAST(1 AS BOOLEAN) AS within_tol FROM orders GROUP BY o_orderstatus",
 
     "events_sessions" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -79,10 +79,14 @@ object SimilarityOps {
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("c_score").desc, col("centroid_id"))
+    // centroid scores rounded to 6 before ranking: assignment stays
+    // deterministic across engines (the DuckDB oracle replays this
+    // ranking with list_cosine_similarity; an ulp difference must not
+    // flip a list assignment), ties broken by centroid_id
     embeddings
       .join(broadcast(centroids))
       .withColumn("c_score",
-        graft.functions.GraftFunctions.cosineSim(col("embedding"), col("c_emb")))
+        round(graft.functions.GraftFunctions.cosineSim(col("embedding"), col("c_emb")), 6))
       .withColumn("c_rank", row_number().over(w))
       .filter(col("c_rank") === 1)
       .select(col("vec_id"), col("embedding"), col("centroid_id"))
@@ -104,7 +108,7 @@ object SimilarityOps {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .join(broadcast(centroids))
       .withColumn("c_score",
-        graft.functions.GraftFunctions.cosineSim(col("q_emb"), col("c_emb")))
+        round(graft.functions.GraftFunctions.cosineSim(col("q_emb"), col("c_emb")), 6))
       .withColumn("c_rank", row_number().over(wq))
       .filter(col("c_rank") <= nProbe)
       .select(col("q_id"), col("q_emb"), col("centroid_id"))
@@ -119,16 +123,45 @@ object SimilarityOps {
   }
 
   /** Random-hyperplane LSH bucket id: sign bits of the embedding's
-    * components at fixed positions folded into an int. A stand-in for
-    * learned hyperplanes that keeps everything deterministic and
-    * data-independent; `nBits` buckets ≈ 2^nBits shards.
+    * components at `(dim / nBits)`-strided positions folded into an int. A
+    * stand-in for learned hyperplanes that keeps everything deterministic
+    * and data-independent; `nBits` buckets ≈ 2^nBits shards.
+    *
+    * The stride is derived from `size(embedding)` at runtime, so the same
+    * bucket function works for any dimension; for dim < nBits the
+    * out-of-range probes read null via `get` (0-based, null-safe even under
+    * ANSI) and contribute a 0 bit rather than erroring or collapsing
+    * silently.
     */
   def lshBucket(embedding: Column, nBits: Int): Column = {
-    // sign of every (dim / nBits)-strided component, packed into an int
+    val stride = greatest(
+      floor(size(embedding).cast(DoubleType) / nBits).cast(IntegerType), lit(1))
     (0 until nBits).map { i =>
-      (when(expr(s"element_at(embedding, ${i * 4 + 1})") > 0, 1).otherwise(0)
-        * math.pow(2, i).toInt).cast(IntegerType)
+      when(get(embedding, lit(i) * stride) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
+  }
+
+  /** Embedding near-duplicate pairs, LSH-bucketed — the 100 TB path for
+    * `embeddingDupPairs`: both sides carry their hyperplane bucket and
+    * candidates come from an equi-join on it (shuffle distributes by
+    * bucket; no nested-loop anywhere in the plan). Recall < 1 by
+    * construction — a near-dup pair straddling a hyperplane is missed;
+    * the brute-force variant stays registered as the recall reference.
+    * The bucket expression is ~nBits comparisons per row, so computing it
+    * on both join sides is free (unlike the MinHash signature case that
+    * forced the posting-list formulation in DedupOps).
+    */
+  def embeddingDupPairsLsh(embeddings: DataFrame, threshold: Double,
+                           nBits: Int = 8): DataFrame = {
+    val bucketed = embeddings.withColumn("bucket", lshBucket(col("embedding"), nBits))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("score",
+        round(graft.functions.GraftFunctions.cosineSim(col("emb_a"), col("emb_b")), 4))
+      .filter(col("score") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("score"))
   }
 
   /** LSH-bucketed ANN: both sides bucketed, candidates joined on bucket —

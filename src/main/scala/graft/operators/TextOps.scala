@@ -123,4 +123,22 @@ object TextOps {
     documents
       .groupBy(col("source"))
       .agg(approx_count_distinct(col("text"), 0.01).as("approx_distinct_docs"))
+
+  /** Oracle-checkable gate for the HLL++ sketch: per source, does the
+    * approximate cardinality land within `relErr` of the exact one? The
+    * sketch value itself is engine-specific, but this boolean is not —
+    * the DuckDB oracle emits literal TRUE per group, so the hash compare
+    * asserts the accuracy bound. The exact countDistinct alongside is
+    * affordable at verify scale; at 100 TB you run only the sketch and
+    * this query remains the calibration check on a sampled shard.
+    */
+  def approxDistinctWithinTol(documents: DataFrame, relErr: Double = 0.05): DataFrame =
+    documents
+      .groupBy(col("source"))
+      .agg(
+        approx_count_distinct(col("text"), 0.01).as("approx_docs"),
+        countDistinct(col("text")).as("exact_docs"))
+      .select(col("source"),
+        (abs(col("approx_docs") - col("exact_docs")).cast(DoubleType)
+          / col("exact_docs") <= lit(relErr)).as("within_tol"))
 }

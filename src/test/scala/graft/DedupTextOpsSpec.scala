@@ -80,6 +80,13 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(got(1L) == "en" && got(4L) == "und")
   }
 
+  test("approxDistinctWithinTol: HLL estimate within tolerance of exact on small cardinalities") {
+    val got = TextOps.approxDistinctWithinTol(docs)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // rsd 0.01 on cardinalities of 1-2 is exact → the gate must hold
+    assert(got.keySet == Set("s1", "s2") && got.values.forall(identity))
+  }
+
   test("quality in [0,1] and monotone in stopword density for same length") {
     val q = TextOps.qualityScore(docs).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(q.values.forall(v => v >= 0.0 && v <= 1.0))

@@ -40,6 +40,36 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(got.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("lshBucket: stride derives from dimension (dim 16 → stride 2), not a fixed 4") {
+    // positive components at 0-based indices 0 and 4; with stride 16/8 = 2
+    // the probes read indices 0,2,4,…,14 → exactly bits 0 and 2 set
+    val v = (0 until 16).map(i => if (i == 0 || i == 4) 1.0f else -1.0f).toArray
+    val df = Seq((0L, v)).toDF("vec_id", "embedding")
+    val b = df.select(SimilarityOps.lshBucket(col("embedding"), 8).as("bucket"))
+      .collect()(0).getInt(0)
+    assert(b == ((1 << 0) | (1 << 2)))
+  }
+
+  test("lshBucket: dim < nBits is null-safe — missing probes contribute 0 bits") {
+    // stride = max(floor(4/8), 1) = 1: bits 0..3 read real components,
+    // bits 4..7 probe past the end (null under get) and stay 0
+    val df = Seq((0L, Array(1.0f, 1.0f, 1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val b = df.select(SimilarityOps.lshBucket(col("embedding"), 8).as("bucket"))
+      .collect()(0).getInt(0)
+    assert(b == 15)
+  }
+
+  test("embeddingDupPairsLsh: bucket equi-join plan, subset of brute pairs, finds exact dup") {
+    val lsh = SimilarityOps.embeddingDupPairsLsh(emb, 0.8)
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"))
+    val got = lsh.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = SimilarityOps.embeddingDupPairs(emb, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.subsetOf(brute))       // LSH never invents a pair …
+    assert(got.contains((0L, 2L, 1.0))) // … and identical vectors always collide
+  }
+
   test("native cosine_sim matches the interpreted HOF fold bit-for-bit") {
     val pairs = emb.select(col("vec_id"), col("embedding"))
       .crossJoin(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")))
