@@ -162,7 +162,8 @@ object DedupOps {
     * in here as one extra filter.
     */
   def jaccardPairs(documents: DataFrame, threshold: Double,
-                   maxShingleDocFreq: Long = Long.MaxValue): DataFrame = {
+                   maxShingleDocFreq: Long = Long.MaxValue,
+                   prefilterHotShingles: Boolean = false): DataFrame = {
     val allSh = shingles(documents)
     // Stop-shingle skew guard: a shingle present in a large fraction of the
     // corpus contributes O(df²) candidate pairs while carrying ~zero
@@ -170,8 +171,19 @@ object DedupOps {
     // largest join bucket — the knob that keeps this linear at 100 TB.
     // Denominators (sizes) still count every shingle, so scores of
     // surviving pairs only ever shrink, never inflate.
+    //
+    // Two enforcement points with identical semantics (df of a shingle IS
+    // its posting-list length):
+    //  - default: filter posting lists by size after the groupBy — zero
+    //    extra passes, the guard is free. The hot list still materializes
+    //    once in the aggregation buffer (df × 8 bytes) before being
+    //    dropped, which is fine up to df ~ 10⁷.
+    //  - prefilterHotShingles: compute df in a separate pass and anti-join
+    //    before the posting-list build, so a pathological shingle (df ~
+    //    corpus size) never materializes at all — costs one extra
+    //    aggregate over the exploded shingles.
     val sh =
-      if (maxShingleDocFreq == Long.MaxValue) allSh
+      if (!prefilterHotShingles || maxShingleDocFreq == Long.MaxValue) allSh
       else {
         val hot = allSh.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxShingleDocFreq)
@@ -188,6 +200,9 @@ object DedupOps {
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)
+      .filter(
+        if (maxShingleDocFreq == Long.MaxValue) lit(true)
+        else size(col("ds")) <= maxShingleDocFreq)
       .select(explode(expr(bucketPairsSql)).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("common"))

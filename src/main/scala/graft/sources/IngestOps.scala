@@ -33,6 +33,30 @@ object IngestOps {
   def withIngestTimestamp(df: DataFrame): DataFrame =
     df.withColumn("created_at", current_timestamp())
 
+  /** S11: JDBC warehouse sink — the reference lands every dbt mart in
+    * Postgres for its BI layer (reference readme.md:50-52,
+    * requirements.txt:4,6). Spark's JDBC writer batches inserts per
+    * partition; `numPartitions` caps concurrent connections so a
+    * 1000-executor cluster cannot open 1000 sessions against one
+    * warehouse, and `batchsize` amortizes round-trips. No JDBC endpoint
+    * exists in this sandbox, so the path is untestable here — options
+    * assembly is exercised in IngestOpsSpec, execution is not.
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                user: String, password: String,
+                numPartitions: Int = 8, batchSize: Int = 10000,
+                mode: String = "append"): Unit =
+    df.repartition(numPartitions)
+      .write.mode(mode)
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("user", user)
+      .option("password", password)
+      .option("numPartitions", numPartitions.toString)
+      .option("batchsize", batchSize.toString)
+      .save()
+
   /** O6: incremental append into a time-partitioned table (the hypertable
     * analog, S8) — append new run-date partitions; dedup downstream via
     * DedupOps/`dropDuplicatesWithinWatermark` rather than rewriting

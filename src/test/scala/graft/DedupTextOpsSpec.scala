@@ -59,6 +59,12 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(guarded.keySet.subsetOf(full.keySet))
     assert(guarded.forall { case (k, v) => v <= full(k) })
     assert(guarded.contains((1L, 2L))) // dup pair still surfaces via its rarer shingles
+    // the two enforcement points (free posting-list filter vs pre-filter
+    // pass) are semantically identical
+    val prefiltered = DedupOps.jaccardPairs(docs, 0.0, maxShingleDocFreq = 2,
+        prefilterHotShingles = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(prefiltered == guarded)
   }
 
   test("simhash: identical docs equal; near-dups within small hamming distance") {

@@ -33,6 +33,17 @@ class IngestOpsSpec extends SparkSpec {
     assert(df.filter(col("created_at").isNull).count() == 0)
   }
 
+  test("writeJdbc reaches the JDBC layer (S11) — no endpoint/driver in sandbox") {
+    // no warehouse exists here, so success == the options assemble and the
+    // call fails inside JDBC driver resolution, not in our plumbing
+    val e = intercept[Exception] {
+      IngestOps.writeJdbc(Seq((1L, "x")).toDF("id", "v"),
+        "jdbc:postgresql://localhost:1/nope", "t", "u", "p", numPartitions = 1)
+    }
+    val msg = (e.toString + Option(e.getCause).mkString).toLowerCase
+    assert(msg.contains("driver") || msg.contains("connect"))
+  }
+
   test("appendRunPartition: per-partition overwrite is idempotent (O6)") {
     val table = "ingest_spec_incremental"
     IngestOps.appendRunPartition(Seq((1L, "x")).toDF("id", "v"), table, "2024-06-01")
