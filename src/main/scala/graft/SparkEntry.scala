@@ -188,6 +188,12 @@ object SparkEntry {
     "cosine_topk" -> ((s, d) => SimilarityOps.cosineTopK(t(s, d, "embeddings"), 10, 5)),
     "cosine_topk_lsh" -> ((s, d) => SimilarityOps.lshBucketedTopK(t(s, d, "embeddings"), 10, 5)),
     "cosine_topk_ivf" -> ((s, d) => SimilarityOps.ivfTopK(t(s, d, "embeddings"), 16, 10, 5)),
+    // IVF over Lloyd-trained centroids (2 assign→mean passes); the oracle
+    // replays the training, so the learned index itself is hash-gated
+    "cosine_topk_ivf_trained" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      SimilarityOps.ivfTopKWith(emb, SimilarityOps.ivfTrainCentroids(emb, 16, iters = 2), 10, 5)
+    }),
     "embedding_dup_pairs" -> ((s, d) => SimilarityOps.embeddingDupPairs(t(s, d, "embeddings"), 0.8)),
     // the scale path: candidates from an LSH-bucket equi-join, no
     // nested-loop join in the plan; brute variant above = recall reference
@@ -287,6 +293,24 @@ object SparkEntry {
     (0 until nBits)
       .map(i => s"(CASE WHEN $emb[$i * $stride + 1] > 0 THEN ${1 << i} ELSE 0 END)")
       .mkString(" + ")
+
+  /** One Lloyd iteration in DuckDB: assign `v` to nearest `prev` centroid
+    * (round-6 cosine ranking, centroid_id tiebreak — the ivfAssignWith
+    * ordering), then per-dimension round-6 means → `out`. Emitted as CTE
+    * blocks; compose after a `v` CTE.
+    */
+  private def duckLloydIter(prev: String, out: String): String =
+    s"""a_$out AS (
+       |  SELECT vec_id, emb, centroid_id FROM (
+       |    SELECT v.vec_id, v.emb, c.centroid_id,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 6) DESC, c.centroid_id) AS rn
+       |    FROM v CROSS JOIN $prev c) t WHERE rn = 1),
+       |$out AS (
+       |  SELECT centroid_id, list(m ORDER BY pos) AS c_emb FROM (
+       |    SELECT centroid_id, pos, round(avg(val), 6) AS m
+       |    FROM (SELECT centroid_id, unnest(emb) AS val, generate_subscripts(emb, 1) AS pos FROM a_$out)
+       |    GROUP BY centroid_id, pos) t GROUP BY centroid_id)""".stripMargin
 
   /** Shared oracle CTE: embeddings with their LSH bucket (nBits = 8). */
   private val lshBucketCtes =
@@ -612,6 +636,35 @@ object SparkEntry {
         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
         |  FROM scored)
         |SELECT q_id, vec_id, score, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // trained IVF: two Lloyd iterations replayed in SQL, then the same
+    // probe/score/rank pipeline against the learned centroids
+    "cosine_topk_ivf_trained" ->
+      (s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          |c0 AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM v WHERE vec_id < 16),
+          |${duckLloydIter("c0", "c1")},
+          |${duckLloydIter("c1", "c2")},
+          |asg AS (
+          |  SELECT vec_id, emb, centroid_id FROM (
+          |    SELECT v.vec_id, v.emb, c.centroid_id,
+          |           row_number() OVER (PARTITION BY v.vec_id
+          |             ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 6) DESC, c.centroid_id) AS rn
+          |    FROM v CROSS JOIN c2 c) t WHERE rn = 1),
+          |probes AS (
+          |  SELECT q_id, q_emb, centroid_id FROM (
+          |    SELECT q.vec_id AS q_id, q.emb AS q_emb, c.centroid_id,
+          |           row_number() OVER (PARTITION BY q.vec_id
+          |             ORDER BY round(list_cosine_similarity(q.emb, c.c_emb), 6) DESC, c.centroid_id) AS rn
+          |    FROM v q CROSS JOIN c2 c WHERE q.vec_id < 10) t WHERE rn <= 2),
+          |scored AS (
+          |  SELECT p.q_id, a.vec_id, round(list_cosine_similarity(a.emb, p.q_emb), 4) AS score
+          |  FROM asg a JOIN probes p ON a.centroid_id = p.centroid_id
+          |  WHERE a.vec_id <> p.q_id),
+          |ranked AS (
+          |  SELECT q_id, vec_id, score,
+          |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+          |  FROM scored)
+          |SELECT q_id, vec_id, score, rank FROM ranked WHERE rank <= 5""".stripMargin),
 
     // sketch accuracy gate: oracle asserts the within-tolerance boolean
     "hll_distinct" ->

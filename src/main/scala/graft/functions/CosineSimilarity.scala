@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, TypeCollection}
 
 /** Native Catalyst expression: cosine similarity between two float vectors
   * in a single fused pass (dot product and both norms together), with
@@ -30,22 +30,35 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
-  override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  // float and double vectors both accepted, independently per side — raw
+  // corpus embeddings are float32 parquet, while derived vectors (e.g.
+  // Lloyd-trained IVF centroids, which are per-dimension means) are
+  // double. Accumulation is always double, so a float input widens
+  // exactly and results are identical to casting up front.
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cosine_sim"
 
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val xf = isFloatArray(left)
+    val yf = isFloatArray(right)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
@@ -60,12 +73,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
+      val gx = if (isFloatArray(left)) "getFloat" else "getDouble"
+      val gy = if (isFloatArray(right)) "getFloat" else "getDouble"
       s"""
          |int $n = Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double xi = (double) $a.getFloat($i);
-         |  double yi = (double) $b.getFloat($i);
+         |  double xi = (double) $a.$gx($i);
+         |  double yi = (double) $b.$gy($i);
          |  $dot += xi * yi; $na += xi * xi; $nb += yi * yi;
          |}
          |if ($na == 0.0 || $nb == 0.0) {

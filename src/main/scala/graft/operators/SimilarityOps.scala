@@ -74,15 +74,22 @@ object SimilarityOps {
     * assign+groupBy-avg passes over this same shape). Assignment is a
     * broadcast crossJoin + row_number: one pass over the corpus.
     */
-  def ivfAssign(embeddings: DataFrame, nCentroids: Int): DataFrame = {
-    val centroids = embeddings.filter(col("vec_id") < nCentroids)
+  /** First-n deterministic centroid seed (the k-means init stand-in; any
+    * (centroid_id, c_emb) frame can replace it — see ivfTrainCentroids).
+    */
+  def seedCentroids(embeddings: DataFrame, nCentroids: Int): DataFrame =
+    embeddings.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+
+  /** Nearest-centroid assignment against an arbitrary (centroid_id, c_emb)
+    * frame. Centroid scores rounded to 6 before ranking: assignment stays
+    * deterministic across engines (the DuckDB oracle replays this ranking
+    * with list_cosine_similarity; an ulp difference must not flip a list
+    * assignment), ties broken by centroid_id.
+    */
+  def ivfAssignWith(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id")
       .orderBy(col("c_score").desc, col("centroid_id"))
-    // centroid scores rounded to 6 before ranking: assignment stays
-    // deterministic across engines (the DuckDB oracle replays this
-    // ranking with list_cosine_similarity; an ulp difference must not
-    // flip a list assignment), ties broken by centroid_id
     embeddings
       .join(broadcast(centroids))
       .withColumn("c_score",
@@ -92,6 +99,37 @@ object SimilarityOps {
       .select(col("vec_id"), col("embedding"), col("centroid_id"))
   }
 
+  def ivfAssign(embeddings: DataFrame, nCentroids: Int): DataFrame =
+    ivfAssignWith(embeddings, seedCentroids(embeddings, nCentroids))
+
+  /** Lloyd k-means refinement of the IVF centroids, as repeated
+    * assign → per-dimension-mean passes over the corpus — the "couple of
+    * Lloyd iterations expressible as repeated assign+groupBy-avg" path,
+    * now real. Each iteration is one broadcast assignment pass plus one
+    * (centroid_id, dim) hash aggregate (partial map-side, rows shuffled =
+    * centroids × dims, independent of corpus size). Centroid components
+    * round to 6 so training is deterministic across engines and
+    * partitionings (double-sum order cannot leak into the result) and the
+    * DuckDB oracle can replay it. A centroid whose list empties drops out
+    * (no re-seeding), identically in both engines. At 100 TB you would
+    * train on a sample and checkpoint between iterations; the plan shape
+    * per iteration is unchanged.
+    */
+  def ivfTrainCentroids(embeddings: DataFrame, nCentroids: Int,
+                        iters: Int = 2): DataFrame = {
+    var centroids = seedCentroids(embeddings, nCentroids)
+    for (_ <- 0 until iters) {
+      centroids = ivfAssignWith(embeddings, centroids)
+        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> round(x.m, 6))")
+          .as("c_emb"))
+    }
+    centroids
+  }
+
   /** IVF ANN top-k: corpus sharded by nearest centroid (the inverted
     * lists); each query probes its `nProbe` nearest centroids and scores
     * only those lists — an equi-join on centroid_id, so the shuffle
@@ -99,10 +137,13 @@ object SimilarityOps {
     * Recall < 1 by construction; raise nProbe to trade cost for recall.
     */
   def ivfTopK(embeddings: DataFrame, nCentroids: Int, nQueries: Int, k: Int,
-              nProbe: Int = 2): DataFrame = {
-    val lists = ivfAssign(embeddings, nCentroids)
-    val centroids = embeddings.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+              nProbe: Int = 2): DataFrame =
+    ivfTopKWith(embeddings, seedCentroids(embeddings, nCentroids), nQueries, k, nProbe)
+
+  /** IVF top-k against an arbitrary centroid frame (seeded or trained). */
+  def ivfTopKWith(embeddings: DataFrame, centroids: DataFrame,
+                  nQueries: Int, k: Int, nProbe: Int = 2): DataFrame = {
+    val lists = ivfAssignWith(embeddings, centroids)
     val wq = Window.partitionBy("q_id").orderBy(col("c_score").desc, col("centroid_id"))
     val probes = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))

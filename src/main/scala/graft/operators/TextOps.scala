@@ -137,7 +137,11 @@ object TextOps {
       .groupBy(col("source"))
       .agg(
         approx_count_distinct(col("text"), 0.01).as("approx_docs"),
-        countDistinct(col("text")).as("exact_docs"))
+        // exact side counts distinct md5 fingerprints, not raw text: the
+        // distinct shuffle then carries 32-char keys instead of full
+        // documents (the same cardinality up to md5 collisions, ~0 at any
+        // corpus size that fits in a datacenter)
+        countDistinct(md5(col("text"))).as("exact_docs"))
       .select(col("source"),
         (abs(col("approx_docs") - col("exact_docs")).cast(DoubleType)
           / col("exact_docs") <= lit(relErr)).as("within_tol"))

@@ -70,6 +70,33 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(got.contains((0L, 2L, 1.0))) // … and identical vectors always collide
   }
 
+  test("ivfTrainCentroids: one Lloyd pass produces the hand-computed per-dim means") {
+    // assignment to seeds c0=[1,0,0,0], c1=[0,1,0,0]: vecs {0,2,3} → c0,
+    // {1,4} → c1 (cos(v4,c1)=0 beats cos(v4,c0)=-1)
+    val got = SimilarityOps.ivfTrainCentroids(emb, nCentroids = 2, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got(0L) == Seq(0.966667, 0.033333, 0.0, 0.0))
+    assert(got(1L) == Seq(-0.5, 0.5, 0.0, 0.0))
+  }
+
+  test("ivfTopKWith trained centroids: duplicate still found, run-to-run deterministic") {
+    val trained = SimilarityOps.ivfTrainCentroids(emb, 2, iters = 2)
+    val got = SimilarityOps.ivfTopKWith(emb, trained, nQueries = 1, k = 3, nProbe = 1)
+      .orderBy("rank").collect()
+    assert(got(0).getLong(1) == 2L && got(0).getDouble(2) == 1.0)
+    val again = SimilarityOps.ivfTopKWith(emb, SimilarityOps.ivfTrainCentroids(emb, 2, 2), 1, 3, 1)
+      .orderBy("rank").collect()
+    assert(got.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("cosine_sim accepts double arrays and mixed float/double sides") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0, 2.0, 3.0))).toDF("f", "d")
+    val r = df.select(
+      graft.functions.GraftFunctions.cosineSim(col("f"), col("d")).as("fd"),
+      graft.functions.GraftFunctions.cosineSim(col("d"), col("d")).as("dd")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12 && math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
   test("native cosine_sim matches the interpreted HOF fold bit-for-bit") {
     val pairs = emb.select(col("vec_id"), col("embedding"))
       .crossJoin(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")))
