@@ -127,7 +127,12 @@ object SimilarityOps {
         .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> round(x.m, 6))")
           .as("c_emb"))
     }
-    centroids
+    // the trained index is consumed at least twice downstream (corpus
+    // assignment + query probes); without persist each consumer replays
+    // the full training lineage — plan-audited as a doubled Lloyd
+    // subtree. nCentroids × dim rows, so caching is free; the cluster
+    // analog is writing the index to a table once per build.
+    centroids.persist()
   }
 
   /** IVF ANN top-k: corpus sharded by nearest centroid (the inverted
