@@ -265,6 +265,29 @@ object SparkEntry {
       graft.streaming.StreamingOps.tumblingCounts(t(s, d, "events"))),
     "events_sliding" -> ((s, d) =>
       graft.streaming.StreamingOps.slidingCounts(t(s, d, "events"), "1 hour", "15 minutes")),
+    // ST4 session_window itself (batch mode), oracled against the gap-
+    // session formulation: a session splits when the gap is >= 30 min
+    // (session_window merges strictly-within-gap arrivals), end = last
+    // event + gap
+    "events_session_window" -> ((s, d) =>
+      graft.streaming.StreamingOps.userSessions(t(s, d, "events"))),
+
+    // recall@5 of each ANN tier vs the brute-force top-k — the number that
+    // makes ANN regressions visible as values, not just hash flips
+    "ann_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val brute = SimilarityOps.cosineTopK(emb, 10, 5).select(col("q_id"), col("vec_id"))
+      def recallOf(approx: DataFrame, method: String): DataFrame = {
+        val hit = approx.select(col("q_id"), col("vec_id")).withColumn("hit", lit(1))
+        brute.join(hit, Seq("q_id", "vec_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(round(sum(coalesce(col("hit"), lit(0))).cast(DoubleType) / lit(5.0), 2)
+            .as("recall"))
+          .select(lit(method).as("method"), col("q_id"), col("recall"))
+      }
+      recallOf(SimilarityOps.lshBucketedTopK(emb, 10, 5), "lsh")
+        .unionByName(recallOf(SimilarityOps.ivfTopK(emb, 16, 10, 5), "ivf"))
+    }),
   )
 
   /** Shared oracle CTE prefix for shingle-based dedup queries (DuckDB
@@ -312,12 +335,19 @@ object SparkEntry {
        |    FROM (SELECT centroid_id, unnest(emb) AS val, generate_subscripts(emb, 1) AS pos FROM a_$out)
        |    GROUP BY centroid_id, pos) t GROUP BY centroid_id)""".stripMargin
 
-  /** Shared oracle CTE: embeddings with their LSH bucket (nBits = 8). */
-  private val lshBucketCtes =
+  /** Shared oracle CTE: embeddings with their LSH bucket. */
+  private def lshBucketCtes(nBits: Int): String =
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-       |                  greatest(CAST(len(embedding) // 8 AS INTEGER), 1) AS stride
+       |                  greatest(CAST(len(embedding) // $nBits AS INTEGER), 1) AS stride
        |           FROM embeddings),
-       |b AS (SELECT vec_id, emb, ${duckLshBucket("emb", "stride", 8)} AS bucket FROM v)""".stripMargin
+       |b AS (SELECT vec_id, emb, ${duckLshBucket("emb", "stride", nBits)} AS bucket FROM v)""".stripMargin
+
+  /** DuckDB spelling of SimilarityOps.lshProbeBuckets with multiProbe on:
+    * the bucket itself plus every Hamming-distance-1 bucket.
+    */
+  private def duckProbeList(nBits: Int): String =
+    ("bucket" +: (0 until nBits).map(j => s"xor(bucket, ${1 << j})"))
+      .mkString("[", ", ", "]")
 
   def oracleSql: Map[String, String] = Map(
     "stg_cast" ->
@@ -586,23 +616,27 @@ object SparkEntry {
         |WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.8""".stripMargin,
 
     "embedding_dup_pairs_lsh" ->
-      (lshBucketCtes +
+      (lshBucketCtes(8) +
       """
         |SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
         |round(list_cosine_similarity(a.emb, c.emb), 4) AS score
         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
         |WHERE round(list_cosine_similarity(a.emb, c.emb), 4) >= 0.8""".stripMargin),
 
-    // full DuckDB replay of the LSH pipeline (bucket fn mirrored above) —
-    // the ANN result itself is hash-gated, not just a rows count
+    // full DuckDB replay of the LSH pipeline (bucket fn + multi-probe set
+    // mirrored above) — the ANN result itself is hash-gated, not just a
+    // rows count
     "cosine_topk_lsh" ->
-      (lshBucketCtes +
-      """,
+      (lshBucketCtes(4) +
+      s""",
+        |qp AS (
+        |  SELECT vec_id AS q_id, emb AS q_emb, unnest(${duckProbeList(4)}) AS bucket
+        |  FROM b WHERE vec_id < 10),
         |scored AS (
-        |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
-        |         round(list_cosine_similarity(c.emb, q.emb), 4) AS score
-        |  FROM b c JOIN b q ON c.bucket = q.bucket
-        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |  SELECT qp.q_id, c.vec_id,
+        |         round(list_cosine_similarity(c.emb, qp.q_emb), 4) AS score
+        |  FROM b c JOIN qp ON c.bucket = qp.bucket
+        |  WHERE c.vec_id <> qp.q_id),
         |ranked AS (
         |  SELECT q_id, vec_id, score,
         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
@@ -745,5 +779,74 @@ object SparkEntry {
         |      FROM e CROSS JOIN k
         |      WHERE time_bucket(INTERVAL '15 minutes', e.ts) - i * INTERVAL '15 minutes' + INTERVAL '1 hour' > e.ts)
         |SELECT window_start, event_type, COUNT(*) AS n FROM w GROUP BY 1, 2""".stripMargin,
+
+    // session_window semantics: merge while the next event is strictly
+    // inside [last_ts, last_ts + gap) → split when gap >= 30 min;
+    // session end = last event + gap
+    "events_session_window" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o)
+        |SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       user_id, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "ann_recall" ->
+      (lshBucketCtes(4) +
+      s""",
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < 10),
+        |brute AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q.q_id, c.vec_id,
+        |           row_number() OVER (PARTITION BY q.q_id
+        |             ORDER BY round(list_cosine_similarity(c.emb, q.q_emb), 4) DESC, c.vec_id) AS rank
+        |    FROM v c CROSS JOIN q WHERE c.vec_id <> q.q_id) t WHERE rank <= 5),
+        |qp AS (
+        |  SELECT vec_id AS q_id, emb AS q_emb, unnest(${duckProbeList(4)}) AS bucket
+        |  FROM b WHERE vec_id < 10),
+        |lsh AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT qp.q_id, c.vec_id,
+        |           row_number() OVER (PARTITION BY qp.q_id
+        |             ORDER BY round(list_cosine_similarity(c.emb, qp.q_emb), 4) DESC, c.vec_id) AS rank
+        |    FROM b c JOIN qp ON c.bucket = qp.bucket
+        |    WHERE c.vec_id <> qp.q_id) t WHERE rank <= 5),
+        |cent AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM v WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT vec_id, emb, centroid_id FROM (
+        |    SELECT v.vec_id, v.emb, c.centroid_id,
+        |           row_number() OVER (PARTITION BY v.vec_id
+        |             ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 6) DESC, c.centroid_id) AS rn
+        |    FROM v CROSS JOIN cent c) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT q_id, q_emb, centroid_id FROM (
+        |    SELECT q.q_id, q.q_emb, c.centroid_id,
+        |           row_number() OVER (PARTITION BY q.q_id
+        |             ORDER BY round(list_cosine_similarity(q.q_emb, c.c_emb), 6) DESC, c.centroid_id) AS rn
+        |    FROM q CROSS JOIN cent c) t WHERE rn <= 2),
+        |ivf AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT p.q_id, a.vec_id,
+        |           row_number() OVER (PARTITION BY p.q_id
+        |             ORDER BY round(list_cosine_similarity(a.emb, p.q_emb), 4) DESC, a.vec_id) AS rank
+        |    FROM asg a JOIN probes p ON a.centroid_id = p.centroid_id
+        |    WHERE a.vec_id <> p.q_id) t WHERE rank <= 5)
+        |SELECT 'lsh' AS method, br.q_id,
+        |round(CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5.0, 2) AS recall
+        |FROM brute br LEFT JOIN lsh l ON br.q_id = l.q_id AND br.vec_id = l.vec_id
+        |GROUP BY br.q_id
+        |UNION ALL
+        |SELECT 'ivf' AS method, br.q_id,
+        |round(CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5.0, 2) AS recall
+        |FROM brute br LEFT JOIN ivf i ON br.q_id = i.q_id AND br.vec_id = i.vec_id
+        |GROUP BY br.q_id""".stripMargin),
   )
 }
