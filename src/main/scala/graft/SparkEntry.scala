@@ -176,6 +176,10 @@ object SparkEntry {
     "jaccard_pairs" -> ((s, d) =>
       DedupOps.jaccardPairs(t(s, d, "documents"), 0.5, maxShingleDocFreq = 50)),
     "jaccard_pairs_unguarded" -> ((s, d) => DedupOps.jaccardPairs(t(s, d, "documents"), 0.5)),
+    // exact prefix-filtered tier — identical output to the unguarded query
+    // (prefix filtering is lossless), candidates confined to rare-shingle
+    // prefixes; shares the unguarded oracle by construction
+    "jaccard_pairs_prefix" -> ((s, d) => DedupOps.jaccardPairsPrefix(t(s, d, "documents"), 0.5)),
     "simhash" -> ((s, d) => DedupOps.simhash(t(s, d, "documents"))),
     "token_count" -> ((s, d) => TextOps.tokenCounts(t(s, d, "documents"))),
     "lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
@@ -348,6 +352,20 @@ object SparkEntry {
   private def duckProbeList(nBits: Int): String =
     ("bucket" +: (0 until nBits).map(j => s"xor(bucket, ${1 << j})"))
       .mkString("[", ", ", "]")
+
+  private val jaccardUnguardedOracle: String =
+    shingleCtes +
+    """,
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |round(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6) AS jaccard
+      |FROM common JOIN sizes na ON common.doc_a = na.doc_id
+      |            JOIN sizes nb ON common.doc_b = nb.doc_id
+      |WHERE round(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6) >= 0.5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "stg_cast" ->
@@ -540,19 +558,10 @@ object SparkEntry {
         |            JOIN sizes nb ON common.doc_b = nb.doc_id
         |WHERE round(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6) >= 0.5""".stripMargin),
 
-    "jaccard_pairs_unguarded" ->
-      (shingleCtes +
-      """,
-        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |common AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        |round(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6) AS jaccard
-        |FROM common JOIN sizes na ON common.doc_a = na.doc_id
-        |            JOIN sizes nb ON common.doc_b = nb.doc_id
-        |WHERE round(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6) >= 0.5""".stripMargin),
+    "jaccard_pairs_unguarded" -> jaccardUnguardedOracle,
+
+    // prefix filtering is lossless → same oracle as the unguarded query
+    "jaccard_pairs_prefix" -> jaccardUnguardedOracle,
 
     "simhash" ->
       (shingleCtes +

@@ -216,6 +216,52 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact n-gram Jaccard via prefix filtering (the all-pairs similarity-
+    * join pruning of Chaudhuri/Bayardo et al.): under any global shingle
+    * order, J(A,B) ≥ t implies |A∩B| ≥ ⌈t·|A|⌉, so two qualifying docs
+    * MUST share a shingle within each one's first |x| − ⌈t·|x|⌉ + 1
+    * shingles. Ordering rarest-df-first makes those prefix shingles the
+    * lowest-collision ones, so posting lists are built over a small,
+    * low-df subset of the inverted index — candidate volume drops from
+    * "any shared shingle" to "shared rare prefix shingle" with ZERO
+    * recall loss (this is exact, unlike LSH). Verification computes the
+    * true intersection from the full per-doc arrays (one per-row
+    * array_intersect per surviving candidate).
+    *
+    * Same output as jaccardPairs(threshold) by construction; the extra
+    * cost is one df aggregate + one per-doc ranking window, both linear.
+    * At 100 TB this is the preferred exact tier: the O(df²) pair blowup
+    * is confined to rare shingles only.
+    */
+  def jaccardPairsPrefix(documents: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(documents)
+    val df_ = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val wRank = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    val wAll = Window.partitionBy("doc_id")
+    val prefix = sh.join(df_, "shingle")
+      .withColumn("pos", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("doc_id"), col("shingle"))
+    val cands = prefix
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(bucketPairsSql)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+    val arrs = shinglesArray(documents)
+    cands
+      .join(arrs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(arrs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("common").cast(DoubleType) /
+          (size(col("sh_a")) + size(col("sh_b")) - col("common")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** 32-bit SimHash per document, computed entirely per-row: for each bit,
     * a fold over the let-bound shingle hashes votes +1/−1; positive votes
     * set the bit. Zero shuffles — the whole corpus signature pass is one

@@ -67,6 +67,16 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(prefiltered == guarded)
   }
 
+  test("jaccardPairsPrefix: lossless — identical output to the plain inverted-index join") {
+    for (t <- Seq(0.3, 0.5, 0.9)) {
+      val plain = DedupOps.jaccardPairs(docs, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val pref = DedupOps.jaccardPairsPrefix(docs, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(pref == plain, s"threshold $t")
+    }
+  }
+
   test("simhash: identical docs equal; near-dups within small hamming distance") {
     val sh = DedupOps.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(1L) == sh(2L))

@@ -42,6 +42,19 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("prefix-filtered Jaccard equals plain Jaccard on random corpora") {
+    val docGen = Gen.chooseNum(3, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("red", "blue", "green", "fox", "dog", "cat", "run"))
+        .map(_.mkString(" ")))
+    for (texts <- samples(Gen.listOfN(6, docGen), 4)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      def pairs(f: (org.apache.spark.sql.DataFrame, Double) => org.apache.spark.sql.DataFrame) =
+        f(df, 0.4).collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(pairs(DedupOps.jaccardPairsPrefix) ==
+        pairs((d, t) => DedupOps.jaccardPairs(d, t)))
+    }
+  }
+
   test("minhash signatures are permutation-invariant") {
     val docGen = Gen.listOfN(8, Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon")).map(_.mkString(" "))
     for (texts <- samples(Gen.listOfN(4, docGen), 3)) {
