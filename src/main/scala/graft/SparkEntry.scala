@@ -181,6 +181,8 @@ object SparkEntry {
     // prefixes; shares the unguarded oracle by construction
     "jaccard_pairs_prefix" -> ((s, d) => DedupOps.jaccardPairsPrefix(t(s, d, "documents"), 0.5)),
     "simhash" -> ((s, d) => DedupOps.simhash(t(s, d, "documents"))),
+    // band-blocked near-dup pairs, exact for hamming <= 3 by pigeonhole
+    "simhash_dup_pairs" -> ((s, d) => DedupOps.simhashCandidatePairs(t(s, d, "documents"))),
     "token_count" -> ((s, d) => TextOps.tokenCounts(t(s, d, "documents"))),
     "lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
     "quality_score" -> ((s, d) => TextOps.qualityScore(t(s, d, "documents"))),
@@ -352,6 +354,19 @@ object SparkEntry {
   private def duckProbeList(nBits: Int): String =
     ("bucket" +: (0 until nBits).map(j => s"xor(bucket, ${1 << j})"))
       .mkString("[", ", ", "]")
+
+  /** Per-doc SimHash as a reusable CTE (DuckDB spelling of DedupOps.simhash). */
+  private val simhashCtes = shingleCtes +
+    """,
+      |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS hv FROM sh),
+      |bits AS (SELECT * FROM generate_series(0, 31) t(bit)),
+      |votes AS (
+      |  SELECT doc_id, bit, SUM(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM h CROSS JOIN bits GROUP BY doc_id, bit),
+      |sim AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM votes GROUP BY doc_id)""".stripMargin
 
   private val jaccardUnguardedOracle: String =
     shingleCtes +
@@ -563,17 +578,21 @@ object SparkEntry {
     // prefix filtering is lossless → same oracle as the unguarded query
     "jaccard_pairs_prefix" -> jaccardUnguardedOracle,
 
-    "simhash" ->
-      (shingleCtes +
+    "simhash" -> (simhashCtes + "\nSELECT doc_id, simhash FROM sim"),
+
+    // band blocking replayed: 4 disjoint 8-bit bands, pairs sharing a
+    // band, exact Hamming verification via bit_count(xor)
+    "simhash_dup_pairs" ->
+      (simhashCtes +
       """,
-        |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS hv FROM sh),
-        |bits AS (SELECT * FROM generate_series(0, 31) t(bit)),
-        |votes AS (
-        |  SELECT doc_id, bit, SUM(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-        |  FROM h CROSS JOIN bits GROUP BY doc_id, bit)
-        |SELECT doc_id,
-        |CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
-        |FROM votes GROUP BY doc_id""".stripMargin),
+        |bands AS (
+        |  SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS band_key
+        |  FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
 
     "token_count" ->
       """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars_measured,

@@ -278,4 +278,43 @@ object DedupOps {
       .filter(expr(s"size($toksSql)") >= 3)
       .select(col("doc_id"), expr(simhashSql).cast(LongType).as("simhash"))
   }
+
+  /** Within-bucket ordered struct pairs (carries payload fields through,
+    * unlike bucketPairsSql's bare ids); ds sorts by the struct's first
+    * field (doc_id), so pairs come out doc_a < doc_b.
+    */
+  private val bucketStructPairsSql =
+    "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), " +
+      "y -> named_struct('a', x, 'b', y))))"
+
+  /** SimHash near-duplicate pairs via bit-band blocking: the 32-bit
+    * signature splits into 4 disjoint 8-bit bands; candidates share at
+    * least one band, then exact Hamming distance filters. Pigeonhole makes
+    * this EXACT for maxHamming <= 3: at most 3 differing bits can touch at
+    * most 3 of the 4 bands, so one band must match — no recall loss, unlike
+    * MinHash-LSH. Same 100 TB shape as minhashCandidatePairs: a zero-
+    * shuffle signature map, then one shuffle on (band, band_key) with
+    * posting-list pair emission; signatures ride along in the list so
+    * verification is a per-pair bit_count, no re-join.
+    */
+  def simhashCandidatePairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band blocking is only exact for maxHamming <= 3")
+    val bands = simhash(documents).select(
+      col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b => struct(
+        lit(b).as("band"),
+        shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("band_key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    bands
+      .groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(bucketStructPairsSql)).as("p"))
+      .select(
+        col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

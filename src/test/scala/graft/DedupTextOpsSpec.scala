@@ -84,6 +84,13 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(hamming(sh(1L), sh(3L)) < hamming(sh(1L), sh(4L)))
   }
 
+  test("simhashCandidatePairs: identical docs pair at hamming 0; radius bound holds") {
+    val pairs = DedupOps.simhashCandidatePairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.get((1L, 2L)).contains(0)) // exact dups share every band
+    assert(pairs.values.forall(_ <= 3))
+  }
+
   test("tokenCounts + fingerprints: counts match, fingerprints equal iff normalized text equal") {
     val tc = TextOps.tokenCounts(docs).collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
     assert(tc(1L) == 13)
