@@ -293,6 +293,9 @@ object SparkEntry {
       }
       recallOf(SimilarityOps.lshBucketedTopK(emb, 10, 5), "lsh")
         .unionByName(recallOf(SimilarityOps.ivfTopK(emb, 16, 10, 5), "ivf"))
+        .unionByName(recallOf(
+          SimilarityOps.ivfTopKWith(emb, SimilarityOps.ivfTrainCentroids(emb, 16, 2), 10, 5),
+          "ivf_trained"))
     }),
   )
 
@@ -866,6 +869,27 @@ object SparkEntry {
         |           row_number() OVER (PARTITION BY p.q_id
         |             ORDER BY round(list_cosine_similarity(a.emb, p.q_emb), 4) DESC, a.vec_id) AS rank
         |    FROM asg a JOIN probes p ON a.centroid_id = p.centroid_id
+        |    WHERE a.vec_id <> p.q_id) t WHERE rank <= 5),
+        |${duckLloydIter("cent", "c1t")},
+        |${duckLloydIter("c1t", "c2t")},
+        |asg_t AS (
+        |  SELECT vec_id, emb, centroid_id FROM (
+        |    SELECT v.vec_id, v.emb, c.centroid_id,
+        |           row_number() OVER (PARTITION BY v.vec_id
+        |             ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 6) DESC, c.centroid_id) AS rn
+        |    FROM v CROSS JOIN c2t c) t WHERE rn = 1),
+        |probes_t AS (
+        |  SELECT q_id, q_emb, centroid_id FROM (
+        |    SELECT q.q_id, q.q_emb, c.centroid_id,
+        |           row_number() OVER (PARTITION BY q.q_id
+        |             ORDER BY round(list_cosine_similarity(q.q_emb, c.c_emb), 6) DESC, c.centroid_id) AS rn
+        |    FROM q CROSS JOIN c2t c) t WHERE rn <= 2),
+        |ivft AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT p.q_id, a.vec_id,
+        |           row_number() OVER (PARTITION BY p.q_id
+        |             ORDER BY round(list_cosine_similarity(a.emb, p.q_emb), 4) DESC, a.vec_id) AS rank
+        |    FROM asg_t a JOIN probes_t p ON a.centroid_id = p.centroid_id
         |    WHERE a.vec_id <> p.q_id) t WHERE rank <= 5)
         |SELECT 'lsh' AS method, br.q_id,
         |round(CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5.0, 2) AS recall
@@ -875,6 +899,11 @@ object SparkEntry {
         |SELECT 'ivf' AS method, br.q_id,
         |round(CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5.0, 2) AS recall
         |FROM brute br LEFT JOIN ivf i ON br.q_id = i.q_id AND br.vec_id = i.vec_id
+        |GROUP BY br.q_id
+        |UNION ALL
+        |SELECT 'ivf_trained' AS method, br.q_id,
+        |round(CAST(SUM(CASE WHEN it.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5.0, 2) AS recall
+        |FROM brute br LEFT JOIN ivft it ON br.q_id = it.q_id AND br.vec_id = it.vec_id
         |GROUP BY br.q_id""".stripMargin),
   )
 }
