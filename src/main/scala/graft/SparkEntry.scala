@@ -278,6 +278,15 @@ object SparkEntry {
     "events_session_window" -> ((s, d) =>
       graft.streaming.StreamingOps.userSessions(t(s, d, "events"))),
 
+    // stream-stream interval join, batch mode (same code path runs on
+    // readStream frames with watermark-bounded state)
+    "events_attribution" -> ((s, d) => {
+      val e = t(s, d, "events")
+      graft.streaming.StreamingOps.purchaseAttribution(
+        e.filter(col("event_type") === "purchase"),
+        e.filter(col("event_type") === "signup"))
+    }),
+
     // recall@5 of each ANN tier vs the brute-force top-k — the number that
     // makes ANN regressions visible as values, not just hash flips
     "ann_recall" -> ((s, d) => {
@@ -829,6 +838,15 @@ object SparkEntry {
         |SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
         |       user_id, COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "events_attribution" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |CAST(p.ts AS TIMESTAMP) AS purchase_ts, CAST(s.ts AS TIMESTAMP) AS signup_ts
+        |FROM events p JOIN events s
+        |  ON p.user_id = s.user_id
+        | AND p.event_type = 'purchase' AND s.event_type = 'signup'
+        | AND CAST(s.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        | AND CAST(s.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 7 DAY""".stripMargin,
 
     "ann_recall" ->
       (lshBucketCtes(4) +

@@ -53,6 +53,30 @@ object StreamingOps {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** Stream-stream interval join (purchase attribution): each purchase
+    * matches the same user's signups within [purchase_ts − window,
+    * purchase_ts]. Batch plan: equi-join on user_id with a time-range
+    * residual (shuffle by user, never a nested loop). Streaming plan: both
+    * sides watermarked, and the time bound is what lets Spark evict signup
+    * state once the watermark passes signup_ts + window — without it the
+    * join state grows forever.
+    */
+  def purchaseAttribution(purchases: DataFrame, signups: DataFrame,
+                          window: String = "7 days",
+                          delay: String = "1 hour"): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", delay)
+    val s = signups
+      .select(col("user_id").as("s_user_id"), col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", delay)
+    p.join(s,
+        col("user_id") === col("s_user_id") &&
+          col("signup_ts") <= col("purchase_ts") &&
+          col("signup_ts") >= col("purchase_ts") - expr(s"INTERVAL $window"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"), col("signup_ts"))
+  }
+
   /** Stateful streaming dedup by event_id, state bounded by the watermark.
     * (On a batch frame Spark treats this as plain dropDuplicates.)
     */

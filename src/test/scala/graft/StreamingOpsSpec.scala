@@ -66,6 +66,37 @@ class StreamingOpsSpec extends SparkSpec {
     assert(!rows.keys.exists(_._1.startsWith("2024-01-03")))
   }
 
+  test("purchaseAttribution: batch semantics — signups within the window only") {
+    val purchases = Seq((1L, ts("2024-01-10 00:00:00"), 10L),
+      (2L, ts("2024-01-20 00:00:00"), 10L))
+      .toDF("event_id", "ts", "user_id")
+    val signups = Seq((3L, ts("2024-01-08 00:00:00"), 10L),  // within 7d of p1 only
+      (4L, ts("2023-12-01 00:00:00"), 10L),                  // too old for both
+      (5L, ts("2024-01-09 00:00:00"), 11L))                  // other user
+      .toDF("event_id", "ts", "user_id")
+    val got = StreamingOps.purchaseAttribution(purchases, signups)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(3).toString))
+    assert(got.toSeq == Seq((1L, "2024-01-08 00:00:00.0")))
+  }
+
+  test("stream-stream interval join end-to-end with watermark-bounded state") {
+    val pin = Files.createTempDirectory("graft-attr-p").toString
+    val sin = Files.createTempDirectory("graft-attr-s").toString
+    val out = Files.createTempDirectory("graft-attr-out").toString
+    val ckpt = Files.createTempDirectory("graft-attr-ckpt").toString
+    val schema = Seq((0L, ts("2024-01-01 00:00:00"), 0L)).toDF("event_id", "ts", "user_id").schema
+    Seq((1L, ts("2024-01-10 00:00:00"), 10L)).toDF("event_id", "ts", "user_id").write.parquet(pin + "/f1")
+    Seq((3L, ts("2024-01-08 00:00:00"), 10L), (4L, ts("2023-12-01 00:00:00"), 10L))
+      .toDF("event_id", "ts", "user_id").write.parquet(sin + "/f1")
+    val p = spark.readStream.schema(schema).option("recursiveFileLookup", "true").parquet(pin)
+    val s = spark.readStream.schema(schema).option("recursiveFileLookup", "true").parquet(sin)
+    val q = StreamingOps.availableNowWriter(
+      StreamingOps.purchaseAttribution(p, s), out, ckpt).start()
+    q.awaitTermination(180000)
+    val got = spark.read.parquet(out).collect().map(r => (r.getLong(0), r.getTimestamp(3).toString))
+    assert(got.toSeq == Seq((1L, "2024-01-08 00:00:00.0")))
+  }
+
   test("dedupWithinWatermark on a stream drops duplicate event_ids") {
     val in = Files.createTempDirectory("graft-dedup-in").toString
     val out = Files.createTempDirectory("graft-dedup-out").toString
