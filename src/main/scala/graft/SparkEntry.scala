@@ -208,6 +208,15 @@ object SparkEntry {
     "multimodal_meta" -> ((s, d) => MultimodalOps.payloadMeta(t(s, d, "documents"))),
     "text_chunks" -> ((s, d) => TextOps.chunks(t(s, d, "documents"))),
     "term_frequencies" -> ((s, d) => TextOps.termFrequencies(t(s, d, "documents"))),
+    "tf_idf" -> ((s, d) => TextOps.tfIdf(t(s, d, "documents"))),
+    // k-means document clustering as a first-class output: the Lloyd-
+    // trained assignment (vec_id → cluster), oracled through the same
+    // training replay as cosine_topk_ivf_trained
+    "embedding_clusters" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      SimilarityOps.ivfAssignWith(emb, SimilarityOps.ivfTrainCentroids(emb, 16, iters = 2))
+        .select(col("vec_id"), col("centroid_id").as("cluster_id"))
+    }),
 
     "median_price" -> ((s, d) =>
       t(s, d, "orders").groupBy(col("o_orderstatus"))
@@ -762,6 +771,29 @@ object SparkEntry {
       """SELECT token, COUNT(*) AS n FROM (
         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents)
         |GROUP BY token""".stripMargin,
+
+    "tf_idf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.token, tf.tf,
+        |round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tf_idf
+        |FROM tf JOIN df USING (token) CROSS JOIN n""".stripMargin,
+
+    "embedding_clusters" ->
+      (s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          |c0 AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM v WHERE vec_id < 16),
+          |${duckLloydIter("c0", "c1")},
+          |${duckLloydIter("c1", "c2")},
+          |asg AS (
+          |  SELECT vec_id, centroid_id FROM (
+          |    SELECT v.vec_id, c.centroid_id,
+          |           row_number() OVER (PARTITION BY v.vec_id
+          |             ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 6) DESC, c.centroid_id) AS rn
+          |    FROM v CROSS JOIN c2 c) t WHERE rn = 1)
+          |SELECT vec_id, centroid_id AS cluster_id FROM asg""".stripMargin),
 
     "median_price" ->
       """SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS median_price

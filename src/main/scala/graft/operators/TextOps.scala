@@ -114,6 +114,27 @@ object TextOps {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
 
+  /** TF-IDF per (doc, token): tf = in-document count, idf = ln(N/df) with
+    * df = number of documents containing the token. Three hash aggregates
+    * (doc×token, token, corpus count) + one join on token; the corpus size
+    * rides in as a broadcast 1-row frame so the whole plan stays
+    * distributed (no driver-side count threaded into the expression).
+    * At 100 TB the (doc, token) aggregate dominates and partial
+    * aggregation keeps its shuffle proportional to distinct pairs.
+    */
+  def tfIdf(documents: DataFrame): DataFrame = {
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val tf = documents
+      .select(col("doc_id"), explode(tokensOf("text")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(df_, "token")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("token"), col("tf"),
+        round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 6).as("tf_idf"))
+  }
+
   /** Distinct-content cardinality per source via HLL++
     * (approx_count_distinct). Not oracle-comparable (sketch internals are
     * engine-specific) — registered rows-only; the exact variant is

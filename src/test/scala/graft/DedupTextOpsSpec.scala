@@ -103,6 +103,17 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(got(1L) == "en" && got(4L) == "und")
   }
 
+  test("tfIdf: corpus-wide tokens get zero idf; doc-unique tokens score highest in-doc") {
+    val got = TextOps.tfIdf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(3)).toMap
+    // 'the' appears in docs 1,2,3 but not 4 → idf = ln(4/3) > 0; 'quick' same df
+    // 'whatsoever' is unique to doc 4 → idf = ln(4/1)
+    assert(math.abs(got((4L, "whatsoever")) - math.log(4.0)) < 1e-6)
+    assert(math.abs(got((1L, "quick")) - math.log(4.0 / 3.0)) < 1e-6)
+    // a token in every doc would score 0; all scores are >= 0 here
+    assert(got.values.forall(_ >= 0.0))
+  }
+
   test("approxDistinctWithinTol: HLL estimate within tolerance of exact on small cardinalities") {
     val got = TextOps.approxDistinctWithinTol(docs)
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
