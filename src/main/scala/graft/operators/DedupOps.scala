@@ -234,16 +234,26 @@ object DedupOps {
     * is confined to rare shingles only.
     */
   def jaccardPairsPrefix(documents: DataFrame, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sh = shingles(documents)
-    val df_ = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val wRank = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
-    val wAll = Window.partitionBy("doc_id")
-    val prefix = sh.join(df_, "shingle")
-      .withColumn("pos", row_number().over(wRank))
-      .withColumn("n", count(lit(1)).over(wAll))
-      .filter(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col("doc_id"), col("shingle"))
+    // Posting lists once — df(shingle) IS the list length (the same
+    // observation that makes the stop-shingle guard free), so no separate
+    // df aggregate or join-back. Re-exploding the lists hands every
+    // (doc, shingle) row its df for the per-doc ranking.
+    val lists = shingles(documents)
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+    val withDf = lists.select(
+      col("shingle"), size(col("ds")).as("df"), explode(col("ds")).as("doc_id"))
+    // rarest-first prefix via one groupBy(doc) + per-row array sort/slice —
+    // cheaper than a row_number window (no partition-wide sort machinery,
+    // and the per-doc count falls out as size(ranked))
+    val prefix = withDf
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ranked"))
+      .select(col("doc_id"),
+        explode(expr(
+          s"slice(ranked, 1, size(ranked) - cast(ceil($threshold * size(ranked)) as int) + 1)"))
+          .as("r"))
+      .select(col("doc_id"), col("r.shingle").as("shingle"))
     val cands = prefix
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
