@@ -209,6 +209,12 @@ object SparkEntry {
     "text_chunks" -> ((s, d) => TextOps.chunks(t(s, d, "documents"))),
     "term_frequencies" -> ((s, d) => TextOps.termFrequencies(t(s, d, "documents"))),
     "tf_idf" -> ((s, d) => TextOps.tfIdf(t(s, d, "documents"))),
+    // portable-hash bucket sampling: same rows selected by any engine
+    "sample_10pct" -> ((s, d) =>
+      TextOps.deterministicSample(t(s, d, "documents"), "doc_id", 10)),
+    // one-pass null/row profile of the events feed
+    "null_audit_events" -> ((s, d) => RelationalOps.nullAudit(
+      t(s, d, "events").select("event_id", "user_id", "event_type", "value", "props"))),
     // k-means document clustering as a first-class output: the Lloyd-
     // trained assignment (vec_id → cluster), oracled through the same
     // training replay as cosine_topk_ivf_trained
@@ -300,7 +306,9 @@ object SparkEntry {
     // makes ANN regressions visible as values, not just hash flips
     "ann_recall" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val brute = SimilarityOps.cosineTopK(emb, 10, 5).select(col("q_id"), col("vec_id"))
+      // brute is the left side of all three method joins — persist the
+      // 50-row reference instead of replaying the corpus scan per method
+      val brute = SimilarityOps.cosineTopK(emb, 10, 5).select(col("q_id"), col("vec_id")).persist()
       def recallOf(approx: DataFrame, method: String): DataFrame = {
         val hit = approx.select(col("q_id"), col("vec_id")).withColumn("hit", lit(1))
         brute.join(hit, Seq("q_id", "vec_id"), "left")
@@ -781,6 +789,20 @@ object SparkEntry {
         |SELECT tf.doc_id, tf.token, tf.tf,
         |round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tf_idf
         |FROM tf JOIN df USING (token) CROSS JOIN n""".stripMargin,
+
+    "sample_10pct" ->
+      """SELECT * FROM documents
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10""".stripMargin,
+
+    "null_audit_events" ->
+      """SELECT
+        |CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_id_nulls,
+        |CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS user_id_nulls,
+        |CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type_nulls,
+        |CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
+        |CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS props_nulls,
+        |COUNT(*) AS n_rows
+        |FROM events""".stripMargin,
 
     "embedding_clusters" ->
       (s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

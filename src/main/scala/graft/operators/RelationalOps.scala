@@ -209,4 +209,14 @@ object RelationalOps {
         .when(col("event_type") === "signup", "Acquisition")
         .when(col("event_type") === "error", "Reliability")
         .otherwise("Engagement").as("indicator"))
+
+  /** Data-quality audit: null count per column + total rows, in one pass.
+    * One partial→final aggregate whose shuffle is a single row regardless
+    * of input size — the cheapest possible full-table profile.
+    */
+  def nullAudit(df: DataFrame): DataFrame =
+    df.select(
+      df.columns.map(c =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")).toSeq :+
+        count(lit(1)).as("n_rows"): _*)
 }

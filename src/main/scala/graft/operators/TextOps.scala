@@ -114,6 +114,19 @@ object TextOps {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
 
+  /** Reproducible corpus sampling: an md5-derived bucket per key, keeping
+    * buckets < pctBuckets of `of`. Unlike rand()/TABLESAMPLE this survives
+    * retries, speculative tasks, and repartitioning — and any engine
+    * selects the SAME rows (portable hash), so samples are auditable and
+    * joinable across systems. The filter is a pure per-row predicate:
+    * pushes to the scan, no shuffle, no state.
+    */
+  def deterministicSample(df: DataFrame, keyCol: String,
+                          pctBuckets: Int, of: Int = 100): DataFrame =
+    df.filter(
+      expr(s"cast(conv(substr(md5(cast($keyCol as string)), 1, 8), 16, 10) as bigint) % $of")
+        < pctBuckets)
+
   /** TF-IDF per (doc, token): tf = in-document count, idf = ln(N/df) with
     * df = number of documents containing the token. Three hash aggregates
     * (doc×token, token, corpus count) + one join on token; the corpus size

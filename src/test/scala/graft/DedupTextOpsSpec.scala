@@ -103,6 +103,22 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(got(1L) == "en" && got(4L) == "und")
   }
 
+  test("deterministicSample: same rows at any partitioning; roughly pct-sized") {
+    val big = spark.range(0, 2000).toDF("doc_id")
+    val a = TextOps.deterministicSample(big, "doc_id", 10).collect().map(_.getLong(0)).toSet
+    val b = TextOps.deterministicSample(big.repartition(7), "doc_id", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(a.size > 100 && a.size < 300) // ~10% of 2000
+  }
+
+  test("nullAudit: per-column null counts + row count in one row") {
+    val df = Seq((Some(1L), Some("a")), (None, Some("b")), (Some(3L), None))
+      .toDF("id", "v")
+    val r = graft.operators.RelationalOps.nullAudit(df).collect()(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L && r.getLong(2) == 3L)
+  }
+
   test("tfIdf: corpus-wide tokens get zero idf; doc-unique tokens score highest in-doc") {
     val got = TextOps.tfIdf(docs).collect()
       .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(3)).toMap
