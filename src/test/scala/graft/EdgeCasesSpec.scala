@@ -27,12 +27,17 @@ class EdgeCasesSpec extends SparkSpec {
     assert(DedupOps.minhashSignatures(emptyDocs).count() == 0)
     assert(DedupOps.minhashCandidatePairs(emptyDocs).count() == 0)
     assert(DedupOps.jaccardPairs(emptyDocs, 0.5).count() == 0)
+    assert(DedupOps.jaccardPairsPrefix(emptyDocs, 0.5).count() == 0)
     assert(DedupOps.simhash(emptyDocs).count() == 0)
+    assert(DedupOps.simhashCandidatePairs(emptyDocs).count() == 0)
     assert(TextOps.tokenCounts(emptyDocs).count() == 0)
     assert(TextOps.langId(emptyDocs).count() == 0)
     assert(TextOps.qualityScore(emptyDocs).count() == 0)
     assert(TextOps.chunks(emptyDocs).count() == 0)
     assert(TextOps.termFrequencies(emptyDocs).count() == 0)
+    assert(TextOps.tfIdf(emptyDocs).count() == 0)
+    assert(TextOps.deterministicSample(emptyDocs, "doc_id", 10).count() == 0)
+    assert(TextOps.approxDistinctWithinTol(emptyDocs).count() == 0)
   }
 
   test("sub-shingle and empty texts: signature ops skip, scalar ops stay safe") {
@@ -72,6 +77,10 @@ class EdgeCasesSpec extends SparkSpec {
     val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     assert(SimilarityOps.cosineTopK(empty, 10, 5).count() == 0)
     assert(SimilarityOps.embeddingDupPairs(empty, 0.8).count() == 0)
+    assert(SimilarityOps.embeddingDupPairsLsh(empty, 0.8).count() == 0)
+    assert(SimilarityOps.lshBucketedTopK(empty, 10, 5).count() == 0)
+    assert(SimilarityOps.ivfTrainCentroids(empty, 4, 1).count() == 0)
+    assert(SimilarityOps.ivfTopK(empty, 4, 10, 5).count() == 0)
   }
 
   test("asOfJoin with empty right side: left rows survive with NULL asof values") {
