@@ -305,9 +305,10 @@ object SparkEntry {
     // recall@5 of each ANN tier vs the brute-force top-k — the number that
     // makes ANN regressions visible as values, not just hash flips
     "ann_recall" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      // brute is the left side of all three method joins — persist the
-      // 50-row reference instead of replaying the corpus scan per method
+      // four pipelines (brute + 3 ANN tiers incl. training) re-scan the
+      // embeddings ~15x between them — persist the table once, and the
+      // 50-row brute reference that is the left side of every method join
+      val emb = t(s, d, "embeddings").persist()
       val brute = SimilarityOps.cosineTopK(emb, 10, 5).select(col("q_id"), col("vec_id")).persist()
       def recallOf(approx: DataFrame, method: String): DataFrame = {
         val hit = approx.select(col("q_id"), col("vec_id")).withColumn("hit", lit(1))
