@@ -224,9 +224,36 @@ object SparkEntry {
         .select(col("vec_id"), col("centroid_id").as("cluster_id"))
     }),
 
+    // TimescaleDB gapfill+locf analog: daily totals per status densified
+    // to calendar grain with forward-fill
+    "gapfill_daily_status" -> ((s, d) => {
+      val daily = t(s, d, "orders")
+        .groupBy(col("o_orderstatus"),
+          date_trunc("day", col("o_orderdate")).cast(DateType).as("day"))
+        .agg(RelationalOps.moneySum(col("o_totalprice")).as("total"))
+      FinanceOps.gapFillDaily(daily, "o_orderstatus", "day", "total")
+    }),
+
     "median_price" -> ((s, d) =>
       t(s, d, "orders").groupBy(col("o_orderstatus"))
         .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"))),
+
+    // winsorized totals: clip into [p01, p99] per group before summing —
+    // the finance outlier guard. Bounds round to cents so every clipped
+    // value is an exact 2-decimal quantity and the decimal sum stays
+    // engine-portable; the broadcast join ships 3 bound rows, not data
+    "winsorized_spend" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val pct = o.groupBy(col("o_orderstatus")).agg(
+        round(expr("percentile(o_totalprice, 0.01)"), 2).as("lo"),
+        round(expr("percentile(o_totalprice, 0.99)"), 2).as("hi"))
+      o.join(broadcast(pct), "o_orderstatus")
+        .select(col("o_orderstatus"),
+          least(greatest(col("o_totalprice"), col("lo")), col("hi")).cast(Money).as("clipped"))
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("clipped")).cast(Money).as("winsorized_total"),
+          count(lit(1)).as("n"))
+    }),
 
     // the 100× tier (SCALE.md §aggregates): approx_percentile sketches
     // merge map-side instead of sorting each group; gated by a
@@ -818,12 +845,41 @@ object SparkEntry {
           |    FROM v CROSS JOIN c2 c) t WHERE rn = 1)
           |SELECT vec_id, centroid_id AS cluster_id FROM asg""".stripMargin),
 
+    "gapfill_daily_status" ->
+      """WITH daily AS (
+        |  SELECT o_orderstatus, CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |  FROM orders GROUP BY 1, 2),
+        |b AS (SELECT o_orderstatus, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        |cal AS (
+        |  SELECT o_orderstatus,
+        |         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |j AS (SELECT cal.o_orderstatus, cal.day, daily.total
+        |      FROM cal LEFT JOIN daily ON cal.o_orderstatus = daily.o_orderstatus AND cal.day = daily.day)
+        |SELECT o_orderstatus, day, total,
+        |last_value(total IGNORE NULLS) OVER (PARTITION BY o_orderstatus ORDER BY day
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total_filled
+        |FROM j""".stripMargin,
+
     "median_price" ->
       """SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS median_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "median_price_approx" ->
       "SELECT o_orderstatus, CAST(1 AS BOOLEAN) AS within_tol FROM orders GROUP BY o_orderstatus",
+
+    "winsorized_spend" ->
+      """WITH pct AS (
+        |  SELECT o_orderstatus,
+        |         round(quantile_cont(o_totalprice, 0.01), 2) AS lo,
+        |         round(quantile_cont(o_totalprice, 0.99), 2) AS hi
+        |  FROM orders GROUP BY 1)
+        |SELECT o.o_orderstatus,
+        |CAST(SUM(CAST(least(greatest(o.o_totalprice, p.lo), p.hi) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS winsorized_total,
+        |COUNT(*) AS n
+        |FROM orders o JOIN pct p ON o.o_orderstatus = p.o_orderstatus
+        |GROUP BY 1""".stripMargin,
 
     "events_sessions" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -152,6 +152,29 @@ object FinanceOps {
 
   // ------------------------------------------------------------------
   // Materialization (S9/S10)
+  /** Calendar gap-fill + forward-fill — the TimescaleDB
+    * `time_bucket_gapfill` + `locf` analog (the reference's warehouse is
+    * TimescaleDB, README.md:268): densify each key's [min, max] date range
+    * to daily grain and carry the last observed value across the gaps.
+    * Plan: per-key bounds aggregate → sequence() explode (the calendar is
+    * generated distributed, rows ∝ keys × days, never collected) → left
+    * join observations → one ordered window for the fill. Missing days get
+    * NULL in the raw column and the carried value in `<valueCol>_filled`.
+    */
+  def gapFillDaily(df: DataFrame, key: String, dateCol: String,
+                   valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = df.groupBy(col(key))
+      .agg(min(col(dateCol)).as("d0"), max(col(dateCol)).as("d1"))
+    val calendar = bounds.select(col(key),
+      explode(expr("sequence(d0, d1, interval 1 day)")).as(dateCol))
+    val w = Window.partitionBy(col(key)).orderBy(col(dateCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    calendar
+      .join(df.select(col(key), col(dateCol), col(valueCol)), Seq(key, dateCol), "left")
+      .withColumn(s"${valueCol}_filled", last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
   // ------------------------------------------------------------------
 
   /** dbt `materialized='view'` → temp view (lazy, recomputed). */

@@ -110,4 +110,20 @@ class FinanceOpsSpec extends SparkSpec {
     val staged = FinanceOps.stgFinancialData(flat)
     assert(staged.collect().count(_.isNullAt(2)) == 1)
   }
+
+  test("gapFillDaily: missing days densified, value forward-filled, raw stays NULL") {
+    import java.sql.Date
+    val df = Seq(
+      ("A", Date.valueOf("2024-01-01"), BigDecimal("10.00")),
+      ("A", Date.valueOf("2024-01-04"), BigDecimal("40.00")),
+      ("B", Date.valueOf("2024-02-01"), BigDecimal("5.00")))
+      .toDF("k", "day", "total")
+    val got = FinanceOps.gapFillDaily(df, "k", "day", "total")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        (Option(r.getDecimal(2)), r.getDecimal(3))).toMap
+    assert(got.size == 5) // A: 4 calendar days, B: 1
+    val gap = got(("A", "2024-01-02"))
+    assert(gap._1.isEmpty && gap._2.doubleValue == 10.0) // raw NULL, fill carries
+    assert(got(("A", "2024-01-04"))._2.doubleValue == 40.0)
+  }
 }
