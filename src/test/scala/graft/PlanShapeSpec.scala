@@ -1,0 +1,61 @@
+package graft
+
+/** Physical-plan regression guards (SURVEY.md §4): the scale claims in
+  * SCALE.md are structural plan properties — signature passes are
+  * shuffle-free, filters reach the parquet scan, candidate generation
+  * never degenerates to a nested loop. Asserting them here means a plan
+  * regression fails the suite instead of surfacing as a 100×-scale
+  * incident. Plans are built against the sf0.001 fixture (never executed —
+  * only inspected), so the spec is cheap.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("per-row signature/scan queries are completely narrow: zero exchanges") {
+    val narrow = Seq(
+      "minhash_signatures", "simhash", "token_count", "lang_id",
+      "quality_score", "doc_fingerprint", "multimodal_meta", "sample_10pct",
+      "filter_project", "stg_cast", "lit_columns", "normalize_strings",
+      "json_flatten", "case_when_indicator", "text_chunks")
+    for (q <- narrow) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q should be shuffle- and broadcast-free:\n$p")
+    }
+  }
+
+  test("filters and projections reach the parquet scan") {
+    val p = plan("filter_project")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(o_orderstatus,O)"),
+      s"status filter must push to the scan:\n$p")
+    // column pruning: the scan must not read the unused o_comment-style width
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("o_orderpriority"), "projection should prune unused columns")
+  }
+
+  test("candidate generation and range joins never plan a nested loop") {
+    val bucketed = Seq(
+      "minhash_lsh_pairs", "jaccard_pairs", "jaccard_pairs_prefix",
+      "simhash_dup_pairs", "embedding_dup_pairs_lsh", "range_join",
+      "events_attribution", "asof_join")
+    for (q <- bucketed) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product:\n$p")
+      // the deliberate broadcast cross-scores (tiny centroid/query sides)
+      // are BroadcastNestedLoopJoin; none of these queries should need one
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop:\n$p")
+    }
+  }
+
+  test("aggregates plan partial -> final (map-side combine present)") {
+    for (q <- Seq("mart_yearly_avg", "q1_pricing_summary", "term_frequencies")) {
+      val p = plan(q)
+      assert(p.contains("HashAggregate"), s"$q should hash-aggregate:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q should have partial+final aggregation:\n$p")
+    }
+  }
+}
