@@ -52,9 +52,10 @@ object SimilarityOps {
   /** Embedding-space near-duplicate pairs, brute-force baseline: all pairs
     * (i < j) with cosine ≥ threshold. O(n²/2) scoring — correct and
     * oracle-checkable, the right choice only when n is modest (e.g. one
-    * shard). The 100 TB path is the same scoring keyed through
-    * `lshBucket` buckets (see lshBucketedTopK): equi-join on bucket
-    * instead of cross join, trading recall for linearity.
+    * shard). The 100 TB path is `embeddingDupPairsLsh` below: equi-join on
+    * the hyperplane bucket instead of a cross join, trading recall for
+    * linearity; this brute variant stays registered as its recall
+    * reference.
     */
   def embeddingDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
     val a = embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
