@@ -238,6 +238,26 @@ object SparkEntry {
       t(s, d, "orders").groupBy(col("o_orderstatus"))
         .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"))),
 
+    // robust outlier flags: |x − median| > 2 × MAD per group — the
+    // median-based z-score that survives the very outliers it hunts
+    // (factor 2 flags the ~0.6% tail of this near-uniform fixture; a
+    // normal-tail corpus would use the conventional 3–5). Two exact-
+    // percentile passes; both group frames broadcast (3 rows)
+    "mad_outliers" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val med = o.groupBy(col("o_orderstatus"))
+        .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+      val dev = o.join(broadcast(med), "o_orderstatus")
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+          abs(col("o_totalprice") - col("med")).as("adev"))
+      val mad = dev.groupBy(col("o_orderstatus"))
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "o_orderstatus")
+        .filter(col("adev") > lit(2.0) * col("mad"))
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          col("o_totalprice").cast(Money).as("price"))
+    }),
+
     // winsorized totals: clip into [p01, p99] per group before summing —
     // the finance outlier guard. Bounds round to cents so every clipped
     // value is an exact 2-decimal quantity and the decimal sum stays
@@ -868,6 +888,18 @@ object SparkEntry {
 
     "median_price_approx" ->
       "SELECT o_orderstatus, CAST(1 AS BOOLEAN) AS within_tol FROM orders GROUP BY o_orderstatus",
+
+    "mad_outliers" ->
+      """WITH med AS (
+        |  SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med FROM orders GROUP BY 1),
+        |dev AS (
+        |  SELECT o.o_orderstatus, o.o_orderkey, o.o_totalprice,
+        |         abs(o.o_totalprice - m.med) AS adev
+        |  FROM orders o JOIN med m ON o.o_orderstatus = m.o_orderstatus),
+        |mad AS (SELECT o_orderstatus, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+        |SELECT d.o_orderstatus, d.o_orderkey, CAST(d.o_totalprice AS DECIMAL(18,2)) AS price
+        |FROM dev d JOIN mad m ON d.o_orderstatus = m.o_orderstatus
+        |WHERE d.adev > 2.0 * m.mad""".stripMargin,
 
     "winsorized_spend" ->
       """WITH pct AS (
