@@ -168,6 +168,10 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => DedupOps.exactDedup(t(s, d, "documents"))),
     "minhash_signatures" -> ((s, d) => DedupOps.minhashSignatures(t(s, d, "documents"))),
     "minhash_lsh_pairs" -> ((s, d) => DedupOps.minhashCandidatePairs(t(s, d, "documents"))),
+    // dup-cluster collapse: every paired doc labeled with its component's
+    // min doc_id (min-label propagation; oracle = recursive closure)
+    "dup_components" -> ((s, d) =>
+      DedupOps.dupComponents(DedupOps.minhashCandidatePairs(t(s, d, "documents")))),
     // stop-shingle guard ON (df cap = 50 ≈ 10% of the sf0.01 corpus): the
     // oracled path is the skew-bounded plan — a shingle shared by more docs
     // than the cap is dropped before the inverted-index join, so the
@@ -432,6 +436,18 @@ object SparkEntry {
     ("bucket" +: (0 until nBits).map(j => s"xor(bucket, ${1 << j})"))
       .mkString("[", ", ", "]")
 
+  /** MinHash LSH candidate pairs as a reusable CTE (`mpairs`). */
+  private val minhashPairsCtes = minhashCtes +
+    """,
+      |bands AS (
+      |  SELECT doc_id, CAST(hash_idx // 4 AS INTEGER) AS band,
+      |         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY hash_idx) AS band_key
+      |  FROM mh GROUP BY doc_id, CAST(hash_idx // 4 AS INTEGER)),
+      |mpairs AS (
+      |  SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+      |  FROM bands b1 JOIN bands b2 ON b1.band = b2.band AND b1.band_key = b2.band_key
+      |  WHERE b1.doc_id < b2.doc_id)""".stripMargin
+
   /** Per-doc SimHash as a reusable CTE (DuckDB spelling of DedupOps.simhash). */
   private val simhashCtes = shingleCtes +
     """,
@@ -621,15 +637,21 @@ object SparkEntry {
       (minhashCtes + "\nSELECT doc_id, hash_idx, minhash FROM mh"),
 
     "minhash_lsh_pairs" ->
-      (minhashCtes +
+      (minhashPairsCtes + "\nSELECT doc_a, doc_b FROM mpairs"),
+
+    // transitive closure of the MinHash dup graph via recursive CTE —
+    // DuckDB spelling of the min-label components
+    "dup_components" ->
+      ("WITH RECURSIVE " + minhashPairsCtes.stripPrefix("WITH ") +
       """,
-        |bands AS (
-        |  SELECT doc_id, CAST(hash_idx // 4 AS INTEGER) AS band,
-        |         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY hash_idx) AS band_key
-        |  FROM mh GROUP BY doc_id, CAST(hash_idx // 4 AS INTEGER))
-        |SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
-        |FROM bands b1 JOIN bands b2 ON b1.band = b2.band AND b1.band_key = b2.band_key
-        |WHERE b1.doc_id < b2.doc_id""".stripMargin),
+        |dedges AS (SELECT doc_a AS src, doc_b AS dst FROM mpairs
+        |           UNION SELECT doc_b, doc_a FROM mpairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM dedges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN dedges e ON r.dst = e.src)
+        |SELECT src AS doc_id, least(src, min(dst)) AS component
+        |FROM reach GROUP BY src""".stripMargin),
 
     // guarded: shingles with doc-frequency above the cap are dropped from
     // the inverted index (mirrors maxShingleDocFreq = 50); denominators

@@ -289,6 +289,50 @@ object DedupOps {
       .select(col("doc_id"), expr(simhashSql).cast(LongType).as("simhash"))
   }
 
+  /** Connected components over a near-dup pair graph — the collapse step
+    * after candidate generation: every doc in a duplicate cluster gets the
+    * cluster's minimum doc_id as its component, so "keep one survivor per
+    * cluster" becomes a groupBy(component). Iterative min-label
+    * propagation (each round: every node takes the min of its own and its
+    * neighbors' labels) converges in graph-diameter rounds; near-dup
+    * components are small and dense, so a handful of rounds suffices. The
+    * per-round convergence count is a driver-side action — the standard
+    * Spark iterative-graph pattern (GraphX Pregel does the same); at
+    * extreme scale swap in large-star/small-star, which halves diameter
+    * per round, and checkpoint every few iterations to cut lineage.
+    * Only docs appearing in ≥ 1 pair are labeled (singletons need no
+    * collapse).
+    */
+  def dupComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id")).persist()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("component").as("ncomp")), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("ncomp")).as("nmin"))
+      val next = labels
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .persist()
+      val changed = next.select(col("doc_id"), col("component").as("c2"))
+        .join(labels, Seq("doc_id"))
+        .filter(col("c2") =!= col("component")).count()
+      labels.unpersist()
+      labels = next
+      done = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Within-bucket ordered struct pairs (carries payload fields through,
     * unlike bucketPairsSql's bare ids); ds sorts by the struct's first
     * field (doc_id), so pairs come out doc_a < doc_b.

@@ -77,6 +77,14 @@ class DedupTextOpsSpec extends SparkSpec {
     }
   }
 
+  test("dupComponents: chained pairs collapse to one component with the min id") {
+    // path 1-2, 2-5, 5-9 plus isolated pair 3-4: components {1,2,5,9} and {3,4}
+    val pairs = Seq((1L, 2L), (2L, 5L), (5L, 9L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val got = DedupOps.dupComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 9L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("simhash: identical docs equal; near-dups within small hamming distance") {
     val sh = DedupOps.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(1L) == sh(2L))
