@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.FinanceOps
+import graft.operators.{DedupOps, FinanceOps, TextOps}
 import graft.sources.{IngestOps, Tables}
 
 /** The reference's two end-to-end pipelines as linear driver programs
@@ -50,6 +50,27 @@ object Pipelines {
     val mart = FinanceOps.martFinancialSummary(stg)
     FinanceOps.materializeTable(mart, martTable)                 // S10: mart = table
     spark.table(martTable)
+  }
+
+  /** [EXT] The LLM training-data pipeline end-to-end, one call: exact
+    * dedup → near-dup collapse (MinHash LSH pairs → connected components,
+    * keep each cluster's min doc) → quality floor → fixed-window chunking.
+    * Returns the chunked training corpus. Every stage is an operator from
+    * DedupOps/TextOps, so the whole chain stays a declarative plan (the
+    * one iterative step, dupComponents, is bounded by dup-cluster
+    * diameter) — and the full composition is DuckDB-oracled as the
+    * `corpus_pipeline` query.
+    */
+  def runCorpusPipeline(docs: DataFrame, minQuality: Double = 0.3): DataFrame = {
+    val exact = DedupOps.exactDedup(docs)
+    val comps = DedupOps.dupComponents(DedupOps.minhashCandidatePairs(exact))
+    val survivors = exact.join(comps, Seq("doc_id"), "left")
+      .filter(col("component").isNull || col("component") === col("doc_id"))
+      .select(col("doc_id"), col("text"))
+    val kept = TextOps.qualityScore(survivors)
+      .filter(col("quality") >= minQuality)
+      .select(col("doc_id"))
+    TextOps.chunks(survivors.join(kept, Seq("doc_id")))
   }
 
   /** E2: the fundamentals pipeline — raw-zone CSV → ingest defaults →

@@ -166,6 +166,9 @@ object SparkEntry {
 
     // ---- [EXT] dedup / text / similarity / multimodal ----
     "dedup_exact" -> ((s, d) => DedupOps.exactDedup(t(s, d, "documents"))),
+    // the whole training-corpus pipeline (exact dedup → near-dup collapse
+    // → quality floor → chunking) verified as one composed query
+    "corpus_pipeline" -> ((s, d) => Pipelines.runCorpusPipeline(t(s, d, "documents"))),
     "minhash_signatures" -> ((s, d) => DedupOps.minhashSignatures(t(s, d, "documents"))),
     "minhash_lsh_pairs" -> ((s, d) => DedupOps.minhashCandidatePairs(t(s, d, "documents"))),
     // dup-cluster collapse: every paired doc labeled with its component's
@@ -632,6 +635,39 @@ object SparkEntry {
 
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+
+    // the full pipeline replayed: dedup base `ex` swapped into the shared
+    // MinHash CTE chain (the only `FROM documents` in it is the shingle
+    // tokenizer), then components → survivors → quality floor → chunks
+    "corpus_pipeline" ->
+      ("WITH RECURSIVE ex AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),\n" +
+      minhashPairsCtes.stripPrefix("WITH ").replace("FROM documents", "FROM ex") +
+      """,
+        |dedges AS (SELECT doc_a AS src, doc_b AS dst FROM mpairs
+        |           UNION SELECT doc_b, doc_a FROM mpairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM dedges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN dedges e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+        |         FROM reach GROUP BY src),
+        |surv AS (SELECT ex.doc_id, ex.text FROM ex LEFT JOIN comp ON ex.doc_id = comp.doc_id
+        |         WHERE comp.component IS NULL OR comp.component = ex.doc_id),
+        |q AS (SELECT doc_id FROM (
+        |  SELECT doc_id,
+        |    round(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.5 +
+        |          coalesce(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |                                        t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+        |                   / NULLIF(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE), 0),
+        |                   0) * 0.5, 6) AS quality
+        |  FROM surv) t WHERE quality >= 0.3),
+        |base AS (SELECT surv.doc_id, surv.text FROM surv JOIN q ON surv.doc_id = q.doc_id),
+        |tkc AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM base),
+        |stc AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 16)) AS s FROM tkc)
+        |SELECT doc_id, CAST(s // 16 AS INTEGER) AS chunk_idx,
+        |array_to_string(toks[s+1:least(s + 32, len(toks))], ' ') AS chunk,
+        |CAST(least(s + 32, len(toks)) - s AS INTEGER) AS n_chunk_tokens
+        |FROM stc WHERE s < len(toks)""".stripMargin),
 
     "minhash_signatures" ->
       (minhashCtes + "\nSELECT doc_id, hash_idx, minhash FROM mh"),

@@ -56,4 +56,19 @@ class PipelinesSpec extends SparkSpec {
       Pipelines.withRetries(1, backoffMs = 1)(() => throw new RuntimeException("always"))
     }
   }
+
+  test("runCorpusPipeline: dups collapse to one survivor, junk filtered, survivors chunked") {
+    import spark.implicits._
+    val stopdense = "the a of and to in " * 8 // stopword-dense: high quality, 48 tokens
+    val docs = Seq(
+      (1L, stopdense), (2L, stopdense), // exact dups → doc 1 survives
+      (9L, "zz qq ww zz qq ww zz qq")   // stopword-free junk → quality-filtered
+    ).map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Pipelines.runCorpusPipeline(docs)
+    val byDoc = out.collect().groupBy(_.getLong(0))
+    assert(!byDoc.contains(2L)) // exact dup gone
+    assert(!byDoc.contains(9L)) // junk gone
+    assert(byDoc.contains(1L) && byDoc(1L).nonEmpty) // survivor chunked
+  }
 }
