@@ -33,6 +33,34 @@ object Pipelines {
     throw new IllegalStateException("unreachable")
   }
 
+  /** S1/S2: the fan-out fetch driver with the transport injected — the
+    * library owns per-request retry/backoff (O3), rate-limit pacing (O4,
+    * the reference's `time.sleep(15)` for Alpha Vantage's 5 req/min,
+    * README.md:367-369), and verbatim landing (S3 habit: re-parses are
+    * free, re-fetches are not; reference data_loader/fetch_data.py:13-14
+    * writes the payload straight to disk). The HTTP GET itself is a
+    * caller-supplied `fetch` function: the engine carries no transport
+    * dependency (and this environment has no egress), while a real
+    * deployment passes `url => requests-equivalent(url)`. Landing is
+    * driver-side by design, exactly like the reference and any Airflow
+    * task — API payloads are KBs; scale lives downstream of the landing
+    * zone.
+    *
+    * @return the landed file paths, ready for `Tables.readFredJson`
+    */
+  def fetchToRaw(fetch: String => String, urls: Seq[String], landingDir: String,
+                 rateLimitMs: Long = 0, retries: Int = 2,
+                 backoffMs: Long = 1000): Seq[String] = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landingDir))
+    urls.zipWithIndex.map { case (url, i) =>
+      if (rateLimitMs > 0 && i > 0) Thread.sleep(rateLimitMs)
+      val payload = withRetries(retries, backoffMs)(() => fetch(url))
+      val path = java.nio.file.Paths.get(landingDir, f"payload_$i%05d.json")
+      java.nio.file.Files.writeString(path, payload)
+      path.toString
+    }
+  }
+
   /** E1/E3: the FRED pipeline — landed JSON payload → flatten → staging
     * cast → yearly mart, materialized as a table. Mirrors
     * extract >> create_tables >> load >> dbt (reference README.md:288)

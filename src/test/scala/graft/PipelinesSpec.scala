@@ -28,6 +28,29 @@ class PipelinesSpec extends SparkSpec {
     spark.sql("DROP TABLE pspec_mart")
   }
 
+  test("fetchToRaw: injected transport with retry + pacing; landed files feed E1 (S1/S2)") {
+    val dir = Files.createTempDirectory("graft-fetch").toString
+    val payload =
+      """{"realtime_start":"2024-01-01","realtime_end":"2024-01-01","units":"lin","count":1,
+        |"observations":[
+        | {"realtime_start":"x","realtime_end":"x","date":"2021-01-01","value":"100.00"}]}"""
+        .stripMargin.replace("\n", "")
+    var calls = 0
+    val flakyFetch: String => String = { url =>
+      calls += 1
+      if (calls == 1) throw new RuntimeException("transient 429")
+      assert(url.contains("series_id=GDP"))
+      payload
+    }
+    val landed = Pipelines.fetchToRaw(flakyFetch,
+      Seq("https://api.example.test/fred?series_id=GDP"), dir, backoffMs = 1)
+    assert(calls == 2 && landed.size == 1) // first attempt failed, retry landed
+    // the landed file is the exact payload — and drives the E1 pipeline
+    val mart = Pipelines.runFredPipeline(spark, landed.head, "GDP", "pspec_fetch_mart")
+    assert(mart.count() == 1)
+    spark.sql("DROP TABLE pspec_fetch_mart")
+  }
+
   test("E2 fundamentals pipeline: raw CSV → staging join → KPI mart table") {
     val dir = Files.createTempDirectory("graft-fund").toString
     val csv =
