@@ -55,6 +55,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dupComponents is invariant under pair order and partitioning; labels are fixpoints") {
+    val pairGen = Gen.listOfN(8,
+      for { a <- Gen.chooseNum(1L, 12L); b <- Gen.chooseNum(1L, 12L) if a != b }
+        yield (math.min(a, b), math.max(a, b)))
+    for (pairs <- samples(pairGen, 4) if pairs.nonEmpty) {
+      val df = pairs.toDF("doc_a", "doc_b")
+      def comps(d: org.apache.spark.sql.DataFrame) =
+        DedupOps.dupComponents(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val base = comps(df)
+      assert(base == comps(df.orderBy(desc("doc_b")).repartition(5)))
+      // fixpoint: every component label is itself labeled with itself
+      assert(base.forall { case (_, c) => base(c) == c })
+    }
+  }
+
   test("minhash signatures are permutation-invariant") {
     val docGen = Gen.listOfN(8, Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon")).map(_.mkString(" "))
     for (texts <- samples(Gen.listOfN(4, docGen), 3)) {
