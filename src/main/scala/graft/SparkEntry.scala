@@ -169,6 +169,14 @@ object SparkEntry {
     // the whole training-corpus pipeline (exact dedup → near-dup collapse
     // → quality floor → chunking) verified as one composed query
     "corpus_pipeline" -> ((s, d) => Pipelines.runCorpusPipeline(t(s, d, "documents"))),
+    // dedup observability: per-source duplicate rate (distinct counted
+    // over md5 fingerprints so the shuffle carries 32-char keys)
+    "dedup_stats" -> ((s, d) =>
+      t(s, d, "documents").groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        round((count(lit(1)) - countDistinct(md5(col("text")))).cast(DoubleType)
+          / count(lit(1)), 6).as("dup_rate"))),
     "minhash_signatures" -> ((s, d) => DedupOps.minhashSignatures(t(s, d, "documents"))),
     "minhash_lsh_pairs" -> ((s, d) => DedupOps.minhashCandidatePairs(t(s, d, "documents"))),
     // dup-cluster collapse: every paired doc labeled with its component's
@@ -668,6 +676,12 @@ object SparkEntry {
         |array_to_string(toks[s+1:least(s + 32, len(toks))], ' ') AS chunk,
         |CAST(least(s + 32, len(toks)) - s AS INTEGER) AS n_chunk_tokens
         |FROM stc WHERE s < len(toks)""".stripMargin),
+
+    "dedup_stats" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |COUNT(DISTINCT md5(text)) AS n_distinct,
+        |round(CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 6) AS dup_rate
+        |FROM documents GROUP BY source""".stripMargin,
 
     "minhash_signatures" ->
       (minhashCtes + "\nSELECT doc_id, hash_idx, minhash FROM mh"),
