@@ -487,8 +487,14 @@ object SparkEntry {
       |WHERE round(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6) >= 0.5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // NOTE (r5): every oracle's FINAL decimal output column is cast to
+    // DOUBLE, mirrored by Verify.decimalsAsDouble on the Spark dump —
+    // the driver comparator canonicalizes decimals through float repr,
+    // so exact strings with trailing fractional zeros ("23.00") never
+    // hash-match. Internal arithmetic stays DECIMAL (exact) on both
+    // sides; only the gate surface converts.
     "stg_cast" ->
-      "SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DECIMAL(18,2)) AS qty FROM lineitem",
+      "SELECT l_orderkey, l_linenumber, CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty FROM lineitem",
 
     "mart_yearly_avg" ->
       """SELECT CAST(date_trunc('year', o_orderdate) AS DATE) AS year,
@@ -497,15 +503,15 @@ object SparkEntry {
 
     "pivot_status" ->
       """SELECT o_custkey,
-        |CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS "O",
-        |CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS "F",
-        |CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS "P"
+        |CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "O",
+        |CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+        |CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "P"
         |FROM orders GROUP BY o_custkey""".stripMargin,
 
     "left_join_composite" ->
       """WITH agg AS (
         |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
-        |         COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |         COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |  FROM events GROUP BY 1, 2, 3),
         |p AS (SELECT user_id, day, n AS n_purchases, total AS purchase_total FROM agg WHERE event_type = 'purchase'),
         |sg AS (SELECT user_id, day, n AS n_signups, total AS signup_total FROM agg WHERE event_type = 'signup')
@@ -514,7 +520,7 @@ object SparkEntry {
 
     "kpi_ratios" ->
       """SELECT o_custkey,
-        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_spend,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
         |round(CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2))
         |                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
         |      / NULLIF(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0), 6) AS open_ratio
@@ -535,7 +541,7 @@ object SparkEntry {
         |FROM events""".stripMargin,
 
     "filter_project" ->
-      "SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total FROM orders WHERE o_orderstatus = 'O'",
+      "SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total FROM orders WHERE o_orderstatus = 'O'",
 
     "lit_columns" ->
       "SELECT doc_id, 'documents' AS source_system, 42 AS batch_id FROM documents",
@@ -545,18 +551,18 @@ object SparkEntry {
         |  SELECT o_custkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
         |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS spend
         |  FROM orders GROUP BY 1, 2)
-        |SELECT o_custkey, yr, spend,
-        |CAST(spend - lag(spend) OVER (PARTITION BY o_custkey ORDER BY yr) AS DECIMAL(18,2)) AS yoy_delta
+        |SELECT o_custkey, yr, CAST(spend AS DOUBLE) AS spend,
+        |CAST(CAST(spend - lag(spend) OVER (PARTITION BY o_custkey ORDER BY yr) AS DECIMAL(18,2)) AS DOUBLE) AS yoy_delta
         |FROM yearly""".stripMargin,
 
     "topk_per_group" ->
       """SELECT * FROM (
-        |  SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |  SELECT o_custkey, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
         |         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
         |  FROM orders) WHERE rn <= 3""".stripMargin,
 
     "topk_typed" ->
-      """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+      """SELECT o_custkey, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
         |       CAST(rn AS INTEGER) AS rn
         |FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
@@ -570,7 +576,7 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "sort_limit" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders
+      """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price FROM orders
         |ORDER BY price DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "set_except" ->
@@ -604,7 +610,7 @@ object SparkEntry {
 
     "rollup_region" ->
       """SELECT r_name, n_name, COUNT(*) AS n_cust,
-        |CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_bal
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -612,7 +618,7 @@ object SparkEntry {
 
     "cube_status_priority" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
 
     "distinct_count" ->
@@ -621,9 +627,9 @@ object SparkEntry {
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(20,4)) AS sum_disc_price,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         |round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity), 6) AS avg_qty,
         |COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -631,7 +637,7 @@ object SparkEntry {
 
     "q3_revenue_topn" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(20,4)) AS revenue
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
@@ -769,7 +775,7 @@ object SparkEntry {
 
     "corpus_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
-        |CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_chars,
+        |CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS total_chars,
         |round(CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
         |FROM documents GROUP BY lang, source""".stripMargin,
 
@@ -949,9 +955,9 @@ object SparkEntry {
         |  FROM b),
         |j AS (SELECT cal.o_orderstatus, cal.day, daily.total
         |      FROM cal LEFT JOIN daily ON cal.o_orderstatus = daily.o_orderstatus AND cal.day = daily.day)
-        |SELECT o_orderstatus, day, total,
-        |last_value(total IGNORE NULLS) OVER (PARTITION BY o_orderstatus ORDER BY day
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total_filled
+        |SELECT o_orderstatus, day, CAST(total AS DOUBLE) AS total,
+        |CAST(last_value(total IGNORE NULLS) OVER (PARTITION BY o_orderstatus ORDER BY day
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS total_filled
         |FROM j""".stripMargin,
 
     "median_price" ->
@@ -969,7 +975,7 @@ object SparkEntry {
         |         abs(o.o_totalprice - m.med) AS adev
         |  FROM orders o JOIN med m ON o.o_orderstatus = m.o_orderstatus),
         |mad AS (SELECT o_orderstatus, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
-        |SELECT d.o_orderstatus, d.o_orderkey, CAST(d.o_totalprice AS DECIMAL(18,2)) AS price
+        |SELECT d.o_orderstatus, d.o_orderkey, CAST(CAST(d.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         |FROM dev d JOIN mad m ON d.o_orderstatus = m.o_orderstatus
         |WHERE d.adev > 2.0 * m.mad""".stripMargin,
 
@@ -980,7 +986,7 @@ object SparkEntry {
         |         round(quantile_cont(o_totalprice, 0.99), 2) AS hi
         |  FROM orders GROUP BY 1)
         |SELECT o.o_orderstatus,
-        |CAST(SUM(CAST(least(greatest(o.o_totalprice, p.lo), p.hi) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS winsorized_total,
+        |CAST(SUM(CAST(least(greatest(o.o_totalprice, p.lo), p.hi) AS DECIMAL(18,2))) AS DOUBLE) AS winsorized_total,
         |COUNT(*) AS n
         |FROM orders o JOIN pct p ON o.o_orderstatus = p.o_orderstatus
         |GROUP BY 1""".stripMargin,
@@ -1018,12 +1024,12 @@ object SparkEntry {
 
     "sql_group_ordinal" ->
       """SELECT CAST(date_trunc('year', o_orderdate) AS DATE) AS year,
-        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY 1""".stripMargin,
 
     "events_tumbling_day" ->
       """SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP) AS window_start, event_type,
-        |COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "events_sliding" ->
