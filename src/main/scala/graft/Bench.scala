@@ -15,11 +15,26 @@ object Bench {
     // warm the JVM/codegen once on the smallest table so the first timed
     // query doesn't pay one-time session costs
     spark.read.parquet(s"$sfDir/region.parquet").write.format("noop").mode("overwrite").save()
+    // Per query: one untimed warm-up, then min of 2 timed runs. A single
+    // alphabetical pass confounds A/B comparisons with JIT/codegen warm-up
+    // (round-4 verdict: the guarded jaccard variant, first of three, read
+    // 2.5x slower than the strictly-more-work unguarded one, third).
+    val timedRuns = 2
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        // queries that persist sub-frames (ann_recall, trained IVF) hand
+        // cache lifecycle to the caller: drop blocks so runs are
+        // independent and cached data can't accumulate across 71 queries
+        spark.catalog.clearCache()
+        dt
+      }
+      val best =
+        try { once(); Seq.fill(timedRuns)(once()).min }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1.0 }
+      name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

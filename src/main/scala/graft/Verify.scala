@@ -31,9 +31,13 @@ object Verify {
     val spark = GraftSession.getOrCreate("graft-verify")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try decimalsAsDouble(fn(spark, sfDir)).coalesce(1).write
-        .mode("overwrite").parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        decimalsAsDouble(fn(spark, sfDir)).coalesce(1).write
+          .mode("overwrite").parquet(s"$outDir/$name")
+        // queries that persist sub-frames hand cache lifecycle to the
+        // caller — drop blocks so they can't accumulate across 71 dumps
+        spark.catalog.clearCache()
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -330,6 +330,16 @@ object DedupOps {
       iter += 1
     }
     edges.unpersist()
+    // Exiting with changed > 0 means some labels never reached their
+    // component minimum — downstream dedup would keep multiple survivors
+    // per duplicate cluster. Fail loudly rather than return silently-wrong
+    // components: a dup-chain with diameter > maxIters indicates either a
+    // pathological corpus or a too-small cap (raise it, or switch to
+    // large-star/small-star contraction which converges in O(log n)).
+    if (!done)
+      throw new IllegalStateException(
+        s"dupComponents did not converge in $maxIters iterations; " +
+          "component labels would be wrong — raise maxIters")
     labels
   }
 

@@ -132,7 +132,10 @@ object SimilarityOps {
     // assignment + query probes); without persist each consumer replays
     // the full training lineage — plan-audited as a doubled Lloyd
     // subtree. nCentroids × dim rows, so caching is free; the cluster
-    // analog is writing the index to a table once per build.
+    // analog is writing the index to a table once per build. Cache
+    // LIFECYCLE IS CALLER-OWNED: unpersist (or spark.catalog.clearCache())
+    // after the consuming action, as Verify/Bench do per query — a
+    // long-lived session that never drops it accumulates blocks.
     centroids.persist()
   }
 

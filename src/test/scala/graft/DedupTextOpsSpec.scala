@@ -85,6 +85,13 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 9L -> 1L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("dupComponents: throws rather than returning non-converged labels") {
+    // a 5-node path needs >1 min-label round; maxIters = 1 must fail loudly
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException](DedupOps.dupComponents(chain, maxIters = 1))
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("simhash: identical docs equal; near-dups within small hamming distance") {
     val sh = DedupOps.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(1L) == sh(2L))
