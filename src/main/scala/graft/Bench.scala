@@ -23,24 +23,35 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        val dt = (System.nanoTime() - t0) / 1e9
-        // queries that persist sub-frames (ann_recall, trained IVF) hand
-        // cache lifecycle to the caller: drop blocks so runs are
-        // independent and cached data can't accumulate across 71 queries
-        spark.catalog.clearCache()
-        dt
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } finally {
+          // queries that persist sub-frames (ann_recall, trained IVF) hand
+          // cache lifecycle to the caller: drop blocks even on failure so
+          // runs are independent and cached data can't accumulate
+          spark.catalog.clearCache()
+        }
       }
       val best =
         try { once(); Seq.fill(timedRuns)(once()).min }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1.0 }
       name -> best
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // 3-decimal (ms-resolution) timings: the driver keeps only the last
+    // ~2 KB of output, so the JSON line must stay short enough to survive
+    // that tail capture whole or it is never machine-parsed
+    def fmt(v: Double): String =
+      if (v < 0) "null" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // a failed query records null, excluded from the total rather than
+    // summing a -1.0 sentinel into it
+    val total = fmt(results.map(_._2).filter(_ >= 0).sum)
+    val failed = results.count(_._2 < 0)
     // n_queries: the registered-query count grows round over round (56 in
     // r4 vs 52 in r3), so compare totals normalized, not raw
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    val sfNum = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("\"" + sfDir + "\"")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"queries":$qs,"sf":$sfNum}""")
     spark.stop()
   }
 }

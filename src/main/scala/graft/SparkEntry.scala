@@ -386,6 +386,25 @@ object SparkEntry {
           SimilarityOps.ivfTopKWith(emb, SimilarityOps.ivfTrainCentroids(emb, 16, 2), 10, 5),
           "ivf_trained"))
     }),
+
+    // the E2 fundamentals pipeline END-TO-END, driver-gated: deterministic
+    // fundamentals derived from orders → real CSV raw zone → ingest
+    // defaults → staging join → KPI mart. The oracle recomputes the mart
+    // straight from orders.parquet, so the whole chain (including the CSV
+    // round-trip, which must be value-lossless) is hash-checked
+    "fundamentals_kpis" -> ((s, d) => {
+      val csvDir = java.nio.file.Paths
+        .get(System.getProperty("java.io.tmpdir"), "graft_fundamentals_csv").toString
+      FinanceOps.fundamentalsFromOrders(t(s, d, "orders"))
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(csvDir)
+      Pipelines.runFundamentalsPipeline(s, csvDir)
+    }),
+
+    // the batched mapPartitions decode path itself, driver-gated through
+    // the deterministic stub codec (pure arithmetic on the payload bytes,
+    // replayed per-character in the oracle — documents are ASCII so
+    // byte == character)
+    "multimodal_decode" -> ((s, d) => MultimodalOps.decodeFeatures(t(s, d, "documents"))),
   )
 
   /** Shared oracle CTE prefix for shingle-based dedup queries (DuckDB
@@ -892,6 +911,44 @@ object SparkEntry {
         |CAST((octet_length(encode(text)) * 7 + ascii(substr(text, 1, 1))) % 1024 AS INTEGER) AS fake_width,
         |CAST((octet_length(encode(text)) * 13 + 31) % 768 AS INTEGER) AS fake_height
         |FROM documents""".stripMargin,
+
+    // the stub codec replayed per character (documents are ASCII, so
+    // character codepoints are payload bytes); mean luminance = exact
+    // integer byte sum, one double division, half-up rounded to 6 exactly
+    // like the Scala stub's math.round(lum * 1e6) / 1e6
+    "multimodal_decode" ->
+      """WITH ch AS (SELECT doc_id, text, unnest(range(1, length(text)+1)) AS i FROM documents),
+        |lum AS (SELECT doc_id, CAST(sum(ascii(substr(text, i, 1))) AS DOUBLE)/count(*) AS lum
+        |        FROM ch GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |CAST((octet_length(encode(d.text)) * 7 + ascii(substr(d.text, 1, 1))) % 1024 AS INTEGER) AS width,
+        |CAST((octet_length(encode(d.text)) * 13 + 31) % 768 AS INTEGER) AS height,
+        |floor(lum.lum * 1000000 + 0.5)/1000000 AS mean_lum
+        |FROM documents d JOIN lum USING (doc_id)""".stripMargin,
+
+    // the E2 mart recomputed straight from orders: decimal-exact status
+    // sums per (symbol, fiscal_year), then the five NULLIF-guarded ratio
+    // macros as single IEEE double divisions — mirrors
+    // fundamentalsFromOrders → stgFundamentals → financialKpis
+    "fundamentals_kpis" ->
+      """WITH base AS (
+        |  SELECT 'SYM' || CAST(o_custkey % 20 AS VARCHAR) AS symbol,
+        |         CAST(date_trunc('year', o_orderdate) AS DATE) AS fiscal_date,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+        |         CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2))
+        |                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS open_sum,
+        |         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2))
+        |                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS finished_sum,
+        |         CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2))
+        |                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS pending_sum
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT symbol, fiscal_date,
+        |  CAST(open_sum AS DOUBLE)     / NULLIF(CAST(revenue AS DOUBLE), 0) AS gross_margin,
+        |  CAST(finished_sum AS DOUBLE) / NULLIF(CAST(revenue AS DOUBLE), 0) AS operating_margin,
+        |  CAST(pending_sum AS DOUBLE)  / NULLIF(CAST(revenue AS DOUBLE), 0) AS net_margin,
+        |  CAST(pending_sum AS DOUBLE)  / NULLIF(CAST(revenue AS DOUBLE), 0) AS return_on_assets,
+        |  CAST(pending_sum AS DOUBLE)  / NULLIF(CAST(revenue - finished_sum AS DOUBLE), 0) AS return_on_equity
+        |FROM base""".stripMargin,
 
     "text_chunks" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),

@@ -18,13 +18,51 @@ object Verify {
     * all 27 double-typed queries already prove. Operators keep their
     * decimal types; this touches nothing but the verify dump.
     */
-  def decimalsAsDouble(df: DataFrame): DataFrame =
-    df.select(df.schema.fields.map { f =>
+  def decimalsAsDouble(df: DataFrame): DataFrame = {
+    val out = df.select(df.schema.fields.map { f =>
       f.dataType match {
         case _: DecimalType => col(f.name).cast(DoubleType).as(f.name)
         case _              => col(f.name)
       }
     }.toIndexedSeq: _*)
+    // Only top-level decimals are rewritten; a decimal nested in a
+    // struct/array/map would bypass the DOUBLE gate and re-trigger the
+    // trailing-zero hash failures silently — fail fast instead.
+    def hasDecimal(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: DecimalType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasDecimal(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType  => hasDecimal(a.elementType)
+      case m: org.apache.spark.sql.types.MapType    => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+      case _ => false
+    }
+    require(!out.schema.fields.exists(f => hasDecimal(f.dataType)),
+      s"nested DecimalType survives the DOUBLE gate in schema ${out.schema.simpleString}; " +
+      "flatten it or extend decimalsAsDouble to recurse")
+    out
+  }
+
+  /** Guard against the DOUBLE gate silently weakening the oracle: two
+    * decimals differing only beyond double precision (~2^53 of the unscaled
+    * value) would collapse to the same double and falsely hash-match. At
+    * sf0.01/sf0.1 magnitudes are far below the bound; this assert makes the
+    * precondition explicit so a larger SF can't violate it unnoticed.
+    */
+  def assertDoubleExact(df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{abs, max}
+    val decs = df.schema.fields.collect { case f if f.dataType.isInstanceOf[DecimalType] =>
+      (f.name, f.dataType.asInstanceOf[DecimalType].scale)
+    }
+    if (decs.nonEmpty) {
+      val maxes = df.agg(max(abs(col(decs.head._1))), decs.tail.map(d => max(abs(col(d._1)))): _*)
+        .head().toSeq
+      decs.zip(maxes).foreach { case ((name, scale), m) =>
+        val bound = BigDecimal(2).pow(53) / BigDecimal(10).pow(scale)
+        val v = if (m == null) BigDecimal(0) else BigDecimal(m.toString)
+        require(v < bound,
+          s"decimal column $name max |value| $v exceeds double-exact bound $bound (scale $scale)")
+      }
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -32,13 +70,17 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
-        decimalsAsDouble(fn(spark, sfDir)).coalesce(1).write
+        val df = fn(spark, sfDir)
+        assertDoubleExact(df)
+        decimalsAsDouble(df).coalesce(1).write
           .mode("overwrite").parquet(s"$outDir/$name")
-        // queries that persist sub-frames hand cache lifecycle to the
-        // caller — drop blocks so they can't accumulate across 71 dumps
-        spark.catalog.clearCache()
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // queries that persist sub-frames hand cache lifecycle to the
+        // caller — drop blocks even on failure so a throwing query can't
+        // leak cached blocks into every subsequent dump
+        spark.catalog.clearCache()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -136,6 +136,49 @@ object FinanceOps {
         col("total_liabilities_balance_sheet").as("total_liabilities"),
         col("total_equity_balance_sheet").as("total_equity"))
 
+  /** Deterministic fundamentals rows derived from the orders fixture — the
+    * stand-in for the Alpha-Vantage payload that lets the whole E2 pipeline
+    * (CSV raw zone → staging join → KPI mart) run driver-gated against a
+    * DuckDB oracle on the same parquet tables. Two report rows per
+    * (symbol, fiscal_year): the income statement carries status-split order
+    * totals as revenue/profit lines, the balance sheet re-derives
+    * assets/liabilities/equity from the same sums. All money stays
+    * DECIMAL(18,2)-exact so the CSV round-trip is lossless.
+    */
+  def fundamentalsFromOrders(orders: DataFrame): DataFrame = {
+    def statusSum(status: String): Column =
+      sum(when(col("o_orderstatus") === status, col("o_totalprice").cast(Money))
+        .otherwise(lit(0).cast(Money))).cast(Money)
+    val base = orders
+      .groupBy(
+        concat(lit("SYM"), (col("o_custkey") % 20).cast(StringType)).as("symbol"),
+        date_trunc("year", col("o_orderdate")).cast(DateType).as("fiscal_date"))
+      .agg(
+        sum(col("o_totalprice").cast(Money)).cast(Money).as("revenue"),
+        statusSum("O").as("open_sum"),
+        statusSum("F").as("finished_sum"),
+        statusSum("P").as("pending_sum"))
+    val nullMoney = lit(null).cast(Money)
+    val income = base.select(
+      col("symbol"), lit("income_statement").as("report_type"),
+      col("fiscal_date"), lit("USD").as("currency"),
+      col("revenue").as("total_revenue"),
+      col("open_sum").as("gross_profit"),
+      col("finished_sum").as("operating_income"),
+      col("pending_sum").as("net_income"),
+      nullMoney.as("total_assets"), nullMoney.as("total_liabilities"),
+      nullMoney.as("total_equity"))
+    val balance = base.select(
+      col("symbol"), lit("balance_sheet").as("report_type"),
+      col("fiscal_date"), lit("USD").as("currency"),
+      nullMoney.as("total_revenue"), nullMoney.as("gross_profit"),
+      nullMoney.as("operating_income"), nullMoney.as("net_income"),
+      col("revenue").as("total_assets"),
+      col("finished_sum").as("total_liabilities"),
+      (col("revenue") - col("finished_sum")).cast(Money).as("total_equity"))
+    income.unionByName(balance)
+  }
+
   /** E2 composed: the KPI mart — the five ratio macros of the reference's
     * mart_financial_kpis (README.md:467-495): gross/operating/net margin,
     * ROA, ROE, all NULLIF-guarded (F3/F4). `ref()` lineage is the Scala
@@ -186,6 +229,17 @@ object FinanceOps {
     * buys partition pruning at scale.
     */
   def materializeTable(df: DataFrame, name: String, partitionBy: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    // A managed-table dir left by a previous session is not in this
+    // (in-memory) catalog, and CTAS refuses a non-empty location — drop
+    // both the catalog entry and any orphaned location so re-runs are
+    // idempotent across sessions. Hadoop FS API keeps this portable to an
+    // object-store warehouse.
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).saveAsTable(name)
   }

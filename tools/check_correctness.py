@@ -78,6 +78,14 @@ def main(sf_dir, out_dir):
         except Exception as e:
             results[qdir] = {"status": "oracle_error", "error": str(e)[:200]}
             continue
+        # The float-repr emulation makes Decimal columns compare the way the
+        # driver does, but only the DOUBLE-cast policy is *guaranteed* to
+        # match it (the r4 failures prove the driver's two sides are not
+        # symmetric) — so any Decimal reaching the compare deserves a shout.
+        probe = (spark_rows[:1] or [()])[0] + (o_rows[:1] or [()])[0]
+        if any(isinstance(v, decimal.Decimal) for v in probe):
+            print(f"WARNING {qdir}: Decimal column reaches the comparator; "
+                  "only DOUBLE-cast outputs are guaranteed to match the driver")
         sc, sm = table_of(spark_rows, spark_cols)
         oc, om = table_of(o_rows, o_cols)
         entry = {
