@@ -405,6 +405,28 @@ object SparkEntry {
     // replayed per-character in the oracle — documents are ASCII so
     // byte == character)
     "multimodal_decode" -> ((s, d) => MultimodalOps.decodeFeatures(t(s, d, "documents"))),
+
+    // Gopher-rule corpus gate: per-doc quality signals + composite keep
+    // verdict, one codegen'd projection
+    "gopher_rules" -> ((s, d) => TextOps.gopherQuality(t(s, d, "documents"))),
+    // C4/Gopher repetition filters: dup token/trigram/line fractions
+    "repetition" -> ((s, d) => TextOps.repetitionStats(t(s, d, "documents"))),
+
+    // TPC-H Q5 shape: the 6-way snowflake join — three fact-side shuffle
+    // joins plus two broadcast dims, local-supplier condition
+    // (c_nationkey = s_nationkey) carried through the join graph
+    "q5_revenue" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast(Money) * (lit(1) - col("l_discount").cast(Money)))
+          .cast(DecimalType(20, 4)).as("revenue"))),
   )
 
   /** Shared oracle CTE prefix for shingle-based dedup queries (DuckDB
@@ -925,6 +947,55 @@ object SparkEntry {
         |CAST((octet_length(encode(d.text)) * 13 + 31) % 768 AS INTEGER) AS height,
         |floor(lum.lum * 1000000 + 0.5)/1000000 AS mean_lum
         |FROM documents d JOIN lum USING (doc_id)""".stripMargin,
+
+    "gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+        |                  string_split(text, chr(10)) AS ls FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |       ELSE round(list_sum(list_transform(toks, x -> length(x))) / CAST(len(toks) AS DOUBLE), 6) END AS mean_word_len,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |       ELSE round(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) / CAST(len(toks) AS DOUBLE), 6) END AS alpha_ratio,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |       ELSE round(((length(text) - length(replace(text, '#', '')))
+        |                 + (length(text) - length(replace(text, '...', ''))) // 3)
+        |               / CAST(len(toks) AS DOUBLE), 6) END AS symbol_ratio,
+        |  round(len(list_filter(ls, l -> left(ltrim(l), 2) IN ('- ', '* '))) / CAST(len(ls) AS DOUBLE), 6) AS bullet_line_ratio,
+        |  round(len(list_filter(ls, l -> right(l, 3) = '...')) / CAST(len(ls) AS DOUBLE), 6) AS ellipsis_line_ratio,
+        |  len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS stop_hits
+        |FROM t)
+        |SELECT doc_id, n_tokens, mean_word_len, alpha_ratio, symbol_ratio,
+        |  bullet_line_ratio, ellipsis_line_ratio,
+        |  ((n_tokens BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |   AND symbol_ratio < 0.1 AND bullet_line_ratio < 0.9 AND ellipsis_line_ratio < 0.3
+        |   AND alpha_ratio > 0.8 AND stop_hits >= 2) AS keep
+        |FROM m""".stripMargin,
+
+    "repetition" ->
+      """WITH t AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+        |                  string_split(text, chr(10)) AS ls FROM documents),
+        |g AS (SELECT doc_id, toks, ls,
+        |  CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |       ELSE list_transform(range(0, len(toks) - 2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END AS tris
+        |FROM t)
+        |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6) END AS dup_token_ratio,
+        |  CASE WHEN len(tris) = 0 THEN 0.0 ELSE round(1.0 - len(list_distinct(tris)) / CAST(len(tris) AS DOUBLE), 6) END AS dup_trigram_ratio,
+        |  round(1.0 - len(list_distinct(ls)) / CAST(len(ls) AS DOUBLE), 6) AS dup_line_ratio
+        |FROM g""".stripMargin,
+
+    "q5_revenue" ->
+      """SELECT n_name,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
 
     // the E2 mart recomputed straight from orders: decimal-exact status
     // sums per (symbol, fiscal_year), then the five NULLIF-guarded ratio

@@ -229,9 +229,17 @@ object DedupOps {
     * array_intersect per surviving candidate).
     *
     * Same output as jaccardPairs(threshold) by construction; the extra
-    * cost is one df aggregate + one per-doc ranking window, both linear.
-    * At 100 TB this is the preferred exact tier: the O(df²) pair blowup
-    * is confined to rare shingles only.
+    * cost is one df aggregate + one per-doc ranking pass, both linear.
+    *
+    * NOT the default exact tier. Measured head-to-head on df-scaled
+    * corpora (graft.JaccardScaleBench; table in SCALE.md): the guarded
+    * inverted-index join (`jaccardPairs` with a stop-shingle cap) wins at
+    * every scale up to 4× the fixture, because the cap bounds exactly the
+    * df² term prefix filtering prunes — at a fraction of the fixed cost.
+    * Prefix's candidate pruning does flatten its growth curve (2.7× time
+    * over 4× data vs 4.8× unguarded), so it remains the exact-threshold
+    * fallback for when the cap's tiny recall concession (pairs whose only
+    * shared shingles are hyper-frequent) is semantically unacceptable.
     */
   def jaccardPairsPrefix(documents: DataFrame, threshold: Double): DataFrame = {
     // Posting lists once — df(shingle) IS the list length (the same

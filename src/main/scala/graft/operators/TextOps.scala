@@ -148,6 +148,86 @@ object TextOps {
         round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 6).as("tf_idf"))
   }
 
+  /** Gopher-style quality-filter signals (the rule family of Rae et al.'s
+    * Gopher corpus filtering, re-expressed as one codegen'd pass): token
+    * count, mean word length, alphabetic-word ratio, symbol-to-word ratio
+    * ('#' and '...'), bullet-/ellipsis-line ratios, and the composite
+    * `keep` verdict with the published-style thresholds. Everything is
+    * per-row expression arithmetic — no shuffle, no UDF; the whole corpus
+    * gate is one narrow projection that pushes to the scan.
+    *
+    * Tokens and lines are let-bound via nested single-element transforms
+    * so the tokenizer and the line split each run once per document.
+    */
+  def gopherQuality(documents: DataFrame): DataFrame = {
+    val sql =
+      s"""transform(array($tokensSql), t ->
+         |  transform(array(split(text, '\\n')), ls -> named_struct(
+         |    'n_tokens', size(t),
+         |    'mean_word_len', if(size(t) = 0, cast(0.0 as double),
+         |       round(aggregate(t, 0, (acc, x) -> acc + length(x)) / cast(size(t) as double), 6)),
+         |    'alpha_ratio', if(size(t) = 0, cast(0.0 as double),
+         |       round(size(filter(t, x -> x rlike '[a-z]')) / cast(size(t) as double), 6)),
+         |    'symbol_ratio', if(size(t) = 0, cast(0.0 as double),
+         |       round(((length(text) - length(replace(text, '#', '')))
+         |            + (length(text) - length(replace(text, '...', ''))) div 3)
+         |           / cast(size(t) as double), 6)),
+         |    'bullet_line_ratio',
+         |       round(size(filter(ls, l -> left(ltrim(l), 2) IN ('- ', '* ')))
+         |           / cast(size(ls) as double), 6),
+         |    'ellipsis_line_ratio',
+         |       round(size(filter(ls, l -> right(l, 3) = '...'))
+         |           / cast(size(ls) as double), 6)))[0])[0]""".stripMargin
+    documents
+      .select(col("doc_id"), expr(sql).as("g"), stopwordHits("text").as("stop_hits"))
+      .select(
+        col("doc_id"),
+        col("g.n_tokens").as("n_tokens"),
+        col("g.mean_word_len").as("mean_word_len"),
+        col("g.alpha_ratio").as("alpha_ratio"),
+        col("g.symbol_ratio").as("symbol_ratio"),
+        col("g.bullet_line_ratio").as("bullet_line_ratio"),
+        col("g.ellipsis_line_ratio").as("ellipsis_line_ratio"),
+        (col("g.n_tokens").between(50, 100000) &&
+          col("g.mean_word_len").between(3.0, 10.0) &&
+          col("g.symbol_ratio") < 0.1 &&
+          col("g.bullet_line_ratio") < 0.9 &&
+          col("g.ellipsis_line_ratio") < 0.3 &&
+          col("g.alpha_ratio") > 0.8 &&
+          col("stop_hits") >= 2).as("keep"))
+  }
+
+  /** Within-document repetition signals — the C4/Gopher "repetitious
+    * content" filters: duplicate-token, duplicate-trigram, and
+    * duplicate-line fractions (1 − distinct/total). High values flag
+    * boilerplate, keyword stuffing, and template spam. Per-row expression
+    * arithmetic only; the trigram list is derived from the let-bound token
+    * array so the tokenizer runs once per document.
+    */
+  def repetitionStats(documents: DataFrame): DataFrame = {
+    val sql =
+      s"""transform(array($tokensSql), t ->
+         |  transform(array(if(size(t) < 3, cast(array() as array<string>),
+         |                     transform(sequence(0, size(t) - 3),
+         |                       i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))), g ->
+         |    transform(array(split(text, '\\n')), ls -> named_struct(
+         |      'n_tokens', size(t),
+         |      'dup_token_ratio', if(size(t) = 0, cast(0.0 as double),
+         |         round(1.0 - size(array_distinct(t)) / cast(size(t) as double), 6)),
+         |      'dup_trigram_ratio', if(size(g) = 0, cast(0.0 as double),
+         |         round(1.0 - size(array_distinct(g)) / cast(size(g) as double), 6)),
+         |      'dup_line_ratio',
+         |         round(1.0 - size(array_distinct(ls)) / cast(size(ls) as double), 6)))[0])[0])[0]""".stripMargin
+    documents
+      .select(col("doc_id"), expr(sql).as("r"))
+      .select(
+        col("doc_id"),
+        col("r.n_tokens").as("n_tokens"),
+        col("r.dup_token_ratio").as("dup_token_ratio"),
+        col("r.dup_trigram_ratio").as("dup_trigram_ratio"),
+        col("r.dup_line_ratio").as("dup_line_ratio"))
+  }
+
   /** Distinct-content cardinality per source via HLL++
     * (approx_count_distinct). Not oracle-comparable (sketch internals are
     * engine-specific) — registered rows-only; the exact variant is

@@ -157,4 +157,32 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
     assert(q(1L) > q(4L))
   }
+
+  test("gopherQuality: line/symbol rules fire on bulleted, ellipsis-heavy, symbol-laden docs") {
+    val good = ("the quick brown fox and the lazy dog of the old barn " * 5).trim // 60 tokens, stopword-rich
+    val bulleted = (1 to 10).map(i => s"- item number $i in a list").mkString("\n")
+    val elliptical = (1 to 10).map(i => s"to be continued number $i...").mkString("\n")
+    val symbols = "# " * 60 + "the a of and to in"
+    val df = Seq((1L, good), (2L, bulleted), (3L, elliptical), (4L, symbols))
+      .toDF("doc_id", "text")
+    val g = TextOps.gopherQuality(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(g(1L).getBoolean(7), "well-formed doc must pass the gate")
+    assert(g(2L).getDouble(5) == 1.0 && !g(2L).getBoolean(7), "all-bullet doc fails on bullet_line_ratio")
+    assert(g(3L).getDouble(6) == 1.0 && !g(3L).getBoolean(7), "all-ellipsis doc fails on ellipsis_line_ratio")
+    assert(g(4L).getDouble(4) > 0.1 && !g(4L).getBoolean(7), "symbol-laden doc fails on symbol_ratio")
+  }
+
+  test("repetitionStats: duplicate token/trigram/line fractions") {
+    val looped = (("spam ham " * 10).trim + "\nsame line\nsame line").trim
+    val clean = "each word here appears exactly once in this short document"
+    val df = Seq((1L, looped), (2L, clean)).toDF("doc_id", "text")
+    val r = TextOps.repetitionStats(df).collect().map(x => x.getLong(0) -> x).toMap
+    // looped: 24 tokens {spam, ham, same, line}=4 distinct; trigrams almost all repeat
+    assert(r(1L).getInt(1) == 24)
+    assert(r(1L).getDouble(2) > 0.8, "dup_token_ratio should be high for looped text")
+    assert(r(1L).getDouble(3) > 0.5, "dup_trigram_ratio should be high for looped text")
+    assert(r(1L).getDouble(4) > 0.3, "dup_line_ratio sees the repeated line")
+    assert(r(2L).getDouble(2) == 0.0 && r(2L).getDouble(3) == 0.0 && r(2L).getDouble(4) == 0.0)
+  }
 }

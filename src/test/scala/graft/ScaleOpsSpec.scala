@@ -38,6 +38,37 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted == plain && plain == Map(1L -> 500L, 2L -> 1L))
   }
 
+  test("saltedJoin splits the hot key's straggler partition (90%-one-key skew)") {
+    // 90% of rows share one key: the plain equi-join hashes every hot row
+    // into ONE shuffle partition (the straggler task at cluster scale);
+    // salting spreads them across ~salt partitions. Assert on physical
+    // partition row counts, not just output equivalence.
+    val hotN = 9000
+    val skewed = ((1 to hotN).map(_ => (1L, "hot")) ++
+      (1 to 1000).map(i => ((i % 50) + 2L, "cold"))).toDF("k", "v")
+    val dim = (1L to 60L).map(i => (i, s"d$i")).toDF("k", "name")
+    // freeze the physical layout: no broadcast (keep a real shuffle join),
+    // no AQE (it would coalesce/re-split partitions and hide the effect),
+    // and enough shuffle partitions that (key, salt) combos don't all
+    // collide (the suite default is 4 for speed)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      def maxPartitionRows(df: org.apache.spark.sql.DataFrame): Int =
+        df.rdd.mapPartitions(it => Iterator(it.size)).collect().max
+      val plainMax = maxPartitionRows(skewed.join(dim, "k"))
+      val saltedMax = maxPartitionRows(ScaleOps.saltedJoin(skewed, dim, "k", salt = 16))
+      assert(plainMax >= hotN, s"plain join should stack the hot key in one partition, max=$plainMax")
+      assert(saltedMax <= hotN / 4,
+        s"salted join should split the hot key ~16 ways, max=$saltedMax vs plain $plainMax")
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+  }
+
   test("saltedCount equals plain count per key") {
     val df = ((1L to 300L).map(_ => 7L) ++ (1L to 5L)).toDF("k")
     val plain = df.groupBy("k").count().as[(Long, Long)].collect().toMap
