@@ -38,11 +38,13 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1.0 }
       name -> best
     }
-    // 3-decimal (ms-resolution) timings: the driver keeps only the last
-    // ~2 KB of output, so the JSON line must stay short enough to survive
-    // that tail capture whole or it is never machine-parsed
+    // 2-decimal timings: the driver keeps only the last 2000 chars of
+    // output (plus sbt's trailing success line), so the JSON line must
+    // stay short enough to survive that tail capture whole or it is never
+    // machine-parsed. 10 ms resolution is far inside the run-to-run
+    // variance anyway.
     def fmt(v: Double): String =
-      if (v < 0) "null" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+      if (v < 0) "null" else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     // a failed query records null, excluded from the total rather than
     // summing a -1.0 sentinel into it

@@ -406,6 +406,12 @@ object SparkEntry {
     // byte == character)
     "multimodal_decode" -> ((s, d) => MultimodalOps.decodeFeatures(t(s, d, "documents"))),
 
+    // PII scrub pass: emails/IPs/long digit runs replaced, one projection
+    "pii_redact" -> ((s, d) => TextOps.redactPii(t(s, d, "documents"))),
+    // token-budget sequence packing over the chunk stream, sharded by
+    // portable doc hash so the cumulative sum parallelizes
+    "seq_packing" -> ((s, d) => TextOps.packChunks(t(s, d, "documents"))),
+
     // Gopher-rule corpus gate: per-doc quality signals + composite keep
     // verdict, one codegen'd projection
     "gopher_rules" -> ((s, d) => TextOps.gopherQuality(t(s, d, "documents"))),
@@ -947,6 +953,28 @@ object SparkEntry {
         |CAST((octet_length(encode(d.text)) * 13 + 31) % 768 AS INTEGER) AS height,
         |floor(lum.lum * 1000000 + 0.5)/1000000 AS mean_lum
         |FROM documents d JOIN lum USING (doc_id)""".stripMargin,
+
+    "pii_redact" ->
+      """SELECT doc_id,
+        |regexp_replace(regexp_replace(regexp_replace(text,
+        |  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |  '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |  '[0-9]{6,}', '<NUM>', 'g') AS redacted
+        |FROM documents""".stripMargin,
+
+    // the text_chunks CTE extended with the portable shard hash and the
+    // per-shard running token total
+    "seq_packing" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |st AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 16)) AS s FROM t),
+        |c AS (SELECT doc_id, CAST(s // 16 AS INTEGER) AS chunk_idx,
+        |        CAST(least(s + 32, len(toks)) - s AS INTEGER) AS n_chunk_tokens
+        |      FROM st WHERE s < len(toks)),
+        |sh AS (SELECT *, CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 32 AS INTEGER) AS shard FROM c)
+        |SELECT shard, doc_id, chunk_idx, n_chunk_tokens,
+        |  CAST((sum(n_chunk_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chunk_tokens) // 256 AS BIGINT) AS seq_id
+        |FROM sh""".stripMargin,
 
     "gopher_rules" ->
       """WITH t AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,

@@ -228,6 +228,45 @@ object TextOps {
         col("r.dup_line_ratio").as("dup_line_ratio"))
   }
 
+  /** PII scrubbing pass: emails → <EMAIL>, IPv4-ish quads → <IP>, long
+    * digit runs (ids, phone numbers, SSNs) → <NUM>. Order matters — emails
+    * and IPs are matched before bare digit runs so their digits don't get
+    * half-rewritten. Patterns stay in the regex subset Java and RE2 share,
+    * so the DuckDB oracle replays them verbatim (with the 'g' flag —
+    * DuckDB's regexp_replace is first-match by default, Spark's is
+    * global). One codegen'd projection; no shuffle.
+    */
+  def redactPii(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"),
+            "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+          "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+        "[0-9]{6,}", "<NUM>").as("redacted"))
+
+  /** Token-budget sequence packing — the training-data step that bins
+    * chunks into ≤`seqBudget`-token training sequences. Chunks are first
+    * sharded by a portable hash of doc_id (packing parallelizes per
+    * shard — a single global cumulative sum would serialize on one
+    * reducer at 100 TB), then a running token total within the shard
+    * assigns `seq_id = floor(preceding_total / seqBudget)`. Deterministic
+    * under any partitioning: the shard hash and the (doc_id, chunk_idx)
+    * order are both data-derived.
+    */
+  def packChunks(documents: DataFrame, seqBudget: Int = 256, shards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sharded = chunks(documents).withColumn("shard",
+      expr(s"cast(cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % $shards as int)"))
+    val w = Window.partitionBy("shard").orderBy(col("doc_id"), col("chunk_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sharded
+      .withColumn("cum", sum(col("n_chunk_tokens")).over(w))
+      .select(col("shard"), col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+        expr(s"(cum - n_chunk_tokens) div $seqBudget").as("seq_id"))
+  }
+
   /** Distinct-content cardinality per source via HLL++
     * (approx_count_distinct). Not oracle-comparable (sketch internals are
     * engine-specific) — registered rows-only; the exact variant is

@@ -173,6 +173,36 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(g(4L).getDouble(4) > 0.1 && !g(4L).getBoolean(7), "symbol-laden doc fails on symbol_ratio")
   }
 
+  test("redactPii scrubs emails, IPs, and long digit runs in order") {
+    val df = Seq(
+      (1L, "mail me at bob.smith+x@corp.example.com or 10.0.0.1 ref 1234567 and 12345"))
+      .toDF("doc_id", "text")
+    val got = TextOps.redactPii(df).collect()(0).getString(1)
+    assert(got == "mail me at <EMAIL> or <IP> ref <NUM> and 12345")
+  }
+
+  test("packChunks: seq ids monotone per shard, budget bound holds, chunk set preserved") {
+    val many = (1L to 40L).map(i => (i, s"doc $i " + ("alpha beta gamma delta " * 20).trim))
+      .toDF("doc_id", "text")
+    val packed = TextOps.packChunks(many, seqBudget = 64, shards = 4)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    // within a shard, seq_id never decreases along (doc_id, chunk_idx) order
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3)).map(_._5)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b })
+    }
+    // every sequence's token total stays under budget + one chunk (a chunk
+    // may straddle the boundary; the next sequence starts at the next chunk)
+    packed.groupBy(r => (r._1, r._5)).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sum <= 64 + 32)
+    }
+    // packing re-bins, never drops or duplicates chunks
+    val chunkKeys = TextOps.chunks(many).select("doc_id", "chunk_idx")
+      .as[(Long, Int)].collect().toSet
+    assert(packed.map(r => (r._2, r._3)).toSet == chunkKeys)
+  }
+
   test("repetitionStats: duplicate token/trigram/line fractions") {
     val looped = (("spam ham " * 10).trim + "\nsame line\nsame line").trim
     val clean = "each word here appears exactly once in this short document"

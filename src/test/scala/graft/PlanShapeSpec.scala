@@ -58,4 +58,24 @@ class PlanShapeSpec extends SparkSpec {
         s"$q should have partial+final aggregation:\n$p")
     }
   }
+
+  test("q5 snowflake: dims broadcast, region filter pushes to its scan") {
+    val p = plan("q5_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"nation/region must broadcast:\n$p")
+    assert(p.contains("EqualTo(r_name,ASIA)") || p.contains("r_name"),
+      s"region filter should reach the region scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q5 must stay equi-join only:\n$p")
+  }
+
+  test("pii_redact and seq_packing stay narrow/sharded") {
+    // redaction is a pure projection — no exchange at all
+    val pr = plan("pii_redact")
+    assert(!pr.contains("Exchange"), s"pii_redact should be shuffle-free:\n$pr")
+    // packing shuffles once on the shard key, never a global single-
+    // partition sort (the non-sharded formulation would)
+    val pk = plan("seq_packing")
+    assert(!pk.contains("SinglePartition"),
+      s"seq_packing must not serialize on one reducer:\n$pk")
+  }
 }
