@@ -408,6 +408,12 @@ object SparkEntry {
 
     // PII scrub pass: emails/IPs/long digit runs replaced, one projection
     "pii_redact" -> ((s, d) => TextOps.redactPii(t(s, d, "documents"))),
+    // benchmark decontamination: shingle overlap vs the deterministic 10%
+    // sample standing in for an eval set; benchmark shingles broadcast
+    "contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      DedupOps.contaminationScreen(docs, TextOps.deterministicSample(docs, "doc_id", 10))
+    }),
     // token-budget sequence packing over the chunk stream, sharded by
     // portable doc hash so the cumulative sum parallelizes
     "seq_packing" -> ((s, d) => TextOps.packChunks(t(s, d, "documents"))),
@@ -776,6 +782,22 @@ object SparkEntry {
         |WHERE round(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6) >= 0.5""".stripMargin),
 
     "jaccard_pairs_unguarded" -> jaccardUnguardedOracle,
+
+    // decontamination screen: the sh CTE provides distinct (doc_id, s)
+    // shingles; the benchmark side re-selects the portable-hash 10% sample
+    "contamination" ->
+      (shingleCtes +
+      """,
+        |bench AS (SELECT DISTINCT s FROM sh
+        |          WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10),
+        |cnt AS (SELECT sh.doc_id, count(*) AS n_shingles,
+        |          sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated
+        |        FROM sh LEFT JOIN bench b ON sh.s = b.s GROUP BY sh.doc_id)
+        |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+        |  CAST(n_contaminated AS BIGINT) AS n_contaminated,
+        |  round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contamination,
+        |  round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) >= 0.5 AS flagged
+        |FROM cnt""".stripMargin),
 
     // prefix filtering is lossless → same oracle as the unguarded query
     "jaccard_pairs_prefix" -> jaccardUnguardedOracle,

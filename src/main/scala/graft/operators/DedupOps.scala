@@ -389,4 +389,30 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Benchmark-decontamination screen: per document, the fraction of its
+    * distinct 3-shingles that appear anywhere in `benchmark` (eval sets,
+    * held-out test data). The benchmark shingle set is tiny relative to a
+    * training corpus, so it rides as a BROADCAST to every executor — the
+    * corpus-side scan stays one pass with a map-side semi-probe, no
+    * shuffle of corpus shingles against benchmark shingles. Documents too
+    * short to shingle (< 3 tokens) have nothing to leak and are omitted.
+    *
+    * `flagged` compares the round-6 ratio so the verdict is engine-
+    * portable (same rounding the oracle replays).
+    */
+  def contaminationScreen(documents: DataFrame, benchmark: DataFrame,
+                          flagAt: Double = 0.5): DataFrame = {
+    val benchSh = shingles(benchmark).select(col("shingle")).distinct()
+    shingles(documents)
+      .join(broadcast(benchSh.withColumn("__hit", lit(1))), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        round(col("n_contaminated").cast(DoubleType) / col("n_shingles"), 6)
+          .as("contamination"))
+      .withColumn("flagged", col("contamination") >= flagAt)
+  }
 }

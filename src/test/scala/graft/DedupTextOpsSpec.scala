@@ -173,6 +173,16 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(g(4L).getDouble(4) > 0.1 && !g(4L).getBoolean(7), "symbol-laden doc fails on symbol_ratio")
   }
 
+  test("contaminationScreen: benchmark members fully flagged, disjoint docs at zero") {
+    val bench = docs.filter($"doc_id" === 1L)
+    val got = DedupOps.contaminationScreen(docs, bench)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
+    assert(got(1L) == (1.0, true), "a doc that IS the benchmark is 100% contaminated")
+    assert(got(2L) == (1.0, true), "exact dup of a benchmark doc is fully contaminated")
+    assert(got(3L)._1 > 0.0 && got(3L)._1 < 1.0, "near-dup is partially contaminated")
+    assert(got(4L) == (0.0, false), "disjoint doc carries zero benchmark shingles")
+  }
+
   test("redactPii scrubs emails, IPs, and long digit runs in order") {
     val df = Seq(
       (1L, "mail me at bob.smith+x@corp.example.com or 10.0.0.1 ref 1234567 and 12345"))
