@@ -44,7 +44,12 @@ object Bench {
     // machine-parsed. 10 ms resolution is far inside the run-to-run
     // variance anyway.
     def fmt(v: Double): String =
-      if (v < 0) "null" else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+      if (v < 0) "null"
+      else {
+        val s = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .bigDecimal.stripTrailingZeros.toPlainString
+        if (s.isEmpty || s == "0E-22") "0" else s
+      }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     // a failed query records null, excluded from the total rather than
     // summing a -1.0 sentinel into it

@@ -334,6 +334,27 @@ object SparkEntry {
       t(s, d, "lineitem").selectExpr("l_orderkey", "l_linenumber",
         "stack(3, 'qty', l_quantity, 'price', l_extendedprice, 'disc', l_discount) AS (measure, value)")),
 
+    // GROUPING SETS proper (beyond rollup/cube): mixed single-dimension
+    // rollups + grand total in one aggregation pass
+    "grouping_sets" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+    }),
+
+    // rank-family windows beyond row_number/ntile: percent_rank + cume_dist
+    // (exact rationals over a unique-tiebreak order — engine-portable)
+    "pct_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume_dist"))
+    }),
+
     // ---- SQL surface: staging view + GROUP BY ordinal (S9/A2) ----
     "sql_group_ordinal" -> ((s, d) => {
       t(s, d, "orders").createOrReplaceTempView("orders_v")
@@ -1204,6 +1225,18 @@ object SparkEntry {
       """SELECT CAST(date_trunc('year', o_orderdate) AS DATE) AS year,
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+
+    "pct_rank" ->
+      """SELECT o_orderkey,
+        |round(percent_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank,
+        |round(cume_dist() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey), 6) AS cume_dist
+        |FROM orders""".stripMargin,
 
     "events_tumbling_day" ->
       """SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP) AS window_start, event_type,

@@ -80,4 +80,16 @@ class PropertySpec extends SparkSpec {
       assert(sig(df) == sig(df.repartition(3)))
     }
   }
+
+  test("packChunks is invariant under input partitioning and row order") {
+    val docGen = Gen.listOfN(30, Gen.oneOf("alpha", "beta", "gamma", "delta")).map(_.mkString(" "))
+    for (texts <- samples(Gen.listOfN(6, docGen), 3)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      def pack(d: org.apache.spark.sql.DataFrame) =
+        graft.operators.TextOps.packChunks(d, seqBudget = 40, shards = 4).collect()
+          .map(r => (r.getLong(1), r.getInt(2)) -> (r.getInt(0), r.getLong(4))).toMap
+      val base = pack(df)
+      assert(base == pack(df.orderBy(desc("doc_id")).repartition(7)))
+    }
+  }
 }
