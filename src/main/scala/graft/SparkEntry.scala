@@ -408,6 +408,40 @@ object SparkEntry {
           "ivf_trained"))
     }),
 
+    // the custom-state sessionizer (flatMapGroupsWithState) in batch mode,
+    // gated against the same gap-session SQL semantics as events_sessions —
+    // µs-exact state, so the typed path and the window formulation agree
+    "sessions_typed" -> ((s, d) => {
+      import s.implicits._
+      val evs = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[graft.streaming.Sessionize.Event]
+      graft.streaming.Sessionize.sessions(evs, 1800L * 1000).toDF()
+    }),
+
+    // the E1/E3 FRED pipeline END-TO-END, driver-gated: a deterministic
+    // FRED-shaped payload (daily order totals as observations) goes through
+    // the real fetch driver (injected transport) → verbatim JSON landing →
+    // flatten → staging cast → yearly mart. The one collect() assembles the
+    // KB-sized API payload on the driver — that is the fetch/landing
+    // boundary itself (identical to any HTTP client), not an operator path;
+    // everything downstream of the landing zone is a distributed plan. The
+    // oracle recomputes the mart straight from orders.parquet
+    "fred_pipeline" -> ((s, d) => {
+      val daily = t(s, d, "orders")
+        .groupBy(col("o_orderdate").cast(DateType).as("date"))
+        .agg(sum(col("o_totalprice").cast(Money)).cast(Money).as("value"))
+        .orderBy(col("date"))
+      val obs = daily.collect()
+        .map(r => s"""{"date":"${r.get(0)}","value":"${r.get(1)}"}""").mkString(",")
+      val payload =
+        s"""{"realtime_start":"1900-01-01","realtime_end":"9999-12-31","units":"lin","count":0,"observations":[$obs]}"""
+      val landingDir = java.nio.file.Paths
+        .get(System.getProperty("java.io.tmpdir"), "graft_fred_landing").toString
+      val landed = Pipelines.fetchToRaw(_ => payload, Seq("local://orders-daily"), landingDir)
+      Pipelines.runFredPipeline(s, landed.head, "ORDERS_DAILY")
+    }),
+
     // the E2 fundamentals pipeline END-TO-END, driver-gated: deterministic
     // fundamentals derived from orders → real CSV raw zone → ingest
     // defaults → staging join → KPI mart. The oracle recomputes the mart
@@ -982,6 +1016,30 @@ object SparkEntry {
         |CAST((octet_length(encode(text)) * 7 + ascii(substr(text, 1, 1))) % 1024 AS INTEGER) AS fake_width,
         |CAST((octet_length(encode(text)) * 13 + 31) % 768 AS INTEGER) AS fake_height
         |FROM documents""".stripMargin,
+
+    "sessions_typed" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |o AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM o)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "fred_pipeline" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS date,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS value
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(date_trunc('year', date) AS DATE) AS year,
+        |  round(CAST(SUM(value) AS DOUBLE) / COUNT(value), 6) AS avg_value
+        |FROM daily GROUP BY 1""".stripMargin,
 
     // the stub codec replayed per character (documents are ASCII, so
     // character codepoints are payload bytes); mean luminance = exact
