@@ -44,21 +44,19 @@ object Bench {
     // machine-parsed. 10 ms resolution is far inside the run-to-run
     // variance anyway.
     def fmt(v: Double): String =
-      if (v < 0) "null"
+      if (v < 0) "null" // failed query: null, never summed into the total
       else {
-        val s = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        val scale = if (v >= 1) 1 else 2
+        val s = BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
           .bigDecimal.stripTrailingZeros.toPlainString
-        if (s.isEmpty || s == "0E-22") "0" else s
+        if (s.isEmpty || s.startsWith("0E")) "0" else s
       }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    // a failed query records null, excluded from the total rather than
-    // summing a -1.0 sentinel into it
     val total = fmt(results.map(_._2).filter(_ >= 0).sum)
-    val failed = results.count(_._2 < 0)
     // n_queries: the registered-query count grows round over round (56 in
     // r4 vs 52 in r3), so compare totals normalized, not raw
     val sfNum = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("\"" + sfDir + "\"")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"queries":$qs,"sf":$sfNum}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":$sfNum}""")
     spark.stop()
   }
 }

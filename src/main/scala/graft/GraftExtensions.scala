@@ -21,5 +21,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "cosine_sim takes exactly 2 arguments")
         CosineSimilarity(children(0), children(1))
       }))
+
+    // Catalyst's runtime-row-level-filter sketch pair, surfaced as SQL
+    // functions (Spark keeps them optimizer-internal; the expressions are
+    // public classes). This is what ScaleOps.bloomPrunedJoin builds on —
+    // the manual form of the shuffle-join prefilter the optimizer's
+    // runtime bloom filter injects when statistics allow it.
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => children match {
+        case Seq(c)       => new BloomFilterAggregate(c)
+        case Seq(c, n)    => new BloomFilterAggregate(c, n)
+        case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+        case _ => throw new IllegalArgumentException("bloom_agg takes 1-3 arguments")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "bloom_might_contain"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "bloom_might_contain takes exactly 2 arguments")
+        new BloomFilterMightContain(children(0), children(1))
+      }))
   }
 }

@@ -334,6 +334,18 @@ object SparkEntry {
       t(s, d, "lineitem").selectExpr("l_orderkey", "l_linenumber",
         "stack(3, 'qty', l_quantity, 'price', l_extendedprice, 'disc', l_discount) AS (measure, value)")),
 
+    // bloom-pruned shuffle join: lineitem prefiltered by a broadcast
+    // sketch of high-balance suppliers before its shuffle; the closing
+    // equi-join clears false positives, so output = the plain join
+    "bloom_join" -> ((s, d) => {
+      val hi = t(s, d, "supplier").filter(col("s_acctbal") > 9000).select("s_suppkey", "s_name")
+      ScaleOps.bloomPrunedJoin(
+        t(s, d, "lineitem").select(col("l_suppkey").as("s_suppkey"), col("l_quantity")),
+        hi, "s_suppkey")
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(RelationalOps.moneySum(col("l_quantity")).as("total_qty"))
+    }),
+
     // GROUPING SETS proper (beyond rollup/cube): mixed single-dimension
     // rollups + grand total in one aggregation pass
     "grouping_sets" -> ((s, d) => {
@@ -1283,6 +1295,13 @@ object SparkEntry {
       """SELECT CAST(date_trunc('year', o_orderdate) AS DATE) AS year,
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "bloom_join" ->
+      """SELECT l_suppkey AS s_suppkey, s_name,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_acctbal > 9000
+        |GROUP BY l_suppkey, s_name""".stripMargin,
 
     "grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,

@@ -38,6 +38,30 @@ object ScaleOps {
     saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Bloom-pruned shuffle join: build a bloom filter over the small side's
+    * join keys (one aggregate → a KB-scale sketch), broadcast it, and
+    * prefilter the big side BEFORE its shuffle — at 100 TB this is the
+    * difference between shuffling the whole fact table and shuffling only
+    * the ~selectivity fraction that can possibly match. The final equi-join
+    * clears bloom false positives, so the result is exactly the plain
+    * join. This is the manual, always-on form of Spark's runtime row-level
+    * filtering (`spark.sql.optimizer.runtime.bloomFilter.*`), for when
+    * statistics don't trigger it or the build side is an intermediate
+    * frame the optimizer can't see through.
+    */
+  def bloomPrunedJoin(big: DataFrame, small: DataFrame, key: String,
+                      expectedItems: Long = 1000000L): DataFrame = {
+    // might_contain requires its sketch to be a constant or scalar
+    // subquery (it ships with the task as a literal, not a join input) —
+    // Dataset.scalar() plans the 1-row aggregate as exactly that
+    val bf = small
+      .agg(expr(s"bloom_agg(xxhash64($key), ${expectedItems}L)").as("__bf"))
+      .scalar()
+    big
+      .filter(call_function("bloom_might_contain", bf, xxhash64(col(key))))
+      .join(small, Seq(key))
+  }
+
   /** Salted two-phase aggregation: partial-aggregate on (key, salt), then
     * final-aggregate on key. Catalyst already plans partial aggregation
     * map-side; the explicit salt matters when a single key's *partial*

@@ -69,6 +69,16 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("bloomPrunedJoin: output equals the plain join, sketch prefilter in the plan") {
+    val big = (1L to 2000L).map(i => (i % 100, s"row$i")).toDF("k", "v")
+    val small = Seq((1L, "a"), (2L, "b"), (50L, "c")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).collect().map(_.toString).sorted
+    val pruned = ScaleOps.bloomPrunedJoin(big, small, "k", expectedItems = 100)
+    assert(pruned.collect().map(_.toString).sorted.sameElements(plain))
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), s"bloom prefilter missing from plan:\n$p")
+  }
+
   test("saltedCount equals plain count per key") {
     val df = ((1L to 300L).map(_ => 7L) ++ (1L to 5L)).toDF("k")
     val plain = df.groupBy("k").count().as[(Long, Long)].collect().toMap
