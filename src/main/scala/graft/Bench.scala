@@ -46,8 +46,12 @@ object Bench {
     def fmt(v: Double): String =
       if (v < 0) "null" // failed query: null, never summed into the total
       else {
-        val scale = if (v >= 1) 1 else 2
-        val s = BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+        // 0.1 s resolution: per-query values exist to flag outliers (the
+        // suite median is ~0.3 s and run-to-run variance is ±2x); finer
+        // A/B reads come from local runs. What the resolution buys is ~80
+        // chars of line length — the difference between the driver's 2000-
+        // char tail capture holding the whole line or truncating its head
+        val s = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP)
           .bigDecimal.stripTrailingZeros.toPlainString
         if (s.isEmpty || s.startsWith("0E")) "0" else s
       }

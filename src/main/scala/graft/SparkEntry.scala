@@ -367,6 +367,23 @@ object SparkEntry {
         round(cume_dist().over(w), 6).as("cume_dist"))
     }),
 
+    // correlated EXISTS + IN + scalar subqueries in one query — Catalyst
+    // decorrelates EXISTS/IN to semi-joins and plans the scalar aggregate
+    // as a broadcast-shared subquery result
+    "subqueries" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_sq")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_sq")
+      s.sql(
+        """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total
+          |FROM orders_sq o
+          |WHERE EXISTS (SELECT 1 FROM lineitem_sq l
+          |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+          |  AND o_orderstatus IN (SELECT DISTINCT o_orderstatus FROM orders_sq
+          |                        WHERE o_orderpriority = '1-URGENT')
+          |  AND o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |                             / COUNT(*) FROM orders_sq)""".stripMargin)
+    }),
+
     // ---- SQL surface: staging view + GROUP BY ordinal (S9/A2) ----
     "sql_group_ordinal" -> ((s, d) => {
       t(s, d, "orders").createOrReplaceTempView("orders_v")
@@ -1290,6 +1307,16 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, 'qty' AS measure, l_quantity AS value FROM lineitem
         |UNION ALL SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
         |UNION ALL SELECT l_orderkey, l_linenumber, 'disc', l_discount FROM lineitem""".stripMargin,
+
+    "subqueries" ->
+      """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        |  AND o_orderstatus IN (SELECT DISTINCT o_orderstatus FROM orders
+        |                        WHERE o_orderpriority = '1-URGENT')
+        |  AND o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |                             / COUNT(*) FROM orders)""".stripMargin,
 
     "sql_group_ordinal" ->
       """SELECT CAST(date_trunc('year', o_orderdate) AS DATE) AS year,
