@@ -101,6 +101,36 @@ object Pipelines {
     TextOps.chunks(survivors.join(kept, Seq("doc_id")))
   }
 
+  /** [EXT] The corpus pipeline at full width — every filter family a
+    * modern training-data pipeline runs, composed in the standard order:
+    * exact dedup → near-dup collapse → quality floor → Gopher rule gate →
+    * repetition cap → PII scrub → chunking. Deduplication runs FIRST
+    * (cheapest way to shrink everything downstream); per-doc filters run
+    * before redaction so their signals see the original text; redaction
+    * precedes chunking so no chunk straddles a scrubbed span. All stages
+    * are declarative single passes except the bounded dupComponents
+    * iteration — and the whole composition is DuckDB-oracled as ONE query
+    * (`corpus_full`).
+    */
+  def runCorpusPipelineFull(docs: DataFrame, minQuality: Double = 0.3,
+                            maxDupTrigram: Double = 0.5): DataFrame = {
+    val exact = DedupOps.exactDedup(docs)
+    val comps = DedupOps.dupComponents(DedupOps.minhashCandidatePairs(exact))
+    val survivors = exact.join(comps, Seq("doc_id"), "left")
+      .filter(col("component").isNull || col("component") === col("doc_id"))
+      .select(col("doc_id"), col("text"))
+    val q = TextOps.qualityScore(survivors)
+      .filter(col("quality") >= minQuality).select("doc_id")
+    val gk = TextOps.gopherQuality(survivors)
+      .filter(col("keep")).select("doc_id")
+    val rep = TextOps.repetitionStats(survivors)
+      .filter(col("dup_trigram_ratio") <= maxDupTrigram).select("doc_id")
+    val kept = survivors
+      .join(q, Seq("doc_id")).join(gk, Seq("doc_id")).join(rep, Seq("doc_id"))
+    val clean = TextOps.redactPii(kept).withColumnRenamed("redacted", "text")
+    TextOps.chunks(clean)
+  }
+
   /** E2: the fundamentals pipeline — raw-zone CSV → ingest defaults →
     * staging join → KPI mart (reference README.md:421-495).
     *

@@ -437,6 +437,11 @@ object SparkEntry {
           "ivf_trained"))
     }),
 
+    // the corpus pipeline at FULL width: dedup → collapse → quality floor
+    // → Gopher gate → repetition cap → PII scrub → chunking, one call,
+    // the whole composition replayed in one oracle
+    "corpus_full" -> ((s, d) => Pipelines.runCorpusPipelineFull(t(s, d, "documents"))),
+
     // the custom-state sessionizer (flatMapGroupsWithState) in batch mode,
     // gated against the same gap-session SQL semantics as events_sessions —
     // µs-exact state, so the typed path and the window formulation agree
@@ -814,6 +819,72 @@ object SparkEntry {
         |  FROM surv) t WHERE quality >= 0.3),
         |base AS (SELECT surv.doc_id, surv.text FROM surv JOIN q ON surv.doc_id = q.doc_id),
         |tkc AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM base),
+        |stc AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 16)) AS s FROM tkc)
+        |SELECT doc_id, CAST(s // 16 AS INTEGER) AS chunk_idx,
+        |array_to_string(toks[s+1:least(s + 32, len(toks))], ' ') AS chunk,
+        |CAST(least(s + 32, len(toks)) - s AS INTEGER) AS n_chunk_tokens
+        |FROM stc WHERE s < len(toks)""".stripMargin),
+
+    // corpus_pipeline's oracle chain with the r6 filter families spliced
+    // in between the quality floor and the chunker: Gopher gate (gt/gm/gk),
+    // repetition cap (rtr/rep), PII redaction (red)
+    "corpus_full" ->
+      ("WITH RECURSIVE ex AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),\n" +
+      minhashPairsCtes.stripPrefix("WITH ").replace("FROM documents", "FROM ex") +
+      """,
+        |dedges AS (SELECT doc_a AS src, doc_b AS dst FROM mpairs
+        |           UNION SELECT doc_b, doc_a FROM mpairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM dedges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN dedges e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+        |         FROM reach GROUP BY src),
+        |surv AS (SELECT ex.doc_id, ex.text FROM ex LEFT JOIN comp ON ex.doc_id = comp.doc_id
+        |         WHERE comp.component IS NULL OR comp.component = ex.doc_id),
+        |q AS (SELECT doc_id FROM (
+        |  SELECT doc_id,
+        |    round(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.5 +
+        |          coalesce(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |                                        t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+        |                   / NULLIF(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE), 0),
+        |                   0) * 0.5, 6) AS quality
+        |  FROM surv) t WHERE quality >= 0.3),
+        |gt AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+        |              string_split(text, chr(10)) AS ls FROM surv),
+        |gm AS (SELECT doc_id,
+        |  len(toks) AS n_tokens,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |       ELSE round(list_sum(list_transform(toks, x -> length(x))) / CAST(len(toks) AS DOUBLE), 6) END AS mean_word_len,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |       ELSE round(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) / CAST(len(toks) AS DOUBLE), 6) END AS alpha_ratio,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |       ELSE round(((length(text) - length(replace(text, '#', '')))
+        |                 + (length(text) - length(replace(text, '...', ''))) // 3)
+        |               / CAST(len(toks) AS DOUBLE), 6) END AS symbol_ratio,
+        |  round(len(list_filter(ls, l -> left(ltrim(l), 2) IN ('- ', '* '))) / CAST(len(ls) AS DOUBLE), 6) AS bullet_line_ratio,
+        |  round(len(list_filter(ls, l -> right(l, 3) = '...')) / CAST(len(ls) AS DOUBLE), 6) AS ellipsis_line_ratio,
+        |  len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS stop_hits
+        |FROM gt),
+        |gk AS (SELECT doc_id FROM gm
+        |       WHERE (n_tokens BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |         AND symbol_ratio < 0.1 AND bullet_line_ratio < 0.9 AND ellipsis_line_ratio < 0.3
+        |         AND alpha_ratio > 0.8 AND stop_hits >= 2),
+        |rtr AS (SELECT doc_id,
+        |  CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |       ELSE list_transform(range(0, len(toks) - 2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END AS tris
+        |FROM gt),
+        |rep AS (SELECT doc_id FROM rtr
+        |        WHERE (CASE WHEN len(tris) = 0 THEN 0.0
+        |               ELSE round(1.0 - len(list_distinct(tris)) / CAST(len(tris) AS DOUBLE), 6) END) <= 0.5),
+        |base AS (SELECT surv.doc_id, surv.text FROM surv
+        |         JOIN q USING (doc_id) JOIN gk USING (doc_id) JOIN rep USING (doc_id)),
+        |red AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS text FROM base),
+        |tkc AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM red),
         |stc AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 16)) AS s FROM tkc)
         |SELECT doc_id, CAST(s // 16 AS INTEGER) AS chunk_idx,
         |array_to_string(toks[s+1:least(s + 32, len(toks))], ' ') AS chunk,
