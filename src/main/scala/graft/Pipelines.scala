@@ -116,9 +116,14 @@ object Pipelines {
                             maxDupTrigram: Double = 0.5): DataFrame = {
     val exact = DedupOps.exactDedup(docs)
     val comps = DedupOps.dupComponents(DedupOps.minhashCandidatePairs(exact))
+    // four downstream branches (three filter families + the final join)
+    // each consume survivors — persist it once so the dedup chain (incl.
+    // the iterative collapse) doesn't replay per branch. Cache lifecycle
+    // belongs to the caller (Verify/Bench clearCache between queries).
     val survivors = exact.join(comps, Seq("doc_id"), "left")
       .filter(col("component").isNull || col("component") === col("doc_id"))
       .select(col("doc_id"), col("text"))
+      .persist()
     val q = TextOps.qualityScore(survivors)
       .filter(col("quality") >= minQuality).select("doc_id")
     val gk = TextOps.gopherQuality(survivors)

@@ -38,6 +38,13 @@ class EdgeCasesSpec extends SparkSpec {
     assert(TextOps.tfIdf(emptyDocs).count() == 0)
     assert(TextOps.deterministicSample(emptyDocs, "doc_id", 10).count() == 0)
     assert(TextOps.approxDistinctWithinTol(emptyDocs).count() == 0)
+    // r6 operator families
+    assert(TextOps.gopherQuality(emptyDocs).count() == 0)
+    assert(TextOps.repetitionStats(emptyDocs).count() == 0)
+    assert(TextOps.redactPii(emptyDocs).count() == 0)
+    assert(TextOps.packChunks(emptyDocs).count() == 0)
+    assert(DedupOps.contaminationScreen(emptyDocs, emptyDocs).count() == 0)
+    assert(Pipelines.runCorpusPipelineFull(emptyDocs).count() == 0)
   }
 
   test("sub-shingle and empty texts: signature ops skip, scalar ops stay safe") {
