@@ -112,4 +112,26 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.count() == 3)
     assert(got.filter($"event_id" === 1L).count() == 1)
   }
+
+  test("corpus gate runs unchanged on a stream: gopherQuality is stateless row logic") {
+    // stream/batch parity for the r6 text tier — the same projection
+    // serves the ingest stream (filter-at-the-door) and the batch sweep
+    val in = Files.createTempDirectory("graft-gq-in").toString
+    val out = Files.createTempDirectory("graft-gq-out").toString
+    val ckpt = Files.createTempDirectory("graft-gq-ckpt").toString
+    val docs = Seq(
+      (1L, ("the quick brown fox and the lazy dog of the old barn " * 5).trim),
+      (2L, (1 to 10).map(i => s"- item $i").mkString("\n")))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(docs.schema).parquet(in)
+    val gated = graft.operators.TextOps.gopherQuality(stream)
+    val q = gated.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(out).select("doc_id", "keep")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> true, 2L -> false))
+  }
 }
