@@ -367,6 +367,23 @@ object SparkEntry {
         round(cume_dist().over(w), 6).as("cume_dist"))
     }),
 
+    // rank/dense_rank/lead (W7, SURVEY.md:158-159) — "latest report per
+    // symbol WITH ties" wants rank, not row_number. Ranks run over a
+    // deliberately tie-heavy order (o_orderpriority: 5 distinct values) so
+    // rank vs dense_rank genuinely diverge; ties share a rank, so the
+    // output is deterministic without a tiebreak. lead needs a total order
+    // to be deterministic — it gets the unique o_orderkey tiebreak.
+    "rank_family" -> ((s, d) => {
+      val wTies = Window.partitionBy("o_orderstatus").orderBy(col("o_orderpriority"))
+      val wUniq = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        rank().over(wTies).as("rnk"),
+        dense_rank().over(wTies).as("dense_rnk"),
+        lead(col("o_orderkey"), 1).over(wUniq).as("next_key"))
+    }),
+
     // correlated EXISTS + IN + scalar subqueries in one query — Catalyst
     // decorrelates EXISTS/IN to semi-joins and plans the scalar aggregate
     // as a broadcast-shared subquery result
@@ -1411,6 +1428,13 @@ object SparkEntry {
       """SELECT o_orderkey,
         |round(percent_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank,
         |round(cume_dist() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey), 6) AS cume_dist
+        |FROM orders""".stripMargin,
+
+    "rank_family" ->
+      """SELECT o_orderkey,
+        |CAST(rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS INTEGER) AS rnk,
+        |CAST(dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS INTEGER) AS dense_rnk,
+        |lead(o_orderkey, 1) OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority, o_orderkey) AS next_key
         |FROM orders""".stripMargin,
 
     "events_tumbling_day" ->

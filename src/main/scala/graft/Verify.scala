@@ -46,14 +46,19 @@ object Verify {
     * value) would collapse to the same double and falsely hash-match. At
     * sf0.01/sf0.1 magnitudes are far below the bound; this assert makes the
     * precondition explicit so a larger SF can't violate it unnoticed.
+    *
+    * Runs against the already-dumped parquet (r6 advice): a pre-dump
+    * aggregate action recomputed every decimal-bearing query — and re-ran
+    * the fred/fundamentals pipelines' driver-side side effects — roughly
+    * doubling verify wall-clock. Reading back the single dumped file costs
+    * milliseconds and checks the exact bytes the driver will compare.
+    * `decs` carries (name, scale) from the ORIGINAL schema; the dump has
+    * already cast those columns to double.
     */
-  def assertDoubleExact(df: DataFrame): Unit = {
+  def assertDoubleExact(dumped: DataFrame, decs: Seq[(String, Int)]): Unit = {
     import org.apache.spark.sql.functions.{abs, max}
-    val decs = df.schema.fields.collect { case f if f.dataType.isInstanceOf[DecimalType] =>
-      (f.name, f.dataType.asInstanceOf[DecimalType].scale)
-    }
     if (decs.nonEmpty) {
-      val maxes = df.agg(max(abs(col(decs.head._1))), decs.tail.map(d => max(abs(col(d._1)))): _*)
+      val maxes = dumped.agg(max(abs(col(decs.head._1))), decs.tail.map(d => max(abs(col(d._1)))): _*)
         .head().toSeq
       decs.zip(maxes).foreach { case ((name, scale), m) =>
         val bound = BigDecimal(2).pow(53) / BigDecimal(10).pow(scale)
@@ -65,15 +70,29 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: comma-separated query names — local iteration on a
+    // single operator without paying the full 87-query dump
+    val subset = args.lift(2).map(_.split(",").toSet)
     val spark = GraftSession.getOrCreate("graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => subset.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        assertDoubleExact(df)
-        decimalsAsDouble(df).coalesce(1).write
-          .mode("overwrite").parquet(s"$outDir/$name")
+        val decs = df.schema.fields.collect { case f if f.dataType.isInstanceOf[DecimalType] =>
+          (f.name, f.dataType.asInstanceOf[DecimalType].scale)
+        }.toSeq
+        val path = s"$outDir/$name"
+        decimalsAsDouble(df).coalesce(1).write.mode("overwrite").parquet(path)
+        // Check the dump, not the plan: one compute per query. If the bound
+        // fails, remove the dump so the driver sees a missing result (loud
+        // fail), never a silently-weakened hash match.
+        try assertDoubleExact(spark.read.parquet(path), decs)
+        catch { case e: IllegalArgumentException =>
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path)); throw e
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally {

@@ -307,14 +307,29 @@ object DedupOps {
     * per-round convergence count is a driver-side action — the standard
     * Spark iterative-graph pattern (GraphX Pregel does the same); at
     * extreme scale swap in large-star/small-star, which halves diameter
-    * per round, and checkpoint every few iterations to cut lineage.
-    * Only docs appearing in ≥ 1 pair are labeled (singletons need no
-    * collapse).
+    * per round. Only docs appearing in ≥ 1 pair are labeled (singletons
+    * need no collapse).
+    *
+    * Lineage bound (r6 verdict #3): `persist()` caches blocks but does NOT
+    * truncate the logical plan, so every round's plan embeds all previous
+    * rounds — at a deep dup-chain the driver's analyze/optimize time grows
+    * superlinearly even though no data is recomputed. Every
+    * `checkpointEvery` rounds the labels frame is `localCheckpoint`ed
+    * (eager, executor-local blocks — no HDFS checkpoint dir needed, and
+    * replication is pointless for a frame we can rebuild by re-running),
+    * which cuts the plan back to a leaf scan of the materialized blocks.
+    * Intermediate rounds keep the cheaper persist.
     */
-  def dupComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def dupComponents(pairs: DataFrame, maxIters: Int = 20,
+                    checkpointEvery: Int = 5): DataFrame = {
+    // localCheckpoint, not persist: the edges subtree is re-embedded in
+    // EVERY round's plan, so when `pairs` arrives with a deep upstream plan
+    // (LSH candidate gen inside corpus_full) an un-truncated edges lineage
+    // multiplies through all rounds. After the checkpoint each round sees a
+    // single leaf scan.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().persist()
+      .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("component", col("doc_id")).persist()
     var iter = 0
@@ -324,11 +339,13 @@ object DedupOps {
         .join(labels.select(col("doc_id").as("dst"), col("component").as("ncomp")), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("ncomp")).as("nmin"))
-      val next = labels
+      val next0 = labels
         .join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
-        .persist()
+      val next =
+        if ((iter + 1) % checkpointEvery == 0) next0.localCheckpoint()
+        else next0.persist()
       val changed = next.select(col("doc_id"), col("component").as("c2"))
         .join(labels, Seq("doc_id"))
         .filter(col("c2") =!= col("component")).count()
@@ -337,7 +354,6 @@ object DedupOps {
       done = changed == 0
       iter += 1
     }
-    edges.unpersist()
     // Exiting with changed > 0 means some labels never reached their
     // component minimum — downstream dedup would keep multiple survivors
     // per duplicate cluster. Fail loudly rather than return silently-wrong
@@ -348,7 +364,15 @@ object DedupOps {
       throw new IllegalStateException(
         s"dupComponents did not converge in $maxIters iterations; " +
           "component labels would be wrong — raise maxIters")
-    labels
+    // Final checkpoint BEFORE dropping edges: consumers get a leaf-only
+    // plan (no per-round join lineage at all), and since localCheckpoint
+    // truncates lineage the result must be materialized while the blocks
+    // it derives from still exist. Only then is it safe to free the
+    // intermediates.
+    val out = labels.localCheckpoint()
+    labels.unpersist()
+    edges.unpersist()
+    out
   }
 
   /** Within-bucket ordered struct pairs (carries payload fields through,

@@ -230,6 +230,23 @@ object FinanceOps {
     */
   def materializeTable(df: DataFrame, name: String, partitionBy: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
+    // The orphan-cleanup below derives the data path as
+    // warehouse_dir/<name.toLowerCase> — valid ONLY for a managed table in
+    // the default database. A qualified `db.table` would resolve under
+    // <db>.db/<table> and the hand-built path would delete the wrong
+    // directory (r6 advice); reject it rather than guess.
+    require(!name.contains('.'),
+      s"materializeTable takes an unqualified table name in the default database; got '$name'")
+    // If the catalog knows the table, trust ITS location (an external or
+    // custom-location table does not live under the warehouse dir). Resolve
+    // before the DROP — dropping a managed table deletes its data anyway,
+    // but an external table's files survive the DROP and must be cleared at
+    // their real path or CTAS refuses the non-empty location.
+    val catalogLoc: Option[org.apache.hadoop.fs.Path] =
+      if (spark.catalog.tableExists(name))
+        Some(new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name)).location))
+      else None
     // A managed-table dir left by a previous session is not in this
     // (in-memory) catalog, and CTAS refuses a non-empty location — drop
     // both the catalog entry and any orphaned location so re-runs are
@@ -237,7 +254,7 @@ object FinanceOps {
     // object-store warehouse.
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
+    val loc = catalogLoc.getOrElse(new org.apache.hadoop.fs.Path(wh, name.toLowerCase))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode("overwrite")

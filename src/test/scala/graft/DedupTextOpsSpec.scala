@@ -85,6 +85,26 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 9L -> 1L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("dupComponents: periodic localCheckpoint bounds plan growth on deep chains") {
+    // path 1-2-...-13: diameter 12, so min-label propagation runs 12 rounds
+    // (plus one no-change round). Without the checkpoint the returned plan
+    // would embed all rounds of join/aggregate lineage; with
+    // checkpointEvery=5 it bottoms out in a scan of materialized blocks at
+    // most 4 rounds back.
+    val chain = (1L until 13L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = DedupOps.dupComponents(chain, maxIters = 20, checkpointEvery = 5)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 13L).map(_ -> 1L).toMap)
+    // lineage truncated: a checkpointed leaf (LogicalRDD/ExistingRDD) is
+    // present, and the analyzed plan stays small — a fixed bound that the
+    // 12-round unbounded lineage (hundreds of nodes) cannot meet
+    val plan = labels.queryExecution.analyzed
+    assert(plan.collectLeaves().exists(_.getClass.getSimpleName.startsWith("LogicalRDD")),
+      s"expected a checkpoint scan leaf in:\n${plan.numberedTreeString}")
+    val nNodes = plan.numberedTreeString.linesIterator.size
+    assert(nNodes < 40, s"plan should stay bounded by the checkpoint cadence, got $nNodes nodes")
+  }
+
   test("dupComponents: throws rather than returning non-converged labels") {
     // a 5-node path needs >1 min-label round; maxIters = 1 must fail loudly
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
