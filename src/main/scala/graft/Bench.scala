@@ -20,7 +20,12 @@ object Bench {
     // (round-4 verdict: the guarded jaccard variant, first of three, read
     // 2.5x slower than the strictly-more-work unguarded one, third).
     val timedRuns = 2
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional arg: comma-separated query names — isolate one query's
+    // timing outside the 87-query suite (suite-state A/B diagnosis)
+    val only = args.headOption.map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try {

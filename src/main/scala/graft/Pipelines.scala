@@ -61,6 +61,74 @@ object Pipelines {
     }
   }
 
+  /** S1/S2 at scale (SURVEY.md:110): the distributed fetch tier — a
+    * `mapPartitions` fetcher over a (series_id, url) DataFrame, for when
+    * the series universe outgrows a driver loop (the reference fetches 3
+    * series; a real backfill fetches every FRED series × vintage). Routing:
+    *  - ≤ `distributeAbove` rows → the sequential driver path (same
+    *    per-series landing layout), which is also the only path that can
+    *    enforce a STRICT global request interval — one clock, one loop.
+    *  - above it → repartition by series_id and fetch inside each
+    *    partition with per-partition pacing. `rateLimitMs` is the MINIMUM
+    *    INTERVAL PER PARTITION, so the aggregate rate is up to
+    *    `parallelism / rateLimitMs` req/ms — right when the quota is
+    *    per-connection/per-key-shard or generous; a single hard global
+    *    quota (Alpha Vantage's 5 req/min) belongs on the driver path,
+    *    which is why the router exists instead of one code path.
+    *
+    * Landing names are keyed by series_id (not arrival index): re-runs
+    * overwrite in place idempotently and the layout is identical whichever
+    * tier fetched. On a cluster `landingDir` must be shared storage (the
+    * raw zone); executors write through `java.nio.file` exactly like the
+    * driver tier, so local-mode tests exercise the real write path.
+    * `fetch` is shipped to executors — it must be serializable and
+    * self-contained (a pure `url => body` closure; per-partition client
+    * init belongs inside it, the mapPartitions analog of
+    * MultimodalOps' per-partition codec init).
+    *
+    * @return landed file paths, sorted (driver-collected: one KB-scale
+    *         path string per series — the payloads themselves never
+    *         transit the driver on the distributed tier)
+    */
+  def fetchSeriesToRaw(fetch: String => String, series: DataFrame, landingDir: String,
+                       rateLimitMs: Long = 0, retries: Int = 2, backoffMs: Long = 1000,
+                       distributeAbove: Int = 32, parallelism: Int = 0): Seq[String] = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landingDir))
+    val pairs = series.select(col("series_id").cast("string"), col("url").cast("string"))
+    val n = pairs.count()
+    if (n <= distributeAbove) {
+      // small set: sequential, strictly globally paced — the quota-safe tier
+      pairs.as[(String, String)].collect().sortBy(_._1).zipWithIndex.map {
+        case ((sid, url), i) =>
+          if (rateLimitMs > 0 && i > 0) Thread.sleep(rateLimitMs)
+          val payload = withRetries(retries, backoffMs)(() => fetch(url))
+          val path = java.nio.file.Paths.get(landingDir, s"payload_$sid.json")
+          java.nio.file.Files.writeString(path, payload)
+          path.toString
+      }.toSeq
+    } else {
+      val parts = if (parallelism > 0) parallelism
+                  else spark.sparkContext.defaultParallelism
+      pairs
+        .repartition(parts, col("series_id"))
+        .as[(String, String)]
+        .mapPartitions { it =>
+          var first = true
+          it.map { case (sid, url) =>
+            if (rateLimitMs > 0 && !first) Thread.sleep(rateLimitMs)
+            first = false
+            val payload = withRetries(retries, backoffMs)(() => fetch(url))
+            val path = java.nio.file.Paths.get(landingDir, s"payload_$sid.json")
+            java.nio.file.Files.writeString(path, payload)
+            path.toString
+          }
+        }
+        .collect().toSeq.sorted
+    }
+  }
+
   /** E1/E3: the FRED pipeline — landed JSON payload → flatten → staging
     * cast → yearly mart, materialized as a table. Mirrors
     * extract >> create_tables >> load >> dbt (reference README.md:288)

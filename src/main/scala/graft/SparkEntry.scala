@@ -133,6 +133,9 @@ object SparkEntry {
     "anti_join" -> ((s, d) => RelationalOps.customersWithoutOrders(t(s, d, "customer"), t(s, d, "orders"))),
     "range_join" -> ((s, d) => RelationalOps.shippedWithin90Days(t(s, d, "orders"), t(s, d, "lineitem"))),
     "asof_join" -> ((s, d) => RelationalOps.asOfLastSignup(t(s, d, "events"))),
+    // identical semantics through the skew-mitigated (keys, time-band)
+    // window — same oracle, so the carry-across-bands logic is hash-gated
+    "asof_join_banded" -> ((s, d) => RelationalOps.asOfLastSignupBanded(t(s, d, "events"))),
     "rollup_region" -> ((s, d) =>
       RelationalOps.customerRollup(t(s, d, "customer"), t(s, d, "nation"), t(s, d, "region"))),
     "cube_status_priority" -> ((s, d) => RelationalOps.orderCube(t(s, d, "orders"))),
@@ -761,6 +764,13 @@ object SparkEntry {
         |GROUP BY o.o_orderkey""".stripMargin,
 
     "asof_join" ->
+      """SELECT p.event_id, p.user_id,
+        |CAST((SELECT max(sg.ts) FROM events sg
+        |      WHERE sg.user_id = p.user_id AND sg.event_type = 'signup' AND sg.ts <= p.ts)
+        |     AS TIMESTAMP) AS last_signup_ts
+        |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
+
+    "asof_join_banded" ->
       """SELECT p.event_id, p.user_id,
         |CAST((SELECT max(sg.ts) FROM events sg
         |      WHERE sg.user_id = p.user_id AND sg.event_type = 'signup' AND sg.ts <= p.ts)

@@ -157,6 +157,59 @@ object RelationalOps {
     filled.filter(col("__side") === 1).drop("__side")
   }
 
+  /** Skew-mitigated as-of join (SCALE.md §joins): identical semantics to
+    * `asOfJoin`, but the running-fill window partitions on (keys, band)
+    * instead of keys alone, so one pathological key (a user with 10⁸
+    * events) sorts in |bands| parallel slices instead of one straggler
+    * task. `band` maps the ts column to a time slice and MUST be monotone
+    * non-decreasing in ts (e.g. `date_trunc("month", _)`) — banding by
+    * hash would scatter a fill's prefix across tasks and break carry-over.
+    *
+    * Carry across band boundaries: each (keys, band) computes its final
+    * filled value (one extra windowed pass over the same banded
+    * partition), those finals collapse to a |keys| × |bands| frame, and a
+    * per-key running `last(ignoreNulls)` over STRICTLY EARLIER bands gives
+    * each band its carry-in — the per-key window that remains is over
+    * band-cardinality rows, never row-cardinality. A left row's value is
+    * its within-band fill when the band has already seen a right row, else
+    * the carry-in.
+    */
+  def asOfJoinBanded(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     tsCol: String, rightVals: Seq[String],
+                     band: Column => Column): DataFrame = {
+    val r = right.select(
+      (keys :+ tsCol).map(col) ++ rightVals.map(c => col(c).as(s"asof_$c")): _*)
+      .withColumn("__side", lit(0))
+    val l = left.withColumn("__side", lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__band", band(col(tsCol)))
+    val keyB = (keys :+ "__band").map(col)
+    val wIn = Window.partitionBy(keyB: _*).orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFin = Window.partitionBy(keyB: _*).orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val filled = rightVals.foldLeft(u) { (df, c) =>
+      df.withColumn(s"__in_$c", last(col(s"asof_$c"), ignoreNulls = true).over(wIn))
+        .withColumn(s"__fin_$c", last(col(s"asof_$c"), ignoreNulls = true).over(wFin))
+    }
+    // every row of a (keys, band) slice carries the same __fin_* → first()
+    // collapses exactly; the result is the tiny per-band frame
+    val bandFinals = filled.groupBy(keyB: _*).agg(
+      first(col(s"__fin_${rightVals.head}")).as(s"__fin_${rightVals.head}"),
+      rightVals.tail.map(c => first(col(s"__fin_$c")).as(s"__fin_$c")): _*)
+    val wCarry = Window.partitionBy(keys.map(col): _*).orderBy(col("__band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = rightVals.foldLeft(bandFinals) { (df, c) =>
+      df.withColumn(s"__carry_$c", last(col(s"__fin_$c"), ignoreNulls = true).over(wCarry))
+    }.select(keyB ++ rightVals.map(c => col(s"__carry_$c")): _*)
+    val out = rightVals.foldLeft(filled.join(carries, keys :+ "__band")) { (df, c) =>
+      df.withColumn(s"asof_$c", coalesce(col(s"__in_$c"), col(s"__carry_$c")))
+    }
+    out.filter(col("__side") === 1)
+      .drop("__side" +: "__band" +:
+        rightVals.flatMap(c => Seq(s"__in_$c", s"__fin_$c", s"__carry_$c")): _*)
+  }
+
   /** As-of join specialization: for each purchase event, the most recent
     * signup ts of the same user at-or-before the purchase.
     */
@@ -166,6 +219,22 @@ object RelationalOps {
     val signups = events.filter(col("event_type") === "signup")
       .select(col("user_id"), col("ts"), col("ts").as("signup_ts"))
     asOfJoin(purchases, signups, Seq("user_id"), "ts", Seq("signup_ts"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_signup_ts").as("last_signup_ts"))
+  }
+
+  /** The same as-of specialization through the banded (skew-mitigated)
+    * path, day-banded — registered as its own driver-gated query so the
+    * band/carry machinery is oracled against the identical SQL, not just
+    * spec-checked for equivalence.
+    */
+  def asOfLastSignupBanded(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("ts").as("signup_ts"))
+    asOfJoinBanded(purchases, signups, Seq("user_id"), "ts", Seq("signup_ts"),
+      c => date_trunc("day", c))
       .select(col("event_id"), col("user_id"),
         col("asof_signup_ts").as("last_signup_ts"))
   }

@@ -38,9 +38,10 @@ object IngestOps {
     * requirements.txt:4,6). Spark's JDBC writer batches inserts per
     * partition; `numPartitions` caps concurrent connections so a
     * 1000-executor cluster cannot open 1000 sessions against one
-    * warehouse, and `batchsize` amortizes round-trips. No JDBC endpoint
-    * exists in this sandbox, so the path is untestable here — options
-    * assembly is exercised in IngestOpsSpec, execution is not.
+    * warehouse, and `batchsize` amortizes round-trips. No Postgres
+    * endpoint exists in this sandbox; the execution path is exercised
+    * end-to-end against embedded Derby (on Spark's own classpath) in
+    * IngestOpsSpec — same DataSource, dialect-translated DDL/DML.
     */
   def writeJdbc(df: DataFrame, url: String, table: String,
                 user: String, password: String,

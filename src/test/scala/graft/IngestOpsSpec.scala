@@ -44,6 +44,26 @@ class IngestOpsSpec extends SparkSpec {
     assert(msg.contains("driver") || msg.contains("connect"))
   }
 
+  test("writeJdbc round-trips through embedded Derby (S11): create-on-append, batch insert, re-append") {
+    // Derby ships in /opt/spark/jars (the Hive-metastore backend), so the
+    // REAL execution path — dialect DDL, batched inserts, connection-capped
+    // partitions — runs end-to-end in-memory; only the warehouse brand
+    // differs from the reference's Postgres.
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val rows = (1L to 100L).map(i => (i, s"name$i", i * 1.5))
+    IngestOps.writeJdbc(rows.toDF("id", "name", "v"), url, "mart_kpis",
+      user = "app", password = "app", numPartitions = 4, batchSize = 16)
+    def readBack() = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "mart_kpis").load()
+    assert(readBack().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet == rows.toSet)
+    // append mode: second write adds rows, never recreates
+    IngestOps.writeJdbc(rows.take(5).toDF("id", "name", "v"), url, "mart_kpis",
+      "app", "app", numPartitions = 1)
+    assert(readBack().count() == 105)
+  }
+
   test("appendRunPartition: per-partition overwrite is idempotent (O6)") {
     val table = "ingest_spec_incremental"
     IngestOps.appendRunPartition(Seq((1L, "x")).toDF("id", "v"), table, "2024-06-01")

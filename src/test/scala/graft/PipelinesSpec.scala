@@ -51,6 +51,28 @@ class PipelinesSpec extends SparkSpec {
     spark.sql("DROP TABLE pspec_fetch_mart")
   }
 
+  test("fetchSeriesToRaw: distributed mapPartitions tier lands files identical to the driver tier") {
+    import spark.implicits._
+    // 100-series fan-out — the scale at which a driver loop stops being the
+    // right tier (SURVEY S1 scale note). Same injected transport through
+    // both tiers; landing layout must be byte-identical.
+    val series = (1 to 100).map(i => (f"S$i%03d", f"https://api.example.test/fred?series_id=S$i%03d"))
+    val df = series.toDF("series_id", "url")
+    val fetch: String => String = url => s"""{"fetched":"$url"}"""
+    val distDir = Files.createTempDirectory("graft-dfetch").toString
+    val drvDir = Files.createTempDirectory("graft-sfetch").toString
+    val dist = Pipelines.fetchSeriesToRaw(fetch, df, distDir, distributeAbove = 0, parallelism = 8)
+    val drv = Pipelines.fetchSeriesToRaw(fetch, df, drvDir, distributeAbove = 1000)
+    assert(dist.size == 100 && drv.size == 100)
+    def land(dir: String): Map[String, String] =
+      new java.io.File(dir).listFiles.map(f => f.getName -> Files.readString(f.toPath)).toMap
+    val (a, b) = (land(distDir), land(drvDir))
+    assert(a == b, "distributed landing must match the driver tier byte-for-byte")
+    assert(a.keySet == series.map { case (sid, _) => s"payload_$sid.json" }.toSet)
+    // returned paths are the landed files, deterministically ordered
+    assert(dist == dist.sorted && dist.map(p => new java.io.File(p).getName).toSet == a.keySet)
+  }
+
   test("E2 fundamentals pipeline: raw CSV → staging join → KPI mart table") {
     val dir = Files.createTempDirectory("graft-fund").toString
     val csv =

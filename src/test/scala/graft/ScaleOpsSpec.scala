@@ -69,6 +69,65 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("asOfJoinBanded equals asOfJoin: hot key, cross-band carry, null leading bands") {
+    import graft.operators.RelationalOps
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rnd = new scala.util.Random(7)
+    // left events span Jan..Jun; right rows are sparse (three in total), so
+    // most bands have NO right row and every fill crosses band boundaries;
+    // January rows precede any right row and must stay null
+    val left = (1 to 500).map { i =>
+      val u = if (i % 10 == 0) 2L else 1L
+      (i.toLong, u, ts(f"2024-${1 + rnd.nextInt(6)}%02d-${1 + rnd.nextInt(28)}%02d 10:00:00"))
+    }.toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, ts("2024-02-15 00:00:00"), 100.0),
+      (1L, ts("2024-05-01 00:00:00"), 200.0),
+      (2L, ts("2024-03-10 00:00:00"), 300.0)).toDF("user_id", "ts", "score")
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "asof_score").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val base = res(RelationalOps.asOfJoin(left, right, Seq("user_id"), "ts", Seq("score")))
+    val banded = res(RelationalOps.asOfJoinBanded(left, right, Seq("user_id"), "ts",
+      Seq("score"), c => date_trunc("month", c)))
+    assert(banded == base)
+    assert(base.values.exists(_.isEmpty), "fixture must include pre-first-signup rows")
+  }
+
+  test("asOfJoinBanded splits the hot key's window partition across time bands") {
+    import graft.operators.RelationalOps
+    // 90%-one-key skew: the plain as-of join sorts ALL of user 1's rows in
+    // one window partition (the straggler); banding by month splits them
+    // ~6 ways. Same physical-layout freeze as the saltedJoin test.
+    val hotN = 9000
+    def ts(m: Int, d: Int) = java.sql.Timestamp.valueOf(f"2024-$m%02d-$d%02d 10:00:00")
+    val left = ((1 to hotN).map(i => (i.toLong, 1L, ts(1 + i % 6, 1 + i % 28))) ++
+      (1 to 500).map(i => (hotN + i.toLong, 2L + (i % 20), ts(1 + i % 6, 1 + i % 28))))
+      .toDF("event_id", "user_id", "ts")
+    val right = (0 until 40).map(i => (1L + (i % 20), ts(1 + i % 6, 1), i * 1.0))
+      .toDF("user_id", "ts", "score")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      def maxPartitionRows(df: org.apache.spark.sql.DataFrame): Int =
+        df.rdd.mapPartitions(it => Iterator(it.size)).collect().max
+      val plainMax = maxPartitionRows(
+        RelationalOps.asOfJoin(left, right, Seq("user_id"), "ts", Seq("score")))
+      val bandedMax = maxPartitionRows(
+        RelationalOps.asOfJoinBanded(left, right, Seq("user_id"), "ts", Seq("score"),
+          c => date_trunc("month", c)))
+      assert(plainMax >= hotN,
+        s"plain as-of should stack the hot key in one partition, max=$plainMax")
+      assert(bandedMax <= hotN / 3,
+        s"banded as-of should split the hot key ~6 ways, max=$bandedMax vs plain $plainMax")
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+  }
+
   test("bloomPrunedJoin: output equals the plain join, sketch prefilter in the plan") {
     val big = (1L to 2000L).map(i => (i % 100, s"row$i")).toDF("k", "v")
     val small = Seq((1L, "a"), (2L, "b"), (50L, "c")).toDF("k", "name")
