@@ -75,7 +75,9 @@ object Bench {
     // Keep the unrounded numbers in-repo for local round-over-round diffs.
     def full(v: Double): String = if (v < 0) "null" else f"$v%.4f"
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + full(v) }.mkString("{", ",", "}")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_local.json"),
+    // subset runs (diagnosis) must not clobber the full-suite artifact
+    val localName = if (only.isEmpty) "BENCH_local.json" else "BENCH_local_subset.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(localName),
       s"""{"n_queries":${results.size},"n_failed":$nFailed,"sf":$sfNum,"queries":$fullQs}""" + "\n")
     spark.stop()
   }
