@@ -16,12 +16,21 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
+  /** Shuffle parallelism tracks core count by default; the override is
+    * the data-volume knob the SCALE.md stress table measures — at a ×100
+    * corpus, per-reducer sort size at 32 partitions leaves cores idle and
+    * forces spill, and raising the INITIAL count is safe because AQE
+    * coalesces the small ones back down.
+    */
+  def shufflePartitions: String =
+    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+
   def builder(appName: String = "graft"): SparkSession.Builder =
     SparkSession
       .builder()
       .appName(appName)
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -186,6 +186,10 @@ object SparkEntry {
     // min doc_id (min-label propagation; oracle = recursive closure)
     "dup_components" -> ((s, d) =>
       DedupOps.dupComponents(DedupOps.minhashCandidatePairs(t(s, d, "documents")))),
+    // the same collapse via large-star/small-star contraction — O(log²)
+    // rounds regardless of dup-chain diameter; identical oracle
+    "dup_components_star" -> ((s, d) =>
+      DedupOps.dupComponentsStar(DedupOps.minhashCandidatePairs(t(s, d, "documents")))),
     // stop-shingle guard ON (df cap = 50 ≈ 10% of the sf0.01 corpus): the
     // oracled path is the skew-bounded plan — a shingle shared by more docs
     // than the cap is dropped before the inverted-index join, so the
@@ -505,6 +509,9 @@ object SparkEntry {
       val csvDir = java.nio.file.Paths
         .get(System.getProperty("java.io.tmpdir"), "graft_fundamentals_csv").toString
       FinanceOps.fundamentalsFromOrders(t(s, d, "orders"))
+        // coalesce(1) is FIXTURE-ONLY: this assembles the verify-scale CSV
+        // raw zone (KBs) in one readable file; the production ingest path
+        // (IngestOps.writeRunDateCsv) never coalesces
         .coalesce(1).write.mode("overwrite").option("header", "true").csv(csvDir)
       Pipelines.runFundamentalsPipeline(s, csvDir)
     }),
@@ -620,6 +627,23 @@ object SparkEntry {
       |  SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
       |  FROM bands b1 JOIN bands b2 ON b1.band = b2.band AND b1.band_key = b2.band_key
       |  WHERE b1.doc_id < b2.doc_id)""".stripMargin
+
+  /** Min-component closure of the MinHash dup graph — shared verbatim by
+    * `dup_components` (min-label propagation) and `dup_components_star`
+    * (large-star/small-star contraction): two algorithms, one function,
+    * one oracle.
+    */
+  private val dupComponentsOracle =
+    "WITH RECURSIVE " + minhashPairsCtes.stripPrefix("WITH ") +
+      """,
+        |dedges AS (SELECT doc_a AS src, doc_b AS dst FROM mpairs
+        |           UNION SELECT doc_b, doc_a FROM mpairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM dedges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN dedges e ON r.dst = e.src)
+        |SELECT src AS doc_id, least(src, min(dst)) AS component
+        |FROM reach GROUP BY src""".stripMargin
 
   /** Per-doc SimHash as a reusable CTE (DuckDB spelling of DedupOps.simhash). */
   private val simhashCtes = shingleCtes +
@@ -931,18 +955,10 @@ object SparkEntry {
       (minhashPairsCtes + "\nSELECT doc_a, doc_b FROM mpairs"),
 
     // transitive closure of the MinHash dup graph via recursive CTE —
-    // DuckDB spelling of the min-label components
-    "dup_components" ->
-      ("WITH RECURSIVE " + minhashPairsCtes.stripPrefix("WITH ") +
-      """,
-        |dedges AS (SELECT doc_a AS src, doc_b AS dst FROM mpairs
-        |           UNION SELECT doc_b, doc_a FROM mpairs),
-        |reach(src, dst) AS (
-        |  SELECT src, dst FROM dedges
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN dedges e ON r.dst = e.src)
-        |SELECT src AS doc_id, least(src, min(dst)) AS component
-        |FROM reach GROUP BY src""".stripMargin),
+    // DuckDB spelling of the min-label components. The star-contraction
+    // variant computes the SAME function, so it shares the oracle verbatim.
+    "dup_components" -> dupComponentsOracle,
+    "dup_components_star" -> dupComponentsOracle,
 
     // guarded: shingles with doc-frequency above the cap are dropped from
     // the inverted index (mirrors maxShingleDocFreq = 50); denominators

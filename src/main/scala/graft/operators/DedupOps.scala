@@ -375,6 +375,81 @@ object DedupOps {
     out
   }
 
+  /** Connected components via alternating large-star / small-star
+    * contraction — the O(log²) ROUND bound that survives pathological
+    * diameters, vs `dupComponents`' diameter-round min-label propagation
+    * (after "Connected Components in MapReduce and Beyond", Kiveris et
+    * al., SoCC'14 — public algorithm, re-expressed as DataFrame ops).
+    * Near-dup clusters are normally small and dense (diameter-round is
+    * fine, and cheaper per round); this is the variant to reach for when
+    * a template family chains thousands of docs into one long path —
+    * e.g. a boilerplate page mutated once per crawl snapshot.
+    *
+    *  - large-star: every node connects its LARGER neighbors to the min
+    *    of its neighborhood (incl. itself) — long chains fold toward
+    *    minima from every node at once, not one hop per round.
+    *  - small-star: over the (larger → smaller) canonical direction,
+    *    every node re-points its smaller-or-equal neighbors (and itself)
+    *    at that min — flattening partial trees into stars.
+    *
+    * Each round is two groupBy-min + join passes over the current edge
+    * set (which only shrinks), localCheckpoint'ed per round to keep the
+    * plan leaf-bounded. Fixed point = edge set unchanged (exact
+    * `except`-based check, no checksum shortcut: a false convergence
+    * would silently merge/split clusters). At the fixed point every edge
+    * is (node → its component min); singletons and self-pairs label
+    * themselves, matching `dupComponents` exactly.
+    */
+  def dupComponentsStar(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val nodes = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct().localCheckpoint()
+    var edges = pairs
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint()
+    var iter = 0
+    var done = edges.isEmpty
+    while (!done && iter < maxIters) {
+      // large-star over the symmetric edge view
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star over the canonical (larger → smaller) direction
+      val canon = large.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct()
+      val mins2 = canon.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val next = canon.join(mins2, Seq("u"))
+        .select(explode(array(
+          struct(col("v").as("a"), col("m").as("b")),
+          struct(col("u").as("a"), col("m").as("b")))).as("e"))
+        .select(col("e.a").as("u"), col("e.b").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint()
+      done = next.count() == edges.count() && next.except(edges).isEmpty
+      edges.unpersist()
+      edges = next
+      iter += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"dupComponentsStar did not converge in $maxIters rounds; " +
+          "component labels would be wrong — raise maxIters")
+    // at the fixed point every edge is (doc → component min); nodes that
+    // no longer appear (roots, singletons, self-pairs) label themselves
+    val labels = nodes.join(edges.select(col("u").as("doc_id"), col("v").as("c")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("c"), col("doc_id")).as("component"))
+    val out = labels.localCheckpoint()
+    edges.unpersist(); nodes.unpersist()
+    out
+  }
+
   /** Within-bucket ordered struct pairs (carries payload fields through,
     * unlike bucketPairsSql's bare ids); ds sorts by the struct's first
     * field (doc_id), so pairs come out doc_a < doc_b.

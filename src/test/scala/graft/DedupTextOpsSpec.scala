@@ -105,6 +105,31 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(nNodes < 40, s"plan should stay bounded by the checkpoint cadence, got $nNodes nodes")
   }
 
+  test("dupComponentsStar equals dupComponents on random graphs (seeded)") {
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      // 120 nodes, 150 random edges: a mix of small components, cycles,
+      // self-pairs, and singleton-inducing duplicates
+      val pairs = ((1 to 150).map { _ =>
+        (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)
+      } :+ ((7L, 7L))).toDF("doc_a", "doc_b")
+      val minLabel = DedupOps.dupComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = DedupOps.dupComponentsStar(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == minLabel, s"seed $seed")
+    }
+  }
+
+  test("dupComponentsStar: 400-node path converges in far fewer rounds than its diameter") {
+    // min-label propagation needs diameter rounds (399 here, > its cap);
+    // star contraction folds the chain in O(log n) — 15 rounds is generous
+    val chain = (1L until 400L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = DedupOps.dupComponentsStar(chain, maxIters = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 400L).map(_ -> 1L).toMap)
+  }
+
   test("dupComponents: throws rather than returning non-converged labels") {
     // a 5-node path needs >1 min-label round; maxIters = 1 must fail loudly
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
