@@ -214,6 +214,9 @@ object SparkEntry {
     // engine-specific; the accuracy bound is not) — oracle asserts TRUE
     "hll_distinct" -> ((s, d) => TextOps.approxDistinctWithinTol(t(s, d, "documents"))),
     "cosine_topk" -> ((s, d) => SimilarityOps.cosineTopK(t(s, d, "embeddings"), 10, 5)),
+    // int8 scalar quantization (4-8x memory cut for the scoring pass); the
+    // bit-portable floor-quantizer is replayed verbatim by the oracle
+    "cosine_topk_int8" -> ((s, d) => SimilarityOps.cosineTopKInt8(t(s, d, "embeddings"), 10, 5)),
     "cosine_topk_lsh" -> ((s, d) => SimilarityOps.lshBucketedTopK(t(s, d, "embeddings"), 10, 5)),
     "cosine_topk_ivf" -> ((s, d) => SimilarityOps.ivfTopK(t(s, d, "embeddings"), 16, 10, 5)),
     // IVF over Lloyd-trained centroids (2 assign→mean passes); the oracle
@@ -1052,6 +1055,22 @@ object SparkEntry {
         |scored AS (
         |  SELECT q_id, vec_id, round(list_cosine_similarity(emb, q_emb), 4) AS score
         |  FROM c CROSS JOIN q WHERE vec_id <> q_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id, score,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT q_id, vec_id, score, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // the int8 quantizer replayed verbatim: per-vector scale, floor-snap,
+    // then the same cosine/rank pipeline over the integer-valued vectors
+    "cosine_topk_int8" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |s AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale FROM v),
+        |qz AS (SELECT vec_id, list_transform(emb, x -> floor(x / scale + 0.5)) AS qv FROM s WHERE scale > 0),
+        |q AS (SELECT vec_id AS q_id, qv AS q_qv FROM qz WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q_id, vec_id, round(list_cosine_similarity(qv, q_qv), 4) AS score
+        |  FROM qz CROSS JOIN q WHERE vec_id <> q_id),
         |ranked AS (
         |  SELECT q_id, vec_id, score,
         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank

@@ -172,6 +172,60 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Scalar int8 quantization of the embedding column: per-vector scale =
+    * max|component| / 127, components snapped to integers by
+    * `floor(x/scale + 0.5)` — spelled that way (not `round`) because the
+    * floor formulation is bit-portable across engines, so the DuckDB
+    * oracle replays the quantizer exactly; `round` half-way semantics
+    * differ by engine/version. Zero vectors (scale 0) are dropped — they
+    * have no cosine direction to preserve.
+    *
+    * This is the 100 TB memory/bandwidth lever for ANN: int8 corpus
+    * vectors are 4× (vs float32) or 8× (vs float64) smaller, which is the
+    * difference between an executor's inverted lists fitting in memory and
+    * spilling. Cosine is SCALE-INVARIANT, so the per-vector scale never
+    * enters the score — quantized cosine approximates full-precision
+    * cosine with error ~1/127 per component pair. The integer components
+    * are carried as exact doubles (every int8 is exactly representable),
+    * feeding the same codegen'd CosineSimilarity kernel: at storage scale
+    * you'd persist `qv` as TINYINT and widen on read; the arithmetic —
+    * and hence every result below — is identical.
+    */
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("scale",
+        expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))") / 127.0)
+      .filter(col("scale") > 0)
+      // floor returns BIGINT in Spark SQL; widen back to double so the
+      // quantized vectors feed the same CosineSimilarity kernel (int8
+      // values widen exactly — the arithmetic is still integer-exact)
+      .withColumn("qv",
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5d) AS DOUBLE))"))
+      .select(col("vec_id"), col("qv"), col("scale"))
+
+  /** Brute-force top-k over the int8-quantized corpus — `cosineTopK` with
+    * 4-8× less data per scored row. Same broadcast/window shape; the scores
+    * are the quantized approximation (oracled exactly, since the
+    * quantizer is bit-portable). At scale, follow with a full-precision
+    * rescore of the top candidates if exact ordering matters.
+    */
+  def cosineTopKInt8(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = quantizeInt8(embeddings)
+    val corpus = q.select(col("vec_id"), col("qv"))
+    val queries = q.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
+    val scored = corpus
+      .join(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score",
+        round(graft.functions.GraftFunctions.cosineSim(col("qv"), col("q_qv")), 4))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    scored
+      .select(col("q_id"), col("vec_id"), col("score"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+  }
+
   /** Random-hyperplane LSH bucket id: sign bits of the embedding's
     * components at `(dim / nBits)`-strided positions folded into an int. A
     * stand-in for learned hyperplanes that keeps everything deterministic

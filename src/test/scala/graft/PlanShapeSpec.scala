@@ -40,7 +40,7 @@ class PlanShapeSpec extends SparkSpec {
     val bucketed = Seq(
       "minhash_lsh_pairs", "jaccard_pairs", "jaccard_pairs_prefix",
       "simhash_dup_pairs", "embedding_dup_pairs_lsh", "range_join",
-      "events_attribution", "asof_join")
+      "events_attribution", "asof_join", "asof_join_banded")
     for (q <- bucketed) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product:\n$p")

@@ -70,6 +70,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("asOfJoinBanded equals asOfJoin for any band granularity on random event sets") {
+    import graft.operators.RelationalOps
+    val evGen = for {
+      n <- Gen.chooseNum(5, 25)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.chooseNum(1L, 4L)
+        d <- Gen.chooseNum(0, 300) // days across ~10 months
+        s <- Gen.chooseNum(0, 86399)
+      } yield (u, new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + d * 86400000L + s * 1000L)))
+    } yield evs
+    for ((evs, i) <- samples(evGen, 3).zipWithIndex) {
+      val left = evs.zipWithIndex.map { case ((u, ts), j) => (j.toLong, u, ts) }
+        .toDF("event_id", "user_id", "ts")
+      // right side: a sparse subset of the same user/ts space
+      val right = evs.take(evs.size / 3).map { case (u, ts) => (u, ts, ts.getTime.toDouble) }
+        .toDF("user_id", "ts", "score")
+      def res(df: org.apache.spark.sql.DataFrame) =
+        df.select("event_id", "asof_score").collect()
+          .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      val base = res(RelationalOps.asOfJoin(left, right, Seq("user_id"), "ts", Seq("score")))
+      // the equality must hold whatever monotone band the caller picks —
+      // coarse (one band swallows everything) through fine (every event
+      // its own band); granularity is a pure performance knob
+      for (g <- Seq("year", "quarter", "month", "week", "day", "hour")) {
+        val banded = res(RelationalOps.asOfJoinBanded(
+          left, right, Seq("user_id"), "ts", Seq("score"), c => date_trunc(g, c)))
+        assert(banded == base, s"sample $i, band granularity $g")
+      }
+    }
+  }
+
+  test("dupComponentsStar is invariant under pair order and partitioning; labels are fixpoints") {
+    val pairGen = Gen.listOfN(10,
+      for { a <- Gen.chooseNum(1L, 14L); b <- Gen.chooseNum(1L, 14L) } yield (a, b))
+    for (pairs <- samples(pairGen, 3) if pairs.nonEmpty) {
+      val df = pairs.toDF("doc_a", "doc_b")
+      def comps(d: org.apache.spark.sql.DataFrame) =
+        DedupOps.dupComponentsStar(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val base = comps(df)
+      assert(base == comps(df.orderBy(desc("doc_b")).repartition(5)))
+      assert(base.forall { case (_, c) => base(c) == c })
+    }
+  }
+
   test("minhash signatures are permutation-invariant") {
     val docGen = Gen.listOfN(8, Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon")).map(_.mkString(" "))
     for (texts <- samples(Gen.listOfN(4, docGen), 3)) {

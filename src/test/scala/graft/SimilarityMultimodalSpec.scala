@@ -22,6 +22,35 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(got.last.getLong(1) == 4L && got.last.getDouble(2) == -1.0)
   }
 
+  test("quantizeInt8: integer components in [-127, 127], scale positive, zero vectors dropped") {
+    val withZero = emb.union(Seq((9L, Array(0.0f, 0.0f, 0.0f, 0.0f), 9))
+      .toDF("vec_id", "embedding", "label"))
+    val q = SimilarityOps.quantizeInt8(withZero).collect()
+    assert(!q.map(_.getLong(0)).contains(9L), "zero vector must drop (no cosine direction)")
+    for (r <- q) {
+      assert(r.getDouble(2) > 0)
+      val comps = r.getSeq[Double](1)
+      assert(comps.forall(v => v == math.floor(v) && math.abs(v) <= 127),
+        s"vec ${r.getLong(0)}: non-int8 component in $comps")
+      // the max-magnitude component always snaps to exactly ±127
+      assert(comps.map(math.abs).max == 127.0)
+    }
+  }
+
+  test("cosineTopKInt8: quantized scores within 2/127 of full precision; same top hit on the fixture") {
+    val full = SimilarityOps.cosineTopK(emb, nQueries = 1, k = 4)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val got = SimilarityOps.cosineTopKInt8(emb, nQueries = 1, k = 4).orderBy("rank").collect()
+    val qScores = got.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(qScores.keySet == full.keySet)
+    for ((id, s) <- qScores)
+      assert(math.abs(s - full(id)) <= 2.0 / 127,
+        s"vec $id quantized $s vs full ${full(id)}")
+    // exact duplicate survives quantization exactly; opposite stays last
+    assert(got(0).getLong(1) == 2L && got(0).getDouble(2) == 1.0)
+    assert(got.last.getLong(1) == 4L && got.last.getDouble(2) == -1.0)
+  }
+
   test("lshBucketedTopK: duplicate found within its bucket; never pairs a query with itself") {
     val got = SimilarityOps.lshBucketedTopK(emb, nQueries = 1, k = 4, nBits = 1)
     val rows = got.collect()
