@@ -190,6 +190,18 @@ object SparkEntry {
     // rounds regardless of dup-chain diameter; identical oracle
     "dup_components_star" -> ((s, d) =>
       DedupOps.dupComponentsStar(DedupOps.minhashCandidatePairs(t(s, d, "documents")))),
+    // incremental ingestion: 1/4 of the docs play the historical corpus
+    // (its fp + band-key INDEX is all the screen touches), the rest are
+    // the daily delta — exact-dedup within the delta, then exact + near
+    // anti-joins against the index
+    "dedup_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") % 4 === 0)
+      val delta = docs.filter(col("doc_id") % 4 =!= 0)
+      DedupOps.screenDeltaAgainstCorpus(delta,
+        DedupOps.corpusFingerprintIndex(corpus), DedupOps.corpusBandIndex(corpus))
+    }),
+
     // stop-shingle guard ON (df cap = 50 ≈ 10% of the sf0.01 corpus): the
     // oracled path is the skew-bounded plan — a shingle shared by more docs
     // than the cap is dropped before the inverted-index join, so the
@@ -619,13 +631,19 @@ object SparkEntry {
     ("bucket" +: (0 until nBits).map(j => s"xor(bucket, ${1 << j})"))
       .mkString("[", ", ", "]")
 
-  /** MinHash LSH candidate pairs as a reusable CTE (`mpairs`). */
-  private val minhashPairsCtes = minhashCtes +
+  /** Per-doc LSH band keys as a reusable CTE (`bands`) — shared by the
+    * candidate-pair closure and the incremental corpus screen.
+    */
+  private val minhashBandsCtes = minhashCtes +
     """,
       |bands AS (
       |  SELECT doc_id, CAST(hash_idx // 4 AS INTEGER) AS band,
       |         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY hash_idx) AS band_key
-      |  FROM mh GROUP BY doc_id, CAST(hash_idx // 4 AS INTEGER)),
+      |  FROM mh GROUP BY doc_id, CAST(hash_idx // 4 AS INTEGER))""".stripMargin
+
+  /** MinHash LSH candidate pairs as a reusable CTE (`mpairs`). */
+  private val minhashPairsCtes = minhashBandsCtes +
+    """,
       |mpairs AS (
       |  SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
       |  FROM bands b1 JOIN bands b2 ON b1.band = b2.band AND b1.band_key = b2.band_key
@@ -962,6 +980,23 @@ object SparkEntry {
     // variant computes the SAME function, so it shares the oracle verbatim.
     "dup_components" -> dupComponentsOracle,
     "dup_components_star" -> dupComponentsOracle,
+
+    // the incremental screen replayed: same band CTE, corpus/delta split
+    // by doc_id % 4, NOT EXISTS anti-joins (null-safe spelling)
+    "dedup_incremental" ->
+      (minhashBandsCtes +
+      """,
+        |fpc AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 4 = 0),
+        |cb AS (SELECT DISTINCT band, band_key FROM bands WHERE doc_id % 4 = 0),
+        |fresh AS (SELECT min(doc_id) AS doc_id, text FROM documents
+        |          WHERE doc_id % 4 <> 0 GROUP BY text),
+        |fpclean AS (SELECT f.doc_id, f.text FROM fresh f
+        |            WHERE NOT EXISTS (SELECT 1 FROM fpc WHERE fpc.fp = md5(f.text))),
+        |coll AS (SELECT DISTINCT b.doc_id FROM bands b
+        |         JOIN cb ON b.band = cb.band AND b.band_key = cb.band_key
+        |         WHERE EXISTS (SELECT 1 FROM fpclean f WHERE f.doc_id = b.doc_id))
+        |SELECT doc_id, text FROM fpclean f
+        |WHERE NOT EXISTS (SELECT 1 FROM coll c WHERE c.doc_id = f.doc_id)""".stripMargin),
 
     // guarded: shingles with doc-frequency above the cap are dropped from
     // the inverted index (mirrors maxShingleDocFreq = 50); denominators

@@ -154,6 +154,49 @@ object DedupOps {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
 
+  /** Corpus index artifacts for INCREMENTAL ingestion ([EXT]): at 100 TB
+    * you do not re-dedup the world per batch — you keep two narrow
+    * persisted artifacts from the historical corpus and screen each daily
+    * delta against them. Both are one shuffle-free pass over the corpus
+    * plus a distinct:
+    *  - exact tier: md5 text fingerprints (the shuffle key is 32 bytes
+    *    regardless of document length);
+    *  - near tier: the LSH band keys `lshBands` already emits — the same
+    *    high-precision collision event the batch candidate join uses.
+    * On a cluster these land in bucketed tables keyed by fp / (band,
+    * band_key), so the daily screen joins are co-located.
+    */
+  def corpusFingerprintIndex(corpus: DataFrame): DataFrame =
+    corpus.select(md5(col("text")).as("fp")).distinct()
+
+  def corpusBandIndex(corpus: DataFrame): DataFrame =
+    lshBands(corpus).select(col("band"), col("band_key")).distinct()
+
+  /** The incremental screen: exact-dedup WITHIN the delta, then drop every
+    * doc whose fingerprint (exact tier) or ANY band key (near tier)
+    * collides with the corpus index. Anti-joins on bounded keys — the
+    * delta never joins the corpus itself, only its KB-per-million-docs
+    * index. Near-dups WITHIN the delta compose downstream (run
+    * `minhashCandidatePairs` + `dupComponents` on the survivors) exactly
+    * as in the batch pipeline; this operator owns the delta-vs-history
+    * boundary, which is the part the batch pipeline cannot express.
+    * Docs under 3 tokens emit no bands (same floor as the batch LSH path)
+    * and so pass the near screen — by design, both here and in the
+    * oracle.
+    */
+  def screenDeltaAgainstCorpus(delta: DataFrame, corpusFp: DataFrame,
+                               corpusBands: DataFrame): DataFrame = {
+    val fresh = exactDedup(delta)
+    val fpClean = fresh
+      .withColumn("fp", md5(col("text")))
+      .join(corpusFp, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("text"))
+    val colliding = lshBands(fpClean)
+      .join(corpusBands, Seq("band", "band_key"), "left_semi")
+      .select(col("doc_id")).distinct()
+    fpClean.join(colliding, Seq("doc_id"), "left_anti")
+  }
+
   /** Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle —
     * inverted-index join (shuffle on shingle), never all-pairs. Emits pairs
     * with similarity ≥ threshold. At 100 TB the shingle buckets stay small

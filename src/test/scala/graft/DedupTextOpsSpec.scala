@@ -105,6 +105,28 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(nNodes < 40, s"plan should stay bounded by the checkpoint cadence, got $nNodes nodes")
   }
 
+  test("screenDeltaAgainstCorpus: exact tier, near tier, within-delta dedup, short-doc floor") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val corpus = Seq((10L, base)).toDF("doc_id", "text")
+    val delta = Seq(
+      20L -> base,                                    // exact copy of corpus → fp tier drops
+      21L -> (base + " extra"),                       // near-dup of corpus → band tier drops
+      22L -> "completely unrelated content about spark catalyst optimizer rules engine design notes",
+      23L -> "completely unrelated content about spark catalyst optimizer rules engine design notes", // within-delta dup of 22
+      24L -> "tiny doc"                               // < 3 tokens: no bands, passes near tier
+    ).toDF("doc_id", "text")
+    val got = DedupOps.screenDeltaAgainstCorpus(delta,
+      DedupOps.corpusFingerprintIndex(corpus), DedupOps.corpusBandIndex(corpus))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(22L, 24L),
+      s"expected fresh doc (min id of its delta dup group) + short doc, got $got")
+    // sanity: the near-dup really does collide on >= 1 band (else 21
+    // survived for the wrong reason)
+    val collide = DedupOps.corpusBandIndex(corpus)
+      .join(DedupOps.lshBands(delta.filter(col("doc_id") === 21L)), Seq("band", "band_key"))
+    assert(collide.count() >= 1, "fixture must produce a band collision for the near-dup")
+  }
+
   test("dupComponentsStar equals dupComponents on random graphs (seeded)") {
     for (seed <- Seq(1, 2, 3)) {
       val rnd = new scala.util.Random(seed)
