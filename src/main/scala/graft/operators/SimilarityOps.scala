@@ -151,11 +151,22 @@ object SimilarityOps {
 
   /** IVF top-k against an arbitrary centroid frame (seeded or trained). */
   def ivfTopKWith(embeddings: DataFrame, centroids: DataFrame,
-                  nQueries: Int, k: Int, nProbe: Int = 2): DataFrame = {
-    val lists = ivfAssignWith(embeddings, centroids)
+                  nQueries: Int, k: Int, nProbe: Int = 2): DataFrame =
+    ivfTopKOverLists(
+      ivfAssignWith(embeddings, centroids), centroids,
+      embeddings.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      k, nProbe)
+
+  /** The probe/score/rank pipeline over PREBUILT inverted lists — shared
+    * by the inline path (`ivfTopKWith`, which assigns lists on the fly)
+    * and the persisted-index path (`ivfTopKFromIndex`). `queries` is any
+    * (q_id, q_emb) frame.
+    */
+  def ivfTopKOverLists(lists: DataFrame, centroids: DataFrame,
+                       queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
     val wq = Window.partitionBy("q_id").orderBy(col("c_score").desc, col("centroid_id"))
-    val probes = embeddings.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probes = queries
       .join(broadcast(centroids))
       .withColumn("c_score",
         round(graft.functions.GraftFunctions.cosineSim(col("q_emb"), col("c_emb")), 6))
@@ -170,6 +181,38 @@ object SimilarityOps {
       .select(col("q_id"), col("vec_id"), col("score"),
         row_number().over(w).as("rank"))
       .filter(col("rank") <= k)
+  }
+
+  /** Persist the trained IVF index: centroids plus the corpus assignment
+    * (the inverted lists), lists PARTITIONED BY centroid_id — so a probe
+    * that touches nProbe of nCentroids lists prunes the rest at the file
+    * level (partition pruning / DPP once the probe set is known). This is
+    * the amortization path: Lloyd training and corpus assignment run once
+    * per index build, every query batch afterwards pays only
+    * probe + score. The cache-based amortization inside one session
+    * (`ivfTrainCentroids`' persist) composes with, but does not replace,
+    * this — a persisted index survives sessions and is shared by every
+    * reader of the warehouse.
+    */
+  def writeIvfIndex(embeddings: DataFrame, dir: String,
+                    nCentroids: Int = 16, iters: Int = 2): Unit = {
+    val centroids = ivfTrainCentroids(embeddings, nCentroids, iters)
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    ivfAssignWith(embeddings, centroids)
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/lists")
+    centroids.unpersist()
+  }
+
+  /** Top-k against a persisted index — no training, no assignment, just
+    * probe + score over the pruned lists.
+    */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       nQueries: Int, k: Int, nProbe: Int = 2): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val lists = spark.read.parquet(s"$dir/lists")
+    val queries = lists.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    ivfTopKOverLists(lists, centroids, queries, k, nProbe)
   }
 
   /** Scalar int8 quantization of the embedding column: per-vector scale =

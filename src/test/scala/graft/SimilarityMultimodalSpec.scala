@@ -69,6 +69,26 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(got.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("persisted IVF index: results equal the inline trained path, plan shows no retraining") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    SimilarityOps.writeIvfIndex(emb, dir, nCentroids = 2, iters = 2)
+    val inline = SimilarityOps.ivfTopKWith(
+        emb, SimilarityOps.ivfTrainCentroids(emb, 2, iters = 2), nQueries = 1, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    spark.catalog.clearCache() // drop the inline path's persisted centroids
+    val fromIdx = SimilarityOps.ivfTopKFromIndex(spark, dir, nQueries = 1, k = 4)
+    val got = fromIdx.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == inline)
+    // amortization is structural: the indexed plan scans parquet and
+    // contains no Lloyd machinery (per-dimension posexplode aggregate)
+    val plan = fromIdx.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("posexplode"),
+      s"indexed path must not retrain:\n$plan")
+    assert(plan.contains("Scan parquet") || plan.contains("FileScan"),
+      s"indexed path should read the persisted index:\n$plan")
+  }
+
   test("lshBucket: stride derives from dimension (dim 16 → stride 2), not a fixed 4") {
     // positive components at 0-based indices 0 and 4; with stride 16/8 = 2
     // the probes read indices 0,2,4,…,14 → exactly bits 0 and 2 set
