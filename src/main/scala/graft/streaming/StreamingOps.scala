@@ -95,4 +95,27 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .outputMode("append")
+
+  /** Streaming → warehouse (S11 meets §2.10): land each micro-batch in the
+    * JDBC warehouse via foreachBatch — Structured Streaming has no native
+    * JDBC sink, and foreachBatch is the canonical bridge (it hands every
+    * micro-batch to the BATCH writer, so the connection-capped/batched
+    * `IngestOps.writeJdbc` path is reused verbatim). Delivery is
+    * at-least-once: foreachBatch re-runs a batch after failure, so either
+    * make the table idempotent-keyed or include `batch_id` (written here)
+    * and dedup downstream — the same discipline as the reference's
+    * append-only daily feed. Checkpointing makes restarts resume from the
+    * last committed batch.
+    */
+  def jdbcSinkWriter(df: DataFrame, url: String, table: String,
+                     user: String, password: String, checkpoint: String,
+                     numPartitions: Int = 8): DataStreamWriter[Row] =
+    df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        graft.sources.IngestOps.writeJdbc(
+          batch.withColumn("batch_id", lit(batchId)),
+          url, table, user, password, numPartitions = numPartitions)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
 }
