@@ -187,10 +187,15 @@ object DedupOps {
   def screenDeltaAgainstCorpus(delta: DataFrame, corpusFp: DataFrame,
                                corpusBands: DataFrame): DataFrame = {
     val fresh = exactDedup(delta)
+    // two consumers below (the band probe and the final anti-join) —
+    // persist so the delta dedup + fp screen runs once, not twice
+    // (plan-audited: without this the subtree appears twice). Cache
+    // lifecycle is caller-owned, as everywhere in this engine.
     val fpClean = fresh
       .withColumn("fp", md5(col("text")))
       .join(corpusFp, Seq("fp"), "left_anti")
       .select(col("doc_id"), col("text"))
+      .persist()
     val colliding = lshBands(fpClean)
       .join(corpusBands, Seq("band", "band_key"), "left_semi")
       .select(col("doc_id")).distinct()
