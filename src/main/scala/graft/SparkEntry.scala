@@ -476,6 +476,21 @@ object SparkEntry {
           "ivf_trained"))
     }),
 
+    // recall@5 of the int8-quantized scorer vs full-precision brute — how
+    // much top-k ordering the 4-8x memory cut costs, as a gated value
+    // (kept separate from ann_recall so the stable gate stays untouched)
+    "ann_recall_int8" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").persist()
+      val brute = SimilarityOps.cosineTopK(emb, 10, 5).select(col("q_id"), col("vec_id"))
+      val hit = SimilarityOps.cosineTopKInt8(emb, 10, 5)
+        .select(col("q_id"), col("vec_id")).withColumn("hit", lit(1))
+      brute.join(hit, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(round(sum(coalesce(col("hit"), lit(0))).cast(DoubleType) / lit(5.0), 2)
+          .as("recall"))
+        .select(lit("int8").as("method"), col("q_id"), col("recall"))
+    }),
+
     // the corpus pipeline at FULL width: dedup → collapse → quality floor
     // → Gopher gate → repetition cap → PII scrub → chunking, one call,
     // the whole composition replayed in one oracle
@@ -1095,6 +1110,31 @@ object SparkEntry {
         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
         |  FROM scored)
         |SELECT q_id, vec_id, score, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // int8 recall gate: full-precision brute top-5 LEFT-joined to the
+    // quantized top-5, hits / 5 per query
+    "ann_recall_int8" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < 10),
+        |brute AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q.q_id, c.vec_id,
+        |           row_number() OVER (PARTITION BY q.q_id
+        |             ORDER BY round(list_cosine_similarity(c.emb, q.q_emb), 4) DESC, c.vec_id) AS rank
+        |    FROM v c CROSS JOIN q WHERE c.vec_id <> q.q_id) t WHERE rank <= 5),
+        |s AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale FROM v),
+        |qz AS (SELECT vec_id, list_transform(emb, x -> floor(x / scale + 0.5)) AS qv FROM s WHERE scale > 0),
+        |q8 AS (SELECT vec_id AS q_id, qv AS q_qv FROM qz WHERE vec_id < 10),
+        |i8 AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q8.q_id, c.vec_id,
+        |           row_number() OVER (PARTITION BY q8.q_id
+        |             ORDER BY round(list_cosine_similarity(c.qv, q8.q_qv), 4) DESC, c.vec_id) AS rank
+        |    FROM qz c CROSS JOIN q8 WHERE c.vec_id <> q8.q_id) t WHERE rank <= 5)
+        |SELECT 'int8' AS method, b.q_id,
+        |       round(SUM(CASE WHEN i8.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 2) AS recall
+        |FROM brute b LEFT JOIN i8 ON b.q_id = i8.q_id AND b.vec_id = i8.vec_id
+        |GROUP BY b.q_id""".stripMargin,
 
     // the int8 quantizer replayed verbatim: per-vector scale, floor-snap,
     // then the same cosine/rank pipeline over the integer-valued vectors
