@@ -97,4 +97,35 @@ class EdgeCasesSpec extends SparkSpec {
     val got = RelationalOps.asOfJoin(left, right, Seq("k"), "ts", Seq("v")).collect()
     assert(got.length == 1 && got(0).isNullAt(got(0).fieldIndex("asof_v")))
   }
+
+  test("r7 operators on degenerate input: empty, not error") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // banded as-of, empty right: same NULL-fill contract as the plain path
+    val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"))).toDF("id", "k", "ts")
+    val right = Seq.empty[(Long, java.sql.Timestamp, Double)].toDF("k", "ts", "v")
+    val banded = RelationalOps.asOfJoinBanded(left, right, Seq("k"), "ts", Seq("v"),
+      c => date_trunc("day", c)).collect()
+    assert(banded.length == 1 && banded(0).isNullAt(banded(0).fieldIndex("asof_v")))
+    // star contraction on empty pairs
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(DedupOps.dupComponentsStar(emptyPairs).count() == 0)
+    // incremental screen: empty delta → empty; empty corpus → delta passes
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy old dog")).toDF("doc_id", "text")
+    val emptyDelta = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(DedupOps.screenDeltaAgainstCorpus(emptyDelta,
+      DedupOps.corpusFingerprintIndex(docs), DedupOps.corpusBandIndex(docs)).count() == 0)
+    assert(DedupOps.screenDeltaAgainstCorpus(docs,
+      DedupOps.corpusFingerprintIndex(emptyDelta),
+      DedupOps.corpusBandIndex(emptyDelta)).count() == 1)
+    // int8 quantization on empty embeddings
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    val emptyEmb = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    assert(SimilarityOps.quantizeInt8(emptyEmb).count() == 0)
+    assert(SimilarityOps.cosineTopKInt8(emptyEmb, 10, 5).count() == 0)
+    // distributed fetch with an empty series frame: no files, no error
+    val emptySeries = Seq.empty[(String, String)].toDF("series_id", "url")
+    val dir = java.nio.file.Files.createTempDirectory("graft-efetch").toString
+    assert(Pipelines.fetchSeriesToRaw(identity, emptySeries, dir, distributeAbove = 0).isEmpty)
+  }
 }
