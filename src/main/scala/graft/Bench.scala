@@ -73,7 +73,11 @@ object Bench {
     // driver's tail capture, which blinds regression detection for the ~60
     // sub-0.5 s queries (a 0.2 s -> 0.4 s doubling rounds invisibly).
     // Keep the unrounded numbers in-repo for local round-over-round diffs.
-    def full(v: Double): String = if (v < 0) "null" else f"$v%.4f"
+    // Locale.ROOT: f"" interpolates through the JVM default locale, so a
+    // comma-decimal locale would emit 0,1234 — invalid JSON
+    def full(v: Double): String =
+      if (v < 0) "null"
+      else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + full(v) }.mkString("{", ",", "}")
     // subset runs (diagnosis) must not clobber the full-suite artifact
     val localName = if (only.isEmpty) "BENCH_local.json" else "BENCH_local_subset.json"

@@ -25,6 +25,24 @@ object GraftSession {
   def shufflePartitions: String =
     sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
 
+  /** AQE's INITIAL shuffle partition count — the data-scaling default the
+    * ×10/×100 stress measurements demanded (SCALE.md, jaccard cause #1):
+    * with the initial count pinned to cores, a ×100 corpus makes every
+    * per-reducer sort run ~100× over its sized share and spill
+    * (measured: guarded jaccard e(10→100) 1.19 at 32 initial partitions,
+    * 0.97 — linear — at 256). Defaulting the initial count to
+    * 8×cores (≥256) costs nothing at small data because AQE coalesces
+    * post-shuffle partitions back down to the advisory size before any
+    * reducer runs; at big data it is what keeps reducer sorts in memory.
+    * On a real cluster the same rule holds with the submitter's core
+    * count. Overridable via SPARK_GRAFT_SHUFFLE_PARTITIONS, which pins
+    * BOTH the non-AQE floor and the initial count.
+    */
+  def initialShufflePartitions: String =
+    sys.env.getOrElse(
+      "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+      math.max(8 * cpus.toInt, 256).toString)
+
   def builder(appName: String = "graft"): SparkSession.Builder =
     SparkSession
       .builder()
@@ -33,6 +51,8 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initialShufflePartitions)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")

@@ -27,10 +27,15 @@ object ScaleDataGen {
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
     val spark = GraftSession.getOrCreate("graft-scale-gen")
     val docs = graft.sources.Tables.load(spark, src, "documents")
+    // Shard stride from the data, not a constant: a fixed 10⁶ would make
+    // shard id ranges overlap for any source corpus with doc_id ≥ 10⁶,
+    // silently merging shards and corrupting the exact-×N output
+    // invariant every SCALE.md exponent relies on.
+    val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
     val shards = (0 until copies).map { k =>
       if (k == 0) docs
       else docs
-        .withColumn("doc_id", col("doc_id") + lit(k * 1000000L))
+        .withColumn("doc_id", col("doc_id") + lit(k * stride))
         .withColumn("text",
           expr(s"array_join(transform(split(text, ' '), t -> concat(t, 'q$k')), ' ')"))
         .withColumn("n_chars", length(col("text")).cast("long"))

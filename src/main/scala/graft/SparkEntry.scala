@@ -229,6 +229,15 @@ object SparkEntry {
     // int8 scalar quantization (4-8x memory cut for the scoring pass); the
     // bit-portable floor-quantizer is replayed verbatim by the oracle
     "cosine_topk_int8" -> ((s, d) => SimilarityOps.cosineTopKInt8(t(s, d, "embeddings"), 10, 5)),
+    // the SAME scorer through the at-rest layout (quantize → persist as
+    // array<tinyint> → read → widen → score); shares cosine_topk_int8's
+    // oracle verbatim — the driver hash-gate is what proves the persisted
+    // tinyint round trip changes nothing
+    "cosine_topk_int8_stored" -> ((s, d) => {
+      val dir = java.nio.file.Paths
+        .get(System.getProperty("java.io.tmpdir"), "graft_int8_corpus").toString
+      SimilarityOps.cosineTopKInt8Stored(t(s, d, "embeddings"), dir, 10, 5)
+    }),
     "cosine_topk_lsh" -> ((s, d) => SimilarityOps.lshBucketedTopK(t(s, d, "embeddings"), 10, 5)),
     "cosine_topk_ivf" -> ((s, d) => SimilarityOps.ivfTopK(t(s, d, "embeddings"), 16, 10, 5)),
     // IVF over Lloyd-trained centroids (2 assign→mean passes); the oracle
@@ -708,6 +717,20 @@ object SparkEntry {
       |            JOIN sizes nb ON common.doc_b = nb.doc_id
       |WHERE round(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6) >= 0.5""".stripMargin
 
+  private val int8TopKOracle: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |s AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale FROM v),
+      |qz AS (SELECT vec_id, list_transform(emb, x -> floor(x / scale + 0.5)) AS qv FROM s WHERE scale > 0),
+      |q AS (SELECT vec_id AS q_id, qv AS q_qv FROM qz WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q_id, vec_id, round(list_cosine_similarity(qv, q_qv), 4) AS score
+      |  FROM qz CROSS JOIN q WHERE vec_id <> q_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id, score,
+      |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+      |  FROM scored)
+      |SELECT q_id, vec_id, score, rank FROM ranked WHERE rank <= 5""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // NOTE (r5): every oracle's FINAL decimal output column is cast to
     // DOUBLE, mirrored by Verify.decimalsAsDouble on the Spark dump —
@@ -1138,19 +1161,11 @@ object SparkEntry {
 
     // the int8 quantizer replayed verbatim: per-vector scale, floor-snap,
     // then the same cosine/rank pipeline over the integer-valued vectors
-    "cosine_topk_int8" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |s AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale FROM v),
-        |qz AS (SELECT vec_id, list_transform(emb, x -> floor(x / scale + 0.5)) AS qv FROM s WHERE scale > 0),
-        |q AS (SELECT vec_id AS q_id, qv AS q_qv FROM qz WHERE vec_id < 10),
-        |scored AS (
-        |  SELECT q_id, vec_id, round(list_cosine_similarity(qv, q_qv), 4) AS score
-        |  FROM qz CROSS JOIN q WHERE vec_id <> q_id),
-        |ranked AS (
-        |  SELECT q_id, vec_id, score,
-        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
-        |  FROM scored)
-        |SELECT q_id, vec_id, score, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "cosine_topk_int8" -> int8TopKOracle,
+    // identical results by construction (tinyint round trip is exact), so
+    // the stored path shares the oracle verbatim — the hash gate asserts
+    // the at-rest layout changes nothing
+    "cosine_topk_int8_stored" -> int8TopKOracle,
 
     "embedding_dup_pairs" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)

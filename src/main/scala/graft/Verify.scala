@@ -89,8 +89,11 @@ object Verify {
         // Check the dump, not the plan: one compute per query. If the bound
         // fails, remove the dump so the driver sees a missing result (loud
         // fail), never a silently-weakened hash match.
+        // NonFatal, not just IllegalArgumentException: any failure of the
+        // post-dump check (read-back, analysis) must remove the dump, or
+        // the driver hash-compares bytes that never passed the gate
         try assertDoubleExact(spark.read.parquet(path), decs)
-        catch { case e: IllegalArgumentException =>
+        catch { case scala.util.control.NonFatal(e) =>
           org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path)); throw e
         }
       } catch { case e: Throwable =>

@@ -272,9 +272,10 @@ object DedupOps {
     * lowest-collision ones, so posting lists are built over a small,
     * low-df subset of the inverted index — candidate volume drops from
     * "any shared shingle" to "shared rare prefix shingle" with ZERO
-    * recall loss (this is exact, unlike LSH). Verification computes the
-    * true intersection from the full per-doc arrays (one per-row
-    * array_intersect per surviving candidate).
+    * recall loss (this is exact, unlike LSH). Verification re-joins the
+    * surviving candidates against the exploded posting rows and counts
+    * matches — narrow (id, id, shingle) shuffle rows, never the full
+    * per-doc arrays (see the in-line note on the r7 wide-row spill).
     *
     * Same output as jaccardPairs(threshold) by construction; the extra
     * cost is one df aggregate + one per-doc ranking pass, both linear.
@@ -317,14 +318,30 @@ object DedupOps {
       .select(explode(expr(bucketPairsSql)).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
-    val arrs = shinglesArray(documents)
+    // Verification via posting-list re-join, NOT array carriage. The r7
+    // formulation joined BOTH docs' full shingle arrays onto every
+    // candidate pair and array_intersect'ed per row — shuffle rows ~100×
+    // wider than the candidate ids, and the wide-row join sort was what
+    // spilled first at the ×100 stress corpus (measured e(10→100) ≈ 1.73,
+    // SCALE.md). Joining the candidates back to the exploded inverted-
+    // index rows keeps every shuffled row narrow (two ids + one shingle):
+    // the common-shingle count is an inner join on (doc_b, shingle)
+    // followed by one hash aggregate with map-side partials — the same
+    // row shape the guarded tier's e≈1.0 plan shuffles. `withDf` already
+    // holds the exploded (doc_id, shingle) rows (built once for the df
+    // ranking), so verification adds no new corpus pass.
+    val postings = withDf.select(col("doc_id"), col("shingle"))
+    val sizes = shinglesArray(documents).select(col("doc_id"), size(col("sh")).as("n"))
     cands
-      .join(arrs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(arrs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .join(postings.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(postings.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(col("common").cast(DoubleType) /
-          (size(col("sh_a")) + size(col("sh_b")) - col("common")), 6).as("jaccard"))
+          (col("na") + col("nb") - col("common")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -408,10 +425,14 @@ object DedupOps {
     // components: a dup-chain with diameter > maxIters indicates either a
     // pathological corpus or a too-small cap (raise it, or switch to
     // large-star/small-star contraction which converges in O(log n)).
-    if (!done)
+    if (!done) {
+      // free the cached blocks before failing — a library caller catching
+      // this must not inherit leaked edges/labels blocks
+      labels.unpersist(); edges.unpersist()
       throw new IllegalStateException(
         s"dupComponents did not converge in $maxIters iterations; " +
           "component labels would be wrong — raise maxIters")
+    }
     // Final checkpoint BEFORE dropping edges: consumers get a leaf-only
     // plan (no per-round join lineage at all), and since localCheckpoint
     // truncates lineage the result must be materialized while the blocks
@@ -484,10 +505,13 @@ object DedupOps {
       edges = next
       iter += 1
     }
-    if (!done)
+    if (!done) {
+      // same cached-block discipline as dupComponents' failure path
+      edges.unpersist(); nodes.unpersist()
       throw new IllegalStateException(
         s"dupComponentsStar did not converge in $maxIters rounds; " +
           "component labels would be wrong — raise maxIters")
+    }
     // at the fixed point every edge is (doc → component min); nodes that
     // no longer appear (roots, singletons, self-pairs) label themselves
     val labels = nodes.join(edges.select(col("u").as("doc_id"), col("v").as("c")),
