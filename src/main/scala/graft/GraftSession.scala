@@ -23,22 +23,6 @@ object GraftSession {
     * coalesces the small ones back down.
     */
   def shufflePartitions: String =
-    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
-
-  /** AQE's INITIAL shuffle partition count — the data-scaling default the
-    * ×10/×100 stress measurements demanded (SCALE.md, jaccard cause #1):
-    * with the initial count pinned to cores, a ×100 corpus makes every
-    * per-reducer sort run ~100× over its sized share and spill
-    * (measured: guarded jaccard e(10→100) 1.19 at 32 initial partitions,
-    * 0.97 — linear — at 256). Defaulting the initial count to
-    * 8×cores (≥256) costs nothing at small data because AQE coalesces
-    * post-shuffle partitions back down to the advisory size before any
-    * reducer runs; at big data it is what keeps reducer sorts in memory.
-    * On a real cluster the same rule holds with the submitter's core
-    * count. Overridable via SPARK_GRAFT_SHUFFLE_PARTITIONS, which pins
-    * BOTH the non-AQE floor and the initial count.
-    */
-  def initialShufflePartitions: String =
     sys.env.getOrElse(
       "SPARK_GRAFT_SHUFFLE_PARTITIONS",
       math.max(8 * cpus.toInt, 256).toString)
@@ -48,11 +32,19 @@ object GraftSession {
       .builder()
       .appName(appName)
       .master(s"local[$cpus]")
+      // Shuffle parallelism defaults to 8×cores (≥256), NOT core count —
+      // the data-scaling default the ×10/×100 stress measurements demanded
+      // (SCALE.md, jaccard cause #1): pinned to cores, a ×100 corpus makes
+      // every per-reducer sort run ~100× over its sized share and spill
+      // (measured: guarded jaccard 86.6 s at 32 partitions, 52.4 s — back
+      // to linear — at 256). Scaling only AQE's initialPartitionNum was
+      // measured INSUFFICIENT (159 s at ×100: exchanges AQE declines to
+      // coalesce fall back to the spark.sql.shuffle.partitions floor), so
+      // the floor itself scales and AQE coalesces the small-data case back
+      // down. Overridable via SPARK_GRAFT_SHUFFLE_PARTITIONS.
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        initialShufflePartitions)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")

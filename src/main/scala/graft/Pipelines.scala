@@ -188,9 +188,15 @@ object Pipelines {
     // each consume survivors — persist it once so the dedup chain (incl.
     // the iterative collapse) doesn't replay per branch. Cache lifecycle
     // belongs to the caller (Verify/Bench clearCache between queries).
-    val survivors = exact.join(comps, Seq("doc_id"), "left")
-      .filter(col("component").isNull || col("component") === col("doc_id"))
-      .select(col("doc_id"), col("text"))
+    // The TOKENIZED staging column is materialized into the persisted
+    // frame: quality + Gopher + repetition all consume `toks`, so the
+    // tokenizer regex runs once per surviving row total, not once per
+    // filter family (the SCALE.md "share via a tokenized staging column"
+    // item, now the default shape of the full pipeline).
+    val survivors = TextOps.tokenize(
+        exact.join(comps, Seq("doc_id"), "left")
+          .filter(col("component").isNull || col("component") === col("doc_id"))
+          .select(col("doc_id"), col("text")))
       .persist()
     val q = TextOps.qualityScore(survivors)
       .filter(col("quality") >= minQuality).select("doc_id")

@@ -43,6 +43,30 @@ object ScaleDataGen {
     shards.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    // Embeddings stress shards (the ANN ×N corpus): shard k rotates every
+    // vector's components by k mod dim positions. Rotation is an orthogonal
+    // transform — norms and the isotropic coordinate distribution are
+    // preserved exactly (bucket balance and centroid geometry stay
+    // representative) — while decorrelating shard k from shard 0, so the
+    // corpus grows ×N without stacking exact duplicates under the fixed
+    // query set (queries stay vec_id < 10, i.e. shard 0). Same 32-file
+    // layout discipline as documents.
+    if (new java.io.File(s"$src/embeddings.parquet").exists) {
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val strideV = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
+      val eShards = (0 until copies).map { k =>
+        val r = k % dim
+        if (r == 0 && k == 0) emb
+        else emb
+          .withColumn("vec_id", col("vec_id") + lit(k * strideV))
+          .withColumn("embedding",
+            expr(s"concat(slice(embedding, ${r + 1}, $dim - $r), slice(embedding, 1, $r))"))
+      }
+      eShards.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
     spark.stop()
   }
 }

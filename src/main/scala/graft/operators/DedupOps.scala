@@ -80,6 +80,14 @@ object DedupOps {
   private val hvsSql = let(shSql, "s0",
     "transform(s0, s -> cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint))")
 
+  /** 48-bit md5-prefix hashes of the distinct shingles — wide enough that
+    * cross-doc collisions are negligible (and 12 hex digits stays safely
+    * inside a signed BIGINT in every engine), narrow enough to cut the
+    * verification rows ~3× vs carrying shingle strings.
+    */
+  private val sh48Sql = let(shSql, "s0",
+    "transform(s0, s -> cast(conv(substr(md5(s), 1, 12), 16, 10) as bigint))")
+
   private val seedArr = Seeds
     .map { case (_, a, b) => s"named_struct('a', ${a}L, 'b', ${b}L)" }
     .mkString("array(", ", ", ")")
@@ -272,10 +280,9 @@ object DedupOps {
     * lowest-collision ones, so posting lists are built over a small,
     * low-df subset of the inverted index — candidate volume drops from
     * "any shared shingle" to "shared rare prefix shingle" with ZERO
-    * recall loss (this is exact, unlike LSH). Verification re-joins the
-    * surviving candidates against the exploded posting rows and counts
-    * matches — narrow (id, id, shingle) shuffle rows, never the full
-    * per-doc arrays (see the in-line note on the r7 wide-row spill).
+    * recall loss (this is exact, unlike LSH). Verification length-filters
+    * candidates, then intersects 48-bit-hashed shingle arrays — one
+    * bounded-width row per candidate (see the in-line measurement note).
     *
     * Same output as jaccardPairs(threshold) by construction; the extra
     * cost is one df aggregate + one per-doc ranking pass, both linear.
@@ -318,27 +325,32 @@ object DedupOps {
       .select(explode(expr(bucketPairsSql)).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
-    // Verification via posting-list re-join, NOT array carriage. The r7
-    // formulation joined BOTH docs' full shingle arrays onto every
-    // candidate pair and array_intersect'ed per row — shuffle rows ~100×
-    // wider than the candidate ids, and the wide-row join sort was what
-    // spilled first at the ×100 stress corpus (measured e(10→100) ≈ 1.73,
-    // SCALE.md). Joining the candidates back to the exploded inverted-
-    // index rows keeps every shuffled row narrow (two ids + one shingle):
-    // the common-shingle count is an inner join on (doc_b, shingle)
-    // followed by one hash aggregate with map-side partials — the same
-    // row shape the guarded tier's e≈1.0 plan shuffles. `withDf` already
-    // holds the exploded (doc_id, shingle) rows (built once for the df
-    // ranking), so verification adds no new corpus pass.
-    val postings = withDf.select(col("doc_id"), col("shingle"))
+    // Verification: hashed-array carriage behind a length filter. Three
+    // formulations were measured on the ×100 stress corpus (SCALE.md):
+    //  - r7 carried BOTH docs' full STRING shingle arrays (~2.6 KB/row);
+    //    the wide-row join sort spilled → e(10→100) 1.73, 517 s.
+    //  - a posting-list re-join (narrow (id, id, shingle) rows) avoids
+    //    wide rows but explodes each candidate into |sh| rows — ~2×10⁹
+    //    rows at ×100, whose two join sorts overflowed local disk.
+    //  - this version: one row per candidate, arrays carried as 48-bit
+    //    md5-prefix hashes (8 B/shingle vs ~25 B strings, ~3× narrower),
+    //    and candidates length-filtered FIRST — J(A,B) ≥ t forces
+    //    min(|A|,|B|) ≥ t·max(|A|,|B|), a pure (na, nb) predicate that
+    //    prunes before any array is shipped.
+    // The 48-bit hash keeps common counts exact up to hash collisions
+    // (P ≈ |sh(a)|·|sh(b)|/2⁴⁸ per pair — negligible at any corpus that
+    // fits a datacenter, and the DuckDB gate would fail loudly on one);
+    // sizes still come from the exact string arrays.
     val sizes = shinglesArray(documents).select(col("doc_id"), size(col("sh")).as("n"))
+    val arrs48 = documents.select(col("doc_id"), expr(sh48Sql).as("h"))
     cands
-      .join(postings.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(postings.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("common"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .filter(least(col("na"), col("nb")).cast(DoubleType) >=
+        lit(threshold) * greatest(col("na"), col("nb")).cast(DoubleType))
+      .join(arrs48.select(col("doc_id").as("doc_a"), col("h").as("ha")), Seq("doc_a"))
+      .join(arrs48.select(col("doc_id").as("doc_b"), col("h").as("hb")), Seq("doc_b"))
+      .withColumn("common", size(array_intersect(col("ha"), col("hb"))))
       .select(col("doc_a"), col("doc_b"),
         round(col("common").cast(DoubleType) /
           (col("na") + col("nb") - col("common")), 6).as("jaccard"))
@@ -441,6 +453,9 @@ object DedupOps {
     val out = labels.localCheckpoint()
     labels.unpersist()
     edges.unpersist()
+    // observability breadcrumb (read by ComponentScaleBench and available
+    // to any caller diagnosing convergence): how many rounds this run took
+    pairs.sparkSession.conf.set("spark.graft.componentRounds", iter.toString)
     out
   }
 
@@ -519,6 +534,7 @@ object DedupOps {
       .select(col("doc_id"), coalesce(col("c"), col("doc_id")).as("component"))
     val out = labels.localCheckpoint()
     edges.unpersist(); nodes.unpersist()
+    pairs.sparkSession.conf.set("spark.graft.componentRounds", iter.toString)
     out
   }
 

@@ -25,19 +25,49 @@ object TextOps {
   def tokensOf(colName: String): Column =
     expr(s"regexp_extract_all(lower($colName), '$TokenPattern', 0)")
 
+  /** Tokenized STAGING column: materialize the token array once and let
+    * every downstream text op consume it. The tokenizer regex is the one
+    * repeated per-row cost of the text family (SCALE.md "known
+    * trade-offs"); at 100 TB a pipeline that fans a corpus into several
+    * per-doc filter families (quality + Gopher + repetition, as
+    * `runCorpusPipelineFull` does) should tokenize at the staging
+    * boundary and cache/persist THAT, so the regex runs once per row
+    * total instead of once per row per family. Every op below detects
+    * the `toks` column and skips its own tokenizer when present —
+    * outputs are identical either way (same token def), which keeps the
+    * staged and unstaged paths hash-interchangeable.
+    */
+  def tokenize(documents: DataFrame): DataFrame =
+    documents.withColumn("toks", tokensOf("text"))
+
+  /** The token-array expression an op should consume: the staged column
+    * when the caller materialized one, the inline tokenizer otherwise.
+    */
+  private def toksExprFor(df: DataFrame): String =
+    if (df.columns.contains("toks")) "toks" else tokensSql
+
+  /** Stopword-membership filter over a token-array SQL expression. The
+    * lambda variable is `sw` (not `t`) so the snippet can nest inside the
+    * ops' own `t`-bound lambdas without shadowing.
+    */
+  private def stopHitsSql(toksExpr: String): String =
+    s"size(filter($toksExpr, sw -> sw IN ('the', 'a', 'of', 'and', 'to', 'in')))"
+
   /** Per-document token + char counts (whitespace-free token def). */
   def tokenCounts(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
       length(col("text")).as("n_chars_measured"),
-      size(tokensOf("text")).as("n_tokens"))
+      expr(s"size(${toksExprFor(documents)})").as("n_tokens"))
 
   /** English stopword hits — the n-gram-heuristic core for language ID.
     * Counting via an array filter (not a join) keeps it one narrow pass.
+    * (Single-expression form; ops that also need the token count use
+    * `stopHitsSql` over a let-bound/staged array so the tokenizer never
+    * runs twice per row.)
     */
   def stopwordHits(colName: String): Column =
-    expr(s"size(filter(regexp_extract_all(lower($colName), '$TokenPattern', 0), " +
-      "t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))")
+    expr(stopHitsSql(s"regexp_extract_all(lower($colName), '$TokenPattern', 0)"))
 
   /** Heuristic language ID: stopword-ratio n-gram heuristic. With the
     * synthetic corpus (English-ish vocab regardless of the `lang` label)
@@ -48,19 +78,22 @@ object TextOps {
     documents.select(
       col("doc_id"),
       col("lang").as("lang_label"),
-      when(stopwordHits("text") >= 2, lit("en")).otherwise(lit("und")).as("lang_pred"))
+      when(expr(stopHitsSql(toksExprFor(documents))) >= 2, lit("en"))
+        .otherwise(lit("und")).as("lang_pred"))
 
   /** Quality score in [0,1]: half length-based (saturating at 200 chars),
     * half stopword density. Pure double arithmetic → bit-identical across
-    * engines; rounded for the oracle hash.
+    * engines; rounded for the oracle hash. The token array is let-bound
+    * (or read from the staging column), so the tokenizer runs ONCE per
+    * row — the r7 form ran it twice (token count + stopword filter).
     */
   def qualityScore(documents: DataFrame): DataFrame = {
-    val nToks = size(tokensOf("text")).cast(DoubleType)
-    val lenScore = least(length(col("text")).cast(DoubleType) / 200.0, lit(1.0))
-    val stopRatio = stopwordHits("text").cast(DoubleType) / nullif(nToks, lit(0.0))
-    documents.select(
-      col("doc_id"),
-      round(lenScore * 0.5 + coalesce(stopRatio, lit(0.0)) * 0.5, 6).as("quality"))
+    val sql =
+      s"""element_at(transform(array(${toksExprFor(documents)}), t ->
+         |  round(least(cast(length(text) as double) / 200.0d, 1.0d) * 0.5d +
+         |        coalesce(cast(${stopHitsSql("t")} as double)
+         |                 / nullif(cast(size(t) as double), 0.0d), 0.0d) * 0.5d, 6)), 1)""".stripMargin
+    documents.select(col("doc_id"), expr(sql).as("quality"))
   }
 
   /** Content fingerprint: md5 of the normalized text (reference
@@ -80,7 +113,7 @@ object TextOps {
       .agg(
         count(lit(1)).as("n_docs"),
         RelationalOps.moneySum(col("n_chars")).as("total_chars"),
-        round(sum(size(tokensOf("text"))).cast(DoubleType) / count(lit(1)), 6)
+        round(sum(expr(s"size(${toksExprFor(documents)})")).cast(DoubleType) / count(lit(1)), 6)
           .as("avg_tokens"))
 
   /** Token chunking — the one-to-many "table function" of an LLM data
@@ -90,7 +123,7 @@ object TextOps {
     */
   def chunks(documents: DataFrame, chunkSize: Int = 32, stride: Int = 16): DataFrame = {
     val sql =
-      s"""flatten(transform(array(${tokensSql}), t ->
+      s"""flatten(transform(array(${toksExprFor(documents)}), t ->
          |  if(size(t) < 1, cast(array() as array<struct<chunk_idx: int, chunk: string, n_chunk_tokens: int>>),
          |     transform(sequence(0, size(t) - 1, $stride), st -> named_struct(
          |       'chunk_idx', cast(st / $stride as int),
@@ -110,7 +143,7 @@ object TextOps {
     */
   def termFrequencies(documents: DataFrame): DataFrame =
     documents
-      .select(explode(tokensOf("text")).as("token"))
+      .select(explode(expr(toksExprFor(documents))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
 
@@ -161,8 +194,9 @@ object TextOps {
     */
   def gopherQuality(documents: DataFrame): DataFrame = {
     val sql =
-      s"""transform(array($tokensSql), t ->
+      s"""transform(array(${toksExprFor(documents)}), t ->
          |  transform(array(split(text, '\\n')), ls -> named_struct(
+         |    'stop_hits', ${stopHitsSql("t")},
          |    'n_tokens', size(t),
          |    'mean_word_len', if(size(t) = 0, cast(0.0 as double),
          |       round(aggregate(t, 0, (acc, x) -> acc + length(x)) / cast(size(t) as double), 6)),
@@ -178,8 +212,11 @@ object TextOps {
          |    'ellipsis_line_ratio',
          |       round(size(filter(ls, l -> right(l, 3) = '...'))
          |           / cast(size(ls) as double), 6)))[0])[0]""".stripMargin
+    // stop_hits rides inside the same let-bound struct (r8): the r7 form
+    // computed it via a second stopwordHits("text") projection, which ran
+    // the tokenizer regex a second time per row
     documents
-      .select(col("doc_id"), expr(sql).as("g"), stopwordHits("text").as("stop_hits"))
+      .select(col("doc_id"), expr(sql).as("g"))
       .select(
         col("doc_id"),
         col("g.n_tokens").as("n_tokens"),
@@ -194,7 +231,7 @@ object TextOps {
           col("g.bullet_line_ratio") < 0.9 &&
           col("g.ellipsis_line_ratio") < 0.3 &&
           col("g.alpha_ratio") > 0.8 &&
-          col("stop_hits") >= 2).as("keep"))
+          col("g.stop_hits") >= 2).as("keep"))
   }
 
   /** Within-document repetition signals — the C4/Gopher "repetitious
@@ -206,7 +243,7 @@ object TextOps {
     */
   def repetitionStats(documents: DataFrame): DataFrame = {
     val sql =
-      s"""transform(array($tokensSql), t ->
+      s"""transform(array(${toksExprFor(documents)}), t ->
          |  transform(array(if(size(t) < 3, cast(array() as array<string>),
          |                     transform(sequence(0, size(t) - 3),
          |                       i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))), g ->

@@ -143,6 +143,71 @@ class StreamingOpsSpec extends SparkSpec {
     assert(readBack().select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
   }
 
+  test("jdbcSinkWriterIdempotent: forced replay (commit marker deleted) lands exactly once") {
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    val url = "jdbc:derby:memory:graftreplay;create=true"
+    val in = Files.createTempDirectory("graft-replay-in").toString
+    val ckpt = Files.createTempDirectory("graft-replay-ckpt").toString
+    def readBack() = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "replay_mart").load()
+
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("overwrite").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def runOnce(table: String, ckptPath: String, idempotent: Boolean): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(in)
+      val writer =
+        if (idempotent)
+          StreamingOps.jdbcSinkWriterIdempotent(stream, url, table, "app", "app",
+            ckptPath, numPartitions = 2)
+        else
+          StreamingOps.jdbcSinkWriter(stream, url, table, "app", "app",
+            ckptPath, numPartitions = 2)
+      val q = writer
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    // Forced replay: clone the checkpoint WITHOUT the batch-0 commit
+    // marker — byte-for-byte the crash window between sink write and
+    // checkpoint commit. (A clone rather than deleting in place: the
+    // session-level HDFSMetadataLog cache still remembers the original
+    // path's commit and would flag the deletion as a concurrent writer.)
+    // A query resumed from the clone re-executes batch 0 with the SAME
+    // batch id — at-least-once delivery made observable.
+    def cloneCkptWithoutCommit(src: String): String = {
+      val dst = Files.createTempDirectory("graft-replay-ckpt2").toString
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(src))
+      try s.forEach { p =>
+        val rel = java.nio.file.Paths.get(src).relativize(p).toString
+        // skip every FILE under commits/ (the batch-0 marker and its .crc
+        // checksum shadow — a leftover .crc makes the re-commit's atomic
+        // rename throw FileAlreadyExists); keep the empty dir itself
+        val isCommitFile = (rel.startsWith("commits/") || rel.startsWith("commits\\")) &&
+          !java.nio.file.Files.isDirectory(p)
+        if (rel.nonEmpty && !isCommitFile) {
+          val t = java.nio.file.Paths.get(dst, rel)
+          if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+          else java.nio.file.Files.copy(p, t)
+        }
+      } finally s.close()
+      dst
+    }
+    runOnce("replay_mart", ckpt, idempotent = true)
+    assert(readBack().count() == 2)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(ckpt, "commits", "0")))
+    runOnce("replay_mart", cloneCkptWithoutCommit(ckpt), idempotent = true)
+    // the batch_id-keyed delete+insert collapses duplicate delivery to one copy
+    assert(readBack().count() == 2,
+      "replayed batch must not duplicate rows — delete+insert by batch_id")
+    assert(readBack().select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // the non-idempotent contrast: plain append sink doubles on the same injection
+    val ckpt2 = Files.createTempDirectory("graft-replay-plain-ckpt").toString
+    runOnce("replay_plain", ckpt2, idempotent = false)
+    runOnce("replay_plain", cloneCkptWithoutCommit(ckpt2), idempotent = false)
+    val plain = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "replay_plain").load()
+    assert(plain.count() == 4, "plain append sink doubles under replay — the contrast case")
+  }
+
   test("corpus gate runs unchanged on a stream: gopherQuality is stateless row logic") {
     // stream/batch parity for the r6 text tier — the same projection
     // serves the ingest stream (filter-at-the-door) and the batch sweep
