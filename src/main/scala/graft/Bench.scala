@@ -60,8 +60,20 @@ object Bench {
           .bigDecimal.stripTrailingZeros.toPlainString
         if (s.isEmpty || s.startsWith("0E")) "0" else s
       }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val total = fmt(results.map(_._2).filter(_ >= 0).sum)
+    // The printed line must survive the driver's 2000-char tail capture
+    // WHOLE or it is never machine-parsed — r7's full 92-query map
+    // overflowed and the driver recorded parsed: null. Per-query values
+    // exist to flag outliers, so the line carries the SLOWEST 30 (a fixed
+    // count → bounded line length at any registry size) plus an aggregate
+    // of the omitted fast tail; every query's full-precision number is in
+    // BENCH_local.json below.
+    val ok = results.filter(_._2 >= 0)
+    val slow = ok.sortBy(-_._2).take(30).sortBy(_._1)
+    val rest = ok.sortBy(-_._2).drop(30)
+    val qs = (slow.map { case (k, v) => "\"" + k + "\":" + fmt(v) } :+
+      s""""_rest":{"n":${rest.size},"total":${fmt(rest.map(_._2).sum)}}""")
+      .mkString("{", ",", "}")
+    val total = fmt(ok.map(_._2).sum)
     // n_queries: the registered-query count grows round over round (56 in
     // r4 vs 52 in r3), so compare totals normalized, not raw. n_failed
     // makes the normalization honest: `total` sums only succeeded queries,

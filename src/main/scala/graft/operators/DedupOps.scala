@@ -69,16 +69,25 @@ object DedupOps {
 
   private val toksSql = s"regexp_extract_all(lower(text), '${TextOps.TokenPattern}', 0)"
 
+  /** Each pipeline stage parameterized by its INPUT lambda variable, so
+    * the same snippets compose either as standalone let-chains (one
+    * tokenizer run per expression) or fused with the token count into a
+    * single struct (one tokenizer run per ROW — see `sigStructSql`).
+    */
+  private def shFrom(tok: String): String =
+    s"if(size($tok) >= 3, " +
+      s"array_distinct(transform(sequence(0, size($tok) - 3), " +
+      s"i -> concat_ws(' ', $tok[i], $tok[i+1], $tok[i+2]))), " +
+      "cast(array() as array<string>))"
+
+  private def hvsFrom(sh: String): String =
+    s"transform($sh, s -> cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint))"
+
   /** Shingle expression with the token array let-bound (regex runs once). */
-  private val shSql = let(toksSql, "t",
-    s"if(size(t) >= 3, " +
-      "array_distinct(transform(sequence(0, size(t) - 3), " +
-      "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))), " +
-      "cast(array() as array<string>))")
+  private val shSql = let(toksSql, "t", shFrom("t"))
 
   /** Per-shingle portable 32-bit hashes, from the let-bound shingle array. */
-  private val hvsSql = let(shSql, "s0",
-    "transform(s0, s -> cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint))")
+  private val hvsSql = let(shSql, "s0", hvsFrom("s0"))
 
   /** 48-bit md5-prefix hashes of the distinct shingles — wide enough that
     * cross-doc collisions are negligible (and 12 hex digits stays safely
@@ -92,9 +101,29 @@ object DedupOps {
     .map { case (_, a, b) => s"named_struct('a', ${a}L, 'b', ${b}L)" }
     .mkString("array(", ", ", ")")
 
+  private def mhsFrom(hs: String): String =
+    s"transform($seedArr, p -> array_min(transform($hs, h -> (p.a * h + p.b) % ${P}L)))"
+
   /** Full 16-hash signature from text in one let-chained expression. */
-  private val mhsSql = let(hvsSql, "hs",
-    s"transform($seedArr, p -> array_min(transform(hs, h -> (p.a * h + p.b) % ${P}L)))")
+  private val mhsSql = let(hvsSql, "hs", mhsFrom("hs"))
+
+  /** Token-count gate FUSED into the signature expression: the signature
+    * operators filter short docs (`size(toks) >= 3`) AND compute the
+    * signature — as separate expressions each runs the tokenizer regex,
+    * doubling the per-row cost of the corpus signature pass (the 100 TB
+    * hot loop). A filter on a struct field doesn't fix it either:
+    * predicate pushdown substitutes the struct expression into the
+    * filter, so the whole signature evaluates once for the predicate and
+    * again for the projection (measured: simhash 1.3 → 2.5 s). The form
+    * that evaluates ONCE is the Generate gate: the expression yields the
+    * signature array for qualifying docs and an EMPTY array otherwise,
+    * and the explode emits zero rows for short docs — the filter is the
+    * generator itself, with nothing for the optimizer to duplicate.
+    */
+  private val sigOrEmptySql = letScalar(toksSql, "t",
+    s"if(size(t) >= 3, " +
+      letScalar(shFrom("t"), "s0", letScalar(hvsFrom("s0"), "hs", mhsFrom("hs"))) +
+      ", cast(array() as array<bigint>))")
 
   /** Distinct word-level 3-shingles per doc as an array column — a single
     * narrow projection. Word shingles (not tokens) because candidate joins
@@ -115,8 +144,7 @@ object DedupOps {
     */
   def minhashSignatures(documents: DataFrame): DataFrame =
     documents
-      .filter(expr(s"size($toksSql)") >= 3)
-      .select(col("doc_id"), posexplode(expr(mhsSql)).as(Seq("hash_idx", "minhash")))
+      .select(col("doc_id"), posexplode(expr(sigOrEmptySql)).as(Seq("hash_idx", "minhash")))
 
   /** LSH band keys per doc: the 16 minhashes sliced into NumBands keys of
     * RowsPerBand each, comma-joined in hash_idx order. Computed per-row
@@ -124,14 +152,21 @@ object DedupOps {
     * MinHash pipeline is the candidate join below.
     */
   def lshBands(documents: DataFrame): DataFrame = {
-    val bandsSql = let(mhsSql, "m",
+    def bandsFrom(m: String): String =
       s"transform(sequence(0, ${NumBands - 1}), b -> named_struct(" +
         s"'band', cast(b as int), " +
-        s"'band_key', array_join(transform(slice(m, b * $RowsPerBand + 1, $RowsPerBand), " +
-        "x -> cast(x as string)), ',')))")
+        s"'band_key', array_join(transform(slice($m, b * $RowsPerBand + 1, $RowsPerBand), " +
+        "x -> cast(x as string)), ',')))"
+    // Generate-gated fusion — one tokenizer run per row, the short-doc
+    // filter IS the empty-array explode (see sigOrEmptySql)
+    val bandsOrEmptySql = letScalar(toksSql, "t",
+      s"if(size(t) >= 3, " +
+        letScalar(shFrom("t"), "s0",
+          letScalar(hvsFrom("s0"), "hs",
+            letScalar(mhsFrom("hs"), "m", bandsFrom("m")))) +
+        ", cast(array() as array<struct<band: int, band_key: string>>))")
     documents
-      .filter(expr(s"size($toksSql)") >= 3)
-      .select(col("doc_id"), explode(expr(bandsSql)).as("bk"))
+      .select(col("doc_id"), explode(expr(bandsOrEmptySql)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
   }
 
@@ -364,14 +399,19 @@ object DedupOps {
     * (bucketable by bit-slices exactly like LSH bands).
     */
   def simhash(documents: DataFrame): DataFrame = {
-    val simhashSql = letScalar(hvsSql, "hs",
+    val simhashBody =
       "aggregate(transform(sequence(0, 31), b -> " +
         "case when aggregate(hs, 0, (acc, h) -> acc + " +
         "(case when (shiftright(h, b) & 1) = 1 then 1 else -1 end)) > 0 " +
-        "then shiftleft(1L, b) else 0L end), 0L, (acc, x) -> acc + x)")
+        "then shiftleft(1L, b) else 0L end), 0L, (acc, x) -> acc + x)"
+    // Generate-gated fusion — one tokenizer run per row; the single-element
+    // array carries the signature for qualifying docs, nothing otherwise
+    val simhashOrEmptySql = letScalar(toksSql, "t",
+      s"if(size(t) >= 3, array(cast(" +
+        letScalar(shFrom("t"), "s0", letScalar(hvsFrom("s0"), "hs", simhashBody)) +
+        " as bigint)), cast(array() as array<bigint>))")
     documents
-      .filter(expr(s"size($toksSql)") >= 3)
-      .select(col("doc_id"), expr(simhashSql).cast(LongType).as("simhash"))
+      .select(col("doc_id"), explode(expr(simhashOrEmptySql)).as("simhash"))
   }
 
   /** Connected components over a near-dup pair graph — the collapse step

@@ -127,6 +127,7 @@ class SimilarityMultimodalSpec extends SparkSpec {
       finally s.close()
     }
     val (f32, i8) = (bytes(s"$base/f32/lists"), bytes(s"$base/i8/lists"))
+    info(f"int8 lists $i8%d B vs float lists $f32%d B — ratio ${i8.toDouble / f32}%.3f")
     // float32 payload is 4 B/component; tinyint is 1 B. Parquet framing eats
     // some of the 4x, so assert the conservative half — measured ratio is
     // recorded in SCALE.md
