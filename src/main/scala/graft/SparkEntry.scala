@@ -169,6 +169,20 @@ object SparkEntry {
 
     // ---- [EXT] dedup / text / similarity / multimodal ----
     "dedup_exact" -> ((s, d) => DedupOps.exactDedup(t(s, d, "documents"))),
+    // CCNet-style segment dedup: keep the globally-first occurrence of
+    // every distinct 8-token segment, reassemble survivors per doc
+    "segment_dedup" -> ((s, d) => DedupOps.segmentDedup(t(s, d, "documents"))),
+    // token-budgeted stratified mixture: per-source budgets, docs admitted
+    // in portable-hash priority order until each budget fills
+    "corpus_mix" -> ((s, d) => {
+      import s.implicits._
+      val budgets = (0 until 20)
+        .map(k => (s"src$k", ((k % 5) + 1) * 300L)).toDF("source", "token_budget")
+      TextOps.mixCorpus(t(s, d, "documents"), budgets)
+    }),
+    // hashed linear (fastText-shaped) quality classifier: integer-exact
+    // hashed-bag-of-words margin + keep verdict
+    "quality_classifier" -> ((s, d) => TextOps.qualityClassifier(t(s, d, "documents"))),
     // the whole training-corpus pipeline (exact dedup → near-dup collapse
     // → quality floor → chunking) verified as one composed query
     "corpus_pipeline" -> ((s, d) => Pipelines.runCorpusPipeline(t(s, d, "documents"))),
@@ -901,6 +915,61 @@ object SparkEntry {
 
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+
+    // segment dedup: same 8-token windows, keep-first by (doc_id, seg_idx)
+    // over the segment hash, survivors reassembled in seg_idx order
+    "segment_dedup" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |st AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 8)) AS s FROM t),
+        |segs AS (SELECT doc_id, CAST(s // 8 AS INTEGER) AS seg_idx,
+        |         array_to_string(toks[s+1:least(s + 8, len(toks))], ' ') AS segment
+        |         FROM st WHERE s < len(toks)),
+        |r AS (SELECT doc_id, seg_idx, segment,
+        |      row_number() OVER (PARTITION BY md5(segment) ORDER BY doc_id, seg_idx) AS rn FROM segs),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_segments,
+        |        CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |        coalesce(string_agg(CASE WHEN rn = 1 THEN segment END, ' ' ORDER BY seg_idx), '') AS clean_text
+        |        FROM r GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_segments, 0) AS n_segments,
+        |       coalesce(n_kept, 0) AS n_kept, coalesce(clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // stratified mixture: same per-source budgets, same portable-hash
+    // priority, ROWS running total
+    "corpus_mix" ->
+      """WITH budgets(source, token_budget) AS (VALUES
+        |  ('src0', 300), ('src1', 600), ('src2', 900), ('src3', 1200), ('src4', 1500),
+        |  ('src5', 300), ('src6', 600), ('src7', 900), ('src8', 1200), ('src9', 1500),
+        |  ('src10', 300), ('src11', 600), ('src12', 900), ('src13', 1200), ('src14', 1500),
+        |  ('src15', 300), ('src16', 600), ('src17', 900), ('src18', 1200), ('src19', 1500)),
+        |base AS (SELECT doc_id, source,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS priority
+        |  FROM documents),
+        |cum AS (SELECT doc_id, source, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY priority, doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+        |  token_budget
+        |  FROM base JOIN budgets USING (source))
+        |SELECT doc_id, source, n_tokens, cum_tokens FROM cum
+        |WHERE cum_tokens <= token_budget""".stripMargin,
+
+    // hashed linear classifier: identical double-md5 bucket->weight chain,
+    // integer sum re-aggregated after unnest (order-free: integers)
+    "quality_classifier" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+        |wt AS (SELECT doc_id,
+        |  (CAST(concat('0x', substr(md5(CAST(
+        |     CAST(concat('0x', substr(md5(tk), 1, 8)) AS BIGINT) % 1024
+        |   AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000 AS w
+        |  FROM tok),
+        |s AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS s FROM wt GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS INTEGER) AS n_tokens,
+        |  round(CAST(coalesce(s.s, 0) AS DOUBLE)
+        |        / NULLIF(1000.0 * len(t.toks), 0.0), 6) AS clf_score,
+        |  coalesce(s.s, 0) > 0 AS clf_keep
+        |FROM t LEFT JOIN s USING (doc_id)""".stripMargin,
 
     // the full pipeline replayed: dedup base `ex` swapped into the shared
     // MinHash CTE chain (the only `FROM documents` in it is the shingle

@@ -642,4 +642,63 @@ object DedupOps {
           .as("contamination"))
       .withColumn("flagged", col("contamination") >= flagAt)
   }
+
+  /** Segment-level dedup (the CCNet/RefinedWeb paragraph-dedup step,
+    * reference corpus hygiene analog): split every document into segments,
+    * keep only the globally FIRST occurrence of each distinct segment, and
+    * reassemble the surviving segments per document in original order. At
+    * web scale most removed bytes are boilerplate (headers, cookie
+    * banners, navigation) that exact whole-doc dedup never touches —
+    * this is the operator that catches them.
+    *
+    * `segmentsSql` must evaluate to `array<string>` over a `documents`
+    * row; production text splits on newlines
+    * (`segmentDedupByLines`), while corpora without line structure (or
+    * tests on the synthetic fixture) use fixed token windows
+    * (`segmentDedup`).
+    *
+    * Scale shape: one Generate (no shuffle), then ONE hash shuffle on the
+    * segment md5 for the keep-first window — the same key distribution as
+    * exact dedup, skew-free for non-degenerate corpora since hyper-
+    * frequent segments still hash to distinct (hash, doc, idx) rows within
+    * a partition — then one groupBy(doc_id) to reassemble. Keep-first is
+    * decided by (doc_id, seg_idx) order, so the output is deterministic
+    * under any partitioning (the same property exactDedup gets from
+    * min(doc_id)).
+    */
+  def segmentDedupBy(documents: DataFrame, segmentsSql: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segs = documents.select(
+      col("doc_id"), posexplode(expr(segmentsSql)).as(Seq("seg_idx", "segment")))
+    val w = Window.partitionBy(md5(col("segment"))).orderBy(col("doc_id"), col("seg_idx"))
+    val kept = segs
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(sort_array(collect_list(if(rn = 1, struct(seg_idx, segment), null))), x -> x.segment)"))
+          .as("clean_text"))
+    // docs that segment to nothing (empty text) still belong in the output
+    documents.select(col("doc_id")).join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Token-window instantiation of segment dedup for corpora without line
+    * structure: non-overlapping `segTokens`-token windows (the same window
+    * construction as TextOps.chunks with stride = size).
+    */
+  def segmentDedup(documents: DataFrame, segTokens: Int = 8): DataFrame =
+    segmentDedupBy(documents, letScalar(toksSql, "t",
+      s"if(size(t) < 1, cast(array() as array<string>), " +
+        s"transform(sequence(0, size(t) - 1, $segTokens), " +
+        s"st -> concat_ws(' ', slice(t, st + 1, $segTokens))))"))
+
+  /** Production segmenter: newline-delimited paragraphs/lines. */
+  def segmentDedupByLines(documents: DataFrame): DataFrame =
+    segmentDedupBy(documents, "split(text, '\\n')")
 }

@@ -335,4 +335,68 @@ object TextOps {
       .select(col("source"),
         (abs(col("approx_docs") - col("exact_docs")).cast(DoubleType)
           / col("exact_docs") <= lit(relErr)).as("within_tol"))
+
+  /** Token-budgeted stratified corpus mixing — the training-data step that
+    * assembles a mixture ("X tokens of web, Y of code, Z of papers") from
+    * per-source token budgets. Docs within a source are admitted in
+    * portable-hash priority order until the source's budget is exhausted,
+    * so the mixture is (a) reproducible across engines/retries/repartition
+    * (the same property as deterministicSample — no rand()), and (b) an
+    * unbiased within-source sample (the hash order is uncorrelated with
+    * any document attribute).
+    *
+    * `budgets`: (source, token_budget) — small (one row per source),
+    * broadcast. Scale shape: one narrow projection for counts+priority,
+    * one window shuffle partitioned BY SOURCE for the running total. A
+    * source is one window partition, so a 100 TB run wants sources ≫
+    * executor-core count or a sub-sharded refinement (pack-style shard
+    * splits, see packChunks) — for the mixture use case sources number in
+    * the dozens and each partition's rows stream through one sort, which
+    * holds to ~10⁹ docs/source.
+    */
+  def mixCorpus(documents: DataFrame, budgets: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = documents.select(
+      col("doc_id"), col("source"),
+      expr(s"size(${toksExprFor(documents)})").cast(LongType).as("n_tokens"),
+      expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)")
+        .as("priority"))
+    val w = Window.partitionBy(col("source")).orderBy(col("priority"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .join(broadcast(budgets), Seq("source"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= col("token_budget"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** Hashed linear quality classifier — the fastText-shaped model-based
+    * filter of a training-data pipeline (hash each token into `dim`
+    * feature buckets, score = mean bucket weight), with the weight vector
+    * itself derived from a portable hash so the whole model is
+    * deterministic and engine-replayable (a real deployment broadcasts
+    * learned weights; the plumbing — hashing trick, integer-exact
+    * accumulation, margin + verdict — is identical). Weights are INTEGERS
+    * in [-1000, 1000] and the per-doc accumulation stays integer, so the
+    * score is bit-exact under any evaluation order; the single division
+    * happens once at the end (same discipline as the money aggregates).
+    * One narrow codegen'd projection: no shuffle, no UDF, pushes to the
+    * scan.
+    */
+  def qualityClassifier(documents: DataFrame, dim: Int = 1024): DataFrame = {
+    def hash32(e: String) = s"cast(conv(substr(md5($e), 1, 8), 16, 10) as bigint)"
+    val weightOf = // token -> bucket -> signed integer weight
+      s"(${hash32(s"cast(pmod(${hash32("tk")}, $dim) as string)")} % 2001) - 1000"
+    val sql =
+      s"""element_at(transform(array(${toksExprFor(documents)}), t -> named_struct(
+         |  'n', size(t),
+         |  's', aggregate(t, 0L, (acc, tk) -> acc + ($weightOf)))), 1)""".stripMargin
+    documents
+      .select(col("doc_id"), expr(sql).as("m"))
+      .select(col("doc_id"),
+        col("m.n").as("n_tokens"),
+        round(col("m.s").cast(DoubleType)
+          / nullif(lit(1000.0) * col("m.n"), lit(0.0)), 6).as("clf_score"),
+        (col("m.s") > 0).as("clf_keep"))
+  }
 }

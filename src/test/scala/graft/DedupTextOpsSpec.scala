@@ -323,4 +323,76 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(r(1L).getDouble(4) > 0.3, "dup_line_ratio sees the repeated line")
     assert(r(2L).getDouble(2) == 0.0 && r(2L).getDouble(3) == 0.0 && r(2L).getDouble(4) == 0.0)
   }
+
+  test("segmentDedup keeps the first occurrence of each segment and reassembles in order") {
+    // 13-token texts → segments = tokens 1-8 and 9-13
+    val r = DedupOps.segmentDedup(docs)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet == Set(1L, 2L, 3L, 4L), "every input doc appears in the output")
+    // doc 1: first occurrence of both its segments
+    assert(r(1L).getLong(1) == 2 && r(1L).getLong(2) == 2)
+    assert(r(1L).getString(3) ==
+      "the quick brown fox jumps over the lazy dog near the old barn")
+    // doc 2 (exact dup of 1): both segments already seen → empty survivor
+    assert(r(2L).getLong(1) == 2 && r(2L).getLong(2) == 0 && r(2L).getString(3) == "")
+    // doc 3 (near-dup): shared first window dropped, differing tail kept
+    assert(r(3L).getLong(2) == 1 && r(3L).getString(3) == "dog near the red barn")
+    // doc 4: nothing shared, fully kept
+    assert(r(4L).getLong(1) == r(4L).getLong(2))
+  }
+
+  test("segmentDedup: empty docs survive with zero segments; repeat within one doc dedups") {
+    val df = Seq(
+      (1L, "aa bb cc dd ee ff gg hh aa bb cc dd ee ff gg hh"), // same 8-window twice
+      (2L, "")).toDF("doc_id", "text")
+    val r = DedupOps.segmentDedup(df).collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) == 2 && r(1L).getLong(2) == 1)
+    assert(r(1L).getString(3) == "aa bb cc dd ee ff gg hh")
+    assert(r(2L).getLong(1) == 0 && r(2L).getLong(2) == 0 && r(2L).getString(3) == "")
+  }
+
+  test("segmentDedupByLines drops the repeated boilerplate line, keeps unique content") {
+    val df = Seq(
+      (1L, "COOKIE BANNER\nunique article one"),
+      (2L, "COOKIE BANNER\nunique article two")).toDF("doc_id", "text")
+    val r = DedupOps.segmentDedupByLines(df).collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getString(3) == "COOKIE BANNER unique article one")
+    assert(r(2L).getString(3) == "unique article two")
+  }
+
+  test("mixCorpus admits docs in hash-priority order until each source budget fills") {
+    val corpus = Seq.tabulate(40) { i =>
+      (i.toLong, Seq.fill(10)("tok").mkString(" "), "en", s"s${i % 2}", 10L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    def mix(b0: Long, b1: Long) = TextOps.mixCorpus(corpus,
+      Seq(("s0", b0), ("s1", b1)).toDF("source", "token_budget"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // generous budgets: everything admitted, cum totals per source = 20 docs x 10 tokens
+    val all = mix(10000L, 10000L)
+    assert(all.length == 40)
+    assert(all.filter(_._2 == "s0").map(_._4).max == 200L)
+    // zero budget on one source: only the other side survives
+    val half = mix(0L, 10000L)
+    assert(half.forall(_._2 == "s1") && half.length == 20)
+    // tight budget: exactly budget/doc_tokens docs per source, cum within budget
+    val tight = mix(55L, 30L)
+    assert(tight.count(_._2 == "s0") == 5 && tight.count(_._2 == "s1") == 3)
+    assert(tight.forall(r => r._4 <= (if (r._2 == "s0") 55L else 30L)))
+    // deterministic: the same mixture twice
+    assert(mix(55L, 30L).toSet == tight.toSet)
+  }
+
+  test("qualityClassifier: integer-exact margin, verdict consistent, empty doc scores null") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // identical → identical score
+      (3L, "")).toDF("doc_id", "text")
+    val r = TextOps.qualityClassifier(df).collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getInt(1) == 9)
+    val s1 = r(1L).getDouble(2)
+    assert(s1 >= -1.0 && s1 <= 1.0, "mean of [-1000,1000] weights over 1000 stays in [-1,1]")
+    assert(r(1L).getDouble(2) == r(2L).getDouble(2))
+    assert(r(1L).getBoolean(3) == (s1 > 0))
+    assert(r(3L).isNullAt(2) && !r(3L).getBoolean(3))
+  }
 }
