@@ -283,6 +283,22 @@ object SparkEntry {
       SimilarityOps.ivfAssignWith(emb, SimilarityOps.ivfTrainCentroids(emb, 16, iters = 2))
         .select(col("vec_id"), col("centroid_id").as("cluster_id"))
     }),
+    // SemDeDup: cluster-then-dedup in embedding space — pairwise scoring
+    // confined to clusters (equi-join on centroid), min-id survivor per
+    // ε-ball; 0.35 is this synthetic corpus's near-dup band (max pairwise
+    // cosine ≈ 0.51)
+    "semantic_dedup" -> ((s, d) =>
+      SimilarityOps.semanticDedup(t(s, d, "embeddings"), 16, 0.35)),
+    // quality-aware retention: keep the best-quality member per dup
+    // cluster, not the arbitrary min-id
+    "dedup_keep_best" -> ((s, d) => DedupOps.dedupKeepBest(t(s, d, "documents"))),
+    // inverted-index sparse cosine: df-guarded postings join, integer-
+    // exact quantized-idf accumulation, top-k per doc
+    "tfidf_topk_sim" -> ((s, d) => TextOps.tfidfTopKSim(t(s, d, "documents"))),
+    // per-source P25 quality bar + survivor counts at that bar
+    "quality_calibrate" -> ((s, d) => TextOps.qualityCalibrate(t(s, d, "documents"))),
+    // DSIR hashed-bigram importance weights: target = src0, 4096 buckets
+    "dsir_weights" -> ((s, d) => TextOps.dsirWeights(t(s, d, "documents"))),
 
     // TimescaleDB gapfill+locf analog: daily totals per status densified
     // to calendar grain with forward-fill
@@ -692,7 +708,7 @@ object SparkEntry {
     * (large-star/small-star contraction): two algorithms, one function,
     * one oracle.
     */
-  private val dupComponentsOracle =
+  private val dupComponentsCtes =
     "WITH RECURSIVE " + minhashPairsCtes.stripPrefix("WITH ") +
       """,
         |dedges AS (SELECT doc_a AS src, doc_b AS dst FROM mpairs
@@ -700,9 +716,12 @@ object SparkEntry {
         |reach(src, dst) AS (
         |  SELECT src, dst FROM dedges
         |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN dedges e ON r.dst = e.src)
-        |SELECT src AS doc_id, least(src, min(dst)) AS component
-        |FROM reach GROUP BY src""".stripMargin
+        |  SELECT r.src, e.dst FROM reach r JOIN dedges e ON r.dst = e.src),
+        |comps AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+        |          FROM reach GROUP BY src)""".stripMargin
+
+  private val dupComponentsOracle =
+    dupComponentsCtes + "\nSELECT doc_id, component FROM comps"
 
   /** Per-doc SimHash as a reusable CTE (DuckDB spelling of DedupOps.simhash). */
   private val simhashCtes = shingleCtes +
@@ -966,8 +985,9 @@ object SparkEntry {
         |  FROM tok),
         |s AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS s FROM wt GROUP BY doc_id)
         |SELECT t.doc_id, CAST(len(t.toks) AS INTEGER) AS n_tokens,
-        |  round(CAST(coalesce(s.s, 0) AS DOUBLE)
-        |        / NULLIF(1000.0 * len(t.toks), 0.0), 6) AS clf_score,
+        |  CAST(round(CAST(coalesce(s.s, 0) AS DOUBLE) * 1000.0
+        |             / NULLIF(CAST(len(t.toks) AS DOUBLE), 0.0)) AS BIGINT)
+        |    / 1000000.0 AS clf_score,
         |  coalesce(s.s, 0) > 0 AS clf_keep
         |FROM t LEFT JOIN s USING (doc_id)""".stripMargin,
 
@@ -1184,6 +1204,92 @@ object SparkEntry {
 
     "doc_fingerprint" ->
       "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents",
+
+    // SemDeDup replay: seeded assignment (same round-6 ranking as the IVF
+    // oracles), then the local min-id ε-ball rule within each cluster
+    "semantic_dedup" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM v WHERE vec_id < 16),
+        |asg AS (SELECT vec_id, emb, centroid_id FROM (
+        |  SELECT v.vec_id, v.emb, c.centroid_id,
+        |         row_number() OVER (PARTITION BY v.vec_id
+        |           ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 6) DESC, c.centroid_id) AS rn
+        |  FROM v CROSS JOIN c) t WHERE rn = 1),
+        |dup AS (SELECT DISTINCT a.vec_id FROM asg a JOIN asg b
+        |        ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+        |        WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.35)
+        |SELECT vec_id, centroid_id AS cluster_id FROM asg
+        |WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.vec_id = asg.vec_id)""".stripMargin,
+
+    // keep-best retention: min-label components + the quality_score
+    // expression, best-quality member per component (doc_id tiebreak)
+    "dedup_keep_best" ->
+      (dupComponentsCtes + """,
+        |q AS (SELECT doc_id,
+        |  round(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.5 +
+        |        coalesce(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |                                      t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+        |                 / NULLIF(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE), 0), 0) * 0.5,
+        |      6) AS quality FROM documents),
+        |j AS (SELECT c.component, c.doc_id, q.quality FROM comps c JOIN q ON c.doc_id = q.doc_id),
+        |sz AS (SELECT component, COUNT(*) AS n_members FROM j GROUP BY component),
+        |rk AS (SELECT component, doc_id, quality,
+        |       row_number() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) AS rn FROM j)
+        |SELECT rk.component, rk.doc_id AS keep_doc_id, rk.quality, sz.n_members
+        |FROM rk JOIN sz ON rk.component = sz.component WHERE rn = 1""".stripMargin),
+
+    // inverted-index sparse cosine: identical quantized-idf integer
+    // weights, postings self-join, per-doc_a top-3
+    "tfidf_topk_sim" ->
+      """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+        |dfs AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND 50),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |w AS (SELECT tf.doc_id, tf.token,
+        |             tf.tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 1000) AS BIGINT) AS w
+        |      FROM tf JOIN dfs ON tf.token = dfs.token CROSS JOIN nd),
+        |nr AS (SELECT doc_id, SUM(w * w) AS nrm2 FROM w GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+        |      FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |r AS (SELECT doc_a, doc_b,
+        |             round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE))), 6) AS score
+        |      FROM p JOIN nr na ON p.doc_a = na.doc_id JOIN nr nb ON p.doc_b = nb.doc_id),
+        |rr AS (SELECT doc_a, doc_b, score,
+        |              CAST(row_number() OVER (PARTITION BY doc_a ORDER BY score DESC, doc_b) AS INTEGER) AS rank
+        |       FROM r)
+        |SELECT doc_a, doc_b, score, rank FROM rr WHERE rank <= 3""".stripMargin,
+
+    // per-source P25 bar: exact interpolated quantile over round-6
+    // quality, rounded-vs-rounded keep comparison
+    "quality_calibrate" ->
+      """WITH q AS (SELECT doc_id, source,
+        |  round(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.5 +
+        |        coalesce(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |                                      t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+        |                 / NULLIF(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE), 0), 0) * 0.5,
+        |      6) AS quality FROM documents),
+        |thr AS (SELECT source, round(quantile_cont(quality, 0.25), 6) AS threshold FROM q GROUP BY 1)
+        |SELECT q.source, thr.threshold, COUNT(*) AS n_docs,
+        |CAST(SUM(CASE WHEN q.quality >= thr.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM q JOIN thr ON q.source = thr.source GROUP BY 1, 2""".stripMargin,
+
+    // DSIR replay: same portable md5 buckets, same Laplace log-ratio
+    // quantized to 1e-6 integers, summed exactly per doc
+    "dsir_weights" ->
+      """WITH tk AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |st AS (SELECT doc_id, source, toks, unnest(range(0, len(toks) - 1)) AS i FROM tk),
+        |bib AS (SELECT doc_id, source,
+        |               CAST(concat('0x', substr(md5(concat(toks[i + 1], ' ', toks[i + 2])), 1, 8)) AS BIGINT) % 4096 AS bucket
+        |        FROM st),
+        |cnt AS (SELECT bucket, SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS tc,
+        |               SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS rc
+        |        FROM bib GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(tc) AS BIGINT) AS tt, CAST(SUM(rc) AS BIGINT) AS rt FROM cnt),
+        |wt AS (SELECT bucket,
+        |              CAST(round((ln((tc + 1.0) / (tt + 4096.0)) - ln((rc + 1.0) / (rt + 4096.0))) * 1000000) AS BIGINT) AS wq
+        |       FROM cnt CROSS JOIN tot)
+        |SELECT doc_id, round(CAST(SUM(wq) AS DOUBLE) / 1000000.0, 6) AS dsir_logratio
+        |FROM bib JOIN wt USING (bucket) GROUP BY doc_id""".stripMargin,
 
     "corpus_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,

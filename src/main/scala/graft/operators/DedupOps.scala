@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -701,4 +702,32 @@ object DedupOps {
   /** Production segmenter: newline-delimited paragraphs/lines. */
   def segmentDedupByLines(documents: DataFrame): DataFrame =
     segmentDedupBy(documents, "split(text, '\\n')")
+
+  /** Quality-aware cluster retention: after near-dup collapse, keep the
+    * HIGHEST-QUALITY member of each duplicate cluster instead of the
+    * arbitrary min-id — the retention policy a training-data pipeline
+    * actually wants (near-dup clusters mix a clean original with mangled
+    * copies; min-id keeps whichever crawled first, this keeps the best).
+    * Components come from the MinHash-LSH graph (`minhashCandidatePairs`
+    * → `dupComponents`), quality from `TextOps.qualityScore`; one row per
+    * cluster: the kept doc, its quality, the cluster size. Deterministic
+    * ranking (quality desc, doc_id asc tiebreak on round-6 values).
+    * Scale shape: labeling is the diameter-bounded iterative collapse;
+    * retention itself is one window PARTITIONED BY component (no global
+    * sort) plus a component-count hash aggregate — both shuffles keyed on
+    * component, which AQE coalesces after the collapse has shrunk the
+    * graph to labeled-dup rows only.
+    */
+  def dedupKeepBest(documents: DataFrame): DataFrame = {
+    val comps = dupComponents(minhashCandidatePairs(documents))
+    val joined = comps.join(TextOps.qualityScore(documents), Seq("doc_id"))
+    val sizes = joined.groupBy(col("component")).agg(count(lit(1)).as("n_members"))
+    val w = Window.partitionBy("component").orderBy(col("quality").desc, col("doc_id"))
+    joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(sizes, Seq("component"))
+      .select(col("component"), col("doc_id").as("keep_doc_id"),
+        col("quality"), col("n_members"))
+  }
 }

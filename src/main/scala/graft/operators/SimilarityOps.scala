@@ -432,4 +432,37 @@ object SimilarityOps {
         row_number().over(w).as("rank"))
       .filter(col("rank") <= k)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then within each
+    * cluster drop every vector that has a semantically-near neighbor
+    * (cosine ≥ threshold) with a smaller vec_id — one survivor per ε-ball,
+    * min-id kept. The clustering IS the 100 TB shape: pairwise scoring
+    * happens only inside a cluster, so candidate generation is an
+    * equi-join on centroid_id (expected n²/k work, shuffle partitioned by
+    * cluster) instead of an all-pairs cross join — exactly the paper's
+    * reason for clustering first. The keep rule is SemDeDup's LOCAL
+    * per-cluster policy (a vector survives iff no smaller-id in-cluster
+    * neighbor within ε), not a transitive closure — embarrassingly
+    * parallel, and replayable in SQL for the oracle. Scores round at 6
+    * before the threshold so an engine ulp cannot flip membership.
+    * Swap `ivfTrainCentroids` in for `seedCentroids` via `ivfAssignWith`
+    * when trained geometry matters; the dedup plumbing is identical.
+    */
+  def semanticDedup(embeddings: DataFrame, nClusters: Int,
+                    threshold: Double): DataFrame = {
+    val assigned = ivfAssign(embeddings, nClusters)
+    val right = assigned.select(col("centroid_id"),
+      col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    val dropped = assigned.select(col("centroid_id"), col("vec_id"), col("embedding"))
+      .join(right, Seq("centroid_id"))
+      .filter(col("vec_b") < col("vec_id"))
+      .filter(round(graft.functions.GraftFunctions.cosineSim(
+        col("embedding"), col("emb_b")), 6) >= threshold)
+      .select(col("vec_id"))
+      .distinct()
+    assigned
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("centroid_id").as("cluster_id"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -395,8 +396,135 @@ object TextOps {
       .select(col("doc_id"), expr(sql).as("m"))
       .select(col("doc_id"),
         col("m.n").as("n_tokens"),
-        round(col("m.s").cast(DoubleType)
-          / nullif(lit(1000.0) * col("m.n"), lit(0.0)), 6).as("clf_score"),
+        // quantize-at-integer, then divide: round(x, 6) diverges between
+        // engines when s/(1000n) sits on a 1e-6 half boundary (sf0.1 hit
+        // one: 1033/16000 — Spark's BigDecimal HALF_UP on the exact double
+        // vs DuckDB's ×1e6-then-round drift apart), while round(x) at
+        // scale 0 rounds the SAME exact double value in both engines
+        (expr("cast(round(cast(m.s as double) * 1000.0d / " +
+            "nullif(cast(m.n as double), 0.0d)) as bigint)").cast(DoubleType)
+          / lit(1e6)).as("clf_score"),
         (col("m.s") > 0).as("clf_keep"))
+  }
+
+  /** Document-similarity top-k via an INVERTED INDEX: sparse cosine over
+    * df-guarded, quantized-idf term vectors. The all-pairs document
+    * similarity a naive implementation writes as a cross join is here an
+    * equi-join of postings lists on the term — work proportional to
+    * Σ_term df(term)², bounded by the df guard (2 ≤ df ≤ maxDf) exactly
+    * like the guarded jaccard tier: a term in half the corpus would
+    * otherwise emit O(n²) candidate pairs on its own, and (as with
+    * stopwords) carries no similarity signal worth that cost. df=1 terms
+    * can't produce a pair and are dropped too.
+    *
+    * Integer-exact accumulation: idf is quantized to 1e-3 as a BIGINT
+    * (w = tf · round(1000·ln(N/df))), so every dot product and norm is an
+    * exact integer sum — group-sum order cannot leak double ulps into the
+    * hash gate (the same discipline as `qualityClassifier`). The one
+    * division and sqrt happen per emitted pair, on exact integers.
+    * Norms are over the SAME guarded vocabulary, so the cosine is
+    * self-consistent. Scale shape: three hash aggregates (doc×term, term
+    * df, per-doc norm) + one postings self-join shuffled by term + a
+    * window partitioned by doc_a — no global sort, no cross join.
+    */
+  def tfidfTopKSim(documents: DataFrame, k: Int = 3, maxDf: Int = 50): DataFrame = {
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val tf = documents
+      .select(col("doc_id"), explode(expr(toksExprFor(documents))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+    val weights = tf.join(dfs, "token")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("token"),
+        (col("tf") *
+          expr("cast(round(ln(cast(n_docs as double) / df) * 1000) as bigint)")).as("w"))
+    val norms = weights.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("nrm2"))
+    val pairs = weights.select(col("token"), col("doc_id").as("doc_a"), col("w").as("wa"))
+      .join(weights.select(col("token"), col("doc_id").as("doc_b"), col("w").as("wb")),
+        Seq("token"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    val w = Window.partitionBy("doc_a").orderBy(col("score").desc, col("doc_b"))
+    pairs
+      .join(norms.select(col("doc_id").as("doc_a"), col("nrm2").as("na2")), Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("nrm2").as("nb2")), Seq("doc_b"))
+      .withColumn("score",
+        round(col("dot").cast(DoubleType) / (sqrt(col("na2")) * sqrt(col("nb2"))), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_a"), col("doc_b"), col("score"), col("rank"))
+  }
+
+  /** Per-source quality-threshold calibration: each source's P-quantile of
+    * the quality score becomes that source's OWN admission bar, and the
+    * output reports the bar plus how much of the source clears it. This is
+    * the adaptive-threshold pattern a multi-crawl pipeline needs — a single
+    * global constant either guts a clean source or admits a dirty one;
+    * per-source quantiles keep the filter's selectivity comparable across
+    * heterogeneous crawls. Exact interpolated percentile over round-6
+    * quality values, threshold re-rounded at 6, and the keep comparison
+    * runs rounded-vs-rounded — an engine ulp cannot move the bar or flip a
+    * doc across it. Scale shape: one narrow per-doc projection, a
+    * per-source sort for the exact quantile (sources ≪ docs; swap in
+    * approx_percentile when a sketch suffices), a broadcast-size threshold
+    * table joined back, one hash aggregate.
+    */
+  def qualityCalibrate(documents: DataFrame, q: Double = 0.25): DataFrame = {
+    val scored = qualityScore(documents)
+      .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val thr = scored.groupBy(col("source"))
+      .agg(round(expr(s"percentile(quality, ${q}d)"), 6).as("threshold"))
+    scored.join(broadcast(thr), Seq("source"))
+      .groupBy(col("source"), col("threshold"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("quality") >= col("threshold"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("source"), col("threshold"), col("n_docs"), col("n_kept"))
+  }
+
+  /** DSIR-style importance weights (hashed-n-gram importance resampling,
+    * Xie et al. 2023, arXiv:2302.03169): score every document by how
+    * target-like its hashed-bigram distribution is. Target = documents
+    * from `targetSource` (the "wiki" of the corpus); raw = everything
+    * else. Each bigram maps to one of `nBuckets` portable md5 buckets;
+    * per-bucket Laplace-smoothed log-likelihood ratio
+    * ln((tc+1)/(T+B)) − ln((rc+1)/(R+B)) is quantized to 1e-6 as a BIGINT
+    * weight, so the per-doc sum over bigram occurrences is integer-exact
+    * (accumulation order cannot leak ulps); the quantized sum converts to
+    * a double once at the end. Docs with < 2 tokens emit no bigrams and
+    * drop out, identically in both engines.
+    *
+    * Scale shape: the model is two hash aggregates over the corpus (bucket
+    * counts, then totals) producing an nBuckets-row table — broadcast; the
+    * scoring pass explodes docs to bigram occurrences, map-side joins the
+    * weight table, and runs one per-doc hash aggregate. Nothing shuffles
+    * at corpus width except the doc_id aggregate, which partial-aggregates
+    * map-side. At 100 TB you'd train the bucket model on a sample and
+    * reuse it across batches — the scoring pass is the shape that matters.
+    */
+  def dsirWeights(documents: DataFrame, targetSource: String = "src0",
+                  nBuckets: Int = 4096): DataFrame = {
+    val bigramsSql =
+      s"""flatten(transform(array(${toksExprFor(documents)}), t ->
+         |  if(size(t) < 2, cast(array() as array<string>),
+         |     transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1])))))"""
+        .stripMargin
+    val bi = documents
+      .select(col("doc_id"), col("source"), explode(expr(bigramsSql)).as("bigram"))
+      .withColumn("bucket",
+        expr(s"cast(conv(substr(md5(bigram), 1, 8), 16, 10) as bigint) % $nBuckets"))
+    val counts = bi.groupBy(col("bucket"))
+      .agg(sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("tc"),
+        sum(when(col("source") =!= targetSource, 1L).otherwise(0L)).as("rc"))
+    val totals = counts.agg(sum(col("tc")).as("tt"), sum(col("rc")).as("rt"))
+    val wts = counts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        expr(s"cast(round((ln((tc + 1.0d) / (tt + ${nBuckets}.0d)) - " +
+          s"ln((rc + 1.0d) / (rt + ${nBuckets}.0d))) * 1000000) as bigint)").as("wq"))
+    bi.join(broadcast(wts), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("wq")).cast(DoubleType) / 1e6, 6).as("dsir_logratio"))
   }
 }

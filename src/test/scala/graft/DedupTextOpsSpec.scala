@@ -395,4 +395,96 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(r(1L).getBoolean(3) == (s1 > 0))
     assert(r(3L).isNullAt(2) && !r(3L).getBoolean(3))
   }
+
+  test("dedupKeepBest: one survivor per component, max-quality member wins, min-id breaks ties") {
+    // doc 2 repeats doc 1's text, so its shingle set is (almost) doc 1's and
+    // the pair collides in LSH — but its length-term quality is HIGHER, so
+    // keep-best must pick 2 where plain min-id dedup would keep 1.
+    val base = "the quick brown fox jumps over the lazy dog near the old barn"
+    val docs2 = Seq(
+      (1L, base, "en", "s1", 60L),
+      (2L, base + " " + base, "en", "s2", 121L),
+      (3L, base, "en", "s3", 60L), // exact dup of 1: same quality, loses id tiebreak to 1
+      (4L, "completely different words appear here without any overlap whatsoever today again", "de", "s2", 80L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = DedupOps.dedupKeepBest(docs2).collect()
+    // cross-check against the components + quality the operator composes
+    val comps = DedupOps.dupComponents(DedupOps.minhashCandidatePairs(docs2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val quality = TextOps.qualityScore(docs2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(comps.nonEmpty, "fixture must produce at least one dup component")
+    val byComp = comps.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(got.length == byComp.size, "exactly one survivor per component")
+    for (r <- got) {
+      val members = byComp(r.getLong(0))
+      val best = members.map(quality).max
+      val expectId = members.filter(m => quality(m) == best).min
+      assert(r.getLong(1) == expectId && r.getDouble(2) == best
+        && r.getLong(3) == members.size)
+    }
+    // and the interesting case actually happened: 2 beat 1 on quality
+    val c1 = comps.find(_._1 == 1L).map(_._2)
+    assert(c1.isDefined && got.exists(r => r.getLong(0) == c1.get && r.getLong(1) == 2L),
+      "doc 2 (higher quality) must be the survivor of doc 1's component")
+  }
+
+  test("tfidfTopKSim: identical docs score exactly 1.0 at rank 1; ranks contiguous; no cartesian") {
+    val docsSim = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "s1", 30L),
+      (2L, "alpha beta gamma delta epsilon zeta", "en", "s1", 30L),
+      (3L, "alpha beta unrelated words entirely here", "en", "s1", 30L),
+      (4L, "nothing shared with anybody else whatsoever", "en", "s1", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.tfidfTopKSim(docsSim, k = 3).collect()
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)), "doc_a < doc_b canonical order")
+    // identical guarded vectors → integer dot == both norms → exactly 1.0
+    val top = out.filter(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(top.length == 1 && top.head.getDouble(2) == 1.0 && top.head.getInt(3) == 1)
+    // doc 4 shares no df≥2 token with anyone → appears in no pair
+    assert(!out.exists(r => r.getLong(0) == 4L || r.getLong(1) == 4L))
+    // ranks per doc_a are 1..n with no gaps
+    for ((_, rs) <- out.groupBy(_.getLong(0)))
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length))
+    val plan = TextOps.tfidfTopKSim(docsSim).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"postings join went all-pairs:\n$plan")
+  }
+
+  test("qualityCalibrate: per-source P25 bar, survivors counted at the bar") {
+    // one source, four docs of strictly increasing length → strictly
+    // increasing quality; P25 of 4 distinct values interpolates between the
+    // two smallest, so exactly 3 clear the bar
+    val docsCal = Seq(
+      (1L, "short text", "en", "s0", 10L),
+      (2L, "a somewhat longer text with more of the words in it", "en", "s0", 50L),
+      (3L, "a much longer text again with many more of the words in it and then even more of them to grow the length term further still", "en", "s0", 120L),
+      (4L, "the longest document of the four by a clear margin " * 4, "en", "s0", 200L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.qualityCalibrate(docsCal).collect()
+    assert(got.length == 1)
+    val r = got.head
+    val qs = TextOps.qualityScore(docsCal).collect().map(_.getDouble(1)).sorted
+    assert(qs.distinct.length == 4, "fixture must produce distinct qualities")
+    // P25 with n=4: rank = 0.25·(n−1) = 0.75 → between qs(0) and qs(1)
+    assert(r.getDouble(1) > qs(0) && r.getDouble(1) < qs(1))
+    assert(r.getLong(2) == 4L && r.getLong(3) == 3L)
+  }
+
+  test("dsirWeights: target-like docs score above raw-like docs; sub-bigram docs drop; deterministic") {
+    val docsD = Seq(
+      (1L, "alpha beta alpha beta alpha beta", "en", "tgt", 30L),
+      (2L, "gamma delta gamma delta gamma delta", "en", "raw", 35L),
+      (3L, "alpha beta alpha beta", "en", "raw", 20L),
+      (4L, "x", "en", "raw", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val run1 = TextOps.dsirWeights(docsD, targetSource = "tgt")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!run1.contains(4L), "single-token doc has no bigrams")
+    assert(run1(3L) > run1(2L),
+      s"target-like content must outscore raw-only content: $run1")
+    assert(run1(1L) > 0 && run1(2L) < 0)
+    val run2 = TextOps.dsirWeights(docsD, targetSource = "tgt")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(run1 == run2, "integer-exact accumulation must be run-stable")
+  }
 }

@@ -51,6 +51,20 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(got.last.getLong(1) == 4L && got.last.getDouble(2) == -1.0)
   }
 
+  test("semanticDedup: ε-ball survivors per cluster, min-id kept, cross-cluster pairs never compared") {
+    // 2 seeded centroids (vec 0, vec 1): cluster0 = {0, 2, 3}, cluster1 = {1, 4}
+    // (vec 4 is anti-parallel to c0, sim −1 < 0 to c1, so it lands in c1).
+    // In cluster0, 2 (exact dup) and 3 (cos ≈ .994) both have the smaller-id
+    // neighbor 0 within ε=0.9 → dropped; in cluster1, sim(1,4)=0 → both kept.
+    val got = SimilarityOps.semanticDedup(emb, nClusters = 2, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 4L -> 1L))
+    // the candidate join is an equi-join on centroid_id, never a cartesian
+    val plan = SimilarityOps.semanticDedup(emb, 2, 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"all-pairs plan leaked:\n$plan")
+  }
+
   test("lshBucketedTopK: duplicate found within its bucket; never pairs a query with itself") {
     val got = SimilarityOps.lshBucketedTopK(emb, nQueries = 1, k = 4, nBits = 1)
     val rows = got.collect()
