@@ -299,6 +299,11 @@ object SparkEntry {
     "quality_calibrate" -> ((s, d) => TextOps.qualityCalibrate(t(s, d, "documents"))),
     // DSIR hashed-bigram importance weights: target = src0, 4096 buckets
     "dsir_weights" -> ((s, d) => TextOps.dsirWeights(t(s, d, "documents"))),
+    // CCNet-style LM filter: bigram model trained on src0, distributed
+    // model-table joins (not broadcast buckets), ppl per doc
+    "lm_perplexity" -> ((s, d) => TextOps.lmPerplexity(t(s, d, "documents"))),
+    // cross-source segment-fingerprint contamination matrix
+    "source_overlap" -> ((s, d) => DedupOps.sourceOverlap(t(s, d, "documents"))),
 
     // TimescaleDB gapfill+locf analog: daily totals per status densified
     // to calendar grain with forward-fill
@@ -1272,6 +1277,40 @@ object SparkEntry {
         |SELECT q.source, thr.threshold, COUNT(*) AS n_docs,
         |CAST(SUM(CASE WHEN q.quality >= thr.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM q JOIN thr ON q.source = thr.source GROUP BY 1, 2""".stripMargin,
+
+    // bigram-LM replay: identical add-one model over the src0 slice,
+    // per-bigram 1e-6-quantized log-probs, scale-0 rounded mean
+    "lm_perplexity" ->
+      """WITH tk AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |st AS (SELECT doc_id, source, toks, unnest(range(0, len(toks) - 1)) AS i FROM tk),
+        |bib AS (SELECT doc_id, source, toks[i + 1] AS w1, toks[i + 2] AS w2 FROM st),
+        |cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bib WHERE source = 'src0' GROUP BY 1, 2),
+        |cu AS (SELECT w1, COUNT(*) AS c1 FROM bib WHERE source = 'src0' GROUP BY 1),
+        |vv AS (SELECT COUNT(DISTINCT w) AS v FROM (
+        |         SELECT w1 AS w FROM bib WHERE source = 'src0'
+        |         UNION ALL SELECT w2 FROM bib WHERE source = 'src0')),
+        |lp AS (SELECT b.doc_id,
+        |       CAST(round(ln((coalesce(cb.cb, 0) + 1.0) / (coalesce(cu.c1, 0) + v)) * 1000000) AS BIGINT) AS lpq
+        |       FROM bib b LEFT JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+        |                  LEFT JOIN cu ON b.w1 = cu.w1 CROSS JOIN vv),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |        CAST(round(CAST(SUM(lpq) AS DOUBLE) / COUNT(*)) AS BIGINT) / 1000000.0 AS avg_logprob
+        |        FROM lp GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, avg_logprob, round(exp(-avg_logprob), 4) AS ppl FROM agg""".stripMargin,
+
+    // segment-fingerprint overlap matrix: same 8-token windows as
+    // segment_dedup, distinct (source, md5) sets, canonical pair join
+    "source_overlap" ->
+      """WITH tk AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |st AS (SELECT doc_id, source, toks, unnest(range(0, greatest(len(toks), 1), 8)) AS s FROM tk),
+        |seg AS (SELECT DISTINCT source, md5(array_to_string(toks[s+1:least(s + 8, len(toks))], ' ')) AS fp
+        |        FROM st WHERE s < len(toks)),
+        |tot AS (SELECT source, COUNT(*) AS n FROM seg GROUP BY 1),
+        |pair AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+        |         FROM seg a JOIN seg b ON a.fp = b.fp AND a.source < b.source GROUP BY 1, 2)
+        |SELECT p.source_a, p.source_b, p.n_shared,
+        |round(CAST(p.n_shared AS DOUBLE) / (ta.n + tb.n - p.n_shared), 6) AS seg_jaccard
+        |FROM pair p JOIN tot ta ON p.source_a = ta.source JOIN tot tb ON p.source_b = tb.source""".stripMargin,
 
     // DSIR replay: same portable md5 buckets, same Laplace log-ratio
     // quantized to 1e-6 integers, summed exactly per doc

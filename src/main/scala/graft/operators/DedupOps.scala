@@ -693,15 +693,52 @@ object DedupOps {
     * structure: non-overlapping `segTokens`-token windows (the same window
     * construction as TextOps.chunks with stride = size).
     */
-  def segmentDedup(documents: DataFrame, segTokens: Int = 8): DataFrame =
-    segmentDedupBy(documents, letScalar(toksSql, "t",
+  private def tokenWindowsSql(segTokens: Int): String =
+    letScalar(toksSql, "t",
       s"if(size(t) < 1, cast(array() as array<string>), " +
         s"transform(sequence(0, size(t) - 1, $segTokens), " +
-        s"st -> concat_ws(' ', slice(t, st + 1, $segTokens))))"))
+        s"st -> concat_ws(' ', slice(t, st + 1, $segTokens))))")
+
+  def segmentDedup(documents: DataFrame, segTokens: Int = 8): DataFrame =
+    segmentDedupBy(documents, tokenWindowsSql(segTokens))
 
   /** Production segmenter: newline-delimited paragraphs/lines. */
   def segmentDedupByLines(documents: DataFrame): DataFrame =
     segmentDedupBy(documents, "split(text, '\\n')")
+
+  /** Cross-source contamination matrix: for every source pair, how much
+    * segment-level content they share — the audit a multi-crawl pipeline
+    * runs before mixing sources (mirror sites, syndication, and scraped
+    * copies of the same upstream all show up here long before whole-doc
+    * fingerprints collide; on this corpus doc-level overlap is exactly
+    * zero while segment overlap is not). Segments are the same
+    * token-window construction as `segmentDedup`; each source's DISTINCT
+    * segment-md5 set self-joins on the fingerprint (source_a < source_b
+    * canonical), yielding shared counts and a fingerprint-set Jaccard
+    * (double of exact ints — deterministic).
+    *
+    * Scale shape: one Generate + a distinct on (source, fp) — shuffle
+    * keyed by content hash, uniform by construction; the self-join is
+    * fp-keyed with tiny per-key multiplicity (≤ #sources rows per fp);
+    * output is #sources² rows. No cross join anywhere.
+    */
+  def sourceOverlap(documents: DataFrame, segTokens: Int = 8): DataFrame = {
+    val segs = documents
+      .select(col("source"), explode(expr(tokenWindowsSql(segTokens))).as("segment"))
+      .select(col("source"), md5(col("segment")).as("fp"))
+      .distinct()
+    val totals = segs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    segs.select(col("source").as("source_a"), col("fp"))
+      .join(segs.select(col("source").as("source_b"), col("fp")), Seq("fp"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(totals.select(col("source").as("source_a"), col("n").as("na"))), Seq("source_a"))
+      .join(broadcast(totals.select(col("source").as("source_b"), col("n").as("nb"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        round(col("n_shared").cast(DoubleType) / (col("na") + col("nb") - col("n_shared")), 6)
+          .as("seg_jaccard"))
+  }
 
   /** Quality-aware cluster retention: after near-dup collapse, keep the
     * HIGHEST-QUALITY member of each duplicate cluster instead of the

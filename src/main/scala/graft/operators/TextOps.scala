@@ -527,4 +527,53 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(round(sum(col("wq")).cast(DoubleType) / 1e6, 6).as("dsir_logratio"))
   }
+
+  /** CCNet-style LM filter: a bigram language model with add-one smoothing
+    * is trained on the target slice of the corpus (the "clean" LM corpus —
+    * CCNet trains KenLM on Wikipedia), and every document is scored by its
+    * mean bigram log-probability plus the derived perplexity. Low-ppl docs
+    * read like the target; high-ppl docs are noise/boilerplate — the
+    * standard perplexity-bucket triage.
+    *
+    * Where `dsirWeights` collapses n-grams into a broadcast-size bucket
+    * table, here the model is a first-class DISTRIBUTED table keyed by the
+    * bigram itself — the shape a real LM-score pass has when the model
+    * exceeds broadcast size: scoring is two shuffle equi-joins (bigram →
+    * count, unigram-context → count), both build sides one row per key.
+    * Hot bigrams skew the PROBE side only, which AQE's skew split handles;
+    * the vocabulary size rides in as a broadcast 1-row frame. Per-bigram
+    * log-probs quantize to 1e-6 BIGINTs (ln of exact-integer ratios), so
+    * the per-doc mean is integer-exact under any accumulation order;
+    * perplexity is exp of the ROUNDED mean, rounded at 4. OOV contexts
+    * fall back to ln(1/V), identically in both engines.
+    */
+  def lmPerplexity(documents: DataFrame, targetSource: String = "src0"): DataFrame = {
+    val bi = documents.select(col("doc_id"), col("source"),
+      explode(expr(
+        s"""flatten(transform(array(${toksExprFor(documents)}), t ->
+           |  if(size(t) < 2, cast(array() as array<struct<w1: string, w2: string>>),
+           |     transform(sequence(0, size(t) - 2),
+           |               i -> named_struct('w1', t[i], 'w2', t[i+1])))))""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val target = bi.filter(col("source") === targetSource)
+    val cb = target.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cu = target.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = target.select(col("w1").as("w")).union(target.select(col("w2")))
+      .agg(countDistinct(col("w")).as("v"))
+    bi.join(cb, Seq("w1", "w2"), "left")
+      .join(cu, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        expr("cast(round(ln((coalesce(cb, 0) + 1.0d) / (coalesce(c1, 0) + v)) * 1000000) as bigint)")
+          .as("lpq"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        // quantize-at-integer, not round(x, 6): the mean is a ratio of
+        // exact integers and CAN land on a 1e-6 half boundary (the
+        // quality_classifier lesson); scale-0 round of the same exact
+        // double is engine-stable
+        (expr("cast(round(cast(sum(lpq) as double) / count(1)) as bigint)")
+          .cast(DoubleType) / lit(1e6)).as("avg_logprob"))
+      .withColumn("ppl", round(exp(-col("avg_logprob")), 4))
+  }
 }

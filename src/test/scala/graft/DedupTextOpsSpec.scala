@@ -487,4 +487,41 @@ class DedupTextOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(run1 == run2, "integer-exact accumulation must be run-stable")
   }
+
+  test("lmPerplexity: add-one bigram model hand-check, OOV fallback ln(1/V), ppl from rounded mean") {
+    // target "a b a b": cb(a,b)=2, cb(b,a)=1; cu(a)=2, cu(b)=1; V=2
+    val docsP = Seq(
+      (1L, "a b a b", "en", "tgt", 7L),
+      (2L, "z z z", "en", "raw", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.lmPerplexity(docsP, targetSource = "tgt")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: lp(a,b)=ln(3/4)→−287682e−6 (×2), lp(b,a)=ln(2/3)→−405465e−6
+    // mean_q = round(−980829/3) = −326943
+    assert(got(1L).getLong(1) == 3L)
+    assert(got(1L).getDouble(2) == -0.326943)
+    assert(got(1L).getDouble(3) ==
+      BigDecimal(math.exp(0.326943)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // doc 2: both bigrams OOV in context and pair → ln((0+1)/(0+2)) = ln(1/2)
+    assert(got(2L).getLong(1) == 2L)
+    assert(got(2L).getDouble(2) == -0.693147)
+    // the clean doc reads closer to the target than the OOV doc
+    assert(got(1L).getDouble(3) < got(2L).getDouble(3))
+  }
+
+  test("sourceOverlap: shared 8-token window counted once per source pair; disjoint sources absent") {
+    val w8a = "t1 t2 t3 t4 t5 t6 t7 t8"
+    val w8b = "u1 u2 u3 u4 u5 u6 u7 u8"
+    val docsO = Seq(
+      (1L, w8a, "en", "s1", 20L),
+      (2L, w8a + " " + w8b, "en", "s2", 40L),           // shares window 1 with s1
+      (3L, "v1 v2 v3 v4 v5 v6 v7 v8", "en", "s3", 20L)) // disjoint
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = DedupOps.sourceOverlap(docsO).collect()
+    assert(got.length == 1, s"only the (s1, s2) pair overlaps: ${got.mkString(",")}")
+    val r = got.head
+    assert(r.getString(0) == "s1" && r.getString(1) == "s2")
+    // s1 has 1 distinct segment, s2 has 2, shared 1 → jaccard 1/2
+    assert(r.getLong(2) == 1L && r.getDouble(3) == 0.5)
+  }
 }
