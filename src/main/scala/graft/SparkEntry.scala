@@ -304,6 +304,25 @@ object SparkEntry {
     "lm_perplexity" -> ((s, d) => TextOps.lmPerplexity(t(s, d, "documents"))),
     // cross-source segment-fingerprint contamination matrix
     "source_overlap" -> ((s, d) => DedupOps.sourceOverlap(t(s, d, "documents"))),
+    // split key = near-dup component, so no candidate pair can straddle
+    // train/val (portable md5 bucket; singletons key on their own doc_id)
+    "leakage_safe_split" -> ((s, d) =>
+      DedupOps.leakageSafeSplit(t(s, d, "documents"))),
+    // per-day first-seen novelty rate over events (the ingest freshness
+    // audit); engine-stable quantized ratio
+    "first_seen_rate" -> ((s, d) =>
+      RelationalOps.firstSeenRate(t(s, d, "events"))),
+    // cluster-proportional deterministic coreset: ceil(25%) per seeded
+    // cluster in portable-hash order — every mode survives
+    "diversity_sample" -> ((s, d) =>
+      SimilarityOps.diversitySample(t(s, d, "embeddings"))),
+    // PQ codes: 64 float32 dims -> 4 one-byte codewords (64x memory cut);
+    // seeded per-subspace codebooks, partial-aggregated argmin
+    "pq_codes" -> ((s, d) => SimilarityOps.pqCodes(t(s, d, "embeddings"))),
+    // ADC top-k over the codes: corpus-side pass touches only the code
+    // table + a broadcast LUT; integer-exact accumulation
+    "cosine_topk_pq" -> ((s, d) =>
+      SimilarityOps.pqTopK(t(s, d, "embeddings"), 10, 5)),
 
     // TimescaleDB gapfill+locf analog: daily totals per status densified
     // to calendar grain with forward-fill
@@ -533,6 +552,20 @@ object SparkEntry {
         .agg(round(sum(coalesce(col("hit"), lit(0))).cast(DoubleType) / lit(5.0), 2)
           .as("recall"))
         .select(lit("int8").as("method"), col("q_id"), col("recall"))
+    }),
+
+    // recall@5 of the PQ/ADC tier vs full-precision brute — what the 64x
+    // memory cut costs in top-k ordering, as a gated value
+    "ann_recall_pq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").persist()
+      val brute = SimilarityOps.cosineTopK(emb, 10, 5).select(col("q_id"), col("vec_id"))
+      val hit = SimilarityOps.pqTopK(emb, 10, 5)
+        .select(col("q_id"), col("vec_id")).withColumn("hit", lit(1))
+      brute.join(hit, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(round(sum(coalesce(col("hit"), lit(0))).cast(DoubleType) / lit(5.0), 2)
+          .as("recall"))
+        .select(lit("pq").as("method"), col("q_id"), col("recall"))
     }),
 
     // the corpus pipeline at FULL width: dedup → collapse → quality floor
@@ -768,6 +801,51 @@ object SparkEntry {
       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
       |  FROM scored)
       |SELECT q_id, vec_id, score, rank FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** PQ replay: subspace slices (m=4 × 16 dims), seeded per-subspace
+    * codebooks (vec_id < 16), nearest-code assignment by rounded L2
+    * (code_id tiebreak) — the DuckDB spelling of SimilarityOps.pqCodes.
+    */
+  private val pqCodesCtes =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |subs AS (SELECT * FROM generate_series(0, 3) t(sub)),
+      |sl AS (SELECT vec_id, sub, emb[sub * 16 + 1 : sub * 16 + 16] AS v_sub
+      |       FROM v CROSS JOIN subs),
+      |cb AS (SELECT sub, vec_id AS code_id, v_sub AS c_sub FROM sl WHERE vec_id < 16),
+      |codes AS (
+      |  SELECT vec_id, sub, code_id FROM (
+      |    SELECT sl.vec_id, sl.sub, cb.code_id,
+      |           row_number() OVER (PARTITION BY sl.vec_id, sl.sub
+      |             ORDER BY round(list_distance(sl.v_sub, cb.c_sub), 6), cb.code_id) AS rnk
+      |    FROM sl JOIN cb USING (sub)) t WHERE rnk = 1)""".stripMargin
+
+  /** ADC scoring over the codes: per-codeword partial dots and squared
+    * norms quantized to 1e-6 BIGINTs (integer-exact cross-row sums, like
+    * the Spark side), approx cosine = dot / (|q| * reconstructed |x̂|).
+    */
+  private val pqTopKCtes = pqCodesCtes +
+    """,
+      |csq AS (SELECT sub, code_id,
+      |        CAST(round(list_inner_product(c_sub, c_sub) * 1000000) AS BIGINT) AS c_sq_q
+      |        FROM cb),
+      |recon AS (SELECT vec_id, SUM(c_sq_q) AS recon_sq_q
+      |          FROM codes JOIN csq USING (sub, code_id) GROUP BY vec_id),
+      |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < 10),
+      |qn AS (SELECT q_id, sqrt(list_inner_product(q_emb, q_emb)) AS q_norm FROM q),
+      |qsl AS (SELECT q_id, sub, q_emb[sub * 16 + 1 : sub * 16 + 16] AS q_sub
+      |        FROM q CROSS JOIN subs),
+      |lut AS (SELECT q_id, sub, code_id,
+      |        CAST(round(list_inner_product(q_sub, c_sub) * 1000000) AS BIGINT) AS pd_q
+      |        FROM qsl JOIN cb USING (sub)),
+      |dots AS (SELECT q_id, vec_id, SUM(pd_q) AS dot_q
+      |         FROM codes JOIN lut USING (sub, code_id) GROUP BY q_id, vec_id),
+      |pqranked AS (
+      |  SELECT q_id, vec_id, score,
+      |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+      |  FROM (SELECT d.q_id, d.vec_id,
+      |               round((d.dot_q / 1000000.0) / (qn.q_norm * sqrt(r.recon_sq_q / 1000000.0)), 6) AS score
+      |        FROM dots d JOIN recon r USING (vec_id) JOIN qn USING (q_id)
+      |        WHERE d.vec_id <> d.q_id) s)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // NOTE (r5): every oracle's FINAL decimal output column is cast to
@@ -1311,6 +1389,70 @@ object SparkEntry {
         |SELECT p.source_a, p.source_b, p.n_shared,
         |round(CAST(p.n_shared AS DOUBLE) / (ta.n + tb.n - p.n_shared), 6) AS seg_jaccard
         |FROM pair p JOIN tot ta ON p.source_a = ta.source JOIN tot tb ON p.source_b = tb.source""".stripMargin,
+
+    // component-keyed split replayed: the recursive-CTE closure, a LEFT
+    // join for singletons, the same portable md5 bucket on the component
+    "leakage_safe_split" ->
+      (dupComponentsCtes +
+      """,
+        |labeled AS (
+        |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+        |  FROM documents d LEFT JOIN comps c ON d.doc_id = c.doc_id)
+        |SELECT doc_id, component,
+        |CASE WHEN CAST(concat('0x', substr(md5(CAST(component AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80
+        |     THEN 'train' ELSE 'val' END AS split
+        |FROM labeled""".stripMargin),
+
+    "first_seen_rate" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+        |fd AS (SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS first_day FROM ud)
+        |SELECT day, COUNT(*) AS active_users,
+        |CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        |CAST(round(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) * 1000000.0 / COUNT(*)) AS BIGINT) / 1000000.0 AS new_rate
+        |FROM fd GROUP BY day""".stripMargin,
+
+    // seeded assignment (round-6 cosine, centroid tiebreak) + one window:
+    // portable-hash pick order, integer-exact ceil quota
+    "diversity_sample" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c0 AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM v WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT v.vec_id, c0.centroid_id,
+        |           row_number() OVER (PARTITION BY v.vec_id
+        |             ORDER BY round(list_cosine_similarity(v.emb, c0.c_emb), 6) DESC, c0.centroid_id) AS rnk
+        |    FROM v CROSS JOIN c0) t WHERE rnk = 1),
+        |picked AS (
+        |  SELECT vec_id, centroid_id,
+        |         COUNT(*) OVER (PARTITION BY centroid_id) AS cluster_n,
+        |         CAST(row_number() OVER (PARTITION BY centroid_id
+        |           ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT), vec_id) AS INTEGER) AS pick_rank
+        |  FROM assigned)
+        |SELECT vec_id, centroid_id, pick_rank FROM picked
+        |WHERE pick_rank <= greatest(1, (cluster_n * 25 + 99) // 100)""".stripMargin,
+
+    "pq_codes" ->
+      (pqCodesCtes + "\nSELECT vec_id, sub, code_id FROM codes"),
+
+    "cosine_topk_pq" ->
+      (pqTopKCtes + "\nSELECT q_id, vec_id, score, rank FROM pqranked WHERE rank <= 5"),
+
+    // PQ recall gate: full-precision brute top-5 LEFT-joined to the ADC
+    // top-5, hits / 5 per query
+    "ann_recall_pq" ->
+      (pqTopKCtes +
+      """,
+        |brute AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q.q_id, c.vec_id,
+        |           row_number() OVER (PARTITION BY q.q_id
+        |             ORDER BY round(list_cosine_similarity(c.emb, q.q_emb), 4) DESC, c.vec_id) AS rank
+        |    FROM v c CROSS JOIN q WHERE c.vec_id <> q.q_id) t WHERE rank <= 5),
+        |pq5 AS (SELECT q_id, vec_id FROM pqranked WHERE rank <= 5)
+        |SELECT 'pq' AS method, b.q_id,
+        |       round(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 2) AS recall
+        |FROM brute b LEFT JOIN pq5 p ON b.q_id = p.q_id AND b.vec_id = p.vec_id
+        |GROUP BY b.q_id""".stripMargin),
 
     // DSIR replay: same portable md5 buckets, same Laplace log-ratio
     // quantized to 1e-6 integers, summed exactly per doc

@@ -767,4 +767,30 @@ object DedupOps {
       .select(col("component"), col("doc_id").as("keep_doc_id"),
         col("quality"), col("n_members"))
   }
+
+  /** Leakage-safe train/val split: the split key is the NEAR-DUP
+    * COMPONENT, not the document. Hashing doc_ids into splits leaks —
+    * a near-duplicate pair straddling train and val means the model is
+    * evaluated on (a mutation of) its own training data, inflating every
+    * metric. Assigning whole MinHash-LSH dup components to one side makes
+    * straddling pairs impossible BY CONSTRUCTION: any candidate pair is an
+    * edge inside one component, and a component maps to exactly one split.
+    * Singletons (docs in no candidate pair) key on their own doc_id.
+    * The bucket is the portable md5 hash used by `deterministicSample`,
+    * so the assignment is reproducible across engines, retries, and
+    * repartitionings — and auditable by replaying the hash.
+    * Scale shape: the collapse is the diameter-bounded iterative labeling
+    * (delta-scale once `screenDeltaAgainstCorpus` handles steady state);
+    * the split itself is a LEFT join of the corpus to the (small) labeled
+    * dup set plus one per-row hash — no extra shuffle beyond the join.
+    */
+  def leakageSafeSplit(documents: DataFrame, trainPct: Int = 80): DataFrame = {
+    val comps = dupComponents(minhashCandidatePairs(documents))
+    documents.select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("split",
+        when(expr("cast(conv(substr(md5(cast(component as string)), 1, 8), 16, 10) as bigint)")
+          % 100 < trainPct, lit("train")).otherwise(lit("val")))
+  }
 }

@@ -288,4 +288,31 @@ object RelationalOps {
       df.columns.map(c =>
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")).toSeq :+
         count(lit(1)).as("n_rows"): _*)
+
+  /** First-seen novelty audit: per day, how many active entities are NEW
+    * (their first-ever appearance). The per-snapshot freshness signal a
+    * recurring ingest watches — a collapsing new-rate means the source is
+    * re-crawling known material; a spike means a new shard came online.
+    * Shape: distinct (user, day) pairs, a min-over-user window to tag each
+    * user's first day, then a per-day aggregate. Two keyed shuffles
+    * (user_id, then day), both partial-aggregated map-side; no join and no
+    * driver-side state, so the plan is the same at 100 TB — the window
+    * partitions by user_id, which is high-cardinality and unskewed by
+    * construction. Rate uses the engine-stable quantize-at-integer form
+    * (see quality_classifier): scale-0 rounding of an exact-integer ratio.
+    */
+  def firstSeenRate(events: DataFrame): DataFrame = {
+    val userDays = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id")
+    userDays
+      .withColumn("first_day", min(col("day")).over(w))
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("active_users"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("new_users"))
+      .withColumn("new_rate",
+        expr("cast(round(new_users * 1000000.0d / active_users) as bigint) / 1000000.0d"))
+  }
 }

@@ -465,4 +465,133 @@ object SimilarityOps {
       .join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("centroid_id").as("cluster_id"))
   }
+
+  /** Cluster-proportional diversity sample: a deterministic coreset that
+    * preserves the embedding-space shape. Uniform hash sampling keeps the
+    * corpus' mode collapse (dominant clusters stay dominant and tiny modes
+    * vanish); sampling a per-cluster quota of ceil(pct% of the cluster)
+    * guarantees every mode survives (quota >= 1) while large clusters are
+    * thinned proportionally — the standard curation move before expensive
+    * per-doc scoring. Selection order inside a cluster is the portable md5
+    * hash (vec_id tiebreak), so the picked set is engine/retry/partition
+    * invariant and replayable. The quota is pure integer arithmetic
+    * ((n*pct + 99) div 100) — no float rounding to diverge between engines.
+    * Scale shape: one broadcast-assign pass + one window partitioned by
+    * centroid_id. Cluster counts ride in the same window (count over the
+    * partition), so there is exactly ONE shuffle keyed by centroid; skew =
+    * largest cluster, bounded by training balance (see ivfTrainCentroids).
+    */
+  def diversitySample(embeddings: DataFrame, nCentroids: Int = 16,
+                      pct: Int = 25): DataFrame = {
+    val assigned = ivfAssign(embeddings, nCentroids)
+      .select(col("vec_id"), col("centroid_id"))
+    val wAll = Window.partitionBy("centroid_id")
+    val wPick = Window.partitionBy("centroid_id").orderBy(
+      expr("cast(conv(substr(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint)"),
+      col("vec_id"))
+    assigned
+      .withColumn("cluster_n", count(lit(1)).over(wAll))
+      .withColumn("pick_rank", row_number().over(wPick))
+      .filter(col("pick_rank") <=
+        greatest(lit(1L), expr(s"(cluster_n * $pct + 99) div 100")))
+      .select(col("vec_id"), col("centroid_id"), col("pick_rank"))
+  }
+
+  // ---- Product quantization (PQ) — the 100 TB memory-wall tier ----
+  //
+  // int8 cuts vector memory 4x; PQ cuts it dim*4 / m bytes — here 64 dims
+  // of float32 (256 B) become m=4 one-byte codes: 64x. The corpus-side
+  // scoring pass touches ONLY the code table + a per-query lookup table of
+  // m*k partial dot products (Jégou et al., "Product Quantization for
+  // Nearest Neighbor Search", TPAMI 2011 — public method, re-expressed as
+  // DataFrame ops). Everything that sums ACROSS rows is quantized to
+  // 1e-6-scaled BIGINTs first (the tfidf_topk_sim discipline), so scores
+  // are integer-exact and partition-order-free; only within-row folds
+  // (left-to-right, deterministic) stay in doubles.
+
+  /** Per-(vec, subspace) slice of the embedding, widened to double. */
+  private def pqSlices(embeddings: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val sub = dim / m
+    embeddings.select(col("vec_id"),
+      explode(expr(
+        s"""transform(sequence(0, ${m - 1}), s -> named_struct(
+           |  'sub', s,
+           |  'v_sub', transform(slice(embedding, s * $sub + 1, $sub),
+           |                     x -> cast(x as double))))""".stripMargin)).as("sl"))
+      .select(col("vec_id"), col("sl.sub").as("sub"), col("sl.v_sub").as("v_sub"))
+  }
+
+  /** Seeded PQ codebook: per subspace, the sub-slices of the first kCodes
+    * vectors (vec_id < kCodes) are the codewords — the same deterministic
+    * seeding as `seedCentroids`, so training is replayable. m*kCodes rows
+    * total: always broadcast-sized. A Lloyd refinement per subspace would
+    * reuse `ivfTrainCentroids`' assign→mean loop verbatim on each slice.
+    */
+  def pqCodebook(embeddings: DataFrame, m: Int = 4, kCodes: Int = 16,
+                 dim: Int = 64): DataFrame =
+    pqSlices(embeddings.filter(col("vec_id") < kCodes), m, dim)
+      .select(col("sub"), col("vec_id").as("code_id"), col("v_sub").as("c_sub"))
+
+  /** PQ encoding: each (vector, subspace) maps to its nearest codeword by
+    * rounded L2 distance (code_id tiebreak). The argmin is a partial-
+    * aggregated min(struct(dist, code_id)) — map-side combine collapses
+    * the m*kCodes candidate rows to one per (vec, sub) BEFORE the shuffle,
+    * unlike a row_number window which would sort the full candidate set.
+    * Output is the whole at-rest representation: n*m (vec_id, sub,
+    * code_id) rows ≈ m bytes per vector after dictionary encoding.
+    */
+  def pqCodes(embeddings: DataFrame, m: Int = 4, kCodes: Int = 16,
+              dim: Int = 64): DataFrame =
+    pqSlices(embeddings, m, dim)
+      .join(broadcast(pqCodebook(embeddings, m, kCodes, dim)), Seq("sub"))
+      .withColumn("dist", round(
+        expr("sqrt(aggregate(zip_with(v_sub, c_sub, (x, y) -> (x - y) * (x - y)), " +
+          "0D, (a, v) -> a + v))"), 6))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("dist"), col("code_id"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.code_id").as("code_id"))
+
+  /** Asymmetric-distance ANN top-k over PQ codes: queries stay exact, the
+    * corpus is its codes. Per query, a LUT of m*kCodes quantized partial
+    * dots is broadcast; scoring is codes ⋈ LUT on (sub, code_id) + an
+    * integer-exact per-(query, vec) sum — the corpus-side pass never
+    * touches a float vector. Approx cosine = adc_dot / (|q| * |x̂|) with
+    * |x̂| reconstructed from per-codeword squared norms (also integer-
+    * summed). Round-6 score, vec_id tiebreak: deterministic ranking.
+    */
+  def pqTopK(embeddings: DataFrame, nQueries: Int, k: Int, m: Int = 4,
+             kCodes: Int = 16, dim: Int = 64): DataFrame = {
+    val cb = pqCodebook(embeddings, m, kCodes, dim)
+    val codes = pqCodes(embeddings, m, kCodes, dim)
+    val cbSq = cb.withColumn("c_sq_q",
+      expr("cast(round(aggregate(c_sub, 0D, (a, x) -> a + x * x) * 1000000) as bigint)"))
+      .select(col("sub"), col("code_id"), col("c_sq_q"))
+    val recon = codes.join(broadcast(cbSq), Seq("sub", "code_id"))
+      .groupBy(col("vec_id")).agg(sum(col("c_sq_q")).as("recon_sq_q"))
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+    val qNorm = queries.select(col("vec_id").as("q_id"),
+      expr("sqrt(aggregate(embedding, 0D, (a, x) -> a + cast(x as double) * cast(x as double)))")
+        .as("q_norm"))
+    val lut = pqSlices(queries, m, dim)
+      .select(col("vec_id").as("q_id"), col("sub"), col("v_sub").as("q_sub"))
+      .join(cb, Seq("sub"))
+      .withColumn("pd_q",
+        expr("cast(round(aggregate(zip_with(q_sub, c_sub, (x, y) -> x * y), " +
+          "0D, (a, v) -> a + v) * 1000000) as bigint)"))
+      .select(col("q_id"), col("sub"), col("code_id"), col("pd_q"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    codes.join(broadcast(lut), Seq("sub", "code_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("pd_q")).as("dot_q"))
+      .join(recon, Seq("vec_id"))
+      .join(broadcast(qNorm), Seq("q_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", round(
+        (col("dot_q") / lit(1000000.0d)) /
+          (col("q_norm") * sqrt(col("recon_sq_q") / lit(1000000.0d))), 6))
+      .select(col("q_id"), col("vec_id"), col("score"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+  }
 }

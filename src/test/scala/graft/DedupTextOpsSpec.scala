@@ -524,4 +524,29 @@ class DedupTextOpsSpec extends SparkSpec {
     // s1 has 1 distinct segment, s2 has 2, shared 1 → jaccard 1/2
     assert(r.getLong(2) == 1L && r.getDouble(3) == 0.5)
   }
+
+  test("leakageSafeSplit: every doc assigned once; no candidate pair straddles train/val") {
+    val split = DedupOps.leakageSafeSplit(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(split.keySet == Set(1L, 2L, 3L, 4L), "one assignment per doc")
+    assert(split.values.forall(s => s == "train" || s == "val"))
+    val pairs = DedupOps.minhashCandidatePairs(docs).collect()
+    assert(pairs.nonEmpty, "fixture must contain dup pairs for the guarantee to bite")
+    for (p <- pairs)
+      assert(split(p.getLong(0)) == split(p.getLong(1)),
+        s"pair (${p.getLong(0)}, ${p.getLong(1)}) straddles the split")
+  }
+
+  test("leakageSafeSplit: dup component shares its min-label key; singleton keys on itself") {
+    val got = DedupOps.leakageSafeSplit(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // docs 1,2,3 are one MinHash component labeled by its min id
+    assert(got(1L)._1 == 1L && got(2L)._1 == 1L && got(3L)._1 == 1L)
+    assert(Set(got(1L)._2, got(2L)._2, got(3L)._2).size == 1)
+    assert(got(4L)._1 == 4L, "doc in no pair keys on its own id")
+    // partition-invariant: same assignment under a different layout
+    val re = DedupOps.leakageSafeSplit(docs.repartition(7))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(re == got)
+  }
 }

@@ -91,4 +91,18 @@ class RelationalOpsSpec extends SparkSpec {
     val grand = got.find(r => r.isNullAt(0) && r.isNullAt(1)).get
     assert(grand.getLong(2) == 2 && grand.getDecimal(3).toString == "30.00")
   }
+
+  test("firstSeenRate: first day all-new, repeat visitors dilute the rate, returning user not re-counted") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 100L, "view", 1.0, "{}"), // same user same day: one active row
+      (3L, ts("2024-01-02 09:00:00"), 100L, "view", 1.0, "{}"), // returning
+      (4L, ts("2024-01-02 09:30:00"), 200L, "view", 1.0, "{}")) // new on day 2
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = RelationalOps.firstSeenRate(events)
+      .collect().map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("2024-01-01") == ((1L, 1L, 1.0)))
+    assert(got("2024-01-02") == ((2L, 1L, 0.5)))
+  }
 }

