@@ -323,6 +323,12 @@ object SparkEntry {
     // table + a broadcast LUT; integer-exact accumulation
     "cosine_topk_pq" -> ((s, d) =>
       SimilarityOps.pqTopK(t(s, d, "embeddings"), 10, 5)),
+    // same ADC pipeline over per-subspace Lloyd-trained codebooks (one
+    // assign->mean iteration, round-6 deterministic)
+    "cosine_topk_pq_trained" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      SimilarityOps.pqTopKWith(emb, SimilarityOps.pqTrainCodebooks(emb), 10, 5)
+    }),
 
     // TimescaleDB gapfill+locf analog: daily totals per status densified
     // to calendar grain with forward-fill
@@ -802,50 +808,81 @@ object SparkEntry {
       |  FROM scored)
       |SELECT q_id, vec_id, score, rank FROM ranked WHERE rank <= 5""".stripMargin
 
-  /** PQ replay: subspace slices (m=4 × 16 dims), seeded per-subspace
-    * codebooks (vec_id < 16), nearest-code assignment by rounded L2
-    * (code_id tiebreak) — the DuckDB spelling of SimilarityOps.pqCodes.
+  /** PQ replay, part 1: subspace slices (m=4 × 16 dims) and the seeded
+    * per-subspace codebooks (vec_id < 16) — the DuckDB spelling of
+    * SimilarityOps.pqSlices/pqCodebook.
     */
-  private val pqCodesCtes =
+  private val pqBaseCtes =
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |subs AS (SELECT * FROM generate_series(0, 3) t(sub)),
       |sl AS (SELECT vec_id, sub, emb[sub * 16 + 1 : sub * 16 + 16] AS v_sub
       |       FROM v CROSS JOIN subs),
-      |cb AS (SELECT sub, vec_id AS code_id, v_sub AS c_sub FROM sl WHERE vec_id < 16),
-      |codes AS (
-      |  SELECT vec_id, sub, code_id FROM (
-      |    SELECT sl.vec_id, sl.sub, cb.code_id,
-      |           row_number() OVER (PARTITION BY sl.vec_id, sl.sub
-      |             ORDER BY round(list_distance(sl.v_sub, cb.c_sub), 6), cb.code_id) AS rnk
-      |    FROM sl JOIN cb USING (sub)) t WHERE rnk = 1)""".stripMargin
+      |cb AS (SELECT sub, vec_id AS code_id, v_sub AS c_sub FROM sl WHERE vec_id < 16)""".stripMargin
 
-  /** ADC scoring over the codes: per-codeword partial dots and squared
-    * norms quantized to 1e-6 BIGINTs (integer-exact cross-row sums, like
-    * the Spark side), approx cosine = dot / (|q| * reconstructed |x̂|).
+  /** Nearest-codeword assignment of every slice against codebook `cbName`
+    * (rounded L2, code_id tiebreak) — SimilarityOps.pqCodesWith.
     */
-  private val pqTopKCtes = pqCodesCtes +
+  private def pqAssignCte(cbName: String, outName: String): String =
+    s"""$outName AS (
+       |  SELECT vec_id, sub, code_id FROM (
+       |    SELECT sl.vec_id, sl.sub, c.code_id,
+       |           row_number() OVER (PARTITION BY sl.vec_id, sl.sub
+       |             ORDER BY round(list_distance(sl.v_sub, c.c_sub), 6), c.code_id) AS rnk
+       |    FROM sl JOIN $cbName c USING (sub)) t WHERE rnk = 1)""".stripMargin
+
+  /** ADC scoring over `codesName` against `cbName`: per-codeword partial
+    * dots and squared norms quantized to 1e-6 BIGINTs (integer-exact
+    * cross-row sums, like the Spark side), approx cosine =
+    * dot / (|q| * reconstructed |x̂|).
+    */
+  private def pqAdcCtes(cbName: String, codesName: String): String =
+    s""",
+       |csq AS (SELECT sub, code_id,
+       |        CAST(round(list_inner_product(c_sub, c_sub) * 1000000) AS BIGINT) AS c_sq_q
+       |        FROM $cbName),
+       |recon AS (SELECT vec_id, SUM(c_sq_q) AS recon_sq_q
+       |          FROM $codesName JOIN csq USING (sub, code_id) GROUP BY vec_id),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < 10),
+       |qn AS (SELECT q_id, sqrt(list_inner_product(q_emb, q_emb)) AS q_norm FROM q),
+       |qsl AS (SELECT q_id, sub, q_emb[sub * 16 + 1 : sub * 16 + 16] AS q_sub
+       |        FROM q CROSS JOIN subs),
+       |lut AS (SELECT q_id, sub, code_id,
+       |        CAST(round(list_inner_product(q_sub, c_sub) * 1000000) AS BIGINT) AS pd_q
+       |        FROM qsl JOIN $cbName USING (sub)),
+       |dots AS (SELECT q_id, vec_id, SUM(pd_q) AS dot_q
+       |         FROM $codesName JOIN lut USING (sub, code_id) GROUP BY q_id, vec_id),
+       |pqranked AS (
+       |  SELECT q_id, vec_id, score,
+       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+       |  FROM (SELECT d.q_id, d.vec_id,
+       |               round((d.dot_q / 1000000.0) / (qn.q_norm * sqrt(r.recon_sq_q / 1000000.0)), 6) AS score
+       |        FROM dots d JOIN recon r USING (vec_id) JOIN qn USING (q_id)
+       |        WHERE d.vec_id <> d.q_id) s)""".stripMargin
+
+  private val pqCodesCtes = pqBaseCtes + ",\n" + pqAssignCte("cb", "codes")
+
+  private val pqTopKCtes = pqCodesCtes + pqAdcCtes("cb", "codes")
+
+  /** One per-subspace Lloyd iteration replayed (assignment with the slice
+    * carried, per-(sub, code, pos) round-6 mean), then the same
+    * assignment + ADC chain against the trained books.
+    */
+  private val pqTrainedTopKCtes = pqBaseCtes +
     """,
-      |csq AS (SELECT sub, code_id,
-      |        CAST(round(list_inner_product(c_sub, c_sub) * 1000000) AS BIGINT) AS c_sq_q
-      |        FROM cb),
-      |recon AS (SELECT vec_id, SUM(c_sq_q) AS recon_sq_q
-      |          FROM codes JOIN csq USING (sub, code_id) GROUP BY vec_id),
-      |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < 10),
-      |qn AS (SELECT q_id, sqrt(list_inner_product(q_emb, q_emb)) AS q_norm FROM q),
-      |qsl AS (SELECT q_id, sub, q_emb[sub * 16 + 1 : sub * 16 + 16] AS q_sub
-      |        FROM q CROSS JOIN subs),
-      |lut AS (SELECT q_id, sub, code_id,
-      |        CAST(round(list_inner_product(q_sub, c_sub) * 1000000) AS BIGINT) AS pd_q
-      |        FROM qsl JOIN cb USING (sub)),
-      |dots AS (SELECT q_id, vec_id, SUM(pd_q) AS dot_q
-      |         FROM codes JOIN lut USING (sub, code_id) GROUP BY q_id, vec_id),
-      |pqranked AS (
-      |  SELECT q_id, vec_id, score,
-      |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
-      |  FROM (SELECT d.q_id, d.vec_id,
-      |               round((d.dot_q / 1000000.0) / (qn.q_norm * sqrt(r.recon_sq_q / 1000000.0)), 6) AS score
-      |        FROM dots d JOIN recon r USING (vec_id) JOIN qn USING (q_id)
-      |        WHERE d.vec_id <> d.q_id) s)""".stripMargin
+      |a1 AS (
+      |  SELECT vec_id, sub, code_id, v_sub FROM (
+      |    SELECT sl.vec_id, sl.sub, c.code_id, sl.v_sub,
+      |           row_number() OVER (PARTITION BY sl.vec_id, sl.sub
+      |             ORDER BY round(list_distance(sl.v_sub, c.c_sub), 6), c.code_id) AS rnk
+      |    FROM sl JOIN cb c USING (sub)) t WHERE rnk = 1),
+      |cbt AS (
+      |  SELECT sub, code_id, list(m ORDER BY pos) AS c_sub FROM (
+      |    SELECT sub, code_id, pos, round(avg(val), 6) AS m
+      |    FROM (SELECT sub, code_id, unnest(v_sub) AS val,
+      |                 generate_subscripts(v_sub, 1) AS pos FROM a1)
+      |    GROUP BY sub, code_id, pos) t GROUP BY sub, code_id),
+      |""".stripMargin +
+    pqAssignCte("cbt", "codes_t") + pqAdcCtes("cbt", "codes_t")
 
   def oracleSql: Map[String, String] = Map(
     // NOTE (r5): every oracle's FINAL decimal output column is cast to
@@ -1436,6 +1473,9 @@ object SparkEntry {
 
     "cosine_topk_pq" ->
       (pqTopKCtes + "\nSELECT q_id, vec_id, score, rank FROM pqranked WHERE rank <= 5"),
+
+    "cosine_topk_pq_trained" ->
+      (pqTrainedTopKCtes + "\nSELECT q_id, vec_id, score, rank FROM pqranked WHERE rank <= 5"),
 
     // PQ recall gate: full-precision brute top-5 LEFT-joined to the ADC
     // top-5, hits / 5 per query

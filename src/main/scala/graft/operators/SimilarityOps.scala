@@ -533,24 +533,64 @@ object SimilarityOps {
     pqSlices(embeddings.filter(col("vec_id") < kCodes), m, dim)
       .select(col("sub"), col("vec_id").as("code_id"), col("v_sub").as("c_sub"))
 
-  /** PQ encoding: each (vector, subspace) maps to its nearest codeword by
-    * rounded L2 distance (code_id tiebreak). The argmin is a partial-
-    * aggregated min(struct(dist, code_id)) — map-side combine collapses
-    * the m*kCodes candidate rows to one per (vec, sub) BEFORE the shuffle,
+  private val pqDistExpr =
+    "sqrt(aggregate(zip_with(v_sub, c_sub, (x, y) -> (x - y) * (x - y)), " +
+      "0D, (a, v) -> a + v))"
+
+  /** PQ encoding against an arbitrary (sub, code_id, c_sub) codebook:
+    * each (vector, subspace) maps to its nearest codeword by rounded L2
+    * distance (code_id tiebreak). The argmin is a partial-aggregated
+    * min(struct(dist, code_id)) — map-side combine collapses the
+    * m*kCodes candidate rows to one per (vec, sub) BEFORE the shuffle,
     * unlike a row_number window which would sort the full candidate set.
     * Output is the whole at-rest representation: n*m (vec_id, sub,
     * code_id) rows ≈ m bytes per vector after dictionary encoding.
     */
-  def pqCodes(embeddings: DataFrame, m: Int = 4, kCodes: Int = 16,
-              dim: Int = 64): DataFrame =
+  def pqCodesWith(embeddings: DataFrame, codebook: DataFrame, m: Int = 4,
+                  dim: Int = 64): DataFrame =
     pqSlices(embeddings, m, dim)
-      .join(broadcast(pqCodebook(embeddings, m, kCodes, dim)), Seq("sub"))
-      .withColumn("dist", round(
-        expr("sqrt(aggregate(zip_with(v_sub, c_sub, (x, y) -> (x - y) * (x - y)), " +
-          "0D, (a, v) -> a + v))"), 6))
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("dist", round(expr(pqDistExpr), 6))
       .groupBy(col("vec_id"), col("sub"))
       .agg(min(struct(col("dist"), col("code_id"))).as("best"))
       .select(col("vec_id"), col("sub"), col("best.code_id").as("code_id"))
+
+  def pqCodes(embeddings: DataFrame, m: Int = 4, kCodes: Int = 16,
+              dim: Int = 64): DataFrame =
+    pqCodesWith(embeddings, pqCodebook(embeddings, m, kCodes, dim), m, dim)
+
+  /** Per-subspace Lloyd refinement of the PQ codebooks — `ivfTrainCentroids`
+    * applied independently in each of the m subspaces: assign every slice
+    * to its nearest codeword, recompute each codeword as the per-dimension
+    * mean of its members (round-6, so training is deterministic across
+    * engines and partitionings), repeat. Each iteration is one broadcast
+    * assignment pass + one (sub, code_id, pos) hash aggregate whose shuffle
+    * is m*kCodes*subDim rows regardless of corpus size. A codeword whose
+    * cell empties drops out (no re-seeding), identically in both engines.
+    * The member slice rides INSIDE the argmin struct (dist + code_id are
+    * unique per group, so the array never participates in the comparison) —
+    * no second join to recover it. Cache lifecycle is CALLER-owned, as with
+    * `ivfTrainCentroids`: the returned codebook is consumed 3× downstream.
+    */
+  def pqTrainCodebooks(embeddings: DataFrame, m: Int = 4, kCodes: Int = 16,
+                       dim: Int = 64, iters: Int = 1): DataFrame = {
+    var cb = pqCodebook(embeddings, m, kCodes, dim)
+    val slices = pqSlices(embeddings, m, dim)
+    for (_ <- 0 until iters) {
+      cb = slices.join(broadcast(cb), Seq("sub"))
+        .withColumn("dist", round(expr(pqDistExpr), 6))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("dist"), col("code_id"), col("v_sub"))).as("best"))
+        .select(col("sub"), col("best.code_id").as("code_id"),
+          posexplode(col("best.v_sub")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("code_id"), col("pos"))
+        .agg(avg(col("x")).as("mv"))
+        .groupBy(col("sub"), col("code_id"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, mv))), p -> round(p.mv, 6))")
+          .as("c_sub"))
+    }
+    cb.persist()
+  }
 
   /** Asymmetric-distance ANN top-k over PQ codes: queries stay exact, the
     * corpus is its codes. Per query, a LUT of m*kCodes quantized partial
@@ -561,9 +601,14 @@ object SimilarityOps {
     * summed). Round-6 score, vec_id tiebreak: deterministic ranking.
     */
   def pqTopK(embeddings: DataFrame, nQueries: Int, k: Int, m: Int = 4,
-             kCodes: Int = 16, dim: Int = 64): DataFrame = {
-    val cb = pqCodebook(embeddings, m, kCodes, dim)
-    val codes = pqCodes(embeddings, m, kCodes, dim)
+             kCodes: Int = 16, dim: Int = 64): DataFrame =
+    pqTopKWith(embeddings, pqCodebook(embeddings, m, kCodes, dim),
+      nQueries, k, m, dim)
+
+  /** ADC top-k against an arbitrary codebook (seeded or Lloyd-trained). */
+  def pqTopKWith(embeddings: DataFrame, cb: DataFrame, nQueries: Int,
+                 k: Int, m: Int = 4, dim: Int = 64): DataFrame = {
+    val codes = pqCodesWith(embeddings, cb, m, dim)
     val cbSq = cb.withColumn("c_sq_q",
       expr("cast(round(aggregate(c_sub, 0D, (a, x) -> a + x * x) * 1000000) as bigint)"))
       .select(col("sub"), col("code_id"), col("c_sq_q"))

@@ -298,6 +298,26 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(got.drop(2).forall(_.getDouble(2) == 0.0))
   }
 
+  test("pqTrainCodebooks: hand-checked per-subspace Lloyd means; empty cells drop; trained ADC still finds the dups") {
+    val cbt = SimilarityOps.pqTrainCodebooks(emb, m = 2, kCodes = 2, dim = 4, iters = 1)
+    val books = cbt.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+    // sub0 cells: code0 <- slices of {0, 2, 3}, code1 <- slices of {1, 4}
+    assert(books((0, 0L)) == Seq(0.966667, 0.033333))
+    assert(books((0, 1L)) == Seq(-0.5, 0.5))
+    // sub1: every slice is (0,0), tie -> code 0; code 1's cell empties and drops
+    assert(books.keySet == Set((0, 0L), (0, 1L), (1, 0L)))
+    assert(books((1, 0L)) == Seq(0.0, 0.0))
+    val got = SimilarityOps.pqTopKWith(emb, cbt, nQueries = 1, k = 4, m = 2, dim = 4)
+      .orderBy("rank").collect()
+    cbt.unpersist()
+    assert(got.take(2).map(_.getLong(1)).toSet == Set(2L, 3L), "codeword-exact dups lead")
+    assert(got(0).getDouble(2) > 0.99)
+    // vecs 1 and 4 share the trained codeword (-0.5, 0.5, 0, 0): equal
+    // negative scores, vec_id tie-break
+    assert(got.drop(2).map(_.getLong(1)).toSeq == Seq(1L, 4L))
+    assert(got(2).getDouble(2) == got(3).getDouble(2) && got(3).getDouble(2) < 0)
+  }
+
   test("pqTopK: corpus-side scoring never touches the embedding column (codes + LUT only)") {
     // the only scans of `embedding` feed broadcast-sized frames (codebook,
     // queries); the big corpus pass joins codes to the LUT. Assert the final
