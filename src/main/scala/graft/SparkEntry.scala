@@ -172,6 +172,9 @@ object SparkEntry {
     // CCNet-style segment dedup: keep the globally-first occurrence of
     // every distinct 8-token segment, reassemble survivors per doc
     "segment_dedup" -> ((s, d) => DedupOps.segmentDedup(t(s, d, "documents"))),
+    // Lee-et-al span dedup: OVERLAPPING k-token windows, keep-first by
+    // (doc_id, pos), covered token positions removed, survivors reassembled
+    "substring_dedup" -> ((s, d) => DedupOps.substringDedup(t(s, d, "documents"))),
     // token-budgeted stratified mixture: per-source budgets, docs admitted
     // in portable-hash priority order until each budget fills
     "corpus_mix" -> ((s, d) => {
@@ -295,6 +298,14 @@ object SparkEntry {
     // inverted-index sparse cosine: df-guarded postings join, integer-
     // exact quantized-idf accumulation, top-k per doc
     "tfidf_topk_sim" -> ((s, d) => TextOps.tfidfTopKSim(t(s, d, "documents"))),
+    // BM25 retrieval: query-term-filtered Generate (shuffle carries hits
+    // only), broadcast df/avgdl, TakeOrdered top-k
+    "bm25_topk" -> ((s, d) => TextOps.bm25TopK(t(s, d, "documents"))),
+    // exact corpus heavy hitters: the baseline the CMS tier gates against
+    "heavy_hitters" -> ((s, d) => TextOps.heavyHitters(t(s, d, "documents"))),
+    // count-min-sketch gate: overestimate-only + eps·N bound vs exact,
+    // deterministic under any partitioning (integer counter adds, fixed seed)
+    "heavy_hitters_cms" -> ((s, d) => TextOps.heavyHittersCms(t(s, d, "documents"))),
     // per-source P25 quality bar + survivor counts at that bar
     "quality_calibrate" -> ((s, d) => TextOps.qualityCalibrate(t(s, d, "documents"))),
     // DSIR hashed-bigram importance weights: target = src0, 4096 buckets
@@ -393,6 +404,24 @@ object SparkEntry {
           (abs(col("approx_median") - col("exact_median")) / col("exact_median") <= lit(0.01))
             .as("within_tol"))),
 
+    // mergeable log-bucketed quantile sketch (DDSketch shape, typed
+    // Aggregator): bounded RELATIVE error (√gamma−1 ≈ 1%), bit-identical
+    // under any partitioning (integer-add merges); gated vs exact
+    // percentile at 2×, so tier drift surfaces as a boolean flip
+    "quantile_sketch" -> ((s, d) => {
+      val qs = udaf(new graft.functions.QuantileSketch(Seq(0.5, 0.9)),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      t(s, d, "orders").groupBy(col("o_orderstatus"))
+        .agg(qs(col("o_totalprice")).as("est"),
+          expr("percentile(o_totalprice, 0.5)").as("ex50"),
+          expr("percentile(o_totalprice, 0.9)").as("ex90"))
+        .select(col("o_orderstatus"),
+          (abs(element_at(col("est"), 1) - col("ex50")) / col("ex50") <= lit(0.02))
+            .as("p50_within_tol"),
+          (abs(element_at(col("est"), 2) - col("ex90")) / col("ex90") <= lit(0.02))
+            .as("p90_within_tol"))
+    }),
+
     // lag+cumsum sessionization — the SQL-expressible (oracle-checkable)
     // formulation of the gap sessions that session_window/Sessionize
     // compute; one shuffle on user_id, two fused window passes
@@ -409,6 +438,16 @@ object SparkEntry {
         .groupBy(col("user_id"), col("session_id"))
         .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"))
     }),
+
+    // ---- product-analytics tier over the events feed ----
+    // weekly cohort retention: co-partitioned user-keyed aggregates
+    "cohort_retention" -> ((s, d) => EventOps.cohortRetention(t(s, d, "events"))),
+    // ordered signup→click→purchase funnel, strictly-later stage advance
+    "funnel_conversion" -> ((s, d) => EventOps.funnelConversion(t(s, d, "events"))),
+    // trailing 7-day mean ± 2σ bands from integer-cents frame sums
+    "rolling_band" -> ((s, d) => EventOps.rollingBand(t(s, d, "events"))),
+    // key-skew diagnostic: top-10 user share + cumulative share
+    "skew_profile" -> ((s, d) => EventOps.skewProfile(t(s, d, "events"), "user_id")),
 
     "ntile_quartiles" -> ((s, d) =>
       t(s, d, "orders").select(
@@ -1072,6 +1111,57 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(n_segments, 0) AS n_segments,
         |       coalesce(n_kept, 0) AS n_kept, coalesce(clean_text, '') AS clean_text
         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // span dedup: OVERLAPPING 8-token windows, global keep-first by
+    // (doc_id, pos), dup occurrences cover positions pos+1..pos+8
+    "substring_dedup" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |wp AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 7, 0))) AS pos FROM t),
+        |wins AS (SELECT doc_id, pos, md5(array_to_string(toks[pos+1:pos+8], ' ')) AS wh FROM wp),
+        |occ AS (SELECT doc_id, pos,
+        |        row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn FROM wins),
+        |dup AS (SELECT doc_id, pos FROM occ WHERE rn > 1),
+        |cv0 AS (SELECT doc_id, pos, unnest(range(1, 9)) AS i FROM dup),
+        |covered AS (SELECT DISTINCT doc_id, pos + i AS tok_idx FROM cv0),
+        |tp0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS tok_idx FROM t),
+        |tokpos AS (SELECT doc_id, tok_idx, toks[tok_idx] AS tok FROM tp0),
+        |kept AS (SELECT p.doc_id, p.tok_idx, p.tok FROM tokpos p
+        |         WHERE NOT EXISTS (SELECT 1 FROM covered c
+        |                           WHERE c.doc_id = p.doc_id AND c.tok_idx = p.tok_idx)),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |        string_agg(tok, ' ' ORDER BY tok_idx) AS clean_text FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |       coalesce(a.n_kept, 0) AS n_kept, coalesce(a.clean_text, '') AS clean_text
+        |FROM t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // BM25: same per-term integer quantization before the per-doc sum
+    "bm25_topk" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM t),
+        |hits AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf, CAST(MIN(dl) AS DOUBLE) AS dl
+        |         FROM tok WHERE token IN ('spark', 'merge', 'window', 'query') GROUP BY doc_id, token),
+        |dfs AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM hits GROUP BY token),
+        |corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |           AVG(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE)) AS avgdl
+        |           FROM documents),
+        |scored AS (SELECT doc_id,
+        |           CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        |                      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1000000) AS BIGINT) AS sq
+        |           FROM hits JOIN dfs USING (token) CROSS JOIN corpus)
+        |SELECT doc_id, CAST(SUM(sq) AS DOUBLE) / 1e6 AS bm25
+        |FROM scored GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    "heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents)
+        |SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+        |ORDER BY cnt DESC, token LIMIT 25""".stripMargin,
+
+    // CMS gate: exact top-25 counts; the sketch bound must hold → all true
+    "heavy_hitters_cms" ->
+      """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents)
+        |SELECT token, COUNT(*) AS cnt, CAST(1 AS BOOLEAN) AS within_tol FROM tok GROUP BY token
+        |ORDER BY cnt DESC, token LIMIT 25""".stripMargin,
 
     // stratified mixture: same per-source budgets, same portable-hash
     // priority, ROWS running total
@@ -1872,6 +1962,12 @@ object SparkEntry {
     "median_price_approx" ->
       "SELECT o_orderstatus, CAST(1 AS BOOLEAN) AS within_tol FROM orders GROUP BY o_orderstatus",
 
+    // log-bucketed sketch: rel err ≤ √1.02−1 ≈ 1% < the 2% gate → all true
+    "quantile_sketch" ->
+      """SELECT o_orderstatus, CAST(1 AS BOOLEAN) AS p50_within_tol,
+        |       CAST(1 AS BOOLEAN) AS p90_within_tol
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
     "mad_outliers" ->
       """WITH med AS (
         |  SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med FROM orders GROUP BY 1),
@@ -1910,6 +2006,68 @@ object SparkEntry {
         |  FROM o)
         |SELECT user_id, session_id, min(ts) AS session_start, COUNT(*) AS n_events
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |      FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM e),
+        |sz AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM f GROUP BY 1),
+        |cells AS (SELECT cohort_week,
+        |          CAST(date_diff('day', cohort_week, week) // 7 AS INTEGER) AS week_offset,
+        |          COUNT(*) AS n_active
+        |          FROM a JOIN f USING (user_id) GROUP BY 1, 2)
+        |SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
+        |       round(CAST(c.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+        |FROM cells c JOIN sz s USING (cohort_week)""".stripMargin,
+
+    "funnel_conversion" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s0 AS (SELECT user_id, min(ts) AS t0 FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM e JOIN s0 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY 1)
+        |SELECT (SELECT COUNT(*) FROM s0) AS n_stage1,
+        |       (SELECT COUNT(*) FROM s1) AS n_stage2,
+        |       (SELECT COUNT(*) FROM s2) AS n_stage3,
+        |       round(CAST((SELECT COUNT(*) FROM s1) AS DOUBLE)
+        |             / (SELECT COUNT(*) FROM s0), 6) AS conv_1_2,
+        |       round(CAST((SELECT COUNT(*) FROM s2) AS DOUBLE)
+        |             / (SELECT COUNT(*) FROM s1), 6) AS conv_2_3""".stripMargin,
+
+    // integer-cents frame sums; variance from exact sums; bands from the
+    // already-rounded mean/std (mirrors the Spark column dependency)
+    "rolling_band" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |d AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |      SUM(CAST(round(value * 100) AS BIGINT)) AS cents FROM e GROUP BY 1, 2),
+        |w AS (SELECT event_type, day,
+        |      COUNT(*) OVER fr AS n, SUM(cents) OVER fr AS s, SUM(cents * cents) OVER fr AS ss
+        |      FROM d WINDOW fr AS (PARTITION BY event_type ORDER BY day
+        |                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |b AS (SELECT event_type, day,
+        |      round(CAST(s AS DOUBLE) / n / 100.0, 6) AS mean_value,
+        |      CASE WHEN n > 1 THEN
+        |        round(sqrt(CAST(n * ss - s * s AS DOUBLE) / (n * (n - 1))) / 100.0, 6)
+        |      END AS std_value FROM w)
+        |SELECT event_type, day, mean_value, std_value,
+        |       CASE WHEN std_value IS NOT NULL
+        |            THEN round(mean_value + 2 * std_value, 6) END AS upper_band,
+        |       CASE WHEN std_value IS NOT NULL
+        |            THEN round(mean_value - 2 * std_value, 6) END AS lower_band
+        |FROM b""".stripMargin,
+
+    "skew_profile" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+        |tot AS (SELECT SUM(cnt) AS total FROM c),
+        |top AS (SELECT user_id, cnt FROM c ORDER BY cnt DESC, user_id LIMIT 10)
+        |SELECT user_id, cnt,
+        |       round(CAST(cnt AS DOUBLE) / total, 6) AS share,
+        |       round(CAST(SUM(cnt) OVER (ORDER BY cnt DESC, user_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |             / total, 6) AS cum_share
+        |FROM top CROSS JOIN tot""".stripMargin,
 
     "ntile_quartiles" ->
       """SELECT o_orderkey,

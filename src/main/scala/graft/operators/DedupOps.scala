@@ -706,6 +706,65 @@ object DedupOps {
   def segmentDedupByLines(documents: DataFrame): DataFrame =
     segmentDedupBy(documents, "split(text, '\\n')")
 
+  /** Span-level exact substring dedup — the suffix-array dedup of Lee et
+    * al. 2022 ("Deduplicating Training Data Makes Language Models Better")
+    * re-expressed relationally: every OVERLAPPING k-token window is
+    * fingerprinted; any window whose content already occurred earlier in
+    * the corpus (global keep-first order: doc_id, then start position —
+    * within-doc self-repetition counts too) marks its k token positions
+    * for removal, and the surviving tokens reassemble in original order.
+    * Unlike `segmentDedup`'s NON-overlapping windows, overlapping windows
+    * catch copied spans at ANY alignment — the property that makes the
+    * suffix-array formulation the gold standard — at the cost of one
+    * window row per token instead of per k tokens.
+    *
+    * Scale shape (why this replaces a suffix array at 100 TB): a suffix
+    * array is a global sort of every corpus position — O(corpus) sort keys
+    * of O(span) width, and single-machine constructions don't shard. Here
+    * the same duplicated-span detection is: one Generate emitting narrow
+    * (doc_id, pos, md5) rows (~one per token), ONE hash shuffle keyed on
+    * the window fingerprint (uniform by construction — content hash), a
+    * row_number to decide keep-first, then a positions explode bounded by
+    * k × (dup occurrences only) and a doc_id-keyed reassembly — the same
+    * key distribution as `segmentDedup`, every stage partition-parallel.
+    * Removal is decided by (doc_id, pos) order, so output is deterministic
+    * under any partitioning.
+    */
+  def substringDedup(documents: DataFrame, k: Int = 8): DataFrame = {
+    val winsSql = letScalar(toksSql, "t",
+      s"if(size(t) < $k, cast(array() as array<struct<pos:int,wh:string>>), " +
+        s"transform(sequence(0, size(t) - $k), " +
+        s"st -> struct(st as pos, md5(concat_ws(' ', slice(t, st + 1, $k))) as wh)))")
+    val wins = documents
+      .select(col("doc_id"), explode(expr(winsSql)).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.wh").as("wh"))
+    val keepFirst = Window.partitionBy(col("wh")).orderBy(col("doc_id"), col("pos"))
+    // occurrences after the first → each covers token positions pos+1..pos+k
+    val covered = wins
+      .withColumn("rn", row_number().over(keepFirst))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"), explode(expr(s"sequence(pos + 1, pos + $k)")).as("tok_idx"))
+      .distinct()
+    val tokpos = documents
+      .select(col("doc_id"), posexplode(expr(toksSql)).as(Seq("idx0", "tok")))
+      .select(col("doc_id"), (col("idx0") + 1).as("tok_idx"), col("tok"))
+    val reassembled = tokpos
+      .join(covered, Seq("doc_id", "tok_idx"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(sort_array(collect_list(struct(tok_idx, tok))), x -> x.tok)"))
+          .as("clean_text"))
+    // zero-token docs and fully-removed docs both belong in the output
+    documents
+      .select(col("doc_id"), expr(s"size($toksSql)").cast(LongType).as("n_tokens"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Cross-source contamination matrix: for every source pair, how much
     * segment-level content they share — the audit a multi-crawl pipeline
     * runs before mixing sources (mirror sites, syndication, and scraped

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Product/event-analytics operators over the `events` feed: cohort
+  * retention, funnel conversion, volatility bands, and key-skew profiling.
+  * The reference's warehouse is consumed by BI dashboards
+  * (/root/reference/README.md:33-44); these are the standard event-feed
+  * queries such a consumer runs, expressed with the same portability
+  * discipline as the rest of the engine (integer-exact accumulation
+  * wherever float summation order could differ between engines).
+  */
+object EventOps {
+
+  /** Weekly cohort retention: users cohorted by the week of their FIRST
+    * event; each (cohort_week, week_offset) cell counts how many of them
+    * were active that many weeks later, with the retention ratio against
+    * cohort size.
+    *
+    * Scale shape: first-seen is a user-keyed aggregate; activity weeks are
+    * a distinct over (user, week) — both shuffles keyed on user_id, so the
+    * join between them is co-partitioned (no third shuffle of the big
+    * side). Cohort sizes are a tiny per-week aggregate broadcast back; the
+    * final cell aggregate is #weeks² rows. Nothing global, nothing skewed
+    * beyond the user key itself.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val first = events.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast(DateType).as("cohort_week"))
+    val active = events
+      .select(col("user_id"), date_trunc("week", col("ts")).cast(DateType).as("week"))
+      .distinct()
+    val sizes = first.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_size"))
+    active.join(first, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast(IntegerType).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"), col("cohort_size"),
+        round(col("n_active").cast(DoubleType) / col("cohort_size"), 6).as("retention"))
+  }
+
+  /** Ordered funnel conversion (signup → click → purchase): a user
+    * advances a stage only with a strictly-later event of the next type.
+    * One summary row: stage populations + conversion ratios.
+    *
+    * Scale shape: three user-keyed min-aggregates, each joined to the
+    * previous stage's (user, ts) frame on user_id — co-partitioned keyed
+    * joins all the way down, population counts are single-row aggregates
+    * combined by broadcast cross. The per-stage event scans push the
+    * event_type predicate into the source read.
+    */
+  def funnelConversion(events: DataFrame,
+                       stages: Seq[String] = Seq("signup", "click", "purchase")): DataFrame = {
+    require(stages.length == 3, "three-stage funnel")
+    val s0 = events.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    val s1 = events.filter(col("event_type") === stages(1))
+      .join(s0, Seq("user_id")).filter(col("ts") > col("t0"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = events.filter(col("event_type") === stages(2))
+      .join(s1, Seq("user_id")).filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val n0 = s0.agg(count(lit(1)).as("n_stage1"))
+    val n1 = s1.agg(count(lit(1)).as("n_stage2"))
+    val n2 = s2.agg(count(lit(1)).as("n_stage3"))
+    n0.crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("n_stage1"), col("n_stage2"), col("n_stage3"),
+        round(col("n_stage2").cast(DoubleType) / col("n_stage1"), 6).as("conv_1_2"),
+        round(col("n_stage3").cast(DoubleType) / col("n_stage2"), 6).as("conv_2_3"))
+  }
+
+  /** Daily volatility bands per event type: trailing 7-day mean ± 2σ over
+    * the daily value totals. Everything accumulates as integer CENTS —
+    * frame sums and sums-of-squares are exact bigints, the sample variance
+    * is computed from those exact sums ((n·Σx² − (Σx)²) / (n(n−1))), and
+    * only the final sqrt/round touch floating point — so the result is
+    * identical regardless of frame evaluation order in either engine (the
+    * lm_perplexity/bm25 quantization discipline, applied to window
+    * frames).
+    *
+    * Scale shape: one (type, day) pre-aggregate shrinks the feed to
+    * #types × #days rows BEFORE the window; the window then partitions by
+    * event_type over that tiny frame — never over raw events.
+    */
+  def rollingBand(events: DataFrame, frameDays: Int = 7): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-(frameDays - 1), Window.currentRow)
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("cents")).over(w))
+      .withColumn("ss", sum(col("cents") * col("cents")).over(w))
+      .select(col("event_type"), col("day"),
+        round(col("s").cast(DoubleType) / col("n") / 100.0, 6).as("mean_value"),
+        when(col("n") > 1,
+          round(sqrt((col("n") * col("ss") - col("s") * col("s")).cast(DoubleType)
+            / (col("n") * (col("n") - 1))) / 100.0, 6)).as("std_value"))
+      .withColumn("upper_band",
+        when(col("std_value").isNotNull, round(col("mean_value") + lit(2) * col("std_value"), 6)))
+      .withColumn("lower_band",
+        when(col("std_value").isNotNull, round(col("mean_value") - lit(2) * col("std_value"), 6)))
+  }
+
+  /** Key-skew profiler: the top `topN` heaviest values of `keyCol` with
+    * each key's share of total rows and the running cumulative share — the
+    * diagnostic run BEFORE keying a 100 TB shuffle on a column (it answers
+    * "will AQE's skew split save this join, or is one key 40% of the
+    * table?"). The cumulative window runs AFTER the TakeOrdered top-N, so
+    * its single-partition frame is `topN` rows, never the key space.
+    */
+  def skewProfile(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val top = counts
+      .orderBy(col("cnt").desc, col(keyCol))
+      .limit(topN)
+    val cum = Window.orderBy(col("cnt").desc, col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .select(col(keyCol), col("cnt"),
+        round(col("cnt").cast(DoubleType) / col("total"), 6).as("share"),
+        round(sum(col("cnt")).over(cum).cast(DoubleType) / col("total"), 6).as("cum_share"))
+  }
+}

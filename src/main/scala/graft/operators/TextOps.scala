@@ -576,4 +576,97 @@ object TextOps {
           .cast(DoubleType) / lit(1e6)).as("avg_logprob"))
       .withColumn("ppl", round(exp(-col("avg_logprob")), 4))
   }
+
+  /** BM25 lexical retrieval over the corpus: score every document against
+    * a fixed query-term set and return the top `kTop` by score. Completes
+    * the lexical-retrieval story next to `tfIdf`/`tfidfTopKSim` — BM25's
+    * tf saturation (k1) and length normalization (b) are what production
+    * search/retrieval stacks actually rank with, and a training-data
+    * pipeline uses exactly this shape for targeted corpus queries
+    * ("find documents about X to up/down-sample").
+    *
+    * Scale shape: the token Generate is filtered to the query-term set
+    * BEFORE the (doc_id, token) aggregate, so the per-token shuffle
+    * carries query-term hits only (|terms| ≪ vocab — at 100 TB this is
+    * the difference between shuffling the corpus and shuffling a sliver).
+    * df and the corpus-wide avgdl are tiny aggregates broadcast back; the
+    * final top-k is a TakeOrdered (no global sort materialization).
+    * Scoring is round-6 quantized with a (score desc, doc_id) tiebreak →
+    * deterministic and oracle-checkable.
+    */
+  def bm25TopK(documents: DataFrame,
+               queryTerms: Seq[String] = Seq("spark", "merge", "window", "query"),
+               kTop: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val termsList = queryTerms.map(t => s"'$t'").mkString(", ")
+    val toks = documents.select(
+      col("doc_id"),
+      expr(s"size(${toksExprFor(documents)})").cast(DoubleType).as("dl"),
+      explode(expr(toksExprFor(documents))).as("token"))
+    val hits = toks.filter(col("token").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).cast(DoubleType).as("tf"), first(col("dl")).as("dl"))
+    val dfs = hits.groupBy(col("token")).agg(count(lit(1)).cast(DoubleType).as("df"))
+    val corpus = documents.agg(
+      count(lit(1)).cast(DoubleType).as("n_docs"),
+      avg(expr(s"size(${toksExprFor(documents)})").cast(DoubleType)).as("avgdl"))
+    hits
+      .join(broadcast(dfs), Seq("token"))
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"),
+        (expr("ln(1.0d + (n_docs - df + 0.5d) / (df + 0.5d))") *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("s"))
+      // quantize each per-term score to an integer BEFORE summing: float
+      // addition is order-sensitive and the engines sum in different
+      // orders; integer sums commute exactly (the lm_perplexity lesson)
+      .select(col("doc_id"), expr("cast(round(s * 1000000) as bigint)").as("sq"))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("sq")).cast(DoubleType) / lit(1e6)).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(kTop)
+  }
+
+  /** Exact heavy hitters: the `kTop` most frequent tokens in the corpus.
+    * One Generate + one partial-aggregated hash shuffle keyed by token +
+    * a TakeOrdered — the exact baseline the sketch tier below is gated
+    * against. (count desc, token) tiebreak → deterministic.
+    */
+  def heavyHitters(documents: DataFrame, kTop: Int = 25): DataFrame =
+    documents
+      .select(explode(expr(toksExprFor(documents))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(kTop)
+
+  /** Count-min-sketch heavy-hitter gate: build a CMS over every token
+    * occurrence (Spark's mergeable `stat.countMinSketch` — partials merge
+    * by integer counter addition, so the estimate is EXACTLY deterministic
+    * under any partitioning given the fixed seed), then check the CMS
+    * guarantee against exact counts for the top `kTop` tokens:
+    * overestimate-only, and within eps·N with high probability.
+    *
+    * This is the 100 TB shape for frequency queries the exact aggregate
+    * can't afford: the sketch is O(1/eps · ln(1/δ)) integers regardless of
+    * vocab size, built in one pass with map-side merges — the driver
+    * receives a few-KB sketch, never the token distribution. The exact
+    * side here is the small top-k verification set only.
+    */
+  def heavyHittersCms(documents: DataFrame, kTop: Int = 25,
+                      eps: Double = 0.001, confidence: Double = 0.99): DataFrame = {
+    val spark = documents.sparkSession
+    val toks = documents.select(explode(expr(toksExprFor(documents))).as("token"))
+    val sketch = toks.stat.countMinSketch("token", eps, confidence, /*seed=*/ 42)
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt"))).head().getLong(0)
+    val top = counts.orderBy(col("cnt").desc, col("token")).limit(kTop).collect()
+    val bound = math.ceil(eps * total).toLong
+    import spark.implicits._
+    top.toSeq.map { r =>
+      val (token, exact) = (r.getString(0), r.getLong(1))
+      val est = sketch.estimateCount(token)
+      (token, exact, est >= exact && est <= exact + bound)
+    }.toDF("token", "cnt", "within_tol")
+  }
 }

@@ -549,4 +549,60 @@ class DedupTextOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
     assert(re == got)
   }
+
+  test("substringDedup: copied span removed at any alignment, keep-first by (doc_id, pos), " +
+       "short docs untouched") {
+    val span = "alpha beta gamma delta epsilon zeta eta theta iota kappa" // 10 tokens
+    val d = Seq(
+      (1L, span, "en", "s1", 10L),                            // origin: kept whole
+      (2L, s"unique1 unique2 unique3 $span", "en", "s2", 13L), // span at offset 3 → removed
+      (3L, "tiny doc under eight tokens", "en", "s1", 5L))     // < k: no windows, untouched
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = DedupOps.substringDedup(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((10L, 10L, span)), "first occurrence keeps every token")
+    assert(got(2L) == ((13L, 3L, "unique1 unique2 unique3")),
+      "all 10 copied positions covered by the 3 overlapping dup windows")
+    assert(got(3L) == ((5L, 5L, "tiny doc under eight tokens")), "sub-k docs pass through")
+  }
+
+  test("substringDedup: within-doc self-repetition removed; partition-invariant") {
+    val phrase = "one two three four five six seven eight"
+    val d = Seq((1L, s"$phrase filler $phrase", "en", "s1", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = DedupOps.substringDedup(d).collect().head
+    // second occurrence of the 8-token phrase is a dup window → removed
+    assert(r.getLong(1) == 17L && r.getLong(2) == 9L)
+    assert(r.getString(3) == s"$phrase filler")
+    val re = DedupOps.substringDedup(d.repartition(5)).collect().head
+    assert(re.toSeq == r.toSeq, "keep-first decided by (doc_id, pos), not partitioning")
+  }
+
+  test("bm25TopK: ranks by saturated tf with length normalization; no-hit docs absent") {
+    val d = Seq(
+      (1L, "spark spark spark merge query", "en", "s1", 5L),       // dense hits, short
+      (2L, "spark " + ("pad " * 40) + "end", "en", "s1", 42L),     // one hit, long
+      (3L, "nothing relevant here at all", "en", "s2", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = TextOps.bm25TopK(d).collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L), "doc 3 has no query terms")
+    val score = rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(score(1L) > score(2L), "dense short doc outranks single-hit long doc")
+    assert(rows.map(_.getLong(0)).toSeq == rows.sortBy(r => (-r.getDouble(1), r.getLong(0)))
+      .map(_.getLong(0)).toSeq, "ordered by (score desc, doc_id)")
+  }
+
+  test("heavyHitters exact counts; CMS gate holds with exact top-k agreement") {
+    val d = Seq(
+      (1L, "aa aa aa bb bb cc", "en", "s1", 6L),
+      (2L, "aa bb dd dd dd dd", "en", "s1", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val exact = TextOps.heavyHitters(d, kTop = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(exact.toSeq == Seq("aa" -> 4L, "dd" -> 4L, "bb" -> 3L),
+      "(cnt desc, token) deterministic order")
+    val cms = TextOps.heavyHittersCms(d, kTop = 3).collect()
+    assert(cms.map(r => r.getString(0) -> r.getLong(1)).toSeq == exact.toSeq)
+    assert(cms.forall(_.getBoolean(2)), "CMS estimate within [exact, exact + eps·N]")
+  }
 }

@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.EventOps
+
+/** EventOps product-analytics tier: hand-checked cohort/funnel/band/skew
+  * fixtures — semantics the DuckDB gate can't pin down alone (stage
+  * ordering strictness, frame warm-up nulls, cumulative-share ordering).
+  */
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("cohortRetention: cohort = first-seen week; offsets count distinct active users") {
+    val e = Seq(
+      // user 1: first week W0, active W0 and W1
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-09 10:00:00"), 1L, "view", 1.0, "{}"),
+      // user 2: first week W0 only
+      (3L, ts("2024-01-03 10:00:00"), 2L, "view", 1.0, "{}"),
+      // user 3: first week W1
+      (4L, ts("2024-01-10 10:00:00"), 3L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.cohortRetention(e).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got(("2024-01-01", 0)) == ((2L, 2L, 1.0)), "both W0 users active in week 0")
+    assert(got(("2024-01-01", 1)) == ((1L, 2L, 0.5)), "only user 1 returns in week 1")
+    assert(got(("2024-01-08", 0)) == ((1L, 1L, 1.0)))
+    assert(got.size == 3)
+  }
+
+  test("funnelConversion: stages advance only on strictly-later events") {
+    val e = Seq(
+      // user 1 completes the funnel in order
+      (1L, ts("2024-01-01 09:00:00"), 1L, "signup", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+      (3L, ts("2024-01-01 11:00:00"), 1L, "purchase", 1.0, "{}"),
+      // user 2: click BEFORE signup → stage 2 not reached
+      (4L, ts("2024-01-02 08:00:00"), 2L, "click", 1.0, "{}"),
+      (5L, ts("2024-01-02 09:00:00"), 2L, "signup", 1.0, "{}"),
+      // user 3: signup + click, purchase before click → stage 3 not reached
+      (6L, ts("2024-01-03 09:00:00"), 3L, "signup", 1.0, "{}"),
+      (7L, ts("2024-01-03 09:30:00"), 3L, "purchase", 1.0, "{}"),
+      (8L, ts("2024-01-03 10:00:00"), 3L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.funnelConversion(e).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 1L)))
+    assert(r.getDouble(3) == math.rint(2.0 / 3.0 * 1e6) / 1e6)
+    assert(r.getDouble(4) == 0.5)
+  }
+
+  test("rollingBand: integer-cents variance; single-day frame yields null std/bands") {
+    val e = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1L, "view", 1.00, "{}"),
+      (2L, ts("2024-01-02 09:00:00"), 1L, "view", 3.00, "{}"),
+      (3L, ts("2024-01-03 09:00:00"), 1L, "view", 5.00, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = EventOps.rollingBand(e).orderBy(col("day")).collect()
+    assert(rows(0).isNullAt(3) && rows(0).isNullAt(4) && rows(0).isNullAt(5),
+      "warm-up day: no sample variance from one point")
+    // day 2 frame {100, 300} cents: mean 2.00, var = (2*100000-160000)/2 → std √20000/100 = √2
+    assert(rows(1).getDouble(2) == 2.0)
+    assert(rows(1).getDouble(3) == math.rint(math.sqrt(2.0) * 1e6) / 1e6)
+    // day 3 frame {1,3,5}: mean 3, std 2 → bands 7 / -1
+    assert(rows(2).getDouble(2) == 3.0 && rows(2).getDouble(3) == 2.0)
+    assert(rows(2).getDouble(4) == 7.0 && rows(2).getDouble(5) == -1.0)
+  }
+
+  test("skewProfile: (cnt desc, key) order, shares of TOTAL, cumulative over top-N only") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(1)("c"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val rows = EventOps.skewProfile(df, "k", topN = 2).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b"), "top-2 only")
+    assert(rows(0).getDouble(2) == 0.6 && rows(0).getDouble(3) == 0.6)
+    assert(rows(1).getDouble(2) == 0.3 && rows(1).getDouble(3) == 0.9,
+      "cumulative share still denominates by the FULL total")
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.QuantileSketch
+
+/** QuantileSketch (log-bucketed mergeable quantile sketch): the properties
+  * that make it usable as a gated engine primitive — exact merge
+  * commutativity (bit-identical buffers under any grouping/order) and the
+  * bounded relative-error guarantee vs exact percentiles.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val qs = new QuantileSketch(Seq(0.5, 0.9), gamma = 1.02)
+
+  test("merge is exactly commutative/associative: any partitioning and merge order " +
+       "yields an identical buffer") {
+    val xs = (1 to 1000).map(i => (i * 37 % 991) + 1.0)
+    val direct = xs.foldLeft(qs.zero)(qs.reduce)
+    // partials over arbitrary chunkings, merged in reversed order
+    val chunked = xs.grouped(7).toSeq.map(_.foldLeft(qs.zero)(qs.reduce))
+      .reverse.foldLeft(qs.zero)(qs.merge)
+    val rechunked = xs.reverse.grouped(131).toSeq.map(_.foldLeft(qs.zero)(qs.reduce))
+      .foldLeft(qs.zero)(qs.merge)
+    assert(direct == chunked && direct == rechunked,
+      "integer-add merges must be order-insensitive EXACTLY")
+  }
+
+  test("relative error bounded by the gamma guarantee") {
+    val xs = (1 to 10000).map(_.toDouble)
+    val buf = xs.foldLeft(qs.zero)(qs.reduce)
+    val Seq(p50, p90) = qs.finish(buf)
+    val bound = math.sqrt(1.02) - 1 + 1e-9 // log-midpoint guarantee
+    assert(math.abs(p50 - 5000.0) / 5000.0 <= bound, s"p50=$p50")
+    assert(math.abs(p90 - 9000.0) / 9000.0 <= bound, s"p90=$p90")
+  }
+
+  test("positive-domain contract fails loudly") {
+    intercept[IllegalArgumentException](qs.reduce(qs.zero, 0.0))
+    intercept[IllegalArgumentException](qs.reduce(qs.zero, -3.2))
+  }
+
+  test("as a grouped udaf: estimates track exact percentiles within the 2x gate") {
+    val df = (1 to 2000).map(i => (if (i % 2 == 0) "A" else "B", (i % 997) + 1.0))
+      .toDF("grp", "v")
+    val agg = udaf(qs, org.apache.spark.sql.Encoders.scalaDouble)
+    val rows = df.groupBy(col("grp"))
+      .agg(agg(col("v")).as("est"),
+        expr("percentile(v, 0.5)").as("ex50"), expr("percentile(v, 0.9)").as("ex90"))
+      .collect()
+    assert(rows.length == 2)
+    for (r <- rows) {
+      val est = r.getSeq[Double](1)
+      assert(math.abs(est(0) - r.getDouble(2)) / r.getDouble(2) <= 0.02)
+      assert(math.abs(est(1) - r.getDouble(3)) / r.getDouble(3) <= 0.02)
+    }
+  }
+}
