@@ -175,6 +175,8 @@ object SparkEntry {
     // Lee-et-al span dedup: OVERLAPPING k-token windows, keep-first by
     // (doc_id, pos), covered token positions removed, survivors reassembled
     "substring_dedup" -> ((s, d) => DedupOps.substringDedup(t(s, d, "documents"))),
+    // per-source span-removal audit over the same operator
+    "span_dedup_stats" -> ((s, d) => DedupOps.substringDedupStats(t(s, d, "documents"))),
     // token-budgeted stratified mixture: per-source budgets, docs admitted
     // in portable-hash priority order until each budget fills
     "corpus_mix" -> ((s, d) => {
@@ -243,6 +245,10 @@ object SparkEntry {
     // engine-specific; the accuracy bound is not) — oracle asserts TRUE
     "hll_distinct" -> ((s, d) => TextOps.approxDistinctWithinTol(t(s, d, "documents"))),
     "cosine_topk" -> ((s, d) => SimilarityOps.cosineTopK(t(s, d, "embeddings"), 10, 5)),
+    // offline hard-negative mining: top-k INSIDE the [0.05, 0.7) cosine
+    // band — informative negatives, near-dups excluded, band applied
+    // before the ranking window
+    "hard_negatives" -> ((s, d) => SimilarityOps.hardNegatives(t(s, d, "embeddings"), 10, 5)),
     // int8 scalar quantization (4-8x memory cut for the scoring pass); the
     // bit-portable floor-quantizer is replayed verbatim by the oracle
     "cosine_topk_int8" -> ((s, d) => SimilarityOps.cosineTopKInt8(t(s, d, "embeddings"), 10, 5)),
@@ -448,6 +454,9 @@ object SparkEntry {
     "rolling_band" -> ((s, d) => EventOps.rollingBand(t(s, d, "events"))),
     // key-skew diagnostic: top-10 user share + cumulative share
     "skew_profile" -> ((s, d) => EventOps.skewProfile(t(s, d, "events"), "user_id")),
+    // recency-weighted per-user value: integer-quantized decay weights,
+    // data-anchored (no wall clock)
+    "decayed_user_value" -> ((s, d) => EventOps.decayedUserValue(t(s, d, "events"))),
 
     "ntile_quartiles" -> ((s, d) =>
       t(s, d, "orders").select(
@@ -1134,6 +1143,28 @@ object SparkEntry {
         |       coalesce(a.n_kept, 0) AS n_kept, coalesce(a.clean_text, '') AS clean_text
         |FROM t LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
+    // same window CTEs as substring_dedup, rolled up per source
+    "span_dedup_stats" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |wp AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 7, 0))) AS pos FROM t),
+        |wins AS (SELECT doc_id, pos, md5(array_to_string(toks[pos+1:pos+8], ' ')) AS wh FROM wp),
+        |occ AS (SELECT doc_id, pos,
+        |        row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn FROM wins),
+        |dup AS (SELECT doc_id, pos FROM occ WHERE rn > 1),
+        |cv0 AS (SELECT doc_id, pos, unnest(range(1, 9)) AS i FROM dup),
+        |covered AS (SELECT DISTINCT doc_id, pos + i AS tok_idx FROM cv0),
+        |nc AS (SELECT doc_id, COUNT(*) AS n_cov FROM covered GROUP BY doc_id),
+        |out AS (SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |        CAST(len(t.toks) - coalesce(nc.n_cov, 0) AS BIGINT) AS n_kept
+        |        FROM t LEFT JOIN nc USING (doc_id))
+        |SELECT d.source, COUNT(*) AS n_docs,
+        |       SUM(o.n_tokens) AS total_tokens,
+        |       SUM(o.n_tokens - o.n_kept) AS removed_tokens,
+        |       CAST(CAST(round(SUM(o.n_tokens - o.n_kept)
+        |            / CAST(SUM(o.n_tokens) AS DOUBLE) * 1000000) AS BIGINT) AS DOUBLE) / 1e6
+        |         AS removal_rate
+        |FROM out o JOIN documents d USING (doc_id) GROUP BY d.source""".stripMargin,
+
     // BM25: same per-term integer quantization before the per-doc sum
     "bm25_topk" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
@@ -1620,6 +1651,21 @@ object SparkEntry {
         |  FROM scored)
         |SELECT q_id, vec_id, score, rank FROM ranked WHERE rank <= 5""".stripMargin,
 
+    // cosine_topk's scorer with the hard-negative band applied to the
+    // round-4 scores before ranking
+    "hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |scored AS (
+        |  SELECT q_id, vec_id, round(list_cosine_similarity(emb, q_emb), 4) AS score
+        |  FROM c CROSS JOIN q WHERE vec_id <> q_id),
+        |band AS (SELECT * FROM scored WHERE score >= 0.05 AND score < 0.7),
+        |ranked AS (
+        |  SELECT q_id, vec_id, score,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+        |  FROM band)
+        |SELECT q_id, vec_id, score, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
     // int8 recall gate: full-precision brute top-5 LEFT-joined to the
     // quantized top-5, hits / 5 per query
     "ann_recall_int8" ->
@@ -2057,6 +2103,19 @@ object SparkEntry {
         |       CASE WHEN std_value IS NOT NULL
         |            THEN round(mean_value - 2 * std_value, 6) END AS lower_band
         |FROM b""".stripMargin,
+
+    // weight quantized at 1e-6 BEFORE the value product; per-row product
+    // quantized again; user sum is pure integer addition
+    "decayed_user_value" ->
+      """WITH e AS (SELECT user_id, value,
+        |           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day FROM events),
+        |a AS (SELECT max(day) AS as_of FROM e),
+        |dq AS (SELECT user_id,
+        |       CAST(round(value * CAST(round(exp(-date_diff('day', day, as_of) / 7.0)
+        |            * 1000000) AS BIGINT)) AS BIGINT) AS dq
+        |       FROM e CROSS JOIN a)
+        |SELECT user_id, CAST(SUM(dq) AS DOUBLE) / 1e6 AS decayed_value
+        |FROM dq GROUP BY user_id""".stripMargin,
 
     "skew_profile" ->
       """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),

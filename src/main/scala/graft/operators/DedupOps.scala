@@ -765,6 +765,28 @@ object DedupOps {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Span-dedup observability: per-source token-removal rates from
+    * `substringDedup` — the audit a pipeline reads before turning span
+    * removal on for a source (a mirror-heavy crawl loses half its tokens;
+    * a curated source should lose ~none, and a high rate there means the
+    * window size is wrong, not the data). Same role `dedup_stats` plays
+    * for exact dedup. The doc_id-keyed join back to `documents` for the
+    * source column is co-partitioned with the dedup output's own
+    * reassembly key; rate quantized at integer grid (the
+    * quality_classifier rounding lesson).
+    */
+  def substringDedupStats(documents: DataFrame, k: Int = 8): DataFrame =
+    substringDedup(documents, k)
+      .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_tokens") - col("n_kept")).as("removed_tokens"))
+      .withColumn("removal_rate",
+        expr("cast(round(removed_tokens / cast(total_tokens as double) * 1000000) as bigint)")
+          .cast(DoubleType) / lit(1e6))
+
   /** Cross-source contamination matrix: for every source pair, how much
     * segment-level content they share — the audit a multi-crawl pipeline
     * runs before mixing sources (mirror sites, syndication, and scraped

@@ -107,6 +107,42 @@ object EventOps {
         when(col("std_value").isNotNull, round(col("mean_value") - lit(2) * col("std_value"), 6)))
   }
 
+  /** Exponentially time-decayed per-user value — the recency-weighted
+    * engagement/LTV score every ranking and churn model consumes:
+    * Σ value·e^(−age_days/τ), anchored at the corpus max day so the
+    * result is a pure function of the data (no wall clock — reproducible
+    * and oracle-checkable). Portability is two-step: the decay WEIGHT is
+    * quantized to a 1e-6 integer first — exp() runs only on small integer
+    * day ages, a handful of distinct inputs, so a 1-ulp libm difference
+    * between engines has almost no surface to flip a rounding — and the
+    * per-row value·weight product (double × small int: IEEE-exact,
+    * deterministic) is quantized again before the per-user sum, which is
+    * then pure integer addition (the engine-wide discipline: float
+    * SUMMATION order is the thing that must never matter).
+    *
+    * Scale shape: the anchor is one tiny aggregate broadcast back; the
+    * decay weight is a per-row codegen'd expression; the user sum is one
+    * partial-aggregated keyed shuffle. Nothing global, nothing iterative.
+    */
+  def decayedUserValue(events: DataFrame, tauDays: Double = 7.0): DataFrame = {
+    val anchor = events.agg(max(date_trunc("day", col("ts")).cast(DateType)).as("as_of"))
+    events
+      .select(col("user_id"), col("value"),
+        date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .crossJoin(broadcast(anchor))
+      .select(col("user_id"),
+        // ${tauDays}d: a bare `7.0` literal parses as DECIMAL(2,1) in
+        // Spark SQL and drags the division into decimal arithmetic
+        // (scale-6 truncation of the exp argument — a ~1e-7 input shift
+        // the weight quantization then amplifies into off-by-one
+        // integers); the `d` suffix keeps the whole chain in DOUBLE,
+        // matching the oracle engine's literal typing
+        expr(s"cast(round(value * cast(round(exp(-datediff(as_of, day) / ${tauDays}d)" +
+          " * 1000000) as bigint)) as bigint)").as("dq"))
+      .groupBy(col("user_id"))
+      .agg((sum(col("dq")).cast(DoubleType) / lit(1e6)).as("decayed_value"))
+  }
+
   /** Key-skew profiler: the top `topN` heaviest values of `keyCol` with
     * each key's share of total rows and the running cumulative share — the
     * diagnostic run BEFORE keying a 100 TB shuffle on a column (it answers

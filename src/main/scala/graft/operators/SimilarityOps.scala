@@ -49,6 +49,39 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining: for each query, the top-k most-similar vectors
+    * INSIDE a similarity band [lo, hi) — close enough to be informative
+    * contrastive negatives, far enough to exclude near-dups/positives
+    * (cosine ≥ hi is dup territory on this corpus; ≤ lo is trivially
+    * negative and teaches a contrastive model nothing). This is the
+    * in-batch-negatives upgrade every embedding-training pipeline
+    * eventually ships: mine the negatives offline against the whole
+    * corpus, not whatever happened to co-occur in a batch.
+    *
+    * Same scoring shape as `cosineTopK` (queries broadcast, per-query
+    * window top-k), with the band predicate applied BEFORE the window so
+    * ranking sorts only band survivors. The 100 TB tier composes exactly
+    * like ANN: run the band filter over an IVF/LSH shortlist instead of
+    * the brute corpus — the scorer and band logic are unchanged.
+    */
+  def hardNegatives(embeddings: DataFrame, nQueries: Int, k: Int,
+                    lo: Double = 0.05, hi: Double = 0.7): DataFrame = {
+    val corpus = embeddings.select(col("vec_id"), col("embedding"))
+    val queries = embeddings
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    corpus
+      .join(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score",
+        round(graft.functions.GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 4))
+      .filter(col("score") >= lo && col("score") < hi)
+      .select(col("q_id"), col("vec_id"), col("score"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-space near-duplicate pairs, brute-force baseline: all pairs
     * (i < j) with cosine ≥ threshold. O(n²/2) scoring — correct and
     * oracle-checkable, the right choice only when n is modest (e.g. one
@@ -201,6 +234,29 @@ object SimilarityOps {
     ivfAssignWith(embeddings, centroids)
       .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/lists")
     centroids.unpersist()
+  }
+
+  /** Incremental index maintenance — the ANN analog of the dedup family's
+    * `screenDeltaAgainstCorpus`: a daily embedding ingest assigns ONLY the
+    * delta batch against the persisted centroids and appends the resulting
+    * list rows; the corpus-scale lists are never rewritten and Lloyd never
+    * reruns. Correct by construction: IVF assignment is a pure function of
+    * the centroids, so an index built all-at-once and one grown by appends
+    * hold identical lists (spec-asserted probe-for-probe). At 100 TB this
+    * is the difference between a daily index job costing O(delta) and
+    * O(corpus); centroid drift (retrain when appended fraction crosses a
+    * threshold) is an operational policy LAYERED ON this mechanism — the
+    * rebuild path is `writeIvfIndex` itself.
+    *
+    * `partitionBy(centroid_id)` appends land as new files inside each
+    * list's partition directory, so file-level probe pruning keeps
+    * working unchanged.
+    */
+  def appendToIvfIndex(delta: DataFrame, dir: String): Unit = {
+    val spark = delta.sparkSession
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    ivfAssignWith(delta, centroids)
+      .write.mode("append").partitionBy("centroid_id").parquet(s"$dir/lists")
   }
 
   /** Top-k against a persisted index — no training, no assignment, just

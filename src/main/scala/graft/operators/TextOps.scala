@@ -597,7 +597,6 @@ object TextOps {
   def bm25TopK(documents: DataFrame,
                queryTerms: Seq[String] = Seq("spark", "merge", "window", "query"),
                kTop: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val termsList = queryTerms.map(t => s"'$t'").mkString(", ")
     val toks = documents.select(
       col("doc_id"),
       expr(s"size(${toksExprFor(documents)})").cast(DoubleType).as("dl"),

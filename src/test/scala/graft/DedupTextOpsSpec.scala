@@ -578,6 +578,19 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(re.toSeq == r.toSeq, "keep-first decided by (doc_id, pos), not partitioning")
   }
 
+  test("substringDedupStats: per-source removal rates roll up the span dedup exactly") {
+    val span = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = Seq(
+      (1L, span, "en", "sA", 8L),                 // origin in sA: nothing removed
+      (2L, s"$span tail1 tail2", "en", "sB", 10L)) // sB: the 8 copied tokens removed
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = DedupOps.substringDedupStats(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got("sA") == ((1L, 8L, 0L, 0.0)))
+    assert(got("sB") == ((1L, 10L, 8L, 0.8)))
+  }
+
   test("bm25TopK: ranks by saturated tf with length normalization; no-hit docs absent") {
     val d = Seq(
       (1L, "spark spark spark merge query", "en", "s1", 5L),       // dense hits, short

@@ -69,6 +69,22 @@ class EventOpsSpec extends SparkSpec {
     assert(rows(2).getDouble(4) == 7.0 && rows(2).getDouble(5) == -1.0)
   }
 
+  test("decayedUserValue: data-anchored decay, hand-checked weights, partition-invariant") {
+    val e = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1L, "view", 100.0, "{}"),  // age 7 at anchor
+      (2L, ts("2024-01-08 09:00:00"), 1L, "view", 100.0, "{}"),  // age 0 (anchor day)
+      (3L, ts("2024-01-08 10:00:00"), 2L, "view", 50.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.decayedUserValue(e, tauDays = 7.0).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // w(age 0) = 1e6, w(age 7) = round(e^-1 * 1e6) = 367879
+    assert(got(2L) == 50.0)
+    assert(got(1L) == (100L * 1000000L + math.rint(100.0 * 367879L)) / 1e6)
+    val re = EventOps.decayedUserValue(e.repartition(5), tauDays = 7.0).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(re == got, "integer-quantized sums are partition-order-proof")
+  }
+
   test("skewProfile: (cnt desc, key) order, shares of TOTAL, cumulative over top-N only") {
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(1)("c"))
       .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")

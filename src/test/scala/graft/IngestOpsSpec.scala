@@ -74,4 +74,55 @@ class IngestOpsSpec extends SparkSpec {
     assert(got == Set((3L, "2024-06-01"), (2L, "2024-06-02")))
     spark.sql(s"DROP TABLE $table")
   }
+
+  test("writeRangeClustered: per-file key ranges are pairwise disjoint (data skipping at rest)") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft-clustered").toString + "/t"
+    val df = (1 to 10000).map(i => ((i * 7919) % 10007).toLong -> s"row$i").toDF("k", "v")
+    IngestOps.writeRangeClustered(df, path, "k", files = 4)
+    val back = spark.read.parquet(path)
+    assert(back.count() == 10000, "clustering must not lose rows")
+    // group by physical file: min/max of the cluster key per file
+    val ranges = back
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length == 4, s"one file per range partition, got ${ranges.length}")
+    for (Array((_, hi), (lo2, _)) <- ranges.sliding(2).map(_.toArray))
+      assert(hi < lo2, s"file key ranges overlap: $ranges — min/max stats cannot prune")
+    // a hash-partitioned write of the same data does NOT have this property
+    val hashed = java.nio.file.Files.createTempDirectory("graft-hashed").toString + "/t"
+    df.repartition(4, col("k")).write.parquet(hashed)
+    val hr = spark.read.parquet(hashed)
+      .groupBy(input_file_name()).agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(hr.sliding(2).map(_.toSeq).exists { case Seq((_, hi), (lo2, _)) => hi >= lo2 },
+      "control: hash layout should interleave key ranges")
+  }
+
+  test("writeZOrdered: per-file boxes bound BOTH dims — a one-dim slice query prunes files " +
+       "where single-column clustering cannot") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    // 64x64 grid, one row per cell: both dims uniform and independent
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong, s"$x/$y"))
+      .toDF("x", "y", "v")
+    IngestOps.writeZOrdered(grid, s"$base/z", "x", "y", files = 16)
+    IngestOps.writeRangeClustered(grid, s"$base/xonly", "x", files = 16)
+    def boxes(p: String) = spark.read.parquet(p)
+      .groupBy(input_file_name())
+      .agg(min(col("x")).as("lx"), max(col("x")).as("hx"),
+        min(col("y")).as("ly"), max(col("y")).as("hy"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val (zb, xb) = (boxes(s"$base/z"), boxes(s"$base/xonly"))
+    assert(zb.length == 16 && xb.length == 16)
+    assert(spark.read.parquet(s"$base/z").count() == 64L * 64L)
+    // narrow slice in y ONLY (full x range): y in [0, 7]
+    def touching(bs: Seq[(Long, Long, Long, Long)]) =
+      bs.count { case (_, _, ly, hy) => ly <= 7 && hy >= 0 }
+    assert(touching(xb) == 16,
+      "x-clustered control: every file spans all of y — nothing prunes on a y slice")
+    assert(touching(zb) <= 8,
+      s"z-order: y ranges must be bounded per file; got ${touching(zb)}/16 touching")
+  }
 }

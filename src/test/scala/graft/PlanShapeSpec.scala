@@ -81,4 +81,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(!pk.contains("SinglePartition"),
       s"seq_packing must not serialize on one reducer:\n$pk")
   }
+
+  test("substring_dedup: content-hash keyed joins only — no nested loop, " +
+       "and the final top-level sort is absent (hash re-assembly, not global order)") {
+    val p = plan("substring_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span dedup must stay equi-keyed:\n$p")
+  }
+
+  test("bm25/heavy-hitter retrieval: small sides broadcast, top-k is TakeOrdered") {
+    val bm = plan("bm25_topk")
+    assert(bm.contains("BroadcastHashJoin") || bm.contains("BroadcastExchange"),
+      s"df/avgdl sides must broadcast:\n$bm")
+    assert(bm.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered, not a global sort + limit:\n$bm")
+    assert(!bm.contains("CartesianProduct"), s"bm25 must not cross-join the corpus:\n$bm")
+    val hh = plan("heavy_hitters")
+    assert(hh.contains("TakeOrderedAndProject"), s"heavy hitters top-k:\n$hh")
+    assert("HashAggregate".r.findAllIn(hh).size >= 2,
+      s"token counts need partial+final aggregation:\n$hh")
+  }
+
+  test("event analytics: funnel/cohort stay equi-keyed; band window partitions by type") {
+    for (q <- Seq("cohort_retention", "funnel_conversion")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q: only the 1-row population combine may nest, never a data-scale cross:\n$p")
+    }
+    val rb = plan("rolling_band")
+    // the frame runs over the (type, day) pre-aggregate — a per-type
+    // window, never a single global partition
+    assert(rb.contains("Window"), s"rolling_band should window:\n$rb")
+    assert(!rb.contains("SinglePartition"),
+      s"rolling_band must not serialize on one reducer:\n$rb")
+  }
 }

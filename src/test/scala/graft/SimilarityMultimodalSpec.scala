@@ -103,6 +103,49 @@ class SimilarityMultimodalSpec extends SparkSpec {
       s"indexed path should read the persisted index:\n$plan")
   }
 
+  test("hardNegatives: band keeps informative negatives, excludes dups and anti-correlated") {
+    // query 0: dup (vec 2, score 1.0) and near-dup (vec 3, ~0.99) are ABOVE
+    // the band; opposite (vec 4, -1.0) below; vec 1 (orthogonal, 0.0) below
+    val withMid = emb.union(Seq((5L, Array(0.5f, 0.9f, 0.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")) // cosine vs e1 ≈ 0.486 — in band
+    val got = SimilarityOps.hardNegatives(withMid, nQueries = 1, k = 3, lo = 0.05, hi = 0.7)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSet == Set(5L),
+      s"only the mid-similarity vector is a hard negative, got ${got.toSeq}")
+    assert(got.head._2 >= 0.05 && got.head._2 < 0.7)
+  }
+
+  test("appendToIvfIndex: index grown by delta appends is probe-identical to one built " +
+       "all-at-once; append never retrains") {
+    val all = emb
+    val base = all.filter(col("vec_id") <= 2)
+    val delta = all.filter(col("vec_id") > 2)
+    val dirFull = java.nio.file.Files.createTempDirectory("graft-ivf-full").toString
+    val dirGrown = java.nio.file.Files.createTempDirectory("graft-ivf-grown").toString
+    SimilarityOps.writeIvfIndex(all, dirFull, nCentroids = 2, iters = 2)
+    // grown index: centroids trained on the SAME full corpus (the spec
+    // isolates the append mechanism from centroid drift), lists built
+    // from base then appended with delta
+    val centroids = SimilarityOps.ivfTrainCentroids(all, 2, iters = 2)
+    centroids.write.mode("overwrite").parquet(s"$dirGrown/centroids")
+    SimilarityOps.ivfAssignWith(base, centroids)
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dirGrown/lists")
+    centroids.unpersist()
+    spark.catalog.clearCache()
+    SimilarityOps.appendToIvfIndex(delta, dirGrown)
+    def probe(dir: String) = SimilarityOps.ivfTopKFromIndex(spark, dir, nQueries = 1, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(probe(dirGrown) == probe(dirFull),
+      "append must reproduce the all-at-once lists probe-for-probe")
+    // delta-scale cost is structural: the append plan assigns against the
+    // persisted centroids — no Lloyd (posexplode aggregate) anywhere
+    val appendPlan = SimilarityOps.ivfAssignWith(
+        delta, spark.read.parquet(s"$dirGrown/centroids"))
+      .queryExecution.executedPlan.toString
+    assert(!appendPlan.toLowerCase.contains("posexplode"),
+      s"append path must not retrain:\n$appendPlan")
+  }
+
   test("int8 at rest: tinyint round trip is lossless; stored brute tier equals in-memory tier") {
     val dir = java.nio.file.Files.createTempDirectory("graft-int8").toString + "/corpus"
     val inMem = SimilarityOps.cosineTopKInt8(emb, nQueries = 1, k = 4)

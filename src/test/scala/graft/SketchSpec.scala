@@ -40,6 +40,29 @@ class SketchSpec extends SparkSpec {
     intercept[IllegalArgumentException](qs.reduce(qs.zero, -3.2))
   }
 
+  test("streams with exact batch parity: multi-batch state merges are integer adds") {
+    val in = java.nio.file.Files.createTempDirectory("graft-qs-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-qs-ckpt").toString
+    val data = (1 to 500).map(i => ((i % 3).toString, ((i * 37) % 991) + 1.0)).toDF("grp", "v")
+    // several input files + maxFilesPerTrigger=1 → the sketch state is
+    // built across MANY micro-batches, exercising merge() in streaming
+    data.repartition(5).write.mode("overwrite").parquet(in)
+    val agg = udaf(qs, org.apache.spark.sql.Encoders.scalaDouble)
+    val stream = spark.readStream.schema(data.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = stream.groupBy(col("grp")).agg(agg(col("v")).as("est"))
+      .writeStream.format("memory").queryName("qs_stream").outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("qs_stream").collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val batch = data.groupBy(col("grp")).agg(agg(col("v")).as("est")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(streamed == batch,
+      "stream and batch sketches must agree EXACTLY — merges are order-insensitive integer adds")
+  }
+
   test("as a grouped udaf: estimates track exact percentiles within the 2x gate") {
     val df = (1 to 2000).map(i => (if (i % 2 == 0) "A" else "B", (i % 997) + 1.0))
       .toDF("grp", "v")
