@@ -10,4 +10,10 @@ object GraftFunctions {
   /** Fused, codegen'd cosine similarity over two float-array columns. */
   def cosineSim(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.CosineSimilarity(a, b)
+
+  /** Morton/Z-order bit interleave of two 16-bit cell indices (LONG) —
+    * the codegen'd clustering key behind `IngestOps.writeZOrdered`.
+    */
+  def interleaveBits(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.InterleaveBits(a, b)
 }

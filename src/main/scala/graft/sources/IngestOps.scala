@@ -108,13 +108,12 @@ object IngestOps {
     def cell(c: String, lo: Double, hi: Double): String =
       if (hi <= lo) "0L"
       else s"least(65535L, cast(floor((cast($c as double) - $lo) / ${hi - lo} * 65536.0d) as bigint))"
-    val zBits = (0 until 16).flatMap { b =>
-      Seq(s"shiftleft(shiftright(__za, $b) & 1, ${2 * b})",
-          s"shiftleft(shiftright(__zb, $b) & 1, ${2 * b + 1})")
-    }.mkString(" + ")
     df.withColumn("__za", expr(cell(colA, la, ha)))
       .withColumn("__zb", expr(cell(colB, lb, hb)))
-      .withColumn("__z", expr(zBits))
+      // native O(log n) Morton spread (graft.functions.interleaveBits) —
+      // one fused codegen block instead of a 32-term shift/mask Add chain
+      .withColumn("__z",
+        graft.functions.GraftFunctions.interleaveBits(col("__za"), col("__zb")))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__za", "__zb", "__z")

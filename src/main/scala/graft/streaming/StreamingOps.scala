@@ -96,6 +96,57 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .outputMode("append")
 
+  /** Streaming incremental corpus screen — the daily-ingest dedup loop as
+    * a restart-safe stream: each micro-batch is screened against the
+    * PERSISTED fingerprint + band indexes
+    * (`DedupOps.screenDeltaAgainstCorpus`), survivors append to the clean
+    * zone, and their index rows append durably — so a later batch, or a
+    * later RUN, can never re-admit a duplicate. The dedup state is the
+    * at-rest index, NOT operator memory, on purpose: at 100 TB the
+    * fingerprint index is shared with the batch pipeline, inspectable,
+    * and compactable, where `dropDuplicates` checkpoint state is opaque
+    * to everything but this one query and grows with the corpus, not the
+    * delta (ST5 covers the within-watermark case; this owns the
+    * against-all-history case).
+    *
+    * Delivery is at-least-once per micro-batch (a replayed batch re-lands
+    * its survivors and re-appends index rows); the INDEX stays correct
+    * under replay because screening is idempotent — a fingerprint present
+    * twice still screens exactly — and the clean zone inherits the same
+    * batch-replay discipline as every append sink (dedup on fp downstream,
+    * or swap the write for the batch_id-keyed idempotent pattern of
+    * `jdbcSinkWriterIdempotent`).
+    */
+  def corpusScreenWriter(docs: DataFrame, indexDir: String, outDir: String,
+                         checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        val (fpPath, bandPath) = (s"$indexDir/fp", s"$indexDir/bands")
+        val empty = batch.limit(0)
+        def readOrInit(path: String, init: DataFrame => DataFrame): DataFrame =
+          if (new java.io.File(path).exists) spark.read.parquet(path)
+          else init(empty)
+        val clean = graft.operators.DedupOps.screenDeltaAgainstCorpus(
+          batch,
+          readOrInit(fpPath, graft.operators.DedupOps.corpusFingerprintIndex),
+          readOrInit(bandPath, graft.operators.DedupOps.corpusBandIndex))
+          .persist() // three consumers below
+        clean.write.mode("append").parquet(outDir)
+        graft.operators.DedupOps.corpusFingerprintIndex(clean)
+          .write.mode("append").parquet(fpPath)
+        graft.operators.DedupOps.corpusBandIndex(clean)
+          .write.mode("append").parquet(bandPath)
+        // the screen's internal fp-clean persist is not reachable from the
+        // returned frame; this is a single-purpose ingest job, so clearing
+        // the session cache per micro-batch is the correct lifecycle (and
+        // what keeps a long-running stream from accumulating one cached
+        // block set per batch)
+        spark.catalog.clearCache()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+
   /** Streaming → warehouse (S11 meets §2.10): land each micro-batch in the
     * JDBC warehouse via foreachBatch — Structured Streaming has no native
     * JDBC sink, and foreachBatch is the canonical bridge (it hands every

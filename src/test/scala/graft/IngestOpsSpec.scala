@@ -100,6 +100,35 @@ class IngestOpsSpec extends SparkSpec {
       "control: hash layout should interleave key ranges")
   }
 
+  test("interleaveBits: native Morton spread ≡ the 32-term SQL spelling, codegen'd") {
+    import org.apache.spark.sql.functions._
+    val sqlZ = (0 until 16).flatMap { b =>
+      Seq(s"shiftleft(shiftright(a, $b) & 1, ${2 * b})",
+          s"shiftleft(shiftright(b, $b) & 1, ${2 * b + 1})")
+    }.mkString(" + ")
+    // via parquet: a LocalTableScan evaluates driver-side with no codegen
+    // stage, which would make the WholeStageCodegen assertion vacuous
+    val p = java.nio.file.Files.createTempDirectory("graft-ileave").toString + "/t"
+    Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 0L), (0L, 65535L),
+      (65535L, 65535L), (12345L, 54321L), (40000L, 1L))
+      .toDF("a", "b").write.parquet(p)
+    val df = spark.read.parquet(p)
+      .select(col("a"), col("b"),
+        graft.functions.GraftFunctions.interleaveBits(col("a"), col("b")).as("native"),
+        expr(sqlZ).as("sql"))
+    val rows = df.collect()
+    for (r <- rows)
+      assert(r.getLong(2) == r.getLong(3),
+        s"(${r.getLong(0)}, ${r.getLong(1)}): native ${r.getLong(2)} != sql ${r.getLong(3)}")
+    // spot values: interleave(1,0)=1, interleave(0,1)=2, both-max = 2^32-1
+    val m = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m((1L, 0L)) == 1L && m((0L, 1L)) == 2L && m((65535L, 65535L)) == 0xffffffffL)
+    // stays inside whole-stage codegen: the `*(n)` stage marker on the
+    // Project is how executedPlan.toString renders a WholeStageCodegen span
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"expected codegen span marker:\n$plan")
+  }
+
   test("writeZOrdered: per-file boxes bound BOTH dims — a one-dim slice query prunes files " +
        "where single-column clustering cannot") {
     import org.apache.spark.sql.functions._

@@ -229,4 +229,41 @@ class StreamingOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(got == Map(1L -> true, 2L -> false))
   }
+
+  test("corpusScreenWriter: later micro-batches AND later runs screen against the " +
+       "durable index — history never re-admits") {
+    val in = Files.createTempDirectory("graft-screen-in").toString
+    val out = Files.createTempDirectory("graft-screen-out").toString
+    val idx = Files.createTempDirectory("graft-screen-idx").toString
+    val ckpt = Files.createTempDirectory("graft-screen-ckpt").toString
+    val schema = Seq((0L, "x")).toDF("doc_id", "text").schema
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val textB = "completely different content with no shared shingles at all here"
+    // two files appended separately + maxFilesPerTrigger=1 → two
+    // micro-batches: the dup (doc 2) arrives AFTER its original's batch
+    Seq((1L, textA)).toDF("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(in)
+    Seq((2L, textA), (3L, textB)).toDF("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(in)
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = StreamingOps.corpusScreenWriter(stream, idx, out, ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    run()
+    val clean1 = spark.read.parquet(out).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(clean1.values.toSet == Set(textA, textB),
+      s"exact dup of an earlier batch must screen out: $clean1")
+    // second RUN, new data: another dup of textA (from the index, not memory)
+    // plus a fresh doc — only the fresh doc lands
+    Seq((4L, textA), (5L, "yet another brand new document body entirely")).toDF("doc_id", "text")
+      .repartition(1).write.mode("append").parquet(in)
+    run()
+    val clean2 = spark.read.parquet(out).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!clean2.keySet.contains(4L), "cross-RUN dup must screen against the durable index")
+    assert(clean2.keySet.contains(5L), "fresh doc admitted")
+    assert(spark.read.parquet(s"$idx/fp").count() == 3, "one fp per admitted doc")
+  }
 }
