@@ -346,6 +346,10 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       SimilarityOps.pqTopKWith(emb, SimilarityOps.pqTrainCodebooks(emb), 10, 5)
     }),
+    // the composed FAISS-shape tier: IVF probe prunes to nProbe lists,
+    // ADC scores PQ codes only for candidates inside them
+    "cosine_topk_ivfpq" -> ((s, d) =>
+      SimilarityOps.ivfPqTopK(t(s, d, "embeddings"), 10, 5)),
 
     // TimescaleDB gapfill+locf analog: daily totals per status densified
     // to calendar grain with forward-fill
@@ -457,6 +461,31 @@ object SparkEntry {
     // recency-weighted per-user value: integer-quantized decay weights,
     // data-anchored (no wall clock)
     "decayed_user_value" -> ((s, d) => EventOps.decayedUserValue(t(s, d, "events"))),
+
+    // SCD2 point-in-time enrichment: each order joined to THE dimension
+    // version valid at its order date (two synthesized versions per
+    // customer, half-open windows) — key equi-join + validity residual
+    "scd2_join" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      def ver(tier: org.apache.spark.sql.Column, from: String, to: String) =
+        c.select(col("c_custkey").as("o_custkey"), tier.as("tier"),
+          lit(java.sql.Date.valueOf(from)).as("valid_from"),
+          lit(java.sql.Date.valueOf(to)).as("valid_to"))
+      val dim = ver(col("c_mktsegment"), "1992-01-01", "1995-06-01")
+        .unionByName(ver(concat(col("c_mktsegment"), lit("*")), "1995-06-01", "9999-01-01"))
+      val facts = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast(DateType).as("o_date"))
+      RelationalOps.pointInTimeJoin(facts, dim, Seq("o_custkey"), "o_date")
+    }),
+
+    // MERGE-semantics upsert as a frame: update-wins, untouched preserved
+    "upsert_orders" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val updates = o.filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
+      RelationalOps.upsertByKey(o, updates, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice").cast(DoubleType).as("price"))
+    }),
 
     "ntile_quartiles" -> ((s, d) =>
       t(s, d, "orders").select(
@@ -910,6 +939,52 @@ object SparkEntry {
   private val pqCodesCtes = pqBaseCtes + ",\n" + pqAssignCte("cb", "codes")
 
   private val pqTopKCtes = pqCodesCtes + pqAdcCtes("cb", "codes")
+
+  /** IVF-PQ replay: seeded IVF assignment + probe selection (the
+    * cosine_topk_ivf CTEs) feeding a candidate-restricted ADC — `dots`
+    * aggregates only (q, vec) pairs inside probed lists, mirroring the
+    * Spark side's candidates-before-LUT join order.
+    */
+  private val ivfPqTopKOracle: String =
+    pqCodesCtes +
+    """,
+      |cent AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM v WHERE vec_id < 16),
+      |asg AS (
+      |  SELECT vec_id, centroid_id FROM (
+      |    SELECT v.vec_id, cent.centroid_id,
+      |           row_number() OVER (PARTITION BY v.vec_id
+      |             ORDER BY round(list_cosine_similarity(v.emb, cent.c_emb), 6) DESC, cent.centroid_id) AS rn
+      |    FROM v CROSS JOIN cent) t WHERE rn = 1),
+      |probes AS (
+      |  SELECT q_id, centroid_id FROM (
+      |    SELECT qv.vec_id AS q_id, cent.centroid_id,
+      |           row_number() OVER (PARTITION BY qv.vec_id
+      |             ORDER BY round(list_cosine_similarity(qv.emb, cent.c_emb), 6) DESC, cent.centroid_id) AS rn
+      |    FROM v qv CROSS JOIN cent WHERE qv.vec_id < 10) t WHERE rn <= 2),
+      |cands AS (SELECT p.q_id, a.vec_id FROM asg a JOIN probes p USING (centroid_id)),
+      |csq AS (SELECT sub, code_id,
+      |        CAST(round(list_inner_product(c_sub, c_sub) * 1000000) AS BIGINT) AS c_sq_q FROM cb),
+      |recon AS (SELECT vec_id, SUM(c_sq_q) AS recon_sq_q
+      |          FROM codes JOIN csq USING (sub, code_id) GROUP BY vec_id),
+      |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < 10),
+      |qn AS (SELECT q_id, sqrt(list_inner_product(q_emb, q_emb)) AS q_norm FROM q),
+      |qsl AS (SELECT q_id, sub, q_emb[sub * 16 + 1 : sub * 16 + 16] AS q_sub FROM q CROSS JOIN subs),
+      |lut AS (SELECT q_id, sub, code_id,
+      |        CAST(round(list_inner_product(q_sub, c_sub) * 1000000) AS BIGINT) AS pd_q
+      |        FROM qsl JOIN cb USING (sub)),
+      |dots AS (SELECT cd.q_id, cd.vec_id, SUM(l.pd_q) AS dot_q
+      |         FROM cands cd
+      |         JOIN codes co ON co.vec_id = cd.vec_id
+      |         JOIN lut l ON l.q_id = cd.q_id AND l.sub = co.sub AND l.code_id = co.code_id
+      |         GROUP BY cd.q_id, cd.vec_id),
+      |pqranked AS (
+      |  SELECT q_id, vec_id, score,
+      |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+      |  FROM (SELECT d.q_id, d.vec_id,
+      |               round((d.dot_q / 1000000.0) / (qn.q_norm * sqrt(r.recon_sq_q / 1000000.0)), 6) AS score
+      |        FROM dots d JOIN recon r USING (vec_id) JOIN qn USING (q_id)
+      |        WHERE d.vec_id <> d.q_id) s)
+      |SELECT q_id, vec_id, score, rank FROM pqranked WHERE rank <= 5""".stripMargin
 
   /** One per-subspace Lloyd iteration replayed (assignment with the slice
     * carried, per-(sub, code, pos) round-6 mean), then the same
@@ -1598,6 +1673,8 @@ object SparkEntry {
     "cosine_topk_pq_trained" ->
       (pqTrainedTopKCtes + "\nSELECT q_id, vec_id, score, rank FROM pqranked WHERE rank <= 5"),
 
+    "cosine_topk_ivfpq" -> ivfPqTopKOracle,
+
     // PQ recall gate: full-precision brute top-5 LEFT-joined to the ADC
     // top-5, hits / 5 per query
     "ann_recall_pq" ->
@@ -2116,6 +2193,24 @@ object SparkEntry {
         |       FROM e CROSS JOIN a)
         |SELECT user_id, CAST(SUM(dq) AS DOUBLE) / 1e6 AS decayed_value
         |FROM dq GROUP BY user_id""".stripMargin,
+
+    "scd2_join" ->
+      """WITH dim AS (
+        |  SELECT c_custkey AS o_custkey, c_mktsegment AS tier,
+        |         DATE '1992-01-01' AS valid_from, DATE '1995-06-01' AS valid_to FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment || '*',
+        |         DATE '1995-06-01', DATE '9999-01-01' FROM customer)
+        |SELECT o.o_orderkey, o.o_custkey, CAST(o.o_orderdate AS DATE) AS o_date, d.tier
+        |FROM orders o JOIN dim d ON o.o_custkey = d.o_custkey
+        |  AND CAST(o.o_orderdate AS DATE) >= d.valid_from
+        |  AND CAST(o.o_orderdate AS DATE) < d.valid_to""".stripMargin,
+
+    "upsert_orders" ->
+      """SELECT o_orderkey,
+        |       CAST(CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 2
+        |                 ELSE o_totalprice END AS DOUBLE) AS price
+        |FROM orders""".stripMargin,
 
     "skew_profile" ->
       """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),

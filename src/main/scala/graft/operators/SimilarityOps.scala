@@ -662,6 +662,74 @@ object SimilarityOps {
       nQueries, k, m, dim)
 
   /** ADC top-k against an arbitrary codebook (seeded or Lloyd-trained). */
+  /** IVF-PQ: the composed ANN tier every large-scale vector store ships
+    * (the FAISS `IVFx,PQy` shape) — the coarse quantizer prunes the
+    * candidate set to the nProbe nearest inverted lists, and ADC scores
+    * PQ codes ONLY for candidates inside those lists. The two halves are
+    * exactly this engine's existing tiers (`ivfAssignWith` lists,
+    * `pqCodesWith` + LUT scoring); the composition is one extra equi-join
+    * (candidates ⋈ codes) placed BEFORE the LUT join, so the ADC
+    * aggregate processes |lists probed| rows instead of |corpus|.
+    *
+    * At 100 TB this stacking is the whole game: IVF cuts the scored set
+    * ~nCentroids/nProbe ×, PQ cuts bytes-per-scored-vector ~64× (m codes
+    * vs dim floats), and both reductions multiply. Recall composes too
+    * (list-miss × code-distortion) — gate it like `ann_recall_pq` when
+    * tuning nProbe/m.
+    */
+  def ivfPqTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+                nCentroids: Int = 16, nProbe: Int = 2,
+                m: Int = 4, kCodes: Int = 16, dim: Int = 64): DataFrame = {
+    val centroids = seedCentroids(embeddings, nCentroids)
+    val assigned = ivfAssignWith(embeddings, centroids)
+      .select(col("vec_id"), col("centroid_id"))
+    val wq = Window.partitionBy("q_id").orderBy(col("c_score").desc, col("centroid_id"))
+    val probes = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .join(broadcast(centroids))
+      .withColumn("c_score",
+        round(graft.functions.GraftFunctions.cosineSim(col("q_emb"), col("c_emb")), 6))
+      .withColumn("c_rank", row_number().over(wq))
+      .filter(col("c_rank") <= nProbe)
+      .select(col("q_id"), col("centroid_id"))
+    val cands = probes.join(assigned, Seq("centroid_id"))
+      .select(col("q_id"), col("vec_id"))
+    val cb = pqCodebook(embeddings, m, kCodes, dim)
+    val codes = pqCodesWith(embeddings, cb, m, dim)
+    val cbSq = cb.withColumn("c_sq_q",
+      expr("cast(round(aggregate(c_sub, 0D, (a, x) -> a + x * x) * 1000000) as bigint)"))
+      .select(col("sub"), col("code_id"), col("c_sq_q"))
+    val recon = codes.join(broadcast(cbSq), Seq("sub", "code_id"))
+      .groupBy(col("vec_id")).agg(sum(col("c_sq_q")).as("recon_sq_q"))
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+    val qNorm = queries.select(col("vec_id").as("q_id"),
+      expr("sqrt(aggregate(embedding, 0D, (a, x) -> a + cast(x as double) * cast(x as double)))")
+        .as("q_norm"))
+    val lut = pqSlices(queries, m, dim)
+      .select(col("vec_id").as("q_id"), col("sub"), col("v_sub").as("q_sub"))
+      .join(cb, Seq("sub"))
+      .withColumn("pd_q",
+        expr("cast(round(aggregate(zip_with(q_sub, c_sub, (x, y) -> x * y), " +
+          "0D, (a, v) -> a + v) * 1000000) as bigint)"))
+      .select(col("q_id"), col("sub"), col("code_id"), col("pd_q"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    // candidate prune FIRST: the LUT join + ADC aggregate see only probed
+    // lists, never the corpus
+    cands.join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("q_id", "sub", "code_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("pd_q")).as("dot_q"))
+      .join(recon, Seq("vec_id"))
+      .join(broadcast(qNorm), Seq("q_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", round(
+        (col("dot_q") / lit(1000000.0d)) /
+          (col("q_norm") * sqrt(col("recon_sq_q") / lit(1000000.0d))), 6))
+      .select(col("q_id"), col("vec_id"), col("score"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+  }
+
   def pqTopKWith(embeddings: DataFrame, cb: DataFrame, nQueries: Int,
                  k: Int, m: Int = 4, dim: Int = 64): DataFrame = {
     val codes = pqCodesWith(embeddings, cb, m, dim)

@@ -105,4 +105,34 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got("2024-01-01") == ((1L, 1L, 1.0)))
     assert(got("2024-01-02") == ((2L, 1L, 0.5)))
   }
+
+  test("pointInTimeJoin: half-open windows pick exactly the valid version; orphans drop") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val dim = Seq(
+      (1L, "bronze", d("2024-01-01"), d("2024-02-01")),
+      (1L, "gold", d("2024-02-01"), d("2024-03-01")),
+      (2L, "silver", d("2024-01-15"), d("2024-02-15")))
+      .toDF("k", "tier", "valid_from", "valid_to")
+    val facts = Seq(
+      (10L, 1L, d("2024-01-31")), // last day of v1
+      (11L, 1L, d("2024-02-01")), // boundary: half-open → v2
+      (12L, 2L, d("2024-02-14")),
+      (13L, 2L, d("2024-03-01"))) // outside every window → drops
+      .toDF("fid", "k", "ts")
+    val got = RelationalOps.pointInTimeJoin(facts, dim, Seq("k"), "ts")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got == Map(10L -> "bronze", 11L -> "gold", 12L -> "silver"),
+      "exactly one version per fact, boundary goes to the NEWER version")
+  }
+
+  test("upsertByKey: update wins, inserts land, untouched rows preserved") {
+    val existing = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "v", "x")
+    val updates = Seq((2L, "B2", 22.0), (9L, "new", 99.0)).toDF("k", "v", "x")
+    val got = RelationalOps.upsertByKey(existing, updates, Seq("k"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(got == Map(
+      1L -> (("a", 10.0)), 2L -> (("B2", 22.0)),
+      3L -> (("c", 30.0)), 9L -> (("new", 99.0))))
+  }
 }

@@ -103,6 +103,21 @@ class SimilarityMultimodalSpec extends SparkSpec {
       s"indexed path should read the persisted index:\n$plan")
   }
 
+  test("ivfPqTopK: the composed tier still surfaces the exact dup at rank 1; " +
+       "scoring is confined to probed lists") {
+    // fixture geometry: dup (vec 2) and near-dup (vec 3) share query 0's
+    // list, so the probed candidate set contains them; ADC scores codes
+    val got = SimilarityOps.ivfPqTopK(emb, nQueries = 1, k = 3,
+        nCentroids = 2, nProbe = 1, m = 2, kCodes = 4, dim = 4)
+      .orderBy("rank").collect()
+    assert(got.nonEmpty && got.head.getLong(1) == 2L,
+      s"dup must rank first through IVF pruning + ADC, got ${got.toSeq}")
+    // pruning is structural: with nProbe=1 of 2 lists, the anti-correlated
+    // vector (4, opposite list) must never be scored/returned
+    assert(!got.map(_.getLong(1)).contains(4L),
+      "vector in an unprobed list must not appear")
+  }
+
   test("hardNegatives: band keeps informative negatives, excludes dups and anti-correlated") {
     // query 0: dup (vec 2, score 1.0) and near-dup (vec 3, ~0.99) are ABOVE
     // the band; opposite (vec 4, -1.0) below; vec 1 (orthogonal, 0.0) below
