@@ -301,6 +301,9 @@ object SparkEntry {
     // quality-aware retention: keep the best-quality member per dup
     // cluster, not the arbitrary min-id
     "dedup_keep_best" -> ((s, d) => DedupOps.dedupKeepBest(t(s, d, "documents"))),
+    // DPO-style pairs: best vs worst quality inside each dup cluster;
+    // equal-extreme components drop (layout, not preference)
+    "preference_pairs" -> ((s, d) => DedupOps.preferencePairs(t(s, d, "documents"))),
     // inverted-index sparse cosine: df-guarded postings join, integer-
     // exact quantized-idf accumulation, top-k per doc
     "tfidf_topk_sim" -> ((s, d) => TextOps.tfidfTopKSim(t(s, d, "documents"))),
@@ -1553,6 +1556,28 @@ object SparkEntry {
         |       row_number() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) AS rn FROM j)
         |SELECT rk.component, rk.doc_id AS keep_doc_id, rk.quality, sz.n_members
         |FROM rk JOIN sz ON rk.component = sz.component WHERE rn = 1""".stripMargin),
+
+    // same component + quality CTEs; both extreme ranks in one pass,
+    // equal-extreme components dropped
+    "preference_pairs" ->
+      (dupComponentsCtes + """,
+        |q AS (SELECT doc_id,
+        |  round(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.5 +
+        |        coalesce(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |                                      t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+        |                 / NULLIF(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE), 0), 0) * 0.5,
+        |      6) AS quality FROM documents),
+        |j AS (SELECT c.component, c.doc_id, q.quality FROM comps c JOIN q ON c.doc_id = q.doc_id),
+        |sz AS (SELECT component, COUNT(*) AS n_members FROM j GROUP BY component),
+        |rk AS (SELECT component, doc_id, quality,
+        |       row_number() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) AS rb,
+        |       row_number() OVER (PARTITION BY component ORDER BY quality ASC, doc_id DESC) AS rw
+        |       FROM j),
+        |ch AS (SELECT component, doc_id AS chosen_id, quality AS q_chosen FROM rk WHERE rb = 1),
+        |rj AS (SELECT component, doc_id AS rejected_id, quality AS q_rejected FROM rk WHERE rw = 1)
+        |SELECT ch.component, ch.chosen_id, rj.rejected_id, ch.q_chosen, rj.q_rejected, sz.n_members
+        |FROM ch JOIN rj USING (component) JOIN sz USING (component)
+        |WHERE ch.q_chosen > rj.q_rejected""".stripMargin),
 
     // inverted-index sparse cosine: identical quantized-idf integer
     // weights, postings self-join, per-doc_a top-3

@@ -16,4 +16,8 @@ object GraftFunctions {
     */
   def interleaveBits(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.InterleaveBits(a, b)
+
+  /** Fused, codegen'd Euclidean distance — the PQ-encode hot path. */
+  def l2Dist(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.EuclideanDistance(a, b)
 }

@@ -849,6 +849,42 @@ object DedupOps {
         col("quality"), col("n_members"))
   }
 
+  /** DPO-style preference pairs mined from duplicate clusters: within
+    * every near-dup component, pair the BEST-quality member (chosen)
+    * against the WORST (rejected). Near-dup clusters are exactly where
+    * preference data is cheap — the members say the same thing, so
+    * quality deltas are attributable to WRITING, not content, which is
+    * the contrast a preference model should learn. Components whose best
+    * and worst quality are EQUAL are dropped: an arbitrary pair there
+    * would encode layout, not preference (and would be nondeterministic
+    * in spirit even with a tiebreak).
+    *
+    * Scale shape: components from the diameter-bounded collapse, quality
+    * from one narrow codegen'd pass, then ONE component-keyed window pass
+    * computing both extreme ranks + a component aggregate — all shuffles
+    * keyed on component, which AQE coalesces post-collapse.
+    */
+  def preferencePairs(documents: DataFrame): DataFrame = {
+    val comps = dupComponents(minhashCandidatePairs(documents))
+    val j = comps.join(TextOps.qualityScore(documents), Seq("doc_id"))
+    val wBest = Window.partitionBy(col("component"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val wWorst = Window.partitionBy(col("component"))
+      .orderBy(col("quality").asc, col("doc_id").desc)
+    j.withColumn("rb", row_number().over(wBest))
+      .withColumn("rw", row_number().over(wWorst))
+      .groupBy(col("component"))
+      .agg(
+        max(when(col("rb") === 1, struct(col("doc_id"), col("quality")))).as("chosen"),
+        max(when(col("rw") === 1, struct(col("doc_id"), col("quality")))).as("rejected"),
+        count(lit(1)).as("n_members"))
+      .filter(col("chosen.quality") > col("rejected.quality"))
+      .select(col("component"),
+        col("chosen.doc_id").as("chosen_id"), col("rejected.doc_id").as("rejected_id"),
+        col("chosen.quality").as("q_chosen"), col("rejected.quality").as("q_rejected"),
+        col("n_members"))
+  }
+
   /** Leakage-safe train/val split: the split key is the NEAR-DUP
     * COMPONENT, not the document. Hashing doc_ids into splits leaks —
     * a near-duplicate pair straddling train and val means the model is

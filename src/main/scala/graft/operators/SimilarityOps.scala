@@ -136,6 +136,30 @@ object SimilarityOps {
   def ivfAssign(embeddings: DataFrame, nCentroids: Int): DataFrame =
     ivfAssignWith(embeddings, seedCentroids(embeddings, nCentroids))
 
+  /** Assignment IDS ONLY — same winner as `ivfAssignWith` (round-6 score
+    * desc, centroid_id tiebreak, expressed as an argmin struct) but as a
+    * partial-aggregated hash aggregate over NARROW (vec_id, centroid_id,
+    * score) rows instead of a row_number window. The window formulation
+    * shuffles every corpus row TWICE carrying both embedding arrays
+    * (~800 B/row — at 200 k vectors × 16 centroids that is GBs through
+    * sort); this one map-side-combines 3.2 M 20-byte rows down to one row
+    * per vector before the exchange. Use it wherever downstream needs the
+    * list id, not the vector (candidate pruning, stats); `ivfAssignWith`
+    * remains the right call when the embedding must ride along (list
+    * storage, in-list scoring).
+    */
+  def ivfAssignIds(embeddings: DataFrame, centroids: DataFrame): DataFrame =
+    embeddings
+      .join(broadcast(centroids))
+      .select(col("vec_id"),
+        struct(
+          (lit(0.0) - round(graft.functions.GraftFunctions
+            .cosineSim(col("embedding"), col("c_emb")), 6)).as("neg_score"),
+          col("centroid_id")).as("cand"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("cand")).as("best"))
+      .select(col("vec_id"), col("best.centroid_id").as("centroid_id"))
+
   /** Lloyd k-means refinement of the IVF centroids, as repeated
     * assign → per-dimension-mean passes over the corpus — the "couple of
     * Lloyd iterations expressible as repeated assign+groupBy-avg" path,
@@ -589,9 +613,17 @@ object SimilarityOps {
     pqSlices(embeddings.filter(col("vec_id") < kCodes), m, dim)
       .select(col("sub"), col("vec_id").as("code_id"), col("v_sub").as("c_sub"))
 
-  private val pqDistExpr =
+  /** SQL spelling of the PQ slice distance — kept as the cross-check
+    * oracle for the native `l2_dist` expression that replaced it on the
+    * hot path (PropertySpec asserts bit-equality; SCALE.md r8 has the
+    * measured win: the interpreted fold made PQ encode super-linear).
+    */
+  private[graft] val pqDistExpr =
     "sqrt(aggregate(zip_with(v_sub, c_sub, (x, y) -> (x - y) * (x - y)), " +
       "0D, (a, v) -> a + v))"
+
+  private def pqDist = round(
+    graft.functions.GraftFunctions.l2Dist(col("v_sub"), col("c_sub")), 6)
 
   /** PQ encoding against an arbitrary (sub, code_id, c_sub) codebook:
     * each (vector, subspace) maps to its nearest codeword by rounded L2
@@ -606,7 +638,7 @@ object SimilarityOps {
                   dim: Int = 64): DataFrame =
     pqSlices(embeddings, m, dim)
       .join(broadcast(codebook), Seq("sub"))
-      .withColumn("dist", round(expr(pqDistExpr), 6))
+      .withColumn("dist", pqDist)
       .groupBy(col("vec_id"), col("sub"))
       .agg(min(struct(col("dist"), col("code_id"))).as("best"))
       .select(col("vec_id"), col("sub"), col("best.code_id").as("code_id"))
@@ -634,7 +666,7 @@ object SimilarityOps {
     val slices = pqSlices(embeddings, m, dim)
     for (_ <- 0 until iters) {
       cb = slices.join(broadcast(cb), Seq("sub"))
-        .withColumn("dist", round(expr(pqDistExpr), 6))
+        .withColumn("dist", pqDist)
         .groupBy(col("vec_id"), col("sub"))
         .agg(min(struct(col("dist"), col("code_id"), col("v_sub"))).as("best"))
         .select(col("sub"), col("best.code_id").as("code_id"),
@@ -681,8 +713,10 @@ object SimilarityOps {
                 nCentroids: Int = 16, nProbe: Int = 2,
                 m: Int = 4, kCodes: Int = 16, dim: Int = 64): DataFrame = {
     val centroids = seedCentroids(embeddings, nCentroids)
-    val assigned = ivfAssignWith(embeddings, centroids)
-      .select(col("vec_id"), col("centroid_id"))
+    // ids-only argmin aggregate: the corpus assignment must not shuffle
+    // embedding arrays through a window (measured: 34 s → the window's
+    // wide-row sorts dominated the whole query at 200 k vectors)
+    val assigned = ivfAssignIds(embeddings, centroids)
     val wq = Window.partitionBy("q_id").orderBy(col("c_score").desc, col("centroid_id"))
     val probes = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -695,7 +729,10 @@ object SimilarityOps {
     val cands = probes.join(assigned, Seq("centroid_id"))
       .select(col("q_id"), col("vec_id"))
     val cb = pqCodebook(embeddings, m, kCodes, dim)
-    val codes = pqCodesWith(embeddings, cb, m, dim)
+    // codes feed BOTH the reconstruction norms and the candidate scoring —
+    // persist or the encode pass (the corpus-scale work) runs twice
+    // (cache lifecycle caller-owned, as everywhere in this engine)
+    val codes = pqCodesWith(embeddings, cb, m, dim).persist()
     val cbSq = cb.withColumn("c_sq_q",
       expr("cast(round(aggregate(c_sub, 0D, (a, x) -> a + x * x) * 1000000) as bigint)"))
       .select(col("sub"), col("code_id"), col("c_sq_q"))

@@ -591,6 +591,27 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(got("sB") == ((1L, 10L, 8L, 0.8)))
   }
 
+  test("preferencePairs: best-vs-worst per dup cluster; equal-extreme clusters drop") {
+    val base = "the quick brown fox jumps over the lazy dog near the old barn today"
+    val d = Seq(
+      // cluster {1,2}: same content, 2 is longer → higher length half of quality
+      (1L, base, "en", "s1", 60L),
+      (2L, base + " " + base, "en", "s2", 120L),
+      // singleton: no pair, never appears
+      (3L, "completely unrelated words appear here without overlap whatsoever", "de", "s2", 80L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = DedupOps.preferencePairs(d).collect()
+    assert(rows.length == 1, s"one pair from the one dup cluster, got ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 1L, "longer member is chosen, shorter rejected")
+    assert(r.getDouble(3) > r.getDouble(4))
+    assert(r.getLong(5) == 2L)
+    // equal-extreme: two identical members → no preference signal → no pair
+    val eq = Seq((1L, base, "en", "s1", 60L), (2L, base, "en", "s2", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(DedupOps.preferencePairs(eq).collect().isEmpty)
+  }
+
   test("bm25TopK: ranks by saturated tf with length normalization; no-hit docs absent") {
     val d = Seq(
       (1L, "spark spark spark merge query", "en", "s1", 5L),       // dense hits, short

@@ -137,4 +137,70 @@ class PropertySpec extends SparkSpec {
       assert(base == pack(df.orderBy(desc("doc_id")).repartition(7)))
     }
   }
+
+  test("native l2_dist equals the SQL fold bit-for-bit on random vectors") {
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-1000, 1000).map(_ / 250.0))
+    for (pairs <- samples(Gen.listOfN(50, Gen.zip(vecGen, vecGen)), 4)) {
+      val df = pairs.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a.toArray, b.toArray) }
+        .toDF("id", "v_sub", "c_sub")
+      val rows = df.select(col("id"),
+        graft.functions.GraftFunctions.l2Dist(col("v_sub"), col("c_sub")).as("native"),
+        expr(graft.operators.SimilarityOps.pqDistExpr).as("fold")).collect()
+      for (r <- rows)
+        assert(r.getDouble(1) == r.getDouble(2),
+          s"row ${r.getLong(0)}: native ${r.getDouble(1)} != fold ${r.getDouble(2)} " +
+            "(left-to-right accumulation must match exactly)")
+    }
+  }
+
+  test("substringDedup invariants on random corpora: counts consistent, clean text = " +
+       "kept tokens, partition-invariant") {
+    val docGen = Gen.listOfN(12, Gen.oneOf("aa", "bb", "cc", "dd", "ee")).map(_.mkString(" "))
+    for (texts <- samples(Gen.listOfN(8, docGen), 4)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = DedupOps.substringDedup(df, k = 4).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      for ((_, (nTok, nKept, clean)) <- out) {
+        assert(nKept <= nTok, "cannot keep more tokens than exist")
+        val cleanCount = if (clean.isEmpty) 0 else clean.split(" ").length
+        assert(cleanCount == nKept, s"clean_text must hold exactly n_kept tokens: '$clean' vs $nKept")
+      }
+      val re = DedupOps.substringDedup(df.repartition(7), k = 4).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      assert(out.toMap == re.toMap, "keep-first is (doc_id, pos)-decided, not layout-decided")
+    }
+  }
+
+  test("upsertByKey invariants: key set is union, updates always win, no duplicate keys") {
+    val kvGen = Gen.listOfN(10, Gen.zip(Gen.chooseNum(0L, 6L), Gen.chooseNum(0, 999)))
+      .map(_.distinctBy(_._1))
+    for ((ex, up) <- samples(Gen.zip(kvGen, kvGen), 5)) {
+      val existing = ex.toDF("k", "v")
+      val updates = up.toDF("k", "v")
+      val got = RelationalOps.upsertByKey(existing, updates, Seq("k")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1))
+      assert(got.map(_._1).distinct.length == got.length, "one row per key")
+      assert(got.map(_._1).toSet == (ex.map(_._1) ++ up.map(_._1)).toSet, "key union")
+      val (upMap, exMap) = (up.toMap, ex.toMap)
+      for ((k, v) <- got)
+        assert(upMap.get(k).map(_ == v).getOrElse(exMap(k) == v), s"wrong winner for $k")
+    }
+  }
+
+  test("pointInTimeJoin: at most one version per fact for non-overlapping windows") {
+    def d(day: Int) = java.sql.Date.valueOf(f"2024-01-$day%02d")
+    // random non-overlapping version breakpoints per key
+    val bpGen = Gen.listOfN(2, Gen.chooseNum(2, 27)).map(_.distinct.sorted)
+    for (bps <- samples(bpGen, 6)) {
+      val bounds = (1 +: bps.map(identity)) :+ 28
+      val dim = bounds.sliding(2).zipWithIndex.collect {
+        case (Seq(a, b), i) if a < b => (1L, s"v$i", d(a), d(b))
+      }.toSeq.toDF("k", "ver", "valid_from", "valid_to")
+      val facts = (1 to 27).map(day => (day.toLong, 1L, d(day))).toDF("fid", "k", "ts")
+      val got = RelationalOps.pointInTimeJoin(facts, dim, Seq("k"), "ts").collect()
+      assert(got.map(_.getLong(0)).distinct.length == got.length,
+        "non-overlapping windows must yield at most one version per fact")
+    }
+  }
 }
