@@ -481,6 +481,22 @@ object SparkEntry {
       RelationalOps.pointInTimeJoin(facts, dim, Seq("o_custkey"), "o_date")
     }),
 
+    // dbt-test surface as an operator: one audit row per rule; the
+    // 1/2/3-priority accepted_values rule FAILS by design (TPC-H has 5)
+    // so the gate also proves violation counting, not just all-green
+    "dq_expectations" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      RelationalOps.dqExpectations(orders,
+        unique = Seq("o_orderkey"),
+        notNull = Seq("o_custkey"),
+        accepted = Seq(
+          "o_orderstatus" -> Seq("O", "F", "P"),
+          "o_orderpriority" -> Seq("1-URGENT", "2-HIGH", "3-MEDIUM")),
+        relationships = Seq(("o_custkey", t(s, d, "customer"), "c_custkey")))
+    }),
+    // market-basket: pairwise event-type lift from exact distinct counts
+    "basket_lift" -> ((s, d) => EventOps.basketLift(t(s, d, "events"))),
+
     // MERGE-semantics upsert as a frame: update-wins, untouched preserved
     "upsert_orders" -> ((s, d) => {
       val o = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
@@ -2230,6 +2246,48 @@ object SparkEntry {
         |FROM orders o JOIN dim d ON o.o_custkey = d.o_custkey
         |  AND CAST(o.o_orderdate AS DATE) >= d.valid_from
         |  AND CAST(o.o_orderdate AS DATE) < d.valid_to""".stripMargin,
+
+    "dq_expectations" ->
+      """SELECT 'unique' AS rule, 'o_orderkey' AS "column",
+        |       CAST(coalesce(SUM(n), 0) AS BIGINT) AS n_violations,
+        |       coalesce(SUM(n), 0) = 0 AS passed
+        |FROM (SELECT 1 AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+        |UNION ALL
+        |SELECT 'not_null', 'o_custkey',
+        |       CAST(coalesce(SUM(n), 0) AS BIGINT), coalesce(SUM(n), 0) = 0
+        |FROM (SELECT 1 AS n FROM orders WHERE o_custkey IS NULL)
+        |UNION ALL
+        |SELECT 'accepted_values', 'o_orderstatus',
+        |       CAST(coalesce(SUM(n), 0) AS BIGINT), coalesce(SUM(n), 0) = 0
+        |FROM (SELECT 1 AS n FROM orders
+        |      WHERE o_orderstatus NOT IN ('O', 'F', 'P') OR o_orderstatus IS NULL)
+        |UNION ALL
+        |SELECT 'accepted_values', 'o_orderpriority',
+        |       CAST(coalesce(SUM(n), 0) AS BIGINT), coalesce(SUM(n), 0) = 0
+        |FROM (SELECT 1 AS n FROM orders
+        |      WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+        |         OR o_orderpriority IS NULL)
+        |UNION ALL
+        |SELECT 'relationships', 'o_custkey',
+        |       CAST(coalesce(SUM(n), 0) AS BIGINT), coalesce(SUM(n), 0) = 0
+        |FROM (SELECT 1 AS n FROM orders o
+        |      WHERE o.o_custkey IS NOT NULL
+        |        AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))""".stripMargin,
+
+    "basket_lift" ->
+      """WITH ue AS (SELECT DISTINCT user_id, event_type FROM events),
+        |nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ue),
+        |supp AS (SELECT event_type, COUNT(*) AS n_single FROM ue GROUP BY 1),
+        |pairs AS (SELECT a.event_type AS event_a, b.event_type AS event_b, COUNT(*) AS n_both
+        |          FROM ue a JOIN ue b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |          GROUP BY 1, 2)
+        |SELECT p.event_a, p.event_b, p.n_both,
+        |       CAST(CAST(round(p.n_both * nu.n_users * 1000000.0 / (sa.n_single * sb.n_single))
+        |            AS BIGINT) AS DOUBLE) / 1e6 AS lift
+        |FROM pairs p
+        |JOIN supp sa ON p.event_a = sa.event_type
+        |JOIN supp sb ON p.event_b = sb.event_type
+        |CROSS JOIN nu""".stripMargin,
 
     "upsert_orders" ->
       """SELECT o_orderkey,

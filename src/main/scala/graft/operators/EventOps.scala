@@ -143,6 +143,37 @@ object EventOps {
       .agg((sum(col("dq")).cast(DoubleType) / lit(1e6)).as("decayed_value"))
   }
 
+  /** Market-basket lift over the event feed: for every pair of event
+    * types, how much more often users do BOTH than independence predicts
+    * (lift = P(a∧b) / (P(a)·P(b))) — the cross-sell/feature-affinity
+    * read every product-analytics stack ships. Computed from exact
+    * integer counts (distinct (user, type) pairs, canonical a < b
+    * self-join keyed on user) and quantized at the integer grid, so the
+    * ratio is engine-stable. Pair cardinality is #types² — tiny — and
+    * the only corpus-scale shuffles are the distinct and the user-keyed
+    * self-join (co-partitioned).
+    */
+  def basketLift(events: DataFrame): DataFrame = {
+    val ue = events.select(col("user_id"), col("event_type")).distinct()
+    val nUsers = ue.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val supp = ue.groupBy(col("event_type")).agg(count(lit(1)).as("n_single"))
+    val pairs = ue.select(col("user_id"), col("event_type").as("event_a"))
+      .join(ue.select(col("user_id"), col("event_type").as("event_b")), Seq("user_id"))
+      .filter(col("event_a") < col("event_b"))
+      .groupBy(col("event_a"), col("event_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(supp.select(col("event_type").as("event_a"), col("n_single").as("n_a"))),
+        Seq("event_a"))
+      .join(broadcast(supp.select(col("event_type").as("event_b"), col("n_single").as("n_b"))),
+        Seq("event_b"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("event_a"), col("event_b"), col("n_both"),
+        (expr("cast(round(n_both * n_users * 1000000.0d / (n_a * n_b)) as bigint)")
+          .cast(org.apache.spark.sql.types.DoubleType) / lit(1e6)).as("lift"))
+  }
+
   /** Key-skew profiler: the top `topN` heaviest values of `keyCol` with
     * each key's share of total rows and the running cumulative share — the
     * diagnostic run BEFORE keying a 100 TB shuffle on a column (it answers

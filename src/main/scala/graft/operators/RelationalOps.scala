@@ -341,6 +341,52 @@ object RelationalOps {
           facts(tsCol) >= dim(fromCol) && facts(tsCol) < dim(toCol))
         .drop(dim(fromCol)).drop(dim(toCol)))((df, c) => df.drop(c))
 
+  /** dbt-style schema expectations — the `dbt test` surface the reference
+    * documents (reference readme.md:517-520; its template config reserves
+    * `test-paths`) as a first-class operator: `unique`, `not_null`,
+    * `accepted_values`, and `relationships` rules evaluated over a table,
+    * one audit row per rule: (rule, column, n_violations, passed). This is
+    * the contract gate a warehouse runs after every load; emitting an
+    * audit FRAME (not an exception) lets pipelines route failures to
+    * quarantine/alerting while clean loads proceed.
+    *
+    * Scale shape: each rule family is one aggregate or one keyed
+    * anti-join over the child table — no rule multiplies table passes
+    * (uniqueness groups by the column; relationships anti-join the
+    * parent's distinct keys); the per-rule single-row results union into
+    * a frame of #rules rows.
+    */
+  def dqExpectations(df: DataFrame,
+                     unique: Seq[String] = Nil,
+                     notNull: Seq[String] = Nil,
+                     accepted: Seq[(String, Seq[String])] = Nil,
+                     relationships: Seq[(String, DataFrame, String)] = Nil): DataFrame = {
+    def audit(rule: String, column: String, violations: DataFrame): DataFrame =
+      violations.agg(coalesce(sum(col("n")), lit(0L)).as("n_violations"))
+        .select(lit(rule).as("rule"), lit(column).as("column"),
+          col("n_violations"), (col("n_violations") === 0L).as("passed"))
+    val checks =
+      unique.map { c =>
+        audit("unique", c, df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") > 1).select(lit(1L).as("n")))
+      } ++
+      notNull.map { c =>
+        audit("not_null", c, df.filter(col(c).isNull).select(lit(1L).as("n")))
+      } ++
+      accepted.map { case (c, values) =>
+        audit("accepted_values", c,
+          df.filter(!col(c).isin(values: _*) || col(c).isNull).select(lit(1L).as("n")))
+      } ++
+      relationships.map { case (c, parent, parentKey) =>
+        audit("relationships", c,
+          df.filter(col(c).isNotNull)
+            .join(parent.select(col(parentKey).as(c)).distinct(), Seq(c), "left_anti")
+            .select(lit(1L).as("n")))
+      }
+    require(checks.nonEmpty, "no expectations given")
+    checks.reduce(_ unionByName _)
+  }
+
   /** MERGE-style upsert as a pure transformation: the new snapshot is
     * `updates` plus every `existing` row whose key is not updated —
     * update-wins, insert-new, untouched-preserved. Spark on plain parquet

@@ -120,6 +120,38 @@ object IngestOps {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ⌈bytes / targetFileBytes⌉ files. The maintenance job every
+    * incremental sink eventually needs — streaming appends
+    * (`corpusScreenWriter`, `availableNowWriter`) and per-batch index
+    * appends (`appendToIvfIndex`) each land one-file-per-micro-batch, and
+    * at 100 TB the resulting listing/open overhead (plus lost row-group
+    * statistics width) throttles every reader. Sizing from the ACTUAL
+    * on-disk bytes (not file count) keeps output files near the target
+    * regardless of how skewed the input files are.
+    *
+    * Safe swap: the rewrite lands in a staging dir first, then an atomic
+    * directory rename replaces the original — a reader never observes a
+    * half-compacted directory (rename atomicity is per-filesystem; object
+    * stores want the staging dir + catalog-pointer flip instead, same
+    * two-phase shape).
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val path = new java.io.File(dir)
+    val bytes = Option(path.listFiles).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
+    val files = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val staging = new java.io.File(dir + ".compacting")
+    spark.read.parquet(dir).repartition(files)
+      .write.mode("overwrite").parquet(staging.toString)
+    val old = new java.io.File(dir + ".old")
+    require(path.renameTo(old) && staging.renameTo(path),
+      s"atomic swap failed for $dir")
+    org.apache.commons.io.FileUtils.deleteDirectory(old)
+    files
+  }
+
   /** O6: incremental append into a time-partitioned table (the hypertable
     * analog, S8) — append new run-date partitions; dedup downstream via
     * DedupOps/`dropDuplicatesWithinWatermark` rather than rewriting

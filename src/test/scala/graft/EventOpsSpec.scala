@@ -85,6 +85,24 @@ class EventOpsSpec extends SparkSpec {
     assert(re == got, "integer-quantized sums are partition-order-proof")
   }
 
+  test("basketLift: exact lift from distinct user-type counts; repeats don't inflate") {
+    val e = Seq(
+      // users 1,2 do BOTH view+click; user 3 only view (twice: distinct collapses)
+      (1L, ts("2024-01-01 09:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 09:10:00"), 1L, "click", 1.0, "{}"),
+      (3L, ts("2024-01-01 09:20:00"), 2L, "view", 1.0, "{}"),
+      (4L, ts("2024-01-01 09:30:00"), 2L, "click", 1.0, "{}"),
+      (5L, ts("2024-01-01 09:40:00"), 3L, "view", 1.0, "{}"),
+      (6L, ts("2024-01-01 09:50:00"), 3L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = EventOps.basketLift(e).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getString(0), r.getString(1), r.getLong(2)) == (("click", "view", 2L)))
+    // lift = P(both)/(P(a)P(b)) = (2/3) / ((2/3)(3/3)) = 1.0
+    assert(r.getDouble(3) == 1.0)
+  }
+
   test("skewProfile: (cnt desc, key) order, shares of TOTAL, cumulative over top-N only") {
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(1)("c"))
       .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")

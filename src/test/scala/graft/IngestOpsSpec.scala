@@ -100,6 +100,26 @@ class IngestOpsSpec extends SparkSpec {
       "control: hash layout should interleave key ranges")
   }
 
+  test("compactParquet: many small files become few sized ones, data identical, swap atomic") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    // 40 micro-batch-sized appends → 40+ small files
+    for (b <- 0 until 40)
+      (b * 100 until (b + 1) * 100).map(i => (i.toLong, s"row$i"))
+        .toDF("id", "v").repartition(1).write.mode("append").parquet(dir)
+    def parquetFiles() = new java.io.File(dir).listFiles
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val before = parquetFiles()
+    assert(before >= 40, s"fixture should be fragmented, got $before files")
+    val expected = spark.read.parquet(dir).collect().map(_.toString).sorted
+    val n = IngestOps.compactParquet(spark, dir, targetFileBytes = 64L * 1024)
+    assert(parquetFiles() == n && n < before / 2,
+      s"compaction should consolidate: $before -> ${parquetFiles()} (target $n)")
+    assert(spark.read.parquet(dir).collect().map(_.toString).sorted.sameElements(expected),
+      "compaction must be a pure layout change")
+    assert(!new java.io.File(dir + ".compacting").exists && !new java.io.File(dir + ".old").exists,
+      "staging and old dirs cleaned up")
+  }
+
   test("interleaveBits: native Morton spread ≡ the 32-term SQL spelling, codegen'd") {
     import org.apache.spark.sql.functions._
     val sqlZ = (0 until 16).flatMap { b =>

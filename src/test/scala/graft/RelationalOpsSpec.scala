@@ -125,6 +125,26 @@ class RelationalOpsSpec extends SparkSpec {
       "exactly one version per fact, boundary goes to the NEWER version")
   }
 
+  test("dqExpectations: per-rule violation counts on an engineered dirty table") {
+    val parent = Seq(1L, 2L).toDF("pk")
+    val dirty = Seq(
+      (Some(1L), Some("A"), Some(1L)),
+      (Some(1L), Some("B"), Some(2L)),   // dup key 1; B not accepted
+      (None, Some("A"), Some(9L)),       // null key; orphan fk 9
+      (Some(3L), None, None))            // null status; null fk ignored by relationships
+      .toDF("k", "status", "fk")
+    val got = RelationalOps.dqExpectations(dirty,
+      unique = Seq("k"), notNull = Seq("k"),
+      accepted = Seq("status" -> Seq("A")),
+      relationships = Seq(("fk", parent, "pk")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got(("unique", "k")) == ((1L, false)), "one duplicated key value")
+    assert(got(("not_null", "k")) == ((1L, false)))
+    assert(got(("accepted_values", "status")) == ((2L, false)), "B + null both violate")
+    assert(got(("relationships", "fk")) == ((1L, false)), "fk 9 orphaned; null fk exempt")
+  }
+
   test("upsertByKey: update wins, inserts land, untouched rows preserved") {
     val existing = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("k", "v", "x")

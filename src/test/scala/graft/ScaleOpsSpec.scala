@@ -190,6 +190,46 @@ class ScaleOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ANALYZE column stats + CBO flip a filtered dim join to broadcast") {
+    // The catalog-statistics loop a warehouse deployment runs: without
+    // column stats Spark sizes a FILTERED dimension at its full file
+    // size (the filter's selectivity is unknowable), plans a sort-merge
+    // join, and shuffles the fact side; after ANALYZE ... FOR ALL
+    // COLUMNS, CBO's NDV-based selectivity shrinks the estimate under
+    // the broadcast threshold and the same query broadcasts. At 100 TB
+    // this single flip is often the difference between a dashboard
+    // query and a cluster-wide shuffle — stats collection IS part of
+    // the engine surface, not an ops afterthought.
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024).toString)
+      spark.conf.set("spark.sql.adaptive.enabled", "false") // isolate CBO from AQE re-planning
+      val pad = "x" * 60
+      (0 until 20000).map(i => (i.toLong, i % 500, s"$pad$i"))
+        .toDF("k", "sel", "payload")
+        .write.mode("overwrite").saveAsTable("cbo_dim")
+      (0 until 20000).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+        .write.mode("overwrite").saveAsTable("cbo_fact")
+      val q = "SELECT f.k, f.v FROM cbo_fact f JOIN cbo_dim d ON f.k = d.k WHERE d.sel = 7"
+      val before = spark.sql(q).queryExecution.executedPlan.toString
+      assert(before.contains("SortMergeJoin") && !before.contains("BroadcastHashJoin"),
+        s"without column stats the filtered dim must NOT look broadcastable:\n$before")
+      spark.sql("ANALYZE TABLE cbo_dim COMPUTE STATISTICS FOR ALL COLUMNS")
+      val after = spark.sql(q).queryExecution.executedPlan.toString
+      assert(after.contains("BroadcastHashJoin"),
+        s"NDV-based selectivity should shrink the dim under the threshold:\n$after")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cbo_dim")
+      spark.sql("DROP TABLE IF EXISTS cbo_fact")
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("flatMapGroupsWithState sessionization: gap splits, counts, batch flush") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val evs = Seq(
