@@ -353,6 +353,19 @@ object SparkEntry {
     // ADC scores PQ codes only for candidates inside them
     "cosine_topk_ivfpq" -> ((s, d) =>
       SimilarityOps.ivfPqTopK(t(s, d, "embeddings"), 10, 5)),
+    // the SAME composition through the persisted index (build once,
+    // query pays probe + LUT + ADC only); shares cosine_topk_ivfpq's
+    // oracle verbatim — the hash gate proves the at-rest round trip
+    // changes nothing
+    "cosine_topk_ivfpq_stored" -> ((s, d) => {
+      val dir = java.nio.file.Paths
+        .get(System.getProperty("java.io.tmpdir"), "graft_ivfpq_index").toString
+      val emb = t(s, d, "embeddings")
+      SimilarityOps.writeIvfPqIndex(emb, dir)
+      SimilarityOps.ivfPqTopKFromIndex(s, dir,
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), 5)
+    }),
 
     // TimescaleDB gapfill+locf analog: daily totals per status densified
     // to calendar grain with forward-fill
@@ -1715,6 +1728,7 @@ object SparkEntry {
       (pqTrainedTopKCtes + "\nSELECT q_id, vec_id, score, rank FROM pqranked WHERE rank <= 5"),
 
     "cosine_topk_ivfpq" -> ivfPqTopKOracle,
+    "cosine_topk_ivfpq_stored" -> ivfPqTopKOracle,
 
     // PQ recall gate: full-precision brute top-5 LEFT-joined to the ADC
     // top-5, hits / 5 per query

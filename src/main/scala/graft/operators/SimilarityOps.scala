@@ -767,6 +767,83 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Persist the composed IVF-PQ index: centroids + per-subspace codebook
+    * (both KB-scale) and the corpus as (vec_id, centroid_id, sub,
+    * code_id, recon_sq_q) — codes JOINED with their list assignment and
+    * the precomputed reconstruction norm, partitioned by centroid_id for
+    * file-level probe pruning. This banks the ~55% of per-batch IVF-PQ
+    * cost that SCALE.md measured as index build (assignment + encode):
+    * build once here, and every query batch through
+    * `ivfPqTopKFromIndex` pays only probe selection + the LUT join + ADC
+    * over the probed lists' code rows. Code rows are 5 small integers —
+    * the at-rest index is a fraction of the float corpus, which is the
+    * PQ memory story landing on disk (same motivation as
+    * `writeIvfIndexInt8`, compounded).
+    */
+  def writeIvfPqIndex(embeddings: DataFrame, dir: String,
+                      nCentroids: Int = 16, m: Int = 4, kCodes: Int = 16,
+                      dim: Int = 64): Unit = {
+    val centroids = seedCentroids(embeddings, nCentroids)
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    val cb = pqCodebook(embeddings, m, kCodes, dim)
+    cb.write.mode("overwrite").parquet(s"$dir/codebook")
+    val codes = pqCodesWith(embeddings, cb, m, dim).persist()
+    val cbSq = cb.withColumn("c_sq_q",
+      expr("cast(round(aggregate(c_sub, 0D, (a, x) -> a + x * x) * 1000000) as bigint)"))
+      .select(col("sub"), col("code_id"), col("c_sq_q"))
+    val recon = codes.join(broadcast(cbSq), Seq("sub", "code_id"))
+      .groupBy(col("vec_id")).agg(sum(col("c_sq_q")).as("recon_sq_q"))
+    codes
+      .join(ivfAssignIds(embeddings, centroids), Seq("vec_id"))
+      .join(recon, Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/codes")
+    codes.unpersist()
+  }
+
+  /** Query batch against a persisted IVF-PQ index: probe + LUT + ADC
+    * only — no assignment, no encode (plan-asserted in the spec). The
+    * queries frame must carry (q_id, q_emb).
+    */
+  def ivfPqTopKFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         queries: DataFrame, k: Int, nProbe: Int = 2,
+                         m: Int = 4, dim: Int = 64): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val cb = spark.read.parquet(s"$dir/codebook")
+    val codeRows = spark.read.parquet(s"$dir/codes")
+    val wq = Window.partitionBy("q_id").orderBy(col("c_score").desc, col("centroid_id"))
+    val probes = queries
+      .join(broadcast(centroids))
+      .withColumn("c_score",
+        round(graft.functions.GraftFunctions.cosineSim(col("q_emb"), col("c_emb")), 6))
+      .withColumn("c_rank", row_number().over(wq))
+      .filter(col("c_rank") <= nProbe)
+      .select(col("q_id"), col("centroid_id"))
+    val qNorm = queries.select(col("q_id"),
+      expr("sqrt(aggregate(q_emb, 0D, (a, x) -> a + cast(x as double) * cast(x as double)))")
+        .as("q_norm"))
+    val lut = pqSlices(queries.select(col("q_id").as("vec_id"), col("q_emb").as("embedding")),
+        m, dim)
+      .select(col("vec_id").as("q_id"), col("sub"), col("v_sub").as("q_sub"))
+      .join(cb, Seq("sub"))
+      .withColumn("pd_q",
+        expr("cast(round(aggregate(zip_with(q_sub, c_sub, (x, y) -> x * y), " +
+          "0D, (a, v) -> a + v) * 1000000) as bigint)"))
+      .select(col("q_id"), col("sub"), col("code_id"), col("pd_q"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    probes.join(codeRows, Seq("centroid_id"))
+      .join(broadcast(lut), Seq("q_id", "sub", "code_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("pd_q")).as("dot_q"), first(col("recon_sq_q")).as("recon_sq_q"))
+      .join(broadcast(qNorm), Seq("q_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", round(
+        (col("dot_q") / lit(1000000.0d)) /
+          (col("q_norm") * sqrt(col("recon_sq_q") / lit(1000000.0d))), 6))
+      .select(col("q_id"), col("vec_id"), col("score"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+  }
+
   def pqTopKWith(embeddings: DataFrame, cb: DataFrame, nQueries: Int,
                  k: Int, m: Int = 4, dim: Int = 64): DataFrame = {
     val codes = pqCodesWith(embeddings, cb, m, dim)

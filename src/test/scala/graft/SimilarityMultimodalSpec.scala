@@ -118,6 +118,29 @@ class SimilarityMultimodalSpec extends SparkSpec {
       "vector in an unprobed list must not appear")
   }
 
+  test("persisted IVF-PQ index: probe-identical to the inline composed tier, " +
+       "and the query plan contains no encode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx").toString
+    SimilarityOps.writeIvfPqIndex(emb, dir, nCentroids = 2, m = 2, kCodes = 4, dim = 4)
+    spark.catalog.clearCache()
+    val inline = SimilarityOps.ivfPqTopK(emb, nQueries = 1, k = 3,
+        nCentroids = 2, nProbe = 1, m = 2, kCodes = 4, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    spark.catalog.clearCache()
+    val queries = emb.filter(col("vec_id") < 1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val fromIdx = SimilarityOps.ivfPqTopKFromIndex(spark, dir, queries,
+      k = 3, nProbe = 1, m = 2, dim = 4)
+    val got = fromIdx.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == inline, "index path must reproduce the inline composition probe-for-probe")
+    // the banked cost is structural: no corpus assignment, no PQ encode
+    // (the encode's argmin runs the native l2_dist expression; a plan
+    // that re-encodes would carry it)
+    val plan = fromIdx.queryExecution.executedPlan.toString
+    assert(!plan.contains("l2_dist"), s"query-time plan must not encode:\n$plan")
+  }
+
   test("hardNegatives: band keeps informative negatives, excludes dups and anti-correlated") {
     // query 0: dup (vec 2, score 1.0) and near-dup (vec 3, ~0.99) are ABOVE
     // the band; opposite (vec 4, -1.0) below; vec 1 (orthogonal, 0.0) below
