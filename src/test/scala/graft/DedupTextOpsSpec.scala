@@ -591,6 +591,26 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(got("sB") == ((1L, 10L, 8L, 0.8)))
   }
 
+  test("observation metrics ride the quality gate's own pass (no second scan)") {
+    // the Observation API pins per-run counters to the SAME action that
+    // produces the data — at 100 TB this replaces the "run the filter,
+    // then count what it dropped" second pass every naive audit costs
+    val obs = new org.apache.spark.sql.Observation("gate")
+    val d = Seq(
+      (1L, ("the quick brown fox and the lazy dog of the old barn " * 5).trim, "en", "s1", 270L),
+      (2L, (1 to 10).map(i => s"- item $i").mkString("\n"), "en", "s2", 80L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val gated = TextOps.gopherQuality(d)
+      .observe(obs,
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+    val kept = gated.filter(col("keep")).count()
+    val m = obs.get
+    assert(m("n_docs") == 2L && m("n_kept") == 1L && kept == 1L,
+      s"metrics must report the gate's own pass: $m")
+  }
+
   test("preferencePairs: best-vs-worst per dup cluster; equal-extreme clusters drop") {
     val base = "the quick brown fox jumps over the lazy dog near the old barn today"
     val d = Seq(

@@ -100,6 +100,19 @@ class IngestOpsSpec extends SparkSpec {
       "control: hash layout should interleave key ranges")
   }
 
+  test("schema evolution: a widened append reads back as the merged schema, old rows null-padded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString + "/t"
+    Seq((1L, "a")).toDF("id", "v").write.mode("append").parquet(dir)
+    // later ingest adds a column — the raw-zone reality appendRunPartition feeds
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score").write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "v", "score"))
+    val rows = merged.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(r.fieldIndex("score"))) None else Some(r.getDouble(r.fieldIndex("score"))))).toMap
+    assert(rows(1L).isEmpty && rows(2L).contains(9.5),
+      "pre-evolution rows null-pad the new column")
+  }
+
   test("compactParquet: many small files become few sized ones, data identical, swap atomic") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
     // 40 micro-batch-sized appends → 40+ small files

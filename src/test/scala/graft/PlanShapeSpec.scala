@@ -102,6 +102,20 @@ class PlanShapeSpec extends SparkSpec {
       s"token counts need partial+final aggregation:\n$hh")
   }
 
+  test("scd2/preference/decay/basket: equi-driven joins; nested loops only for 1-row anchors") {
+    val s2 = plan("scd2_join")
+    assert(!s2.contains("CartesianProduct") && !s2.contains("BroadcastNestedLoopJoin"),
+      s"the validity residual must ride the key equi-join, never a nested loop:\n$s2")
+    val pp = plan("preference_pairs")
+    assert(!pp.contains("CartesianProduct") && !pp.contains("BroadcastNestedLoopJoin"),
+      s"component/quality joins stay equi-keyed:\n$pp")
+    // decayed/basket deliberately cross against a broadcast SINGLE-ROW
+    // aggregate (anchor date / user count) — a plain cartesian would be
+    // a data-scale cross and is still forbidden
+    for (q <- Seq("decayed_user_value", "basket_lift"))
+      assert(!plan(q).contains("CartesianProduct"), s"$q plans a cartesian product")
+  }
+
   test("event analytics: funnel/cohort stay equi-keyed; band window partitions by type") {
     for (q <- Seq("cohort_retention", "funnel_conversion")) {
       val p = plan(q)
