@@ -509,6 +509,15 @@ object SparkEntry {
     }),
     // market-basket: pairwise event-type lift from exact distinct counts
     "basket_lift" -> ((s, d) => EventOps.basketLift(t(s, d, "events"))),
+    // the stateful streaming funnel run over batch input: per-user stage
+    // reached (exact batch semantics — the parity the streaming path
+    // defers finalization to achieve)
+    "funnel_typed" -> ((s, d) => {
+      import s.implicits._
+      graft.streaming.Funnel.funnel(
+        t(s, d, "events").select(col("user_id"), col("ts"), col("event_type"))
+          .as[graft.streaming.Funnel.Event]).toDF()
+    }),
 
     // MERGE-semantics upsert as a frame: update-wins, untouched preserved
     "upsert_orders" -> ((s, d) => {
@@ -2287,6 +2296,23 @@ object SparkEntry {
         |FROM (SELECT 1 AS n FROM orders o
         |      WHERE o.o_custkey IS NOT NULL
         |        AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))""".stripMargin,
+
+    "funnel_typed" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e
+        |      WHERE event_type IN ('signup', 'click', 'purchase')),
+        |s0 AS (SELECT user_id, min(ts) AS t0 FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM e JOIN s0 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY 1)
+        |SELECT u.user_id,
+        |       CAST(CASE WHEN s2.t2 IS NOT NULL THEN 3
+        |                 WHEN s1.t1 IS NOT NULL THEN 2
+        |                 WHEN s0.t0 IS NOT NULL THEN 1
+        |                 ELSE 0 END AS INTEGER) AS stage
+        |FROM u LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
+        |       LEFT JOIN s2 USING (user_id)""".stripMargin,
 
     "basket_lift" ->
       """WITH ue AS (SELECT DISTINCT user_id, event_type FROM events),

@@ -190,6 +190,44 @@ class ScaleOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel: out-of-order stage arrival still counts (deferred finalization), " +
+       "batch parity exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Funnel
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // THE disorder case an incremental stage machine gets wrong: the
+    // click ARRIVES before the earlier-timestamped signup
+    val evs = Seq(
+      Funnel.Event(1L, ts("2024-01-01 10:00:00"), "click"),
+      Funnel.Event(1L, ts("2024-01-01 09:00:00"), "signup"),
+      Funnel.Event(1L, ts("2024-01-01 11:00:00"), "purchase"),
+      Funnel.Event(2L, ts("2024-01-01 09:30:00"), "click")) // click with no signup: stage 0
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Funnel.Event]
+    // the 2 h watermark DELAY is what admits the late signup: disorder
+    // tolerance in this design is exactly the watermark allowance (a
+    // 0-second watermark would drop the 09:00 signup once the 10:00
+    // click has advanced event time — late-row filtering happens before
+    // the state handler ever sees the row)
+    val q = Funnel.funnel(mem.toDS().withWatermark("ts", "2 hours"), quietMs = 30 * 60 * 1000)
+      .writeStream.format("memory").queryName("funnel_stream").outputMode("append").start()
+    try {
+      mem.addData(evs(0)); q.processAllAvailable() // click first (arrival order)
+      mem.addData(evs(1), evs(2), evs(3)); q.processAllAvailable()
+      assert(spark.table("funnel_stream").count() == 0, "nothing finalizes before quiet")
+      // watermark pusher: unrelated user far in the future fires the timeouts
+      mem.addData(Funnel.Event(99L, ts("2024-01-02 00:00:00"), "view"))
+      q.processAllAvailable()
+      val got = spark.table("funnel_stream").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == Map(1L -> 3, 2L -> 0),
+        s"user 1 completes despite disorder; clicks without signup stay stage 0: $got")
+    } finally q.stop()
+    // batch parity on the same events
+    val batch = Funnel.funnel(evs.toDS()).collect().map(r => r.user_id -> r.stage).toMap
+    assert(batch == Map(1L -> 3, 2L -> 0))
+  }
+
   test("ANALYZE column stats + CBO flip a filtered dim join to broadcast") {
     // The catalog-statistics loop a warehouse deployment runs: without
     // column stats Spark sizes a FILTERED dimension at its full file
