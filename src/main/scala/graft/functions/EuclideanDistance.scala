@@ -20,6 +20,13 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * the fold — left-to-right double accumulation over widened elements,
   * sqrt once at the end — so round-6 quantized assignments (and therefore
   * every oracle hash) are unchanged.
+  *
+  * EXACT fold equivalence extends to the degenerate cases, which is what
+  * makes the `RewriteL2Distance` optimizer rule a safe substitution:
+  * `zip_with` null-pads mismatched lengths and a null operand poisons the
+  * sum, so the SQL spelling yields NULL for length mismatch or any null
+  * element — this kernel does the same (null out, never a partial
+  * answer).
   */
 case class EuclideanDistance(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -42,10 +49,12 @@ case class EuclideanDistance(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val xf = isFloatArray(left)
     val yf = isFloatArray(right)
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null // zip_with null-pad
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null // null poisons the fold
       val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
       val d = xi - yi
@@ -64,13 +73,18 @@ case class EuclideanDistance(left: Expression, right: Expression)
       val gx = if (isFloatArray(left)) "getFloat" else "getDouble"
       val gy = if (isFloatArray(right)) "getFloat" else "getDouble"
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = (double) $a.$gx($i) - (double) $b.$gy($i);
-         |  $acc += $d * $d;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $d = (double) $a.$gx($i) - (double) $b.$gy($i);
+         |    $acc += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = Math.sqrt($acc); }
          |}
-         |${ev.value} = Math.sqrt($acc);
        """.stripMargin
     })
 

@@ -138,6 +138,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("RewriteL2Distance: the SQL fold spelling optimizes to the native kernel, " +
+       "values and degenerate NULL semantics preserved") {
+    val foldSql = graft.operators.SimilarityOps.pqDistExpr
+    // parquet-backed: ConvertToLocalRelation would otherwise evaluate the
+    // projection eagerly and leave no expression to inspect
+    val p = java.nio.file.Files.createTempDirectory("graft-l2rw").toString + "/t"
+    Seq(
+      (1L, Array(1.0, 2.0, 3.0), Array(1.5, 0.5, 3.0)),
+      (2L, Array(0.0, 0.0), Array(0.0, 0.0)))
+      .toDF("id", "v_sub", "c_sub").write.parquet(p)
+    val q = spark.read.parquet(p).select(col("id"), expr(foldSql).as("d"))
+    // the injected optimizer rule must replace the interpreted fold
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("l2_dist") && !opt.contains("aggregate("),
+      s"fold spelling should optimize to the native kernel:\n$opt")
+    val got = q.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == math.sqrt(0.25 + 2.25) && got(2L) == 0.0)
+    // degenerate semantics survive the rewrite: zip_with null-pads a
+    // length mismatch and a null element poisons the sum → NULL out
+    val pd = java.nio.file.Files.createTempDirectory("graft-l2rw-deg").toString + "/t"
+    Seq(
+      (1L, Array[java.lang.Double](1.0, 2.0), Array[java.lang.Double](1.0)),
+      (2L, Array[java.lang.Double](1.0, null), Array[java.lang.Double](1.0, 2.0)))
+      .toDF("id", "v_sub", "c_sub").write.parquet(pd)
+    val deg = spark.read.parquet(pd).select(col("id"), expr(foldSql).as("d"))
+    assert(deg.queryExecution.optimizedPlan.toString.contains("l2_dist"),
+      "rewrite must fire on the degenerate frame too")
+    assert(deg.collect().forall(_.isNullAt(1)),
+      "mismatched lengths and null elements must stay NULL after the rewrite")
+  }
+
   test("native l2_dist equals the SQL fold bit-for-bit on random vectors") {
     val vecGen = Gen.listOfN(16, Gen.chooseNum(-1000, 1000).map(_ / 250.0))
     for (pairs <- samples(Gen.listOfN(50, Gen.zip(vecGen, vecGen)), 4)) {
