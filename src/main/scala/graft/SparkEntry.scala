@@ -509,6 +509,9 @@ object SparkEntry {
     }),
     // market-basket: pairwise event-type lift from exact distinct counts
     "basket_lift" -> ((s, d) => EventOps.basketLift(t(s, d, "events"))),
+    // trailing-band anomalies: preceding-window baseline, current day
+    // excluded so a spike can't dampen its own signal
+    "events_anomaly" -> ((s, d) => EventOps.anomalousDays(t(s, d, "events"))),
     // the stateful streaming funnel run over batch input: per-user stage
     // reached (exact batch semantics — the parity the streaming path
     // defers finalization to achieve)
@@ -2313,6 +2316,24 @@ object SparkEntry {
         |                 ELSE 0 END AS INTEGER) AS stage
         |FROM u LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
         |       LEFT JOIN s2 USING (user_id)""".stripMargin,
+
+    "events_anomaly" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |d AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |      SUM(CAST(round(value * 100) AS BIGINT)) AS cents FROM e GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, cents,
+        |      COUNT(*) OVER fr AS n, SUM(cents) OVER fr AS s, SUM(cents * cents) OVER fr AS ss
+        |      FROM d WINDOW fr AS (PARTITION BY event_type ORDER BY day
+        |                           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |b AS (SELECT event_type, day, cents,
+        |      CAST(s AS DOUBLE) / n AS mean_c,
+        |      sqrt(CAST(n * ss - s * s AS DOUBLE) / (n * (n - 1))) AS std_c
+        |      FROM w WHERE n >= 3)
+        |SELECT event_type, day,
+        |       round(CAST(cents AS DOUBLE) / 100.0, 2) AS value,
+        |       round(mean_c / 100.0, 6) AS baseline_mean,
+        |       round(std_c / 100.0, 6) AS baseline_std
+        |FROM b WHERE abs(CAST(cents AS DOUBLE) - mean_c) > 2.0 * std_c""".stripMargin,
 
     "basket_lift" ->
       """WITH ue AS (SELECT DISTINCT user_id, event_type FROM events),

@@ -143,6 +143,38 @@ object EventOps {
       .agg((sum(col("dq")).cast(DoubleType) / lit(1e6)).as("decayed_value"))
   }
 
+  /** Trailing-band anomaly detection: a (type, day) total is anomalous
+    * when it falls outside mean ± 2σ of the PRECEDING `frameDays` days —
+    * the frame excludes the current day, unlike `rollingBand`'s trailing
+    * frame, because a spike inside its own baseline dampens the very
+    * signal it should trip. Emits only the anomalies (the alerting
+    * read). Same integer-cents discipline: frame sums are exact bigints,
+    * one sqrt at the end, and the flag compares exact-integer-derived
+    * doubles — deterministic in both engines. Warm-up days (fewer than 3
+    * prior days) never flag.
+    */
+  def anomalousDays(events: DataFrame, frameDays: Int = 7): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-frameDays, -1)
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("cents")).over(w))
+      .withColumn("ss", sum(col("cents") * col("cents")).over(w))
+      .filter(col("n") >= 3)
+      .withColumn("mean_c", col("s").cast(DoubleType) / col("n"))
+      .withColumn("std_c",
+        sqrt((col("n") * col("ss") - col("s") * col("s")).cast(DoubleType)
+          / (col("n") * (col("n") - 1))))
+      .filter(abs(col("cents").cast(DoubleType) - col("mean_c")) > lit(2.0) * col("std_c"))
+      .select(col("event_type"), col("day"),
+        round(col("cents").cast(DoubleType) / 100.0, 2).as("value"),
+        round(col("mean_c") / 100.0, 6).as("baseline_mean"),
+        round(col("std_c") / 100.0, 6).as("baseline_std"))
+  }
+
   /** Market-basket lift over the event feed: for every pair of event
     * types, how much more often users do BOTH than independence predicts
     * (lift = P(a∧b) / (P(a)·P(b))) — the cross-sell/feature-affinity

@@ -85,6 +85,26 @@ class EventOpsSpec extends SparkSpec {
     assert(re == got, "integer-quantized sums are partition-order-proof")
   }
 
+  test("anomalousDays: preceding-window baseline flags the spike, warm-up never flags") {
+    // 5 steady days of 1.00 then a 100.00 spike: baseline (preceding
+    // frame) is the flat days, so the spike flags; the spike itself never
+    // contaminates its own baseline
+    val e = ((1 to 5).map(d => (d.toLong, ts(f"2024-01-0$d%01d 09:00:00"), 1L, "view", 1.00, "{}")) :+
+      (6L, ts("2024-01-06 09:00:00"), 1L, "view", 100.00, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = EventOps.anomalousDays(e).collect()
+    assert(rows.length == 1, s"only the spike flags: ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getDate(1).toString == "2024-01-06" && r.getDouble(2) == 100.0)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 0.0, "baseline from the 5 flat days")
+    // warm-up: fewer than 3 preceding days never flags even when wild
+    val warm = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1L, "view", 1.00, "{}"),
+      (2L, ts("2024-01-02 09:00:00"), 1L, "view", 500.00, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(EventOps.anomalousDays(warm).collect().isEmpty)
+  }
+
   test("basketLift: exact lift from distinct user-type counts; repeats don't inflate") {
     val e = Seq(
       // users 1,2 do BOTH view+click; user 3 only view (twice: distinct collapses)

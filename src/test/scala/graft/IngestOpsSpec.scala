@@ -100,6 +100,17 @@ class IngestOpsSpec extends SparkSpec {
       "control: hash layout should interleave key ranges")
   }
 
+  test("ORC round-trip: the columnar alternative reads back identically (source breadth)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/t"
+    val df = (1 to 500).map(i => (i.toLong, s"v$i", i * 1.5)).toDF("id", "v", "x")
+    df.write.orc(dir)
+    val back = spark.read.orc(dir)
+    // nullability widens through any file format; names/types must hold
+    assert(back.schema.map(f => (f.name, f.dataType)) == df.schema.map(f => (f.name, f.dataType)))
+    assert(back.collect().map(_.toString).sorted.sameElements(
+      df.collect().map(_.toString).sorted))
+  }
+
   test("schema evolution: a widened append reads back as the merged schema, old rows null-padded") {
     val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString + "/t"
     Seq((1L, "a")).toDF("id", "v").write.mode("append").parquet(dir)
