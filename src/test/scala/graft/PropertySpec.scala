@@ -219,6 +219,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("cohortRetention / bm25TopK invariant under partitioning; retention bounded by 1") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val evGen = Gen.listOfN(60, Gen.zip(Gen.chooseNum(1L, 9L), Gen.chooseNum(0L, 27L)))
+    for (evs <- samples(evGen, 4)) {
+      val df = evs.zipWithIndex.map { case ((u, day), i) =>
+        (i.toLong, new java.sql.Timestamp(ts0 + day * 86400000L), u, "view", 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      def run(d: org.apache.spark.sql.DataFrame) =
+        graft.operators.EventOps.cohortRetention(d).collect()
+          .map(r => (r.getDate(0).toString, r.getInt(1)) -> ((r.getLong(2), r.getDouble(4)))).toMap
+      val base = run(df)
+      assert(base == run(df.repartition(7)), "cohort cells must not depend on layout")
+      assert(base.values.forall { case (_, ret) => ret > 0.0 && ret <= 1.0 },
+        "retention is a fraction of the cohort")
+      assert(base.keys.forall(_._2 >= 0), "no negative offsets: first week IS the cohort week")
+    }
+    val docGen = Gen.listOfN(20, Gen.oneOf("spark", "merge", "pad", "filler", "query"))
+      .map(_.mkString(" "))
+    for (texts <- samples(Gen.listOfN(12, docGen), 3)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s1", 20L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      def run(d: org.apache.spark.sql.DataFrame) =
+        graft.operators.TextOps.bm25TopK(d).collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(run(df) == run(df.repartition(5)),
+        "integer-quantized scores + (score, doc_id) order must be layout-proof")
+    }
+  }
+
   test("pointInTimeJoin: at most one version per fact for non-overlapping windows") {
     def d(day: Int) = java.sql.Date.valueOf(f"2024-01-$day%02d")
     // random non-overlapping version breakpoints per key
