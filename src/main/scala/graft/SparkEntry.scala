@@ -448,6 +448,23 @@ object SparkEntry {
             .as("p90_within_tol"))
     }),
 
+    // the sketch's mergeability is what rollup needs: per-status AND
+    // grand-total quantiles from ONE pass (exact percentile can't merge
+    // partials across grouping sets; integer-add sketch buffers can)
+    "quantile_sketch_rollup" -> ((s, d) => {
+      val qs = udaf(new graft.functions.QuantileSketch(Seq(0.5, 0.9)),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      t(s, d, "orders").rollup(col("o_orderstatus"))
+        .agg(qs(col("o_totalprice")).as("est"),
+          expr("percentile(o_totalprice, 0.5)").as("ex50"),
+          expr("percentile(o_totalprice, 0.9)").as("ex90"))
+        .select(col("o_orderstatus"),
+          (abs(element_at(col("est"), 1) - col("ex50")) / col("ex50") <= lit(0.02))
+            .as("p50_within_tol"),
+          (abs(element_at(col("est"), 2) - col("ex90")) / col("ex90") <= lit(0.02))
+            .as("p90_within_tol"))
+    }),
+
     // lag+cumsum sessionization — the SQL-expressible (oracle-checkable)
     // formulation of the gap sessions that session_window/Sessionize
     // compute; one shuffle on user_id, two fused window passes
@@ -2157,6 +2174,13 @@ object SparkEntry {
       """SELECT o_orderstatus, CAST(1 AS BOOLEAN) AS p50_within_tol,
         |       CAST(1 AS BOOLEAN) AS p90_within_tol
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // the ROLLUP adds the grand-total (NULL) grouping set; the sketch's
+    // bound holds per group AND merged → all true there too
+    "quantile_sketch_rollup" ->
+      """SELECT o_orderstatus, CAST(1 AS BOOLEAN) AS p50_within_tol,
+        |       CAST(1 AS BOOLEAN) AS p90_within_tol
+        |FROM orders GROUP BY ROLLUP(o_orderstatus)""".stripMargin,
 
     "mad_outliers" ->
       """WITH med AS (

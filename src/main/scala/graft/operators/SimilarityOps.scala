@@ -788,16 +788,17 @@ object SimilarityOps {
     val cb = pqCodebook(embeddings, m, kCodes, dim)
     cb.write.mode("overwrite").parquet(s"$dir/codebook")
     val codes = pqCodesWith(embeddings, cb, m, dim).persist()
-    val cbSq = cb.withColumn("c_sq_q",
-      expr("cast(round(aggregate(c_sub, 0D, (a, x) -> a + x * x) * 1000000) as bigint)"))
-      .select(col("sub"), col("code_id"), col("c_sq_q"))
-    val recon = codes.join(broadcast(cbSq), Seq("sub", "code_id"))
-      .groupBy(col("vec_id")).agg(sum(col("c_sq_q")).as("recon_sq_q"))
-    codes
-      .join(ivfAssignIds(embeddings, centroids), Seq("vec_id"))
-      .join(recon, Seq("vec_id"))
-      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/codes")
-    codes.unpersist()
+    try {
+      val cbSq = cb.withColumn("c_sq_q",
+        expr("cast(round(aggregate(c_sub, 0D, (a, x) -> a + x * x) * 1000000) as bigint)"))
+        .select(col("sub"), col("code_id"), col("c_sq_q"))
+      val recon = codes.join(broadcast(cbSq), Seq("sub", "code_id"))
+        .groupBy(col("vec_id")).agg(sum(col("c_sq_q")).as("recon_sq_q"))
+      codes
+        .join(ivfAssignIds(embeddings, centroids), Seq("vec_id"))
+        .join(recon, Seq("vec_id"))
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/codes")
+    } finally codes.unpersist() // failure paths must not leak cached blocks (r7 advice)
   }
 
   /** Query batch against a persisted IVF-PQ index: probe + LUT + ADC

@@ -143,12 +143,19 @@ object IngestOps {
       .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
     val files = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val staging = new java.io.File(dir + ".compacting")
-    spark.read.parquet(dir).repartition(files)
-      .write.mode("overwrite").parquet(staging.toString)
-    val old = new java.io.File(dir + ".old")
-    require(path.renameTo(old) && staging.renameTo(path),
-      s"atomic swap failed for $dir")
-    org.apache.commons.io.FileUtils.deleteDirectory(old)
+    try {
+      spark.read.parquet(dir).repartition(files)
+        .write.mode("overwrite").parquet(staging.toString)
+      val old = new java.io.File(dir + ".old")
+      require(path.renameTo(old) && staging.renameTo(path),
+        s"atomic swap failed for $dir")
+      org.apache.commons.io.FileUtils.deleteDirectory(old)
+    } catch { case scala.util.control.NonFatal(e) =>
+      // a failed rewrite must not leave a stale staging dir for the next
+      // compaction run to mistake for its own output
+      org.apache.commons.io.FileUtils.deleteQuietly(staging)
+      throw e
+    }
     files
   }
 
