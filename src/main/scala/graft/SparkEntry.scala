@@ -1296,9 +1296,8 @@ object SparkEntry {
         |SELECT d.source, COUNT(*) AS n_docs,
         |       SUM(o.n_tokens) AS total_tokens,
         |       SUM(o.n_tokens - o.n_kept) AS removed_tokens,
-        |       CAST(CAST(round(SUM(o.n_tokens - o.n_kept)
-        |            / CAST(SUM(o.n_tokens) AS DOUBLE) * 1000000) AS BIGINT) AS DOUBLE) / 1e6
-        |         AS removal_rate
+        |       CAST((SUM(o.n_tokens - o.n_kept) * 1000000 + SUM(o.n_tokens) // 2)
+        |            // SUM(o.n_tokens) AS BIGINT) AS removal_rate_ppm
         |FROM out o JOIN documents d USING (doc_id) GROUP BY d.source""".stripMargin,
 
     // BM25: same per-term integer quantization before the per-doc sum
@@ -1724,7 +1723,7 @@ object SparkEntry {
         |fd AS (SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS first_day FROM ud)
         |SELECT day, COUNT(*) AS active_users,
         |CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
-        |CAST(round(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) * 1000000.0 / COUNT(*)) AS BIGINT) / 1000000.0 AS new_rate
+        |CAST((SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) * 1000000 + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS new_rate_ppm
         |FROM fd GROUP BY day""".stripMargin,
 
     // seeded assignment (round-6 cosine, centroid tiebreak) + one window:
@@ -2282,7 +2281,7 @@ object SparkEntry {
         |       CAST(round(value * CAST(round(exp(-date_diff('day', day, as_of) / 7.0)
         |            * 1000000) AS BIGINT)) AS BIGINT) AS dq
         |       FROM e CROSS JOIN a)
-        |SELECT user_id, CAST(SUM(dq) AS DOUBLE) / 1e6 AS decayed_value
+        |SELECT user_id, CAST(SUM(dq) AS BIGINT) AS decayed_value_micros
         |FROM dq GROUP BY user_id""".stripMargin,
 
     "scd2_join" ->
@@ -2367,8 +2366,8 @@ object SparkEntry {
         |          FROM ue a JOIN ue b ON a.user_id = b.user_id AND a.event_type < b.event_type
         |          GROUP BY 1, 2)
         |SELECT p.event_a, p.event_b, p.n_both,
-        |       CAST(CAST(round(p.n_both * nu.n_users * 1000000.0 / (sa.n_single * sb.n_single))
-        |            AS BIGINT) AS DOUBLE) / 1e6 AS lift
+        |       CAST((p.n_both * nu.n_users * 1000000 + (sa.n_single * sb.n_single) // 2)
+        |            // (sa.n_single * sb.n_single) AS BIGINT) AS lift_ppm
         |FROM pairs p
         |JOIN supp sa ON p.event_a = sa.event_type
         |JOIN supp sb ON p.event_b = sb.event_type
@@ -2385,10 +2384,10 @@ object SparkEntry {
         |tot AS (SELECT SUM(cnt) AS total FROM c),
         |top AS (SELECT user_id, cnt FROM c ORDER BY cnt DESC, user_id LIMIT 10)
         |SELECT user_id, cnt,
-        |       round(CAST(cnt AS DOUBLE) / total, 6) AS share,
-        |       round(CAST(SUM(cnt) OVER (ORDER BY cnt DESC, user_id
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-        |             / total, 6) AS cum_share
+        |       CAST((cnt * 1000000 + total // 2) // total AS BIGINT) AS share_ppm,
+        |       CAST((SUM(cnt) OVER (ORDER BY cnt DESC, user_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000
+        |             + total // 2) // total AS BIGINT) AS cum_share_ppm
         |FROM top CROSS JOIN tot""".stripMargin,
 
     "ntile_quartiles" ->

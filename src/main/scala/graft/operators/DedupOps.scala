@@ -783,9 +783,10 @@ object DedupOps {
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
         sum(col("n_tokens") - col("n_kept")).as("removed_tokens"))
-      .withColumn("removal_rate",
-        expr("cast(round(removed_tokens / cast(total_tokens as double) * 1000000) as bigint)")
-          .cast(DoubleType) / lit(1e6))
+      .withColumn("removal_rate_ppm",
+        // Pure-integer half-up rounding: no double division, no engine
+        // round() semantics, no float-repr surface for the comparator.
+        expr("(removed_tokens * 1000000L + total_tokens div 2) div total_tokens"))
 
   /** Cross-source contamination matrix: for every source pair, how much
     * segment-level content they share — the audit a multi-crawl pipeline

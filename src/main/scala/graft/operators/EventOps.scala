@@ -140,7 +140,9 @@ object EventOps {
         expr(s"cast(round(value * cast(round(exp(-datediff(as_of, day) / ${tauDays}d)" +
           " * 1000000) as bigint)) as bigint)").as("dq"))
       .groupBy(col("user_id"))
-      .agg((sum(col("dq")).cast(DoubleType) / lit(1e6)).as("decayed_value"))
+      // integer micros out — no divide-back, so the oracled surface has
+      // zero float representation (the span_dedup_stats lesson)
+      .agg(sum(col("dq")).as("decayed_value_micros"))
   }
 
   /** Trailing-band anomaly detection: a (type, day) total is anomalous
@@ -202,8 +204,11 @@ object EventOps {
         Seq("event_b"))
       .crossJoin(broadcast(nUsers))
       .select(col("event_a"), col("event_b"), col("n_both"),
-        (expr("cast(round(n_both * n_users * 1000000.0d / (n_a * n_b)) as bigint)")
-          .cast(org.apache.spark.sql.types.DoubleType) / lit(1e6)).as("lift"))
+        // pure-integer half-up ppm: no double division, no engine round()
+        // semantics (n_both·n_users·1e6 stays well inside BIGINT for any
+        // corpus whose distinct-pair count fits an analytics audit)
+        expr("(n_both * n_users * 1000000L + (n_a * n_b) div 2) div (n_a * n_b)")
+          .as("lift_ppm"))
   }
 
   /** Key-skew profiler: the top `topN` heaviest values of `keyCol` with
@@ -219,11 +224,17 @@ object EventOps {
     val top = counts
       .orderBy(col("cnt").desc, col(keyCol))
       .limit(topN)
-    val cum = Window.orderBy(col("cnt").desc, col(keyCol))
+    // partitionBy(lit) keeps the single-partition frame (the input is the
+    // post-TakeOrdered topN rows, bounded by construction) but gives
+    // WindowExec a non-empty partition spec, silencing its per-run
+    // "No Partition Defined" warning in every bench log
+    val cum = Window.partitionBy(lit(0))
+      .orderBy(col("cnt").desc, col(keyCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     top.crossJoin(broadcast(total))
+      .withColumn("cum_cnt", sum(col("cnt")).over(cum))
       .select(col(keyCol), col("cnt"),
-        round(col("cnt").cast(DoubleType) / col("total"), 6).as("share"),
-        round(sum(col("cnt")).over(cum).cast(DoubleType) / col("total"), 6).as("cum_share"))
+        expr("(cnt * 1000000L + total div 2) div total").as("share_ppm"),
+        expr("(cum_cnt * 1000000L + total div 2) div total").as("cum_share_ppm"))
   }
 }

@@ -312,8 +312,8 @@ object RelationalOps {
       .agg(
         count(lit(1)).as("active_users"),
         sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("new_users"))
-      .withColumn("new_rate",
-        expr("cast(round(new_users * 1000000.0d / active_users) as bigint) / 1000000.0d"))
+      .withColumn("new_rate_ppm",
+        expr("(new_users * 1000000L + active_users div 2) div active_users"))
   }
 
   /** SCD2 point-in-time join: enrich facts with THE dimension version

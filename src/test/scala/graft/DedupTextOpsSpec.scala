@@ -585,10 +585,10 @@ class DedupTextOpsSpec extends SparkSpec {
       (2L, s"$span tail1 tail2", "en", "sB", 10L)) // sB: the 8 copied tokens removed
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val got = DedupOps.substringDedupStats(d).collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
       .toMap
-    assert(got("sA") == ((1L, 8L, 0L, 0.0)))
-    assert(got("sB") == ((1L, 10L, 8L, 0.8)))
+    assert(got("sA") == ((1L, 8L, 0L, 0L)))
+    assert(got("sB") == ((1L, 10L, 8L, 800000L)))
   }
 
   test("observation metrics ride the quality gate's own pass (no second scan)") {

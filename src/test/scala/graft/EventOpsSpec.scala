@@ -76,12 +76,13 @@ class EventOpsSpec extends SparkSpec {
       (3L, ts("2024-01-08 10:00:00"), 2L, "view", 50.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val got = EventOps.decayedUserValue(e, tauDays = 7.0).collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    // w(age 0) = 1e6, w(age 7) = round(e^-1 * 1e6) = 367879
-    assert(got(2L) == 50.0)
-    assert(got(1L) == (100L * 1000000L + math.rint(100.0 * 367879L)) / 1e6)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // w(age 0) = 1e6, w(age 7) = round(e^-1 * 1e6) = 367879; output is
+    // integer micros (no divide-back — zero float surface for the oracle)
+    assert(got(2L) == 50000000L)
+    assert(got(1L) == 100L * 1000000L + math.rint(100.0 * 367879L).toLong)
     val re = EventOps.decayedUserValue(e.repartition(5), tauDays = 7.0).collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(re == got, "integer-quantized sums are partition-order-proof")
   }
 
@@ -119,8 +120,8 @@ class EventOpsSpec extends SparkSpec {
     assert(rows.length == 1)
     val r = rows.head
     assert((r.getString(0), r.getString(1), r.getLong(2)) == (("click", "view", 2L)))
-    // lift = P(both)/(P(a)P(b)) = (2/3) / ((2/3)(3/3)) = 1.0
-    assert(r.getDouble(3) == 1.0)
+    // lift = P(both)/(P(a)P(b)) = (2/3) / ((2/3)(3/3)) = 1.0 → 1e6 ppm
+    assert(r.getLong(3) == 1000000L)
   }
 
   test("skewProfile: (cnt desc, key) order, shares of TOTAL, cumulative over top-N only") {
@@ -128,8 +129,8 @@ class EventOpsSpec extends SparkSpec {
       .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
     val rows = EventOps.skewProfile(df, "k", topN = 2).collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("a", "b"), "top-2 only")
-    assert(rows(0).getDouble(2) == 0.6 && rows(0).getDouble(3) == 0.6)
-    assert(rows(1).getDouble(2) == 0.3 && rows(1).getDouble(3) == 0.9,
+    assert(rows(0).getLong(2) == 600000L && rows(0).getLong(3) == 600000L)
+    assert(rows(1).getLong(2) == 300000L && rows(1).getLong(3) == 900000L,
       "cumulative share still denominates by the FULL total")
   }
 }

@@ -101,9 +101,9 @@ class RelationalOpsSpec extends SparkSpec {
       (4L, ts("2024-01-02 09:30:00"), 200L, "view", 1.0, "{}")) // new on day 2
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val got = RelationalOps.firstSeenRate(events)
-      .collect().map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
-    assert(got("2024-01-01") == ((1L, 1L, 1.0)))
-    assert(got("2024-01-02") == ((2L, 1L, 0.5)))
+      .collect().map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("2024-01-01") == ((1L, 1L, 1000000L)))
+    assert(got("2024-01-02") == ((2L, 1L, 500000L)))
   }
 
   test("pointInTimeJoin: half-open windows pick exactly the valid version; orphans drop") {
