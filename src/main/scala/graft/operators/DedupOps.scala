@@ -216,6 +216,26 @@ object DedupOps {
   def corpusBandIndex(corpus: DataFrame): DataFrame =
     lshBands(corpus).select(col("band"), col("band_key")).distinct()
 
+  /** Persisted near-dup COMPONENT index: (doc_id, component) for every
+    * doc that sits in at least one MinHash-LSH candidate pair. The third
+    * corpus index artifact, completing the amortization story the
+    * fp/band index (incremental screen) and the IVF-PQ index (ANN) tell:
+    * every component-keyed consumer — leakage-safe split, preference
+    * mining, quality-aware retention — re-derived signature → band →
+    * collapse inline, ~identical multi-second work per consumer at sf0.1
+    * and a full corpus re-clustering per consumer at 100 TB. Build the
+    * labeling ONCE per corpus snapshot, land it as a narrow two-BIGINT
+    * table (KBs per million docs), and each consumer's start-up cost
+    * drops to one co-partitioned join. On a cluster this lands bucketed
+    * by doc_id so consumer joins are co-located.
+    */
+  def writeComponentIndex(documents: DataFrame, dir: String): Unit =
+    dupComponents(minhashCandidatePairs(documents))
+      .write.mode("overwrite").parquet(dir)
+
+  def componentIndex(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
   /** The incremental screen: exact-dedup WITHIN the delta, then drop every
     * doc whose fingerprint (exact tier) or ANY band key (near tier)
     * collides with the corpus index. Anti-joins on bounded keys — the
@@ -334,62 +354,74 @@ object DedupOps {
     * shared shingles are hyper-frequent) is semantically unacceptable.
     */
   def jaccardPairsPrefix(documents: DataFrame, threshold: Double): DataFrame = {
-    // Posting lists once — df(shingle) IS the list length (the same
-    // observation that makes the stop-shingle guard free), so no separate
-    // df aggregate or join-back. Re-exploding the lists hands every
-    // (doc, shingle) row its df for the per-doc ranking.
-    val lists = shingles(documents)
-      .groupBy(col("shingle"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-    val withDf = lists.select(
-      col("shingle"), size(col("ds")).as("df"), explode(col("ds")).as("doc_id"))
+    // v4 (r9). Three shape changes over v3, each motivated by the ×100
+    // ladder (SCALE.md):
+    //  1. The candidate stage runs entirely in the 48-BIT HASHED token
+    //     universe (the same sh48Sql hashes v3 already verified with):
+    //     every exploded row is (BIGINT, BIGINT) instead of carrying
+    //     ~25-byte shingle strings — ~3× narrower shuffles for the two
+    //     full-corpus stages. Self-consistent: prefix ordering, df, and
+    //     verification all see the same token ids, so the output is the
+    //     hashed-set Jaccard v3 already computed.
+    //  2. df comes from a partial-aggregated count + co-partitioned join
+    //     back, not collect_list posting arrays — the map-side combine
+    //     means the df shuffle moves #distinct-shingles rows, not
+    //     #corpus-rows, and no full posting array is ever materialized
+    //     just to be re-exploded.
+    //  3. Pairs are length- AND position-filtered INSIDE the bucket
+    //     explode (the ppjoin filters, Xiao et al. 2008): J ≥ t forces
+    //     |A∩B| ≥ ⌈t/(1+t)·(|A|+|B|)⌉, and for the pair's FIRST shared
+    //     prefix token the overlap can't exceed min(|A|-posA, |B|-posB)
+    //     — both pure arithmetic on values already in the posting row.
+    //     Pruned pairs never reach the shuffle; the pair-dedup keeps any
+    //     pair whose first-shared-token occurrence passes, so the filter
+    //     is lossless (the first shared token of a qualifying pair is
+    //     provably inside both prefixes). This also deletes v3's two
+    //     size-lookup joins: |A| = size(ha) at verification.
+    val t = threshold
+    val sh48 = documents.select(col("doc_id"), explode(expr(sh48Sql)).as("tok"))
+    val dfs = sh48.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // rarest-first prefix via one groupBy(doc) + per-row array sort/slice —
     // cheaper than a row_number window (no partition-wide sort machinery,
     // and the per-doc count falls out as size(ranked))
-    val prefix = withDf
+    val prefix = sh48.join(dfs, Seq("tok"))
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ranked"))
-      .select(col("doc_id"),
-        explode(expr(
-          s"slice(ranked, 1, size(ranked) - cast(ceil($threshold * size(ranked)) as int) + 1)"))
-          .as("r"))
-      .select(col("doc_id"), col("r.shingle").as("shingle"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ranked"))
+      .withColumn("n", size(col("ranked")))
+      .select(col("doc_id"), col("n"), posexplode(expr(
+        s"slice(ranked, 1, size(ranked) - cast(ceil(${t}d * size(ranked)) as int) + 1)")))
+      .select(col("doc_id"), col("n"), col("pos"), col("col.tok").as("tok"))
+    // posting lists sorted by (n, pos, id); x = the smaller-set member.
+    // keep ⟺ length filter ∧ positional filter, with 1e-9 slack so float
+    // error can only ADMIT a candidate, never prune a true pair
+    val pairsSql =
+      "flatten(transform(ds, (x, i) -> " +
+        "filter(transform(slice(ds, i + 2, size(ds)), y -> named_struct(" +
+        "'doc_a', if(x.doc_id < y.doc_id, x.doc_id, y.doc_id), " +
+        "'doc_b', if(x.doc_id < y.doc_id, y.doc_id, x.doc_id), " +
+        s"'keep', cast(x.n as double) >= ${t}d * y.n - 1e-9d and " +
+        s"least(x.n - x.pos, y.n - y.pos) >= " +
+        s"ceil(${t}d / (1.0d + ${t}d) * (x.n + y.n) - 1e-9d))), " +
+        "p -> p.keep)))"
     val cands = prefix
-      .groupBy(col("shingle"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .groupBy(col("tok"))
+      .agg(sort_array(collect_list(struct(col("n"), col("pos"), col("doc_id")))).as("ds"))
       .filter(size(col("ds")) > 1)
-      .select(explode(expr(bucketPairsSql)).as("p"))
+      .select(explode(expr(pairsSql)).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
-    // Verification: hashed-array carriage behind a length filter. Three
-    // formulations were measured on the ×100 stress corpus (SCALE.md):
-    //  - r7 carried BOTH docs' full STRING shingle arrays (~2.6 KB/row);
-    //    the wide-row join sort spilled → e(10→100) 1.73, 517 s.
-    //  - a posting-list re-join (narrow (id, id, shingle) rows) avoids
-    //    wide rows but explodes each candidate into |sh| rows — ~2×10⁹
-    //    rows at ×100, whose two join sorts overflowed local disk.
-    //  - this version: one row per candidate, arrays carried as 48-bit
-    //    md5-prefix hashes (8 B/shingle vs ~25 B strings, ~3× narrower),
-    //    and candidates length-filtered FIRST — J(A,B) ≥ t forces
-    //    min(|A|,|B|) ≥ t·max(|A|,|B|), a pure (na, nb) predicate that
-    //    prunes before any array is shipped.
-    // The 48-bit hash keeps common counts exact up to hash collisions
-    // (P ≈ |sh(a)|·|sh(b)|/2⁴⁸ per pair — negligible at any corpus that
-    // fits a datacenter, and the DuckDB gate would fail loudly on one);
-    // sizes still come from the exact string arrays.
-    val sizes = shinglesArray(documents).select(col("doc_id"), size(col("sh")).as("n"))
+    // Verification: one bounded-width row per candidate — 48-bit hashed
+    // arrays (exact up to ~n²/2⁴⁸ collision odds — negligible at any
+    // corpus that fits a datacenter, and the DuckDB gate fails loudly on
+    // one); set sizes read off the arrays, no separate size join.
     val arrs48 = documents.select(col("doc_id"), expr(sh48Sql).as("h"))
     cands
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-      .filter(least(col("na"), col("nb")).cast(DoubleType) >=
-        lit(threshold) * greatest(col("na"), col("nb")).cast(DoubleType))
       .join(arrs48.select(col("doc_id").as("doc_a"), col("h").as("ha")), Seq("doc_a"))
       .join(arrs48.select(col("doc_id").as("doc_b"), col("h").as("hb")), Seq("doc_b"))
       .withColumn("common", size(array_intersect(col("ha"), col("hb"))))
       .select(col("doc_a"), col("doc_b"),
         round(col("common").cast(DoubleType) /
-          (col("na") + col("nb") - col("common")), 6).as("jaccard"))
+          (size(col("ha")) + size(col("hb")) - col("common")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -837,8 +869,10 @@ object DedupOps {
     * component, which AQE coalesces after the collapse has shrunk the
     * graph to labeled-dup rows only.
     */
-  def dedupKeepBest(documents: DataFrame): DataFrame = {
-    val comps = dupComponents(minhashCandidatePairs(documents))
+  def dedupKeepBest(documents: DataFrame): DataFrame =
+    dedupKeepBestWith(documents, dupComponents(minhashCandidatePairs(documents)))
+
+  def dedupKeepBestWith(documents: DataFrame, comps: DataFrame): DataFrame = {
     val joined = comps.join(TextOps.qualityScore(documents), Seq("doc_id"))
     val sizes = joined.groupBy(col("component")).agg(count(lit(1)).as("n_members"))
     val w = Window.partitionBy("component").orderBy(col("quality").desc, col("doc_id"))
@@ -865,8 +899,10 @@ object DedupOps {
     * computing both extreme ranks + a component aggregate — all shuffles
     * keyed on component, which AQE coalesces post-collapse.
     */
-  def preferencePairs(documents: DataFrame): DataFrame = {
-    val comps = dupComponents(minhashCandidatePairs(documents))
+  def preferencePairs(documents: DataFrame): DataFrame =
+    preferencePairsWith(documents, dupComponents(minhashCandidatePairs(documents)))
+
+  def preferencePairsWith(documents: DataFrame, comps: DataFrame): DataFrame = {
     val j = comps.join(TextOps.qualityScore(documents), Seq("doc_id"))
     val wBest = Window.partitionBy(col("component"))
       .orderBy(col("quality").desc, col("doc_id"))
@@ -902,8 +938,12 @@ object DedupOps {
     * the split itself is a LEFT join of the corpus to the (small) labeled
     * dup set plus one per-row hash — no extra shuffle beyond the join.
     */
-  def leakageSafeSplit(documents: DataFrame, trainPct: Int = 80): DataFrame = {
-    val comps = dupComponents(minhashCandidatePairs(documents))
+  def leakageSafeSplit(documents: DataFrame, trainPct: Int = 80): DataFrame =
+    leakageSafeSplitWith(documents,
+      dupComponents(minhashCandidatePairs(documents)), trainPct)
+
+  def leakageSafeSplitWith(documents: DataFrame, comps: DataFrame,
+                           trainPct: Int = 80): DataFrame = {
     documents.select(col("doc_id"))
       .join(comps, Seq("doc_id"), "left")
       .withColumn("component", coalesce(col("component"), col("doc_id")))

@@ -9,11 +9,11 @@ import org.apache.spark.sql.types._
   * struct, and run decode/feature-extraction as *batched* per-partition
   * passes.
   *
-  * The actual codec step is STUBBED (no image/audio libs in this
-  * container): `stubDecode` derives deterministic fake dimensions from the
-  * bytes. Everything around it — schema, batch iteration, partition
-  * sizing — is the real plumbing a decode UDF would use: swap
-  * `fakeDecode` for an actual codec call and nothing else changes.
+  * Two codec tiers: `decodeFeatures` keeps the deterministic STUB codec
+  * (`fakeDecode` — the shape for codecs whose libraries this container
+  * lacks, e.g. audio/video), and `withPngPayload`/`decodePngFeatures` run
+  * a REAL compressed-image round trip through the JDK's ImageIO (PNG
+  * encode → PNG decode), oracled end-to-end via engineered pixel stats.
   */
 object MultimodalOps {
 
@@ -54,6 +54,86 @@ object MultimodalOps {
     val first = if (n > 0) bytes(0) & 0xff else 0
     val lum = if (n == 0) 0.0 else bytes.map(b => (b & 0xff).toDouble).sum / n
     ((n * 7 + first) % 1024, (n * 13 + 31) % 768, math.round(lum * 1e6) / 1e6)
+  }
+
+  /** REAL codec tier: deterministic PNG payloads encoded and decoded with
+    * the JDK's ImageIO — an actual compressed-image round trip, not the
+    * stub. Pixel content is engineered from the row's own columns
+    * (constant per channel: R = doc_id % 256, G = (doc_id·7+13) % 256,
+    * B = n_chars % 256; dims 4+doc_id%13 × 4+n_chars%11), so the DECODED
+    * stats are closed-form in SQL and the DuckDB gate hash-proves that a
+    * real encoder → real decoder pipeline preserved them end-to-end.
+    * Both passes are the batched `mapPartitions` shape with per-partition
+    * init (ImageIO cache off once per batch, counted by an accumulator
+    * the spec asserts on) — swap the pixel source for crawl bytes and
+    * nothing else changes.
+    */
+  def withPngPayload(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val rows = documents.select("doc_id", "n_chars").rdd.mapPartitions { iter =>
+      javax.imageio.ImageIO.setUseCache(false) // per-batch init, once
+      iter.map { r =>
+        val (docId, nChars) = (r.getLong(0), r.getLong(1))
+        val w = (4 + (docId % 13)).toInt
+        val h = (4 + (nChars % 11)).toInt
+        val rgb = (((docId % 256).toInt << 16)
+          | (((docId * 7 + 13) % 256).toInt << 8)
+          | (nChars % 256).toInt)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(docId, bos.toByteArray)
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Decode (doc_id, payload) PNG rows back to dimensions + floor-mean
+    * channel stats. Means are integer (pixel-sum div pixel-count): exact
+    * for any constant-channel payload and float-free for the comparator
+    * on any payload. `initCounter`, when supplied, increments once per
+    * partition — the spec's proof that codec init is per-BATCH, not
+    * per-row.
+    */
+  def decodePngFeatures(payloads: DataFrame,
+                        initCounter: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val spark = payloads.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("mean_r", LongType),
+      StructField("mean_g", LongType),
+      StructField("mean_b", LongType)))
+    val rows = payloads.select("doc_id", "payload").rdd.mapPartitions { iter =>
+      javax.imageio.ImageIO.setUseCache(false) // per-batch decoder init
+      initCounter.foreach(_.add(1L))
+      iter.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        Row(r.getAs[Long]("doc_id"), w, h, sr / n, sg / n, sb / n)
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
   }
 
   /** Batched decode over partitions — the mapPartitions shape a real codec

@@ -387,6 +387,92 @@ object RelationalOps {
     checks.reduce(_ unionByName _)
   }
 
+  /** Severity-aware expectations ([EXT] — the `dbt test` severity +
+    * `--store-failures` surface): rules carry `warn` | `error` severity,
+    * the audit frame reports it, and `dqQuarantine` lands the VIOLATING
+    * ROWS for error-severity rules in a quarantine table — so a pipeline
+    * can block on errors, alert on warns, and hand the quarantined rows
+    * to triage without re-running the audit. Rule evaluation is the same
+    * one-aggregate/one-anti-join-per-rule shape as `dqExpectations`;
+    * the violations pass tags full table rows per rule, so its cost is
+    * one extra filter/semi-join per rule over the (normally tiny) dirty
+    * subset. For `unique`, the audit counts duplicate GROUPS (the dbt
+    * convention) while quarantine stores every MEMBER row of a duplicate
+    * group — the rows a triage actually inspects.
+    */
+  sealed trait DqRule { def column: String; def severity: String }
+  object DqRule {
+    final case class Unique(column: String, severity: String = "error") extends DqRule
+    final case class NotNull(column: String, severity: String = "error") extends DqRule
+    final case class AcceptedValues(column: String, values: Seq[String],
+                                    severity: String = "warn") extends DqRule
+    final case class Relationship(column: String, parent: DataFrame, parentKey: String,
+                                  severity: String = "error") extends DqRule
+  }
+
+  def dqAudit(df: DataFrame, rules: Seq[DqRule]): DataFrame = {
+    require(rules.nonEmpty, "no expectations given")
+    def audit(rule: String, r: DqRule, violations: DataFrame): DataFrame =
+      violations.agg(coalesce(sum(col("n")), lit(0L)).as("n_violations"))
+        .select(lit(rule).as("rule"), lit(r.column).as("column"),
+          lit(r.severity).as("severity"), col("n_violations"),
+          (col("n_violations") === 0L).as("passed"))
+    rules.map {
+      case r @ DqRule.Unique(c, _) =>
+        audit("unique", r, df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") > 1).select(lit(1L).as("n")))
+      case r @ DqRule.NotNull(c, _) =>
+        audit("not_null", r, df.filter(col(c).isNull).select(lit(1L).as("n")))
+      case r @ DqRule.AcceptedValues(c, values, _) =>
+        audit("accepted_values", r,
+          df.filter(!col(c).isin(values: _*) || col(c).isNull).select(lit(1L).as("n")))
+      case r @ DqRule.Relationship(c, parent, parentKey, _) =>
+        audit("relationships", r,
+          df.filter(col(c).isNotNull)
+            .join(parent.select(col(parentKey).as(c)).distinct(), Seq(c), "left_anti")
+            .select(lit(1L).as("n")))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The violating ROWS, tagged (dq_rule, dq_column, dq_severity) — full
+    * table schema preserved so triage sees the record, not a key.
+    */
+  def dqViolations(df: DataFrame, rules: Seq[DqRule]): DataFrame = {
+    require(rules.nonEmpty, "no expectations given")
+    def tagged(rule: String, r: DqRule, rows: DataFrame): DataFrame =
+      rows.withColumn("dq_rule", lit(rule))
+        .withColumn("dq_column", lit(r.column))
+        .withColumn("dq_severity", lit(r.severity))
+    rules.map {
+      case r @ DqRule.Unique(c, _) =>
+        tagged("unique", r, df.join(
+          df.groupBy(col(c)).agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+            .select(col(c)), Seq(c), "left_semi"))
+      case r @ DqRule.NotNull(c, _) =>
+        tagged("not_null", r, df.filter(col(c).isNull))
+      case r @ DqRule.AcceptedValues(c, values, _) =>
+        tagged("accepted_values", r,
+          df.filter(!col(c).isin(values: _*) || col(c).isNull))
+      case r @ DqRule.Relationship(c, parent, parentKey, _) =>
+        tagged("relationships", r,
+          df.filter(col(c).isNotNull)
+            .join(parent.select(col(parentKey).as(c)).distinct(), Seq(c), "left_anti"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Evaluate rules, quarantine error-severity violating rows to `dir`
+    * (partitioned by rule — each rule's failures are one prunable
+    * directory), and return the audit frame. Warn-severity rows alert via
+    * the audit but do NOT quarantine — the load proceeds.
+    */
+  def dqQuarantine(df: DataFrame, rules: Seq[DqRule], dir: String): DataFrame = {
+    val errorRules = rules.filter(_.severity == "error")
+    if (errorRules.nonEmpty)
+      dqViolations(df, errorRules)
+        .write.mode("overwrite").partitionBy("dq_rule").parquet(dir)
+    dqAudit(df, rules)
+  }
+
   /** MERGE-style upsert as a pure transformation: the new snapshot is
     * `updates` plus every `existing` row whose key is not updated —
     * update-wins, insert-new, untouched-preserved. Spark on plain parquet

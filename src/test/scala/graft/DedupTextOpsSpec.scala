@@ -550,6 +550,26 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("component index round-trip: *With consumers on the persisted index " +
+       "reproduce the inline consumers exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compidx").toString
+    DedupOps.writeComponentIndex(docs, dir)
+    val idx = DedupOps.componentIndex(spark, dir)
+    // the index IS the inline labeling at rest
+    assert(idx.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      DedupOps.dupComponents(DedupOps.minhashCandidatePairs(docs)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(rows(DedupOps.dedupKeepBestWith(docs, idx)) ==
+      rows(DedupOps.dedupKeepBest(docs)))
+    assert(rows(DedupOps.preferencePairsWith(docs, idx)) ==
+      rows(DedupOps.preferencePairs(docs)))
+    assert(rows(DedupOps.leakageSafeSplitWith(docs, idx)) ==
+      rows(DedupOps.leakageSafeSplit(docs)))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("substringDedup: copied span removed at any alignment, keep-first by (doc_id, pos), " +
        "short docs untouched") {
     val span = "alpha beta gamma delta epsilon zeta eta theta iota kappa" // 10 tokens

@@ -145,6 +145,44 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got(("relationships", "fk")) == ((1L, false)), "fk 9 orphaned; null fk exempt")
   }
 
+  test("dq severity tier: audit carries severities; quarantine stores exactly " +
+       "the error-severity violating rows, warn rows proceed") {
+    import RelationalOps.DqRule._
+    val parent = Seq(1L, 2L).toDF("pk")
+    val dirty = Seq(
+      (Some(1L), Some("A"), Some(1L)),
+      (Some(1L), Some("B"), Some(2L)),   // dup key 1 (error); B not accepted (warn)
+      (None, Some("A"), Some(9L)),       // null key (error); orphan fk 9 (error)
+      (Some(3L), None, None))            // null status (warn); null fk exempt
+      .toDF("k", "status", "fk")
+    val rules = Seq(
+      Unique("k"), NotNull("k"),
+      AcceptedValues("status", Seq("A"), severity = "warn"),
+      Relationship("fk", parent, "pk"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-dq-quarantine").toString
+    val audit = RelationalOps.dqQuarantine(dirty, rules, dir)
+      .collect().map(r => (r.getString(0), r.getString(2)) -> ((r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(audit(("unique", "error")) == ((1L, false)))
+    assert(audit(("not_null", "error")) == ((1L, false)))
+    assert(audit(("accepted_values", "warn")) == ((2L, false)))
+    assert(audit(("relationships", "error")) == ((1L, false)))
+    // round trip: quarantined rows are the error-rule violations ONLY
+    val q = spark.read.parquet(dir)
+    val byRule = q.collect().groupBy(_.getAs[String]("dq_rule"))
+      .map { case (r, rows) => r -> rows.map(_.getAs[Any]("k")).toSet }
+    assert(byRule("unique") == Set(1L),
+      "both members of the dup group share k=1; set collapses to the key")
+    assert(q.filter(col("dq_rule") === "unique").count() == 2L,
+      "quarantine stores every MEMBER row of a duplicate group")
+    assert(byRule("not_null") == Set(null))
+    assert(byRule("relationships") == Set(null), "the orphan-fk row has k=null")
+    assert(!byRule.contains("accepted_values"), "warn severity must NOT quarantine")
+    assert(q.columns.toSet == Set("k", "status", "fk", "dq_rule", "dq_column", "dq_severity"),
+      "full table schema preserved for triage")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("upsertByKey: update wins, inserts land, untouched rows preserved") {
     val existing = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("k", "v", "x")

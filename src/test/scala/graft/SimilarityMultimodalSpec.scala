@@ -342,6 +342,38 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq) // partition-invariant
   }
 
+  test("real PNG codec: ImageIO round trip recovers engineered dims and " +
+       "channel means; payloads are genuine PNGs") {
+    val docs = Seq(
+      (1L, "hello world", "en", "s1", 11L),
+      (2L, "spark engine", "en", "s2", 12L),
+      (300L, "x", "en", "s1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val payloads = MultimodalOps.withPngPayload(docs)
+    // the bytes are REAL PNGs (magic header), not a fake byte bag
+    for (r <- payloads.collect()) {
+      val b = r.getAs[Array[Byte]]("payload")
+      assert((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G',
+        s"doc ${r.getLong(0)}: payload is not a PNG")
+    }
+    val got = MultimodalOps.decodePngFeatures(payloads).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(1L) == ((4 + 1 % 13, 4 + 11 % 11, 1L % 256, (1L * 7 + 13) % 256, 11L % 256)))
+    assert(got(2L) == ((4 + 2 % 13, 4 + 12 % 11, 2L % 256, (2L * 7 + 13) % 256, 12L % 256)))
+    assert(got(300L) == ((4 + 300 % 13, 4 + 1 % 11, 300L % 256, (300L * 7 + 13) % 256, 1L % 256)))
+  }
+
+  test("real PNG codec: decoder init runs once per PARTITION, not per row") {
+    val docs = (1L to 40L).map(i => (i, s"doc $i", "en", "s1", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val payloads = MultimodalOps.withPngPayload(docs).repartition(4)
+    val acc = spark.sparkContext.longAccumulator("codec-init")
+    MultimodalOps.decodePngFeatures(payloads, Some(acc)).collect()
+    assert(acc.value == 4L,
+      s"expected 4 per-partition inits for 40 rows, got ${acc.value}")
+  }
+
   test("diversitySample: per-cluster ceil quota, every cluster survives, deterministic picks") {
     // 2 seeded centroids (vec 0 → x-axis, vec 1 → y-axis): cluster0 = {0, 2, 3},
     // cluster1 = {1, 4}. pct=34 → quota0 = ceil(3*.34) = 2, quota1 = 1.
