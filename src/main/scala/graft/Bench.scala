@@ -12,9 +12,26 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate("graft-bench")
-    // warm the JVM/codegen once on the smallest table so the first timed
-    // query doesn't pay one-time session costs
-    spark.read.parquet(s"$sfDir/region.parquet").write.format("noop").mode("overwrite").save()
+    // Session-wide warm-up on the smallest table, exercising the plan
+    // shapes the suite leans on — window, broadcast join, HOF lambda,
+    // hash aggregate, sort — not just a bare scan: first-plan JIT/codegen
+    // compilation otherwise lands on the alphabetically-first query
+    // (r8: ann_recall read ~2× its solo time even with its own per-query
+    // warm-up, because each run still paid residual whole-stage-codegen
+    // class compilation the simple scan warm-up never triggered).
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      val w = Window.partitionBy(col("r_regionkey")).orderBy(col("r_name"))
+      r.crossJoin(broadcast(r.select(col("r_regionkey").as("k"))))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("h",
+          expr("aggregate(transform(sequence(1, 64), x -> x * 1.0d), 0d, (a, x) -> a + x)"))
+        .groupBy(col("r_name")).agg(sum(col("rn")).as("s"), max(col("h")).as("m"))
+        .orderBy(col("s"))
+        .write.format("noop").mode("overwrite").save()
+    }
     // Per query: one untimed warm-up, then min of 2 timed runs. A single
     // alphabetical pass confounds A/B comparisons with JIT/codegen warm-up
     // (round-4 verdict: the guarded jaccard variant, first of three, read

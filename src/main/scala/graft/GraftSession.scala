@@ -43,6 +43,14 @@ object GraftSession {
       // the floor itself scales and AQE coalesces the small-data case back
       // down. Overridable via SPARK_GRAFT_SHUFFLE_PARTITIONS.
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // Deliberately NO initialPartitionNum above the floor: r9 measured
+      // planning AQE-coalescible exchanges from 2048 on the sf0.1 suite
+      // and it cost 2.9× wall-clock (97 → 278 s) — iterative collapses
+      // pay the tax once per ROUND and multi-stage trained tiers once
+      // per stage, far outweighing the one ×100-scale query it helps.
+      // The ×100 lever is the env knob below (SCALE.md r9: prefix-join
+      // knee at a 2048 floor, e 1.18 → 1.01), set by the submitter who
+      // knows the job is big — exactly as on a real cluster.
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -355,7 +355,7 @@ object SimilarityOps {
     * (vec_id, qv) quantized frame — in-memory and at-rest paths differ
     * only in where that frame comes from.
     */
-  private def topKOverQuantized(q: DataFrame, nQueries: Int, k: Int): DataFrame = {
+  private[graft] def topKOverQuantized(q: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val corpus = q.select(col("vec_id"), col("qv"))
     val queries = q.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
@@ -376,9 +376,21 @@ object SimilarityOps {
     * are the quantized approximation (oracled exactly, since the
     * quantizer is bit-portable). At scale, follow with a full-precision
     * rescore of the top candidates if exact ordering matters.
+    *
+    * The quantized frame is `persist()`ed — cache lifecycle CALLER-owned,
+    * the engine-wide convention (`ann_recall`, trained IVF). Not an
+    * optimization nicety: the r9 ladder (`graft.Int8ScaleAudit`) measured
+    * that without a materialization barrier, whole-stage codegen inlines
+    * the interpreted-HOF quantize expression into the broadcast join's
+    * inner loop — once per SCORED PAIR, not once per corpus row
+    * (×100: 3.38 s vs 0.57 quantize + 0.71 score in isolation) — and
+    * that per-pair term was the entire ×100 exponent (0.54) of this
+    * tier. Quantize-once is also the semantic at any real scale: the
+    * quantized corpus is the artifact, scored by many query batches
+    * (`cosineTopKInt8Stored` is the same statement at rest).
     */
   def cosineTopKInt8(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame =
-    topKOverQuantized(quantizeInt8(embeddings), nQueries, k)
+    topKOverQuantized(quantizeInt8(embeddings).persist(), nQueries, k)
 
   /** The same brute tier THROUGH the at-rest layout: quantize → persist
     * as `array<tinyint>` → read back → widen → score. Output is
