@@ -263,6 +263,9 @@ object SparkEntry {
     // (prefix filtering is lossless), candidates confined to rare-shingle
     // prefixes; shares the unguarded oracle by construction
     "jaccard_pairs_prefix" -> ((s, d) => DedupOps.jaccardPairsPrefix(t(s, d, "documents"), 0.5)),
+    // directed containment: catches docs EMBEDDED in larger docs, the
+    // family symmetric jaccard structurally misses; integer-ppm out
+    "containment_pairs" -> ((s, d) => DedupOps.containmentPairs(t(s, d, "documents"))),
     "simhash" -> ((s, d) => DedupOps.simhash(t(s, d, "documents"))),
     // band-blocked near-dup pairs, exact for hamming <= 3 by pigeonhole
     "simhash_dup_pairs" -> ((s, d) => DedupOps.simhashCandidatePairs(t(s, d, "documents"))),
@@ -270,6 +273,10 @@ object SparkEntry {
     "lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
     "quality_score" -> ((s, d) => TextOps.qualityScore(t(s, d, "documents"))),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprints(t(s, d, "documents"))),
+    // MOSS-style winnowing: rightmost-min-per-window positional 3-gram
+    // fingerprints — local overlap detection that survives edits, where
+    // doc_fingerprint's whole-text md5 flips on one byte
+    "winnow_fingerprints" -> ((s, d) => TextOps.winnowFingerprints(t(s, d, "documents"))),
     "corpus_stats" -> ((s, d) => TextOps.corpusStats(t(s, d, "documents"))),
     // emits the within-5%-of-exact boolean (sketch internals are
     // engine-specific; the accuracy bound is not) — oracle asserts TRUE
@@ -294,6 +301,18 @@ object SparkEntry {
         SimilarityOps.widenInt8(s.read.parquet(dir)), 10, 5)
     }),
     "cosine_topk_lsh" -> ((s, d) => SimilarityOps.lshBucketedTopK(t(s, d, "embeddings"), 10, 5)),
+    // Johnson–Lindenstrauss Rademacher projection, 64 → 16 dims: the
+    // third ANN memory lever (after int8 and PQ); integer-exact both
+    // engines (seeded md5-parity signs, 1e-3 grid quantization)
+    "rp_project" -> ((s, d) =>
+      SimilarityOps.rpProject(t(s, d, "embeddings"))
+        .select(col("vec_id"), posexplode(col("proj")))
+        .select(col("vec_id"), col("pos").cast(IntegerType).as("dim_idx"),
+          col("col").as("component"))),
+    // brute top-k in the projected space: cosineTopK's shape at 1/4 the
+    // scoring width; the whole chain (signs, quantize, cosine) replayed
+    // exactly by the oracle — integer-exact dots by grid construction
+    "cosine_topk_rp" -> ((s, d) => SimilarityOps.rpTopK(t(s, d, "embeddings"), 10, 5)),
     "cosine_topk_ivf" -> ((s, d) => SimilarityOps.ivfTopK(t(s, d, "embeddings"), 16, 10, 5)),
     // IVF over Lloyd-trained centroids (2 assign→mean passes); the oracle
     // replays the training, so the learned index itself is hash-gated
@@ -990,6 +1009,20 @@ object SparkEntry {
       |            JOIN sizes nb ON common.doc_b = nb.doc_id
       |WHERE round(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6) >= 0.5""".stripMargin
 
+  /** JL replay: md5-parity Rademacher cells, 1e-3 grid quantization, one
+    * grouped integer sum per (vec, output dim). Shared by rp_project and
+    * cosine_topk_rp.
+    */
+  private val rpProjCtes: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |q AS (SELECT vec_id, list_transform(emb, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS qv FROM v),
+      |cells AS (SELECT i, j,
+      |  CASE WHEN CAST(concat('0x', substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+      |       THEN 1 ELSE -1 END AS s
+      |  FROM (SELECT unnest(range(0, 16)) AS i), (SELECT unnest(range(0, 64)) AS j)),
+      |proj AS (SELECT q.vec_id, c.i, CAST(SUM(c.s * q.qv[c.j + 1]) AS BIGINT) AS comp
+      |         FROM q CROSS JOIN cells c GROUP BY q.vec_id, c.i)""".stripMargin
+
   private val int8TopKOracle: String =
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |s AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale FROM v),
@@ -1588,6 +1621,29 @@ object SparkEntry {
 
     "jaccard_pairs_unguarded" -> jaccardUnguardedOracle,
 
+    // directed containment: same guarded inverted index, per-direction
+    // integer-ppm ratio against EACH side's own size
+    "containment_pairs" ->
+      (shingleCtes +
+      """,
+        |df AS (SELECT s, COUNT(*) AS c FROM sh GROUP BY s),
+        |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN df ON sh.s = df.s WHERE df.c <= 50),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dir AS (
+        |  SELECT c.doc_a AS contained_id, c.doc_b AS container_id,
+        |         CAST((c.common * 1000000 + na.n // 2) // na.n AS BIGINT) AS containment_ppm
+        |  FROM common c JOIN sizes na ON c.doc_a = na.doc_id
+        |  UNION ALL
+        |  SELECT c.doc_b, c.doc_a,
+        |         CAST((c.common * 1000000 + nb.n // 2) // nb.n AS BIGINT)
+        |  FROM common c JOIN sizes nb ON c.doc_b = nb.doc_id)
+        |SELECT contained_id, container_id, containment_ppm
+        |FROM dir WHERE containment_ppm >= 800000""".stripMargin),
+
     // decontamination screen: the sh CTE provides distinct (doc_id, s)
     // shingles; the benchmark side re-selects the portable-hash 10% sample
     "contamination" ->
@@ -1646,6 +1702,24 @@ object SparkEntry {
 
     "doc_fingerprint" ->
       "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents",
+
+    // winnowing replay: positional 3-gram 32-bit hashes, rightmost-min
+    // per 4-window via (h ASC, i DESC) ranking, selections deduped
+    "winnow_fingerprints" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |ps AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 2, 0))) AS i FROM tk),
+        |hs AS (SELECT doc_id, i,
+        |       CAST(concat('0x', substr(md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]), 1, 8)) AS BIGINT) AS h
+        |       FROM ps),
+        |m AS (SELECT doc_id, COUNT(*) AS m FROM hs GROUP BY doc_id),
+        |js AS (SELECT doc_id, unnest(range(0, m - 3)) AS j FROM m WHERE m >= 4),
+        |wins AS (SELECT js.doc_id, js.j, hs.i, hs.h
+        |         FROM js JOIN hs ON hs.doc_id = js.doc_id AND hs.i BETWEEN js.j AND js.j + 3),
+        |sel AS (SELECT doc_id, j, i, h,
+        |        row_number() OVER (PARTITION BY doc_id, j ORDER BY h ASC, i DESC) AS rn
+        |        FROM wins)
+        |SELECT DISTINCT doc_id, CAST(i AS INTEGER) AS pos, h AS fp
+        |FROM sel WHERE rn = 1""".stripMargin,
 
     // SemDeDup replay: seeded assignment (same round-6 ranking as the IVF
     // oracles), then the local min-id ε-ball rule within each cluster
@@ -1920,6 +1994,24 @@ object SparkEntry {
     // the int8 quantizer replayed verbatim: per-vector scale, floor-snap,
     // then the same cosine/rank pipeline over the integer-valued vectors
     "cosine_topk_int8" -> int8TopKOracle,
+
+    "rp_project" ->
+      (rpProjCtes +
+      "\nSELECT vec_id, CAST(i AS INTEGER) AS dim_idx, comp AS component FROM proj"),
+
+    "cosine_topk_rp" ->
+      (rpProjCtes +
+      """,
+        |pl AS (SELECT vec_id, list(CAST(comp AS DOUBLE) ORDER BY i) AS pd FROM proj GROUP BY vec_id),
+        |qq AS (SELECT vec_id AS q_id, pd AS q_pd FROM pl WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q_id, vec_id, round(list_cosine_similarity(pd, q_pd), 4) AS score
+        |  FROM pl CROSS JOIN qq WHERE vec_id <> q_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id, score,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT q_id, vec_id, score, rank FROM ranked WHERE rank <= 5""".stripMargin),
     // identical results by construction (tinyint round trip is exact), so
     // the stored path shares the oracle verbatim — the hash gate asserts
     // the at-rest layout changes nothing

@@ -328,6 +328,43 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric n-gram CONTAINMENT (Broder's other resemblance measure):
+    * C(A⊆B) = |A∩B| / |A| — detects a document EMBEDDED in a larger one
+    * (quote-expansion, boilerplate-wrapped reposts, concatenated dumps),
+    * exactly the family symmetric Jaccard structurally misses: a 10-gram
+    * doc wholly contained in a 40-gram doc scores J ≈ 0.25 but C = 1.0.
+    * Emits DIRECTED rows (contained_id, container_id, containment_ppm ≥
+    * threshold); both directions of every candidate are tested in ONE
+    * pass (explode of a 2-struct array — the undirected candidate frame
+    * is not recomputed per direction). Same inverted-index + stop-shingle
+    * guard shape as `jaccardPairs`; denominators count EVERY shingle, so
+    * the guard only ever shrinks scores. Output is pure-integer ppm —
+    * zero float surface for the comparator.
+    */
+  def containmentPairs(documents: DataFrame, thresholdPpm: Long = 800000L,
+                       maxShingleDocFreq: Long = 50): DataFrame = {
+    val sizes = shinglesArray(documents).select(col("doc_id"), size(col("sh")).as("n"))
+    val common = shingles(documents)
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxShingleDocFreq)
+      .select(explode(expr(bucketPairsSql)).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(explode(array(
+        struct(col("doc_a").as("contained_id"), col("doc_b").as("container_id"),
+          expr("(common * 1000000L + na div 2) div na").as("containment_ppm")),
+        struct(col("doc_b").as("contained_id"), col("doc_a").as("container_id"),
+          expr("(common * 1000000L + nb div 2) div nb").as("containment_ppm")))).as("r"))
+      .select(col("r.contained_id").as("contained_id"),
+        col("r.container_id").as("container_id"),
+        col("r.containment_ppm").as("containment_ppm"))
+      .filter(col("containment_ppm") >= thresholdPpm)
+  }
+
   /** Exact n-gram Jaccard via prefix filtering (the all-pairs similarity-
     * join pruning of Chaudhuri/Bayardo et al.): under any global shingle
     * order, J(A,B) ≥ t implies |A∩B| ≥ ⌈t·|A|⌉, so two qualifying docs

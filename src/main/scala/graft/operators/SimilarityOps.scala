@@ -295,6 +295,79 @@ object SimilarityOps {
     ivfTopKOverLists(lists, centroids, queries, k, nProbe)
   }
 
+  /** Johnson–Lindenstrauss random projection — the THIRD memory/compute
+    * lever of the ANN family, orthogonal to int8 (precision) and PQ
+    * (codebooks): dim 64 → `k` via a seeded Rademacher ±1 matrix
+    * (Achlioptas 2003 — database-friendly JL: signs suffice, no
+    * Gaussians), cutting every downstream score to k/d of its mults and
+    * every in-flight row to k/d of its width. Distortion is the JL bound
+    * (ε ~ sqrt(ln n / k)); the spec gates recall@5 against brute on the
+    * fixture.
+    *
+    * Fully oracle-replayable: the sign matrix derives from md5 parity of
+    * "i_j" (identical string→hex in Spark, Scala and DuckDB), components
+    * quantize to a 1e-3 BIGINT grid BEFORE the sum (floor(x·1000 + 0.5)
+    * — the bit-portable formulation, not round()), and the projection is
+    * then pure integer arithmetic — order-independent, engine-exact.
+    * The 1e3 grid is chosen so downstream COSINE stays exact too:
+    * |proj_i| ≤ 64 000, so every dot/norm term (≤ 16·64000² ≈ 6.5e10)
+    * is an exact integer in a double — no float-summation-order surface
+    * anywhere in the tier. Cosine is preserved up to the uniform scale
+    * (scale-invariant, the int8 tier's own argument); the grid's ~0.1%
+    * per-component noise is far under the JL distortion itself.
+    */
+  def rpSigns(k: Int = 16, d: Int = 64): Array[Array[Long]] =
+    Array.tabulate(k, d) { (i, j) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${i}_${j}".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 8)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+    }
+
+  /** (vec_id, proj) with proj = R · quantize(embedding) as array<bigint>:
+    * one per-row expression, zero shuffles. The sign matrix is embedded
+    * as literals (computed once on the driver), so per-row cost is k·d
+    * integer multiply-adds — no md5 in the hot loop.
+    */
+  def rpProject(embeddings: DataFrame, k: Int = 16, d: Int = 64): DataFrame = {
+    val signs = rpSigns(k, d)
+    val rows = signs.map(_.mkString("array(", "L, ", "L)"))
+    val projSql = rows
+      .map(r => s"aggregate(zip_with(q, $r, (x, s) -> x * s), 0L, (a, v) -> a + v)")
+      .mkString("array(", ", ", ")")
+    val sql =
+      "element_at(transform(array(" +
+        "transform(embedding, x -> cast(floor(cast(x as double) * 1000 + 0.5d) as bigint))" +
+        s"), q -> $projSql), 1)"
+    embeddings.select(col("vec_id"), expr(sql).as("proj"))
+  }
+
+  /** Brute top-k in the PROJECTED space — `cosineTopK`'s shape at k/d of
+    * the scoring width. The projected frame is persisted (caller-owned
+    * cache): the r9 int8 ladder showed codegen inlines un-materialized
+    * projections into the broadcast join's inner loop, re-evaluating
+    * them once per scored PAIR.
+    */
+  def rpTopK(embeddings: DataFrame, nQueries: Int, topK: Int,
+             k: Int = 16, d: Int = 64): DataFrame = {
+    val proj = rpProject(embeddings, k, d)
+      .withColumn("pd", expr("transform(proj, x -> cast(x as double))"))
+      .select(col("vec_id"), col("pd"))
+      .persist()
+    val queries = proj.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("pd").as("q_pd"))
+    val scored = proj
+      .join(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score",
+        round(graft.functions.GraftFunctions.cosineSim(col("pd"), col("q_pd")), 4))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    scored
+      .select(col("q_id"), col("vec_id"), col("score"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= topK)
+  }
+
   /** Scalar int8 quantization of the embedding column: per-vector scale =
     * max|component| / 127, components snapped to integers by
     * `floor(x/scale + 0.5)` — spelled that way (not `round`) because the

@@ -107,6 +107,47 @@ object TextOps {
       col("doc_id"),
       md5(FinanceOps.normalizeString(col("text"))).as("fp"))
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS): over the
+    * POSITIONAL 3-gram hash sequence, slide a window of `w` consecutive
+    * hashes and select each window's minimum — RIGHTMOST occurrence on
+    * ties, the paper's robust variant — then dedupe selections. The
+    * guarantee: any shared run of ≥ w+2 tokens between two documents
+    * shares a selected (hash) fingerprint, while storage is ~2/(w+1) of
+    * the hash stream — the local fingerprinting scheme doc-level md5
+    * can't provide (one flipped byte changes `fingerprints` entirely;
+    * winnowing prints survive edits outside the window).
+    *
+    * Entirely per-row — one expression, zero shuffles; the hash is the
+    * same portable 32-bit md5-prefix the MinHash tier replays in DuckDB,
+    * so the whole selection is oracle-checkable. Overlap detection at
+    * corpus scale = equi-join on fp (bounded buckets, rarest-first
+    * semantics same as the shingle index).
+    */
+  def winnowFingerprints(documents: DataFrame, w: Int = 4): DataFrame = {
+    require(w >= 1, s"window must be >= 1, got $w")
+    val posHs =
+      "if(size(t) >= 3, transform(sequence(0, size(t) - 3), " +
+        "i -> cast(conv(substr(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 8), 16, 10) as bigint)), " +
+        "cast(array() as array<bigint>))"
+    // rightmost argmin per window via a left-to-right fold with <=; the
+    // Generate gate (empty array for short docs) keeps the tokenizer at
+    // one run per row with nothing for the optimizer to duplicate
+    val winnowSql =
+      s"""element_at(transform(array($tokensSql), t ->
+         |  element_at(transform(array($posHs), hs ->
+         |    if(size(hs) >= $w,
+         |       array_distinct(transform(sequence(0, size(hs) - $w), j ->
+         |         aggregate(sequence(j, j + ${w - 1}),
+         |           named_struct('pos', -1, 'h', 9223372036854775807L),
+         |           (acc, i) -> if(hs[i] <= acc.h,
+         |                          named_struct('pos', cast(i as int), 'h', hs[i]),
+         |                          acc)))),
+         |       cast(array() as array<struct<pos:int,h:bigint>>))), 1)), 1)""".stripMargin
+    documents
+      .select(col("doc_id"), explode(expr(winnowSql)).as("r"))
+      .select(col("doc_id"), col("r.pos").as("pos"), col("r.h").as("fp"))
+  }
+
   /** Corpus stats per (lang, source): the A1-style rollup over documents. */
   def corpusStats(documents: DataFrame): DataFrame =
     documents

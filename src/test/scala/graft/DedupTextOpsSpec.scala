@@ -108,6 +108,56 @@ class DedupTextOpsSpec extends SparkSpec {
     }
   }
 
+  test("winnowFingerprints: shared-run guarantee, ~2/(w+1) density, edit-locality") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens >= w+2
+    val d = Seq(
+      (1L, s"one two three four five $shared", "en", "s1", 13L),
+      (2L, s"$shared nine ten eleven twelve thirteen", "en", "s2", 13L),
+      (3L, "short doc", "en", "s1", 2L)) // < 3 tokens: no shingles, no rows
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val fp = TextOps.winnowFingerprints(d).collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(2)).toSet }
+    // guarantee: an 8-token shared run (> w+2 = 6) must share >= 1 print
+    assert((fp(1L) & fp(2L)).nonEmpty, "shared run must collide in fingerprints")
+    assert(!fp.contains(3L), "sub-shingle docs emit nothing")
+    // sparsity: selections bounded by the window count (13 toks -> 11
+    // shingles -> 8 windows), far under the full hash stream
+    assert(fp(1L).size <= 8, "cannot select more prints than windows")
+    // edit-locality: rewriting the PREFIX must not erase the collision
+    // with doc 2 (doc-level md5 would flip entirely) — the shared run
+    // still yields a common print
+    val edited = Seq((4L, s"completely rewritten other prefix $shared", "en", "s1", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val fp4 = TextOps.winnowFingerprints(edited).collect().map(_.getLong(2)).toSet
+    assert((fp4 & fp(2L)).nonEmpty, "prints from the shared run survive prefix edits")
+    // partition-invariance (pure per-row expression)
+    val re = TextOps.winnowFingerprints(d.repartition(5)).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(re == TextOps.winnowFingerprints(d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
+  }
+
+  test("containmentPairs: embedded doc scores 1e6 where jaccard misses it; " +
+       "directed, and the non-contained direction stays below threshold") {
+    val span = "alpha beta gamma delta epsilon zeta eta theta iota kappa" // 10 toks, 8 shingles
+    val filler = (1 to 30).map(i => s"w$i").mkString(" ")                 // 30 unique toks
+    val d = Seq(
+      (1L, span, "en", "s1", 10L),             // wholly contained in 2
+      (2L, s"$filler $span", "en", "s2", 40L), // container: 40 toks, 38 shingles
+      (3L, "unrelated words entirely different content here today", "en", "s1", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // jaccard at the default 0.5 threshold misses the pair entirely
+    assert(DedupOps.jaccardPairs(d, 0.5).collect().isEmpty)
+    val got = DedupOps.containmentPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // C(1 ⊆ 2) = 8/8 = 1.0; C(2 ⊆ 1) = 8/38 ≈ 0.21 — only one direction
+    assert(got == Map((1L, 2L) -> 1000000L))
+    // partition-invariant
+    val re = DedupOps.containmentPairs(d.repartition(5)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(re == got)
+  }
+
   test("dupComponents: chained pairs collapse to one component with the min id") {
     // path 1-2, 2-5, 5-9 plus isolated pair 3-4: components {1,2,5,9} and {3,4}
     val pairs = Seq((1L, 2L), (2L, 5L), (5L, 9L), (3L, 4L)).toDF("doc_a", "doc_b")

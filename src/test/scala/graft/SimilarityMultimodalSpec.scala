@@ -342,6 +342,46 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq) // partition-invariant
   }
 
+  test("rpProject: seeded Rademacher signs are deterministic ±1; projection " +
+       "is exact integer arithmetic and partition-invariant") {
+    val s1 = SimilarityOps.rpSigns(4, 8)
+    assert(s1.flatten.forall(v => v == 1L || v == -1L))
+    assert(s1.map(_.toSeq).toSeq == SimilarityOps.rpSigns(4, 8).map(_.toSeq).toSeq)
+    assert(s1.flatten.count(_ == 1L) > 0 && s1.flatten.count(_ == -1L) > 0,
+      "parity must mix signs")
+    // hand-check one row: proj_i = sum_j sign_ij * floor(x_j*1000 + 0.5)
+    val e = Seq((7L, Array(0.5f, -0.25f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val signs = SimilarityOps.rpSigns(2, 4)
+    val q = Array(500L, -250L, 1000L, 0L)
+    val expect = signs.map(row => row.zip(q).map { case (s, x) => s * x }.sum)
+    val got = SimilarityOps.rpProject(e, 2, 4).collect()(0).getSeq[Long](1)
+    assert(got.toArray.toSeq == expect.toSeq)
+    val re = SimilarityOps.rpProject(e.repartition(3), 2, 4).collect()(0).getSeq[Long](1)
+    assert(re == got)
+  }
+
+  test("rpTopK: projected recall@5 vs brute stays useful on a 64-dim corpus") {
+    // deterministic 64-dim corpus with planted structure: 40 vectors in 4
+    // clusters (base direction + small deterministic perturbation)
+    val vecs = (0 until 40).map { id =>
+      val c = id % 4
+      val arr = Array.tabulate(64) { j =>
+        val base = if (j % 4 == c) 1.0f else 0.05f
+        base + 0.01f * ((id * 31 + j * 17) % 7)
+      }
+      (id.toLong, arr)
+    }
+    val e = vecs.toDF("vec_id", "embedding")
+    val brute = SimilarityOps.cosineTopK(e, 4, 5).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val rp = SimilarityOps.rpTopK(e, 4, 5).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recalls = brute.keys.toSeq.map(q => (brute(q) & rp.getOrElse(q, Set())).size / 5.0)
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"JL recall@5 too low: $mean (per-query $recalls)")
+    spark.catalog.clearCache() // rpTopK persists the projected frame
+  }
+
   test("real PNG codec: ImageIO round trip recovers engineered dims and " +
        "channel means; payloads are genuine PNGs") {
     val docs = Seq(
