@@ -277,6 +277,9 @@ object SparkEntry {
     // fingerprints — local overlap detection that survives edits, where
     // doc_fingerprint's whole-text md5 flips on one byte
     "winnow_fingerprints" -> ((s, d) => TextOps.winnowFingerprints(t(s, d, "documents"))),
+    // the MOSS pipeline end-to-end: winnow -> fp index -> paired overlap
+    // report with containment-style ppm vs the smaller print set
+    "winnow_overlap" -> ((s, d) => TextOps.winnowOverlapPairs(t(s, d, "documents"))),
     "corpus_stats" -> ((s, d) => TextOps.corpusStats(t(s, d, "documents"))),
     // emits the within-5%-of-exact boolean (sketch internals are
     // engine-specific; the accuracy bound is not) — oracle asserts TRUE
@@ -1720,6 +1723,35 @@ object SparkEntry {
         |        FROM wins)
         |SELECT DISTINCT doc_id, CAST(i AS INTEGER) AS pos, h AS fp
         |FROM sel WHERE rn = 1""".stripMargin,
+
+    // winnow CTEs + distinct-print index + guarded fp join + ppm vs the
+    // smaller print set
+    "winnow_overlap" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |ps AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 2, 0))) AS i FROM tk),
+        |hs AS (SELECT doc_id, i,
+        |       CAST(concat('0x', substr(md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]), 1, 8)) AS BIGINT) AS h
+        |       FROM ps),
+        |m AS (SELECT doc_id, COUNT(*) AS m FROM hs GROUP BY doc_id),
+        |js AS (SELECT doc_id, unnest(range(0, m - 3)) AS j FROM m WHERE m >= 4),
+        |wins AS (SELECT js.doc_id, js.j, hs.i, hs.h
+        |         FROM js JOIN hs ON hs.doc_id = js.doc_id AND hs.i BETWEEN js.j AND js.j + 3),
+        |sel AS (SELECT doc_id, j, i, h,
+        |        row_number() OVER (PARTITION BY doc_id, j ORDER BY h ASC, i DESC) AS rn
+        |        FROM wins),
+        |prints AS (SELECT DISTINCT doc_id, h AS fp FROM sel WHERE rn = 1),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM prints GROUP BY doc_id),
+        |df AS (SELECT fp, COUNT(*) AS c FROM prints GROUP BY fp),
+        |pf AS (SELECT p.doc_id, p.fp FROM prints p JOIN df ON p.fp = df.fp
+        |       WHERE df.c > 1 AND df.c <= 50),
+        |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        |           FROM pf a JOIN pf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT s.doc_a, s.doc_b, s.n_shared,
+        |       CAST((s.n_shared * 1000000 + least(na.n, nb.n) // 2)
+        |            // least(na.n, nb.n) AS BIGINT) AS overlap_ppm
+        |FROM shared s JOIN sizes na ON s.doc_a = na.doc_id
+        |              JOIN sizes nb ON s.doc_b = nb.doc_id""".stripMargin,
 
     // SemDeDup replay: seeded assignment (same round-6 ranking as the IVF
     // oracles), then the local min-id ε-ball rule within each cluster

@@ -148,6 +148,40 @@ object TextOps {
       .select(col("doc_id"), col("r.pos").as("pos"), col("r.h").as("fp"))
   }
 
+  /** Winnowing OVERLAP pairs — the fingerprints' consumer: documents
+    * sharing ≥ `minShared` distinct selected hashes, with the shared
+    * count and an overlap_ppm against the SMALLER print set (containment
+    * semantics: a doc whose prints are mostly inside another's is a
+    * local-copy suspect even if the other is much larger). Same
+    * inverted-index + df-guard shape as the shingle joins: shuffle keyed
+    * by fingerprint, bucket pairs bounded by the guard, never all-pairs.
+    * This is the MOSS pipeline end-to-end: winnow → index → paired
+    * overlap report.
+    */
+  def winnowOverlapPairs(documents: DataFrame, w: Int = 4,
+                         minShared: Long = 2,
+                         maxFpDocFreq: Long = 50): DataFrame = {
+    val prints = winnowFingerprints(documents, w)
+      .select(col("doc_id"), col("fp")).distinct()
+    val sizes = prints.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = prints
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxFpDocFreq)
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), " +
+          "y -> named_struct('doc_a', x, 'doc_b', y))))")).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        expr("(n_shared * 1000000L + least(na, nb) div 2) div least(na, nb)")
+          .as("overlap_ppm"))
+  }
+
   /** Corpus stats per (lang, source): the A1-style rollup over documents. */
   def corpusStats(documents: DataFrame): DataFrame =
     documents

@@ -137,6 +137,26 @@ class DedupTextOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
   }
 
+  test("winnowOverlapPairs: shared-run docs pair with the exact shared-print " +
+       "count and ppm vs the SMALLER print set; unrelated docs stay out") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val d = Seq(
+      (1L, s"pre one two $shared", "en", "s1", 15L),
+      (2L, s"$shared post three four five six seven eight nine ten", "en", "s2", 22L),
+      (3L, "unrelated totally different content words here again now", "en", "s1", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val fp = TextOps.winnowFingerprints(d).collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(2)).toSet }
+    val expShared = (fp(1L) & fp(2L)).size.toLong
+    assert(expShared >= 2, s"fixture must share >= 2 prints, got $expShared")
+    val rows = TextOps.winnowOverlapPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet == Set((1L, 2L)), s"only the shared-run pair: $rows")
+    val minN = math.min(fp(1L).size, fp(2L).size).toLong
+    assert(rows((1L, 2L)) ==
+      ((expShared, (expShared * 1000000L + minN / 2) / minN)))
+  }
+
   test("containmentPairs: embedded doc scores 1e6 where jaccard misses it; " +
        "directed, and the non-contained direction stays below threshold") {
     val span = "alpha beta gamma delta epsilon zeta eta theta iota kappa" // 10 toks, 8 shingles
