@@ -281,6 +281,14 @@ object SparkEntry {
     // report with containment-style ppm vs the smaller print set
     "winnow_overlap" -> ((s, d) => TextOps.winnowOverlapPairs(t(s, d, "documents"))),
     "corpus_stats" -> ((s, d) => TextOps.corpusStats(t(s, d, "documents"))),
+    // novelty scoring: ppm of each doc's shingles unique to it corpus-wide
+    // — the dual of dedup (scores redundancy instead of removing it)
+    "ngram_novelty" -> ((s, d) => DedupOps.shingleNovelty(t(s, d, "documents"))),
+    // exact per-stratum downsample to the smallest stratum, portable-hash
+    // order — the deterministic analog of per-class balancing
+    "balanced_sample" -> ((s, d) => TextOps.balancedSample(t(s, d, "documents"))),
+    // top-3 tf-idf keywords per doc, integer-exact ranking (idf micros)
+    "keywords_topk" -> ((s, d) => TextOps.keywordsTopK(t(s, d, "documents"))),
     // emits the within-5%-of-exact boolean (sketch internals are
     // engine-specific; the accuracy bound is not) — oracle asserts TRUE
     "hll_distinct" -> ((s, d) => TextOps.approxDistinctWithinTol(t(s, d, "documents"))),
@@ -1752,6 +1760,45 @@ object SparkEntry {
         |            // least(na.n, nb.n) AS BIGINT) AS overlap_ppm
         |FROM shared s JOIN sizes na ON s.doc_a = na.doc_id
         |              JOIN sizes nb ON s.doc_b = nb.doc_id""".stripMargin,
+
+    // novelty: df over the shared shingle CTEs, count-FILTER rollup,
+    // half-up integer ppm — zero float surface
+    "ngram_novelty" ->
+      (shingleCtes +
+      """,
+        |df AS (SELECT s, COUNT(*) AS c FROM sh GROUP BY s)
+        |SELECT sh.doc_id, COUNT(*) AS n_shingles,
+        |       COUNT(*) FILTER (WHERE df.c = 1) AS n_unique,
+        |       (COUNT(*) FILTER (WHERE df.c = 1) * 1000000 + COUNT(*) // 2)
+        |         // COUNT(*) AS novelty_ppm
+        |FROM sh JOIN df ON sh.s = df.s GROUP BY sh.doc_id""".stripMargin),
+
+    // exact balanced downsample: min stratum count, portable-hash rank
+    "balanced_sample" ->
+      """WITH n AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT MIN(n) AS target FROM n),
+        |r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |        ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+        |                 doc_id) AS rn
+        |      FROM documents)
+        |SELECT doc_id, source FROM r CROSS JOIN t WHERE rn <= target""".stripMargin,
+
+    // keywords: tf-idf rank with idf quantized to micros BEFORE the
+    // multiply, so rank order (incl. token tiebreak) is integer-exact
+    "keywords_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfc AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.token, tf.tf,
+        |       CAST(round(ln(CAST(n.n_docs AS DOUBLE) / dfc.df) * 1000000) AS BIGINT) AS idf_micros
+        |       FROM tf JOIN dfc USING (token) CROSS JOIN n),
+        |rk AS (SELECT doc_id, token, tf * idf_micros AS score,
+        |       row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY tf * idf_micros DESC, token ASC) AS rank
+        |       FROM sc)
+        |SELECT doc_id, rank, token AS keyword, score FROM rk WHERE rank <= 3""".stripMargin,
 
     // SemDeDup replay: seeded assignment (same round-6 ranking as the IVF
     // oracles), then the local min-id ε-ball rule within each cluster

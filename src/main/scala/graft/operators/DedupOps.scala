@@ -139,6 +139,29 @@ object DedupOps {
   def shingles(documents: DataFrame): DataFrame =
     shinglesArray(documents).select(col("doc_id"), explode(col("sh")).as("shingle"))
 
+  /** Per-document n-gram novelty: the ppm fraction of a doc's distinct
+    * 3-shingles that appear NOWHERE else in the corpus (df = 1). The dual
+    * of the dedup family — where those remove redundancy, this SCORES it:
+    * low novelty flags boilerplate/templated docs even when no single
+    * pair crosses a dup threshold, high novelty marks content only this
+    * doc contributes. Same df aggregate the jaccard guard computes
+    * (partial-agg, shuffle ∝ distinct shingles), joined back
+    * co-partitioned; output is pure integer arithmetic (count FILTER +
+    * half-up ppm), zero float surface. Docs with < 3 tokens have no
+    * shingles and are absent, matching the oracle.
+    */
+  def shingleNovelty(documents: DataFrame): DataFrame = {
+    val sh = shingles(documents)
+    val df_ = sh.groupBy(col("shingle")).agg(count(lit(1)).as("c"))
+    sh.join(df_, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("c") === 1, lit(1))).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        expr("(n_unique * 1000000L + n_shingles div 2) div n_shingles")
+          .as("novelty_ppm"))
+  }
+
   /** MinHash signatures, long form (doc_id, hash_idx, minhash) — the
     * registered/oracled shape. posexplode of the per-row signature array;
     * zero shuffles.

@@ -236,6 +236,64 @@ object TextOps {
       expr(s"cast(conv(substr(md5(cast($keyCol as string)), 1, 8), 16, 10) as bigint) % $of")
         < pctBuckets)
 
+  /** Exact balanced downsample: every stratum cut to the size of the
+    * SMALLEST stratum, rows chosen in portable-hash order (md5 bucket,
+    * doc_id tiebreak) — the deterministic analog of per-class
+    * downsampling for training mixes. Unlike the ppm hash filter
+    * (`deterministicSample`) this is EXACT: each surviving stratum has
+    * precisely `min_n` rows, and any engine selects the same rows.
+    *
+    * The rank runs over a NARROW (id, stratum, hash) projection — the
+    * per-stratum window shuffles ~24 bytes/row, not documents; callers
+    * needing payloads join survivors back by id. At 100 TB the remaining
+    * hazard is one reducer per stratum; for few huge strata pre-thin
+    * with the ppm filter at a rate safely above target/n first, then
+    * rank the survivors — hash order makes the two-phase result
+    * identical as long as the prefilter keeps >= min_n rows per stratum.
+    */
+  def balancedSample(df: DataFrame, strataCol: String = "source",
+                     idCol: String = "doc_id"): DataFrame = {
+    val target = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("target"))
+    df.select(col(idCol), col(strataCol),
+        expr(s"cast(conv(substr(md5(cast($idCol as string)), 1, 8), 16, 10) as bigint)")
+          .as("hk"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(strataCol)).orderBy(col("hk"), col(idCol))))
+      .crossJoin(broadcast(target))
+      .filter(col("rn") <= col("target"))
+      .select(col(idCol), col(strataCol))
+  }
+
+  /** Top-k keywords per document by tf·idf — the extractive tagging pass
+    * a corpus catalog needs. Ranking is integer-exact across engines:
+    * idf = ln(N/df) is quantized to micros ONCE per distinct (N, df)
+    * value (the [[graft-engine-portability-traps]] transcendental rule:
+    * integer-derived input, quantize the output, then exact arithmetic),
+    * and the score tf·idf_micros is a BIGINT, so rank order — including
+    * the token-asc tiebreak — is bit-identical in Spark and the oracle.
+    * Same three hash aggregates as [[tfIdf]]; the per-doc top-k window
+    * runs over narrow (doc, token, score) rows.
+    */
+  def keywordsTopK(documents: DataFrame, k: Int = 3): DataFrame = {
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val tf = documents
+      .select(col("doc_id"), explode(expr(toksExprFor(documents))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(df_, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf_micros",
+        expr("cast(round(ln(cast(n_docs as double) / df) * 1000000) as bigint)"))
+      .withColumn("score", col("tf") * col("idf_micros"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("token").asc)))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token").as("keyword"), col("score"))
+  }
+
   /** TF-IDF per (doc, token): tf = in-document count, idf = ln(N/df) with
     * df = number of documents containing the token. Three hash aggregates
     * (doc×token, token, corpus count) + one join on token; the corpus size

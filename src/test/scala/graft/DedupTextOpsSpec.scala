@@ -157,6 +157,52 @@ class DedupTextOpsSpec extends SparkSpec {
       ((expShared, (expShared * 1000000L + minN / 2) / minN)))
   }
 
+  test("shingleNovelty: exact dups score 0 unique, the singleton doc 1e6; " +
+       "the near-dup's novelty counts exactly its changed-word shingles") {
+    val rows = DedupOps.shingleNovelty(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // docs 1 and 2 are byte-identical: every shingle has df >= 2 -> 0 unique
+    assert(rows(1L)._2 == 0L && rows(2L)._2 == 0L)
+    assert(rows(1L)._3 == 0L)
+    // doc 4 shares nothing: every shingle df = 1 -> ppm exactly 1e6
+    assert(rows(4L)._2 == rows(4L)._1 && rows(4L)._3 == 1000000L)
+    // doc 3 differs from 1/2 in one word ("red" vs "old"), token 12 of 13
+    // -> exactly the 2 shingles covering it are unique to 3 (of 11)
+    assert(rows(3L) == ((11L, 2L, (2L * 1000000L + 5L) / 11L)))
+  }
+
+  test("balancedSample: every stratum lands exactly min-stratum rows, " +
+       "selection is deterministic and contained in the stratum") {
+    val d = (1L to 17L).map(i =>
+      (i, s"doc number $i words", "en", if (i <= 12) "big" else "small", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.balancedSample(d).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.length == 10, s"2 strata x min(12, 5): $out")
+    assert(out.count(_._2 == "big") == 5 && out.count(_._2 == "small") == 5)
+    assert(out.filter(_._2 == "small").map(_._1).toSet.subsetOf((13L to 17L).toSet))
+    // deterministic: a second run (and a repartitioned input) agrees
+    assert(TextOps.balancedSample(d.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == out.toSet)
+  }
+
+  test("keywordsTopK: corpus-wide tokens rank below doc-specific ones; " +
+       "k rows per doc; integer score equals tf * quantized idf") {
+    val out = TextOps.keywordsTopK(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(out.count(_._1 == 1L) == 3)
+    // "the" appears in all 4 docs -> idf = 0 -> never a top keyword for
+    // doc 4 (its own words have df = 1)
+    val d4 = out.filter(_._1 == 4L)
+    assert(d4.forall(_._3 != "the"))
+    // df=1 tokens in a 4-doc corpus: idf_micros = round(ln(4) * 1e6)
+    val lnFourMicros = math.round(math.log(4.0) * 1e6)
+    assert(d4.forall(_._4 == lnFourMicros),
+      s"tf=1, df=1 keywords for doc 4 must score ln(4) micros: ${d4.toSeq}")
+    // rank ties broken by token asc -> deterministic first keyword
+    assert(d4.map(_._3).sorted.sameElements(d4.sortBy(_._2).map(_._3)))
+  }
+
   test("containmentPairs: embedded doc scores 1e6 where jaccard misses it; " +
        "directed, and the non-contained direction stays below threshold") {
     val span = "alpha beta gamma delta epsilon zeta eta theta iota kappa" // 10 toks, 8 shingles
