@@ -235,6 +235,9 @@ object SparkEntry {
     // min doc_id (min-label propagation; oracle = recursive closure)
     "dup_components" -> ((s, d) =>
       DedupOps.dupComponents(DedupOps.minhashCandidatePairs(t(s, d, "documents")))),
+    // integer-micros PageRank over the symmetrized near-dup graph: rank
+    // cluster centers above peripheral variants; 8 damped rounds, exact
+    "doc_pagerank" -> ((s, d) => GraphOps.docPagerank(t(s, d, "documents"))),
     // the same collapse via large-star/small-star contraction — O(log²)
     // rounds regardless of dup-chain diameter; identical oracle
     "dup_components_star" -> ((s, d) =>
@@ -349,6 +352,10 @@ object SparkEntry {
     // k-means document clustering as a first-class output: the Lloyd-
     // trained assignment (vec_id → cluster), oracled through the same
     // training replay as cosine_topk_ivf_trained
+    // outlier screen: distance-to-assigned-centroid >= 2x the centroid's
+    // mean member distance; integer micros/ppm end-to-end
+    "embedding_outliers" -> ((s, d) =>
+      SimilarityOps.embeddingOutliers(t(s, d, "embeddings"))),
     "embedding_clusters" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       SimilarityOps.ivfAssignWith(emb, SimilarityOps.ivfTrainCentroids(emb, 16, iters = 2))
@@ -993,6 +1000,27 @@ object SparkEntry {
   private val dupComponentsOracle =
     dupComponentsCtes + "\nSELECT doc_id, component FROM comps"
 
+  /** Integer-micros PageRank replay: the mpairs edge set symmetrized,
+    * 8 damped rounds unrolled as CTEs — every operation mirrors the
+    * Spark side's `div`-based arithmetic, so ranks are bit-identical.
+    */
+  private val docPagerankOracle: String = {
+    val iters = (1 to 8).map { i =>
+      s"""r$i AS (SELECT e.dst AS node,
+         |  CAST(150000 + (85 * SUM(r.rank_micros // d.deg)) // 100 AS BIGINT) AS rank_micros
+         |  FROM dedges e JOIN deg d ON e.src = d.src
+         |  JOIN r${i - 1} r ON r.node = e.src GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    minhashPairsCtes +
+      """,
+        |dedges AS (SELECT doc_a AS src, doc_b AS dst FROM mpairs
+        |           UNION SELECT doc_b, doc_a FROM mpairs),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM dedges GROUP BY src),
+        |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank_micros FROM deg),
+        |""".stripMargin + iters +
+      "\nSELECT node AS doc_id, rank_micros FROM r8"
+  }
+
   /** Per-doc SimHash as a reusable CTE (DuckDB spelling of DedupOps.simhash). */
   private val simhashCtes = shingleCtes +
     """,
@@ -1593,6 +1621,7 @@ object SparkEntry {
     // variant computes the SAME function, so it shares the oracle verbatim.
     "dup_components" -> dupComponentsOracle,
     "dup_components_star" -> dupComponentsOracle,
+    "doc_pagerank" -> docPagerankOracle,
 
     // the incremental screen replayed: same band CTE, corpus/delta split
     // by doc_id % 4, NOT EXISTS anti-joins (null-safe spelling)
@@ -2379,6 +2408,26 @@ object SparkEntry {
         |CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS props_nulls,
         |COUNT(*) AS n_rows
         |FROM events""".stripMargin,
+
+    // seeded assignment (argmin replayed as row_number), integer-micros
+    // distance, per-centroid integer mean, half-up ppm ratio
+    "embedding_outliers" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM v WHERE vec_id < 8),
+        |asg AS (
+        |  SELECT vec_id, centroid_id,
+        |         CAST(round((1.0 - round(list_cosine_similarity(emb, c_emb), 6)) * 1000000) AS BIGINT) AS dist_micros
+        |  FROM (SELECT v.vec_id, c.centroid_id, v.emb, c.c_emb,
+        |        row_number() OVER (PARTITION BY v.vec_id
+        |          ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 6) DESC, c.centroid_id) AS rn
+        |        FROM v CROSS JOIN c) t WHERE rn = 1),
+        |m AS (SELECT centroid_id,
+        |      greatest(CAST(SUM(dist_micros) // COUNT(*) AS BIGINT), 1) AS mean_micros
+        |      FROM asg GROUP BY 1)
+        |SELECT a.vec_id, a.centroid_id, a.dist_micros, m.mean_micros,
+        |       (a.dist_micros * 1000000 + m.mean_micros // 2) // m.mean_micros AS ratio_ppm,
+        |       ((a.dist_micros * 1000000 + m.mean_micros // 2) // m.mean_micros) >= 2000000 AS is_outlier
+        |FROM asg a JOIN m USING (centroid_id)""".stripMargin,
 
     "embedding_clusters" ->
       (s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -160,6 +160,41 @@ object SimilarityOps {
       .agg(min(col("cand")).as("best"))
       .select(col("vec_id"), col("best.centroid_id").as("centroid_id"))
 
+  /** Embedding outlier screen: flag vectors whose cosine distance to
+    * their assigned centroid is ≥ 2× the centroid's mean member
+    * distance — the corpus-cleaning pass that catches mis-embedded /
+    * off-distribution rows BEFORE they seed ANN lists or dedup
+    * clusters. One broadcast assignment pass (the `ivfAssignIds` argmin
+    * shape, keeping the winning score), one per-centroid mean, one
+    * co-partitioned join back. All comparisons are integer micros:
+    * dist = round((1 − round6(cos)) · 1e6), the mean is an integer
+    * `div`, and the ratio is half-up ppm — bit-identical cross-engine;
+    * `greatest(mean, 1)` guards the all-identical-cluster edge where a
+    * zero mean would make the ratio engine-dependent (NULL vs error).
+    */
+  def embeddingOutliers(embeddings: DataFrame, nCentroids: Int = 8): DataFrame = {
+    val assigned = embeddings
+      .join(broadcast(seedCentroids(embeddings, nCentroids)))
+      .select(col("vec_id"),
+        struct(
+          (lit(0.0) - round(graft.functions.GraftFunctions
+            .cosineSim(col("embedding"), col("c_emb")), 6)).as("neg_score"),
+          col("centroid_id")).as("cand"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("cand")).as("best"))
+      .select(col("vec_id"), col("best.centroid_id").as("centroid_id"),
+        expr("cast(round((1.0d + best.neg_score) * 1000000) as bigint)")
+          .as("dist_micros"))
+    val means = assigned.groupBy(col("centroid_id"))
+      .agg(expr("greatest(sum(dist_micros) div count(1), 1L)").as("mean_micros"))
+    assigned.join(means, "centroid_id")
+      .select(col("vec_id"), col("centroid_id"), col("dist_micros"),
+        col("mean_micros"),
+        expr("(dist_micros * 1000000L + mean_micros div 2) div mean_micros")
+          .as("ratio_ppm"))
+      .withColumn("is_outlier", col("ratio_ppm") >= lit(2000000L))
+  }
+
   /** Lloyd k-means refinement of the IVF centroids, as repeated
     * assign → per-dimension-mean passes over the corpus — the "couple of
     * Lloyd iterations expressible as repeated assign+groupBy-avg" path,

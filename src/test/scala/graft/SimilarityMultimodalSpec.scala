@@ -479,4 +479,28 @@ class SimilarityMultimodalSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("CartesianProduct"), "PQ scoring must stay equi-join shaped")
   }
+
+  test("embeddingOutliers: off-cluster vectors flag at >= 2x mean distance, " +
+       "exact integer micros/ppm; dups and centroids never flag") {
+    val d = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // centroid 0
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // centroid 1
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // dup of c0: dist 0
+      (3L, Array(0.9f, 0.1f, 0.0f, 0.0f)),   // near c0: dist 6116 micros
+      (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),  // opposite c0 -> lands on c1 at 1e6
+      (5L, Array(0.0f, 0.0f, 1.0f, 0.0f)))   // orthogonal to both -> c0 (tie) at 1e6
+      .toDF("vec_id", "embedding")
+    val r = SimilarityOps.embeddingOutliers(d, nCentroids = 2).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getBoolean(5)))).toMap
+    // c0 members {0, 2, 3, 5}: mean = (0 + 0 + 6116 + 1e6) div 4 = 251529
+    assert(r(0L) == ((0L, 0L, 251529L, 0L, false)))
+    assert(r(2L)._2 == 0L && !r(2L)._5)
+    assert(r(3L)._2 == 6116L && !r(3L)._5)
+    assert(r(5L)._1 == 0L && r(5L)._5, s"orthogonal vec must flag: ${r(5L)}")
+    // c1 members {1, 4}: mean = 500000; vec 4's ratio is exactly the
+    // 2 000 000 boundary after half-up integer division -> flags
+    assert(r(4L) == ((1L, 1000000L, 500000L, 2000000L, true)))
+    assert(r(1L)._1 == 1L && !r(1L)._5)
+  }
 }
