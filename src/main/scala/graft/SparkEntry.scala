@@ -292,6 +292,17 @@ object SparkEntry {
     "balanced_sample" -> ((s, d) => TextOps.balancedSample(t(s, d, "documents"))),
     // top-3 tf-idf keywords per doc, integer-exact ranking (idf micros)
     "keywords_topk" -> ((s, d) => TextOps.keywordsTopK(t(s, d, "documents"))),
+    // same keywords from the PERSISTED IDF index (4th corpus artifact):
+    // build-once vocabulary stats, consumers join instead of re-aggregate;
+    // shares the inline oracle verbatim -> at-rest round trip hash-proven
+    "keywords_topk_stored" -> ((s, d) => {
+      val dir = artifactDir("idf_index", d)(out =>
+        TextOps.writeIdfIndex(t(s, d, "documents"), out))
+      TextOps.keywordsTopKWith(t(s, d, "documents"), TextOps.idfIndex(s, dir))
+    }),
+    // class-based tf-idf (c-TF-IDF): the vocabulary that distinguishes
+    // each source from the other crawls
+    "source_keywords" -> ((s, d) => TextOps.sourceKeywords(t(s, d, "documents"))),
     // emits the within-5%-of-exact boolean (sketch internals are
     // engine-specific; the accuracy bound is not) — oracle asserts TRUE
     "hll_distinct" -> ((s, d) => TextOps.approxDistinctWithinTol(t(s, d, "documents"))),
@@ -614,6 +625,9 @@ object SparkEntry {
     }),
     // market-basket: pairwise event-type lift from exact distinct counts
     "basket_lift" -> ((s, d) => EventOps.basketLift(t(s, d, "events"))),
+    // RFM quartile segmentation via broadcast percentile boundaries (no
+    // global ntile window); integer metrics so bucketing is exact
+    "rfm_segments" -> ((s, d) => EventOps.rfmSegments(t(s, d, "orders"))),
     // trailing-band anomalies: preceding-window baseline, current day
     // excluded so a spike can't dampen its own signal
     "events_anomaly" -> ((s, d) => EventOps.anomalousDays(t(s, d, "events"))),
@@ -999,6 +1013,22 @@ object SparkEntry {
 
   private val dupComponentsOracle =
     dupComponentsCtes + "\nSELECT doc_id, component FROM comps"
+
+  /** Shared by `keywords_topk` and its stored-index variant. */
+  private val keywordsTopkOracle =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfc AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |sc AS (SELECT tf.doc_id, tf.token, tf.tf,
+      |       CAST(round(ln(CAST(n.n_docs AS DOUBLE) / dfc.df) * 1000000) AS BIGINT) AS idf_micros
+      |       FROM tf JOIN dfc USING (token) CROSS JOIN n),
+      |rk AS (SELECT doc_id, token, tf * idf_micros AS score,
+      |       row_number() OVER (PARTITION BY doc_id
+      |         ORDER BY tf * idf_micros DESC, token ASC) AS rank
+      |       FROM sc)
+      |SELECT doc_id, rank, token AS keyword, score FROM rk WHERE rank <= 3""".stripMargin
 
   /** Integer-micros PageRank replay: the mpairs edge set symmetrized,
     * 8 damped rounds unrolled as CTEs — every operation mirrors the
@@ -1813,21 +1843,26 @@ object SparkEntry {
         |SELECT doc_id, source FROM r CROSS JOIN t WHERE rn <= target""".stripMargin,
 
     // keywords: tf-idf rank with idf quantized to micros BEFORE the
-    // multiply, so rank order (incl. token tiebreak) is integer-exact
-    "keywords_topk" ->
+    // multiply, so rank order (incl. token tiebreak) is integer-exact;
+    // the stored variant shares it verbatim (index round trip hash-proven)
+    "keywords_topk" -> keywordsTopkOracle,
+    "keywords_topk_stored" -> keywordsTopkOracle,
+
+    // c-TF-IDF replay: per-source tf, idf over the source universe
+    "source_keywords" ->
       """WITH tok AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents),
-        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-        |dfc AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
-        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
-        |sc AS (SELECT tf.doc_id, tf.token, tf.tf,
-        |       CAST(round(ln(CAST(n.n_docs AS DOUBLE) / dfc.df) * 1000000) AS BIGINT) AS idf_micros
-        |       FROM tf JOIN dfc USING (token) CROSS JOIN n),
-        |rk AS (SELECT doc_id, token, tf * idf_micros AS score,
-        |       row_number() OVER (PARTITION BY doc_id
+        |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents),
+        |tf AS (SELECT source, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfs AS (SELECT token, COUNT(*) AS df_sources FROM tf GROUP BY token),
+        |n AS (SELECT COUNT(DISTINCT source) AS n_sources FROM documents),
+        |sc AS (SELECT tf.source, tf.token, tf.tf,
+        |       CAST(round(ln(CAST(n.n_sources AS DOUBLE) / dfs.df_sources) * 1000000) AS BIGINT) AS idf_micros
+        |       FROM tf JOIN dfs USING (token) CROSS JOIN n),
+        |rk AS (SELECT source, token, tf, tf * idf_micros AS score,
+        |       row_number() OVER (PARTITION BY source
         |         ORDER BY tf * idf_micros DESC, token ASC) AS rank
         |       FROM sc)
-        |SELECT doc_id, rank, token AS keyword, score FROM rk WHERE rank <= 3""".stripMargin,
+        |SELECT source, rank, token AS keyword, tf, score FROM rk WHERE rank <= 5""".stripMargin,
 
     // SemDeDup replay: seeded assignment (same round-6 ranking as the IVF
     // oracles), then the local min-id ε-ball rule within each cluster
@@ -2677,6 +2712,38 @@ object SparkEntry {
         |       round(mean_c / 100.0, 6) AS baseline_mean,
         |       round(std_c / 100.0, 6) AS baseline_std
         |FROM b WHERE abs(CAST(cents AS DOUBLE) - mean_c) > 2.0 * std_c""".stripMargin,
+
+    // RFM replay: per-customer integer metrics, quantile_cont boundaries
+    // in one aggregate (the broadcast frame), per-row bucket compares
+    "rfm_segments" ->
+      """WITH cust AS (
+        |  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_order, COUNT(*) AS n_orders,
+        |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS anchor FROM orders),
+        |r AS (SELECT o_custkey, date_diff('day', last_order, anchor) AS recency_days,
+        |             n_orders, monetary_cents FROM cust CROSS JOIN a),
+        |b AS (SELECT quantile_cont(recency_days, 0.25) AS r1, quantile_cont(recency_days, 0.5) AS r2,
+        |             quantile_cont(recency_days, 0.75) AS r3,
+        |             quantile_cont(n_orders, 0.25) AS f1, quantile_cont(n_orders, 0.5) AS f2,
+        |             quantile_cont(n_orders, 0.75) AS f3,
+        |             quantile_cont(monetary_cents, 0.25) AS m1, quantile_cont(monetary_cents, 0.5) AS m2,
+        |             quantile_cont(monetary_cents, 0.75) AS m3 FROM r),
+        |s AS (SELECT r.*,
+        |      CAST(1 + CAST(recency_days > r1 AS INT) + CAST(recency_days > r2 AS INT)
+        |             + CAST(recency_days > r3 AS INT) AS INTEGER) AS r_bucket,
+        |      CAST(1 + CAST(n_orders > f1 AS INT) + CAST(n_orders > f2 AS INT)
+        |             + CAST(n_orders > f3 AS INT) AS INTEGER) AS f_bucket,
+        |      CAST(1 + CAST(monetary_cents > m1 AS INT) + CAST(monetary_cents > m2 AS INT)
+        |             + CAST(monetary_cents > m3 AS INT) AS INTEGER) AS m_bucket
+        |      FROM r CROSS JOIN b)
+        |SELECT o_custkey, recency_days, n_orders, monetary_cents, r_bucket, f_bucket, m_bucket,
+        |       CASE WHEN r_bucket = 1 AND f_bucket = 4 AND m_bucket = 4 THEN 'champion'
+        |            WHEN r_bucket >= 3 AND m_bucket = 4 THEN 'at_risk_spender'
+        |            WHEN r_bucket >= 3 THEN 'lapsing'
+        |            WHEN f_bucket = 4 OR m_bucket = 4 THEN 'loyal'
+        |            ELSE 'standard' END AS segment
+        |FROM s""".stripMargin,
 
     "basket_lift" ->
       """WITH ue AS (SELECT DISTINCT user_id, event_type FROM events),

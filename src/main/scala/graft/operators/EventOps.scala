@@ -218,6 +218,53 @@ object EventOps {
     * table?"). The cumulative window runs AFTER the TakeOrdered top-N, so
     * its single-partition frame is `topN` rows, never the key space.
     */
+  /** RFM customer segmentation over orders — recency / frequency /
+    * monetary quartile buckets plus a named segment, the classic
+    * warehouse-mart consumer of the order feed. Deliberately NOT a
+    * global `ntile` window (one reducer sorting every customer):
+    * quartile BOUNDARIES are computed as one exact-percentile aggregate
+    * over the per-customer rollup and broadcast back, so bucketing is a
+    * per-row compare — two customer-keyed shuffles total (the rollup,
+    * nothing else), identical plan at any customer count. Metrics are
+    * integers (days, counts, cents) so the boundary compares are exact;
+    * bucket 1 = least of the metric, 4 = most (recency bucket 1 ⇒ most
+    * recent buyer).
+    */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val cust = orders.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate").cast(DateType)).as("last_order"),
+        count(lit(1)).as("n_orders"),
+        sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("monetary_cents"))
+    val anchor = orders.agg(max(col("o_orderdate").cast(DateType)).as("anchor"))
+    val r = cust.crossJoin(broadcast(anchor))
+      .select(col("o_custkey"),
+        datediff(col("anchor"), col("last_order")).cast(LongType).as("recency_days"),
+        col("n_orders"), col("monetary_cents"))
+    val bounds = r.agg(
+      expr("percentile(recency_days, 0.25d)").as("r1"),
+      expr("percentile(recency_days, 0.5d)").as("r2"),
+      expr("percentile(recency_days, 0.75d)").as("r3"),
+      expr("percentile(n_orders, 0.25d)").as("f1"),
+      expr("percentile(n_orders, 0.5d)").as("f2"),
+      expr("percentile(n_orders, 0.75d)").as("f3"),
+      expr("percentile(monetary_cents, 0.25d)").as("m1"),
+      expr("percentile(monetary_cents, 0.5d)").as("m2"),
+      expr("percentile(monetary_cents, 0.75d)").as("m3"))
+    def bucket(c: String, q: String): String =
+      s"cast(1 + if($c > ${q}1, 1, 0) + if($c > ${q}2, 1, 0) + if($c > ${q}3, 1, 0) as int)"
+    r.crossJoin(broadcast(bounds))
+      .withColumn("r_bucket", expr(bucket("recency_days", "r")))
+      .withColumn("f_bucket", expr(bucket("n_orders", "f")))
+      .withColumn("m_bucket", expr(bucket("monetary_cents", "m")))
+      .select(col("o_custkey"), col("recency_days"), col("n_orders"),
+        col("monetary_cents"), col("r_bucket"), col("f_bucket"), col("m_bucket"),
+        expr("""case when r_bucket = 1 and f_bucket = 4 and m_bucket = 4 then 'champion'
+               |     when r_bucket >= 3 and m_bucket = 4 then 'at_risk_spender'
+               |     when r_bucket >= 3 then 'lapsing'
+               |     when f_bucket = 4 or m_bucket = 4 then 'loyal'
+               |     else 'standard' end""".stripMargin).as("segment"))
+  }
+
   def skewProfile(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("total"))

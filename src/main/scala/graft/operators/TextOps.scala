@@ -275,23 +275,75 @@ object TextOps {
     * Same three hash aggregates as [[tfIdf]]; the per-doc top-k window
     * runs over narrow (doc, token, score) rows.
     */
-  def keywordsTopK(documents: DataFrame, k: Int = 3): DataFrame = {
-    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
-    val tf = documents
+  private def docTokenTf(documents: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"), explode(expr(toksExprFor(documents))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    tf.join(df_, "token")
-      .crossJoin(broadcast(nDocs))
-      .withColumn("idf_micros",
-        expr("cast(round(ln(cast(n_docs as double) / df) * 1000000) as bigint)"))
+
+  /** The corpus IDF table: (token, df, idf_micros) with idf quantized to
+    * micros at build time — the frame `writeIdfIndex` persists and every
+    * keyword consumer joins. One narrow row per distinct token.
+    */
+  def idfTable(documents: DataFrame): DataFrame =
+    docTokenTf(documents).groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(documents.agg(count(lit(1)).as("n_docs"))))
+      .select(col("token"), col("df"),
+        expr("cast(round(ln(cast(n_docs as double) / df) * 1000000) as bigint)")
+          .as("idf_micros"))
+
+  /** Persisted IDF index — the FOURTH corpus artifact (after fp/band,
+    * component, IVF-PQ indexes): the vocabulary statistics of a corpus
+    * snapshot landed as narrow parquet, so keyword/scoring consumers
+    * join a prebuilt table instead of re-aggregating the corpus per
+    * query. Same build-once/consume-many lifecycle via the artifact
+    * registry; `keywords_topk_stored` shares the inline oracle verbatim,
+    * hash-proving the at-rest round trip.
+    */
+  def writeIdfIndex(documents: DataFrame, path: String): Unit =
+    idfTable(documents).write.mode("overwrite").parquet(path)
+
+  def idfIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def keywordsTopKWith(documents: DataFrame, idf: DataFrame, k: Int = 3): DataFrame =
+    docTokenTf(documents)
+      .join(idf.select(col("token"), col("idf_micros")), "token")
       .withColumn("score", col("tf") * col("idf_micros"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("score").desc, col("token").asc)))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("token").as("keyword"), col("score"))
+
+  def keywordsTopK(documents: DataFrame, k: Int = 3): DataFrame =
+    keywordsTopKWith(documents, idfTable(documents), k)
+
+  /** Class-based TF-IDF (the BERTopic c-TF-IDF shape): tokens aggregated
+    * per SOURCE, idf over the source universe instead of the doc
+    * universe — "what vocabulary distinguishes this crawl from the
+    * others", the corpus-characterization rollup a mixing decision
+    * reads. Same integer-exact ranking discipline as [[keywordsTopK]];
+    * the per-source aggregate is tiny (sources ≪ docs), so the window
+    * is over broadcast-scale rows.
+    */
+  def sourceKeywords(documents: DataFrame, k: Int = 5): DataFrame = {
+    val tf = documents
+      .select(col("source"), explode(expr(toksExprFor(documents))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("token")).agg(count(lit(1)).as("df_sources"))
+    tf.join(dfs, "token")
+      .crossJoin(broadcast(documents.agg(countDistinct(col("source")).as("n_sources"))))
+      .withColumn("idf_micros",
+        expr("cast(round(ln(cast(n_sources as double) / df_sources) * 1000000) as bigint)"))
+      .withColumn("score", col("tf") * col("idf_micros"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("score").desc, col("token").asc)))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank"), col("token").as("keyword"),
+        col("tf"), col("score"))
   }
 
   /** TF-IDF per (doc, token): tf = in-document count, idf = ln(N/df) with

@@ -203,6 +203,40 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(d4.map(_._3).sorted.sameElements(d4.sortBy(_._2).map(_._3)))
   }
 
+  test("sourceKeywords: source-exclusive vocabulary outranks shared (idf 0) " +
+       "tokens; ties resolve token-asc at equal integer scores") {
+    val out = TextOps.sourceKeywords(docs).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    val lnTwoMicros = math.round(math.log(2.0) * 1e6)
+    // s1 = docs 1,3; "red" appears only in doc 3 -> the single
+    // source-exclusive s1 token; everything else is shared with s2 (doc
+    // 2 duplicates doc 1's text) -> idf 0
+    val s1 = out.filter(_._1 == "s1").sortBy(_._2)
+    assert(s1.head._3 == "red" && s1.head._5 == lnTwoMicros)
+    assert(s1.tail.forall(_._5 == 0L), s"shared vocabulary scores 0: ${s1.toSeq}")
+    assert(s1.tail.map(_._3).toSeq == Seq("barn", "brown", "dog", "fox"),
+      "zero-score ties order token-asc")
+    // s2 = docs 2,4; doc 4's vocabulary is source-exclusive, all tf=1 ->
+    // equal scores, token-asc picks the first five alphabetically
+    val s2 = out.filter(_._1 == "s2").sortBy(_._2)
+    assert(s2.map(_._3).toSeq == Seq("again", "any", "appear", "completely", "different"))
+    assert(s2.forall(_._5 == lnTwoMicros))
+  }
+
+  test("keywordsTopKWith: the persisted IDF index reproduces the inline " +
+       "keywords exactly (at-rest round trip)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idf_spec").toString
+    TextOps.writeIdfIndex(docs, dir)
+    val stored = TextOps.keywordsTopKWith(docs, TextOps.idfIndex(spark, dir))
+      .collect().map(_.toString).toSet
+    val inline = TextOps.keywordsTopK(docs).collect().map(_.toString).toSet
+    assert(stored == inline && stored.nonEmpty)
+    // the index itself is narrow vocabulary stats: one row per token
+    val idx = TextOps.idfIndex(spark, dir)
+    assert(idx.columns.toSeq == Seq("token", "df", "idf_micros"))
+    assert(idx.select("token").distinct().count() == idx.count())
+  }
+
   test("containmentPairs: embedded doc scores 1e6 where jaccard misses it; " +
        "directed, and the non-contained direction stays below threshold") {
     val span = "alpha beta gamma delta epsilon zeta eta theta iota kappa" // 10 toks, 8 shingles

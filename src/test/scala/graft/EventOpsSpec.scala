@@ -133,4 +133,34 @@ class EventOpsSpec extends SparkSpec {
     assert(rows(1).getLong(2) == 300000L && rows(1).getLong(3) == 900000L,
       "cumulative share still denominates by the FULL total")
   }
+
+  test("rfmSegments: 8 distinct-valued customers split 2 per quartile bucket " +
+       "on every dimension; champion and lapsing labels land where expected") {
+    // customer k: k orders, all on 2020-01-k (recency 8-k days), each
+    // priced 100k -> every metric has 8 distinct values, so interpolated
+    // quartile boundaries fall strictly between ranks {2,3}, {4,5}, {6,7}
+    val orders = (1 to 8).flatMap { k =>
+      (1 to k).map(j => (k * 100L + j, k.toLong, "O",
+        100.0 * k, ts(f"2020-01-0$k 00:00:00"), "1-URGENT"))
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val r = EventOps.rfmSegments(orders).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3),
+          x.getInt(4), x.getInt(5), x.getInt(6), x.getString(7)))).toMap
+    assert(r.size == 8)
+    // metrics: recency = 8-k, n = k, cents = k^2 * 10000 (k orders x 100k x 100)
+    for (k <- 1 to 8) {
+      val (rec, n, cents, _, _, _, _) = r(k.toLong)
+      assert((rec, n, cents) == ((8L - k, k.toLong, k.toLong * k * 10000)))
+    }
+    def buckets(i: Int) = r.values.map(v => v.productElement(i).asInstanceOf[Int])
+      .groupBy(identity).view.mapValues(_.size).toMap
+    for (i <- 3 to 5)
+      assert(buckets(i) == Map(1 -> 2, 2 -> 2, 3 -> 2, 4 -> 2), s"dim $i: ${buckets(i)}")
+    // cust 8: most recent + top frequency + top spend
+    assert(r(8L)._7 == "champion" && r(7L)._7 == "champion")
+    assert(r(1L)._7 == "lapsing" && r(2L)._7 == "lapsing")
+    assert(r(5L)._7 == "standard" && r(6L)._7 == "standard")
+  }
 }
