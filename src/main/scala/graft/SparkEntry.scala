@@ -197,6 +197,24 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // TPC-H Q10 shape: top returned-revenue customers in a quarter —
+    // decimal-exact revenue sum, nation broadcast, deterministic top-20
+    "q10_returned" -> ((s, d) => {
+      val lo = lit("1997-01-01").cast(TimestampType)
+      val hi = lit("1997-04-01").cast(TimestampType)
+      t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem").filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(col("l_extendedprice").cast(Money) * (lit(1) - col("l_discount").cast(Money)))
+          .cast(DecimalType(20, 4)).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // ---- [EXT] dedup / text / similarity / multimodal ----
     "dedup_exact" -> ((s, d) => DedupOps.exactDedup(t(s, d, "documents"))),
     // CCNet-style segment dedup: keep the globally-first occurrence of
@@ -284,6 +302,10 @@ object SparkEntry {
     // report with containment-style ppm vs the smaller print set
     "winnow_overlap" -> ((s, d) => TextOps.winnowOverlapPairs(t(s, d, "documents"))),
     "corpus_stats" -> ((s, d) => TextOps.corpusStats(t(s, d, "documents"))),
+    // Pearson r from five integer moments (order-independent sums; the
+    // closed form over exact integers is IEEE-deterministic) — corr()
+    // aggregates are partitioning-dependent and unusable under a hash gate
+    "length_corr" -> ((s, d) => TextOps.lengthCorr(t(s, d, "documents"))),
     // novelty scoring: ppm of each doc's shingles unique to it corpus-wide
     // — the dual of dedup (scores redundancy instead of removing it)
     "ngram_novelty" -> ((s, d) => DedupOps.shingleNovelty(t(s, d, "documents"))),
@@ -1404,6 +1426,19 @@ object SparkEntry {
         |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
+    "q10_returned" ->
+      """SELECT c_custkey, c_name, n_name,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
 
@@ -1819,6 +1854,23 @@ object SparkEntry {
         |            // least(na.n, nb.n) AS BIGINT) AS overlap_ppm
         |FROM shared s JOIN sizes na ON s.doc_a = na.doc_id
         |              JOIN sizes nb ON s.doc_b = nb.doc_id""".stripMargin,
+
+    // Pearson replay: the same five integer moments, the same closed
+    // form with textually-parallel cast order
+    "length_corr" ->
+      """WITH p AS (
+        |  SELECT CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS x,
+        |         n_chars AS y FROM documents),
+        |m AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |             CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |             CAST(SUM(y * y) AS BIGINT) AS syy FROM p)
+        |SELECT n, sx, sy,
+        |CAST(round(
+        |  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |  sqrt(nullif((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+        |              (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy), 0.0))
+        |  * 1000000) AS BIGINT) AS corr_ppm
+        |FROM m""".stripMargin,
 
     // novelty: df over the shared shingle CTEs, count-FILTER rollup,
     // half-up integer ppm — zero float surface

@@ -182,6 +182,34 @@ object TextOps {
           .as("overlap_ppm"))
   }
 
+  /** Token-vs-char length correlation — a one-number corpus-health probe
+    * (a low r flags encoding damage / markup floods where chars grow but
+    * tokens don't). The portability trick: Pearson r is computed from the
+    * FIVE INTEGER moments (Σx, Σy, Σxy, Σx², Σy²) — integer sums are
+    * order-independent, so the only float arithmetic is the final closed
+    * form over six exact integers, where +,*,/,sqrt are all IEEE
+    * correctly-rounded → bit-identical in any engine. (The usual
+    * `corr()` aggregate is a running float accumulation whose result
+    * depends on partitioning — unusable under a hash gate.) One
+    * map-side-combined aggregate, no shuffle beyond the 1-row merge;
+    * moment magnitudes stay within double-exact range (< 2^53) for
+    * corpora to ~10^7 docs of ~10^3 tokens — shard the moment aggregate
+    * by hash bucket and merge if beyond.
+    */
+  def lengthCorr(documents: DataFrame): DataFrame =
+    documents
+      .select(expr(s"cast(size(${toksExprFor(documents)}) as bigint)").as("x"),
+        col("n_chars").cast(LongType).as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+        sum(expr("y * y")).as("syy"))
+      .select(col("n"), col("sx"), col("sy"),
+        expr("""cast(round(
+               |  (cast(n as double) * sxy - cast(sx as double) * sy) /
+               |  sqrt(nullif((cast(n as double) * sxx - cast(sx as double) * sx) *
+               |              (cast(n as double) * syy - cast(sy as double) * sy), 0.0d))
+               |  * 1000000) as bigint)""".stripMargin).as("corr_ppm"))
+
   /** Corpus stats per (lang, source): the A1-style rollup over documents. */
   def corpusStats(documents: DataFrame): DataFrame =
     documents

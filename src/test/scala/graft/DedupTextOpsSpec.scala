@@ -203,6 +203,20 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(d4.map(_._3).sorted.sameElements(d4.sortBy(_._2).map(_._3)))
   }
 
+  test("lengthCorr: perfectly linear token/char growth reads exactly 1e6 ppm; " +
+       "a constant series yields NULL (zero variance), not a crash") {
+    // x = 2,4,6 tokens; y = 10,20,30 chars -> r = 1 exactly
+    val lin = Seq((1L, "a b", "en", "s1", 10L), (2L, "a b c d", "en", "s1", 20L),
+      (3L, "a b c d e f", "en", "s1", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextOps.lengthCorr(lin).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 12L, 60L, 1000000L)))
+    val const = Seq((1L, "a b", "en", "s1", 10L), (2L, "a b c d", "en", "s1", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(TextOps.lengthCorr(const).collect()(0).isNullAt(3))
+  }
+
   test("sourceKeywords: source-exclusive vocabulary outranks shared (idf 0) " +
        "tokens; ties resolve token-asc at equal integer scores") {
     val out = TextOps.sourceKeywords(docs).collect()
