@@ -306,6 +306,10 @@ object SparkEntry {
     // closed form over exact integers is IEEE-deterministic) — corr()
     // aggregates are partitioning-dependent and unusable under a hash gate
     "length_corr" -> ((s, d) => TextOps.lengthCorr(t(s, d, "documents"))),
+    // Zipf slope of the term-frequency curve (≈ -1 for natural text):
+    // corpus-scale work is one tf aggregate + TakeOrdered; regression
+    // over R bounded rows with millis-quantized logs
+    "zipf_slope" -> ((s, d) => TextOps.zipfSlope(t(s, d, "documents"))),
     // novelty scoring: ppm of each doc's shingles unique to it corpus-wide
     // — the dual of dedup (scores redundancy instead of removing it)
     "ngram_novelty" -> ((s, d) => DedupOps.shingleNovelty(t(s, d, "documents"))),
@@ -1870,6 +1874,21 @@ object SparkEntry {
         |  sqrt(nullif((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
         |              (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy), 0.0))
         |  * 1000000) AS BIGINT) AS corr_ppm
+        |FROM m""".stripMargin,
+
+    // Zipf replay: same top-R ranking, same millis quantization, same
+    // integer-moment closed form
+    "zipf_slope" ->
+      """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents),
+        |tf AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1),
+        |top AS (SELECT token, n FROM tf ORDER BY n DESC, token LIMIT 1000),
+        |rk AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM top),
+        |p AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000) AS BIGINT) AS x,
+        |             CAST(round(ln(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS y FROM rk),
+        |m AS (SELECT COUNT(*) AS r, CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |             CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx FROM p)
+        |SELECT r, CAST(round(CAST(r * sxy - sx * sy AS DOUBLE) /
+        |  nullif(r * sxx - sx * sx, 0) * 1000000) AS BIGINT) AS slope_micros
         |FROM m""".stripMargin,
 
     // novelty: df over the shared shingle CTEs, count-FILTER rollup,

@@ -210,6 +210,36 @@ object TextOps {
                |              (cast(n as double) * syy - cast(sy as double) * sy), 0.0d))
                |  * 1000000) as bigint)""".stripMargin).as("corr_ppm"))
 
+  /** Zipf-slope of the term-frequency distribution: least-squares slope
+    * of ln(freq) vs ln(rank) over the top-R terms — the corpus-health
+    * probe whose expected value is ≈ −1 for natural language (template
+    * floods and boilerplate read much shallower; token-salad reads
+    * steeper). Distributed shape: the only corpus-scale work is the
+    * term-frequency aggregate + a TakeOrdered top-R; the regression runs
+    * over R bounded rows. Portability: ln outputs are quantized to
+    * MILLIS first (keeping every moment < 2⁶³ at R = 1000), the slope's
+    * closed form is integer moments + one IEEE-exact double division —
+    * same discipline as [[lengthCorr]].
+    */
+  def zipfSlope(documents: DataFrame, topR: Int = 1000): DataFrame =
+    termFrequencies(documents)
+      .orderBy(col("n").desc, col("token"))
+      .limit(topR)
+      // non-foldable constant partition key: bounded post-limit frame,
+      // but WindowExec wants a partition spec (the skewProfile trick)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(pmod(col("n"), lit(1)))
+          .orderBy(col("n").desc, col("token"))))
+      .select(
+        expr("cast(round(ln(cast(rank as double)) * 1000) as bigint)").as("x"),
+        expr("cast(round(ln(cast(n as double)) * 1000) as bigint)").as("y"))
+      .agg(count(lit(1)).as("r"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .select(col("r"),
+        expr("""cast(round(cast(r * sxy - sx * sy as double) /
+               |  nullif(r * sxx - sx * sx, 0L) * 1000000) as bigint)""".stripMargin)
+          .as("slope_micros"))
+
   /** Corpus stats per (lang, source): the A1-style rollup over documents. */
   def corpusStats(documents: DataFrame): DataFrame =
     documents

@@ -217,6 +217,23 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(TextOps.lengthCorr(const).collect()(0).isNullAt(3))
   }
 
+  test("zipfSlope: geometric frequency decay yields the hand-replicated " +
+       "integer-moment slope; steeper decay reads more negative") {
+    // freqs 8, 4, 2, 1 at ranks 1..4
+    val d = Seq((1L, "a a a a a a a a b b b b c c d", "en", "s1", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.zipfSlope(d).collect()(0)
+    val pts = Seq((1, 8), (2, 4), (3, 2), (4, 1)).map { case (rk, n) =>
+      (math.round(math.log(rk.toDouble) * 1000), math.round(math.log(n.toDouble) * 1000))
+    }
+    val r = pts.size.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val (sxy, sxx) = (pts.map(p => p._1 * p._2).sum, pts.map(p => p._1 * p._1).sum)
+    val exp = math.round((r * sxy - sx * sy).toDouble / (r * sxx - sx * sx) * 1000000)
+    assert((got.getLong(0), got.getLong(1)) == ((4L, exp)))
+    assert(exp < -1000000L, s"geometric decay is steeper than Zipf: $exp")
+  }
+
   test("sourceKeywords: source-exclusive vocabulary outranks shared (idf 0) " +
        "tokens; ties resolve token-asc at equal integer scores") {
     val out = TextOps.sourceKeywords(docs).collect()
