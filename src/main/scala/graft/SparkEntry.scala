@@ -657,6 +657,15 @@ object SparkEntry {
     // trailing-band anomalies: preceding-window baseline, current day
     // excluded so a spike can't dampen its own signal
     "events_anomaly" -> ((s, d) => EventOps.anomalousDays(t(s, d, "events"))),
+    // the streaming anomaly state machine run over batch input — shares
+    // the events_anomaly oracle verbatim, hash-proving the deferred-
+    // finalization path against the SQL window formulation
+    "anomaly_typed" -> ((s, d) => {
+      import s.implicits._
+      graft.streaming.Anomaly.anomalies(
+        t(s, d, "events").select(col("event_type"), col("ts"), col("value"))
+          .as[graft.streaming.Anomaly.Event]).toDF()
+    }),
     // the stateful streaming funnel run over batch input: per-user stage
     // reached (exact batch semantics — the parity the streaming path
     // defers finalization to achieve)
@@ -1039,6 +1048,27 @@ object SparkEntry {
 
   private val dupComponentsOracle =
     dupComponentsCtes + "\nSELECT doc_id, component FROM comps"
+
+  /** Trailing-frame 2σ anomaly replay — shared by `events_anomaly` and
+    * the streaming state machine's batch face (`anomaly_typed`).
+    */
+  private val eventsAnomalyOracle =
+    """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |d AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |      SUM(CAST(round(value * 100) AS BIGINT)) AS cents FROM e GROUP BY 1, 2),
+      |w AS (SELECT event_type, day, cents,
+      |      COUNT(*) OVER fr AS n, SUM(cents) OVER fr AS s, SUM(cents * cents) OVER fr AS ss
+      |      FROM d WINDOW fr AS (PARTITION BY event_type ORDER BY day
+      |                           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      |b AS (SELECT event_type, day, cents,
+      |      CAST(s AS DOUBLE) / n AS mean_c,
+      |      sqrt(CAST(n * ss - s * s AS DOUBLE) / (n * (n - 1))) AS std_c
+      |      FROM w WHERE n >= 3)
+      |SELECT event_type, day,
+      |       round(CAST(cents AS DOUBLE) / 100.0, 2) AS value,
+      |       round(mean_c / 100.0, 6) AS baseline_mean,
+      |       round(std_c / 100.0, 6) AS baseline_std
+      |FROM b WHERE abs(CAST(cents AS DOUBLE) - mean_c) > 2.0 * std_c""".stripMargin
 
   /** Shared by `keywords_topk` and its stored-index variant. */
   private val keywordsTopkOracle =
@@ -2766,23 +2796,10 @@ object SparkEntry {
         |FROM u LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
         |       LEFT JOIN s2 USING (user_id)""".stripMargin,
 
-    "events_anomaly" ->
-      """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
-        |d AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-        |      SUM(CAST(round(value * 100) AS BIGINT)) AS cents FROM e GROUP BY 1, 2),
-        |w AS (SELECT event_type, day, cents,
-        |      COUNT(*) OVER fr AS n, SUM(cents) OVER fr AS s, SUM(cents * cents) OVER fr AS ss
-        |      FROM d WINDOW fr AS (PARTITION BY event_type ORDER BY day
-        |                           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
-        |b AS (SELECT event_type, day, cents,
-        |      CAST(s AS DOUBLE) / n AS mean_c,
-        |      sqrt(CAST(n * ss - s * s AS DOUBLE) / (n * (n - 1))) AS std_c
-        |      FROM w WHERE n >= 3)
-        |SELECT event_type, day,
-        |       round(CAST(cents AS DOUBLE) / 100.0, 2) AS value,
-        |       round(mean_c / 100.0, 6) AS baseline_mean,
-        |       round(std_c / 100.0, 6) AS baseline_std
-        |FROM b WHERE abs(CAST(cents AS DOUBLE) - mean_c) > 2.0 * std_c""".stripMargin,
+    // shared by the SQL-window batch op and the streaming state machine
+    // run in batch mode (deferred finalization, hash-proven equivalent)
+    "anomaly_typed" -> eventsAnomalyOracle,
+    "events_anomaly" -> eventsAnomalyOracle,
 
     // RFM replay: per-customer integer metrics, quantile_cont boundaries
     // in one aggregate (the broadcast frame), per-row bucket compares

@@ -45,6 +45,32 @@ class EdgeCasesSpec extends SparkSpec {
     assert(TextOps.packChunks(emptyDocs).count() == 0)
     assert(DedupOps.contaminationScreen(emptyDocs, emptyDocs).count() == 0)
     assert(Pipelines.runCorpusPipelineFull(emptyDocs).count() == 0)
+    // r9 operator families
+    assert(DedupOps.shingleNovelty(emptyDocs).count() == 0)
+    assert(DedupOps.containmentPairs(emptyDocs).count() == 0)
+    assert(TextOps.winnowFingerprints(emptyDocs).count() == 0)
+    assert(TextOps.winnowOverlapPairs(emptyDocs).count() == 0)
+    assert(TextOps.balancedSample(emptyDocs).count() == 0)
+    assert(TextOps.keywordsTopK(emptyDocs).count() == 0)
+    assert(TextOps.sourceKeywords(emptyDocs).count() == 0)
+    assert(TextOps.zipfSlope(emptyDocs).collect()(0).isNullAt(1),
+      "zero-variance regression reads NULL, never a divide error")
+    assert(GraphOps.docPagerank(emptyDocs).count() == 0)
+  }
+
+  test("single-doc corpus: keyword/novelty/regression ops stay defined") {
+    val one = docsOf(Seq((1L, "alpha beta gamma alpha", "en", "s", 22L)))
+    // every shingle is unique to the only doc -> novelty exactly 1e6
+    assert(DedupOps.shingleNovelty(one).collect()(0).getLong(3) == 1000000L)
+    // idf = ln(1/df) = 0 for every token -> scores 0, ties token-asc
+    val kw = TextOps.keywordsTopK(one).collect()
+    assert(kw.length == 3 && kw.forall(_.getLong(3) == 0L))
+    assert(TextOps.balancedSample(one).count() == 1)
+    // 3 distinct tf values -> regression defined; 1 doc -> corr NULL only
+    // if variance is zero (it isn't here)
+    assert(TextOps.zipfSlope(one).collect()(0).getLong(0) == 3L)
+    assert(TextOps.lengthCorr(one).collect()(0).isNullAt(3),
+      "single point has zero variance -> NULL")
   }
 
   test("sub-shingle and empty texts: signature ops skip, scalar ops stay safe") {

@@ -134,6 +134,44 @@ class EventOpsSpec extends SparkSpec {
       "cumulative share still denominates by the FULL total")
   }
 
+  test("Anomaly: batch face reproduces anomalousDays row-for-row (values, " +
+       "rounded baselines); streaming run emits the same anomaly after " +
+       "watermark passes the day") {
+    import graft.streaming.Anomaly
+    // 10 quiet days of 100.00 then a 500.00 spike: days 1-10 baseline ~1e4
+    // cents with tiny jitter (so std > 0), day 11 is the anomaly
+    val rows = (1 to 10).map { d =>
+      (d.toLong, ts(f"2024-03-$d%02d 12:00:00"), 1L, "purchase", 100.0 + (d % 3) * 0.01, "{}")
+    } :+ ((11L, ts("2024-03-11 12:00:00"), 1L, "purchase", 500.0, "{}"))
+    val e = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val batchOp = EventOps.anomalousDays(e).collect().map(_.toString).toSet
+    assert(batchOp.nonEmpty, "fixture must contain an anomaly")
+    val typed = Anomaly.anomalies(
+      e.select(col("event_type"), col("ts"), col("value")).as[Anomaly.Event])
+      .toDF().collect().map(_.toString).toSet
+    assert(typed == batchOp, s"batch parity: $typed vs $batchOp")
+
+    // streaming: same rows in two micro-batches; day 11 finalizes only
+    // after the watermark passes its end
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Anomaly.Event]
+    val q = Anomaly.anomalies(mem.toDS().withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("anomaly_stream").outputMode("append").start()
+    try {
+      mem.addData(rows.take(10).map(r => Anomaly.Event(r._4, r._2, r._5)): _*)
+      q.processAllAvailable()
+      mem.addData(Anomaly.Event("purchase", ts("2024-03-11 12:00:00"), 500.0))
+      q.processAllAvailable()
+      assert(spark.table("anomaly_stream").count() == 0,
+        "day 11 must not finalize while the watermark is inside it")
+      mem.addData(Anomaly.Event("view", ts("2024-03-13 00:00:00"), 1.0))
+      q.processAllAvailable()
+      val got = spark.table("anomaly_stream").collect().map(_.toString).toSet
+      assert(got == batchOp, s"streaming emits the same anomaly: $got")
+    } finally q.stop()
+  }
+
   test("rfmSegments: 8 distinct-valued customers split 2 per quartile bucket " +
        "on every dimension; champion and lapsing labels land where expected") {
     // customer k: k orders, all on 2020-01-k (recency 8-k days), each
