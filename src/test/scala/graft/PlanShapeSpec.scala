@@ -71,6 +71,30 @@ class PlanShapeSpec extends SparkSpec {
       s"q5 must stay equi-join only:\n$p")
   }
 
+  test("r9 queries keep their scale shapes: q10 broadcasts nation + pushes " +
+       "the returnflag filter; rfm buckets via broadcast bounds (no global " +
+       "window); zipf/length_corr reduce without wide exchanges") {
+    val q10 = plan("q10_returned")
+    assert(q10.contains("BroadcastHashJoin"), s"nation must broadcast:\n$q10")
+    assert(q10.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter should reach the lineitem scan:\n$q10")
+    assert(!q10.contains("CartesianProduct") && !q10.contains("BroadcastNestedLoopJoin"),
+      s"q10 must stay equi-join only:\n$q10")
+    val rfm = plan("rfm_segments")
+    assert(!rfm.contains("Window"), s"rfm must not plan a global ntile window:\n$rfm")
+    assert(rfm.contains("BroadcastNestedLoopJoin") || rfm.contains("BroadcastExchange"),
+      s"quartile bounds ride a broadcast (1-row anchor):\n$rfm")
+    // regressions over bounded frames: corpus-scale work is the tf
+    // aggregate / moment aggregate, never a corpus-wide sort
+    val zipf = plan("zipf_slope")
+    assert(zipf.contains("TakeOrderedAndProject"),
+      s"top-R terms must be TakeOrdered, not a global sort:\n$zipf")
+    val lc = plan("length_corr")
+    assert("HashAggregate".r.findAllIn(lc).size >= 2,
+      s"moment aggregate must plan partial+final:\n$lc")
+    assert(!lc.contains("Window") && !lc.contains("CartesianProduct"))
+  }
+
   test("pii_redact and seq_packing stay narrow/sharded") {
     // redaction is a pure projection — no exchange at all
     val pr = plan("pii_redact")
