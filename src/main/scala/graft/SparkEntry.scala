@@ -59,6 +59,9 @@ object SparkEntry {
   private def componentIndexFor(s: SparkSession, sfDir: String): DataFrame =
     DedupOps.componentIndex(s, artifactDir("component_index", sfDir)(
       out => DedupOps.writeComponentIndex(t(s, sfDir, "documents"), out)))
+  private def pairIndexFor(s: SparkSession, sfDir: String): String =
+    artifactDir("pair_index", sfDir)(
+      out => DedupOps.writePairIndex(t(s, sfDir, "documents"), out))
 
   /** Flagship (driver smoke gate, sf0.001): the reference's E3 mart path —
     * scan → cast → date_trunc year → avg (mart_financial_summary.sql:4-8)
@@ -256,6 +259,13 @@ object SparkEntry {
     // integer-micros PageRank over the symmetrized near-dup graph: rank
     // cluster centers above peripheral variants; 8 damped rounds, exact
     "doc_pagerank" -> ((s, d) => GraphOps.docPagerank(t(s, d, "documents"))),
+    // same ranking from the persisted PAIR (edge) index — 5th artifact;
+    // shares the inline oracle verbatim (at-rest round trip hash-proven)
+    "doc_pagerank_stored" -> ((s, d) =>
+      GraphOps.docPagerankFromPairs(DedupOps.pairIndex(s, pairIndexFor(s, d)))),
+    // collapse from the same edge artifact — two graph consumers, one build
+    "dup_components_stored" -> ((s, d) =>
+      DedupOps.dupComponents(DedupOps.pairIndex(s, pairIndexFor(s, d)))),
     // the same collapse via large-star/small-star contraction — O(log²)
     // rounds regardless of dup-chain diameter; identical oracle
     "dup_components_star" -> ((s, d) =>
@@ -1720,7 +1730,11 @@ object SparkEntry {
     // variant computes the SAME function, so it shares the oracle verbatim.
     "dup_components" -> dupComponentsOracle,
     "dup_components_star" -> dupComponentsOracle,
+    // the stored variants read the persisted pair index — same oracles
+    // verbatim, so the edge artifact's round trip is hash-proven
+    "dup_components_stored" -> dupComponentsOracle,
     "doc_pagerank" -> docPagerankOracle,
+    "doc_pagerank_stored" -> docPagerankOracle,
 
     // the incremental screen replayed: same band CTE, corpus/delta split
     // by doc_id % 4, NOT EXISTS anti-joins (null-safe spelling)

@@ -259,6 +259,20 @@ object DedupOps {
   def componentIndex(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 
+  /** Persisted candidate-PAIR (edge) index — the near-dup GRAPH of a
+    * corpus snapshot landed as narrow (doc_a, doc_b) parquet: the
+    * artifact every graph consumer (collapse, PageRank, audit joins)
+    * reads instead of re-running signature → band → bucket-join per
+    * query. Upstream of the component index in the artifact chain
+    * (components = this graph collapsed); kept separately because graph
+    * consumers need the EDGES, not just the labels.
+    */
+  def writePairIndex(documents: DataFrame, dir: String): Unit =
+    minhashCandidatePairs(documents).write.mode("overwrite").parquet(dir)
+
+  def pairIndex(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
   /** The incremental screen: exact-dedup WITHIN the delta, then drop every
     * doc whose fingerprint (exact tier) or ANY band key (near tier)
     * collides with the corpus index. Anti-joins on bounded keys — the

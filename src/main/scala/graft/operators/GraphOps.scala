@@ -54,8 +54,14 @@ object GraphOps {
     * rank = central variant of a large dup cluster (the copy everything
     * else resembles); rank ~150000 = peripheral one-off overlap.
     */
-  def docPagerank(documents: DataFrame, iterations: Int = 8): DataFrame = {
-    val pairs = DedupOps.minhashCandidatePairs(documents)
+  def docPagerank(documents: DataFrame, iterations: Int = 8): DataFrame =
+    docPagerankFromPairs(DedupOps.minhashCandidatePairs(documents), iterations)
+
+  /** Same ranking from a prebuilt (doc_a, doc_b) pair frame — the
+    * persisted pair-index consumer: probes skip the signature → band →
+    * bucket-join derivation entirely.
+    */
+  def docPagerankFromPairs(pairs: DataFrame, iterations: Int = 8): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     pagerankMicros(edges, iterations)

@@ -20,6 +20,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(r(2L) > r(1L))
   }
 
+  test("pair index: persisted edges reproduce inline pagerank AND inline " +
+       "component collapse exactly (at-rest round trip)") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the old barn", "en", "s1", 60L),
+      (2L, "the quick brown fox jumps over the lazy dog near the old barn", "en", "s2", 60L),
+      (3L, "the quick brown fox jumps over the lazy dog near the red barn", "en", "s1", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pair_spec").toString
+    DedupOps.writePairIndex(docs, dir)
+    val stored = DedupOps.pairIndex(spark, dir)
+    assert(stored.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      DedupOps.minhashCandidatePairs(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(GraphOps.docPagerankFromPairs(stored).collect().map(_.toString).toSet ==
+      GraphOps.docPagerank(docs).collect().map(_.toString).toSet)
+    assert(DedupOps.dupComponents(stored).collect().map(_.toString).toSet ==
+      DedupOps.dupComponents(DedupOps.minhashCandidatePairs(docs))
+        .collect().map(_.toString).toSet)
+  }
+
   test("docPagerank: nodes are exactly the near-dup pair endpoints; a " +
        "symmetric dup triangle converges to equal ranks") {
     val docs = Seq(
