@@ -326,6 +326,9 @@ object SparkEntry {
     // exact per-stratum downsample to the smallest stratum, portable-hash
     // order — the deterministic analog of per-class balancing
     "balanced_sample" -> ((s, d) => TextOps.balancedSample(t(s, d, "documents"))),
+    // P(keep) = quality, via portable hash vs integer ppm rate — the
+    // deterministic quality-weighted corpus thinning
+    "importance_sample" -> ((s, d) => TextOps.importanceSample(t(s, d, "documents"))),
     // top-3 tf-idf keywords per doc, integer-exact ranking (idf micros)
     "keywords_topk" -> ((s, d) => TextOps.keywordsTopK(t(s, d, "documents"))),
     // same keywords from the PERSISTED IDF index (4th corpus artifact):
@@ -1946,6 +1949,21 @@ object SparkEntry {
         |       (COUNT(*) FILTER (WHERE df.c = 1) * 1000000 + COUNT(*) // 2)
         |         // COUNT(*) AS novelty_ppm
         |FROM sh JOIN df ON sh.s = df.s GROUP BY sh.doc_id""".stripMargin),
+
+    // importance sampling replay: quality formula -> ppm rate -> md5
+    // bucket admission, all integer from the quantize on
+    "importance_sample" ->
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |  CAST(round(round(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.5 +
+        |       coalesce(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |                                     t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+        |                / NULLIF(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE), 0), 0) * 0.5,
+        |       6) * 1000000) AS BIGINT) AS keep_ppm
+        |  FROM documents)
+        |SELECT doc_id, source, keep_ppm FROM q
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+        |      < keep_ppm""".stripMargin,
 
     // exact balanced downsample: min stratum count, portable-hash rank
     "balanced_sample" ->

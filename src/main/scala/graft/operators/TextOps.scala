@@ -97,6 +97,24 @@ object TextOps {
     documents.select(col("doc_id"), expr(sql).as("quality"))
   }
 
+  /** Quality-proportional importance sampling: each doc is kept with
+    * probability equal to its quality score — the standard
+    * quality-weighted corpus thinning (DoReMi/DSIR-adjacent reweighting
+    * via retention instead of loss weights), done DETERMINISTICALLY: the
+    * admission lottery is the portable md5 bucket of doc_id against a
+    * per-row integer keep-rate (quality quantized to ppm), so any
+    * engine, any retry, any partitioning keeps the SAME docs. Pure
+    * per-row predicate: pushes to the scan, no shuffle, no RNG state.
+    */
+  def importanceSample(documents: DataFrame): DataFrame =
+    qualityScore(documents)
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("keep_ppm", expr("cast(round(quality * 1000000) as bigint)"))
+      .filter(
+        expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 1000000")
+          < col("keep_ppm"))
+      .select(col("doc_id"), col("source"), col("keep_ppm"))
+
   /** Content fingerprint: md5 of the normalized text (reference
     * normalize_string, /root/reference/utils/helpers.py:1-2, feeding a
     * digest). Identical hex in Spark and DuckDB → oracle-checkable, and the

@@ -217,6 +217,30 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(TextOps.lengthCorr(const).collect()(0).isNullAt(3))
   }
 
+  test("importanceSample: P(keep) = quality via deterministic hash lottery — " +
+       "quality 1 always kept, quality 0 never, mid-quality by exact ppm compare") {
+    val allStop = ("the a of and to in " * 20).trim // >= 200 chars, all stopwords
+    val d = Seq(
+      (1L, allStop, "en", "s1", allStop.length.toLong),       // quality 1.0
+      (2L, "", "en", "s1", 0L),                                // quality 0.0
+      (3L, "alpha beta gamma delta epsilon", "en", "s2", 30L)) // mid
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = TextOps.importanceSample(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(kept.contains(1L) && kept(1L) == 1000000L)
+    assert(!kept.contains(2L))
+    // doc 3's admission replayed by hand: same md5 bucket, same ppm rate
+    val q3 = TextOps.qualityScore(d).collect()
+      .find(_.getLong(0) == 3L).get.getDouble(1)
+    val rate3 = math.round(q3 * 1e6)
+    val bucket3 = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("3").substring(0, 8), 16) % 1000000
+    assert(kept.contains(3L) == (bucket3 < rate3), s"bucket $bucket3 vs rate $rate3")
+    // determinism under repartitioning
+    assert(TextOps.importanceSample(d.repartition(5)).collect()
+      .map(_.getLong(0)).toSet == kept.keySet)
+  }
+
   test("zipfSlope: geometric frequency decay yields the hand-replicated " +
        "integer-moment slope; steeper decay reads more negative") {
     // freqs 8, 4, 2, 1 at ranks 1..4
