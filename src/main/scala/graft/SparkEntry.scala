@@ -342,6 +342,10 @@ object SparkEntry {
     // class-based tf-idf (c-TF-IDF): the vocabulary that distinguishes
     // each source from the other crawls
     "source_keywords" -> ((s, d) => TextOps.sourceKeywords(t(s, d, "documents"))),
+    // the full BERTopic loop: embed -> cluster -> c-TF-IDF label, keyed
+    // by the seeded nearest-centroid assignment over the doc<->vec ids
+    "cluster_keywords" -> ((s, d) =>
+      TextOps.clusterKeywords(t(s, d, "documents"), t(s, d, "embeddings"))),
     // emits the within-5%-of-exact boolean (sketch internals are
     // engine-specific; the accuracy bound is not) — oracle asserts TRUE
     "hll_distinct" -> ((s, d) => TextOps.approxDistinctWithinTol(t(s, d, "documents"))),
@@ -1980,6 +1984,31 @@ object SparkEntry {
     // the stored variant shares it verbatim (index round trip hash-proven)
     "keywords_topk" -> keywordsTopkOracle,
     "keywords_topk_stored" -> keywordsTopkOracle,
+
+    // BERTopic replay: seeded assignment (the embedding_outliers ranking)
+    // joined to documents on the id, then the c-TF-IDF chain per cluster
+    "cluster_keywords" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM v WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, centroid_id FROM (
+        |        SELECT v.vec_id, c.centroid_id,
+        |        row_number() OVER (PARTITION BY v.vec_id
+        |          ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 6) DESC, c.centroid_id) AS rn
+        |        FROM v CROSS JOIN c) t WHERE rn = 1),
+        |dc AS (SELECT d.doc_id, a.centroid_id AS cluster_id, d.text
+        |       FROM documents d JOIN asg a ON d.doc_id = a.vec_id),
+        |tok AS (SELECT cluster_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM dc),
+        |tf AS (SELECT cluster_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfs AS (SELECT token, COUNT(*) AS dfc FROM tf GROUP BY token),
+        |n AS (SELECT COUNT(DISTINCT cluster_id) AS nc FROM dc),
+        |sc AS (SELECT tf.cluster_id, tf.token, tf.tf,
+        |       CAST(round(ln(CAST(n.nc AS DOUBLE) / dfs.dfc) * 1000000) AS BIGINT) AS idf_micros
+        |       FROM tf JOIN dfs USING (token) CROSS JOIN n),
+        |rk AS (SELECT cluster_id, token, tf, tf * idf_micros AS score,
+        |       row_number() OVER (PARTITION BY cluster_id
+        |         ORDER BY tf * idf_micros DESC, token ASC) AS rank
+        |       FROM sc)
+        |SELECT cluster_id, rank, token AS keyword, tf, score FROM rk WHERE rank <= 5""".stripMargin,
 
     // c-TF-IDF replay: per-source tf, idf over the source universe
     "source_keywords" ->

@@ -403,22 +403,46 @@ object TextOps {
     * the per-source aggregate is tiny (sources ≪ docs), so the window
     * is over broadcast-scale rows.
     */
-  def sourceKeywords(documents: DataFrame, k: Int = 5): DataFrame = {
-    val tf = documents
-      .select(col("source"), explode(expr(toksExprFor(documents))).as("token"))
-      .groupBy(col("source"), col("token"))
+  def sourceKeywords(documents: DataFrame, k: Int = 5): DataFrame =
+    classKeywords(documents, "source", k)
+
+  /** Cluster LABELING — the missing half of topic modeling over the
+    * embedding space (the full BERTopic loop: embed → cluster →
+    * c-TF-IDF label): documents joined to their nearest-centroid
+    * assignment (ids-only argmin, narrow rows), then the same
+    * class-based keyword extraction keyed by cluster. The doc↔vector
+    * join is co-keyed on the id, the assignment is one broadcast pass —
+    * nothing here exceeds the component ops' scale shapes.
+    */
+  def clusterKeywords(documents: DataFrame, embeddings: DataFrame,
+                      nCentroids: Int = 8, k: Int = 5): DataFrame = {
+    val asg = SimilarityOps
+      .ivfAssignIds(embeddings, SimilarityOps.seedCentroids(embeddings, nCentroids))
+      .select(col("vec_id").as("doc_id"), col("centroid_id").as("cluster_id"))
+    classKeywords(documents.join(asg, "doc_id"), "cluster_id", k)
+  }
+
+  /** c-TF-IDF core shared by [[sourceKeywords]] and [[clusterKeywords]]:
+    * per-class term aggregation, idf over the class universe, integer-
+    * exact ranking; the per-class window runs over broadcast-scale rows
+    * (classes ≪ docs).
+    */
+  private def classKeywords(tagged: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val tf = tagged
+      .select(col(keyCol), explode(expr(toksExprFor(tagged))).as("token"))
+      .groupBy(col(keyCol), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val dfs = tf.groupBy(col("token")).agg(count(lit(1)).as("df_sources"))
+    val dfs = tf.groupBy(col("token")).agg(count(lit(1)).as("df_classes"))
     tf.join(dfs, "token")
-      .crossJoin(broadcast(documents.agg(countDistinct(col("source")).as("n_sources"))))
+      .crossJoin(broadcast(tagged.agg(countDistinct(col(keyCol)).as("n_classes"))))
       .withColumn("idf_micros",
-        expr("cast(round(ln(cast(n_sources as double) / df_sources) * 1000000) as bigint)"))
+        expr("cast(round(ln(cast(n_classes as double) / df_classes) * 1000000) as bigint)"))
       .withColumn("score", col("tf") * col("idf_micros"))
       .withColumn("rank", row_number().over(
-        Window.partitionBy(col("source"))
+        Window.partitionBy(col(keyCol))
           .orderBy(col("score").desc, col("token").asc)))
       .filter(col("rank") <= k)
-      .select(col("source"), col("rank"), col("token").as("keyword"),
+      .select(col(keyCol), col("rank"), col("token").as("keyword"),
         col("tf"), col("score"))
   }
 

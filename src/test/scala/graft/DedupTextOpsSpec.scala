@@ -278,6 +278,26 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(s2.forall(_._5 == lnTwoMicros))
   }
 
+  test("clusterKeywords: docs label with their embedding cluster's exclusive " +
+       "vocabulary; ties resolve token-asc at equal integer scores") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)), (3L, Array(0.1f, 0.9f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val d = Seq(
+      (0L, "apple banana cherry", "en", "s1", 19L),
+      (1L, "xray yankee zulu", "en", "s1", 16L),
+      (2L, "apple banana damson", "en", "s2", 19L),
+      (3L, "xray yankee whiskey", "en", "s2", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.clusterKeywords(d, emb, nCentroids = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val c0 = out.filter(_._1 == 0L).sortBy(_._2).map(_._3).toSeq
+    val c1 = out.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq
+    assert(c0 == Seq("apple", "banana", "cherry", "damson"), s"c0: $c0")
+    assert(c1 == Seq("xray", "yankee", "whiskey", "zulu"), s"c1: $c1")
+  }
+
   test("keywordsTopKWith: the persisted IDF index reproduces the inline " +
        "keywords exactly (at-rest round trip)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_idf_spec").toString
