@@ -17,16 +17,27 @@ object Tables {
   /** Read one testdata table. Column pruning + predicate pushdown reach the
     * parquet scan because we keep this a plain declarative read.
     *
-    * `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's TimestampType
-    * (µs) cannot represent — we read it as a long (nanosAsLong) and floor-
-    * divide to µs, the same truncation DuckDB's ns→µs cast applies, so
-    * oracle comparisons agree.
+    * `events.ts` has shipped as TIMESTAMP(NANOS) in some testdata drops and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) in others, so we branch on the
+    * inferred type: NANOS cannot be represented by Spark's TimestampType
+    * (µs) — read it as a long (nanosAsLong) and floor-divide, the same
+    * truncation DuckDB's ns→µs cast applies; MICROS arrives as
+    * TIMESTAMP_NTZ — cast to the session-zone TimestampType (session zone
+    * is pinned UTC, so wall-clock values are unchanged) to keep every
+    * downstream operator and oracle hash identical across both layouts.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        case _ =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every testdata table as a temp view (staging-zone style:
