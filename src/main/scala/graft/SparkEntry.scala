@@ -270,6 +270,11 @@ object SparkEntry {
     // rounds regardless of dup-chain diameter; identical oracle
     "dup_components_star" -> ((s, d) =>
       DedupOps.dupComponentsStar(DedupOps.minhashCandidatePairs(t(s, d, "documents")))),
+    // per-node triangles + clustering coefficient (ppm) over the
+    // multi-evidence overlap graph (LSH pairs ∪ winnow-overlap pairs);
+    // degree-ordered orientation keeps candidate wedges ≤ m^1.5
+    "graph_triangles" -> ((s, d) =>
+      GraphOps.docTriangles(t(s, d, "documents"))),
     // incremental ingestion: 1/4 of the docs play the historical corpus
     // (its fp + band-key INDEX is all the screen touches), the rest are
     // the daily delta — exact-dedup within the delta, then exact + near
@@ -433,6 +438,10 @@ object SparkEntry {
     // BM25 retrieval: query-term-filtered Generate (shuffle carries hits
     // only), broadcast df/avgdl, TakeOrdered top-k
     "bm25_topk" -> ((s, d) => TextOps.bm25TopK(t(s, d, "documents"))),
+    // hybrid retrieval: RRF fusion of the BM25 shortlist and the cosine
+    // shortlist (integer-micros 1e6/(60+rank) sums; O(k) fusion frames)
+    "hybrid_rrf" -> ((s, d) =>
+      SimilarityOps.hybridRrf(t(s, d, "documents"), t(s, d, "embeddings"))),
     // exact corpus heavy hitters: the baseline the CMS tier gates against
     "heavy_hitters" -> ((s, d) => TextOps.heavyHitters(t(s, d, "documents"))),
     // count-min-sketch gate: overestimate-only + eps·N bound vs exact,
@@ -700,6 +709,25 @@ object SparkEntry {
         .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
       RelationalOps.upsertByKey(o, updates, Seq("o_orderkey"))
         .select(col("o_orderkey"), col("o_totalprice").cast(DoubleType).as("price"))
+    }),
+
+    // incremental MV maintenance: base state lands as parquet, two delta
+    // batches merge algebraically (count+sum states, avg derived at read);
+    // oracle = ONE full recompute over the whole fact table, so the gate
+    // hash-proves incremental == full through the at-rest round trip
+    "mv_incremental" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val base = orders.filter(col("o_orderdate") < lit("1999-01-01"))
+      val delta1 = orders.filter(
+        col("o_orderdate") >= lit("1999-01-01") && col("o_orderdate") < lit("2000-07-01"))
+      val delta2 = orders.filter(col("o_orderdate") >= lit("2000-07-01"))
+      val dir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_mv_state_" + Integer.toHexString(d.hashCode)).toString
+      RelationalOps.mvState(base).write.mode("overwrite").parquet(dir)
+      val merged = RelationalOps.mvMerge(
+        RelationalOps.mvMerge(s.read.parquet(dir), RelationalOps.mvState(delta1)),
+        RelationalOps.mvState(delta2))
+      RelationalOps.mvRead(merged)
     }),
 
     "ntile_quartiles" -> ((s, d) =>
@@ -1123,6 +1151,44 @@ object SparkEntry {
         |""".stripMargin + iters +
       "\nSELECT node AS doc_id, rank_micros FROM r8"
   }
+
+  /** Triangle profile of the multi-evidence overlap graph: the mpairs
+    * edge set unioned (distinct) with the winnow-overlap pair set, then
+    * the id-ordered triangle enumeration (a<b<c — same triangle set the
+    * Spark side's degree-ordered orientation produces, each counted
+    * once), per-corner counts, and the ppm clustering coefficient.
+    */
+  private val graphTrianglesOracle: String = minhashPairsCtes +
+    """,
+      |wps AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 2, 0))) AS i FROM tk),
+      |whs AS (SELECT doc_id, i,
+      |        CAST(concat('0x', substr(md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]), 1, 8)) AS BIGINT) AS h
+      |        FROM wps),
+      |wm AS (SELECT doc_id, COUNT(*) AS m FROM whs GROUP BY doc_id),
+      |wjs AS (SELECT doc_id, unnest(range(0, m - 3)) AS j FROM wm WHERE m >= 4),
+      |wwins AS (SELECT wjs.doc_id, wjs.j, whs.i, whs.h
+      |          FROM wjs JOIN whs ON whs.doc_id = wjs.doc_id AND whs.i BETWEEN wjs.j AND wjs.j + 3),
+      |wsel AS (SELECT doc_id, j, i, h,
+      |         row_number() OVER (PARTITION BY doc_id, j ORDER BY h ASC, i DESC) AS rn
+      |         FROM wwins),
+      |wprints AS (SELECT DISTINCT doc_id, h AS fp FROM wsel WHERE rn = 1),
+      |wdf AS (SELECT fp, COUNT(*) AS c FROM wprints GROUP BY fp),
+      |wpf AS (SELECT p.doc_id, p.fp FROM wprints p JOIN wdf ON p.fp = wdf.fp
+      |        WHERE wdf.c > 1 AND wdf.c <= 50),
+      |wshared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |            FROM wpf a JOIN wpf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |edges AS (SELECT doc_a, doc_b FROM mpairs UNION SELECT doc_a, doc_b FROM wshared),
+      |tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+      |        FROM edges e1 JOIN edges e2 ON e2.doc_a = e1.doc_b
+      |        JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+      |deg AS (SELECT n, COUNT(*) AS deg FROM
+      |        (SELECT doc_a AS n FROM edges UNION ALL SELECT doc_b FROM edges) GROUP BY n),
+      |corners AS (SELECT a AS n FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+      |tc AS (SELECT n, COUNT(*) AS triangles FROM corners GROUP BY n)
+      |SELECT tc.n AS doc_id, tc.triangles, deg.deg,
+      |       CAST((2 * tc.triangles * 1000000) // (deg.deg * (deg.deg - 1)) AS BIGINT) AS clustering_ppm
+      |FROM tc JOIN deg ON tc.n = deg.n""".stripMargin
 
   /** Per-doc SimHash as a reusable CTE (DuckDB spelling of DedupOps.simhash). */
   private val simhashCtes = shingleCtes +
@@ -1572,6 +1638,39 @@ object SparkEntry {
         |FROM scored GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
 
+    // bm25 shortlist CTEs + the cosine_topk scorer for ONE query, fused
+    // with integer-micros reciprocal ranks over a FULL join of shortlists
+    "hybrid_rrf" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM t),
+        |hits AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf, CAST(MIN(dl) AS DOUBLE) AS dl
+        |         FROM tok WHERE token IN ('spark', 'merge', 'window', 'query') GROUP BY doc_id, token),
+        |dfs AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM hits GROUP BY token),
+        |corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |           AVG(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE)) AS avgdl
+        |           FROM documents),
+        |scored AS (SELECT doc_id,
+        |           CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        |                      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1000000) AS BIGINT) AS sq
+        |           FROM hits JOIN dfs USING (token) CROSS JOIN corpus),
+        |lexbase AS (SELECT doc_id, CAST(SUM(sq) AS DOUBLE) / 1e6 AS bm25
+        |            FROM scored GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
+        |lex AS (SELECT doc_id,
+        |        CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS lex_rank
+        |        FROM lexbase),
+        |q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id < 1),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |sscored AS (SELECT vec_id, round(list_cosine_similarity(emb, q_emb), 4) AS score
+        |            FROM c CROSS JOIN q WHERE vec_id <> q_id),
+        |sranked AS (SELECT vec_id,
+        |            CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+        |            FROM sscored),
+        |sem AS (SELECT vec_id AS doc_id, rank AS sem_rank FROM sranked WHERE rank <= 20)
+        |SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex.lex_rank, sem.sem_rank,
+        |       COALESCE(CAST(1000000 AS BIGINT) // (60 + lex_rank), 0) +
+        |       COALESCE(CAST(1000000 AS BIGINT) // (60 + sem_rank), 0) AS rrf_micros
+        |FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id""".stripMargin,
+
     "heavy_hitters" ->
       """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents)
         |SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
@@ -1742,6 +1841,7 @@ object SparkEntry {
     "dup_components_stored" -> dupComponentsOracle,
     "doc_pagerank" -> docPagerankOracle,
     "doc_pagerank_stored" -> docPagerankOracle,
+    "graph_triangles" -> graphTrianglesOracle,
 
     // the incremental screen replayed: same band CTE, corpus/delta split
     // by doc_id % 4, NOT EXISTS anti-joins (null-safe spelling)
@@ -2914,6 +3014,17 @@ object SparkEntry {
         |       CAST(CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 2
         |                 ELSE o_totalprice END AS DOUBLE) AS price
         |FROM orders""".stripMargin,
+
+    // ONE full recompute — the incremental base+delta+delta merge must
+    // hash-match it exactly (the algebraic-state maintenance claim)
+    "mv_incremental" ->
+      """SELECT o_orderstatus AS status,
+        |       CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |       COUNT(*) AS n_orders,
+        |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total,
+        |       round(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+        |             / COUNT(*), 6) AS avg_price
+        |FROM orders GROUP BY 1, 2""".stripMargin,
 
     "skew_profile" ->
       """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),

@@ -67,4 +67,70 @@ object GraphOps {
     pagerankMicros(edges, iterations)
       .select(col("node").as("doc_id"), col("rank_micros"))
   }
+
+  /** Per-node triangle counts + local clustering coefficient over an
+    * undirected (doc_a < doc_b) pair frame. Dup clusters in the near-dup
+    * graph are near-cliques, so a high coefficient marks "every variant
+    * resembles every other" template families (safe to collapse hard),
+    * while triangles=0 at high degree marks hub-shaped overlap — distinct
+    * docs sharing boilerplate — where min-label collapse would over-merge.
+    *
+    * Scale shape: the classic degree-ordered orientation. Each undirected
+    * edge is directed from its lower-(deg, id) endpoint to the higher, so
+    * every out-degree is O(sqrt m) no matter how skewed the raw degrees
+    * are; wedges come from ONE self-equi-join of the oriented list on its
+    * source, and closure is ONE more equi-join against the same list.
+    * Candidate volume is sum(outdeg²) ≤ m^1.5 — the hub that would make
+    * the naive id-ordered join quadratic (a 10^6-degree boilerplate node
+    * at corpus scale) contributes only its low-rank wedges here. No
+    * driver state, no iteration; three partial-agg shuffles total.
+    */
+  def triangleStats(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val deg = edges.select(col("u").as("n")).union(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    // orient by the (deg, id) total order; carry the rank key of BOTH
+    // endpoints so the wedge filter below never re-joins degree
+    val withDeg = edges
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
+    val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(fwd, col("u")).otherwise(col("v")).as("src"),
+      when(fwd, col("v")).otherwise(col("u")).as("dst"),
+      when(fwd, col("dv")).otherwise(col("du")).as("ddst"))
+    // wedges (b, c) from a common source, ordered b < c in (deg, id);
+    // a triangle is a wedge whose far edge exists in the oriented list
+    val w1 = oriented.select(col("src").as("a"), col("dst").as("b"), col("ddst").as("db"))
+    val w2 = oriented.select(col("src").as("a"), col("dst").as("c"), col("ddst").as("dc"))
+    val wedges = w1.join(w2, Seq("a"))
+      .filter(col("db") < col("dc") || (col("db") === col("dc") && col("b") < col("c")))
+    val triangles = wedges.join(
+      oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"), "left_semi")
+    val corners = triangles.select(col("a").as("n"))
+      .union(triangles.select(col("b").as("n")))
+      .union(triangles.select(col("c").as("n")))
+    corners.groupBy(col("n")).agg(count(lit(1)).as("triangles"))
+      .join(deg, Seq("n"))
+      .select(col("n").as("doc_id"), col("triangles"), col("deg"),
+        // closed wedges / possible wedges, quantized to ppm (integer-out
+        // audit discipline: no derived DOUBLE on the oracled surface)
+        expr("cast((2 * triangles * 1000000) div (deg * (deg - 1)) as bigint)")
+          .as("clustering_ppm"))
+  }
+
+  /** Triangle profile of the multi-evidence overlap graph: MinHash LSH
+    * candidate pairs ∪ winnowing fingerprint-overlap pairs, deduped. Two
+    * independent near-dup detectors agreeing on edge structure is exactly
+    * when triangle/coefficient analysis is informative — and the union
+    * shape mirrors how a production corpus graph accretes edges from
+    * multiple screens. (The stored pair index feeds `triangleStats`
+    * directly for the amortized path.)
+    */
+  def docTriangles(documents: DataFrame): DataFrame =
+    triangleStats(
+      DedupOps.minhashCandidatePairs(documents)
+        .union(TextOps.winnowOverlapPairs(documents)
+          .select(col("doc_a"), col("doc_b")))
+        .distinct())
 }

@@ -485,4 +485,41 @@ object RelationalOps {
   def upsertByKey(existing: DataFrame, updates: DataFrame,
                   keys: Seq[String]): DataFrame =
     updates.unionByName(existing.join(updates, keys, "left_anti"))
+
+  // --- Incremental materialized-view maintenance (algebraic state) ---
+
+  /** Partial-aggregate MV state for the monthly-revenue-by-status rollup:
+    * group keys + the ALGEBRAIC accumulators (count, exact decimal sum).
+    * AVG is deliberately absent from the state — it is not mergeable; it
+    * derives at read time from sum/count (`mvRead`). This is the classic
+    * incremental-view-maintenance contract: every stored measure must be
+    * a commutative monoid (count/sum/min/max), so states merge by pure
+    * addition in any order.
+    */
+  def mvState(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderstatus").as("status"),
+        date_trunc("month", col("o_orderdate")).cast(DateType).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(Money)).cast(Money).as("total"))
+
+  /** Merge a delta's partial state into the stored state: union + one
+    * keyed re-aggregate. The 100 TB point: a daily load touches
+    * O(|state| + |delta groups|) narrow rows — never the fact table — so
+    * maintaining the view costs the same whether the base holds a week
+    * or a decade of history. Re-partition state by the group key at rest
+    * (`IngestOps.writeRangeClustered`) and the merge shuffle moves only
+    * the delta side.
+    */
+  def mvMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta)
+      .groupBy(col("status"), col("month"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("total")).cast(Money).as("total"))
+
+  /** Read face of the MV: derived measures (avg) computed from the
+    * algebraic state, one double division per group row.
+    */
+  def mvRead(state: DataFrame): DataFrame =
+    state.select(col("status"), col("month"), col("n_orders"), col("total"),
+      round(col("total").cast(DoubleType) / col("n_orders"), 6).as("avg_price"))
 }

@@ -998,4 +998,36 @@ object SimilarityOps {
         row_number().over(w).as("rank"))
       .filter(col("rank") <= k)
   }
+
+  /** Hybrid retrieval: reciprocal-rank fusion (RRF) of the lexical BM25
+    * shortlist and the embedding cosine shortlist for one query —
+    * `score = Σ_lists 1/(k0 + rank)`, the fusion every production search
+    * stack converged on because it needs no score calibration between
+    * heterogeneous retrievers. Emitted in integer micros
+    * (`1e6 div (k0 + rank)`) so the fused score is exact in any engine.
+    *
+    * Scale shape: both inputs are already top-k shortlists — O(k) rows
+    * regardless of corpus size — so the fusion itself is a join of two
+    * driver-tiny frames; ALL the heavy lifting lives in the retrieval
+    * tiers, each separately measured (BM25's term-filtered Generate, the
+    * ANN ladder). The cosine arm here is the brute tier for oracle
+    * exactness; any ANN tier (IVF-PQ stored index included) drops in —
+    * the fusion only consumes (doc_id, rank).
+    */
+  def hybridRrf(documents: DataFrame, embeddings: DataFrame,
+                kTop: Int = 20, rrfK: Int = 60): DataFrame = {
+    // pmod keeps an attribute in the partition spec (constant-fold-proof,
+    // the skew_profile lesson); the frame is the post-limit k-row list
+    val lexW = Window.partitionBy(pmod(col("doc_id"), lit(1)))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    val lex = TextOps.bm25TopK(documents, kTop = kTop)
+      .select(col("doc_id"), row_number().over(lexW).as("lex_rank"))
+    val sem = cosineTopK(embeddings, 1, kTop)
+      .select(col("vec_id").as("doc_id"), col("rank").as("sem_rank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        (coalesce(expr(s"1000000L div (${rrfK}L + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000L div (${rrfK}L + sem_rank)"), lit(0L)))
+          .as("rrf_micros"))
+  }
 }

@@ -61,4 +61,41 @@ class GraphOpsSpec extends SparkSpec {
       assert(r.values.toSet == Set(1000000L), s"symmetric triangle: $r")
     }
   }
+
+  test("triangleStats: K4 gives every node 3 triangles at coefficient 1e6; " +
+       "a star and a path have none") {
+    val k4 = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b))
+      .toDF("doc_a", "doc_b")
+    val r = GraphOps.triangleStats(k4).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r.keySet == Set(1L, 2L, 3L, 4L))
+    // C(3,2)=3 triangles per corner of K4, deg 3, 2*3*1e6/(3*2) = 1e6
+    assert(r.values.toSet == Set((3L, 3L, 1000000L)), s"K4 stats: $r")
+
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("doc_a", "doc_b")
+    assert(GraphOps.triangleStats(star).isEmpty, "stars are triangle-free")
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    assert(GraphOps.triangleStats(path).isEmpty, "paths are triangle-free")
+  }
+
+  test("triangleStats: degree-ordered orientation matches naive id-ordered " +
+       "enumeration on a skewed fixture (hub + cliques)") {
+    // hub node 100 connected to everything (the boilerplate-overlap shape
+    // the orientation exists to tame) + two disjoint triangles
+    val edges = (Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L)) ++
+      (1L to 6L).map(n => (n, 100L))).toDF("doc_a", "doc_b")
+    val fast = GraphOps.triangleStats(edges).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // naive: enumerate a<b<c with all three edges present
+    val es = edges.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    def has(a: Long, b: Long) = es.contains((math.min(a, b), math.max(a, b)))
+    val nodes = es.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    val naive = (for {
+      a <- nodes; b <- nodes if b > a && has(a, b)
+      c <- nodes if c > b && has(a, c) && has(b, c)
+    } yield Seq(a, b, c)).flatten.groupBy(identity).map { case (n, l) => n -> l.size.toLong }
+    assert(fast == naive, s"fast $fast vs naive $naive")
+    // the hub closes a triangle with each clique edge: 6 of them
+    assert(fast(100L) == 6L)
+  }
 }

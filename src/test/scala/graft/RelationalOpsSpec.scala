@@ -193,4 +193,42 @@ class RelationalOpsSpec extends SparkSpec {
       1L -> (("a", 10.0)), 2L -> (("B2", 22.0)),
       3L -> (("c", 30.0)), 9L -> (("new", 99.0))))
   }
+
+  test("mv maintenance: any base/delta split merges to the full recompute, " +
+       "and merge order does not matter (algebraic state)") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val orders = Seq(
+      (1L, 10L, "O", 10.11, ts("1998-01-05 00:00:00"), "1-URGENT"),
+      (2L, 11L, "F", 20.22, ts("1998-01-20 00:00:00"), "2-HIGH"),
+      (3L, 10L, "O", 30.33, ts("1998-02-01 00:00:00"), "3-MEDIUM"),
+      (4L, 12L, "O", 40.44, ts("1999-03-15 00:00:00"), "2-HIGH"),
+      (5L, 13L, "P", 50.55, ts("1999-03-25 00:00:00"), "1-URGENT"),
+      (6L, 10L, "F", 60.66, ts("2000-12-31 00:00:00"), "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val full = RelationalOps.mvRead(RelationalOps.mvState(orders))
+      .collect().map(_.toString).sorted.toSeq
+
+    val Array(a, b, c) = Array(
+      orders.filter(col("o_orderkey") <= 2),
+      orders.filter(col("o_orderkey") === 3 || col("o_orderkey") === 4),
+      orders.filter(col("o_orderkey") >= 5))
+    def st(df: org.apache.spark.sql.DataFrame) = RelationalOps.mvState(df)
+    val incr = RelationalOps.mvRead(
+      RelationalOps.mvMerge(RelationalOps.mvMerge(st(a), st(b)), st(c)))
+      .collect().map(_.toString).sorted.toSeq
+    val reordered = RelationalOps.mvRead(
+      RelationalOps.mvMerge(RelationalOps.mvMerge(st(c), st(a)), st(b)))
+      .collect().map(_.toString).sorted.toSeq
+    assert(incr == full, s"incremental\n$incr\nvs full\n$full")
+    assert(reordered == full, "merge must commute/associate")
+    // the split-group case: an odd/even split lands rows of the SAME
+    // (status, month) group in different deltas — partial counts/sums
+    // must re-add to the exact totals
+    val d1 = orders.filter(col("o_orderkey") % 2 === 0)
+    val d2 = orders.filter(col("o_orderkey") % 2 === 1)
+    val splitMerge = RelationalOps.mvRead(RelationalOps.mvMerge(st(d1), st(d2)))
+      .collect().map(_.toString).sorted.toSeq
+    assert(splitMerge == full, "groups split across deltas must re-sum exactly")
+  }
 }

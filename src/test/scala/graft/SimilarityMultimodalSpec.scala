@@ -503,4 +503,31 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(r(4L) == ((1L, 1000000L, 500000L, 2000000L, true)))
     assert(r(1L)._1 == 1L && !r(1L)._5)
   }
+
+  test("hybridRrf: integer reciprocal-rank micros fuse both shortlists; " +
+       "single-list docs keep their one term") {
+    import spark.implicits._
+    // lexical: doc 1 mentions the query terms twice, doc 2 once, doc 3 never
+    val docs = Seq(
+      (1L, "spark merge spark window query words words words", "en", "s", 40L),
+      (2L, "one spark mention in otherwise unrelated text here", "en", "s", 40L),
+      (3L, "nothing relevant lives in this document at all really", "en", "s", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // semantic: query is vec 0; vec 3 closest, vec 2 next, vec 1 nearly
+    // orthogonal (still ranked: brute top-k keeps all non-self corpus)
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.05f, 1.0f)),
+      (2L, Array(0.8f, 0.6f)), (3L, Array(0.99f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val r = SimilarityOps.hybridRrf(docs, embs, kTop = 3).collect()
+      .map(x => x.getLong(0) ->
+        ((Option(x.get(1)), Option(x.get(2)), x.getLong(3)))).toMap
+    def m(ranks: Int*) = ranks.map(rk => 1000000L / (60 + rk)).sum
+    // lex ranks: doc1=1, doc2=2 (doc3 has no hits); sem ranks: 3,2,1
+    assert(r(1L) == ((Some(1), Some(3), m(1) + m(3))), s"doc1: ${r(1L)}")
+    assert(r(2L) == ((Some(2), Some(2), m(2) + m(2))), s"doc2: ${r(2L)}")
+    assert(r(3L) == ((None, Some(1), m(1))), s"sem-only doc3: ${r(3L)}")
+    // fusion favors the doc present high in BOTH lists over single-list hits
+    assert(r(2L)._3 > r(3L)._3)
+  }
 }
