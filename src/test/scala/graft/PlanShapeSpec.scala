@@ -95,6 +95,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!lc.contains("Window") && !lc.contains("CartesianProduct"))
   }
 
+  test("graph_triangles / hybrid_rrf / mv_incremental keep their scale " +
+       "shapes: triangles equi-only, RRF anchors are 1-row broadcasts, MV " +
+       "merge is partial+final aggregation") {
+    val tri = plan("graph_triangles")
+    assert(!tri.contains("CartesianProduct") && !tri.contains("BroadcastNestedLoopJoin"),
+      s"triangle wedge/closure joins must stay equi-keyed:\n$tri")
+    val rrf = plan("hybrid_rrf")
+    // the only non-equi joins allowed are the two 1-row broadcast anchors
+    // (bm25's corpus stats, the cosine query vector) — both BuildRight of
+    // a broadcast, never a shuffle-side cartesian
+    assert(!rrf.contains("CartesianProduct"),
+      s"RRF must never plan a shuffled cartesian:\n$rrf")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(rrf).size <= 4,
+      s"only the 1-row anchors may nested-loop:\n$rrf")
+    val mv = plan("mv_incremental")
+    assert("HashAggregate".r.findAllIn(mv).size >= 2,
+      s"MV merge must plan partial+final aggregation:\n$mv")
+    assert(!mv.contains("CartesianProduct") && !mv.contains("Window"),
+      s"MV path is pure keyed aggregation:\n$mv")
+  }
+
   test("pii_redact and seq_packing stay narrow/sharded") {
     // redaction is a pure projection — no exchange at all
     val pr = plan("pii_redact")
