@@ -302,6 +302,11 @@ object SparkEntry {
     // directed containment: catches docs EMBEDDED in larger docs, the
     // family symmetric jaccard structurally misses; integer-ppm out
     "containment_pairs" -> ((s, d) => DedupOps.containmentPairs(t(s, d, "documents"))),
+    // lossless prefix-filtered containment (no df cap): contained-side
+    // rarest-shingle prefix + container length bound; oracle = unguarded
+    // threshold enumeration
+    "containment_pairs_prefix" -> ((s, d) =>
+      DedupOps.containmentPairsPrefix(t(s, d, "documents"))),
     "simhash" -> ((s, d) => DedupOps.simhash(t(s, d, "documents"))),
     // band-blocked near-dup pairs, exact for hamming <= 3 by pigeonhole
     "simhash_dup_pairs" -> ((s, d) => DedupOps.simhashCandidatePairs(t(s, d, "documents"))),
@@ -1903,6 +1908,21 @@ object SparkEntry {
         |  FROM common c JOIN sizes nb ON c.doc_b = nb.doc_id)
         |SELECT contained_id, container_id, containment_ppm
         |FROM dir WHERE containment_ppm >= 800000""".stripMargin),
+
+    // UNGUARDED containment enumeration (every shared shingle counts) —
+    // the prefix tier must reproduce it exactly (losslessness is the
+    // whole claim; a df cap here would test the wrong thing)
+    "containment_pairs_prefix" ->
+      (shingleCtes +
+      """,
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+        |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |           GROUP BY 1, 2)
+        |SELECT da AS contained_id, db AS container_id,
+        |       CAST((c * 1000000 + na.n // 2) // na.n AS BIGINT) AS containment_ppm
+        |FROM common JOIN sizes na ON da = na.doc_id
+        |WHERE (c * 1000000 + na.n // 2) // na.n >= 800000""".stripMargin),
 
     // decontamination screen: the sh CTE provides distinct (doc_id, s)
     // shingles; the benchmark side re-selects the portable-hash 10% sample

@@ -402,6 +402,61 @@ object DedupOps {
       .filter(col("containment_ppm") >= thresholdPpm)
   }
 
+  /** Exact containment pairs via ppjoin-style prefix filtering — the
+    * asymmetric analog of `jaccardPairsPrefix`, built because the guarded
+    * tier's ×100 exponent is candidate-volume-bound (e = 1.19, SCALE.md
+    * r9): C(A⊆B) ≥ t forces |A∩B| ≥ ⌈t·|A|⌉, so A must share one of its
+    * rarest (|A| − ⌈t·|A|⌉ + 1) shingles with B. Only the CONTAINED side
+    * prunes — containment has no symmetric length constraint, so the
+    * container side is the full inverted index — but rarest-df-first
+    * ordering makes the prefix tokens precisely the low-collision ones,
+    * so candidate volume is Σ_{prefix tok} df(tok), not Σ df². The
+    * container side keeps one lossless bound: |A∩B| ≤ |B|, so
+    * |B| ≥ m_min(A) length-filters inside the posting join.
+    *
+    * All bounds are computed against the HALF-UP ROUNDED ppm the output
+    * filter applies (m_min = smallest common count whose rounded ppm
+    * clears the threshold) in pure integer arithmetic — a float ⌈t·n⌉
+    * can round the wrong way at exact multiples and silently drop a
+    * qualifying pair. Lossless by construction vs the unguarded
+    * enumeration; no df cap anywhere (the guard's 0.1%-recall concession
+    * is exactly what this tier exists to avoid).
+    */
+  def containmentPairsPrefix(documents: DataFrame,
+                             thresholdPpm: Long = 800000L): DataFrame = {
+    val tq = thresholdPpm
+    // smallest integer m with (m*1e6 + n div 2) div n >= tq; ${tq}L keeps
+    // the multiply in BIGINT (an INT literal overflows past n ≈ 2.7k)
+    def minCommon(n: String): String =
+      s"(${tq}L * $n - $n div 2 + 999999L) div 1000000L"
+    val withN = documents.select(col("doc_id"), expr(sh48Sql).as("h"))
+      .select(col("doc_id"), size(col("h")).as("n"), explode(col("h")).as("tok"))
+    val dfs = withN.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val prefix = withN.join(dfs, Seq("tok"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ranked"))
+      .select(col("doc_id").as("contained_id"), col("n").as("na"),
+        explode(expr("transform(slice(ranked, 1, size(ranked) - " +
+          s"cast(${minCommon("size(ranked)")} as int) + 1), x -> x.tok)")).as("tok"))
+    val cands = prefix
+      .join(withN.select(col("tok"), col("doc_id").as("container_id"),
+        col("n").as("nb")), Seq("tok"))
+      .filter(col("contained_id") =!= col("container_id") &&
+        col("nb") >= expr(minCommon("na")))
+      .select(col("contained_id"), col("container_id"))
+      .distinct()
+    val arrs = documents.select(col("doc_id"), expr(sh48Sql).as("h"))
+    cands
+      .join(arrs.select(col("doc_id").as("contained_id"), col("h").as("ha")),
+        Seq("contained_id"))
+      .join(arrs.select(col("doc_id").as("container_id"), col("h").as("hb")),
+        Seq("container_id"))
+      .select(col("contained_id"), col("container_id"),
+        expr("(cast(size(array_intersect(ha, hb)) as bigint) * 1000000L " +
+          "+ size(ha) div 2) div size(ha)").as("containment_ppm"))
+      .filter(col("containment_ppm") >= tq)
+  }
+
   /** Exact n-gram Jaccard via prefix filtering (the all-pairs similarity-
     * join pruning of Chaudhuri/Bayardo et al.): under any global shingle
     * order, J(A,B) ≥ t implies |A∩B| ≥ ⌈t·|A|⌉, so two qualifying docs

@@ -333,6 +333,35 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("containmentPairsPrefix: lossless vs naive enumeration, including " +
+       "pairs whose shared shingles are ALL hyper-frequent (the guarded " +
+       "tier's concession)") {
+    val boiler = "terms of service apply to every use of this site" // shared boilerplate
+    val docs = (1L to 12L).map(i => (i, s"$boiler extra$i", "en", "s", 20L)) ++
+      Seq((20L, boiler, "en", "s", 10L),          // pure boilerplate: contained in all
+        (21L, s"$boiler $boiler", "en", "s", 20L)) // repeated — same shingle SET
+    val d = docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = DedupOps.containmentPairsPrefix(d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toSet
+    // naive: distinct shingle sets, every directed pair, rounded ppm
+    def shingleSet(text: String): Set[String] = {
+      val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq
+      toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, text, _, _, _) => id -> shingleSet(text) }.toMap
+    val naive = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a != b && sa.nonEmpty
+      c = (sa & sb).size.toLong
+      ppm = (c * 1000000L + sa.size / 2) / sa.size if ppm >= 800000L
+    } yield ((a, b), ppm)).toSet
+    assert(got == naive, s"prefix tier must be lossless:\ngot   $got\nnaive $naive")
+    // every boilerplate shingle has df = 14 here; with a guard at df <= 5
+    // these pairs would vanish — assert the fixture actually exercises that
+    assert(naive.nonEmpty && naive.exists(_._1._1 == 20L))
+    // guarded tier at cap 5 drops them (documents why the prefix tier exists)
+    assert(DedupOps.containmentPairs(d, maxShingleDocFreq = 5).collect().isEmpty)
+  }
+
   test("dupComponents: chained pairs collapse to one component with the min id") {
     // path 1-2, 2-5, 5-9 plus isolated pair 3-4: components {1,2,5,9} and {3,4}
     val pairs = Seq((1L, 2L), (2L, 5L), (5L, 9L), (3L, 4L)).toDF("doc_a", "doc_b")
