@@ -266,4 +266,61 @@ class StreamingOpsSpec extends SparkSpec {
     assert(clean2.keySet.contains(5L), "fresh doc admitted")
     assert(spark.read.parquet(s"$idx/fp").count() == 3, "one fp per admitted doc")
   }
+
+  test("mvStreamWriter: streamed state equals the batch full recompute; a " +
+       "forced replay of the last batch rewrites its version, never " +
+       "double-merges") {
+    val in = Files.createTempDirectory("graft-mv-in").toString
+    val state = Files.createTempDirectory("graft-mv-state").toString
+    val ckpt = Files.createTempDirectory("graft-mv-ckpt").toString
+    def orders(rows: (Long, String, Double, String)*) =
+      rows.toDF("o_orderkey", "o_orderstatus", "o_totalprice", "d")
+        .withColumn("o_orderdate", col("d").cast("timestamp")).drop("d")
+    orders((1L, "O", 10.10, "1998-01-05"), (2L, "F", 20.20, "1998-01-20"))
+      .repartition(1).write.mode("append").parquet(in)
+    orders((3L, "O", 30.30, "1998-02-01"), (4L, "O", 40.40, "1998-01-07"))
+      .repartition(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def run(ckptPath: String): Unit = {
+      // one file per micro-batch -> the two appends land as two batches
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val q = StreamingOps.mvStreamWriter(stream, state, ckptPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    run(ckpt)
+    assert(StreamingOps.mvVersions(state).sorted == Seq(0L, 1L),
+      s"two micro-batches -> two state versions: ${StreamingOps.mvVersions(state)}")
+    def latest() = graft.operators.RelationalOps
+      .mvRead(StreamingOps.mvStateLatest(spark, state))
+      .collect().map(_.toString).sorted.toSeq
+    val full = graft.operators.RelationalOps
+      .mvRead(graft.operators.RelationalOps.mvState(spark.read.parquet(in)))
+      .collect().map(_.toString).sorted.toSeq
+    val streamed = latest()
+    assert(streamed == full, s"streamed MV\n$streamed\nvs batch recompute\n$full")
+    // forced replay of batch 1: clone the checkpoint without its commit
+    // marker (same injection as the JDBC replay spec); the replayed merge
+    // must land v=1 from v=0 + batch 1 again — NOT v=1 + batch 1 twice
+    val ckpt2 = Files.createTempDirectory("graft-mv-ckpt2").toString
+    val src = java.nio.file.Paths.get(ckpt)
+    val s = java.nio.file.Files.walk(src)
+    try s.forEach { p =>
+      val rel = src.relativize(p).toString
+      val isLastCommit = (rel == "commits/1" || rel == "commits/.1.crc" ||
+        rel == "commits\\1" || rel == "commits\\.1.crc") &&
+        !java.nio.file.Files.isDirectory(p)
+      if (rel.nonEmpty && !isLastCommit) {
+        val t = java.nio.file.Paths.get(ckpt2, rel)
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+      }
+    } finally s.close()
+    run(ckpt2)
+    assert(latest() == full,
+      "replayed batch must rewrite its version deterministically, not re-merge")
+    assert(StreamingOps.mvVersions(state).sorted == Seq(0L, 1L),
+      "replay reuses the SAME batch id / version directory")
+  }
 }
