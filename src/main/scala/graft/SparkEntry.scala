@@ -62,6 +62,14 @@ object SparkEntry {
   private def pairIndexFor(s: SparkSession, sfDir: String): String =
     artifactDir("pair_index", sfDir)(
       out => DedupOps.writePairIndex(t(s, sfDir, "documents"), out))
+  /** Trained BPE merge table — the sixth persisted artifact: the
+    * tokenizer is trained once per corpus snapshot; every consumer
+    * (the merge-table read, the corpus encode) loads K rows.
+    */
+  private def bpeMergesFor(s: SparkSession, sfDir: String): DataFrame =
+    s.read.parquet(artifactDir("bpe_merges", sfDir)(out =>
+      TextOps.bpeTrain(t(s, sfDir, "documents"), rounds = 10)
+        .write.mode("overwrite").parquet(out)))
 
   /** Flagship (driver smoke gate, sf0.001): the reference's E3 mart path —
     * scan → cast → date_trunc year → avg (mart_financial_summary.sql:4-8)
@@ -443,6 +451,17 @@ object SparkEntry {
     // BM25 retrieval: query-term-filtered Generate (shuffle carries hits
     // only), broadcast df/avgdl, TakeOrdered top-k
     "bm25_topk" -> ((s, d) => TextOps.bm25TopK(t(s, d, "documents"))),
+    // BPE tokenizer training: 10 argmax-deterministic merge rounds over
+    // the vocabulary table (corpus-scale work = ONE word-freq aggregate);
+    // oracle unrolls every round
+    "bpe_merges" -> ((s, d) => bpeMergesFor(s, d)),
+    // the trained tokenizer applied to the corpus: K literal replaces per
+    // token, Generate-gated; per-doc BPE/raw-token/char counts
+    "bpe_encode" -> ((s, d) => {
+      val merges = bpeMergesFor(s, d).orderBy(col("round")).collect()
+        .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b"))).toSeq
+      TextOps.bpeEncode(t(s, d, "documents"), merges)
+    }),
     // hybrid retrieval: RRF fusion of the BM25 shortlist and the cosine
     // shortlist (integer-micros 1e6/(60+rank) sums; O(k) fusion frames)
     "hybrid_rrf" -> ((s, d) =>
@@ -1195,6 +1214,47 @@ object SparkEntry {
       |       CAST((2 * tc.triangles * 1000000) // (deg.deg * (deg.deg - 1)) AS BIGINT) AS clustering_ppm
       |FROM tc JOIN deg ON tc.n = deg.n""".stripMargin
 
+  /** BPE training replay: 10 merge rounds unrolled as CTEs — each round
+    * extracts adjacent symbol pairs from the sentinel strings, takes the
+    * (weight DESC, pair ASC) argmax, and applies the merge as the same
+    * LITERAL replace the Spark side uses (left-to-right non-overlapping
+    * in both engines = greedy BPE). `w` rides along so the encode oracle
+    * can join tokens to their final symbol strings.
+    */
+  private val bpeRounds = 10
+  private val bpeCtes: String = {
+    val base =
+      """WITH btok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents),
+        |bwf AS (SELECT w, COUNT(*) AS freq FROM btok GROUP BY w),
+        |bw0 AS (SELECT w, '|' || array_to_string(regexp_extract_all(w, '.'), '||') || '|' AS syms, freq FROM bwf)""".stripMargin
+    val rounds = (1 to bpeRounds).map { r =>
+      s"""bp$r AS (SELECT x, y, SUM(freq) AS wt FROM (
+         |  SELECT freq, a[i + 1] AS x, a[i + 2] AS y FROM (
+         |    SELECT freq, string_split(trim(syms, '|'), '||') AS a,
+         |           unnest(range(0, greatest(len(string_split(trim(syms, '|'), '||')) - 1, 0))) AS i
+         |    FROM bw${r - 1}) t) p GROUP BY x, y),
+         |bb$r AS (SELECT x, y, wt FROM bp$r ORDER BY wt DESC, x, y LIMIT 1),
+         |bw$r AS (SELECT w, replace(syms, '|' || b.x || '||' || b.y || '|',
+         |                           '|' || b.x || b.y || '|') AS syms, freq
+         |         FROM bw${r - 1}, bb$r b)""".stripMargin
+    }.mkString(",\n")
+    base + ",\n" + rounds
+  }
+
+  private val bpeMergesOracle: String = bpeCtes + "\n" +
+    (1 to bpeRounds).map { r =>
+      s"SELECT CAST($r AS INTEGER) AS round, x AS sym_a, y AS sym_b, x || y AS merged, wt AS weight FROM bb$r"
+    }.mkString("\nUNION ALL\n")
+
+  private val bpeEncodeOracle: String = bpeCtes +
+    s""",
+       |benc AS (SELECT t.doc_id, CAST(length(t.w) AS BIGINT) AS chars,
+       |         CAST(len(string_split(trim(f.syms, '|'), '||')) AS BIGINT) AS bpe_syms
+       |         FROM btok t JOIN bw$bpeRounds f ON t.w = f.w)
+       |SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(chars) AS BIGINT) AS n_chars_tok,
+       |       CAST(SUM(bpe_syms) AS BIGINT) AS n_bpe_symbols
+       |FROM benc GROUP BY doc_id""".stripMargin
+
   /** Per-doc SimHash as a reusable CTE (DuckDB spelling of DedupOps.simhash). */
   private val simhashCtes = shingleCtes +
     """,
@@ -1847,6 +1907,8 @@ object SparkEntry {
     "doc_pagerank" -> docPagerankOracle,
     "doc_pagerank_stored" -> docPagerankOracle,
     "graph_triangles" -> graphTrianglesOracle,
+    "bpe_merges" -> bpeMergesOracle,
+    "bpe_encode" -> bpeEncodeOracle,
 
     // the incremental screen replayed: same band CTE, corpus/delta split
     // by doc_id % 4, NOT EXISTS anti-joins (null-safe spelling)

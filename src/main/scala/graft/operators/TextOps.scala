@@ -953,4 +953,106 @@ object TextOps {
       (token, exact, est >= exact && est <= exact + bound)
     }.toDF("token", "cnt", "within_tol")
   }
+
+  // --- BPE tokenizer-vocabulary training (distributed, bit-exact) ---
+
+  /** Sentinel-delimited symbol string for a word: `ab` → `|a||b|`. Every
+    * symbol is wrapped in `|` (never a token char under the `[a-z0-9]+`
+    * tokenizer), so "merge adjacent symbols A,B" is the LITERAL string
+    * replacement `|A||B|` → `|AB|` — and literal replacement is
+    * left-to-right non-overlapping in both engines, which is exactly
+    * greedy BPE application (`aaaa` under the `a+a` rule → `aa aa`, the
+    * freshly-merged symbol never re-merges within the same pass). The
+    * encoding is what makes an inherently sequential per-word greedy
+    * fold expressible as one codegen'd `replace` — no UDF, no fold, and
+    * a DuckDB `replace` replays it verbatim.
+    */
+  private val symsInitSql =
+    "concat('|', array_join(transform(regexp_extract_all(w, '.', 0), c -> c), '||'), '|')"
+
+  /** BPE merge-table training over the corpus vocabulary (Sennrich et
+    * al.): the most frequent adjacent symbol pair merges each round, with
+    * pair frequency = Σ word-frequency over occurrences.
+    *
+    * Scale shape: the ONLY corpus-scale stage is the word-frequency
+    * aggregate (one partial-agg shuffle over tokens). Training then runs
+    * on the DISTINCT-WORD table — vocabulary-scale, orders of magnitude
+    * smaller than the corpus — where each round is one pair aggregate
+    * (vocab-scale shuffle) + a 1-row broadcast + a per-word literal
+    * replace. `localCheckpoint` per round keeps round r from re-deriving
+    * rounds 1..r−1 (the plan would otherwise re-execute the whole merge
+    * chain per aggregate, the PageRank lineage lesson at higher stakes
+    * because each round's frame depends on the previous round's ARGMAX).
+    * Rounds are argmax-deterministic: (weight DESC, pair ASC) with exact
+    * integer weights.
+    *
+    * Returns (round, sym_a, sym_b, merged, weight) — the merge table IS
+    * the trained tokenizer (apply with `bpeEncode`).
+    */
+  def bpeTrain(documents: DataFrame, rounds: Int = 10,
+               minFreq: Long = 1L): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val init = documents
+      .select(explode(expr(toksExprFor(documents))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+      .select(expr(symsInitSql).as("syms"), col("freq"))
+    var words = init.localCheckpoint()
+    val merges = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      val pairs = words
+        .select(col("freq"),
+          expr("split(substr(syms, 2, length(syms) - 2), '\\\\|\\\\|')").as("a"))
+        .select(col("freq"), explode(expr(
+          "if(size(a) >= 2, transform(sequence(1, size(a) - 1), " +
+            "i -> struct(element_at(a, i) as x, element_at(a, i + 1) as y)), " +
+            "array())")).as("p"))
+      val best = broadcast(
+        pairs.groupBy(col("p.x").as("x"), col("p.y").as("y"))
+          .agg(sum(col("freq")).as("wt"))
+          .orderBy(col("wt").desc, col("x"), col("y")).limit(1)
+          .localCheckpoint())
+      merges += best.select(lit(r).as("round"), col("x").as("sym_a"),
+        col("y").as("sym_b"), concat(col("x"), col("y")).as("merged"),
+        col("wt").as("weight"))
+      // left join on TRUE: an exhausted vocabulary (no pairs anywhere)
+      // yields an empty argmax, and a cross join would silently EMPTY the
+      // word table; the null-guarded replace is a no-op instead
+      words = words.join(best, lit(true), "left")
+        .select(expr("replace(syms, coalesce(concat('|', x, '||', y, '|'), " +
+          "char(0)), concat('|', coalesce(concat(x, y), ''), '|'))").as("syms"),
+          col("freq"))
+        .localCheckpoint()
+    }
+    merges.result().reduce(_ unionByName _)
+  }
+
+  /** Apply a trained merge list (in round order) to the corpus: the same
+    * sentinel encoding per token, one literal replace per merge — a
+    * static chain of K codegen'd string ops per row, no per-row loop
+    * state. Emits per-doc BPE symbol counts next to raw token/char
+    * counts (the compression-ratio read every tokenizer change is judged
+    * by). `merges` is the driver-side (sym_a, sym_b) list — K rows,
+    * bounded by construction, the same boundedness class as the
+    * broadcast PQ codebooks.
+    */
+  def bpeEncode(documents: DataFrame,
+                merges: Seq[(String, String)]): DataFrame = {
+    val applied = merges.foldLeft(symsInitSql) { case (acc, (a, b)) =>
+      s"replace($acc, '|$a||$b|', '|$a$b|')"
+    }
+    documents
+      .select(col("doc_id"), explode(expr(toksExprFor(documents))).as("w"))
+      // Generate gate: materialize the K-deep replace chain ONCE per
+      // token (projection collapse would otherwise inline it into both
+      // the substr and the length consumer below)
+      .select(col("doc_id"), length(col("w")).cast(LongType).as("chars"),
+        explode(expr(s"array($applied)")).as("h"))
+      .select(col("doc_id"), col("chars"),
+        expr("size(split(substr(h, 2, length(h) - 2), '\\\\|\\\\|'))")
+          .cast(LongType).as("bpe_syms"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("chars")).as("n_chars_tok"),
+        sum(col("bpe_syms")).as("n_bpe_symbols"))
+  }
 }

@@ -933,4 +933,50 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(cms.map(r => r.getString(0) -> r.getLong(1)).toSeq == exact.toSeq)
     assert(cms.forall(_.getBoolean(2)), "CMS estimate within [exact, exact + eps·N]")
   }
+
+  test("bpeTrain: hand-computed merge sequence on a fixed vocabulary; " +
+       "greedy non-overlapping application (aaaa -> aa aa)") {
+    // corpus: 'banana' x3, 'bananas' x1, 'aaaa' x2
+    val d = Seq(
+      (1L, "banana banana banana bananas", "en", "s", 30L),
+      (2L, "aaaa aaaa", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = TextOps.bpeTrain(d, rounds = 3).orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    // round 1 pair counts: banana(x4 words): b-a 4, a-n 8, n-a 8, a-s 1;
+    // aaaa(x2): a-a 6 (3 per word). argmax = (a,n) w=8 over (n,a) by pair asc
+    assert(m(0) == ((1, "a", "n", 8L)), s"round1: ${m(0)}")
+    // after merge: banana -> b an an a; bananas -> b an an a s; aaaa intact.
+    // round 2 pairs: b-an 4, an-an 4, an-a 4, a-s 1, a-a 6 -> argmax (a,a) 6
+    assert(m(1) == ((2, "a", "a", 6L)), s"round2: ${m(1)}")
+    // greedy non-overlap: aaaa -> aa aa (2 pairs per word x2 words = 2 aa-aa
+    // adjacencies), NOT aa-a chains. round 3: an-an 4 wins over aa-aa 2 and
+    // b-an 4 (pair asc: 'an'<'b'), an-a 4 also ties -> ('an','a') < ('an','an')
+    assert(m(2) == ((3, "an", "a", 4L)), s"round3: ${m(2)}")
+
+    // encode with the learned merges: banana = b|an|an|a -> 4 syms,
+    // bananas = 5 (the an-a merge applies left-to-right: b an an a s ->
+    // b an ana s? no: merge (an,a): 'b an an a s': first 'an an' no, pairs
+    // scanned as literal '|an||a|': matches at the SECOND an + a -> b an ana s = 4)
+    val enc = TextOps.bpeEncode(d,
+      Seq(("a", "n"), ("a", "a"), ("an", "a"))).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    // doc 1: banana x3 -> each 'b an an a' -> replace '|an||a|' once -> 'b an ana' = 3
+    //        bananas -> 'b an ana s' = 4 syms; total = 3*3 + 4 = 13
+    // doc 2: aaaa x2 -> 'aa aa' each (merge (a,a) greedy) -> 2 syms, (an,a) no-op; total 4
+    assert(enc(1L) == ((4L, 13L)), s"doc1: ${enc(1L)}")
+    assert(enc(2L) == ((2L, 4L)), s"doc2: ${enc(2L)}")
+  }
+
+  test("bpeTrain: exhausted vocabulary never empties the word table " +
+       "(single-char vocab, more rounds than possible merges)") {
+    val d = Seq((1L, "a b a b", "en", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // words 'a','b' have no adjacent pairs at all -> every argmax is empty
+    val m = TextOps.bpeTrain(d, rounds = 2).collect()
+    assert(m.isEmpty, "no pairs -> no merge rows")
+    val enc = TextOps.bpeEncode(d, Seq.empty).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(enc.toSeq == Seq((1L, 4L, 4L)), "chars pass through unmerged")
+  }
 }
