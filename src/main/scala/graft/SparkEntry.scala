@@ -462,6 +462,16 @@ object SparkEntry {
         .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b"))).toSeq
       TextOps.bpeEncode(t(s, d, "documents"), merges)
     }),
+    // document packing by the tokenizer's ACTUAL currency: BPE symbol
+    // counts from the trained merge table, same sharded running-total
+    "seq_packing_bpe" -> ((s, d) => {
+      val merges = bpeMergesFor(s, d).orderBy(col("round")).collect()
+        .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b"))).toSeq
+      TextOps.packDocsBy(
+        TextOps.bpeEncode(t(s, d, "documents"), merges)
+          .select(col("doc_id"), col("n_bpe_symbols")),
+        "n_bpe_symbols")
+    }),
     // hybrid retrieval: RRF fusion of the BM25 shortlist and the cosine
     // shortlist (integer-micros 1e6/(60+rank) sums; O(k) fusion frames)
     "hybrid_rrf" -> ((s, d) =>
@@ -1909,6 +1919,20 @@ object SparkEntry {
     "graph_triangles" -> graphTrianglesOracle,
     "bpe_merges" -> bpeMergesOracle,
     "bpe_encode" -> bpeEncodeOracle,
+    // per-doc BPE symbol counts (the bpe_encode formulation) fed through
+    // the seq_packing shard/window arithmetic
+    "seq_packing_bpe" -> (bpeCtes +
+      s""",
+         |bcnt AS (SELECT t.doc_id,
+         |         CAST(SUM(len(string_split(trim(f.syms, '|'), '||'))) AS BIGINT) AS n_bpe_symbols
+         |         FROM btok t JOIN bw$bpeRounds f ON t.w = f.w GROUP BY t.doc_id),
+         |bsh AS (SELECT doc_id, n_bpe_symbols,
+         |        CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 32 AS INTEGER) AS shard
+         |        FROM bcnt)
+         |SELECT shard, doc_id, n_bpe_symbols,
+         |  CAST((SUM(n_bpe_symbols) OVER (PARTITION BY shard ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bpe_symbols) // 256 AS BIGINT) AS seq_id
+         |FROM bsh""".stripMargin),
 
     // the incremental screen replayed: same band CTE, corpus/delta split
     // by doc_id % 4, NOT EXISTS anti-joins (null-safe spelling)

@@ -1027,6 +1027,28 @@ object TextOps {
     merges.result().reduce(_ unionByName _)
   }
 
+  /** Pack WHOLE documents into fixed-budget sequences by an arbitrary
+    * per-doc weight column — the document-level sibling of `packChunks`
+    * (which packs intra-doc chunks by regex-token count). Composed with
+    * `bpeEncode`'s `n_bpe_symbols` it packs by the tokenizer's ACTUAL
+    * currency, which is what a pretraining loader bins by — regex tokens
+    * are only a proxy for sequence cost. Same scale shape as
+    * `packChunks`: portable-hash sharding keeps the running-total window
+    * parallel (no global sort), one narrow shuffle.
+    */
+  def packDocsBy(counts: DataFrame, weightCol: String,
+                 seqBudget: Int = 256, shards: Int = 32): DataFrame = {
+    val sharded = counts.withColumn("shard",
+      expr(s"cast(cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % $shards as int)"))
+    val w = Window.partitionBy("shard")
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sharded
+      .withColumn("cum", sum(col(weightCol)).over(w))
+      .select(col("shard"), col("doc_id"), col(weightCol),
+        expr(s"(cum - $weightCol) div $seqBudget").as("seq_id"))
+  }
+
   /** Apply a trained merge list (in round order) to the corpus: the same
     * sentinel encoding per token, one literal replace per merge — a
     * static chain of K codegen'd string ops per row, no per-row loop

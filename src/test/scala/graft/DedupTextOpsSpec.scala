@@ -968,6 +968,17 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(enc(2L) == ((2L, 4L)), s"doc2: ${enc(2L)}")
   }
 
+  test("packDocsBy: budget-boundary arithmetic — a doc STARTS a new " +
+       "sequence when the running total would cross the budget") {
+    val counts = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 60L))
+      .toDF("doc_id", "n")
+    // single shard so the window order is just doc_id
+    val got = TextOps.packDocsBy(counts, "n", seqBudget = 256, shards = 1)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // cums: 100,200,300,360; seq = (cum - n) div 256 = 0,0,0(200div),1(300div)
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L), s"$got")
+  }
+
   test("bpeTrain: exhausted vocabulary never empties the word table " +
        "(single-char vocab, more rounds than possible merges)") {
     val d = Seq((1L, "a b a b", "en", "s", 8L))
