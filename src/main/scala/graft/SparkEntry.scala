@@ -462,6 +462,9 @@ object SparkEntry {
         .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b"))).toSeq
       TextOps.bpeEncode(t(s, d, "documents"), merges)
     }),
+    // per-source KL drift vs the corpus token mixture, integer micros —
+    // the off-distribution-source monitor
+    "source_drift" -> ((s, d) => TextOps.sourceDrift(t(s, d, "documents"))),
     // document packing by the tokenizer's ACTUAL currency: BPE symbol
     // counts from the trained merge table, same sharded running-total
     "seq_packing_bpe" -> ((s, d) => {
@@ -1919,6 +1922,20 @@ object SparkEntry {
     "graph_triangles" -> graphTrianglesOracle,
     "bpe_merges" -> bpeMergesOracle,
     "bpe_encode" -> bpeEncodeOracle,
+    // textually-parallel cast/multiply order inside ln() (the length_corr
+    // discipline); per-term micros quantized before the per-source sum
+    "source_drift" ->
+      """WITH tok AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents),
+        |st AS (SELECT source, t, COUNT(*) AS c_st FROM tok GROUP BY 1, 2),
+        |ct AS (SELECT t, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY t),
+        |ns AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM st GROUP BY source),
+        |n AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM ns)
+        |SELECT source, n_s AS n_tokens,
+        |  CAST(SUM(CAST(round(CAST(c_st AS DOUBLE) / n_s *
+        |       ln(CAST(c_st AS DOUBLE) * n / (CAST(c_t AS DOUBLE) * n_s)) * 1000000)
+        |       AS BIGINT)) AS BIGINT) AS kl_micros
+        |FROM st JOIN ct USING (t) JOIN ns USING (source) CROSS JOIN n
+        |GROUP BY source, n_s""".stripMargin,
     // per-doc BPE symbol counts (the bpe_encode formulation) fed through
     // the seq_packing shard/window arithmetic
     "seq_packing_bpe" -> (bpeCtes +

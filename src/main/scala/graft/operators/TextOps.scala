@@ -954,6 +954,41 @@ object TextOps {
     }.toDF("token", "cnt", "within_tol")
   }
 
+  /** Per-source distribution drift: KL(P_source ‖ P_corpus) over token
+    * distributions, in integer micros — the monitor that catches a crawl
+    * source going off-distribution (template floods, language shifts,
+    * scraper breakage) before it contaminates a training mix. KL against
+    * the corpus mixture rather than pairwise sources: one score per
+    * source, O(sources) not O(sources²), and the mixture is the
+    * distribution a sampler actually draws from.
+    *
+    * Determinism: every count is an exact integer from two hash
+    * aggregates (corpus totals DERIVE from the per-source aggregate — no
+    * second corpus pass); each term's float work is a fixed-order chain
+    * over those integers, quantized to micros BEFORE the per-source sum
+    * (the lm_perplexity/zipf discipline). Scale shape: one
+    * (source, token) shuffle, vocabulary-scale re-aggregates, broadcast
+    * totals, per-term codegen arithmetic.
+    */
+  def sourceDrift(documents: DataFrame): DataFrame = {
+    val st = documents
+      .select(col("source"), explode(expr(toksExprFor(documents))).as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c_st"))
+    val ct = st.groupBy(col("t")).agg(sum(col("c_st")).as("c_t"))
+    val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val n = ns.agg(sum(col("n_s")).as("n"))
+    st.join(ct, Seq("t"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("n_s"),
+        expr("cast(round(cast(c_st as double) / n_s * " +
+          "ln(cast(c_st as double) * n / (cast(c_t as double) * n_s)) * 1000000) " +
+          "as bigint)").as("term_micros"))
+      .groupBy(col("source"), col("n_s"))
+      .agg(sum(col("term_micros")).as("kl_micros"))
+      .select(col("source"), col("n_s").as("n_tokens"), col("kl_micros"))
+  }
+
   // --- BPE tokenizer-vocabulary training (distributed, bit-exact) ---
 
   /** Sentinel-delimited symbol string for a word: `ab` → `|a||b|`. Every

@@ -968,6 +968,23 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(enc(2L) == ((2L, 4L)), s"doc2: ${enc(2L)}")
   }
 
+  test("sourceDrift: hand-computed KL vs the corpus mixture in exact " +
+       "integer micros; the skewed source scores higher") {
+    val d = Seq(
+      (1L, "x y", "en", "A", 3L),
+      (2L, "x x", "en", "B", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // corpus: x:3, y:1, N=4. A (x:1, y:1, n_s=2):
+    //   x: 0.5*ln(1*4/(3*2))*1e6 = -202733 (rounded), y: 0.5*ln(4/2)*1e6 = 346574
+    // B (x:2, n_s=2): 1*ln(2*4/(3*2))*1e6 = 287682
+    val got = TextOps.sourceDrift(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("A" -> ((2L, -202733L + 346574L)), "B" -> ((2L, 287682L))),
+      s"$got")
+    // drift orders as expected: the skewed source is farther from the mix
+    assert(got("B")._2 > got("A")._2)
+  }
+
   test("packDocsBy: budget-boundary arithmetic — a doc STARTS a new " +
        "sequence when the running total would cross the budget") {
     val counts = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 60L))
