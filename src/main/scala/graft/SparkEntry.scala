@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -746,6 +746,27 @@ object SparkEntry {
         .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
       RelationalOps.upsertByKey(o, updates, Seq("o_orderkey"))
         .select(col("o_orderkey"), col("o_totalprice").cast(DoubleType).as("price"))
+    }),
+
+    // CDC apply: latest-sequence-wins upserts + delete tombstones over a
+    // synthesized change feed (incl. an out-of-order stale change the
+    // apply must ignore); oracle = the closed-form final snapshot
+    "cdc_apply" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").cast(DoubleType).as("price"))
+      val upd = o.filter(col("o_orderkey") % 100 === 0)
+      def ch(df: DataFrame, priceCol: Column, seq: Long, op: String) =
+        df.select(col("o_orderkey"), priceCol.as("price"),
+          lit(seq).as("cdc_seq"), lit(op).as("cdc_op"))
+      val changes =
+        ch(upd, col("price") * 2, 1L, "U")
+          .unionByName(ch(upd, col("price") * 3, 2L, "U"))
+          .unionByName(ch(upd, col("price") * 99, 0L, "U")) // stale, ignored
+          .unionByName(ch(o.filter(col("o_orderkey") % 100 === 1), col("price"), 1L, "D"))
+          .unionByName(
+            ch(o.filter(col("o_orderkey") % 100 === 2), col("price") + 1, 1L, "I")
+              .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      RelationalOps.applyCdc(o, changes, Seq("o_orderkey"))
     }),
 
     // incremental MV maintenance: base state lands as parquet, two delta
@@ -3137,6 +3158,19 @@ object SparkEntry {
         |       CAST(CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 2
         |                 ELSE o_totalprice END AS DOUBLE) AS price
         |FROM orders""".stripMargin,
+
+    // closed-form final snapshot: %100==0 keys take the seq-2 update
+    // (never the stale seq-0 one), %100==1 keys are tombstoned away,
+    // %100==2 keys gain a shifted-key insert, everything else unchanged
+    "cdc_apply" ->
+      """SELECT o_orderkey, CAST(o_totalprice * 3 AS DOUBLE) AS price
+        |FROM orders WHERE o_orderkey % 100 = 0
+        |UNION ALL
+        |SELECT o_orderkey, CAST(o_totalprice AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 100 NOT IN (0, 1)
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, CAST(o_totalprice AS DOUBLE) + 1
+        |FROM orders WHERE o_orderkey % 100 = 2""".stripMargin,
 
     // ONE full recompute — the incremental base+delta+delta merge must
     // hash-match it exactly (the algebraic-state maintenance claim)

@@ -486,6 +486,31 @@ object RelationalOps {
                   keys: Seq[String]): DataFrame =
     updates.unionByName(existing.join(updates, keys, "left_anti"))
 
+  /** CDC apply (the Debezium/MERGE-with-deletes shape `upsertByKey`
+    * lacks): `changes` carries (op ∈ I/U/D, sequence, key, payload);
+    * per key the HIGHEST-sequence change wins — an upsert lands the new
+    * row, a delete tombstone removes it — and stale out-of-order changes
+    * are ignored, so the apply is correct under the at-least-once,
+    * arrival-order-free delivery every log-based CDC feed actually has.
+    * One keyed window over the (small) change batch + one anti-join
+    * against the snapshot: O(|changes| + |table|) with the table side
+    * routed through dynamic partition overwrite at rest, same as upsert.
+    * Deterministic: the window orders by (sequence DESC, op) so a
+    * same-sequence pathological tie resolves identically everywhere.
+    */
+  def applyCdc(existing: DataFrame, changes: DataFrame,
+               keys: Seq[String], seqCol: String = "cdc_seq",
+               opCol: String = "cdc_op"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc, col(opCol))
+    val last = changes
+      .withColumn("cdc_rn", row_number().over(w))
+      .filter(col("cdc_rn") === 1)
+    existing.join(last, keys, "left_anti")
+      .unionByName(last.filter(col(opCol) =!= "D")
+        .drop("cdc_rn", seqCol, opCol))
+  }
+
   // --- Incremental materialized-view maintenance (algebraic state) ---
 
   /** Partial-aggregate MV state for the monthly-revenue-by-status rollup:

@@ -116,6 +116,19 @@ class PlanShapeSpec extends SparkSpec {
       s"MV path is pure keyed aggregation:\n$mv")
   }
 
+  test("bpe/drift/cdc queries keep their scale shapes: aggregates plan " +
+       "partial+final, no cartesians, cdc window keys on the join key") {
+    for (q <- Seq("bpe_encode", "seq_packing_bpe", "source_drift", "cdc_apply")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian:\n$p")
+    }
+    val drift = plan("source_drift")
+    assert("HashAggregate".r.findAllIn(drift).size >= 2,
+      s"drift aggregates must be map-side combined:\n$drift")
+    val cdc = plan("cdc_apply")
+    assert(cdc.contains("Window"), s"cdc latest-change pick is a keyed window:\n$cdc")
+  }
+
   test("pii_redact and seq_packing stay narrow/sharded") {
     // redaction is a pure projection — no exchange at all
     val pr = plan("pii_redact")

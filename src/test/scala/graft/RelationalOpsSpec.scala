@@ -194,6 +194,25 @@ class RelationalOpsSpec extends SparkSpec {
       3L -> (("c", 30.0)), 9L -> (("new", 99.0))))
   }
 
+  test("applyCdc: latest sequence wins, tombstones delete, stale " +
+       "out-of-order changes are ignored, inserts land") {
+    val existing = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "a-new", 2L, "U"),  // wins over the stale seq-1 below
+      (1L, "a-stale", 1L, "U"),
+      (2L, "ignored", 5L, "D"), // tombstone: key 2 disappears
+      (2L, "resurrect", 4L, "U"), // older than the delete -> ignored
+      (9L, "inserted", 1L, "I")).toDF("k", "v", "cdc_seq", "cdc_op")
+    val got = RelationalOps.applyCdc(existing, changes, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a-new", 3L -> "c", 9L -> "inserted"), s"$got")
+    // arrival order must not matter: reversed change feed, same snapshot
+    val rev = RelationalOps.applyCdc(existing,
+      changes.orderBy(col("cdc_seq").desc), Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rev == got)
+  }
+
   test("mv maintenance: any base/delta split merges to the full recompute, " +
        "and merge order does not matter (algebraic state)") {
     val ts = java.sql.Timestamp.valueOf(_: String)
