@@ -262,4 +262,20 @@ object StreamingOps {
   def mvStateLatest(spark: org.apache.spark.sql.SparkSession,
                     stateDir: String): DataFrame =
     spark.read.parquet(s"$stateDir/v=${mvVersions(stateDir).max}")
+
+  /** Retention for the version lineage: drop all but the newest
+    * `keepLast` state versions. Keep ≥ 2 so an in-flight replay of the
+    * latest batch can still read its predecessor — pruning the
+    * merge-parent of a batch that later replays is the one way the
+    * versioned scheme can lose the idempotence property.
+    */
+  def mvPruneVersions(stateDir: String, keepLast: Int = 2): Seq[Long] = {
+    require(keepLast >= 2, s"keepLast must be >= 2 (replay safety), got $keepLast")
+    val stale = mvVersions(stateDir).sorted.dropRight(keepLast)
+    stale.foreach { v =>
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(s"$stateDir/v=$v"))
+    }
+    stale
+  }
 }

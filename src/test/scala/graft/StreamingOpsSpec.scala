@@ -322,5 +322,21 @@ class StreamingOpsSpec extends SparkSpec {
       "replayed batch must rewrite its version deterministically, not re-merge")
     assert(StreamingOps.mvVersions(state).sorted == Seq(0L, 1L),
       "replay reuses the SAME batch id / version directory")
+    // retention: a third batch then prune to the newest two — the pruned
+    // set is exactly the oldest version, the current state is untouched
+    orders((5L, "F", 50.50, "1998-03-03")).repartition(1)
+      .write.mode("append").parquet(in)
+    run(ckpt)
+    assert(StreamingOps.mvVersions(state).sorted == Seq(0L, 1L, 2L))
+    val pruned = StreamingOps.mvPruneVersions(state, keepLast = 2)
+    assert(pruned == Seq(0L), s"oldest version pruned: $pruned")
+    assert(StreamingOps.mvVersions(state).sorted == Seq(1L, 2L))
+    val fullNow = graft.operators.RelationalOps
+      .mvRead(graft.operators.RelationalOps.mvState(spark.read.parquet(in)))
+      .collect().map(_.toString).sorted.toSeq
+    assert(latest() == fullNow, "pruning never touches the live state")
+    intercept[IllegalArgumentException] {
+      StreamingOps.mvPruneVersions(state, keepLast = 1)
+    }
   }
 }
