@@ -465,6 +465,9 @@ object SparkEntry {
     // per-source KL drift vs the corpus token mixture, integer micros —
     // the off-distribution-source monitor
     "source_drift" -> ((s, d) => TextOps.sourceDrift(t(s, d, "documents"))),
+    // tokenizer generalization: train on the portable-hash 90%, measure
+    // held-out compression + unseen-word rate with the same merge chain
+    "bpe_oov" -> ((s, d) => TextOps.bpeHoldoutAudit(t(s, d, "documents"))),
     // document packing by the tokenizer's ACTUAL currency: BPE symbol
     // counts from the trained merge table, same sharded running-total
     "seq_packing_bpe" -> ((s, d) => {
@@ -1256,9 +1259,9 @@ object SparkEntry {
     * can join tokens to their final symbol strings.
     */
   private val bpeRounds = 10
-  private val bpeCtes: String = {
+  private def bpeCtesWhere(where: String): String = {
     val base =
-      """WITH btok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents),
+      s"""WITH btok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents$where),
         |bwf AS (SELECT w, COUNT(*) AS freq FROM btok GROUP BY w),
         |bw0 AS (SELECT w, '|' || array_to_string(regexp_extract_all(w, '.'), '||') || '|' AS syms, freq FROM bwf)""".stripMargin
     val rounds = (1 to bpeRounds).map { r =>
@@ -1273,6 +1276,41 @@ object SparkEntry {
          |         FROM bw${r - 1}, bb$r b)""".stripMargin
     }.mkString(",\n")
     base + ",\n" + rounds
+  }
+  private val bpeCtes: String = bpeCtesWhere("")
+
+  /** OOV/generalization audit replay: train CTEs on the 90% split, then
+    * the merge chain applied to EVERY distinct corpus word via nested
+    * literal replaces (scalar subqueries per round) — the same
+    * any-word-capable formulation the Spark side uses, so held-out words
+    * unseen in training encode identically.
+    */
+  private val bpeOovOracle: String = {
+    val trainWhere = " WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90"
+    val chain = (1 to bpeRounds).foldLeft("s0") { (acc, r) =>
+      s"replace($acc, (SELECT '|' || x || '||' || y || '|' FROM bb$r), " +
+        s"(SELECT '|' || x || y || '|' FROM bb$r))"
+    }
+    bpeCtesWhere(trainWhere) +
+      s""",
+         |atok AS (SELECT doc_id,
+         |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+         |         CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+         |              THEN 'train' ELSE 'heldout' END AS split
+         |         FROM documents),
+         |wsyms AS (SELECT w, '|' || array_to_string(regexp_extract_all(w, '.'), '||') || '|' AS s0
+         |          FROM (SELECT DISTINCT w FROM atok)),
+         |encw AS (SELECT w, $chain AS syms FROM wsyms),
+         |tv AS (SELECT DISTINCT w FROM atok WHERE split = 'train'),
+         |cnt AS (SELECT a.split, a.doc_id, CAST(length(a.w) AS BIGINT) AS chars,
+         |        CAST(len(string_split(trim(e.syms, '|'), '||')) AS BIGINT) AS bpe,
+         |        CASE WHEN tv.w IS NULL THEN a.w END AS unseen_w
+         |        FROM atok a JOIN encw e ON a.w = e.w LEFT JOIN tv ON a.w = tv.w)
+         |SELECT split, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_tokens,
+         |       CAST(SUM(chars) AS BIGINT) AS n_chars_tok,
+         |       CAST(SUM(bpe) AS BIGINT) AS n_bpe_symbols,
+         |       COUNT(DISTINCT unseen_w) AS unseen_words
+         |FROM cnt GROUP BY split""".stripMargin
   }
 
   private val bpeMergesOracle: String = bpeCtes + "\n" +
@@ -1943,6 +1981,7 @@ object SparkEntry {
     "graph_triangles" -> graphTrianglesOracle,
     "bpe_merges" -> bpeMergesOracle,
     "bpe_encode" -> bpeEncodeOracle,
+    "bpe_oov" -> bpeOovOracle,
     // textually-parallel cast/multiply order inside ln() (the length_corr
     // discipline); per-term micros quantized before the per-source sum
     "source_drift" ->

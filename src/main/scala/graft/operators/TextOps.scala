@@ -1062,6 +1062,49 @@ object TextOps {
     merges.result().reduce(_ unionByName _)
   }
 
+  /** Train/held-out generalization audit for the BPE tokenizer: train on
+    * the portable-hash 90% of documents, apply the learned merges to BOTH
+    * splits, and emit per-split totals (docs, tokens, chars, BPE symbols,
+    * words unseen in training). The held-out compression ratio vs the
+    * train ratio is the generalization read every tokenizer change needs
+    * BEFORE it ships — a vocabulary overfit to its training crawl
+    * compresses held-out text measurably worse. The char-level base
+    * vocabulary means unseen words still encode (their chars merge where
+    * trained pairs apply); `unseen_words` counts them. Driver-side state
+    * is the K-row merge list only (same boundedness as `bpeEncode`).
+    */
+  def bpeHoldoutAudit(documents: DataFrame, rounds: Int = 10,
+                      trainPct: Int = 90): DataFrame = {
+    val withSplit = documents.withColumn("split",
+      expr("if(cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)" +
+        s" % 100 < $trainPct, 'train', 'heldout')"))
+    val merges = bpeTrain(withSplit.filter(col("split") === "train"), rounds)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b"))).toSeq
+    val applied = merges.foldLeft(symsInitSql) { case (acc, (a, b)) =>
+      s"replace($acc, '|$a||$b|', '|$a$b|')"
+    }
+    val toks = withSplit.select(col("split"), col("doc_id"),
+      explode(expr(toksExprFor(withSplit))).as("w"))
+    val trainVocab = toks.filter(col("split") === "train")
+      .select(col("w")).distinct()
+    val enc = toks
+      .select(col("split"), col("doc_id"), length(col("w")).cast(LongType).as("chars"),
+        explode(expr(s"array($applied)")).as("h"))
+      .select(col("split"), col("doc_id"), col("chars"),
+        expr("size(split(substr(h, 2, length(h) - 2), '\\\\|\\\\|'))")
+          .cast(LongType).as("bpe"))
+      .groupBy(col("split"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("chars")).as("n_chars_tok"),
+        sum(col("bpe")).as("n_bpe_symbols"))
+    val unseen = toks.join(trainVocab, Seq("w"), "left_anti")
+      .groupBy(col("split")).agg(countDistinct(col("w")).as("unseen_words"))
+    enc.join(unseen, Seq("split"), "left")
+      .na.fill(0L, Seq("unseen_words"))
+  }
+
   /** Pack WHOLE documents into fixed-budget sequences by an arbitrary
     * per-doc weight column — the document-level sibling of `packChunks`
     * (which packs intra-doc chunks by regex-token count). Composed with

@@ -985,6 +985,32 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(got("B")._2 > got("A")._2)
   }
 
+  test("bpeHoldoutAudit: held-out split encodes with the TRAIN-split " +
+       "merges; unseen words counted, trained merges still apply to them") {
+    // md5-bucket split: doc_ids 1,2 -> train (<90), doc_id 8 -> heldout (93)
+    val d = Seq(
+      (1L, "banana banana banana", "en", "s", 20L),
+      (2L, "banana bananas", "en", "s", 15L),
+      (8L, "banana bandana zzz", "en", "s", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.bpeHoldoutAudit(d, rounds = 2).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // train vocab {banana x4, bananas x1}: round1 argmax (a,n) w=10
+    // (a-n appears 2x per word, 5 words); round2: pairs over
+    // [b,an,an,a(,s)]: (b,an) 5, (an,an) 5, (an,a) 5, (a,s) 1 -> (an,a)? order:
+    // 'an'<'b'; among ('an','a') vs ('an','an'): 'a'<'an' -> (an,a) w=5
+    // train: banana -> b|an|ana (3), bananas -> b|an|ana|s (4)
+    //   docs 1,2: n_tokens 5, chars 6*4+7=31, bpe 3*4+4=16, unseen 0
+    // heldout doc 8: banana -> 3; bandana (unseen) = b,a,n,d,a,n,a
+    //   -> (a,n): |b||a||n||d||a||n||a| -> b,an,d,an,a (5) -> (an,a): matches
+    //   the SECOND an -> b,an,d,ana (4); zzz (unseen) stays 3 chars = 3
+    //   n_tokens 3, chars 6+7+3=16, bpe 3+4+3=10, unseen_words 2
+    assert(got("train") == ((2L, 5L, 31L, 16L, 0L)), s"train: ${got("train")}")
+    assert(got("heldout") == ((1L, 3L, 16L, 10L, 2L)), s"heldout: ${got("heldout")}")
+  }
+
   test("packDocsBy: budget-boundary arithmetic — a doc STARTS a new " +
        "sequence when the running total would cross the budget") {
     val counts = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 60L))
