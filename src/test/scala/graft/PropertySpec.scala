@@ -263,4 +263,39 @@ class PropertySpec extends SparkSpec {
         "non-overlapping windows must yield at most one version per fact")
     }
   }
+
+  test("triangleStats: corner-count sum is divisible by 3 and invariant " +
+       "under edge-list partitioning, on random graphs") {
+    val edgeGen = Gen.listOfN(12,
+      for { a <- Gen.chooseNum(1L, 8L); b <- Gen.chooseNum(1L, 8L) if a != b }
+        yield (math.min(a, b), math.max(a, b)))
+    for (edges <- samples(edgeGen, 5); if edges.distinct.nonEmpty) {
+      val df = edges.distinct.toDF("doc_a", "doc_b")
+      val r1 = graft.operators.GraphOps.triangleStats(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(r1.values.sum % 3 == 0, s"each triangle has 3 corners: $r1")
+      val r2 = graft.operators.GraphOps.triangleStats(df.repartition(5)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(r1 == r2, "layout-invariant")
+    }
+  }
+
+  test("mvMerge: merging an empty delta is the identity; sourceDrift of a " +
+       "single-source corpus is exactly zero") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val orders = Seq((1L, 1L, "O", 10.5, ts("1998-01-01 00:00:00"), "x"),
+      (2L, 2L, "F", 20.25, ts("1998-02-01 00:00:00"), "x"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val st = RelationalOps.mvState(orders)
+    val merged = RelationalOps.mvMerge(st, RelationalOps.mvState(orders.limit(0)))
+    assert(RelationalOps.mvRead(merged).collect().map(_.toString).sorted.toSeq ==
+      RelationalOps.mvRead(st).collect().map(_.toString).sorted.toSeq)
+    // one source: P_source == P_corpus termwise -> ln(1) = 0 -> exact zero
+    val docs = Seq((1L, "alpha beta gamma", "en", "only", 16L),
+      (2L, "alpha alpha beta", "en", "only", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kl = graft.operators.TextOps.sourceDrift(docs).collect()
+    assert(kl.length == 1 && kl(0).getLong(2) == 0L, s"${kl.toSeq}")
+  }
 }
