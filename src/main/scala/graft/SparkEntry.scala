@@ -462,6 +462,10 @@ object SparkEntry {
         .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b"))).toSeq
       TextOps.bpeEncode(t(s, d, "documents"), merges)
     }),
+    // first-order Markov transition matrix over per-user event sequences:
+    // where users actually GO from each state, integer-ppm probabilities
+    "event_transitions" -> ((s, d) =>
+      EventOps.eventTransitions(t(s, d, "events"))),
     // per-source KL drift vs the corpus token mixture, integer micros —
     // the off-distribution-source monitor
     "source_drift" -> ((s, d) => TextOps.sourceDrift(t(s, d, "documents"))),
@@ -1982,6 +1986,18 @@ object SparkEntry {
     "bpe_merges" -> bpeMergesOracle,
     "bpe_encode" -> bpeEncodeOracle,
     "bpe_oov" -> bpeOovOracle,
+
+    "event_transitions" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |p AS (SELECT user_id, event_type AS from_type,
+        |      lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |      FROM e),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM p
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tt AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS from_total FROM c GROUP BY from_type)
+        |SELECT c.from_type, c.to_type, c.n,
+        |       CAST((c.n * 1000000 + tt.from_total // 2) // tt.from_total AS BIGINT) AS p_ppm
+        |FROM c JOIN tt USING (from_type)""".stripMargin,
     // textually-parallel cast/multiply order inside ln() (the length_corr
     // discipline); per-term micros quantized before the per-source sum
     "source_drift" ->

@@ -265,6 +265,32 @@ object EventOps {
                |     else 'standard' end""".stripMargin).as("segment"))
   }
 
+  /** Per-user next-event transition matrix (first-order Markov over the
+    * event stream): P(next = b | current = a) in integer ppm, from each
+    * user's ts-ordered sequence. The user-journey read that funnels
+    * (fixed order) and sessions (boundaries) don't give: where do users
+    * actually GO from each state. Half-up ppm against the from-state
+    * total; (ts, event_id) ordering tiebreak keeps lead() deterministic.
+    * Scale shape: one user-keyed window (the shuffle every sequence op
+    * pays) + a (from, to) aggregate whose cardinality is |event types|²
+    * — driver-tiny regardless of corpus size.
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("from_total"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 1000000L + from_total div 2) div from_total").as("p_ppm"))
+  }
+
   def skewProfile(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("total"))

@@ -201,4 +201,29 @@ class EventOpsSpec extends SparkSpec {
     assert(r(1L)._7 == "lapsing" && r(2L)._7 == "lapsing")
     assert(r(5L)._7 == "standard" && r(6L)._7 == "standard")
   }
+
+  test("eventTransitions: hand-computed ppm matrix; sequences never cross " +
+       "users; row probabilities sum to ~1e6 per from-state") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // user 1: a->b->a->b ; user 2: a->b ; user 3: c (no transition)
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:01"), 1L, "a", 1.0, "{}"),
+      (2L, ts("2024-01-01 00:00:02"), 1L, "b", 1.0, "{}"),
+      (3L, ts("2024-01-01 00:00:03"), 1L, "a", 1.0, "{}"),
+      (4L, ts("2024-01-01 00:00:04"), 1L, "b", 1.0, "{}"),
+      (5L, ts("2024-01-01 00:00:05"), 2L, "a", 1.0, "{}"),
+      (6L, ts("2024-01-01 00:00:06"), 2L, "b", 1.0, "{}"),
+      (7L, ts("2024-01-01 00:00:07"), 3L, "c", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.eventTransitions(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // from a: 3x a->b (users 1,1,2) = 1e6; from b: 1x b->a of total 1
+    assert(got == Map(("a", "b") -> ((3L, 1000000L)), ("b", "a") -> ((1L, 1000000L))),
+      s"$got")
+    // user 3's lone event and each user's LAST event contribute nothing:
+    // 5 transitions would exist if sequences crossed users; only 4 do,
+    // and none involve "c"
+    assert(!got.keySet.exists(k => k._1 == "c" || k._2 == "c"))
+  }
 }
