@@ -466,6 +466,9 @@ object SparkEntry {
     // where users actually GO from each state, integer-ppm probabilities
     "event_transitions" -> ((s, d) =>
       EventOps.eventTransitions(t(s, d, "events"))),
+    // signup→purchase conversion lag per cohort: exact type-1 quantiles
+    // (rank ceil(q·n)), pure-integer output
+    "conversion_lag" -> ((s, d) => EventOps.conversionLag(t(s, d, "events"))),
     // per-source KL drift vs the corpus token mixture, integer micros —
     // the off-distribution-source monitor
     "source_drift" -> ((s, d) => TextOps.sourceDrift(t(s, d, "documents"))),
@@ -1986,6 +1989,22 @@ object SparkEntry {
     "bpe_merges" -> bpeMergesOracle,
     "bpe_encode" -> bpeEncodeOracle,
     "bpe_oov" -> bpeOovOracle,
+
+    "conversion_lag" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s AS (SELECT user_id, MIN(ts) AS signup_ts FROM e WHERE event_type = 'signup' GROUP BY user_id),
+        |c AS (SELECT s.user_id, s.signup_ts, MIN(e.ts) AS purchase_ts
+        |      FROM s JOIN e ON e.user_id = s.user_id AND e.event_type = 'purchase' AND e.ts >= s.signup_ts
+        |      GROUP BY s.user_id, s.signup_ts),
+        |l AS (SELECT user_id, CAST(date_trunc('month', signup_ts) AS DATE) AS cohort,
+        |      CAST(floor(epoch(purchase_ts)) AS BIGINT) - CAST(floor(epoch(signup_ts)) AS BIGINT) AS lag_s
+        |      FROM c),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY cohort ORDER BY lag_s, user_id) AS rk,
+        |      COUNT(*) OVER (PARTITION BY cohort) AS n FROM l)
+        |SELECT cohort, CAST(n AS BIGINT) AS n_converters,
+        |       MAX(CASE WHEN rk = (n + 1) // 2 THEN lag_s END) AS median_lag_s,
+        |       MAX(CASE WHEN rk = (9 * n + 9) // 10 THEN lag_s END) AS p90_lag_s
+        |FROM r GROUP BY cohort, n""".stripMargin,
 
     "event_transitions" ->
       """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -265,6 +265,39 @@ object EventOps {
                |     else 'standard' end""".stripMargin).as("segment"))
   }
 
+  /** Conversion-lag distribution per signup cohort: seconds from each
+    * user's FIRST signup to their first purchase at-or-after it, rolled
+    * up as exact type-1 quantiles (median, p90) — rank ⌈q·n⌉ in
+    * (lag, user_id) order, so the output is pure integers with no
+    * interpolation semantics to disagree across engines (the RFM
+    * boundary lesson, taken further: no floats at all). Scale shape: two
+    * user-keyed aggregates, one cohort window over the (bounded)
+    * converter set, no event-grain window.
+    */
+  def conversionLag(events: DataFrame): DataFrame = {
+    val signup = events.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    val lag = signup
+      .join(events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts")), Seq("user_id"))
+      .filter(col("p_ts") >= col("signup_ts"))
+      .groupBy(col("user_id"), col("signup_ts"))
+      .agg(min(col("p_ts")).as("purchase_ts"))
+      .select(col("user_id"),
+        date_trunc("month", col("signup_ts")).cast(DateType).as("cohort"),
+        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("signup_ts")))
+          .as("lag_s"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("lag_s"), col("user_id"))
+    lag.withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("cohort"))))
+      .groupBy(col("cohort"), col("n"))
+      .agg(
+        max(when(col("rk") === expr("(n + 1) div 2"), col("lag_s"))).as("median_lag_s"),
+        max(when(col("rk") === expr("(9 * n + 9) div 10"), col("lag_s"))).as("p90_lag_s"))
+      .select(col("cohort"), col("n").cast(LongType).as("n_converters"),
+        col("median_lag_s"), col("p90_lag_s"))
+  }
+
   /** Per-user next-event transition matrix (first-order Markov over the
     * event stream): P(next = b | current = a) in integer ppm, from each
     * user's ts-ordered sequence. The user-journey read that funnels

@@ -202,6 +202,28 @@ class EventOpsSpec extends SparkSpec {
     assert(r(5L)._7 == "standard" && r(6L)._7 == "standard")
   }
 
+  test("conversionLag: exact type-1 quantiles at hand-computed ranks; " +
+       "pre-signup purchases never convert; non-converters drop") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    def ev(id: Long, t: String, u: Long, typ: String) =
+      (id, ts(t), u, typ, 1.0, "{}")
+    // users 1..5 sign up in Jan; lags 10, 20, 30, 40, 50 s.
+    // user 6 purchases BEFORE signup only; user 7 never purchases.
+    val rows = (1L to 5L).flatMap { u =>
+      Seq(ev(u * 10, s"2024-01-0$u 00:00:00", u, "signup"),
+        ev(u * 10 + 1, s"2024-01-0$u 00:00:${u * 10}", u, "purchase"))
+    } ++ Seq(
+      ev(100, "2024-01-06 00:00:00", 6L, "purchase"),
+      ev(101, "2024-01-06 00:01:00", 6L, "signup"),
+      ev(102, "2024-01-07 00:00:00", 7L, "signup"))
+    val got = EventOps.conversionLag(rows.toDF(
+      "event_id", "ts", "user_id", "event_type", "value", "props")).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // n=5: median rank (5+1) div 2 = 3 -> 30; p90 rank (45+9) div 10 = 5 -> 50
+    assert(got == Map("2024-01-01" -> ((5L, 30L, 50L))), s"$got")
+  }
+
   test("eventTransitions: hand-computed ppm matrix; sequences never cross " +
        "users; row probabilities sum to ~1e6 per from-state") {
     val ts = java.sql.Timestamp.valueOf(_: String)
