@@ -226,6 +226,95 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // TPC-H Q6 shape: single-table forecast revenue — every predicate
+    // (date range, discount band, quantity cap) reaches the parquet scan
+    // as a pushed filter; the agg is one partial+final decimal sum
+    "q6_forecast" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1998-01-01").cast(TimestampType) &&
+          col("l_discount").cast(Money).between(lit("0.05").cast(Money), lit("0.07").cast(Money)) &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast(Money) * col("l_discount").cast(Money))
+          .cast(DecimalType(20, 4)).as("revenue"))),
+
+    // TPC-H Q14 shape: promo revenue share in a month — broadcast part,
+    // exact decimal numerator/denominator, ONE double division at the end
+    "q14_promo" -> ((s, d) => {
+      val disc = col("l_extendedprice").cast(Money) * (lit(1) - col("l_discount").cast(Money))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-09-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-10-01").cast(TimestampType))
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100) * sum(when(col("p_type") === "PROMO", disc)).cast(DoubleType) /
+          sum(disc).cast(DoubleType), 6).as("promo_revenue_pct"))
+    }),
+
+    // TPC-H Q17 shape: small-quantity revenue vs the per-part mean. The
+    // correlated scalar subquery becomes a partkey aggregate joined back;
+    // the `qty < 0.2*avg(qty)` threshold is compared in integer-exact form
+    // (5*qty*cnt < sum) so no float mean ever reaches a comparison
+    "q17_small_qty" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val perPart = li.groupBy(col("l_partkey").as("a_partkey"))
+        .agg(sum(col("l_quantity").cast(Money)).as("sum_qty"), count(lit(1)).as("cnt_qty"))
+      li.join(broadcast(t(s, d, "part").filter(col("p_brand") === "Brand#5")),
+          col("l_partkey") === col("p_partkey"))
+        .join(perPart, col("l_partkey") === col("a_partkey"))
+        .filter(col("l_quantity").cast(Money) * lit(5) * col("cnt_qty") < col("sum_qty"))
+        .agg(round(sum(col("l_extendedprice").cast(Money)).cast(DoubleType) / lit(7.0), 6)
+          .as("avg_yearly"))
+    }),
+
+    // TPC-H Q18 shape: large-volume orders — group-HAVING on the fact
+    // table first (the selective side), then join customers/orders to the
+    // tiny survivor set; deterministic top-100
+    "q18_large_orders" -> ((s, d) => {
+      val big = t(s, d, "lineitem").groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast(Money)).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast(DateType).as("o_orderdate"),
+          col("o_totalprice").cast(Money).cast(DoubleType).as("o_totalprice"),
+          col("sum_qty").cast(DoubleType).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q19 shape: disjunctive brand/size/quantity predicates — the
+    // OR-of-ANDs stays one broadcast-join + filter (common join key
+    // factored out, per-branch residuals evaluated post-join)
+    "q19_disjunctive" -> ((s, d) => {
+      val disc = col("l_extendedprice").cast(Money) * (lit(1) - col("l_discount").cast(Money))
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) && col("l_quantity").between(20, 30)))
+        .agg(sum(disc).cast(DecimalType(20, 4)).as("revenue"))
+    }),
+
+    // TPC-H Q22 shape: above-average-balance customers with no recent
+    // orders — global scalar subquery as a broadcast 1-row frame compared
+    // integer-exact (bal*cnt > sum), anti-join against the recent orders
+    "q22_idle_customers" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val pos = cust.filter(col("c_acctbal") > 0)
+        .agg(sum(col("c_acctbal").cast(Money)).as("pos_sum"), count(lit(1)).as("pos_cnt"))
+      val recent = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast(TimestampType))
+      cust.crossJoin(broadcast(pos))
+        .filter(col("c_acctbal").cast(Money) * col("pos_cnt") > col("pos_sum"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast(Money)).cast(DoubleType).as("totacctbal"))
+    }),
+
     // ---- [EXT] dedup / text / similarity / multimodal ----
     "dedup_exact" -> ((s, d) => DedupOps.exactDedup(t(s, d, "documents"))),
     // CCNet-style segment dedup: keep the globally-first occurrence of
@@ -341,6 +430,13 @@ object SparkEntry {
     // novelty scoring: ppm of each doc's shingles unique to it corpus-wide
     // — the dual of dedup (scores redundancy instead of removing it)
     "ngram_novelty" -> ((s, d) => DedupOps.shingleNovelty(t(s, d, "documents"))),
+    // PMI collocations: top bigram phrases by integer-micros pointwise
+    // mutual information — one corpus bigram shuffle, marginals re-agg'd
+    // from the persisted bigram frame, df-guarded
+    "pmi_collocations" -> ((s, d) => TextOps.pmiCollocations(t(s, d, "documents"))),
+    // T5 span corruption: deterministic md5-bucketed window masking →
+    // (input with sentinels, target spans); shuffle-free per-row HOFs
+    "span_corruption" -> ((s, d) => TextOps.spanCorruption(t(s, d, "documents"))),
     // exact per-stratum downsample to the smallest stratum, portable-hash
     // order — the deterministic analog of per-class balancing
     "balanced_sample" -> ((s, d) => TextOps.balancedSample(t(s, d, "documents"))),
@@ -1700,6 +1796,62 @@ object SparkEntry {
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
+    "q6_forecast" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN CAST('0.05' AS DECIMAL(18,2)) AND CAST('0.07' AS DECIMAL(18,2))
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q14_promo" ->
+      """SELECT round(100 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |  THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
+
+    "q17_small_qty" ->
+      """WITH a AS (SELECT l_partkey AS a_partkey,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, COUNT(*) AS cnt_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN a ON l_partkey = a_partkey
+        |WHERE p_brand = 'Brand#5'
+        |  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt_qty < sum_qty""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+        |SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+        |  CAST(sum_qty AS DOUBLE) AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN big ON o_orderkey = l_orderkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q22_idle_customers" ->
+      """WITH pos AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS pos_sum, COUNT(*) AS pos_cnt
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, pos
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * pos_cnt > pos_sum
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY c_nationkey""".stripMargin,
+
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
 
@@ -2899,6 +3051,47 @@ object SparkEntry {
       """SELECT token, COUNT(*) AS n FROM (
         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents)
         |GROUP BY token""".stripMargin,
+
+    // PMI replay: bigrams from 1-based adjacent indexing, marginals and N
+    // from the same bigram-count frame, micros-quantized ln, df guard 5
+    "pmi_collocations" ->
+      """WITH tok AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+        |bg AS (SELECT tk[i] AS w1, tk[i + 1] AS w2
+        |       FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM tok WHERE len(tk) >= 2)),
+        |bgc AS (SELECT w1, w2, COUNT(*) AS c_ab FROM bg GROUP BY 1, 2),
+        |ca AS (SELECT w1, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM bgc GROUP BY 1),
+        |cb AS (SELECT w2, CAST(SUM(c_ab) AS BIGINT) AS c_b FROM bgc GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n FROM bgc)
+        |SELECT w1, w2, c_ab,
+        |  CAST(round(ln(CAST(c_ab AS DOUBLE) * n / (CAST(c_a AS DOUBLE) * c_b)) * 1000000) AS BIGINT) AS pmi_micros
+        |FROM bgc JOIN ca USING (w1) JOIN cb USING (w2) CROSS JOIN n
+        |WHERE c_ab >= 5
+        |ORDER BY pmi_micros DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // span-corruption replay: same 5-token windows, same md5 bucket per
+    // (doc_id, window), sentinel k = masked-windows-before via a
+    // preceding-frame window sum; token-less docs rejoin as empties
+    "span_corruption" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+        |ti AS (SELECT doc_id, unnest(range(0, len(tk))) AS i, tk FROM t),
+        |tw AS (SELECT doc_id, CAST(i // 5 AS INTEGER) AS w, i, tk[i + 1] AS tok FROM ti),
+        |wm AS (SELECT doc_id, w, list(tok ORDER BY i) AS wtoks,
+        |       CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':', CAST(w AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 15 AS masked
+        |       FROM tw GROUP BY doc_id, w),
+        |wk AS (SELECT *, CAST(coalesce(SUM(CASE WHEN masked THEN 1 END) OVER
+        |         (PARTITION BY doc_id ORDER BY w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER) AS k
+        |       FROM wm),
+        |agg AS (SELECT doc_id,
+        |  string_agg(CASE WHEN masked THEN '<extra_id_' || k || '>' ELSE array_to_string(wtoks, ' ') END, ' ' ORDER BY w) AS input_text,
+        |  coalesce(string_agg(CASE WHEN masked THEN '<extra_id_' || k || '> ' || array_to_string(wtoks, ' ') END, ' ' ORDER BY w), '') AS target_text,
+        |  CAST(coalesce(SUM(CASE WHEN masked THEN 1 END), 0) AS INTEGER) AS n_spans,
+        |  CAST(coalesce(SUM(CASE WHEN masked THEN len(wtoks) END), 0) AS INTEGER) AS n_masked_tokens
+        |  FROM wk GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.input_text, '') AS input_text,
+        |  coalesce(a.target_text, '') AS target_text,
+        |  coalesce(a.n_spans, 0) AS n_spans,
+        |  coalesce(a.n_masked_tokens, 0) AS n_masked_tokens
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "tf_idf" ->
       """WITH tok AS (

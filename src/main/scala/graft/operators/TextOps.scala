@@ -299,6 +299,91 @@ object TextOps {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
 
+  /** PMI collocation mining over adjacent-token bigrams: the classic
+    * phrase-discovery pass (Mikolov-style word2phrase uses the same
+    * statistic). All three marginals derive from the ONE corpus-scale
+    * bigram aggregate — c(a,·) and c(·,b) are vocab-scale re-aggregations
+    * of the bigram-count frame and N is its grand total — so the corpus
+    * is tokenized and shuffled exactly once; the frame is persisted so
+    * the three consumers don't replay that shuffle through lineage
+    * (cache lifecycle handed to the caller, per the Verify contract).
+    * PMI is quantized to integer micros per pair BEFORE any ordering
+    * (the source_drift float-chain pattern), `minCount` plays the df
+    * guard that keeps the heavy tail of hapax bigrams out of the join,
+    * and the top-k is a TakeOrdered with a (w1, w2) tiebreak.
+    */
+  def pmiCollocations(documents: DataFrame, minCount: Long = 5,
+                      k: Int = 50): DataFrame = {
+    val toks = toksExprFor(documents)
+    val bgc = documents
+      .withColumn("tk", expr(toks)).filter(expr("size(tk) >= 2"))
+      .select(explode(expr(
+        "transform(sequence(0, size(tk) - 2), i -> " +
+          "named_struct('w1', tk[i], 'w2', tk[i + 1]))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      .persist()
+    val ca = bgc.groupBy(col("w1")).agg(sum(col("c_ab")).as("c_a"))
+    val cb = bgc.groupBy(col("w2")).agg(sum(col("c_ab")).as("c_b"))
+    val n = bgc.agg(sum(col("c_ab")).as("n"))
+    bgc.filter(col("c_ab") >= minCount)
+      .join(ca, Seq("w1"))
+      .join(cb, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        expr("cast(round(ln(cast(c_ab as double) * n / " +
+          "(cast(c_a as double) * c_b)) * 1000000) as bigint)").as("pmi_micros"))
+      .orderBy(col("pmi_micros").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** T5-style span corruption (Raffel et al.): deterministic denoising
+    * sample generation. The token stream splits into fixed `span`-token
+    * windows; a window is masked iff its portable md5 bucket on
+    * (doc_id, window) lands under `ratePct` — retry-stable and
+    * replayable by any engine, unlike rand(). Masked windows collapse to
+    * `<extra_id_k>` sentinels (k numbered in appearance order) in the
+    * input; the target is sentinel + original tokens per masked span.
+    * The whole transform is per-row higher-order-function arithmetic
+    * inside whole-stage codegen — zero shuffles, zero joins, so it
+    * composes with a corpus scan at any scale. Cost is O(windows²) per
+    * doc for the sentinel renumbering (a running filter-count over the
+    * flag prefix), bounded by (len/span)² on a single row — negligible
+    * against the scan for real document lengths.
+    */
+  def spanCorruption(documents: DataFrame, span: Int = 5,
+                     ratePct: Int = 15): DataFrame = {
+    val d = documents
+      .withColumn("tk", tokensOf("text"))
+      .withColumn("nw", expr(s"cast(((size(tk) + ${span - 1}) div $span) as int)"))
+      // `sequence` descends when stop < start, so an empty doc can't use
+      // sequence(0, -1); build over max(nw, 1) windows and slice to empty
+      // after (slice keeps the struct element type, unlike a bare array())
+      .withColumn("ws0", expr(
+        s"""transform(sequence(0, greatest(nw, 1) - 1), w -> named_struct(
+           |  'w', w,
+           |  'wtoks', slice(tk, w * $span + 1, $span),
+           |  'masked', pmod(cast(conv(substr(md5(concat(cast(doc_id as string),
+           |      ':', cast(w as string))), 1, 8), 16, 10) as bigint), 100) < $ratePct))""".stripMargin))
+      .withColumn("ws", expr("case when nw = 0 then slice(ws0, 1, 0) else ws0 end"))
+      .withColumn("flags", expr("transform(ws, x -> x.masked)"))
+    d.select(
+      col("doc_id"),
+      expr(
+        """array_join(transform(ws, x -> case when x.masked
+          |  then concat('<extra_id_',
+          |       cast(size(filter(slice(flags, 1, x.w), f -> f)) as string), '>')
+          |  else array_join(x.wtoks, ' ') end), ' ')""".stripMargin).as("input_text"),
+      expr(
+        """array_join(transform(filter(ws, x -> x.masked), x ->
+          |  concat('<extra_id_',
+          |    cast(size(filter(slice(flags, 1, x.w), f -> f)) as string), '> ',
+          |    array_join(x.wtoks, ' '))), ' ')""".stripMargin).as("target_text"),
+      expr("size(filter(flags, f -> f))").as("n_spans"),
+      expr("aggregate(filter(ws, x -> x.masked), 0, (acc, x) -> acc + size(x.wtoks))")
+        .as("n_masked_tokens"))
+  }
+
   /** Reproducible corpus sampling: an md5-derived bucket per key, keeping
     * buckets < pctBuckets of `of`. Unlike rand()/TABLESAMPLE this survives
     * retries, speculative tasks, and repartitioning — and any engine

@@ -298,4 +298,52 @@ class PropertySpec extends SparkSpec {
     val kl = graft.operators.TextOps.sourceDrift(docs).collect()
     assert(kl.length == 1 && kl(0).getLong(2) == 0L, s"${kl.toSeq}")
   }
+
+  test("spanCorruption: target spans + unmasked input tokens reassemble the " +
+       "original stream; sentinels numbered in appearance order") {
+    val docGen = Gen.chooseNum(0, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+        .map(_.mkString(" ")))
+    for (texts <- samples(Gen.listOfN(8, docGen), 3)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = graft.operators.TextOps.spanCorruption(df).collect()
+      assert(out.length == texts.length)
+      val sentRe = "<extra_id_(\\d+)>".r
+      for (r <- out) {
+        val (id, input, target) = (r.getLong(0), r.getString(1), r.getString(2))
+        val (nSpans, nMasked) = (r.getInt(3), r.getInt(4))
+        val spans = scala.collection.mutable.Map.empty[Int, Vector[String]]
+        var cur = -1
+        if (target.nonEmpty) target.split(" ").foreach {
+          case sentRe(k) => cur = k.toInt; spans(cur) = Vector.empty
+          case w         => spans(cur) = spans(cur) :+ w
+        }
+        assert(spans.size == nSpans && spans.values.map(_.size).sum == nMasked)
+        val inToks = if (input.isEmpty) Array.empty[String] else input.split(" ")
+        val rebuilt = inToks.flatMap {
+          case sentRe(k) => spans(k.toInt)
+          case w         => Vector(w)
+        }
+        assert(rebuilt.toVector == texts(id.toInt).split(" ").filter(_.nonEmpty).toVector,
+          s"doc $id: $input / $target")
+        val ks = inToks.collect { case sentRe(k) => k.toInt }
+        assert(ks.toList == (0 until nSpans).toList)
+      }
+    }
+  }
+
+  test("pmiCollocations: closed form on a constructed corpus; invariant " +
+       "under repartition") {
+    // "x y z" x6 -> bigrams (x,y) and (y,z) each 6; N=12, marginals all 6
+    // -> PMI = ln(6*12/36) = ln 2 for both pairs
+    val df = (0 until 6).map(i => (i.toLong, "x y z")).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.pmiCollocations(df, minCount = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet == Set(
+      ("x", "y", 6L, math.round(math.log(2.0) * 1e6)),
+      ("y", "z", 6L, math.round(math.log(2.0) * 1e6))), out.toSeq.toString)
+    val out2 = graft.operators.TextOps.pmiCollocations(df.repartition(7), minCount = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out2.toSet == out.toSet)
+  }
 }
