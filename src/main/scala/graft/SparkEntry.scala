@@ -565,6 +565,16 @@ object SparkEntry {
     // signup→purchase conversion lag per cohort: exact type-1 quantiles
     // (rank ceil(q·n)), pure-integer output
     "conversion_lag" -> ((s, d) => EventOps.conversionLag(t(s, d, "events"))),
+    // multi-touch attribution: first/last/linear credit per channel in
+    // integer micros — one user-keyed interval join + per-purchase window
+    "attribution_credit" -> ((s, d) => EventOps.attributionCredit(t(s, d, "events"))),
+    // DAU / trailing-7d WAU / integer-ppm stickiness via the bounded 7x
+    // day fan-out (exact sliding distinct, no global window)
+    "stickiness" -> ((s, d) => EventOps.stickiness(t(s, d, "events"))),
+    // skew/kurtosis per source from exact integer power sums — the
+    // order-free distributed higher-moment profile
+    "moments_profile" -> ((s, d) =>
+      RelationalOps.momentsProfile(t(s, d, "documents"), "n_chars", "source")),
     // per-source KL drift vs the corpus token mixture, integer micros —
     // the off-distribution-source monitor
     "source_drift" -> ((s, d) => TextOps.sourceDrift(t(s, d, "documents"))),
@@ -2157,6 +2167,56 @@ object SparkEntry {
         |       MAX(CASE WHEN rk = (n + 1) // 2 THEN lag_s END) AS median_lag_s,
         |       MAX(CASE WHEN rk = (9 * n + 9) // 10 THEN lag_s END) AS p90_lag_s
         |FROM r GROUP BY cohort, n""".stripMargin,
+
+    // attribution replay: self-join purchases x touches with the 7-day
+    // residual, first/last by (ts, event_id) windows, linear = half-up
+    // integer split of 1e6 over the touch count
+    "attribution_credit" ->
+      """WITH j AS (SELECT t.event_type AS channel, p.user_id, p.event_id AS p_id,
+        |       t.event_id AS t_id, t.ts AS t_ts
+        |       FROM events p JOIN events t ON p.user_id = t.user_id
+        |       WHERE p.event_type = 'purchase' AND t.event_type IN ('view', 'click')
+        |         AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 7 DAY),
+        |r AS (SELECT *,
+        |      row_number() OVER (PARTITION BY user_id, p_id ORDER BY t_ts, t_id) AS rk_first,
+        |      row_number() OVER (PARTITION BY user_id, p_id ORDER BY t_ts DESC, t_id DESC) AS rk_last,
+        |      COUNT(*) OVER (PARTITION BY user_id, p_id) AS n_touch
+        |      FROM j)
+        |SELECT channel, COUNT(*) AS n_touches,
+        |  CAST(SUM(CASE WHEN rk_first = 1 THEN 1000000 ELSE 0 END) AS BIGINT) AS first_micros,
+        |  CAST(SUM(CASE WHEN rk_last = 1 THEN 1000000 ELSE 0 END) AS BIGINT) AS last_micros,
+        |  CAST(SUM((1000000 + n_touch // 2) // n_touch) AS BIGINT) AS linear_micros
+        |FROM r GROUP BY channel""".stripMargin,
+
+    // stickiness replay: distinct (user, day), 7-day fan-out via
+    // range(0,7), half-up integer ppm
+    "stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+        |ex AS (SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS day FROM (
+        |       SELECT user_id, day, unnest(range(0, 7)) AS i FROM ud)),
+        |wau AS (SELECT day, COUNT(*) AS wau FROM ex GROUP BY 1)
+        |SELECT d.day, d.dau, w.wau,
+        |  CAST((d.dau * 1000000 + w.wau // 2) // w.wau AS BIGINT) AS stickiness_ppm
+        |FROM dau d JOIN wau w USING (day)""".stripMargin,
+
+    // moments replay: identical integer power sums (HUGEINT mirrors
+    // DECIMAL(38,0)), identical closed-form polynomials, one double
+    // division each; B = 0 -> NULL on both engines
+    "moments_profile" ->
+      """WITH m AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+        |s AS (SELECT source, COUNT(*) AS n, SUM(x) AS s1, SUM(x*x) AS s2,
+        |      SUM(x*x*x) AS s3, SUM(x*x*x*x) AS s4 FROM m GROUP BY 1),
+        |t AS (SELECT source, n,
+        |      (s1 * 1000000 + n // 2) // n AS mean_u,
+        |      n * s2 - s1 * s1 AS B,
+        |      n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS A,
+        |      n * n * n * s4 - 4 * n * n * s1 * s3 + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS C
+        |      FROM s)
+        |SELECT source, n, CAST(mean_u AS BIGINT) AS mean_micros,
+        |  CASE WHEN B <> 0 THEN round(CAST(A AS DOUBLE) / (CAST(B AS DOUBLE) * sqrt(CAST(B AS DOUBLE))), 6) END AS skewness,
+        |  CASE WHEN B <> 0 THEN round(CAST(C AS DOUBLE) / (CAST(B AS DOUBLE) * CAST(B AS DOUBLE)) - 3, 6) END AS kurtosis
+        |FROM t""".stripMargin,
 
     "event_transitions" ->
       """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),

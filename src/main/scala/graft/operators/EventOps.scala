@@ -324,6 +324,67 @@ object EventOps {
         expr("(n * 1000000L + from_total div 2) div from_total").as("p_ppm"))
   }
 
+  /** Multi-touch attribution: every purchase distributes conversion
+    * credit over the user's qualifying touches (view/click strictly
+    * before the purchase, within `lookbackDays`) under the three
+    * classic models at once — first-touch, last-touch, linear — summed
+    * per touch channel in integer micros (half-up for linear's 1e6/n
+    * split; first/last award the full 1e6). Deterministic: touch order
+    * is (ts, event_id), so simultaneous touches can't flip first/last.
+    * Scale shape: ONE user-keyed equi-join with a time-range residual
+    * (the interval-join pattern `range_join` audits), then one window
+    * over (user, purchase) pairs and a channel-cardinality aggregate.
+    * Purchases with no qualifying touch get no row — organic
+    * conversions are a separate count, not a fake channel.
+    */
+  def attributionCredit(events: DataFrame, lookbackDays: Int = 7): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val touches = events.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("t_id"),
+        col("event_type").as("channel"), col("ts").as("t_ts"))
+    val joined = purchases.join(touches, Seq("user_id"))
+      .filter(col("t_ts") < col("p_ts") &&
+        col("t_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackDays DAYS"))
+    val perPurchase = Window.partitionBy(col("user_id"), col("p_id"))
+    val asc = perPurchase.orderBy(col("t_ts"), col("t_id"))
+    val desc = perPurchase.orderBy(col("t_ts").desc, col("t_id").desc)
+    joined
+      .withColumn("rk_first", row_number().over(asc))
+      .withColumn("rk_last", row_number().over(desc))
+      .withColumn("n_touch", count(lit(1)).over(perPurchase))
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n_touches"),
+        sum(when(col("rk_first") === 1, 1000000L).otherwise(0L)).as("first_micros"),
+        sum(when(col("rk_last") === 1, 1000000L).otherwise(0L)).as("last_micros"),
+        sum(expr("(1000000L + n_touch div 2) div n_touch")).as("linear_micros"))
+  }
+
+  /** DAU / trailing-7-day WAU / stickiness per active day. The sliding
+    * distinct-user count is exact without any sliding window state: each
+    * (user, active-day) pair fans out to the 7 report days it supports
+    * (a bounded 7× Generate), and a distinct+count per report day does
+    * the rest — partial-aggregated, no self-join, no global window, the
+    * same plan at any corpus size. Stickiness is half-up integer ppm of
+    * dau/wau. Report days are the days with at least one active user
+    * (the trailing window may also cover silent days; they produce no
+    * row, matching how a daily job would emit).
+    */
+  def stickiness(events: DataFrame): DataFrame = {
+    val userDays = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = userDays.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = userDays
+      .select(col("user_id"),
+        explode(expr("sequence(day, date_add(day, 6))")).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("(dau * 1000000L + wau div 2) div wau").as("stickiness_ppm"))
+  }
+
   def skewProfile(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("total"))

@@ -547,4 +547,49 @@ object RelationalOps {
   def mvRead(state: DataFrame): DataFrame =
     state.select(col("status"), col("month"), col("n_orders"), col("total"),
       round(col("total").cast(DoubleType) / col("n_orders"), 6).as("avg_price"))
+
+  /** Distribution-shape profile per group: mean (integer micros),
+    * skewness and excess kurtosis from EXACT integer power sums. The
+    * cross-engine trap with higher moments is float accumulation order —
+    * avg/stddev chains never hash-match — so everything up to the last
+    * step is integer: per-row x,x²,x³,x⁴ (long), DECIMAL(38,0) sums
+    * (order-free), then the central-moment numerators as closed-form
+    * integer polynomials
+    *   B = n·s2 − s1²         (n²·m2)
+    *   A = n²·s3 − 3n·s1·s2 + 2s1³   (n³·m3)
+    *   C = n³·s4 − 4n²·s1·s3 + 6n·s1²·s2 − 3s1⁴  (n⁴·m4)
+    * so g1 = A/B^1.5 and g2 = C/B² − 3 each reduce to ONE double
+    * division of two exactly-agreed integers (sqrt of an exact cast for
+    * g1) — deterministic on any engine, any partitioning. Bounds:
+    * |x| ≤ ~3·10⁴ keeps x⁴ in a long; per-group Σ terms stay well under
+    * DECIMAL(38,0) (checked against DuckDB's HUGEINT on the oracle
+    * side). Constant groups (B = 0) yield NULL moments, not NaN — NaN
+    * repr is not portable across engines. One shuffle: the group-by.
+    */
+  def momentsProfile(df: DataFrame, valCol: String, keyCol: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val x = col(valCol).cast(LongType)
+    val sums = df
+      .select(col(keyCol), x.as("x"), (x * x).as("x2"),
+        (x * x * x).as("x3"), (x * x * x * x).as("x4"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(D)).as("s1"), sum(col("x2").cast(D)).as("s2"),
+        sum(col("x3").cast(D)).as("s3"), sum(col("x4").cast(D)).as("s4"))
+    sums
+      .select(col(keyCol), col("n"),
+        expr("cast((s1 * 1000000 + n div 2) div n as bigint)").as("mean_micros"),
+        expr("n * s2 - s1 * s1").as("B"),
+        expr("n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1").as("A"),
+        expr("n * n * n * s4 - 4 * n * n * s1 * s3 + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1").as("C"))
+      .select(col(keyCol), col("n"), col("mean_micros"),
+        when(col("B") =!= 0,
+          round(col("A").cast(DoubleType) /
+            (col("B").cast(DoubleType) * sqrt(col("B").cast(DoubleType))), 6))
+          .as("skewness"),
+        when(col("B") =!= 0,
+          round(col("C").cast(DoubleType) /
+            (col("B").cast(DoubleType) * col("B").cast(DoubleType)) - 3, 6))
+          .as("kurtosis"))
+  }
 }

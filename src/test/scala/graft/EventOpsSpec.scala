@@ -248,4 +248,55 @@ class EventOpsSpec extends SparkSpec {
     // and none involve "c"
     assert(!got.keySet.exists(k => k._1 == "c" || k._2 == "c"))
   }
+
+  test("attributionCredit: first/last by (ts, id); linear half-up split; " +
+       "lookback excludes stale touches; organic purchases emit nothing") {
+    val e = Seq(
+      // user 1: view then click then purchase -> first=view, last=click,
+      // linear 500000 each
+      (1L, ts("2024-01-01 09:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+      (3L, ts("2024-01-02 11:00:00"), 1L, "purchase", 5.0, "{}"),
+      // user 2: touch 10 days before purchase -> outside lookback; organic
+      (4L, ts("2024-01-01 09:00:00"), 2L, "view", 1.0, "{}"),
+      (5L, ts("2024-01-11 09:00:00"), 2L, "purchase", 5.0, "{}"),
+      // user 3: single click -> full credit under all three models
+      (6L, ts("2024-01-05 09:00:00"), 3L, "click", 1.0, "{}"),
+      (7L, ts("2024-01-05 10:00:00"), 3L, "purchase", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.attributionCredit(e).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got("view") == ((1L, 1000000L, 0L, 500000L)), got.toString)
+    assert(got("click") == ((2L, 1000000L, 2000000L, 1500000L)), got.toString)
+    assert(got.size == 2)
+  }
+
+  test("stickiness: trailing-7d WAU counts a user once per window; " +
+       "silent days emit no row") {
+    val e = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"), // same user-day
+      (3L, ts("2024-01-01 09:00:00"), 2L, "view", 1.0, "{}"),
+      (4L, ts("2024-01-03 09:00:00"), 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.stickiness(e).collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got("2024-01-01") == ((2L, 2L, 1000000L)), got.toString)
+    // day 3: user 1 active; both users' day-1 activity still in window
+    assert(got("2024-01-03") == ((1L, 2L, 500000L)), got.toString)
+    assert(got.size == 2, "no rows for silent days")
+  }
+
+  test("momentsProfile: closed-form on [1,2,3] (skew 0, kurt -1.5); " +
+       "constant group yields NULL moments, never NaN") {
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("c", 7), ("c", 7))
+      .toDF("k", "v")
+    val got = graft.operators.RelationalOps.momentsProfile(df, "v", "k")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(got("a") == ((3L, 2000000L, Some(0.0), Some(-1.5))), got.toString)
+    assert(got("c") == ((2L, 7000000L, None, None)), got.toString)
+  }
 }
