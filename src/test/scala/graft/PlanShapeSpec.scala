@@ -187,4 +187,55 @@ class PlanShapeSpec extends SparkSpec {
     assert(!rb.contains("SinglePartition"),
       s"rolling_band must not serialize on one reducer:\n$rb")
   }
+
+  test("TPC-H gauntlet shapes: q6 pushes every predicate and stays " +
+       "join-free; q14/q17/q19 broadcast part; q18 is equi-only; q22's " +
+       "only nested loop is the 1-row scalar anchor") {
+    val q6 = plan("q6_forecast")
+    assert(!q6.contains("Join"), s"q6 is single-table:\n$q6")
+    // the PushedFilters render truncates mid-list, so assert the marker
+    // plus the Filter-node predicates (which always print whole)
+    assert(q6.contains("PushedFilters") && q6.contains("IsNotNull(l_quantity)"),
+      s"quantity bound must reach the lineitem scan:\n$q6")
+    assert(q6.contains("< 24.0") && q6.contains(">= 1997-01-01"),
+      s"quantity/shipdate ranges must filter before the aggregate:\n$q6")
+    for (q <- Seq("q14_promo", "q17_small_qty", "q19_disjunctive")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: part side must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q must not cross-join:\n$p")
+    }
+    val q17 = plan("q17_small_qty")
+    assert(q17.contains("EqualTo(p_brand,Brand#5)"),
+      s"brand filter should reach the part scan:\n$q17")
+    val q18 = plan("q18_large_orders")
+    assert(!q18.contains("CartesianProduct") && !q18.contains("BroadcastNestedLoopJoin"),
+      s"q18 stays equi-keyed:\n$q18")
+    assert(q18.contains("TakeOrderedAndProject"),
+      s"q18 top-100 must be TakeOrdered, not global sort:\n$q18")
+    val q22 = plan("q22_idle_customers")
+    assert(q22.contains("LeftAnti"), s"q22 plans an anti join:\n$q22")
+    assert(q22.contains("GreaterThanOrEqual(o_orderdate"),
+      s"recent-order cutoff should reach the orders scan:\n$q22")
+    assert(!q22.contains("CartesianProduct"),
+      s"only the broadcast 1-row scalar may nest:\n$q22")
+  }
+
+  test("pmi/span-corruption/stickiness/attribution keep their scale " +
+       "shapes: span corruption is zero-exchange; the aggregates are " +
+       "partial+final; attribution joins stay equi-keyed") {
+    val sc = plan("span_corruption")
+    assert(!sc.contains("Exchange"), s"span corruption is per-row only:\n$sc")
+    val pmi = plan("pmi_collocations")
+    assert("HashAggregate".r.findAllIn(pmi).size >= 2,
+      s"bigram counts need map-side combine:\n$pmi")
+    assert(pmi.contains("TakeOrderedAndProject"),
+      s"pmi top-k must be TakeOrdered:\n$pmi")
+    assert(!pmi.contains("CartesianProduct"), s"pmi must not cross-join:\n$pmi")
+    for (q <- Seq("stickiness", "attribution_credit", "moments_profile")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian:\n$p")
+      assert(!p.contains("SinglePartition") || q == "moments_profile",
+        s"$q must not serialize on one reducer:\n$p")
+    }
+  }
 }
