@@ -568,6 +568,13 @@ object SparkEntry {
     // multi-touch attribution: first/last/linear credit per channel in
     // integer micros — one user-keyed interval join + per-purchase window
     "attribution_credit" -> ((s, d) => EventOps.attributionCredit(t(s, d, "events"))),
+    // item-item collaborative filtering on the props item key: integer-ppm
+    // cosine over user co-interaction, per-user item cap bounds the pair
+    // fan-out, top-3 neighbors per item
+    "item_similarity" -> ((s, d) => EventOps.itemSimilarity(t(s, d, "events"))),
+    // top 3-event paths within 30-min sessions: second-order, session-
+    // bounded sequence mining (one user-keyed window shuffle)
+    "session_paths" -> ((s, d) => EventOps.sessionPaths(t(s, d, "events"))),
     // DAU / trailing-7d WAU / integer-ppm stickiness via the bounded 7x
     // day fan-out (exact sliding distinct, no global window)
     "stickiness" -> ((s, d) => EventOps.stickiness(t(s, d, "events"))),
@@ -2187,6 +2194,46 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN rk_last = 1 THEN 1000000 ELSE 0 END) AS BIGINT) AS last_micros,
         |  CAST(SUM((1000000 + n_touch // 2) // n_touch) AS BIGINT) AS linear_micros
         |FROM r GROUP BY channel""".stripMargin,
+
+    // item-similarity replay: same per-user cap, same ppm quantization
+    // (c_ab·1e6 exact, one sqrt+division), same (cosine desc, item_b) rank
+    "item_similarity" ->
+      """WITH ui AS (SELECT DISTINCT user_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS item
+        |            FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |ok AS (SELECT user_id FROM ui GROUP BY user_id HAVING COUNT(*) <= 50),
+        |b AS (SELECT ui.user_id, item FROM ui JOIN ok USING (user_id)),
+        |ni AS (SELECT item, COUNT(*) AS n_i FROM b GROUP BY 1),
+        |p AS (SELECT a.item AS item_a, bb.item AS item_b, COUNT(*) AS c_ab
+        |      FROM b a JOIN b bb ON a.user_id = bb.user_id AND a.item < bb.item
+        |      GROUP BY 1, 2),
+        |sc AS (SELECT item_a, item_b, c_ab,
+        |       CAST(round(c_ab * 1000000 / sqrt(CAST(na.n_i * nb.n_i AS DOUBLE))) AS BIGINT) AS cosine_ppm
+        |       FROM p JOIN ni na ON item_a = na.item JOIN ni nb ON item_b = nb.item),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY item_a ORDER BY cosine_ppm DESC, item_b) AS rk FROM sc)
+        |SELECT item_a, item_b, c_ab, cosine_ppm, CAST(rk AS INTEGER) AS rk
+        |FROM r WHERE rk <= 3""".stripMargin,
+
+    // session-path replay: the events_sessions gap CTE extended with two
+    // same-session lookaheads; top-20 with full-path tiebreak
+    "session_paths" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |o AS (SELECT *,
+        |      CASE WHEN lag(ts) OVER w IS NULL
+        |             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *,
+        |      SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |      FROM o),
+        |l AS (SELECT event_type AS step1,
+        |      lead(event_type, 1) OVER w2 AS step2, lead(session_id, 1) OVER w2 AS s2,
+        |      lead(event_type, 2) OVER w2 AS step3, lead(session_id, 2) OVER w2 AS s3,
+        |      session_id
+        |      FROM s WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT step1, step2, step3, COUNT(*) AS n
+        |FROM l WHERE s2 = session_id AND s3 = session_id
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, step1, step2, step3 LIMIT 20""".stripMargin,
 
     // stickiness replay: distinct (user, day), 7-day fan-out via
     // range(0,7), half-up integer ppm

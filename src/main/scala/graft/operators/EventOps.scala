@@ -324,6 +324,83 @@ object EventOps {
         expr("(n * 1000000L + from_total div 2) div from_total").as("p_ppm"))
   }
 
+  /** Item-item collaborative filtering over the props item key: cosine
+    * similarity between items on their user co-interaction vectors
+    * (binary), top-`k` neighbors per item — the classic "users who
+    * touched A also touched B" recommender precompute. Cosine is
+    * integer-quantized ppm: c_ab·1e6 is exactly representable, one
+    * sqrt+division of exactly-agreed integers, half-up round. The
+    * user-keyed self-join is the textbook pair bomb at scale, so users
+    * with more than `maxUserItems` distinct items are excluded FIRST
+    * (bot/crawler pathology; bounds per-user pair fan-out at
+    * maxUserItems² and makes the shuffle volume ≤ users·cap²) — the
+    * same df-style guard the jaccard/minhash family uses. Top-k per
+    * item is a bounded window over the pair frame, keyed by item_a.
+    */
+  def itemSimilarity(events: DataFrame, k: Int = 3,
+                     maxUserItems: Int = 50): DataFrame = {
+    val ui = events
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("item"))
+      .filter(col("item").isNotNull)
+      .distinct()
+    val okUsers = ui.groupBy(col("user_id")).agg(count(lit(1)).as("n_items"))
+      .filter(col("n_items") <= maxUserItems)
+      .select(col("user_id"))
+    val bounded = ui.join(okUsers, Seq("user_id"))
+    val nI = bounded.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
+    val pairs = bounded.select(col("user_id"), col("item").as("item_a"))
+      .join(bounded.select(col("user_id"), col("item").as("item_b")), Seq("user_id"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("c_ab"))
+    val scored = pairs
+      .join(broadcast(nI.select(col("item").as("item_a"), col("n_i").as("n_a"))), Seq("item_a"))
+      .join(broadcast(nI.select(col("item").as("item_b"), col("n_i").as("n_b"))), Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("c_ab"),
+        expr("cast(round(c_ab * 1000000 / sqrt(cast(n_a * n_b as double))) as bigint)")
+          .as("cosine_ppm"))
+    val w = Window.partitionBy(col("item_a"))
+      .orderBy(col("cosine_ppm").desc, col("item_b"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("item_a"), col("item_b"), col("c_ab"), col("cosine_ppm"),
+        col("rk").cast(IntegerType).as("rk"))
+  }
+
+  /** Session path mining: the top-`k` most common 3-event paths inside
+    * 30-minute-gap sessions — second-order, session-bounded sequence
+    * structure that `eventTransitions` (first-order, unbounded) can't
+    * see. One user-keyed window shuffle derives session ids AND the two
+    * lookaheads; the path aggregate is |event types|³-bounded. (ts,
+    * event_id) ordering keeps every lead deterministic under ties.
+    */
+  def sessionPaths(events: DataFrame, gapMinutes: Int = 30,
+                   k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      // µs-exact gap (unix_timestamp would truncate to seconds and flip
+      // boundary ties vs the oracle's INTERVAL comparison)
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .withColumn("new_s",
+        when(col("gap_us").isNull || col("gap_us") > gapMinutes * 60000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("s2", lead(col("session_id"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .withColumn("s3", lead(col("session_id"), 2).over(w))
+      .filter(col("s2") === col("session_id") && col("s3") === col("session_id"))
+      .groupBy(col("event_type").as("step1"), col("e2").as("step2"), col("e3").as("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(k)
+  }
+
   /** Multi-touch attribution: every purchase distributes conversion
     * credit over the user's qualifying touches (view/click strictly
     * before the purchase, within `lookbackDays`) under the three

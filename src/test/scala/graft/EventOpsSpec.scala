@@ -289,6 +289,40 @@ class EventOpsSpec extends SparkSpec {
     assert(got.size == 2, "no rows for silent days")
   }
 
+  test("itemSimilarity: closed-form ppm cosine; per-user cap excludes " +
+       "heavy users before pair generation") {
+    def ev(id: Long, u: Long, item: Int) =
+      (id, ts("2024-01-01 09:00:00"), u, "view", 1.0, s"""{"k": $item}""")
+    // u1,u2 share {1,2}; u3 has {1,3}: n1=3 n2=2 n3=1
+    // (1,2): c=2 -> 2e6/sqrt(6) = 816497 ; (1,3): c=1 -> 1e6/sqrt(3) = 577350
+    val e = Seq(ev(1, 1, 1), ev(2, 1, 2), ev(3, 2, 1), ev(4, 2, 2),
+      ev(5, 3, 1), ev(6, 3, 3))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.itemSimilarity(e).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3), r.getInt(4))))
+      .toMap
+    assert(got((1, 2)) == ((2L, 816497L, 1)), got.toString)
+    assert(got((1, 3)) == ((1L, 577350L, 2)), got.toString)
+    assert(got.size == 2)
+    // cap 1: every user with >1 item drops -> no pairs at all
+    assert(EventOps.itemSimilarity(e, maxUserItems = 1).collect().isEmpty)
+  }
+
+  test("sessionPaths: trigrams never cross a 30-minute session boundary") {
+    val e = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1L, "a", 1.0, "{}"),
+      (2L, ts("2024-01-01 09:05:00"), 1L, "b", 1.0, "{}"),
+      (3L, ts("2024-01-01 09:10:00"), 1L, "c", 1.0, "{}"),
+      // 40-minute gap -> new session; (b,c,d) and (c,d,e) must not count
+      (4L, ts("2024-01-01 09:50:00"), 1L, "d", 1.0, "{}"),
+      (5L, ts("2024-01-01 09:55:00"), 1L, "e", 1.0, "{}"),
+      (6L, ts("2024-01-01 09:58:00"), 1L, "f", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.sessionPaths(e).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(got == Map(("a", "b", "c") -> 1L, ("d", "e", "f") -> 1L), got.toString)
+  }
+
   test("momentsProfile: closed-form on [1,2,3] (skew 0, kurt -1.5); " +
        "constant group yields NULL moments, never NaN") {
     val df = Seq(("a", 1), ("a", 2), ("a", 3), ("c", 7), ("c", 7))
