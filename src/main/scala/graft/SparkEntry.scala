@@ -434,6 +434,19 @@ object SparkEntry {
     // mutual information — one corpus bigram shuffle, marginals re-agg'd
     // from the persisted bigram frame, df-guarded
     "pmi_collocations" -> ((s, d) => TextOps.pmiCollocations(t(s, d, "documents"))),
+    // Efraimidis-Spirakis exact-k weighted sample per source: portable-u
+    // A-ES keys, micros-quantized before the bounded per-stratum rank
+    "weighted_sample_topk" -> ((s, d) => TextOps.weightedSampleTopK(t(s, d, "documents"))),
+    // ORC at-rest round-trip: write+read through the built-in ORC source,
+    // content hash-gated so byte fidelity is oracle-proven
+    "orc_round_trip" -> ((s, d) => {
+      val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_orc_" + Integer.toHexString(d.hashCode)).toString
+      graft.sources.IngestOps.orcRoundTrip(t(s, d, "documents"), out)
+        .select(col("doc_id"),
+          md5(concat_ws("|", col("text"), col("lang"), col("source"),
+            col("n_chars"))).as("fp"))
+    }),
     // T5 span corruption: deterministic md5-bucketed window masking →
     // (input with sentinels, target spans); shuffle-free per-row HOFs
     "span_corruption" -> ((s, d) => TextOps.spanCorruption(t(s, d, "documents"))),
@@ -3174,6 +3187,30 @@ object SparkEntry {
         |FROM bgc JOIN ca USING (w1) JOIN cb USING (w2) CROSS JOIN n
         |WHERE c_ab >= 5
         |ORDER BY pmi_micros DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // A-ES replay: identical quality expression, identical portable u,
+    // identical ln/divide/quantize chain, same (key desc, doc_id) rank
+    "weighted_sample_topk" ->
+      """WITH q AS (SELECT doc_id, source,
+        |  round(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.5 +
+        |        coalesce(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |                                      t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+        |                 / NULLIF(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE), 0), 0) * 0.5,
+        |        6) AS quality
+        |  FROM documents),
+        |k AS (SELECT doc_id, source,
+        |      CAST(round(ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+        |        / 4294967296.0) / quality * 1000000) AS BIGINT) AS key_micros
+        |      FROM q WHERE quality > 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY key_micros DESC, doc_id) AS rk FROM k)
+        |SELECT doc_id, source, key_micros, CAST(rk AS INTEGER) AS rk
+        |FROM r WHERE rk <= 10""".stripMargin,
+
+    // ORC round-trip: the oracle reads the SOURCE rows — equality proves
+    // the ORC write+read preserved every column byte-for-byte
+    "orc_round_trip" ->
+      """SELECT doc_id, md5(concat_ws('|', text, lang, source, CAST(n_chars AS VARCHAR))) AS fp
+        |FROM documents""".stripMargin,
 
     // span-corruption replay: same 5-token windows, same md5 bucket per
     // (doc_id, window), sentinel k = masked-windows-before via a

@@ -115,6 +115,36 @@ object TextOps {
           < col("keep_ppm"))
       .select(col("doc_id"), col("source"), col("keep_ppm"))
 
+  /** Exact-k weighted sampling without replacement per source
+    * (Efraimidis–Spirakis A-ES): rank docs by key u^(1/w) — equivalently
+    * ln(u)/w, monotone — and keep the top k per stratum. The classic
+    * one-pass distributed weighted reservoir, made DETERMINISTIC: u is
+    * the portable md5 bucket of doc_id mapped to (0,1], so any engine /
+    * retry / partitioning draws the same sample (the same property
+    * `deterministicSample` has, but with exact-k-per-stratum and
+    * quality-proportional inclusion instead of Bernoulli thinning — the
+    * two are complementary: rate-control vs budget-control). The key is
+    * micros-quantized BEFORE ranking (the one float chain is
+    * ln(exact)/quality, both exactly-agreed doubles), doc_id breaks
+    * ties. Zero-weight docs are excluded by definition (u^(1/0) is the
+    * degenerate always-last key). Scale shape: per-row arithmetic + one
+    * source-keyed bounded window — no corpus sort, no RNG state.
+    */
+  def weightedSampleTopK(documents: DataFrame, k: Int = 10): DataFrame = {
+    val d = documents.select(col("doc_id"), col("source"))
+      .join(qualityScore(documents), Seq("doc_id"))
+      .filter(col("quality") > 0)
+      .withColumn("key_micros", expr(
+        "cast(round(ln((cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) + 1) " +
+          "/ 4294967296.0d) / quality * 1000000) as bigint)"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("key_micros").desc, col("doc_id"))
+    d.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("source"), col("key_micros"),
+        col("rk").cast(IntegerType).as("rk"))
+  }
+
   /** Content fingerprint: md5 of the normalized text (reference
     * normalize_string, /root/reference/utils/helpers.py:1-2, feeding a
     * digest). Identical hex in Spark and DuckDB → oracle-checkable, and the

@@ -27,6 +27,18 @@ object IngestOps {
       .partitionBy("dt")
       .csv(path)
 
+  /** ORC round-trip: the second columnar at-rest format next to parquet
+    * (a warehouse migrating off the reference's Postgres footprint
+    * chooses one or the other; readers must agree byte-for-byte either
+    * way). Write + read back through Spark's built-in ORC datasource —
+    * the consumer hash-gates the surviving content, so the round-trip
+    * is oracle-proven, not assumed.
+    */
+  def orcRoundTrip(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").orc(path)
+    df.sparkSession.read.orc(path)
+  }
+
   /** F5: ingest timestamp default — `created_at TIMESTAMPTZ DEFAULT NOW()`
     * (reference README.md:265).
     */

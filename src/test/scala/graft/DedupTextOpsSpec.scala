@@ -1033,4 +1033,24 @@ class DedupTextOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
     assert(enc.toSeq == Seq((1L, 4L, 4L)), "chars pass through unmerged")
   }
+
+  test("weightedSampleTopK: at most k per source; zero-quality docs never " +
+       "sampled; equal weights reduce to u-rank; repartition-invariant") {
+    import spark.implicits._
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = ((1L to 20L).map(i => (i, text, "en", s"s${i % 2}", 40L)) :+
+      (21L, "", "en", "s0", 0L)) // zero quality
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.weightedSampleTopK(docs, k = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(!got.map(_._1).contains(21L), "zero-quality doc excluded")
+    assert(got.groupBy(_._2).forall(_._2.length == 5), got.toSeq.toString)
+    // equal weights: rank must follow key_micros desc within each source
+    for ((_, rows) <- got.groupBy(_._2))
+      assert(rows.sortBy(_._4).map(_._3).toSeq ==
+        rows.map(_._3).sorted(Ordering[Long].reverse).toSeq)
+    val again = TextOps.weightedSampleTopK(docs.repartition(7), k = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSet == again.toSet)
+  }
 }
