@@ -226,6 +226,28 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // null-safe equi-join (<=>): NULL keys pair with NULL keys — the
+    // join stays a hash/sort-merge equi-join, never a nested loop
+    "null_safe_join" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        nullif(col("o_orderpriority"), lit("1-URGENT")).as("prio"))
+      val counts = o.groupBy(col("prio")).agg(count(lit(1)).as("n_same_prio"))
+      o.as("a").join(counts.as("c"), col("a.prio") <=> col("c.prio"))
+        .select(col("a.o_orderkey"), col("a.prio").as("prio"), col("c.n_same_prio"))
+    }),
+
+    // RANGE-frame window (time-interval frame, not row-count): each
+    // purchase's trailing-7-day spend per user; peers at the same ts
+    // share a frame, so no tiebreak is needed for determinism
+    "trailing_range_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"))
+        .rangeBetween(-7L * 86400L * 1000000L, 0L)
+      t(s, d, "events").filter(col("event_type") === "purchase")
+        .withColumn("t_us", unix_micros(col("ts")))
+        .withColumn("trail_spend", sum(col("value").cast(Money)).over(w))
+        .select(col("event_id"), col("user_id"), col("trail_spend"))
+    }),
+
     // TPC-H Q6 shape: single-table forecast revenue — every predicate
     // (date range, discount band, quantity cap) reaches the parquet scan
     // as a pushed filter; the agg is one partial+final decimal sum
@@ -1825,6 +1847,21 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    // null-safe join replay: IS NOT DISTINCT FROM is DuckDB's <=>
+    "null_safe_join" ->
+      """WITH o AS (SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS prio FROM orders),
+        |c AS (SELECT prio, COUNT(*) AS n_same_prio FROM o GROUP BY 1)
+        |SELECT o.o_orderkey, o.prio, c.n_same_prio
+        |FROM o JOIN c ON o.prio IS NOT DISTINCT FROM c.prio""".stripMargin,
+
+    // range-frame replay: INTERVAL frame over ts mirrors the micros
+    // rangeBetween exactly (fixture timestamps are whole microseconds)
+    "trailing_range_sum" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail_spend
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
 
     "q6_forecast" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
