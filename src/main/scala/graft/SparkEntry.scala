@@ -337,6 +337,250 @@ object SparkEntry {
           sum(col("c_acctbal").cast(Money)).cast(DoubleType).as("totacctbal"))
     }),
 
+    // TPC-H Q2 shape: min-cost supplier per part — the correlated MIN
+    // scalar subquery becomes a per-part aggregate joined back on exact
+    // decimal equality (sums/mins of DECIMAL(18,2) are exact in both
+    // engines, so the equality is safe); region dims broadcast
+    "q2_min_cost" -> ((s, d) => {
+      val euroSupp = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val offers = t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").filter(col("p_size") === 15)),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(euroSupp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_name"),
+          col("l_extendedprice").cast(Money).as("price"),
+          col("s_name"), col("s_acctbal"), col("n_name"))
+      val minPrice = offers.groupBy(col("p_partkey").as("m_partkey"))
+        .agg(min(col("price")).as("min_price"))
+      offers
+        .join(minPrice,
+          col("p_partkey") === col("m_partkey") && col("price") === col("min_price"))
+        .select(col("s_acctbal").cast(Money).cast(DoubleType).as("s_acctbal"),
+          col("s_name"), col("n_name"), col("p_partkey"), col("p_name"),
+          col("min_price").cast(DoubleType).as("min_price"))
+        .distinct()
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q4 shape: priority count of orders with at least one late
+    // line — the EXISTS becomes a LEFT SEMI join whose residual condition
+    // (shipdate vs the outer row's orderdate) rides on the equi-join
+    "q4_late_orders" -> ((s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1997-07-01").cast(TimestampType))
+        .join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 75 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))),
+
+    // TPC-H Q7 shape: shipping volume between two nations by year — the
+    // fact table shuffles once per dimension chain; both nation dims are
+    // broadcast, the pair filter collapses to an OR of two conjunctions
+    "q7_nation_volume" -> ((s, d) => {
+      val disc = col("l_extendedprice").cast(Money) * (lit(1) - col("l_discount").cast(Money))
+      val suppN = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val custN = t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+        .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(custN, col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(disc).cast(DoubleType).as("revenue"))
+    }),
+
+    // TPC-H Q8 shape: one nation's market share inside a region per
+    // year — exact decimal numerator/denominator (ELSE 0 keeps empty
+    // years NULL-free in both engines), ONE double division at the end
+    "q8_market_share" -> ((s, d) => {
+      val disc = col("l_extendedprice").cast(Money) * (lit(1) - col("l_discount").cast(Money))
+      val asiaCust = t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val suppN = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders")
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+              col("o_orderdate") < lit("1998-01-01").cast(TimestampType)),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_5", disc)
+            .otherwise(lit(0).cast(Money))).cast(DoubleType) /
+            sum(disc).cast(DoubleType), 6).as("mkt_share"))
+    }),
+
+    // TPC-H Q9 shape: per-nation yearly profit on a part-name family —
+    // profit = revenue - qty*retailprice stays inside DECIMAL scale 4 in
+    // both engines (a third decimal multiply would overflow Spark's
+    // 38-digit cap and silently re-scale; two never does)
+    "q9_profit_nation" -> ((s, d) => {
+      val profit = col("l_extendedprice").cast(Money) * (lit(1) - col("l_discount").cast(Money)) -
+        col("l_quantity").cast(Money) * col("p_retailprice").cast(Money)
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").filter(col("p_name").contains("red"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, d, "supplier")
+            .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+            .select(col("s_suppkey"), col("n_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(profit).cast(DoubleType).as("sum_profit"))
+    }),
+
+    // TPC-H Q11 shape: parts worth more than a fraction of total value —
+    // the HAVING-scalar-subquery becomes a broadcast 1-row frame, and the
+    // fraction compare runs on integer cents (value*1000 in decimal would
+    // hit engine-specific precision caps; BIGINT cents never does)
+    "q11_top_value_parts" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val pv = li.groupBy(col("l_partkey"))
+        .agg((sum(col("l_extendedprice").cast(Money)) * 100).cast(LongType).as("value_cents"))
+      val total = li.agg((sum(col("l_extendedprice").cast(Money)) * 100).cast(LongType).as("total_cents"))
+      pv.crossJoin(broadcast(total))
+        .filter(col("value_cents") * 1000 > col("total_cents"))
+        .select(col("l_partkey"), col("value_cents"))
+        .orderBy(col("value_cents").desc, col("l_partkey"))
+        .limit(50)
+    }),
+
+    // TPC-H Q12 shape: late-vs-priority cross-tab — the CASE-sum
+    // conditional aggregate over a fact-dimension join, counts pinned to
+    // BIGINT in both engines
+    "q12_priority_class" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1999-01-01").cast(TimestampType))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+            .as("low_line_count"))),
+
+    // TPC-H Q13 shape: customer order-count distribution — LEFT join so
+    // zero-order customers land in the c_count=0 bucket, COUNT of the
+    // nullable join-side key, then a second aggregate over the first
+    "q13_order_distribution" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderstatus") =!= "P"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))),
+
+    // TPC-H Q15 shape: top supplier by quarterly revenue — the
+    // view + MAX scalar subquery becomes an aggregate reused for both the
+    // per-supplier frame and its broadcast 1-row max, joined on EXACT
+    // decimal equality (sums of (18,2) are exact in both engines)
+    "q15_top_supplier" -> ((s, d) => {
+      val disc = col("l_extendedprice").cast(Money) * (lit(1) - col("l_discount").cast(Money))
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-04-01").cast(TimestampType))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(disc).as("total_revenue"))
+      val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
+      rev.crossJoin(broadcast(maxRev))
+        .filter(col("total_revenue") === col("max_rev"))
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_revenue").cast(DoubleType).as("total_revenue"))
+    }),
+
+    // TPC-H Q16 shape: supplier variety per part attribute — the NOT IN
+    // exclusion subquery becomes a LEFT ANTI join, the COUNT(DISTINCT
+    // suppkey) a distinct-project before the aggregate; deterministic
+    // full-key tiebreak on the top-100
+    "q16_supplier_variety" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "supplier").filter(col("s_acctbal") < 0).select(col("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(t(s, d, "part")
+            .filter(col("p_type") =!= "PROMO" && col("p_size").isin(1, 5, 10, 15, 20, 25))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), col("p_type"), col("p_size"), col("l_suppkey"))
+        .distinct()
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(count(lit(1)).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+        .limit(100)),
+
+    // TPC-H Q20 shape: suppliers shipping an outsized share of a part
+    // family — nested IN-with-aggregate as a per-supplier aggregate
+    // against a broadcast scalar, compared integer-exact on cross-
+    // multiplied cents (qty_s * n_supp > 2 * total)
+    "q20_excess_suppliers" -> ((s, d) => {
+      val redLi = t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").filter(col("p_name").startsWith("red"))),
+          col("l_partkey") === col("p_partkey"))
+      val perSupp = redLi.groupBy(col("l_suppkey"))
+        .agg((sum(col("l_quantity").cast(Money)) * 100).cast(LongType).as("supp_cents"))
+      val tot = redLi.agg(
+        (sum(col("l_quantity").cast(Money)) * 100).cast(LongType).as("tot_cents"),
+        countDistinct(col("l_suppkey")).as("n_supp"))
+      perSupp.crossJoin(broadcast(tot))
+        .filter(col("supp_cents") * col("n_supp") > col("tot_cents") * 2)
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("supp_cents"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q21 shape: the only-late-supplier-on-a-shared-order audit —
+    // EXISTS(other supplier) is a LEFT SEMI and NOT EXISTS(other LATE
+    // supplier) a LEFT ANTI, both with the <>-residual riding on the
+    // orderkey equi-join; late = shipped >100 days after the order date
+    "q21_waiting_supplier" -> ((s, d) => {
+      val late = t(s, d, "lineitem")
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 100 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .distinct()
+      val anyOther = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("o2_orderkey"), col("l_suppkey").as("o2_suppkey"))
+        .distinct()
+      val lateOther = late
+        .select(col("l_orderkey").as("o3_orderkey"), col("l_suppkey").as("o3_suppkey"))
+      late
+        .join(anyOther,
+          col("l_orderkey") === col("o2_orderkey") && col("l_suppkey") =!= col("o2_suppkey"),
+          "left_semi")
+        .join(lateOther,
+          col("l_orderkey") === col("o3_orderkey") && col("l_suppkey") =!= col("o3_suppkey"),
+          "left_anti")
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+
     // ---- [EXT] dedup / text / similarity / multimodal ----
     "dedup_exact" -> ((s, d) => DedupOps.exactDedup(t(s, d, "documents"))),
     // CCNet-style segment dedup: keep the globally-first occurrence of
@@ -1918,6 +2162,150 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY c_nationkey""".stripMargin,
+
+    "q2_min_cost" ->
+      """WITH offers AS (
+        |  SELECT p_partkey, p_name, CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+        |         s_name, s_acctbal, n_name
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_size = 15
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+        |mp AS (SELECT p_partkey AS m_partkey, MIN(price) AS min_price FROM offers GROUP BY 1)
+        |SELECT DISTINCT CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS s_acctbal,
+        |       s_name, n_name, p_partkey, p_name, CAST(min_price AS DOUBLE) AS min_price
+        |FROM offers JOIN mp ON p_partkey = m_partkey AND price = min_price
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+
+    "q4_late_orders" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 75 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  round(CAST(SUM(CASE WHEN n_name = 'NATION_5'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM customer c
+        |              JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |              JOIN region ON cn.n_regionkey = r_regionkey
+        |              WHERE r_name = 'ASIA' AND c.c_custkey = o_custkey)
+        |GROUP BY 1""".stripMargin,
+
+    "q9_profit_nation" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |         - CAST(l_quantity AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q11_top_value_parts" ->
+      """WITH pv AS (SELECT l_partkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
+        |  FROM lineitem)
+        |SELECT l_partkey, value_cents FROM pv, tot
+        |WHERE value_cents * 1000 > total_cents
+        |ORDER BY value_cents DESC, l_partkey LIMIT 50""".stripMargin,
+
+    "q12_priority_class" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+
+    "q13_order_distribution" ->
+      """WITH co AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+        |  GROUP BY 1)
+        |SELECT c_count, COUNT(*) AS custdist FROM co GROUP BY 1""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)""".stripMargin,
+
+    "q16_supplier_variety" ->
+      """WITH pairs AS (SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type <> 'PROMO' AND p_size IN (1, 5, 10, 15, 20, 25)
+        |    AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        |SELECT p_brand, p_type, p_size, COUNT(*) AS supplier_cnt
+        |FROM pairs GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 100""".stripMargin,
+
+    "q20_excess_suppliers" ->
+      """WITH red AS (SELECT l_suppkey, CAST(l_quantity AS DECIMAL(18,2)) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'red%'),
+        |ps AS (SELECT l_suppkey, CAST(SUM(qty) * 100 AS BIGINT) AS supp_cents FROM red GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(qty) * 100 AS BIGINT) AS tot_cents,
+        |        COUNT(DISTINCT l_suppkey) AS n_supp FROM red)
+        |SELECT s_suppkey, s_name, supp_cents
+        |FROM ps
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |CROSS JOIN tot
+        |WHERE supp_cents * n_supp > tot_cents * 2
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """WITH l1 AS (SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 100 DAY)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM l1 JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM l1 l3
+        |              WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
 
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",

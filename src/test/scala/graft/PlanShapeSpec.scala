@@ -238,4 +238,42 @@ class PlanShapeSpec extends SparkSpec {
         s"$q must not serialize on one reducer:\n$p")
     }
   }
+
+  test("TPC-H completion shapes: EXISTS/NOT-EXISTS plan as semi/anti " +
+       "joins, dims broadcast, date filters push to the fact scan") {
+    // Q4: the EXISTS must become a LEFT SEMI with the date-residual on
+    // the orderkey equi-join — never a per-row subquery or a cartesian
+    val q4 = plan("q4_late_orders")
+    assert(q4.contains("LeftSemi"), s"q4 EXISTS must plan as semi join:\n$q4")
+    assert(q4.contains("PushedFilters") &&
+      q4.contains("GreaterThanOrEqual(o_orderdate,"),
+      s"q4 date window must reach the orders scan:\n$q4")
+    // Q21: semi (other supplier exists) + anti (no other late supplier),
+    // both equi-keyed on orderkey with the <> as residual
+    val q21 = plan("q21_waiting_supplier")
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"),
+      s"q21 needs both a semi and an anti join:\n$q21")
+    assert(!q21.contains("CartesianProduct"), s"q21 must stay equi-keyed:\n$q21")
+    // Q2/Q9: part/supplier/nation dims all broadcast — the fact table
+    // never shuffles for a dimension
+    for (q <- Seq("q2_min_cost", "q9_profit_nation")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q dims must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay equi-join only:\n$p")
+    }
+    // Q11/Q15/Q20: the scalar-subquery anchor is a broadcast 1-row frame;
+    // the per-key aggregate keeps map-side combine
+    for (q <- Seq("q11_top_value_parts", "q15_top_supplier", "q20_excess_suppliers")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q scalar anchor should broadcast:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q aggregate must plan partial+final:\n$p")
+    }
+    // Q13: LEFT join + two-level aggregate, no nested loop
+    val q13 = plan("q13_order_distribution")
+    assert(q13.contains("LeftOuter"), s"q13 must keep the LEFT join:\n$q13")
+    assert(!q13.contains("CartesianProduct"), s"q13 must stay equi-keyed:\n$q13")
+  }
 }
