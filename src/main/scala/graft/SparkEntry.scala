@@ -742,6 +742,15 @@ object SparkEntry {
     // emits the within-5%-of-exact boolean (sketch internals are
     // engine-specific; the accuracy bound is not) — oracle asserts TRUE
     "hll_distinct" -> ((s, d) => TextOps.approxDistinctWithinTol(t(s, d, "documents"))),
+    // KMV distinct sketch: mergeable k-minimum-values over the portable
+    // 32-bit hash — unlike HLL, the ESTIMATE itself is oracle-replayed
+    // (deterministic integer arithmetic, no within-tol weakening)
+    "kmv_distinct" -> ((s, d) => RelationalOps.kmvDistinctUsers(t(s, d, "events"))),
+    // KMV set algebra as join-size estimation: distinct-key overlap of
+    // events.user_id vs customer.c_custkey from two k-row sketches
+    "kmv_join_estimate" -> ((s, d) =>
+      RelationalOps.kmvJoinEstimate(
+        t(s, d, "events"), "user_id", t(s, d, "customer"), "c_custkey")),
     "cosine_topk" -> ((s, d) => SimilarityOps.cosineTopK(t(s, d, "embeddings"), 10, 5)),
     // offline hard-negative mining: top-k INSIDE the [0.05, 0.7) cosine
     // band — informative negatives, near-dups excluded, band applied
@@ -3432,6 +3441,43 @@ object SparkEntry {
     // sketch accuracy gate: oracle asserts the within-tolerance boolean
     "hll_distinct" ->
       "SELECT source, CAST(1 AS BOOLEAN) AS within_tol FROM documents GROUP BY source",
+
+    // KMV: the k smallest distinct 32-bit hashes replayed via window
+    // rank; the estimate is exact integer arithmetic in both engines
+    "kmv_distinct" ->
+      """WITH e AS (SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL),
+        |h AS (SELECT DISTINCT event_type,
+        |      CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h FROM e),
+        |r AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS nd FROM h),
+        |vk AS (SELECT event_type, MAX(CASE WHEN rn = 128 THEN h END) AS v_k, MAX(nd) AS nd
+        |       FROM r GROUP BY 1),
+        |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users FROM e GROUP BY 1)
+        |SELECT event_type, exact_users,
+        |  CAST(CASE WHEN nd < 128 THEN nd
+        |       ELSE 127 * 4294967296 // greatest(v_k, 1) END AS BIGINT) AS kmv_estimate
+        |FROM vk JOIN ex USING (event_type)""".stripMargin,
+
+    "kmv_join_estimate" ->
+      """WITH ak AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS key FROM events WHERE user_id IS NOT NULL),
+        |bk AS (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS key FROM customer WHERE c_custkey IS NOT NULL),
+        |ah AS (SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(key AS VARCHAR)), 1, 8)) AS BIGINT) AS h FROM ak),
+        |bh AS (SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(key AS VARCHAR)), 1, 8)) AS BIGINT) AS h FROM bk),
+        |ar AS (SELECT list_sort(list(h)) AS arr FROM (SELECT h FROM ah ORDER BY h LIMIT 128) t),
+        |br AS (SELECT list_sort(list(h)) AS arr FROM (SELECT h FROM bh ORDER BY h LIMIT 128) t),
+        |uni AS (SELECT (list_sort(list_distinct(list_concat(ar.arr, br.arr))))[1:128] AS u,
+        |        ar.arr AS aa, br.arr AS bb FROM ar, br),
+        |calc AS (SELECT len(u) AS m,
+        |  CAST(len(list_filter(u, v -> list_contains(aa, v) AND list_contains(bb, v))) AS BIGINT) AS both_in_k,
+        |  CASE WHEN len(u) < 128 THEN len(u)
+        |       ELSE 127 * 4294967296 // greatest(u[128], 1) END AS kmv_union_est
+        |  FROM uni),
+        |eo AS (SELECT COUNT(*) AS exact_overlap FROM ak WHERE key IN (SELECT key FROM bk)),
+        |eu AS (SELECT COUNT(*) AS exact_union FROM (SELECT key FROM ak UNION SELECT key FROM bk) t)
+        |SELECT exact_union, CAST(kmv_union_est AS BIGINT) AS kmv_union_est,
+        |  exact_overlap, both_in_k,
+        |  CAST(both_in_k * kmv_union_est // greatest(m, 1) AS BIGINT) AS kmv_overlap_est
+        |FROM calc, eo, eu""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -592,4 +592,79 @@ object RelationalOps {
             (col("B").cast(DoubleType) * col("B").cast(DoubleType)) - 3, 6))
           .as("kurtosis"))
   }
+
+  /** Portable 32-bit hash shared by the KMV sketch paths: the same
+    * md5-prefix both DuckDB and any other engine replay bit-exactly.
+    */
+  private def hash32(c: Column): Column =
+    expr(s"cast(conv(substr(md5(cast(${c.toString} as string)), 1, 8), 16, 10) as bigint)")
+
+  /** KMV estimate from a sorted-distinct sketch array: exact distinct
+    * count while the sketch is partial (|sketch| < k), else
+    * (k-1)·2^32 div v_k — all BIGINT arithmetic, zero float surface.
+    */
+  private def kmvEstimate(arr: String, k: Int): Column =
+    expr(s"""cast(case when size($arr) < $k then size($arr)
+            |  else cast(${k - 1} as bigint) * cast(4294967296 as bigint)
+            |       div greatest(element_at($arr, $k), cast(1 as bigint)) end as bigint)""".stripMargin)
+
+  /** Per-group distinct-cardinality audit via the mergeable KMV sketch
+    * (`functions.KmvAggregator`): distinct users per event type, exact vs
+    * estimated. Unlike the HLL audit (`approxDistinctWithinTol`, gated as
+    * a within-tolerance boolean), the KMV estimate is DETERMINISTIC
+    * integer arithmetic over the portable hash — the oracle replays the
+    * estimate itself, bit-exact. Scale shape: the sketch aggregate
+    * carries ≤ k longs per partial buffer with map-side combine; the
+    * exact side exists only for the audit and drops at production scale.
+    */
+  def kmvDistinctUsers(events: DataFrame, k: Int = 128): DataFrame =
+    events
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"), hash32(col("user_id")).as("h"))
+      .groupBy(col("event_type"))
+      .agg(
+        graft.functions.KmvAggregator.column(k)(col("h")).as("sketch"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        kmvEstimate("sketch", k).as("kmv_estimate"))
+
+  /** Sketch-based equi-join key-overlap estimation — the CBO primitive:
+    * how many distinct join keys do two tables share? Each side collapses
+    * to a k-value KMV sketch; the k smallest of the merged value sets
+    * estimate the UNION cardinality, and the fraction of that union
+    * sketch present in BOTH sides scales it down to the intersection
+    * (Beyer et al., "On synopses for distinct-value estimation under
+    * multiset operations"). At stats-collection time each table lands its
+    * per-column sketch once; any pairwise join's distinct-key selectivity
+    * is then estimable from two k-row artifacts without re-scanning
+    * either table. The exact sides (distinct semi-join / union counts)
+    * are the audit and drop at production scale.
+    *
+    * All set algebra runs as HOFs over the two bounded arrays (1-row
+    * broadcast anchors); estimates are pure BIGINT arithmetic replayed
+    * exactly by the oracle.
+    */
+  def kmvJoinEstimate(a: DataFrame, aKey: String,
+                      b: DataFrame, bKey: String, k: Int = 128): DataFrame = {
+    val aKeys = a.filter(col(aKey).isNotNull).select(col(aKey).cast(LongType).as("key")).distinct()
+    val bKeys = b.filter(col(bKey).isNotNull).select(col(bKey).cast(LongType).as("key")).distinct()
+    val sa = aKeys.agg(graft.functions.KmvAggregator.column(k)(hash32(col("key"))).as("a_arr"))
+    val sb = bKeys.agg(graft.functions.KmvAggregator.column(k)(hash32(col("key"))).as("b_arr"))
+    val exactOverlap = aKeys.join(bKeys, Seq("key"), "left_semi")
+      .agg(count(lit(1)).as("exact_overlap"))
+    val exactUnion = aKeys.union(bKeys).distinct()
+      .agg(count(lit(1)).as("exact_union"))
+    sa.crossJoin(broadcast(sb))
+      .crossJoin(broadcast(exactOverlap))
+      .crossJoin(broadcast(exactUnion))
+      .withColumn("u", expr(s"slice(array_sort(array_distinct(concat(a_arr, b_arr))), 1, $k)"))
+      .withColumn("both_in_k",
+        expr("cast(size(filter(u, v -> array_contains(a_arr, v) and array_contains(b_arr, v))) as bigint)"))
+      .withColumn("kmv_union_est", kmvEstimate("u", k))
+      .select(
+        col("exact_union"), col("kmv_union_est"),
+        col("exact_overlap"), col("both_in_k"),
+        expr("cast(both_in_k * kmv_union_est div greatest(size(u), 1) as bigint)")
+          .as("kmv_overlap_est"))
+  }
 }

@@ -78,4 +78,67 @@ class SketchSpec extends SparkSpec {
       assert(math.abs(est(1) - r.getDouble(3)) / r.getDouble(3) <= 0.02)
     }
   }
+
+  // ---- KMV k-minimum-values sketch ----
+
+  test("kmv: sketch is the k smallest DISTINCT hashes, invariant under " +
+       "partitioning and duplication") {
+    import graft.functions.KmvAggregator
+    val agg = KmvAggregator.column(8)
+    // values with heavy duplication; hash column is just the value itself
+    // (the aggregator is hash-agnostic — it sketches whatever longs arrive)
+    val vals = Seq(5L, 3L, 9L, 3L, 5L, 14L, 2L, 9L, 77L, 41L, 2L, 8L, 6L, 1L, 12L)
+    val expected = vals.distinct.sorted.take(8)
+    for (parts <- Seq(1, 4)) {
+      val got = vals.toDF("h").repartition(parts)
+        .agg(agg(col("h")).as("s")).head().getSeq[Long](0)
+      assert(got == expected, s"parts=$parts: $got vs $expected")
+    }
+  }
+
+  test("kmv: below-k groups estimate EXACTLY; estimate tracks exact within " +
+       "30% at 8x k cardinality") {
+    import graft.functions.KmvAggregator
+    val k = 64
+    val agg = KmvAggregator.column(k)
+    def h(c: org.apache.spark.sql.Column) =
+      expr(s"cast(conv(substr(md5(cast(${c.toString} as string)), 1, 8), 16, 10) as bigint)")
+    // group "small": 40 distinct (< k)  |  group "big": 512 distinct (8k)
+    val df = ((1 to 40).map(i => ("small", i.toLong)) ++
+      (1 to 512).map(i => ("big", i.toLong + 1000))).toDF("g", "v")
+    val est = df.groupBy(col("g"))
+      .agg(agg(h(col("v"))).as("s"))
+      .select(col("g"),
+        expr(s"""cast(case when size(s) < $k then size(s)
+                |  else cast(${k - 1} as bigint) * cast(4294967296 as bigint)
+                |       div greatest(element_at(s, $k), cast(1 as bigint)) end as bigint)""".stripMargin)
+          .as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("small") == 40L, s"below-k group must be exact: ${est("small")}")
+    assert(math.abs(est("big") - 512.0) / 512.0 <= 0.30,
+      s"KMV estimate ${est("big")} strays >30% from 512")
+  }
+
+  test("kmv join estimate: disjoint key sets read 0 overlap; identical " +
+       "sets read overlap == union; partial overlap lands between") {
+    import graft.operators.RelationalOps
+    val a = (1L to 300L).toDF("x")
+    val bDisjoint = (1001L to 1300L).toDF("y")
+    val dis = RelationalOps.kmvJoinEstimate(a, "x", bDisjoint, "y", k = 64).head()
+    assert(dis.getAs[Long]("exact_overlap") == 0L)
+    assert(dis.getAs[Long]("kmv_overlap_est") == 0L,
+      "disjoint sketches must estimate zero overlap")
+    val same = RelationalOps.kmvJoinEstimate(a, "x", a.toDF("y"), "y", k = 64).head()
+    assert(same.getAs[Long]("exact_overlap") == 300L)
+    assert(same.getAs[Long]("both_in_k") == 64L,
+      "identical sketches: every union-sketch value is in both sides")
+    assert(same.getAs[Long]("kmv_overlap_est") == same.getAs[Long]("kmv_union_est"),
+      "identical sets: overlap estimate must equal union estimate")
+    val bHalf = (151L to 450L).toDF("y") // 150 shared of 450 union
+    val half = RelationalOps.kmvJoinEstimate(a, "x", bHalf, "y", k = 64).head()
+    assert(half.getAs[Long]("exact_overlap") == 150L)
+    val est = half.getAs[Long]("kmv_overlap_est")
+    assert(est > 0L && est < half.getAs[Long]("kmv_union_est"),
+      s"partial overlap estimate $est must land strictly between 0 and the union")
+  }
 }
