@@ -751,6 +751,12 @@ object SparkEntry {
     "kmv_join_estimate" -> ((s, d) =>
       RelationalOps.kmvJoinEstimate(
         t(s, d, "events"), "user_id", t(s, d, "customer"), "c_custkey")),
+    // blocked fuzzy self-match (entity resolution, value-level): distinct
+    // part names, noun-blocked, edit-distance <= 3
+    "fuzzy_name_match" -> ((s, d) => EntityOps.fuzzyNameMatch(t(s, d, "part"), "p_name")),
+    // transitive canonicalization over the match graph (dedup collapse
+    // reused on string ids), rows mapped to the component-min name
+    "fuzzy_canonicalize" -> ((s, d) => EntityOps.fuzzyCanonicalize(t(s, d, "part"), "p_name")),
     "cosine_topk" -> ((s, d) => SimilarityOps.cosineTopK(t(s, d, "embeddings"), 10, 5)),
     // offline hard-negative mining: top-k INSIDE the [0.05, 0.7) cosine
     // band — informative negatives, near-dups excluded, band applied
@@ -3478,6 +3484,37 @@ object SparkEntry {
         |  exact_overlap, both_in_k,
         |  CAST(both_in_k * kmv_union_est // greatest(m, 1) AS BIGINT) AS kmv_overlap_est
         |FROM calc, eo, eu""".stripMargin,
+
+    // blocked fuzzy match on distinct values; levenshtein is the same
+    // classic DP in both engines
+    "fuzzy_name_match" ->
+      """WITH names AS (SELECT p_name AS name, COUNT(*) AS n_rows,
+        |               string_split(p_name, ' ')[-1] AS block FROM part GROUP BY 1)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist,
+        |  a.n_rows AS n_rows_a, b.n_rows AS n_rows_b
+        |FROM names a JOIN names b ON a.block = b.block
+        |WHERE a.name < b.name
+        |  AND abs(len(a.name) - len(b.name)) <= 3
+        |  AND levenshtein(a.name, b.name) <= 3""".stripMargin,
+
+    // transitive closure over the (bidirectional) match graph via a
+    // recursive CTE; canonical = min over reachable set + self — the
+    // same fixpoint the engine's min-label collapse converges to
+    "fuzzy_canonicalize" ->
+      """WITH RECURSIVE names AS (SELECT p_name AS name,
+        |    string_split(p_name, ' ')[-1] AS block FROM part GROUP BY p_name),
+        |m AS (SELECT a.name AS src, b.name AS dst FROM names a JOIN names b ON a.block = b.block
+        |      WHERE a.name <> b.name AND abs(len(a.name) - len(b.name)) <= 3
+        |        AND levenshtein(a.name, b.name) <= 3),
+        |reach(a, b) AS (SELECT src, dst FROM m
+        |  UNION SELECT r.a, m.dst FROM reach r JOIN m ON r.b = m.src),
+        |canon AS (SELECT n.name, least(n.name, coalesce(MIN(r.b), n.name)) AS canonical_name
+        |          FROM names n LEFT JOIN reach r ON r.a = n.name GROUP BY n.name)
+        |SELECT canonical_name, CAST(COUNT(DISTINCT p.p_name) AS BIGINT) AS n_variants,
+        |       COUNT(*) AS n_rows
+        |FROM part p JOIN canon c ON p.p_name = c.name
+        |GROUP BY 1""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Entity resolution over string-valued columns ([EXT] — the
+  * record-linkage step every warehouse needs once two sources feed one
+  * dimension; the reference's single-source load has no analog, so the
+  * surface follows the classic blocked-ER literature: Fellegi-Sunter
+  * blocking + edit-distance compare + transitive canonicalization).
+  *
+  * Scale design — VALUE-level, not row-level: a fact table's string
+  * column carries few distinct values relative to rows (names, brands,
+  * cities — vocabulary grows sublinearly with data). So the pipeline
+  * first collapses to `distinct value + row count` (one shuffle keyed by
+  * the value — the only corpus-scale stage), and every quadratic step
+  * runs on the distinct-value frame: blocking bounds the candidate set,
+  * the DP edit distance runs per candidate pair, and the resulting match
+  * table is a broadcast-scale artifact any consumer joins back to rows.
+  * At 100 TB the rows never meet the O(block²) work.
+  *
+  * Determinism: blocks and candidate order are data-derived (no rand);
+  * `levenshtein` is the classic DP both Spark and DuckDB implement
+  * identically; the canonical label is the lexicographic component min.
+  */
+object EntityOps {
+
+  /** Blocked fuzzy self-match of a string column: candidate pairs share a
+    * block key (default: the value's last whitespace token — the head
+    * noun for "adjective noun" product names), pass a cheap length-delta
+    * bound, and match when edit distance ≤ `maxDist`. Emits the value
+    * pair (canonical a < b order), the distance, and each value's row
+    * support (the audit column: how many fact rows a merge would touch).
+    */
+  def fuzzyNameMatch(df: DataFrame, valueCol: String, maxDist: Int = 3): DataFrame = {
+    val names = df
+      .groupBy(col(valueCol).as("name"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("block", element_at(split(col("name"), " "), -1))
+    val a = names.select(col("block"), col("name").as("name_a"), col("n_rows").as("n_rows_a"))
+    val b = names.select(col("block"), col("name").as("name_b"), col("n_rows").as("n_rows_b"))
+    a.join(b, Seq("block"))
+      .filter(col("name_a") < col("name_b"))
+      // levenshtein(x, y) >= |len(x) - len(y)|: skip the DP when the
+      // bound already exceeds the threshold
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist"),
+        col("n_rows_a"), col("n_rows_b"))
+  }
+
+  /** Transitive canonicalization: connected components over the fuzzy
+    * match graph (reusing the dedup collapse — `DedupOps.dupComponents`
+    * is type-agnostic, so string node ids label with the lexicographic
+    * min), then every ROW of the input mapped to its canonical value.
+    * Output is the merge audit: per canonical value, how many raw
+    * variants collapsed into it and how many rows it now covers.
+    *
+    * The component step runs on the distinct-value graph (broadcast
+    * scale); the row-level assignment is one broadcast join.
+    */
+  def fuzzyCanonicalize(df: DataFrame, valueCol: String, maxDist: Int = 3): DataFrame = {
+    val pairs = fuzzyNameMatch(df, valueCol, maxDist)
+      .select(col("name_a").as("doc_a"), col("name_b").as("doc_b"))
+    val comps = DedupOps.dupComponents(pairs)
+      .select(col("doc_id").as("name"), col("component").as("canonical"))
+    df.select(col(valueCol).as("name"))
+      .join(broadcast(comps), Seq("name"), "left")
+      .select(col("name"), coalesce(col("canonical"), col("name")).as("canonical_name"))
+      .groupBy(col("canonical_name"))
+      .agg(countDistinct(col("name")).as("n_variants"), count(lit(1)).as("n_rows"))
+  }
+}
