@@ -626,6 +626,13 @@ object SparkEntry {
     // shares the inline oracle verbatim (at-rest round trip hash-proven)
     "doc_pagerank_stored" -> ((s, d) =>
       GraphOps.docPagerankFromPairs(DedupOps.pairIndex(s, pairIndexFor(s, d)))),
+    // synchronous LPA communities over the same near-dup graph: majority
+    // label, deterministic (count desc, label asc) tie-break, 4 rounds —
+    // the density-bounded alternative to min-label components
+    "doc_communities" -> ((s, d) => GraphOps.docCommunities(t(s, d, "documents"))),
+    // LPA from the persisted pair index — third consumer of artifact #5
+    "doc_communities_stored" -> ((s, d) =>
+      GraphOps.docCommunitiesFromPairs(DedupOps.pairIndex(s, pairIndexFor(s, d)))),
     // collapse from the same edge artifact — two graph consumers, one build
     "dup_components_stored" -> ((s, d) =>
       DedupOps.dupComponents(DedupOps.pairIndex(s, pairIndexFor(s, d)))),
@@ -1568,6 +1575,28 @@ object SparkEntry {
 
   private val dupComponentsOracle =
     dupComponentsCtes + "\nSELECT doc_id, component FROM comps"
+
+  /** Synchronous LPA replayed round-for-round: each of the 4 rounds is a
+    * neighbor-label count + deterministic argmax (count desc, label asc)
+    * — the exact per-round computation the engine runs. Shared verbatim
+    * by `doc_communities` and its stored-pair-index variant.
+    */
+  private val docCommunitiesOracle = {
+    def round(r: Int) =
+      s""",
+         |c$r AS (SELECT e.dst AS node, l.lab, COUNT(*) AS c
+         |        FROM dedges e JOIN s${r - 1} l ON e.src = l.node GROUP BY 1, 2),
+         |s$r AS (SELECT node, lab FROM (
+         |        SELECT node, lab, row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+         |        FROM c$r) WHERE rn = 1)""".stripMargin
+    minhashPairsCtes +
+      """,
+        |dedges AS (SELECT doc_a AS src, doc_b AS dst FROM mpairs
+        |           UNION SELECT doc_b, doc_a FROM mpairs),
+        |s0 AS (SELECT DISTINCT src AS node, src AS lab FROM dedges)""".stripMargin +
+      (1 to 4).map(round).mkString +
+      "\nSELECT node AS doc_id, CAST(lab AS BIGINT) AS community FROM s4"
+  }
 
   /** Trailing-frame 2σ anomaly replay — shared by `events_anomaly` and
     * the streaming state machine's batch face (`anomaly_typed`).
@@ -2607,6 +2636,8 @@ object SparkEntry {
     "dup_components_stored" -> dupComponentsOracle,
     "doc_pagerank" -> docPagerankOracle,
     "doc_pagerank_stored" -> docPagerankOracle,
+    "doc_communities" -> docCommunitiesOracle,
+    "doc_communities_stored" -> docCommunitiesOracle,
     "graph_triangles" -> graphTrianglesOracle,
     "bpe_merges" -> bpeMergesOracle,
     "bpe_encode" -> bpeEncodeOracle,

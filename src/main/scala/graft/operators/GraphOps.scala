@@ -133,4 +133,58 @@ object GraphOps {
         .union(TextOps.winnowOverlapPairs(documents)
           .select(col("doc_a"), col("doc_b")))
         .distinct())
+
+  /** Synchronous label propagation (Raghavan et al.) — community
+    * detection between the collapse's two extremes: min-label components
+    * merge ANY connected structure (a single boilerplate bridge fuses two
+    * unrelated template families), while LPA communities stop at density
+    * boundaries — a node adopts the label the MAJORITY of its neighbors
+    * carry, so a lone bridge edge never overrules a family's internal
+    * consensus. The fixed round count plus the deterministic tie-break
+    * (max count, then smallest label) makes the result a pure function
+    * of the edge set — no RNG, no engine-dependent iteration order, so
+    * the whole run replays round-for-round in the oracle.
+    *
+    * `edges` is the symmetrized (src, dst) frame. Each round is one
+    * co-partitioned join (labels onto edge sources) + one (node, label)
+    * partial-agg shuffle + a per-node argmax window over rows bounded by
+    * the node's distinct-neighbor-label count ≤ degree — the same
+    * per-round cost envelope as `pagerankMicros`, with lineage
+    * checkpointed on the same cadence.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    import org.apache.spark.sql.expressions.Window
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node"))
+    for (i <- 1 to rounds) {
+      val next = edges
+        .join(labels.select(col("node").as("src"), col("lab")), Seq("src"))
+        .groupBy(col("dst").as("node"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("node")).orderBy(col("c").desc, col("lab"))))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("lab"))
+      labels = if (i % 4 == 0 && i < rounds) next.localCheckpoint() else next
+    }
+    labels
+  }
+
+  /** LPA communities over the MinHash near-dup graph (the same
+    * symmetrized candidate edges the collapse and PageRank consume).
+    */
+  def docCommunities(documents: DataFrame, rounds: Int = 4): DataFrame =
+    docCommunitiesFromPairs(DedupOps.minhashCandidatePairs(documents), rounds)
+
+  /** Same communities from a prebuilt (doc_a, doc_b) pair frame — the
+    * persisted pair-index consumer.
+    */
+  def docCommunitiesFromPairs(pairs: DataFrame, rounds: Int = 4): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+    labelPropagation(edges, rounds)
+      .select(col("node").as("doc_id"), col("lab").as("community"))
+  }
 }

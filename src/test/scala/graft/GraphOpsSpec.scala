@@ -98,4 +98,40 @@ class GraphOpsSpec extends SparkSpec {
     // the hub closes a triangle with each clique edge: 6 of them
     assert(fast(100L) == 6L)
   }
+
+  test("labelPropagation: a single bridge edge between two triangles does " +
+       "NOT merge them (the over-merge min-label components commit)") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    // triangles {1,2,3} and {10,11,12} joined only by bridge 3-10
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (3L, 10L)).toDF("doc_a", "doc_b")
+    val lpa = GraphOps.docCommunitiesFromPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-simulated 4 synchronous rounds (majority, ties -> min label):
+    // the left triangle converges to 1, the right to 3 — two communities
+    assert(lpa == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L), s"got $lpa")
+    assert(lpa.values.toSet.size == 2, "LPA must keep the two families apart")
+    // while the connected-component collapse fuses everything across the
+    // bridge into ONE cluster — the contrast that motivates LPA
+    val comps = DedupOps.dupComponents(pairs).collect()
+      .map(r => r.getLong(1)).toSet
+    assert(comps.size == 1, "components merge across the bridge by design")
+  }
+
+  test("labelPropagation: deterministic under repartitioning") {
+    import spark.implicits._
+    val pairs = (0L until 40L).flatMap { i =>
+      Seq((i, (i + 1) % 40), (i, (i + 7) % 40))
+    }.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("doc_a", "doc_b")
+    val base = GraphOps.docCommunitiesFromPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val re = GraphOps.docCommunitiesFromPairs(pairs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(base == re)
+  }
 }
