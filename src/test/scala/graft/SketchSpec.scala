@@ -119,6 +119,29 @@ class SketchSpec extends SparkSpec {
       s"KMV estimate ${est("big")} strays >30% from 512")
   }
 
+  test("kmv streams with exact batch parity: the sketch is a pure " +
+       "function of the distinct set, so multi-batch merges change nothing") {
+    import graft.functions.KmvAggregator
+    val in = java.nio.file.Files.createTempDirectory("graft-kmv-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-kmv-ckpt").toString
+    val data = (1 to 400).map(i => ((i % 3).toString, ((i * 131) % 997).toLong)).toDF("grp", "h")
+    data.repartition(5).write.mode("overwrite").parquet(in)
+    val agg = KmvAggregator.column(32)
+    val stream = spark.readStream.schema(data.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = stream.groupBy(col("grp")).agg(agg(col("h")).as("s"))
+      .writeStream.format("memory").queryName("kmv_stream").outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("kmv_stream").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val batch = data.groupBy(col("grp")).agg(agg(col("h")).as("s")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(streamed == batch,
+      "stream and batch KMV sketches must agree EXACTLY")
+  }
+
   test("kmv join estimate: disjoint key sets read 0 overlap; identical " +
        "sets read overlap == union; partial overlap lands between") {
     import graft.operators.RelationalOps
