@@ -758,6 +758,26 @@ object SparkEntry {
     "kmv_join_estimate" -> ((s, d) =>
       RelationalOps.kmvJoinEstimate(
         t(s, d, "events"), "user_id", t(s, d, "customer"), "c_custkey")),
+    // parquet AGGREGATE pushdown: COUNT/MIN/MAX answered from row-group
+    // footer statistics — at 100 TB this is scan ELISION (O(#row-groups)
+    // metadata reads, zero data pages). Needs the DSv2 parquet reader, so
+    // the query runs in a sibling session (same SparkContext, same confs
+    // otherwise) rather than flipping the engine-wide default; the
+    // PushedAggregation marker is plan-spec-gated.
+    "scan_stats_pushdown" -> ((s, d) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.sources.useV1SourceList", "")
+      s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      // timestamp/string min-max are pushdown-ineligible (parquet stats
+      // truncation / int96 legacy); long + double columns push cleanly
+      s2.read.parquet(s"$d/orders.parquet")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+    }),
     // blocked fuzzy self-match (entity resolution, value-level): distinct
     // part names, noun-blocked, edit-distance <= 3
     "fuzzy_name_match" -> ((s, d) => EntityOps.fuzzyNameMatch(t(s, d, "part"), "p_name")),
@@ -3515,6 +3535,12 @@ object SparkEntry {
         |  exact_overlap, both_in_k,
         |  CAST(both_in_k * kmv_union_est // greatest(m, 1) AS BIGINT) AS kmv_overlap_est
         |FROM calc, eo, eu""".stripMargin,
+
+    "scan_stats_pushdown" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        |FROM orders""".stripMargin,
 
     // blocked fuzzy match on distinct values; levenshtein is the same
     // classic DP in both engines

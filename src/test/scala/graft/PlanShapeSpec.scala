@@ -276,4 +276,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(q13.contains("LeftOuter"), s"q13 must keep the LEFT join:\n$q13")
     assert(!q13.contains("CartesianProduct"), s"q13 must stay equi-keyed:\n$q13")
   }
+
+  test("scan_stats_pushdown: COUNT/MIN/MAX are answered from parquet " +
+       "footer statistics — the aggregate is pushed INTO the scan") {
+    val p = plan("scan_stats_pushdown")
+    assert(p.contains("PushedAggregation") &&
+      p.contains("COUNT(*)") && p.contains("MIN(o_orderkey)"),
+      s"aggregate must push to the parquet scan (DSv2 + aggregatePushdown):\n$p")
+  }
 }
