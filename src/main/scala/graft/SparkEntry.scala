@@ -778,6 +778,39 @@ object SparkEntry {
           min(col("o_totalprice")).as("min_price"),
           max(col("o_totalprice")).as("max_price"))
     }),
+    // time-hierarchy ROLLUP (year -> quarter subtotals + grand total) —
+    // the OLAP date-drilldown face of the geo rollup
+    "rollup_time" -> ((s, d) =>
+      t(s, d, "orders")
+        .rollup(year(col("o_orderdate")).as("o_year"),
+          quarter(col("o_orderdate")).as("o_quarter"))
+        .agg(count(lit(1)).as("n_orders"),
+          RelationalOps.moneySum(col("o_totalprice")).as("total_price"))),
+
+    // first_value / nth_value / last_value with EXPLICIT frames — incl.
+    // the classic last_value trap (default frame stops at CURRENT ROW;
+    // the full-frame variant is what "last" means); integer cents
+    "window_value_family" -> ((s, d) => {
+      val daily = t(s, d, "orders")
+        .groupBy(col("o_orderstatus"),
+          date_trunc("day", col("o_orderdate")).cast(DateType).as("day"))
+        .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
+      val wRun = Window.partitionBy(col("o_orderstatus")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("o_orderstatus")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      daily.select(col("o_orderstatus"), col("day"), col("cents"),
+        first(col("cents")).over(wRun).as("first_cents"),
+        nth_value(col("cents"), 2).over(wRun).as("second_cents"),
+        last(col("cents")).over(wAll).as("last_cents"))
+    }),
+
+    // stream-static broadcast enrichment, batch face (the streaming face
+    // runs the SAME function over readStream — parity spec)
+    "events_enriched" -> ((s, d) =>
+      graft.streaming.StreamingOps.enrichWithSegments(
+        t(s, d, "events"), t(s, d, "customer"))),
+
     // blocked fuzzy self-match (entity resolution, value-level): distinct
     // part names, noun-blocked, edit-distance <= 3
     "fuzzy_name_match" -> ((s, d) => EntityOps.fuzzyNameMatch(t(s, d, "part"), "p_name")),
@@ -3541,6 +3574,34 @@ object SparkEntry {
         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
         |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
         |FROM orders""".stripMargin,
+
+    "rollup_time" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS o_quarter,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY ROLLUP(CAST(year(o_orderdate) AS INTEGER),
+        |                CAST(quarter(o_orderdate) AS INTEGER))""".stripMargin,
+
+    "window_value_family" ->
+      """WITH daily AS (SELECT o_orderstatus, CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+        |  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderstatus, day, cents,
+        |  first_value(cents) OVER (PARTITION BY o_orderstatus ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_cents,
+        |  nth_value(cents, 2) OVER (PARTITION BY o_orderstatus ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_cents,
+        |  last_value(cents) OVER (PARTITION BY o_orderstatus ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_cents
+        |FROM daily""".stripMargin,
+
+    "events_enriched" ->
+      """SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+        |  SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
 
     // blocked fuzzy match on distinct values; levenshtein is the same
     // classic DP in both engines

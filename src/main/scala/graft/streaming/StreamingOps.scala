@@ -43,6 +43,26 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Stream-static enrichment — the canonical streaming dimension join:
+    * every micro-batch of the event stream joins the (slowly-changing,
+    * re-read per batch) dimension table and rolls up per (segment, type).
+    * The dimension side is BROADCAST: at 100 TB/day of stream, the
+    * dimension is the small side by construction, and a broadcast join
+    * keeps the stream side shuffle-free — stateless, so no watermark is
+    * needed and restart recovery is trivial. Same code runs the batch
+    * face (oracled as `events_enriched`) and the streaming face (parity
+    * spec): the batch/streaming unification Structured Streaming exists
+    * for.
+    */
+  def enrichWithSegments(events: DataFrame, customer: DataFrame): DataFrame =
+    events
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("total_cents"))
+
   /** Session windows: activity sessions per user separated by ≥gap. */
   def userSessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events

@@ -339,4 +339,32 @@ class StreamingOpsSpec extends SparkSpec {
       StreamingOps.mvPruneVersions(state, keepLast = 1)
     }
   }
+
+  test("enrichWithSegments: stream-static broadcast join — streamed result " +
+       "equals the batch face across multi-batch input") {
+    val in = Files.createTempDirectory("graft-enrich-in").toString
+    val ckpt = Files.createTempDirectory("graft-enrich-ckpt").toString
+    val events = (1 to 300).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 10:${i % 60}%02d:00"),
+        (i % 7).toLong, if (i % 3 == 0) "purchase" else "view", i * 1.5)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dim = (0 to 4).map(k => (k.toLong, s"SEG${k % 2}")).toDF("c_custkey", "c_mktsegment")
+    // several files + maxFilesPerTrigger=1 → the static side joins against
+    // MANY micro-batches; the rollup state must merge to batch parity
+    events.repartition(4).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = StreamingOps.enrichWithSegments(stream, dim)
+      .writeStream.format("memory").queryName("enrich_stream").outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("enrich_stream").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val batch = StreamingOps.enrichWithSegments(events, dim).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    // users 5,6 have no dimension row: inner join must drop them in both
+    assert(batch.values.map(_._1).sum < 300)
+  }
 }
