@@ -811,6 +811,23 @@ object SparkEntry {
       graft.streaming.StreamingOps.enrichWithSegments(
         t(s, d, "events"), t(s, d, "customer"))),
 
+    // ---- statistical profiling tier (integer-exact EDA reads) ----
+    // equi-width histogram: pure integer binning on cents, bounds as a
+    // broadcast 1-row frame
+    "price_histogram" -> ((s, d) => StatsOps.histogram(t(s, d, "orders"), "o_totalprice")),
+    // chi-square independence of status x priority: per-cell fixed-shape
+    // double over exact longs, micros-quantized BEFORE the sum
+    "chi_square_status_priority" -> ((s, d) =>
+      StatsOps.chiSquare(t(s, d, "orders"), "o_orderstatus", "o_orderpriority")),
+    // Spearman rank correlation (deterministic rank tiebreak) between
+    // per-customer order count and spend
+    "spearman_spend_orders" -> ((s, d) => {
+      val pc = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("spend_cents"))
+      StatsOps.spearmanMicros(pc, "o_custkey", "n_orders", "spend_cents")
+    }),
+
     // blocked fuzzy self-match (entity resolution, value-level): distinct
     // part names, noun-blocked, edit-distance <= 3
     "fuzzy_name_match" -> ((s, d) => EntityOps.fuzzyNameMatch(t(s, d, "part"), "p_name")),
@@ -3602,6 +3619,44 @@ object SparkEntry {
         |  SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2""".stripMargin,
+
+    "price_histogram" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        |b AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM c),
+        |binned AS (SELECT (v - mn) * 20 // (mx - mn + 1) AS bin, mn, mx FROM c, b)
+        |SELECT bin, COUNT(*) AS n,
+        |  MIN(mn + (bin * (mx - mn + 1)) // 20) AS lo_cents,
+        |  MIN(mn + ((bin + 1) * (mx - mn + 1)) // 20 - 1) AS hi_cents
+        |FROM binned GROUP BY bin""".stripMargin,
+
+    "chi_square_status_priority" ->
+      """WITH obs AS (SELECT o_orderstatus AS a, o_orderpriority AS b, COUNT(*) AS obs
+        |  FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT a, SUM(obs) AS rt FROM obs GROUP BY 1),
+        |ct AS (SELECT b, SUM(obs) AS ct FROM obs GROUP BY 1),
+        |nn AS (SELECT SUM(obs) AS n, COUNT(DISTINCT a) AS na, COUNT(DISTINCT b) AS nb FROM obs),
+        |grid AS (SELECT a, rt, b, ct, coalesce(obs, 0) AS obs
+        |  FROM rt CROSS JOIN ct LEFT JOIN obs USING (a, b))
+        |SELECT CAST(n AS BIGINT) AS n, CAST((na - 1) * (nb - 1) AS BIGINT) AS dof,
+        |  SUM(CAST(round(
+        |    (CAST(obs * n - rt * ct AS DOUBLE) * CAST(obs * n - rt * ct AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) * 1000000
+        |  ) AS BIGINT)) AS chi2_micros
+        |FROM grid CROSS JOIN nn
+        |GROUP BY 1, 2""".stripMargin,
+
+    "spearman_spend_orders" ->
+      """WITH pc AS (SELECT o_custkey, COUNT(*) AS n_orders,
+        |  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT row_number() OVER (ORDER BY n_orders, o_custkey) AS rx,
+        |             row_number() OVER (ORDER BY spend_cents, o_custkey) AS ry FROM pc),
+        |dd AS (SELECT CAST(rx AS BIGINT) - CAST(ry AS BIGINT) AS d FROM r)
+        |SELECT COUNT(*) AS n,
+        |  CAST(round((1.0 - (6.0 * CAST(SUM(d * d) AS DOUBLE))
+        |    / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) - 1.0)))
+        |    * 1000000) AS BIGINT) AS rho_micros
+        |FROM dd""".stripMargin,
 
     // blocked fuzzy match on distinct values; levenshtein is the same
     // classic DP in both engines

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Statistical profiling tier ([EXT] — the EDA/data-quality reads an
+  * analytics warehouse serves next to its marts: distribution histograms,
+  * categorical-independence tests, rank correlation). The reference's BI
+  * layer delegates these to Metabase visuals; here each is a Spark
+  * aggregate with the repo's cross-engine determinism discipline.
+  *
+  * Determinism pattern shared by all three: anything that feeds a
+  * comparison or a sum is either pure INTEGER arithmetic (cents, ranks,
+  * squared rank gaps) or a FIXED-SHAPE double expression over
+  * exactly-representable integers quantized to micros BEFORE the final
+  * sum — the `momentsProfile` lesson (closed forms over exact integers
+  * are bit-identical everywhere; running float accumulators are not).
+  */
+object StatsOps {
+
+  /** Equi-width histogram in pure integer arithmetic: values quantized to
+    * cents, bin = (v − min) · bins div (max − min + 1) — the +1 keeps the
+    * max value inside the last bin with no float edge anywhere. Bounds
+    * ride a broadcast 1-row frame; one partial-agg shuffle for the
+    * counts. Empty bins are absent by construction (COUNT over observed
+    * bins), which both engines agree on.
+    */
+  def histogram(df: DataFrame, valCol: String, bins: Int = 20): DataFrame = {
+    require(bins >= 1, s"bins must be positive, got $bins")
+    val cents = df.select(expr(s"cast(round($valCol * 100) as bigint)").as("v"))
+    val bounds = cents.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    cents.crossJoin(broadcast(bounds))
+      .select(expr(s"(v - mn) * $bins div (mx - mn + 1)").as("bin"),
+        col("mn"), col("mx"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        // bin edges re-derived from the broadcast bounds — integer floor
+        // division mirrors the binning arithmetic exactly
+        min(expr(s"mn + (bin * (mx - mn + 1)) div $bins")).as("lo_cents"),
+        min(expr(s"mn + ((bin + 1) * (mx - mn + 1)) div $bins - 1")).as("hi_cents"))
+  }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns. Observed/row/column totals are exact longs; each cell's
+    * (obs·n − rowtot·coltot)²/(n·rowtot·coltot) term is ONE fixed-shape
+    * double expression over exactly-representable integers (all inputs
+    * < 2^53), quantized to micros, then SUMMED AS INTEGERS — so the
+    * statistic is bit-identical on any engine and any partitioning.
+    * (The textbook Σ(O−E)²/E over float expectations would be neither.)
+    * Cells and marginals are bounded by category cardinalities —
+    * broadcast scale; the only corpus-scale work is the (a, b) count.
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("obs"))
+    val rowTot = obs.groupBy(col("a")).agg(sum(col("obs")).as("rt"))
+    val colTot = obs.groupBy(col("b")).agg(sum(col("obs")).as("ct"))
+    val n = obs.agg(sum(col("obs")).as("n"),
+      countDistinct(col("a")).as("na"), countDistinct(col("b")).as("nb"))
+    // the FULL a x b grid, not just observed cells: an empty cell still
+    // contributes its expectation (term = E = rt*ct/n) — dropping it
+    // understates the statistic exactly when dependence is strongest
+    rowTot.crossJoin(broadcast(colTot))
+      .join(obs, Seq("a", "b"), "left")
+      .withColumn("obs", coalesce(col("obs"), lit(0L)))
+      .crossJoin(broadcast(n))
+      .select(
+        expr("""cast(round(
+          |  (cast(obs * n - rt * ct as double) * cast(obs * n - rt * ct as double))
+          |  / (cast(n as double) * cast(rt as double) * cast(ct as double)) * 1000000
+          |) as bigint)""".stripMargin).as("term_micros"),
+        col("n"), col("na"), col("nb"))
+      .groupBy(col("n"), ((col("na") - 1) * (col("nb") - 1)).as("dof"))
+      .agg(sum(col("term_micros")).as("chi2_micros"))
+      .select(col("n"), col("dof"), col("chi2_micros"))
+  }
+
+  /** Spearman rank correlation, deterministic variant: ranks are
+    * row_number in (value, id) order — a documented tiebreak instead of
+    * the statistical average-rank convention, which keeps every rank an
+    * exact integer (Σd² is then exact, and the closed form
+    * 1 − 6Σd²/(n(n²−1)) is one fixed-shape double over exact integers,
+    * micros-quantized). The global rank windows serialize on one
+    * reducer, so this profile is for DIMENSION-scale frames (customers,
+    * sources — the EDA use); fact-scale rank correlation would shard
+    * ranks the way `packChunks` shards running totals.
+    */
+  def spearmanMicros(df: DataFrame, idCol: String, xCol: String, yCol: String): DataFrame = {
+    val wx = Window.orderBy(col(xCol), col(idCol))
+    val wy = Window.orderBy(col(yCol), col(idCol))
+    df.select(col(idCol), col(xCol), col(yCol))
+      .withColumn("rx", row_number().over(wx))
+      .withColumn("ry", row_number().over(wy))
+      .select((col("rx").cast(LongType) - col("ry")).as("d"))
+      .agg(count(lit(1)).as("n"), sum(col("d") * col("d")).as("sd2"))
+      .select(col("n"),
+        expr("""cast(round(
+          |  (1.0d - (6.0d * cast(sd2 as double))
+          |   / (cast(n as double) * (cast(n as double) * cast(n as double) - 1.0d)))
+          |  * 1000000) as bigint)""".stripMargin).as("rho_micros"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.StatsOps
+
+/** Statistical profiling tier: integer binning edges, chi-square closed
+  * forms (0 under independence, n under perfect 2x2 dependence), Spearman
+  * ±1 poles.
+  */
+class StatsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("histogram: integer binning covers min and max, edges partition " +
+       "the cent range, counts sum to n") {
+    // cents 100..1090, 5 bins over [100, 1090] -> width ceil(991/5)
+    val df = (0 to 9).map(i => i * 110 + 1.0).toDF("v") // dollars
+    val got = StatsOps.histogram(df, "v", bins = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.map(_._2).sum == 10L, "every value lands in exactly one bin")
+    assert(got.head._1 == 0L && got.last._1 == 4L,
+      "min lands in bin 0, max in the last bin")
+    // edges are contiguous and disjoint: next lo = prior hi + 1
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 == a._4 + 1, s"gap between ${a._4} and ${b._3}") }
+    // every member value is within its bin's [lo, hi]
+    val all = StatsOps.histogram(df, "v", bins = 5)
+    assert(all.filter(col("lo_cents") > col("hi_cents")).count() == 0)
+  }
+
+  test("chiSquare: 0 under exact independence; n under perfect 2x2 " +
+       "dependence; dof = (na-1)(nb-1)") {
+    // independent: every (a, b) cell has the same count
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 25 }
+      yield (a, b)).toDF("a", "b")
+    val r1 = StatsOps.chiSquare(ind, "a", "b").head()
+    assert(r1.getAs[Long]("chi2_micros") == 0L)
+    assert(r1.getAs[Long]("dof") == 1L)
+    // perfectly dependent 2x2: chi2 == n exactly
+    val dep = (Seq.fill(30)(("x", "p")) ++ Seq.fill(70)(("y", "q"))).toDF("a", "b")
+    val r2 = StatsOps.chiSquare(dep, "a", "b").head()
+    assert(r2.getAs[Long]("n") == 100L)
+    assert(r2.getAs[Long]("chi2_micros") == 100L * 1000000L,
+      s"perfect dependence: chi2 must equal n, got ${r2.getAs[Long]("chi2_micros")}")
+  }
+
+  test("spearmanMicros: +1e6 on monotone-increasing, -1e6 on " +
+       "monotone-decreasing, ~0 on a rank-shuffling permutation") {
+    val inc = (1 to 50).map(i => (i.toLong, i.toLong, i * 3L)).toDF("id", "x", "y")
+    assert(StatsOps.spearmanMicros(inc, "id", "x", "y").head().getLong(1) == 1000000L)
+    val dec = (1 to 50).map(i => (i.toLong, i.toLong, -i * 3L)).toDF("id", "x", "y")
+    assert(StatsOps.spearmanMicros(dec, "id", "x", "y").head().getLong(1) == -1000000L)
+    // a deterministic near-permutation: |rho| well inside the poles
+    val mix = (1 to 50).map(i => (i.toLong, i.toLong, ((i * 29) % 50).toLong)).toDF("id", "x", "y")
+    val rho = StatsOps.spearmanMicros(mix, "id", "x", "y").head().getLong(1)
+    assert(math.abs(rho) < 500000L, s"shuffled ranks must not read correlated: $rho")
+  }
+}
