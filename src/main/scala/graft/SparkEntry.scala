@@ -827,6 +827,12 @@ object SparkEntry {
           sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("spend_cents"))
       StatsOps.spearmanMicros(pc, "o_custkey", "n_orders", "spend_cents")
     }),
+    // OLS revenue trend per type: exact integer moments, one double
+    // division quantized to micros (the momentsProfile discipline)
+    "revenue_trend" -> ((s, d) => EventOps.revenueTrend(t(s, d, "events"))),
+    // CUSUM changepoint: peak |running deviation sum|, cross-multiplied
+    // integers end-to-end
+    "cusum_changepoint" -> ((s, d) => EventOps.cusumChangepoint(t(s, d, "events"))),
 
     // blocked fuzzy self-match (entity resolution, value-level): distinct
     // part names, noun-blocked, edit-distance <= 3
@@ -3644,6 +3650,40 @@ object SparkEntry {
         |  ) AS BIGINT)) AS chi2_micros
         |FROM grid CROSS JOIN nn
         |GROUP BY 1, 2""".stripMargin,
+
+    "revenue_trend" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |d AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |      SUM(CAST(round(value * 100) AS BIGINT)) AS cents FROM e GROUP BY 1, 2),
+        |m AS (SELECT event_type, COUNT(*) AS n,
+        |      SUM(CAST(datediff('day', DATE '1995-01-01', day) AS HUGEINT)) AS sx,
+        |      SUM(CAST(cents AS HUGEINT)) AS sy,
+        |      SUM(CAST(datediff('day', DATE '1995-01-01', day) AS HUGEINT)
+        |          * CAST(datediff('day', DATE '1995-01-01', day) AS HUGEINT)) AS sxx,
+        |      SUM(CAST(datediff('day', DATE '1995-01-01', day) AS HUGEINT)
+        |          * CAST(cents AS HUGEINT)) AS sxy
+        |      FROM d GROUP BY 1)
+        |SELECT event_type, n AS n_days,
+        |  CASE WHEN n * sxx - sx * sx <> 0 THEN
+        |    CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |               / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) AS BIGINT)
+        |  END AS slope_micros
+        |FROM m""".stripMargin,
+
+    "cusum_changepoint" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |d AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |      SUM(CAST(round(value * 100) AS BIGINT)) AS cents FROM e GROUP BY 1, 2),
+        |t AS (SELECT event_type, SUM(cents) AS total, COUNT(*) AS n_days FROM d GROUP BY 1),
+        |c AS (SELECT d.event_type, day, n_days,
+        |      SUM(cents * n_days - total) OVER (PARTITION BY d.event_type ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum_scaled
+        |      FROM d JOIN t USING (event_type)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY abs(cusum_scaled) DESC, day) AS rn FROM c)
+        |SELECT event_type, day AS change_day,
+        |       CAST(cusum_scaled AS BIGINT) AS cusum_scaled, n_days
+        |FROM r WHERE rn = 1""".stripMargin,
 
     "spearman_spend_orders" ->
       """WITH pc AS (SELECT o_custkey, COUNT(*) AS n_orders,

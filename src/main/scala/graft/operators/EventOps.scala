@@ -484,4 +484,66 @@ object EventOps {
         expr("(cnt * 1000000L + total div 2) div total").as("share_ppm"),
         expr("(cum_cnt * 1000000L + total div 2) div total").as("cum_share_ppm"))
   }
+
+  /** Per-type linear revenue trend: OLS slope of daily cents against the
+    * day index (days since the corpus epoch — small integers, so every
+    * moment stays well inside DECIMAL(38,0)). The closed form
+    * (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) follows the `momentsProfile`
+    * discipline: exact integer moments, the two polynomial terms agreed
+    * exactly cross-engine, ONE double division quantized to micros.
+    * One (type, day) aggregate + one per-type moment aggregate — map-side
+    * combined, nothing global. Constant-day groups (B = 0) yield NULL.
+    */
+  def revenueTrend(events: DataFrame): DataFrame = {
+    val D = DecimalType(38, 0)
+    val daily = events
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("1995-01-01").cast(DateType)).cast(LongType).as("x"),
+        col("cents").as("y"))
+    daily
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(D)).as("sx"), sum(col("y").cast(D)).as("sy"),
+        sum((col("x") * col("x")).cast(D)).as("sxx"),
+        sum((col("x") * col("y")).cast(D)).as("sxy"))
+      .select(col("event_type"), col("n"),
+        expr("n * sxy - sx * sy").as("A"), expr("n * sxx - sx * sx").as("B"))
+      .select(col("event_type"), col("n").as("n_days"),
+        when(col("B") =!= 0,
+          expr("cast(round(cast(A as double) / cast(B as double) * 1000000) as bigint)"))
+          .as("slope_micros"))
+  }
+
+  /** CUSUM changepoint scan per event type: the day where the running sum
+    * of deviations from the series mean peaks in magnitude — the classic
+    * single-changepoint estimator for "when did the level shift". The
+    * deviation is kept integral by cross-multiplication
+    * (cents·n − total, i.e. n× the true deviation), so the running sum,
+    * the argmax, and the tiebreak (earliest day) are all exact integer
+    * comparisons on any engine. One (type, day) aggregate, per-type
+    * totals broadcast back, one type-keyed window pair over #days rows.
+    */
+  def cusumChangepoint(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+    val totals = daily.groupBy(col("event_type"))
+      .agg(sum(col("cents")).as("total"), count(lit(1)).as("n_days"))
+    val wRun = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPick = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("cusum_scaled")).desc, col("day"))
+    daily
+      .join(broadcast(totals), Seq("event_type"))
+      .withColumn("cusum_scaled",
+        sum(col("cents") * col("n_days") - col("total")).over(wRun))
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("change_day"),
+        col("cusum_scaled"), col("n_days"))
+  }
 }

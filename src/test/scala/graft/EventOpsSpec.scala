@@ -333,4 +333,33 @@ class EventOpsSpec extends SparkSpec {
     assert(got("a") == ((3L, 2000000L, Some(0.0), Some(-1.5))), got.toString)
     assert(got("c") == ((2L, 7000000L, None, None)), got.toString)
   }
+
+  test("revenueTrend: exact slope on a linear series; single-day series " +
+       "reads NULL (zero x-variance)") {
+    // type "up": daily cents 1000 + 250·k over 5 consecutive days → the
+    // OLS slope is exactly 250 cents/day = 250_000_000 micros
+    val ev = ((0 to 4).map(k =>
+      ("up", Timestamp.valueOf(s"1995-01-0${k + 1} 12:00:00"), 10.0 + 2.5 * k)) :+
+      (("flat", Timestamp.valueOf("1995-01-03 09:00:00"), 55.0)))
+      .toDF("event_type", "ts", "value")
+      .withColumn("event_id", lit(1L)).withColumn("user_id", lit(1L))
+    val got = EventOps.revenueTrend(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), Option(r.get(2))))).toMap
+    assert(got("up") == ((5L, Some(250000000L))), got.toString)
+    assert(got("flat") == ((1L, None)), "one day has no slope")
+  }
+
+  test("cusumChangepoint: the peak |cusum| lands on the last pre-shift " +
+       "day of a level shift") {
+    // 4 days at $10 then 4 days at $20: scaled deviations ∓4000, cusum
+    // bottoms at -16000 on day 4 — the shift boundary
+    val ev = (1 to 8).map { k =>
+      ("buy", Timestamp.valueOf(s"1995-01-0$k 12:00:00"), if (k <= 4) 10.0 else 20.0)
+    }.toDF("event_type", "ts", "value")
+    val r = EventOps.cusumChangepoint(ev).head()
+    assert(r.getString(0) == "buy")
+    assert(r.getDate(1).toString == "1995-01-04", s"change day ${r.getDate(1)}")
+    assert(r.getLong(2) == -16000L, s"cusum ${r.getLong(2)}")
+    assert(r.getLong(3) == 8L)
+  }
 }
