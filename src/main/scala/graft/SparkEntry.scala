@@ -758,6 +758,11 @@ object SparkEntry {
     "kmv_join_estimate" -> ((s, d) =>
       RelationalOps.kmvJoinEstimate(
         t(s, d, "events"), "user_id", t(s, d, "customer"), "c_custkey")),
+    // trailing-7-day distinct users via KMV UNION composition — one
+    // corpus scan, window algebra over bounded arrays (the sketch answer
+    // to stickiness's exact user-universe fan-out)
+    "kmv_rolling_distinct" -> ((s, d) =>
+      RelationalOps.kmvRollingDistinct(t(s, d, "events"))),
     // parquet AGGREGATE pushdown: COUNT/MIN/MAX answered from row-group
     // footer statistics — at 100 TB this is scan ELISION (O(#row-groups)
     // metadata reads, zero data pages). Needs the DSv2 parquet reader, so
@@ -3697,6 +3702,23 @@ object SparkEntry {
         |    / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) - 1.0)))
         |    * 1000000) AS BIGINT) AS rho_micros
         |FROM dd""".stripMargin,
+
+    "kmv_rolling_distinct" ->
+      """WITH e AS (SELECT DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |      CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        |      FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM e),
+        |sk AS (SELECT day, list(h ORDER BY h) AS sketch FROM r WHERE rn <= 128 GROUP BY day),
+        |contrib AS (SELECT CAST(sk.day + CAST(i AS INTEGER) AS DATE) AS target, sketch
+        |            FROM sk, (SELECT unnest(range(0, 7)) AS i) off
+        |            WHERE sk.day + CAST(i AS INTEGER) IN (SELECT day FROM sk)),
+        |m AS (SELECT target AS day, COUNT(*) AS n_days,
+        |      (list_sort(list_distinct(flatten(list(sketch)))))[1:128] AS merged
+        |      FROM contrib GROUP BY 1)
+        |SELECT day, n_days,
+        |  CAST(CASE WHEN len(merged) < 128 THEN len(merged)
+        |       ELSE 127 * 4294967296 // greatest(merged[128], 1) END AS BIGINT) AS wau_est
+        |FROM m""".stripMargin,
 
     // blocked fuzzy match on distinct values; levenshtein is the same
     // classic DP in both engines

@@ -628,6 +628,35 @@ object RelationalOps {
       .select(col("event_type"), col("exact_users"),
         kmvEstimate("sketch", k).as("kmv_estimate"))
 
+  /** Trailing 7-day distinct users from composed KMV sketches — the
+    * sketch answer to `stickiness`'s exact 7× fan-out: ONE sketch per
+    * (day) is built from the corpus, and every trailing window is a
+    * UNION of ≤ 7 bounded arrays (k smallest of the merged value sets),
+    * so at 100 TB the corpus is scanned once and the window algebra runs
+    * over #days × k longs. The fan-out join carries k-value sketches,
+    * not user ids — at a billion users/day the exact formulation
+    * shuffles the user universe 7×, this shuffles 7 KB rows. Estimates
+    * are the same replayed BIGINT arithmetic as `kmvDistinctUsers`.
+    */
+  def kmvRollingDistinct(events: DataFrame, k: Int = 128, windowDays: Int = 7): DataFrame = {
+    val daily = events
+      .filter(col("user_id").isNotNull)
+      .select(date_trunc("day", col("ts")).cast(DateType).as("day"),
+        hash32(col("user_id")).as("h"))
+      .groupBy(col("day"))
+      .agg(graft.functions.KmvAggregator.column(k)(col("h")).as("sketch"))
+    val days = daily.select(col("day").as("target"))
+    daily
+      .select(explode(expr(s"sequence(0, ${windowDays - 1})")).as("i"),
+        col("day"), col("sketch"))
+      .select(date_add(col("day"), col("i")).as("target"), col("sketch"))
+      .join(days, Seq("target"), "left_semi")
+      .groupBy(col("target").as("day"))
+      .agg(count(lit(1)).as("n_days"), collect_list(col("sketch")).as("sketches"))
+      .withColumn("merged", expr(s"slice(array_sort(array_distinct(flatten(sketches))), 1, $k)"))
+      .select(col("day"), col("n_days"), kmvEstimate("merged", k).as("wau_est"))
+  }
+
   /** Sketch-based equi-join key-overlap estimation — the CBO primitive:
     * how many distinct join keys do two tables share? Each side collapses
     * to a k-value KMV sketch; the k smallest of the merged value sets

@@ -142,6 +142,24 @@ class SketchSpec extends SparkSpec {
       "stream and batch KMV sketches must agree EXACTLY")
   }
 
+  test("kmvRollingDistinct: trailing-window union over daily sketches — " +
+       "below-k windows read EXACT distinct users") {
+    import graft.operators.RelationalOps
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    // day1 {1,2}, day2 {2,3}, day9 {9}: day2's window unions day1+day2;
+    // day9 is beyond day2+6 so it stands alone
+    val ev = Seq(
+      (ts(1), 1L), (ts(1), 2L), (ts(1), 2L),
+      (ts(2), 2L), (ts(2), 3L),
+      (ts(9), 9L)).toDF("ts", "user_id")
+    val got = RelationalOps.kmvRollingDistinct(ev).collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "2024-01-01" -> ((1L, 2L)),  // 1 member day, users {1,2}
+      "2024-01-02" -> ((2L, 3L)),  // day1 ∪ day2 = {1,2,3}
+      "2024-01-09" -> ((1L, 1L))), s"got $got")
+  }
+
   test("kmv join estimate: disjoint key sets read 0 overlap; identical " +
        "sets read overlap == union; partial overlap lands between") {
     import graft.operators.RelationalOps
