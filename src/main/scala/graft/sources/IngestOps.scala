@@ -39,6 +39,59 @@ object IngestOps {
     df.sparkSession.read.orc(path)
   }
 
+  /** PERMISSIVE CSV ingest with captured bad records — the raw-zone
+    * reality the reference's manual load step glosses over: feeds carry
+    * malformed rows, and a load must neither die on them (FAILFAST) nor
+    * silently null them (plain PERMISSIVE). Rows that fail the schema
+    * land with their ORIGINAL text in `_corrupt` — clean rows flow on,
+    * corrupt rows are quarantine-able (the dq tier's `store-failures`
+    * idea applied at the parse boundary).
+    *
+    * Spark wrinkle encoded here: the corrupt-record column must be part
+    * of the read schema, and a query over ONLY that column is
+    * disallowed — callers keep at least one data column in scope.
+    */
+  def readCsvAudited(spark: org.apache.spark.sql.SparkSession, path: String,
+                     schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val withCorrupt = schema
+      .add(org.apache.spark.sql.types.StructField("_corrupt",
+        org.apache.spark.sql.types.StringType, nullable = true))
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(withCorrupt)
+      .csv(path)
+  }
+
+  /** Parse-boundary audit over `readCsvAudited`: clean/corrupt counts —
+    * the load gate a pipeline checks before promoting the batch. The
+    * row count deliberately references a DATA column (via a never-null
+    * coalesce): Spark refuses queries whose referenced columns are only
+    * the corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the
+    * reference keeps the parse honest without caching the frame.
+    */
+  def csvLoadAudit(df: DataFrame): DataFrame = {
+    val dataCols = df.columns.filter(_ != "_corrupt")
+    require(dataCols.nonEmpty, "audited frame has no data columns")
+    // The grouping key is "" for every row but REFERENCES every data
+    // column through a non-foldable expression, for two reasons: (a) a
+    // plain aggregate gets pruned down to the corrupt column alone,
+    // re-triggering the corrupt-only-query restriction; (b) under CSV
+    // column pruning a row is only marked corrupt when a REQUIRED column
+    // fails to parse — auditing through a one-column anchor would
+    // silently pass rows whose unreferenced columns are malformed. One
+    // group → one audit row, same as a global agg.
+    val anchor = substring(
+      concat_ws("", dataCols.map(c => col(c).cast("string")).toIndexedSeq: _*), 1, 0)
+    df.groupBy(anchor.as("__anchor"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("_corrupt").isNull, 1L).otherwise(0L)).as("n_clean"),
+        sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_corrupt"))
+      .drop("__anchor")
+  }
+
   /** F5: ingest timestamp default — `created_at TIMESTAMPTZ DEFAULT NOW()`
     * (reference README.md:265).
     */

@@ -198,4 +198,38 @@ class IngestOpsSpec extends SparkSpec {
     assert(touching(zb) <= 8,
       s"z-order: y ranges must be bounded per file; got ${touching(zb)}/16 touching")
   }
+
+  test("readCsvAudited: clean rows parse, malformed rows land with their " +
+       "original text in _corrupt; the audit counts both") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-csv-bad").toString
+    val csv = Seq(
+      "id,amount,name",
+      "1,10.5,alpha",
+      "2,not_a_number,beta",   // unparseable double
+      "3,30.25,gamma",
+      "4,,delta"               // missing amount: legal null, NOT corrupt
+    ).mkString("\n")
+    Files.writeString(java.nio.file.Paths.get(dir, "feed.csv"), csv)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("amount", DoubleType),
+      StructField("name", StringType)))
+    val df = IngestOps.readCsvAudited(spark, dir, schema)
+    val rows = df.collect().map(r =>
+      (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))
+    // clean rows: parsed values, null _corrupt
+    assert(rows.contains((Some(1L), Some(10.5), Some("alpha"), None)))
+    assert(rows.contains((Some(4L), None, Some("delta"), None)),
+      "a missing field is a legal null, not a corrupt row")
+    // the malformed row keeps its ORIGINAL text for quarantine/repair
+    val bad = rows.filter(_._4.isDefined)
+    assert(bad.length == 1 && bad.head._4.get == "2,not_a_number,beta", bad.mkString)
+    val audit = IngestOps.csvLoadAudit(df).head()
+    assert((audit.getLong(0), audit.getLong(1), audit.getLong(2)) == ((4L, 3L, 1L)))
+    // FAILFAST is the contrast: the same feed kills the load
+    intercept[org.apache.spark.SparkException] {
+      spark.read.option("header", "true").option("mode", "FAILFAST")
+        .schema(schema).csv(dir).collect()
+    }
+  }
 }

@@ -284,4 +284,27 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("COUNT(*)") && p.contains("MIN(o_orderkey)"),
       s"aggregate must push to the parquet scan (DSv2 + aggregatePushdown):\n$p")
   }
+
+  test("r9d sketch/stats/ER tiers keep their scale shapes: KMV aggregates " +
+       "plan partial+final (bounded buffers merge map-side); chi-square " +
+       "grid and histogram bounds are broadcast 1-row anchors; fuzzy ER " +
+       "and LPA stay equi-keyed") {
+    for (q <- Seq("kmv_distinct", "kmv_rolling_distinct")) {
+      val p = plan(q)
+      assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 2,
+        s"$q sketch aggregate must plan partial+final:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q must not cross-join:\n$p")
+    }
+    for (q <- Seq("price_histogram", "chi_square_status_priority", "kmv_join_estimate")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q bounds/grid/sketch anchors must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q must never shuffle-join its bounded anchors:\n$p")
+    }
+    for (q <- Seq("fuzzy_name_match", "fuzzy_canonicalize", "doc_communities")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q must stay equi-keyed:\n$p")
+    }
+  }
 }
