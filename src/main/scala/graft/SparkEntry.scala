@@ -645,6 +645,11 @@ object SparkEntry {
     // degree-ordered orientation keeps candidate wedges ≤ m^1.5
     "graph_triangles" -> ((s, d) =>
       GraphOps.docTriangles(t(s, d, "documents"))),
+    // triangles from the persisted pair index (4th consumer of artifact
+    // #5): strips BOTH candidate derivations — the inline query's cost
+    // is mostly edge derivation, and this is the amortized read
+    "graph_triangles_stored" -> ((s, d) =>
+      GraphOps.triangleStats(DedupOps.pairIndex(s, pairIndexFor(s, d)))),
     // incremental ingestion: 1/4 of the docs play the historical corpus
     // (its fp + band-key INDEX is all the screen touches), the rest are
     // the daily delta — exact-dedup within the delta, then exact + near
@@ -1763,7 +1768,16 @@ object SparkEntry {
       |wshared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       |            FROM wpf a JOIN wpf b ON a.fp = b.fp AND a.doc_id < b.doc_id
       |            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-      |edges AS (SELECT doc_a, doc_b FROM mpairs UNION SELECT doc_a, doc_b FROM wshared),
+      |edges AS (SELECT doc_a, doc_b FROM mpairs UNION SELECT doc_a, doc_b FROM wshared)""".stripMargin +
+    triangleClosureCtes
+
+  /** Degree/triangle/coefficient closure over whatever `edges` CTE the
+    * prefix defined — shared by the multi-evidence inline oracle and the
+    * stored-pair-index variant (minhash edges only). Lazy: referenced by
+    * a val declared ABOVE it (object init order would read null).
+    */
+  private lazy val triangleClosureCtes: String =
+    """,
       |tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
       |        FROM edges e1 JOIN edges e2 ON e2.doc_a = e1.doc_b
       |        JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
@@ -1774,6 +1788,15 @@ object SparkEntry {
       |SELECT tc.n AS doc_id, tc.triangles, deg.deg,
       |       CAST((2 * tc.triangles * 1000000) // (deg.deg * (deg.deg - 1)) AS BIGINT) AS clustering_ppm
       |FROM tc JOIN deg ON tc.n = deg.n""".stripMargin
+
+  /** Triangles over the persisted pair index: the index holds the
+    * MinHash candidate edges, so the oracle is the same closure over
+    * `mpairs` alone.
+    */
+  private val graphTrianglesStoredOracle: String = minhashPairsCtes +
+    """,
+      |edges AS (SELECT doc_a, doc_b FROM mpairs)""".stripMargin +
+    triangleClosureCtes
 
   /** BPE training replay: 10 merge rounds unrolled as CTEs — each round
     * extracts adjacent symbol pairs from the sentinel strings, takes the
@@ -2720,6 +2743,7 @@ object SparkEntry {
     "doc_communities" -> docCommunitiesOracle,
     "doc_communities_stored" -> docCommunitiesOracle,
     "graph_triangles" -> graphTrianglesOracle,
+    "graph_triangles_stored" -> graphTrianglesStoredOracle,
     "bpe_merges" -> bpeMergesOracle,
     "bpe_encode" -> bpeEncodeOracle,
     "bpe_oov" -> bpeOovOracle,
