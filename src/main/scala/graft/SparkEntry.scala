@@ -821,6 +821,10 @@ object SparkEntry {
       graft.streaming.StreamingOps.enrichWithSegments(
         t(s, d, "events"), t(s, d, "customer"))),
 
+    // governance view rewrite: pseudonymized identifiers (sha-256 —
+    // join/group-by still work), banded quasi-identifiers, zero shuffle
+    "masked_customers" -> ((s, d) => RelationalOps.maskedCustomers(t(s, d, "customer"))),
+
     // ---- statistical profiling tier (integer-exact EDA reads) ----
     // equi-width histogram: pure integer binning on cents, bounds as a
     // broadcast 1-row frame
@@ -3654,6 +3658,12 @@ object SparkEntry {
         |  SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2""".stripMargin,
+
+    "masked_customers" ->
+      """SELECT c_custkey, sha256(c_name) AS name_pseudo,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) // 10000 * 100 AS acctbal_band,
+        |  c_mktsegment
+        |FROM customer""".stripMargin,
 
     "price_histogram" ->
       """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),

@@ -593,6 +593,24 @@ object RelationalOps {
           .as("kurtosis"))
   }
 
+  /** Governance view rewrite ([EXT] — the column-masking / data-minimizing
+    * face a warehouse serves to non-privileged principals): direct
+    * identifiers are PSEUDONYMIZED (sha-256 — deterministic, so joins and
+    * group-bys on the masked column still work, unlike redaction),
+    * quasi-identifiers are GENERALIZED (balance banded to $100 buckets —
+    * k-anonymity-style coarsening), and non-identifying analytics columns
+    * pass through. Pure per-row projection: zero shuffle, pushes into the
+    * scan, and composes under any downstream query exactly like the raw
+    * table — which is the point of masking-as-view over masking-at-copy.
+    */
+  def maskedCustomers(customer: DataFrame): DataFrame =
+    customer.select(
+      col("c_custkey"),
+      sha2(col("c_name"), 256).as("name_pseudo"),
+      expr("cast(round(c_acctbal * 100) as bigint) div 10000 * 100")
+        .as("acctbal_band"),
+      col("c_mktsegment"))
+
   /** Portable 32-bit hash shared by the KMV sketch paths: the same
     * md5-prefix both DuckDB and any other engine replay bit-exactly.
     */
