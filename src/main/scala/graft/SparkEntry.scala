@@ -833,6 +833,9 @@ object SparkEntry {
     // double over exact longs, micros-quantized BEFORE the sum
     "chi_square_status_priority" -> ((s, d) =>
       StatsOps.chiSquare(t(s, d, "orders"), "o_orderstatus", "o_orderpriority")),
+    // Benford first-digit audit over order totals: observed share vs the
+    // log10(1+1/d) expectation, both in ppm
+    "benford_audit" -> ((s, d) => StatsOps.benfordAudit(t(s, d, "orders"), "o_totalprice")),
     // Spearman rank correlation (deterministic rank tiebreak) between
     // per-customer order count and spend
     "spearman_spend_orders" -> ((s, d) => {
@@ -3689,6 +3692,17 @@ object SparkEntry {
         |  ) AS BIGINT)) AS chi2_micros
         |FROM grid CROSS JOIN nn
         |GROUP BY 1, 2""".stripMargin,
+
+    "benford_audit" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+        |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit FROM c),
+        |t AS (SELECT COUNT(*) AS total FROM c)
+        |SELECT digit, COUNT(*) AS n,
+        |  (COUNT(*) * 1000000 + total // 2) // total AS share_ppm,
+        |  CAST(round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 1000000) AS BIGINT) AS benford_ppm
+        |FROM d CROSS JOIN t
+        |GROUP BY digit, total""".stripMargin,
 
     "revenue_trend" ->
       """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),

@@ -77,6 +77,28 @@ object StatsOps {
       .select(col("n"), col("dof"), col("chi2_micros"))
   }
 
+  /** Benford first-digit audit — the classic fabricated-figures screen
+    * over a money column: natural multi-scale amounts follow
+    * P(d) = log10(1 + 1/d); invented ones cluster on round or uniform
+    * leading digits. The digit comes from the CENTS integer's decimal
+    * string (no float formatting anywhere); the expectation is a
+    * fixed-shape double over the INTEGER digit, ppm-quantized, so both
+    * engines emit identical rows. One partial-agg pass; 9 output rows.
+    */
+  def benfordAudit(df: DataFrame, valCol: String): DataFrame =
+    df.select(expr(s"cast(round($valCol * 100) as bigint)").as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast(StringType), 1, 1).cast(IntegerType).as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(
+        df.select(expr(s"cast(round($valCol * 100) as bigint)").as("c"))
+          .filter(col("c") > 0).agg(count(lit(1)).as("total"))))
+      .select(col("digit"), col("n"),
+        expr("(n * 1000000 + total div 2) div total").as("share_ppm"),
+        expr("cast(round(ln(1.0d + 1.0d / cast(digit as double)) / ln(10.0d) * 1000000) as bigint)")
+          .as("benford_ppm"))
+
   /** Spearman rank correlation, deterministic variant: ranks are
     * row_number in (value, id) order — a documented tiebreak instead of
     * the statistical average-rank convention, which keeps every rank an

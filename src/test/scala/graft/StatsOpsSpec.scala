@@ -44,6 +44,21 @@ class StatsOpsSpec extends SparkSpec {
       s"perfect dependence: chi2 must equal n, got ${r2.getAs[Long]("chi2_micros")}")
   }
 
+  test("benfordAudit: digits come from cents (no float formatting), " +
+       "expectations are the log10(1+1/d) ppm table, non-positive rows drop") {
+    // cents: 1234 -> digit 1, 9876 -> 9, 55 -> 5, 100 -> 1; 0 and
+    // negative amounts are excluded (no leading digit)
+    val df = Seq(12.34, 98.76, 0.55, 1.00, 0.0, -3.25).toDF("v")
+    val got = StatsOps.benfordAudit(df, "v").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set(1, 9, 5))
+    assert(got(1)._1 == 2L && got(9)._1 == 1L && got(5)._1 == 1L)
+    assert(got(1)._2 == 500000L, "2 of 4 positive rows = 500000 ppm")
+    // the Benford table: P(1)=.30103, P(5)=.07918, P(9)=.04576
+    assert(got(1)._3 == 301030L && got(5)._3 == 79181L && got(9)._3 == 45757L,
+      got.toString)
+  }
+
   test("spearmanMicros: +1e6 on monotone-increasing, -1e6 on " +
        "monotone-decreasing, ~0 on a rank-shuffling permutation") {
     val inc = (1 to 50).map(i => (i.toLong, i.toLong, i * 3L)).toDF("id", "x", "y")
