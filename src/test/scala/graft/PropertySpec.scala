@@ -346,4 +346,40 @@ class PropertySpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(out2.toSet == out.toSet)
   }
+
+  test("KMV estimate tracks exact cardinality within 35% (2.7 sigma at k=64) on " +
+       "random multisets; histogram counts always sum to n with bins in " +
+       "range — both invariant under repartitioning") {
+    import graft.functions.KmvAggregator
+    val k = 64
+    val agg = KmvAggregator.column(k)
+    def h(c: org.apache.spark.sql.Column) =
+      expr(s"cast(conv(substr(md5(cast(${c.toString} as string)), 1, 8), 16, 10) as bigint)")
+    val setGen = Gen.chooseNum(300, 1500).flatMap(n =>
+      Gen.listOfN(n * 3, Gen.chooseNum(0L, n.toLong)))
+    for ((vals, i) <- samples(setGen, 4).zipWithIndex) {
+      val exact = vals.distinct.size
+      val df = vals.map(v => v + i * 100000L).toDF("v")
+      def est(d: org.apache.spark.sql.DataFrame): Long =
+        d.agg(agg(h(col("v"))).as("s"))
+          .select(expr(s"""cast(case when size(s) < $k then size(s)
+            |  else cast(${k - 1} as bigint) * cast(4294967296 as bigint)
+            |       div greatest(element_at(s, $k), cast(1 as bigint)) end as bigint)""".stripMargin))
+          .head().getLong(0)
+      val e1 = est(df)
+      assert(e1 == est(df.repartition(9)), "sketch estimate is layout-free")
+      assert(math.abs(e1 - exact.toDouble) / exact <= 0.35,
+        s"KMV estimate $e1 strays >35% from $exact (k=$k)")
+    }
+    val valGen = Gen.nonEmptyListOf(Gen.chooseNum(-50000L, 50000L).map(_ / 100.0))
+    for (vals <- samples(valGen, 4)) {
+      val df = vals.toDF("v")
+      val rows = graft.operators.StatsOps.histogram(df, "v", bins = 8).collect()
+      assert(rows.map(_.getLong(1)).sum == vals.size, "every value binned once")
+      assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 8))
+      val rows2 = graft.operators.StatsOps.histogram(df.repartition(5), "v", bins = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows2 == rows.map(r => (r.getLong(0), r.getLong(1))).toSet)
+    }
+  }
 }
