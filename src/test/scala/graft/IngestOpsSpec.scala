@@ -199,6 +199,28 @@ class IngestOpsSpec extends SparkSpec {
       s"z-order: y ranges must be bounded per file; got ${touching(zb)}/16 touching")
   }
 
+  test("partition-column group-by pushes into the scan (PushedGroupBy): " +
+       "per-partition counts come from file listing + footer stats, no " +
+       "row reads") {
+    val dir = Files.createTempDirectory("graft-gbp").toString + "/t"
+    Seq((1L, "O", 10.0), (2L, "F", 20.0), (3L, "O", 30.0), (4L, "P", 5.0))
+      .toDF("id", "status", "amount")
+      .write.partitionBy("status").parquet(dir)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    val q = s2.read.parquet(dir).groupBy(col("status"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedGroupBy: [status]") &&
+      plan.contains("PushedAggregation: [COUNT(*)]"),
+      s"group-by on the partition column must push into the scan:\n$plan")
+    val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("O" -> 2L, "F" -> 1L, "P" -> 1L),
+      "pushed-down aggregation must agree with row-level computation")
+  }
+
   test("readCsvAudited: clean rows parse, malformed rows land with their " +
        "original text in _corrupt; the audit counts both") {
     import org.apache.spark.sql.types._
