@@ -836,6 +836,21 @@ object SparkEntry {
     // Benford first-digit audit over order totals: observed share vs the
     // log10(1+1/d) expectation, both in ppm
     "benford_audit" -> ((s, d) => StatsOps.benfordAudit(t(s, d, "orders"), "o_totalprice")),
+    // Gini coefficient of per-customer spend (inequality profile,
+    // dimension-scale ranking, integer moments)
+    "gini_spend" -> ((s, d) => {
+      val pc = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("spend_cents"))
+      StatsOps.giniMicros(pc, "o_custkey", "spend_cents")
+    }),
+    // HHI concentration of spend within each market segment
+    "hhi_segments" -> ((s, d) => {
+      val pc = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("spend_cents"))
+        .join(t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+      StatsOps.hhiPpm(pc, "c_mktsegment", "spend_cents")
+    }),
     // Spearman rank correlation (deterministic rank tiebreak) between
     // per-customer order count and spend
     "spearman_spend_orders" -> ((s, d) => {
@@ -3692,6 +3707,28 @@ object SparkEntry {
         |  ) AS BIGINT)) AS chi2_micros
         |FROM grid CROSS JOIN nn
         |GROUP BY 1, 2""".stripMargin,
+
+    "gini_spend" ->
+      """WITH pc AS (SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS i FROM pc),
+        |m AS (SELECT COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS sx,
+        |      SUM(CAST(i AS HUGEINT) * CAST(x AS HUGEINT)) AS six FROM r)
+        |SELECT n, CASE WHEN sx <> 0 THEN
+        |  CAST(round(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+        |             / CAST(n * sx AS DOUBLE) * 1000000) AS BIGINT) END AS gini_micros
+        |FROM m""".stripMargin,
+
+    "hhi_segments" ->
+      """WITH pc AS (SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+        |  FROM orders GROUP BY 1),
+        |j AS (SELECT c_mktsegment, x FROM pc JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment, COUNT(*) AS n_members,
+        |  CASE WHEN SUM(CAST(x AS HUGEINT)) <> 0 THEN
+        |    CAST(round(CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE)
+        |      / (CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) * CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE))
+        |      * 1000000) AS BIGINT) END AS hhi_ppm
+        |FROM j GROUP BY 1""".stripMargin,
 
     "benford_audit" ->
       """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents

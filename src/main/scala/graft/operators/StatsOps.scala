@@ -77,6 +77,52 @@ object StatsOps {
       .select(col("n"), col("dof"), col("chi2_micros"))
   }
 
+  /** Gini coefficient of a positive money column — the inequality read
+    * next to `skewProfile`'s top-N concentration: one number for "how
+    * unequal is spend across customers". Closed form over the ascending
+    * (value, id) ranking: G = (2·Σi·x_i − (n+1)·Σx) / (n·Σx) — ranks and
+    * cents are exact integers, cross terms ride DECIMAL(38,0) (the
+    * momentsProfile discipline), ONE double division quantized to
+    * micros. The global rank window makes this a DIMENSION-scale profile
+    * (customers, suppliers); zero-total frames yield NULL.
+    */
+  def giniMicros(df: DataFrame, idCol: String, valCol: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val w = Window.orderBy(col("x"), col(idCol))
+    df.select(col(idCol), col(valCol).cast(LongType).as("x"))
+      .withColumn("i", row_number().over(w).cast(LongType))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(D)).as("sx"),
+        sum((col("i").cast(D)) * (col("x").cast(D))).as("six"))
+      .select(col("n"),
+        when(col("sx") =!= 0,
+          expr("""cast(round(
+            |  cast(2 * six - (n + 1) * sx as double)
+            |  / cast(n * sx as double) * 1000000) as bigint)""".stripMargin))
+          .as("gini_micros"))
+  }
+
+  /** Herfindahl–Hirschman concentration index per group, in ppm:
+    * HHI = Σ share² = Σx² / (Σx)² — both moments exact decimals, one
+    * fixed-shape double division. 10 000 ppm ≈ the US-DOJ "highly
+    * concentrated" 0.25 threshold × 1e6 scale. One keyed partial-agg
+    * shuffle; no window at all (unlike Gini, HHI needs no ranking).
+    */
+  def hhiPpm(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    df.select(col(groupCol), col(valCol).cast(LongType).as("x"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("x").cast(D)).as("sx"),
+        sum((col("x").cast(D)) * (col("x").cast(D))).as("sxx"))
+      .select(col(groupCol), col("n_members"),
+        when(col("sx") =!= 0,
+          expr("""cast(round(
+            |  cast(sxx as double) / (cast(sx as double) * cast(sx as double))
+            |  * 1000000) as bigint)""".stripMargin))
+          .as("hhi_ppm"))
+  }
+
   /** Benford first-digit audit — the classic fabricated-figures screen
     * over a money column: natural multi-scale amounts follow
     * P(d) = log10(1 + 1/d); invented ones cluster on round or uniform

@@ -44,6 +44,22 @@ class StatsOpsSpec extends SparkSpec {
       s"perfect dependence: chi2 must equal n, got ${r2.getAs[Long]("chi2_micros")}")
   }
 
+  test("giniMicros: 0 under perfect equality, (n-1)/n under one-owns-all; " +
+       "hhiPpm: 1/n under equal shares, 1e6 under monopoly") {
+    import graft.operators.StatsOps
+    val equal = (1L to 10L).map(i => (i, 500L)).toDF("id", "x")
+    assert(StatsOps.giniMicros(equal, "id", "x").head().getLong(1) == 0L)
+    // one member owns everything: G = (n-1)/n = 0.9
+    val mono = ((1L to 9L).map(i => (i, 0L)) :+ ((10L, 7000L))).toDF("id", "x")
+    assert(StatsOps.giniMicros(mono, "id", "x").head().getLong(1) == 900000L)
+    val hhi = StatsOps.hhiPpm(
+      ((1L to 10L).map(i => ("eq", i, 500L)) :+ (("mono", 99L, 7000L)))
+        .toDF("g", "id", "x").select(col("g"), col("x")), "g", "x")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(hhi("eq") == 100000L, "equal 10-way split: HHI = 1/10 = 100000 ppm")
+    assert(hhi("mono") == 1000000L, "single member: HHI = 1")
+  }
+
   test("benfordAudit: digits come from cents (no float formatting), " +
        "expectations are the log10(1+1/d) ppm table, non-positive rows drop") {
     // cents: 1234 -> digit 1, 9876 -> 9, 55 -> 5, 100 -> 1; 0 and
