@@ -866,6 +866,15 @@ object SparkEntry {
     // integers end-to-end
     "cusum_changepoint" -> ((s, d) => EventOps.cusumChangepoint(t(s, d, "events"))),
 
+    // r10 time-series/profiling additions: weekday index over the
+    // portable epoch-anchored dow, exact-moment autocorrelation, and the
+    // two-sample KS drift screen on the documents length distribution.
+    "weekday_seasonality" -> ((s, d) => EventOps.weekdaySeasonality(t(s, d, "events"))),
+
+    "revenue_acf" -> ((s, d) => EventOps.revenueAcf(t(s, d, "events"))),
+
+    "ks_source_drift" -> ((s, d) => StatsOps.ksSourceDrift(t(s, d, "documents"))),
+
     // blocked fuzzy self-match (entity resolution, value-level): distinct
     // part names, noun-blocked, edit-distance <= 3
     "fuzzy_name_match" -> ((s, d) => EntityOps.fuzzyNameMatch(t(s, d, "part"), "p_name")),
@@ -1299,6 +1308,34 @@ object SparkEntry {
             ch(o.filter(col("o_orderkey") % 100 === 2), col("price") + 1, 1L, "I")
               .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
       RelationalOps.applyCdc(o, changes, Seq("o_orderkey"))
+    }),
+
+    // snapshot diff: keyed full-outer audit between two table versions
+    // over a synthesized new snapshot (price bumps, dropped keys, shifted
+    // inserts — removal wins where a key is both bumped and dropped);
+    // unchanged rows never reach the output
+    "snapshot_diff" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_totalprice").as("price"), col("o_orderstatus").as("status"))
+      val n = o.filter(col("o_orderkey") % 23 =!= 3)
+        .withColumn("price",
+          when(col("o_orderkey") % 17 === 0, col("price") + 10).otherwise(col("price")))
+        .unionByName(o.filter(col("o_orderkey") % 23 === 4)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            (col("price") + 1).as("price"), col("status")))
+      RelationalOps.snapshotDiff(o, n, Seq("o_orderkey"))
+    }),
+
+    // recursive-hierarchy flattening (the WITH RECURSIVE surface Spark
+    // lacks) via pointer doubling over a synthesized binary tree on
+    // custkey (parent = key div 2, root 1 self-loops): 8 doubling rounds
+    // resolve depth ≤ 256; oracle = DuckDB's native recursive CTE
+    "hierarchy_paths" -> ((s, d) => {
+      val edges = t(s, d, "customer").select(col("c_custkey").as("node"),
+        when(col("c_custkey") <= 1, col("c_custkey"))
+          .otherwise(expr("c_custkey div 2")).as("parent"))
+      RelationalOps.hierarchyRoots(edges, rounds = 8)
+        .select(col("node").as("c_custkey"), col("root"), col("depth"))
     }),
 
     // incremental MV maintenance: base state lands as parquet, two delta
@@ -3775,6 +3812,64 @@ object SparkEntry {
         |       CAST(cusum_scaled AS BIGINT) AS cusum_scaled, n_days
         |FROM r WHERE rn = 1""".stripMargin,
 
+    "weekday_seasonality" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |      SUM(CAST(round(value * 100) AS BIGINT)) AS cents FROM e GROUP BY 1),
+        |w AS (SELECT CAST(datediff('day', DATE '1995-01-01', day) % 7 AS INTEGER) AS dow,
+        |      cents FROM d),
+        |b AS (SELECT dow, COUNT(*) AS n_days, SUM(cents) AS cents FROM w GROUP BY 1),
+        |t AS (SELECT SUM(n_days) AS days_all, SUM(cents) AS cents_all FROM b)
+        |SELECT dow, n_days, CAST(cents AS BIGINT) AS cents,
+        |  CASE WHEN cents_all <> 0 THEN
+        |    CAST(round(CAST(cents AS DOUBLE) * CAST(days_all AS DOUBLE)
+        |      / (CAST(n_days AS DOUBLE) * CAST(cents_all AS DOUBLE)) * 1000000) AS BIGINT)
+        |  END AS index_ppm
+        |FROM b CROSS JOIN t""".stripMargin,
+
+    "revenue_acf" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |      SUM(CAST(round(value * 100) AS BIGINT)) AS cents FROM e GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS n, SUM(cents) AS s FROM d),
+        |dev AS (SELECT row_number() OVER (ORDER BY day) AS tt,
+        |        CAST(cents * n - s AS HUGEINT) AS dd FROM d CROSS JOIN t),
+        |den AS (SELECT SUM(dd * dd) AS den FROM dev),
+        |p AS (SELECT lag, COUNT(*) AS n_pairs, SUM(a.dd * b.dd) AS num
+        |      FROM dev a CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+        |      JOIN dev b ON b.tt = a.tt + lag GROUP BY lag)
+        |SELECT CAST(lag AS INTEGER) AS lag, n_pairs,
+        |  CASE WHEN den <> 0 THEN
+        |    CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1000000) AS BIGINT)
+        |  END AS acf_micros
+        |FROM p CROSS JOIN den""".stripMargin,
+
+    "ks_source_drift" ->
+      """WITH c AS (SELECT source, n_chars AS v, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+        |t AS (SELECT source, SUM(c) AS n_src FROM c GROUP BY 1),
+        |g AS (SELECT SUM(n_src) AS n_all FROM t),
+        |vals AS (SELECT DISTINCT v FROM c),
+        |f AS (SELECT t.source, t.n_src, vals.v, COALESCE(cc.c, 0) AS c
+        |      FROM t CROSS JOIN vals
+        |      LEFT JOIN c cc ON cc.source = t.source AND cc.v = vals.v),
+        |cs AS (SELECT source, n_src, v,
+        |      SUM(c) OVER (PARTITION BY source ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_src FROM f),
+        |ca AS (SELECT v, SUM(ca0) OVER (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+        |       FROM (SELECT v, SUM(c) AS ca0 FROM c GROUP BY 1)),
+        |j AS (SELECT cs.source, cs.n_src, n_all - cs.n_src AS n_rest, cs.v,
+        |      abs(CAST(cum_src AS HUGEINT) * (n_all - cs.n_src)
+        |          - CAST(cum_all - cum_src AS HUGEINT) * cs.n_src) AS gap
+        |      FROM cs JOIN ca USING (v) CROSS JOIN g),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY gap DESC, v) AS rn FROM j)
+        |SELECT source, n_src, v AS at_value,
+        |  CASE WHEN n_rest <> 0 THEN
+        |    CAST(round(CAST(gap AS DOUBLE)
+        |      / (CAST(n_src AS DOUBLE) * CAST(n_rest AS DOUBLE)) * 1000000) AS BIGINT)
+        |  END AS ks_ppm
+        |FROM r WHERE rn = 1""".stripMargin,
+
     "spearman_spend_orders" ->
       """WITH pc AS (SELECT o_custkey, COUNT(*) AS n_orders,
         |  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_cents
@@ -4410,6 +4505,41 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey + 10000000, CAST(o_totalprice AS DOUBLE) + 1
         |FROM orders WHERE o_orderkey % 100 = 2""".stripMargin,
+
+    "snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice AS price, o_orderstatus AS status FROM orders),
+        |n AS (SELECT o_orderkey,
+        |        CASE WHEN o_orderkey % 17 = 0 THEN price + 10 ELSE price END AS price, status
+        |      FROM o WHERE o_orderkey % 23 <> 3
+        |      UNION ALL
+        |      SELECT o_orderkey + 10000000, price + 1, status FROM o WHERE o_orderkey % 23 = 4),
+        |j AS (SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |        o.price AS old_price, o.status AS old_status,
+        |        n.price AS new_price, n.status AS new_status,
+        |        o.o_orderkey IS NULL AS is_added, n.o_orderkey IS NULL AS is_removed
+        |      FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey,
+        |  CASE WHEN is_added THEN 'added' WHEN is_removed THEN 'removed'
+        |       WHEN old_price IS DISTINCT FROM new_price
+        |         OR old_status IS DISTINCT FROM new_status THEN 'changed' END AS diff_type,
+        |  old_price, new_price, old_status, new_status
+        |FROM j
+        |WHERE is_added OR is_removed
+        |   OR old_price IS DISTINCT FROM new_price
+        |   OR old_status IS DISTINCT FROM new_status""".stripMargin,
+
+    "hierarchy_paths" ->
+      """WITH RECURSIVE e AS (SELECT c_custkey AS node,
+        |  CASE WHEN c_custkey <= 1 THEN c_custkey ELSE c_custkey // 2 END AS parent
+        |  FROM customer),
+        |walk(node, root, depth) AS (
+        |  SELECT node, node AS root, 0 AS depth FROM e WHERE parent = node
+        |  UNION ALL
+        |  SELECT e.node, w.root, w.depth + 1
+        |  FROM e JOIN walk w ON e.parent = w.node AND e.parent <> e.node)
+        |SELECT node AS c_custkey, CAST(root AS BIGINT) AS root,
+        |       CAST(depth AS INTEGER) AS depth
+        |FROM walk""".stripMargin,
 
     // ONE full recompute — the incremental base+delta+delta merge must
     // hash-match it exactly (the algebraic-state maintenance claim)

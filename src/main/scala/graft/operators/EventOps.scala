@@ -526,6 +526,75 @@ object EventOps {
     * comparisons on any engine. One (type, day) aggregate, per-type
     * totals broadcast back, one type-keyed window pair over #days rows.
     */
+  /** Day-of-week seasonality index over event revenue: per-weekday mean
+    * daily cents vs the all-days mean, in ppm (1 000 000 = "an average
+    * day"). The weekday is the PORTABLE integer
+    * (day − 1995-01-01) mod 7 (the epoch is a Sunday ⇒ 0 = Sunday) —
+    * Spark's `dayofweek` (Sunday=1) and DuckDB's (Sunday=0) conventions
+    * never touch the oracled surface. The index is one fixed-shape double
+    * cross-multiplication over exact longs
+    * (cents_dow·days_all)/(days_dow·cents_all), ppm-quantized once.
+    * Corpus-scale work is the single (day) aggregate; everything
+    * after runs on ≤ 7 + 1 broadcast rows.
+    */
+  def weekdaySeasonality(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+    val byDow = daily
+      .select(pmod(datediff(col("day"), lit("1995-01-01").cast(DateType)), lit(7))
+        .cast(IntegerType).as("dow"), col("cents"))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("cents")).as("cents"))
+    val tot = byDow.agg(sum(col("n_days")).as("days_all"), sum(col("cents")).as("cents_all"))
+    byDow.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_days"), col("cents"),
+        when(col("cents_all") =!= 0,
+          expr("""cast(round(
+            |  cast(cents as double) * cast(days_all as double)
+            |  / (cast(n_days as double) * cast(cents_all as double))
+            |  * 1000000) as bigint)""".stripMargin))
+          .as("index_ppm"))
+  }
+
+  /** Autocorrelation of the daily-revenue series at lags 1..maxLag — the
+    * "is there weekly structure / persistence" read next to
+    * `revenueTrend`'s slope and `cusumChangepoint`'s level shift.
+    * Mean-centering stays exact by cross-multiplication: with S = Σx over
+    * n observed days, the centered term n·x_t − S is an exact long, the
+    * lag products ride DECIMAL(38,0) (they reach ~10²³ — past both long
+    * and double), and ACF_k = Σd_t·d_{t+k} / Σd_t² is ONE double division
+    * micros-quantized per lag. t is the OBSERVED-day rank (gaps collapse
+    * — documented choice; a calendar series would gap-fill first via
+    * `gapFillDaily`). Corpus-scale work is the one (day) aggregate; the
+    * lag self-join runs on the bounded day frame (≤ #days × maxLag rows).
+    */
+  def revenueAcf(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val D = DecimalType(38, 0)
+    val daily = events
+      .groupBy(date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+    val tRank = Window.partitionBy(pmod(col("cents"), lit(1))).orderBy(col("day"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    val dev = daily
+      .withColumn("t", row_number().over(tRank).cast(LongType))
+      .crossJoin(broadcast(tot))
+      .select(col("t"), (col("cents") * col("n") - col("s")).cast(D).as("d"))
+    val den = dev.agg(sum(col("d") * col("d")).as("den"))
+    val lags = dev.sparkSession.range(1, maxLag + 1).select(col("id").cast(IntegerType).as("lag"))
+    dev.crossJoin(lags)
+      .join(dev.select(col("t").as("t2"), col("d").as("d2")),
+        col("t2") === col("t") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("d") * col("d2")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        when(col("den") =!= 0,
+          expr("cast(round(cast(num as double) / cast(den as double) * 1000000) as bigint)"))
+          .as("acf_micros"))
+  }
+
   def cusumChangepoint(events: DataFrame): DataFrame = {
     val daily = events
       .groupBy(col("event_type"),

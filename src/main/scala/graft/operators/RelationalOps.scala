@@ -511,6 +511,69 @@ object RelationalOps {
         .drop("cdc_rn", seqCol, opCol))
   }
 
+  /** Keyed diff between two snapshots of a table — the audit a warehouse
+    * runs across loads ("what did yesterday's batch actually change") and
+    * the building block for data-versioning diffs. One FULL OUTER
+    * co-partitioned join on the key classifies every row as
+    * added / removed / changed; unchanged rows are filtered out BEFORE
+    * anything widens, so output is O(|delta|), not O(|table|). Column
+    * comparison is null-safe (`<=>`): a NULL→value flip is a change, a
+    * NULL→NULL pair is not; presence is tracked by explicit markers, so
+    * an all-NULL row is still distinguishable from an absent one. At
+    * 100 TB both snapshots bucket by the key (`ScaleOps.writeBucketed`)
+    * and the diff is shuffle-free; the join itself is the minimum
+    * possible work for an exact diff.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
+    val cmp = oldDf.columns.filterNot(keys.contains).toSeq
+    require(cmp.nonEmpty, "snapshotDiff needs at least one non-key column")
+    require(newDf.columns.sorted.sameElements(oldDf.columns.sorted),
+      s"snapshot schemas differ: ${oldDf.columns.mkString(",")} vs ${newDf.columns.mkString(",")}")
+    val o = oldDf.select(keys.map(col) ++ cmp.map(c => col(c).as(s"old_$c"))
+      :+ lit(1).as("_old_present"): _*)
+    val n = newDf.select(keys.map(col) ++ cmp.map(c => col(c).as(s"new_$c"))
+      :+ lit(1).as("_new_present"): _*)
+    val anyDiff = cmp.map(c => !(col(s"old_$c") <=> col(s"new_$c"))).reduce(_ || _)
+    o.join(n, keys, "full_outer")
+      .withColumn("diff_type",
+        when(col("_old_present").isNull, lit("added"))
+          .when(col("_new_present").isNull, lit("removed"))
+          .when(anyDiff, lit("changed")))
+      .filter(col("diff_type").isNotNull)
+      .select(keys.map(col) ++ Seq(col("diff_type"))
+        ++ cmp.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
+  }
+
+  /** Root/depth flattening of a parent-pointer hierarchy — the
+    * WITH RECURSIVE surface Spark SQL lacks (org charts, BOM explosions,
+    * category trees), built the scale-correct way: POINTER DOUBLING.
+    * Convention: a root points at itself. Each round composes the
+    * current 2^r-step ancestor map with itself (anc' = anc∘anc,
+    * depth' = d + d_anc), so `rounds` rounds resolve any hierarchy of
+    * depth ≤ 2^rounds in O(log depth) co-partitioned self-joins — vs one
+    * round PER LEVEL for naive frontier descent (a 1 000-deep BOM is 10
+    * doubling rounds, not 1 000). Root self-loops carry depth 0, so
+    * composition past convergence is the identity — extra rounds are
+    * harmless, and the fixed count keeps the result a pure function of
+    * the edge set (oracle-replayable). Late rounds concentrate join keys
+    * on the roots; AQE's skew split handles exactly that hub shape, and
+    * lineage is checkpoint-bounded on the collapse cadence.
+    */
+  def hierarchyRoots(edges: DataFrame, rounds: Int = 16): DataFrame = {
+    require(rounds >= 1 && rounds <= 40, s"rounds out of range: $rounds")
+    var st = edges.select(col("node"), col("parent").as("anc"),
+      when(col("parent") === col("node"), lit(0)).otherwise(lit(1)).as("depth"))
+    for (i <- 1 to rounds) {
+      st = st.as("a").join(
+          st.select(col("node").as("anc"), col("anc").as("anc2"),
+            col("depth").as("d2")), Seq("anc"))
+        .select(col("node"), col("anc2").as("anc"),
+          (col("depth") + col("d2")).as("depth"))
+      if (i % 4 == 0 && i < rounds) st = st.localCheckpoint()
+    }
+    st.select(col("node"), col("anc").as("root"), col("depth"))
+  }
+
   // --- Incremental materialized-view maintenance (algebraic state) ---
 
   /** Partial-aggregate MV state for the monthly-revenue-by-status rollup:

@@ -145,6 +145,58 @@ object StatsOps {
         expr("cast(round(ln(1.0d + 1.0d / cast(digit as double)) / ln(10.0d) * 1000000) as bigint)")
           .as("benford_ppm"))
 
+  /** Two-sample Kolmogorov–Smirnov drift test: for each source, the max
+    * ECDF gap between that source's document-length distribution and the
+    * REST of the corpus — the distribution-shape alarm next to
+    * `sourceDrift`'s token-mixture KL (KL sees vocabulary shift; KS sees
+    * length/truncation shift a token mixture can hide). Exact by
+    * cross-multiplication: at each observed value v,
+    * |cum_src·n_rest − cum_rest·n_src| rides DECIMAL(38,0) (cum·n is
+    * ~10²⁰ at a 10¹⁰-doc corpus — past long), the max is an
+    * integer argmax with an earliest-value tiebreak, and
+    * D_ppm = max·1e6/(n_src·n_rest) is one fixed-shape double division
+    * quantized once. Corpus-scale work is the single (source, value)
+    * aggregate; the cumulative windows run on the #sources × #distinct
+    * values grid (dimension-scale — the full grid, not just observed
+    * cells, because an ECDF step on one side must be visible to the
+    * other).
+    */
+  def ksSourceDrift(documents: DataFrame, valCol: String = "n_chars"): DataFrame = {
+    val D = DecimalType(38, 0)
+    val cnt = documents.groupBy(col("source"), col(valCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val totals = cnt.groupBy(col("source")).agg(sum(col("c")).as("n_src"))
+    val grand = totals.agg(sum(col("n_src")).as("n_all"))
+    val values = cnt.select(col("v")).distinct()
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(pmod(col("ca"), lit(1))).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumAll = cnt.groupBy(col("v")).agg(sum(col("c")).as("ca"))
+      .withColumn("cum_all", sum(col("ca")).over(wAll))
+      .select(col("v"), col("cum_all"))
+    val wPick = Window.partitionBy(col("source"))
+      .orderBy(col("gap").desc, col("v"))
+    totals.crossJoin(values)
+      .join(cnt, Seq("source", "v"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cum_src", sum(col("c")).over(wSrc))
+      .join(cumAll, Seq("v"))
+      .crossJoin(broadcast(grand))
+      .select(col("source"), col("v"), col("n_src"),
+        (col("n_all") - col("n_src")).as("n_rest"),
+        abs(col("cum_src").cast(D) * (col("n_all") - col("n_src")).cast(D)
+          - (col("cum_all") - col("cum_src")).cast(D) * col("n_src").cast(D)).as("gap"))
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("n_src"), col("v").as("at_value"),
+        when(col("n_rest") =!= 0,
+          expr("""cast(round(cast(gap as double)
+            | / (cast(n_src as double) * cast(n_rest as double))
+            | * 1000000) as bigint)""".stripMargin))
+          .as("ks_ppm"))
+  }
+
   /** Spearman rank correlation, deterministic variant: ranks are
     * row_number in (value, id) order — a documented tiebreak instead of
     * the statistical average-rank convention, which keeps every rank an

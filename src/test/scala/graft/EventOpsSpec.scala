@@ -349,6 +349,41 @@ class EventOpsSpec extends SparkSpec {
     assert(got("flat") == ((1L, None)), "one day has no slope")
   }
 
+  test("weekdaySeasonality: portable dow anchors Sunday=0 at the 1995-01-01 " +
+       "epoch; index is the exact cross-multiplied ppm") {
+    // Sun $10, Mon $30: mean day = $20 → Sunday index 0.5, Monday 1.5
+    val ev = Seq(
+      ("buy", Timestamp.valueOf("1995-01-01 12:00:00"), 10.0), // Sunday → dow 0
+      ("buy", Timestamp.valueOf("1995-01-02 12:00:00"), 30.0)) // Monday → dow 1
+      .toDF("event_type", "ts", "value")
+    val got = EventOps.weekdaySeasonality(ev).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0) == ((1L, 1000L, 500000L)), got.toString)
+    assert(got(1) == ((1L, 3000L, 1500000L)), got.toString)
+    // a second Sunday folds into dow 0 (n_days 2), not a new row
+    val ev2 = ev.union(Seq(("buy", Timestamp.valueOf("1995-01-08 12:00:00"), 20.0))
+      .toDF("event_type", "ts", "value"))
+    val sun = EventOps.weekdaySeasonality(ev2).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sun(0) == 2L && sun(1) == 1L, sun.toString)
+  }
+
+  test("revenueAcf: exact micros on an alternating series; lags past the " +
+       "series length emit no row") {
+    // daily cents 1000,2000,1000,2000: d = ±2000·… → acf(1) = −3/4,
+    // acf(2) = +1/2, acf(3) = −1/4 exactly; lags 4..7 have zero pairs
+    val ev = (1 to 4).map { k =>
+      ("buy", Timestamp.valueOf(s"1995-01-0$k 12:00:00"),
+        if (k % 2 == 1) 10.0 else 20.0)
+    }.toDF("event_type", "ts", "value")
+    val got = EventOps.revenueAcf(ev).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), Option(r.get(2))))).toMap
+    assert(got(1) == ((3L, Some(-750000L))), got.toString)
+    assert(got(2) == ((2L, Some(500000L))), got.toString)
+    assert(got(3) == ((1L, Some(-250000L))), got.toString)
+    assert(!got.contains(4) && got.size == 3, got.toString)
+  }
+
   test("cusumChangepoint: the peak |cusum| lands on the last pre-shift " +
        "day of a level shift") {
     // 4 days at $10 then 4 days at $20: scaled deviations ∓4000, cusum

@@ -250,4 +250,54 @@ class RelationalOpsSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(splitMerge == full, "groups split across deltas must re-sum exactly")
   }
+
+  test("snapshotDiff: added/removed/changed classified, unchanged rows " +
+       "absent, NULL comparisons are null-safe both ways") {
+    val old = Seq(
+      (1L, Option(10.0), Option("a")),  // unchanged
+      (2L, Option(20.0), Option("b")),  // price changes
+      (3L, Option(30.0), None),         // null status → value: changed
+      (4L, None, Option("d")),          // null price stays null: unchanged
+      (5L, Option(50.0), Option("e")))  // removed
+      .toDF("k", "price", "status")
+    val neu = Seq(
+      (1L, Option(10.0), Option("a")),
+      (2L, Option(25.0), Option("b")),
+      (3L, Option(30.0), Option("c")),
+      (4L, None, Option("d")),
+      (6L, Option(60.0), Option("f")))  // added
+      .toDF("k", "price", "status")
+    val got = RelationalOps.snapshotDiff(old, neu, Seq("k")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "changed", 5L -> "removed", 6L -> "added"),
+      got.toString)
+    // the changed row carries both sides
+    val r2 = RelationalOps.snapshotDiff(old, neu, Seq("k"))
+      .filter(col("k") === 2L).head()
+    assert(r2.getDouble(2) == 20.0 && r2.getDouble(3) == 25.0, r2.toString)
+  }
+
+  test("hierarchyRoots: pointer doubling resolves exact depth on a chain " +
+       "far deeper than the round count; disjoint trees keep their roots; " +
+       "extra rounds are the identity") {
+    // one 600-deep chain (node i's parent is i-1; node 0 is the root):
+    // 10 doubling rounds cover depth <= 1024, where naive descent needs 600
+    val chain = spark.range(0, 601).select(col("id").as("node"),
+      greatest(col("id") - 1, lit(0L)).as("parent"))
+    val got = RelationalOps.hierarchyRoots(chain, rounds = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(got(600L) == ((0L, 600)), got(600L).toString)
+    assert(got(0L) == ((0L, 0)) && got(1L) == ((0L, 1)), "root and first child")
+    // two disjoint trees: roots never cross
+    val forest = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L), (12L, 11L))
+      .toDF("node", "parent")
+    val f = RelationalOps.hierarchyRoots(forest, rounds = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(f == Map(1L -> ((1L, 0)), 2L -> ((1L, 1)),
+      10L -> ((10L, 0)), 11L -> ((10L, 1)), 12L -> ((10L, 2))), f.toString)
+    // rounds beyond convergence change nothing (root self-loop = identity)
+    val f2 = RelationalOps.hierarchyRoots(forest, rounds = 9)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(f2 == f, "extra doubling rounds must be the identity")
+  }
 }

@@ -86,4 +86,24 @@ class StatsOpsSpec extends SparkSpec {
     val rho = StatsOps.spearmanMicros(mix, "id", "x", "y").head().getLong(1)
     assert(math.abs(rho) < 500000L, s"shuffled ranks must not read correlated: $rho")
   }
+
+  test("ksSourceDrift: 1e6 on disjoint supports at the boundary value, " +
+       "0 on identical distributions with the earliest-value tiebreak") {
+    def docs(rows: Seq[(Long, String, Long)]) =
+      rows.map { case (id, src, n) => (id, s"t$id", "en", src, n) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // a = {1, 2}, b = {3, 4}: ECDFs never overlap → D = 1 exactly, and the
+    // max gap is first attained at a's top value 2
+    val disjoint = docs(Seq((1L, "a", 1L), (2L, "a", 2L), (3L, "b", 3L), (4L, "b", 4L)))
+    val g1 = StatsOps.ksSourceDrift(disjoint).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(g1("a") == ((2L, 2L, 1000000L)), g1.toString)
+    assert(g1("b") == ((2L, 2L, 1000000L)), g1.toString)
+    // identical distributions → D = 0 everywhere; tiebreak reports the
+    // smallest observed value
+    val same = docs(Seq((1L, "a", 5L), (2L, "a", 9L), (3L, "b", 5L), (4L, "b", 9L)))
+    val g2 = StatsOps.ksSourceDrift(same).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(g2("a") == ((5L, 0L)) && g2("b") == ((5L, 0L)), g2.toString)
+  }
 }
