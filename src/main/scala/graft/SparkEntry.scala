@@ -976,6 +976,14 @@ object SparkEntry {
         .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b"))).toSeq
       TextOps.bpeEncode(t(s, d, "documents"), merges)
     }),
+    // tokenizer fertility by language (symbols-per-word + chars-per-symbol
+    // in half-up ppm): the multilingual-equity audit over the trained
+    // merge artifact
+    "bpe_fertility" -> ((s, d) => {
+      val merges = bpeMergesFor(s, d).orderBy(col("round")).collect()
+        .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b"))).toSeq
+      TextOps.bpeFertilityByLang(t(s, d, "documents"), merges)
+    }),
     // first-order Markov transition matrix over per-user event sequences:
     // where users actually GO from each state, integer-ppm probabilities
     "event_transitions" -> ((s, d) =>
@@ -1048,6 +1056,14 @@ object SparkEntry {
       DedupOps.preferencePairsWith(t(s, d, "documents"), componentIndexFor(s, d))),
     "leakage_safe_split_stored" -> ((s, d) =>
       DedupOps.leakageSafeSplitWith(t(s, d, "documents"), componentIndexFor(s, d))),
+    // k-fold CV under the same component-keyed leakage guarantee (fourth
+    // consumer of the persisted component index)
+    "leakage_safe_folds" -> ((s, d) =>
+      DedupOps.leakageSafeFoldsWith(t(s, d, "documents"), componentIndexFor(s, d))),
+    // deterministic per-epoch training order: portable md5(doc_id, epoch)
+    // permutation + hash shards + per-shard sequence (no global sort)
+    "epoch_shuffle" -> ((s, d) =>
+      TextOps.epochShuffle(t(s, d, "documents"), epoch = 1)),
     // per-day first-seen novelty rate over events (the ingest freshness
     // audit); engine-stable quantized ratio
     "first_seen_rate" -> ((s, d) =>
@@ -1933,6 +1949,25 @@ object SparkEntry {
        |       CAST(SUM(bpe_syms) AS BIGINT) AS n_bpe_symbols
        |FROM benc GROUP BY doc_id""".stripMargin
 
+  /** Per-language fertility rollup over the same encode chain: the
+    * per-doc counts of `bpeEncodeOracle` joined back to lang, ppm in
+    * half-up integer arithmetic.
+    */
+  private val bpeFertilityOracle: String = bpeCtes +
+    s""",
+       |benc AS (SELECT t.doc_id, CAST(length(t.w) AS BIGINT) AS chars,
+       |         CAST(len(string_split(trim(f.syms, '|'), '||')) AS BIGINT) AS bpe_syms
+       |         FROM btok t JOIN bw$bpeRounds f ON t.w = f.w),
+       |perdoc AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(chars) AS chars,
+       |           SUM(bpe_syms) AS syms FROM benc GROUP BY doc_id)
+       |SELECT d.lang, COUNT(*) AS n_docs,
+       |       CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(p.syms) AS BIGINT) AS n_bpe_symbols,
+       |       CAST((SUM(p.syms) * 1000000 + SUM(p.n_tokens) // 2) // SUM(p.n_tokens) AS BIGINT) AS fertility_ppm,
+       |       CAST((SUM(p.chars) * 1000000 + SUM(p.syms) // 2) // SUM(p.syms) AS BIGINT) AS chars_per_sym_ppm
+       |FROM perdoc p JOIN documents d USING (doc_id)
+       |GROUP BY d.lang""".stripMargin
+
   /** Per-doc SimHash as a reusable CTE (DuckDB spelling of DedupOps.simhash). */
   private val simhashCtes = shingleCtes +
     """,
@@ -2805,6 +2840,7 @@ object SparkEntry {
     "graph_triangles_stored" -> graphTrianglesStoredOracle,
     "bpe_merges" -> bpeMergesOracle,
     "bpe_encode" -> bpeEncodeOracle,
+    "bpe_fertility" -> bpeFertilityOracle,
     "bpe_oov" -> bpeOovOracle,
 
     "conversion_lag" ->
@@ -3387,6 +3423,24 @@ object SparkEntry {
         |CASE WHEN CAST(concat('0x', substr(md5(CAST(component AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80
         |     THEN 'train' ELSE 'val' END AS split
         |FROM labeled""".stripMargin),
+
+    "leakage_safe_folds" ->
+      (dupComponentsCtes +
+      """,
+        |labeled AS (
+        |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+        |  FROM documents d LEFT JOIN comps c ON d.doc_id = c.doc_id)
+        |SELECT doc_id, component,
+        |CAST(CAST(concat('0x', substr(md5(CAST(component AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS INTEGER) AS fold
+        |FROM labeled""".stripMargin),
+
+    "epoch_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':', '1')), 1, 8)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard,
+        |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS seq
+        |FROM h""".stripMargin,
 
     "first_seen_rate" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),

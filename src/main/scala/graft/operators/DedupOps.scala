@@ -1080,4 +1080,24 @@ object DedupOps {
         when(expr("cast(conv(substr(md5(cast(component as string)), 1, 8), 16, 10) as bigint)")
           % 100 < trainPct, lit("train")).otherwise(lit("val")))
   }
+
+  /** K-fold cross-validation assignment under the same leakage guarantee
+    * as `leakageSafeSplitWith`: the fold key is the near-dup COMPONENT,
+    * so no fold's held-out set can contain a near-duplicate of another
+    * fold's training data — the property per-doc hashing cannot give.
+    * Fold = portable md5 bucket of the component mod k (singletons key
+    * on their own id), so every fold assignment is replayable by hash.
+    * Same scale shape as the split: one left join against the (persisted)
+    * component index + a per-row hash.
+    */
+  def leakageSafeFoldsWith(documents: DataFrame, comps: DataFrame,
+                           k: Int = 5): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    documents.select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("fold",
+        (expr("cast(conv(substr(md5(cast(component as string)), 1, 8), 16, 10) as bigint)")
+          % k).cast(org.apache.spark.sql.types.IntegerType))
+  }
 }

@@ -1251,6 +1251,52 @@ object TextOps {
     * bounded by construction, the same boundedness class as the
     * broadcast PQ codebooks.
     */
+  /** Deterministic epoch shuffle + shard assignment — the data-ORDER side
+    * of training reproducibility (loss curves depend on sample order;
+    * "epoch 3 of run A" must be re-creatable on any cluster). Each
+    * epoch's permutation is the portable md5 of (doc_id, epoch): a new
+    * order every epoch, no RNG state, identical under retries /
+    * speculative tasks / engine swaps. Docs land in `nShards` hash
+    * shards with a per-shard sequence number, so the "shuffle" is one
+    * narrow per-shard window (the `packChunks` sharding discipline —
+    * never a global sort); a trainer reads shard files in (shard, seq)
+    * order. At 100 TB this is one shuffle of (id, hash) pairs.
+    */
+  def epochShuffle(documents: DataFrame, epoch: Int, nShards: Int = 8): DataFrame = {
+    require(nShards >= 1, s"nShards must be positive, got $nShards")
+    val h = expr("cast(conv(substr(md5(concat(cast(doc_id as string), " +
+      s"':', '$epoch')), 1, 8), 16, 10) as bigint)")
+    documents.select(col("doc_id"), h.as("h"))
+      .withColumn("shard", (col("h") % nShards).cast(IntegerType))
+      .withColumn("seq", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))).cast(LongType))
+      .select(col("doc_id"), col("shard"), col("seq"))
+  }
+
+  /** Tokenizer fertility by language — the multilingual-equity audit a
+    * tokenizer change ships against: fertility = BPE symbols per word
+    * (a language whose words fragment into many symbols pays more
+    * compute/context per sentence), chars-per-symbol = the compression
+    * read. Both in half-up integer ppm over the exact corpus-wide sums,
+    * composed from `bpeEncode`'s per-doc counts + one broadcast-scale
+    * (lang) rollup. Docs with zero tokenizable words carry no signal and
+    * drop (matching the encode).
+    */
+  def bpeFertilityByLang(documents: DataFrame,
+                         merges: Seq[(String, String)]): DataFrame =
+    bpeEncode(documents, merges)
+      .join(documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_bpe_symbols")).as("n_bpe_symbols"),
+        sum(col("n_chars_tok")).as("chars"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_bpe_symbols"),
+        expr("(n_bpe_symbols * 1000000 + n_tokens div 2) div n_tokens")
+          .as("fertility_ppm"),
+        expr("(chars * 1000000 + n_bpe_symbols div 2) div n_bpe_symbols")
+          .as("chars_per_sym_ppm"))
+
   def bpeEncode(documents: DataFrame,
                 merges: Seq[(String, String)]): DataFrame = {
     val applied = merges.foldLeft(symsInitSql) { case (acc, (a, b)) =>

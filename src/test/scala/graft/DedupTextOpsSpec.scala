@@ -968,6 +968,64 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(enc(2L) == ((2L, 4L)), s"doc2: ${enc(2L)}")
   }
 
+  test("bpeFertilityByLang: hand-computed per-lang ppm over the encode " +
+       "counts; zero-token docs drop") {
+    val d = Seq(
+      (1L, "banana banana banana bananas", "en", "s", 30L),
+      (2L, "aaaa aaaa", "fr", "s", 10L),
+      (3L, "!!!", "de", "s", 3L)) // no tokenizable words → absent
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.bpeFertilityByLang(d,
+      Seq(("a", "n"), ("a", "a"), ("an", "a"))).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // en: 4 tokens, 13 syms, 25 chars → fertility (13e6+2)div4, cps (25e6+6)div13
+    assert(got("en") == ((1L, 4L, 13L, 3250000L, (25000000L + 6L) / 13L)), got.toString)
+    // fr: 2 tokens, 4 syms, 8 chars → 2e6 and 2e6 exactly
+    assert(got("fr") == ((1L, 2L, 4L, 2000000L, 2000000L)), got.toString)
+    assert(!got.contains("de"), "a doc with no words carries no fertility signal")
+  }
+
+  test("epochShuffle: a permutation per epoch — every doc exactly once, " +
+       "contiguous per-shard sequences, epochs disagree, layout-invariant") {
+    val d = (1L to 40L).map(i => (i, s"text $i", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val e1 = TextOps.epochShuffle(d, epoch = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(e1.map(_._1).toSet == (1L to 40L).toSet, "every doc appears once")
+    // per-shard sequences are 1..n with no gaps
+    e1.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length),
+        s"shard $sh sequence has gaps") }
+    // epoch 2 is a different permutation of the same docs
+    val e2 = TextOps.epochShuffle(d, epoch = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(e2.map(_._1).toSet == e1.map(_._1).toSet)
+    assert(e1.sortBy(t => (t._2, t._3)).map(_._1).toSeq !=
+      e2.sortBy(t => (t._2, t._3)).map(_._1).toSeq,
+      "epochs must produce different orders")
+    // deterministic under repartition
+    val re = TextOps.epochShuffle(d.repartition(7), epoch = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(re.sortBy(_._1).sameElements(e1.sortBy(_._1)), "layout must not matter")
+  }
+
+  test("leakageSafeFoldsWith: folds in [0,k); a dup component lands in ONE " +
+       "fold; singleton keys on itself; matches the inline labeling") {
+    val comps = DedupOps.dupComponents(DedupOps.minhashCandidatePairs(docs))
+    val got = DedupOps.leakageSafeFoldsWith(docs, comps)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got.values.forall(v => v._2 >= 0 && v._2 < 5))
+    // docs 1,2,3 are one component → identical fold; 4 keys on itself
+    assert(Set(got(1L), got(2L), got(3L)).size == 1, got.toString)
+    assert(got(4L)._1 == 4L)
+    // no candidate pair straddles folds (the CV leakage guarantee)
+    for (p <- DedupOps.minhashCandidatePairs(docs).collect())
+      assert(got(p.getLong(0))._2 == got(p.getLong(1))._2,
+        s"pair (${p.getLong(0)}, ${p.getLong(1)}) straddles folds")
+  }
+
   test("sourceDrift: hand-computed KL vs the corpus mixture in exact " +
        "integer micros; the skewed source scores higher") {
     val d = Seq(
