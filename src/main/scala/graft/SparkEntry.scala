@@ -650,6 +650,12 @@ object SparkEntry {
     // is mostly edge derivation, and this is the amortized read
     "graph_triangles_stored" -> ((s, d) =>
       GraphOps.triangleStats(DedupOps.pairIndex(s, pairIndexFor(s, d)))),
+    // Adamic–Adar link prediction over the persisted pair index (6th
+    // consumer of artifact #5): non-edge two-hop pairs scored by
+    // Σ 1/ln(deg) over common neighbors — "the near-dup pairs LSH
+    // banding probably missed", the recall audit of the dedup graph
+    "link_prediction" -> ((s, d) =>
+      GraphOps.adamicAdar(DedupOps.pairIndex(s, pairIndexFor(s, d)))),
     // incremental ingestion: 1/4 of the docs play the historical corpus
     // (its fp + band-key INDEX is all the screen touches), the rest are
     // the daily delta — exact-dedup within the delta, then exact + near
@@ -886,6 +892,10 @@ object SparkEntry {
     // band — informative negatives, near-dups excluded, band applied
     // before the ranking window
     "hard_negatives" -> ((s, d) => SimilarityOps.hardNegatives(t(s, d, "embeddings"), 10, 5)),
+    // MMR diversified rerank of the cosine shortlist: greedy
+    // λ·rel − (1−λ)·max-sim-to-selected in pure integer deci-micros,
+    // 5 picks per query, every argmax vec_id-tiebroken
+    "mmr_rerank" -> ((s, d) => SimilarityOps.mmrRerank(t(s, d, "embeddings"))),
     // int8 scalar quantization (4-8x memory cut for the scoring pass); the
     // bit-portable floor-quantizer is replayed verbatim by the oracle
     "cosine_topk_int8" -> ((s, d) => SimilarityOps.cosineTopKInt8(t(s, d, "embeddings"), 10, 5)),
@@ -1873,6 +1883,74 @@ object SparkEntry {
       |edges AS (SELECT doc_a, doc_b FROM mpairs)""".stripMargin +
     triangleClosureCtes
 
+  /** Adamic–Adar link prediction over the pair-index edge set: wedges
+    * from hub-capped common neighbors, anti-joined against existing
+    * edges, per-term micros weights summed as integers — same guard
+    * (2 ≤ deg ≤ 50) and unique (score desc, a, b) top-50 as the engine.
+    */
+  private val linkPredictionOracle: String = minhashPairsCtes +
+    """,
+      |lsym AS (SELECT doc_a AS u, doc_b AS v FROM mpairs
+      |         UNION ALL SELECT doc_b, doc_a FROM mpairs),
+      |ldeg AS (SELECT u AS n, COUNT(*) AS deg FROM lsym GROUP BY 1),
+      |lnbr AS (SELECT s.u AS w, s.v AS x, d.deg FROM lsym s
+      |         JOIN ldeg d ON d.n = s.u WHERE d.deg BETWEEN 2 AND 50),
+      |lwed AS (SELECT n1.w, n1.x AS a, n2.x AS b, n1.deg
+      |         FROM lnbr n1 JOIN lnbr n2 ON n1.w = n2.w AND n1.x < n2.x),
+      |lnew AS (SELECT * FROM lwed WHERE NOT EXISTS (
+      |           SELECT 1 FROM mpairs m WHERE m.doc_a = lwed.a AND m.doc_b = lwed.b)),
+      |lag0 AS (SELECT a AS doc_a, b AS doc_b, COUNT(*) AS common_neighbors,
+      |         SUM(CAST(round(1000000.0 / ln(CAST(deg AS DOUBLE))) AS BIGINT)) AS aa_micros
+      |         FROM lnew GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, common_neighbors, CAST(aa_micros AS BIGINT) AS aa_micros
+      |FROM lag0 ORDER BY aa_micros DESC, doc_a, doc_b LIMIT 50""".stripMargin
+
+  /** MMR greedy rerank replayed pick-for-pick: shortlist + pairwise sims
+    * once, then 5 unrolled rounds of integer deci-micros argmax
+    * (7·rel − 3·max-sim-to-selected), each vec_id-tiebroken.
+    */
+  private val mmrOracle: String = {
+    val rounds = (2 to 5).map { r =>
+      s""",
+         |mc$r AS (SELECT s.q_id, s.vec_id, 7 * s.rel_m - 3 * mx.ms AS mmr_dm
+         |        FROM mshort s
+         |        JOIN (SELECT pm.q_id, pm.a AS vec_id, MAX(pm.sim_m) AS ms
+         |              FROM mpm pm JOIN msel${r - 1} x
+         |                ON x.q_id = pm.q_id AND x.vec_id = pm.b
+         |              GROUP BY pm.q_id, pm.a) mx
+         |          ON mx.q_id = s.q_id AND mx.vec_id = s.vec_id
+         |        WHERE NOT EXISTS (SELECT 1 FROM msel${r - 1} y
+         |                          WHERE y.q_id = s.q_id AND y.vec_id = s.vec_id)),
+         |mp$r AS (SELECT q_id, vec_id, $r AS pick, mmr_dm FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY mmr_dm DESC, vec_id) AS rn FROM mc$r) WHERE rn = 1),
+         |msel$r AS (SELECT q_id, vec_id FROM msel${r - 1}
+         |           UNION ALL SELECT q_id, vec_id FROM mp$r)""".stripMargin
+    }.mkString
+    """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+      |           FROM embeddings WHERE vec_id < 4),
+      |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |scored AS (
+      |  SELECT q_id, vec_id, round(list_cosine_similarity(emb, q_emb), 4) AS score
+      |  FROM c CROSS JOIN q WHERE vec_id <> q_id),
+      |mshort AS (SELECT q_id, vec_id, CAST(round(score * 1000000) AS BIGINT) AS rel_m FROM (
+      |  SELECT q_id, vec_id, score,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+      |  FROM scored) WHERE rn <= 10),
+      |mpm AS (SELECT s1.q_id, s1.vec_id AS a, s2.vec_id AS b,
+      |       CAST(round(round(list_cosine_similarity(e1.emb, e2.emb), 4) * 1000000) AS BIGINT) AS sim_m
+      |       FROM mshort s1 JOIN mshort s2 ON s1.q_id = s2.q_id AND s1.vec_id <> s2.vec_id
+      |       JOIN c e1 ON e1.vec_id = s1.vec_id
+      |       JOIN c e2 ON e2.vec_id = s2.vec_id),
+      |mp1 AS (SELECT q_id, vec_id, 1 AS pick, 7 * rel_m AS mmr_dm FROM (
+      |  SELECT q_id, vec_id, rel_m,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY rel_m DESC, vec_id) AS rn
+      |  FROM mshort) WHERE rn = 1),
+      |msel1 AS (SELECT q_id, vec_id FROM mp1)""".stripMargin + rounds +
+      "\nSELECT q_id, vec_id, CAST(pick AS INTEGER) AS pick, CAST(mmr_dm AS BIGINT) AS mmr_dm FROM (" +
+      (1 to 5).map(r => s"SELECT * FROM mp$r").mkString(" UNION ALL ") + ") mall"
+  }
+
   /** BPE training replay: 10 merge rounds unrolled as CTEs — each round
     * extracts adjacent symbol pairs from the sentinel strings, takes the
     * (weight DESC, pair ASC) argmax, and applies the merge as the same
@@ -2838,6 +2916,8 @@ object SparkEntry {
     "doc_communities_stored" -> docCommunitiesOracle,
     "graph_triangles" -> graphTrianglesOracle,
     "graph_triangles_stored" -> graphTrianglesStoredOracle,
+    "link_prediction" -> linkPredictionOracle,
+    "mmr_rerank" -> mmrOracle,
     "bpe_merges" -> bpeMergesOracle,
     "bpe_encode" -> bpeEncodeOracle,
     "bpe_fertility" -> bpeFertilityOracle,

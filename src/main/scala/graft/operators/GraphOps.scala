@@ -134,6 +134,42 @@ object GraphOps {
           .select(col("doc_a"), col("doc_b")))
         .distinct())
 
+  /** Adamic–Adar link prediction over an undirected (doc_a < doc_b) pair
+    * frame: score every NON-edge two-hop pair by Σ 1/ln(deg(w)) over the
+    * common neighbors w — in the dup-graph reading, "pairs the banding
+    * probably MISSED" (two docs sharing several low-degree near-dup
+    * neighbors are almost certainly near-dups themselves; LSH banding is
+    * probabilistic, so recall audits need exactly this query). The
+    * 1/ln(deg) weight is the AA insight: a rare shared neighbor is strong
+    * evidence, a boilerplate hub is weak — and the `maxDeg` guard drops
+    * hub wedge-centers outright (their AA contribution is negligible by
+    * construction AND they are the quadratic term: wedge volume is
+    * Σ deg(w)², so capping deg(w) bounds it the way the jaccard df cap
+    * bounds postings). Per-term micros quantization before the integer
+    * sum keeps scores engine-exact; top-N lands via TakeOrdered on the
+    * unique (score desc, a, b) order. One wedge self-join + one anti-join
+    * against the existing edges — no iteration.
+    */
+  def adamicAdar(pairs: DataFrame, maxDeg: Int = 50, topN: Int = 50): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u").as("n")).agg(count(lit(1)).as("deg"))
+    val nbr = sym.select(col("u").as("w"), col("v").as("x"))
+      .join(deg.filter(col("deg").between(2, maxDeg))
+        .select(col("n").as("w"), col("deg")), Seq("w"))
+    val wedges = nbr.select(col("w"), col("x").as("a"), col("deg"))
+      .join(nbr.select(col("w"), col("x").as("b")), Seq("w"))
+      .filter(col("a") < col("b"))
+    wedges
+      .join(edges.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"), "left_anti")
+      .select(col("a"), col("b"),
+        expr("cast(round(1000000.0d / ln(cast(deg as double))) as bigint)").as("term"))
+      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
+      .agg(count(lit(1)).as("common_neighbors"), sum(col("term")).as("aa_micros"))
+      .orderBy(col("aa_micros").desc, col("doc_a"), col("doc_b"))
+      .limit(topN)
+  }
+
   /** Synchronous label propagation (Raghavan et al.) — community
     * detection between the collapse's two extremes: min-label components
     * merge ANY connected structure (a single boilerplate bridge fuses two

@@ -82,6 +82,65 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Maximal-marginal-relevance reranking (Carbonell & Goldstein) of the
+    * cosine shortlist: greedily pick k results balancing relevance to the
+    * query against redundancy with what is ALREADY picked —
+    * argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s). This is the
+    * diversity-vs-relevance dial every retrieval/RAG stack ships (top-k
+    * alone returns five copies of the same passage precisely when the
+    * corpus has near-dups — the failure mode this engine's dedup tier
+    * measures). Determinism: rel and pairwise sims quantize to micros
+    * once; with λ = lambdaTenths/10 the greedy objective is the pure
+    * INTEGER λ·10·rel − (10−λ·10)·maxsim (deci-micros — no division
+    * anywhere), and every argmax tiebreaks on vec_id. Scale shape: the
+    * shortlist bounds everything — pairwise sims are shortlist² per
+    * query and each of the k rounds is a join over ≤ nQueries·shortlist
+    * rows; the corpus-scale stage is the one `cosineTopK` scan, for
+    * which any ANN tier substitutes unchanged.
+    */
+  def mmrRerank(embeddings: DataFrame, nQueries: Int = 4, shortlist: Int = 10,
+                k: Int = 5, lambdaTenths: Int = 7): DataFrame = {
+    require(k >= 1 && k <= shortlist, s"k out of range: $k vs shortlist $shortlist")
+    require(lambdaTenths >= 0 && lambdaTenths <= 10, s"lambdaTenths: $lambdaTenths")
+    val lam = lambdaTenths
+    val com = 10 - lambdaTenths
+    val top = cosineTopK(embeddings, nQueries, shortlist)
+      .select(col("q_id"), col("vec_id"),
+        expr("cast(round(score * 1000000) as bigint)").as("rel_m"))
+    val emb = embeddings.select(col("vec_id"), col("embedding"))
+    val withEmb = top.join(emb, Seq("vec_id"))
+    val pm = withEmb.select(col("q_id"), col("vec_id").as("a"), col("embedding").as("ea"))
+      .join(withEmb.select(col("q_id"), col("vec_id").as("b"), col("embedding").as("eb")),
+        Seq("q_id"))
+      .filter(col("a") =!= col("b"))
+      .select(col("q_id"), col("a"), col("b"),
+        round(round(graft.functions.GraftFunctions.cosineSim(col("ea"), col("eb")), 4)
+          * 1000000).cast(org.apache.spark.sql.types.LongType).as("sim_m"))
+    val w = Window.partitionBy("q_id").orderBy(col("mmr_dm").desc, col("vec_id"))
+    var sel: DataFrame = null
+    var picks: DataFrame = null
+    for (r <- 1 to k) {
+      val scored =
+        if (r == 1)
+          top.select(col("q_id"), col("vec_id"), (lit(lam) * col("rel_m")).as("mmr_dm"))
+        else
+          top.join(sel, Seq("q_id", "vec_id"), "left_anti")
+            .join(pm.join(sel.select(col("q_id"), col("vec_id").as("b")), Seq("q_id", "b"))
+              .groupBy(col("q_id"), col("a").as("vec_id")).agg(max(col("sim_m")).as("ms")),
+              Seq("q_id", "vec_id"))
+            .select(col("q_id"), col("vec_id"),
+              (lit(lam) * col("rel_m") - lit(com) * col("ms")).as("mmr_dm"))
+      val pick = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("vec_id"), lit(r).as("pick"), col("mmr_dm"))
+      sel = if (r == 1) pick.select("q_id", "vec_id")
+            else sel.unionByName(pick.select("q_id", "vec_id"))
+      picks = if (r == 1) pick else picks.unionByName(pick)
+    }
+    picks.select(col("q_id"), col("vec_id"),
+      col("pick").cast(org.apache.spark.sql.types.IntegerType).as("pick"), col("mmr_dm"))
+  }
+
   /** Embedding-space near-duplicate pairs, brute-force baseline: all pairs
     * (i < j) with cosine ≥ threshold. O(n²/2) scoring — correct and
     * oracle-checkable, the right choice only when n is modest (e.g. one

@@ -134,4 +134,28 @@ class GraphOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(base == re)
   }
+
+  test("adamicAdar: path predicts its endpoints at exactly 1e6/ln2; a " +
+       "closed triangle predicts nothing; hub wedge-centers are capped out") {
+    import spark.implicits._
+    // path 1-2-3: the only wedge is centered on 2 (deg 2) → (1,3) at
+    // round(1e6/ln 2) = 1442695; square 1-2-3-4: both diagonals score 2×
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val p = GraphOps.adamicAdar(path).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(p == Map((1L, 3L) -> ((1L, 1442695L))), p.toString)
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val sq = GraphOps.adamicAdar(square).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(sq == Map((1L, 3L) -> ((2L, 2885390L)), (2L, 4L) -> ((2L, 2885390L))),
+      sq.toString)
+    // triangle: the (1,3) wedge closes an EXISTING edge → no prediction
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("doc_a", "doc_b")
+    assert(GraphOps.adamicAdar(tri).count() == 0, "closed wedges predict nothing")
+    // a center above maxDeg contributes no wedges (the quadratic guard)
+    val star = (1L to 60L).map(i => (math.min(0L, i), math.max(0L, i)))
+      .map { case (a, b) => (a, b) }.toDF("doc_a", "doc_b")
+    assert(GraphOps.adamicAdar(star, maxDeg = 50).count() == 0,
+      "a 60-degree hub must be capped out of wedge generation")
+  }
 }

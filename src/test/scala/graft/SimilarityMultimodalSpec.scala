@@ -22,6 +22,29 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(got.last.getLong(1) == 4L && got.last.getDouble(2) == -1.0)
   }
 
+  test("mmrRerank: greedy diversification — a redundant near-dup is " +
+       "deferred below a dissimilar result; scores are exact deci-micros") {
+    // q = (1,0); docs 1,2 identical to q (rel 1.0, mutually sim 1.0),
+    // doc 3 orthogonal (rel 0, sim-to-1/2 0). Plain top-k order: 1,2,3.
+    // With λ = 0.4: pick1 = 1 (rel argmax); pick2: doc2 scores
+    // 4·1e6 − 6·1e6 = −2e6, doc3 scores 0 → MMR promotes the orthogonal
+    // doc; pick3 = the deferred duplicate.
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 1)).toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.mmrRerank(vs, nQueries = 1, shortlist = 3, k = 3,
+      lambdaTenths = 4).orderBy("pick").collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 1, 4000000L), (3L, 2, 0L), (2L, 3, -2000000L)),
+      got.mkString(","))
+    // λ = 10 degenerates to pure relevance order (vec_id tiebreak)
+    val pure = SimilarityOps.mmrRerank(vs, nQueries = 1, shortlist = 3, k = 3,
+      lambdaTenths = 10).orderBy("pick").collect().map(_.getLong(1))
+    assert(pure.toSeq == Seq(1L, 2L, 3L), pure.mkString(","))
+  }
+
   test("quantizeInt8: integer components in [-127, 127], scale positive, zero vectors dropped") {
     val withZero = emb.union(Seq((9L, Array(0.0f, 0.0f, 0.0f, 0.0f), 9))
       .toDF("vec_id", "embedding", "label"))
