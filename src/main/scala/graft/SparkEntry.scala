@@ -1614,6 +1614,21 @@ object SparkEntry {
     "multimodal_decode_real" -> ((s, d) =>
       MultimodalOps.decodePngFeatures(
         MultimodalOps.withPngPayload(t(s, d, "documents")))),
+    // perceptual dHash from DECODED gradient PNGs: encode → decode →
+    // 56-bit gradient hash, all through real ImageIO passes; the oracle
+    // replays the closed-form wrap pattern — a hash match proves the
+    // whole image near-dup pipeline end to end
+    "image_phash" -> ((s, d) =>
+      MultimodalOps.imagePhash(
+        MultimodalOps.withGradientPng(t(s, d, "documents")))),
+    // the multimodal exactDedup analog: images grouped by perceptual
+    // hash, dup clusters (n >= 2) with their canonical member
+    "image_phash_dups" -> ((s, d) =>
+      MultimodalOps.imagePhash(
+        MultimodalOps.withGradientPng(t(s, d, "documents")))
+        .groupBy(col("phash"))
+        .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("canonical_doc"))
+        .filter(col("n_images") >= 2)),
 
     // PII scrub pass: emails/IPs/long digit runs replaced, one projection
     "pii_redact" -> ((s, d) => TextOps.redactPii(t(s, d, "documents"))),
@@ -4120,6 +4135,36 @@ object SparkEntry {
         |CAST((doc_id * 7 + 13) % 256 AS BIGINT) AS mean_g,
         |CAST(n_chars % 256 AS BIGINT) AS mean_b
         |FROM documents""".stripMargin,
+
+    // the gradient tier's wrap pattern replayed analytically: dHash
+    // bit(x,y) = [(a(x+1)+by+c) mod 256 > (ax+by+c) mod 256]
+    "image_phash" ->
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 7 AS a, (doc_id // 7) % 5 AS b,
+        |           n_chars % 256 AS c FROM documents),
+        |g AS (SELECT x, y FROM (SELECT unnest(range(0, 8)) AS x) ax
+        |      CROSS JOIN (SELECT unnest(range(0, 7)) AS y) ay),
+        |bits AS (SELECT doc_id,
+        |         CASE WHEN (a*(x+1) + b*y + c) % 256 > (a*x + b*y + c) % 256
+        |              THEN CAST(1 AS BIGINT) << CAST(y*8 + x AS INTEGER)
+        |              ELSE 0 END AS bv
+        |         FROM p CROSS JOIN g)
+        |SELECT doc_id, CAST(9 AS INTEGER) AS width, CAST(7 AS INTEGER) AS height,
+        |       CAST(SUM(bv) AS BIGINT) AS phash
+        |FROM bits GROUP BY doc_id""".stripMargin,
+
+    "image_phash_dups" ->
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 7 AS a, (doc_id // 7) % 5 AS b,
+        |           n_chars % 256 AS c FROM documents),
+        |g AS (SELECT x, y FROM (SELECT unnest(range(0, 8)) AS x) ax
+        |      CROSS JOIN (SELECT unnest(range(0, 7)) AS y) ay),
+        |bits AS (SELECT doc_id,
+        |         CASE WHEN (a*(x+1) + b*y + c) % 256 > (a*x + b*y + c) % 256
+        |              THEN CAST(1 AS BIGINT) << CAST(y*8 + x AS INTEGER)
+        |              ELSE 0 END AS bv
+        |         FROM p CROSS JOIN g),
+        |ph AS (SELECT doc_id, CAST(SUM(bv) AS BIGINT) AS phash FROM bits GROUP BY doc_id)
+        |SELECT phash, COUNT(*) AS n_images, MIN(doc_id) AS canonical_doc
+        |FROM ph GROUP BY phash HAVING COUNT(*) >= 2""".stripMargin,
 
     "pii_redact" ->
       """SELECT doc_id,

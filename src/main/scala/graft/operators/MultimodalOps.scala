@@ -136,6 +136,98 @@ object MultimodalOps {
     spark.createDataFrame(rows, outSchema)
   }
 
+  /** Gradient-PNG payload tier for the perceptual-hash pipeline: real
+    * PNGs whose LUMINANCE VARIES within the frame (the constant-color
+    * `withPngPayload` images would dHash to all-zero bits). Pixel
+    * luminance is the closed form (a·x + b·y + c) mod 256 with
+    * a = 1 + doc_id mod 7, b = (doc_id div 7) mod 5, c = n_chars mod 256
+    * — engineered from the row's own columns so the DECODED hash is
+    * SQL-replayable, with distinct docs colliding exactly when their
+    * (a, b, c) wrap pattern agrees (the dup structure the pair query
+    * exercises). Canvas is the dHash grid itself, 9×7 (a production
+    * pipeline resizes arbitrary images to this grid first — that resize
+    * is the only stubbed stage; the batched encode/decode plumbing is
+    * identical). Same per-partition-init `mapPartitions` shape as
+    * `withPngPayload`.
+    */
+  def withGradientPng(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val rows = documents.select("doc_id", "n_chars").rdd.mapPartitions { iter =>
+      javax.imageio.ImageIO.setUseCache(false)
+      iter.map { r =>
+        val (docId, nChars) = (r.getLong(0), r.getLong(1))
+        val a = (1 + docId % 7).toInt
+        val b = ((docId / 7) % 5).toInt
+        val c = (nChars % 256).toInt
+        val (w, h) = (9, 7)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val lum = (a * x + b * y + c) % 256
+            img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(docId, bos.toByteArray)
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Perceptual difference-hash (dHash) from DECODED pixels: bit(x, y) =
+    * [lum(x+1, y) > lum(x, y)] over the 9×7 luminance grid → 56 bits
+    * packed little-endian into a positive BIGINT (the 9-wide/7-high grid
+    * is chosen so the top bit stays clear — no sign-wrap divergence
+    * between engines). Gradient direction survives brightness shifts and
+    * (with a real resize front-end) rescaling — the property that makes
+    * dHash the standard near-dup key for images where exact byte hashing
+    * fails. Identical hashes then dedup with a plain groupBy: the
+    * multimodal analog of `exactDedup`, one shuffle of (doc_id, long)
+    * rows at any corpus size. Batched `mapPartitions` decode with the
+    * spec-counted per-partition init.
+    */
+  def imagePhash(payloads: DataFrame,
+                 initCounter: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val spark = payloads.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("phash", LongType)))
+    val rows = payloads.select("doc_id", "payload").rdd.mapPartitions { iter =>
+      javax.imageio.ImageIO.setUseCache(false)
+      initCounter.foreach(_.add(1L))
+      iter.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+        val (w, h) = (img.getWidth, img.getHeight)
+        var hash = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w - 1) {
+            val l0 = (img.getRGB(x, y) >> 16) & 0xff
+            val l1 = (img.getRGB(x + 1, y) >> 16) & 0xff
+            if (l1 > l0) hash |= 1L << (y * (w - 1) + x)
+            x += 1
+          }
+          y += 1
+        }
+        Row(r.getAs[Long]("doc_id"), w, h, hash)
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
   /** Batched decode over partitions — the mapPartitions shape a real codec
     * needs (amortizes per-batch init like decoder contexts / model weights
     * across all rows of a partition; the Scala analog of `mapInPandas`).

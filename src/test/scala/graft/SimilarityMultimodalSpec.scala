@@ -437,6 +437,30 @@ class SimilarityMultimodalSpec extends SparkSpec {
       s"expected 4 per-partition inits for 40 rows, got ${acc.value}")
   }
 
+  test("image dHash: decoded gradient hash matches the closed form; same " +
+       "wrap pattern collides, different pattern separates; init per partition") {
+    // doc 0, n_chars 0: a=1, b=0, c=0 → lum = x, never wraps → all 56
+    // bits set; doc 35 shares (a, b, c) → identical hash; doc 3 differs
+    val docs = Seq(
+      (0L, "t", "en", "s", 0L),
+      (35L, "t", "en", "s", 0L),   // 35 % 7 = 0, (35/7) % 5 = 0 → same (a,b,c)
+      (3L, "t", "en", "s", 250L))  // c=250: the ramp wraps mid-row → 0 bits appear
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val payloads = MultimodalOps.withGradientPng(docs)
+    for (r <- payloads.collect()) {
+      val b = r.getAs[Array[Byte]]("payload")
+      assert((b(0) & 0xff) == 0x89 && b(1) == 'P', "payload is not a PNG")
+    }
+    val acc = spark.sparkContext.longAccumulator("phash-init")
+    val got = MultimodalOps.imagePhash(payloads.repartition(2), Some(acc)).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(acc.value == 2L, s"per-partition init, got ${acc.value}")
+    assert(got(0L) == ((9, 7, (1L << 56) - 1)), s"monotone ramp = all bits: ${got(0L)}")
+    assert(got(35L)._3 == got(0L)._3, "same (a,b,c) wrap pattern must collide")
+    assert(got(3L)._3 != got(0L)._3, "different gradient must separate")
+    assert(got.values.forall(_._3 >= 0L), "56-bit hash stays positive")
+  }
+
   test("diversitySample: per-cluster ceil quota, every cluster survives, deterministic picks") {
     // 2 seeded centroids (vec 0 → x-axis, vec 1 → y-axis): cluster0 = {0, 2, 3},
     // cluster1 = {1, 4}. pct=34 → quota0 = ceil(3*.34) = 2, quota1 = 1.
