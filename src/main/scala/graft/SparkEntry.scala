@@ -881,6 +881,19 @@ object SparkEntry {
 
     "ks_source_drift" -> ((s, d) => StatsOps.ksSourceDrift(t(s, d, "documents"))),
 
+    // Theil–Sen robust trend: exact type-1 median of pairwise slopes
+    "theil_sen_trend" -> ((s, d) => EventOps.theilSenTrend(t(s, d, "events"))),
+
+    // ER blocking pre-flight: reduction ratio + hottest block, pure
+    // integer — prices the quadratic compare before it runs
+    "er_blocking_audit" -> ((s, d) =>
+      EntityOps.erBlockingAudit(t(s, d, "part"), "p_name")),
+
+    // exact ECDF feature transform: per-doc length percentile in ppm,
+    // ties share a percentile, no global rank window
+    "quantile_normalize" -> ((s, d) =>
+      TextOps.quantileNormalize(t(s, d, "documents"))),
+
     // blocked fuzzy self-match (entity resolution, value-level): distinct
     // part names, noun-blocked, edit-distance <= 3
     "fuzzy_name_match" -> ((s, d) => EntityOps.fuzzyNameMatch(t(s, d, "part"), "p_name")),
@@ -4018,6 +4031,49 @@ object SparkEntry {
         |      / (CAST(n_src AS DOUBLE) * CAST(n_rest AS DOUBLE)) * 1000000) AS BIGINT)
         |  END AS ks_ppm
         |FROM r WHERE rn = 1""".stripMargin,
+
+    "theil_sen_trend" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |d AS (SELECT event_type,
+        |      CAST(datediff('day', DATE '1995-01-01',
+        |           CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+        |      SUM(CAST(round(value * 100) AS BIGINT)) AS cents FROM e GROUP BY 1, 2),
+        |p AS (SELECT a.event_type, a.x AS xa, b.x AS xb,
+        |      CAST(round(CAST(b.cents - a.cents AS DOUBLE)
+        |           / CAST(b.x - a.x AS DOUBLE) * 1000000) AS BIGINT) AS slope_micros
+        |      FROM d a JOIN d b ON a.event_type = b.event_type AND a.x < b.x),
+        |r AS (SELECT event_type, slope_micros,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY slope_micros, xa, xb) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS n_pairs FROM p)
+        |SELECT event_type, n_pairs, slope_micros
+        |FROM r WHERE rn = (n_pairs + 1) // 2""".stripMargin,
+
+    "er_blocking_audit" ->
+      """WITH names AS (SELECT p_name AS name FROM part GROUP BY 1),
+        |b AS (SELECT string_split(name, ' ')[-1] AS block, COUNT(*) AS b
+        |      FROM names GROUP BY 1),
+        |agg AS (SELECT SUM(b) AS n_values, COUNT(*) AS n_blocks, MAX(b) AS max_block,
+        |        SUM(b * (b - 1) // 2) AS candidate_pairs FROM b)
+        |SELECT CAST(n_values AS BIGINT) AS n_values, n_blocks,
+        |  CAST(max_block AS BIGINT) AS max_block,
+        |  CAST(candidate_pairs AS BIGINT) AS candidate_pairs,
+        |  CAST(n_values * (n_values - 1) // 2 AS BIGINT) AS total_pairs,
+        |  CASE WHEN n_values > 1 THEN
+        |    CAST(((n_values * (n_values - 1) // 2 - candidate_pairs) * 1000000
+        |      + (n_values * (n_values - 1) // 2) // 2)
+        |      // (n_values * (n_values - 1) // 2) AS BIGINT)
+        |  END AS reduction_ppm
+        |FROM agg""".stripMargin,
+
+    "quantile_normalize" ->
+      """WITH c AS (SELECT n_chars AS v, COUNT(*) AS c FROM documents GROUP BY 1),
+        |cum AS (SELECT v, SUM(c) OVER (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_le FROM c),
+        |t AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT doc_id, d.n_chars AS v,
+        |  CAST((cum_le * 1000000 + n // 2) // n AS BIGINT) AS pct_ppm
+        |FROM documents d JOIN cum ON cum.v = d.n_chars CROSS JOIN t""".stripMargin,
 
     "spearman_spend_orders" ->
       """WITH pc AS (SELECT o_custkey, COUNT(*) AS n_orders,

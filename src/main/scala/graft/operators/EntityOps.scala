@@ -51,6 +51,34 @@ object EntityOps {
         col("n_rows_a"), col("n_rows_b"))
   }
 
+  /** Blocking-quality audit (Christen's reduction ratio) — the
+    * pre-flight read BEFORE running the quadratic compare: how many
+    * candidate pairs does the block key actually admit vs the all-pairs
+    * total, and how big is the hottest block (the straggler bound —
+    * O(max_block²) is the worst single task the DP stage can see)?
+    * Reduction ratio < ~99% on a large vocabulary means the block key is
+    * too coarse and the ER job will blow up; this row is how you find
+    * out for the price of two aggregates instead of a failed job. Pure
+    * integer output; same last-token block key as `fuzzyNameMatch`, so
+    * the audit prices exactly the join that would run.
+    */
+  def erBlockingAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val names = df.groupBy(col(valueCol).as("name")).agg(count(lit(1)).as("nr"))
+      .withColumn("block", element_at(split(col("name"), " "), -1))
+    names.groupBy(col("block")).agg(count(lit(1)).as("b"))
+      .agg(sum(col("b")).as("n_values"),
+        count(lit(1)).as("n_blocks"),
+        max(col("b")).as("max_block"),
+        sum(expr("b * (b - 1) div 2")).as("candidate_pairs"))
+      .select(col("n_values"), col("n_blocks"), col("max_block"), col("candidate_pairs"),
+        expr("n_values * (n_values - 1) div 2").as("total_pairs"),
+        expr("""case when n_values > 1 then
+          |  ((n_values * (n_values - 1) div 2 - candidate_pairs) * 1000000
+          |   + (n_values * (n_values - 1) div 2) div 2)
+          |  div (n_values * (n_values - 1) div 2) end""".stripMargin)
+          .as("reduction_ppm"))
+  }
+
   /** Transitive canonicalization: connected components over the fuzzy
     * match graph (reusing the dedup collapse — `DedupOps.dupComponents`
     * is type-agnostic, so string node ids label with the lexicographic

@@ -595,6 +595,42 @@ object EventOps {
           .as("acf_micros"))
   }
 
+  /** Theil–Sen robust trend per event type: the MEDIAN of all pairwise
+    * day-to-day slopes — the estimator that shrugs off the outlier days
+    * OLS (`revenueTrend`) gets dragged by (breakdown point 29% vs 0%).
+    * Each pairwise slope is ONE fixed-shape double over exact longs
+    * quantized to micros; the median is the exact type-1 lower median
+    * (rank ⌈n/2⌉ in (slope, xa, xb) order — integer rank arithmetic, no
+    * interpolation semantics to diverge). The pair frame is #days² per
+    * type — dimension-scale after the one corpus (type, day) aggregate,
+    * same boundedness class as `conversionLag`'s converter set.
+    */
+  def theilSenTrend(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("1995-01-01").cast(DateType)).cast(LongType).as("x"),
+        col("cents"))
+    val pairs = daily.select(col("event_type"), col("x").as("xa"), col("cents").as("ca"))
+      .join(daily.select(col("event_type"), col("x").as("xb"), col("cents").as("cb")),
+        Seq("event_type"))
+      .filter(col("xa") < col("xb"))
+      .select(col("event_type"), col("xa"), col("xb"),
+        expr("""cast(round(cast(cb - ca as double)
+          | / cast(xb - xa as double) * 1000000) as bigint)""".stripMargin)
+          .as("slope_micros"))
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("slope_micros"), col("xa"), col("xb"))
+    val wCnt = Window.partitionBy(col("event_type"))
+    pairs
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n_pairs", count(lit(1)).over(wCnt))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("event_type"), col("n_pairs"), col("slope_micros"))
+  }
+
   def cusumChangepoint(events: DataFrame): DataFrame = {
     val daily = events
       .groupBy(col("event_type"),

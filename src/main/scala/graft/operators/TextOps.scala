@@ -456,6 +456,30 @@ object TextOps {
       .select(col(idCol), col(strataCol))
   }
 
+  /** Quantile (rank) normalization of a numeric document feature — the
+    * distribution-free feature transform a downstream classifier/mixer
+    * wants instead of raw values ("this doc is at the 83rd length
+    * percentile" is comparable across sources; "4 017 chars" is not).
+    * pct_ppm = (#docs with value ≤ v) / n in half-up integer ppm — the
+    * exact empirical CDF, NO global rank window: the corpus-scale work
+    * is one value-count aggregate; the cumulative runs over the DISTINCT
+    * value frame (dimension-scale, the `ksSourceDrift` machinery) and
+    * maps back with one join. Ties share a percentile by construction —
+    * the property per-row rank numbers get wrong.
+    */
+  def quantileNormalize(documents: DataFrame, valCol: String = "n_chars"): DataFrame = {
+    val cnt = documents.groupBy(col(valCol).as("v")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(pmod(col("c"), lit(1))).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cnt.withColumn("cum_le", sum(col("c")).over(wCum)).select(col("v"), col("cum_le"))
+    val n = documents.agg(count(lit(1)).as("n"))
+    documents.select(col("doc_id"), col(valCol).as("v"))
+      .join(cum, Seq("v"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("v"),
+        expr("(cum_le * 1000000 + n div 2) div n").as("pct_ppm"))
+  }
+
   /** Top-k keywords per document by tf·idf — the extractive tagging pass
     * a corpus catalog needs. Ranking is integer-exact across engines:
     * idf = ln(N/df) is quantized to micros ONCE per distinct (N, df)

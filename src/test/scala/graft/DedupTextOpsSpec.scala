@@ -1026,6 +1026,21 @@ class DedupTextOpsSpec extends SparkSpec {
         s"pair (${p.getLong(0)}, ${p.getLong(1)}) straddles folds")
   }
 
+  test("quantileNormalize: exact ECDF ppm — ties share a percentile, the " +
+       "max value reads 1e6, layout-invariant") {
+    val d = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 30L))
+      .map { case (id, n) => (id, s"t$id", "en", "s", n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.quantileNormalize(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // cum_le: 10→2, 20→3, 30→4 over n=4 (half-up ppm)
+    assert(got == Map(1L -> 500000L, 2L -> 500000L, 3L -> 750000L, 4L -> 1000000L),
+      got.toString)
+    val re = TextOps.quantileNormalize(d.repartition(5)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(re == got, "partitioning must not change percentiles")
+  }
+
   test("sourceDrift: hand-computed KL vs the corpus mixture in exact " +
        "integer micros; the skewed source scores higher") {
     val d = Seq(

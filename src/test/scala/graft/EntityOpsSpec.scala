@@ -55,4 +55,20 @@ class EntityOpsSpec extends SparkSpec {
       "levenshtein('abc', 'abc'), levenshtein('', 'abc')").head()
     assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) == ((3, 3, 0, 3)))
   }
+
+  test("erBlockingAudit: hand-computed reduction ratio and hottest block; " +
+       "degenerate one-value frame reads NULL ratio") {
+    import spark.implicits._
+    // blocks: apple {red apple, green apple}, sky {blue sky} →
+    // candidates 1 of 3 total pairs → reduction (2·1e6 + 1) div 3
+    val df = Seq("red apple", "green apple", "blue sky", "red apple")
+      .toDF("p_name")
+    val r = EntityOps.erBlockingAudit(df, "p_name").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((3L, 2L, 2L, 1L, 3L)), r.toString)
+    assert(r.getLong(5) == (2L * 1000000L + 1L) / 3L, s"reduction ${r.getLong(5)}")
+    val one = Seq("solo name").toDF("p_name")
+    assert(EntityOps.erBlockingAudit(one, "p_name").head().isNullAt(5),
+      "a single value has no pair space to reduce")
+  }
 }

@@ -384,6 +384,23 @@ class EventOpsSpec extends SparkSpec {
     assert(!got.contains(4) && got.size == 3, got.toString)
   }
 
+  test("theilSenTrend: the median pairwise slope shrugs off an outlier " +
+       "day that drags OLS") {
+    // daily cents 1000, 2000, 3000, 10000: five of six pairwise slopes
+    // are pulled by the spike, but the type-1 median (rank 3 of 6) is
+    // still the underlying 1000 cents/day
+    val ev = (1 to 4).map { k =>
+      ("buy", Timestamp.valueOf(s"1995-01-0$k 12:00:00"),
+        if (k == 4) 100.0 else 10.0 * k)
+    }.toDF("event_type", "ts", "value")
+    val r = EventOps.theilSenTrend(ev).head()
+    assert(r.getString(0) == "buy" && r.getLong(1) == 6L, r.toString)
+    assert(r.getLong(2) == 1000L * 1000000L, s"median slope ${r.getLong(2)}")
+    // OLS on the same series reads far above the median slope
+    val ols = EventOps.revenueTrend(ev).head().getAs[Long]("slope_micros")
+    assert(ols > r.getLong(2), s"OLS $ols should be dragged above Theil–Sen")
+  }
+
   test("cusumChangepoint: the peak |cusum| lands on the last pre-shift " +
        "day of a level shift") {
     // 4 days at $10 then 4 days at $20: scaled deviations ∓4000, cusum
