@@ -656,6 +656,12 @@ object SparkEntry {
     // banding probably missed", the recall audit of the dedup graph
     "link_prediction" -> ((s, d) =>
       GraphOps.adamicAdar(DedupOps.pairIndex(s, pairIndexFor(s, d)))),
+    // 2-core of the near-dup graph (7th pair-index consumer): 8 peel
+    // rounds strip chains/stars, leaving the dense template families
+    "kcore_docs" -> ((s, d) =>
+      GraphOps.kCore(DedupOps.pairIndex(s, pairIndexFor(s, d)))),
+    // one-pass column profile: nulls + exact distincts per column
+    "table_profile" -> ((s, d) => RelationalOps.tableProfile(t(s, d, "orders"))),
     // incremental ingestion: 1/4 of the docs play the historical corpus
     // (its fp + band-key INDEX is all the screen touches), the rest are
     // the daily delta — exact-dedup within the delta, then exact + near
@@ -1933,6 +1939,31 @@ object SparkEntry {
       |SELECT doc_a, doc_b, common_neighbors, CAST(aa_micros AS BIGINT) AS aa_micros
       |FROM lag0 ORDER BY aa_micros DESC, doc_a, doc_b LIMIT 50""".stripMargin
 
+  /** k-core peel replayed round-for-round over the minhash edge set:
+    * each round recomputes degrees and semi-joins both endpoints against
+    * the ≥ k survivors — exactly the engine's iteration. Every round's
+    * edge CTE is referenced THREE times by the next round, so each is
+    * pinned MATERIALIZED — inlined, DuckDB would re-expand the whole
+    * prefix 3^8 times (measured: the inlined form exhausts file handles
+    * re-opening the documents parquet thousands of times).
+    */
+  private val kcoreOracle: String = {
+    val rounds = (1 to 8).map { r =>
+      s""",
+         |kd$r AS (SELECT n, COUNT(*) AS deg FROM (
+         |         SELECT u AS n FROM ke${r - 1} UNION ALL SELECT v FROM ke${r - 1}) GROUP BY n),
+         |kk$r AS (SELECT n FROM kd$r WHERE deg >= 2),
+         |ke$r AS MATERIALIZED (SELECT e.u, e.v FROM ke${r - 1} e
+         |         JOIN kk$r a ON a.n = e.u JOIN kk$r b ON b.n = e.v)""".stripMargin
+    }.mkString
+    minhashPairsCtes +
+      """,
+        |ke0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM mpairs)""".stripMargin + rounds +
+      """
+        |SELECT n AS doc_id, COUNT(*) AS core_deg FROM (
+        |  SELECT u AS n FROM ke8 UNION ALL SELECT v FROM ke8) GROUP BY n""".stripMargin
+  }
+
   /** MMR greedy rerank replayed pick-for-pick: shortlist + pairwise sims
     * once, then 5 unrolled rounds of integer deci-micros argmax
     * (7·rel − 3·max-sim-to-selected), each vec_id-tiebroken.
@@ -2946,6 +2977,7 @@ object SparkEntry {
     "graph_triangles_stored" -> graphTrianglesStoredOracle,
     "link_prediction" -> linkPredictionOracle,
     "mmr_rerank" -> mmrOracle,
+    "kcore_docs" -> kcoreOracle,
     "bpe_merges" -> bpeMergesOracle,
     "bpe_encode" -> bpeEncodeOracle,
     "bpe_fertility" -> bpeFertilityOracle,
@@ -4031,6 +4063,14 @@ object SparkEntry {
         |      / (CAST(n_src AS DOUBLE) * CAST(n_rest AS DOUBLE)) * 1000000) AS BIGINT)
         |  END AS ks_ppm
         |FROM r WHERE rn = 1""".stripMargin,
+
+    "table_profile" ->
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority").map(c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  COUNT(DISTINCT $c) AS n_distinct FROM orders""".stripMargin)
+        .mkString("\nUNION ALL\n"),
 
     "theil_sen_trend" ->
       """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),

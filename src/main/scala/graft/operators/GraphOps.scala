@@ -134,6 +134,39 @@ object GraphOps {
           .select(col("doc_a"), col("doc_b")))
         .distinct())
 
+  /** k-core peel over an undirected (doc_a < doc_b) pair frame: repeatedly
+    * remove nodes of degree < k until only the k-core remains — the
+    * density floor that separates genuine template FAMILIES (every member
+    * tied to ≥ k others) from incidental chains and stars that min-label
+    * collapse would happily fuse. Each peel round is one degree aggregate
+    * + two semi-joins (all co-partitioned on the node); `rounds` bounds
+    * the iteration, so the result is a pure function of the edge set and
+    * replays round-for-round in the oracle. A round past convergence is
+    * the identity (nothing left under the floor), so extra rounds are
+    * harmless; a pathological peel sequence (a long chain peeling one end
+    * per round) needs rounds ≈ diameter — the same trade `dupComponents`
+    * documents, with the same escape hatch (raise rounds; each costs one
+    * join round, not a corpus pass). Output: surviving nodes with their
+    * degree INSIDE the core (≥ k by construction).
+    */
+  def kCore(pairs: DataFrame, k: Int = 2, rounds: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1 && rounds <= 40, s"rounds out of range: $rounds")
+    var edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+    for (i <- 1 to rounds) {
+      val deg = edges.select(col("u").as("n")).union(edges.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k)
+      edges = edges
+        .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
+      if (i % 4 == 0 && i < rounds) edges = edges.localCheckpoint()
+    }
+    edges.select(col("u").as("n")).union(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("core_deg"))
+      .select(col("n").as("doc_id"), col("core_deg"))
+  }
+
   /** Adamic–Adar link prediction over an undirected (doc_a < doc_b) pair
     * frame: score every NON-edge two-hop pair by Σ 1/ln(deg(w)) over the
     * common neighbors w — in the dup-graph reading, "pairs the banding

@@ -289,6 +289,30 @@ object RelationalOps {
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")).toSeq :+
         count(lit(1)).as("n_rows"): _*)
 
+  /** Column-level table profile in ONE pass: per column, null count and
+    * exact distinct-value count next to the row total — the deequ/
+    * dbt-utils "describe this table" read that extends `nullAudit` with
+    * cardinality (the input to join-strategy and bucketing decisions).
+    * All metrics compute in a single aggregate (Catalyst plans the
+    * multi-distinct via Expand — one pass over the data, #columns× rows
+    * into the shuffle, each narrowed to one column); the long output
+    * frame is #columns rows. At 100 TB swap exact distincts for
+    * `approx_count_distinct` or the KMV sketch — same frame, bounded
+    * buffers; exact is kept here because the oracle gates exact values.
+    * n_distinct counts non-null values (SQL COUNT DISTINCT semantics).
+    */
+  def tableProfile(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+      countDistinct(col(c)).as(s"__dist_$c")))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stack = cols.map(c => s"'$c', __nulls_$c, __dist_$c").mkString(", ")
+    wide.select(col("n_rows"),
+        expr(s"stack(${cols.length}, $stack) as (col_name, n_nulls, n_distinct)"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"))
+  }
+
   /** First-seen novelty audit: per day, how many active entities are NEW
     * (their first-ever appearance). The per-snapshot freshness signal a
     * recurring ingest watches — a collapsing new-rate means the source is

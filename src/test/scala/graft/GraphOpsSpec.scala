@@ -135,6 +135,31 @@ class GraphOpsSpec extends SparkSpec {
     assert(base == re)
   }
 
+  test("kCore: a tailed triangle keeps exactly the triangle; a path peels " +
+       "to nothing; the round bound is the documented chain trade") {
+    import spark.implicits._
+    // triangle 1-2-3 + tail 3-4: node 4 (deg 1) peels, triangle survives
+    // with in-core degree 2 everywhere
+    val tailed = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val core = GraphOps.kCore(tailed).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), core.toString)
+    // a pure path has no 2-core at all (endpoints peel until empty)
+    val path = (1L to 8L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("doc_a", "doc_b")
+    assert(GraphOps.kCore(path).count() == 0, "a chain has no 2-core")
+    // a 30-node chain peels ~2 nodes/round: 8 rounds leave a remnant,
+    // 16 clear it — the documented rounds-vs-diameter trade
+    val long = (1L to 30L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("doc_a", "doc_b")
+    assert(GraphOps.kCore(long, rounds = 8).count() > 0, "8 rounds: remnant remains")
+    assert(GraphOps.kCore(long, rounds = 16).count() == 0, "16 rounds: fully peeled")
+    // extra rounds past convergence are the identity
+    val again = GraphOps.kCore(tailed, rounds = 12).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == core)
+  }
+
   test("adamicAdar: path predicts its endpoints at exactly 1e6/ln2; a " +
        "closed triangle predicts nothing; hub wedge-centers are capped out") {
     import spark.implicits._

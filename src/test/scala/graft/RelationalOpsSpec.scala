@@ -251,6 +251,15 @@ class RelationalOpsSpec extends SparkSpec {
     assert(splitMerge == full, "groups split across deltas must re-sum exactly")
   }
 
+  test("tableProfile: one row per column with exact null and distinct " +
+       "counts; n_distinct ignores nulls") {
+    val df = Seq((Option(1L), "x"), (Option(1L), "y"), (None, "z"))
+      .toDF("a", "b")
+    val got = RelationalOps.tableProfile(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map("a" -> ((3L, 1L, 1L)), "b" -> ((3L, 0L, 3L))), got.toString)
+  }
+
   test("snapshotDiff: added/removed/changed classified, unchanged rows " +
        "absent, NULL comparisons are null-safe both ways") {
     val old = Seq(
