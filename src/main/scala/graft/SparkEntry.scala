@@ -174,6 +174,10 @@ object SparkEntry {
     "anti_join" -> ((s, d) => RelationalOps.customersWithoutOrders(t(s, d, "customer"), t(s, d, "orders"))),
     "range_join" -> ((s, d) => RelationalOps.shippedWithin90Days(t(s, d, "orders"), t(s, d, "lineitem"))),
     "asof_join" -> ((s, d) => RelationalOps.asOfLastSignup(t(s, d, "events"))),
+    // tolerance-bounded as-of: matches older than 7 days null out, the
+    // observed staleness rides along as asof_age_days
+    "asof_join_tolerance" -> ((s, d) =>
+      RelationalOps.asOfLastSignupTolerant(t(s, d, "events"))),
     // identical semantics through the skew-mitigated (keys, time-band)
     // window — same oracle, so the carry-across-bands logic is hash-gated
     "asof_join_banded" -> ((s, d) => RelationalOps.asOfLastSignupBanded(t(s, d, "events"))),
@@ -899,6 +903,19 @@ object SparkEntry {
     // ties share a percentile, no global rank window
     "quantile_normalize" -> ((s, d) =>
       TextOps.quantileNormalize(t(s, d, "documents"))),
+
+    // Flesch reading-ease: integer word/sentence/syllable counts, one
+    // fixed-shape double quantized to micros
+    "readability" -> ((s, d) => TextOps.readability(t(s, d, "documents"))),
+
+    // index-freshness monitor: yesterday's fingerprint index (the %4==0
+    // slice) audited against today's corpus (the rest) — unindexed
+    // backlog and stale dead weight in one audit row
+    "index_staleness" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      DedupOps.indexStaleness(docs.filter(col("doc_id") % 4 =!= 0),
+        DedupOps.corpusFingerprintIndex(docs.filter(col("doc_id") % 4 === 0)))
+    }),
 
     // blocked fuzzy self-match (entity resolution, value-level): distinct
     // part names, noun-blocked, edit-distance <= 3
@@ -2418,6 +2435,44 @@ object SparkEntry {
         |      WHERE sg.user_id = p.user_id AND sg.event_type = 'signup' AND sg.ts <= p.ts)
         |     AS TIMESTAMP) AS last_signup_ts
         |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
+
+    "asof_join_tolerance" ->
+      """WITH m AS (
+        |  SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+        |    CAST((SELECT max(sg.ts) FROM events sg
+        |          WHERE sg.user_id = p.user_id AND sg.event_type = 'signup'
+        |            AND sg.ts <= p.ts) AS TIMESTAMP) AS sts
+        |  FROM events p WHERE p.event_type = 'purchase')
+        |SELECT event_id, user_id,
+        |  CASE WHEN datediff('day', sts, ts) <= 7 THEN sts END AS last_signup_ts,
+        |  CAST(datediff('day', sts, ts) AS INTEGER) AS asof_age_days
+        |FROM m""".stripMargin,
+
+    "readability" ->
+      """WITH c AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS words,
+        |  greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS sentences,
+        |  (SELECT COALESCE(SUM(greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)), 0)
+        |   FROM unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(w)) AS syllables
+        |  FROM documents)
+        |SELECT doc_id, words, sentences, CAST(syllables AS BIGINT) AS syllables,
+        |  CAST(round(
+        |    (206.835
+        |     - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+        |     - 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)))
+        |    * 1000000) AS BIGINT) AS flesch_micros
+        |FROM c WHERE words > 0""".stripMargin,
+
+    "index_staleness" ->
+      """WITH cur AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 4 <> 0),
+        |idx AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 4 = 0),
+        |j AS (SELECT cur.fp IS NOT NULL AS c, idx.fp IS NOT NULL AS i
+        |      FROM cur FULL OUTER JOIN idx ON cur.fp = idx.fp)
+        |SELECT CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus_fps,
+        |       CAST(SUM(CASE WHEN i THEN 1 ELSE 0 END) AS BIGINT) AS n_indexed_fps,
+        |       CAST(SUM(CASE WHEN NOT i THEN 1 ELSE 0 END) AS BIGINT) AS n_unindexed,
+        |       CAST(SUM(CASE WHEN NOT c THEN 1 ELSE 0 END) AS BIGINT) AS n_stale
+        |FROM j""".stripMargin,
 
     "rollup_region" ->
       """SELECT r_name, n_name, COUNT(*) AS n_cust,

@@ -239,6 +239,28 @@ object DedupOps {
   def corpusBandIndex(corpus: DataFrame): DataFrame =
     lshBands(corpus).select(col("band"), col("band_key")).distinct()
 
+  /** Freshness audit of a persisted fingerprint index against the live
+    * corpus — the monitoring row that keeps the whole persisted-artifact
+    * family honest: every `*_stored` consumer assumes its index matches
+    * the corpus snapshot, and this is the cheap check that it still
+    * does. `n_unindexed` = content in the corpus the index has never
+    * seen (the re-index backlog); `n_stale` = indexed content no longer
+    * in the corpus (retention/deletes the index should compact away —
+    * at 100 TB a stale majority means probes pay for dead weight). One
+    * content-hash distinct on each side + one co-partitioned full-outer
+    * join of narrow fp rows; output is a single audit row.
+    */
+  def indexStaleness(documents: DataFrame, fpIndex: DataFrame): DataFrame = {
+    val c = documents.select(md5(col("text")).as("fp")).distinct()
+      .withColumn("_c", lit(1L))
+    val i = fpIndex.select(col("fp")).distinct().withColumn("_i", lit(1L))
+    c.join(i, Seq("fp"), "full_outer")
+      .agg(sum(coalesce(col("_c"), lit(0L))).as("n_corpus_fps"),
+        sum(coalesce(col("_i"), lit(0L))).as("n_indexed_fps"),
+        sum(when(col("_i").isNull, 1L).otherwise(0L)).as("n_unindexed"),
+        sum(when(col("_c").isNull, 1L).otherwise(0L)).as("n_stale"))
+  }
+
   /** Persisted near-dup COMPONENT index: (doc_id, component) for every
     * doc that sits in at least one MinHash-LSH candidate pair. The third
     * corpus index artifact, completing the amortization story the

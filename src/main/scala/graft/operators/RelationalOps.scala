@@ -223,6 +223,54 @@ object RelationalOps {
         col("asof_signup_ts").as("last_signup_ts"))
   }
 
+  /** As-of join with a STALENESS TOLERANCE — the finance-reporting refinement
+    * of `asOfJoin`: a quote/dimension older than `toleranceDays` is not a
+    * usable match (marking a position against a week-old price is worse
+    * than marking it unmatched). Same one-shuffle union-sort-ffill plan;
+    * the matched right-row timestamp rides the fill window alongside the
+    * values, so staleness is a per-row arithmetic check after the fill —
+    * no second join. Emits `asof_age_days` (the observed staleness, NULL
+    * when no earlier right row exists) next to the tolerance-nulled
+    * values, so the audit of HOW stale matches are comes free.
+    */
+  def asOfJoinTolerance(left: DataFrame, right: DataFrame, keys: Seq[String],
+                        tsCol: String, rightVals: Seq[String],
+                        toleranceDays: Int): DataFrame = {
+    val r = right.select(
+      (keys :+ tsCol).map(col) ++ rightVals.map(c => col(c).as(s"asof_$c")): _*)
+      .withColumn("__side", lit(0))
+      .withColumn("__rts", col(tsCol))
+    val l = left.withColumn("__side", lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = (rightVals.map(c => s"asof_$c") :+ "__rts").foldLeft(u) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    val age = datediff(col(tsCol), col("__rts"))
+    val out = filled.filter(col("__side") === 1)
+      .withColumn("asof_age_days", age.cast(IntegerType))
+    rightVals.foldLeft(out) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        when(col("asof_age_days") <= toleranceDays, col(s"asof_$c")))
+    }.drop("__side", "__rts")
+  }
+
+  /** The tolerance variant on the events fixture: purchases matched to the
+    * last signup within 7 days — older signups surface as age-only rows.
+    */
+  def asOfLastSignupTolerant(events: DataFrame, toleranceDays: Int = 7): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("ts").as("signup_ts"))
+    asOfJoinTolerance(purchases, signups, Seq("user_id"), "ts", Seq("signup_ts"),
+      toleranceDays)
+      .select(col("event_id"), col("user_id"),
+        col("asof_signup_ts").as("last_signup_ts"), col("asof_age_days"))
+  }
+
   /** The same as-of specialization through the banded (skew-mitigated)
     * path, day-banded — registered as its own driver-gated query so the
     * band/carry machinery is oracled against the identical SQL, not just

@@ -456,6 +456,36 @@ object TextOps {
       .select(col(idCol), col(strataCol))
   }
 
+  /** Flesch reading-ease profile — the classic readability screen next to
+    * the Gopher/quality gates (training mixes tune on it: very low
+    * scores flag legalese/boilerplate, implausibly high ones flag
+    * template floods). Counts are pure integers from the shared
+    * tokenizer regex: words = [a-z0-9]+ runs, sentences = [.!?]+ runs
+    * (floor 1), syllables = per-word vowel-group count (floor 1 — the
+    * standard heuristic). The score
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words) is ONE
+    * fixed-shape double expression over those exact longs, micros-
+    * quantized — engine-identical by the momentsProfile rule. Zero
+    * shuffles; scan-bound per-row HOFs like `span_corruption`.
+    */
+  def readability(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+        expr("cast(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) as bigint)")
+          .as("words"),
+        greatest(expr("cast(size(regexp_extract_all(text, '[.!?]+', 0)) as bigint)"),
+          lit(1L)).as("sentences"),
+        expr("""aggregate(
+          |  transform(regexp_extract_all(lower(text), '[a-z0-9]+', 0),
+          |    w -> greatest(size(regexp_extract_all(w, '[aeiouy]+', 0)), 1)),
+          |  0L, (a, x) -> a + cast(x as bigint))""".stripMargin).as("syllables"))
+      .filter(col("words") > 0)
+      .select(col("doc_id"), col("words"), col("sentences"), col("syllables"),
+        expr("""cast(round(
+          |  (206.835d
+          |   - 1.015d * (cast(words as double) / cast(sentences as double))
+          |   - 84.6d * (cast(syllables as double) / cast(words as double)))
+          |  * 1000000) as bigint)""".stripMargin).as("flesch_micros"))
+
   /** Quantile (rank) normalization of a numeric document feature — the
     * distribution-free feature transform a downstream classifier/mixer
     * wants instead of raw values ("this doc is at the 83rd length

@@ -1026,6 +1026,36 @@ class DedupTextOpsSpec extends SparkSpec {
         s"pair (${p.getLong(0)}, ${p.getLong(1)}) straddles folds")
   }
 
+  test("readability: hand-computed Flesch micros; word-less docs drop; " +
+       "sentence floor prevents divide-by-zero") {
+    val d = Seq(
+      (1L, "The cat sat. The dog ran!", "en", "s", 25L),
+      (2L, "no punctuation here", "en", "s", 19L), // sentences floors to 1
+      (3L, "!!! ...", "en", "s", 7L))              // zero words → dropped
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.readability(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc 1: 6 monosyllables, 2 sentences →
+    // 206.835 − 1.015·3 − 84.6·1 = 119.19 exactly
+    assert(got(1L) == ((6L, 2L, 6L, 119190000L)), got.toString)
+    // doc 2: words 3, sentences 1, syllables: no(1) punc-tu-a-tion(regex
+    // groups: u-a-io → 'punctuation' → [u],[ua],[io] = 3), here(2: e,e)
+    assert(got(2L)._1 == 3L && got(2L)._2 == 1L, got(2L).toString)
+    assert(!got.contains(3L), "no words → no readability row")
+  }
+
+  test("indexStaleness: unindexed backlog and stale dead weight counted " +
+       "from content hashes") {
+    val cur = Seq((1L, "alpha", "en", "s", 5L), (2L, "beta", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val old = Seq((9L, "beta", "en", "s", 4L), (8L, "gamma", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = DedupOps.indexStaleness(cur, DedupOps.corpusFingerprintIndex(old)).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 2L, 1L, 1L)), r.toString) // alpha unindexed, gamma stale, beta shared
+  }
+
   test("quantileNormalize: exact ECDF ppm — ties share a percentile, the " +
        "max value reads 1e6, layout-invariant") {
     val d = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 30L))

@@ -251,6 +251,22 @@ class RelationalOpsSpec extends SparkSpec {
     assert(splitMerge == full, "groups split across deltas must re-sum exactly")
   }
 
+  test("asOfJoinTolerance: fresh match carries value + age; stale match " +
+       "keeps age but nulls the value; no match nulls both") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 10L, ts("1995-01-01 09:00:00"), "signup"),
+      (2L, 10L, ts("1995-01-03 09:00:00"), "purchase"), // age 2 → fresh
+      (3L, 10L, ts("1995-01-20 09:00:00"), "purchase"), // age 19 → stale
+      (4L, 77L, ts("1995-01-05 09:00:00"), "purchase")) // no signup at all
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = RelationalOps.asOfLastSignupTolerant(ev).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(got(2L) == ((Some(ts("1995-01-01 09:00:00")), Some(2))), got(2L).toString)
+    assert(got(3L) == ((None, Some(19))), "stale: value nulled, age kept")
+    assert(got(4L) == ((None, None)), "unmatched: both null")
+  }
+
   test("tableProfile: one row per column with exact null and distinct " +
        "counts; n_distinct ignores nulls") {
     val df = Seq((Option(1L), "x"), (Option(1L), "y"), (None, "z"))
