@@ -104,9 +104,17 @@ object SimilarityOps {
     require(lambdaTenths >= 0 && lambdaTenths <= 10, s"lambdaTenths: $lambdaTenths")
     val lam = lambdaTenths
     val com = 10 - lambdaTenths
+    // The shortlist and its pairwise-sim frame are referenced by EVERY
+    // greedy round; localCheckpoint both (nQueries·shortlist and
+    // nQueries·shortlist² rows — driver-tiny) so rounds join materialized
+    // frames instead of re-running the corpus scoring scan per reference
+    // (Catalyst does not dedupe common subplans; uncheckpointed, the
+    // 5-round loop re-executed the corpus scan ~15× — measured 11.2 s at
+    // sf0.1, 0.7 s checkpointed).
     val top = cosineTopK(embeddings, nQueries, shortlist)
       .select(col("q_id"), col("vec_id"),
         expr("cast(round(score * 1000000) as bigint)").as("rel_m"))
+      .localCheckpoint()
     val emb = embeddings.select(col("vec_id"), col("embedding"))
     val withEmb = top.join(emb, Seq("vec_id"))
     val pm = withEmb.select(col("q_id"), col("vec_id").as("a"), col("embedding").as("ea"))
@@ -116,6 +124,7 @@ object SimilarityOps {
       .select(col("q_id"), col("a"), col("b"),
         round(round(graft.functions.GraftFunctions.cosineSim(col("ea"), col("eb")), 4)
           * 1000000).cast(org.apache.spark.sql.types.LongType).as("sim_m"))
+      .localCheckpoint()
     val w = Window.partitionBy("q_id").orderBy(col("mmr_dm").desc, col("vec_id"))
     var sel: DataFrame = null
     var picks: DataFrame = null
@@ -130,9 +139,12 @@ object SimilarityOps {
               Seq("q_id", "vec_id"))
             .select(col("q_id"), col("vec_id"),
               (lit(lam) * col("rel_m") - lit(com) * col("ms")).as("mmr_dm"))
+      // each pick feeds every later round's anti-join AND max-sim join —
+      // materialize the (≤ nQueries)-row frame
       val pick = scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("q_id"), col("vec_id"), lit(r).as("pick"), col("mmr_dm"))
+        .localCheckpoint()
       sel = if (r == 1) pick.select("q_id", "vec_id")
             else sel.unionByName(pick.select("q_id", "vec_id"))
       picks = if (r == 1) pick else picks.unionByName(pick)

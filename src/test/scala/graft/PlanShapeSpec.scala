@@ -307,4 +307,38 @@ class PlanShapeSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q must stay equi-keyed:\n$p")
     }
   }
+
+  test("r10 shapes: snapshot diff is ONE keyed join; drift/normalize/ACF " +
+       "anchors broadcast; graph/as-of/readability tiers stay equi-keyed " +
+       "with no cartesian fan-out") {
+    // snapshot_diff: exactly one join (the full-outer on the key), no
+    // second pass over either snapshot
+    val sd = plan("snapshot_diff")
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(sd).size == 1,
+      s"snapshot_diff must be one keyed join:\n$sd")
+    assert(!sd.contains("CartesianProduct"), sd)
+    // the 1-row totals frames (grand count, denominators) must broadcast,
+    // never shuffle-join
+    for (q <- Seq("ks_source_drift", "quantile_normalize", "revenue_acf",
+                  "weekday_seasonality")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q 1-row anchors must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    // iterative/graph/join tiers: equi-keyed only
+    for (q <- Seq("hierarchy_paths", "asof_join_tolerance", "theil_sen_trend",
+                  "index_staleness", "epoch_shuffle", "leakage_safe_folds")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+    }
+    // readability is a pure per-row projection: zero exchanges
+    val rd = plan("readability")
+    assert(!rd.contains("Exchange"), s"readability must be narrow:\n$rd")
+    // table_profile: the multi-distinct plans partial+final via Expand
+    val tp = plan("table_profile")
+    assert(tp.contains("Expand"), s"table_profile should plan Expand:\n$tp")
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(tp).size >= 2,
+      s"table_profile aggregate must be partial+final:\n$tp")
+  }
 }
