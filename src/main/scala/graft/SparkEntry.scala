@@ -1106,6 +1106,14 @@ object SparkEntry {
     // consumer of the persisted component index)
     "leakage_safe_folds" -> ((s, d) =>
       DedupOps.leakageSafeFoldsWith(t(s, d, "documents"), componentIndexFor(s, d))),
+    // dup-cluster size histogram (5th component-index consumer): the
+    // shape read that decides dedup policy before collapse deletes data
+    "component_size_profile" -> ((s, d) =>
+      DedupOps.componentSizeProfile(componentIndexFor(s, d))),
+    // one-pass threshold sweep: pairs per jaccard decile over the same
+    // guarded inverted index — the curve a dedup threshold is picked from
+    "jaccard_threshold_sweep" -> ((s, d) =>
+      DedupOps.jaccardThresholdSweep(t(s, d, "documents"))),
     // deterministic per-epoch training order: portable md5(doc_id, epoch)
     // permutation + hash shards + per-shard sequence (no global sort)
     "epoch_shuffle" -> ((s, d) =>
@@ -3628,6 +3636,32 @@ object SparkEntry {
         |SELECT doc_id, component,
         |CAST(CAST(concat('0x', substr(md5(CAST(component AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS INTEGER) AS fold
         |FROM labeled""".stripMargin),
+
+    "component_size_profile" ->
+      (dupComponentsCtes +
+      """,
+        |csz AS (SELECT component, COUNT(*) AS cluster_size FROM comps GROUP BY 1)
+        |SELECT cluster_size, COUNT(*) AS n_clusters FROM csz GROUP BY 1""".stripMargin),
+
+    "jaccard_threshold_sweep" ->
+      (shingleCtes +
+      """,
+        |df AS (SELECT s, COUNT(*) AS c FROM sh GROUP BY s),
+        |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN df ON sh.s = df.s WHERE df.c <= 50),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT round(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6) AS jaccard
+        |  FROM common JOIN sizes na ON common.doc_a = na.doc_id
+        |              JOIN sizes nb ON common.doc_b = nb.doc_id
+        |  WHERE round(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6) >= 0.1),
+        |ppm AS (SELECT CAST(round(jaccard * 1000000) AS BIGINT) AS ppm FROM scored)
+        |SELECT CAST(least(ppm * 10 // 1000000, 9) AS BIGINT) AS decile,
+        |       COUNT(*) AS n_pairs
+        |FROM ppm GROUP BY 1""".stripMargin),
 
     "epoch_shuffle" ->
       """WITH h AS (SELECT doc_id,

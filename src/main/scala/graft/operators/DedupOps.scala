@@ -239,6 +239,34 @@ object DedupOps {
   def corpusBandIndex(corpus: DataFrame): DataFrame =
     lshBands(corpus).select(col("band"), col("band_key")).distinct()
 
+  /** Dup-cluster size histogram over a (doc_id, component) labeling —
+    * the shape read that decides dedup POLICY: a corpus of pairs and
+    * triples dedups safely with keep-best; a 10⁴-member cluster is a
+    * template flood that wants span/segment treatment instead, and this
+    * is the audit that finds it before collapse-and-keep-one deletes a
+    * boilerplate-wrapped archive. Two keyed partial-agg shuffles, output
+    * rows bounded by the largest cluster size.
+    */
+  def componentSizeProfile(comps: DataFrame): DataFrame =
+    comps.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+
+  /** Jaccard threshold sweep: candidate-pair counts per similarity
+    * decile in ONE pass over the guarded inverted index — the curve you
+    * pick a dedup threshold FROM (a cliff at 0.8–0.9 separates true
+    * near-dups from topical overlap; a flat curve means the threshold is
+    * policy, not structure). Running `jaccardPairs` per candidate
+    * threshold would re-shuffle the corpus per point; the sweep pays the
+    * index join once and buckets the exact scores (ppm-quantized, decile
+    * = integer arithmetic).
+    */
+  def jaccardThresholdSweep(documents: DataFrame,
+                            maxShingleDocFreq: Long = 50): DataFrame =
+    jaccardPairs(documents, threshold = 0.1, maxShingleDocFreq)
+      .select(expr("cast(round(jaccard * 1000000) as bigint)").as("ppm"))
+      .select(expr("least(ppm * 10 div 1000000, 9)").as("decile"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("n_pairs"))
+
   /** Freshness audit of a persisted fingerprint index against the live
     * corpus — the monitoring row that keeps the whole persisted-artifact
     * family honest: every `*_stored` consumer assumes its index matches

@@ -1026,6 +1026,25 @@ class DedupTextOpsSpec extends SparkSpec {
         s"pair (${p.getLong(0)}, ${p.getLong(1)}) straddles folds")
   }
 
+  test("componentSizeProfile: histogram of cluster sizes from a hand " +
+       "labeling; jaccardThresholdSweep buckets exact ppm into deciles " +
+       "with 1.0 clamped to the top decile") {
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 6L))
+      .toDF("doc_id", "component")
+    val prof = DedupOps.componentSizeProfile(comps).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prof == Map(3L -> 1L, 2L -> 1L, 1L -> 1L), prof.toString)
+    // two identical docs → jaccard 1.0 → decile 9 (clamped), exactly 1 pair
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", "s", 30L),
+      (2L, "alpha beta gamma delta epsilon", "en", "s", 30L),
+      (3L, "zz yy xx ww vv uu tt ss", "en", "s", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val sweep = DedupOps.jaccardThresholdSweep(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sweep == Map(9L -> 1L), sweep.toString)
+  }
+
   test("readability: hand-computed Flesch micros; word-less docs drop; " +
        "sentence floor prevents divide-by-zero") {
     val d = Seq(
