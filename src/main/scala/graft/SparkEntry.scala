@@ -1114,6 +1114,13 @@ object SparkEntry {
     // guarded inverted index — the curve a dedup threshold is picked from
     "jaccard_threshold_sweep" -> ((s, d) =>
       DedupOps.jaccardThresholdSweep(t(s, d, "documents"))),
+    // banding recall measured, not assumed: true jaccard>=0.5 pairs
+    // left-joined against the MinHash band candidates, recall in ppm
+    "lsh_recall_audit" -> ((s, d) =>
+      DedupOps.lshRecallAudit(t(s, d, "documents"))),
+    // Heaps-law vocabulary growth: tokens + first-seen types per
+    // portable-hash corpus slice, cumulative curve over 10 buckets
+    "vocab_growth" -> ((s, d) => TextOps.vocabGrowth(t(s, d, "documents"))),
     // deterministic per-epoch training order: portable md5(doc_id, epoch)
     // permutation + hash shards + per-shard sequence (no global sort)
     "epoch_shuffle" -> ((s, d) =>
@@ -3636,6 +3643,48 @@ object SparkEntry {
         |SELECT doc_id, component,
         |CAST(CAST(concat('0x', substr(md5(CAST(component AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS INTEGER) AS fold
         |FROM labeled""".stripMargin),
+
+    "lsh_recall_audit" ->
+      (minhashPairsCtes +
+      """,
+        |jdf AS (SELECT s, COUNT(*) AS c FROM sh GROUP BY s),
+        |jshf AS (SELECT sh.doc_id, sh.s FROM sh JOIN jdf ON sh.s = jdf.s WHERE jdf.c <= 50),
+        |jsizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |jcommon AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |  FROM jshf a JOIN jshf b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |truth AS (
+        |  SELECT doc_a, doc_b
+        |  FROM jcommon JOIN jsizes na ON jcommon.doc_a = na.doc_id
+        |               JOIN jsizes nb ON jcommon.doc_b = nb.doc_id
+        |  WHERE round(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6) >= 0.5),
+        |found AS (SELECT t.doc_a, m.doc_a IS NOT NULL AS f
+        |          FROM truth t LEFT JOIN mpairs m
+        |            ON t.doc_a = m.doc_a AND t.doc_b = m.doc_b)
+        |SELECT COUNT(*) AS true_pairs,
+        |  CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS found_pairs,
+        |  CASE WHEN COUNT(*) > 0 THEN
+        |    CAST((SUM(CASE WHEN f THEN 1 ELSE 0 END) * 1000000 + COUNT(*) // 2)
+        |         // COUNT(*) AS BIGINT)
+        |  END AS recall_ppm
+        |FROM found""".stripMargin),
+
+    "vocab_growth" ->
+      """WITH tok AS (SELECT
+        |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS INTEGER) AS bucket,
+        |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents),
+        |fb AS (SELECT token, MIN(bucket) AS bucket FROM tok GROUP BY 1),
+        |nt AS (SELECT bucket, COUNT(*) AS new_types FROM fb GROUP BY 1),
+        |bt AS (SELECT bucket, COUNT(*) AS n_tokens FROM tok GROUP BY 1),
+        |j AS (SELECT bt.bucket, bt.n_tokens, COALESCE(nt.new_types, 0) AS new_types
+        |      FROM bt LEFT JOIN nt USING (bucket))
+        |SELECT bucket, n_tokens, CAST(new_types AS BIGINT) AS new_types,
+        |  CAST(SUM(n_tokens) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+        |  CAST(SUM(new_types) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
+        |FROM j""".stripMargin,
 
     "component_size_profile" ->
       (dupComponentsCtes +

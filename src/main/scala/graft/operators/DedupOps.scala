@@ -267,6 +267,32 @@ object DedupOps {
       .select(expr("least(ppm * 10 div 1000000, 9)").as("decile"))
       .groupBy(col("decile")).agg(count(lit(1)).as("n_pairs"))
 
+  /** LSH banding recall audit: what fraction of the TRUE jaccard-≥-t
+    * pairs do the MinHash bands actually surface? Banding is
+    * probabilistic (P(candidate) = 1 − (1 − s^r)^b), so every dedup
+    * pipeline built on it carries an unmeasured recall assumption —
+    * this is the measurement, priced at one exact-tier run + one
+    * candidate join. Read it when tuning band width/count or after a
+    * corpus shift (near-dup similarity drifting toward the threshold
+    * collapses banding recall silently). Truth is the guarded exact
+    * tier (the scale default); found = left-join against the band
+    * candidates; recall in half-up ppm.
+    */
+  def lshRecallAudit(documents: DataFrame, threshold: Double = 0.5,
+                     maxShingleDocFreq: Long = 50): DataFrame = {
+    val truth = jaccardPairs(documents, threshold, maxShingleDocFreq)
+      .select(col("doc_a"), col("doc_b"))
+    val cand = minhashCandidatePairs(documents)
+      .select(col("doc_a"), col("doc_b")).withColumn("_found", lit(1L))
+    truth.join(cand, Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("true_pairs"),
+        sum(coalesce(col("_found"), lit(0L))).as("found_pairs"))
+      .select(col("true_pairs"), col("found_pairs"),
+        when(col("true_pairs") > 0,
+          expr("(found_pairs * 1000000 + true_pairs div 2) div true_pairs"))
+          .as("recall_ppm"))
+  }
+
   /** Freshness audit of a persisted fingerprint index against the live
     * corpus — the monitoring row that keeps the whole persisted-artifact
     * family honest: every `*_stored` consumer assumes its index matches

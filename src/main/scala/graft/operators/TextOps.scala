@@ -456,6 +456,37 @@ object TextOps {
       .select(col(idCol), col(strataCol))
   }
 
+  /** Heaps-law vocabulary growth curve: split the corpus into `buckets`
+    * portable-hash document slices, count each slice's tokens and the
+    * token TYPES first seen there, and emit cumulative token/type totals
+    * — the points a Heaps fit (V ≈ K·nᵝ) reads from. The read a corpus
+    * build actually uses: a type curve that keeps climbing linearly
+    * means the crawl is still finding new material; one that flattens
+    * early means the marginal shard is rehash of known vocabulary (stop
+    * paying for it). "First seen" is bucket-MIN (deterministic, not
+    * scan-order), so the curve is a pure function of the corpus. One
+    * token explode + two hash aggregates; the cumulative window runs
+    * over `buckets` rows.
+    */
+  def vocabGrowth(documents: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val tok = documents.select(
+      (expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)")
+        % buckets).cast(IntegerType).as("bucket"),
+      explode(expr(toksExprFor(documents))).as("token"))
+    val newTypes = tok.groupBy(col("token")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+    val perBucket = tok.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
+    val wCum = Window.partitionBy(pmod(col("n_tokens"), lit(1))).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(newTypes, Seq("bucket"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wCum))
+      .withColumn("cum_types", sum(col("new_types")).over(wCum))
+      .select(col("bucket"), col("n_tokens"), col("new_types"),
+        col("cum_tokens"), col("cum_types"))
+  }
+
   /** Flesch reading-ease profile — the classic readability screen next to
     * the Gopher/quality gates (training mixes tune on it: very low
     * scores flag legalese/boilerplate, implausibly high ones flag

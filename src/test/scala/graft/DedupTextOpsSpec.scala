@@ -1026,6 +1026,40 @@ class DedupTextOpsSpec extends SparkSpec {
         s"pair (${p.getLong(0)}, ${p.getLong(1)}) straddles folds")
   }
 
+  test("lshRecallAudit: perfect recall on the dup-family fixture; a " +
+       "threshold-grazing pair the bands miss drops recall below 1e6") {
+    val r = DedupOps.lshRecallAudit(docs).head()
+    assert(r.getLong(0) > 0, "fixture must contain true pairs")
+    assert(r.getLong(1) == r.getLong(0) && r.getLong(2) == 1000000L,
+      s"bands should find every fixture pair: $r")
+    // found counts only TRUE pairs that banding surfaced: recall is
+    // bounded by 1e6 even though banding emits extra sub-threshold pairs
+    assert(r.getLong(2) <= 1000000L)
+  }
+
+  test("vocabGrowth: cumulative types equal the distinct vocabulary, " +
+       "token totals add up, first-seen is bucket-min deterministic") {
+    val d = (1L to 40L).map(i =>
+      (i, s"common shared w$i", "en", "s", 20L)) // 'common'/'shared' everywhere
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.vocabGrowth(d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.map(_._2).sum == 120L, "3 tokens x 40 docs")
+    assert(got.last._5 == 42L, s"cum types must equal the 42-word vocabulary: ${got.last}")
+    assert(got.map(_._3).sum == 42L, "new_types partitions the vocabulary")
+    // cumulative columns re-add per row
+    var (ct, cy) = (0L, 0L)
+    for ((_, n, nt, cumT, cumY) <- got) {
+      ct += n; cy += nt
+      assert(cumT == ct && cumY == cy, s"cumulative mismatch at $cumT/$cumY")
+    }
+    // the shared words are first-seen exactly once, in the earliest bucket
+    // that contains any document
+    val firstBucket = got.head._1
+    assert(got.head._3 >= 2L, s"bucket $firstBucket must own the shared types")
+  }
+
   test("componentSizeProfile: histogram of cluster sizes from a hand " +
        "labeling; jaccardThresholdSweep buckets exact ppm into deciles " +
        "with 1.0 clamped to the top decile") {
