@@ -840,6 +840,12 @@ object SparkEntry {
     // governance view rewrite: pseudonymized identifiers (sha-256 —
     // join/group-by still work), banded quasi-identifiers, zero shuffle
     "masked_customers" -> ((s, d) => RelationalOps.maskedCustomers(t(s, d, "customer"))),
+    // the privacy review BEHIND the masked view: quasi-identifier
+    // equivalence-class size histogram with the < k at-risk flag
+    "k_anonymity_audit" -> ((s, d) =>
+      RelationalOps.kAnonymityAudit(
+        RelationalOps.maskedCustomers(t(s, d, "customer")),
+        Seq("acctbal_band", "c_mktsegment"))),
 
     // ---- statistical profiling tier (integer-exact EDA reads) ----
     // equi-width histogram: pure integer binning on cents, bounds as a
@@ -932,6 +938,10 @@ object SparkEntry {
     // λ·rel − (1−λ)·max-sim-to-selected in pure integer deci-micros,
     // 5 picks per query, every argmax vec_id-tiebroken
     "mmr_rerank" -> ((s, d) => SimilarityOps.mmrRerank(t(s, d, "embeddings"))),
+    // position-weighted ANN quality: per-query nDCG@5 of the IVF tier vs
+    // the brute ideal, pinned integer log2 weights — the gate recall@k
+    // can't see rank order with
+    "ann_ndcg" -> ((s, d) => SimilarityOps.annNdcg(t(s, d, "embeddings"))),
     // int8 scalar quantization (4-8x memory cut for the scoring pass); the
     // bit-portable floor-quantizer is replayed verbatim by the oracle
     "cosine_topk_int8" -> ((s, d) => SimilarityOps.cosineTopKInt8(t(s, d, "embeddings"), 10, 5)),
@@ -4051,6 +4061,60 @@ object SparkEntry {
         |  CAST(round(c_acctbal * 100) AS BIGINT) // 10000 * 100 AS acctbal_band,
         |  c_mktsegment
         |FROM customer""".stripMargin,
+
+    "k_anonymity_audit" ->
+      """WITH m AS (SELECT CAST(round(c_acctbal * 100) AS BIGINT) // 10000 * 100 AS acctbal_band,
+        |           c_mktsegment FROM customer),
+        |cls AS (SELECT acctbal_band, c_mktsegment, COUNT(*) AS class_size
+        |        FROM m GROUP BY 1, 2)
+        |SELECT class_size, COUNT(*) AS n_classes,
+        |       CAST(COUNT(*) * class_size AS BIGINT) AS n_rows,
+        |       class_size < 5 AS at_risk
+        |FROM cls GROUP BY class_size""".stripMargin,
+
+    "ann_ndcg" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |bscored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id,
+        |         round(list_cosine_similarity(c.emb, q.emb), 4) AS score
+        |  FROM v c CROSS JOIN v q WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |ideal AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+        |    FROM bscored) t WHERE rn <= 5),
+        |cent AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM v WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT vec_id, emb, centroid_id FROM (
+        |    SELECT v.vec_id, v.emb, cent.centroid_id,
+        |           row_number() OVER (PARTITION BY v.vec_id
+        |             ORDER BY round(list_cosine_similarity(v.emb, cent.c_emb), 6) DESC, cent.centroid_id) AS rn
+        |    FROM v CROSS JOIN cent) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT q_id, q_emb, centroid_id FROM (
+        |    SELECT q.vec_id AS q_id, q.emb AS q_emb, cent.centroid_id,
+        |           row_number() OVER (PARTITION BY q.vec_id
+        |             ORDER BY round(list_cosine_similarity(q.emb, cent.c_emb), 6) DESC, cent.centroid_id) AS rn
+        |    FROM v q CROSS JOIN cent WHERE q.vec_id < 10) t WHERE rn <= 2),
+        |iscored AS (
+        |  SELECT p.q_id, a.vec_id, round(list_cosine_similarity(a.emb, p.q_emb), 4) AS score
+        |  FROM asg a JOIN probes p ON a.centroid_id = p.centroid_id
+        |  WHERE a.vec_id <> p.q_id),
+        |iranked AS (
+        |  SELECT q_id, vec_id,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+        |  FROM iscored),
+        |g AS (SELECT r.q_id,
+        |        CASE WHEN i.vec_id IS NOT NULL THEN
+        |          CASE r.rank WHEN 1 THEN 1000000 WHEN 2 THEN 630930 WHEN 3 THEN 500000
+        |                      WHEN 4 THEN 430677 WHEN 5 THEN 386853 END
+        |        ELSE 0 END AS g
+        |      FROM iranked r LEFT JOIN ideal i
+        |        ON i.q_id = r.q_id AND i.vec_id = r.vec_id
+        |      WHERE r.rank <= 5)
+        |SELECT q_id, CAST(SUM(g) AS BIGINT) AS dcg,
+        |       CAST((SUM(g) * 1000000 + 1474230) // 2948460 AS BIGINT) AS ndcg_ppm
+        |FROM g GROUP BY q_id""".stripMargin,
 
     "price_histogram" ->
       """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),

@@ -746,6 +746,25 @@ object RelationalOps {
         .as("acctbal_band"),
       col("c_mktsegment"))
 
+  /** k-anonymity audit of a masked view: group the quasi-identifier
+    * columns into equivalence classes and profile their sizes — a class
+    * smaller than k means those rows are re-identifiable by linking the
+    * quasi-identifiers alone, which is the precise failure masking
+    * exists to prevent (pseudonymizing the name is worthless if
+    * (acctbal_band, mktsegment) is unique). Output: one row per class
+    * size with the class count, rows covered, and the at-risk flag for
+    * sizes < k — the histogram a privacy review reads before a masked
+    * view ships. One keyed partial-agg shuffle + a size rollup; class
+    * cardinality bounds the output.
+    */
+  def kAnonymityAudit(masked: DataFrame, quasiCols: Seq[String], k: Int = 5): DataFrame =
+    masked.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("class_size"))
+      .groupBy(col("class_size"))
+      .agg(count(lit(1)).as("n_classes"),
+        (count(lit(1)) * col("class_size")).as("n_rows"))
+      .select(col("class_size"), col("n_classes"), col("n_rows"),
+        (col("class_size") < k).as("at_risk"))
+
   /** Portable 32-bit hash shared by the KMV sketch paths: the same
     * md5-prefix both DuckDB and any other engine replay bit-exactly.
     */

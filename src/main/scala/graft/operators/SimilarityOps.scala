@@ -82,6 +82,33 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Graded ranking-quality gate for the ANN tiers: per-query nDCG@5 of
+    * the seeded-IVF shortlist against the brute top-5 as the ideal —
+    * recall@k (the existing `ann_recall` gate) treats a hit at rank 1
+    * and rank 5 the same; nDCG is the position-weighted read a serving
+    * deployment actually tunes on. Integer end-to-end: the 1/log₂(i+1)
+    * position weights are PINNED micros constants (1e6, 630930, 500000,
+    * 430677, 386853 — no runtime transcendentals), relevance is binary
+    * membership in the brute ideal, DCG is an integer dot product, and
+    * nDCG divides by the constant IDCG once, half-up. Costs one brute
+    * pass + one IVF pass — the same frames the recall gate already
+    * prices.
+    */
+  def annNdcg(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    require(k == 5, s"position-weight table is pinned for k = 5, got $k")
+    val ideal = cosineTopK(embeddings, nQueries, k)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("rel"))
+    val weight = expr("""case rank when 1 then 1000000L when 2 then 630930L
+      | when 3 then 500000L when 4 then 430677L when 5 then 386853L end""".stripMargin)
+    val idcg = 2948460L
+    ivfTopK(embeddings, 16, nQueries, k)
+      .join(ideal, Seq("q_id", "vec_id"), "left")
+      .select(col("q_id"), (coalesce(col("rel"), lit(0L)) * weight).as("g"))
+      .groupBy(col("q_id")).agg(sum(col("g")).as("dcg"))
+      .select(col("q_id"), col("dcg"),
+        expr(s"(dcg * 1000000 + ${idcg / 2}) div $idcg").as("ndcg_ppm"))
+  }
+
   /** Maximal-marginal-relevance reranking (Carbonell & Goldstein) of the
     * cosine shortlist: greedily pick k results balancing relevance to the
     * query against redundancy with what is ALREADY picked —

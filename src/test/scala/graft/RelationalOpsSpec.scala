@@ -251,6 +251,21 @@ class RelationalOpsSpec extends SparkSpec {
     assert(splitMerge == full, "groups split across deltas must re-sum exactly")
   }
 
+  test("kAnonymityAudit: equivalence-class histogram with the at-risk " +
+       "flag below k") {
+    val masked = Seq(
+      (100L, "A"), (100L, "A"),          // class of 2
+      (200L, "B"),                       // singleton → re-identifiable
+      (300L, "A"), (300L, "A"), (300L, "A")) // class of 3
+      .toDF("acctbal_band", "c_mktsegment")
+    val got = RelationalOps.kAnonymityAudit(masked,
+      Seq("acctbal_band", "c_mktsegment"), k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == Map(
+      1L -> ((1L, 1L, true)), 2L -> ((1L, 2L, true)), 3L -> ((1L, 3L, false))),
+      got.toString)
+  }
+
   test("asOfJoinTolerance: fresh match carries value + age; stale match " +
        "keeps age but nulls the value; no match nulls both") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

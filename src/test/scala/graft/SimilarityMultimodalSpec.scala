@@ -437,6 +437,18 @@ class SimilarityMultimodalSpec extends SparkSpec {
       s"expected 4 per-partition inits for 40 rows, got ${acc.value}")
   }
 
+  test("annNdcg: a rank-1 hit out of 5 scores exactly w1/IDCG; scores " +
+       "never exceed 1e6") {
+    // on the 5-vector fixture the IVF probe set for query 0 contains only
+    // its duplicate (vec 2) — one rank-1 hit, dcg = 1e6
+    val got = SimilarityOps.annNdcg(emb, nQueries = 1)
+    val r = got.head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 1000000L, r.toString)
+    assert(r.getLong(2) == (1000000L * 1000000L + 1474230L) / 2948460L, r.toString)
+    assert(r.getLong(2) <= 1000000L)
+    spark.catalog.clearCache()
+  }
+
   test("image dHash: decoded gradient hash matches the closed form; same " +
        "wrap pattern collides, different pattern separates; init per partition") {
     // doc 0, n_chars 0: a=1, b=0, c=0 → lum = x, never wraps → all 56
