@@ -382,4 +382,34 @@ class PropertySpec extends SparkSpec {
       assert(rows2 == rows.map(r => (r.getLong(0), r.getLong(1))).toSet)
     }
   }
+
+  test("snapshotDiff reconstruction: applying the diff to the old snapshot " +
+       "reproduces the new snapshot exactly, on random keyed mutations") {
+    val rowGen = Gen.listOfN(40,
+      for {
+        k <- Gen.chooseNum(1L, 25L) // collisions exercised via dedup below
+        v <- Gen.option(Gen.chooseNum(0L, 99L).map(_.toDouble))
+      } yield (k, v))
+    for (rows <- samples(rowGen, 5)) {
+      val oldRows = rows.distinctBy(_._1)
+      // mutate: drop k%5==0, change k%3==0, add shifted keys for k%7==0
+      val newRows = oldRows.filterNot(_._1 % 5 == 0)
+        .map { case (k, v) => if (k % 3 == 0) (k, v.map(_ + 1)) else (k, v) } ++
+        oldRows.filter(_._1 % 7 == 0).map { case (k, v) => (k + 1000L, v) }
+      val oldDf = oldRows.toDF("k", "v")
+      val newDf = newRows.toDF("k", "v")
+      val diff = RelationalOps.snapshotDiff(oldDf, newDf, Seq("k")).collect()
+        .map(r => (r.getLong(0), r.getString(1), Option(r.get(3)).map(_.toString)))
+      // replay: start from old, apply removals/changes/adds
+      val oldMap = oldRows.toMap
+      val applied = scala.collection.mutable.Map(oldMap.toSeq: _*)
+      for ((k, typ, newV) <- diff) typ match {
+        case "removed" => applied.remove(k)
+        case "changed" => applied(k) = newV.map(_.toDouble)
+        case "added"   => applied(k) = newV.map(_.toDouble)
+      }
+      assert(applied.toMap == newRows.toMap,
+        s"diff replay must reconstruct the new snapshot\n$diff")
+    }
+  }
 }
