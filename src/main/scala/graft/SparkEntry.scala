@@ -897,6 +897,17 @@ object SparkEntry {
 
     "ks_source_drift" -> ((s, d) => StatsOps.ksSourceDrift(t(s, d, "documents"))),
 
+    // the fixed-reference KS (the streaming drift monitor's per-batch
+    // computation, batch face): even docs play the healthy baseline,
+    // odd docs the arriving batch
+    "ks_reference_drift" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      StatsOps.ksAgainstReference(
+        docs.filter(col("doc_id") % 2 =!= 0).select(col("n_chars").as("v")),
+        docs.filter(col("doc_id") % 2 === 0)
+          .groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("c")))
+    }),
+
     // Theil–Sen robust trend: exact type-1 median of pairwise slopes
     "theil_sen_trend" -> ((s, d) => EventOps.theilSenTrend(t(s, d, "events"))),
 
@@ -4273,6 +4284,30 @@ object SparkEntry {
            |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            |  COUNT(DISTINCT $c) AS n_distinct FROM orders""".stripMargin)
         .mkString("\nUNION ALL\n"),
+
+    "ks_reference_drift" ->
+      """WITH b AS (SELECT n_chars AS v, COUNT(*) AS cb FROM documents
+        |           WHERE doc_id % 2 <> 0 GROUP BY 1),
+        |r AS (SELECT n_chars AS v, COUNT(*) AS cr FROM documents
+        |      WHERE doc_id % 2 = 0 GROUP BY 1),
+        |grid AS (SELECT COALESCE(b.v, r.v) AS v, COALESCE(cb, 0) AS cb, COALESCE(cr, 0) AS cr
+        |         FROM b FULL OUTER JOIN r ON b.v = r.v),
+        |cum AS (SELECT v,
+        |        SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+        |        SUM(cr) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_r
+        |        FROM grid),
+        |t AS (SELECT SUM(cb) AS n_batch, SUM(cr) AS n_ref FROM grid),
+        |g AS (SELECT v, n_batch, n_ref,
+        |      abs(CAST(cum_b AS HUGEINT) * n_ref - CAST(cum_r AS HUGEINT) * n_batch) AS gap
+        |      FROM cum CROSS JOIN t),
+        |pick AS (SELECT *, row_number() OVER (ORDER BY gap DESC, v) AS rn FROM g)
+        |SELECT CAST(n_batch AS BIGINT) AS n_batch, CAST(n_ref AS BIGINT) AS n_ref,
+        |  v AS at_value,
+        |  CASE WHEN n_batch > 0 AND n_ref > 0 THEN
+        |    CAST(round(CAST(gap AS DOUBLE)
+        |      / (CAST(n_batch AS DOUBLE) * CAST(n_ref AS DOUBLE)) * 1000000) AS BIGINT)
+        |  END AS ks_ppm
+        |FROM pick WHERE rn = 1""".stripMargin,
 
     "theil_sen_trend" ->
       """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),

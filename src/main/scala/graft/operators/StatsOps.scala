@@ -197,6 +197,42 @@ object StatsOps {
           .as("ks_ppm"))
   }
 
+  /** Two-sample KS of a batch against a FIXED reference distribution
+    * (given as per-value counts) — the building block the streaming
+    * drift monitor shares with the batch query, so the stream's audit
+    * rows are provably the batch computation per micro-batch. Same
+    * integer cross-multiplied ECDF machinery as `ksSourceDrift`; one
+    * audit row out (n_batch, n_ref, at_value, ks_ppm).
+    */
+  def ksAgainstReference(values: DataFrame, refCounts: DataFrame): DataFrame = {
+    val D = DecimalType(38, 0)
+    val b = values.groupBy(col("v")).agg(count(lit(1)).as("cb"))
+    val r = refCounts.groupBy(col("v")).agg(sum(col("c")).as("cr"))
+    val grid = b.join(r, Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("cb"), lit(0L)).as("cb"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    val w = Window.partitionBy(pmod(col("cb"), lit(1))).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = grid.agg(sum(col("cb")).as("n_batch"), sum(col("cr")).as("n_ref"))
+    val wPick = Window.partitionBy(pmod(col("gap"), lit(1)))
+      .orderBy(col("gap").desc, col("v"))
+    grid
+      .withColumn("cum_b", sum(col("cb")).over(w))
+      .withColumn("cum_r", sum(col("cr")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("v"), col("n_batch"), col("n_ref"),
+        abs(col("cum_b").cast(D) * col("n_ref").cast(D)
+          - col("cum_r").cast(D) * col("n_batch").cast(D)).as("gap"))
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("n_batch"), col("n_ref"), col("v").as("at_value"),
+        when(col("n_batch") > 0 && col("n_ref") > 0,
+          expr("""cast(round(cast(gap as double)
+            | / (cast(n_batch as double) * cast(n_ref as double))
+            | * 1000000) as bigint)""".stripMargin))
+          .as("ks_ppm"))
+  }
+
   /** Spearman rank correlation, deterministic variant: ranks are
     * row_number in (value, id) order — a documented tiebreak instead of
     * the statistical average-rank convention, which keeps every rank an

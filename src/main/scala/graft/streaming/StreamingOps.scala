@@ -298,4 +298,29 @@ object StreamingOps {
     }
     stale
   }
+
+  /** Streaming distribution-drift monitor: each micro-batch's value
+    * distribution is KS-tested against a FIXED reference (per-value
+    * counts from the training snapshot / a healthy baseline), and one
+    * audit row per batch lands in `outDir` — the on-arrival alarm for
+    * "this shard's lengths look nothing like what we trained on", before
+    * a skewed batch pollutes downstream corpora. The per-batch work is
+    * exactly `StatsOps.ksAgainstReference` (the spec proves stream rows
+    * == the batch computation), so there is ONE drift definition in the
+    * engine; reference counts are re-read per batch (metadata-scale) and
+    * broadcast into the dimension-scale grid. Stateless — no watermark,
+    * no state store; replays rewrite the same batch_id row (idempotent
+    * audit via append + batch_id dedup at read).
+    */
+  def driftMonitorWriter(values: DataFrame, refCountsDir: String,
+                         outDir: String, checkpoint: String): DataStreamWriter[Row] =
+    values.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val ref = batch.sparkSession.read.parquet(refCountsDir)
+        graft.operators.StatsOps.ksAgainstReference(batch.toDF(), ref)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
 }

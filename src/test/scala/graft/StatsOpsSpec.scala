@@ -87,6 +87,19 @@ class StatsOpsSpec extends SparkSpec {
     assert(math.abs(rho) < 500000L, s"shuffled ranks must not read correlated: $rho")
   }
 
+  test("ksAgainstReference: 1e6 on disjoint supports, 0 on a matching " +
+       "distribution regardless of reference scale") {
+    import spark.implicits._
+    val ref = Seq((10L, 4L), (20L, 4L)).toDF("v", "c") // 50/50 reference
+    val same = Seq(10L, 20L).toDF("v")                  // same shape, n=2
+    val r1 = StatsOps.ksAgainstReference(same, ref).head()
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(3)) == ((2L, 8L, 0L)), r1.toString)
+    val shifted = Seq(30L, 40L).toDF("v")               // disjoint support
+    val r2 = StatsOps.ksAgainstReference(shifted, ref).head()
+    assert(r2.getLong(3) == 1000000L, r2.toString)
+    assert(r2.getLong(2) == 20L, "max gap first attained at the reference's top value")
+  }
+
   test("ksSourceDrift: 1e6 on disjoint supports at the boundary value, " +
        "0 on identical distributions with the earliest-value tiebreak") {
     def docs(rows: Seq[(Long, String, Long)]) =

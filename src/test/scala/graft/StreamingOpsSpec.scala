@@ -367,4 +367,45 @@ class StreamingOpsSpec extends SparkSpec {
     // users 5,6 have no dimension row: inner join must drop them in both
     assert(batch.values.map(_._1).sum < 300)
   }
+
+  test("driftMonitorWriter: per-micro-batch KS rows equal the batch " +
+       "computation; the shifted batch alarms, the matching batch does not") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("graft-drift-in").toString
+    val out = Files.createTempDirectory("graft-drift-out").toString
+    val ckpt = Files.createTempDirectory("graft-drift-ckpt").toString
+    val refDir = Files.createTempDirectory("graft-drift-ref").toString
+    // healthy baseline: uniform on {10, 20, 30}
+    val ref = Seq((10L, 5L), (20L, 5L), (30L, 5L)).toDF("v", "c")
+    ref.write.mode("overwrite").parquet(refDir)
+    // batch 0 mirrors the reference; batch 1 is shifted wholesale
+    val b0 = Seq(10L, 20L, 30L).toDF("v")
+    val b1 = Seq(100L, 110L, 120L).toDF("v")
+    b0.coalesce(1).write.mode("overwrite").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = StreamingOps.driftMonitorWriter(stream, refDir, out, ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    b1.coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("batch_id") ->
+        ((r.getAs[Long]("n_batch"), Option(r.get(3)).map(_.toString.toLong)))).toMap
+    assert(rows.size == 2, s"one audit row per micro-batch: $rows")
+    // stream rows must EQUAL the batch-side computation per batch
+    val exp0 = graft.operators.StatsOps.ksAgainstReference(b0, ref).head()
+    val exp1 = graft.operators.StatsOps.ksAgainstReference(b1, ref).head()
+    val got = rows.values.toSet
+    assert(got == Set(
+      (exp0.getLong(0), Option(exp0.get(3)).map(_.toString.toLong)),
+      (exp1.getLong(0), Option(exp1.get(3)).map(_.toString.toLong))),
+      s"stream $got vs batch {$exp0, $exp1}")
+    assert(exp0.getLong(3) == 0L && exp1.getLong(3) == 1000000L,
+      "matching batch reads 0, shifted batch alarms at 1e6")
+  }
 }
