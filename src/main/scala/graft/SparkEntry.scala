@@ -908,6 +908,10 @@ object SparkEntry {
           .groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("c")))
     }),
 
+    // language-ID confusion matrix: the multi-language stopword argmax
+    // vs the labeled lang — WHERE the heuristic is blind, per label
+    "langid_confusion" -> ((s, d) => TextOps.langIdConfusion(t(s, d, "documents"))),
+
     // Theil–Sen robust trend: exact type-1 median of pairwise slopes
     "theil_sen_trend" -> ((s, d) => EventOps.theilSenTrend(t(s, d, "events"))),
 
@@ -953,6 +957,10 @@ object SparkEntry {
     // the brute ideal, pinned integer log2 weights — the gate recall@k
     // can't see rank order with
     "ann_ndcg" -> ((s, d) => SimilarityOps.annNdcg(t(s, d, "embeddings"))),
+    // two-stage retrieval: ADC top-20 shortlist, exact cosine rescore to
+    // top-5 — full precision touched for 20×queries rows, never the corpus
+    "cosine_topk_pq_rescored" -> ((s, d) =>
+      SimilarityOps.pqTopKRescored(t(s, d, "embeddings"), 10, 5)),
     // int8 scalar quantization (4-8x memory cut for the scoring pass); the
     // bit-portable floor-quantizer is replayed verbatim by the oracle
     "cosine_topk_int8" -> ((s, d) => SimilarityOps.cosineTopKInt8(t(s, d, "embeddings"), 10, 5)),
@@ -4284,6 +4292,44 @@ object SparkEntry {
            |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            |  COUNT(DISTINCT $c) AS n_distinct FROM orders""".stripMargin)
         .mkString("\nUNION ALL\n"),
+
+    "langid_confusion" -> {
+      val hitCols = TextOps.langStops.map { case (l, ws) =>
+        val set = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(tk, t -> list_contains($set, t))) AS h_$l"
+      }.mkString(",\n|  ")
+      val g = TextOps.langStops.map { case (l, _) => s"h_$l" }.mkString("greatest(", ", ", ")")
+      val branches = TextOps.langStops.init.map { case (l, _) =>
+        s"WHEN h_$l = $g THEN '$l'"
+      }.mkString("\n|        ")
+      s"""WITH tkx AS (SELECT lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+         |            FROM documents),
+         |h AS (SELECT lang,
+         |  $hitCols
+         |  FROM tkx),
+         |p AS (SELECT lang, CASE WHEN $g = 0 THEN 'und'
+         |        $branches
+         |        ELSE '${TextOps.langStops.last._1}' END AS pred_lang FROM h),
+         |c AS (SELECT lang, pred_lang, COUNT(*) AS n FROM p GROUP BY 1, 2),
+         |t AS (SELECT lang, SUM(n) AS tot FROM c GROUP BY 1)
+         |SELECT c.lang, c.pred_lang, n,
+         |  CAST((n * 1000000 + tot // 2) // tot AS BIGINT) AS share_ppm
+         |FROM c JOIN t USING (lang)""".stripMargin
+    },
+
+    "cosine_topk_pq_rescored" ->
+      (pqTopKCtes +
+      """,
+        |shortl AS (SELECT q_id, vec_id FROM pqranked WHERE rank <= 20),
+        |resc AS (SELECT s.q_id, s.vec_id,
+        |         round(list_cosine_similarity(c.emb, q.q_emb), 4) AS score
+        |         FROM shortl s JOIN v c ON c.vec_id = s.vec_id
+        |         JOIN q ON q.q_id = s.q_id),
+        |rr AS (SELECT q_id, vec_id, score,
+        |       CAST(row_number() OVER (PARTITION BY q_id
+        |         ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+        |       FROM resc)
+        |SELECT q_id, vec_id, score, rank FROM rr WHERE rank <= 5""".stripMargin),
 
     "ks_reference_drift" ->
       """WITH b AS (SELECT n_chars AS v, COUNT(*) AS cb FROM documents

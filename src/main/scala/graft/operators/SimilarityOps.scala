@@ -82,6 +82,33 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Two-stage retrieval: ADC shortlist, EXACT rescore — the pattern
+    * every PQ deployment ships, because ADC distances are quantized
+    * approximations (fine for pruning, wrong for final order). Stage 1
+    * scores the whole corpus from codes + a broadcast LUT (bytes per
+    * vector, the memory win); stage 2 recomputes exact cosine for only
+    * `shortlist` candidates per query and re-ranks the top k — full
+    * precision touched for shortlist × queries rows, never the corpus.
+    * Output schema matches `cosineTopK`, so the exactness of the final
+    * ordering is directly comparable against the brute tier.
+    */
+  def pqTopKRescored(embeddings: DataFrame, nQueries: Int, k: Int,
+                     shortlist: Int = 20): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k = $k")
+    val sl = pqTopK(embeddings, nQueries, shortlist)
+      .select(col("q_id"), col("vec_id"))
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    sl.join(embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("score",
+        round(graft.functions.GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 4))
+      .select(col("q_id"), col("vec_id"), col("score"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+  }
+
   /** Graded ranking-quality gate for the ANN tiers: per-query nDCG@5 of
     * the seeded-IVF shortlist against the brute top-5 as the ideal —
     * recall@k (the existing `ann_recall` gate) treats a hit at rank 1

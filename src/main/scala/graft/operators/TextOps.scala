@@ -456,6 +456,55 @@ object TextOps {
       .select(col(idCol), col(strataCol))
   }
 
+  /** Stopword sets for the multi-language ID heuristic — deliberately
+    * (near-)disjoint so a tie means genuine ambiguity, broken
+    * alphabetically (documented, deterministic).
+    */
+  private[graft] val langStops: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "for"),
+    "es" -> Seq("el", "los", "una", "por", "como", "pero", "mas", "y"),
+    "fr" -> Seq("le", "les", "dans", "pour", "sur", "avec", "est", "une"))
+
+  /** Multi-language ID: per-language stopword occurrence counts over the
+    * shared tokenizer, argmax with the alphabetical tiebreak, `und` when
+    * no set fires — the n-gram-heuristic generalization of the binary
+    * `langIdPredict`. One narrow per-row pass; the token array is
+    * let-bound so the tokenizer runs once per row.
+    */
+  def langIdMulti(documents: DataFrame): DataFrame = {
+    val hits = langStops.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("array(", ", ", ")")
+      expr(s"size(filter(tk, t -> array_contains($arr, t)))").as(s"h_$l")
+    }
+    val m = greatest(langStops.map { case (l, _) => col(s"h_$l") }: _*)
+    val pred = langStops.foldRight(lit("und")) { case ((l, _), acc) =>
+      when(col(s"h_$l") === col("m") && col("m") > 0, lit(l)).otherwise(acc)
+    }
+    documents
+      .select(col("doc_id"), col("lang"), expr(toksExprFor(documents)).as("tk"))
+      .select(Seq(col("doc_id"), col("lang")) ++ hits: _*)
+      .withColumn("m", m)
+      .withColumn("pred_lang",
+        when(col("m") === 0, lit("und")).otherwise(pred))
+      .select(col("doc_id"), col("lang"), col("pred_lang"))
+  }
+
+  /** Language-ID confusion matrix: predicted vs labeled language with
+    * per-label shares — the eval read that tells you WHERE the heuristic
+    * is blind (e.g. zh has no Latin stopwords → everything lands in
+    * `und`), not just how often. One per-row prediction pass + one
+    * (label, pred) aggregate over ≤ |langs|² rows.
+    */
+  def langIdConfusion(documents: DataFrame): DataFrame = {
+    val c = langIdMulti(documents)
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+    val tot = c.groupBy(col("lang")).agg(sum(col("n")).as("tot"))
+    c.join(broadcast(tot), Seq("lang"))
+      .select(col("lang"), col("pred_lang"), col("n"),
+        expr("(n * 1000000 + tot div 2) div tot").as("share_ppm"))
+  }
+
   /** Heaps-law vocabulary growth curve: split the corpus into `buckets`
     * portable-hash document slices, count each slice's tokens and the
     * token TYPES first seen there, and emit cumulative token/type totals

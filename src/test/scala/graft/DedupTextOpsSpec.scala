@@ -1026,6 +1026,26 @@ class DedupTextOpsSpec extends SparkSpec {
         s"pair (${p.getLong(0)}, ${p.getLong(1)}) straddles folds")
   }
 
+  test("langIdMulti: stopword argmax with alphabetical tiebreak; no hits " +
+       "reads und; confusion matrix shares sum to 1e6 per label") {
+    val d = Seq(
+      (1L, "der hund und das brot ist gut", "de", "s", 25L),
+      (2L, "the cat of the house is it", "en", "s", 25L),
+      (3L, "le chat dans les rues pour une", "fr", "s", 25L),
+      (4L, "zzz qqq www", "zh", "s", 11L),          // no Latin stopwords → und
+      (5L, "the der und of", "en", "s", 14L))       // 2-2 tie → de (alphabetical)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.langIdMulti(d).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(1L -> "de", 2L -> "en", 3L -> "fr", 4L -> "und", 5L -> "de"),
+      got.toString)
+    val conf = TextOps.langIdConfusion(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(conf(("en", "en")) == ((1L, 500000L)) && conf(("en", "de")) == ((1L, 500000L)),
+      conf.toString)
+    assert(conf(("zh", "und")) == ((1L, 1000000L)), conf.toString)
+  }
+
   test("lshRecallAudit: perfect recall on the dup-family fixture; a " +
        "threshold-grazing pair the bands miss drops recall below 1e6") {
     val r = DedupOps.lshRecallAudit(docs).head()

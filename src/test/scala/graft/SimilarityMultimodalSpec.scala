@@ -437,6 +437,22 @@ class SimilarityMultimodalSpec extends SparkSpec {
       s"expected 4 per-partition inits for 40 rows, got ${acc.value}")
   }
 
+  test("pqTopKRescored: every rescored score is the EXACT round-4 cosine " +
+       "(not the ADC approximation); ranks are contiguous per query") {
+    val embSf = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val rescored = SimilarityOps.pqTopKRescored(embSf, nQueries = 3, k = 5).collect()
+    assert(rescored.nonEmpty)
+    val exact = SimilarityOps.cosineTopK(embSf, nQueries = 3, k = 2000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (r <- rescored)
+      assert(r.getDouble(2) == exact((r.getLong(0), r.getLong(1))),
+        s"rescored score must equal the exact cosine: $r")
+    val ranks = rescored.groupBy(_.getLong(0)).values
+    assert(ranks.forall(_.map(_.getInt(3)).sorted.sameElements(1 to 5)),
+      "each query re-ranks to a contiguous top-5")
+    spark.catalog.clearCache()
+  }
+
   test("annNdcg: a rank-1 hit out of 5 scores exactly w1/IDCG; scores " +
        "never exceed 1e6") {
     // on the 5-vector fixture the IVF probe set for query 0 contains only
