@@ -49,10 +49,23 @@ object SparkEntry {
     * state these artifacts exist for, while staying stale-proof (a new
     * process always rebuilds).
     */
-  private def artifactDir(kind: String, sfDir: String)(build: String => Unit): String =
-    builtArtifacts.getOrElseUpdate(s"$kind|$sfDir", {
+  /** Code/params fingerprint folded into every artifact path (r10 verdict
+    * item 3): even though a fresh JVM always rebuilds (mode=overwrite), a
+    * dir name keyed only by sfDir could in principle be read by a LATER
+    * code version if a process were ever reused across builds. The salt is
+    * derived from the registered oracle SQL + query names (deterministic
+    * String hashCodes, so stable across JVMs of the SAME build, different
+    * whenever the registered surface changes) plus the caller's explicit
+    * params string, so a params change forces a rebuild into a new dir.
+    */
+  private[graft] def artifactSalt(params: String): String = {
+    val codeFp = oracleSql.toSeq.sortBy(_._1).hashCode * 31 + queries.keySet.toSeq.sorted.hashCode
+    Integer.toHexString(codeFp * 31 + params.hashCode)
+  }
+  private def artifactDir(kind: String, sfDir: String, params: String = "")(build: String => Unit): String =
+    builtArtifacts.getOrElseUpdate(s"$kind|$sfDir|$params", {
       val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-        s"graft_${kind}_" + Integer.toHexString(sfDir.hashCode)).toString
+        s"graft_${kind}_" + Integer.toHexString(sfDir.hashCode) + "_" + artifactSalt(params)).toString
       build(out)
       out
     })
@@ -67,7 +80,7 @@ object SparkEntry {
     * (the merge-table read, the corpus encode) loads K rows.
     */
   private def bpeMergesFor(s: SparkSession, sfDir: String): DataFrame =
-    s.read.parquet(artifactDir("bpe_merges", sfDir)(out =>
+    s.read.parquet(artifactDir("bpe_merges", sfDir, "rounds=10")(out =>
       TextOps.bpeTrain(t(s, sfDir, "documents"), rounds = 10)
         .write.mode("overwrite").parquet(out)))
 
@@ -2135,7 +2148,7 @@ object SparkEntry {
 
   private val bpeMergesOracle: String = bpeCtes + "\n" +
     (1 to bpeRounds).map { r =>
-      s"SELECT CAST($r AS INTEGER) AS round, x AS sym_a, y AS sym_b, x || y AS merged, wt AS weight FROM bb$r"
+      s"SELECT CAST($r AS INTEGER) AS round, x AS sym_a, y AS sym_b, x || y AS merged, CAST(wt AS BIGINT) AS weight FROM bb$r"
     }.mkString("\nUNION ALL\n")
 
   private val bpeEncodeOracle: String = bpeCtes +
@@ -2843,8 +2856,8 @@ object SparkEntry {
         |        CAST(len(t.toks) - coalesce(nc.n_cov, 0) AS BIGINT) AS n_kept
         |        FROM t LEFT JOIN nc USING (doc_id))
         |SELECT d.source, COUNT(*) AS n_docs,
-        |       SUM(o.n_tokens) AS total_tokens,
-        |       SUM(o.n_tokens - o.n_kept) AS removed_tokens,
+        |       CAST(SUM(o.n_tokens) AS BIGINT) AS total_tokens,
+        |       CAST(SUM(o.n_tokens - o.n_kept) AS BIGINT) AS removed_tokens,
         |       CAST((SUM(o.n_tokens - o.n_kept) * 1000000 + SUM(o.n_tokens) // 2)
         |            // SUM(o.n_tokens) AS BIGINT) AS removal_rate_ppm
         |FROM out o JOIN documents d USING (doc_id) GROUP BY d.source""".stripMargin,
@@ -4058,7 +4071,7 @@ object SparkEntry {
 
     "window_value_family" ->
       """WITH daily AS (SELECT o_orderstatus, CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
-        |  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |  FROM orders GROUP BY 1, 2)
         |SELECT o_orderstatus, day, cents,
         |  first_value(cents) OVER (PARTITION BY o_orderstatus ORDER BY day
@@ -4071,7 +4084,7 @@ object SparkEntry {
 
     "events_enriched" ->
       """SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
-        |  SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2""".stripMargin,
 
@@ -4153,10 +4166,10 @@ object SparkEntry {
         |grid AS (SELECT a, rt, b, ct, coalesce(obs, 0) AS obs
         |  FROM rt CROSS JOIN ct LEFT JOIN obs USING (a, b))
         |SELECT CAST(n AS BIGINT) AS n, CAST((na - 1) * (nb - 1) AS BIGINT) AS dof,
-        |  SUM(CAST(round(
+        |  CAST(SUM(CAST(round(
         |    (CAST(obs * n - rt * ct AS DOUBLE) * CAST(obs * n - rt * ct AS DOUBLE))
         |    / (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) * 1000000
-        |  ) AS BIGINT)) AS chi2_micros
+        |  ) AS BIGINT)) AS BIGINT) AS chi2_micros
         |FROM grid CROSS JOIN nn
         |GROUP BY 1, 2""".stripMargin,
 
@@ -4231,7 +4244,7 @@ object SparkEntry {
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
         |d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
         |      SUM(CAST(round(value * 100) AS BIGINT)) AS cents FROM e GROUP BY 1),
-        |w AS (SELECT CAST(datediff('day', DATE '1995-01-01', day) % 7 AS INTEGER) AS dow,
+        |w AS (SELECT CAST(((datediff('day', DATE '1995-01-01', day) % 7) + 7) % 7 AS INTEGER) AS dow,
         |      cents FROM d),
         |b AS (SELECT dow, COUNT(*) AS n_days, SUM(cents) AS cents FROM w GROUP BY 1),
         |t AS (SELECT SUM(n_days) AS days_all, SUM(cents) AS cents_all FROM b)
@@ -4261,7 +4274,7 @@ object SparkEntry {
 
     "ks_source_drift" ->
       """WITH c AS (SELECT source, n_chars AS v, COUNT(*) AS c FROM documents GROUP BY 1, 2),
-        |t AS (SELECT source, SUM(c) AS n_src FROM c GROUP BY 1),
+        |t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_src FROM c GROUP BY 1),
         |g AS (SELECT SUM(n_src) AS n_all FROM t),
         |vals AS (SELECT DISTINCT v FROM c),
         |f AS (SELECT t.source, t.n_src, vals.v, COALESCE(cc.c, 0) AS c
@@ -4280,8 +4293,8 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY gap DESC, v) AS rn FROM j)
         |SELECT source, n_src, v AS at_value,
         |  CASE WHEN n_rest <> 0 THEN
-        |    CAST(round(CAST(gap AS DOUBLE)
-        |      / (CAST(n_src AS DOUBLE) * CAST(n_rest AS DOUBLE)) * 1000000) AS BIGINT)
+        |    CAST((gap * 1000000 + (CAST(n_src AS HUGEINT) * n_rest) // 2)
+        |         // (CAST(n_src AS HUGEINT) * n_rest) AS BIGINT)
         |  END AS ks_ppm
         |FROM r WHERE rn = 1""".stripMargin,
 
@@ -4350,8 +4363,8 @@ object SparkEntry {
         |SELECT CAST(n_batch AS BIGINT) AS n_batch, CAST(n_ref AS BIGINT) AS n_ref,
         |  v AS at_value,
         |  CASE WHEN n_batch > 0 AND n_ref > 0 THEN
-        |    CAST(round(CAST(gap AS DOUBLE)
-        |      / (CAST(n_batch AS DOUBLE) * CAST(n_ref AS DOUBLE)) * 1000000) AS BIGINT)
+        |    CAST((gap * 1000000 + (CAST(n_batch AS HUGEINT) * n_ref) // 2)
+        |         // (CAST(n_batch AS HUGEINT) * n_ref) AS BIGINT)
         |  END AS ks_ppm
         |FROM pick WHERE rn = 1""".stripMargin,
 

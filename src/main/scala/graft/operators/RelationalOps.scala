@@ -147,8 +147,13 @@ object RelationalOps {
       .withColumn("__side", lit(0))
     val l = left.withColumn("__side", lit(1))
     val u = l.unionByName(r, allowMissingColumns = true)
+    // (ts, side) alone leaves two right rows sharing (key, ts) tie-broken
+    // by physical partition order (r10 advice: layout-nondeterministic).
+    // Ordering additionally by the carried values makes the greatest value
+    // tuple win under ANY partitioning; left rows carry only nulls, so
+    // their mutual ties are harmless.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol), col("__side"))
+      .orderBy(col(tsCol) +: col("__side") +: rightVals.map(c => col(s"asof_$c")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // same window spec for every column → Catalyst fuses into one WindowExec
     val filled = rightVals.foldLeft(u) { (df, c) =>
@@ -184,9 +189,11 @@ object RelationalOps {
     val u = l.unionByName(r, allowMissingColumns = true)
       .withColumn("__band", band(col(tsCol)))
     val keyB = (keys :+ "__band").map(col)
-    val wIn = Window.partitionBy(keyB: _*).orderBy(col(tsCol), col("__side"))
+    // deterministic (ts, side, values) ordering — see asOfJoin
+    val ord = col(tsCol) +: col("__side") +: rightVals.map(c => col(s"asof_$c"))
+    val wIn = Window.partitionBy(keyB: _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wFin = Window.partitionBy(keyB: _*).orderBy(col(tsCol), col("__side"))
+    val wFin = Window.partitionBy(keyB: _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val filled = rightVals.foldLeft(u) { (df, c) =>
       df.withColumn(s"__in_$c", last(col(s"asof_$c"), ignoreNulls = true).over(wIn))
@@ -242,8 +249,10 @@ object RelationalOps {
       .withColumn("__rts", col(tsCol))
     val l = left.withColumn("__side", lit(1))
     val u = l.unionByName(r, allowMissingColumns = true)
+    // deterministic (ts, side, values) ordering — see asOfJoin. __rts is
+    // constant (= ts) within a tie group, so it needs no ordering role.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol), col("__side"))
+      .orderBy(col(tsCol) +: col("__side") +: rightVals.map(c => col(s"asof_$c")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = (rightVals.map(c => s"asof_$c") :+ "__rts").foldLeft(u) { (df, c) =>
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
@@ -351,14 +360,23 @@ object RelationalOps {
     */
   def tableProfile(df: DataFrame): DataFrame = {
     val cols = df.columns.toSeq
-    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-      countDistinct(col(c)).as(s"__dist_$c")))
+    // Backtick-quoted input references and POSITIONAL intermediate names:
+    // raw names spliced into expr("stack('name', ...)") would mis-parse on
+    // a quote/space/reserved token (r10 advice). The long frame is built
+    // with typed Columns (array-of-structs + explode) — same single wide
+    // aggregate, one codegen'd projection, no SQL-string surface at all.
+    def bq(n: String) = "`" + n.replace("`", "``") + "`"
+    val aggs = count(lit(1)).as("n_rows") +: cols.zipWithIndex.flatMap { case (c, i) => Seq(
+      sum(when(col(bq(c)).isNull, 1L).otherwise(0L)).as(s"__nulls_$i"),
+      countDistinct(col(bq(c))).as(s"__dist_$i")) }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stack = cols.map(c => s"'$c', __nulls_$c, __dist_$c").mkString(", ")
-    wide.select(col("n_rows"),
-        expr(s"stack(${cols.length}, $stack) as (col_name, n_nulls, n_distinct)"))
-      .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"))
+    val structs = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("col_name"), col(s"__nulls_$i").as("n_nulls"),
+        col(s"__dist_$i").as("n_distinct"))
+    }
+    wide.select(col("n_rows"), explode(array(structs: _*)).as("kv"))
+      .select(col("kv.col_name").as("col_name"), col("n_rows"),
+        col("kv.n_nulls").as("n_nulls"), col("kv.n_distinct").as("n_distinct"))
   }
 
   /** First-seen novelty audit: per day, how many active entities are NEW
@@ -641,7 +659,11 @@ object RelationalOps {
             col("depth").as("d2")), Seq("anc"))
         .select(col("node"), col("anc2").as("anc"),
           (col("depth") + col("d2")).as("depth"))
-      if (i % 4 == 0 && i < rounds) st = st.localCheckpoint()
+      // Checkpoint EVERY round (kCore cadence, r10 advice): the self-join
+      // references the prior frame twice, so an uncheckpointed plan
+      // re-expands shared subtrees 2^k-fold between checkpoints. The
+      // frame is three narrow columns — materialization is cheap.
+      if (i < rounds) st = st.localCheckpoint()
     }
     st.select(col("node"), col("anc").as("root"), col("depth"))
   }

@@ -154,8 +154,8 @@ object StatsOps {
     * |cum_src·n_rest − cum_rest·n_src| rides DECIMAL(38,0) (cum·n is
     * ~10²⁰ at a 10¹⁰-doc corpus — past long), the max is an
     * integer argmax with an earliest-value tiebreak, and
-    * D_ppm = max·1e6/(n_src·n_rest) is one fixed-shape double division
-    * quantized once. Corpus-scale work is the single (source, value)
+    * D_ppm = (max·1e6 + den/2) div den with den = n_src·n_rest — half-up
+    * integer division end-to-end, no double ever crossed. Corpus-scale work is the single (source, value)
     * aggregate; the cumulative windows run on the #sources × #distinct
     * values grid (dimension-scale — the full grid, not just observed
     * cells, because an ECDF step on one side must be visible to the
@@ -190,10 +190,14 @@ object StatsOps {
       .withColumn("rn", row_number().over(wPick))
       .filter(col("rn") === 1)
       .select(col("source"), col("n_src"), col("v").as("at_value"),
+        // Pure integer half-up division (r10 advice): no double crossing.
+        // gap·1e6 ≤ (n_src·n_rest)·1e6 ~ 1e26 at a 10¹⁰-doc corpus, well
+        // inside DECIMAL(38,0); `div` (IntegralDivide) yields BIGINT.
         when(col("n_rest") =!= 0,
-          expr("""cast(round(cast(gap as double)
-            | / (cast(n_src as double) * cast(n_rest as double))
-            | * 1000000) as bigint)""".stripMargin))
+          expr("""cast((gap * 1000000
+            | + (cast(n_src as decimal(38,0)) * cast(n_rest as decimal(38,0))) div 2)
+            | div (cast(n_src as decimal(38,0)) * cast(n_rest as decimal(38,0)))
+            | as bigint)""".stripMargin))
           .as("ks_ppm"))
   }
 
@@ -226,10 +230,13 @@ object StatsOps {
       .withColumn("rn", row_number().over(wPick))
       .filter(col("rn") === 1)
       .select(col("n_batch"), col("n_ref"), col("v").as("at_value"),
+        // same half-up integer division as ksSourceDrift (shared definition
+        // is the point: the streaming drift monitor reuses this function)
         when(col("n_batch") > 0 && col("n_ref") > 0,
-          expr("""cast(round(cast(gap as double)
-            | / (cast(n_batch as double) * cast(n_ref as double))
-            | * 1000000) as bigint)""".stripMargin))
+          expr("""cast((gap * 1000000
+            | + (cast(n_batch as decimal(38,0)) * cast(n_ref as decimal(38,0))) div 2)
+            | div (cast(n_batch as decimal(38,0)) * cast(n_ref as decimal(38,0)))
+            | as bigint)""".stripMargin))
           .as("ks_ppm"))
   }
 

@@ -154,4 +154,14 @@ class EdgeCasesSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-efetch").toString
     assert(Pipelines.fetchSeriesToRaw(identity, emptySeries, dir, distributeAbove = 0).isEmpty)
   }
+
+  test("artifact cache paths are salted by code and params fingerprint") {
+    // r10 verdict item 3: a persisted-artifact dir must change when the
+    // operator params change, so a stale artifact from an older config can
+    // never feed a newer oracle. Same params → stable (cache key works
+    // across calls); different params → different dir component.
+    assert(SparkEntry.artifactSalt("rounds=10") == SparkEntry.artifactSalt("rounds=10"))
+    assert(SparkEntry.artifactSalt("rounds=10") != SparkEntry.artifactSalt("rounds=12"))
+    assert(SparkEntry.artifactSalt("") != SparkEntry.artifactSalt("rounds=10"))
+  }
 }

@@ -13,7 +13,7 @@ import decimal
 import duckdb
 
 
-def canon(v):
+def canon(v, through_float=False):
     if v is None:
         return None
     if isinstance(v, decimal.Decimal):
@@ -26,6 +26,19 @@ def canon(v):
         # from a hash fail — Verify.decimalsAsDouble therefore dumps every
         # output decimal as DOUBLE, mirrored by CAST(... AS DOUBLE) in the
         # oracle SQL.
+        v = float(v)
+    if through_float and isinstance(v, int) and not isinstance(v, bool):
+        # Round-11 extension of the same driver model: the driver fetches
+        # oracle results through pandas, where DuckDB HUGEINT/UHUGEINT
+        # (e.g. any uncast SUM over BIGINT) has no int128 dtype and lands
+        # as float64 — so the driver hashes 123 as "123.0" while the Spark
+        # parquet int64 side stays "123". Empirically this predicted the
+        # r10 red set EXACTLY: the 6 hash-red queries were precisely the 6
+        # oracles with a HUGEINT output column (0 false positives in 243
+        # greens). Emulate per-column (flag set from the oracle relation's
+        # result types) so local results predict the driver; policy fix is
+        # CAST(... AS BIGINT) in the oracle SQL, which this emulation then
+        # proves green.
         v = float(v)
     if isinstance(v, float):
         # canonicalize -0.0 and represent with full precision
@@ -42,13 +55,18 @@ def selftest():
     assert canon(decimal.Decimal("23.00")) == "23.0"
     assert canon(float(decimal.Decimal("23.00"))) == canon(23.0)
     assert canon(-0.0) == "0.0"
-    print("selftest OK: decimal trailing-zero canary behaves as the driver does")
+    # HUGEINT-through-pandas canary (round-11 model): an int in a column
+    # typed HUGEINT hashes as its float64 repr, not its int str.
+    assert canon(3, through_float=True) == "3.0"
+    assert canon(3, through_float=False) == "3"
+    print("selftest OK: decimal trailing-zero and hugeint-float canaries behave as the driver does")
 
 
-def table_of(rows, cols):
+def table_of(rows, cols, hugeint_cols=()):
     # sort columns by name, then rows lexicographically
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    mat = [tuple(canon(r[i]) for i in order) for r in rows]
+    hi = set(hugeint_cols)
+    mat = [tuple(canon(r[i], cols[i] in hi) for i in order) for r in rows]
     mat.sort(key=lambda t: tuple((x is None, x if x is not None else "") for x in t))
     return [cols[i] for i in order], mat
 
@@ -72,12 +90,20 @@ def main(sf_dir, out_dir):
             results[qdir] = {"status": "rows_only", "rows": len(spark_rows)}
             continue
         try:
-            o = con.execute(oracle[qdir])
-            o_cols = [d[0] for d in o.description]
-            o_rows = o.fetchall()
+            rel = con.sql(oracle[qdir])
+            o_cols = list(rel.columns)
+            o_hugeint = [c for c, t in zip(o_cols, rel.types)
+                         if str(t) in ("HUGEINT", "UHUGEINT")]
+            o_rows = rel.fetchall()
         except Exception as e:
             results[qdir] = {"status": "oracle_error", "error": str(e)[:200]}
             continue
+        if o_hugeint:
+            # Policy breach, not just a model note: the driver hashes these
+            # through pandas float64 while the Spark parquet stays int64 —
+            # the exact r10 red-set cause. CAST(... AS BIGINT) in oracleSql.
+            print(f"WARNING {qdir}: oracle emits HUGEINT column(s) {o_hugeint}; "
+                  "driver will hash them as float64 — cast to BIGINT in the oracle SQL")
         # The float-repr emulation makes Decimal columns compare the way the
         # driver does, but only the DOUBLE-cast policy is *guaranteed* to
         # match it (the r4 failures prove the driver's two sides are not
@@ -87,7 +113,7 @@ def main(sf_dir, out_dir):
             print(f"WARNING {qdir}: Decimal column reaches the comparator; "
                   "only DOUBLE-cast outputs are guaranteed to match the driver")
         sc, sm = table_of(spark_rows, spark_cols)
-        oc, om = table_of(o_rows, o_cols)
+        oc, om = table_of(o_rows, o_cols, o_hugeint)
         entry = {
             "rows": f"{len(sm)}/{len(om)}",
             "row_match": len(sm) == len(om),
