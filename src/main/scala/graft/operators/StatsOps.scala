@@ -83,14 +83,17 @@ object StatsOps {
     * (value, id) ranking: G = (2·Σi·x_i − (n+1)·Σx) / (n·Σx) — ranks and
     * cents are exact integers, cross terms ride DECIMAL(38,0) (the
     * momentsProfile discipline), ONE double division quantized to
-    * micros. The global rank window makes this a DIMENSION-scale profile
-    * (customers, suppliers); zero-total frames yield NULL.
+    * micros. The ranking is the sharded exact global rank
+    * ([[ShardedOrder.withGlobalRank]]: range-shard + per-shard window +
+    * one-row-per-shard carry), so the profile holds at FACT scale — a
+    * 10⁹-customer frame ranks across shards, not through one reducer;
+    * zero-total frames yield NULL.
     */
   def giniMicros(df: DataFrame, idCol: String, valCol: String): DataFrame = {
     val D = DecimalType(38, 0)
-    val w = Window.orderBy(col("x"), col(idCol))
-    df.select(col(idCol), col(valCol).cast(LongType).as("x"))
-      .withColumn("i", row_number().over(w).cast(LongType))
+    ShardedOrder.withGlobalRank(
+        df.select(col(idCol), col(valCol).cast(LongType).as("x")),
+        "i", 32, col("x"), col(idCol))
       .agg(count(lit(1)).as("n"),
         sum(col("x").cast(D)).as("sx"),
         sum((col("i").cast(D)) * (col("x").cast(D))).as("six"))
@@ -245,18 +248,18 @@ object StatsOps {
     * the statistical average-rank convention, which keeps every rank an
     * exact integer (Σd² is then exact, and the closed form
     * 1 − 6Σd²/(n(n²−1)) is one fixed-shape double over exact integers,
-    * micros-quantized). The global rank windows serialize on one
-    * reducer, so this profile is for DIMENSION-scale frames (customers,
-    * sources — the EDA use); fact-scale rank correlation would shard
-    * ranks the way `packChunks` shards running totals.
+    * micros-quantized). Both rankings use the sharded exact global rank
+    * ([[ShardedOrder.withGlobalRank]]), so the correlation is computed
+    * across shards at fact scale — no single-reducer rank window.
     */
   def spearmanMicros(df: DataFrame, idCol: String, xCol: String, yCol: String): DataFrame = {
-    val wx = Window.orderBy(col(xCol), col(idCol))
-    val wy = Window.orderBy(col(yCol), col(idCol))
-    df.select(col(idCol), col(xCol), col(yCol))
-      .withColumn("rx", row_number().over(wx))
-      .withColumn("ry", row_number().over(wy))
-      .select((col("rx").cast(LongType) - col("ry")).as("d"))
+    val ranked = ShardedOrder.withGlobalRank(
+      ShardedOrder.withGlobalRank(
+        df.select(col(idCol), col(xCol), col(yCol)),
+        "rx", 32, col(xCol), col(idCol)),
+      "ry", 32, col(yCol), col(idCol))
+    ranked
+      .select((col("rx") - col("ry")).as("d"))
       .agg(count(lit(1)).as("n"), sum(col("d") * col("d")).as("sd2"))
       .select(col("n"),
         expr("""cast(round(

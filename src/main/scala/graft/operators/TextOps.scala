@@ -579,9 +579,12 @@ object TextOps {
     */
   def quantileNormalize(documents: DataFrame, valCol: String = "n_chars"): DataFrame = {
     val cnt = documents.groupBy(col(valCol).as("v")).agg(count(lit(1)).as("c"))
-    val wCum = Window.partitionBy(pmod(col("c"), lit(1))).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = cnt.withColumn("cum_le", sum(col("c")).over(wCum)).select(col("v"), col("cum_le"))
+    // sharded exact running sum (ShardedOrder): the cumulative runs over
+    // the distinct-value frame in range-sharded slices + a one-row-per-
+    // shard carry — exact ECDF with no single-reducer window, so the op
+    // survives a fact-scale distinct-value cardinality too
+    val cum = ShardedOrder.withRunningSum(cnt, col("c"), "cum_le", 32, col("v"))
+      .select(col("v"), col("cum_le"))
     val n = documents.agg(count(lit(1)).as("n"))
     documents.select(col("doc_id"), col(valCol).as("v"))
       .join(cum, Seq("v"))

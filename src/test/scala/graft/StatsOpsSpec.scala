@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.StatsOps
+import graft.operators.{ShardedOrder, StatsOps}
 
 /** Statistical profiling tier: integer binning edges, chi-square closed
   * forms (0 under independence, n under perfect 2x2 dependence), Spearman
@@ -118,5 +118,36 @@ class StatsOpsSpec extends SparkSpec {
     val g2 = StatsOps.ksSourceDrift(same).collect()
       .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
     assert(g2("a") == ((5L, 0L)) && g2("b") == ((5L, 0L)), g2.toString)
+  }
+
+  test("sharded global rank/running-sum equal the single-reducer window exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // adversarial frame: duplicate values (id tie-break must decide),
+    // negatives, and a skewed cluster — across several partitionings
+    val rows = (1L to 500L).map(id => (id, (id * 7919 % 23) - 5))
+    for (parts <- Seq(1, 3, 32)) {
+      val df = rows.toDF("id", "x").repartition(parts)
+      val expRank = df.withColumn("i",
+        row_number().over(Window.orderBy(col("x"), col("id"))).cast("long"))
+        .select("id", "i").as[(Long, Long)].collect().toMap
+      val gotRank = ShardedOrder.withGlobalRank(df, "i", 8, col("x"), col("id"))
+        .select("id", "i").as[(Long, Long)].collect().toMap
+      assert(gotRank == expRank, s"rank mismatch at parts=$parts")
+      val expSum = df.withColumn("s",
+        sum(col("x")).over(Window.orderBy(col("x"), col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("id", "s").as[(Long, Long)].collect().toMap
+      val gotSum = ShardedOrder.withRunningSum(df, col("x"), "s", 8, col("x"), col("id"))
+        .select("id", "s").as[(Long, Long)].collect().toMap
+      assert(gotSum == expSum, s"running-sum mismatch at parts=$parts")
+    }
+    // degenerate shapes: empty frame and fewer rows than shards
+    val empty = Seq.empty[(Long, Long)].toDF("id", "x")
+    assert(ShardedOrder.withGlobalRank(empty, "i", 8, col("x"), col("id")).count() == 0)
+    val tiny = Seq((1L, 10L), (2L, -3L)).toDF("id", "x")
+    val tr = ShardedOrder.withGlobalRank(tiny, "i", 8, col("x"), col("id"))
+      .select("id", "i").as[(Long, Long)].collect().toMap
+    assert(tr == Map(2L -> 1L, 1L -> 2L), tr.toString)
   }
 }
