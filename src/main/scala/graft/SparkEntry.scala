@@ -75,6 +75,16 @@ object SparkEntry {
   private def pairIndexFor(s: SparkSession, sfDir: String): String =
     artifactDir("pair_index", sfDir)(
       out => DedupOps.writePairIndex(t(s, sfDir, "documents"), out))
+  /** Winnowing fingerprint-overlap pairs — the second edge screen of the
+    * multi-evidence graph, persisted once per (session, corpus) exactly
+    * like the MinHash pair index so `graph_triangles` reads both screens
+    * instead of re-deriving them (the derivation itself stays oracled via
+    * `winnow_overlap`).
+    */
+  private def winnowPairsFor(s: SparkSession, sfDir: String): DataFrame =
+    s.read.parquet(artifactDir("winnow_pairs", sfDir)(out =>
+      TextOps.winnowOverlapPairs(t(s, sfDir, "documents"))
+        .write.mode("overwrite").parquet(out)))
   /** Trained BPE merge table — the sixth persisted artifact: the
     * tokenizer is trained once per corpus snapshot; every consumer
     * (the merge-table read, the corpus encode) loads K rows.
@@ -637,31 +647,39 @@ object SparkEntry {
     "dup_components" -> ((s, d) =>
       DedupOps.dupComponents(DedupOps.minhashCandidatePairs(t(s, d, "documents")))),
     // integer-micros PageRank over the symmetrized near-dup graph: rank
-    // cluster centers above peripheral variants; 8 damped rounds, exact
-    "doc_pagerank" -> ((s, d) => GraphOps.docPagerank(t(s, d, "documents"))),
-    // same ranking from the persisted PAIR (edge) index — 5th artifact;
-    // shares the inline oracle verbatim (at-rest round trip hash-proven)
-    "doc_pagerank_stored" -> ((s, d) =>
+    // cluster centers above peripheral variants; 8 damped rounds, exact.
+    // Consumes the persisted PAIR (edge) index — the shared per-session
+    // derivation (r10 verdict item 6: the inline family re-derived the
+    // SAME pairs per query). The oracle replays the FULL signature → band
+    // → bucket-join derivation in SQL, so this one query hash-proves both
+    // the artifact's content and its at-rest round trip; the former
+    // `_stored` twin registrations became byte-identical and are gone.
+    // `dup_components` below stays fully inline as the A/B derivation
+    // control (its cost − dedup_components_from-index cost = the price of
+    // one derivation, measurable every round).
+    "doc_pagerank" -> ((s, d) =>
       GraphOps.docPagerankFromPairs(DedupOps.pairIndex(s, pairIndexFor(s, d)))),
     // synchronous LPA communities over the same near-dup graph: majority
     // label, deterministic (count desc, label asc) tie-break, 4 rounds —
-    // the density-bounded alternative to min-label components
-    "doc_communities" -> ((s, d) => GraphOps.docCommunities(t(s, d, "documents"))),
-    // LPA from the persisted pair index — third consumer of artifact #5
-    "doc_communities_stored" -> ((s, d) =>
+    // the density-bounded alternative to min-label components; pair-index
+    // consumer (see doc_pagerank note)
+    "doc_communities" -> ((s, d) =>
       GraphOps.docCommunitiesFromPairs(DedupOps.pairIndex(s, pairIndexFor(s, d)))),
-    // collapse from the same edge artifact — two graph consumers, one build
-    "dup_components_stored" -> ((s, d) =>
-      DedupOps.dupComponents(DedupOps.pairIndex(s, pairIndexFor(s, d)))),
     // the same collapse via large-star/small-star contraction — O(log²)
-    // rounds regardless of dup-chain diameter; identical oracle
+    // rounds regardless of dup-chain diameter; identical oracle to
+    // dup_components (same function, different algorithm), pair-index fed
     "dup_components_star" -> ((s, d) =>
-      DedupOps.dupComponentsStar(DedupOps.minhashCandidatePairs(t(s, d, "documents")))),
+      DedupOps.dupComponentsStar(DedupOps.pairIndex(s, pairIndexFor(s, d)))),
     // per-node triangles + clustering coefficient (ppm) over the
     // multi-evidence overlap graph (LSH pairs ∪ winnow-overlap pairs);
-    // degree-ordered orientation keeps candidate wedges ≤ m^1.5
+    // degree-ordered orientation keeps candidate wedges ≤ m^1.5. Both
+    // edge screens come from per-session artifacts (pair index + winnow
+    // index); the union/distinct and the closure stay inline and oracled
     "graph_triangles" -> ((s, d) =>
-      GraphOps.docTriangles(t(s, d, "documents"))),
+      GraphOps.triangleStats(
+        DedupOps.pairIndex(s, pairIndexFor(s, d))
+          .union(winnowPairsFor(s, d).select(col("doc_a"), col("doc_b")))
+          .distinct())),
     // triangles from the persisted pair index (4th consumer of artifact
     // #5): strips BOTH candidate derivations — the inline query's cost
     // is mostly edge derivation, and this is the amortized read
@@ -3077,14 +3095,13 @@ object SparkEntry {
     // DuckDB spelling of the min-label components. The star-contraction
     // variant computes the SAME function, so it shares the oracle verbatim.
     "dup_components" -> dupComponentsOracle,
+    // _star consumes the persisted pair index but computes the SAME
+    // function — shares the oracle verbatim, which (with doc_pagerank /
+    // doc_communities below) hash-proves the edge artifact's round trip
+    // against the full SQL derivation
     "dup_components_star" -> dupComponentsOracle,
-    // the stored variants read the persisted pair index — same oracles
-    // verbatim, so the edge artifact's round trip is hash-proven
-    "dup_components_stored" -> dupComponentsOracle,
     "doc_pagerank" -> docPagerankOracle,
-    "doc_pagerank_stored" -> docPagerankOracle,
     "doc_communities" -> docCommunitiesOracle,
-    "doc_communities_stored" -> docCommunitiesOracle,
     "graph_triangles" -> graphTrianglesOracle,
     "graph_triangles_stored" -> graphTrianglesStoredOracle,
     "link_prediction" -> linkPredictionOracle,
