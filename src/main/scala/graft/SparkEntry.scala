@@ -928,6 +928,13 @@ object SparkEntry {
 
     "ks_source_drift" -> ((s, d) => StatsOps.ksSourceDrift(t(s, d, "documents"))),
 
+    // bucketed-ECDF fallback: caps the KS grid at #sources × bins when
+    // the drift column is near-continuous (fact-scale value cardinality);
+    // exact KS of the binned distributions, same integer binning as the
+    // histogram tier
+    "ks_source_drift_binned" -> ((s, d) =>
+      StatsOps.ksSourceDriftBinned(t(s, d, "documents"), bins = 20)),
+
     // the fixed-reference KS (the streaming drift monitor's per-batch
     // computation, batch face): even docs play the healthy baseline,
     // odd docs the arriving batch
@@ -4288,6 +4295,35 @@ object SparkEntry {
         |    CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1000000) AS BIGINT)
         |  END AS acf_micros
         |FROM p CROSS JOIN den""".stripMargin,
+
+    "ks_source_drift_binned" ->
+      """WITH vx AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+        |bb AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM vx),
+        |c AS (SELECT source, (x - mn) * 20 // (mx - mn + 1) AS v, COUNT(*) AS c
+        |      FROM vx, bb GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_src FROM c GROUP BY 1),
+        |g AS (SELECT SUM(n_src) AS n_all FROM t),
+        |vals AS (SELECT DISTINCT v FROM c),
+        |f AS (SELECT t.source, t.n_src, vals.v, COALESCE(cc.c, 0) AS c
+        |      FROM t CROSS JOIN vals
+        |      LEFT JOIN c cc ON cc.source = t.source AND cc.v = vals.v),
+        |cs AS (SELECT source, n_src, v,
+        |      SUM(c) OVER (PARTITION BY source ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_src FROM f),
+        |ca AS (SELECT v, SUM(ca0) OVER (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+        |       FROM (SELECT v, SUM(c) AS ca0 FROM c GROUP BY 1)),
+        |j AS (SELECT cs.source, cs.n_src, n_all - cs.n_src AS n_rest, cs.v,
+        |      abs(CAST(cum_src AS HUGEINT) * (n_all - cs.n_src)
+        |          - CAST(cum_all - cum_src AS HUGEINT) * cs.n_src) AS gap
+        |      FROM cs JOIN ca USING (v) CROSS JOIN g),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY gap DESC, v) AS rn FROM j)
+        |SELECT source, n_src, v AS at_bin,
+        |  CASE WHEN n_rest <> 0 THEN
+        |    CAST((gap * 1000000 + (CAST(n_src AS HUGEINT) * n_rest) // 2)
+        |         // (CAST(n_src AS HUGEINT) * n_rest) AS BIGINT)
+        |  END AS ks_ppm
+        |FROM r WHERE rn = 1""".stripMargin,
 
     "ks_source_drift" ->
       """WITH c AS (SELECT source, n_chars AS v, COUNT(*) AS c FROM documents GROUP BY 1, 2),

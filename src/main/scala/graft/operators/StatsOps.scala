@@ -164,10 +164,35 @@ object StatsOps {
     * cells, because an ECDF step on one side must be visible to the
     * other).
     */
-  def ksSourceDrift(documents: DataFrame, valCol: String = "n_chars"): DataFrame = {
+  def ksSourceDrift(documents: DataFrame, valCol: String = "n_chars"): DataFrame =
+    ksSourceCore(documents.groupBy(col("source"), col(valCol).as("v"))
+      .agg(count(lit(1)).as("c")))
+
+  /** Bucketed-ECDF fallback for `ksSourceDrift` at fact-scale VALUE
+    * cardinality: the exact grid is #sources × #distinct values — fine
+    * for thousands of distinct lengths, quadratic pain if the drift
+    * column is near-continuous (10⁸ distinct values → a 10⁹-row grid at
+    * 20 sources). Binning first caps the grid at #sources × `bins`
+    * regardless of the raw cardinality; the result is the exact KS of
+    * the BINNED distributions, which under-reads the true D by at most
+    * the largest within-bin ECDF step (the classic histogram-sketch
+    * trade, same integer binning as [[histogram]]). When
+    * bins ≥ value range the bin map is injective and the statistic
+    * equals the exact one — the spec pins that equivalence.
+    */
+  def ksSourceDriftBinned(documents: DataFrame, valCol: String = "n_chars",
+                          bins: Int = 20): DataFrame = {
+    require(bins >= 1, s"bins out of range: $bins")
+    val vals = documents.select(col("source"), col(valCol).cast(LongType).as("x"))
+    val b = vals.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val cnt = vals.crossJoin(broadcast(b))
+      .select(col("source"), expr(s"(x - mn) * $bins div (mx - mn + 1)").as("v"))
+      .groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+    ksSourceCore(cnt).withColumnRenamed("at_value", "at_bin")
+  }
+
+  private def ksSourceCore(cnt: DataFrame): DataFrame = {
     val D = DecimalType(38, 0)
-    val cnt = documents.groupBy(col("source"), col(valCol).as("v"))
-      .agg(count(lit(1)).as("c"))
     val totals = cnt.groupBy(col("source")).agg(sum(col("c")).as("n_src"))
     val grand = totals.agg(sum(col("n_src")).as("n_all"))
     val values = cnt.select(col("v")).distinct()

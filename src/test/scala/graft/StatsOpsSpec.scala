@@ -120,6 +120,25 @@ class StatsOpsSpec extends SparkSpec {
     assert(g2("a") == ((5L, 0L)) && g2("b") == ((5L, 0L)), g2.toString)
   }
 
+  test("ksSourceDriftBinned: equals the exact KS when bins cover the value " +
+       "range injectively; collapses to 0 when one bin swallows everything") {
+    def docs(rows: Seq[(Long, String, Long)]) =
+      rows.map { case (id, src, n) => (id, s"t$id", "en", src, n) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = docs(Seq((1L, "a", 1L), (2L, "a", 2L), (3L, "b", 3L), (4L, "b", 4L),
+      (5L, "a", 2L), (6L, "b", 1L)))
+    // bins ≥ range → bin map injective → identical ks_ppm per source
+    val exact = StatsOps.ksSourceDrift(d).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val fine = StatsOps.ksSourceDriftBinned(d, bins = 1000).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(fine == exact, s"fine=$fine exact=$exact")
+    // one bin → both ECDFs are the single step at bin 0 → D = 0
+    val one = StatsOps.ksSourceDriftBinned(d, bins = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(one.values.forall(_ == 0L), one.toString)
+  }
+
   test("sharded global rank/running-sum equal the single-reducer window exactly") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
