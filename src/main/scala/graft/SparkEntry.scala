@@ -928,6 +928,16 @@ object SparkEntry {
 
     "ks_source_drift" -> ((s, d) => StatsOps.ksSourceDrift(t(s, d, "documents"))),
 
+    // vocabulary coverage curve: occurrence mass of the top-K token types
+    // per candidate vocab size — the tokenizer-sizing audit; exact global
+    // (freq desc, token) rank + cumulative via ShardedOrder (no
+    // single-reducer window at any vocabulary cardinality)
+    "vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(t(s, d, "documents"))),
+
+    // quality-curriculum phase assignment: docs admitted best-first, cut
+    // into equal token budgets; per-phase doc/token counts + quality band
+    "curriculum_phases" -> ((s, d) => TextOps.curriculumPhases(t(s, d, "documents"))),
+
     // bucketed-ECDF fallback: caps the KS grid at #sources × bins when
     // the drift column is near-continuous (fact-scale value cardinality);
     // exact KS of the binned distributions, same integer binning as the
@@ -4295,6 +4305,41 @@ object SparkEntry {
         |    CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1000000) AS BIGINT)
         |  END AS acf_micros
         |FROM p CROSS JOIN den""".stripMargin,
+
+    "vocab_coverage" ->
+      """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |            FROM documents),
+        |f AS (SELECT token, COUNT(*) AS f FROM tok GROUP BY 1),
+        |r AS (SELECT token, f, row_number() OVER (ORDER BY f DESC, token) AS rk FROM f),
+        |c AS (SELECT rk, SUM(f) OVER (ORDER BY rk
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_f FROM r),
+        |t AS (SELECT CAST(SUM(f) AS BIGINT) AS total, COUNT(*) AS n_vocab FROM f),
+        |s AS (SELECT unnest([4, 8, 16, 32]) AS vocab_size)
+        |SELECT vocab_size, n_vocab, total AS n_occurrences,
+        |  CAST((cum_f * 1000000 + total // 2) // total AS BIGINT) AS coverage_ppm,
+        |  CAST(1000000 - (cum_f * 1000000 + total // 2) // total AS BIGINT) AS oov_ppm
+        |FROM s CROSS JOIN t
+        |JOIN c ON c.rk = least(CAST(vocab_size AS BIGINT), n_vocab)""".stripMargin,
+
+    "curriculum_phases" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |  CAST(round(round(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.5 +
+        |       coalesce(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |                                     t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+        |                / NULLIF(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE), 0), 0) * 0.5,
+        |       6) * 1000000) AS BIGINT) AS q_ppm,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |cum AS (SELECT doc_id, q_ppm, n_tokens,
+        |        SUM(n_tokens) OVER (ORDER BY q_ppm DESC, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |        FROM q),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM q)
+        |SELECT CAST(least(((cum - n_tokens) * 4) // total, 3) AS INTEGER) AS phase,
+        |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |       CAST(MIN(q_ppm) AS BIGINT) AS q_min_ppm, CAST(MAX(q_ppm) AS BIGINT) AS q_max_ppm
+        |FROM cum CROSS JOIN tot GROUP BY 1""".stripMargin,
 
     "ks_source_drift_binned" ->
       """WITH vx AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),

@@ -1453,4 +1453,69 @@ object TextOps {
       .agg(count(lit(1)).as("n_tokens"), sum(col("chars")).as("n_chars_tok"),
         sum(col("bpe_syms")).as("n_bpe_symbols"))
   }
+
+  /** Vocabulary coverage curve — the tokenizer-sizing audit: for each
+    * candidate vocabulary size K, what share of all token OCCURRENCES do
+    * the K most frequent types cover (and so what OOV mass a K-type
+    * vocab leaves on the table)? The curve is what picks a vocab size
+    * before a BPE/unigram train; its complement is the Heaps-law read
+    * (`vocab_growth` measures type growth, this measures occurrence
+    * mass). Ranking is deterministic ((freq desc, token asc)) and both
+    * the rank and the cumulative mass ride [[ShardedOrder]] — exact
+    * global order with NO single-reducer window, so the curve computes
+    * over a 10⁸-type web vocabulary the same way it does here. Shares in
+    * half-up integer ppm. K is clamped to the observed type count (a
+    * 31-type fixture still exercises every requested size).
+    */
+  def vocabCoverage(documents: DataFrame,
+                    sizes: Seq[Int] = Seq(4, 8, 16, 32)): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 1), s"bad sizes: $sizes")
+    val sp = documents.sparkSession
+    import sp.implicits._
+    val freq = documents
+      .select(explode(expr(toksExprFor(documents))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("f"))
+    val ranked = ShardedOrder.withGlobalRank(freq, "rk", 32,
+      col("f").desc, col("token"))
+    val cum = ShardedOrder.withRunningSum(ranked, col("f"), "cum_f", 32, col("rk"))
+    val tot = freq.agg(sum(col("f")).as("total"), count(lit(1)).as("n_vocab"))
+    val sizesDf = sizes.toDF("vocab_size")
+    cum.crossJoin(broadcast(tot))
+      .join(broadcast(sizesDf),
+        col("rk") === least(col("vocab_size").cast(LongType), col("n_vocab")))
+      .select(col("vocab_size"), col("n_vocab"), col("total").as("n_occurrences"),
+        expr("(cum_f * 1000000 + total div 2) div total").as("coverage_ppm"),
+        expr("1000000 - (cum_f * 1000000 + total div 2) div total").as("oov_ppm"))
+  }
+
+  /** Curriculum phase assignment — the training-order step: documents are
+    * admitted highest-quality-first (deterministic (quality_ppm desc,
+    * doc_id) order, the same integer quality as `importanceSample`) and
+    * cut into `phases` equal TOKEN budgets, so phase 0 is the cleanest
+    * slice and the tail phases hold the rest — the standard
+    * quality-curriculum schedule, derived as data (a phase column) rather
+    * than a shuffle order. The running token total is the exact sharded
+    * cumulative ([[ShardedOrder]]), so assignment is one pass at any
+    * corpus size; a doc straddling a budget boundary belongs to the phase
+    * its FIRST token lands in (preceding-total convention, same as
+    * `packChunks`). Output: per-phase doc/token counts and the quality
+    * band [q_min, q_max] — the audit row a curriculum config reviews.
+    */
+  def curriculumPhases(documents: DataFrame, phases: Int = 4): DataFrame = {
+    require(phases >= 1, s"phases out of range: $phases")
+    val scored = qualityScore(documents)
+      .join(tokenCounts(documents).select(col("doc_id"), col("n_tokens")), "doc_id")
+      .select(col("doc_id"),
+        expr("cast(round(quality * 1000000) as bigint)").as("q_ppm"),
+        col("n_tokens").cast(LongType).as("n_tokens"))
+    val cum = ShardedOrder.withRunningSum(scored, col("n_tokens"), "cum", 32,
+      col("q_ppm").desc, col("doc_id"))
+    val tot = scored.agg(sum(col("n_tokens")).as("total"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("phase",
+        expr(s"cast(least(((cum - n_tokens) * $phases) div total, ${phases - 1}) as int)"))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("q_ppm")).as("q_min_ppm"), max(col("q_ppm")).as("q_max_ppm"))
+  }
 }

@@ -1229,4 +1229,39 @@ class DedupTextOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
     assert(got.toSet == again.toSet)
   }
+
+  test("vocabCoverage: exact cumulative mass of the top-K types, clamped at " +
+       "the observed vocabulary") {
+    import spark.implicits._
+    // freq: a=3, b=2, c=1 → total 6; deterministic (freq desc, token) rank
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextOps.vocabCoverage(docs, sizes = Seq(1, 2, 3, 99)).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(1) == ((3L, 6L, 500000L, 500000L)), got.toString)   // a: 3/6
+    assert(got(2) == ((3L, 6L, 833333L, 166667L)), got.toString)   // a+b: 5/6
+    assert(got(3) == ((3L, 6L, 1000000L, 0L)), got.toString)
+    assert(got(99) == ((3L, 6L, 1000000L, 0L)), "K clamps to n_vocab")
+  }
+
+  test("curriculumPhases: best-first admission, every doc assigned, quality " +
+       "bands descend across phases, stable under repartition") {
+    import spark.implicits._
+    // 12 docs, longer text → higher length term → phase 0 holds the longest
+    val docs = (1L to 12L).map(id =>
+      (id, Seq.fill(id.toInt * 3)("data").mkString(" "))).toDF("doc_id", "text")
+    val got = TextOps.curriculumPhases(docs, phases = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.map(_._2).sum == 12L, "every doc assigned to exactly one phase")
+    assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted)
+    // quality bands must not interleave: phase k's floor ≥ phase k+1's ceiling
+    got.sliding(2).foreach { case Array(hi, lo) =>
+      assert(hi._4 >= lo._5, s"phase ${hi._1} floor ${hi._4} < phase ${lo._1} ceiling ${lo._5}")
+    }
+    val again = TextOps.curriculumPhases(docs.repartition(7), phases = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.toSeq == again.toSeq, "phase assignment is partitioning-invariant")
+  }
 }
