@@ -928,6 +928,17 @@ object SparkEntry {
 
     "ks_source_drift" -> ((s, d) => StatsOps.ksSourceDrift(t(s, d, "documents"))),
 
+    // Kneser–Ney smoothed bigram table (d = 0.75): the n-gram LM the
+    // perplexity/novelty filters want instead of raw MLE; top-20 by
+    // smoothed conditional, micros-exact ranking
+    "kn_bigrams" -> ((s, d) => TextOps.knBigrams(t(s, d, "documents"))),
+
+    // int8 quantization reconstruction error: per-vector MSE of
+    // emb − dequant(int8(emb)) at 1e-12 integer resolution — the numeric
+    // audit beside ann_recall_int8's rank-quality gate
+    "int8_recon_error" -> ((s, d) =>
+      SimilarityOps.int8ReconError(t(s, d, "embeddings"))),
+
     // vocabulary coverage curve: occurrence mass of the top-K token types
     // per candidate vocab size — the tokenizer-sizing audit; exact global
     // (freq desc, token) rank + cumulative via ShardedOrder (no
@@ -4305,6 +4316,39 @@ object SparkEntry {
         |    CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1000000) AS BIGINT)
         |  END AS acf_micros
         |FROM p CROSS JOIN den""".stripMargin,
+
+    "kn_bigrams" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+        |bg AS (SELECT tk[i] AS w1, tk[i + 1] AS w2
+        |       FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM t)),
+        |c AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+        |l AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS n1p_fwd FROM c GROUP BY 1),
+        |r AS (SELECT w2, COUNT(*) AS n1p_bwd FROM c GROUP BY 1),
+        |ty AS (SELECT COUNT(*) AS n_types FROM c)
+        |SELECT w1, w2, c12,
+        |  CAST(round(
+        |    (greatest(CAST(c12 AS DOUBLE) - 0.75, 0)
+        |     + 0.75 * CAST(n1p_fwd AS DOUBLE)
+        |       * (CAST(n1p_bwd AS DOUBLE) / CAST(n_types AS DOUBLE)))
+        |    / CAST(c1 AS DOUBLE) * 1000000) AS BIGINT) AS p_kn_micros
+        |FROM c JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN ty
+        |ORDER BY p_kn_micros DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    "int8_recon_error" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |s AS (SELECT vec_id, emb,
+        |      list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale FROM v),
+        |e AS (SELECT vec_id,
+        |      list_sum(list_transform(emb, x ->
+        |        CAST(round((x - floor(x / scale + 0.5) * scale)
+        |                   * (x - floor(x / scale + 0.5) * scale) * 1e12) AS BIGINT))) AS se,
+        |      CAST(len(emb) AS BIGINT) AS dim
+        |      FROM s WHERE scale > 0),
+        |m AS (SELECT vec_id, CAST((se + dim // 2) // dim AS BIGINT) AS mse_p12 FROM e)
+        |SELECT COUNT(*) AS n_vecs,
+        |  CAST((SUM(mse_p12) + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS avg_mse_p12,
+        |  CAST(MAX(mse_p12) AS BIGINT) AS max_mse_p12
+        |FROM m""".stripMargin,
 
     "vocab_coverage" ->
       """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token

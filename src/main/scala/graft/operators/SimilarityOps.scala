@@ -1155,4 +1155,34 @@ object SimilarityOps {
           coalesce(expr(s"1000000L div (${rrfK}L + sem_rank)"), lit(0L)))
           .as("rrf_micros"))
   }
+
+  /** Quantization reconstruction-error audit for the int8 tier — the
+    * numeric companion to `ann_recall_int8`'s rank-quality gate: recall
+    * says WHETHER the quantized index returns the right neighbors,
+    * this says HOW FAR the stored vectors sit from the originals
+    * (per-vector MSE of emb − dequant(int8(emb))). The per-component
+    * squared error is quantized to an integer at 1e-12 resolution FIRST
+    * (fixed-shape double per component, the momentsProfile discipline),
+    * so the per-vector sum, the corpus mean, and the max are all exact
+    * integer arithmetic — engine-identical. One scan, no shuffle beyond
+    * the final 1-row aggregate; the audit costs O(corpus) at any scale.
+    * Theory check the spec pins: per-component |err| ≤ scale/2, so
+    * mse ≤ scale²/4 — the bound a healthy symmetric quantizer must meet.
+    */
+  def int8ReconError(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("emb", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("scale", expr("array_max(transform(emb, x -> abs(x)))") / 127.0)
+      .filter(col("scale") > 0)
+      .select(col("vec_id"),
+        expr("""aggregate(transform(emb, x ->
+          |  cast(round((x - floor(x / scale + 0.5d) * scale)
+          |             * (x - floor(x / scale + 0.5d) * scale) * 1e12) as bigint)),
+          |  0L, (acc, y) -> acc + y)""".stripMargin).as("se"),
+        expr("cast(size(emb) as bigint)").as("dim"))
+      .select(col("vec_id"), expr("(se + dim div 2) div dim").as("mse_p12"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("cast((sum(mse_p12) + count(1) div 2) div count(1) as bigint)")
+          .as("avg_mse_p12"),
+        max(col("mse_p12")).as("max_mse_p12"))
 }

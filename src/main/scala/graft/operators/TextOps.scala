@@ -1488,6 +1488,50 @@ object TextOps {
         expr("1000000 - (cum_f * 1000000 + total div 2) div total").as("oov_ppm"))
   }
 
+  /** Kneser–Ney smoothed bigram table — the n-gram LM step of a
+    * training-data pipeline (data-quality perplexity filters and n-gram
+    * novelty baselines both want a SMOOTHED conditional, not raw MLE,
+    * or held-out bigrams score zero). Interpolated absolute-discounting
+    * KN with d = 0.75:
+    *   p(w2|w1) = (max(c12 − d, 0) + d · N1+(w1,·) · p_cont(w2)) / c(w1)
+    *   p_cont(w2) = N1+(·,w2) / #bigram types
+    * Every count is an exact corpus aggregate (bigram explode → three
+    * keyed partial-agg shuffles: (w1,w2), w1, w2 — corpus-scale in the
+    * explode only, vocabulary-scale after); the probability is ONE
+    * fixed-shape double per surviving row, micros-quantized (the
+    * transcendental-free momentsProfile discipline), so ranking —
+    * (p desc, w1, w2) top-k — is bit-identical across engines.
+    * Kneser & Ney (1995) / Chen & Goodman (1999) — published smoothing,
+    * restated Spark-first.
+    */
+  def knBigrams(documents: DataFrame, k: Int = 20): DataFrame = {
+    // stage the token array once, and keep only docs that can emit a
+    // bigram BEFORE indexing (sequence(0, -1) would descend, and ANSI
+    // out-of-bounds indexing must never be reachable)
+    val bg = tokenize(documents.select(col("doc_id"), col("text")))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> struct(toks[i] as w1, toks[i + 1] as w2))""".stripMargin))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val left = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_fwd"))
+    val right = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1p_bwd"))
+    val types = c12.agg(count(lit(1)).as("n_types"))
+    c12.join(left, "w1").join(right, "w2").crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("c12"),
+        expr("""cast(round(
+          |  (greatest(cast(c12 as double) - 0.75d, 0d)
+          |   + 0.75d * cast(n1p_fwd as double)
+          |     * (cast(n1p_bwd as double) / cast(n_types as double)))
+          |  / cast(c1 as double) * 1000000) as bigint)""".stripMargin)
+          .as("p_kn_micros"))
+      .orderBy(col("p_kn_micros").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Curriculum phase assignment — the training-order step: documents are
     * admitted highest-quality-first (deterministic (quality_ppm desc,
     * doc_id) order, the same integer quality as `importanceSample`) and

@@ -1244,6 +1244,20 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(got(99) == ((3L, 6L, 1000000L, 0L)), "K clamps to n_vocab")
   }
 
+  test("knBigrams: interpolated absolute-discounting closed form on a " +
+       "hand corpus; docs under two tokens emit nothing") {
+    import spark.implicits._
+    // tokens a b a b → bigrams (a,b)×2, (b,a)×1; 2 bigram types
+    // p(b|a) = (max(2−.75,0) + .75·1·(1/2)) / 2 = 0.8125
+    // p(a|b) = (max(1−.75,0) + .75·1·(1/2)) / 1 = 0.625
+    val docs = Seq((1L, "a b a b"), (2L, "solo")).toDF("doc_id", "text")
+    val got = TextOps.knBigrams(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == 2, got.toString)
+    assert(got(("a", "b")) == ((2L, 812500L)), got.toString)
+    assert(got(("b", "a")) == ((1L, 625000L)), got.toString)
+  }
+
   test("curriculumPhases: best-first admission, every doc assigned, quality " +
        "bands descend across phases, stable under repartition") {
     import spark.implicits._

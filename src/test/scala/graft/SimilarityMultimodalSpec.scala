@@ -605,4 +605,21 @@ class SimilarityMultimodalSpec extends SparkSpec {
     // fusion favors the doc present high in BOTH lists over single-list hits
     assert(r(2L)._3 > r(3L)._3)
   }
+
+  test("int8ReconError: zero vectors excluded, error bounded by the " +
+       "symmetric-quantizer ceiling scale^2/4") {
+    import spark.implicits._
+    val embs = Seq(
+      (1L, Array(1.0f, -1.0f)),          // scale 1/127, near-exact recon
+      (2L, Array(0.0f, 0.0f)),           // all-zero: no scale, excluded
+      (3L, Array(0.5f, 0.26f))           // off-grid components
+    ).toDF("vec_id", "embedding")
+    val r = SimilarityOps.int8ReconError(embs).head()
+    assert(r.getAs[Long]("n_vecs") == 2L, r.toString)
+    // per-component |err| <= scale/2 with scale <= 1/127 here, so
+    // mse_p12 <= (scale/2)^2 * 1e12 ~ 1.55e7 — generous integer ceiling
+    assert(r.getAs[Long]("max_mse_p12") <= 16000000L, r.toString)
+    assert(r.getAs[Long]("avg_mse_p12") <= r.getAs[Long]("max_mse_p12"))
+    assert(r.getAs[Long]("avg_mse_p12") >= 0L)
+  }
 }
