@@ -1000,6 +1000,11 @@ object SparkEntry {
     // blocked fuzzy self-match (entity resolution, value-level): distinct
     // part names, noun-blocked, edit-distance <= 3
     "fuzzy_name_match" -> ((s, d) => EntityOps.fuzzyNameMatch(t(s, d, "part"), "p_name")),
+    // FastSS deletion-neighborhood ed≤1 self-match: no block key, no
+    // hot-block straggler — the A/B against blocked levenshtein at
+    // threshold 1 (candidates via one equi-join on Σ|v| deletion keys)
+    "fuzzy_match_del1" -> ((s, d) =>
+      EntityOps.fuzzyNameMatchDel1(t(s, d, "part"), "p_name")),
     // transitive canonicalization over the match graph (dedup collapse
     // reused on string ids), rows mapped to the component-min name
     "fuzzy_canonicalize" -> ((s, d) => EntityOps.fuzzyCanonicalize(t(s, d, "part"), "p_name")),
@@ -4595,6 +4600,23 @@ object SparkEntry {
         |WHERE a.name < b.name
         |  AND abs(len(a.name) - len(b.name)) <= 3
         |  AND levenshtein(a.name, b.name) <= 3""".stripMargin,
+
+    "fuzzy_match_del1" ->
+      """WITH names AS (SELECT p_name AS name, COUNT(*) AS n_rows FROM part
+        |               GROUP BY 1 HAVING length(p_name) >= 1),
+        |k AS (SELECT name, n_rows,
+        |      unnest(list_distinct(list_append(
+        |        list_transform(range(1, length(name) + 1),
+        |          i -> substr(name, 1, i - 1) || substr(name, i + 1)),
+        |        name))) AS k
+        |      FROM names),
+        |cand AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b,
+        |         a.n_rows AS n_rows_a, b.n_rows AS n_rows_b
+        |         FROM k a JOIN k b USING (k) WHERE a.name < b.name)
+        |SELECT name_a, name_b,
+        |  CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist,
+        |  n_rows_a, n_rows_b
+        |FROM cand WHERE levenshtein(name_a, name_b) <= 1""".stripMargin,
 
     // transitive closure over the (bidirectional) match graph via a
     // recursive CTE; canonical = min over reachable set + self — the

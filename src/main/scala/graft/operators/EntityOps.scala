@@ -51,6 +51,44 @@ object EntityOps {
         col("n_rows_a"), col("n_rows_b"))
   }
 
+  /** Edit-distance ≤ 1 self-match via DELETION NEIGHBORHOODS (FastSS,
+    * Bocek et al. 2007 — published, restated Spark-first): each distinct
+    * value emits itself plus its |v| one-character deletions as join
+    * keys; ed(a,b) ≤ 1 implies the key sets intersect (equal → the value
+    * itself; insert/delete → the longer's deletion equals the shorter;
+    * substitute → both delete the differing position), so one equi-join
+    * on the key finds every candidate and a final `levenshtein ≤ 1`
+    * check removes the share-a-deletion-but-ed-2 false positives
+    * ("ab"/"ba" both delete to "b"). The A/B against `fuzzyNameMatch` at
+    * threshold 1: NO block key — candidate volume is bounded by key
+    * collisions (Σ|v| keys total) instead of O(block²), so the plan has
+    * no hot-block straggler to audit, at the price of the ×|v| key
+    * fan-out. Same value-level discipline: everything past the first
+    * aggregate runs on the distinct-value frame.
+    */
+  def fuzzyNameMatchDel1(df: DataFrame, valueCol: String): DataFrame = {
+    val names = df
+      .groupBy(col(valueCol).as("name"))
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(length(col("name")) >= 1)
+    val keys = names.select(col("name"), col("n_rows"),
+      explode(expr(
+        """array_union(
+          |  transform(sequence(1, length(name)),
+          |    i -> concat(substr(name, 1, i - 1), substr(name, i + 1))),
+          |  array(name))""".stripMargin)).as("k"))
+    val a = keys.select(col("k"), col("name").as("name_a"), col("n_rows").as("n_rows_a"))
+    val b = keys.select(col("k"), col("name").as("name_b"), col("n_rows").as("n_rows_b"))
+    a.join(b, Seq("k"))
+      .filter(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"), col("n_rows_a"), col("n_rows_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 1)
+      .select(col("name_a"), col("name_b"), col("dist"),
+        col("n_rows_a"), col("n_rows_b"))
+  }
+
   /** Blocking-quality audit (Christen's reduction ratio) — the
     * pre-flight read BEFORE running the quadratic compare: how many
     * candidate pairs does the block key actually admit vs the all-pairs

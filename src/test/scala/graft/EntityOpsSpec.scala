@@ -71,4 +71,23 @@ class EntityOpsSpec extends SparkSpec {
     assert(EntityOps.erBlockingAudit(one, "p_name").head().isNullAt(5),
       "a single value has no pair space to reduce")
   }
+
+  test("fuzzyNameMatchDel1: finds every ed<=1 pair with no block key, " +
+       "rejects the shared-deletion ed-2 false positive, beats blocked recall") {
+    import spark.implicits._
+    val df = Seq("cat", "cat", "cut", "cats", "dog", "ab", "ba")
+      .toDF("p_name")
+    val got = EntityOps.fuzzyNameMatchDel1(df, "p_name").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getInt(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // substitution (cat~cut), insertion (cat~cats); ab/ba share deletion
+    // "b" and "a" but ed=2 → must be filtered by the verify step
+    assert(got.keySet == Set(("cat", "cut"), ("cat", "cats")), got.toString)
+    assert(got(("cat", "cut")) == ((1, 2L, 1L)), "row supports ride through")
+    // recall >= the blocked variant at the same threshold: single-token
+    // names block on themselves, so blocked ER finds NONE of these pairs
+    val blocked = EntityOps.fuzzyNameMatch(df, "p_name", maxDist = 1).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(blocked.subsetOf(got.keySet))
+  }
 }
