@@ -642,6 +642,12 @@ object SparkEntry {
           / count(lit(1)), 6).as("dup_rate"))),
     "minhash_signatures" -> ((s, d) => DedupOps.minhashSignatures(t(s, d, "documents"))),
     "minhash_lsh_pairs" -> ((s, d) => DedupOps.minhashCandidatePairs(t(s, d, "documents"))),
+    // estimator accuracy: signature-agreement vs exact shingle Jaccard
+    // per candidate pair (the ann_recall analog for the dedup tier);
+    // pairs come from the shared per-session pair index
+    "minhash_estimate_audit" -> ((s, d) =>
+      DedupOps.minhashEstimateAudit(t(s, d, "documents"),
+        DedupOps.pairIndex(s, pairIndexFor(s, d)))),
     // dup-cluster collapse: every paired doc labeled with its component's
     // min doc_id (min-label propagation; oracle = recursive closure)
     "dup_components" -> ((s, d) =>
@@ -3123,6 +3129,37 @@ object SparkEntry {
 
     "minhash_lsh_pairs" ->
       (minhashPairsCtes + "\nSELECT doc_a, doc_b FROM mpairs"),
+
+    // estimator-accuracy audit: signature-agreement Jaccard vs exact
+    // shingle-set Jaccard per candidate pair — reuses the full signature
+    // + band + pair CTE chain, so the estimate audited IS the one the
+    // dedup tier ships
+    "minhash_estimate_audit" ->
+      (minhashPairsCtes +
+      """,
+        |est AS (SELECT p.doc_a, p.doc_b,
+        |        CAST((SUM(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END) * 1000000 + 8)
+        |             // 16 AS BIGINT) AS est_ppm
+        |        FROM mpairs p
+        |        JOIN mh a ON a.doc_id = p.doc_a
+        |        JOIN mh b ON b.doc_id = p.doc_b AND b.hash_idx = a.hash_idx
+        |        GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |ix AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+        |       FROM mpairs p
+        |       JOIN sh sa ON sa.doc_id = p.doc_a
+        |       JOIN sh sb ON sb.doc_id = p.doc_b AND sb.s = sa.s
+        |       GROUP BY 1, 2)
+        |SELECT e.doc_a, e.doc_b, e.est_ppm,
+        |  CAST((COALESCE(inter, 0) * 1000000 + (na.n + nb.n - COALESCE(inter, 0)) // 2)
+        |       // (na.n + nb.n - COALESCE(inter, 0)) AS BIGINT) AS exact_ppm,
+        |  CAST(abs(e.est_ppm - CAST((COALESCE(inter, 0) * 1000000
+        |       + (na.n + nb.n - COALESCE(inter, 0)) // 2)
+        |       // (na.n + nb.n - COALESCE(inter, 0)) AS BIGINT)) AS BIGINT) AS err_ppm
+        |FROM est e
+        |LEFT JOIN ix ON ix.doc_a = e.doc_a AND ix.doc_b = e.doc_b
+        |JOIN sz na ON na.doc_id = e.doc_a
+        |JOIN sz nb ON nb.doc_id = e.doc_b""".stripMargin),
 
     // transitive closure of the MinHash dup graph via recursive CTE —
     // DuckDB spelling of the min-label components. The star-contraction

@@ -170,6 +170,48 @@ object DedupOps {
     documents
       .select(col("doc_id"), posexplode(expr(sigOrEmptySql)).as(Seq("hash_idx", "minhash")))
 
+  /** Estimator-accuracy audit for the MinHash tier — the `ann_recall`
+    * analog for LSH dedup: per candidate pair, the SIGNATURE-estimated
+    * Jaccard (agreeing components / 16, half-up ppm) next to the EXACT
+    * shingle-set Jaccard, plus the absolute error. This is the number
+    * that justifies (or indicts) the 16-hash budget before anyone trusts
+    * `minhash_lsh_pairs` downstream: E[est] = J by the MinHash theorem
+    * (Broder), with σ = √(J(1−J)/16) ≈ 0.125 at J = 0.5 — the spec and
+    * the gate both read against that band. Scale shape: everything is
+    * per-PAIR work over the candidate set (16 signature rows and the two
+    * shingle sets per pair) — never corpus² — so the audit costs
+    * O(|pairs|) on top of the signature pass at any corpus size.
+    */
+  def minhashEstimateAudit(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(documents)
+    val est = pairs
+      .join(sig.select(col("doc_id").as("doc_a"), col("hash_idx"),
+        col("minhash").as("ma")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("hash_idx"),
+        col("minhash").as("mb")), Seq("doc_b", "hash_idx"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(expr(
+        "cast((sum(case when ma = mb then 1 else 0 end) * 1000000 + 8) div 16 as bigint)")
+        .as("est_ppm"))
+    val sh = shinglesArray(documents)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    est
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("est_ppm"),
+        expr("""cast((coalesce(inter, 0L) * 1000000
+          | + (na + nb - coalesce(inter, 0L)) div 2)
+          | div (na + nb - coalesce(inter, 0L)) as bigint)""".stripMargin)
+          .as("exact_ppm"))
+      .withColumn("err_ppm", abs(col("est_ppm") - col("exact_ppm")))
+  }
+
   /** LSH band keys per doc: the 16 minhashes sliced into NumBands keys of
     * RowsPerBand each, comma-joined in hash_idx order. Computed per-row
     * with the signature array let-bound — the first shuffle in the whole

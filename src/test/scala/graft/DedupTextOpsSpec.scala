@@ -1244,6 +1244,26 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(got(99) == ((3L, 6L, 1000000L, 0L)), "K clamps to n_vocab")
   }
 
+  test("minhashEstimateAudit: identical docs estimate and measure J=1 with " +
+       "zero error; estimate stays a valid ppm for partial overlaps") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy old dog again today"
+    val docs = Seq(
+      (1L, base), (2L, base),                       // identical: J = 1
+      (3L, base + " with a slightly different tail end here")
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.minhashCandidatePairs(docs)
+    val got = DedupOps.minhashEstimateAudit(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.contains((1L, 2L)), s"identical docs must be a candidate pair: $got")
+    assert(got((1L, 2L)) == ((1000000L, 1000000L, 0L)), got.toString)
+    got.values.foreach { case (est, exact, err) =>
+      assert(est >= 0L && est <= 1000000L && exact > 0L && exact <= 1000000L)
+      assert(err == math.abs(est - exact))
+    }
+  }
+
   test("knBigrams: interpolated absolute-discounting closed form on a " +
        "hand corpus; docs under two tokens emit nothing") {
     import spark.implicits._
