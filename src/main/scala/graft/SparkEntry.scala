@@ -888,6 +888,14 @@ object SparkEntry {
     // equi-width histogram: pure integer binning on cents, bounds as a
     // broadcast 1-row frame
     "price_histogram" -> ((s, d) => StatsOps.histogram(t(s, d, "orders"), "o_totalprice")),
+    // equi-DEPTH histogram: quantile-spaced bins via the sharded exact
+    // cumulative; ties never split across bins
+    "price_histogram_equidepth" -> ((s, d) =>
+      StatsOps.histogramEquiDepth(t(s, d, "orders"), "o_totalprice")),
+    // temporal train/val split with an embargo gap — the time-series
+    // leakage rule a hash split cannot express; audit row per split
+    "temporal_split_embargo" -> ((s, d) =>
+      EventOps.temporalSplitEmbargo(t(s, d, "events"))),
     // chi-square independence of status x priority: per-cell fixed-shape
     // double over exact longs, micros-quantized BEFORE the sum
     "chi_square_status_priority" -> ((s, d) =>
@@ -4243,6 +4251,28 @@ object SparkEntry {
         |  MIN(mn + (bin * (mx - mn + 1)) // 20) AS lo_cents,
         |  MIN(mn + ((bin + 1) * (mx - mn + 1)) // 20 - 1) AS hi_cents
         |FROM binned GROUP BY bin""".stripMargin,
+
+    "price_histogram_equidepth" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v, COUNT(*) AS k
+        |           FROM orders GROUP BY 1),
+        |cum AS (SELECT v, k, SUM(k) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_le FROM c),
+        |t AS (SELECT CAST(SUM(k) AS BIGINT) AS n FROM c)
+        |SELECT CAST(((cum_le - k) * 10) // n AS INTEGER) AS bin,
+        |       CAST(SUM(k) AS BIGINT) AS n,
+        |       MIN(v) AS lo_cents, MAX(v) AS hi_cents
+        |FROM cum CROSS JOIN t GROUP BY 1""".stripMargin,
+
+    "temporal_split_embargo" ->
+      """WITH e AS (SELECT user_id,
+        |           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day FROM events),
+        |m AS (SELECT MAX(day) AS max_day FROM e)
+        |SELECT CASE WHEN day > max_day - 28 THEN 'val'
+        |            WHEN day <= max_day - 35 THEN 'train'
+        |            ELSE 'embargo' END AS split,
+        |       COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+        |       MIN(day) AS from_day, MAX(day) AS to_day
+        |FROM e CROSS JOIN m GROUP BY 1""".stripMargin,
 
     "chi_square_status_priority" ->
       """WITH obs AS (SELECT o_orderstatus AS a, o_orderpriority AS b, COUNT(*) AS obs

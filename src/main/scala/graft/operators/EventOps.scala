@@ -651,4 +651,36 @@ object EventOps {
       .select(col("event_type"), col("day").as("change_day"),
         col("cusum_scaled"), col("n_days"))
   }
+
+  /** Temporal train/validation split with an EMBARGO gap — the
+    * time-series leakage rule `leakage_safe_split`'s hash split cannot
+    * express: validation is the trailing `valDays` window, training ends
+    * `embargoDays` BEFORE validation starts, and the gap rows are
+    * dropped (features with any lookback — trailing averages, session
+    * state — would otherwise leak validation-period signal into
+    * training; the embargo must be ≥ the longest feature lookback).
+    * Purely derived from the data's own max day, so the split is a
+    * deterministic function of the table (replayable, no wall clock).
+    * Output is the audit row per split: counts, user reach, and the
+    * [from_day, to_day] bounds — disjoint with a visible gap by
+    * construction. One aggregate + one broadcast + one grouped pass.
+    */
+  def temporalSplitEmbargo(events: DataFrame, valDays: Int = 28,
+                           embargoDays: Int = 7): DataFrame = {
+    require(valDays >= 1 && embargoDays >= 0,
+      s"bad window: valDays=$valDays embargoDays=$embargoDays")
+    val days = events.select(col("user_id"),
+      date_trunc("day", col("ts")).cast(DateType).as("day"))
+    val mx = days.agg(max(col("day")).as("max_day"))
+    days.crossJoin(broadcast(mx))
+      .withColumn("split",
+        when(col("day") > date_sub(col("max_day"), valDays), lit("val"))
+          .when(col("day") <= date_sub(col("max_day"), valDays + embargoDays),
+            lit("train"))
+          .otherwise(lit("embargo")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("day")).as("from_day"), max(col("day")).as("to_day"))
+  }
 }

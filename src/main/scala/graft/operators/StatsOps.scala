@@ -42,6 +42,32 @@ object StatsOps {
         min(expr(s"mn + ((bin + 1) * (mx - mn + 1)) div $bins - 1")).as("hi_cents"))
   }
 
+  /** EQUI-DEPTH histogram — the quantile-spaced companion to the
+    * equi-width [[histogram]]: bins hold (approximately) equal ROW
+    * counts, so a skewed money distribution gets resolution where the
+    * mass is instead of 18 empty bins and 2 full ones. Exact and
+    * deterministic: per-distinct-value counts, the exact sharded
+    * cumulative ([[ShardedOrder]] — no single-reducer window at any
+    * value cardinality), and each distinct value assigned to the bin of
+    * its FIRST row in value order (`(cum_lt · bins) div n` — ties never
+    * split across bins, the property per-row ntile gets wrong). Output
+    * rows are (bin, n, lo_cents, hi_cents); bins can hold unequal counts
+    * exactly where heavy ties force it, which is the honest answer.
+    */
+  def histogramEquiDepth(df: DataFrame, valCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be positive, got $bins")
+    val cnt = df.select(expr(s"cast(round($valCol * 100) as bigint)").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("k"))
+    val cum = ShardedOrder.withRunningSum(cnt, col("k"), "cum_le", 32, col("v"))
+    val tot = cnt.agg(sum(col("k")).as("n"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("v"), col("k"),
+        expr(s"cast(((cum_le - k) * $bins) div n as int)").as("bin"))
+      .groupBy(col("bin"))
+      .agg(sum(col("k")).as("n"), min(col("v")).as("lo_cents"),
+        max(col("v")).as("hi_cents"))
+  }
+
   /** Pearson chi-square test of independence between two categorical
     * columns. Observed/row/column totals are exact longs; each cell's
     * (obs·n − rowtot·coltot)²/(n·rowtot·coltot) term is ONE fixed-shape

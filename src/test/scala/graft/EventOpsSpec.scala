@@ -414,4 +414,25 @@ class EventOpsSpec extends SparkSpec {
     assert(r.getLong(2) == -16000L, s"cusum ${r.getLong(2)}")
     assert(r.getLong(3) == 8L)
   }
+
+  test("temporalSplitEmbargo: splits are disjoint day ranges with a visible " +
+       "gap of exactly the embargo width") {
+    import spark.implicits._
+    // 60 daily events ending 1995-03-01; val = last 28 days, embargo = 7
+    val events = (0 until 60).map { i =>
+      (i.toLong, 1L + i % 3,
+        Timestamp.valueOf(java.time.LocalDate.of(1995, 3, 1).minusDays(i).atStartOfDay))
+    }.toDF("event_id", "user_id", "ts")
+    val got = EventOps.temporalSplitEmbargo(events, valDays = 28, embargoDays = 7)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDate(3).toLocalDate, r.getDate(4).toLocalDate))).toMap
+    assert(got.keySet == Set("train", "embargo", "val"), got.toString)
+    assert(got("val")._1 == 28L && got("embargo")._1 == 7L && got("train")._1 == 25L)
+    // ordering and the gap: train ends, embargo fills the next 7 days,
+    // val starts the day after embargo ends
+    assert(got("train")._3.plusDays(1) == got("embargo")._2, got.toString)
+    assert(got("embargo")._3.plusDays(1) == got("val")._2, got.toString)
+    assert(java.time.temporal.ChronoUnit.DAYS.between(
+      got("train")._3, got("val")._2) == 8L, "embargo gap is exactly 7 days wide")
+  }
 }

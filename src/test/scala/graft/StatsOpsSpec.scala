@@ -120,6 +120,23 @@ class StatsOpsSpec extends SparkSpec {
     assert(g2("a") == ((5L, 0L)) && g2("b") == ((5L, 0L)), g2.toString)
   }
 
+  test("histogramEquiDepth: near-equal bin depths on a uniform ladder, " +
+       "ties never split, counts cover every row") {
+    // 100 distinct cent values, one row each → 10 bins of exactly 10
+    val u = (1 to 100).map(i => i / 100.0).toDF("v")
+    val got = StatsOps.histogramEquiDepth(u, "v", bins = 10).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(got.length == 10 && got.forall(_._2 == 10L), got.mkString(","))
+    assert(got.map(_._2).sum == 100L)
+    // heavy tie: one value holds 90 of 100 rows → its whole mass lands in
+    // ONE bin (the bin of its first row), never split
+    val skew = (Seq.fill(90)(5.00) ++ (1 to 10).map(_ + 10.0)).toDF("v")
+    val g2 = StatsOps.histogramEquiDepth(skew, "v", bins = 10).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(g2(0) == 90L, s"tied mass stays whole: $g2")
+    assert(g2.values.sum == 100L)
+  }
+
   test("ksSourceDriftBinned: equals the exact KS when bins cover the value " +
        "range injectively; collapses to 0 when one bin swallows everything") {
     def docs(rows: Seq[(Long, String, Long)]) =
