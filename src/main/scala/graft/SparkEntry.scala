@@ -648,6 +648,12 @@ object SparkEntry {
     "minhash_estimate_audit" -> ((s, d) =>
       DedupOps.minhashEstimateAudit(t(s, d, "documents"),
         DedupOps.pairIndex(s, pairIndexFor(s, d)))),
+    // multi-screen evidence fusion: per union-graph pair, LSH band
+    // agreement + shared winnowing fingerprints + SimHash Hamming, with
+    // the fired-tier count — the collapse-review explanation row
+    "dup_evidence" -> ((s, d) =>
+      DedupOps.dupEvidence(t(s, d, "documents"),
+        DedupOps.pairIndex(s, pairIndexFor(s, d)), winnowPairsFor(s, d))),
     // dup-cluster collapse: every paired doc labeled with its component's
     // min doc_id (min-label propagation; oracle = recursive closure)
     "dup_components" -> ((s, d) =>
@@ -3137,6 +3143,59 @@ object SparkEntry {
 
     "minhash_lsh_pairs" ->
       (minhashPairsCtes + "\nSELECT doc_a, doc_b FROM mpairs"),
+
+    // multi-screen evidence audit: the minhash band/pair chain, the
+    // SimHash fold (reusing the SAME shingle-hash CTE `h`), and the
+    // winnowing chain (renamed w* to avoid CTE collisions) fused over
+    // the union pair set — three detectors, one row per pair
+    "dup_evidence" ->
+      (minhashPairsCtes +
+      """,
+        |bits AS (SELECT * FROM generate_series(0, 31) t(bit)),
+        |votes AS (
+        |  SELECT doc_id, bit, SUM(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM h CROSS JOIN bits GROUP BY doc_id, bit),
+        |sim AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM votes GROUP BY doc_id),
+        |wps AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 2, 0))) AS i FROM tk),
+        |whs AS (SELECT doc_id, i,
+        |        CAST(concat('0x', substr(md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]), 1, 8)) AS BIGINT) AS h
+        |        FROM wps),
+        |wm AS (SELECT doc_id, COUNT(*) AS m FROM whs GROUP BY doc_id),
+        |wjs AS (SELECT doc_id, unnest(range(0, m - 3)) AS j FROM wm WHERE m >= 4),
+        |wwins AS (SELECT wjs.doc_id, wjs.j, whs.i, whs.h
+        |          FROM wjs JOIN whs ON whs.doc_id = wjs.doc_id AND whs.i BETWEEN wjs.j AND wjs.j + 3),
+        |wsel AS (SELECT doc_id, j, i, h,
+        |         row_number() OVER (PARTITION BY doc_id, j ORDER BY h ASC, i DESC) AS rn
+        |         FROM wwins),
+        |wprints AS (SELECT DISTINCT doc_id, h AS fp FROM wsel WHERE rn = 1),
+        |wdf AS (SELECT fp, COUNT(*) AS c FROM wprints GROUP BY fp),
+        |wpf AS (SELECT p.doc_id, p.fp FROM wprints p JOIN wdf ON p.fp = wdf.fp
+        |        WHERE wdf.c > 1 AND wdf.c <= 50),
+        |wshared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        |            FROM wpf a JOIN wpf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |upairs AS (SELECT doc_a, doc_b FROM mpairs
+        |           UNION SELECT doc_a, doc_b FROM wshared),
+        |bshare AS (SELECT b1.doc_id AS doc_a, b2.doc_id AS doc_b, COUNT(*) AS n_bands
+        |           FROM bands b1 JOIN bands b2
+        |             ON b1.band = b2.band AND b1.band_key = b2.band_key
+        |           WHERE b1.doc_id < b2.doc_id GROUP BY 1, 2)
+        |SELECT u.doc_a, u.doc_b,
+        |  CAST(COALESCE(bs.n_bands, 0) AS BIGINT) AS n_bands,
+        |  CAST(COALESCE(ws.n_shared, 0) AS BIGINT) AS n_winnow,
+        |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS sim_hamming,
+        |  CAST(CAST(COALESCE(bs.n_bands, 0) > 0 AS INTEGER)
+        |       + CAST(COALESCE(ws.n_shared, 0) >= 2 AS INTEGER)
+        |       + CAST(bit_count(xor(sa.simhash, sb.simhash)) <= 3 AS INTEGER) AS INTEGER)
+        |    AS evidence_tiers
+        |FROM upairs u
+        |LEFT JOIN bshare bs ON bs.doc_a = u.doc_a AND bs.doc_b = u.doc_b
+        |LEFT JOIN wshared ws ON ws.doc_a = u.doc_a AND ws.doc_b = u.doc_b
+        |JOIN sim sa ON sa.doc_id = u.doc_a
+        |JOIN sim sb ON sb.doc_id = u.doc_b""".stripMargin),
 
     // estimator-accuracy audit: signature-agreement Jaccard vs exact
     // shingle-set Jaccard per candidate pair — reuses the full signature

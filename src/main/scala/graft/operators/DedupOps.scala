@@ -694,6 +694,43 @@ object DedupOps {
       .select(col("doc_id"), explode(expr(simhashOrEmptySql)).as("simhash"))
   }
 
+  /** Multi-screen near-dup EVIDENCE audit — the per-pair explanation row
+    * behind the union graph `graph_triangles` consumes: for every
+    * candidate pair (MinHash ∪ winnowing), how many LSH bands agreed,
+    * how many winnowing fingerprints are shared, and the SimHash Hamming
+    * distance — three independent detectors on one audit line, with
+    * `evidence_tiers` counting how many fired at their shipping
+    * thresholds. A pair flagged by one screen but contradicted by the
+    * other two is the false-positive shape a collapse review looks for;
+    * three-of-three is safe to hard-merge. Scale: the band self-join is
+    * the same bucket join the candidate derivation already pays, the
+    * rest is per-pair probes — O(|pairs|), never corpus².
+    */
+  def dupEvidence(documents: DataFrame, mpairs: DataFrame, wpairs: DataFrame,
+                  maxHamming: Int = 3): DataFrame = {
+    val u = mpairs.select(col("doc_a"), col("doc_b"))
+      .union(wpairs.select(col("doc_a"), col("doc_b"))).distinct()
+    val bands = lshBands(documents)
+    val bshare = bands.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("band"), col("band_key"), col("doc_id").as("doc_b")),
+        Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_bands"))
+    val sim = simhash(documents)
+    u.join(bshare, Seq("doc_a", "doc_b"), "left")
+      .join(wpairs.select(col("doc_a"), col("doc_b"), col("n_shared").as("n_winnow")),
+        Seq("doc_a", "doc_b"), "left")
+      .join(sim.select(col("doc_id").as("doc_a"), col("simhash").as("sa")), Seq("doc_a"))
+      .join(sim.select(col("doc_id").as("doc_b"), col("simhash").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("n_bands"), lit(0L)).as("n_bands"),
+        coalesce(col("n_winnow"), lit(0L)).as("n_winnow"),
+        expr("cast(bit_count(sa ^ sb) as int)").as("sim_hamming"))
+      .withColumn("evidence_tiers",
+        expr(s"""cast(n_bands > 0 as int) + cast(n_winnow >= 2 as int)
+                | + cast(sim_hamming <= $maxHamming as int)""".stripMargin))
+  }
+
   /** Connected components over a near-dup pair graph — the collapse step
     * after candidate generation: every doc in a duplicate cluster gets the
     * cluster's minimum doc_id as its component, so "keep one survivor per

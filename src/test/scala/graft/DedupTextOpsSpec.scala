@@ -1244,6 +1244,25 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(got(99) == ((3L, 6L, 1000000L, 0L)), "K clamps to n_vocab")
   }
 
+  test("dupEvidence: identical docs fire all three screens; evidence row " +
+       "carries band count, winnow overlap, and zero Hamming") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy old dog again today"
+    val docs = Seq((1L, base), (2L, base),
+      (3L, "completely different content about warehouse tables and rows here")
+    ).toDF("doc_id", "text")
+    val mp = DedupOps.minhashCandidatePairs(docs)
+    val wp = TextOps.winnowOverlapPairs(docs)
+    val got = DedupOps.dupEvidence(docs, mp, wp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getInt(4), r.getInt(5)))).toMap
+    assert(got.contains((1L, 2L)), got.toString)
+    val (nb, nw, hd, tiers) = got((1L, 2L))
+    assert(nb == 4L, s"identical docs agree on every band: $nb")
+    assert(nw >= 2L, s"identical docs share their winnow prints: $nw")
+    assert(hd == 0 && tiers == 3, got.toString)
+  }
+
   test("minhashEstimateAudit: identical docs estimate and measure J=1 with " +
        "zero error; estimate stays a valid ppm for partial overlaps") {
     import spark.implicits._
