@@ -1029,6 +1029,11 @@ object SparkEntry {
     // reused on string ids), rows mapped to the component-min name
     "fuzzy_canonicalize" -> ((s, d) => EntityOps.fuzzyCanonicalize(t(s, d, "part"), "p_name")),
     "cosine_topk" -> ((s, d) => SimilarityOps.cosineTopK(t(s, d, "embeddings"), 10, 5)),
+    // embedding-level decontamination: nearest-training cosine per eval
+    // vector + threshold flag — catches the paraphrases n-gram
+    // contamination screens cannot see
+    "semantic_contamination" -> ((s, d) =>
+      SimilarityOps.semanticContamination(t(s, d, "embeddings"))),
     // offline hard-negative mining: top-k INSIDE the [0.05, 0.7) cosine
     // band — informative negatives, near-dups excluded, band applied
     // before the ranking window
@@ -4008,6 +4013,18 @@ object SparkEntry {
         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
         |  FROM scored)
         |SELECT q_id, vec_id, score, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "semantic_contamination" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id % 10 = 0),
+        |tr AS (SELECT vec_id, emb FROM v WHERE vec_id % 10 <> 0),
+        |sc AS (SELECT q_id, tr.vec_id, round(list_cosine_similarity(tr.emb, q.q_emb), 4) AS score
+        |       FROM tr CROSS JOIN q),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY score DESC, vec_id DESC) AS rn FROM sc)
+        |SELECT q_id AS eval_vec_id, vec_id AS nearest_train_id, score AS max_sim,
+        |       score >= 0.9 AS contaminated
+        |FROM r WHERE rn = 1""".stripMargin,
 
     // cosine_topk's scorer with the hard-negative band applied to the
     // round-4 scores before ranking

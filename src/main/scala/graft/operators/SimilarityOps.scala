@@ -1156,6 +1156,34 @@ object SimilarityOps {
           .as("rrf_micros"))
   }
 
+  /** SEMANTIC contamination screen — the embedding-level sibling of the
+    * n-gram `contaminationScreen`: paraphrased or lightly-rewritten eval
+    * material shares no 8-gram with its source, but its embedding still
+    * sits next to it. Every held-out vector (vec_id ≡ 0 mod 10, the
+    * fixture's eval split) is scored against the ENTIRE training split
+    * and reported with its nearest-training cosine and a flag at
+    * `threshold` — the audit a benchmark-hygiene review reads before
+    * trusting eval numbers. Brute per-eval max here (eval splits are
+    * small — broadcast), the same scorer the ANN tiers share; at corpus
+    * scale the max runs over an IVF shortlist exactly like `cosine_topk_
+    * ivfpq` and the flag logic is unchanged.
+    */
+  def semanticContamination(embeddings: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val ev = embeddings.filter(pmod(col("vec_id"), lit(10L)) === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val train = embeddings.filter(pmod(col("vec_id"), lit(10L)) =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    train.join(broadcast(ev))
+      .withColumn("score",
+        round(graft.functions.GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 4))
+      .groupBy(col("q_id"))
+      .agg(max(struct(col("score"), col("vec_id"))).as("m"))
+      .select(col("q_id").as("eval_vec_id"),
+        col("m.vec_id").as("nearest_train_id"),
+        col("m.score").as("max_sim"),
+        (col("m.score") >= threshold).as("contaminated"))
+  }
+
   /** Quantization reconstruction-error audit for the int8 tier — the
     * numeric companion to `ann_recall_int8`'s rank-quality gate: recall
     * says WHETHER the quantized index returns the right neighbors,

@@ -606,6 +606,21 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(r(2L)._3 > r(3L)._3)
   }
 
+  test("semanticContamination: a planted duplicate flags its eval twin; " +
+       "an orthogonal eval vector stays clean") {
+    import spark.implicits._
+    val embs = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)),   // eval: exact dup of train 3
+      (20L, Array(0.0f, 1.0f, 0.0f)),   // eval: orthogonal to all train
+      (3L, Array(1.0f, 0.0f, 0.0f)),    // train
+      (7L, Array(0.0f, 0.0f, 1.0f))     // train
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.semanticContamination(embs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got(10L) == ((3L, 1.0, true)), got.toString)
+    assert(got(20L)._3 == false && got(20L)._2 == 0.0, got.toString)
+  }
+
   test("int8ReconError: zero vectors excluded, error bounded by the " +
        "symmetric-quantizer ceiling scale^2/4") {
     import spark.implicits._
