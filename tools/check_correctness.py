@@ -83,8 +83,9 @@ def main(sf_dir, out_dir):
         if not os.path.isdir(qpath):
             continue
         files = glob.glob(os.path.join(qpath, "*.parquet"))
-        r = con.execute(f"SELECT * FROM read_parquet({files!r})")
-        spark_cols = [d[0] for d in r.description]
+        r = con.sql(f"SELECT * FROM read_parquet({files!r})")
+        spark_cols = list(r.columns)
+        spark_types = dict(zip(spark_cols, [str(t) for t in r.types]))
         spark_rows = r.fetchall()
         if qdir not in oracle:
             results[qdir] = {"status": "rows_only", "rows": len(spark_rows)}
@@ -104,6 +105,20 @@ def main(sf_dir, out_dir):
             # the exact r10 red-set cause. CAST(... AS BIGINT) in oracleSql.
             print(f"WARNING {qdir}: oracle emits HUGEINT column(s) {o_hugeint}; "
                   "driver will hash them as float64 — cast to BIGINT in the oracle SQL")
+        # Type-parity audit (r11): flag ANY spark-vs-oracle column whose
+        # pandas dtype class could differ — the general family the
+        # HUGEINT/DECIMAL reds belong to. Integer-width differences are
+        # symmetric (both land int64/float64 identically); class changes
+        # (int vs float vs decimal vs unsigned) are the asymmetric ones.
+        def tclass(t):
+            return {"INTEGER": "i", "BIGINT": "i", "SMALLINT": "i", "TINYINT": "i",
+                    "UBIGINT": "u", "UINTEGER": "u", "HUGEINT": "H", "UHUGEINT": "H",
+                    "DOUBLE": "f", "FLOAT": "g", "DECIMAL": "D"}.get(t.split("(")[0], t)
+        mism = [(c, spark_types.get(c), t) for c, t in zip(o_cols, map(str, rel.types))
+                if c in spark_types and tclass(spark_types[c]) != tclass(t)]
+        if mism:
+            print(f"WARNING {qdir}: spark/oracle type-class mismatch {mism}; "
+                  "the driver's pandas conversion may hash these asymmetrically")
         # The float-repr emulation makes Decimal columns compare the way the
         # driver does, but only the DOUBLE-cast policy is *guaranteed* to
         # match it (the r4 failures prove the driver's two sides are not
