@@ -1118,11 +1118,17 @@ object SparkEntry {
     "semantic_dedup" -> ((s, d) =>
       SimilarityOps.semanticDedup(t(s, d, "embeddings"), 16, 0.35)),
     // quality-aware retention: keep the best-quality member per dup
-    // cluster, not the arbitrary min-id
-    "dedup_keep_best" -> ((s, d) => DedupOps.dedupKeepBest(t(s, d, "documents"))),
+    // cluster, not the arbitrary min-id. Like the graph family, the
+    // component-keyed consumers read the persisted (doc_id, component)
+    // index (collapse runs once per session); the oracles still replay
+    // the FULL derivation in SQL, so each query hash-proves the artifact.
+    // `dup_components` stays the inline-derivation A/B control.
+    "dedup_keep_best" -> ((s, d) =>
+      DedupOps.dedupKeepBestWith(t(s, d, "documents"), componentIndexFor(s, d))),
     // DPO-style pairs: best vs worst quality inside each dup cluster;
     // equal-extreme components drop (layout, not preference)
-    "preference_pairs" -> ((s, d) => DedupOps.preferencePairs(t(s, d, "documents"))),
+    "preference_pairs" -> ((s, d) =>
+      DedupOps.preferencePairsWith(t(s, d, "documents"), componentIndexFor(s, d))),
     // inverted-index sparse cosine: df-guarded postings join, integer-
     // exact quantized-idf accumulation, top-k per doc
     "tfidf_topk_sim" -> ((s, d) => TextOps.tfidfTopKSim(t(s, d, "documents"))),
@@ -1207,18 +1213,9 @@ object SparkEntry {
     // cross-source segment-fingerprint contamination matrix
     "source_overlap" -> ((s, d) => DedupOps.sourceOverlap(t(s, d, "documents"))),
     // split key = near-dup component, so no candidate pair can straddle
-    // train/val (portable md5 bucket; singletons key on their own doc_id)
+    // train/val (portable md5 bucket; singletons key on their own doc_id);
+    // component-index consumer (see dedup_keep_best note)
     "leakage_safe_split" -> ((s, d) =>
-      DedupOps.leakageSafeSplit(t(s, d, "documents"))),
-    // the SAME three component-keyed consumers through the persisted
-    // (doc_id, component) index: collapse runs ONCE, each consumer pays
-    // one co-partitioned join. All three share their inline oracles
-    // verbatim — the hash gate proves the at-rest round trip is lossless.
-    "dedup_keep_best_stored" -> ((s, d) =>
-      DedupOps.dedupKeepBestWith(t(s, d, "documents"), componentIndexFor(s, d))),
-    "preference_pairs_stored" -> ((s, d) =>
-      DedupOps.preferencePairsWith(t(s, d, "documents"), componentIndexFor(s, d))),
-    "leakage_safe_split_stored" -> ((s, d) =>
       DedupOps.leakageSafeSplitWith(t(s, d, "documents"), componentIndexFor(s, d))),
     // k-fold CV under the same component-keyed leakage guarantee (fourth
     // consumer of the persisted component index)
@@ -2432,13 +2429,11 @@ object SparkEntry {
       |""".stripMargin +
     pqAssignCte("cbt", "codes_t") + pqAdcCtes("cbt", "codes_t")
 
-  def oracleSql: Map[String, String] = baseOracleSql ++ Map(
-    // the *_stored component-index consumers share the inline oracles
-    // VERBATIM — the hash gate proves the persisted (doc_id, component)
-    // round trip changes nothing (the cosine_topk_ivfpq_stored pattern)
-    "dedup_keep_best_stored" -> baseOracleSql("dedup_keep_best"),
-    "preference_pairs_stored" -> baseOracleSql("preference_pairs"),
-    "leakage_safe_split_stored" -> baseOracleSql("leakage_safe_split"))
+  // r11: the former *_stored twin registrations are gone — the primary
+  // component-keyed consumers now read the persisted index themselves
+  // while their oracles replay the full derivation in SQL, so each
+  // primary query hash-proves the artifact round trip directly.
+  def oracleSql: Map[String, String] = baseOracleSql
 
   private val baseOracleSql: Map[String, String] = Map(
     // NOTE (r5): every oracle's FINAL decimal output column is cast to
