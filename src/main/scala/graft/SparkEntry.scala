@@ -953,6 +953,11 @@ object SparkEntry {
     // smoothed conditional, micros-exact ranking
     "kn_bigrams" -> ((s, d) => TextOps.knBigrams(t(s, d, "documents"))),
 
+    // embedding-table health: vector/zero counts + norm distribution —
+    // the pre-flight audit every similarity tier assumes
+    "embedding_norm_profile" -> ((s, d) =>
+      SimilarityOps.embeddingNormProfile(t(s, d, "embeddings"))),
+
     // int8 quantization reconstruction error: per-vector MSE of
     // emb − dequant(int8(emb)) at 1e-12 integer resolution — the numeric
     // audit beside ann_recall_int8's rank-quality gate
@@ -4476,6 +4481,21 @@ object SparkEntry {
         |    / CAST(c1 AS DOUBLE) * 1000000) AS BIGINT) AS p_kn_micros
         |FROM c JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN ty
         |ORDER BY p_kn_micros DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    "embedding_norm_profile" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(round(x * x * 1e12) AS BIGINT))) AS se
+        |  FROM embeddings),
+        |n AS (SELECT se,
+        |      CAST(round(sqrt(CAST(se AS DOUBLE) / 1e12) * 1000000) AS BIGINT)
+        |        AS norm_micros FROM e)
+        |SELECT COUNT(*) AS n_vecs,
+        |  CAST(SUM(CASE WHEN se = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(MIN(norm_micros) AS BIGINT) AS min_norm_micros,
+        |  CAST((SUM(norm_micros) + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS avg_norm_micros,
+        |  CAST(MAX(norm_micros) AS BIGINT) AS max_norm_micros
+        |FROM n""".stripMargin,
 
     "int8_recon_error" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -1184,6 +1184,33 @@ object SimilarityOps {
         (col("m.score") >= threshold).as("contaminated"))
   }
 
+  /** Embedding-table health profile — the pre-flight read before ANY
+    * similarity tier trusts the column: vector count, zero-vector count
+    * (cosine is undefined on them — every ANN tier here silently drops
+    * them, and this row is where that loss becomes visible), and the
+    * norm distribution (min/avg/max). An unnormalized mixture (norms
+    * spread over decades) breaks dot-product shortcuts and IVF balance;
+    * this is the one-row audit that catches it. Same integer discipline
+    * as `int8ReconError`: per-component x² quantized to an integer at
+    * 1e-12 FIRST (exact sum in any order), ONE fixed-shape sqrt per
+    * vector quantized to micros, then pure integer min/avg/max.
+    */
+  def embeddingNormProfile(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"),
+        expr("""aggregate(transform(embedding, x ->
+          |  cast(round(cast(x as double) * cast(x as double) * 1e12) as bigint)),
+          |  0L, (acc, y) -> acc + y)""".stripMargin).as("se"))
+      .select(col("se"),
+        expr("cast(round(sqrt(cast(se as double) / 1e12) * 1000000) as bigint)")
+          .as("norm_micros"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("se") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        min(col("norm_micros")).as("min_norm_micros"),
+        expr("cast((sum(norm_micros) + count(1) div 2) div count(1) as bigint)")
+          .as("avg_norm_micros"),
+        max(col("norm_micros")).as("max_norm_micros"))
+
   /** Quantization reconstruction-error audit for the int8 tier — the
     * numeric companion to `ann_recall_int8`'s rank-quality gate: recall
     * says WHETHER the quantized index returns the right neighbors,

@@ -606,6 +606,21 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(r(2L)._3 > r(3L)._3)
   }
 
+  test("embeddingNormProfile: unit vectors read 1e6 micros, zero vectors " +
+       "counted, avg is the half-up integer mean") {
+    import spark.implicits._
+    val embs = Seq(
+      (1L, Array(1.0f, 0.0f)),            // norm 1
+      (2L, Array(0.0f, 0.0f)),            // zero vector
+      (3L, Array(3.0f, 4.0f))             // norm 5
+    ).toDF("vec_id", "embedding")
+    val r = SimilarityOps.embeddingNormProfile(embs).head()
+    assert(r.getAs[Long]("n_vecs") == 3L && r.getAs[Long]("n_zero") == 1L)
+    assert(r.getAs[Long]("min_norm_micros") == 0L)
+    assert(r.getAs[Long]("max_norm_micros") == 5000000L, r.toString)
+    assert(r.getAs[Long]("avg_norm_micros") == 2000000L, r.toString) // (0+1e6+5e6+1)/3 half-up
+  }
+
   test("semanticContamination: a planted duplicate flags its eval twin; " +
        "an orthogonal eval vector stays clean") {
     import spark.implicits._
