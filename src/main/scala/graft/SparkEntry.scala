@@ -964,6 +964,11 @@ object SparkEntry {
     "int8_recon_error" -> ((s, d) =>
       SimilarityOps.int8ReconError(t(s, d, "embeddings"))),
 
+    // per-source exact length quantiles (type-1 ceil-rank picks): the
+    // truncation/boilerplate screen on every new crawl source
+    "source_length_quantiles" -> ((s, d) =>
+      TextOps.sourceLengthQuantiles(t(s, d, "documents"))),
+
     // vocabulary coverage curve: occurrence mass of the top-K token types
     // per candidate vocab size — the tokenizer-sizing audit; exact global
     // (freq desc, token) rank + cumulative via ShardedOrder (no
@@ -4512,6 +4517,18 @@ object SparkEntry {
         |  CAST((SUM(mse_p12) + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS avg_mse_p12,
         |  CAST(MAX(mse_p12) AS BIGINT) AS max_mse_p12
         |FROM m""".stripMargin,
+
+    "source_length_quantiles" ->
+      """WITH r AS (SELECT source, n_chars,
+        |  row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+        |  COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+        |  MAX(CASE WHEN rk = (25 * n + 99) // 100 THEN n_chars END) AS p25,
+        |  MAX(CASE WHEN rk = (50 * n + 99) // 100 THEN n_chars END) AS p50,
+        |  MAX(CASE WHEN rk = (75 * n + 99) // 100 THEN n_chars END) AS p75,
+        |  MAX(CASE WHEN rk = (90 * n + 99) // 100 THEN n_chars END) AS p90
+        |FROM r GROUP BY source""".stripMargin,
 
     "vocab_coverage" ->
       """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token

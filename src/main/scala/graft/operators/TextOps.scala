@@ -1488,6 +1488,30 @@ object TextOps {
         expr("1000000 - (cum_f * 1000000 + total div 2) div total").as("oov_ppm"))
   }
 
+  /** Per-source length quantiles — exact type-1 (ceil-rank) p25/p50/p75/
+    * p90 of `n_chars` per source, the grouped companion to the global
+    * `median_price`: the first EDA read on a new crawl source (a p90
+    * collapsing toward p25 means truncation; a runaway p90 means
+    * boilerplate concatenation). Rank is a PER-SOURCE window (sources are
+    * the partition key — parallel and unskewed by construction), picks
+    * are `rk = ceil(q·n/100)` exactly as `conversionLag`'s cohort
+    * quantiles, so every output is an observed integer value — no
+    * interpolation, engine-identical.
+    */
+  def sourceLengthQuantiles(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    val wn = Window.partitionBy(col("source"))
+    documents.select(col("source"), col("n_chars"), col("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"),
+        max(when(col("rk") === expr("(25 * n + 99) div 100"), col("n_chars"))).as("p25"),
+        max(when(col("rk") === expr("(50 * n + 99) div 100"), col("n_chars"))).as("p50"),
+        max(when(col("rk") === expr("(75 * n + 99) div 100"), col("n_chars"))).as("p75"),
+        max(when(col("rk") === expr("(90 * n + 99) div 100"), col("n_chars"))).as("p90"))
+  }
+
   /** Kneser–Ney smoothed bigram table — the n-gram LM step of a
     * training-data pipeline (data-quality perplexity filters and n-gram
     * novelty baselines both want a SMOOTHED conditional, not raw MLE,

@@ -1244,6 +1244,22 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(got(99) == ((3L, 6L, 1000000L, 0L)), "K clamps to n_vocab")
   }
 
+  test("sourceLengthQuantiles: exact ceil-rank picks per source") {
+    import spark.implicits._
+    // n=4 → ranks ceil(1.0)=1, ceil(2.0)=2, ceil(3.0)=3, ceil(3.6)=4
+    val docs = Seq(
+      (1L, "a", "s1", 10L), (2L, "a", "s1", 20L),
+      (3L, "a", "s1", 30L), (4L, "a", "s1", 40L),
+      (5L, "a", "s2", 7L)
+    ).map { case (id, txt, src, n) => (id, txt, src, n) }
+      .toDF("doc_id", "text", "source", "n_chars")
+    val got = TextOps.sourceLengthQuantiles(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got("s1") == ((4L, 10L, 20L, 30L, 40L)), got.toString)
+    assert(got("s2") == ((1L, 7L, 7L, 7L, 7L)), "single doc: every quantile is it")
+  }
+
   test("dupEvidence: identical docs fire all three screens; evidence row " +
        "carries band count, winnow overlap, and zero Hamming") {
     import spark.implicits._
