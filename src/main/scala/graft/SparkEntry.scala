@@ -996,6 +996,16 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0)
           .groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("c")))
     }),
+    // the binned streaming face: the REFERENCE defines the bin edges, so
+    // every batch lands in the same stable grid; out-of-range values
+    // clamp to edge bins (mass concentrates, the statistic maximizes)
+    "ks_reference_drift_binned" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      StatsOps.ksAgainstReferenceBinned(
+        docs.filter(col("doc_id") % 2 =!= 0).select(col("n_chars").as("v")),
+        docs.filter(col("doc_id") % 2 === 0)
+          .groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("c")))
+    }),
 
     // language-ID confusion matrix: the multi-language stopword argmax
     // vs the labeled lang — WHERE the heuristic is blind, per label
@@ -4665,6 +4675,34 @@ object SparkEntry {
         |         ORDER BY score DESC, vec_id) AS INTEGER) AS rank
         |       FROM resc)
         |SELECT q_id, vec_id, score, rank FROM rr WHERE rank <= 5""".stripMargin),
+
+    "ks_reference_drift_binned" ->
+      """WITH ref0 AS (SELECT n_chars AS v, COUNT(*) AS c FROM documents
+        |              WHERE doc_id % 2 = 0 GROUP BY 1),
+        |bb AS (SELECT CAST(MIN(v) AS BIGINT) AS mn, CAST(MAX(v) AS BIGINT) AS mx FROM ref0),
+        |b AS (SELECT greatest(least((CAST(n_chars AS BIGINT) - mn) * 20 // (mx - mn + 1), 19), 0) AS v,
+        |      COUNT(*) AS cb
+        |      FROM documents, bb WHERE doc_id % 2 <> 0 GROUP BY 1),
+        |r AS (SELECT greatest(least((CAST(v AS BIGINT) - mn) * 20 // (mx - mn + 1), 19), 0) AS v,
+        |      SUM(c) AS cr FROM ref0, bb GROUP BY 1),
+        |grid AS (SELECT COALESCE(b.v, r.v) AS v, COALESCE(cb, 0) AS cb, COALESCE(cr, 0) AS cr
+        |         FROM b FULL OUTER JOIN r ON b.v = r.v),
+        |cum AS (SELECT v,
+        |        SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+        |        SUM(cr) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_r
+        |        FROM grid),
+        |t AS (SELECT SUM(cb) AS n_batch, SUM(cr) AS n_ref FROM grid),
+        |g AS (SELECT v, n_batch, n_ref,
+        |      abs(CAST(cum_b AS HUGEINT) * n_ref - CAST(cum_r AS HUGEINT) * n_batch) AS gap
+        |      FROM cum CROSS JOIN t),
+        |pick AS (SELECT *, row_number() OVER (ORDER BY gap DESC, v) AS rn FROM g)
+        |SELECT CAST(n_batch AS BIGINT) AS n_batch, CAST(n_ref AS BIGINT) AS n_ref,
+        |  v AS at_bin,
+        |  CASE WHEN n_batch > 0 AND n_ref > 0 THEN
+        |    CAST((gap * 1000000 + (CAST(n_batch AS HUGEINT) * n_ref) // 2)
+        |         // (CAST(n_batch AS HUGEINT) * n_ref) AS BIGINT)
+        |  END AS ks_ppm
+        |FROM pick WHERE rn = 1""".stripMargin,
 
     "ks_reference_drift" ->
       """WITH b AS (SELECT n_chars AS v, COUNT(*) AS cb FROM documents

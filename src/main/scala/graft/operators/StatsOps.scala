@@ -294,6 +294,29 @@ object StatsOps {
           .as("ks_ppm"))
   }
 
+  /** Binned fixed-reference KS — the streaming face of the bucketed
+    * fallback: the REFERENCE distribution defines the bin edges (min/max
+    * of the healthy baseline), so every arriving batch bins into the
+    * same stable grid and per-batch audit rows are comparable across the
+    * stream's lifetime (batch-derived edges would re-bucket history on
+    * every spike). Values outside the reference range clamp to the edge
+    * bins — an out-of-range flood lands all its mass in one edge bucket,
+    * which maximizes (not hides) the statistic. Same core as
+    * [[ksAgainstReference]] over bin indices.
+    */
+  def ksAgainstReferenceBinned(values: DataFrame, refCounts: DataFrame,
+                               bins: Int = 20): DataFrame = {
+    require(bins >= 1, s"bins out of range: $bins")
+    val b = refCounts.agg(min(col("v")).cast(LongType).as("mn"),
+      max(col("v")).cast(LongType).as("mx"))
+    val binExpr = expr(
+      s"greatest(least((cast(v as bigint) - mn) * $bins div (mx - mn + 1), $bins - 1), 0)")
+    ksAgainstReference(
+      values.crossJoin(broadcast(b)).select(binExpr.as("v")),
+      refCounts.crossJoin(broadcast(b)).select(binExpr.as("v"), col("c")))
+      .withColumnRenamed("at_value", "at_bin")
+  }
+
   /** Spearman rank correlation, deterministic variant: ranks are
     * row_number in (value, id) order — a documented tiebreak instead of
     * the statistical average-rank convention, which keeps every rank an

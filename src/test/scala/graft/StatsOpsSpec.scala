@@ -156,6 +156,24 @@ class StatsOpsSpec extends SparkSpec {
     assert(one.values.forall(_ == 0L), one.toString)
   }
 
+  test("ksAgainstReferenceBinned: reference-defined edges, out-of-range " +
+       "batch mass clamps to the edge bin and maximizes the statistic") {
+    import spark.implicits._
+    val ref = Seq((10L, 5L), (20L, 5L)).toDF("v", "c")
+    // batch entirely ABOVE the reference range → everything clamps into
+    // the top bin; ECDFs disjoint until that bin → D = 1e6
+    val far = Seq(900L, 950L, 990L).toDF("v")
+    val r = StatsOps.ksAgainstReferenceBinned(far, ref, bins = 20).head()
+    assert(r.getLong(3) == 1000000L, r.toString)
+    // ref occupies bins 0 and 18 ((20-10)*20 div 11 = 18); the batch sits
+    // wholly in clamp bin 19, so D = 1 is first attained at bin 18 (the
+    // earliest-value tie-break, once ALL ref mass has accumulated)
+    assert(r.getLong(2) == 18L, s"max gap first attained at the ref's top bin: $r")
+    // matching distribution → 0 regardless of binning
+    val same = Seq(10L, 20L).toDF("v")
+    assert(StatsOps.ksAgainstReferenceBinned(same, ref, bins = 20).head().getLong(3) == 0L)
+  }
+
   test("sharded global rank/running-sum equal the single-reducer window exactly") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
