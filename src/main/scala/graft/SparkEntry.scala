@@ -969,6 +969,11 @@ object SparkEntry {
     "source_length_quantiles" -> ((s, d) =>
       TextOps.sourceLengthQuantiles(t(s, d, "documents"))),
 
+    // sequence-packing utilization: sequence count, avg fill vs budget
+    // (ppm) and boundary overflows — the pack-config audit row
+    "packing_efficiency" -> ((s, d) =>
+      TextOps.packingEfficiency(t(s, d, "documents"))),
+
     // vocabulary coverage curve: occurrence mass of the top-K token types
     // per candidate vocab size — the tokenizer-sizing audit; exact global
     // (freq desc, token) rank + cumulative via ShardedOrder (no
@@ -4527,6 +4532,26 @@ object SparkEntry {
         |  CAST((SUM(mse_p12) + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS avg_mse_p12,
         |  CAST(MAX(mse_p12) AS BIGINT) AS max_mse_p12
         |FROM m""".stripMargin,
+
+    "packing_efficiency" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |st AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 16)) AS s FROM t),
+        |c AS (SELECT doc_id, CAST(s // 16 AS INTEGER) AS chunk_idx,
+        |        CAST(least(s + 32, len(toks)) - s AS INTEGER) AS n_chunk_tokens
+        |      FROM st WHERE s < len(toks)),
+        |sh AS (SELECT *, CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 32 AS INTEGER) AS shard FROM c),
+        |sq AS (SELECT shard, doc_id, chunk_idx, n_chunk_tokens,
+        |  CAST((sum(n_chunk_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chunk_tokens) // 256 AS BIGINT) AS seq_id
+        |  FROM sh),
+        |f AS (SELECT shard, seq_id, CAST(SUM(n_chunk_tokens) AS BIGINT) AS fill
+        |      FROM sq GROUP BY 1, 2)
+        |SELECT COUNT(*) AS n_seqs,
+        |  CAST(SUM(fill) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(CASE WHEN fill > 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow,
+        |  CAST((SUM(fill) * 1000000 + (COUNT(*) * 256) // 2)
+        |       // (COUNT(*) * 256) AS BIGINT) AS avg_fill_ppm
+        |FROM f""".stripMargin,
 
     "source_length_quantiles" ->
       """WITH r AS (SELECT source, n_chars,

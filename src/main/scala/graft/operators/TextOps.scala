@@ -842,6 +842,29 @@ object TextOps {
         expr(s"(cum - n_chunk_tokens) div $seqBudget").as("seq_id"))
   }
 
+  /** Packing-efficiency audit over [[packChunks]] — the utilization read
+    * a training-data owner checks before shipping a pack config: how
+    * many sequences, how full are they against the token budget
+    * (avg fill in ppm), and how many OVERFLOW the budget (a chunk is
+    * assigned by its preceding total, so a chunk straddling a boundary
+    * runs past it — by design; this row is where that trade becomes a
+    * number). Pure rollup of the packer's own output — same one window
+    * pass, then a (shard, seq_id)-keyed aggregate and one final
+    * reduce — so auditing costs no more than packing.
+    */
+  def packingEfficiency(documents: DataFrame, seqBudget: Int = 256): DataFrame = {
+    val seqs = packChunks(documents, seqBudget)
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(sum(col("n_chunk_tokens")).as("fill"))
+    seqs.agg(count(lit(1)).as("n_seqs"),
+        sum(col("fill")).as("total_tokens"),
+        sum(when(col("fill") > seqBudget, 1L).otherwise(0L)).as("n_overflow"))
+      .select(col("n_seqs"), col("total_tokens"), col("n_overflow"),
+        expr(s"""cast((total_tokens * 1000000 + (n_seqs * ${seqBudget}L) div 2)
+                | div (n_seqs * ${seqBudget}L) as bigint)""".stripMargin)
+          .as("avg_fill_ppm"))
+  }
+
   /** Distinct-content cardinality per source via HLL++
     * (approx_count_distinct). Not oracle-comparable (sketch internals are
     * engine-specific) — registered rows-only; the exact variant is
