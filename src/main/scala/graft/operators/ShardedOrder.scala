@@ -38,8 +38,17 @@ object ShardedOrder {
     */
   def withGlobalRank(df: DataFrame, rankCol: String, shards: Int, sortCols: Column*): DataFrame = {
     require(shards >= 1, s"shards out of range: $shards")
+    // localCheckpoint is LOAD-BEARING, not an optimization: __shard comes
+    // from spark_partition_id over the range exchange, and the frame is
+    // consumed TWICE (per-shard window + carry aggregate). Without
+    // materialization each consumer re-executes the exchange, whose
+    // boundary SAMPLING can differ between executions (upstream row order
+    // is not deterministic), silently mis-associating carries with
+    // layouts — observed as wrong ranks at sf0.1. One materialized layout
+    // makes the id a fixed fact both consumers share.
     val parted = df.repartitionByRange(shards, sortCols: _*)
       .withColumn("__shard", spark_partition_id())
+      .localCheckpoint()
     val wLoc = Window.partitionBy(col("__shard")).orderBy(sortCols: _*)
     val local = parted.withColumn("__lrank", row_number().over(wLoc).cast(LongType))
     // carry: one row per shard; the global window here runs over ≤ shards
@@ -66,9 +75,12 @@ object ShardedOrder {
   def withRunningSum(df: DataFrame, valueCol: Column, outCol: String,
                      shards: Int, sortCols: Column*): DataFrame = {
     require(shards >= 1, s"shards out of range: $shards")
+    // same load-bearing localCheckpoint as withGlobalRank: one layout,
+    // shared by the local-sum window and the carry aggregate
     val parted = df.repartitionByRange(shards, sortCols: _*)
       .withColumn("__shard", spark_partition_id())
       .withColumn("__v", valueCol)
+      .localCheckpoint()
     val wLoc = Window.partitionBy(col("__shard")).orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parted.withColumn("__lsum", sum(col("__v")).over(wLoc))
