@@ -654,6 +654,15 @@ object SparkEntry {
     "dup_evidence" -> ((s, d) =>
       DedupOps.dupEvidence(t(s, d, "documents"),
         DedupOps.pairIndex(s, pairIndexFor(s, d)), winnowPairsFor(s, d))),
+    // WHERE the dup mass lives: candidate pairs bucketed by the
+    // endpoints' source pair (upper-triangular matrix)
+    "cross_source_dup_matrix" -> ((s, d) =>
+      DedupOps.crossSourceDupMatrix(t(s, d, "documents"),
+        DedupOps.pairIndex(s, pairIndexFor(s, d)))),
+    // dedup selection-bias audit: corpus vs min-id-survivor vs keep-best
+    // quality means on one row — quality-aware retention as a number
+    "dedup_quality_shift" -> ((s, d) =>
+      DedupOps.dedupQualityShift(t(s, d, "documents"), componentIndexFor(s, d))),
     // dup-cluster collapse: every paired doc labeled with its component's
     // min doc_id (min-label propagation; oracle = recursive closure)
     "dup_components" -> ((s, d) =>
@@ -968,6 +977,10 @@ object SparkEntry {
     // truncation/boilerplate screen on every new crawl source
     "source_length_quantiles" -> ((s, d) =>
       TextOps.sourceLengthQuantiles(t(s, d, "documents"))),
+
+    // index of dispersion of per-doc counts for the top tokens: D≈1 is
+    // Poisson scatter, D≫1 is clumping — tf-idf's premise, measured
+    "token_burstiness" -> ((s, d) => TextOps.tokenBurstiness(t(s, d, "documents"))),
 
     // sequence-packing utilization: sequence count, avg fill vs budget
     // (ppm) and boundary overflows — the pack-config audit row
@@ -1952,6 +1965,45 @@ object SparkEntry {
 
   private val dupComponentsOracle =
     dupComponentsCtes + "\nSELECT doc_id, component FROM comps"
+
+  private val crossSourceDupMatrixOracle: String =
+    minhashPairsCtes +
+      """,
+        |src AS (SELECT doc_id, source FROM documents)
+        |SELECT least(sa.source, sb.source) AS source_a,
+        |       greatest(sa.source, sb.source) AS source_b,
+        |       COUNT(*) AS n_pairs
+        |FROM mpairs p
+        |JOIN src sa ON sa.doc_id = p.doc_a
+        |JOIN src sb ON sb.doc_id = p.doc_b
+        |GROUP BY 1, 2""".stripMargin
+
+  private val dedupQualityShiftOracle: String =
+    dupComponentsCtes +
+      """,
+        |qv AS (SELECT doc_id,
+        |  CAST(round(round(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.5 +
+        |       coalesce(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |                                     t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+        |                / NULLIF(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE), 0), 0) * 0.5,
+        |       6) * 1000000) AS BIGINT) AS q
+        |  FROM documents),
+        |qq AS (SELECT qv.doc_id, qv.q, COALESCE(c.component, qv.doc_id) AS component
+        |       FROM qv LEFT JOIN comps c ON c.doc_id = qv.doc_id),
+        |surv AS (SELECT component, MIN(doc_id) AS min_id FROM qq GROUP BY 1),
+        |best AS (SELECT component, doc_id FROM (
+        |  SELECT component, doc_id,
+        |         row_number() OVER (PARTITION BY component ORDER BY q DESC, doc_id) AS rn
+        |  FROM qq) t WHERE rn = 1),
+        |a AS (SELECT COUNT(*) AS n_docs,
+        |      CAST((SUM(q) + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS corpus_mean_ppm FROM qq),
+        |mk AS (SELECT COUNT(*) AS n_survivors,
+        |       CAST((SUM(qq.q) + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS min_id_mean_ppm
+        |       FROM surv JOIN qq ON qq.doc_id = surv.min_id),
+        |bk AS (SELECT CAST((SUM(qq.q) + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS keep_best_mean_ppm
+        |       FROM best JOIN qq ON qq.doc_id = best.doc_id)
+        |SELECT n_docs, corpus_mean_ppm, n_survivors, min_id_mean_ppm, keep_best_mean_ppm
+        |FROM a CROSS JOIN mk CROSS JOIN bk""".stripMargin
 
   /** Synchronous LPA replayed round-for-round: each of the 4 rounds is a
     * neighbor-label count + deterministic argmax (count desc, label asc)
@@ -3257,6 +3309,8 @@ object SparkEntry {
     // DuckDB spelling of the min-label components. The star-contraction
     // variant computes the SAME function, so it shares the oracle verbatim.
     "dup_components" -> dupComponentsOracle,
+    "cross_source_dup_matrix" -> crossSourceDupMatrixOracle,
+    "dedup_quality_shift" -> dedupQualityShiftOracle,
     // _star consumes the persisted pair index but computes the SAME
     // function — shares the oracle verbatim, which (with doc_pagerank /
     // doc_communities below) hash-proves the edge artifact's round trip
@@ -4552,6 +4606,22 @@ object SparkEntry {
         |  CAST((SUM(fill) * 1000000 + (COUNT(*) * 256) // 2)
         |       // (COUNT(*) * 256) AS BIGINT) AS avg_fill_ppm
         |FROM f""".stripMargin,
+
+    "token_burstiness" ->
+      """WITH pd AS (SELECT token, doc_id, COUNT(*) AS c FROM (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents) GROUP BY 1, 2),
+        |nn AS (SELECT COUNT(*) AS n FROM documents),
+        |m AS (SELECT token, CAST(SUM(c) AS BIGINT) AS s1,
+        |      SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS s2
+        |      FROM pd GROUP BY 1)
+        |SELECT token, s1 AS n_occurrences,
+        |  CAST(round(
+        |    CAST(s2 * n - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE)) * 1000000) AS BIGINT)
+        |    AS dispersion_micros
+        |FROM m CROSS JOIN nn
+        |ORDER BY n_occurrences DESC, token LIMIT 10""".stripMargin,
 
     "source_length_quantiles" ->
       """WITH r AS (SELECT source, n_chars,

@@ -694,6 +694,58 @@ object DedupOps {
       .select(col("doc_id"), explode(expr(simhashOrEmptySql)).as("simhash"))
   }
 
+  /** Cross-source duplication matrix — WHERE the near-dup mass lives:
+    * candidate pairs bucketed by their endpoints' (source_a, source_b)
+    * with the pair ordered so the matrix is upper-triangular
+    * (source_a ≤ source_b). Off-diagonal mass means sources re-crawl
+    * each other's material (dedup BETWEEN feeds matters more than
+    * within); a hot diagonal cell means one source self-duplicates
+    * (template flood). Two broadcast-scale joins of the pair frame to
+    * the (doc_id, source) projection — O(|pairs|).
+    */
+  def crossSourceDupMatrix(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val src = documents.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Dedup selection-bias audit: does collapsing clusters SHIFT the
+    * corpus quality distribution? Three integer-ppm quality means on one
+    * row — the full corpus, the min-id survivors (what naive dedup
+    * keeps), and the keep-best survivors — plus the doc counts. A
+    * min-id mean sitting below the corpus mean says naive dedup is
+    * systematically discarding the good variant (the argument for
+    * quality-aware retention, now as a measured number instead of a
+    * belief). Quality is the same integer-ppm score the retention tier
+    * ranks by; survivors derive from the shared component frame.
+    */
+  def dedupQualityShift(documents: DataFrame, components: DataFrame): DataFrame = {
+    val q = TextOps.qualityScore(documents)
+      .select(col("doc_id"), expr("cast(round(quality * 1000000) as bigint)").as("q"))
+      .join(components.select(col("doc_id"), col("component")), Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    // min-id survivor per component; keep-best survivor = max (q, -doc_id)
+    val surv = q.groupBy(col("component"))
+      .agg(min(col("doc_id")).as("min_id"),
+        max(struct(col("q"), (-col("doc_id")).as("nid"))).as("best"))
+    def ppmMean(df: DataFrame) =
+      df.agg(count(lit(1)).as("n"),
+        expr("cast((sum(q) + count(1) div 2) div count(1) as bigint)").as("m"))
+    val all = ppmMean(q)
+    val minKeep = ppmMean(q.join(surv.select(col("min_id").as("doc_id")), Seq("doc_id")))
+    val bestKeep = ppmMean(q.join(
+      surv.select((-col("best.nid")).as("doc_id")), Seq("doc_id")))
+    all.select(col("n").as("n_docs"), col("m").as("corpus_mean_ppm"))
+      .crossJoin(minKeep.select(col("n").as("n_survivors"),
+        col("m").as("min_id_mean_ppm")))
+      .crossJoin(bestKeep.select(col("m").as("keep_best_mean_ppm")))
+  }
+
   /** Multi-screen near-dup EVIDENCE audit — the per-pair explanation row
     * behind the union graph `graph_triangles` consumes: for every
     * candidate pair (MinHash ∪ winnowing), how many LSH bands agreed,

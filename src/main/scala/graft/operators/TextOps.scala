@@ -1511,6 +1511,35 @@ object TextOps {
         expr("1000000 - (cum_f * 1000000 + total div 2) div total").as("oov_ppm"))
   }
 
+  /** Token burstiness — the index of dispersion D = σ²/μ of PER-DOCUMENT
+    * counts for the corpus's top tokens (zero-count docs included via the
+    * closed form): D ≈ 1 is Poisson scatter (function words), D ≫ 1 is
+    * clumping (content/template words concentrating in few docs — the
+    * signal behind tf-idf and boilerplate screens, here as a direct
+    * measurement). Exact integer moments s1 = Σc, s2 = Σc² ride
+    * DECIMAL(38,0) (s1² overflows long at corpus scale), and
+    * D = (s2·N − s1²)/(N·s1) is ONE fixed-shape double micros-quantized
+    * (the momentsProfile discipline). One (token, doc) aggregate — the
+    * only corpus-scale shuffle — then vocabulary-scale moments.
+    */
+  def tokenBurstiness(documents: DataFrame, k: Int = 10): DataFrame = {
+    val perDoc = documents
+      .select(col("doc_id"), explode(expr(toksExprFor(documents))).as("token"))
+      .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("c"))
+    val n = documents.agg(count(lit(1)).as("n"))
+    perDoc.groupBy(col("token"))
+      .agg(sum(col("c")).as("s1"),
+        sum(expr("cast(c as decimal(38,0)) * cast(c as decimal(38,0))")).as("s2"))
+      .crossJoin(broadcast(n))
+      .select(col("token"), col("s1").as("n_occurrences"),
+        expr("""cast(round(
+          |  cast(s2 * n - cast(s1 as decimal(38,0)) * cast(s1 as decimal(38,0)) as double)
+          |  / (cast(n as double) * cast(s1 as double)) * 1000000) as bigint)""".stripMargin)
+          .as("dispersion_micros"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(k)
+  }
+
   /** Per-source length quantiles — exact type-1 (ceil-rank) p25/p50/p75/
     * p90 of `n_chars` per source, the grouped companion to the global
     * `median_price`: the first EDA read on a new crawl source (a p90

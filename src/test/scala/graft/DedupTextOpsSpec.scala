@@ -1260,6 +1260,46 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(got("s2") == ((1L, 7L, 7L, 7L, 7L)), "single doc: every quantile is it")
   }
 
+  test("crossSourceDupMatrix: upper-triangular source pair cells; " +
+       "dedupQualityShift: keep-best mean dominates min-id mean") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy old dog again today"
+    val docs = Seq(
+      (1L, base + " more words to make this variant longer and higher quality", "zsrc"),
+      (2L, base, "asrc"),
+      (3L, "entirely different material about tables rows and columns", "asrc")
+    ).toDF("doc_id", "text", "source")
+    val pairs = DedupOps.minhashCandidatePairs(docs)
+    val m = DedupOps.crossSourceDupMatrix(docs, pairs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m == Map(("asrc", "zsrc") -> 1L), s"ordered cross-source cell: $m")
+    val comps = DedupOps.dupComponents(pairs)
+    val r = DedupOps.dedupQualityShift(docs, comps).head()
+    assert(r.getAs[Long]("n_docs") == 3L && r.getAs[Long]("n_survivors") == 2L)
+    // doc 1 (longer) outscores doc 2, so keep-best keeps 1 while min-id
+    // keeps 1 too (min id of {1,2} = 1) — equal here; force divergence:
+    val docs2 = Seq(
+      (5L, base, "s"), (6L, base + " extra quality words in the longer doc", "s"))
+      .toDF("doc_id", "text", "source")
+    val r2 = DedupOps.dedupQualityShift(docs2,
+      DedupOps.dupComponents(DedupOps.minhashCandidatePairs(docs2))).head()
+    assert(r2.getAs[Long]("keep_best_mean_ppm") > r2.getAs[Long]("min_id_mean_ppm"),
+      s"keep-best must beat min-id when the later doc is better: $r2")
+  }
+
+  test("tokenBurstiness: uniform presence reads 0 dispersion, a one-doc " +
+       "clump reads (N-1) x 1e6") {
+    import spark.implicits._
+    // 'base' appears exactly once in each of 10 docs → D = 0;
+    // 'clump' appears 10 times in one doc → D = (s2·N − s1²)/(N·s1) = 9
+    val docs = (1L to 10L).map(i =>
+      (i, "base" + (if (i == 1) " clump" * 10 else ""))).toDF("doc_id", "text")
+    val got = TextOps.tokenBurstiness(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("base") == ((10L, 0L)), got.toString)
+    assert(got("clump") == ((10L, 9000000L)), got.toString)
+  }
+
   test("dupEvidence: identical docs fire all three screens; evidence row " +
        "carries band count, winnow overlap, and zero Hamming") {
     import spark.implicits._
