@@ -654,6 +654,16 @@ object SparkEntry {
     "dup_evidence" -> ((s, d) =>
       DedupOps.dupEvidence(t(s, d, "documents"),
         DedupOps.pairIndex(s, pairIndexFor(s, d)), winnowPairsFor(s, d))),
+    // LSH health: bucket-occupancy histogram with per-size candidate-pair
+    // volume — the candidate blowup visible BEFORE the pair join runs
+    "lsh_bucket_occupancy" -> ((s, d) =>
+      DedupOps.lshBucketOccupancy(t(s, d, "documents"))),
+    // dow × hour load heatmap, sign-safe anchored dow, shares in ppm
+    "dow_hour_heatmap" -> ((s, d) => EventOps.dowHourHeatmap(t(s, d, "events"))),
+    // LTV concentration: customers ranked by exact spend (sharded global
+    // rank), 10 equal-count deciles with population/spend/share
+    "customer_value_deciles" -> ((s, d) =>
+      EventOps.customerValueDeciles(t(s, d, "orders"))),
     // WHERE the dup mass lives: candidate pairs bucketed by the
     // endpoints' source pair (upper-triangular matrix)
     "cross_source_dup_matrix" -> ((s, d) =>
@@ -3311,6 +3321,42 @@ object SparkEntry {
     "dup_components" -> dupComponentsOracle,
     "cross_source_dup_matrix" -> crossSourceDupMatrixOracle,
     "dedup_quality_shift" -> dedupQualityShiftOracle,
+
+    "lsh_bucket_occupancy" ->
+      (minhashBandsCtes +
+      """
+        |SELECT sz AS bucket_size, COUNT(*) AS n_buckets,
+        |  CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS candidate_pairs
+        |FROM (SELECT band, band_key, COUNT(*) AS sz FROM bands GROUP BY 1, 2) b
+        |GROUP BY 1""".stripMargin),
+
+    "dow_hour_heatmap" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |c AS (SELECT
+        |  CAST(((datediff('day', DATE '1995-01-01',
+        |        CAST(date_trunc('day', ts) AS DATE)) % 7) + 7) % 7 AS INTEGER) AS dow,
+        |  CAST(hour(ts) AS INTEGER) AS hour,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM e),
+        |g AS (SELECT dow, hour, COUNT(*) AS n_events,
+        |      CAST(SUM(cents) AS BIGINT) AS total_cents FROM c GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS n_all FROM g)
+        |SELECT dow, hour, n_events, total_cents,
+        |  CAST((n_events * 1000000 + n_all // 2) // n_all AS BIGINT) AS share_ppm
+        |FROM g CROSS JOIN t""".stripMargin,
+
+    "customer_value_deciles" ->
+      """WITH pc AS (SELECT o_custkey,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT spend_cents,
+        |      row_number() OVER (ORDER BY spend_cents, o_custkey) AS rk FROM pc),
+        |t AS (SELECT COUNT(*) AS n, CAST(SUM(spend_cents) AS HUGEINT) AS total FROM pc)
+        |SELECT CAST(least(((rk - 1) * 10) // n, 9) AS INTEGER) AS decile,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(spend_cents) AS BIGINT) AS decile_cents,
+        |  CAST((SUM(CAST(spend_cents AS HUGEINT)) * 1000000 + MAX(total) // 2)
+        |       // MAX(total) AS BIGINT) AS share_ppm
+        |FROM r CROSS JOIN t GROUP BY 1""".stripMargin,
     // _star consumes the persisted pair index but computes the SAME
     // function — shares the oracle verbatim, which (with doc_pagerank /
     // doc_communities below) hash-proves the edge artifact's round trip

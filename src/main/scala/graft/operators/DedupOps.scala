@@ -694,6 +694,23 @@ object DedupOps {
       .select(col("doc_id"), explode(expr(simhashOrEmptySql)).as("simhash"))
   }
 
+  /** LSH bucket-occupancy histogram — the LSH HEALTH audit: how many
+    * (band, band_key) buckets hold 1, 2, 3… documents. Candidate-pair
+    * volume is Σ |bucket|·(|bucket|−1)/2, so a fat tail here IS the
+    * candidate blowup before it happens (a template flood shows up as a
+    * giant bucket long before the pair join melts); all-singleton
+    * buckets mean the banding is too fine to recall anything. One
+    * (band, key) aggregate then a bucket-size rollup — the same
+    * shape `component_size_profile` gives the collapse step, here for
+    * the candidate generation step.
+    */
+  def lshBucketOccupancy(documents: DataFrame): DataFrame =
+    lshBands(documents)
+      .groupBy(col("band"), col("band_key")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"),
+        expr("cast(sum(sz * (sz - 1) div 2) as bigint)").as("candidate_pairs"))
+
   /** Cross-source duplication matrix — WHERE the near-dup mass lives:
     * candidate pairs bucketed by their endpoints' (source_a, source_b)
     * with the pair ordered so the matrix is upper-triangular

@@ -652,6 +652,54 @@ object EventOps {
         col("cusum_scaled"), col("n_days"))
   }
 
+  /** Day-of-week × hour activity heatmap — the load-shape read behind
+    * capacity planning and anomaly baselines: event count and integer-
+    * cents value per (dow, hour) cell, with the share of the whole in
+    * half-up ppm. Same sign-safe epoch-anchored dow as
+    * `weekdaySeasonality` (pmod — portable, never negative); one keyed
+    * partial-agg shuffle over ≤ 168 output cells.
+    */
+  def dowHourHeatmap(events: DataFrame): DataFrame = {
+    val cells = events.select(
+      pmod(datediff(date_trunc("day", col("ts")).cast(DateType),
+        lit(java.sql.Date.valueOf("1995-01-01"))), lit(7)).cast(IntegerType).as("dow"),
+      hour(col("ts")).as("hour"),
+      expr("cast(round(value * 100) as bigint)").as("cents"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("cast(sum(cents) as bigint)").as("total_cents"))
+    val tot = cells.agg(sum(col("n_events")).as("n_all"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("dow"), col("hour"), col("n_events"), col("total_cents"),
+        expr("(n_events * 1000000 + n_all div 2) div n_all").as("share_ppm"))
+  }
+
+  /** Customer-value decile profile — the LTV concentration read: rank
+    * customers by exact integer spend (sharded global rank — no single
+    * reducer at a 10⁹-customer dimension), cut into 10 equal-count
+    * deciles, and report each decile's population, spend, and share of
+    * total in half-up ppm. Decile 9's share vs decile 0's is the classic
+    * "top 10% carry X%" number; the whole profile prices a retention
+    * program before anyone runs it.
+    */
+  def customerValueDeciles(orders: DataFrame): DataFrame = {
+    val pc = orders.groupBy(col("o_custkey"))
+      .agg(expr("cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)")
+        .as("spend_cents"))
+    val ranked = ShardedOrder.withGlobalRank(pc, "rk", 32,
+      col("spend_cents"), col("o_custkey"))
+    val n = pc.agg(count(lit(1)).as("n"),
+      expr("cast(sum(spend_cents) as decimal(38,0))").as("total"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("decile", expr("cast(least(((rk - 1) * 10) div n, 9) as int)"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        expr("cast(sum(spend_cents) as bigint)").as("decile_cents"),
+        expr("""cast((sum(cast(spend_cents as decimal(38,0))) * 1000000
+          | + max(total) div 2) div max(total) as bigint)""".stripMargin)
+          .as("share_ppm"))
+  }
+
   /** Temporal train/validation split with an EMBARGO gap — the
     * time-series leakage rule `leakage_safe_split`'s hash split cannot
     * express: validation is the trailing `valDays` window, training ends

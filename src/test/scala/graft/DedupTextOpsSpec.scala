@@ -1260,6 +1260,19 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(got("s2") == ((1L, 7L, 7L, 7L, 7L)), "single doc: every quantile is it")
   }
 
+  test("lshBucketOccupancy: identical docs collide on all 4 bands, the " +
+       "outsider stays in singleton buckets") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy old dog again today"
+    val docs = Seq((1L, base), (2L, base),
+      (3L, "wholly different content rows tables columns queries windows merge")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.lshBucketOccupancy(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(2L) == ((4L, 4L)), s"4 two-doc buckets, 1 pair each: $got")
+    assert(got(1L) == ((4L, 0L)), s"doc 3's 4 singleton buckets admit no pairs: $got")
+  }
+
   test("crossSourceDupMatrix: upper-triangular source pair cells; " +
        "dedupQualityShift: keep-best mean dominates min-id mean") {
     import spark.implicits._

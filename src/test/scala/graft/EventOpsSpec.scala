@@ -415,6 +415,28 @@ class EventOpsSpec extends SparkSpec {
     assert(r.getLong(3) == 8L)
   }
 
+  test("customerValueDeciles: equal-count deciles, exact share ppm; " +
+       "dowHourHeatmap: shares sum to ~1e6 and dow stays in 0..6") {
+    import spark.implicits._
+    // spends 100..2000 cents over 20 customers → 2 per decile;
+    // decile 9 = {1900, 2000} → share = 3900/21000
+    val orders = (1L to 20L).map(i => (i, i * 1.00)).toDF("o_custkey", "o_totalprice")
+    val d = EventOps.customerValueDeciles(orders).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(d.keySet == (0 to 9).toSet && d.values.forall(_._1 == 2L), d.toString)
+    assert(d(9) == ((2L, 3900L, (3900L * 1000000L + 10500L) / 21000L)), d.toString)
+    assert(d(0)._2 == 300L, "decile 0 holds the two smallest spenders")
+    val events = (0 until 48).map { i =>
+      (i.toLong, 1L, java.sql.Timestamp.valueOf(s"1995-01-0${1 + i / 24} ${i % 24}:30:00"), 1.0)
+    }.toDF("event_id", "user_id", "ts", "value")
+    val h = EventOps.dowHourHeatmap(events).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(4)))).toMap
+    assert(h.keys.forall { case (dw, hr) => dw >= 0 && dw <= 6 && hr >= 0 && hr <= 23 })
+    assert(h.size == 48 && h.values.forall(_._1 == 1L))
+    val shareSum = h.values.map(_._2).sum
+    assert(math.abs(shareSum - 1000000L) <= h.size, s"ppm shares sum ~1e6: $shareSum")
+  }
+
   test("temporalSplitEmbargo: splits are disjoint day ranges with a visible " +
        "gap of exactly the embargo width") {
     import spark.implicits._
