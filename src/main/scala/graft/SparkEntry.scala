@@ -1126,6 +1126,11 @@ object SparkEntry {
     // exactly by the oracle — integer-exact dots by grid construction
     "cosine_topk_rp" -> ((s, d) => SimilarityOps.rpTopK(t(s, d, "embeddings"), 10, 5)),
     "cosine_topk_ivf" -> ((s, d) => SimilarityOps.ivfTopK(t(s, d, "embeddings"), 16, 10, 5)),
+    // IVF list-balance audit: per-list population + ppm share — nprobe
+    // latency is bounded by the fattest probed list (lsh_bucket_occupancy's
+    // ANN sibling)
+    "ivf_cluster_balance" -> ((s, d) =>
+      SimilarityOps.ivfClusterBalance(t(s, d, "embeddings"))),
     // IVF over Lloyd-trained centroids (2 assign→mean passes); the oracle
     // replays the training, so the learned index itself is hash-gated
     "cosine_topk_ivf_trained" -> ((s, d) => {
@@ -4250,6 +4255,21 @@ object SparkEntry {
     // full DuckDB replay of IVF: first-16 centroids, assignment and probe
     // rankings on round(cos, 6) with centroid_id tiebreak — exactly the
     // Spark-side ivfAssign/ivfTopK ordering
+    "ivf_cluster_balance" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM v WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT v.vec_id, cent.centroid_id,
+        |           row_number() OVER (PARTITION BY v.vec_id
+        |             ORDER BY round(list_cosine_similarity(v.emb, cent.c_emb), 6) DESC, cent.centroid_id) AS rn
+        |    FROM v CROSS JOIN cent) t WHERE rn = 1),
+        |sizes AS (SELECT centroid_id, COUNT(*) AS n_vecs FROM asg GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_all FROM sizes)
+        |SELECT centroid_id, n_vecs,
+        |  CAST((n_vecs * 1000000 + n_all // 2) // n_all AS BIGINT) AS share_ppm
+        |FROM sizes CROSS JOIN t""".stripMargin,
+
     "cosine_topk_ivf" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |cent AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM v WHERE vec_id < 16),

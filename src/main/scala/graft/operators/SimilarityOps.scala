@@ -1184,6 +1184,23 @@ object SimilarityOps {
         (col("m.score") >= threshold).as("contaminated"))
   }
 
+  /** IVF list-balance audit — `lshBucketOccupancy`'s ANN sibling: per
+    * inverted list, the member count and corpus share in ppm. nprobe
+    * latency is bounded by the FATTEST probed list, so a skewed profile
+    * here is the straggler before it happens (and the argument for
+    * re-training centroids or splitting hot lists); a uniform profile is
+    * what amortizes the claimed n/k scan. Uses the narrow id-only
+    * assignment (`ivfAssignIds` — no embedding rides the shuffle).
+    */
+  def ivfClusterBalance(embeddings: DataFrame, nCentroids: Int = 16): DataFrame = {
+    val asg = ivfAssignIds(embeddings, seedCentroids(embeddings, nCentroids))
+    val sizes = asg.groupBy(col("centroid_id")).agg(count(lit(1)).as("n_vecs"))
+    val tot = sizes.agg(sum(col("n_vecs")).as("n_all"))
+    sizes.crossJoin(broadcast(tot))
+      .select(col("centroid_id"), col("n_vecs"),
+        expr("(n_vecs * 1000000 + n_all div 2) div n_all").as("share_ppm"))
+  }
+
   /** Embedding-table health profile — the pre-flight read before ANY
     * similarity tier trusts the column: vector count, zero-vector count
     * (cosine is undefined on them — every ANN tier here silently drops
