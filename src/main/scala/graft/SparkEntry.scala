@@ -992,6 +992,30 @@ object SparkEntry {
     // Poisson scatter, D≫1 is clumping — tf-idf's premise, measured
     "token_burstiness" -> ((s, d) => TextOps.tokenBurstiness(t(s, d, "documents"))),
 
+    // does longer mean better? Spearman between doc length and the
+    // integer quality score (sharded exact ranks) — the one-number check
+    // on whether a length filter double-counts the quality filter
+    "length_quality_corr" -> ((s, d) => {
+      val q = TextOps.qualityScore(t(s, d, "documents"))
+        .select(col("doc_id"),
+          expr("cast(round(quality * 1000000) as bigint)").as("q_ppm"))
+      StatsOps.spearmanMicros(
+        t(s, d, "documents").select(col("doc_id"), col("n_chars")).join(q, "doc_id"),
+        "doc_id", "n_chars", "q_ppm")
+    }),
+
+    // shuffle-skew pre-flight: portable-hash bucket counts for a join key
+    // with the max/mean ratio in ppm — the straggler bound priced before
+    // the shuffle runs
+    "hash_partition_balance" -> ((s, d) =>
+      RelationalOps.hashPartitionBalance(t(s, d, "events"), "user_id", 32)),
+
+    // per-source quality percentile normalization: the cross-source
+    // comparable score a mixer wants (src A's p80 == src B's p80),
+    // per-source ECDF via source-partitioned cumulative
+    "quality_pct_by_source" -> ((s, d) =>
+      TextOps.qualityPctBySource(t(s, d, "documents"))),
+
     // sequence-packing utilization: sequence count, avg fill vs budget
     // (ppm) and boundary overflows — the pack-config audit row
     "packing_efficiency" -> ((s, d) =>
@@ -4672,6 +4696,50 @@ object SparkEntry {
         |  CAST((SUM(fill) * 1000000 + (COUNT(*) * 256) // 2)
         |       // (COUNT(*) * 256) AS BIGINT) AS avg_fill_ppm
         |FROM f""".stripMargin,
+
+    "length_quality_corr" ->
+      """WITH q AS (SELECT doc_id, n_chars,
+        |  CAST(round(round(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.5 +
+        |       coalesce(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |                                     t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+        |                / NULLIF(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE), 0), 0) * 0.5,
+        |       6) * 1000000) AS BIGINT) AS q_ppm
+        |  FROM documents),
+        |r AS (SELECT row_number() OVER (ORDER BY n_chars, doc_id) AS rx,
+        |             row_number() OVER (ORDER BY q_ppm, doc_id) AS ry FROM q),
+        |dd AS (SELECT CAST(rx AS BIGINT) - CAST(ry AS BIGINT) AS d FROM r)
+        |SELECT COUNT(*) AS n,
+        |  CAST(round((1.0 - (6.0 * CAST(SUM(d * d) AS DOUBLE))
+        |    / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) - 1.0)))
+        |    * 1000000) AS BIGINT) AS rho_micros
+        |FROM dd""".stripMargin,
+
+    "hash_partition_balance" ->
+      """WITH b AS (SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 32 AS bucket,
+        |           COUNT(*) AS n FROM events GROUP BY 1)
+        |SELECT COUNT(*) AS n_buckets, CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  CAST(MIN(n) AS BIGINT) AS min_bucket, CAST(MAX(n) AS BIGINT) AS max_bucket,
+        |  CAST((MAX(n) * 32 * 1000000 + SUM(n) // 2) // SUM(n) AS BIGINT)
+        |    AS max_mean_ratio_ppm
+        |FROM b""".stripMargin,
+
+    "quality_pct_by_source" ->
+      """WITH q AS (SELECT doc_id, source,
+        |  CAST(round(round(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.5 +
+        |       coalesce(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |                                     t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+        |                / NULLIF(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE), 0), 0) * 0.5,
+        |       6) * 1000000) AS BIGINT) AS q_ppm
+        |  FROM documents),
+        |cnt AS (SELECT source, q_ppm, COUNT(*) AS c FROM q GROUP BY 1, 2),
+        |cum AS (SELECT source, q_ppm,
+        |        SUM(c) OVER (PARTITION BY source ORDER BY q_ppm
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_le FROM cnt),
+        |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_src FROM cnt GROUP BY 1)
+        |SELECT q.doc_id, q.source, q.q_ppm,
+        |  CAST((cum_le * 1000000 + n_src // 2) // n_src AS BIGINT) AS pct_ppm
+        |FROM q JOIN cum ON cum.source = q.source AND cum.q_ppm = q.q_ppm
+        |JOIN ns ON ns.source = q.source""".stripMargin,
 
     "token_burstiness" ->
       """WITH pd AS (SELECT token, doc_id, COUNT(*) AS c FROM (

@@ -379,6 +379,33 @@ object RelationalOps {
         col("kv.n_nulls").as("n_nulls"), col("kv.n_distinct").as("n_distinct"))
   }
 
+  /** Shuffle-skew pre-flight for a join/group key: bucket the key through
+    * the PORTABLE md5 hash (the repo's engine-independent lottery — not
+    * Spark's internal murmur, so the oracle replays it bit-for-bit) into
+    * `buckets` cells and report the skew summary: bucket count, row
+    * count, min/max bucket, and max/mean in half-up ppm. A ratio near
+    * 1e6 means the shuffle balances; 5e6 means one reducer does 5× the
+    * work — the straggler bound priced BEFORE the job runs, for the cost
+    * of one keyed partial-agg pass.
+    */
+  def hashPartitionBalance(df: DataFrame, keyCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets out of range: $buckets")
+    val b = df.select(expr(
+        s"cast(conv(substr(md5(cast(`$keyCol` as string)), 1, 8), 16, 10) as bigint) % $buckets")
+        .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    b.agg(count(lit(1)).as("n_buckets"),
+        expr("cast(sum(n) as bigint)").as("n_rows"),
+        min(col("n")).as("min_bucket"),
+        max(col("n")).as("max_bucket"))
+      // ratio against the CONFIGURED bucket count, not the occupied one:
+      // a single hot key fills one bucket and must read `buckets`× the
+      // ideal share, not 1× (empty buckets are the skew, not noise)
+      .select(col("n_buckets"), col("n_rows"), col("min_bucket"), col("max_bucket"),
+        expr(s"""cast((max_bucket * ${buckets}L * 1000000 + n_rows div 2)
+          | div n_rows as bigint)""".stripMargin).as("max_mean_ratio_ppm"))
+  }
+
   /** First-seen novelty audit: per day, how many active entities are NEW
     * (their first-ever appearance). The per-snapshot freshness signal a
     * recurring ingest watches — a collapsing new-rate means the source is

@@ -1511,6 +1511,32 @@ object TextOps {
         expr("1000000 - (cum_f * 1000000 + total div 2) div total").as("oov_ppm"))
   }
 
+  /** Per-source quality PERCENTILE normalization — the cross-source
+    * comparable score a corpus mixer actually wants: raw quality scores
+    * are not comparable across sources (a "0.6" from a clean feed and
+    * from a spam feed mean different things), but "p80 within its own
+    * source" is. Exact per-source ECDF: a (source, q) count, the
+    * cumulative over the SOURCE-partitioned window (parallel across
+    * sources; the dimension per source is its distinct quality values),
+    * and a map-back join — `quantileNormalize`'s grouped sibling, ties
+    * share a percentile by construction. Half-up integer ppm.
+    */
+  def qualityPctBySource(documents: DataFrame): DataFrame = {
+    val q = qualityScore(documents)
+      .select(col("doc_id"), expr("cast(round(quality * 1000000) as bigint)").as("q_ppm"))
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+    val cnt = q.groupBy(col("source"), col("q_ppm")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("q_ppm"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cnt.withColumn("cum_le", sum(col("c")).over(w))
+      .select(col("source"), col("q_ppm"), col("cum_le"))
+    val ns = cnt.groupBy(col("source")).agg(sum(col("c")).as("n_src"))
+    q.join(cum, Seq("source", "q_ppm"))
+      .join(ns, Seq("source"))
+      .select(col("doc_id"), col("source"), col("q_ppm"),
+        expr("(cum_le * 1000000 + n_src div 2) div n_src").as("pct_ppm"))
+  }
+
   /** Token burstiness — the index of dispersion D = σ²/μ of PER-DOCUMENT
     * counts for the corpus's top tokens (zero-count docs included via the
     * closed form): D ≈ 1 is Poisson scatter (function words), D ≫ 1 is

@@ -1386,4 +1386,29 @@ class DedupTextOpsSpec extends SparkSpec {
       .sortBy(_._1)
     assert(got.toSeq == again.toSeq, "phase assignment is partitioning-invariant")
   }
+
+  test("qualityPctBySource: each source's best doc sits at p100 regardless " +
+       "of its absolute score; ties share a percentile; partitioning-invariant") {
+    import spark.implicits._
+    val long = "the quick brown fox jumps over the lazy old dog " * 6
+    val docs = Seq(
+      // source A: one clearly-best doc, two identical weak ones (tie)
+      (1L, long, "A"), (2L, "zzz qqq", "A"), (3L, "zzz qqq", "A"),
+      // source B: uniformly weak — its best doc must STILL be p100
+      (4L, "xxx yyy", "B"), (5L, "x", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.qualityPctBySource(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L)._3 == 1000000L, s"A's best doc at p100: ${got(1L)}")
+    // B's best doc is absolutely weaker than A's weakest, yet p100 within B
+    val bBest = Seq(got(4L), got(5L)).maxBy(_._2)
+    assert(bBest._3 == 1000000L, s"B's best doc at p100: $bBest")
+    // the tied A docs share q_ppm AND percentile
+    assert(got(2L) == got(3L), s"ties share a percentile: ${got(2L)} vs ${got(3L)}")
+    // ECDF of the weak tie in A: 2 of 3 docs <= them → round(2/3 * 1e6)
+    assert(got(2L)._3 == 666667L, got(2L).toString)
+    val again = TextOps.qualityPctBySource(docs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(again == got, "percentiles are partitioning-invariant")
+  }
 }

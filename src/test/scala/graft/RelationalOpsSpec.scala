@@ -340,4 +340,21 @@ class RelationalOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
     assert(f2 == f, "extra doubling rounds must be the identity")
   }
+
+  test("hashPartitionBalance: bucket counts conserve rows; a single hot key " +
+       "prices the worst case as buckets x the ideal share") {
+    // all rows share one key → one occupied bucket holds everything:
+    // max/mean against the CONFIGURED 8 buckets = 8e6 ppm exactly
+    val hot = Seq.fill(40)(Tuple1(7L)).toDF("user_id")
+    val h = RelationalOps.hashPartitionBalance(hot, "user_id", 8).head()
+    assert(h.getLong(0) == 1L && h.getLong(1) == 40L, h.toString)
+    assert(h.getLong(2) == 40L && h.getLong(3) == 40L, h.toString)
+    assert(h.getLong(4) == 8000000L, h.toString)
+    // spread keys: rows conserved, min <= max, ratio >= 1e6 (can't beat ideal)
+    val spread = (1L to 200L).map(Tuple1(_)).toDF("user_id")
+    val s = RelationalOps.hashPartitionBalance(spread, "user_id", 8).head()
+    assert(s.getLong(1) == 200L, s.toString)
+    assert(s.getLong(2) <= s.getLong(3), s.toString)
+    assert(s.getLong(4) >= 1000000L, s.toString)
+  }
 }
