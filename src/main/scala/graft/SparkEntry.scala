@@ -925,6 +925,16 @@ object SparkEntry {
     // double over exact longs, micros-quantized BEFORE the sum
     "chi_square_status_priority" -> ((s, d) =>
       StatsOps.chiSquare(t(s, d, "orders"), "o_orderstatus", "o_orderpriority")),
+    // mutual information of the same pair in micro-nats — chi-square's
+    // effect-size companion (observed cells only; 0·ln0 = 0)
+    "mutual_info_status_priority" -> ((s, d) =>
+      StatsOps.mutualInformation(t(s, d, "orders"), "o_orderstatus", "o_orderpriority")),
+    // conditional next-event entropy per state: the predictability
+    // one-number over the transition matrix, micro-nats
+    "transition_entropy" -> ((s, d) => EventOps.transitionEntropy(t(s, d, "events"))),
+    // truncated-kernel EWMA of daily revenue: ppm-quantized integer
+    // weights shared with the oracle, per-row renormalized weight sum
+    "ewma_revenue" -> ((s, d) => EventOps.ewmaRevenue(t(s, d, "events"))),
     // Benford first-digit audit over order totals: observed share vs the
     // log10(1+1/d) expectation, both in ppm
     "benford_audit" -> ((s, d) => StatsOps.benfordAudit(t(s, d, "orders"), "o_totalprice")),
@@ -1010,6 +1020,21 @@ object SparkEntry {
     "hash_partition_balance" -> ((s, d) =>
       RelationalOps.hashPartitionBalance(t(s, d, "events"), "user_id", 32)),
 
+    // Z-order layout audit over (custkey, order day): per z-bucket
+    // bounding-box spans in ppm — the both-dimensions-bounded evidence
+    // behind the Z-order writer, via the native Morton expression
+    "zorder_span_audit" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_custkey").as("ck"),
+        datediff(date_trunc("day", col("o_orderdate")).cast(DateType),
+          lit("1995-01-01").cast(DateType)).cast(LongType).as("doff"))
+      RelationalOps.zorderSpanAudit(o, "ck", "doff")
+    }),
+
+    // Poisson-bootstrap CI for mean order value: 32 deterministic
+    // hash-lottery resamples, exact integer means, order-statistic CI
+    "bootstrap_ci" -> ((s, d) =>
+      StatsOps.bootstrapCi(t(s, d, "orders"), "o_orderkey", "o_totalprice")),
+
     // per-source quality percentile normalization: the cross-source
     // comparable score a mixer wants (src A's p80 == src B's p80),
     // per-source ECDF via source-partitioned cumulative
@@ -1092,6 +1117,9 @@ object SparkEntry {
     // blocked fuzzy self-match (entity resolution, value-level): distinct
     // part names, noun-blocked, edit-distance <= 3
     "fuzzy_name_match" -> ((s, d) => EntityOps.fuzzyNameMatch(t(s, d, "part"), "p_name")),
+    // blocked Jaro-Winkler self-match through the native codegen
+    // expression (DuckDB-bit-exact contract), half-up ppm scores
+    "jw_name_pairs" -> ((s, d) => EntityOps.jwNamePairs(t(s, d, "part"), "p_name")),
     // FastSS deletion-neighborhood ed≤1 self-match: no block key, no
     // hot-block straggler — the A/B against blocked levenshtein at
     // threshold 1 (candidates via one equi-join on Σ|v| deletion keys)
@@ -4530,6 +4558,56 @@ object SparkEntry {
         |FROM grid CROSS JOIN nn
         |GROUP BY 1, 2""".stripMargin,
 
+    "mutual_info_status_priority" ->
+      """WITH obs AS (SELECT o_orderstatus AS a, o_orderpriority AS b, COUNT(*) AS obs
+        |  FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT a, SUM(obs) AS rt FROM obs GROUP BY 1),
+        |ct AS (SELECT b, SUM(obs) AS ct FROM obs GROUP BY 1),
+        |nn AS (SELECT SUM(obs) AS n, COUNT(DISTINCT a) AS na, COUNT(DISTINCT b) AS nb FROM obs)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |  CAST(SUM(CAST(round(
+        |    CAST(obs AS DOUBLE) / CAST(n AS DOUBLE)
+        |    * ln(CAST(obs AS DOUBLE) * CAST(n AS DOUBLE)
+        |         / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))) * 1000000
+        |  ) AS BIGINT)) AS BIGINT) AS mi_micros
+        |FROM obs JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN nn
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "transition_entropy" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |p AS (SELECT user_id, event_type AS from_type,
+        |      lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |      FROM e),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM p
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tt AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS from_total,
+        |       COUNT(*) AS n_dest FROM c GROUP BY 1)
+        |SELECT c.from_type, tt.from_total, CAST(tt.n_dest AS BIGINT) AS n_dest,
+        |  CAST(SUM(CAST(round(
+        |    -CAST(n AS DOUBLE) / CAST(from_total AS DOUBLE)
+        |    * ln(CAST(n AS DOUBLE) / CAST(from_total AS DOUBLE)) * 1000000
+        |  ) AS BIGINT)) AS BIGINT) AS entropy_micros
+        |FROM c JOIN tt USING (from_type)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "ewma_revenue" -> {
+      // the SAME ppm weight constants the engine uses, inlined as VALUES —
+      // the smoothing is an exact integer dot product on both sides
+      val w = graft.operators.EventOps.ewmaWeightsPpm.zipWithIndex
+        .map { case (wt, k) => s"($k, $wt)" }.mkString(", ")
+      s"""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+         |d AS (SELECT CAST(datediff('day', DATE '1995-01-01',
+         |        CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |      SUM(CAST(round(value * 100) AS BIGINT)) AS cents FROM e GROUP BY 1),
+         |w(k, wt) AS (VALUES $w),
+         |s AS (SELECT d.x + w.k AS x, SUM(CAST(w.wt AS BIGINT) * d.cents) AS swc,
+         |      SUM(CAST(w.wt AS BIGINT)) AS sw FROM d CROSS JOIN w GROUP BY 1)
+         |SELECT CAST(DATE '1995-01-01' + CAST(d.x AS INTEGER) AS DATE) AS day,
+         |  CAST(d.cents AS BIGINT) AS cents,
+         |  CAST((swc + sw // 2) // sw AS BIGINT) AS ewma_cents
+         |FROM d JOIN s USING (x)""".stripMargin
+    },
+
     "gini_spend" ->
       """WITH pc AS (SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
         |  FROM orders GROUP BY 1),
@@ -4722,6 +4800,53 @@ object SparkEntry {
         |  CAST((MAX(n) * 32 * 1000000 + SUM(n) // 2) // SUM(n) AS BIGINT)
         |    AS max_mean_ratio_ppm
         |FROM b""".stripMargin,
+
+    // the Morton spread unrolled as shift/mask SQL — integer-exact twin
+    // of the native InterleaveBits codegen expression
+    "zorder_span_audit" ->
+      """WITH o AS (SELECT
+        |  ((CAST(o_custkey AS BIGINT) % 65536) + 65536) % 65536 AS a,
+        |  ((CAST(datediff('day', DATE '1995-01-01',
+        |      CAST(date_trunc('day', o_orderdate) AS DATE)) AS BIGINT) % 65536) + 65536) % 65536 AS b
+        |  FROM orders),
+        |s1 AS (SELECT a, b, ((a | (a << 8)) & 16711935) AS xa,
+        |       ((b | (b << 8)) & 16711935) AS xb FROM o),
+        |s2 AS (SELECT a, b, ((xa | (xa << 4)) & 252645135) AS xa,
+        |       ((xb | (xb << 4)) & 252645135) AS xb FROM s1),
+        |s3 AS (SELECT a, b, ((xa | (xa << 2)) & 858993459) AS xa,
+        |       ((xb | (xb << 2)) & 858993459) AS xb FROM s2),
+        |s4 AS (SELECT a, b, ((xa | (xa << 1)) & 1431655765) AS xa,
+        |       ((xb | (xb << 1)) & 1431655765) AS xb FROM s3),
+        |g AS (SELECT (xa | (xb << 1)) // 67108864 AS bucket, COUNT(*) AS n,
+        |      MIN(a) AS min_a, MAX(a) AS max_a, MIN(b) AS min_b, MAX(b) AS max_b
+        |      FROM s4 GROUP BY 1)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n,
+        |  CAST(((max_a - min_a + 1) * 1000000 + 32768) // 65536 AS BIGINT) AS span_a_ppm,
+        |  CAST(((max_b - min_b + 1) * 1000000 + 32768) // 65536 AS BIGINT) AS span_b_ppm
+        |FROM g""".stripMargin,
+
+    "bootstrap_ci" -> {
+      val wExpr = graft.operators.StatsOps.poissonU32
+        .map(t => s"CAST(u >= $t AS INT)").mkString(" + ")
+      s"""WITH base AS (SELECT CAST(o_orderkey AS VARCHAR) AS k,
+         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+         |reps AS (SELECT CAST(range AS BIGINT) AS b FROM range(32)),
+         |u AS (SELECT cents, b,
+         |      CAST(concat('0x', substr(md5(concat(k, '_', CAST(b AS VARCHAR))), 1, 8)) AS BIGINT) AS u
+         |      FROM base CROSS JOIN reps),
+         |w AS (SELECT cents, b, CAST($wExpr AS BIGINT) AS w FROM u),
+         |rs AS (SELECT b, SUM(w * cents) AS swc, SUM(w) AS sw FROM w GROUP BY 1),
+         |m AS (SELECT b, CASE WHEN sw > 0 THEN CAST((swc + sw // 2) // sw AS BIGINT) END AS mean_b FROM rs),
+         |r AS (SELECT mean_b, row_number() OVER (ORDER BY mean_b, b) AS rk FROM m),
+         |f AS (SELECT COUNT(*) AS n,
+         |      CAST((SUM(cents) + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS mean_cents FROM base),
+         |ci AS (SELECT MAX(CASE WHEN rk = 2 THEN mean_b END) AS ci_lo_cents,
+         |       MAX(CASE WHEN rk = 31 THEN mean_b END) AS ci_hi_cents,
+         |       COUNT(*) AS n_resamples FROM r)
+         |SELECT CAST(n AS BIGINT) AS n, mean_cents, ci_lo_cents, ci_hi_cents,
+         |  CAST(n_resamples AS BIGINT) AS n_resamples
+         |FROM f CROSS JOIN ci""".stripMargin
+    },
 
     "quality_pct_by_source" ->
       """WITH q AS (SELECT doc_id, source,
@@ -5042,6 +5167,16 @@ object SparkEntry {
         |WHERE a.name < b.name
         |  AND abs(len(a.name) - len(b.name)) <= 3
         |  AND levenshtein(a.name, b.name) <= 3""".stripMargin,
+
+    "jw_name_pairs" ->
+      """WITH names AS (SELECT p_name AS name, COUNT(*) AS n_rows,
+        |               string_split(p_name, ' ')[-1] AS block FROM part GROUP BY 1)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(round(jaro_winkler_similarity(a.name, b.name) * 1000000) AS BIGINT) AS jw_ppm,
+        |  a.n_rows AS n_rows_a, b.n_rows AS n_rows_b
+        |FROM names a JOIN names b ON a.block = b.block
+        |WHERE a.name < b.name
+        |  AND CAST(round(jaro_winkler_similarity(a.name, b.name) * 1000000) AS BIGINT) >= 880000""".stripMargin,
 
     "fuzzy_match_del1" ->
       """WITH names AS (SELECT p_name AS name, COUNT(*) AS n_rows FROM part

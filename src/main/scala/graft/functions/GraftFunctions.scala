@@ -20,4 +20,10 @@ object GraftFunctions {
   /** Fused, codegen'd Euclidean distance — the PQ-encode hot path. */
   def l2Dist(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.EuclideanDistance(a, b)
+
+  /** Codegen'd Jaro–Winkler similarity (DuckDB-bit-exact contract) —
+    * the front-weighted second compare signal of the blocked-ER tier.
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.JaroWinkler(a, b)
 }

@@ -89,6 +89,34 @@ object EntityOps {
         col("n_rows_a"), col("n_rows_b"))
   }
 
+  /** Blocked Jaro–Winkler self-match — [[fuzzyNameMatch]]'s front-weighted
+    * sibling: same last-token blocking and value-level discipline, but
+    * scored by the native codegen'd
+    * [[graft.functions.GraftFunctions.jaroWinkler]] expression instead of
+    * the edit-distance DP. JW is length-normalized (a 2-edit slip in a
+    * 40-char name still scores ≈ 0.95) and prefix-boosted, so it
+    * surfaces the long-name near-misses a fixed `maxDist` cutoff drops
+    * and ranks them by closeness. Emits half-up-ppm scores ≥ `minPpm`;
+    * the ppm quantization of the bit-exact double is the only rounding
+    * anywhere, shared with the oracle's `jaro_winkler_similarity`.
+    */
+  def jwNamePairs(df: DataFrame, valueCol: String, minPpm: Long = 880000L): DataFrame = {
+    val names = df
+      .groupBy(col(valueCol).as("name"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("block", element_at(split(col("name"), " "), -1))
+    val a = names.select(col("block"), col("name").as("name_a"), col("n_rows").as("n_rows_a"))
+    val b = names.select(col("block"), col("name").as("name_b"), col("n_rows").as("n_rows_b"))
+    a.join(b, Seq("block"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("jw_ppm",
+        round(graft.functions.GraftFunctions.jaroWinkler(
+          col("name_a"), col("name_b")) * lit(1000000L)).cast(LongType))
+      .select(col("name_a"), col("name_b"), col("jw_ppm"),
+        col("n_rows_a"), col("n_rows_b"))
+      .filter(col("jw_ppm") >= minPpm)
+  }
+
   /** Blocking-quality audit (Christen's reduction ratio) — the
     * pre-flight read BEFORE running the quadratic compare: how many
     * candidate pairs does the block key actually admit vs the all-pairs

@@ -324,6 +324,84 @@ object EventOps {
         expr("(n * 1000000L + from_total div 2) div from_total").as("p_ppm"))
   }
 
+  /** Conditional next-event entropy per state — the one-number
+    * predictability read over [[eventTransitions]]' matrix:
+    * H(next | from = a) = −Σ_b p·ln p in micro-nats. H ≈ 0 means the
+    * state funnels deterministically (every `add_to_cart` goes to
+    * `purchase`); ln(|types|) means it scatters uniformly — the signal
+    * for WHERE journey modeling has any leverage. Each term is one
+    * fixed-shape double over the exact integer pair counts, micros-
+    * quantized before the per-state sum (the [[StatsOps.mutualInformation]]
+    * discipline). Corpus-scale work is the same single user-keyed window
+    * + (from,to) aggregate as the transition matrix; the entropy sum
+    * runs on |types|² rows.
+    */
+  def transitionEntropy(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("from_total"), count(lit(1)).as("n_dest"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("from_total"), col("n_dest"),
+        expr("""cast(round(
+          |  -cast(n as double) / cast(from_total as double)
+          |  * ln(cast(n as double) / cast(from_total as double)) * 1000000
+          |) as bigint)""".stripMargin).as("term_micros"))
+      .groupBy(col("from_type"), col("from_total"), col("n_dest"))
+      .agg(sum(col("term_micros")).as("entropy_micros"))
+  }
+
+  /** Integer truncated-kernel exponential smoothing weights for
+    * [[ewmaRevenue]]: w_k = round(α(1−α)^k · 1e6) for k = 0..K−1 with
+    * α = 0.3, K = 10 — ppm-quantized CONSTANTS shared verbatim by the
+    * engine and the oracle, so the smoothing itself is an exact integer
+    * dot product (no float ever crosses an engine boundary).
+    */
+  val ewmaWeightsPpm: Seq[Long] =
+    (0 until 10).map(k => math.round(0.3 * math.pow(0.7, k) * 1e6))
+
+  /** EWMA-smoothed daily revenue: s_d = Σ_k w_k·cents_{d−k} / Σ_k w_k over
+    * the OBSERVED days inside the K-day kernel (the weight sum
+    * renormalizes per row, so series edges and gap days aren't damped
+    * toward zero — the sparse-series convention). The recursive EWMA is
+    * deliberately unrolled into a truncated kernel: a recursion is a
+    * sequential scan (one reducer at fact scale, and float state drift
+    * across engines), while the kernel is one K-fold broadcast expand +
+    * one partial aggregate — embarrassingly parallel, integer-exact, and
+    * within (1−α)^K < 3% of the infinite-memory EWMA. Day arithmetic
+    * rides the portable epoch offset x = datediff(day, 1995-01-01).
+    */
+  def ewmaRevenue(events: DataFrame): DataFrame = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    val daily = events
+      .groupBy(date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      .select(datediff(col("day"), lit("1995-01-01").cast(DateType))
+        .cast(LongType).as("x"), col("cents"))
+    val weights = ewmaWeightsPpm.zipWithIndex
+      .map { case (w, k) => (k.toLong, w) }
+      .toDF("k", "w")
+    // scatter each day's cents onto the K target days it influences,
+    // gather with the per-target weight sum, keep only REAL days
+    val smoothed = daily.crossJoin(broadcast(weights))
+      .select((col("x") + col("k")).as("x"), col("w"),
+        (col("w") * col("cents")).as("wc"))
+      .groupBy(col("x"))
+      .agg(sum(col("wc")).as("swc"), sum(col("w")).as("sw"))
+    daily.join(smoothed, Seq("x"))
+      .select(
+        expr("date_add(date '1995-01-01', cast(x as int))").as("day"),
+        col("cents"),
+        expr("(swc + sw div 2) div sw").as("ewma_cents"))
+  }
+
   /** Item-item collaborative filtering over the props item key: cosine
     * similarity between items on their user co-interaction vectors
     * (binary), top-`k` neighbors per item — the classic "users who

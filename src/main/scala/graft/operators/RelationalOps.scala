@@ -406,6 +406,42 @@ object RelationalOps {
           | div n_rows as bigint)""".stripMargin).as("max_mean_ratio_ppm"))
   }
 
+  /** Z-order layout effectiveness audit — the data-skipping read behind
+    * the Z-order writer: quantize two keys to 16 bits, interleave them
+    * through the NATIVE Morton expression
+    * ([[graft.functions.GraftFunctions.interleaveBits]], codegen'd), cut
+    * the curve into `1 << bucketBits` equal z-ranges (what row groups
+    * would see under a z-sorted write), and report each bucket's
+    * bounding box as per-dimension span ppm of the full 16-bit range.
+    * Small spans on BOTH dimensions are the whole point of Z-order — a
+    * min/max-pruned scan skips a bucket when either predicate misses its
+    * box; the single-key-sorted alternative gives span ≈ 0 on one
+    * dimension and ≈ 1e6 on the other. Pure integer end-to-end: one
+    * map-side expression + one partial aggregate over ≤ 2^bucketBits
+    * groups.
+    */
+  def zorderSpanAudit(df: DataFrame, aCol: String, bCol: String,
+                      bucketBits: Int = 6): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= 16, s"bucketBits out of range: $bucketBits")
+    // sign-safe 16-bit quantization (the weekday-seasonality lesson:
+    // % is sign-preserving on both engines; negative keys must not reach
+    // the bit spread)
+    val q = df.select(
+      expr(s"((cast($aCol as bigint) % 65536) + 65536) % 65536").as("a"),
+      expr(s"((cast($bCol as bigint) % 65536) + 65536) % 65536").as("b"))
+    q.select(col("a"), col("b"),
+        graft.functions.GraftFunctions.interleaveBits(col("a"), col("b")).as("z"))
+      .select(col("a"), col("b"),
+        expr(s"z div ${1L << (32 - bucketBits)}").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("a")).as("min_a"), max(col("a")).as("max_a"),
+        min(col("b")).as("min_b"), max(col("b")).as("max_b"))
+      .select(col("bucket"), col("n"),
+        expr("((max_a - min_a + 1) * 1000000 + 32768) div 65536").as("span_a_ppm"),
+        expr("((max_b - min_b + 1) * 1000000 + 32768) div 65536").as("span_b_ppm"))
+  }
+
   /** First-seen novelty audit: per day, how many active entities are NEW
     * (their first-ever appearance). The per-snapshot freshness signal a
     * recurring ingest watches — a collapsing new-rate means the source is

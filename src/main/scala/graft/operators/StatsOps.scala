@@ -103,6 +103,107 @@ object StatsOps {
       .select(col("n"), col("dof"), col("chi2_micros"))
   }
 
+  /** Mutual information between two categorical columns, in micro-nats —
+    * chi-square's effect-size companion (chi² says "dependent or not";
+    * MI says HOW MUCH knowing one tells you about the other, on a scale
+    * comparable across tables). I = Σ p(a,b)·ln(p(a,b)/(p(a)p(b))) over
+    * OBSERVED cells only (the 0·ln0 = 0 convention makes empty cells
+    * contribute exactly nothing, so unlike [[chiSquare]] no full-grid
+    * expansion is needed). Determinism: each cell term is one
+    * fixed-shape double expression over exact integer counts
+    * (obs·n / (rt·ct) never crosses a running accumulator), quantized
+    * to micros BEFORE the final sum — the same discipline that keeps
+    * chi-square and Benford bit-identical cross-engine. Scale shape:
+    * one (a,b) partial aggregate at corpus scale; the marginals and the
+    * term sum run on the |a|·|b| observed grid — dimension-scale.
+    */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("obs"))
+    val rowTot = obs.groupBy(col("a")).agg(sum(col("obs")).as("rt"))
+    val colTot = obs.groupBy(col("b")).agg(sum(col("obs")).as("ct"))
+    val n = obs.agg(sum(col("obs")).as("n"),
+      countDistinct(col("a")).as("na"), countDistinct(col("b")).as("nb"))
+    obs.join(broadcast(rowTot), Seq("a"))
+      .join(broadcast(colTot), Seq("b"))
+      .crossJoin(broadcast(n))
+      .select(
+        expr("""cast(round(
+          |  cast(obs as double) / cast(n as double)
+          |  * ln(cast(obs as double) * cast(n as double)
+          |       / (cast(rt as double) * cast(ct as double))) * 1000000
+          |) as bigint)""".stripMargin).as("term_micros"),
+        col("n"), col("na"), col("nb"))
+      .groupBy(col("n"), col("na"), col("nb"))
+      .agg(sum(col("term_micros")).as("mi_micros"))
+      .select(col("n"), col("na"), col("nb"), col("mi_micros"))
+  }
+
+  /** Cumulative Poisson(1) CDF thresholds scaled to u32 — the shared
+    * integer constants behind [[bootstrapCi]]'s deterministic resample
+    * weights: a uniform u32 hash draw u maps to weight
+    * w = #{k : t_k ≤ u}, which is Poisson(1)-distributed to within the
+    * 2⁻³² quantization. Truncated at 8 (P(W > 8) < 1e-8).
+    */
+  val poissonU32: Seq[Long] = {
+    val e1 = math.exp(-1.0)
+    var fact = 1.0
+    var cum = 0.0
+    (0 to 7).map { k =>
+      if (k > 0) fact *= k
+      cum += e1 / fact
+      math.round(cum * 4294967296.0)
+    }
+  }
+
+  /** Poisson-bootstrap confidence interval for a mean — the distributed
+    * bootstrap (Chamandy et al., "Estimating uncertainty for massive data
+    * streams"): a classical resample-with-replacement needs coordinated
+    * sampling of n rows B times; the Poisson approximation gives every
+    * row an INDEPENDENT Poisson(1) multiplicity per replicate, so the
+    * whole thing is one stateless map over a B-fold broadcast expand +
+    * one (replicate) partial aggregate — no global state, no second scan,
+    * embarrassingly parallel at any corpus size (compute scales linearly
+    * in B; B = 32 here). Weights come from the portable md5 lottery
+    * (`key_b` → u32 → inverse-CDF through [[poissonU32]]), so both
+    * engines draw IDENTICAL resamples and the whole output is exact
+    * integer: per-replicate half-up mean in cents, CI = the 2nd and
+    * (B−1)th order statistics of the B replicate means (≈ the 93.75%
+    * percentile interval), selected via one sort of a B-row array —
+    * dimension-scale, no global window.
+    */
+  def bootstrapCi(df: DataFrame, keyCol: String, valCol: String,
+                  bRes: Int = 32): DataFrame = {
+    require(bRes >= 4, s"bRes out of range: $bRes")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val reps = (0 until bRes).map(_.toLong).toDF("b")
+    val base = df.select(col(keyCol).cast(StringType).as("k"),
+      expr(s"cast(round($valCol * 100) as bigint)").as("cents"))
+    val wExpr = poissonU32.map(t => s"cast(u >= $t as int)").mkString(" + ")
+    val rs = base.crossJoin(broadcast(reps))
+      .select(col("cents"),
+        col("b"),
+        expr("cast(conv(substr(md5(concat(k, '_', cast(b as string))), 1, 8), 16, 10) as bigint)")
+          .as("u"))
+      .select(col("cents"), col("b"), expr(s"cast($wExpr as bigint)").as("w"))
+      .groupBy(col("b"))
+      .agg(sum(col("w") * col("cents")).as("swc"), sum(col("w")).as("sw"))
+      .select(col("b"),
+        when(col("sw") > 0, expr("(swc + sw div 2) div sw")).as("mean_b"))
+    val full = base.agg(count(lit(1)).as("n"),
+      expr("cast((sum(cents) + count(1) div 2) div count(1) as bigint)").as("mean_cents"))
+    val ci = rs.agg(
+      expr(s"element_at(sort_array(collect_list(struct(mean_b, b))), 2).mean_b")
+        .as("ci_lo_cents"),
+      expr(s"element_at(sort_array(collect_list(struct(mean_b, b))), ${bRes - 1}).mean_b")
+        .as("ci_hi_cents"),
+      count(lit(1)).as("n_resamples"))
+    full.crossJoin(broadcast(ci))
+      .select(col("n"), col("mean_cents"), col("ci_lo_cents"),
+        col("ci_hi_cents"), col("n_resamples"))
+  }
+
   /** Gini coefficient of a positive money column — the inequality read
     * next to `skewProfile`'s top-N concentration: one number for "how
     * unequal is spend across customers". Closed form over the ascending

@@ -90,4 +90,48 @@ class EntityOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(blocked.subsetOf(got.keySet))
   }
+
+  test("JaroWinkler expression: textbook values, the 0.7 boost threshold, " +
+       "and null/empty conventions match the oracle contract") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.JaroWinkler
+    // textbook pairs (values cross-checked against DuckDB's
+    // jaro_winkler_similarity during the bit-exactness fuzz)
+    assert(JaroWinkler.jw("MARTHA", "MARHTA") == 0.9611111111111111)
+    assert(JaroWinkler.jw("DIXON", "DICKSONX") == 0.8133333333333332)
+    assert(JaroWinkler.jw("DWAYNE", "DUANE") == 0.8400000000000001)
+    // jaro >= 0.7 but zero common prefix: boost is a no-op
+    assert(JaroWinkler.jw("CRATE", "TRACE") == 0.7333333333333334)
+    // jaro < 0.7 with a 2-char prefix: boost MUST NOT apply
+    assert(JaroWinkler.jw("aaac", "aabd") == 0.6666666666666666)
+    assert(JaroWinkler.jw("abc", "abc") == 1.0)
+    assert(JaroWinkler.jw("abc", "xyz") == 0.0)
+    assert(JaroWinkler.jw("", "abc") == 0.0 && JaroWinkler.jw("a", "") == 0.0)
+    // Column path: codegen'd result equals the object method; null -> null
+    val df = Seq(("MARTHA", "MARHTA"), ("CRATE", "TRACE"), (null, "x"))
+      .toDF("a", "b")
+    val got = df.select(
+      graft.functions.GraftFunctions.jaroWinkler(col("a"), col("b")).as("jw"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got(0).contains(0.9611111111111111) &&
+      got(1).contains(0.7333333333333334) && got(2).isEmpty, got.toSeq.toString)
+  }
+
+  test("jwNamePairs: surfaces the long-name near-miss a maxDist cutoff " +
+       "keeps, scores in half-up ppm, respects the block key") {
+    import spark.implicits._
+    val df = Seq(
+      "promo burnished atomic steel grove",
+      "promo burnishec atomic steel grove",  // 1 sub, same block "grove"
+      "promo burnished atomic steel plate",  // different block -> never paired
+      "grove")                                // same block, far string
+      .toDF("p_name")
+    val got = EntityOps.jwNamePairs(df, "p_name", minPpm = 880000L).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.size == 1, got.toString)
+    val ((a, b), ppm) = got.head
+    assert(a.contains("burnishec") || b.contains("burnishec"), got.toString)
+    val exp = math.round(org.apache.spark.sql.graft.JaroWinkler.jw(a, b) * 1e6)
+    assert(ppm == exp && ppm >= 880000L && ppm < 1000000L, s"$ppm vs $exp")
+  }
 }

@@ -457,4 +457,50 @@ class EventOpsSpec extends SparkSpec {
     assert(java.time.temporal.ChronoUnit.DAYS.between(
       got("train")._3, got("val")._2) == 8L, "embargo gap is exactly 7 days wide")
   }
+
+  test("transitionEntropy: a deterministic funnel state scores 0; a " +
+       "uniform 2-way scatter scores ln 2 micro-nats") {
+    // user streams: from "a" always to "b" (4x); from "b" to "c"/"d" 2x each
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "b", 1.0, "{}"),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "c", 1.0, "{}"),
+      (4L, ts("2024-01-01 10:00:00"), 2L, "a", 1.0, "{}"),
+      (5L, ts("2024-01-01 10:01:00"), 2L, "b", 1.0, "{}"),
+      (6L, ts("2024-01-01 10:02:00"), 2L, "d", 1.0, "{}"),
+      (7L, ts("2024-01-01 10:00:00"), 3L, "a", 1.0, "{}"),
+      (8L, ts("2024-01-01 10:01:00"), 3L, "b", 1.0, "{}"),
+      (9L, ts("2024-01-01 10:02:00"), 3L, "c", 1.0, "{}"),
+      (10L, ts("2024-01-01 10:00:00"), 4L, "a", 1.0, "{}"),
+      (11L, ts("2024-01-01 10:01:00"), 4L, "b", 1.0, "{}"),
+      (12L, ts("2024-01-01 10:02:00"), 4L, "d", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.transitionEntropy(e).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("a") == ((4L, 1L, 0L)), s"funnel state has zero entropy: ${got("a")}")
+    // b -> {c, d} uniformly: H = ln 2 = 2 * round(0.5 * ln 2 * 1e6)
+    assert(got("b") == ((4L, 2L, 693148L)), s"uniform 2-way = ln 2: ${got("b")}")
+    assert(!got.contains("c") && !got.contains("d"), "terminal states emit no row")
+  }
+
+  test("ewmaRevenue: single day is the identity; adjacent days blend by the " +
+       "ppm kernel; gap days renormalize over the weights actually present") {
+    val w = EventOps.ewmaWeightsPpm
+    assert(w.head == 300000L && w(1) == 210000L && w.length == 10, w.toString)
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "purchase", 1.00, "{}"),
+      (2L, ts("2024-01-02 10:00:00"), 1L, "purchase", 2.00, "{}"),
+      // 4-day gap, then one more day: lags 0, 5 and 6 are present for it
+      (3L, ts("2024-01-07 10:00:00"), 1L, "purchase", 3.00, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.ewmaRevenue(e).collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("2024-01-01") == ((100L, 100L)), "series head = its own value")
+    // (w0*200 + w1*100 + sw/2) div sw with sw = 510000 -> 159
+    assert(got("2024-01-02") == ((200L, 159L)), got("2024-01-02").toString)
+    // day 7 sees day 2 at lag 5 and day 1 at lag 6, nothing else
+    val sw = w(0) + w(5) + w(6)
+    val exp = (w(0) * 300L + w(5) * 200L + w(6) * 100L + sw / 2) / sw
+    assert(got("2024-01-07") == ((300L, exp)), got("2024-01-07").toString)
+  }
 }

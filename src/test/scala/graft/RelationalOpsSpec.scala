@@ -357,4 +357,30 @@ class RelationalOpsSpec extends SparkSpec {
     assert(s.getLong(2) <= s.getLong(3), s.toString)
     assert(s.getLong(4) >= 1000000L, s.toString)
   }
+
+  test("zorderSpanAudit: rows conserved; a single point spans 1 cell; " +
+       "z-buckets bound BOTH dimensions; negative keys wrap sign-safely") {
+    val one = Seq((100L, 200L)).toDF("a", "b")
+    val g1 = RelationalOps.zorderSpanAudit(one, "a", "b").head()
+    // ((1)*1e6 + 32768) div 65536 = 15 ppm on both dimensions
+    assert(g1.getLong(1) == 1L && g1.getLong(2) == 15L && g1.getLong(3) == 15L, g1.toString)
+    // the bucket is the top-6 bits of the native Morton value
+    val expZ = org.apache.spark.sql.graft.InterleaveBits.interleave(100L, 200L)
+    assert(g1.getLong(0) == expZ >> 26, g1.toString)
+    // a 64x64 grid over the full 16-bit range: every bucket's bounding
+    // box must stay well under the full span on BOTH dimensions (the
+    // single-key-sorted layout would put ~1e6 on one of them)
+    val grid = (for { i <- 0 until 64; j <- 0 until 64 }
+      yield (i * 1024L, j * 1024L)).toDF("a", "b")
+    val gs = RelationalOps.zorderSpanAudit(grid, "a", "b").collect()
+    assert(gs.map(_.getLong(1)).sum == 4096L, "rows conserved")
+    gs.foreach { r =>
+      assert(r.getLong(2) <= 500000L && r.getLong(3) <= 500000L,
+        s"bucket bounding box leaks a dimension: $r") }
+    // sign-safe wrap: -1 quantizes to 65535, not -1
+    val neg = Seq((-1L, 0L)).toDF("a", "b")
+    val gn = RelationalOps.zorderSpanAudit(neg, "a", "b").head()
+    assert(gn.getLong(0) == org.apache.spark.sql.graft.InterleaveBits.interleave(65535L, 0L) >> 26,
+      gn.toString)
+  }
 }

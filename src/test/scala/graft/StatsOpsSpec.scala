@@ -204,4 +204,37 @@ class StatsOpsSpec extends SparkSpec {
       .select("id", "i").as[(Long, Long)].collect().toMap
     assert(tr == Map(2L -> 1L, 1L -> 2L), tr.toString)
   }
+
+  test("mutualInformation: 0 micro-nats under exact independence, " +
+       "ln 2 under perfect 2x2 dependence") {
+    // independence: every (a, b) cell has the product count
+    val indep = (for { a <- Seq("x", "y"); b <- Seq("u", "v"); _ <- 1 to 5 }
+      yield (a, b)).toDF("a", "b")
+    val gi = StatsOps.mutualInformation(indep, "a", "b").head()
+    assert((gi.getLong(0), gi.getLong(1), gi.getLong(2)) == ((20L, 2L, 2L)), gi.toString)
+    assert(gi.getLong(3) == 0L, s"independent MI must be 0: $gi")
+    // perfect dependence: b is a function of a -> I = H(a) = ln 2
+    val dep = (for { a <- Seq("x", "y"); _ <- 1 to 10 }
+      yield (a, if (a == "x") "u" else "v")).toDF("a", "b")
+    val gd = StatsOps.mutualInformation(dep, "a", "b").head()
+    // 2 * [0.5 * ln(0.5*20 / (10*10/20... )] -> each cell p=.5, ratio 2:
+    // 2 * round(0.5 * ln 2 * 1e6) = 2 * 346574 = 693148
+    assert(gd.getLong(3) == 693148L, s"perfect 2x2 MI ~= ln 2: $gd")
+  }
+
+  test("bootstrapCi: constant values collapse the CI to the point; CI " +
+       "brackets the full-sample mean on spread data; partitioning-invariant") {
+    val const = (1L to 100L).map(k => (k, 5.00)).toDF("id", "v")
+    val gc = StatsOps.bootstrapCi(const, "id", "v").head()
+    assert(gc.getLong(0) == 100L && gc.getLong(4) == 32L, gc.toString)
+    assert(gc.getLong(1) == 500L && gc.getLong(2) == 500L && gc.getLong(3) == 500L,
+      s"constant data has a degenerate CI: $gc")
+    // spread data: lo <= mean <= hi, and the interval is non-degenerate
+    val spread = (1L to 500L).map(k => (k, k.toDouble)).toDF("id", "v")
+    val gs = StatsOps.bootstrapCi(spread, "id", "v").head()
+    assert(gs.getLong(2) <= gs.getLong(1) && gs.getLong(1) <= gs.getLong(3), gs.toString)
+    assert(gs.getLong(2) < gs.getLong(3), s"non-degenerate CI: $gs")
+    val gr = StatsOps.bootstrapCi(spread.repartition(13), "id", "v").head()
+    assert(gr == gs, "hash-lottery resamples are partitioning-invariant")
+  }
 }
