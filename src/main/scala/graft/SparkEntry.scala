@@ -1041,6 +1041,25 @@ object SparkEntry {
     "quality_pct_by_source" -> ((s, d) =>
       TextOps.qualityPctBySource(t(s, d, "documents"))),
 
+    // leave-one-source-out corpus quality ablation: closed-form from
+    // per-source sums, the mixture pre-flight before re-weighting
+    "source_ablation" -> ((s, d) => TextOps.sourceAblation(t(s, d, "documents"))),
+
+    // 2-D Pareto frontier of (spend, order count) per customer: the
+    // dominance scan via the sharded exclusive running max — never a
+    // single-reducer pass, vs the oracle's O(n^2) NOT-EXISTS spelling
+    "pareto_frontier" -> ((s, d) => {
+      val pc = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("spend_cents"),
+          count(lit(1)).as("n_orders"))
+      RelationalOps.paretoFrontier(pc, "o_custkey", "spend_cents", "n_orders")
+    }),
+
+    // sorted-neighborhood ER: global-rank window candidates (n x w
+    // budget, no hot block) through the ShardedOrder scan
+    "er_sorted_neighborhood" -> ((s, d) =>
+      EntityOps.erSortedNeighborhood(t(s, d, "part"), "p_name")),
+
     // sequence-packing utilization: sequence count, avg fill vs budget
     // (ppm) and boundary overflows — the pack-config audit row
     "packing_efficiency" -> ((s, d) =>
@@ -5166,6 +5185,48 @@ object SparkEntry {
         |FROM names a JOIN names b ON a.block = b.block
         |WHERE a.name < b.name
         |  AND abs(len(a.name) - len(b.name)) <= 3
+        |  AND levenshtein(a.name, b.name) <= 3""".stripMargin,
+
+    "source_ablation" ->
+      """WITH q AS (SELECT doc_id, source,
+        |  CAST(round(round(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.5 +
+        |       coalesce(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |                                     t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+        |                / NULLIF(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE), 0), 0) * 0.5,
+        |       6) * 1000000) AS BIGINT) AS q_ppm
+        |  FROM documents),
+        |s AS (SELECT source, COUNT(*) AS n_docs, SUM(q_ppm) AS sq FROM q GROUP BY 1),
+        |t AS (SELECT SUM(n_docs) AS n_all, SUM(sq) AS sq_all FROM s)
+        |SELECT source, n_docs,
+        |  CAST((sq + n_docs // 2) // n_docs AS BIGINT) AS mean_ppm,
+        |  CASE WHEN n_all > n_docs THEN
+        |    CAST(((sq_all - sq) + (n_all - n_docs) // 2) // (n_all - n_docs) AS BIGINT)
+        |  END AS loo_mean_ppm,
+        |  CASE WHEN n_all > n_docs THEN
+        |    CAST(((sq_all - sq) + (n_all - n_docs) // 2) // (n_all - n_docs) AS BIGINT)
+        |    - CAST((sq_all + n_all // 2) // n_all AS BIGINT)
+        |  END AS delta_ppm
+        |FROM s CROSS JOIN t""".stripMargin,
+
+    "pareto_frontier" ->
+      """WITH pc AS (SELECT o_custkey,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents,
+        |  COUNT(*) AS n_orders FROM orders GROUP BY 1),
+        |gx AS (SELECT spend_cents AS x, MAX(n_orders) AS gy FROM pc GROUP BY 1),
+        |cx AS (SELECT x, gy, MAX(gy) OVER (ORDER BY x DESC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ce FROM gx)
+        |SELECT pc.o_custkey, pc.spend_cents, CAST(pc.n_orders AS BIGINT) AS n_orders
+        |FROM pc JOIN cx ON cx.x = pc.spend_cents
+        |WHERE pc.n_orders = cx.gy AND (cx.ce IS NULL OR cx.ce < pc.n_orders)""".stripMargin,
+
+    "er_sorted_neighborhood" ->
+      """WITH names AS (SELECT p_name AS name, COUNT(*) AS n_rows FROM part GROUP BY 1),
+        |r AS (SELECT name, n_rows, row_number() OVER (ORDER BY name) AS rk FROM names)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist,
+        |  a.n_rows AS n_rows_a, b.n_rows AS n_rows_b
+        |FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 3
+        |WHERE abs(len(a.name) - len(b.name)) <= 3
         |  AND levenshtein(a.name, b.name) <= 3""".stripMargin,
 
     "jw_name_pairs" ->

@@ -117,6 +117,41 @@ object EntityOps {
       .filter(col("jw_ppm") >= minPpm)
   }
 
+  /** Sorted-neighborhood ER (Hernández–Stolfo): candidate pairs are
+    * values within `w` positions of each other in GLOBAL lexicographic
+    * order — the third candidate-generation strategy next to last-token
+    * blocking ([[fuzzyNameMatch]]: hot-block risk, misses cross-block
+    * pairs) and deletion neighborhoods ([[fuzzyNameMatchDel1]]: exact
+    * ed ≤ 1 only). Sorted order catches shared-PREFIX near-misses that
+    * land in different blocks, at a hard candidate budget of n·w pairs —
+    * no hot block can exist by construction. The global rank is the
+    * [[ShardedOrder]] shard+carry scan (never one reducer); the
+    * neighborhood join is a w-fold key fan-out equi-join on rank, so
+    * the whole plan is two shuffles regardless of value skew. Final
+    * verify: `levenshtein ≤ maxDist`, same as the blocked tier.
+    */
+  def erSortedNeighborhood(df: DataFrame, valueCol: String, w: Int = 3,
+                           maxDist: Int = 3): DataFrame = {
+    require(w >= 1, s"window out of range: $w")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val names = df.groupBy(col(valueCol).as("name"))
+      .agg(count(lit(1)).as("n_rows"))
+    val ranked = ShardedOrder.withGlobalRank(names, "rk", 32, col("name"))
+    val probes = (1 to w).map(_.toLong).toDF("j")
+    val a = ranked.crossJoin(broadcast(probes))
+      .select((col("rk") + col("j")).as("rk"),
+        col("name").as("name_a"), col("n_rows").as("n_rows_a"))
+    val b = ranked.select(col("rk"),
+      col("name").as("name_b"), col("n_rows").as("n_rows_b"))
+    a.join(b, Seq("rk"))
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist"),
+        col("n_rows_a"), col("n_rows_b"))
+  }
+
   /** Blocking-quality audit (Christen's reduction ratio) — the
     * pre-flight read BEFORE running the quadratic compare: how many
     * candidate pairs does the block key actually admit vs the all-pairs

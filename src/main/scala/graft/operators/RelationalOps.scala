@@ -442,6 +442,31 @@ object RelationalOps {
         expr("((max_b - min_b + 1) * 1000000 + 32768) div 65536").as("span_b_ppm"))
   }
 
+  /** 2-D Pareto frontier (skyline): the rows no other row dominates on
+    * (x, y) — "who is on the efficient edge" (biggest spenders for their
+    * order count, best quality for their length, …). Dominance: q beats p
+    * when q.x ≥ p.x ∧ q.y ≥ p.y with at least one strict; exact
+    * duplicates survive together. The naive skyline is an O(n²)
+    * all-pairs NOT EXISTS (the oracle's spelling); the engine exploits
+    * the 2-D structure: a point is on the frontier iff its y (a) equals
+    * the max y of its own x slice and (b) strictly beats the max y over
+    * every larger x — one per-x partial aggregate (corpus-scale) + one
+    * [[ShardedOrder.withRunningMax]] dominance scan over DISTINCT x in
+    * descending order (fact-scale-safe: range-sharded, never one
+    * reducer) + one join back. Ties anywhere are exact integer compares.
+    */
+  def paretoFrontier(df: DataFrame, idCol: String, xCol: String,
+                     yCol: String, shards: Int = 32): DataFrame = {
+    val pts = df.select(col(idCol).as("id"),
+      col(xCol).cast(LongType).as("x"), col(yCol).cast(LongType).as("y"))
+    val gx = pts.groupBy(col("x")).agg(max(col("y")).as("gy"))
+    val scanned = ShardedOrder.withRunningMax(gx, col("gy"), "ce", shards,
+      col("x").desc)
+    pts.join(scanned, Seq("x"))
+      .filter(col("y") === col("gy") && (col("ce").isNull || col("ce") < col("y")))
+      .select(col("id").as(idCol), col("x").as(xCol), col("y").as(yCol))
+  }
+
   /** First-seen novelty audit: per day, how many active entities are NEW
     * (their first-ever appearance). The per-snapshot freshness signal a
     * recurring ingest watches — a collapsing new-rate means the source is

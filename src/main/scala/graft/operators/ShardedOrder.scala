@@ -98,4 +98,38 @@ object ShardedOrder {
         .otherwise(col("__off") + col("__lsum")))
       .drop("__shard", "__v", "__lsum", "__off")
   }
+
+  /** Exact global EXCLUSIVE running max of `valueCol` in `sortCols` order
+    * (unique composite key) as `outCol` — the prefix-maximum sibling of
+    * [[withRunningSum]], exclusive because that is what a dominance scan
+    * wants ("the best y among everything STRICTLY ahead of me"; the
+    * inclusive variant is just greatest(out, value)). NULL for the
+    * global first row. Same shard + carry shape: per-shard exclusive
+    * cummax window, a one-row-per-shard max carried over prior shards.
+    */
+  def withRunningMax(df: DataFrame, valueCol: Column, outCol: String,
+                     shards: Int, sortCols: Column*): DataFrame = {
+    require(shards >= 1, s"shards out of range: $shards")
+    // same load-bearing localCheckpoint as withGlobalRank: one layout,
+    // shared by the local-max window and the carry aggregate
+    val parted = df.repartitionByRange(shards, sortCols: _*)
+      .withColumn("__shard", spark_partition_id())
+      .withColumn("__v", valueCol)
+      .localCheckpoint()
+    val wLoc = Window.partitionBy(col("__shard")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parted.withColumn("__lmax", max(col("__v")).over(wLoc))
+    // constant-key partition (repo idiom): same one-reducer semantics —
+    // fine over ≤ `shards` rows — without the misleading global-window
+    // warning in the logs
+    val wCarry = Window.partitionBy(pmod(col("__shard"), lit(1)))
+      .orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__shard")).agg(max(col("__v")).as("__smax"))
+      .withColumn("__off", max(col("__smax")).over(wCarry))
+      .select(col("__shard"), col("__off"))
+    local.join(broadcast(offsets), Seq("__shard"))
+      .withColumn(outCol, greatest(col("__off"), col("__lmax")))
+      .drop("__shard", "__v", "__lmax", "__off")
+  }
 }

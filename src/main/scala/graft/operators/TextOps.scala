@@ -1537,6 +1537,37 @@ object TextOps {
         expr("(cum_le * 1000000 + n_src div 2) div n_src").as("pct_ppm"))
   }
 
+  /** Leave-one-source-out ablation of the corpus quality mean — the
+    * mixture pre-flight a corpus designer reads before re-weighting:
+    * for each source, what the corpus-wide mean quality becomes if that
+    * source is dropped, next to the source's own mean and the signed
+    * delta. The LOO mean needs NO per-source recomputation — quality is
+    * ppm-quantized per doc first, so the global (Σq, n) and per-source
+    * (Σq_s, n_s) sums make every ablation a closed-form subtraction:
+    * loo = (Σq − Σq_s)/(n − n_s). One corpus-scale aggregate keyed by
+    * source; everything after runs on #sources rows. All half-up
+    * integer ppm; the delta is a subtraction of two already-rounded
+    * means (never a signed division).
+    */
+  def sourceAblation(documents: DataFrame): DataFrame = {
+    val q = qualityScore(documents)
+      .select(col("doc_id"), expr("cast(round(quality * 1000000) as bigint)").as("q_ppm"))
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+    val perSrc = q.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("q_ppm")).as("sq"))
+    val tot = perSrc.agg(sum(col("n_docs")).as("n_all"), sum(col("sq")).as("sq_all"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        expr("(sq + n_docs div 2) div n_docs").as("mean_ppm"),
+        // NULL when the source IS the corpus (nothing left to ablate)
+        when(col("n_all") > col("n_docs"),
+          expr("((sq_all - sq) + (n_all - n_docs) div 2) div (n_all - n_docs)"))
+          .as("loo_mean_ppm"),
+        when(col("n_all") > col("n_docs"),
+          expr("((sq_all - sq) + (n_all - n_docs) div 2) div (n_all - n_docs)")
+            - expr("(sq_all + n_all div 2) div n_all")).as("delta_ppm"))
+  }
+
   /** Token burstiness — the index of dispersion D = σ²/μ of PER-DOCUMENT
     * counts for the corpus's top tokens (zero-count docs included via the
     * closed form): D ≈ 1 is Poisson scatter (function words), D ≫ 1 is

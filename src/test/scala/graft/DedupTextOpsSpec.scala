@@ -1411,4 +1411,27 @@ class DedupTextOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
     assert(again == got, "percentiles are partitioning-invariant")
   }
+
+  test("sourceAblation: in a two-source corpus each LOO mean equals the " +
+       "OTHER source's own mean; deltas sign-oppose; single source reads NULL") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy old dog " * 6
+    val docs = Seq(
+      (1L, good, "A"), (2L, good + "extra tail words", "A"),
+      (3L, "zzz qqq", "B"), (4L, "x", "B"), (5L, "yy zz", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.sourceAblation(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("A")._1 == 2L && got("B")._1 == 3L, got.toString)
+    // dropping A leaves exactly B and vice versa
+    assert(got("A")._3 == got("B")._2, s"LOO(A) = mean(B): $got")
+    assert(got("B")._3 == got("A")._2, s"LOO(B) = mean(A): $got")
+    // ablating the good source must HURT the corpus, ablating the bad
+    // one must help
+    assert(got("A")._4 < 0L && got("B")._4 > 0L, got.toString)
+    // single-source corpus: nothing left to ablate -> NULLs
+    val solo = TextOps.sourceAblation(docs.filter(col("source") === "A")).head()
+    assert(solo.isNullAt(3) && solo.isNullAt(4), solo.toString)
+  }
 }

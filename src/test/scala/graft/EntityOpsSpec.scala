@@ -134,4 +134,28 @@ class EntityOpsSpec extends SparkSpec {
     val exp = math.round(org.apache.spark.sql.graft.JaroWinkler.jw(a, b) * 1e6)
     assert(ppm == exp && ppm >= 880000L && ppm < 1000000L, s"$ppm vs $exp")
   }
+
+  test("erSortedNeighborhood: catches the shared-prefix pair blocking " +
+       "misses, respects the w-position budget, carries row support") {
+    import spark.implicits._
+    // "alpha tone" / "alpha tonf" end in different blocks (tone vs tonf)
+    // so fuzzyNameMatch can NEVER pair them; sorted order puts them
+    // adjacent. "zz far" is within ed 3 of nothing nearby.
+    val df = Seq("alpha tone", "alpha tonf", "alpha tonf", "beta tone", "zz far")
+      .toDF("p_name")
+    val got = EntityOps.erSortedNeighborhood(df, "p_name", w = 3, maxDist = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getInt(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.contains(("alpha tone", "alpha tonf")), got.toString)
+    assert(got(("alpha tone", "alpha tonf")) == ((1, 1L, 2L)), got.toString)
+    val blocked = EntityOps.fuzzyNameMatch(df, "p_name", maxDist = 3).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!blocked.contains(("alpha tone", "alpha tonf")),
+      "the blocked tier misses the cross-block pair by construction")
+    // w = 1 budget: only rank-adjacent candidates are even considered
+    // 4 DISTINCT values -> 3 rank-adjacent candidates at w=1
+    val w1 = EntityOps.erSortedNeighborhood(df, "p_name", w = 1, maxDist = 10)
+      .count()
+    assert(w1 == 3L, s"n-1 adjacent candidate pairs at w=1: $w1")
+  }
 }

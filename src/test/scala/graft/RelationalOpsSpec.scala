@@ -383,4 +383,33 @@ class RelationalOpsSpec extends SparkSpec {
     assert(gn.getLong(0) == org.apache.spark.sql.graft.InterleaveBits.interleave(65535L, 0L) >> 26,
       gn.toString)
   }
+
+  test("paretoFrontier: dominated points drop, same-x ties keep only the " +
+       "best y, exact duplicates both survive, partitioning-invariant") {
+    val pts = Seq(
+      (1L, 10L, 1L),  // frontier (biggest x)
+      (2L, 8L, 5L),   // frontier
+      (3L, 8L, 3L),   // same x as 2, lower y -> dominated
+      (4L, 5L, 5L),   // dominated by 2 (equal y, smaller x)
+      (5L, 3L, 9L),   // frontier
+      (6L, 3L, 9L),   // exact duplicate of 5 -> both survive
+      (7L, 1L, 2L))   // dominated by everything above
+      .toDF("id", "x", "y")
+    val got = RelationalOps.paretoFrontier(pts, "id", "x", "y", shards = 4)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 5L, 6L), got.toString)
+    val again = RelationalOps.paretoFrontier(pts.repartition(5), "id", "x", "y", shards = 2)
+      .select("id").as[Long].collect().toSet
+    assert(again == got, "frontier is layout- and shard-count-invariant")
+    // brute-force cross-check on a pseudo-random cloud
+    val cloud = (1 to 60).map { i =>
+      (i.toLong, (i * 37 % 19).toLong, (i * 53 % 17).toLong) }
+    val exp = cloud.filter { p => !cloud.exists(q =>
+      q._2 >= p._2 && q._3 >= p._3 && (q._2 > p._2 || q._3 > p._3)) }
+      .map(_._1).toSet
+    val gotCloud = RelationalOps.paretoFrontier(
+      cloud.toDF("id", "x", "y"), "id", "x", "y", shards = 8)
+      .select("id").as[Long].collect().toSet
+    assert(gotCloud == exp, s"got $gotCloud expected $exp")
+  }
 }
