@@ -1060,6 +1060,25 @@ object SparkEntry {
     "er_sorted_neighborhood" -> ((s, d) =>
       EntityOps.erSortedNeighborhood(t(s, d, "part"), "p_name")),
 
+    // corpus bigram entropy rate in micro-nats: the compressibility /
+    // formulaic-text one-number beside the KN bigram table
+    "bigram_entropy_rate" -> ((s, d) =>
+      TextOps.bigramEntropyRate(t(s, d, "documents"))),
+
+    // gaps-and-islands: longest consecutive-order-day streak per
+    // customer, rank-difference islands, histogram output
+    "order_streaks" -> ((s, d) => EventOps.orderStreakHistogram(t(s, d, "orders"))),
+
+    // per-type inter-arrival profile over user streams: mean gap + CV
+    // ppm from exact integer moments (Poisson/bursty/metronomic read)
+    "interarrival_profile" -> ((s, d) =>
+      EventOps.interarrivalProfile(t(s, d, "events"))),
+
+    // metadata-FILTERED top-k retrieval (label-constrained search):
+    // predicate composes before scoring, selectivity cuts scored volume
+    "cosine_topk_filtered" -> ((s, d) =>
+      SimilarityOps.cosineTopKFiltered(t(s, d, "embeddings"), 10, 5)),
+
     // sequence-packing utilization: sequence count, avg fill vs budget
     // (ppm) and boundary overflows — the pack-config audit row
     "packing_efficiency" -> ((s, d) =>
@@ -4742,6 +4761,61 @@ object SparkEntry {
         |    / CAST(c1 AS DOUBLE) * 1000000) AS BIGINT) AS p_kn_micros
         |FROM c JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN ty
         |ORDER BY p_kn_micros DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    "bigram_entropy_rate" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+        |bg AS (SELECT tk[i] AS w1, tk[i + 1] AS w2
+        |       FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM t)),
+        |c AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+        |l AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c GROUP BY 1),
+        |ty AS (SELECT CAST(SUM(c12) AS BIGINT) AS total, COUNT(*) AS n_types FROM c)
+        |SELECT total AS n_bigrams, n_types,
+        |  CAST(SUM(CAST(round(
+        |    -CAST(c12 AS DOUBLE) / CAST(total AS DOUBLE)
+        |    * ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 1000000
+        |  ) AS BIGINT)) AS BIGINT) AS entropy_micros
+        |FROM c JOIN l USING (w1) CROSS JOIN ty
+        |GROUP BY 1, 2""".stripMargin,
+
+    "order_streaks" ->
+      """WITH d AS (SELECT DISTINCT o_custkey AS ck,
+        |  CAST(datediff('day', DATE '1995-01-01',
+        |    CAST(date_trunc('day', o_orderdate) AS DATE)) AS BIGINT) AS doff FROM orders),
+        |i AS (SELECT ck, doff - row_number() OVER (PARTITION BY ck ORDER BY doff) AS island FROM d),
+        |s AS (SELECT ck, island, COUNT(*) AS len FROM i GROUP BY 1, 2),
+        |m AS (SELECT ck, CAST(MAX(len) AS BIGINT) AS max_streak FROM s GROUP BY 1)
+        |SELECT max_streak, COUNT(*) AS n_customers FROM m GROUP BY 1""".stripMargin,
+
+    "interarrival_profile" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec FROM events),
+        |g AS (SELECT event_type,
+        |      sec - lag(sec) OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY ts, event_id) AS gap FROM e),
+        |a AS (SELECT event_type, COUNT(*) AS n_gaps,
+        |      SUM(CAST(gap AS HUGEINT)) AS sg,
+        |      SUM(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS sgg
+        |      FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_gaps,
+        |  CAST((sg + n_gaps // 2) // n_gaps AS BIGINT) AS mean_gap_s,
+        |  CAST(round(sqrt(
+        |    CAST(n_gaps * sgg - sg * sg AS DOUBLE) / CAST(sg * sg AS DOUBLE))
+        |    * 1000000) AS BIGINT) AS cv_ppm
+        |FROM a WHERE sg > 0""".stripMargin,
+
+    "cosine_topk_filtered" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb,
+        |           label AS q_label FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+        |scored AS (
+        |  SELECT q_id, q_label AS label, vec_id,
+        |         round(list_cosine_similarity(emb, q_emb), 4) AS score
+        |  FROM c JOIN q ON c.label = q.q_label AND vec_id <> q_id),
+        |ranked AS (
+        |  SELECT q_id, label, vec_id, score,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT q_id, label, vec_id, score, rank FROM ranked WHERE rank <= 5""".stripMargin,
 
     "embedding_norm_profile" ->
       """WITH e AS (SELECT vec_id,

@@ -357,6 +357,61 @@ object EventOps {
       .agg(sum(col("term_micros")).as("entropy_micros"))
   }
 
+  /** Gaps-and-islands: the histogram of each customer's LONGEST streak of
+    * consecutive order days. The island id is the classic rank-difference
+    * trick (day_offset − per-customer row_number is constant exactly
+    * while days are consecutive) — pure integer, and every window is
+    * customer-keyed (parallel across the dimension; no customer's
+    * history outgrows a task). Output is the #distinct-streak-length
+    * histogram — driver-tiny at any corpus size.
+    */
+  def orderStreakHistogram(orders: DataFrame): DataFrame = {
+    val d = orders.select(col("o_custkey").as("ck"),
+      datediff(date_trunc("day", col("o_orderdate")).cast(DateType),
+        lit("1995-01-01").cast(DateType)).cast(LongType).as("doff"))
+      .distinct()
+    val w = Window.partitionBy(col("ck")).orderBy(col("doff"))
+    val islands = d.withColumn("island", col("doff") - row_number().over(w))
+      .groupBy(col("ck"), col("island")).agg(count(lit(1)).as("len"))
+    islands.groupBy(col("ck")).agg(max(col("len")).as("max_streak"))
+      .groupBy(col("max_streak")).agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** Inter-arrival profile per event type over each USER's stream: gap
+    * seconds between a user's consecutive events of that type, rolled up
+    * to (n_gaps, half-up mean, CV in ppm) per type. CV ≈ 1e6 is
+    * memoryless Poisson arrival; below is metronomic (bot cadence);
+    * above is bursty sessions — [[graft.operators.TextOps.tokenBurstiness]]'s
+    * behavioral twin. The lag window is (user, type)-keyed (parallel
+    * across users — never a per-type global sequence, which would
+    * serialize a fact-scale type through one reducer). CV comes from
+    * exact integer moments (Σg, Σg² in DECIMAL(38,0)) through ONE
+    * fixed-shape double sqrt, micros-quantized — the momentsProfile
+    * discipline.
+    */
+  def interarrivalProfile(events: DataFrame): DataFrame = {
+    val D = DecimalType(38, 0)
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"), col("event_type"), col("ts"),
+        unix_timestamp(col("ts")).as("sec"), col("event_id"))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap").cast(D)).as("sg"),
+        sum((col("gap") * col("gap")).cast(D)).as("sgg"))
+      .filter(col("sg") > 0)
+      .select(col("event_type"), col("n_gaps"),
+        expr("cast((sg + n_gaps div 2) div n_gaps as bigint)").as("mean_gap_s"),
+        // CV² = (n·Σg² − (Σg)²) / (Σg)²: exact integer cross terms, one
+        // sqrt over the ratio of two doubles, ppm half-up
+        expr("""cast(round(sqrt(
+          |  cast(n_gaps * sgg - sg * sg as double) / cast(sg * sg as double))
+          |  * 1000000) as bigint)""".stripMargin).as("cv_ppm"))
+  }
+
   /** Integer truncated-kernel exponential smoothing weights for
     * [[ewmaRevenue]]: w_k = round(α(1−α)^k · 1e6) for k = 0..K−1 with
     * α = 0.3, K = 10 — ppm-quantized CONSTANTS shared verbatim by the

@@ -622,6 +622,34 @@ object SimilarityOps {
     * quantized corpus is the artifact, scored by many query batches
     * (`cosineTopKInt8Stored` is the same statement at rest).
     */
+  /** FILTERED top-k retrieval — the metadata-constrained search every
+    * production vector store serves ("nearest neighbors WHERE label =
+    * q.label"): each query ranks only corpus vectors sharing its label.
+    * The filter composes BEFORE scoring (predicate next to the join
+    * condition, so Catalyst prunes non-matching pairs at the broadcast
+    * probe — never score-then-discard), which is the property that
+    * matters at scale: selectivity s cuts the scored volume to s·n, and
+    * under a partition-by-label layout it prunes whole files. Same
+    * rounding/tiebreak contract as [[cosineTopK]].
+    */
+  def cosineTopKFiltered(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val corpus = embeddings.select(col("vec_id"), col("embedding"), col("label"))
+    val queries = embeddings
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val scored = corpus
+      .join(broadcast(queries),
+        col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+      .withColumn("score",
+        round(graft.functions.GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 4))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    scored
+      .select(col("q_id"), col("q_label").as("label"), col("vec_id"), col("score"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+  }
+
   def cosineTopKInt8(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame =
     topKOverQuantized(quantizeInt8(embeddings).persist(), nQueries, k)
 

@@ -1537,6 +1537,37 @@ object TextOps {
         expr("(cum_le * 1000000 + n_src div 2) div n_src").as("pct_ppm"))
   }
 
+  /** Corpus bigram entropy rate — the compressibility one-number next to
+    * [[knBigrams]]' smoothed table: H = −Σ_{w1,w2} p(w1,w2)·ln p(w2|w1)
+    * in micro-nats per token transition. Low H means formulaic text
+    * (boilerplate, templates — dedup bait); H near ln V means the
+    * bigram model explains nothing. Shares the transition-entropy
+    * determinism discipline: each cell is one fixed-shape double over
+    * the exact integer counts (c12, c1, total), micros-quantized before
+    * the global sum. One corpus-scale bigram aggregate; the sum runs on
+    * the bigram-type grid.
+    */
+  def bigramEntropyRate(documents: DataFrame): DataFrame = {
+    val bg = tokenize(documents.select(col("doc_id"), col("text")))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> struct(toks[i] as w1, toks[i + 1] as w2))""".stripMargin))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val tot = c12.agg(sum(col("c12")).as("total"), count(lit(1)).as("n_types"))
+    c12.join(c1, "w1").crossJoin(broadcast(tot))
+      .select(col("total"), col("n_types"),
+        expr("""cast(round(
+          |  -cast(c12 as double) / cast(total as double)
+          |  * ln(cast(c12 as double) / cast(c1 as double)) * 1000000
+          |) as bigint)""".stripMargin).as("term_micros"))
+      .groupBy(col("total").as("n_bigrams"), col("n_types"))
+      .agg(sum(col("term_micros")).as("entropy_micros"))
+  }
+
   /** Leave-one-source-out ablation of the corpus quality mean — the
     * mixture pre-flight a corpus designer reads before re-weighting:
     * for each source, what the corpus-wide mean quality becomes if that

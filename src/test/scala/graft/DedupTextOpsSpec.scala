@@ -1434,4 +1434,22 @@ class DedupTextOpsSpec extends SparkSpec {
     val solo = TextOps.sourceAblation(docs.filter(col("source") === "A")).head()
     assert(solo.isNullAt(3) && solo.isNullAt(4), solo.toString)
   }
+
+  test("bigramEntropyRate: deterministic text scores 0 micro-nats; a " +
+       "50/50 branch scores exactly its quantized ln-2 terms") {
+    import spark.implicits._
+    // every context has ONE continuation -> H = 0
+    val det = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val gd = TextOps.bigramEntropyRate(det).head()
+    assert((gd.getLong(0), gd.getLong(1), gd.getLong(2)) == ((5L, 2L, 0L)), gd.toString)
+    // "a b a c": contexts a -> {b, c} (50/50), b -> a (det): total 3
+    // bigrams, terms 2 x round((1/3) ln 2 * 1e6) = 2 x 231049
+    val br = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val gb = TextOps.bigramEntropyRate(br).head()
+    assert((gb.getLong(0), gb.getLong(1)) == ((3L, 3L)), gb.toString)
+    assert(gb.getLong(2) == 462098L, gb.toString)
+    // single-token docs emit nothing (no index out of bounds)
+    val tiny = Seq((1L, "word"), (2L, "")).toDF("doc_id", "text")
+    assert(TextOps.bigramEntropyRate(tiny).count() == 0L)
+  }
 }

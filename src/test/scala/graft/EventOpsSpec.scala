@@ -483,6 +483,41 @@ class EventOpsSpec extends SparkSpec {
     assert(!got.contains("c") && !got.contains("d"), "terminal states emit no row")
   }
 
+  test("orderStreakHistogram: rank-difference islands find the longest " +
+       "consecutive-day run; same-day repeat orders collapse") {
+    def d(s: String) = Timestamp.valueOf(s + " 10:00:00")
+    val orders = Seq(
+      (1L, 1L, d("2024-01-01")), (2L, 1L, d("2024-01-02")),
+      (3L, 1L, d("2024-01-03")), (4L, 1L, d("2024-01-10")),
+      (5L, 2L, d("2024-02-05")),
+      // customer 3: two orders the SAME day then the next day -> streak 2
+      (6L, 3L, d("2024-03-01")), (7L, 3L, d("2024-03-01")), (8L, 3L, d("2024-03-02")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val got = EventOps.orderStreakHistogram(orders).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 1L, 1L -> 1L, 2L -> 1L), got.toString)
+  }
+
+  test("interarrivalProfile: metronomic gaps read CV 0, mixed gaps the " +
+       "exact moment ratio; singleton streams emit no gap") {
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:00:10"), 1L, "view", 1.0, "{}"),
+      (3L, ts("2024-01-01 10:00:20"), 1L, "view", 1.0, "{}"),
+      (4L, ts("2024-01-01 10:00:00"), 2L, "click", 1.0, "{}"),
+      (5L, ts("2024-01-01 10:00:10"), 2L, "click", 1.0, "{}"),
+      (6L, ts("2024-01-01 10:00:40"), 2L, "click", 1.0, "{}"),
+      // singleton: no gap row may appear for "buy"
+      (7L, ts("2024-01-01 12:00:00"), 3L, "buy", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.interarrivalProfile(e).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("view") == ((2L, 10L, 0L)), s"metronome: ${got("view")}")
+    // gaps 10, 30: mean 20; CV^2 = (2*1000 - 1600)/1600 = 0.25 -> 500000
+    assert(got("click") == ((2L, 20L, 500000L)), s"mixed: ${got("click")}")
+    assert(!got.contains("buy"), "singleton streams contribute no gaps")
+  }
+
   test("ewmaRevenue: single day is the identity; adjacent days blend by the " +
        "ppm kernel; gap days renormalize over the weights actually present") {
     val w = EventOps.ewmaWeightsPpm

@@ -60,6 +60,20 @@ class SimilarityMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("cosineTopKFiltered: each query ranks ONLY its own label's corpus; " +
+       "cross-label neighbors vanish even when geometrically closest") {
+    val got = SimilarityOps.cosineTopKFiltered(emb, nQueries = 2, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(1), r.getInt(4)))
+    // query 0 (label 0): candidates {2, 3} only — 4 (label 2) is its
+    // exact opposite and 1 (label 1) orthogonal, both EXCLUDED by filter
+    val q0 = got.filter(_._1 == 0L).sortBy(_._4).map(_._2)
+    assert(q0.toSeq == Seq(2L, 3L), s"label-0 candidates only: ${q0.toSeq}")
+    // query 1 (label 1) has no same-label peer -> zero rows
+    assert(!got.exists(_._1 == 1L), "a label-singleton query returns nothing")
+    // every emitted row carries the query's label
+    assert(got.forall(_._3 == 0), got.toSeq.toString)
+  }
+
   test("cosineTopKInt8: quantized scores within 2/127 of full precision; same top hit on the fixture") {
     val full = SimilarityOps.cosineTopK(emb, nQueries = 1, k = 4)
       .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
