@@ -909,6 +909,20 @@ object SparkEntry {
         RelationalOps.maskedCustomers(t(s, d, "customer")),
         Seq("acctbal_band", "c_mktsegment"))),
 
+    // l-diversity: the homogeneity-attack audit k-anonymity misses —
+    // distinct sensitive values per quasi-class, histogrammed
+    "l_diversity_audit" -> ((s, d) =>
+      RelationalOps.lDiversityAudit(
+        t(s, d, "customer").select(
+          expr("cast(round(c_acctbal * 100) as bigint) div 10000 * 100").as("acctbal_band"),
+          col("c_mktsegment"), col("c_nationkey")),
+        Seq("acctbal_band", "c_mktsegment"), "c_nationkey")),
+
+    // seasonally-adjusted residual outliers: days that break their OWN
+    // weekday's pattern (weekend dips never fire), signed integer ppm
+    "seasonal_residual_outliers" -> ((s, d) =>
+      EventOps.seasonalResidualOutliers(t(s, d, "events"))),
+
     // ---- statistical profiling tier (integer-exact EDA reads) ----
     // equi-width histogram: pure integer binning on cents, bounds as a
     // broadcast 1-row frame
@@ -4504,6 +4518,39 @@ object SparkEntry {
         |       CAST(COUNT(*) * class_size AS BIGINT) AS n_rows,
         |       class_size < 5 AS at_risk
         |FROM cls GROUP BY class_size""".stripMargin,
+
+    "l_diversity_audit" ->
+      """WITH m AS (SELECT CAST(round(c_acctbal * 100) AS BIGINT) // 10000 * 100 AS acctbal_band,
+        |           c_mktsegment, c_nationkey FROM customer),
+        |g AS (SELECT acctbal_band, c_mktsegment, c_nationkey, COUNT(*) AS n
+        |      FROM m GROUP BY 1, 2, 3),
+        |cls AS (SELECT acctbal_band, c_mktsegment, COUNT(*) AS l_distinct,
+        |        CAST(SUM(n) AS BIGINT) AS class_rows FROM g GROUP BY 1, 2)
+        |SELECT l_distinct, COUNT(*) AS n_classes,
+        |       CAST(SUM(class_rows) AS BIGINT) AS n_rows,
+        |       l_distinct < 3 AS at_risk
+        |FROM cls GROUP BY 1""".stripMargin,
+
+    "seasonal_residual_outliers" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |      SUM(CAST(round(value * 100) AS BIGINT)) AS cents FROM e GROUP BY 1),
+        |w AS (SELECT day, CAST(cents AS BIGINT) AS cents,
+        |      CAST(((datediff('day', DATE '1995-01-01', day) % 7) + 7) % 7 AS BIGINT) AS dow
+        |      FROM d),
+        |b AS (SELECT dow, CAST((SUM(cents) + COUNT(*) // 2) // COUNT(*) AS BIGINT)
+        |        AS expected_cents FROM w GROUP BY 1)
+        |SELECT day, dow, cents, expected_cents,
+        |  CASE WHEN cents >= expected_cents
+        |    THEN (cents - expected_cents) * 1000000 // expected_cents
+        |    ELSE -((expected_cents - cents) * 1000000 // expected_cents)
+        |  END AS residual_ppm
+        |FROM w JOIN b USING (dow)
+        |WHERE expected_cents <> 0
+        |  AND abs(CASE WHEN cents >= expected_cents
+        |    THEN (cents - expected_cents) * 1000000 // expected_cents
+        |    ELSE -((expected_cents - cents) * 1000000 // expected_cents)
+        |  END) > 500000""".stripMargin,
 
     "ann_ndcg" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -412,6 +412,41 @@ object EventOps {
           |  * 1000000) as bigint)""".stripMargin).as("cv_ppm"))
   }
 
+  /** Seasonally-adjusted daily revenue outliers — the composition of
+    * [[weekdaySeasonality]]'s baseline with a residual screen: each
+    * day's cents against ITS WEEKDAY's mean (computed excluding nothing;
+    * the baseline is the per-dow half-up mean), residual in signed ppm
+    * of the baseline, flagged beyond ±`thresholdPpm`. Raw daily outlier
+    * screens fire every weekend on any weekday-seasonal business; this
+    * one only fires when a day breaks ITS OWN weekday's pattern. Pure
+    * integer: portable dow, integer cents, one cross-multiplied ppm.
+    * One (day) aggregate + a 7-row broadcast back.
+    */
+  def seasonalResidualOutliers(events: DataFrame,
+                               thresholdPpm: Long = 500000L): DataFrame = {
+    val daily = events
+      .groupBy(date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      .withColumn("dow",
+        pmod(datediff(col("day"), lit("1995-01-01").cast(DateType)), lit(7))
+          .cast(LongType))
+    val base = daily.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("cents")).as("dow_cents"))
+      .select(col("dow"),
+        expr("(dow_cents + n_days div 2) div n_days").as("expected_cents"))
+    daily.join(broadcast(base), Seq("dow"))
+      .filter(col("expected_cents") =!= 0)
+      .select(col("day"), col("dow"), col("cents"), col("expected_cents"),
+        // sign split keeps integer division truncating identically on
+        // both engines (Spark div truncates, DuckDB // floors — they
+        // only agree on non-negative operands)
+        expr("""case when cents >= expected_cents
+          |  then (cents - expected_cents) * 1000000 div expected_cents
+          |  else -((expected_cents - cents) * 1000000 div expected_cents)
+          |end""".stripMargin).as("residual_ppm"))
+      .filter(abs(col("residual_ppm")) > thresholdPpm)
+  }
+
   /** Integer truncated-kernel exponential smoothing weights for
     * [[ewmaRevenue]]: w_k = round(α(1−α)^k · 1e6) for k = 0..K−1 with
     * α = 0.3, K = 10 — ppm-quantized CONSTANTS shared verbatim by the

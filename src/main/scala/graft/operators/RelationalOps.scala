@@ -875,6 +875,27 @@ object RelationalOps {
       .select(col("class_size"), col("n_classes"), col("n_rows"),
         (col("class_size") < k).as("at_risk"))
 
+  /** l-diversity audit — k-anonymity's stronger sibling (Machanavajjhala
+    * et al.): a quasi-identifier class can be large (k-anonymous) yet
+    * still leak if every member shares the SAME sensitive value
+    * (homogeneity attack: "everyone in that class has nation 7"). Per
+    * class, count DISTINCT sensitive values l, then histogram the
+    * classes by l with rows covered and the l < lMin at-risk flag. One
+    * (quasi, sensitive) partial aggregate + one class rollup — both
+    * map-side combined; output bounded by the l range.
+    */
+  def lDiversityAudit(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, lMin: Int = 3): DataFrame =
+    df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("l_distinct"), sum(col("n")).as("class_rows"))
+      .groupBy(col("l_distinct"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("class_rows")).as("n_rows"))
+      .select(col("l_distinct"), col("n_classes"), col("n_rows"),
+        (col("l_distinct") < lMin).as("at_risk"))
+
   /** Portable 32-bit hash shared by the KMV sketch paths: the same
     * md5-prefix both DuckDB and any other engine replay bit-exactly.
     */

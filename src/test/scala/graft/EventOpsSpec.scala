@@ -518,6 +518,25 @@ class EventOpsSpec extends SparkSpec {
     assert(!got.contains("buy"), "singleton streams contribute no gaps")
   }
 
+  test("seasonalResidualOutliers: a day breaking its own weekday's pattern " +
+       "fires; a 'low' weekend that matches its weekday baseline does not") {
+    // two Mondays at 100, one Monday at 400 (the outlier); two Sundays
+    // at 10 (low in absolute terms but each ON-pattern for Sundays)
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "p", 1.00, "{}"),  // Mon
+      (2L, ts("2024-01-08 10:00:00"), 1L, "p", 1.00, "{}"),  // Mon
+      (3L, ts("2024-01-15 10:00:00"), 1L, "p", 4.00, "{}"),  // Mon outlier
+      (4L, ts("2024-01-07 10:00:00"), 1L, "p", 0.10, "{}"),  // Sun
+      (5L, ts("2024-01-14 10:00:00"), 1L, "p", 0.10, "{}"))  // Sun
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.seasonalResidualOutliers(e).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(4)).toMap
+    // Monday mean = (100+100+400+1)/3 = 200; 2024-01-15: (400-200)/200 = +1e6
+    // and the two quiet Mondays read (100-200)/200 = -500000 (not > thresh)
+    assert(got.keySet == Set("2024-01-15"), got.toString)
+    assert(got("2024-01-15") == 1000000L, got.toString)
+  }
+
   test("ewmaRevenue: single day is the identity; adjacent days blend by the " +
        "ppm kernel; gap days renormalize over the weights actually present") {
     val w = EventOps.ewmaWeightsPpm

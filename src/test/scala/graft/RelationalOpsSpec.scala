@@ -412,4 +412,23 @@ class RelationalOpsSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(gotCloud == exp, s"got $gotCloud expected $exp")
   }
+
+  test("lDiversityAudit: a k-anonymous but homogeneous class is flagged; " +
+       "diverse classes are not; rows conserve") {
+    val df = Seq(
+      // class (100, "A"): 4 rows, but ALL share nation 7 -> l = 1, at risk
+      (100L, "A", 7), (100L, "A", 7), (100L, "A", 7), (100L, "A", 7),
+      // class (100, "B"): 3 rows, 3 distinct nations -> l = 3, safe
+      (100L, "B", 1), (100L, "B", 2), (100L, "B", 3),
+      // class (200, "A"): 2 rows, 2 nations -> l = 2, at risk (< 3)
+      (200L, "A", 1), (200L, "A", 2))
+      .toDF("acctbal_band", "c_mktsegment", "c_nationkey")
+    val got = RelationalOps.lDiversityAudit(df,
+      Seq("acctbal_band", "c_mktsegment"), "c_nationkey").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == Map(
+      1L -> ((1L, 4L, true)),
+      2L -> ((1L, 2L, true)),
+      3L -> ((1L, 3L, false))), got.toString)
+  }
 }
