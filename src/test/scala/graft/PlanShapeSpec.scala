@@ -341,4 +341,52 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(tp).size >= 2,
       s"table_profile aggregate must be partial+final:\n$tp")
   }
+
+  test("r11 shapes: skyline/ER/bootstrap/filtered-search keep their scale " +
+       "plans — constant frames broadcast, candidates stay equi-keyed, " +
+       "nothing degenerates to a cartesian") {
+    // pareto_frontier: per-x agg + sharded scan + join back — the join on
+    // x must be equi-keyed, never a nested loop over the point cloud
+    val pf = plan("pareto_frontier")
+    assert(!pf.contains("CartesianProduct"), s"pareto_frontier:\n$pf")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(pf).nonEmpty,
+      s"pareto_frontier joins back on x equi-keyed:\n$pf")
+    // bootstrap_ci: the 32-replicate frame and the CI/total single-row
+    // frames ride broadcasts; the replicate aggregate plans partial+final
+    val bc = plan("bootstrap_ci")
+    assert(bc.contains("BroadcastExchange"), s"bootstrap reps must broadcast:\n$bc")
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(bc).size >= 2,
+      s"bootstrap replicate agg partial+final:\n$bc")
+    // cosine_topk_filtered: queries broadcast; the label predicate lives
+    // in the join, so the plan is a BroadcastHashJoin (an equi-keyed
+    // probe), NOT the BroadcastNestedLoopJoin the unfiltered brute pays
+    val cf = plan("cosine_topk_filtered")
+    assert(cf.contains("BroadcastHashJoin"),
+      s"label filter must turn the probe equi-keyed:\n$cf")
+    assert(!cf.contains("CartesianProduct"), s"cosine_topk_filtered:\n$cf")
+    // ER tiers: candidate generation is equi-keyed (block / rank key)
+    for (q <- Seq("jw_name_pairs", "er_sorted_neighborhood")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(p).nonEmpty,
+        s"$q candidates must join equi-keyed:\n$p")
+    }
+    // single-pass audits: one partial+final aggregate, no joins at all
+    for (q <- Seq("hash_partition_balance", "zorder_span_audit")) {
+      val p = plan(q)
+      assert(!"SortMergeJoin|ShuffledHashJoin|CartesianProduct".r.findAllIn(p).hasNext,
+        s"$q must not join:\n$p")
+      assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 2,
+        s"$q aggregate partial+final:\n$p")
+    }
+    // ewma: the K-row kernel is a broadcast, the scatter-gather is one
+    // partial-agg shuffle; interarrival/streaks stay keyed-window only
+    val ew = plan("ewma_revenue")
+    assert(ew.contains("BroadcastExchange"), s"ewma kernel must broadcast:\n$ew")
+    for (q <- Seq("interarrival_profile", "order_streaks",
+                  "seasonal_residual_outliers", "l_diversity_audit",
+                  "source_ablation", "mutual_info_status_priority",
+                  "transition_entropy", "bigram_entropy_rate"))
+      assert(!plan(q).contains("CartesianProduct"), s"$q plans a cartesian")
+  }
 }
