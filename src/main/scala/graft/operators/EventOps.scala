@@ -424,28 +424,49 @@ object EventOps {
     */
   def seasonalResidualOutliers(events: DataFrame,
                                thresholdPpm: Long = 500000L): DataFrame = {
-    val daily = events
+    val daily = dailyCentsWithDow(events)
+    val base = seasonalBaseline(events)
+    seasonalResiduals(daily, base, thresholdPpm)
+  }
+
+  /** (day, cents, dow) daily rollup — the shared input of the batch
+    * screen and the streaming monitor (portable epoch dow, integer
+    * cents).
+    */
+  def dailyCentsWithDow(events: DataFrame): DataFrame =
+    events
       .groupBy(date_trunc("day", col("ts")).cast(DateType).as("day"))
       .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
       .withColumn("dow",
         pmod(datediff(col("day"), lit("1995-01-01").cast(DateType)), lit(7))
           .cast(LongType))
-    val base = daily.groupBy(col("dow"))
+
+  /** Per-weekday expected daily cents (half-up mean) — the 7-row
+    * baseline artifact the streaming monitor persists and replays.
+    */
+  def seasonalBaseline(events: DataFrame): DataFrame =
+    dailyCentsWithDow(events).groupBy(col("dow"))
       .agg(count(lit(1)).as("n_days"), sum(col("cents")).as("dow_cents"))
       .select(col("dow"),
         expr("(dow_cents + n_days div 2) div n_days").as("expected_cents"))
-    daily.join(broadcast(base), Seq("dow"))
+
+  /** Residual screen of a (day, cents, dow) frame against a given
+    * 7-row baseline — the definition both the batch query and the
+    * streaming `seasonalMonitorWriter` share verbatim.
+    */
+  def seasonalResiduals(daily: DataFrame, base: DataFrame,
+                        thresholdPpm: Long = 500000L): DataFrame =
+    daily.join(broadcast(base.select(col("dow"), col("expected_cents"))), Seq("dow"))
       .filter(col("expected_cents") =!= 0)
       .select(col("day"), col("dow"), col("cents"), col("expected_cents"),
-        // sign split keeps integer division truncating identically on
-        // both engines (Spark div truncates, DuckDB // floors — they
-        // only agree on non-negative operands)
+        // sign split pins the negative-operand semantics explicitly
+        // (both engines truncate toward zero — verified — but the split
+        // keeps the contract visible and convention-proof)
         expr("""case when cents >= expected_cents
           |  then (cents - expected_cents) * 1000000 div expected_cents
           |  else -((expected_cents - cents) * 1000000 div expected_cents)
           |end""".stripMargin).as("residual_ppm"))
       .filter(abs(col("residual_ppm")) > thresholdPpm)
-  }
 
   /** Integer truncated-kernel exponential smoothing weights for
     * [[ewmaRevenue]]: w_k = round(α(1−α)^k · 1e6) for k = 0..K−1 with

@@ -323,4 +323,34 @@ object StreamingOps {
       }
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
+
+  /** Streaming seasonal-anomaly monitor — the on-arrival face of
+    * `EventOps.seasonalResidualOutliers`: each micro-batch of events is
+    * rolled up to daily cents and screened against a PERSISTED 7-row
+    * weekday baseline (written by the batch pipeline from history;
+    * re-read per batch — metadata-scale — and broadcast), so a day that
+    * breaks its own weekday's pattern alarms as it lands rather than at
+    * the nightly rebuild. The residual definition is shared verbatim
+    * (`EventOps.seasonalResiduals` — the spec proves stream rows == the
+    * batch computation on the same slice). Stateless; replays rewrite
+    * the same batch_id row (idempotent audit via append + batch_id
+    * dedup at read). Note the monitor screens each batch's OWN daily
+    * rollup: a day split across micro-batches audits per-batch partial
+    * days by design (the alarm is directional, the nightly batch query
+    * is the authority).
+    */
+  def seasonalMonitorWriter(events: DataFrame, baselineDir: String,
+                            outDir: String, checkpoint: String,
+                            thresholdPpm: Long = 500000L): DataStreamWriter[Row] =
+    events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val base = batch.sparkSession.read.parquet(baselineDir)
+        graft.operators.EventOps.seasonalResiduals(
+            graft.operators.EventOps.dailyCentsWithDow(batch.toDF()),
+            base, thresholdPpm)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
 }

@@ -408,4 +408,51 @@ class StreamingOpsSpec extends SparkSpec {
     assert(exp0.getLong(3) == 0L && exp1.getLong(3) == 1000000L,
       "matching batch reads 0, shifted batch alarms at 1e6")
   }
+
+  test("seasonalMonitorWriter: an on-pattern micro-batch stays silent, an " +
+       "off-pattern day alarms with the shared batch residual definition") {
+    import java.nio.file.Files
+    import graft.operators.EventOps
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = Files.createTempDirectory("graft-seas-in").toString
+    val out = Files.createTempDirectory("graft-seas-out").toString
+    val ckpt = Files.createTempDirectory("graft-seas-ckpt").toString
+    val baseDir = Files.createTempDirectory("graft-seas-base").toString
+    // history: Mondays run ~100, Sundays ~10 — baseline from the batch op
+    val hist = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "p", 1.00, "{}"),
+      (2L, ts("2024-01-08 10:00:00"), 1L, "p", 1.00, "{}"),
+      (3L, ts("2024-01-07 10:00:00"), 1L, "p", 0.10, "{}"),
+      (4L, ts("2024-01-14 10:00:00"), 1L, "p", 0.10, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    EventOps.seasonalBaseline(hist).write.mode("overwrite").parquet(baseDir)
+    // batch 0: a NORMAL Monday (on pattern); batch 1: a 4x Monday
+    val b0 = Seq((10L, ts("2024-01-15 10:00:00"), 1L, "p", 1.00, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val b1 = Seq((11L, ts("2024-01-22 10:00:00"), 1L, "p", 4.00, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    b0.coalesce(1).write.mode("overwrite").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = StreamingOps.seasonalMonitorWriter(stream, baseDir, out, ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    b1.coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        r.getAs[Long]("residual_ppm"))
+    // on-pattern Monday emits NOTHING; the 4x Monday alarms, and the
+    // stream row equals the batch-side residual on the same slice
+    assert(rows.toMap.keySet == Set("2024-01-22"), rows.toSeq.toString)
+    val base = spark.read.parquet(baseDir)
+    val exp = EventOps.seasonalResiduals(
+      EventOps.dailyCentsWithDow(b1), base).head().getLong(4)
+    assert(rows.toMap.apply("2024-01-22") == exp && exp == 3000000L,
+      s"stream ${rows.toMap} vs batch $exp")
+  }
 }
