@@ -673,6 +673,10 @@ object SparkEntry {
     // quality means on one row — quality-aware retention as a number
     "dedup_quality_shift" -> ((s, d) =>
       DedupOps.dedupQualityShift(t(s, d, "documents"), componentIndexFor(s, d))),
+    // B-cubed clustering eval of the near-dup components against the
+    // exact-text gold: per-doc precision/recall/F1 in half-up ppm
+    "bcubed_dedup_eval" -> ((s, d) =>
+      DedupOps.bcubedDedupEval(t(s, d, "documents"), componentIndexFor(s, d))),
     // dup-cluster collapse: every paired doc labeled with its component's
     // min doc_id (min-label propagation; oracle = recursive closure)
     "dup_components" -> ((s, d) =>
@@ -2085,6 +2089,31 @@ object SparkEntry {
   private val dupComponentsOracle =
     dupComponentsCtes + "\nSELECT doc_id, component FROM comps"
 
+  private val bcubedOracle: String =
+    dupComponentsCtes +
+      """,
+        |g AS (SELECT doc_id, md5(text) AS th FROM documents),
+        |gid AS (SELECT th, MIN(doc_id) AS gold FROM g GROUP BY 1),
+        |a AS (SELECT g.doc_id, coalesce(c.component, g.doc_id) AS pred, gid.gold
+        |      FROM g JOIN gid USING (th) LEFT JOIN comps c ON c.doc_id = g.doc_id),
+        |np AS (SELECT pred, COUNT(*) AS n_p FROM a GROUP BY 1),
+        |ng AS (SELECT gold, COUNT(*) AS n_g FROM a GROUP BY 1),
+        |cell AS (SELECT pred, gold, COUNT(*) AS c FROM a GROUP BY 1, 2),
+        |tot AS (SELECT COUNT(*) AS n FROM a),
+        |s AS (SELECT
+        |  CAST(SUM(c * ((c * 1000000 + n_p // 2) // n_p)) AS BIGINT) AS sp,
+        |  CAST(SUM(c * ((c * 1000000 + n_g // 2) // n_g)) AS BIGINT) AS sr
+        |  FROM cell JOIN np USING (pred) JOIN ng USING (gold)),
+        |m AS (SELECT CAST(n AS BIGINT) AS n_docs,
+        |      CAST((sp + n // 2) // n AS BIGINT) AS precision_ppm,
+        |      CAST((sr + n // 2) // n AS BIGINT) AS recall_ppm
+        |      FROM s CROSS JOIN tot)
+        |SELECT n_docs, precision_ppm, recall_ppm,
+        |  CAST((2 * precision_ppm * recall_ppm
+        |    + (precision_ppm + recall_ppm) // 2)
+        |    // (precision_ppm + recall_ppm) AS BIGINT) AS f1_ppm
+        |FROM m""".stripMargin
+
   private val crossSourceDupMatrixOracle: String =
     minhashPairsCtes +
       """,
@@ -3428,6 +3457,7 @@ object SparkEntry {
     // DuckDB spelling of the min-label components. The star-contraction
     // variant computes the SAME function, so it shares the oracle verbatim.
     "dup_components" -> dupComponentsOracle,
+    "bcubed_dedup_eval" -> bcubedOracle,
     "cross_source_dup_matrix" -> crossSourceDupMatrixOracle,
     "dedup_quality_shift" -> dedupQualityShiftOracle,
 

@@ -763,6 +763,45 @@ object DedupOps {
       .crossJoin(bestKeep.select(col("m").as("keep_best_mean_ppm")))
   }
 
+  /** B-cubed evaluation of the near-dup clustering (Bagga & Baldwin) —
+    * the clustering-quality read the pairwise `lsh_recall_audit` can't
+    * give: per DOC, what fraction of its predicted cluster shares its
+    * gold cluster (precision) and what fraction of its gold cluster its
+    * predicted cluster recovers (recall), averaged over docs. Gold =
+    * exact-text groups (min-doc_id labels over the md5 key — never the
+    * full text shuffled); predicted = the persisted near-dup component
+    * index, unpaired docs their own singleton. B³ punishes both
+    * over-merging (precision) and under-merging (recall) PER DOC, so a
+    * giant wrong cluster costs proportionally to its size — the property
+    * pair-counting metrics lack. All half-up integer ppm: per-(pred,
+    * gold) cell ratios weighted by cell size, one division per side,
+    * F1 from the already-rounded means. Three partial-agg shuffles on
+    * (hash/pred/gold) keys; the cell grid is duplicate-structure-scale.
+    */
+  def bcubedDedupEval(documents: DataFrame, components: DataFrame): DataFrame = {
+    val g = documents.select(col("doc_id"), md5(col("text")).as("th"))
+    val gid = g.groupBy(col("th")).agg(min(col("doc_id")).as("gold"))
+    val assign = g.join(gid, Seq("th"))
+      .join(components.select(col("doc_id"), col("component")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("pred"), col("gold"))
+    val np = assign.groupBy(col("pred")).agg(count(lit(1)).as("n_p"))
+    val ng = assign.groupBy(col("gold")).agg(count(lit(1)).as("n_g"))
+    val cell = assign.groupBy(col("pred"), col("gold")).agg(count(lit(1)).as("c"))
+    val tot = assign.agg(count(lit(1)).as("n"))
+    cell.join(np, "pred").join(ng, "gold")
+      .agg(sum(expr("c * ((c * 1000000 + n_p div 2) div n_p)")).as("sp"),
+        sum(expr("c * ((c * 1000000 + n_g div 2) div n_g)")).as("sr"))
+      .crossJoin(broadcast(tot))
+      .select(col("n").as("n_docs"),
+        expr("(sp + n div 2) div n").as("precision_ppm"),
+        expr("(sr + n div 2) div n").as("recall_ppm"))
+      .withColumn("f1_ppm",
+        expr("""(2 * precision_ppm * recall_ppm
+          | + (precision_ppm + recall_ppm) div 2)
+          | div (precision_ppm + recall_ppm)""".stripMargin))
+  }
+
   /** Multi-screen near-dup EVIDENCE audit — the per-pair explanation row
     * behind the union graph `graph_triangles` consumes: for every
     * candidate pair (MinHash ∪ winnowing), how many LSH bands agreed,

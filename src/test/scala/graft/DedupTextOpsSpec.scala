@@ -1452,4 +1452,25 @@ class DedupTextOpsSpec extends SparkSpec {
     val tiny = Seq((1L, "word"), (2L, "")).toDF("doc_id", "text")
     assert(TextOps.bigramEntropyRate(tiny).count() == 0L)
   }
+
+  test("bcubedDedupEval: over-merging costs precision but not recall, " +
+       "per-doc weighted; perfect clustering reads 1e6 across the board") {
+    import spark.implicits._
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "z"))
+      .toDF("doc_id", "text")
+    // predicted: {1,2,3} over-merged, 4 absent (implicit singleton)
+    val pred = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "component")
+    val got = DedupOps.bcubedDedupEval(docs, pred).head()
+    assert(got.getLong(0) == 4L, got.toString)
+    // P: docs 1,2 read 2/3, doc 3 reads 1/3, doc 4 reads 1 ->
+    // (2*666667 + 333333 + 1000000 + 2) div 4 = 666667
+    assert(got.getLong(1) == 666667L, s"precision: $got")
+    assert(got.getLong(2) == 1000000L, s"over-merge keeps recall perfect: $got")
+    assert(got.getLong(3) == 800000L, s"F1 of the rounded means: $got")
+    // the exact gold clustering as prediction: all three read 1e6
+    val perfect = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "component")
+    val gp = DedupOps.bcubedDedupEval(docs, perfect).head()
+    assert((gp.getLong(1), gp.getLong(2), gp.getLong(3)) ==
+      ((1000000L, 1000000L, 1000000L)), gp.toString)
+  }
 }
