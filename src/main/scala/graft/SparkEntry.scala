@@ -1063,6 +1063,12 @@ object SparkEntry {
     // per-source sums, the mixture pre-flight before re-weighting
     "source_ablation" -> ((s, d) => TextOps.sourceAblation(t(s, d, "documents"))),
 
+    // reliability diagram: hashed-classifier score bins vs observed
+    // quality-gate positive rate — the calibration read before clf_keep
+    // is trusted as a corpus filter
+    "classifier_reliability" -> ((s, d) =>
+      TextOps.classifierReliability(t(s, d, "documents"))),
+
     // 2-D Pareto frontier of (spend, order count) per customer: the
     // dominance scan via the sharded exclusive running max — never a
     // single-reducer pass, vs the oracle's O(n^2) NOT-EXISTS spelling
@@ -3257,6 +3263,36 @@ object SparkEntry {
         |    / 1000000.0 AS clf_score,
         |  coalesce(s.s, 0) > 0 AS clf_keep
         |FROM t LEFT JOIN s USING (doc_id)""".stripMargin,
+
+    "classifier_reliability" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+        |wt AS (SELECT doc_id,
+        |  (CAST(concat('0x', substr(md5(CAST(
+        |     CAST(concat('0x', substr(md5(tk), 1, 8)) AS BIGINT) % 1024
+        |   AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000 AS w
+        |  FROM tok),
+        |s AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS s FROM wt GROUP BY doc_id),
+        |clf AS (SELECT t.doc_id,
+        |  CAST(round(CAST(coalesce(s.s, 0) AS DOUBLE) * 1000.0
+        |       / NULLIF(CAST(len(t.toks) AS DOUBLE), 0.0)) AS BIGINT) AS score_u
+        |  FROM t LEFT JOIN s USING (doc_id)),
+        |q AS (SELECT doc_id,
+        |  CAST(round(round(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.5 +
+        |       coalesce(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |                                     t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+        |                / NULLIF(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE), 0), 0) * 0.5,
+        |       6) * 1000000) AS BIGINT) AS q_ppm
+        |  FROM documents),
+        |j AS (SELECT clf.doc_id, score_u, q_ppm FROM clf JOIN q USING (doc_id)
+        |      WHERE score_u IS NOT NULL),
+        |b AS (SELECT MIN(score_u) AS mn, MAX(score_u) AS mx FROM j)
+        |SELECT (score_u - mn) * 10 // (mx - mn + 1) AS bin, COUNT(*) AS n,
+        |  CAST((SUM(score_u) + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS mean_score_u,
+        |  CAST((SUM(CAST(q_ppm >= 500000 AS BIGINT)) * 1000000 + COUNT(*) // 2)
+        |    // COUNT(*) AS BIGINT) AS pos_rate_ppm
+        |FROM j CROSS JOIN b
+        |GROUP BY 1""".stripMargin,
 
     // the full pipeline replayed: dedup base `ex` swapped into the shared
     // MinHash CTE chain (the only `FROM documents` in it is the shingle

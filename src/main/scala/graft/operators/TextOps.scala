@@ -1537,6 +1537,41 @@ object TextOps {
         expr("(cum_le * 1000000 + n_src div 2) div n_src").as("pct_ppm"))
   }
 
+  /** Reliability diagram of the hashed-feature classifier against the
+    * heuristic quality gate — the calibration read an ML eval wants
+    * before trusting `clf_keep` as a corpus filter: bin the classifier
+    * score into `bins` equal-width cells and report, per cell, the doc
+    * count, the mean score, and the observed positive rate (quality ≥
+    * 0.5) in ppm. A calibrated classifier shows pos_rate rising
+    * monotonically with the score bins; a flat diagram means the hashed
+    * features carry no signal against the gate. Integer end-to-end
+    * (micro-scaled scores, [[graft.operators.StatsOps.histogram]]-style
+    * binning off a broadcast bounds row); two corpus-scale per-doc
+    * passes + one partial-agg shuffle over ≤ bins cells.
+    */
+  def classifierReliability(documents: DataFrame, bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins out of range: $bins")
+    val clf = qualityClassifier(documents)
+      .select(col("doc_id"),
+        expr("cast(round(clf_score * 1000000) as bigint)").as("score_u"))
+      .filter(col("score_u").isNotNull)
+    val q = qualityScore(documents)
+      .select(col("doc_id"),
+        expr("cast(round(quality * 1000000) as bigint)").as("q_ppm"))
+    val j = clf.join(q, "doc_id")
+    val b = j.agg(min(col("score_u")).as("mn"), max(col("score_u")).as("mx"))
+    j.crossJoin(broadcast(b))
+      .select(expr(s"(score_u - mn) * $bins div (mx - mn + 1)").as("bin"),
+        col("score_u"), col("q_ppm"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        expr("cast((sum(score_u) + count(1) div 2) div count(1) as bigint)")
+          .as("mean_score_u"),
+        expr("""cast((sum(cast(q_ppm >= 500000 as bigint)) * 1000000
+          | + count(1) div 2) div count(1) as bigint)""".stripMargin)
+          .as("pos_rate_ppm"))
+  }
+
   /** Corpus bigram entropy rate — the compressibility one-number next to
     * [[knBigrams]]' smoothed table: H = −Σ_{w1,w2} p(w1,w2)·ln p(w2|w1)
     * in micro-nats per token transition. Low H means formulaic text

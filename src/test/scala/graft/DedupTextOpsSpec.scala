@@ -1453,6 +1453,28 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(TextOps.bigramEntropyRate(tiny).count() == 0L)
   }
 
+  test("classifierReliability: bins partition the score range, counts " +
+       "conserve, and a single doc reads its own score and gate verdict") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy old dog " * 6
+    val docs = Seq((1L, good), (2L, good + " padding tail"), (3L, "zzz qqq"),
+      (4L, "alpha beta gamma delta"), (5L, "x y z"))
+      .toDF("doc_id", "text")
+    val got = TextOps.classifierReliability(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._2).sum == 5L, "every doc lands in exactly one bin")
+    assert(got.forall(r => r._1 >= 0L && r._1 <= 9L), got.toSeq.toString)
+    assert(got.forall(r => r._4 >= 0L && r._4 <= 1000000L), got.toSeq.toString)
+    // single doc: its bin carries its exact score and its gate verdict
+    val one = docs.filter(col("doc_id") === 1L)
+    val g1 = TextOps.classifierReliability(one).head()
+    val score = TextOps.qualityClassifier(one).head().getDouble(2)
+    assert(g1.getLong(0) == 0L && g1.getLong(1) == 1L, g1.toString)
+    assert(g1.getLong(2) == math.round(score * 1e6), s"$g1 vs $score")
+    val qPpm = TextOps.qualityScore(one).head().getDouble(1)
+    assert(g1.getLong(3) == (if (qPpm >= 0.5) 1000000L else 0L), g1.toString)
+  }
+
   test("bcubedDedupEval: over-merging costs precision but not recall, " +
        "per-doc weighted; perfect clustering reads 1e6 across the board") {
     import spark.implicits._
