@@ -613,6 +613,9 @@ object SparkEntry {
     // CCNet-style segment dedup: keep the globally-first occurrence of
     // every distinct 8-token segment, reassemble survivors per doc
     "segment_dedup" -> ((s, d) => DedupOps.segmentDedup(t(s, d, "documents"))),
+    // C4/RefinedWeb boilerplate purge: segments reaching df >= 3 distinct
+    // docs removed from EVERY doc (vs segment_dedup's keep-first)
+    "boilerplate_purge" -> ((s, d) => DedupOps.boilerplatePurge(t(s, d, "documents"))),
     // Lee-et-al span dedup: OVERLAPPING k-token windows, keep-first by
     // (doc_id, pos), covered token positions removed, survivors reassembled
     "substring_dedup" -> ((s, d) => DedupOps.substringDedup(t(s, d, "documents"))),
@@ -1069,6 +1072,11 @@ object SparkEntry {
     "classifier_reliability" -> ((s, d) =>
       TextOps.classifierReliability(t(s, d, "documents"))),
 
+    // per-source Mann-Whitney rank-sum AUC of the classifier vs the
+    // quality gate: the discrimination read next to the calibration one
+    "classifier_auc" -> ((s, d) =>
+      TextOps.classifierAuc(t(s, d, "documents"))),
+
     // 2-D Pareto frontier of (spend, order count) per customer: the
     // dominance scan via the sharded exclusive running max — never a
     // single-reducer pass, vs the oracle's O(n^2) NOT-EXISTS spelling
@@ -1453,6 +1461,16 @@ object SparkEntry {
           date_trunc("day", col("o_orderdate")).cast(DateType).as("day"))
         .agg(RelationalOps.moneySum(col("o_totalprice")).as("total"))
       FinanceOps.gapFillDaily(daily, "o_orderstatus", "day", "total")
+    }),
+
+    // TimescaleDB gapfill+interpolate analog: daily cents per status
+    // densified to calendar grain with integer linear interpolation
+    "interp_fill_daily" -> ((s, d) => {
+      val daily = t(s, d, "orders")
+        .groupBy(col("o_orderstatus"),
+          date_trunc("day", col("o_orderdate")).cast(DateType).as("day"))
+        .agg(expr("sum(cast(round(o_totalprice * 100) as bigint))").as("total_cents"))
+      FinanceOps.interpFillDaily(daily, "o_orderstatus", "day", "total_cents")
     }),
 
     "median_price" -> ((s, d) =>
@@ -3121,6 +3139,24 @@ object SparkEntry {
         |       coalesce(n_kept, 0) AS n_kept, coalesce(clean_text, '') AS clean_text
         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
 
+    // C4-style purge: df >= 3 segments dropped from EVERY doc
+    "boilerplate_purge" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |st AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 8)) AS s FROM t),
+        |segs AS (SELECT doc_id, CAST(s // 8 AS INTEGER) AS seg_idx,
+        |         array_to_string(toks[s+1:least(s + 8, len(toks))], ' ') AS segment
+        |         FROM st WHERE s < len(toks)),
+        |dfc AS (SELECT md5(segment) AS h, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY 1),
+        |fl AS (SELECT doc_id, seg_idx, segment, (df >= 3) AS boiler
+        |       FROM segs JOIN dfc ON md5(segment) = dfc.h),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_segments,
+        |        CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |        coalesce(string_agg(CASE WHEN NOT boiler THEN segment END, ' ' ORDER BY seg_idx), '') AS clean_text
+        |        FROM fl GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_segments, 0) AS n_segments,
+        |       coalesce(n_boiler, 0) AS n_boiler, coalesce(clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+
     // span dedup: OVERLAPPING 8-token windows, global keep-first by
     // (doc_id, pos), dup occurrences cover positions pos+1..pos+8
     "substring_dedup" ->
@@ -3293,6 +3329,45 @@ object SparkEntry {
         |    // COUNT(*) AS BIGINT) AS pos_rate_ppm
         |FROM j CROSS JOIN b
         |GROUP BY 1""".stripMargin,
+
+    // Mann-Whitney via the tie-aware identity 2U = sum_s np(s)*(2*c_lt(s)+nn(s))
+    "classifier_auc" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+        |wt AS (SELECT doc_id,
+        |  (CAST(concat('0x', substr(md5(CAST(
+        |     CAST(concat('0x', substr(md5(tk), 1, 8)) AS BIGINT) % 1024
+        |   AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000 AS w
+        |  FROM tok),
+        |s AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS s FROM wt GROUP BY doc_id),
+        |clf AS (SELECT t.doc_id,
+        |  CAST(round(CAST(coalesce(s.s, 0) AS DOUBLE) * 1000.0
+        |       / NULLIF(CAST(len(t.toks) AS DOUBLE), 0.0)) AS BIGINT) AS score_u
+        |  FROM t LEFT JOIN s USING (doc_id)),
+        |q AS (SELECT doc_id,
+        |  CAST(round(round(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.5 +
+        |       coalesce(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |                                     t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+        |                / NULLIF(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE), 0), 0) * 0.5,
+        |       6) * 1000000) AS BIGINT) AS q_ppm
+        |  FROM documents),
+        |j AS (SELECT d.source, score_u, CAST(q_ppm >= 500000 AS BIGINT) AS pos
+        |      FROM clf JOIN q USING (doc_id) JOIN documents d USING (doc_id)
+        |      WHERE score_u IS NOT NULL),
+        |g AS (SELECT source, score_u, CAST(SUM(pos) AS BIGINT) AS np,
+        |      CAST(COUNT(*) - SUM(pos) AS BIGINT) AS nn FROM j GROUP BY 1, 2),
+        |c AS (SELECT source, np, nn,
+        |      CAST(coalesce(SUM(nn) OVER (PARTITION BY source ORDER BY score_u
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c_lt
+        |      FROM g),
+        |a AS (SELECT source, CAST(SUM(np * (2 * c_lt + nn)) AS BIGINT) AS u2,
+        |      CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg
+        |      FROM c GROUP BY 1)
+        |SELECT source, n_pos, n_neg,
+        |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+        |       ELSE CAST((u2 * 1000000 + n_pos * n_neg) // (2 * n_pos * n_neg) AS BIGINT)
+        |  END AS auc_ppm
+        |FROM a""".stripMargin,
 
     // the full pipeline replayed: dedup base `ex` swapped into the shared
     // MinHash CTE chain (the only `FROM documents` in it is the shingle
@@ -5793,6 +5868,44 @@ object SparkEntry {
         |CAST(last_value(total IGNORE NULLS) OVER (PARTITION BY o_orderstatus ORDER BY day
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS total_filled
         |FROM j""".stripMargin,
+
+    // gapfill + linear interpolation, integer cents, floor-division
+    // half-up ((2*rise*run + span) // (2*span)) on both engines
+    "interp_fill_daily" ->
+      """WITH daily AS (
+        |  SELECT o_orderstatus, CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+        |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM orders GROUP BY 1, 2),
+        |b AS (SELECT o_orderstatus, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        |cal AS (
+        |  SELECT o_orderstatus,
+        |         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |j AS (SELECT cal.o_orderstatus, cal.day, daily.total_cents
+        |      FROM cal LEFT JOIN daily ON cal.o_orderstatus = daily.o_orderstatus AND cal.day = daily.day),
+        |f AS (SELECT o_orderstatus, day, total_cents,
+        |      last_value(CASE WHEN total_cents IS NOT NULL THEN day END IGNORE NULLS)
+        |        OVER (PARTITION BY o_orderstatus ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |      last_value(total_cents IGNORE NULLS)
+        |        OVER (PARTITION BY o_orderstatus ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |      first_value(CASE WHEN total_cents IS NOT NULL THEN day END IGNORE NULLS)
+        |        OVER (PARTITION BY o_orderstatus ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd,
+        |      first_value(total_cents IGNORE NULLS)
+        |        OVER (PARTITION BY o_orderstatus ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+        |      FROM j),
+        |g AS (SELECT *,
+        |      2 * (nv - pv) * datediff('day', pd, day) + datediff('day', pd, nd) AS num,
+        |      2 * datediff('day', pd, nd) AS den
+        |      FROM f)
+        |SELECT o_orderstatus, day, total_cents,
+        |  CAST(CASE WHEN total_cents IS NOT NULL THEN total_cents
+        |       WHEN pv IS NULL THEN nv
+        |       WHEN nv IS NULL THEN pv
+        |       -- FLOOR division (DuckDB // truncates): subtract the
+        |       -- sign-safe modulus first, mirroring the engine's pmod
+        |       ELSE pv + (num - ((num % den + den) % den)) // den
+        |  END AS BIGINT) AS total_cents_interp
+        |FROM g""".stripMargin,
 
     "median_price" ->
       """SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS median_price

@@ -1130,6 +1130,48 @@ object DedupOps {
   def segmentDedupByLines(documents: DataFrame): DataFrame =
     segmentDedupBy(documents, "split(text, '\\n')")
 
+  /** C4-style boilerplate purge — the frequency-threshold sibling of
+    * [[segmentDedup]] (which keeps the FIRST occurrence of a repeated
+    * segment; nav bars, cookie banners, and license headers repeat
+    * thousands of times and the first copy is exactly as worthless as
+    * the rest): any segment whose document frequency reaches `minDf`
+    * distinct docs is boilerplate and is removed from EVERY doc,
+    * including the first. Raffel et al. 2020 (C4) drop any three-
+    * sentence span occurring ≥2× in the corpus; Penedo et al. 2023
+    * (RefinedWeb) drop high-frequency lines — this is that step over
+    * the repo's token-window segmenter. Scale shape: explode →
+    * partial-agg DF count grouped on the md5 fingerprint (32-char
+    * shuffle keys, never the segment text) → equi-join segments to
+    * their DF → per-doc rollup. No window over the corpus; the df
+    * frame is vocabulary-scale.
+    */
+  def boilerplatePurge(documents: DataFrame, segTokens: Int = 8,
+                       minDf: Int = 3): DataFrame = {
+    require(segTokens >= 1, s"segTokens out of range: $segTokens")
+    require(minDf >= 2, s"minDf out of range: $minDf")
+    val segs = documents.select(
+      col("doc_id"),
+      posexplode(expr(tokenWindowsSql(segTokens))).as(Seq("seg_idx", "segment")))
+      .withColumn("h", md5(col("segment")))
+    val dfc = segs.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("h"), lit(true).as("boiler"))
+    val kept = segs.join(dfc, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(expr("cast(coalesce(boiler, false) as bigint)")).as("n_boiler"),
+        concat_ws(" ", expr(
+          "transform(sort_array(collect_list(if(boiler is null, struct(seg_idx, segment), null))), x -> x.segment)"))
+          .as("clean_text"))
+    documents.select(col("doc_id")).join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Span-level exact substring dedup — the suffix-array dedup of Lee et
     * al. 2022 ("Deduplicating Training Data Makes Language Models Better")
     * re-expressed relationally: every OVERLAPPING k-token window is

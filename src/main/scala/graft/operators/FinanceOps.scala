@@ -218,6 +218,52 @@ object FinanceOps {
       .withColumn(s"${valueCol}_filled", last(col(valueCol), ignoreNulls = true).over(w))
   }
 
+  /** Calendar gap-fill + LINEAR interpolation — the TimescaleDB
+    * `time_bucket_gapfill` + `interpolate` analog next to
+    * [[gapFillDaily]]'s locf: each missing day gets the straight-line
+    * value between its nearest observed neighbors; leading/trailing gaps
+    * carry the nearest edge observation. `valueCol` must be an integer
+    * measure (cents/micros — the repo's money discipline) and the
+    * interpolated value is computed in pure integer arithmetic,
+    * round-half-up: v = pv + ⌊(2·(nv−pv)·(d−pd) + (nd−pd)) / (2·(nd−pd))⌋
+    * with FLOOR division (sign-safe via pmod — Spark's `div` truncates
+    * toward zero, which diverges from floor on the negative slopes a
+    * falling series produces). Plan: the same distributed calendar
+    * explode as gapFillDaily, then two per-key ordered windows (one
+    * forward, one reverse) to locate the bracketing observations — rows
+    * ∝ keys × days, windows partitioned by key, nothing global.
+    */
+  def interpFillDaily(df: DataFrame, key: String, dateCol: String,
+                      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = df.groupBy(col(key))
+      .agg(min(col(dateCol)).as("d0"), max(col(dateCol)).as("d1"))
+    val calendar = bounds.select(col(key),
+      explode(expr("sequence(d0, d1, interval 1 day)")).as(dateCol))
+    val wPrev = Window.partitionBy(col(key)).orderBy(col(dateCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col(key)).orderBy(col(dateCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col(valueCol).isNotNull, col(dateCol))
+    calendar
+      .join(df.select(col(key), col(dateCol), col(valueCol)), Seq(key, dateCol), "left")
+      .withColumn("__pd", last(obsDay, ignoreNulls = true).over(wPrev))
+      .withColumn("__pv", last(col(valueCol), ignoreNulls = true).over(wPrev))
+      .withColumn("__nd", first(obsDay, ignoreNulls = true).over(wNext))
+      .withColumn("__nv", first(col(valueCol), ignoreNulls = true).over(wNext))
+      .withColumn("__num", lit(2L) * (col("__nv") - col("__pv")) *
+        datediff(col(dateCol), col("__pd")) + datediff(col("__nd"), col("__pd")))
+      .withColumn("__den", lit(2L) * datediff(col("__nd"), col("__pd")))
+      .withColumn(s"${valueCol}_interp",
+        when(col(valueCol).isNotNull, col(valueCol))
+          .when(col("__pv").isNull, col("__nv"))
+          .when(col("__nv").isNull, col("__pv"))
+          // exact multiple of __den after the pmod subtraction, so `div`'s
+          // truncation can't differ from floor — integer end-to-end
+          .otherwise(expr("__pv + (__num - pmod(__num, __den)) div __den")))
+      .drop("__pd", "__pv", "__nd", "__nv", "__num", "__den")
+  }
+
   // ------------------------------------------------------------------
 
   /** dbt `materialized='view'` → temp view (lazy, recomputed). */

@@ -1572,6 +1572,50 @@ object TextOps {
           .as("pos_rate_ppm"))
   }
 
+  /** Per-source ROC AUC of the hashed classifier against the quality
+    * gate — the discrimination one-number next to
+    * [[classifierReliability]]'s calibration read: the Mann–Whitney
+    * rank-sum identity AUC = U / (n⁺·n⁻), with ties at equal scores
+    * credited half. Integer-exact throughout: per distinct score s,
+    * every positive at s contributes c_<(s) + t(s)/2 where c_< counts
+    * strictly-lower-scored negatives and t(s) ties — so 2U =
+    * Σ_s n⁺(s)·(2·c_<(s) + n⁻(s)), a pure integer, and the single
+    * half-up division happens at the end (auc_ppm). Scale shape: one
+    * per-doc scoring pass, a partial-agg shuffle to the (source, score)
+    * grid, a window PARTITIONED BY source over that grid (score
+    * cardinality is bounded by the ±1e6 micro range — dimension-scale
+    * per source, never a global window), and a per-source rollup.
+    * 2U·1e6 overflows BIGINT only past n⁺·n⁻ > 4.6e12 per source
+    * (~4.3M balanced docs/source); past that, lift the rollup to
+    * DECIMAL(38,0).
+    */
+  def classifierAuc(documents: DataFrame): DataFrame = {
+    val scored = qualityClassifier(documents)
+      .select(col("doc_id"),
+        expr("cast(round(clf_score * 1000000) as bigint)").as("score_u"))
+      .filter(col("score_u").isNotNull)
+      .join(qualityScore(documents)
+        .select(col("doc_id"),
+          expr("cast(round(quality * 1000000) as bigint) >= 500000").as("pos")),
+        "doc_id")
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+    val grid = scored.groupBy(col("source"), col("score_u"))
+      .agg(sum(expr("cast(pos as bigint)")).as("np"),
+        sum(expr("cast(not pos as bigint)")).as("nn"))
+    val w = Window.partitionBy(col("source")).orderBy(col("score_u"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grid
+      .withColumn("c_lt", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .groupBy(col("source"))
+      .agg(sum(expr("np * (2 * c_lt + nn)")).as("u2"),
+        sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
+      .select(col("source"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null))
+          .otherwise(expr(
+            "(u2 * 1000000 + n_pos * n_neg) div (2 * n_pos * n_neg)"))
+          .cast(LongType).as("auc_ppm"))
+  }
+
   /** Corpus bigram entropy rate — the compressibility one-number next to
     * [[knBigrams]]' smoothed table: H = −Σ_{w1,w2} p(w1,w2)·ln p(w2|w1)
     * in micro-nats per token transition. Low H means formulaic text

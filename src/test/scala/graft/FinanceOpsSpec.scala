@@ -126,4 +126,31 @@ class FinanceOpsSpec extends SparkSpec {
     assert(gap._1.isEmpty && gap._2.doubleValue == 10.0) // raw NULL, fill carries
     assert(got(("A", "2024-01-04"))._2.doubleValue == 40.0)
   }
+
+  test("interpFillDaily: straight-line integer fill between neighbors, " +
+       "edge gaps carry the nearest observation, falling slope floors right") {
+    import java.sql.Date
+    val df = Seq(
+      ("A", Date.valueOf("2024-01-01"), 1000L),
+      ("A", Date.valueOf("2024-01-04"), 4000L),  // rising: 1000,2000,3000,4000
+      ("B", Date.valueOf("2024-02-01"), 500L),
+      ("B", Date.valueOf("2024-02-04"), 499L))   // falling fractional slope
+      .toDF("k", "day", "v")
+    val got = FinanceOps.interpFillDaily(df, "k", "day", "v")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3))).toMap
+    assert(got.size == 8)
+    assert(got(("A", "2024-01-02")) == (None, 2000L))
+    assert(got(("A", "2024-01-03")) == (None, 3000L))
+    assert(got(("A", "2024-01-04")) == (Some(4000L), 4000L))
+    // slope -1/3 cents/day: 500 - 1/3 -> 499.667 rounds half-up to 500;
+    // 500 - 2/3 -> 499.333 rounds to 499 (floor-division half-up, sign-safe)
+    assert(got(("B", "2024-02-02")) == (None, 500L))
+    assert(got(("B", "2024-02-03")) == (None, 499L))
+    // edge carry: an all-observed series and a leading gap
+    val lead = Seq(("C", Date.valueOf("2024-03-05"), 7L))
+      .toDF("k", "day", "v")
+    assert(FinanceOps.interpFillDaily(lead, "k", "day", "v")
+      .head().getLong(3) == 7L)
+  }
 }
