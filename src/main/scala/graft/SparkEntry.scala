@@ -632,6 +632,8 @@ object SparkEntry {
     // hashed linear (fastText-shaped) quality classifier: integer-exact
     // hashed-bag-of-words margin + keep verdict
     "quality_classifier" -> ((s, d) => TextOps.qualityClassifier(t(s, d, "documents"))),
+    // four-fifths-rule keep-rate parity of clf_keep across sources
+    "clf_keep_parity" -> ((s, d) => TextOps.clfKeepParity(t(s, d, "documents"))),
     // the whole training-corpus pipeline (exact dedup → near-dup collapse
     // → quality floor → chunking) verified as one composed query
     "corpus_pipeline" -> ((s, d) => Pipelines.runCorpusPipeline(t(s, d, "documents"))),
@@ -995,6 +997,8 @@ object SparkEntry {
     "weekday_seasonality" -> ((s, d) => EventOps.weekdaySeasonality(t(s, d, "events"))),
 
     "revenue_acf" -> ((s, d) => EventOps.revenueAcf(t(s, d, "events"))),
+    // Ljung-Box portmanteau over the ACF lags: one white-noise verdict
+    "ljung_box" -> ((s, d) => EventOps.ljungBox(t(s, d, "events"))),
 
     "ks_source_drift" -> ((s, d) => StatsOps.ksSourceDrift(t(s, d, "documents"))),
 
@@ -1002,6 +1006,8 @@ object SparkEntry {
     // perplexity/novelty filters want instead of raw MLE; top-20 by
     // smoothed conditional, micros-exact ranking
     "kn_bigrams" -> ((s, d) => TextOps.knBigrams(t(s, d, "documents"))),
+    // per-source cross-entropy under the corpus KN bigram model
+    "kn_cross_entropy" -> ((s, d) => TextOps.knCrossEntropy(t(s, d, "documents"))),
 
     // embedding-table health: vector/zero counts + norm distribution —
     // the pre-flight audit every similarity tier assumes
@@ -1216,6 +1222,8 @@ object SparkEntry {
     // the brute ideal, pinned integer log2 weights — the gate recall@k
     // can't see rank order with
     "ann_ndcg" -> ((s, d) => SimilarityOps.annNdcg(t(s, d, "embeddings"))),
+    // reciprocal rank of the true NN inside the IVF shortlist
+    "ann_mrr" -> ((s, d) => SimilarityOps.annMrr(t(s, d, "embeddings"))),
     // two-stage retrieval: ADC top-20 shortlist, exact cosine rescore to
     // top-5 — full precision touched for 20×queries rows, never the corpus
     "cosine_topk_pq_rescored" -> ((s, d) =>
@@ -1336,6 +1344,8 @@ object SparkEntry {
     // signup→purchase conversion lag per cohort: exact type-1 quantiles
     // (rank ceil(q·n)), pure-integer output
     "conversion_lag" -> ((s, d) => EventOps.conversionLag(t(s, d, "events"))),
+    // Kaplan-Meier signup->purchase curve with right-censoring
+    "km_conversion" -> ((s, d) => EventOps.kmConversion(t(s, d, "events"))),
     // multi-touch attribution: first/last/linear credit per channel in
     // integer micros — one user-keyed interval join + per-purchase window
     "attribution_credit" -> ((s, d) => EventOps.attributionCredit(t(s, d, "events"))),
@@ -3284,6 +3294,33 @@ object SparkEntry {
 
     // hashed linear classifier: identical double-md5 bucket->weight chain,
     // integer sum re-aggregated after unnest (order-free: integers)
+
+    // four-fifths rule on clf_keep: same classifier chain, 20-row rollup
+    "clf_keep_parity" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+        |wt AS (SELECT doc_id,
+        |  (CAST(concat('0x', substr(md5(CAST(
+        |     CAST(concat('0x', substr(md5(tk), 1, 8)) AS BIGINT) % 1024
+        |   AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000 AS w
+        |  FROM tok),
+        |s AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS s FROM wt GROUP BY doc_id),
+        |clf AS (SELECT t.doc_id, coalesce(s.s, 0) > 0 AS clf_keep
+        |        FROM t LEFT JOIN s USING (doc_id)),
+        |k AS (SELECT d.source, COUNT(*) AS n_docs,
+        |      CAST(SUM(CASE WHEN clf_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+        |      FROM clf JOIN documents d USING (doc_id) GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_tot,
+        |       CAST(SUM(n_keep) AS BIGINT) AS keep_tot FROM k)
+        |SELECT source, n_docs, n_keep,
+        |  CAST((n_keep * 1000000 + n_docs // 2) // n_docs AS BIGINT) AS keep_ppm,
+        |  CASE WHEN keep_tot = 0 THEN NULL
+        |       ELSE CAST((n_keep * n_tot * 1000000 + (n_docs * keep_tot) // 2)
+        |            // (n_docs * keep_tot) AS BIGINT) END AS parity_ppm,
+        |  CASE WHEN keep_tot = 0 THEN NULL
+        |       ELSE (n_keep * n_tot * 1000000 + (n_docs * keep_tot) // 2)
+        |            // (n_docs * keep_tot) < 800000 END AS below_four_fifths
+        |FROM k CROSS JOIN tt""".stripMargin,
     "quality_classifier" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
         |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
@@ -3624,6 +3661,43 @@ object SparkEntry {
     "bpe_fertility" -> bpeFertilityOracle,
     "bpe_oov" -> bpeOovOracle,
 
+
+    // K-M: per-user first signup / first qualifying purchase, censor at
+    // the global horizon; survival carried as a log-space integer cumsum
+    "km_conversion" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |h AS (SELECT MAX(ts) AS h_ts FROM e),
+        |s AS (SELECT user_id, MIN(ts) AS signup_ts FROM e WHERE event_type = 'signup' GROUP BY user_id),
+        |pu AS (SELECT s.user_id, s.signup_ts,
+        |       MIN(CASE WHEN p.ts >= s.signup_ts THEN p.ts END) AS purchase_ts
+        |       FROM s LEFT JOIN e p ON p.user_id = s.user_id AND p.event_type = 'purchase'
+        |       GROUP BY s.user_id, s.signup_ts),
+        |tt AS (SELECT CASE WHEN purchase_ts IS NOT NULL
+        |         THEN (CAST(floor(epoch(purchase_ts)) AS BIGINT) - CAST(floor(epoch(signup_ts)) AS BIGINT)) // 86400
+        |         ELSE (CAST(floor(epoch(h_ts)) AS BIGINT) - CAST(floor(epoch(signup_ts)) AS BIGINT)) // 86400
+        |       END AS t_day,
+        |       purchase_ts IS NOT NULL AS event
+        |       FROM pu CROSS JOIN h),
+        |g AS (SELECT t_day, CAST(SUM(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |      CAST(SUM(CASE WHEN event THEN 0 ELSE 1 END) AS BIGINT) AS c FROM tt GROUP BY 1),
+        |n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM tt),
+        |k AS (SELECT t_day, d, c,
+        |      n_tot - CAST(coalesce(SUM(d + c) OVER (ORDER BY t_day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        |      FROM g CROSS JOIN n0),
+        |tm AS (SELECT t_day, d, n_risk,
+        |       CASE WHEN d = 0 THEN 0
+        |            WHEN n_risk > d THEN CAST(round(ln(CAST(n_risk - d AS DOUBLE)
+        |              / CAST(n_risk AS DOUBLE)) * 1000000) AS BIGINT)
+        |            ELSE NULL END AS term
+        |       FROM k),
+        |cm AS (SELECT t_day, d, n_risk,
+        |       MAX(CASE WHEN term IS NULL THEN 1 ELSE 0 END) OVER w AS dead,
+        |       SUM(term) OVER w AS cum
+        |       FROM tm WINDOW w AS (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT t_day, n_risk, d AS d_events,
+        |       CAST(CASE WHEN dead = 1 THEN NULL ELSE cum END AS BIGINT) AS log_surv_micro
+        |FROM cm WHERE d > 0""".stripMargin,
     "conversion_lag" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |s AS (SELECT user_id, MIN(ts) AS signup_ts FROM e WHERE event_type = 'signup' GROUP BY user_id),
@@ -4693,6 +4767,48 @@ object SparkEntry {
         |    ELSE -((expected_cents - cents) * 1000000 // expected_cents)
         |  END) > 500000""".stripMargin,
 
+
+    // same IVF chain as ann_ndcg; truth = brute rank-1; rr half-up
+    "ann_mrr" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |bscored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id,
+        |         round(list_cosine_similarity(c.emb, q.emb), 4) AS score
+        |  FROM v c CROSS JOIN v q WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |truth AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+        |    FROM bscored) t WHERE rn = 1),
+        |cent AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM v WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT vec_id, emb, centroid_id FROM (
+        |    SELECT v.vec_id, v.emb, cent.centroid_id,
+        |           row_number() OVER (PARTITION BY v.vec_id
+        |             ORDER BY round(list_cosine_similarity(v.emb, cent.c_emb), 6) DESC, cent.centroid_id) AS rn
+        |    FROM v CROSS JOIN cent) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT q_id, q_emb, centroid_id FROM (
+        |    SELECT q.vec_id AS q_id, q.emb AS q_emb, cent.centroid_id,
+        |           row_number() OVER (PARTITION BY q.vec_id
+        |             ORDER BY round(list_cosine_similarity(q.emb, cent.c_emb), 6) DESC, cent.centroid_id) AS rn
+        |    FROM v q CROSS JOIN cent WHERE q.vec_id < 10) t WHERE rn <= 2),
+        |iscored AS (
+        |  SELECT p.q_id, a.vec_id, round(list_cosine_similarity(a.emb, p.q_emb), 4) AS score
+        |  FROM asg a JOIN probes p ON a.centroid_id = p.centroid_id
+        |  WHERE a.vec_id <> p.q_id),
+        |iranked AS (
+        |  SELECT q_id, vec_id,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+        |  FROM iscored),
+        |fr AS (SELECT r.q_id,
+        |       CAST(MIN(CASE WHEN i.vec_id IS NOT NULL THEN r.rank END) AS INTEGER) AS first_rank
+        |       FROM iranked r LEFT JOIN truth i
+        |         ON i.q_id = r.q_id AND i.vec_id = r.vec_id
+        |       WHERE r.rank <= 5 GROUP BY r.q_id)
+        |SELECT q_id, first_rank,
+        |  CAST(coalesce((1000000 + first_rank // 2) // first_rank, 0) AS BIGINT) AS rr_ppm
+        |FROM fr""".stripMargin,
     "ann_ndcg" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |bscored AS (
@@ -4916,6 +5032,34 @@ object SparkEntry {
         |  END AS index_ppm
         |FROM b CROSS JOIN t""".stripMargin,
 
+
+    // Q assembled from the same ACF chain; HUGEINT carries the r^2*n*(n+2)
+    // product; all terms nonnegative so // truncation == floor
+    "ljung_box" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |      SUM(CAST(round(value * 100) AS BIGINT)) AS cents FROM e GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS n, SUM(cents) AS s FROM d),
+        |dev AS (SELECT row_number() OVER (ORDER BY day) AS tt,
+        |        CAST(cents * n - s AS HUGEINT) AS dd FROM d CROSS JOIN t),
+        |den AS (SELECT SUM(dd * dd) AS den FROM dev),
+        |p AS (SELECT lag, SUM(a.dd * b.dd) AS num
+        |      FROM dev a CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+        |      JOIN dev b ON b.tt = a.tt + lag GROUP BY lag),
+        |acf AS (SELECT lag,
+        |  CASE WHEN den <> 0 THEN
+        |    CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1000000) AS BIGINT)
+        |  END AS acf_micros FROM p CROSS JOIN den),
+        |nn AS (SELECT COUNT(*) AS n FROM d),
+        |terms AS (SELECT n,
+        |  (CAST(acf_micros AS HUGEINT) * acf_micros * n * (n + 2)
+        |   + CAST(n - lag AS HUGEINT) * 500000)
+        |  // (CAST(n - lag AS HUGEINT) * 1000000) AS term
+        |  FROM acf CROSS JOIN nn)
+        |SELECT CAST(n AS BIGINT) AS n_days, CAST(7 AS INTEGER) AS h,
+        |       CAST(SUM(term) AS BIGINT) AS q_micro,
+        |       CAST(SUM(term) AS BIGINT) > 14067140 AS reject_white_noise_95
+        |FROM terms GROUP BY n""".stripMargin,
     "revenue_acf" ->
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
         |d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
@@ -4933,6 +5077,34 @@ object SparkEntry {
         |  END AS acf_micros
         |FROM p CROSS JOIN den""".stripMargin,
 
+
+    // per-source occurrence-weighted -ln p under the full KN table;
+    // per-TYPE log terms quantized once, weighted by exact counts
+    "kn_cross_entropy" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+        |bg AS (SELECT tk[i] AS w1, tk[i + 1] AS w2
+        |       FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM t)),
+        |c AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+        |l AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS n1p_fwd FROM c GROUP BY 1),
+        |r AS (SELECT w2, COUNT(*) AS n1p_bwd FROM c GROUP BY 1),
+        |ty AS (SELECT COUNT(*) AS n_types FROM c),
+        |tab AS (SELECT w1, w2,
+        |  CAST(round(
+        |    (greatest(CAST(c12 AS DOUBLE) - 0.75, 0)
+        |     + 0.75 * CAST(n1p_fwd AS DOUBLE)
+        |       * (CAST(n1p_bwd AS DOUBLE) / CAST(n_types AS DOUBLE)))
+        |    / CAST(c1 AS DOUBLE) * 1000000) AS BIGINT) AS p
+        |  FROM c JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN ty),
+        |sb AS (SELECT d.source, b.w1, b.w2, COUNT(*) AS cc
+        |       FROM (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+        |             FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM t)) b
+        |       JOIN documents d USING (doc_id) GROUP BY 1, 2, 3),
+        |j AS (SELECT source, cc,
+        |      CAST(round(ln(1000000.0 / CAST(greatest(p, 1) AS DOUBLE)) * 1000000) AS BIGINT) AS lt
+        |      FROM sb JOIN tab USING (w1, w2))
+        |SELECT source, CAST(SUM(cc) AS BIGINT) AS n_bigrams,
+        |  CAST((SUM(cc * lt) + SUM(cc) // 2) // SUM(cc) AS BIGINT) AS h_micro
+        |FROM j GROUP BY source""".stripMargin,
     "kn_bigrams" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
         |bg AS (SELECT tk[i] AS w1, tk[i + 1] AS w2

@@ -784,6 +784,99 @@ object EventOps {
           .as("acf_micros"))
   }
 
+  /** Ljung–Box portmanteau test on the daily-revenue ACF — the "is this
+    * series white noise" yes/no that turns [[revenueAcf]]'s per-lag reads
+    * into one decision number: Q = n(n+2)·Σ_{k≤h} r_k²/(n−k), compared
+    * against the χ²(h) 95% critical value. Q is assembled integer-exact
+    * from the micro-quantized ACF values: each lag's term is
+    * (r_micros²·n·(n+2) + d/2) div d with d = (n−k)·10⁶ — DECIMAL(38,0)
+    * carries the ~10¹⁸ product past long range — and Q_micro is their
+    * sum. The critical value is a pinned literal (h=7 only; the repo has
+    * no chi-square quantile function and a hardcoded table row keeps both
+    * engines trivially identical). Scale: everything after the one
+    * corpus (day) aggregate runs on the ≤ maxLag-row ACF frame.
+    */
+  def ljungBox(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    require(maxLag == 7, s"critical value pinned for h = 7, got $maxLag")
+    val crit95Micro = 14067140L // chi-square 0.95 quantile, df = 7
+    val n = events
+      .select(date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .distinct()
+      .agg(count(lit(1)).as("n"))
+    revenueAcf(events, maxLag)
+      .crossJoin(broadcast(n))
+      .select(col("n"),
+        expr("""(cast(acf_micros as decimal(38,0)) * acf_micros * n * (n + 2)
+          | + cast((n - lag) as decimal(38,0)) * 500000)
+          | div (cast((n - lag) as decimal(38,0)) * 1000000)""".stripMargin)
+          .as("term"))
+      .groupBy(col("n"))
+      .agg(sum(col("term")).cast(LongType).as("q_micro"))
+      .select(col("n").as("n_days"), lit(maxLag).as("h"), col("q_micro"),
+        (col("q_micro") > crit95Micro).as("reject_white_noise_95"))
+  }
+
+  /** Kaplan–Meier signup→purchase conversion curve — the survival-
+    * analysis read [[conversionLag]]'s converters-only quantiles miss:
+    * users who never purchased are RIGHT-CENSORED at the observation
+    * horizon (global max event ts), not dropped, so the curve is an
+    * unbiased estimate of time-to-convert. At each death day t (first
+    * purchase, in whole days since signup): n_risk = users whose event or
+    * censor day ≥ t, d = conversions at t, and the survival estimate is
+    * carried in LOG space as an exact integer — log_surv_micro =
+    * Σ_{t_j ≤ t} round(10⁶·ln((n_j−d_j)/n_j)) — because the product form
+    * would need a per-step quantized multiply chain while the log form is
+    * a plain cumulative sum of per-step integers (each term one
+    * fixed-shape double over exact counts, the repo's entropy-op
+    * discipline; S(t) = exp(log/10⁶) for the reader). If a step consumes
+    * every at-risk user (n = d, S hits exactly 0, log → −∞) that row and
+    * all later rows carry NULL. Scale: one per-user reduction (first
+    * signup, first qualifying purchase), then everything runs on the
+    * distinct-day grid — dimension-scale, constant-key window idiom.
+    */
+  def kmConversion(events: DataFrame): DataFrame = {
+    val horizon = events.agg(max(col("ts")).as("h_ts"))
+    val signup = events.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    val purchase = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    // min over the WHEN-guard (not a filter): a user whose purchases all
+    // predate signup must censor at the horizon, not vanish from the set
+    val perUser = signup
+      .join(purchase, Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("signup_ts"))
+      .agg(min(when(col("p_ts") >= col("signup_ts"), col("p_ts"))).as("purchase_ts"))
+      .crossJoin(broadcast(horizon))
+      .select(
+        when(col("purchase_ts").isNotNull,
+          expr("(unix_timestamp(purchase_ts) - unix_timestamp(signup_ts)) div 86400"))
+          .otherwise(expr("(unix_timestamp(h_ts) - unix_timestamp(signup_ts)) div 86400"))
+          .as("t_day"),
+        col("purchase_ts").isNotNull.as("event"))
+    // left-joined users with no purchase row at all still censor at horizon
+    val grid = perUser.groupBy(col("t_day"))
+      .agg(sum(expr("cast(event as bigint)")).as("d"),
+        sum(expr("cast(not event as bigint)")).as("c"))
+    val nTot = perUser.agg(count(lit(1)).as("n_tot"))
+    val wBefore = Window.partitionBy(pmod(col("t_day"), lit(1))).orderBy(col("t_day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(pmod(col("t_day"), lit(1))).orderBy(col("t_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .crossJoin(broadcast(nTot))
+      .withColumn("n_risk", col("n_tot") - coalesce(sum(col("d") + col("c")).over(wBefore), lit(0L)))
+      .withColumn("term",
+        when(col("d") === 0L, lit(0L))
+          .when(col("n_risk") > col("d"),
+            expr("cast(round(ln(cast(n_risk - d as double) / cast(n_risk as double)) * 1000000) as bigint)"))
+          .otherwise(lit(null)))
+      .withColumn("dead", max(when(col("term").isNull, 1).otherwise(0)).over(wCum))
+      .withColumn("log_surv_micro",
+        when(col("dead") === 1, lit(null)).otherwise(sum(col("term")).over(wCum)))
+      .filter(col("d") > 0L)
+      .select(col("t_day"), col("n_risk"), col("d").as("d_events"), col("log_surv_micro"))
+  }
+
   /** Theil–Sen robust trend per event type: the MEDIAN of all pairwise
     * day-to-day slopes — the estimator that shrugs off the outlier days
     * OLS (`revenueTrend`) gets dragged by (breakdown point 29% vs 0%).

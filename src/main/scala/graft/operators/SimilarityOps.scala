@@ -136,6 +136,30 @@ object SimilarityOps {
         expr(s"(dcg * 1000000 + ${idcg / 2}) div $idcg").as("ndcg_ppm"))
   }
 
+  /** Per-query reciprocal rank of the TRUE nearest neighbor inside the
+    * IVF shortlist — the first-hit-position retrieval metric next to
+    * [[annRecall]]'s set overlap and [[annNdcg]]'s graded gain: MRR
+    * punishes an ANN tier that finds the right answer but buries it at
+    * rank k. Relevance = the brute-force rank-1 neighbor (self excluded);
+    * rr_ppm = (10⁶ + r div 2) div r at the first matching rank, 0 when
+    * the true NN misses the shortlist entirely (the recall failure,
+    * priced at its MRR cost). LEFT join keeps every query row. Same
+    * scale shape as the other ANN audits: two bounded retrieval frames
+    * (nQueries·k rows) joined on (q_id, vec_id).
+    */
+  def annMrr(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val truth = cosineTopK(embeddings, nQueries, 1)
+      .select(col("q_id"), col("vec_id"))
+    ivfTopK(embeddings, 16, nQueries, k)
+      .join(truth.withColumn("hit", lit(1)), Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(min(when(col("hit") === 1, col("rank"))).as("first_rank"))
+      .select(col("q_id"), col("first_rank"),
+        coalesce(
+          expr("cast((1000000 + first_rank div 2) div first_rank as bigint)"),
+          lit(0L)).as("rr_ppm"))
+  }
+
   /** Maximal-marginal-relevance reranking (Carbonell & Goldstein) of the
     * cosine shortlist: greedily pick k results balancing relevance to the
     * query against redundancy with what is ALREADY picked —

@@ -1747,7 +1747,16 @@ object TextOps {
     * Kneser & Ney (1995) / Chen & Goodman (1999) — published smoothing,
     * restated Spark-first.
     */
-  def knBigrams(documents: DataFrame, k: Int = 20): DataFrame = {
+  def knBigrams(documents: DataFrame, k: Int = 20): DataFrame =
+    knTable(documents)
+      .orderBy(col("p_kn_micros").desc, col("w1"), col("w2"))
+      .limit(k)
+
+  /** Full Kneser–Ney bigram table (every observed bigram, no top-k cut)
+    * — the model surface [[knBigrams]] previews and [[knCrossEntropy]]
+    * consumes whole.
+    */
+  private[operators] def knTable(documents: DataFrame): DataFrame = {
     // stage the token array once, and keep only docs that can emit a
     // bigram BEFORE indexing (sequence(0, -1) would descend, and ANSI
     // out-of-bounds indexing must never be reachable)
@@ -1771,8 +1780,69 @@ object TextOps {
           |     * (cast(n1p_bwd as double) / cast(n_types as double)))
           |  / cast(c1 as double) * 1000000) as bigint)""".stripMargin)
           .as("p_kn_micros"))
-      .orderBy(col("p_kn_micros").desc, col("w1"), col("w2"))
-      .limit(k)
+  }
+
+  /** Per-source cross-entropy under the corpus-wide Kneser–Ney bigram
+    * model — which sources the corpus LM finds surprising (high H:
+    * off-distribution or noisy text; low H: formulaic). H_micro =
+    * Σ c·round(10⁶·ln(10⁶/p_micros)) / Σ c over the source's bigram
+    * occurrences, half-up at the final division — per-TYPE log terms are
+    * quantized once (fixed-shape double over the integer micro
+    * probability, entropy-op discipline) and weighted by exact counts,
+    * so group-sum order can't drift the hash. p clamps to ≥ 1 micro
+    * (a sub-micro continuation probability would send ln to ∞). Scale:
+    * one corpus bigram aggregate per side, an equi-join on the bigram
+    * key, a 20-row rollup. The model is trained on the FULL corpus
+    * (every scored bigram is in-vocabulary by construction — this is
+    * the self-report read; pair with a held-out split for generalization).
+    */
+  def knCrossEntropy(documents: DataFrame): DataFrame = {
+    val bySource = tokenize(documents.select(col("doc_id"), col("text")))
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+      .filter(size(col("toks")) >= 2)
+      .select(col("source"), explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> struct(toks[i] as w1, toks[i + 1] as w2))""".stripMargin))
+        .as("b"))
+      .groupBy(col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+    bySource
+      .join(knTable(documents).select(col("w1"), col("w2"),
+        expr("cast(round(ln(1000000.0d / cast(greatest(p_kn_micros, 1L) as double)) * 1000000) as bigint)")
+          .as("lt")), Seq("w1", "w2"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        expr("cast((sum(c * lt) + sum(c) div 2) div sum(c) as bigint)").as("h_micro"))
+  }
+
+  /** Classifier keep-rate parity audit — the four-fifths (80%) rule
+    * applied to `clf_keep` across sources: a corpus filter that admits
+    * one source at a far lower rate than the corpus average is skewing
+    * the training mixture (the fairness-audit shape, applied to data
+    * curation). Integer end-to-end: keep_ppm half-up per source,
+    * parity_ppm = source rate ÷ overall rate in ppm computed as one
+    * integer division (keeps·n_tot·10⁶ / (n·keeps_tot), half-up), flag
+    * when parity < 800000. Products stay under long range until
+    * n·keeps_tot > ~9·10¹² (≈3M docs balanced) — lift to DECIMAL(38,0)
+    * past that. One per-doc scoring pass + a 20-row rollup + a
+    * broadcast totals row.
+    */
+  def clfKeepParity(documents: DataFrame): DataFrame = {
+    val kept = qualityClassifier(documents)
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("cast(clf_keep as bigint)")).as("n_keep"))
+    val tot = kept.agg(sum(col("n_docs")).as("n_tot"), sum(col("n_keep")).as("keep_tot"))
+    kept.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_keep"),
+        expr("(n_keep * 1000000 + n_docs div 2) div n_docs").as("keep_ppm"),
+        when(col("keep_tot") === 0L, lit(null))
+          .otherwise(expr(
+            "(n_keep * n_tot * 1000000 + (n_docs * keep_tot) div 2) div (n_docs * keep_tot)"))
+          .cast(LongType).as("parity_ppm"))
+      .withColumn("below_four_fifths",
+        when(col("parity_ppm").isNull, lit(null)).otherwise(col("parity_ppm") < 800000L))
   }
 
   /** Curriculum phase assignment — the training-order step: documents are

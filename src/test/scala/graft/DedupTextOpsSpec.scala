@@ -1505,6 +1505,52 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(TextOps.classifierAuc(one).head().isNullAt(3))
   }
 
+  test("knCrossEntropy: formulaic sources score lower cross-entropy than " +
+       "diverse ones; bigram totals conserve; single-bigram docs count") {
+    import spark.implicits._
+    // src A: one bigram repeated -> the model all but memorizes it.
+    // src B: every bigram unique -> each is rare under the corpus model.
+    val docs = Seq(
+      (1L, "x y x y x y x y x y x y", "A"),
+      (2L, "x y x y x y x y", "A"),
+      (3L, "q w e r t u i o p s d f", "B"),
+      (4L, "m n b v c z l k j h g a", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.knCrossEntropy(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("A")._1 == 11L + 7L, got.toString)
+    assert(got("B")._1 == 11L + 11L, got.toString)
+    assert(got("A")._2 < got("B")._2,
+      s"formulaic A=${got("A")._2} must beat diverse B=${got("B")._2}")
+    assert(got.values.forall(_._2 >= 0L), got.toString)
+  }
+
+  test("clfKeepParity: keeps conserve, keep_ppm bounded, parity nulls " +
+       "only when nothing is kept, and the 80%-rule flag tracks parity") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy old dog " * 4
+    val docs = (1L to 12L).map(i =>
+      (i, if (i % 3 == 0) "zz qq" + i else good + i, s"s${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    val rows = TextOps.clfKeepParity(docs).collect()
+    assert(rows.length == 2)
+    val keepTot = rows.map(_.getLong(2)).sum
+    assert(rows.map(_.getLong(1)).sum == 12L)
+    rows.foreach { r =>
+      val ppm = r.getLong(3)
+      assert(ppm >= 0L && ppm <= 1000000L, r.toString)
+      if (keepTot == 0L) assert(r.isNullAt(4))
+      else {
+        val parity = r.getLong(4)
+        assert(r.getBoolean(5) == (parity < 800000L), r.toString)
+        // parity replays as (n_keep * n_tot * 1e6 + den/2) div den
+        val den = r.getLong(1) * keepTot
+        val exp = (r.getLong(2) * 12L * 1000000L + den / 2) / den
+        assert(parity == exp, s"$parity vs $exp")
+      }
+    }
+  }
+
   test("boilerplatePurge: df>=minDf segments vanish from every doc " +
        "including the first, rare segments survive, empty docs roll up") {
     import spark.implicits._

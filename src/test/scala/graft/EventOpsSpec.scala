@@ -557,4 +557,63 @@ class EventOpsSpec extends SparkSpec {
     val exp = (w(0) * 300L + w(5) * 200L + w(6) * 100L + sw / 2) / sw
     assert(got("2024-01-07") == ((300L, exp)), got("2024-01-07").toString)
   }
+
+  test("kmConversion: hand-checked risk sets, log-space cumsum, " +
+       "never-purchasers censor at the horizon, n=d goes NULL") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    def ev(id: Long, t: String, u: Long, typ: String) =
+      (id, ts(t), u, typ, 1.0, "{}")
+    // A,B convert at day 1, C at day 3, D never (horizon day 5 via a view)
+    val e = Seq(
+      ev(1, "2024-01-01 00:00:00", 1, "signup"),
+      ev(2, "2024-01-01 00:00:00", 2, "signup"),
+      ev(3, "2024-01-01 00:00:00", 3, "signup"),
+      ev(4, "2024-01-01 00:00:00", 4, "signup"),
+      ev(5, "2024-01-02 00:00:00", 1, "purchase"),
+      ev(6, "2024-01-02 00:00:00", 2, "purchase"),
+      ev(7, "2024-01-04 00:00:00", 3, "purchase"),
+      ev(8, "2024-01-06 00:00:00", 4, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.kmConversion(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(got.keySet == Set(1L, 3L), got.toString)
+    val half = math.round(math.log(0.5) * 1e6) // -693147
+    assert(got(1L) == ((4L, 2L, Some(half))), got(1L).toString)
+    assert(got(3L) == ((2L, 1L, Some(2 * half))), got(3L).toString)
+    // everyone converts at the same instant-day: n = d, S hits 0 -> NULL
+    val all = Seq(
+      ev(1, "2024-01-01 00:00:00", 1, "signup"),
+      ev(2, "2024-01-01 01:00:00", 1, "purchase"),
+      ev(3, "2024-01-01 00:00:00", 2, "signup"),
+      ev(4, "2024-01-01 02:00:00", 2, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val g2 = EventOps.kmConversion(all).collect()
+    assert(g2.length == 1 && g2.head.getLong(0) == 0L &&
+      g2.head.getLong(1) == 2L && g2.head.getLong(2) == 2L &&
+      g2.head.isNullAt(3), g2.toSeq.toString)
+  }
+
+  test("ljungBox: Q matches the integer formula recomputed from the ACF " +
+       "frame, and a strongly autocorrelated series rejects white noise") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // 30 days of a rising ramp: heavy positive autocorrelation
+    val e = (1 to 30).map(i =>
+      (i.toLong, ts(f"2024-01-$i%02d 00:00:00"), 1L, "purchase", i * 10.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val acf = EventOps.revenueAcf(e).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val n = 30L
+    val expQ = (1 to 7).map { k =>
+      val r = BigInt(acf(k))
+      ((r * r * n * (n + 2) + BigInt((n - k) * 500000L)) /
+        BigInt((n - k) * 1000000L)).toLong
+    }.sum
+    val got = EventOps.ljungBox(e).head()
+    assert(got.getLong(0) == 30L && got.getInt(1) == 7)
+    assert(got.getLong(2) == expQ, s"${got.getLong(2)} vs $expQ")
+    assert(got.getBoolean(3), "ramp must reject white noise")
+  }
 }

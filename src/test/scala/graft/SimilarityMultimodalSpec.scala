@@ -479,6 +479,28 @@ class SimilarityMultimodalSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("annMrr: true NN at shortlist rank 1 reads 1e6; rr replays the " +
+       "half-up identity from first_rank; a shortlist miss reads 0") {
+    // same fixture as annNdcg: query 0's duplicate (vec 2) is both the
+    // brute rank-1 truth and the IVF rank-1 result
+    val got = SimilarityOps.annMrr(emb, nQueries = 1)
+    val r = got.head()
+    assert(r.getLong(0) == 0L && r.getInt(1) == 1 && r.getLong(2) == 1000000L,
+      r.toString)
+    // every row of the bigger fixture obeys the identity (or the 0 miss)
+    val wide = spark.range(64).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), j -> cast(sin(id * 16 + j) as float))")
+        .as("embedding"))
+    SimilarityOps.annMrr(wide, nQueries = 8).collect().foreach { row =>
+      if (row.isNullAt(1)) assert(row.getLong(2) == 0L, row.toString)
+      else {
+        val fr = row.getInt(1).toLong
+        assert(row.getLong(2) == (1000000L + fr / 2) / fr, row.toString)
+      }
+    }
+    spark.catalog.clearCache()
+  }
+
   test("image dHash: decoded gradient hash matches the closed form; same " +
        "wrap pattern collides, different pattern separates; init per partition") {
     // doc 0, n_chars 0: a=1, b=0, c=0 → lum = x, never wraps → all 56
