@@ -948,6 +948,16 @@ object SparkEntry {
     // double over exact longs, micros-quantized BEFORE the sum
     "chi_square_status_priority" -> ((s, d) =>
       StatsOps.chiSquare(t(s, d, "orders"), "o_orderstatus", "o_orderpriority")),
+    // Cramer's V effect size over the same pair
+    "cramers_v_status_priority" -> ((s, d) =>
+      StatsOps.cramersV(t(s, d, "orders"), "o_orderstatus", "o_orderpriority")),
+    // one-way ANOVA F of order value (cents) across priorities
+    "anova_priority_spend" -> ((s, d) =>
+      StatsOps.anovaF(t(s, d, "orders"), "o_orderpriority", "o_totalprice")),
+    // PSI of the price distribution, pre-1996 reference vs after
+    "psi_price_drift" -> ((s, d) =>
+      StatsOps.psi(t(s, d, "orders"), "o_totalprice",
+        "o_orderdate < date '1996-01-01'")),
     // mutual information of the same pair in micro-nats — chi-square's
     // effect-size companion (observed cells only; 0·ln0 = 0)
     "mutual_info_status_priority" -> ((s, d) =>
@@ -1346,6 +1356,8 @@ object SparkEntry {
     "conversion_lag" -> ((s, d) => EventOps.conversionLag(t(s, d, "events"))),
     // Kaplan-Meier signup->purchase curve with right-censoring
     "km_conversion" -> ((s, d) => EventOps.kmConversion(t(s, d, "events"))),
+    // Markov removal-effect attribution over the journey chain
+    "markov_attribution" -> ((s, d) => EventOps.markovAttribution(t(s, d, "events"))),
     // multi-touch attribution: first/last/linear credit per channel in
     // integer micros — one user-keyed interval join + per-purchase window
     "attribution_credit" -> ((s, d) => EventOps.attributionCredit(t(s, d, "events"))),
@@ -2250,6 +2262,134 @@ object SparkEntry {
     * 8 damped rounds unrolled as CTEs — every operation mirrors the
     * Spark side's `div`-based arithmetic, so ranks are bit-identical.
     */
+  /** Markov removal-effect attribution replay: the same journey-chain
+    * construction, half-up ppm transitions, and 12 unrolled fixed-point
+    * rounds (each MATERIALIZED so DuckDB cannot re-inline the chain)
+    * with the per-scenario pin inline — bit-identical to the engine's
+    * integer iteration.
+    */
+  private val markovAttributionOracle: String =
+    """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+      |fp AS (SELECT user_id, ts, event_id FROM (
+      |   SELECT user_id, ts, event_id, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |   FROM e WHERE event_type = 'purchase') WHERE rn = 1),
+      |kept AS (SELECT e.user_id, e.ts, e.event_id,
+      |         CASE WHEN e.event_type = 'purchase' THEN 'CONV' ELSE e.event_type END AS state
+      |         FROM e LEFT JOIN fp ON e.user_id = fp.user_id
+      |         WHERE fp.user_id IS NULL OR e.ts < fp.ts OR (e.ts = fp.ts AND e.event_id <= fp.event_id)),
+      |st AS (SELECT user_id, state,
+      |       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |       lead(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      |       FROM kept),
+      |tr AS (SELECT 'START' AS f, state AS t FROM st WHERE rn = 1
+      |       UNION ALL SELECT state, nxt FROM st WHERE state <> 'CONV' AND nxt IS NOT NULL
+      |       UNION ALL SELECT state, 'NULL' FROM st WHERE state <> 'CONV' AND nxt IS NULL),
+      |tc AS (SELECT f, t, COUNT(*) AS n FROM tr GROUP BY 1, 2),
+      |tt AS (SELECT f, CAST(SUM(n) AS BIGINT) AS tot FROM tc GROUP BY 1),
+      |p AS MATERIALIZED (SELECT tc.f, tc.t, CAST((n * 1000000 + tot // 2) // tot AS BIGINT) AS p_ppm
+      |     FROM tc JOIN tt USING (f)),
+      |sc AS MATERIALIZED (SELECT DISTINCT f AS scenario FROM p WHERE f <> 'START'
+      |      UNION ALL SELECT 'base'),
+      |states AS (SELECT DISTINCT f AS state FROM p),
+      |v0 AS (SELECT scenario, state, CAST(0 AS BIGINT) AS v FROM sc CROSS JOIN states),
+      |v1 AS MATERIALIZED (SELECT s.scenario, p.f AS state,
+      |   CASE WHEN p.f = s.scenario THEN CAST(0 AS BIGINT)
+      |        ELSE CAST((SUM(p.p_ppm * (CASE WHEN p.t = 'CONV' THEN 1000000
+      |             WHEN p.t = 'NULL' THEN 0 ELSE coalesce(r.v, 0) END)) + 500000) // 1000000 AS BIGINT)
+      |   END AS v
+      |   FROM sc s CROSS JOIN p LEFT JOIN v0 r ON r.scenario = s.scenario AND r.state = p.t
+      |   GROUP BY s.scenario, p.f),
+      |v2 AS MATERIALIZED (SELECT s.scenario, p.f AS state,
+      |   CASE WHEN p.f = s.scenario THEN CAST(0 AS BIGINT)
+      |        ELSE CAST((SUM(p.p_ppm * (CASE WHEN p.t = 'CONV' THEN 1000000
+      |             WHEN p.t = 'NULL' THEN 0 ELSE coalesce(r.v, 0) END)) + 500000) // 1000000 AS BIGINT)
+      |   END AS v
+      |   FROM sc s CROSS JOIN p LEFT JOIN v1 r ON r.scenario = s.scenario AND r.state = p.t
+      |   GROUP BY s.scenario, p.f),
+      |v3 AS MATERIALIZED (SELECT s.scenario, p.f AS state,
+      |   CASE WHEN p.f = s.scenario THEN CAST(0 AS BIGINT)
+      |        ELSE CAST((SUM(p.p_ppm * (CASE WHEN p.t = 'CONV' THEN 1000000
+      |             WHEN p.t = 'NULL' THEN 0 ELSE coalesce(r.v, 0) END)) + 500000) // 1000000 AS BIGINT)
+      |   END AS v
+      |   FROM sc s CROSS JOIN p LEFT JOIN v2 r ON r.scenario = s.scenario AND r.state = p.t
+      |   GROUP BY s.scenario, p.f),
+      |v4 AS MATERIALIZED (SELECT s.scenario, p.f AS state,
+      |   CASE WHEN p.f = s.scenario THEN CAST(0 AS BIGINT)
+      |        ELSE CAST((SUM(p.p_ppm * (CASE WHEN p.t = 'CONV' THEN 1000000
+      |             WHEN p.t = 'NULL' THEN 0 ELSE coalesce(r.v, 0) END)) + 500000) // 1000000 AS BIGINT)
+      |   END AS v
+      |   FROM sc s CROSS JOIN p LEFT JOIN v3 r ON r.scenario = s.scenario AND r.state = p.t
+      |   GROUP BY s.scenario, p.f),
+      |v5 AS MATERIALIZED (SELECT s.scenario, p.f AS state,
+      |   CASE WHEN p.f = s.scenario THEN CAST(0 AS BIGINT)
+      |        ELSE CAST((SUM(p.p_ppm * (CASE WHEN p.t = 'CONV' THEN 1000000
+      |             WHEN p.t = 'NULL' THEN 0 ELSE coalesce(r.v, 0) END)) + 500000) // 1000000 AS BIGINT)
+      |   END AS v
+      |   FROM sc s CROSS JOIN p LEFT JOIN v4 r ON r.scenario = s.scenario AND r.state = p.t
+      |   GROUP BY s.scenario, p.f),
+      |v6 AS MATERIALIZED (SELECT s.scenario, p.f AS state,
+      |   CASE WHEN p.f = s.scenario THEN CAST(0 AS BIGINT)
+      |        ELSE CAST((SUM(p.p_ppm * (CASE WHEN p.t = 'CONV' THEN 1000000
+      |             WHEN p.t = 'NULL' THEN 0 ELSE coalesce(r.v, 0) END)) + 500000) // 1000000 AS BIGINT)
+      |   END AS v
+      |   FROM sc s CROSS JOIN p LEFT JOIN v5 r ON r.scenario = s.scenario AND r.state = p.t
+      |   GROUP BY s.scenario, p.f),
+      |v7 AS MATERIALIZED (SELECT s.scenario, p.f AS state,
+      |   CASE WHEN p.f = s.scenario THEN CAST(0 AS BIGINT)
+      |        ELSE CAST((SUM(p.p_ppm * (CASE WHEN p.t = 'CONV' THEN 1000000
+      |             WHEN p.t = 'NULL' THEN 0 ELSE coalesce(r.v, 0) END)) + 500000) // 1000000 AS BIGINT)
+      |   END AS v
+      |   FROM sc s CROSS JOIN p LEFT JOIN v6 r ON r.scenario = s.scenario AND r.state = p.t
+      |   GROUP BY s.scenario, p.f),
+      |v8 AS MATERIALIZED (SELECT s.scenario, p.f AS state,
+      |   CASE WHEN p.f = s.scenario THEN CAST(0 AS BIGINT)
+      |        ELSE CAST((SUM(p.p_ppm * (CASE WHEN p.t = 'CONV' THEN 1000000
+      |             WHEN p.t = 'NULL' THEN 0 ELSE coalesce(r.v, 0) END)) + 500000) // 1000000 AS BIGINT)
+      |   END AS v
+      |   FROM sc s CROSS JOIN p LEFT JOIN v7 r ON r.scenario = s.scenario AND r.state = p.t
+      |   GROUP BY s.scenario, p.f),
+      |v9 AS MATERIALIZED (SELECT s.scenario, p.f AS state,
+      |   CASE WHEN p.f = s.scenario THEN CAST(0 AS BIGINT)
+      |        ELSE CAST((SUM(p.p_ppm * (CASE WHEN p.t = 'CONV' THEN 1000000
+      |             WHEN p.t = 'NULL' THEN 0 ELSE coalesce(r.v, 0) END)) + 500000) // 1000000 AS BIGINT)
+      |   END AS v
+      |   FROM sc s CROSS JOIN p LEFT JOIN v8 r ON r.scenario = s.scenario AND r.state = p.t
+      |   GROUP BY s.scenario, p.f),
+      |v10 AS MATERIALIZED (SELECT s.scenario, p.f AS state,
+      |   CASE WHEN p.f = s.scenario THEN CAST(0 AS BIGINT)
+      |        ELSE CAST((SUM(p.p_ppm * (CASE WHEN p.t = 'CONV' THEN 1000000
+      |             WHEN p.t = 'NULL' THEN 0 ELSE coalesce(r.v, 0) END)) + 500000) // 1000000 AS BIGINT)
+      |   END AS v
+      |   FROM sc s CROSS JOIN p LEFT JOIN v9 r ON r.scenario = s.scenario AND r.state = p.t
+      |   GROUP BY s.scenario, p.f),
+      |v11 AS MATERIALIZED (SELECT s.scenario, p.f AS state,
+      |   CASE WHEN p.f = s.scenario THEN CAST(0 AS BIGINT)
+      |        ELSE CAST((SUM(p.p_ppm * (CASE WHEN p.t = 'CONV' THEN 1000000
+      |             WHEN p.t = 'NULL' THEN 0 ELSE coalesce(r.v, 0) END)) + 500000) // 1000000 AS BIGINT)
+      |   END AS v
+      |   FROM sc s CROSS JOIN p LEFT JOIN v10 r ON r.scenario = s.scenario AND r.state = p.t
+      |   GROUP BY s.scenario, p.f),
+      |v12 AS MATERIALIZED (SELECT s.scenario, p.f AS state,
+      |   CASE WHEN p.f = s.scenario THEN CAST(0 AS BIGINT)
+      |        ELSE CAST((SUM(p.p_ppm * (CASE WHEN p.t = 'CONV' THEN 1000000
+      |             WHEN p.t = 'NULL' THEN 0 ELSE coalesce(r.v, 0) END)) + 500000) // 1000000 AS BIGINT)
+      |   END AS v
+      |   FROM sc s CROSS JOIN p LEFT JOIN v11 r ON r.scenario = s.scenario AND r.state = p.t
+      |   GROUP BY s.scenario, p.f),
+      |astart AS (SELECT scenario, v FROM v12 WHERE state = 'START'),
+      |base AS (SELECT v AS pb FROM astart WHERE scenario = 'base'),
+      |re AS (SELECT scenario AS channel, pb AS conv_base_micro, v AS conv_removed_micro,
+      |       CASE WHEN pb = 0 THEN NULL
+      |            ELSE 1000000 - (v * 1000000 + pb // 2) // pb END AS removal_effect_ppm
+      |       FROM astart CROSS JOIN base WHERE scenario <> 'base'),
+      |rt AS (SELECT CAST(SUM(greatest(coalesce(removal_effect_ppm, 0), 0)) AS BIGINT) AS re_tot FROM re)
+      |SELECT channel, conv_base_micro, conv_removed_micro,
+      |  CAST(removal_effect_ppm AS BIGINT) AS removal_effect_ppm,
+      |  CASE WHEN re_tot = 0 OR removal_effect_ppm IS NULL THEN NULL
+      |       ELSE CAST((greatest(removal_effect_ppm, 0) * 1000000 + re_tot // 2) // re_tot AS BIGINT)
+      |  END AS attribution_ppm
+      |FROM re CROSS JOIN rt""".stripMargin
+
   private val docPagerankOracle: String = {
     val iters = (1 to 8).map { i =>
       s"""r$i AS (SELECT e.dst AS node,
@@ -3649,6 +3789,7 @@ object SparkEntry {
     // doc_communities below) hash-proves the edge artifact's round trip
     // against the full SQL derivation
     "dup_components_star" -> dupComponentsOracle,
+    "markov_attribution" -> markovAttributionOracle,
     "doc_pagerank" -> docPagerankOracle,
     "doc_communities" -> docCommunitiesOracle,
     "graph_triangles" -> graphTrianglesOracle,
@@ -4884,6 +5025,79 @@ object SparkEntry {
         |       MIN(day) AS from_day, MAX(day) AS to_day
         |FROM e CROSS JOIN m GROUP BY 1""".stripMargin,
 
+
+    // chi-square chain + the sqrt effect size
+    "cramers_v_status_priority" ->
+      """WITH obs AS (SELECT o_orderstatus AS a, o_orderpriority AS b, COUNT(*) AS obs
+        |  FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT a, SUM(obs) AS rt FROM obs GROUP BY 1),
+        |ct AS (SELECT b, SUM(obs) AS ct FROM obs GROUP BY 1),
+        |nn AS (SELECT SUM(obs) AS n, COUNT(DISTINCT a) AS na, COUNT(DISTINCT b) AS nb FROM obs),
+        |grid AS (SELECT a, rt, b, ct, coalesce(obs, 0) AS obs
+        |  FROM rt CROSS JOIN ct LEFT JOIN obs USING (a, b)),
+        |chi AS (SELECT CAST(n AS BIGINT) AS n, CAST((na - 1) * (nb - 1) AS BIGINT) AS dof,
+        |  CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |  CAST(SUM(CAST(round(
+        |    (CAST(obs * n - rt * ct AS DOUBLE) * CAST(obs * n - rt * ct AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) * 1000000
+        |  ) AS BIGINT)) AS BIGINT) AS chi2_micros
+        |  FROM grid CROSS JOIN nn GROUP BY 1, 2, 3, 4)
+        |SELECT n, dof, chi2_micros,
+        |  CASE WHEN na <= 1 OR nb <= 1 THEN NULL
+        |       ELSE CAST(round(sqrt(
+        |         (CAST(chi2_micros AS DOUBLE) / 1000000.0)
+        |         / (CAST(n AS DOUBLE) * least(na - 1, nb - 1))) * 1000000) AS BIGINT)
+        |  END AS v_micros
+        |FROM chi""".stripMargin,
+
+    // exact integer sum decomposition; per-group a-term quantized before
+    // the k-row sum, F one double division at the end
+    "anova_priority_spend" ->
+      """WITH c AS (SELECT o_orderpriority AS g, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders),
+        |pg AS (SELECT g, COUNT(*) AS n_g, CAST(SUM(v) AS HUGEINT) AS s_g,
+        |       CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q_g FROM c GROUP BY 1),
+        |pg2 AS (SELECT n_g, s_g, q_g,
+        |       CAST(round(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+        |         / CAST(n_g AS DOUBLE) * 1000000) AS HUGEINT) AS a_micro FROM pg),
+        |agg AS (SELECT COUNT(*) AS k, CAST(SUM(n_g) AS BIGINT) AS n, SUM(s_g) AS s,
+        |        SUM(q_g) AS q, SUM(a_micro) AS a_micro FROM pg2),
+        |d AS (SELECT k, n,
+        |      a_micro - CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |        / CAST(n AS DOUBLE) * 1000000) AS HUGEINT) AS ssb_micro,
+        |      q * 1000000 - a_micro AS ssw_micro
+        |      FROM agg)
+        |SELECT CAST(k AS BIGINT) AS k, n,
+        |  CASE WHEN ssw_micro = 0 OR k <= 1 OR n <= k THEN NULL
+        |       ELSE CAST(round(
+        |         (CAST(ssb_micro AS DOUBLE) / (k - 1))
+        |         / (CAST(ssw_micro AS DOUBLE) / (n - k)) * 1000000) AS BIGINT) END AS f_micro,
+        |  CASE WHEN ssb_micro + ssw_micro = 0 THEN NULL
+        |       ELSE CAST(round(CAST(ssb_micro AS DOUBLE)
+        |            / CAST(ssb_micro + ssw_micro AS DOUBLE) * 1000000) AS BIGINT) END AS eta2_ppm
+        |FROM d""".stripMargin,
+
+    // global equi-width grid, ppm shares clamped >= 1, per-bin term
+    // quantized before the grid sum
+    "psi_price_drift" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |  o_orderdate < DATE '1996-01-01' AS in_ref FROM orders),
+        |b AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM c),
+        |binned AS (SELECT (v - mn) * 10 // (mx - mn + 1) AS bin,
+        |  CAST(SUM(CASE WHEN in_ref THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |  CAST(SUM(CASE WHEN in_ref THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        |  FROM c CROSS JOIN b GROUP BY 1),
+        |t AS (SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb FROM binned),
+        |sh AS (SELECT ta, tb,
+        |  greatest((na * 1000000 + ta // 2) // ta, 1) AS p_ppm,
+        |  greatest((nb * 1000000 + tb // 2) // tb, 1) AS q_ppm
+        |  FROM binned CROSS JOIN t)
+        |SELECT ta AS n_ref, tb AS n_cur,
+        |  CAST(SUM(CAST(round((p_ppm - q_ppm)
+        |    * ln(CAST(p_ppm AS DOUBLE) / CAST(q_ppm AS DOUBLE))) AS BIGINT)) AS BIGINT) AS psi_micro,
+        |  CAST(SUM(CAST(round((p_ppm - q_ppm)
+        |    * ln(CAST(p_ppm AS DOUBLE) / CAST(q_ppm AS DOUBLE))) AS BIGINT)) AS BIGINT) > 200000 AS drifted
+        |FROM sh GROUP BY 1, 2""".stripMargin,
     "chi_square_status_priority" ->
       """WITH obs AS (SELECT o_orderstatus AS a, o_orderpriority AS b, COUNT(*) AS obs
         |  FROM orders GROUP BY 1, 2),

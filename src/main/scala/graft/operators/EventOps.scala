@@ -324,6 +324,89 @@ object EventOps {
         expr("(n * 1000000L + from_total div 2) div from_total").as("p_ppm"))
   }
 
+  /** Markov removal-effect attribution (Anderl et al. 2014) — the
+    * model-based upgrade of [[attributionCredit]]'s first/last/linear
+    * heuristics: build the first-order journey chain (START → touches →
+    * CONV at the first purchase / NULL at journey end), then price each
+    * channel by how much total conversion DROPS when that channel is
+    * absorbed into NULL — removal_effect(c) = 1 − P_conv(chain minus c)
+    * / P_conv(chain), normalized into attribution shares.
+    *
+    * Determinism: transition probabilities are half-up integer ppm; the
+    * absorption probabilities come from `rounds` fixed-point iterations
+    * v(s) ← (Σ_t p_ppm(s,t)·v(t) + 5·10⁵) div 10⁶ with v(CONV) = 10⁶,
+    * v(NULL) = 0 pinned, every scenario (base + one per removed channel)
+    * carried as a column in ONE frame — so both engines replay the exact
+    * integer sequence bit-for-bit and convergence tolerance never
+    * touches the hash gate. Negative removal effects (a channel whose
+    * removal helps) are reported raw and clamped to 0 for the share.
+    *
+    * Scale shape: one user-keyed window pass over the corpus (the same
+    * shuffle every sequence op pays) collapses everything to the
+    * |states|² transition grid; the `rounds` iteration then runs on
+    * (scenarios × states) ≤ |types|² rows — driver-tiny at ANY corpus
+    * size. localCheckpoint every round (the multi-reference loop rule).
+    */
+  def markovAttribution(events: DataFrame, rounds: Int = 12): DataFrame = {
+    require(rounds >= 1 && rounds <= 40, s"rounds out of range: $rounds")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // journey truncates at the FIRST purchase (inclusive, becomes CONV)
+    val fp = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("fp"))
+    val kept = events.join(fp, Seq("user_id"), "left")
+      .filter(col("fp").isNull || struct(col("ts"), col("event_id")) <= col("fp"))
+      .withColumn("state",
+        when(col("event_type") === "purchase", lit("CONV")).otherwise(col("event_type")))
+    val seq = kept.select(col("user_id"), col("state"),
+      row_number().over(w).as("rn"), lead(col("state"), 1).over(w).as("nxt"))
+    val tr = seq.filter(col("rn") === 1).select(lit("START").as("f"), col("state").as("t"))
+      .unionAll(seq.filter(col("state") =!= "CONV" && col("nxt").isNotNull)
+        .select(col("state").as("f"), col("nxt").as("t")))
+      .unionAll(seq.filter(col("state") =!= "CONV" && col("nxt").isNull)
+        .select(col("state").as("f"), lit("NULL").as("t")))
+    val tc = tr.groupBy(col("f"), col("t")).agg(count(lit(1)).as("n"))
+    val p = tc.join(broadcast(tc.groupBy(col("f")).agg(sum(col("n")).as("tot"))), Seq("f"))
+      .select(col("f"), col("t"),
+        expr("(n * 1000000 + tot div 2) div tot").as("p_ppm"))
+      .localCheckpoint() // referenced every round
+    val scenarios = p.select(col("f").as("scenario")).filter(col("scenario") =!= "START")
+      .distinct().unionAll(p.sparkSession.range(1).select(lit("base").as("scenario")))
+      .localCheckpoint()
+    val states = p.select(col("f").as("state")).distinct().localCheckpoint()
+    var v = scenarios.crossJoin(states).withColumn("v", lit(0L)).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      v = scenarios.crossJoin(p)
+        .join(v.select(col("scenario"), col("state").as("t"), col("v")),
+          Seq("scenario", "t"), "left")
+        .groupBy(col("scenario"), col("f").as("state"))
+        .agg(expr("""(sum(p_ppm * (case when t = 'CONV' then 1000000L
+          | when t = 'NULL' then 0L else coalesce(v, 0L) end))
+          | + 500000) div 1000000""".stripMargin).as("raw"))
+        .select(col("scenario"), col("state"),
+          when(col("state") === col("scenario"), lit(0L)).otherwise(col("raw")).as("v"))
+        .localCheckpoint()
+    }
+    val atStart = v.filter(col("state") === "START")
+    val base = atStart.filter(col("scenario") === "base")
+      .select(col("v").as("pb"))
+    val re = atStart.filter(col("scenario") =!= "base")
+      .crossJoin(broadcast(base))
+      .select(col("scenario").as("channel"),
+        col("pb").as("conv_base_micro"), col("v").as("conv_removed_micro"),
+        when(col("pb") === 0L, lit(null).cast(LongType))
+          .otherwise(expr("1000000 - (v * 1000000 + pb div 2) div pb"))
+          .as("removal_effect_ppm"))
+    val tot = re.agg(sum(expr("greatest(coalesce(removal_effect_ppm, 0L), 0L)")).as("re_tot"))
+    re.crossJoin(broadcast(tot))
+      .select(col("channel"), col("conv_base_micro"), col("conv_removed_micro"),
+        col("removal_effect_ppm"),
+        when(col("re_tot") === 0L || col("removal_effect_ppm").isNull, lit(null).cast(LongType))
+          .otherwise(expr(
+            "(greatest(removal_effect_ppm, 0L) * 1000000 + re_tot div 2) div re_tot"))
+          .as("attribution_ppm"))
+  }
+
   /** Conditional next-event entropy per state — the one-number
     * predictability read over [[eventTransitions]]' matrix:
     * H(next | from = a) = −Σ_b p·ln p in micro-nats. H ≈ 0 means the

@@ -442,4 +442,111 @@ object StatsOps {
           |   / (cast(n as double) * (cast(n as double) * cast(n as double) - 1.0d)))
           |  * 1000000) as bigint)""".stripMargin).as("rho_micros"))
   }
+
+  /** One-way ANOVA F over an integer-cents measure by a categorical
+    * column — the "do group MEANS differ" companion to [[chiSquare]]
+    * (categorical×categorical) and the KS family (distribution shape):
+    * F = (SSB/(k−1)) / (SSW/(n−k)). Sum decomposition runs on EXACT
+    * integers: Q = Σx² and per-group (n_g, s_g) are DECIMAL(38,0)
+    * aggregates; the between-group term a_g = 10⁶·s_g²/n_g is ONE
+    * fixed-shape double per GROUP quantized to micro-cents² before the
+    * k-row sum (IEEE mul/div only — no libm), so group enumeration
+    * order cannot drift the hash; likewise the grand term 10⁶·s²/n.
+    * F and η² (effect size, SSB/SST) quantize once at the end. One
+    * partial-agg shuffle to the k-row grid; nothing else touches the
+    * corpus.
+    */
+  def anovaF(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val cents = df.select(col(groupCol).as("g"),
+      expr(s"cast(round($valCol * 100) as bigint)").as("v"))
+    val perGroup = cents.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"), sum(col("v").cast(D)).as("s_g"),
+        sum((col("v").cast(D) * col("v")).cast(D)).as("q_g"))
+      .select(col("n_g"), col("s_g"), col("q_g"),
+        // fixed-shape per-group double, quantized before the k-row sum
+        expr("""cast(round(cast(s_g as double) * cast(s_g as double)
+          | / cast(n_g as double) * 1000000) as decimal(38,0))""".stripMargin)
+          .as("a_micro"))
+    perGroup
+      .agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("s_g")).as("s"), sum(col("q_g")).as("q"),
+        sum(col("a_micro")).as("a_micro"))
+      .select(col("k"), col("n"),
+        expr("""cast(round(cast(s as double) * cast(s as double)
+          | / cast(n as double) * 1000000) as decimal(38,0))""".stripMargin)
+          .as("b_micro"),
+        col("q"), col("a_micro"))
+      .select(col("k"), col("n"),
+        (col("a_micro") - col("b_micro")).as("ssb_micro"),
+        (col("q").cast(D) * lit(1000000).cast(D) - col("a_micro")).as("ssw_micro"))
+      .select(col("k"), col("n"),
+        when(col("ssw_micro") === 0 || col("k") <= 1 || col("n") <= col("k"),
+          lit(null).cast(LongType))
+          .otherwise(expr("""cast(round(
+            |  (cast(ssb_micro as double) / (k - 1))
+            |  / (cast(ssw_micro as double) / (n - k)) * 1000000) as bigint)""".stripMargin))
+          .as("f_micro"),
+        // NOT the usual integer half-up division: Spark's IntegralDivide
+        // on DECIMAL(38,0) operands drops the last unit once the numerator
+        // passes ~28 digits (measured: 1.83e27 div 3.15e23 = 5806, exact
+        // 5807) — the quantized double division is the exact-replay form
+        when(col("ssb_micro") + col("ssw_micro") === 0, lit(null).cast(LongType))
+          .otherwise(expr("""cast(round(cast(ssb_micro as double)
+            | / cast(ssb_micro + ssw_micro as double) * 1000000) as bigint)""".stripMargin))
+          .as("eta2_ppm"))
+  }
+
+  /** Cramér's V — the [0, 1] effect size that makes [[chiSquare]]'s
+    * statistic comparable across tables: V = √(χ²/(n·min(r−1, c−1))).
+    * One sqrt over the integer chi2_micros and exact counts (IEEE sqrt
+    * is correctly rounded — deterministic), quantized to micros.
+    */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dims = df.agg(countDistinct(col(aCol)).as("na"),
+      countDistinct(col(bCol)).as("nb"))
+    chiSquare(df, aCol, bCol)
+      .crossJoin(broadcast(dims))
+      .select(col("n"), col("dof"), col("chi2_micros"),
+        when(col("na") <= 1 || col("nb") <= 1, lit(null).cast(LongType))
+          .otherwise(expr("""cast(round(sqrt(
+            |  (cast(chi2_micros as double) / 1000000.0d)
+            |  / (cast(n as double) * least(na - 1, nb - 1))) * 1000000) as bigint)""".stripMargin))
+          .as("v_micros"))
+  }
+
+  /** Population Stability Index between two halves of the data — the
+    * scorecard-monitoring drift number next to the KS family: bin the
+    * measure on the GLOBAL equi-width grid ([[histogram]] arithmetic),
+    * then PSI = Σ (p_i − q_i)·ln(p_i/q_i) over the grid. Shares are
+    * half-up integer ppm clamped to ≥ 1 (the standard epsilon for empty
+    * cells — ln must stay finite); each bin's term is one fixed-shape
+    * double over the two integer ppm shares, micros-quantized before
+    * the ≤ bins-row sum. The conventional read: < 0.1 stable,
+    * 0.1–0.2 moderate, > 0.2 drifted (flag emitted at 0.2). Split
+    * membership is a pure column predicate the caller provides.
+    */
+  def psi(df: DataFrame, valCol: String, inRefSql: String, bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be positive, got $bins")
+    val cents = df.select(expr(s"cast(round($valCol * 100) as bigint)").as("v"),
+      expr(inRefSql).as("in_ref"))
+    val bounds = cents.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val binned = cents.crossJoin(broadcast(bounds))
+      .select(expr(s"(v - mn) * $bins div (mx - mn + 1)").as("bin"), col("in_ref"))
+      .groupBy(col("bin"))
+      .agg(sum(expr("cast(in_ref as bigint)")).as("na"),
+        sum(expr("cast(not in_ref as bigint)")).as("nb"))
+    val tots = binned.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    binned.crossJoin(broadcast(tots))
+      .select(col("ta"), col("tb"),
+        expr("greatest((na * 1000000 + ta div 2) div ta, 1L)").as("p_ppm"),
+        expr("greatest((nb * 1000000 + tb div 2) div tb, 1L)").as("q_ppm"))
+      .select(col("ta"), col("tb"),
+        expr("""cast(round((p_ppm - q_ppm)
+          | * ln(cast(p_ppm as double) / cast(q_ppm as double))) as bigint)""".stripMargin)
+          .as("term_micro"))
+      .groupBy(col("ta").as("n_ref"), col("tb").as("n_cur"))
+      .agg(sum(col("term_micro")).as("psi_micro"))
+      .withColumn("drifted", col("psi_micro") > 200000L)
+  }
 }

@@ -595,6 +595,40 @@ class EventOpsSpec extends SparkSpec {
       g2.head.isNullAt(3), g2.toSeq.toString)
   }
 
+  test("markovAttribution: single-channel chain attributes everything to " +
+       "it; two-channel chain matches the hand-iterated fixed point") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    def ev(id: Long, t: String, u: Long, typ: String) =
+      (id, ts(t), u, typ, 1.0, "{}")
+    // 5 users view->purchase, 5 users view->nothing
+    val one = ((1L to 5L).flatMap(u => Seq(
+      ev(u * 10, "2024-01-01 00:00:00", u, "view"),
+      ev(u * 10 + 1, "2024-01-01 01:00:00", u, "purchase"))) ++
+      (6L to 10L).map(u => ev(u * 10, "2024-01-01 00:00:00", u, "view")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val g1 = EventOps.markovAttribution(one).collect()
+    assert(g1.length == 1)
+    val r1 = g1.head
+    assert(r1.getString(0) == "view" && r1.getLong(1) == 500000L &&
+      r1.getLong(2) == 0L && r1.getLong(3) == 1000000L &&
+      r1.getLong(4) == 1000000L, r1.toString)
+    // u1 view->purchase, u2 click->purchase, u3 view-> nothing:
+    // hand-iterated integer fixed point (see scaladoc arithmetic)
+    val two = Seq(
+      ev(1, "2024-01-01 00:00:00", 1, "view"),
+      ev(2, "2024-01-01 01:00:00", 1, "purchase"),
+      ev(3, "2024-01-01 00:00:00", 2, "click"),
+      ev(4, "2024-01-01 01:00:00", 2, "purchase"),
+      ev(5, "2024-01-01 00:00:00", 3, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val g2 = EventOps.markovAttribution(two).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(g2("view") == ((666667L, 333333L, 500001L, 500001L)), g2.toString)
+    assert(g2("click") == ((666667L, 333334L, 499999L, 499999L)), g2.toString)
+  }
+
   test("ljungBox: Q matches the integer formula recomputed from the ACF " +
        "frame, and a strongly autocorrelated series rejects white noise") {
     import spark.implicits._

@@ -237,4 +237,47 @@ class StatsOpsSpec extends SparkSpec {
     val gr = StatsOps.bootstrapCi(spread.repartition(13), "id", "v").head()
     assert(gr == gs, "hash-lottery resamples are partitioning-invariant")
   }
+
+  test("anovaF: hand-computed two-group F and eta-squared; equal groups " +
+       "read F = 0") {
+    // A: 100, 200; B: 400, 500 -> SSB = 9e8 c^2, SSW = 1e8 c^2, F = 18
+    val df = Seq(("A", 1.00 * 100), ("A", 2.00 * 100),
+      ("B", 4.00 * 100), ("B", 5.00 * 100)).toDF("g", "price")
+    val r = StatsOps.anovaF(df, "g", "price").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 4L, r.toString)
+    assert(r.getLong(2) == 18000000L, r.toString)
+    assert(r.getLong(3) == 900000L, r.toString)
+    // identical groups: SSB quantizes to 0 -> F = 0, eta2 = 0
+    val eq = Seq(("A", 1.0), ("A", 2.0), ("B", 1.0), ("B", 2.0)).toDF("g", "price")
+    val re = StatsOps.anovaF(eq, "g", "price").head()
+    assert(re.getLong(2) == 0L && re.getLong(3) == 0L, re.toString)
+  }
+
+  test("cramersV: a perfectly dependent 2x2 table reads 1e6; independence " +
+       "reads ~0; single-level column reads NULL") {
+    val dep = ((1 to 5).map(_ => ("x", "p")) ++ (1 to 5).map(_ => ("y", "q")))
+      .toDF("a", "b")
+    val rd = StatsOps.cramersV(dep, "a", "b").head()
+    assert(rd.getLong(0) == 10L && rd.getLong(1) == 1L, rd.toString)
+    assert(rd.getLong(3) == 1000000L, rd.toString)
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 3 }
+      yield (a, b)).toDF("a", "b")
+    assert(StatsOps.cramersV(ind, "a", "b").head().getLong(3) == 0L)
+    val one = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    assert(StatsOps.cramersV(one, "a", "b").head().isNullAt(3))
+  }
+
+  test("psi: identical halves read 0 / not drifted; disjoint halves " +
+       "read far past the 0.2 gate") {
+    val same = (1 to 10).flatMap(v =>
+      Seq((v * 1.0, true), (v * 1.0, false), (v * 1.0, true), (v * 1.0, false)))
+      .toDF("price", "is_ref")
+    val rs = StatsOps.psi(same, "price", "is_ref").head()
+    assert(rs.getLong(0) == 20L && rs.getLong(1) == 20L, rs.toString)
+    assert(rs.getLong(2) == 0L && !rs.getBoolean(3), rs.toString)
+    val apart = ((1 to 20).map(_ => (1.00, true)) ++
+      (1 to 20).map(_ => (100.00, false))).toDF("price", "is_ref")
+    val ra = StatsOps.psi(apart, "price", "is_ref").head()
+    assert(ra.getLong(2) > 200000L && ra.getBoolean(3), ra.toString)
+  }
 }
