@@ -1234,6 +1234,9 @@ object SparkEntry {
     "ann_ndcg" -> ((s, d) => SimilarityOps.annNdcg(t(s, d, "embeddings"))),
     // reciprocal rank of the true NN inside the IVF shortlist
     "ann_mrr" -> ((s, d) => SimilarityOps.annMrr(t(s, d, "embeddings"))),
+    // centroid cosine between the two vec_id-parity halves
+    "embedding_centroid_drift" -> ((s, d) =>
+      SimilarityOps.embeddingCentroidDrift(t(s, d, "embeddings"))),
     // two-stage retrieval: ADC top-20 shortlist, exact cosine rescore to
     // top-5 — full precision touched for 20×queries rows, never the corpus
     "cosine_topk_pq_rescored" -> ((s, d) =>
@@ -1358,6 +1361,10 @@ object SparkEntry {
     "km_conversion" -> ((s, d) => EventOps.kmConversion(t(s, d, "events"))),
     // Markov removal-effect attribution over the journey chain
     "markov_attribution" -> ((s, d) => EventOps.markovAttribution(t(s, d, "events"))),
+    // telemetry debounce audit: first-of-burst retention per type
+    "events_debounce" -> ((s, d) => EventOps.eventsDebounce(t(s, d, "events"))),
+    // month-over-month churn of the active-user base
+    "monthly_churn" -> ((s, d) => EventOps.monthlyChurn(t(s, d, "events"))),
     // multi-touch attribution: first/last/linear credit per channel in
     // integer micros — one user-keyed interval join + per-purchase window
     "attribution_credit" -> ((s, d) => EventOps.attributionCredit(t(s, d, "events"))),
@@ -3803,6 +3810,60 @@ object SparkEntry {
     "bpe_oov" -> bpeOovOracle,
 
 
+
+    // debounce: same (user, type)-keyed lag, integer seconds, ppm
+    "events_debounce" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+        |g AS (SELECT event_type,
+        |      CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER (
+        |        PARTITION BY user_id, event_type ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+        |      FROM e),
+        |f AS (SELECT event_type, (gap_s IS NULL OR gap_s > 5) AS fb FROM g)
+        |SELECT event_type, COUNT(*) AS n_raw,
+        |  CAST(SUM(CASE WHEN fb THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(((COUNT(*) - SUM(CASE WHEN fb THEN 1 ELSE 0 END)) * 1000000 + COUNT(*) // 2)
+        |    // COUNT(*) AS BIGINT) AS drop_ppm
+        |FROM f GROUP BY 1""".stripMargin,
+
+    // churn: exact distinct (user, month) sets, retention via month+1
+    // equi-join, last month excluded (unobserved successor)
+    "monthly_churn" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |am AS (SELECT DISTINCT user_id, CAST(date_trunc('month', ts) AS DATE) AS m FROM e),
+        |mx AS (SELECT MAX(m) AS mx FROM am),
+        |ret AS (SELECT a.m, COUNT(*) AS n_retained
+        |        FROM am a JOIN am b ON b.user_id = a.user_id
+        |          AND b.m = CAST(a.m + INTERVAL 1 MONTH AS DATE)
+        |        GROUP BY 1),
+        |act AS (SELECT m, COUNT(*) AS n_active FROM am GROUP BY 1)
+        |SELECT act.m AS month, CAST(n_active AS BIGINT) AS n_active,
+        |  CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
+        |  CAST(((n_active - coalesce(n_retained, 0)) * 1000000 + n_active // 2)
+        |    // n_active AS BIGINT) AS churn_ppm
+        |FROM act LEFT JOIN ret ON ret.m = act.m CROSS JOIN mx
+        |WHERE act.m < mx""".stripMargin,
+
+    // centroid drift: micro-quantized per-dim integer sums, exact
+    // HUGEINT dot/norms over the dim grid, one double division
+    "embedding_centroid_drift" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |ex AS (SELECT vec_id % 2 = 0 AS in_a, i AS dim,
+        |       CAST(round(emb[i + 1] * 1000000) AS BIGINT) AS q
+        |       FROM (SELECT vec_id, emb, unnest(range(0, len(emb))) AS i FROM v)),
+        |s AS (SELECT in_a, dim, CAST(SUM(q) AS BIGINT) AS s, COUNT(*) AS n FROM ex GROUP BY 1, 2),
+        |a AS (SELECT dim, s AS sa, n AS na FROM s WHERE in_a),
+        |b AS (SELECT dim, s AS sb, n AS nb FROM s WHERE NOT in_a),
+        |j AS (SELECT sa, sb, na, nb FROM a JOIN b USING (dim)),
+        |agg AS (SELECT MAX(na) AS n_a, MAX(nb) AS n_b,
+        |        SUM(CAST(sa AS HUGEINT) * sb) AS dot,
+        |        SUM(CAST(sa AS HUGEINT) * sa) AS qa,
+        |        SUM(CAST(sb AS HUGEINT) * sb) AS qb FROM j)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CASE WHEN qa = 0 OR qb = 0 THEN NULL
+        |       ELSE CAST(round(CAST(dot AS DOUBLE)
+        |         / (sqrt(CAST(qa AS DOUBLE)) * sqrt(CAST(qb AS DOUBLE))) * 1000000) AS BIGINT)
+        |  END AS cos_micro
+        |FROM agg""".stripMargin,
     // K-M: per-user first signup / first qualifying purchase, censor at
     // the global horizon; survival carried as a log-space integer cumsum
     "km_conversion" ->

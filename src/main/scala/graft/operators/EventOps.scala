@@ -324,6 +324,62 @@ object EventOps {
         expr("(n * 1000000L + from_total div 2) div from_total").as("p_ppm"))
   }
 
+  /** Telemetry debounce — the double-fire cleaner every event pipeline
+    * ships before analytics: within each (user, event_type) stream,
+    * consecutive events ≤ `gapSeconds` apart are one burst (gaps-and-
+    * islands over the raw sequence), and only the burst's FIRST event
+    * survives. Reported as a per-type audit (raw count, kept count,
+    * drop ppm) — the retention read that decides whether double-fires
+    * are a real data-quality problem. One user+type-keyed window (the
+    * sequence-op shuffle) + a |types|-row rollup; integer seconds and
+    * ppm throughout.
+    */
+  def eventsDebounce(events: DataFrame, gapSeconds: Int = 5): DataFrame = {
+    require(gapSeconds >= 1, s"gapSeconds out of range: $gapSeconds")
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("gap_s",
+        unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+      .withColumn("first_of_burst",
+        col("gap_s").isNull || col("gap_s") > gapSeconds)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(expr("cast(first_of_burst as bigint)")).as("n_kept"))
+      .withColumn("drop_ppm",
+        expr("((n_raw - n_kept) * 1000000 + n_raw div 2) div n_raw"))
+  }
+
+  /** Monthly churn — the cohort-free retention pulse next to
+    * [[cohortRetention]] (fixed cohorts) and [[stickiness]] (DAU/MAU):
+    * for each calendar month, the share of its active users who do NOT
+    * appear in the following month. Active sets are exact distinct
+    * (user, month) pairs; retention is an equi-join against month+1;
+    * the data's last month is excluded (its successor is unobserved, so
+    * "churn" there would be a censoring artifact, the same reasoning as
+    * [[kmConversion]]'s right-censoring). Two partial-agg shuffles and
+    * a month-grid join — the month grid is dimension-scale.
+    */
+  def monthlyChurn(events: DataFrame): DataFrame = {
+    val am = events
+      .select(col("user_id"),
+        date_trunc("month", col("ts")).cast(DateType).as("m"))
+      .distinct()
+    val mx = am.agg(max(col("m")).as("mx"))
+    val retained = am
+      .join(am.select(col("user_id"), add_months(col("m"), -1).as("m")),
+        Seq("user_id", "m"), "left_semi")
+      .groupBy(col("m")).agg(count(lit(1)).as("n_retained"))
+    am.groupBy(col("m")).agg(count(lit(1)).as("n_active"))
+      .join(retained, Seq("m"), "left")
+      .crossJoin(broadcast(mx))
+      .filter(col("m") < col("mx"))
+      .select(col("m").as("month"), col("n_active"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        expr("""((n_active - coalesce(n_retained, 0L)) * 1000000
+          | + n_active div 2) div n_active""".stripMargin).as("churn_ppm"))
+  }
+
   /** Markov removal-effect attribution (Anderl et al. 2014) — the
     * model-based upgrade of [[attributionCredit]]'s first/last/linear
     * heuristics: build the first-order journey chain (START → touches →

@@ -147,6 +147,43 @@ object SimilarityOps {
     * scale shape as the other ANN audits: two bounded retrieval frames
     * (nQueries·k rows) joined on (q_id, vec_id).
     */
+  /** Embedding-distribution drift between two corpus halves — the
+    * vector-space analog of the KS/PSI monitors: split by vec_id parity
+    * (any deterministic predicate serves), form each half's centroid,
+    * and report the cosine between them. A healthy re-embed or an i.i.d.
+    * split reads ≈ 10⁶ micro (identical directions); a model swap or a
+    * pipeline regression pulls it down. Determinism at scale: per-
+    * component values quantize to integer micros FIRST, so the per-dim
+    * sums are exact integers under any partitioning/order (float
+    * accumulation order is the classic nondeterminism here); the dot
+    * and norms ride DECIMAL(38,0) over the dim-scale grid, and ONE
+    * double division produces cos_micro. Scale shape: one corpus
+    * explode → (half, dim) partial-agg grid (2·dim rows) → dim-keyed
+    * join; nothing else touches the corpus.
+    */
+  def embeddingCentroidDrift(embeddings: DataFrame): DataFrame = {
+    val D = DecimalType(38, 0)
+    val sums = embeddings
+      .select((pmod(col("vec_id"), lit(2)) === 0).as("in_a"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("in_a"), col("dim"))
+      .agg(sum(expr("cast(round(cast(x as double) * 1000000) as bigint)")).as("s"),
+        count(lit(1)).as("n"))
+    val a = sums.filter(col("in_a")).select(col("dim"), col("s").as("sa"), col("n").as("na"))
+    val b = sums.filter(!col("in_a")).select(col("dim"), col("s").as("sb"), col("n").as("nb"))
+    a.join(b, Seq("dim"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum((col("sa").cast(D) * col("sb")).cast(D)).as("dot"),
+        sum((col("sa").cast(D) * col("sa")).cast(D)).as("qa"),
+        sum((col("sb").cast(D) * col("sb")).cast(D)).as("qb"))
+      .select(col("n_a"), col("n_b"),
+        when(col("qa") === 0 || col("qb") === 0, lit(null).cast(LongType))
+          .otherwise(expr("""cast(round(cast(dot as double)
+            | / (sqrt(cast(qa as double)) * sqrt(cast(qb as double)))
+            | * 1000000) as bigint)""".stripMargin))
+          .as("cos_micro"))
+  }
+
   def annMrr(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val truth = cosineTopK(embeddings, nQueries, 1)
       .select(col("q_id"), col("vec_id"))

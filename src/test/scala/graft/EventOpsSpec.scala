@@ -595,6 +595,43 @@ class EventOpsSpec extends SparkSpec {
       g2.head.isNullAt(3), g2.toSeq.toString)
   }
 
+  test("eventsDebounce: bursts collapse to their first event per " +
+       "(user, type) stream; cross-type streams never interact") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    def ev(id: Long, t: String, u: Long, typ: String) =
+      (id, ts(t), u, typ, 1.0, "{}")
+    val e = Seq(
+      ev(1, "2024-01-01 00:00:00", 1, "view"),
+      ev(2, "2024-01-01 00:00:02", 1, "view"),  // +2s same burst
+      ev(3, "2024-01-01 00:00:04", 1, "view"),  // +2s same burst
+      ev(4, "2024-01-01 00:00:10", 1, "view"),  // +6s new burst
+      ev(5, "2024-01-01 00:00:12", 1, "view"),  // +2s same burst
+      ev(6, "2024-01-01 00:00:01", 1, "click")) // other type: own stream
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.eventsDebounce(e).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("view") == ((5L, 2L, 600000L)), got.toString)
+    assert(got("click") == ((1L, 1L, 0L)), got.toString)
+  }
+
+  test("monthlyChurn: hand-checked month-over-month retention; the last " +
+       "observed month is excluded as censored") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    def ev(id: Long, t: String, u: Long) = (id, ts(t), u, "view", 1.0, "{}")
+    val e = Seq(
+      ev(1, "2024-01-05 00:00:00", 1), ev(2, "2024-02-07 00:00:00", 1),
+      ev(3, "2024-01-09 00:00:00", 2),
+      ev(4, "2024-02-11 00:00:00", 3))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.monthlyChurn(e).collect()
+    assert(got.length == 1, got.toSeq.toString)
+    val r = got.head
+    assert(r.getDate(0).toString == "2024-01-01" && r.getLong(1) == 2L &&
+      r.getLong(2) == 1L && r.getLong(3) == 500000L, r.toString)
+  }
+
   test("markovAttribution: single-channel chain attributes everything to " +
        "it; two-channel chain matches the hand-iterated fixed point") {
     import spark.implicits._

@@ -389,4 +389,37 @@ class PlanShapeSpec extends SparkSpec {
                   "transition_entropy", "bigram_entropy_rate"))
       assert(!plan(q).contains("CartesianProduct"), s"$q plans a cartesian")
   }
+
+  test("r11 continuation tier: corpus stages stay equi-keyed, windows stay " +
+       "partitioned, stat rollups never cross-join the fact table") {
+    // boilerplate purge: md5-keyed DF join, no nested loop, no window
+    val bp = plan("boilerplate_purge")
+    assert(!bp.contains("CartesianProduct") && !bp.contains("BroadcastNestedLoopJoin"),
+      s"boilerplate_purge candidates must stay equi-keyed:\n$bp")
+    assert(!bp.contains("Window"), s"boilerplate_purge needs no window:\n$bp")
+    // classifier AUC: the only window runs over the (source, score) grid,
+    // partitioned by source — never an unpartitioned corpus window
+    val auc = plan("classifier_auc")
+    assert(auc.contains("Window"), s"classifier_auc expects the grid window:\n$auc")
+    assert(!auc.contains("CartesianProduct"), s"classifier_auc:\n$auc")
+    // KN cross-entropy: bigram-keyed equi-join between the per-source
+    // counts and the model table; the only nested loop is the 1-row
+    // n_types anchor broadcast (accepted 1-row-anchor pattern)
+    val kn = plan("kn_cross_entropy")
+    assert(!kn.contains("CartesianProduct"), s"kn_cross_entropy:\n$kn")
+    assert(kn.contains("BroadcastHashJoin"),
+      s"kn_cross_entropy model join must be bigram-equi-keyed:\n$kn")
+    assert(!kn.contains("Window"), s"kn_cross_entropy needs no window:\n$kn")
+    // K-M / interp / ljung-box / markov: corpus work is windows KEYED by
+    // user/status or plain aggregates; iteration frames are bounded
+    for (q <- Seq("km_conversion", "interp_fill_daily", "ljung_box",
+                  "markov_attribution", "classifier_reliability",
+                  "clf_keep_parity", "anova_priority_spend",
+                  "cramers_v_status_priority", "psi_price_drift", "ann_mrr"))
+      assert(!plan(q).contains("CartesianProduct"), s"$q plans a cartesian")
+    // interp fill: both bracketing windows are partitioned by the key
+    val ip = plan("interp_fill_daily")
+    assert(!ip.contains("No Partition Defined"),
+      s"interp_fill_daily windows must partition by key:\n$ip")
+  }
 }

@@ -479,6 +479,23 @@ class SimilarityMultimodalSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("embeddingCentroidDrift: identical halves read 1e6, orthogonal " +
+       "halves read 0, and counts split by parity") {
+    import spark.implicits._
+    val samePos = Seq(
+      (0L, Array(1.0f, 0.5f)), (1L, Array(2.0f, 1.0f)),
+      (2L, Array(1.0f, 0.5f)), (3L, Array(2.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val rs = SimilarityOps.embeddingCentroidDrift(samePos).head()
+    assert(rs.getLong(0) == 2L && rs.getLong(1) == 2L, rs.toString)
+    assert(rs.getLong(2) == 1000000L, rs.toString)
+    val ortho = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    assert(SimilarityOps.embeddingCentroidDrift(ortho).head().getLong(2) == 0L)
+  }
+
   test("annMrr: true NN at shortlist rank 1 reads 1e6; rr replays the " +
        "half-up identity from first_rank; a shortlist miss reads 0") {
     // same fixture as annNdcg: query 0's duplicate (vec 2) is both the
