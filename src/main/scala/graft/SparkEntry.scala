@@ -1287,6 +1287,17 @@ object SparkEntry {
       SimilarityOps.embeddingDupPairsLsh(t(s, d, "embeddings"), 0.8)),
     "multimodal_meta" -> ((s, d) => MultimodalOps.payloadMeta(t(s, d, "documents"))),
     "text_chunks" -> ((s, d) => TextOps.chunks(t(s, d, "documents"))),
+    // word2vec negative-sampling table: unigram^0.75 cumulative ranges
+    "negative_sampling_table" -> ((s, d) =>
+      TextOps.negativeSamplingTable(t(s, d, "documents"))),
+    // volume-weighted average unit price per ship month
+    "vwap_monthly" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(date_trunc("month", col("l_shipdate")).cast(DateType).as("month"))
+        .agg(sum(expr("cast(l_quantity as bigint)")).as("total_qty"),
+          sum(expr("cast(round(l_extendedprice * 100) as bigint)")).as("notional_cents"))
+        .select(col("month"), col("total_qty"),
+          expr("(notional_cents + total_qty div 2) div total_qty").as("vwap_cents"))),
     "term_frequencies" -> ((s, d) => TextOps.termFrequencies(t(s, d, "documents"))),
     "tf_idf" -> ((s, d) => TextOps.tfIdf(t(s, d, "documents"))),
     // portable-hash bucket sampling: same rows selected by any engine
@@ -1363,6 +1374,20 @@ object SparkEntry {
     "markov_attribution" -> ((s, d) => EventOps.markovAttribution(t(s, d, "events"))),
     // telemetry debounce audit: first-of-burst retention per type
     "events_debounce" -> ((s, d) => EventOps.eventsDebounce(t(s, d, "events"))),
+    // the typed streaming state machine's batch face, rolled up to the
+    // SAME per-type audit (shares the events_debounce oracle verbatim)
+    "debounce_typed" -> ((s, d) => {
+      import s.implicits._
+      val evs = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .as[graft.streaming.Debounce.Event]
+      val kept = graft.streaming.Debounce.debounce(evs).toDF()
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_kept"))
+      t(s, d, "events").groupBy(col("event_type")).agg(count(lit(1)).as("n_raw"))
+        .join(kept, Seq("event_type"))
+        .select(col("event_type"), col("n_raw"), col("n_kept"),
+          expr("((n_raw - n_kept) * 1000000 + n_raw div 2) div n_raw").as("drop_ppm"))
+    }),
     // month-over-month churn of the active-user base
     "monthly_churn" -> ((s, d) => EventOps.monthlyChurn(t(s, d, "events"))),
     // multi-touch attribution: first/last/linear credit per channel in
@@ -3825,6 +3850,20 @@ object SparkEntry {
         |    // COUNT(*) AS BIGINT) AS drop_ppm
         |FROM f GROUP BY 1""".stripMargin,
 
+    // typed state machine proves identical to the window face
+    "debounce_typed" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+        |g AS (SELECT event_type,
+        |      CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER (
+        |        PARTITION BY user_id, event_type ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+        |      FROM e),
+        |f AS (SELECT event_type, (gap_s IS NULL OR gap_s > 5) AS fb FROM g)
+        |SELECT event_type, COUNT(*) AS n_raw,
+        |  CAST(SUM(CASE WHEN fb THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(((COUNT(*) - SUM(CASE WHEN fb THEN 1 ELSE 0 END)) * 1000000 + COUNT(*) // 2)
+        |    // COUNT(*) AS BIGINT) AS drop_ppm
+        |FROM f GROUP BY 1""".stripMargin,
+
     // churn: exact distinct (user, month) sets, retention via month+1
     // equi-join, last month excluded (unobserved successor)
     "monthly_churn" ->
@@ -6171,6 +6210,28 @@ object SparkEntry {
         |array_to_string(toks[s+1:least(s + 32, len(toks))], ' ') AS chunk,
         |CAST(least(s + 32, len(toks)) - s AS INTEGER) AS n_chunk_tokens
         |FROM st WHERE s < len(toks)""".stripMargin,
+
+    "negative_sampling_table" ->
+      """WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |tf AS (SELECT unnest(toks) AS token FROM t),
+        |c AS (SELECT token, COUNT(*) AS n FROM tf GROUP BY 1),
+        |w AS (SELECT token, n,
+        |      CAST(round(exp(0.75 * ln(CAST(n AS DOUBLE))) * 1000000) AS BIGINT) AS weight_micro
+        |      FROM c),
+        |tt AS (SELECT CAST(SUM(weight_micro) AS BIGINT) AS w_tot FROM w)
+        |SELECT token, n, weight_micro,
+        |  CAST((weight_micro * 1000000 + w_tot // 2) // w_tot AS BIGINT) AS share_ppm,
+        |  CAST(SUM(weight_micro) OVER (ORDER BY weight_micro DESC, token
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_hi
+        |FROM w CROSS JOIN tt""".stripMargin,
+
+    "vwap_monthly" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+        |  CAST((SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    + SUM(CAST(l_quantity AS BIGINT)) // 2)
+        |    // SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS vwap_cents
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "term_frequencies" ->
       """SELECT token, COUNT(*) AS n FROM (

@@ -329,6 +329,34 @@ object TextOps {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
 
+  /** Word2vec-style negative-sampling table — the unigram^0.75
+    * distribution (Mikolov et al. 2013) materialized as cumulative
+    * ranges: weight(w) ∝ count(w)^0.75 (the exponent that damps stop
+    * words without flattening to uniform), each token carrying its
+    * share and the inclusive cumulative weight bound, so a sampler
+    * draws u ∈ [1, total] and binary-searches cum_hi. Determinism:
+    * c^0.75 is computed as exp(0.75·ln c) — ONE fixed-shape libm pair
+    * over the exact count (the repo's entropy-op discipline; pow() is
+    * the less-portable spelling) quantized to integer micros; the
+    * cumulative is the exact sharded running sum ([[ShardedOrder]]) in
+    * (weight desc, token) order — vocabulary CAN be fact-scale on a
+    * real corpus, so no single-reducer window. One corpus token
+    * aggregate + the vocab-scale rank/cumsum.
+    */
+  def negativeSamplingTable(documents: DataFrame): DataFrame = {
+    val w = termFrequencies(documents)
+      .select(col("token"), col("n"),
+        expr("cast(round(exp(0.75d * ln(cast(n as double))) * 1000000) as bigint)")
+          .as("weight_micro"))
+    val tot = w.agg(sum(col("weight_micro")).as("w_tot"))
+    ShardedOrder.withRunningSum(w, col("weight_micro"), "cum_hi", 32,
+      col("weight_micro").desc, col("token"))
+      .crossJoin(broadcast(tot))
+      .select(col("token"), col("n"), col("weight_micro"),
+        expr("(weight_micro * 1000000 + w_tot div 2) div w_tot").as("share_ppm"),
+        col("cum_hi"))
+  }
+
   /** PMI collocation mining over adjacent-token bigrams: the classic
     * phrase-discovery pass (Mikolov-style word2phrase uses the same
     * statistic). All three marginals derive from the ONE corpus-scale

@@ -1505,6 +1505,18 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(TextOps.classifierAuc(one).head().isNullAt(3))
   }
 
+  test("negativeSamplingTable: weights follow c^0.75, the cumulative is " +
+       "the (weight desc, token) prefix sum, shares conserve") {
+    import spark.implicits._
+    // 'aa' x16, 'bb' x1 -> weights 8e6 and 1e6
+    val docs = Seq((1L, ("aa " * 16) + "bb")).toDF("doc_id", "text")
+    val got = TextOps.negativeSamplingTable(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got("aa") == ((16L, 8000000L, 888889L, 8000000L)), got.toString)
+    assert(got("bb") == ((1L, 1000000L, 111111L, 9000000L)), got.toString)
+  }
+
   test("knCrossEntropy: formulaic sources score lower cross-entropy than " +
        "diverse ones; bigram totals conserve; single-bigram docs count") {
     import spark.implicits._

@@ -455,4 +455,43 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.toMap.apply("2024-01-22") == exp && exp == 3000000L,
       s"stream ${rows.toMap} vs batch $exp")
   }
+
+  test("Debounce: batch face equals the SQL window audit; a burst split " +
+       "across micro-batches still collapses (state carries the chain)") {
+    import spark.implicits._
+    import java.nio.file.Files
+    def ts(s: String) = Timestamp.valueOf(s)
+    val raw = Seq(
+      (1L, "view", ts("2024-01-01 00:00:00"), 1L),
+      (1L, "view", ts("2024-01-01 00:00:02"), 2L),
+      (1L, "view", ts("2024-01-01 00:00:04"), 3L),
+      (1L, "view", ts("2024-01-01 00:00:10"), 4L),
+      (1L, "click", ts("2024-01-01 00:00:01"), 5L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    // batch face: kept ids match the gaps-and-islands definition
+    val keptBatch = graft.streaming.Debounce
+      .debounce(raw.as[graft.streaming.Debounce.Event]).collect()
+      .map(_.event_id).sorted
+    assert(keptBatch.sameElements(Array(1L, 4L, 5L)), keptBatch.toSeq.toString)
+    // streaming: events 1-2 in batch 1; 3 (same burst, new micro-batch)
+    // and 4 (new burst) in batch 2 — a per-batch window would re-admit 3
+    val in = Files.createTempDirectory("graft-deb-in").toString
+    val out = Files.createTempDirectory("graft-deb-out").toString
+    val ckpt = Files.createTempDirectory("graft-deb-ckpt").toString
+    raw.filter(col("event_id") <= 2L).coalesce(1).write.parquet(s"$in/f1")
+    raw.filter(col("event_id") > 2L && col("event_id") < 5L).coalesce(1)
+      .write.parquet(s"$in/f2")
+    val stream = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(in)
+      .withWatermark("ts", "1 hour")
+      .as[graft.streaming.Debounce.Event]
+    val kept = graft.streaming.Debounce.debounce(stream).toDF()
+    val q = StreamingOps.availableNowWriter(kept, out, ckpt).start()
+    q.awaitTermination(180000)
+    val got = spark.read.parquet(out).collect().map(_.getAs[Long]("event_id")).sorted
+    assert(got.sameElements(Array(1L, 4L)),
+      s"burst must stay collapsed across micro-batches: ${got.toSeq}")
+  }
 }
