@@ -1372,6 +1372,8 @@ object SparkEntry {
     "km_conversion" -> ((s, d) => EventOps.kmConversion(t(s, d, "events"))),
     // Markov removal-effect attribution over the journey chain
     "markov_attribution" -> ((s, d) => EventOps.markovAttribution(t(s, d, "events"))),
+    // exact Shapley attribution over observed touch coalitions
+    "shapley_attribution" -> ((s, d) => EventOps.shapleyAttribution(t(s, d, "events"))),
     // telemetry debounce audit: first-of-burst retention per type
     "events_debounce" -> ((s, d) => EventOps.eventsDebounce(t(s, d, "events"))),
     // the typed streaming state machine's batch face, rolled up to the
@@ -3821,6 +3823,43 @@ object SparkEntry {
     // doc_communities below) hash-proves the edge artifact's round trip
     // against the full SQL derivation
     "dup_components_star" -> dupComponentsOracle,
+
+    // Shapley: bitmask coalitions, half-up ppm v(S), integer factorial
+    // weights, one n! division (trunc both engines)
+    "shapley_attribution" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+        |ch AS (SELECT channel, CAST(row_number() OVER (ORDER BY channel) - 1 AS INTEGER) AS bit
+        |       FROM (SELECT DISTINCT event_type AS channel FROM e WHERE event_type <> 'purchase')),
+        |n AS (SELECT CAST(COUNT(*) AS INTEGER) AS nch FROM ch),
+        |fp AS (SELECT user_id, ts, event_id FROM (
+        |   SELECT user_id, ts, event_id, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |   FROM e WHERE event_type = 'purchase') WHERE rn = 1),
+        |pu AS (SELECT e.user_id, fp.user_id IS NOT NULL AS converted,
+        |       CAST(bit_or(1 << ch.bit) AS INTEGER) AS mask
+        |       FROM e LEFT JOIN fp ON e.user_id = fp.user_id
+        |       JOIN ch ON e.event_type = ch.channel
+        |       WHERE e.event_type <> 'purchase'
+        |         AND (fp.user_id IS NULL OR e.ts < fp.ts OR (e.ts = fp.ts AND e.event_id < fp.event_id))
+        |       GROUP BY e.user_id, converted),
+        |bare AS (SELECT fp.user_id, TRUE AS converted, 0 AS mask FROM fp
+        |         WHERE fp.user_id NOT IN (SELECT user_id FROM pu)),
+        |v0 AS (SELECT mask, COUNT(*) AS nn,
+        |       CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS conv
+        |       FROM (SELECT * FROM pu UNION ALL SELECT * FROM bare) GROUP BY 1),
+        |v AS (SELECT mask, CAST((conv * 1000000 + nn // 2) // nn AS BIGINT) AS v_ppm FROM v0),
+        |masks AS (SELECT CAST(unnest(range(0, (SELECT 1 << nch FROM n))) AS INTEGER) AS mask),
+        |vm AS (SELECT m.mask, coalesce(v.v_ppm, 0) AS v_ppm FROM masks m LEFT JOIN v USING (mask)),
+        |terms AS (SELECT ch.channel,
+        |   [1, 1, 2, 6, 24, 120][bit_count(CAST(s.mask AS BIGINT)) + 1]
+        |   * [1, 1, 2, 6, 24, 120][(SELECT nch FROM n) - 1 - bit_count(CAST(s.mask AS BIGINT)) + 1]
+        |   * (su.v_ppm - s.v_ppm) AS term
+        |   FROM ch CROSS JOIN vm s
+        |   JOIN vm su ON su.mask = (s.mask | (1 << ch.bit))
+        |   WHERE (s.mask & (1 << ch.bit)) = 0)
+        |SELECT channel,
+        |  CAST(CAST(SUM(term) AS BIGINT)
+        |    // [1, 1, 2, 6, 24, 120][(SELECT nch FROM n) + 1] AS BIGINT) AS phi_ppm
+        |FROM terms GROUP BY 1""".stripMargin,
     "markov_attribution" -> markovAttributionOracle,
     "doc_pagerank" -> docPagerankOracle,
     "doc_communities" -> docCommunitiesOracle,

@@ -463,6 +463,71 @@ object EventOps {
           .as("attribution_ppm"))
   }
 
+  /** Shapley-value attribution over observed touch SETS — the
+    * order-independent, axiomatically fair companion to
+    * [[markovAttribution]]'s chain model (Shapley 1953; the simplified
+    * game used by ad-attribution platforms): v(S) = conversion rate of
+    * journeys whose pre-purchase touch set is EXACTLY S (unobserved
+    * coalitions read v = 0, documented), and φ_i = Σ_{S⊆C∖i}
+    * |S|!·(n−1−|S|)!·(v(S∪i) − v(S)) / n!.
+    *
+    * Exact integer arithmetic end-to-end: touch sets are BITMASKS
+    * (channels bit-assigned in name order), v is half-up ppm, the
+    * factorial weights are integers, and the single division by n!
+    * happens last — so both engines replay bit-for-bit. n ≤ 5 channels
+    * enforced (2ⁿ coalition grid; past that you sample permutations).
+    * Scale shape: one per-user reduction to (mask, converted) — the
+    * same window pass every journey op pays — then everything runs on
+    * the ≤ 2ⁿ-row coalition grid.
+    */
+  def shapleyAttribution(events: DataFrame): DataFrame = {
+    val channels = events.filter(col("event_type") =!= "purchase")
+      .select(col("event_type").as("channel")).distinct()
+      .withColumn("bit",
+        row_number().over(Window.partitionBy(lit(1)).orderBy(col("channel"))) - 1)
+      .localCheckpoint()
+    val nCh = channels.count().toInt
+    require(nCh >= 1 && nCh <= 5, s"channel count out of range for exact Shapley: $nCh")
+    val fp = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("fp"))
+    // touches strictly before the first purchase; users with no purchase
+    // keep their whole stream and read converted = false
+    val perUser = events.join(fp, Seq("user_id"), "left")
+      .withColumn("converted", col("fp").isNotNull)
+      .filter(col("event_type") =!= "purchase" &&
+        (col("fp").isNull || struct(col("ts"), col("event_id")) < col("fp")))
+      .join(broadcast(channels), col("event_type") === col("channel"))
+      .groupBy(col("user_id"), col("converted"))
+      .agg(expr("cast(bit_or(shiftleft(1, bit)) as int)").as("mask"))
+    // journeys that purchased with ZERO prior touches (mask 0) come from
+    // the anti side of the filter above: re-derive them from fp directly
+    val bare = fp.join(perUser.select(col("user_id")), Seq("user_id"), "left_anti")
+      .select(col("user_id"), lit(true).as("converted"), lit(0).as("mask"))
+    val v = perUser.unionByName(bare)
+      .groupBy(col("mask"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(converted as bigint)")).as("conv"))
+      .select(col("mask"), expr("(conv * 1000000 + n div 2) div n").as("v_ppm"))
+      .localCheckpoint()
+    val spark = events.sparkSession
+    val masks = spark.range(1L << nCh).select(col("id").cast(IntegerType).as("mask"))
+      .join(v, Seq("mask"), "left")
+      .select(col("mask"), coalesce(col("v_ppm"), lit(0L)).as("v_ppm"))
+    val factTable = "array(1, 1, 2, 6, 24, 120)"
+    val nFact = (1 to nCh).product
+    channels.crossJoin(masks.select(col("mask").as("s"), col("v_ppm").as("v_s")))
+      .filter(expr("(s & shiftleft(1, bit)) = 0"))
+      .join(masks.select(col("mask").as("su"), col("v_ppm").as("v_su")),
+        expr("su = s | shiftleft(1, bit)"))
+      .select(col("channel"),
+        expr(s"""element_at($factTable, bit_count(s) + 1)
+          | * element_at($factTable, $nCh - 1 - bit_count(s) + 1)
+          | * (v_su - v_s)""".stripMargin).as("term"))
+      .groupBy(col("channel"))
+      .agg(expr(s"sum(term) div ${nFact}L").as("phi_ppm"))
+  }
+
   /** Conditional next-event entropy per state — the one-number
     * predictability read over [[eventTransitions]]' matrix:
     * H(next | from = a) = −Σ_b p·ln p in micro-nats. H ≈ 0 means the

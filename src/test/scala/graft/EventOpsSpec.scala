@@ -666,6 +666,26 @@ class EventOpsSpec extends SparkSpec {
     assert(g2("click") == ((666667L, 333334L, 499999L, 499999L)), g2.toString)
   }
 
+  test("shapleyAttribution: hand-computed two-channel game; shares sum to " +
+       "v(full) - v(empty) (efficiency axiom)") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    def ev(id: Long, t: String, u: Long, typ: String) =
+      (id, ts(t), u, typ, 1.0, "{}")
+    // v({view}) = 1/2, v({click}) = 1, v({view,click}) = 1, v(empty) = 0:
+    // phi_view = (0.5 + 0)/2 = 0.25; phi_click = (1 + 0.5)/2 = 0.75
+    val e = Seq(
+      ev(1, "2024-01-01 00:00:00", 1, "view"), ev(2, "2024-01-01 01:00:00", 1, "purchase"),
+      ev(3, "2024-01-01 00:00:00", 2, "click"), ev(4, "2024-01-01 01:00:00", 2, "purchase"),
+      ev(5, "2024-01-01 00:00:00", 3, "view"), ev(6, "2024-01-01 00:30:00", 3, "click"),
+      ev(7, "2024-01-01 01:00:00", 3, "purchase"),
+      ev(8, "2024-01-01 00:00:00", 4, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.shapleyAttribution(e).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("view" -> 250000L, "click" -> 750000L), got.toString)
+  }
+
   test("ljungBox: Q matches the integer formula recomputed from the ACF " +
        "frame, and a strongly autocorrelated series rejects white noise") {
     import spark.implicits._
