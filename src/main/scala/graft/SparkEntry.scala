@@ -1374,6 +1374,14 @@ object SparkEntry {
     "markov_attribution" -> ((s, d) => EventOps.markovAttribution(t(s, d, "events"))),
     // exact Shapley attribution over observed touch coalitions
     "shapley_attribution" -> ((s, d) => EventOps.shapleyAttribution(t(s, d, "events"))),
+    // walk-forward MAE/bias of the naive and seasonal-naive baselines
+    "forecast_backtest" -> ((s, d) => EventOps.forecastBacktest(t(s, d, "events"))),
+    // event-sourced open-order backlog per day
+    "open_orders_daily" -> ((s, d) =>
+      RelationalOps.openOrdersDaily(t(s, d, "orders"), t(s, d, "lineitem"))),
+    // top-20% customer revenue share via the exact sharded rank
+    "concentration_8020" -> ((s, d) =>
+      RelationalOps.concentration8020(t(s, d, "orders"))),
     // telemetry debounce audit: first-of-burst retention per type
     "events_debounce" -> ((s, d) => EventOps.eventsDebounce(t(s, d, "events"))),
     // the typed streaming state machine's batch face, rolled up to the
@@ -3824,6 +3832,47 @@ object SparkEntry {
     // against the full SQL derivation
     "dup_components_star" -> dupComponentsOracle,
 
+
+    "forecast_backtest" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |      CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents FROM e GROUP BY 1),
+        |nv AS (SELECT day, cents, lag(cents) OVER (ORDER BY day) AS pred FROM d),
+        |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(abs(cents - pred)) AS BIGINT) AS ae,
+        |       CAST(SUM(cents - pred) AS BIGINT) AS err FROM nv WHERE pred IS NOT NULL),
+        |sv AS (SELECT a.cents, b.cents AS pred
+        |       FROM d a JOIN d b ON a.day = CAST(b.day + INTERVAL 7 DAY AS DATE)),
+        |sa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(abs(cents - pred)) AS BIGINT) AS ae,
+        |       CAST(SUM(cents - pred) AS BIGINT) AS err FROM sv)
+        |SELECT 'naive' AS model, n, CAST((ae + n // 2) // n AS BIGINT) AS mae_cents,
+        |       CAST((err + n // 2) // n AS BIGINT) AS bias_cents FROM na
+        |UNION ALL
+        |SELECT 'seasonal_naive', n, CAST((ae + n // 2) // n AS BIGINT),
+        |       CAST((err + n // 2) // n AS BIGINT) FROM sa""".stripMargin,
+
+    "open_orders_daily" ->
+      """WITH op AS (SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+        |      COUNT(*) AS n_opened FROM orders GROUP BY 1),
+        |cl0 AS (SELECT l_orderkey, MAX(CAST(date_trunc('day', l_shipdate) AS DATE)) AS day
+        |        FROM lineitem GROUP BY 1),
+        |cl AS (SELECT day, COUNT(*) AS n_closed FROM cl0 GROUP BY 1),
+        |g AS (SELECT coalesce(op.day, cl.day) AS day,
+        |      CAST(coalesce(n_opened, 0) AS BIGINT) AS n_opened,
+        |      CAST(coalesce(n_closed, 0) AS BIGINT) AS n_closed
+        |      FROM op FULL OUTER JOIN cl ON op.day = cl.day)
+        |SELECT day, n_opened, n_closed,
+        |  CAST(SUM(n_opened) OVER w - SUM(n_closed) OVER w AS BIGINT) AS open_balance
+        |FROM g WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "concentration_8020" ->
+      """WITH s AS (SELECT o_custkey,
+        |      CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |      FROM orders GROUP BY 1),
+        |r AS (SELECT cents, row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk FROM s),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s_tot FROM s)
+        |SELECT n AS n_customers, CAST(COUNT(*) AS BIGINT) AS k_top,
+        |  CAST((CAST(SUM(cents) AS HUGEINT) * 1000000 + s_tot // 2) // s_tot AS BIGINT) AS top_share_ppm
+        |FROM r CROSS JOIN t WHERE rk <= (n + 4) // 5 GROUP BY n, s_tot""".stripMargin,
     // Shapley: bitmask coalitions, half-up ppm v(S), integer factorial
     // weights, one n! division (trunc both engines)
     "shapley_attribution" ->

@@ -463,6 +463,44 @@ object EventOps {
           .as("attribution_ppm"))
   }
 
+  /** Walk-forward forecast backtest — the model-selection read a
+    * forecasting stack wants before trusting any predictor: replay the
+    * daily-revenue series and score the two standard baselines
+    * out-of-sample — naive (carry yesterday, here the PREVIOUS OBSERVED
+    * day) and seasonal-naive (same weekday last week, exact 7-day
+    * calendar lag) — by MAE and bias in integer cents. Any candidate
+    * model must beat seasonal-naive or it ships nothing. Days without a
+    * prediction (series head; missing calendar lag) are excluded per
+    * predictor, n reported. One corpus (day) aggregate; the lag logic
+    * runs on the day grid (window + one self-join, dimension-scale).
+    */
+  def forecastBacktest(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      .localCheckpoint() // referenced by both predictors
+    val w = Window.partitionBy(pmod(col("cents"), lit(1))).orderBy(col("day"))
+    val naive = daily
+      .withColumn("pred", lag(col("cents"), 1).over(w))
+      .filter(col("pred").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("cents") - col("pred"))).as("ae"),
+        sum(col("cents") - col("pred")).as("err"))
+      .select(lit("naive").as("model"), col("n"),
+        expr("(ae + n div 2) div n").as("mae_cents"),
+        expr("(err + n div 2) div n").as("bias_cents"))
+    val snaive = daily
+      .join(daily.select(date_add(col("day"), 7).as("day"), col("cents").as("pred")),
+        Seq("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("cents") - col("pred"))).as("ae"),
+        sum(col("cents") - col("pred")).as("err"))
+      .select(lit("seasonal_naive").as("model"), col("n"),
+        expr("(ae + n div 2) div n").as("mae_cents"),
+        expr("(err + n div 2) div n").as("bias_cents"))
+    naive.unionByName(snaive)
+  }
+
   /** Shapley-value attribution over observed touch SETS — the
     * order-independent, axiomatically fair companion to
     * [[markovAttribution]]'s chain model (Shapley 1953; the simplified

@@ -999,4 +999,57 @@ object RelationalOps {
         expr("cast(both_in_k * kmv_union_est div greatest(size(u), 1) as bigint)")
           .as("kmv_overlap_est"))
   }
+
+  /** Event-sourced open-order balance per day — the operational backlog
+    * series (orders opened minus orders fully shipped, cumulatively):
+    * open events come from `o_orderdate`, close events from each
+    * order's LAST lineitem ship date, and the balance is the difference
+    * of the two cumulative counts over the unioned day grid. The
+    * corpus-scale work is two aggregates (per-day opens; per-order max
+    * shipdate then per-day closes); the cumulative runs on the day grid
+    * — time-dimension scale, constant-key window idiom. Orders with no
+    * lineitems never close (reported in the standing tail, the honest
+    * read).
+    */
+  def openOrdersDaily(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val opened = orders
+      .groupBy(date_trunc("day", col("o_orderdate")).cast(DateType).as("day"))
+      .agg(count(lit(1)).as("n_opened"))
+    val closed = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(max(date_trunc("day", col("l_shipdate")).cast(DateType)).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_closed"))
+    val grid = opened.join(closed, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_opened"), lit(0L)).as("n_opened"),
+        coalesce(col("n_closed"), lit(0L)).as("n_closed"))
+    val w = Window.partitionBy(pmod(col("n_opened"), lit(1))).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("open_balance",
+        sum(col("n_opened")).over(w) - sum(col("n_closed")).over(w))
+      .select(col("day"), col("n_opened"), col("n_closed"), col("open_balance"))
+  }
+
+  /** Revenue concentration (the 80/20 read) — the share of total spend
+    * held by the top 20% of customers, the one-number pairing to
+    * `gini_spend`'s full-curve summary. Customers rank by (spend desc,
+    * key) through the EXACT sharded global rank ([[ShardedOrder]] — the
+    * customer dimension is fact-scale at 100 TB, never one reducer);
+    * k = ⌈n/5⌉ and the share is one half-up ppm division over exact
+    * cents sums.
+    */
+  def concentration8020(orders: DataFrame): DataFrame = {
+    val spend = orders.groupBy(col("o_custkey"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
+    val ranked = ShardedOrder.withGlobalRank(spend, "rk", 32,
+      col("cents").desc, col("o_custkey"))
+    val tot = ranked.agg(count(lit(1)).as("n"), sum(col("cents")).as("s_tot"))
+    ranked.crossJoin(broadcast(tot))
+      .filter(col("rk") <= expr("(n + 4) div 5"))
+      .groupBy(col("n"), col("s_tot"))
+      .agg(count(lit(1)).as("k_top"), sum(col("cents")).as("s_top"))
+      .select(col("n").as("n_customers"), col("k_top"),
+        expr("(s_top * 1000000 + s_tot div 2) div s_tot").as("top_share_ppm"))
+  }
 }

@@ -666,6 +666,19 @@ class EventOpsSpec extends SparkSpec {
     assert(g2("click") == ((666667L, 333334L, 499999L, 499999L)), g2.toString)
   }
 
+  test("forecastBacktest: naive scores the +1-day ramp at its slope, " +
+       "seasonal-naive at the 7-day gap; heads excluded per predictor") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val e = (1 to 9).map(i =>
+      (i.toLong, ts(f"2024-01-0$i%01d 00:00:00"), 1L, "purchase", i * 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.forecastBacktest(e).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("naive") == ((8L, 100L, 100L)), got.toString)
+    assert(got("seasonal_naive") == ((2L, 700L, 700L)), got.toString)
+  }
+
   test("shapleyAttribution: hand-computed two-channel game; shares sum to " +
        "v(full) - v(empty) (efficiency axiom)") {
     import spark.implicits._

@@ -431,4 +431,36 @@ class RelationalOpsSpec extends SparkSpec {
       2L -> ((1L, 2L, true)),
       3L -> ((1L, 3L, false))), got.toString)
   }
+
+  test("openOrdersDaily: balance is cum(opened) - cum(closed); an order " +
+       "closes on its LAST ship date; unshipped orders stand forever") {
+    import java.sql.Date
+    val orders = Seq(
+      (1L, Date.valueOf("2024-01-01"), 1L, 10.0),
+      (2L, Date.valueOf("2024-01-01"), 2L, 10.0),
+      (3L, Date.valueOf("2024-01-02"), 3L, 10.0))
+      .toDF("o_orderkey", "o_orderdate", "o_custkey", "o_totalprice")
+    val li = Seq(
+      (1L, Date.valueOf("2024-01-01")), (1L, Date.valueOf("2024-01-02")),
+      (3L, Date.valueOf("2024-01-03")))
+      .toDF("l_orderkey", "l_shipdate")
+    val got = RelationalOps.openOrdersDaily(orders, li).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("2024-01-01") == ((2L, 0L, 2L)), got.toString)
+    assert(got("2024-01-02") == ((1L, 1L, 2L)), got.toString) // o1 closes on LAST ship
+    assert(got("2024-01-03") == ((0L, 1L, 1L)), got.toString) // o2 never closes
+  }
+
+  test("concentration8020: top ceil(n/5) customers' spend share, exact " +
+       "sharded rank, hand-checked on a 10-customer ramp") {
+    import java.sql.Date
+    val orders = (1L to 10L).map(c =>
+      (c, Date.valueOf("2024-01-01"), c, c * 100.0))
+      .toDF("o_orderkey", "o_orderdate", "o_custkey", "o_totalprice")
+    val r = RelationalOps.concentration8020(orders).head()
+    assert(r.getLong(0) == 10L && r.getLong(1) == 2L, r.toString)
+    // top 2 spend 1900 of 5500 -> (19e10 + 275e3) div 55e4 = 345455
+    assert(r.getLong(2) == 345455L, r.toString)
+  }
 }
