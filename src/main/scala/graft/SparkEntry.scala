@@ -1382,6 +1382,17 @@ object SparkEntry {
     // top-20% customer revenue share via the exact sharded rank
     "concentration_8020" -> ((s, d) =>
       RelationalOps.concentration8020(t(s, d, "orders"))),
+    // 20 most volatile-demand parts: the safety-stock shortlist
+    "demand_volatility" -> ((s, d) =>
+      RelationalOps.demandVolatility(t(s, d, "lineitem"))),
+    // per-supplier return-rate scorecard
+    "supplier_returns" -> ((s, d) =>
+      RelationalOps.supplierReturns(t(s, d, "lineitem"))),
+    // cumulative purchase value per signup cohort by month offset
+    "ltv_cohort_curve" -> ((s, d) => EventOps.ltvCohortCurve(t(s, d, "events"))),
+    // Pearson r + OLS slope of (discount permille, quantity)
+    "discount_elasticity" -> ((s, d) =>
+      EventOps.discountElasticity(t(s, d, "lineitem"))),
     // telemetry debounce audit: first-of-burst retention per type
     "events_debounce" -> ((s, d) => EventOps.eventsDebounce(t(s, d, "events"))),
     // the typed streaming state machine's batch face, rolled up to the
@@ -3873,6 +3884,57 @@ object SparkEntry {
         |SELECT n AS n_customers, CAST(COUNT(*) AS BIGINT) AS k_top,
         |  CAST((CAST(SUM(cents) AS HUGEINT) * 1000000 + s_tot // 2) // s_tot AS BIGINT) AS top_share_ppm
         |FROM r CROSS JOIN t WHERE rk <= (n + 4) // 5 GROUP BY n, s_tot""".stripMargin,
+
+    "demand_volatility" ->
+      """WITH w AS (SELECT l_partkey AS partkey,
+        |      CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
+        |      CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |      FROM lineitem GROUP BY 1, 2),
+        |m AS (SELECT partkey, COUNT(*) AS n_weeks, CAST(SUM(q) AS BIGINT) AS sq,
+        |      CAST(SUM(q * q) AS BIGINT) AS sqq FROM w GROUP BY 1)
+        |SELECT partkey, n_weeks, sq AS total_qty,
+        |  CAST(round(sqrt(CAST(n_weeks * sqq - sq * sq AS DOUBLE))
+        |    / CAST(sq AS DOUBLE) * 1000000) AS BIGINT) AS cv_ppm
+        |FROM m WHERE n_weeks >= 8 AND sq > 0
+        |ORDER BY cv_ppm DESC, partkey LIMIT 20""".stripMargin,
+
+    "supplier_returns" ->
+      """SELECT l_suppkey AS suppkey, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST((SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 1000000
+        |    + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS return_ppm
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "ltv_cohort_curve" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |s AS (SELECT user_id, MIN(ts) AS signup_ts FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |g AS (SELECT CAST(date_trunc('month', s.signup_ts) AS DATE) AS cohort,
+        |      CAST((year(p.ts) * 12 + month(p.ts))
+        |        - (year(s.signup_ts) * 12 + month(s.signup_ts)) AS BIGINT) AS month_offset,
+        |      CAST(SUM(CAST(round(p.value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |      FROM s JOIN e p ON p.user_id = s.user_id AND p.event_type = 'purchase'
+        |        AND p.ts >= s.signup_ts
+        |      GROUP BY 1, 2)
+        |SELECT cohort, month_offset, cents,
+        |  CAST(SUM(cents) OVER (PARTITION BY cohort ORDER BY month_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_ltv_cents
+        |FROM g""".stripMargin,
+
+    "discount_elasticity" ->
+      """WITH m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |  CAST(SUM(CAST(round(l_discount * 1000) AS BIGINT)) AS HUGEINT) AS sx,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sy,
+        |  CAST(SUM(CAST(round(l_discount * 1000) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sxy,
+        |  CAST(SUM(CAST(round(l_discount * 1000) AS BIGINT) * CAST(round(l_discount * 1000) AS BIGINT)) AS HUGEINT) AS sxx,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS HUGEINT) AS syy
+        |  FROM lineitem)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |    / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) * 1000000) AS BIGINT) AS r_micros,
+        |  CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) AS BIGINT) AS slope_micros
+        |FROM m""".stripMargin,
     // Shapley: bitmask coalitions, half-up ppm v(S), integer factorial
     // weights, one n! division (trunc both engines)
     "shapley_attribution" ->

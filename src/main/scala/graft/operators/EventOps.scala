@@ -463,6 +463,65 @@ object EventOps {
           .as("attribution_ppm"))
   }
 
+  /** Cohort LTV curve — cumulative purchase value per signup cohort by
+    * month offset: the revenue-weighted sequel to [[cohortRetention]]'s
+    * headcount curve (retention says who came back; LTV says what they
+    * were worth). Cohort = first-signup month; offset = calendar-month
+    * index delta (year·12+month arithmetic — pure integers, no
+    * months_between float semantics); value = integer cents; the
+    * cumulative is a per-cohort window over the offset grid (cohorts ×
+    * offsets — dimension-scale, properly partitioned). Purchases before
+    * signup are excluded (same guard as [[conversionLag]]).
+    */
+  def ltvCohortCurve(events: DataFrame): DataFrame = {
+    val signup = events.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    val grid = signup
+      .join(events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("value")),
+        Seq("user_id"))
+      .filter(col("p_ts") >= col("signup_ts"))
+      .select(date_trunc("month", col("signup_ts")).cast(DateType).as("cohort"),
+        ((year(col("p_ts")) * 12 + month(col("p_ts"))) -
+          (year(col("signup_ts")) * 12 + month(col("signup_ts")))).cast(LongType)
+          .as("month_offset"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .groupBy(col("cohort"), col("month_offset"))
+      .agg(sum(col("cents")).as("cents"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("month_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.withColumn("cum_ltv_cents", sum(col("cents")).over(w))
+  }
+
+  /** Discount elasticity — does a deeper discount move quantity?
+    * Pearson correlation and OLS slope of (discount permille, quantity)
+    * over every lineitem, from EXACT integer moments (n, Σx, Σy, Σxy,
+    * Σx², Σy² — DECIMAL(38,0)), each output one fixed-shape double
+    * quantized to micros. Slope is quantity units per permille of
+    * discount. One map-side-combined aggregate; nothing else.
+    */
+  def discountElasticity(lineitem: DataFrame): DataFrame = {
+    val D = DecimalType(38, 0)
+    lineitem
+      .select(expr("cast(round(l_discount * 1000) as bigint)").as("x"),
+        expr("cast(l_quantity as bigint)").as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(D)).as("sx"), sum(col("y").cast(D)).as("sy"),
+        sum((col("x").cast(D) * col("y")).cast(D)).as("sxy"),
+        sum((col("x").cast(D) * col("x")).cast(D)).as("sxx"),
+        sum((col("y").cast(D) * col("y")).cast(D)).as("syy"))
+      .select(col("n"),
+        expr("""cast(round(
+          |  cast(n * sxy - sx * sy as double)
+          |  / sqrt(cast(n * sxx - sx * sx as double))
+          |  / sqrt(cast(n * syy - sy * sy as double)) * 1000000) as bigint)""".stripMargin)
+          .as("r_micros"),
+        expr("""cast(round(
+          |  cast(n * sxy - sx * sy as double)
+          |  / cast(n * sxx - sx * sx as double) * 1000000) as bigint)""".stripMargin)
+          .as("slope_micros"))
+  }
+
   /** Walk-forward forecast backtest — the model-selection read a
     * forecasting stack wants before trusting any predictor: replay the
     * daily-revenue series and score the two standard baselines

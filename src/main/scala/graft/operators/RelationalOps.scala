@@ -1031,6 +1031,45 @@ object RelationalOps {
       .select(col("day"), col("n_opened"), col("n_closed"), col("open_balance"))
   }
 
+  /** Demand-volatility shortlist — the safety-stock read per part: the
+    * coefficient of variation of WEEKLY shipped quantity, from exact
+    * integer moments over the (part, week) grid (n, Σq, Σq² — one
+    * fixed-shape double per part quantized to ppm), with a minimum
+    * active-weeks guard so one-week wonders don't top the list. High CV
+    * = lumpy demand = the parts whose reorder policy needs buffer; the
+    * k most volatile surface (TakeOrdered, (cv desc, partkey)
+    * tiebreak). Two partial-agg shuffles, both keyed by part.
+    */
+  def demandVolatility(lineitem: DataFrame, minWeeks: Int = 8, k: Int = 20): DataFrame =
+    lineitem
+      .groupBy(col("l_partkey").as("partkey"),
+        date_trunc("week", col("l_shipdate")).cast(DateType).as("week"))
+      .agg(sum(expr("cast(l_quantity as bigint)")).as("q"))
+      .groupBy(col("partkey"))
+      .agg(count(lit(1)).as("n_weeks"), sum(col("q")).as("sq"),
+        sum(col("q") * col("q")).as("sqq"))
+      .filter(col("n_weeks") >= minWeeks && col("sq") > 0)
+      .select(col("partkey"), col("n_weeks"), col("sq").as("total_qty"),
+        // cv = sqrt(n*Sqq - Sq^2) / Sq (population form, n cancels), ppm
+        expr("""cast(round(sqrt(cast(n_weeks * sqq - sq * sq as double))
+          | / cast(sq as double) * 1000000) as bigint)""".stripMargin)
+          .as("cv_ppm"))
+      .orderBy(col("cv_ppm").desc, col("partkey"))
+      .limit(k)
+
+  /** Supplier return-rate scorecard — per supplier: shipped lines,
+    * revenue, and the share of lines flagged RETURNED (ppm): the vendor
+    * quality read next to q21's "who blocked an order". One partial-agg
+    * shuffle on suppkey; pure integer cents/ppm.
+    */
+  def supplierReturns(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_suppkey").as("suppkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(expr("cast(round(l_extendedprice * 100) as bigint)")).as("revenue_cents"),
+        expr("""(sum(cast(l_returnflag = 'R' as bigint)) * 1000000
+          | + count(1) div 2) div count(1)""".stripMargin).as("return_ppm"))
+
   /** Revenue concentration (the 80/20 read) — the share of total spend
     * held by the top 20% of customers, the one-number pairing to
     * `gini_spend`'s full-curve summary. Customers rank by (spend desc,

@@ -666,6 +666,36 @@ class EventOpsSpec extends SparkSpec {
     assert(g2("click") == ((666667L, 333334L, 499999L, 499999L)), g2.toString)
   }
 
+  test("ltvCohortCurve: per-cohort cumulative cents by month offset; " +
+       "pre-signup purchases excluded") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    def ev(id: Long, t: String, u: Long, typ: String, v: Double) =
+      (id, ts(t), u, typ, v, "{}")
+    val e = Seq(
+      ev(1, "2024-01-05 00:00:00", 1, "signup", 0.0),
+      ev(2, "2024-01-20 00:00:00", 1, "purchase", 10.0),
+      ev(3, "2024-02-10 00:00:00", 1, "purchase", 5.0),
+      ev(4, "2024-01-01 00:00:00", 1, "purchase", 99.0)) // pre-signup: excluded
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.ltvCohortCurve(e).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      ("2024-01-01", 0L) -> ((1000L, 1000L)),
+      ("2024-01-01", 1L) -> ((500L, 1500L))), got.toString)
+  }
+
+  test("discountElasticity: a perfect linear relation reads r = 1e6 and " +
+       "the exact slope in quantity-per-permille micros") {
+    import spark.implicits._
+    val li = Seq((0.000, 1.0), (0.100, 2.0), (0.200, 3.0))
+      .toDF("l_discount", "l_quantity")
+    val r = EventOps.discountElasticity(li).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1000000L, r.toString)
+    assert(r.getLong(2) == 10000L, r.toString) // 1 unit per 100 permille
+  }
+
   test("forecastBacktest: naive scores the +1-day ramp at its slope, " +
        "seasonal-naive at the 7-day gap; heads excluded per predictor") {
     import spark.implicits._

@@ -452,6 +452,39 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got("2024-01-03") == ((0L, 1L, 1L)), got.toString) // o2 never closes
   }
 
+  test("demandVolatility: steady weekly demand reads CV 0, lumpy demand " +
+       "replays the exact moment formula; thin histories are guarded out") {
+    import java.sql.Date
+    // 8 Mondays; part 1 ships 10/wk (steady), part 2 alternates 2 and 18,
+    // part 3 ships only 2 weeks (guarded out at minWeeks = 8)
+    val mondays = (0 until 8).map(i => Date.valueOf(java.time.LocalDate
+      .parse("2024-01-01").plusWeeks(i).toString))
+    val li = (mondays.map(d => (1L, 10.0, d)) ++
+      mondays.zipWithIndex.map { case (d, i) =>
+        (2L, if (i % 2 == 0) 2.0 else 18.0, d) } ++
+      mondays.take(2).map(d => (3L, 5.0, d)))
+      .toDF("l_partkey", "l_quantity", "l_shipdate")
+    val got = RelationalOps.demandVolatility(li).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(!got.contains(3L), got.toString)
+    assert(got(1L) == ((8L, 80L, 0L)), got.toString)
+    // part 2: sq = 80, sqq = 4*4 + 4*324 = 1312; sqrt(8*1312 - 6400)/80
+    val exp = math.round(math.sqrt((8L * 1312L - 6400L).toDouble) / 80.0 * 1e6)
+    assert(got(2L) == ((8L, 80L, exp)), s"${got(2L)} vs $exp")
+  }
+
+  test("supplierReturns: return share in ppm and integer-cents revenue " +
+       "per supplier") {
+    val li = Seq(
+      (1L, 10.00, "R"), (1L, 20.00, "N"), (1L, 30.00, "A"),
+      (2L, 5.00, "R"))
+      .toDF("l_suppkey", "l_extendedprice", "l_returnflag")
+    val got = RelationalOps.supplierReturns(li).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((3L, 6000L, 333333L)), got.toString) // (1e6 + 1) div 3
+    assert(got(2L) == ((1L, 500L, 1000000L)), got.toString)
+  }
+
   test("concentration8020: top ceil(n/5) customers' spend share, exact " +
        "sharded rank, hand-checked on a 10-customer ramp") {
     import java.sql.Date
