@@ -697,6 +697,9 @@ object SparkEntry {
     // `dup_components` below stays fully inline as the A/B derivation
     // control (its cost − dedup_components_from-index cost = the price of
     // one derivation, measurable every round).
+    // max-normalized power iteration: the clique-influence read
+    "eigenvector_centrality" -> ((s, d) =>
+      GraphOps.eigenvectorCentrality(t(s, d, "documents"))),
     "doc_pagerank" -> ((s, d) =>
       GraphOps.docPagerankFromPairs(DedupOps.pairIndex(s, pairIndexFor(s, d)))),
     // synchronous LPA communities over the same near-dup graph: majority
@@ -1376,6 +1379,10 @@ object SparkEntry {
     "shapley_attribution" -> ((s, d) => EventOps.shapleyAttribution(t(s, d, "events"))),
     // walk-forward MAE/bias of the naive and seasonal-naive baselines
     "forecast_backtest" -> ((s, d) => EventOps.forecastBacktest(t(s, d, "events"))),
+    // two-proportion z-test on conversion by user-parity arm
+    "ab_conversion_ztest" -> ((s, d) => EventOps.abConversionZtest(t(s, d, "events"))),
+    // trailing 28-day Pearson between purchase revenue and view count
+    "rolling_corr" -> ((s, d) => EventOps.rollingCorr(t(s, d, "events"))),
     // event-sourced open-order backlog per day
     "open_orders_daily" -> ((s, d) =>
       RelationalOps.openOrdersDaily(t(s, d, "orders"), t(s, d, "lineitem"))),
@@ -2442,6 +2449,49 @@ object SparkEntry {
       |       ELSE CAST((greatest(removal_effect_ppm, 0) * 1000000 + re_tot // 2) // re_tot AS BIGINT)
       |  END AS attribution_ppm
       |FROM re CROSS JOIN rt""".stripMargin
+
+  /** Eigenvector-centrality replay: same symmetrized edge set as the
+    * pagerank oracle, 8 max-normalized integer rounds unrolled (each
+    * MATERIALIZED), bit-identical to the engine's fixed point.
+    */
+  private val eigenvectorCentralityOracle: String =
+    minhashPairsCtes + """,
+      |dedges AS (SELECT doc_a AS src, doc_b AS dst FROM mpairs
+      |           UNION SELECT doc_b, doc_a FROM mpairs),
+      |ex0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS x FROM dedges),
+      |er1 AS MATERIALIZED (SELECT e.dst AS node, CAST(SUM(r.x) AS BIGINT) AS xr
+      |   FROM dedges e JOIN ex0 r ON r.node = e.src GROUP BY 1),
+      |ex1 AS MATERIALIZED (SELECT node,
+      |   CAST((xr * 1000000) // (SELECT MAX(xr) FROM er1) AS BIGINT) AS x FROM er1),
+      |er2 AS MATERIALIZED (SELECT e.dst AS node, CAST(SUM(r.x) AS BIGINT) AS xr
+      |   FROM dedges e JOIN ex1 r ON r.node = e.src GROUP BY 1),
+      |ex2 AS MATERIALIZED (SELECT node,
+      |   CAST((xr * 1000000) // (SELECT MAX(xr) FROM er2) AS BIGINT) AS x FROM er2),
+      |er3 AS MATERIALIZED (SELECT e.dst AS node, CAST(SUM(r.x) AS BIGINT) AS xr
+      |   FROM dedges e JOIN ex2 r ON r.node = e.src GROUP BY 1),
+      |ex3 AS MATERIALIZED (SELECT node,
+      |   CAST((xr * 1000000) // (SELECT MAX(xr) FROM er3) AS BIGINT) AS x FROM er3),
+      |er4 AS MATERIALIZED (SELECT e.dst AS node, CAST(SUM(r.x) AS BIGINT) AS xr
+      |   FROM dedges e JOIN ex3 r ON r.node = e.src GROUP BY 1),
+      |ex4 AS MATERIALIZED (SELECT node,
+      |   CAST((xr * 1000000) // (SELECT MAX(xr) FROM er4) AS BIGINT) AS x FROM er4),
+      |er5 AS MATERIALIZED (SELECT e.dst AS node, CAST(SUM(r.x) AS BIGINT) AS xr
+      |   FROM dedges e JOIN ex4 r ON r.node = e.src GROUP BY 1),
+      |ex5 AS MATERIALIZED (SELECT node,
+      |   CAST((xr * 1000000) // (SELECT MAX(xr) FROM er5) AS BIGINT) AS x FROM er5),
+      |er6 AS MATERIALIZED (SELECT e.dst AS node, CAST(SUM(r.x) AS BIGINT) AS xr
+      |   FROM dedges e JOIN ex5 r ON r.node = e.src GROUP BY 1),
+      |ex6 AS MATERIALIZED (SELECT node,
+      |   CAST((xr * 1000000) // (SELECT MAX(xr) FROM er6) AS BIGINT) AS x FROM er6),
+      |er7 AS MATERIALIZED (SELECT e.dst AS node, CAST(SUM(r.x) AS BIGINT) AS xr
+      |   FROM dedges e JOIN ex6 r ON r.node = e.src GROUP BY 1),
+      |ex7 AS MATERIALIZED (SELECT node,
+      |   CAST((xr * 1000000) // (SELECT MAX(xr) FROM er7) AS BIGINT) AS x FROM er7),
+      |er8 AS MATERIALIZED (SELECT e.dst AS node, CAST(SUM(r.x) AS BIGINT) AS xr
+      |   FROM dedges e JOIN ex7 r ON r.node = e.src GROUP BY 1),
+      |ex8 AS MATERIALIZED (SELECT node,
+      |   CAST((xr * 1000000) // (SELECT MAX(xr) FROM er8) AS BIGINT) AS x FROM er8)
+      |SELECT node AS doc_id, x AS centrality_ppm FROM ex8""".stripMargin
 
   private val docPagerankOracle: String = {
     val iters = (1 to 8).map { i =>
@@ -3844,6 +3894,50 @@ object SparkEntry {
     "dup_components_star" -> dupComponentsOracle,
 
 
+"ab_conversion_ztest" ->
+      """WITH pu AS (SELECT user_id, MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |      FROM events GROUP BY 1),
+        |arms AS (SELECT user_id % 2 AS arm, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS c
+        |         FROM pu GROUP BY 1),
+        |a AS (SELECT n AS n_a, c AS c_a FROM arms WHERE arm = 0),
+        |b AS (SELECT n AS n_b, c AS c_b FROM arms WHERE arm = 1),
+        |z AS (SELECT n_a, c_a, n_b, c_b,
+        |  CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN NULL
+        |       ELSE CAST(round((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |         - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |       / sqrt(CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+        |         * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |         * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) * 1000000) AS BIGINT)
+        |  END AS z_micro
+        |  FROM a CROSS JOIN b)
+        |SELECT n_a, c_a, n_b, c_b,
+        |  CAST((c_a * 1000000 + n_a // 2) // n_a AS BIGINT) AS rate_a_ppm,
+        |  CAST((c_b * 1000000 + n_b // 2) // n_b AS BIGINT) AS rate_b_ppm,
+        |  z_micro,
+        |  CASE WHEN z_micro IS NULL THEN NULL ELSE abs(z_micro) > 1960000 END AS significant_95
+        |FROM z""".stripMargin,
+
+    "rolling_corr" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |      CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+        |      CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |      FROM e GROUP BY 1),
+        |m AS (SELECT day,
+        |      COUNT(*) OVER w AS n,
+        |      SUM(CAST(x AS HUGEINT)) OVER w AS sx, SUM(CAST(y AS HUGEINT)) OVER w AS sy,
+        |      SUM(CAST(x AS HUGEINT) * y) OVER w AS sxy,
+        |      SUM(CAST(x AS HUGEINT) * x) OVER w AS sxx,
+        |      SUM(CAST(y AS HUGEINT) * y) OVER w AS syy
+        |      FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN 27 PRECEDING AND CURRENT ROW))
+        |SELECT day,
+        |  CASE WHEN n < 14 OR n * sxx = sx * sx OR n * syy = sy * sy THEN NULL
+        |       ELSE CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |         / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) * 1000000) AS BIGINT)
+        |  END AS corr_micros
+        |FROM m""".stripMargin,
+
     "forecast_backtest" ->
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
         |d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
@@ -3972,6 +4066,7 @@ object SparkEntry {
         |    // [1, 1, 2, 6, 24, 120][(SELECT nch FROM n) + 1] AS BIGINT) AS phi_ppm
         |FROM terms GROUP BY 1""".stripMargin,
     "markov_attribution" -> markovAttributionOracle,
+    "eigenvector_centrality" -> eigenvectorCentralityOracle,
     "doc_pagerank" -> docPagerankOracle,
     "doc_communities" -> docCommunitiesOracle,
     "graph_triangles" -> graphTrianglesOracle,

@@ -463,6 +463,80 @@ object EventOps {
           .as("attribution_ppm"))
   }
 
+  /** Two-proportion z-test on conversion by experiment arm — the A/B
+    * readout: users split by a deterministic assignment (user_id
+    * parity here; any hash serves), conversion = ever purchased, and
+    * the pooled-variance z = (p_A − p_B)/√(p̂(1−p̂)(1/n_A + 1/n_B))
+    * computed as ONE fixed-shape double over the four exact counts,
+    * micros-quantized; significance flags at the two-sided 5% critical
+    * value (|z| > 1.96, pinned literal). Output: both arms' counts,
+    * rates in ppm, lift, z_micro, significant. One per-user reduction;
+    * everything else is a 2-row frame.
+    */
+  def abConversionZtest(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy(col("user_id"))
+      .agg(max(expr("cast(event_type = 'purchase' as int)")).as("conv"))
+      .select(pmod(col("user_id"), lit(2)).as("arm"), col("conv"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(expr("cast(conv as bigint)")).as("c"))
+    val a = arms.filter(col("arm") === 0).select(col("n").as("n_a"), col("c").as("c_a"))
+    val b = arms.filter(col("arm") === 1).select(col("n").as("n_b"), col("c").as("c_b"))
+    a.crossJoin(b)
+      .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        expr("(c_a * 1000000 + n_a div 2) div n_a").as("rate_a_ppm"),
+        expr("(c_b * 1000000 + n_b div 2) div n_b").as("rate_b_ppm"),
+        // pooled p of exactly 0 or 1 has zero variance: the test is
+        // undefined (both arms unanimous) -> NULL, not a division error
+        when(col("c_a") + col("c_b") === 0 ||
+          col("c_a") + col("c_b") === col("n_a") + col("n_b"),
+          lit(null).cast(LongType))
+          .otherwise(expr("""cast(round(
+            |  (cast(c_a as double) / cast(n_a as double)
+            |   - cast(c_b as double) / cast(n_b as double))
+            |  / sqrt(cast(c_a + c_b as double) / cast(n_a + n_b as double)
+            |         * (1.0d - cast(c_a + c_b as double) / cast(n_a + n_b as double))
+            |         * (1.0d / cast(n_a as double) + 1.0d / cast(n_b as double)))
+            |  * 1000000) as bigint)""".stripMargin)).as("z_micro"))
+      .withColumn("significant_95",
+        when(col("z_micro").isNull, lit(null)).otherwise(abs(col("z_micro")) > 1960000L))
+  }
+
+  /** Rolling 28-day Pearson correlation between the daily PURCHASE
+    * revenue and the daily VIEW count — the leading-indicator read ("do
+    * views predict spend this month"): windowed exact integer moments
+    * (Σx, Σy, Σxy, Σx², Σy² over the trailing frame), one fixed-shape
+    * double per day quantized to micros. The series is the day grid —
+    * time-dimension scale, constant-key window idiom; days with a
+    * degenerate window (zero variance, fewer than `minDays` points)
+    * read NULL. The corpus-scale work is the one (day) aggregate.
+    */
+  def rollingCorr(events: DataFrame, window: Int = 28, minDays: Int = 14): DataFrame = {
+    val daily = events
+      .groupBy(date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .agg(sum(expr("cast(if(event_type = 'purchase', round(value * 100), 0) as bigint)"))
+        .as("x"),
+        sum(expr("cast(event_type = 'view' as bigint)")).as("y"))
+    val w = Window.partitionBy(pmod(col("x"), lit(1))).orderBy(col("day"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val D = DecimalType(38, 0)
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x").cast(D)).over(w))
+      .withColumn("sy", sum(col("y").cast(D)).over(w))
+      .withColumn("sxy", sum((col("x").cast(D) * col("y")).cast(D)).over(w))
+      .withColumn("sxx", sum((col("x").cast(D) * col("x")).cast(D)).over(w))
+      .withColumn("syy", sum((col("y").cast(D) * col("y")).cast(D)).over(w))
+      .select(col("day"),
+        when(col("n") < minDays ||
+          col("n") * col("sxx") === col("sx") * col("sx") ||
+          col("n") * col("syy") === col("sy") * col("sy"), lit(null).cast(LongType))
+          .otherwise(expr("""cast(round(
+            |  cast(n * sxy - sx * sy as double)
+            |  / sqrt(cast(n * sxx - sx * sx as double))
+            |  / sqrt(cast(n * syy - sy * sy as double)) * 1000000) as bigint)""".stripMargin))
+          .as("corr_micros"))
+  }
+
   /** Cohort LTV curve — cumulative purchase value per signup cohort by
     * month offset: the revenue-weighted sequel to [[cohortRetention]]'s
     * headcount curve (retention says who came back; LTV says what they

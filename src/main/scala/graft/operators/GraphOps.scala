@@ -68,6 +68,41 @@ object GraphOps {
       .select(col("node").as("doc_id"), col("rank_micros"))
   }
 
+  /** Eigenvector centrality over the near-dup graph — power iteration
+    * with MAX-normalization, the influence read PageRank's damped
+    * random walk deliberately smooths away: a node is central in
+    * proportion to how central its neighbors are, so the tight template
+    * CLIQUES light up far above the chain/star shapes that PageRank's
+    * degree split rewards. Integer fixed point: x starts at 10⁶,
+    * x' = Σ_neighbors x, then renormalize x'·10⁶ div max(x') each
+    * round — every round is a co-partitioned join + partial-agg shuffle
+    * + a broadcast 1-row max, and `rounds` fixed iterations replay
+    * bit-for-bit in the oracle (same discipline as [[pagerankMicros]]).
+    * localCheckpoint per round: the frame feeds both the join and the
+    * max aggregate (multi-reference loop rule).
+    */
+  def eigenvectorCentrality(documents: DataFrame, rounds: Int = 8): DataFrame =
+    eigenvectorCentralityFromPairs(DedupOps.minhashCandidatePairs(documents), rounds)
+
+  def eigenvectorCentralityFromPairs(pairs: DataFrame, rounds: Int = 8): DataFrame = {
+    require(rounds >= 1 && rounds <= 40, s"rounds out of range: $rounds")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var x = edges.select(col("src").as("node")).distinct()
+      .withColumn("x", lit(1000000L)).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val raw = edges.join(x.select(col("node").as("src"), col("x")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("x")).as("xr"))
+        .localCheckpoint()
+      val mx = raw.agg(max(col("xr")).as("mx"))
+      x = raw.crossJoin(broadcast(mx))
+        .select(col("node"), expr("(xr * 1000000) div mx").as("x"))
+        .localCheckpoint()
+    }
+    x.select(col("node").as("doc_id"), col("x").as("centrality_ppm"))
+  }
+
   /** Per-node triangle counts + local clustering coefficient over an
     * undirected (doc_a < doc_b) pair frame. Dup clusters in the near-dup
     * graph are near-cliques, so a high coefficient marks "every variant

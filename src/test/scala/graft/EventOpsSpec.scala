@@ -666,6 +666,52 @@ class EventOpsSpec extends SparkSpec {
     assert(g2("click") == ((666667L, 333334L, 499999L, 499999L)), g2.toString)
   }
 
+  test("abConversionZtest: hand-computed pooled z; unanimous arms read " +
+       "NULL instead of a division error") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    def ev(id: Long, u: Long, typ: String) =
+      (id, ts("2024-01-01 00:00:00"), u, typ, 1.0, "{}")
+    // arm0 = even users (all 4 convert), arm1 = odd (2 of 4 convert)
+    val e = ((1L to 8L).map(u => ev(u, u, "view")) ++
+      Seq(2L, 4L, 6L, 8L, 1L, 3L).zipWithIndex.map { case (u, i) =>
+        ev(100L + i, u, "purchase") })
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.abConversionZtest(e).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 4L, 4L, 2L)), r.toString)
+    assert(r.getLong(4) == 1000000L && r.getLong(5) == 500000L, r.toString)
+    val p = 6.0 / 8.0
+    val expZ = math.round(0.5 / math.sqrt(p * (1 - p) * 0.5) * 1e6)
+    assert(r.getLong(6) == expZ, s"${r.getLong(6)} vs $expZ")
+    assert(!r.getBoolean(7), r.toString) // 1.63 sigma: not significant
+    // everyone converts -> zero pooled variance -> NULL, no crash
+    val all = ((1L to 4L).map(u => ev(u, u, "view")) ++
+      (1L to 4L).map(u => ev(10L + u, u, "purchase")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val ra = EventOps.abConversionZtest(all).head()
+    assert(ra.isNullAt(6) && ra.isNullAt(7), ra.toString)
+  }
+
+  test("rollingCorr: a perfectly coupled revenue/view series reads 1e6 " +
+       "once the window fills; thin windows read NULL") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // day i: one purchase of value i (x = 100*i cents) and i views (y = i)
+    val e = (1 to 20).flatMap { i =>
+      val day = f"2024-01-$i%02d"
+      (1L to i.toLong).map(v =>
+        (i * 100L + v, ts(s"$day 01:00:00"), v, "view", 1.0, "{}")) :+
+        ((i * 10000L, ts(s"$day 00:00:00"), 99L, "purchase", i * 1.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.rollingCorr(e).collect()
+      .map(r => r.getDate(0).toString ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got("2024-01-13") == None, got.toString)
+    assert(got("2024-01-14") == Some(1000000L), got.toString)
+    assert(got("2024-01-20") == Some(1000000L), got.toString)
+  }
+
   test("ltvCohortCurve: per-cohort cumulative cents by month offset; " +
        "pre-signup purchases excluded") {
     import spark.implicits._

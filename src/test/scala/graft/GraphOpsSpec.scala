@@ -183,4 +183,17 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.adamicAdar(star, maxDeg = 50).count() == 0,
       "a 60-degree hub must be capped out of wedge generation")
   }
+
+  test("eigenvectorCentralityFromPairs: the clique outranks its pendant, " +
+       "the max-normalized score tops out at exactly 1e6") {
+    import spark.implicits._
+    // triangle 1-2-3 (non-bipartite: the iteration converges) + pendant 4
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val got = GraphOps.eigenvectorCentralityFromPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 4 && got.values.max == 1000000L, got.toString)
+    assert(got(3L) == 1000000L, s"the bridge node is the most central: $got")
+    assert(got(4L) < got(1L) && got(1L) < got(3L), got.toString)
+    assert(got.values.forall(v => v > 0L && v <= 1000000L), got.toString)
+  }
 }
