@@ -422,4 +422,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!ip.contains("No Partition Defined"),
       s"interp_fill_daily windows must partition by key:\n$ip")
   }
+
+  test("r11 late tier: analytics/attribution/supply ops never cross-join " +
+       "a fact table; LTV window partitions by cohort") {
+    for (q <- Seq("shapley_attribution", "forecast_backtest",
+                  "open_orders_daily", "concentration_8020",
+                  "ltv_cohort_curve", "discount_elasticity",
+                  "demand_volatility", "supplier_returns",
+                  "events_debounce", "monthly_churn", "debounce_typed",
+                  "embedding_centroid_drift", "negative_sampling_table",
+                  "vwap_monthly", "ab_conversion_ztest", "rolling_corr",
+                  "eigenvector_centrality"))
+      assert(!plan(q).contains("CartesianProduct"), s"$q plans a cartesian")
+    val ltv = plan("ltv_cohort_curve")
+    assert(!ltv.contains("No Partition Defined"),
+      s"ltv cumulative must partition by cohort:\n$ltv")
+    // single-aggregate ops stay join-free and map-side combined
+    for (q <- Seq("supplier_returns", "vwap_monthly")) {
+      val p = plan(q)
+      assert(!"SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).hasNext,
+        s"$q must not join:\n$p")
+      assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2,
+        s"$q aggregate partial+final:\n$p")
+    }
+  }
 }
