@@ -634,6 +634,8 @@ object SparkEntry {
     "quality_classifier" -> ((s, d) => TextOps.qualityClassifier(t(s, d, "documents"))),
     // four-fifths-rule keep-rate parity of clf_keep across sources
     "clf_keep_parity" -> ((s, d) => TextOps.clfKeepParity(t(s, d, "documents"))),
+    // Wilson 95% interval on the same per-source keep rates
+    "keep_rate_wilson" -> ((s, d) => TextOps.keepRateWilson(t(s, d, "documents"))),
     // the whole training-corpus pipeline (exact dedup → near-dup collapse
     // → quality floor → chunking) verified as one composed query
     "corpus_pipeline" -> ((s, d) => Pipelines.runCorpusPipeline(t(s, d, "documents"))),
@@ -646,6 +648,8 @@ object SparkEntry {
         round((count(lit(1)) - countDistinct(md5(col("text")))).cast(DoubleType)
           / count(lit(1)), 6).as("dup_rate"))),
     "minhash_signatures" -> ((s, d) => DedupOps.minhashSignatures(t(s, d, "documents"))),
+    // (bands, rows) design sheet for the 128-hash signature
+    "lsh_band_planner" -> ((s, d) => DedupOps.lshBandPlanner(s)),
     "minhash_lsh_pairs" -> ((s, d) => DedupOps.minhashCandidatePairs(t(s, d, "documents"))),
     // estimator accuracy: signature-agreement vs exact shingle Jaccard
     // per candidate pair (the ann_recall analog for the dedup tier);
@@ -1381,6 +1385,11 @@ object SparkEntry {
     "forecast_backtest" -> ((s, d) => EventOps.forecastBacktest(t(s, d, "events"))),
     // two-proportion z-test on conversion by user-parity arm
     "ab_conversion_ztest" -> ((s, d) => EventOps.abConversionZtest(t(s, d, "events"))),
+    // D1/D7/D14/D28 retention with right-censoring eligibility
+    "dayn_retention" -> ((s, d) => EventOps.dayNRetention(t(s, d, "events"))),
+    // exact p50/p90/p99 session durations via the sharded global rank
+    "session_duration_profile" -> ((s, d) =>
+      EventOps.sessionDurationProfile(t(s, d, "events"))),
     // trailing 28-day Pearson between purchase revenue and view count
     "rolling_corr" -> ((s, d) => EventOps.rollingCorr(t(s, d, "events"))),
     // event-sourced open-order backlog per day
@@ -3894,7 +3903,89 @@ object SparkEntry {
     "dup_components_star" -> dupComponentsOracle,
 
 
-"ab_conversion_ztest" ->
+    "dayn_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |d0 AS (SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS t0 FROM e GROUP BY 1),
+        |h AS (SELECT MAX(CAST(date_trunc('day', ts) AS DATE)) AS h FROM e),
+        |offs AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM e),
+        |o2 AS (SELECT o.user_id, datediff('day', d0.t0, o.day) AS off
+        |       FROM offs o JOIN d0 USING (user_id)),
+        |panel AS (SELECT d0.user_id, n_day FROM d0 CROSS JOIN h
+        |          CROSS JOIN (SELECT unnest([1, 7, 14, 28]) AS n_day) nd
+        |          WHERE CAST(d0.t0 + CAST(n_day AS INTEGER) * INTERVAL 1 DAY AS DATE) <= h.h)
+        |SELECT n_day, COUNT(*) AS n_eligible,
+        |  CAST(SUM(CASE WHEN x.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |  CAST((SUM(CASE WHEN x.user_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+        |    + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS retention_ppm
+        |FROM panel LEFT JOIN o2 x ON x.user_id = panel.user_id AND x.off = panel.n_day
+        |GROUP BY 1""".stripMargin,
+
+    "session_duration_profile" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s AS (SELECT user_id, event_id, ts,
+        |      CASE WHEN lag(ts) OVER w IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT)
+        |              - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |           THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s2 AS (SELECT user_id, ts,
+        |       SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM s),
+        |ses AS (SELECT user_id, sid,
+        |        CAST(floor(epoch(MAX(ts))) AS BIGINT)
+        |          - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS dur_s,
+        |        MIN(ts) AS start FROM s2 GROUP BY 1, 2),
+        |r AS (SELECT dur_s, row_number() OVER (ORDER BY dur_s, user_id, start) AS rk FROM ses),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ses)
+        |SELECT n AS n_sessions,
+        |  MAX(CASE WHEN rk = (n + 1) // 2 THEN dur_s END) AS p50_s,
+        |  MAX(CASE WHEN rk = (9 * n + 9) // 10 THEN dur_s END) AS p90_s,
+        |  MAX(CASE WHEN rk = (99 * n + 99) // 100 THEN dur_s END) AS p99_s
+        |FROM r CROSS JOIN n GROUP BY n""".stripMargin,
+
+    "keep_rate_wilson" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+        |wt AS (SELECT doc_id,
+        |  (CAST(concat('0x', substr(md5(CAST(
+        |     CAST(concat('0x', substr(md5(tk), 1, 8)) AS BIGINT) % 1024
+        |   AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000 AS w
+        |  FROM tok),
+        |s AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS s FROM wt GROUP BY doc_id),
+        |clf AS (SELECT t.doc_id, coalesce(s.s, 0) > 0 AS clf_keep
+        |        FROM t LEFT JOIN s USING (doc_id)),
+        |k AS (SELECT d.source, COUNT(*) AS n_docs,
+        |      CAST(SUM(CASE WHEN clf_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+        |      FROM clf JOIN documents d USING (doc_id) GROUP BY 1)
+        |SELECT source, n_docs, n_keep,
+        |  CAST(round(
+        |    (CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |     + 1.959964 * 1.959964 / (2.0 * CAST(n_docs AS DOUBLE))
+        |     - 1.959964 * sqrt(CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |         * (1.0 - CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |         / CAST(n_docs AS DOUBLE)
+        |       + 1.959964 * 1.959964 / (4.0 * CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))))
+        |    / (1.0 + 1.959964 * 1.959964 / CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS wilson_lo_ppm,
+        |  CAST(round(
+        |    (CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |     + 1.959964 * 1.959964 / (2.0 * CAST(n_docs AS DOUBLE))
+        |     + 1.959964 * sqrt(CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |         * (1.0 - CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |         / CAST(n_docs AS DOUBLE)
+        |       + 1.959964 * 1.959964 / (4.0 * CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))))
+        |    / (1.0 + 1.959964 * 1.959964 / CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS wilson_hi_ppm
+        |FROM k""".stripMargin,
+
+    "lsh_band_planner" ->
+      """WITH s AS (SELECT b, 128 // b AS r FROM (SELECT unnest([2, 4, 8, 16, 32, 64]) AS b))
+        |SELECT b, r,
+        |  CAST(round(exp(ln(1.0 / CAST(b AS DOUBLE)) / CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS threshold_micro,
+        |  CAST(round((1.0 - exp(CAST(b AS DOUBLE) * ln(1.0 - exp(CAST(r AS DOUBLE) * ln(0.5))))) * 1000000) AS BIGINT) AS p_detect_50_micro,
+        |  CAST(round((1.0 - exp(CAST(b AS DOUBLE) * ln(1.0 - exp(CAST(r AS DOUBLE) * ln(0.7))))) * 1000000) AS BIGINT) AS p_detect_70_micro,
+        |  CAST(round((1.0 - exp(CAST(b AS DOUBLE) * ln(1.0 - exp(CAST(r AS DOUBLE) * ln(0.9))))) * 1000000) AS BIGINT) AS p_detect_90_micro
+        |FROM s""".stripMargin,
+
+    "ab_conversion_ztest" ->
       """WITH pu AS (SELECT user_id, MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
         |      FROM events GROUP BY 1),
         |arms AS (SELECT user_id % 2 AS arm, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS c

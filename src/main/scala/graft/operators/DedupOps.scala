@@ -1172,6 +1172,34 @@ object DedupOps {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** LSH band-planning table — the (bands, rows) design sheet for a
+    * 128-minhash signature: for each divisor split b·r = 128, the
+    * S-curve threshold s* ≈ (1/b)^(1/r) and the detection probability
+    * P(s) = 1 − (1 − s^r)^b at s ∈ {0.5, 0.7, 0.9} — the numbers that
+    * decide a banding scheme BEFORE paying a corpus pass (pick the row
+    * whose threshold brackets the dedup similarity floor and whose
+    * P(0.9) ≈ 1, P(0.5) ≈ 0). Every cell is a fixed chain of exp/ln
+    * over LITERALS (pow avoided — the repo's portable-libm spelling),
+    * quantized to micros; the frame is 6 rows of constants, generated
+    * distributed-sense-free on purpose. Pure planning metadata — the
+    * measured counterpart is `lsh_recall_audit`.
+    */
+  def lshBandPlanner(spark: org.apache.spark.sql.SparkSession,
+                     signature: Int = 128): DataFrame = {
+    import spark.implicits._
+    val splits = (1 to signature).filter(signature % _ == 0)
+      .map(b => (b, signature / b)).filter { case (b, r) => b > 1 && r > 1 }
+    def p(s: String) =
+      s"cast(round((1.0d - exp(cast(b as double) * ln(1.0d - exp(cast(r as double) * ln($s))))) * 1000000) as bigint)"
+    splits.toDF("b", "r")
+      .select(col("b"), col("r"),
+        expr("cast(round(exp(ln(1.0d / cast(b as double)) / cast(r as double)) * 1000000) as bigint)")
+          .as("threshold_micro"),
+        expr(p("0.5d")).as("p_detect_50_micro"),
+        expr(p("0.7d")).as("p_detect_70_micro"),
+        expr(p("0.9d")).as("p_detect_90_micro"))
+  }
+
   /** Span-level exact substring dedup — the suffix-array dedup of Lee et
     * al. 2022 ("Deduplicating Training Data Makes Language Models Better")
     * re-expressed relationally: every OVERLAPPING k-token window is

@@ -463,6 +463,76 @@ object EventOps {
           .as("attribution_ppm"))
   }
 
+  /** Day-N retention — the product-health pulse at daily grain (the
+    * classic D1/D7/D14/D28 panel next to [[monthlyChurn]]'s month
+    * pulse): for each N, the share of users active ON day t₀+N among
+    * users whose day-N was OBSERVABLE (t₀ + N ≤ horizon — the same
+    * right-censoring guard as [[kmConversion]]; without it late
+    * signups deflate D28 mechanically). Exact distinct (user, offset)
+    * sets; N rides an exploded literal array so all four panels come
+    * from ONE pass over the offsets frame. Integer ppm.
+    */
+  def dayNRetention(events: DataFrame, days: Seq[Int] = Seq(1, 7, 14, 28)): DataFrame = {
+    require(days.nonEmpty && days.forall(_ >= 1), s"bad days: $days")
+    val d0 = events.groupBy(col("user_id"))
+      .agg(min(date_trunc("day", col("ts")).cast(DateType)).as("t0"))
+    val horizon = events.agg(max(date_trunc("day", col("ts")).cast(DateType)).as("h"))
+    val offsets = events
+      .select(col("user_id"), date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .distinct()
+      .join(d0, Seq("user_id"))
+      .select(col("user_id"), datediff(col("day"), col("t0")).cast(LongType).as("off"))
+    val panel = d0.crossJoin(broadcast(horizon))
+      .select(col("user_id"), col("t0"), col("h"),
+        explode(lit(days.toArray)).as("n_day"))
+      .filter(date_add(col("t0"), col("n_day")) <= col("h"))
+    panel
+      .join(offsets.withColumnRenamed("off", "n_day_hit")
+        .select(col("user_id"), col("n_day_hit").cast(IntegerType).as("n_day"),
+          lit(1).as("hit")),
+        Seq("user_id", "n_day"), "left")
+      .groupBy(col("n_day"))
+      .agg(count(lit(1)).as("n_eligible"),
+        sum(expr("cast(coalesce(hit, 0) as bigint)")).as("n_retained"))
+      .select(col("n_day"), col("n_eligible"), col("n_retained"),
+        expr("(n_retained * 1000000 + n_eligible div 2) div n_eligible")
+          .as("retention_ppm"))
+  }
+
+  /** Session-duration profile — exact p50/p90/p99 of gap-sessionized
+    * session lengths (30-minute gap, the [[graft.streaming.Sessionize]]
+    * definition): the latency-SLO read for engagement. Durations come
+    * from the same user-keyed islands window as `events_sessions`;
+    * the exact type-1 quantiles use [[ShardedOrder]]'s global rank —
+    * the session count is fact-scale, so no single-reducer sort — with
+    * rank thresholds ⌈q·n⌉ and (duration, user, start) as the total
+    * order. One sequence-op shuffle + the sharded rank.
+    */
+  def sessionDurationProfile(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = events
+      .withColumn("is_new",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+            > gapSeconds, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("is_new")).over(run))
+      .groupBy(col("user_id"), col("sid"))
+      .agg((unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+        .as("dur_s"), min(col("ts")).as("start"))
+    val ranked = ShardedOrder.withGlobalRank(sessions, "rk", 32,
+      col("dur_s"), col("user_id"), col("start"))
+    val n = ranked.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(n))
+      .groupBy(col("n"))
+      .agg(
+        max(when(col("rk") === expr("(n + 1) div 2"), col("dur_s"))).as("p50_s"),
+        max(when(col("rk") === expr("(9 * n + 9) div 10"), col("dur_s"))).as("p90_s"),
+        max(when(col("rk") === expr("(99 * n + 99) div 100"), col("dur_s"))).as("p99_s"))
+      .select(col("n").as("n_sessions"), col("p50_s"), col("p90_s"), col("p99_s"))
+  }
+
   /** Two-proportion z-test on conversion by experiment arm — the A/B
     * readout: users split by a deterministic assignment (user_id
     * parity here; any hash serves), conversion = ever purchased, and

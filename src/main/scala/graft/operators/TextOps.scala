@@ -1644,6 +1644,34 @@ object TextOps {
           .cast(LongType).as("auc_ppm"))
   }
 
+  /** Wilson score interval on per-source keep rates — the small-sample
+    * honesty upgrade for [[clfKeepParity]]: a source with 5 docs and a
+    * 40% keep rate is NOT evidence of skew, and the Wilson bounds say
+    * so where the raw ppm can't. lo/hi = (p + z²/2n ∓ z·√(p(1−p)/n +
+    * z²/4n²)) / (1 + z²/n) with z = 1.96 pinned; each bound is ONE
+    * fixed-shape double over the exact (keeps, n) counts, quantized to
+    * ppm. Same one-pass scoring + 20-row rollup as the parity audit.
+    */
+  def keepRateWilson(documents: DataFrame): DataFrame = {
+    val z = "1.959964d"
+    val kept = qualityClassifier(documents)
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("cast(clf_keep as bigint)")).as("n_keep"))
+    def bound(sign: String) = expr(
+      s"""cast(round(
+         |  (cast(n_keep as double) / cast(n_docs as double)
+         |   + $z * $z / (2.0d * cast(n_docs as double))
+         |   $sign $z * sqrt(cast(n_keep as double) / cast(n_docs as double)
+         |       * (1.0d - cast(n_keep as double) / cast(n_docs as double))
+         |       / cast(n_docs as double)
+         |     + $z * $z / (4.0d * cast(n_docs as double) * cast(n_docs as double))))
+         |  / (1.0d + $z * $z / cast(n_docs as double)) * 1000000) as bigint)""".stripMargin)
+    kept.select(col("source"), col("n_docs"), col("n_keep"),
+      bound("-").as("wilson_lo_ppm"), bound("+").as("wilson_hi_ppm"))
+  }
+
   /** Corpus bigram entropy rate — the compressibility one-number next to
     * [[knBigrams]]' smoothed table: H = −Σ_{w1,w2} p(w1,w2)·ln p(w2|w1)
     * in micro-nats per token transition. Low H means formulaic text

@@ -1505,6 +1505,42 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(TextOps.classifierAuc(one).head().isNullAt(3))
   }
 
+  test("keepRateWilson: bounds bracket the point rate, live in [0, 1e6], " +
+       "and replay the closed form") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy old dog " * 4
+    val docs = (1L to 10L).map(i =>
+      (i, (if (i % 2 == 0) good else "zz qq ww") + s" t$i", s"s${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    val rows = TextOps.keepRateWilson(docs).collect()
+    assert(rows.length == 2)
+    val z = 1.959964
+    rows.foreach { r =>
+      val (n, k, lo, hi) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val p = k.toDouble / n
+      assert(lo >= 0L && hi <= 1000000L && lo <= hi, r.toString)
+      assert(lo <= math.round(p * 1e6) && math.round(p * 1e6) <= hi, r.toString)
+      val den = 1.0 + z * z / n
+      val ctr = p + z * z / (2.0 * n)
+      val half = z * math.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+      assert(lo == math.round((ctr - half) / den * 1e6), r.toString)
+      assert(hi == math.round((ctr + half) / den * 1e6), r.toString)
+    }
+  }
+
+  test("lshBandPlanner: 6 divisor rows, thresholds fall as bands grow, " +
+       "and the (16, 8) row replays the closed form") {
+    val got = DedupOps.lshBandPlanner(spark).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(5)))).toMap
+    assert(got.size == 6, got.toString)
+    val thr = got.toSeq.sortBy(_._1._1).map(_._2._1)
+    assert(thr == thr.sorted.reverse, s"threshold must fall with b: $thr")
+    val (t16, p50, p90) = got((16, 8))
+    assert(t16 == math.round(math.exp(math.log(1.0 / 16) / 8) * 1e6), t16.toString)
+    assert(p90 > 999000L && p50 < 70000L, s"S-curve shape: p50=$p50 p90=$p90")
+  }
+
   test("negativeSamplingTable: weights follow c^0.75, the cumulative is " +
        "the (weight desc, token) prefix sum, shares conserve") {
     import spark.implicits._

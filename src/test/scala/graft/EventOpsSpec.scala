@@ -666,6 +666,42 @@ class EventOpsSpec extends SparkSpec {
     assert(g2("click") == ((666667L, 333334L, 499999L, 499999L)), g2.toString)
   }
 
+  test("dayNRetention: day-N hits count exactly; users whose day-N falls " +
+       "past the horizon are not eligible") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    def ev(id: Long, t: String, u: Long) = (id, ts(t), u, "view", 1.0, "{}")
+    val e = Seq(
+      ev(1, "2024-01-01 00:00:00", 1), ev(2, "2024-01-02 00:00:00", 1),
+      ev(3, "2024-01-08 00:00:00", 1),  // u1: active at offsets 0, 1, 7
+      ev(4, "2024-01-01 00:00:00", 2),  // u2: day 0 only
+      ev(5, "2024-01-29 00:00:00", 3))  // u3: t0 = horizon -> never eligible
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.dayNRetention(e).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1) == ((2L, 1L, 500000L)), got.toString)
+    assert(got(7) == ((2L, 1L, 500000L)), got.toString)
+    assert(got(14) == ((2L, 0L, 0L)), got.toString)
+    assert(got(28) == ((2L, 0L, 0L)), got.toString)
+  }
+
+  test("sessionDurationProfile: exact type-1 quantiles over hand-built " +
+       "session durations") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // 10 sessions for one user, 2h apart, durations 10s..100s
+    val e = (1 to 10).flatMap { k =>
+      val st = base + k * 7200000L
+      Seq((k * 10L, new java.sql.Timestamp(st), 1L, "view", 1.0, "{}"),
+        (k * 10L + 1, new java.sql.Timestamp(st + k * 10000L), 1L, "view", 1.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.sessionDurationProfile(e).head()
+    assert(r.getLong(0) == 10L, r.toString)
+    assert(r.getLong(1) == 50L, r.toString)  // rank (10+1) div 2 = 5
+    assert(r.getLong(2) == 90L, r.toString)  // rank (90+9) div 10 = 9
+    assert(r.getLong(3) == 100L, r.toString) // rank (990+99) div 100 = 10
+  }
+
   test("abConversionZtest: hand-computed pooled z; unanimous arms read " +
        "NULL instead of a division error") {
     import spark.implicits._
