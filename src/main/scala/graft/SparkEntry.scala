@@ -636,6 +636,8 @@ object SparkEntry {
     "clf_keep_parity" -> ((s, d) => TextOps.clfKeepParity(t(s, d, "documents"))),
     // Wilson 95% interval on the same per-source keep rates
     "keep_rate_wilson" -> ((s, d) => TextOps.keepRateWilson(t(s, d, "documents"))),
+    // type-token ratio + hapax share per source
+    "ttr_by_source" -> ((s, d) => TextOps.ttrBySource(t(s, d, "documents"))),
     // the whole training-corpus pipeline (exact dedup → near-dup collapse
     // → quality floor → chunking) verified as one composed query
     "corpus_pipeline" -> ((s, d) => Pipelines.runCorpusPipeline(t(s, d, "documents"))),
@@ -1387,6 +1389,8 @@ object SparkEntry {
     "ab_conversion_ztest" -> ((s, d) => EventOps.abConversionZtest(t(s, d, "events"))),
     // D1/D7/D14/D28 retention with right-censoring eligibility
     "dayn_retention" -> ((s, d) => EventOps.dayNRetention(t(s, d, "events"))),
+    // growth accounting: new vs returning purchase revenue per month
+    "new_vs_returning" -> ((s, d) => EventOps.newVsReturning(t(s, d, "events"))),
     // exact p50/p90/p99 session durations via the sharded global rank
     "session_duration_profile" -> ((s, d) =>
       EventOps.sessionDurationProfile(t(s, d, "events"))),
@@ -1404,6 +1408,15 @@ object SparkEntry {
     // per-supplier return-rate scorecard
     "supplier_returns" -> ((s, d) =>
       RelationalOps.supplierReturns(t(s, d, "lineitem"))),
+    // gross -> discount -> tax -> net margin bridge per ship month
+    "pricing_waterfall" -> ((s, d) =>
+      RelationalOps.pricingWaterfall(t(s, d, "lineitem"))),
+    // Laspeyres matched-basket price index vs the base month
+    "price_index_monthly" -> ((s, d) =>
+      RelationalOps.priceIndexMonthly(t(s, d, "lineitem"))),
+    // exact p50/p90/p99 order->last-ship lag via the sharded rank
+    "fulfillment_lag_profile" -> ((s, d) =>
+      RelationalOps.fulfillmentLagProfile(t(s, d, "orders"), t(s, d, "lineitem"))),
     // cumulative purchase value per signup cohort by month offset
     "ltv_cohort_curve" -> ((s, d) => EventOps.ltvCohortCurve(t(s, d, "events"))),
     // Pearson r + OLS slope of (discount permille, quantity)
@@ -3902,6 +3915,74 @@ object SparkEntry {
     // against the full SQL derivation
     "dup_components_star" -> dupComponentsOracle,
 
+
+    "new_vs_returning" ->
+      """WITH p AS (SELECT user_id, CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE) AS m,
+        |      CAST(round(value * 100) AS BIGINT) AS cents
+        |      FROM events WHERE event_type = 'purchase'),
+        |f AS (SELECT user_id, MIN(m) AS m0 FROM p GROUP BY 1)
+        |SELECT p.m AS month,
+        |  CAST(SUM(CASE WHEN p.m = f.m0 THEN cents ELSE 0 END) AS BIGINT) AS new_cents,
+        |  CAST(SUM(CASE WHEN p.m <> f.m0 THEN cents ELSE 0 END) AS BIGINT) AS returning_cents,
+        |  CAST((SUM(CASE WHEN p.m = f.m0 THEN cents ELSE 0 END) * 1000000
+        |    + SUM(cents) // 2) // SUM(cents) AS BIGINT) AS new_share_ppm
+        |FROM p JOIN f USING (user_id)
+        |GROUP BY 1""".stripMargin,
+
+    "pricing_waterfall" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS gross_cents,
+        |  CAST(SUM(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS discount_cents,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * l_tax * 100) AS BIGINT)) AS BIGINT) AS tax_cents,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    - SUM(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+        |    + SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * l_tax * 100) AS BIGINT)) AS BIGINT) AS net_cents
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "price_index_monthly" ->
+      """WITH pm AS (SELECT l_partkey AS partkey,
+        |      CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+        |      CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS ext_cents,
+        |      CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |      FROM lineitem GROUP BY 1, 2),
+        |pm2 AS (SELECT partkey, month, (ext_cents * 100 + qty // 2) // qty AS up_cc
+        |        FROM pm WHERE qty > 0),
+        |m0 AS (SELECT MIN(month) AS m0 FROM pm2),
+        |base AS (SELECT partkey, up_cc AS up0, qty AS q0
+        |         FROM pm2 JOIN pm USING (partkey, month) CROSS JOIN m0
+        |         WHERE month = m0)
+        |SELECT pm2.month, COUNT(*) AS n_parts,
+        |  CAST((CAST(SUM(CAST(up_cc AS HUGEINT) * q0) AS HUGEINT) * 1000000
+        |    + SUM(CAST(up0 AS HUGEINT) * q0) // 2)
+        |    // SUM(CAST(up0 AS HUGEINT) * q0) AS BIGINT) AS index_ppm
+        |FROM pm2 JOIN base USING (partkey)
+        |GROUP BY 1""".stripMargin,
+
+    "fulfillment_lag_profile" ->
+      """WITH sh AS (SELECT l_orderkey AS o_orderkey, MAX(l_shipdate) AS shipped
+        |      FROM lineitem GROUP BY 1),
+        |lg AS (SELECT o.o_orderkey,
+        |       datediff('day', CAST(date_trunc('day', o.o_orderdate) AS DATE),
+        |                CAST(date_trunc('day', sh.shipped) AS DATE)) AS lag_d
+        |       FROM orders o JOIN sh USING (o_orderkey)),
+        |r AS (SELECT lag_d, row_number() OVER (ORDER BY lag_d, o_orderkey) AS rk FROM lg),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lg)
+        |SELECT n AS n_orders,
+        |  MAX(CASE WHEN rk = (n + 1) // 2 THEN lag_d END) AS p50_d,
+        |  MAX(CASE WHEN rk = (9 * n + 9) // 10 THEN lag_d END) AS p90_d,
+        |  MAX(CASE WHEN rk = (99 * n + 99) // 100 THEN lag_d END) AS p99_d
+        |FROM r CROSS JOIN n GROUP BY n""".stripMargin,
+
+    "ttr_by_source" ->
+      """WITH tf AS (SELECT d.source, tk, COUNT(*) AS c
+        |      FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk,
+        |            source FROM documents) d
+        |      GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_types,
+        |  CAST((COUNT(*) * 1000000 + SUM(c) // 2) // SUM(c) AS BIGINT) AS ttr_ppm,
+        |  CAST((SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 + COUNT(*) // 2)
+        |    // COUNT(*) AS BIGINT) AS hapax_ppm
+        |FROM tf GROUP BY 1""".stripMargin,
 
     "dayn_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

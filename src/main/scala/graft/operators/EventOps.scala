@@ -463,6 +463,28 @@ object EventOps {
           .as("attribution_ppm"))
   }
 
+  /** New-vs-returning revenue split per month — the growth-accounting
+    * read: each purchase is NEW revenue if it lands in the payer's
+    * first-purchase month, RETURNING otherwise; a business whose new
+    * share trends to zero is coasting on its base. Exact integer
+    * cents; one per-user reduction (first purchase month) + a join
+    * back on the payer + a month rollup.
+    */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        date_trunc("month", col("ts")).cast(DateType).as("m"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+    val first = p.groupBy(col("user_id")).agg(min(col("m")).as("m0"))
+    p.join(first, Seq("user_id"))
+      .groupBy(col("m").as("month"))
+      .agg(sum(when(col("m") === col("m0"), col("cents")).otherwise(0L)).as("new_cents"),
+        sum(when(col("m") =!= col("m0"), col("cents")).otherwise(0L)).as("returning_cents"))
+      .withColumn("new_share_ppm",
+        expr("""(new_cents * 1000000 + (new_cents + returning_cents) div 2)
+          | div (new_cents + returning_cents)""".stripMargin))
+  }
+
   /** Day-N retention — the product-health pulse at daily grain (the
     * classic D1/D7/D14/D28 panel next to [[monthlyChurn]]'s month
     * pulse): for each N, the share of users active ON day t₀+N among

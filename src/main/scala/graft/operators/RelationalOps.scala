@@ -1031,6 +1031,81 @@ object RelationalOps {
       .select(col("day"), col("n_opened"), col("n_closed"), col("open_balance"))
   }
 
+  /** Pricing waterfall per ship month — gross → discount → tax → net,
+    * the margin-bridge mart every finance review opens with. Per-row
+    * discount/tax amounts quantize to cents ONCE (fixed-shape double
+    * over the row's own values — the q1 discipline) and the rollup is
+    * pure integer sums, so partitioning can't drift a cent. One
+    * map-side-combined aggregate.
+    */
+  def pricingWaterfall(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(date_trunc("month", col("l_shipdate")).cast(DateType).as("month"))
+      .agg(
+        sum(expr("cast(round(l_extendedprice * 100) as bigint)")).as("gross_cents"),
+        sum(expr("cast(round(l_extendedprice * l_discount * 100) as bigint)"))
+          .as("discount_cents"),
+        sum(expr("cast(round(l_extendedprice * (1.0d - l_discount) * l_tax * 100) as bigint)"))
+          .as("tax_cents"))
+      .withColumn("net_cents",
+        col("gross_cents") - col("discount_cents") + col("tax_cents"))
+
+  /** Laspeyres price index per ship month — the inflation read over the
+    * catalog: base-month quantities price every month's unit prices,
+    * L(t) = Σ p_t·q₀ / Σ p₀·q₀ over parts present in BOTH months (the
+    * matched basket). Unit prices are half-up integer centi-cents
+    * (extended cents ×100 / qty); the index division rides
+    * DECIMAL(38,0)/HUGEINT and quantizes once to ppm. Two partial-agg
+    * shuffles to the (part, month) grid + one broadcast-scale base join.
+    */
+  def priceIndexMonthly(lineitem: DataFrame): DataFrame = {
+    val D = DecimalType(38, 0)
+    val pm = lineitem
+      .groupBy(col("l_partkey").as("partkey"),
+        date_trunc("month", col("l_shipdate")).cast(DateType).as("month"))
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)")).as("ext_cents"),
+        sum(expr("cast(l_quantity as bigint)")).as("qty"))
+      .filter(col("qty") > 0)
+      .withColumn("up_cc", expr("(ext_cents * 100 + qty div 2) div qty"))
+    val base = pm.crossJoin(broadcast(pm.agg(min(col("month")).as("m0"))))
+      .filter(col("month") === col("m0"))
+      .select(col("partkey"), col("up_cc").as("up0"), col("qty").as("q0"))
+    pm.join(base, Seq("partkey"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum((col("up_cc").cast(D) * col("q0")).cast(D)).as("num"),
+        sum((col("up0").cast(D) * col("q0")).cast(D)).as("den"))
+      .select(col("month"), col("n_parts"),
+        expr("cast((num * 1000000 + den div 2) div den as bigint)").as("index_ppm"))
+  }
+
+  /** Fulfillment-lag profile — exact p50/p90/p99 of order-date → last
+    * lineitem ship-date lag in days: the operational SLO one-number
+    * next to [[openOrdersDaily]]'s balance series. Orders are
+    * fact-scale, so the exact type-1 quantiles run through
+    * [[ShardedOrder]]'s global rank (rank thresholds, (lag, orderkey)
+    * total order). Unshipped orders are excluded (no lag exists).
+    */
+  def fulfillmentLagProfile(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val lag = orders.select(col("o_orderkey"), col("o_orderdate"))
+      .join(lineitem.groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(max(col("l_shipdate")).as("shipped")), Seq("o_orderkey"))
+      .select(col("o_orderkey"),
+        datediff(date_trunc("day", col("shipped")).cast(DateType),
+          date_trunc("day", col("o_orderdate")).cast(DateType)).cast(LongType)
+          .as("lag_d"))
+    val ranked = ShardedOrder.withGlobalRank(lag, "rk", 32,
+      col("lag_d"), col("o_orderkey"))
+    val n = ranked.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(n))
+      .groupBy(col("n"))
+      .agg(
+        max(when(col("rk") === expr("(n + 1) div 2"), col("lag_d"))).as("p50_d"),
+        max(when(col("rk") === expr("(9 * n + 9) div 10"), col("lag_d"))).as("p90_d"),
+        max(when(col("rk") === expr("(99 * n + 99) div 100"), col("lag_d"))).as("p99_d"))
+      .select(col("n").as("n_orders"), col("p50_d"), col("p90_d"), col("p99_d"))
+  }
+
   /** Demand-volatility shortlist — the safety-stock read per part: the
     * coefficient of variation of WEEKLY shipped quantity, from exact
     * integer moments over the (part, week) grid (n, Σq, Σq² — one

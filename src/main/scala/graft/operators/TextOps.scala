@@ -1644,6 +1644,26 @@ object TextOps {
           .cast(LongType).as("auc_ppm"))
   }
 
+  /** Lexical-diversity audit per source — type-token ratio and hapax
+    * share: the cheap vocabulary-health read beside [[vocabGrowth]]'s
+    * Heaps curve (TTR collapsing across sources at equal token counts
+    * means templated text; a hapax share near zero means heavy
+    * repetition). Exact distinct counts over the (source, token) grid;
+    * integer ppm. Two partial-agg shuffles.
+    */
+  def ttrBySource(documents: DataFrame): DataFrame = {
+    val tf = documents
+      .select(col("source"), explode(expr(toksExprFor(documents))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    tf.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(expr("cast(c = 1 as bigint)")).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        expr("(n_types * 1000000 + n_tokens div 2) div n_tokens").as("ttr_ppm"),
+        expr("(n_hapax * 1000000 + n_types div 2) div n_types").as("hapax_ppm"))
+  }
+
   /** Wilson score interval on per-source keep rates — the small-sample
     * honesty upgrade for [[clfKeepParity]]: a source with 5 docs and a
     * 40% keep rate is NOT evidence of skew, and the Wilson bounds say

@@ -1505,6 +1505,17 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(TextOps.classifierAuc(one).head().isNullAt(3))
   }
 
+  test("ttrBySource: type-token ratio and hapax share replay the exact " +
+       "integer divisions per source") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b", "A"), (2L, "x y z", "B")).toDF("doc_id", "text", "source")
+    val got = TextOps.ttrBySource(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("A") == ((3L, 2L, 666667L, 500000L)), got.toString)
+    assert(got("B") == ((3L, 3L, 1000000L, 1000000L)), got.toString)
+  }
+
   test("keepRateWilson: bounds bracket the point rate, live in [0, 1e6], " +
        "and replay the closed form") {
     import spark.implicits._

@@ -666,6 +666,24 @@ class EventOpsSpec extends SparkSpec {
     assert(g2("click") == ((666667L, 333334L, 499999L, 499999L)), g2.toString)
   }
 
+  test("newVsReturning: first-purchase month is NEW, later months are " +
+       "RETURNING, and the share replays half-up") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    def p(id: Long, t: String, u: Long, v: Double) =
+      (id, ts(t), u, "purchase", v, "{}")
+    val e = Seq(
+      p(1, "2024-01-10 00:00:00", 1, 10.0),
+      p(2, "2024-02-15 00:00:00", 1, 5.0),
+      p(3, "2024-02-20 00:00:00", 2, 20.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.newVsReturning(e).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("2024-01-01") == ((1000L, 0L, 1000000L)), got.toString)
+    assert(got("2024-02-01") == ((2000L, 500L, 800000L)), got.toString)
+  }
+
   test("dayNRetention: day-N hits count exactly; users whose day-N falls " +
        "past the horizon are not eligible") {
     import spark.implicits._

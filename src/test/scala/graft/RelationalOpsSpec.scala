@@ -473,6 +473,45 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got(2L) == ((8L, 80L, exp)), s"${got(2L)} vs $exp")
   }
 
+  test("pricingWaterfall: per-row cent quantization of gross, discount, " +
+       "tax, and net bridges exactly") {
+    import java.sql.Date
+    val li = Seq((100.00, 0.10, 0.05, Date.valueOf("2024-01-15")))
+      .toDF("l_extendedprice", "l_discount", "l_tax", "l_shipdate")
+    val r = RelationalOps.pricingWaterfall(li).head()
+    assert(r.getDate(0).toString == "2024-01-01", r.toString)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((10000L, 1000L, 450L, 9450L)), r.toString)
+  }
+
+  test("priceIndexMonthly: matched-basket Laspeyres reads 1e6 at base and " +
+       "the exact price relative after") {
+    import java.sql.Date
+    val li = Seq(
+      (1L, 20.00, 10.0, Date.valueOf("2024-01-10")),  // 2.00/unit
+      (1L, 15.00, 5.0, Date.valueOf("2024-02-10")))   // 3.00/unit
+      .toDF("l_partkey", "l_extendedprice", "l_quantity", "l_shipdate")
+    val got = RelationalOps.priceIndexMonthly(li).collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("2024-01-01") == ((1L, 1000000L)), got.toString)
+    assert(got("2024-02-01") == ((1L, 1500000L)), got.toString)
+  }
+
+  test("fulfillmentLagProfile: exact rank quantiles over order->last-ship " +
+       "lags; unshipped orders drop") {
+    import java.sql.Date
+    val orders = (1L to 10L).map(k =>
+      (k, Date.valueOf("2024-01-01"), k, 1.0)) :+
+      ((99L, Date.valueOf("2024-01-01"), 99L, 1.0)) // no lineitems: excluded
+    val odf = orders.toDF("o_orderkey", "o_orderdate", "o_custkey", "o_totalprice")
+    val li = (1L to 10L).map(k =>
+      (k, Date.valueOf(java.time.LocalDate.parse("2024-01-01").plusDays(k).toString)))
+      .toDF("l_orderkey", "l_shipdate")
+    val r = RelationalOps.fulfillmentLagProfile(odf, li).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((10L, 5L, 9L, 10L)), r.toString)
+  }
+
   test("supplierReturns: return share in ppm and integer-cents revenue " +
        "per supplier") {
     val li = Seq(
