@@ -980,6 +980,11 @@ object SparkEntry {
     // Benford first-digit audit over order totals: observed share vs the
     // log10(1+1/d) expectation, both in ppm
     "benford_audit" -> ((s, d) => StatsOps.benfordAudit(t(s, d, "orders"), "o_totalprice")),
+    // second-digit Benford: the forensic follow-up screen
+    "benford_second_digit" -> ((s, d) =>
+      StatsOps.benfordSecondDigit(t(s, d, "orders"), "o_totalprice")),
+    // p-chart 3-sigma control limits on the daily error share
+    "error_pchart" -> ((s, d) => StatsOps.errorPchart(t(s, d, "events"))),
     // Gini coefficient of per-customer spend (inequality profile,
     // dimension-scale ranking, integer moments)
     "gini_spend" -> ((s, d) => {
@@ -1417,6 +1422,9 @@ object SparkEntry {
     // exact p50/p90/p99 order->last-ship lag via the sharded rank
     "fulfillment_lag_profile" -> ((s, d) =>
       RelationalOps.fulfillmentLagProfile(t(s, d, "orders"), t(s, d, "lineitem"))),
+    // share of orders first-shipped within 7 days, per priority
+    "priority_sla" -> ((s, d) =>
+      RelationalOps.prioritySla(t(s, d, "orders"), t(s, d, "lineitem"))),
     // cumulative purchase value per signup cohort by month offset
     "ltv_cohort_curve" -> ((s, d) => EventOps.ltvCohortCurve(t(s, d, "events"))),
     // Pearson r + OLS slope of (discount permille, quantity)
@@ -5702,6 +5710,55 @@ object SparkEntry {
         |      / (CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) * CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE))
         |      * 1000000) AS BIGINT) END AS hhi_ppm
         |FROM j GROUP BY 1""".stripMargin,
+
+    "benford_second_digit" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+        |           WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 10),
+        |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 2, 1) AS INTEGER) AS digit FROM c),
+        |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM c)
+        |SELECT digit, n,
+        |  CAST((n * 1000000 + total // 2) // total AS BIGINT) AS share_ppm,
+        |  CAST(round((ln(1.0 + 1.0 / CAST(10 * 1 + digit AS DOUBLE)) + ln(1.0 + 1.0 / CAST(10 * 2 + digit AS DOUBLE)) + ln(1.0 + 1.0 / CAST(10 * 3 + digit AS DOUBLE)) + ln(1.0 + 1.0 / CAST(10 * 4 + digit AS DOUBLE)) + ln(1.0 + 1.0 / CAST(10 * 5 + digit AS DOUBLE)) + ln(1.0 + 1.0 / CAST(10 * 6 + digit AS DOUBLE)) + ln(1.0 + 1.0 / CAST(10 * 7 + digit AS DOUBLE)) + ln(1.0 + 1.0 / CAST(10 * 8 + digit AS DOUBLE)) + ln(1.0 + 1.0 / CAST(10 * 9 + digit AS DOUBLE))) / ln(10.0) * 1000000) AS BIGINT) AS benford_ppm
+        |FROM g CROSS JOIN t""".stripMargin,
+
+    "error_pchart" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n,
+        |      CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+        |      FROM e GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(n_err) AS BIGINT) AS et FROM d)
+        |SELECT day, n, n_err,
+        |  CAST((n_err * 1000000 + n // 2) // n AS BIGINT) AS err_ppm,
+        |  CAST(round((CAST(et AS DOUBLE) / CAST(nt AS DOUBLE)
+        |    + 3.0 * sqrt(CAST(et AS DOUBLE) / CAST(nt AS DOUBLE)
+        |        * (1.0 - CAST(et AS DOUBLE) / CAST(nt AS DOUBLE))
+        |        / CAST(n AS DOUBLE))) * 1000000) AS BIGINT) AS ucl_ppm,
+        |  CAST(round(greatest(CAST(et AS DOUBLE) / CAST(nt AS DOUBLE)
+        |    - 3.0 * sqrt(CAST(et AS DOUBLE) / CAST(nt AS DOUBLE)
+        |        * (1.0 - CAST(et AS DOUBLE) / CAST(nt AS DOUBLE))
+        |        / CAST(n AS DOUBLE)), 0.0) * 1000000) AS BIGINT) AS lcl_ppm,
+        |  (n_err * 1000000 + n // 2) // n > CAST(round((CAST(et AS DOUBLE) / CAST(nt AS DOUBLE)
+        |    + 3.0 * sqrt(CAST(et AS DOUBLE) / CAST(nt AS DOUBLE)
+        |        * (1.0 - CAST(et AS DOUBLE) / CAST(nt AS DOUBLE))
+        |        / CAST(n AS DOUBLE))) * 1000000) AS BIGINT)
+        |  OR (n_err * 1000000 + n // 2) // n < CAST(round(greatest(CAST(et AS DOUBLE) / CAST(nt AS DOUBLE)
+        |    - 3.0 * sqrt(CAST(et AS DOUBLE) / CAST(nt AS DOUBLE)
+        |        * (1.0 - CAST(et AS DOUBLE) / CAST(nt AS DOUBLE))
+        |        / CAST(n AS DOUBLE)), 0.0) * 1000000) AS BIGINT) AS out_of_control
+        |FROM d CROSS JOIN t""".stripMargin,
+
+    "priority_sla" ->
+      """WITH fs AS (SELECT l_orderkey AS o_orderkey, MIN(l_shipdate) AS first_ship
+        |      FROM lineitem GROUP BY 1)
+        |SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CASE WHEN datediff('day', CAST(date_trunc('day', o.o_orderdate) AS DATE),
+        |       CAST(date_trunc('day', fs.first_ship) AS DATE)) <= 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_met,
+        |  CAST((SUM(CASE WHEN datediff('day', CAST(date_trunc('day', o.o_orderdate) AS DATE),
+        |       CAST(date_trunc('day', fs.first_ship) AS DATE)) <= 7 THEN 1 ELSE 0 END) * 1000000
+        |    + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS sla_met_ppm
+        |FROM orders o JOIN fs USING (o_orderkey)
+        |GROUP BY 1""".stripMargin,
 
     "benford_audit" ->
       """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents

@@ -1079,6 +1079,28 @@ object RelationalOps {
         expr("cast((num * 1000000 + den div 2) div den as bigint)").as("index_ppm"))
   }
 
+  /** Priority SLA attainment — per order priority, the share of orders
+    * whose FIRST shipment left within `slaDays` of the order date: the
+    * promise-keeping read that q4's late-order count only hints at
+    * (does URGENT actually ship faster than LOW?). Orders with no
+    * shipments are excluded (no lag exists — same convention as
+    * [[fulfillmentLagProfile]]). Integer days and ppm; one per-order
+    * reduction + a |priorities|-row rollup.
+    */
+  def prioritySla(orders: DataFrame, lineitem: DataFrame, slaDays: Int = 7): DataFrame =
+    orders.select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+      .join(lineitem.groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(min(col("l_shipdate")).as("first_ship")), Seq("o_orderkey"))
+      .select(col("o_orderpriority"),
+        (datediff(date_trunc("day", col("first_ship")).cast(DateType),
+          date_trunc("day", col("o_orderdate")).cast(DateType)) <= slaDays)
+          .as("met"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("cast(met as bigint)")).as("n_met"))
+      .withColumn("sla_met_ppm",
+        expr("(n_met * 1000000 + n_orders div 2) div n_orders"))
+
   /** Fulfillment-lag profile — exact p50/p90/p99 of order-date → last
     * lineitem ship-date lag in days: the operational SLO one-number
     * next to [[openOrdersDaily]]'s balance series. Orders are

@@ -275,6 +275,63 @@ object StatsOps {
         expr("cast(round(ln(1.0d + 1.0d / cast(digit as double)) / ln(10.0d) * 1000000) as bigint)")
           .as("benford_ppm"))
 
+  /** Benford SECOND-digit audit — the forensic follow-up to
+    * [[benfordAudit]]: fabricated numbers that survive the first-digit
+    * screen (people know about Benford now) usually fail the flatter
+    * second-digit law P(d) = Σ_{k=1..9} log₁₀(1 + 1/(10k + d)). Same
+    * construction: digit from the CENTS integer's decimal string (no
+    * float formatting), expectation one fixed-shape double chain over
+    * integer literals, ppm-quantized; values below 10 cents have no
+    * second digit and drop. One partial-agg pass; 10 output rows.
+    */
+  def benfordSecondDigit(df: DataFrame, valCol: String): DataFrame = {
+    val expected = "(" + (1 to 9).map(k =>
+      s"ln(1.0d + 1.0d / cast(10 * $k + digit as double))").mkString(" + ") +
+      ") / ln(10.0d)"
+    df.select(expr(s"cast(round($valCol * 100) as bigint)").as("cents"))
+      .filter(col("cents") >= 10)
+      .select(substring(col("cents").cast(StringType), 2, 1).cast(IntegerType).as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(
+        df.select(expr(s"cast(round($valCol * 100) as bigint)").as("c"))
+          .filter(col("c") >= 10).agg(count(lit(1)).as("total"))))
+      .select(col("digit"), col("n"),
+        expr("(n * 1000000 + total div 2) div total").as("share_ppm"),
+        expr(s"cast(round($expected * 1000000) as bigint)").as("benford_ppm"))
+  }
+
+  /** p-chart control limits on the daily error share — classic SPC over
+    * the event stream: per day, the error proportion against the
+    * whole-series center line p̄ with 3σ binomial limits
+    * UCL/LCL = p̄ ± 3·√(p̄(1−p̄)/n_day); days outside the limits are
+    * special-cause signals (deploys, outages), where [[EventOps]]'
+    * anomaly ops watch VALUE levels this watches a RATE. Center and
+    * limits are fixed-shape doubles over exact counts, ppm-quantized,
+    * LCL floored at 0. One corpus (day) aggregate + a broadcast totals
+    * row.
+    */
+  def errorPchart(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(event_type = 'error' as bigint)")).as("n_err"))
+    val tot = daily.agg(sum(col("n")).as("nt"), sum(col("n_err")).as("et"))
+    daily.crossJoin(broadcast(tot))
+      .select(col("day"), col("n"), col("n_err"),
+        expr("(n_err * 1000000 + n div 2) div n").as("err_ppm"),
+        expr("""cast(round((cast(et as double) / cast(nt as double)
+          | + 3.0d * sqrt(cast(et as double) / cast(nt as double)
+          |     * (1.0d - cast(et as double) / cast(nt as double))
+          |     / cast(n as double))) * 1000000) as bigint)""".stripMargin).as("ucl_ppm"),
+        expr("""cast(round(greatest(cast(et as double) / cast(nt as double)
+          | - 3.0d * sqrt(cast(et as double) / cast(nt as double)
+          |     * (1.0d - cast(et as double) / cast(nt as double))
+          |     / cast(n as double)), 0.0d) * 1000000) as bigint)""".stripMargin).as("lcl_ppm"))
+      .withColumn("out_of_control",
+        col("err_ppm") > col("ucl_ppm") || col("err_ppm") < col("lcl_ppm"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov drift test: for each source, the max
     * ECDF gap between that source's document-length distribution and the
     * REST of the corpus — the distribution-shape alarm next to

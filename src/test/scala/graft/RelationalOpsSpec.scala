@@ -497,6 +497,24 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got("2024-02-01") == ((1L, 1500000L)), got.toString)
   }
 
+  test("prioritySla: first-ship-within-7-days share per priority; " +
+       "unshipped orders are excluded") {
+    import java.sql.Date
+    val orders = Seq(
+      (1L, "1-URGENT", Date.valueOf("2024-01-01")),
+      (2L, "1-URGENT", Date.valueOf("2024-01-01")),
+      (3L, "5-LOW", Date.valueOf("2024-01-01"))) // no lineitems
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+    val li = Seq(
+      (1L, Date.valueOf("2024-01-06")),   // 5 days: met
+      (1L, Date.valueOf("2024-01-20")),   // later line irrelevant (MIN)
+      (2L, Date.valueOf("2024-01-10")))   // 9 days: missed
+      .toDF("l_orderkey", "l_shipdate")
+    val got = RelationalOps.prioritySla(orders, li).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map("1-URGENT" -> ((2L, 1L, 500000L))), got.toString)
+  }
+
   test("fulfillmentLagProfile: exact rank quantiles over order->last-ship " +
        "lags; unshipped orders drop") {
     import java.sql.Date

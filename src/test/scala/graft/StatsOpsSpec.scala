@@ -238,6 +238,36 @@ class StatsOpsSpec extends SparkSpec {
     assert(gr == gs, "hash-lottery resamples are partitioning-invariant")
   }
 
+  test("benfordSecondDigit: second digit of the cents integer, sub-10-cent " +
+       "values drop, expectation replays the closed form") {
+    val df = Seq(12.34, 1.05, 0.09, 0.10).toDF("price")
+    val got = StatsOps.benfordSecondDigit(df, "price").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set(0, 2), got.toString) // 1234->2, 105->0, 10->0
+    assert(got(0)._1 == 2L && got(0)._2 == 666667L, got.toString)
+    assert(got(2)._1 == 1L && got(2)._2 == 333333L, got.toString)
+    val exp0 = math.round((1 to 9).map(k => math.log(1.0 + 1.0 / (10 * k)))
+      .sum / math.log(10.0) * 1e6)
+    assert(got(0)._3 == exp0, s"${got(0)._3} vs $exp0")
+  }
+
+  test("errorPchart: a spike day breaches UCL and a clean day breaches " +
+       "LCL; limits replay the 3-sigma binomial form") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val e = ((1 to 100).map(i => (i.toLong, ts("2024-01-01 00:00:00"), 1L,
+      if (i <= 10) "error" else "view", 1.0, "{}")) ++
+      (1 to 100).map(i => (200L + i, ts("2024-01-02 00:00:00"), 1L,
+        if (i <= 50) "error" else "view", 1.0, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = StatsOps.errorPchart(e).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    val p = 0.3; val sig = 3.0 * math.sqrt(p * (1 - p) / 100)
+    val ucl = math.round((p + sig) * 1e6); val lcl = math.round((p - sig) * 1e6)
+    assert(got("2024-01-01") == ((100000L, ucl, lcl, true)), got.toString)
+    assert(got("2024-01-02") == ((500000L, ucl, lcl, true)), got.toString)
+  }
+
   test("anovaF: hand-computed two-group F and eta-squared; equal groups " +
        "read F = 0") {
     // A: 100, 200; B: 400, 500 -> SSB = 9e8 c^2, SSW = 1e8 c^2, F = 18
