@@ -1396,6 +1396,15 @@ object SparkEntry {
     "dayn_retention" -> ((s, d) => EventOps.dayNRetention(t(s, d, "events"))),
     // growth accounting: new vs returning purchase revenue per month
     "new_vs_returning" -> ((s, d) => EventOps.newVsReturning(t(s, d, "events"))),
+    // win-back pulse: active in m, absent in m-1, active before m-1
+    "reactivation_rate" -> ((s, d) => EventOps.reactivationRate(t(s, d, "events"))),
+    // is segment mix independent of geography: chi-square over the
+    // customer x nation join (same engine op as the status/priority test)
+    "segment_mix_by_nation" -> ((s, d) =>
+      StatsOps.chiSquare(
+        t(s, d, "customer").join(t(s, d, "nation"),
+          col("c_nationkey") === col("n_nationkey")),
+        "n_name", "c_mktsegment")),
     // exact p50/p90/p99 session durations via the sharded global rank
     "session_duration_profile" -> ((s, d) =>
       EventOps.sessionDurationProfile(t(s, d, "events"))),
@@ -3923,6 +3932,39 @@ object SparkEntry {
     // against the full SQL derivation
     "dup_components_star" -> dupComponentsOracle,
 
+
+    "reactivation_rate" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |am AS (SELECT DISTINCT user_id, CAST(date_trunc('month', ts) AS DATE) AS m FROM e),
+        |f AS (SELECT user_id, MIN(m) AS m0 FROM am GROUP BY 1),
+        |re AS (SELECT a.m, COUNT(*) AS n_reactivated
+        |       FROM am a JOIN f USING (user_id)
+        |       WHERE NOT EXISTS (SELECT 1 FROM am b WHERE b.user_id = a.user_id
+        |             AND b.m = CAST(a.m - INTERVAL 1 MONTH AS DATE))
+        |         AND f.m0 < CAST(a.m - INTERVAL 1 MONTH AS DATE)
+        |       GROUP BY 1),
+        |act AS (SELECT m, COUNT(*) AS n_active FROM am GROUP BY 1)
+        |SELECT act.m AS month, CAST(n_active AS BIGINT) AS n_active,
+        |  CAST(coalesce(n_reactivated, 0) AS BIGINT) AS n_reactivated,
+        |  CAST((coalesce(n_reactivated, 0) * 1000000 + n_active // 2) // n_active AS BIGINT) AS reactivation_ppm
+        |FROM act LEFT JOIN re ON re.m = act.m""".stripMargin,
+
+    "segment_mix_by_nation" ->
+      """WITH j AS (SELECT n.n_name AS a, c.c_mktsegment AS b
+        |      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |obs AS (SELECT a, b, COUNT(*) AS obs FROM j GROUP BY 1, 2),
+        |rt AS (SELECT a, SUM(obs) AS rt FROM obs GROUP BY 1),
+        |ct AS (SELECT b, SUM(obs) AS ct FROM obs GROUP BY 1),
+        |nn AS (SELECT SUM(obs) AS n, COUNT(DISTINCT a) AS na, COUNT(DISTINCT b) AS nb FROM obs),
+        |grid AS (SELECT a, rt, b, ct, coalesce(obs, 0) AS obs
+        |  FROM rt CROSS JOIN ct LEFT JOIN obs USING (a, b))
+        |SELECT CAST(n AS BIGINT) AS n, CAST((na - 1) * (nb - 1) AS BIGINT) AS dof,
+        |  CAST(SUM(CAST(round(
+        |    (CAST(obs * n - rt * ct AS DOUBLE) * CAST(obs * n - rt * ct AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) * 1000000
+        |  ) AS BIGINT)) AS BIGINT) AS chi2_micros
+        |FROM grid CROSS JOIN nn
+        |GROUP BY 1, 2""".stripMargin,
 
     "new_vs_returning" ->
       """WITH p AS (SELECT user_id, CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE) AS m,

@@ -463,6 +463,35 @@ object EventOps {
           .as("attribution_ppm"))
   }
 
+  /** Monthly reactivation rate — the win-back pulse completing the
+    * [[monthlyChurn]] / [[dayNRetention]] panel: a user REACTIVATES in
+    * month m if active in m, absent in m−1, and active in some month
+    * before m−1 (distinguishing win-backs from brand-new users).
+    * Share is against m's active base. Exact distinct (user, month)
+    * sets; three self-joins on the month-grid frame (all equi-keyed on
+    * (user, month)); the data's first two months can't have
+    * reactivations by construction and report their observed zeros.
+    */
+  def reactivationRate(events: DataFrame): DataFrame = {
+    val am = events
+      .select(col("user_id"),
+        date_trunc("month", col("ts")).cast(DateType).as("m"))
+      .distinct().localCheckpoint() // referenced four times below
+    val first = am.groupBy(col("user_id")).agg(min(col("m")).as("m0"))
+    val reUsers = am
+      .join(am.select(col("user_id"), add_months(col("m"), 1).as("m"))
+        .withColumnRenamed("user_id", "user_id"), Seq("user_id", "m"), "left_anti")
+      .join(first, Seq("user_id"))
+      .filter(col("m0") < add_months(col("m"), -1))
+      .groupBy(col("m")).agg(count(lit(1)).as("n_reactivated"))
+    am.groupBy(col("m")).agg(count(lit(1)).as("n_active"))
+      .join(reUsers, Seq("m"), "left")
+      .select(col("m").as("month"), col("n_active"),
+        coalesce(col("n_reactivated"), lit(0L)).as("n_reactivated"),
+        expr("""(coalesce(n_reactivated, 0L) * 1000000 + n_active div 2)
+          | div n_active""".stripMargin).as("reactivation_ppm"))
+  }
+
   /** New-vs-returning revenue split per month — the growth-accounting
     * read: each purchase is NEW revenue if it lands in the payer's
     * first-purchase month, RETURNING otherwise; a business whose new

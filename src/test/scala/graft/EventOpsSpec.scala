@@ -666,6 +666,28 @@ class EventOpsSpec extends SparkSpec {
     assert(g2("click") == ((666667L, 333334L, 499999L, 499999L)), g2.toString)
   }
 
+  test("reactivationRate: win-backs need a gap month AND earlier history; " +
+       "consecutive activity and brand-new users never count") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    def ev(id: Long, t: String, u: Long) = (id, ts(t), u, "view", 1.0, "{}")
+    val e = Seq(
+      // u1: Jan, Feb, Apr -> Apr is a reactivation (gap Mar, history Jan)
+      ev(1, "2024-01-05 00:00:00", 1), ev(2, "2024-02-05 00:00:00", 1),
+      ev(3, "2024-04-05 00:00:00", 1),
+      // u2: Mar, Apr -> Apr is consecutive, not a reactivation
+      ev(4, "2024-03-05 00:00:00", 2), ev(5, "2024-04-05 00:00:00", 2),
+      // u3: Apr only -> brand new, not a reactivation
+      ev(6, "2024-04-05 00:00:00", 3))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.reactivationRate(e).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("2024-04-01") == ((3L, 1L, 333333L)), got.toString)
+    assert(got("2024-02-01") == ((1L, 0L, 0L)), got.toString)
+    assert(got("2024-03-01") == ((1L, 0L, 0L)), got.toString)
+  }
+
   test("newVsReturning: first-purchase month is NEW, later months are " +
        "RETURNING, and the share replays half-up") {
     import spark.implicits._
