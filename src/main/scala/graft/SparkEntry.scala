@@ -1408,6 +1408,29 @@ object SparkEntry {
     // exact p50/p90/p99 session durations via the sharded global rank
     "session_duration_profile" -> ((s, d) =>
       EventOps.sessionDurationProfile(t(s, d, "events"))),
+    // nonparametric two-sample location test: urgent vs low order prices
+    "mann_whitney_u" -> ((s, d) => StatsOps.mannWhitneyU(
+      t(s, d, "orders"), "o_orderpriority", "o_totalprice", "1-URGENT", "5-LOW")),
+    // rank concordance between nation revenue and nation account balances
+    "kendall_tau_nation" -> ((s, d) => {
+      val rev = t(s, d, "orders").join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("rev_cents"))
+      val bal = t(s, d, "customer")
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg(sum(expr("cast(round(c_acctbal * 100) as bigint)")).as("bal_cents"))
+      StatsOps.kendallTau(rev.join(bal, Seq("nk")), "nk", "rev_cents", "bal_cents")
+    }),
+    // correlation-aware 2-D outlier screen on the quantity x price ridge
+    "mahalanobis_outliers" -> ((s, d) => StatsOps.mahalanobisOutliers(
+      t(s, d, "lineitem"), "l_quantity", "l_extendedprice",
+      Seq("l_orderkey", "l_linenumber"))),
+    // privacy triad completion: EMD of acctbal by segment vs global
+    "t_closeness_audit" -> ((s, d) => StatsOps.tClosenessAudit(
+      t(s, d, "customer"), "c_mktsegment", "c_acctbal")),
+    // Good-Turing frequency-of-frequencies smoothing table
+    "good_turing_counts" -> ((s, d) => TextOps.goodTuringCounts(t(s, d, "documents"))),
     // trailing 28-day Pearson between purchase revenue and view count
     "rolling_corr" -> ((s, d) => EventOps.rollingCorr(t(s, d, "events"))),
     // event-sourced open-order backlog per day
@@ -3965,6 +3988,141 @@ object SparkEntry {
         |  ) AS BIGINT)) AS BIGINT) AS chi2_micros
         |FROM grid CROSS JOIN nn
         |GROUP BY 1, 2""".stripMargin,
+
+    // Mann-Whitney replay: avg ranks in half-units from the per-value
+    // cumulative, tie term as HUGEINT, one fixed-shape double z at the end
+    "mann_whitney_u" ->
+      """WITH p AS (SELECT o_orderpriority = '1-URGENT' AS in_a,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |     FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |bv AS (SELECT v, COUNT(*) AS t, SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS t_a
+        |       FROM p GROUP BY 1),
+        |c AS (SELECT v, t, t_a,
+        |      CAST(coalesce(SUM(t) OVER (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |      FROM bv),
+        |a AS (SELECT CAST(SUM(t_a) AS BIGINT) AS n1, CAST(SUM(t - t_a) AS BIGINT) AS n2,
+        |      SUM(CAST(t_a AS HUGEINT) * (2 * cum_before + t + 1)) AS r1_half,
+        |      SUM(CAST(t AS HUGEINT) * t * t - t) AS ties_cubed FROM c),
+        |u AS (SELECT n1, n2, ties_cubed,
+        |      r1_half - CAST(n1 AS HUGEINT) * (n1 + 1) AS u1_half FROM a)
+        |SELECT n1, n2, CAST(u1_half AS BIGINT) AS u1_half,
+        |  CASE WHEN n1 = 0 OR n2 = 0 OR
+        |    CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE) - 1.0)
+        |      - CAST(ties_cubed AS DOUBLE) <= 0.0 THEN NULL
+        |  ELSE CAST(round(
+        |    (CAST(u1_half AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |    / (2.0 * sqrt(
+        |        CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |        * (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE) - 1.0)
+        |           - CAST(ties_cubed AS DOUBLE))
+        |        / (12.0 * CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))
+        |    * 1000000) AS BIGINT)
+        |  END AS z_micros
+        |FROM u""".stripMargin,
+
+    "kendall_tau_nation" ->
+      """WITH rev AS (SELECT c_nationkey AS nk,
+        |      CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+        |      FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+        |bal AS (SELECT c_nationkey AS nk,
+        |      CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS y
+        |      FROM customer GROUP BY 1),
+        |j AS (SELECT rev.nk, x, y FROM rev JOIN bal USING (nk)),
+        |p AS (SELECT a.x - b.x AS dx, a.y - b.y AS dy FROM j a JOIN j b ON a.nk < b.nk),
+        |s AS (SELECT COUNT(*) AS n0,
+        |      CAST(SUM(CASE WHEN (dx > 0 AND dy > 0) OR (dx < 0 AND dy < 0) THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+        |      CAST(SUM(CASE WHEN (dx > 0 AND dy < 0) OR (dx < 0 AND dy > 0) THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+        |      CAST(SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tied_x,
+        |      CAST(SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tied_y
+        |      FROM p)
+        |SELECT n0, concordant, discordant,
+        |  CASE WHEN n0 = tied_x OR n0 = tied_y THEN NULL
+        |  ELSE CAST(round(CAST(concordant - discordant AS DOUBLE)
+        |    / sqrt(CAST(n0 - tied_x AS DOUBLE) * CAST(n0 - tied_y AS DOUBLE))
+        |    * 1000000) AS BIGINT)
+        |  END AS tau_micros
+        |FROM s""".stripMargin,
+
+    // Mahalanobis replay: the same closed-form 2x2 inverse expression,
+    // HUGEINT moments cast to double in the identical shapes
+    "mahalanobis_outliers" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber,
+        |      CAST(round(l_quantity * 100) AS BIGINT) AS x_cents,
+        |      CAST(round(l_extendedprice * 100) AS BIGINT) AS y_cents
+        |      FROM lineitem),
+        |m AS (SELECT COUNT(*) AS n,
+        |      SUM(CAST(x_cents AS HUGEINT)) AS sx, SUM(CAST(y_cents AS HUGEINT)) AS sy,
+        |      SUM(CAST(x_cents AS HUGEINT) * x_cents) AS sxx,
+        |      SUM(CAST(y_cents AS HUGEINT) * y_cents) AS syy,
+        |      SUM(CAST(x_cents AS HUGEINT) * y_cents) AS sxy
+        |      FROM b)
+        |SELECT l_orderkey, l_linenumber, x_cents, y_cents,
+        |  CAST(round((
+        |    (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+        |     - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    * (CAST(x_cents AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (CAST(x_cents AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |    - 2.0 * (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+        |     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    * (CAST(x_cents AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (CAST(y_cents AS DOUBLE) - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |    + (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+        |     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    * (CAST(y_cents AS DOUBLE) - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (CAST(y_cents AS DOUBLE) - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |  ) / (
+        |    (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+        |     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    * (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+        |     - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    - (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+        |     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    * (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+        |     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+        |  ) * 1000000) AS BIGINT) AS d2_micros
+        |FROM b CROSS JOIN m
+        |ORDER BY d2_micros DESC, l_orderkey, l_linenumber
+        |LIMIT 20""".stripMargin,
+
+    // t-closeness replay: integer CDF gap over the shared equi-width
+    // bin grid, one double division to ppm
+    "t_closeness_audit" ->
+      """WITH c AS (SELECT c_mktsegment AS g, CAST(round(c_acctbal * 100) AS BIGINT) AS v
+        |      FROM customer),
+        |mn AS (SELECT MIN(v) AS mn FROM c),
+        |bb AS (SELECT g, (v - mn) // 100000 AS bin FROM c CROSS JOIN mn),
+        |obs AS (SELECT g, bin, COUNT(*) AS cnt FROM bb GROUP BY 1, 2),
+        |bins AS (SELECT DISTINCT bin FROM obs),
+        |grp AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n_g FROM obs GROUP BY 1),
+        |grid AS (SELECT grp.g, grp.n_g, bins.bin, coalesce(obs.cnt, 0) AS cnt
+        |         FROM grp CROSS JOIN bins LEFT JOIN obs ON obs.g = grp.g AND obs.bin = bins.bin),
+        |tot AS (SELECT bin, COUNT(*) AS q_cnt FROM bb GROUP BY 1),
+        |na AS (SELECT COUNT(*) AS n, COUNT(DISTINCT bin) AS b FROM bb),
+        |cq AS (SELECT bin, CAST(SUM(q_cnt) OVER (ORDER BY bin) AS BIGINT) AS cum_q FROM tot),
+        |cp AS (SELECT g, n_g, bin,
+        |       CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY bin) AS BIGINT) AS cum_p FROM grid)
+        |SELECT g AS c_mktsegment, n_g,
+        |  CASE WHEN MAX(b) <= 1 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST(round(CAST(SUM(abs(CAST(cum_p AS HUGEINT) * n - CAST(cum_q AS HUGEINT) * n_g)) AS DOUBLE)
+        |    / (CAST(n_g AS DOUBLE) * CAST(MAX(n) AS DOUBLE) * CAST(MAX(b) - 1 AS DOUBLE))
+        |    * 1000000) AS BIGINT)
+        |  END AS t_ppm
+        |FROM cp JOIN cq USING (bin) CROSS JOIN na
+        |GROUP BY 1, 2""".stripMargin,
+
+    "good_turing_counts" ->
+      """WITH tf AS (SELECT token, COUNT(*) AS n FROM (
+        |      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents)
+        |      GROUP BY 1),
+        |f AS (SELECT n AS c, COUNT(*) AS n_c FROM tf GROUP BY 1)
+        |SELECT f.c AS c, CAST(f.n_c AS BIGINT) AS n_c,
+        |  CASE WHEN g.n_c IS NULL THEN NULL
+        |       ELSE CAST(round(CAST(f.c + 1 AS DOUBLE) * CAST(g.n_c AS DOUBLE)
+        |         / CAST(f.n_c AS DOUBLE) * 1000000) AS BIGINT)
+        |  END AS c_star_micros
+        |FROM f LEFT JOIN f g ON g.c = f.c + 1
+        |WHERE f.c <= 10""".stripMargin,
 
     "new_vs_returning" ->
       """WITH p AS (SELECT user_id, CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE) AS m,

@@ -606,4 +606,191 @@ object StatsOps {
       .agg(sum(col("term_micro")).as("psi_micro"))
       .withColumn("drifted", col("psi_micro") > 200000L)
   }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) — the nonparametric two-sample
+    * location test the warehouse reaches for when [[anovaF]]'s normality
+    * assumption is indefensible (price distributions are famously
+    * heavy-tailed). Rank arithmetic is EXACT and fact-scale-safe: ranks
+    * come from the per-distinct-value cumulative count (a
+    * [[ShardedOrder.withRunningSum]] over the value dimension — never a
+    * one-reducer global window over rows), average ranks are carried in
+    * HALF-UNITS (2·cum_before + t + 1, an integer — no /2 float anywhere),
+    * and the tie correction Σ(t³−t) rides DECIMAL(38,0). One fixed-shape
+    * double expression at the end produces the normal-approximation
+    * z-score in micros: z = (U₁ − n₁n₂/2) / √Var with
+    * Var = n₁n₂(N(N²−1) − T)/(12N(N−1)).
+    */
+  def mannWhitneyU(df: DataFrame, groupCol: String, valCol: String,
+                   groupA: String, groupB: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val cents = df
+      .filter(col(groupCol).isin(groupA, groupB))
+      .select((col(groupCol) === groupA).as("in_a"),
+        expr(s"cast(round($valCol * 100) as bigint)").as("v"))
+    val byVal = cents.groupBy(col("v"))
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("t_a"))
+    val cum = ShardedOrder.withRunningSum(byVal, col("t"), "cum_incl", 32, col("v"))
+      .withColumn("cum_before", col("cum_incl") - col("t"))
+    cum
+      .agg(
+        sum(col("t_a")).as("n1"),
+        sum(col("t") - col("t_a")).as("n2"),
+        sum((col("t_a").cast(D) *
+          (lit(2).cast(D) * col("cum_before") + col("t") + 1)).cast(D)).as("r1_half"),
+        sum((col("t").cast(D) * col("t") * col("t") - col("t")).cast(D)).as("ties_cubed"))
+      .select(col("n1"), col("n2"),
+        (col("r1_half") - (col("n1").cast(D) * (col("n1") + 1))).cast(D).as("u1_half"),
+        col("ties_cubed"))
+      .select(col("n1"), col("n2"), col("u1_half").cast(LongType).as("u1_half"),
+        when(col("n1") === 0 || col("n2") === 0 ||
+          expr("""cast(n1 + n2 as double) * (cast(n1 + n2 as double) * cast(n1 + n2 as double) - 1.0d)
+            | - cast(ties_cubed as double)""".stripMargin) <= 0.0,
+          lit(null).cast(LongType))
+          .otherwise(expr("""cast(round(
+            |  (cast(u1_half as double) - cast(n1 as double) * cast(n2 as double))
+            |  / (2.0d * sqrt(
+            |      cast(n1 as double) * cast(n2 as double)
+            |      * (cast(n1 + n2 as double) * (cast(n1 + n2 as double) * cast(n1 + n2 as double) - 1.0d)
+            |         - cast(ties_cubed as double))
+            |      / (12.0d * cast(n1 + n2 as double) * cast(n1 + n2 - 1 as double))))
+            |  * 1000000) as bigint)""".stripMargin))
+          .as("z_micros"))
+  }
+
+  /** Kendall τ-b over a KEYED DIMENSION-SCALE frame (nations, months,
+    * segments — never raw facts: the pair grid is n², which is the
+    * correct cost for n ≤ 10⁴ profile rows and the wrong algorithm past
+    * that; callers aggregate first, same contract as the chi-square /
+    * Cramér grid ops). Concordance counted over the a.key < b.key pair
+    * half-grid in pure integers; τ-b = (C − D)/√((n₀−T_x)(n₀−T_y)) is
+    * one fixed-shape double at the end. Complements [[spearmanMicros]]:
+    * τ's pair semantics are robust to the tie-heavy profiles where
+    * Spearman's d² inflates.
+    */
+  def kendallTau(df: DataFrame, keyCol: String, xCol: String, yCol: String): DataFrame = {
+    val base = df.select(col(keyCol).as("k"), col(xCol).as("x"), col(yCol).as("y"))
+    val a = base.select(col("k").as("ka"), col("x").as("xa"), col("y").as("ya"))
+    val b = base.select(col("k").as("kb"), col("x").as("xb"), col("y").as("yb"))
+    val pairs = a.join(b, col("ka") < col("kb"))
+      .select((col("xa") - col("xb")).as("dx"), (col("ya") - col("yb")).as("dy"))
+    pairs
+      .agg(count(lit(1)).as("n0"),
+        sum(when((col("dx") > 0 && col("dy") > 0) || (col("dx") < 0 && col("dy") < 0), 1L)
+          .otherwise(0L)).as("concordant"),
+        sum(when((col("dx") > 0 && col("dy") < 0) || (col("dx") < 0 && col("dy") > 0), 1L)
+          .otherwise(0L)).as("discordant"),
+        sum(when(col("dx") === 0, 1L).otherwise(0L)).as("tied_x"),
+        sum(when(col("dy") === 0, 1L).otherwise(0L)).as("tied_y"))
+      .select(col("n0"), col("concordant"), col("discordant"),
+        when(col("n0") === col("tied_x") || col("n0") === col("tied_y"),
+          lit(null).cast(LongType))
+          .otherwise(expr("""cast(round(
+            |  cast(concordant - discordant as double)
+            |  / sqrt(cast(n0 - tied_x as double) * cast(n0 - tied_y as double))
+            |  * 1000000) as bigint)""".stripMargin))
+          .as("tau_micros"))
+  }
+
+  /** Mahalanobis outlier screen over a 2-D measure pair — the
+    * correlation-aware upgrade of the MAD/z-score screens (a line item
+    * can be unremarkable in quantity AND price yet far off the
+    * quantity×price ridge). Moments (n, Σx, Σy, Σx², Σy², Σxy) are one
+    * DECIMAL(38,0) partial-agg pass over integer cents; the 2×2
+    * covariance inverse is closed-form inside ONE fixed-shape double
+    * expression per row, d² quantized to micros BEFORE the top-k, so
+    * the ordering is integer and the TakeOrderedAndProject cutoff
+    * cannot sit on a float boundary. Ties break on the row key.
+    */
+  def mahalanobisOutliers(df: DataFrame, xCol: String, yCol: String,
+                          idCols: Seq[String], k: Int = 20): DataFrame = {
+    val D = DecimalType(38, 0)
+    val base = df.select(
+      idCols.map(col) :+
+        expr(s"cast(round($xCol * 100) as bigint)").as("x_cents") :+
+        expr(s"cast(round($yCol * 100) as bigint)").as("y_cents"): _*)
+    val m = base.agg(count(lit(1)).as("n"),
+      sum(col("x_cents").cast(D)).as("sx"), sum(col("y_cents").cast(D)).as("sy"),
+      sum((col("x_cents").cast(D) * col("x_cents")).cast(D)).as("sxx"),
+      sum((col("y_cents").cast(D) * col("y_cents")).cast(D)).as("syy"),
+      sum((col("x_cents").cast(D) * col("y_cents")).cast(D)).as("sxy"))
+    val scored = base.crossJoin(broadcast(m))
+      .withColumn("d2_micros", expr(
+        """cast(round((
+          |  (cast(syy as double) / cast(n as double)
+          |   - (cast(sy as double) / cast(n as double)) * (cast(sy as double) / cast(n as double)))
+          |  * (cast(x_cents as double) - cast(sx as double) / cast(n as double))
+          |  * (cast(x_cents as double) - cast(sx as double) / cast(n as double))
+          |  - 2.0d * (cast(sxy as double) / cast(n as double)
+          |   - (cast(sx as double) / cast(n as double)) * (cast(sy as double) / cast(n as double)))
+          |  * (cast(x_cents as double) - cast(sx as double) / cast(n as double))
+          |  * (cast(y_cents as double) - cast(sy as double) / cast(n as double))
+          |  + (cast(sxx as double) / cast(n as double)
+          |   - (cast(sx as double) / cast(n as double)) * (cast(sx as double) / cast(n as double)))
+          |  * (cast(y_cents as double) - cast(sy as double) / cast(n as double))
+          |  * (cast(y_cents as double) - cast(sy as double) / cast(n as double))
+          |) / (
+          |  (cast(sxx as double) / cast(n as double)
+          |   - (cast(sx as double) / cast(n as double)) * (cast(sx as double) / cast(n as double)))
+          |  * (cast(syy as double) / cast(n as double)
+          |   - (cast(sy as double) / cast(n as double)) * (cast(sy as double) / cast(n as double)))
+          |  - (cast(sxy as double) / cast(n as double)
+          |   - (cast(sx as double) / cast(n as double)) * (cast(sy as double) / cast(n as double)))
+          |  * (cast(sxy as double) / cast(n as double)
+          |   - (cast(sx as double) / cast(n as double)) * (cast(sy as double) / cast(n as double)))
+          |) * 1000000) as bigint)""".stripMargin))
+    scored
+      .select(idCols.map(col) :+ col("x_cents") :+ col("y_cents") :+ col("d2_micros"): _*)
+      .orderBy(col("d2_micros").desc +: idCols.map(col): _*)
+      .limit(k)
+  }
+
+  /** t-closeness audit (Li et al. 2007) — completes the k-anonymity /
+    * l-diversity privacy triad: per quasi-identifier group, the earth
+    * mover's distance between the group's SENSITIVE-attribute
+    * distribution and the global one over an ordered, equi-width binned
+    * domain (EMD over ordered bins = mean |ΔCDF|). All mass arithmetic
+    * is integer: bin counts cumulate per group over the ~b-row bin
+    * dimension, the CDF gap |cumP·n − cumQ·n_g| rides DECIMAL(38,0),
+    * and ONE double division yields t in ppm. Shape: one partial-agg
+    * shuffle to the (group × bin) grid; the zero-filled grid comes from
+    * a bins × groups cross of two broadcast-scale dimensions.
+    */
+  def tClosenessAudit(df: DataFrame, groupCol: String, valCol: String,
+                      binWidthCents: Long = 100000L): DataFrame = {
+    val D = DecimalType(38, 0)
+    val cents = df.select(col(groupCol).as("g"),
+      expr(s"cast(round($valCol * 100) as bigint)").as("v"))
+    val mn = cents.agg(min(col("v")).as("mn"))
+    val binned = cents.crossJoin(broadcast(mn))
+      .select(col("g"), expr(s"(v - mn) div $binWidthCents").as("bin"))
+    val obs = binned.groupBy(col("g"), col("bin")).agg(count(lit(1)).as("cnt"))
+    val bins = obs.select(col("bin")).distinct()
+    val groups = obs.groupBy(col("g")).agg(sum(col("cnt")).as("n_g"))
+    val grid = groups.crossJoin(broadcast(bins))
+      .join(obs, Seq("g", "bin"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val tot = binned.groupBy(col("bin")).agg(count(lit(1)).as("q_cnt"))
+    val nAll = binned.agg(count(lit(1)).as("n"), countDistinct(col("bin")).as("b"))
+    val wG = Window.partitionBy(col("g")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wQ = Window.partitionBy(lit(0)).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumQ = tot.withColumn("cum_q", sum(col("q_cnt")).over(wQ))
+      .select(col("bin"), col("cum_q"))
+    grid
+      .withColumn("cum_p", sum(col("cnt")).over(wG))
+      .join(broadcast(cumQ), Seq("bin"))
+      .crossJoin(broadcast(nAll))
+      .groupBy(col("g"), col("n_g"))
+      .agg(max(col("n")).as("n"), max(col("b")).as("b"),
+        sum(abs(col("cum_p").cast(D) * col("n") - col("cum_q").cast(D) * col("n_g"))
+          .cast(D)).as("gap"))
+      .select(col("g").as(groupCol), col("n_g"),
+        when(col("b") <= 1, lit(0L))
+          .otherwise(expr("""cast(round(cast(gap as double)
+            | / (cast(n_g as double) * cast(n as double) * cast(b - 1 as double))
+            | * 1000000) as bigint)""".stripMargin))
+          .as("t_ppm"))
+  }
 }

@@ -329,6 +329,30 @@ object TextOps {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
 
+  /** Good–Turing frequency-of-frequencies table (Good 1953) — the
+    * smoothing read behind every count-based LM estimate: N_c = how many
+    * token types occur exactly c times, and the adjusted count
+    * c* = (c+1)·N_{c+1}/N_c that reallocates mass toward unseen events.
+    * Scale shape: the corpus collapses to the type-frequency table
+    * ([[termFrequencies]], one partial-agg shuffle), then to the ≤
+    * max-count-row N_c profile; the c↔c+1 self-join runs on that tiny
+    * frame. c* is ONE double ratio over exact integers, in micros; NULL
+    * where N_{c+1} is empty (the estimator is undefined there, which
+    * both engines agree on via the left join).
+    */
+  def goodTuringCounts(documents: DataFrame, maxC: Int = 10): DataFrame = {
+    val foff = termFrequencies(documents)
+      .groupBy(col("n").as("c")).agg(count(lit(1)).as("n_c"))
+    val next = foff.select((col("c") - 1).as("c"), col("n_c").as("n_c1"))
+    foff.filter(col("c") <= maxC)
+      .join(next, Seq("c"), "left")
+      .select(col("c"), col("n_c"),
+        when(col("n_c1").isNull, lit(null).cast(LongType))
+          .otherwise(expr("""cast(round(cast(c + 1 as double) * cast(n_c1 as double)
+            | / cast(n_c as double) * 1000000) as bigint)""".stripMargin))
+          .as("c_star_micros"))
+  }
+
   /** Word2vec-style negative-sampling table — the unigram^0.75
     * distribution (Mikolov et al. 2013) materialized as cumulative
     * ranges: weight(w) ∝ count(w)^0.75 (the exponent that damps stop

@@ -1657,4 +1657,25 @@ class DedupTextOpsSpec extends SparkSpec {
     assert((gp.getLong(1), gp.getLong(2), gp.getLong(3)) ==
       ((1000000L, 1000000L, 1000000L)), gp.toString)
   }
+
+  test("goodTuringCounts: N_c tallies type frequencies; c* = (c+1)N_{c+1}/N_c; " +
+       "missing N_{c+1} yields NULL") {
+    // corpus: 4 singletons, 2 doubletons, 1 tripleton
+    //   N_1 = 4, N_2 = 2, N_3 = 1
+    val docs = Seq(
+      (1L, "a b c d e e f f g g g"),
+      (2L, "e f g")).toDF("doc_id", "text")
+    // counts: a b c d =1 (4 types); e f = 3 each... recompute:
+    // e: 2+1=3, f: 2+1=3, g: 3+1=4 -> N_1=4 (a b c d), N_3=2 (e f), N_4=1 (g)
+    val got = TextOps.goodTuringCounts(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got(1L)._1 == 4L && got(3L)._1 == 2L && got(4L)._1 == 1L)
+    // c* for c=3: (3+1) * N_4 / N_3 = 4 * 1 / 2 = 2.0 -> 2_000_000 micros
+    assert(got(3L)._2.contains(2000000L), got.toString)
+    // c=1 has no N_2 -> NULL estimator
+    assert(got(1L)._2.isEmpty, got.toString)
+    // c=4 is the max count: no N_5 -> NULL
+    assert(got(4L)._2.isEmpty)
+  }
 }

@@ -310,4 +310,70 @@ class StatsOpsSpec extends SparkSpec {
     val ra = StatsOps.psi(apart, "price", "is_ref").head()
     assert(ra.getLong(2) > 200000L && ra.getBoolean(3), ra.toString)
   }
+
+  test("mannWhitneyU: symmetric groups give z = 0; a stochastically " +
+       "dominant group gives z > 0; half-unit U matches the closed form") {
+    // identical distributions interleaved: U1 = n1*n2/2 exactly -> z = 0
+    val same = ((1 to 20).map(i => ("a", i * 10.0)) ++
+      (1 to 20).map(i => ("b", i * 10.0))).toDF("g", "v")
+    val r0 = StatsOps.mannWhitneyU(same, "g", "v", "a", "b").head()
+    assert(r0.getAs[Long]("n1") == 20L && r0.getAs[Long]("n2") == 20L)
+    // u1_half = 2*U1 = n1*n2 when distributions coincide
+    assert(r0.getAs[Long]("u1_half") == 400L, r0.toString)
+    assert(r0.getAs[Long]("z_micros") == 0L)
+    // every a-value above every b-value: U1 = n1*n2 (maximal), z > 0
+    val apart = ((1 to 10).map(i => ("a", 1000.0 + i)) ++
+      (1 to 10).map(i => ("b", i * 1.0))).toDF("g", "v")
+    val r1 = StatsOps.mannWhitneyU(apart, "g", "v", "a", "b").head()
+    assert(r1.getAs[Long]("u1_half") == 200L, "2*U1 = 2*n1*n2")
+    assert(r1.getAs[Long]("z_micros") > 3000000L, "beyond 3 sigma")
+    // all-tied degenerate frame: variance 0 -> NULL z, not a crash
+    val tied = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0)).toDF("g", "v")
+    assert(StatsOps.mannWhitneyU(tied, "g", "v", "a", "b").head().isNullAt(3))
+  }
+
+  test("kendallTau: +1 on a monotone profile, -1 on a reversed one, " +
+       "ties shrink the denominator (tau-b)") {
+    val up = (1 to 10).map(i => (i, i * 2L, i * 100L)).toDF("k", "x", "y")
+    assert(StatsOps.kendallTau(up, "k", "x", "y").head()
+      .getAs[Long]("tau_micros") == 1000000L)
+    val down = (1 to 10).map(i => (i, i * 2L, -i * 100L)).toDF("k", "x", "y")
+    assert(StatsOps.kendallTau(down, "k", "x", "y").head()
+      .getAs[Long]("tau_micros") == -1000000L)
+    // one tied x pair among 3 keys: n0 = 3, C = 2, D = 0, T_x = 1
+    // tau-b = 2 / sqrt(2 * 3) ~ 0.816497
+    val tie = Seq((1, 1L, 1L), (2, 1L, 2L), (3, 2L, 3L)).toDF("k", "x", "y")
+    assert(StatsOps.kendallTau(tie, "k", "x", "y").head()
+      .getAs[Long]("tau_micros") == 816497L)
+  }
+
+  test("mahalanobisOutliers: the off-ridge point wins even when an " +
+       "on-ridge point is farther in euclidean terms") {
+    // ridge y = x; (60, 0) breaks the correlation, (100, 100) rides it
+    val pts = ((1 to 50).map(i => (i.toLong, 1, i * 1.0, i * 1.0)) ++
+      Seq((98L, 1, 100.0, 100.0), (99L, 1, 60.0, 0.0)))
+      .toDF("id", "ln", "x", "y")
+    val top = StatsOps.mahalanobisOutliers(pts, "x", "y", Seq("id", "ln"), k = 3)
+      .collect()
+    assert(top.head.getAs[Long]("id") == 99L,
+      s"off-ridge point should lead: ${top.mkString(";")}")
+    // d2 ordering is integer micros; ties break on the id
+    assert(top.map(_.getAs[Long]("d2_micros")).toSeq ==
+      top.map(_.getAs[Long]("d2_micros")).sortBy(-_).toSeq)
+  }
+
+  test("tClosenessAudit: a group matching the global mix scores ~0; a " +
+       "group concentrated in one tail scores high") {
+    // dominant group 'm' uniform over 4 bins (so the global mix is close
+    // to it); small group 'z' concentrated in bin 0 (far from global) —
+    // equal-sized mirror groups would score identically, EMD being
+    // measured against the POOLED distribution both contribute to
+    val rows = (for { b <- 0 to 3; _ <- 1 to 10 } yield ("m", b * 1000.0 + 1)) ++
+      (1 to 8).map(_ => ("z", 1.0))
+    val got = StatsOps.tClosenessAudit(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("t_ppm")).toMap
+    assert(got("z") > got("m"), got.toString)
+    assert(got("z") > 300000L, "tail-concentrated group is far from global")
+    assert(got("m") < 200000L, "mirroring group is near the global mix")
+  }
 }
