@@ -1408,6 +1408,26 @@ object SparkEntry {
     // exact p50/p90/p99 session durations via the sharded global rank
     "session_duration_profile" -> ((s, d) =>
       EventOps.sessionDurationProfile(t(s, d, "events"))),
+    // watermark planner: event-time lateness behind the arrival-order
+    // high-water mark, bucketed per event type
+    "lateness_profile" -> ((s, d) => EventOps.latenessProfile(t(s, d, "events"))),
+    // trailing 6-month OLS slope of monthly purchase revenue
+    "rolling_regression_slope" -> ((s, d) =>
+      EventOps.rollingRegressionSlope(t(s, d, "events"))),
+    // running-mean drift statistic (vs cusum's fixed reference)
+    "page_hinkley" -> ((s, d) => EventOps.pageHinkley(t(s, d, "events"))),
+    // leaderboard churn: RBO between consecutive months' top-10 parts
+    "rbo_topk_stability" -> ((s, d) =>
+      RelationalOps.rboTopkStability(t(s, d, "lineitem"))),
+    // AP audit: same customer, same amount, within 7 days
+    "duplicate_payment_screen" -> ((s, d) =>
+      RelationalOps.duplicatePaymentScreen(t(s, d, "orders"))),
+    // monotone-trend significance over the monthly revenue series
+    "mann_kendall_trend" -> ((s, d) => StatsOps.mannKendallTrend(
+      t(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast(DateType).as("month"))
+        .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("rev_cents")),
+      "month", "rev_cents")),
     // nonparametric two-sample location test: urgent vs low order prices
     "mann_whitney_u" -> ((s, d) => StatsOps.mannWhitneyU(
       t(s, d, "orders"), "o_orderpriority", "o_totalprice", "1-URGENT", "5-LOW")),
@@ -3988,6 +4008,136 @@ object SparkEntry {
         |  ) AS BIGINT)) AS BIGINT) AS chi2_micros
         |FROM grid CROSS JOIN nn
         |GROUP BY 1, 2""".stripMargin,
+
+    // lateness replay: running max over the arrival order (event_id),
+    // micros end to end, shared bucket bounds
+    "lateness_profile" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |s AS (SELECT event_type, ts_us,
+        |      MAX(ts_us) OVER (ORDER BY event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM e),
+        |l AS (SELECT event_type,
+        |      greatest(coalesce(prev_max - ts_us, 0), 0) AS late_us FROM s),
+        |b AS (SELECT event_type, late_us,
+        |      CASE WHEN late_us = 0 THEN 0
+        |           WHEN late_us <= 60000000 THEN 1
+        |           WHEN late_us <= 3600000000 THEN 2
+        |           WHEN late_us <= 86400000000 THEN 3 ELSE 4 END AS bucket FROM l),
+        |c AS (SELECT event_type, bucket, COUNT(*) AS n_events,
+        |      CAST(MAX(late_us) AS BIGINT) AS max_late_us FROM b GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS n_type FROM c GROUP BY 1)
+        |SELECT c.event_type, CAST(bucket AS INTEGER) AS bucket,
+        |  CAST(n_events AS BIGINT) AS n_events, max_late_us,
+        |  CAST((n_events * 1000000 + n_type // 2) // n_type AS BIGINT) AS share_ppm
+        |FROM c JOIN t ON c.event_type = t.event_type""".stripMargin,
+
+    "rolling_regression_slope" ->
+      """WITH m AS (SELECT CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE) AS month,
+        |      CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |mx AS (SELECT month, y,
+        |      CAST(datediff('month', DATE '1995-01-01', month) AS BIGINT) AS x FROM m),
+        |w AS (SELECT month, y,
+        |      COUNT(*) OVER win AS n,
+        |      CAST(SUM(x) OVER win AS BIGINT) AS sx,
+        |      SUM(CAST(y AS HUGEINT)) OVER win AS sy,
+        |      SUM(CAST(x AS HUGEINT) * y) OVER win AS sxy,
+        |      CAST(SUM(x * x) OVER win AS BIGINT) AS sxx
+        |      FROM mx
+        |      WINDOW win AS (ORDER BY month ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+        |SELECT month, y AS rev_cents, n AS n_win,
+        |  CASE WHEN n * sxx = sx * sx THEN NULL
+        |  ELSE CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) AS BIGINT)
+        |  END AS slope_micros
+        |FROM w""".stripMargin,
+
+    // PH replay: per-day deviation from the running mean quantized to
+    // integer micro-cents before the cumulative and its running min
+    "page_hinkley" ->
+      """WITH d AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |      CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |t AS (SELECT day, x,
+        |      CAST(round((CAST(x AS DOUBLE)
+        |        - CAST(SUM(x) OVER win AS DOUBLE) / CAST(COUNT(*) OVER win AS DOUBLE))
+        |        * 1000000) AS BIGINT) AS term_micros
+        |      FROM d
+        |      WINDOW win AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT day, x,
+        |      CAST(SUM(term_micros) OVER win AS BIGINT) AS mt_micros
+        |      FROM t
+        |      WINDOW win AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT day, x AS rev_cents, mt_micros,
+        |  CAST(mt_micros - MIN(mt_micros) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ph_micros
+        |FROM m""".stripMargin,
+
+    // RBO replay: pinned ppb depth weights, per-depth half-up integer
+    // division by d, agreements from the month-pair x depth grid
+    "rbo_topk_stability" ->
+      """WITH mo AS (SELECT CAST(date_trunc('month', CAST(l_shipdate AS TIMESTAMP)) AS DATE) AS month,
+        |      l_partkey,
+        |      CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS cents
+        |      FROM lineitem GROUP BY 1, 2),
+        |rk AS (SELECT month, l_partkey,
+        |      row_number() OVER (PARTITION BY month ORDER BY cents DESC, l_partkey) AS rk
+        |      FROM mo QUALIFY rk <= 10),
+        |pairs AS (SELECT a.month AS month_a, b.month AS month_b
+        |      FROM (SELECT DISTINCT month FROM rk) a
+        |      JOIN (SELECT DISTINCT month FROM rk) b
+        |        ON b.month = CAST(a.month + INTERVAL 1 MONTH AS DATE)),
+        |agree AS (SELECT a.month AS month_a, b.month AS month_b,
+        |      greatest(a.rk, b.rk) AS depth_in
+        |      FROM rk a JOIN rk b ON b.month = CAST(a.month + INTERVAL 1 MONTH AS DATE)
+        |       AND a.l_partkey = b.l_partkey),
+        |wts AS (SELECT * FROM (VALUES (1, 100000000), (2, 90000000), (3, 81000000),
+        |      (4, 72900000), (5, 65610000), (6, 59049000), (7, 53144100),
+        |      (8, 47829690), (9, 43046721), (10, 38742049)) AS w(d, w_ppb)),
+        |grid AS (SELECT month_a, month_b, d, w_ppb FROM pairs CROSS JOIN wts),
+        |ad AS (SELECT g.month_a, g.month_b, g.d, g.w_ppb,
+        |      CAST(coalesce(SUM(CASE WHEN a.depth_in <= g.d THEN 1 ELSE 0 END), 0) AS BIGINT) AS a_d
+        |      FROM grid g LEFT JOIN agree a
+        |        ON a.month_a = g.month_a AND a.month_b = g.month_b
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT month_a, month_b,
+        |  CAST(MAX(CASE WHEN d = 10 THEN a_d END) AS BIGINT) AS overlap_k,
+        |  CAST(SUM((w_ppb * a_d + d // 2) // d) AS BIGINT) AS rbo_ppb
+        |FROM ad GROUP BY 1, 2""".stripMargin,
+
+    "duplicate_payment_screen" ->
+      """WITH b AS (SELECT o_custkey, o_orderkey,
+        |      CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |      CAST(o_orderdate AS DATE) AS d FROM orders)
+        |SELECT a.o_custkey, a.o_orderkey AS key_a, c.o_orderkey AS key_b, a.cents,
+        |  CAST(abs(datediff('day', a.d, c.d)) AS BIGINT) AS gap_days
+        |FROM b a JOIN b c ON a.o_custkey = c.o_custkey AND a.cents = c.cents
+        |WHERE a.o_orderkey < c.o_orderkey
+        |  AND abs(datediff('day', a.d, c.d)) <= 7""".stripMargin,
+
+    "mann_kendall_trend" ->
+      """WITH m AS (SELECT CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS DATE) AS k,
+        |      CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+        |      FROM orders GROUP BY 1),
+        |p AS (SELECT CAST(coalesce(SUM(CASE WHEN b.x > a.x THEN 1
+        |        WHEN b.x < a.x THEN -1 ELSE 0 END), 0) AS BIGINT) AS s_stat
+        |      FROM m a JOIN m b ON a.k < b.k),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM m),
+        |tt AS (SELECT CAST(coalesce(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+        |      FROM (SELECT COUNT(*) AS t FROM m GROUP BY x))
+        |SELECT n, s_stat,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) * CAST(2 * n + 5 AS DOUBLE)
+        |        - CAST(tie_term AS DOUBLE) <= 0.0 THEN NULL
+        |  ELSE CAST(round(
+        |    (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+        |          WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+        |          ELSE 0.0 END)
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) * CAST(2 * n + 5 AS DOUBLE)
+        |            - CAST(tie_term AS DOUBLE)) / 18.0)
+        |    * 1000000) AS BIGINT)
+        |  END AS z_micros
+        |FROM p CROSS JOIN nn CROSS JOIN tt""".stripMargin,
 
     // Mann-Whitney replay: avg ranks in half-units from the per-value
     // cumulative, tie term as HUGEINT, one fixed-shape double z at the end

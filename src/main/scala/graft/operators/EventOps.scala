@@ -1513,4 +1513,97 @@ object EventOps {
         countDistinct(col("user_id")).as("n_users"),
         min(col("day")).as("from_day"), max(col("day")).as("to_day"))
   }
+
+  /** Event-time lateness profile — the WATERMARK PLANNER: how far behind
+    * the running event-time high-water mark does each event arrive, in
+    * arrival order (event_id — the append sequence both engines share)?
+    * The bucketed histogram per event type (on-time / ≤1 min / ≤1 h /
+    * ≤1 day / beyond) is exactly the evidence a streaming deploy needs
+    * to pick `withWatermark`'s delay: the smallest bucket bound covering
+    * ~all mass is the delay that loses ~nothing. The running max is the
+    * sharded prefix-max ([[ShardedOrder.withRunningMax]]) — never a
+    * one-reducer global window over the fact stream; lateness stays in
+    * exact integer micros.
+    */
+  def latenessProfile(events: DataFrame): DataFrame = {
+    val base = events.select(col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+    val scanned = ShardedOrder.withRunningMax(
+      base, col("ts_us"), "prev_max", 32, col("event_id"))
+    val bucketed = scanned.select(col("event_type"),
+      greatest(coalesce(col("prev_max") - col("ts_us"), lit(0L)), lit(0L)).as("late_us"))
+      .select(col("event_type"), col("late_us"),
+        when(col("late_us") === 0, 0)
+          .when(col("late_us") <= 60L * 1000000L, 1)
+          .when(col("late_us") <= 3600L * 1000000L, 2)
+          .when(col("late_us") <= 86400L * 1000000L, 3)
+          .otherwise(4).as("bucket"))
+    val counts = bucketed.groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n_events"), max(col("late_us")).as("max_late_us"))
+    val tot = counts.groupBy(col("event_type")).agg(sum(col("n_events")).as("n_type"))
+    counts.join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"), col("bucket").cast(IntegerType).as("bucket"),
+        col("n_events"), col("max_late_us"),
+        expr("(n_events * 1000000 + n_type div 2) div n_type").as("share_ppm"))
+  }
+
+  /** Trailing 6-month OLS revenue slope — the momentum read between
+    * [[rollingCorr]] (co-movement) and [[EventOps]]' Theil–Sen (global
+    * robust trend): per month, the least-squares slope of revenue cents
+    * on the month index over the trailing window. Window sums are exact
+    * integers over the month DIMENSION (constant-key window over ≤ a few
+    * hundred rows — the repo idiom for series frames); the slope is ONE
+    * double ratio of the integer normal-equation terms, in micros of
+    * cents/month. NULL until the window has two distinct x (den = 0).
+    */
+  def rollingRegressionSlope(events: DataFrame, window: Int = 6): DataFrame = {
+    val D = DecimalType(38, 0)
+    val monthly = events.filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("month", col("ts")).cast(DateType).as("month"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("y"))
+      .withColumn("x",
+        months_between(col("month"), lit("1995-01-01").cast(DateType)).cast(LongType))
+    val w = Window.partitionBy(pmod(col("x"), lit(1))).orderBy(col("month"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    monthly
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y").cast(D)).over(w))
+      .withColumn("sxy", sum((col("x").cast(D) * col("y")).cast(D)).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .select(col("month"), col("y").as("rev_cents"), col("n").as("n_win"),
+        when(col("n") * col("sxx") === col("sx") * col("sx"), lit(null).cast(LongType))
+          .otherwise(expr("""cast(round(
+            |  cast(n * sxy - sx * sy as double)
+            |  / cast(n * sxx - sx * sx as double) * 1000000) as bigint)""".stripMargin))
+          .as("slope_micros"))
+  }
+
+  /** Page–Hinkley drift statistic over the daily revenue series (Page
+    * 1954; the sequential-analysis sibling of [[cusumChangepoint]], which
+    * tests against a FIXED reference mean — PH tracks the RUNNING mean,
+    * so it fires on slow drifts CUSUM's fixed baseline absorbs). Per day:
+    * deviation from the running mean quantized to integer micro-cents
+    * (one fixed-shape double per row — the running mean is the only
+    * rational), then integer cumulative m_t and its running minimum; the
+    * monitor's alarm statistic is the gap ph = m_t − min m. Series
+    * windows ride the constant-key idiom over the day dimension.
+    */
+  def pageHinkley(events: DataFrame): DataFrame = {
+    val daily = events.filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("x"))
+    val wc = Window.partitionBy(pmod(col("x"), lit(1))).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("i", count(lit(1)).over(wc))
+      .withColumn("cs", sum(col("x")).over(wc))
+      .withColumn("term_micros", expr(
+        """cast(round((cast(x as double) - cast(cs as double) / cast(i as double))
+          | * 1000000) as bigint)""".stripMargin))
+      .withColumn("mt_micros", sum(col("term_micros")).over(wc))
+      .withColumn("min_mt", min(col("mt_micros")).over(wc))
+      .select(col("day"), col("x").as("rev_cents"), col("mt_micros"),
+        (col("mt_micros") - col("min_mt")).as("ph_micros"))
+  }
 }

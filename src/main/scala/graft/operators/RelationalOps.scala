@@ -1188,4 +1188,75 @@ object RelationalOps {
       .select(col("n").as("n_customers"), col("k_top"),
         expr("(s_top * 1000000 + s_tot div 2) div s_tot").as("top_share_ppm"))
   }
+
+  /** Rank-biased overlap (Webber, Moffat & Zobel 2010) between consecutive
+    * months' top-k part leaderboards — the leaderboard-churn monitor: how
+    * stable is "what sells" month over month, weighted so that swaps near
+    * rank 1 cost more than swaps near rank k. Truncated RBO@k with p = 0.9:
+    * Σ_d (1−p)p^{d−1}·|S_d ∩ T_d|/d over d ≤ k. The depth weights are
+    * PINNED integer ppb constants (the repo's Shapley/MMR discipline —
+    * no pow() at eval time), agreements are exact integers from the
+    * month-pair × depth grid, every per-depth term half-up integer-divides
+    * by d: the whole statistic is integer arithmetic end to end. Scale
+    * shape: facts collapse to (month × part) partial aggs, ranks are
+    * per-month windows, and everything after runs on k-row-bounded frames.
+    */
+  def rboTopkStability(lineitem: DataFrame, k: Int = 10): DataFrame = {
+    require(k == 10, "depth-weight table is pinned for k = 10")
+    val weightsPpb = Seq(100000000L, 90000000L, 81000000L, 72900000L, 65610000L,
+      59049000L, 53144100L, 47829690L, 43046721L, 38742049L)
+    val monthly = lineitem
+      .groupBy(date_trunc("month", col("l_shipdate")).cast(DateType).as("month"),
+        col("l_partkey"))
+      .agg(sum(expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
+        .as("cents"))
+    val wm = Window.partitionBy(col("month")).orderBy(col("cents").desc, col("l_partkey"))
+    val ranked = monthly.withColumn("rk", row_number().over(wm)).filter(col("rk") <= k)
+      .select(col("month"), col("l_partkey"), col("rk"))
+    val pairs = ranked.select(col("month").as("month_a")).distinct()
+      .join(ranked.select(col("month").as("month_b")).distinct(),
+        col("month_b") === add_months(col("month_a"), 1))
+    val agree = ranked.select(col("month").as("month_a"), col("l_partkey").as("pka"),
+        col("rk").as("ra"))
+      .join(ranked.select(col("month").as("month_b"), col("l_partkey").as("pkb"),
+        col("rk").as("rb")),
+        col("month_b") === add_months(col("month_a"), 1) && col("pka") === col("pkb"))
+      .select(col("month_a"), col("month_b"), greatest(col("ra"), col("rb")).as("depth_in"))
+    val depths = pairs.select(col("month_a"), col("month_b"),
+      explode(sequence(lit(1), lit(k))).as("d"))
+    val wArr = array(weightsPpb.map(lit): _*)
+    depths
+      .join(agree, Seq("month_a", "month_b"), "left")
+      .groupBy(col("month_a"), col("month_b"), col("d"))
+      .agg(sum(when(col("depth_in") <= col("d"), 1L).otherwise(0L)).as("a_d"))
+      .select(col("month_a"), col("month_b"), col("d"),
+        coalesce(col("a_d"), lit(0L)).as("a_d"),
+        element_at(wArr, col("d")).as("w_ppb"))
+      .groupBy(col("month_a"), col("month_b"))
+      .agg(max(when(col("d") === k, col("a_d"))).as("overlap_k"),
+        sum(expr("(w_ppb * a_d + d div 2) div d")).as("rbo_ppb"))
+  }
+
+  /** Duplicate-payment screen — the classic AP-audit read: two orders by
+    * the SAME customer for the SAME amount within a gap window are
+    * double-billing candidates. Pure equi-join on (custkey, exact cents)
+    * with the date band as a residual filter — the join never degenerates
+    * to a cross product, and amount equality does the heavy pruning
+    * (same shape as the fraud screens' blocked self-joins). Pair
+    * canonicalization a < b on the order key.
+    */
+  def duplicatePaymentScreen(orders: DataFrame, maxGapDays: Int = 7): DataFrame = {
+    val base = orders.select(col("o_custkey"),
+      col("o_orderkey"),
+      expr("cast(round(o_totalprice * 100) as bigint)").as("cents"),
+      col("o_orderdate").cast(DateType).as("d"))
+    base.select(col("o_custkey"), col("o_orderkey").as("key_a"), col("cents"),
+        col("d").as("da"))
+      .join(base.select(col("o_custkey"), col("o_orderkey").as("key_b"), col("cents"),
+        col("d").as("db")), Seq("o_custkey", "cents"))
+      .filter(col("key_a") < col("key_b") &&
+        abs(datediff(col("db"), col("da"))) <= maxGapDays)
+      .select(col("o_custkey"), col("key_a"), col("key_b"), col("cents"),
+        abs(datediff(col("db"), col("da"))).cast(LongType).as("gap_days"))
+  }
 }

@@ -692,6 +692,37 @@ object StatsOps {
           .as("tau_micros"))
   }
 
+  /** Mann–Kendall trend test over a KEYED DIMENSION-SCALE series — the
+    * significance companion to the Theil–Sen slope (Sen's estimator says
+    * how steep; MK says whether the monotone trend is real):
+    * S = Σ_{i<j} sign(x_j − x_i), Var(S) = (n(n−1)(2n+5) − Σt(t−1)(2t+5))/18,
+    * z with the ±1 continuity correction. Pair grid over the series
+    * dimension (months — same n² contract as [[kendallTau]]), S and the
+    * tie term exact integers, one fixed-shape double z at the end.
+    */
+  def mannKendallTrend(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val base = df.select(col(keyCol).as("k"), col(valCol).as("x"))
+    val s = base.select(col("k").as("ka"), col("x").as("xa"))
+      .join(base.select(col("k").as("kb"), col("x").as("xb")), col("ka") < col("kb"))
+      .agg(coalesce(sum(when(col("xb") > col("xa"), 1L)
+        .when(col("xb") < col("xa"), -1L).otherwise(0L)), lit(0L)).as("s_stat"))
+    val n = base.agg(count(lit(1)).as("n"))
+    val ties = base.groupBy(col("x")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L)).as("tie_term"))
+    s.crossJoin(n).crossJoin(ties)
+      .select(col("n"), col("s_stat"),
+        when(expr("""cast(n as double) * cast(n - 1 as double) * cast(2 * n + 5 as double)
+          | - cast(tie_term as double)""".stripMargin) <= 0.0, lit(null).cast(LongType))
+          .otherwise(expr("""cast(round(
+            |  (case when s_stat > 0 then cast(s_stat - 1 as double)
+            |        when s_stat < 0 then cast(s_stat + 1 as double)
+            |        else 0.0d end)
+            |  / sqrt((cast(n as double) * cast(n - 1 as double) * cast(2 * n + 5 as double)
+            |          - cast(tie_term as double)) / 18.0d)
+            |  * 1000000) as bigint)""".stripMargin))
+          .as("z_micros"))
+  }
+
   /** Mahalanobis outlier screen over a 2-D measure pair — the
     * correlation-aware upgrade of the MAD/z-score screens (a line item
     * can be unremarkable in quantity AND price yet far off the

@@ -872,4 +872,59 @@ class EventOpsSpec extends SparkSpec {
     assert(got.getLong(2) == expQ, s"${got.getLong(2)} vs $expQ")
     assert(got.getBoolean(3), "ramp must reject white noise")
   }
+
+  test("latenessProfile: on-time events land in bucket 0, a late event " +
+       "buckets by its gap behind the high-water mark, shares sum to 1e6") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    def ev(id: Long, t: String) = (id, ts(t), 1L, "view", 1.0, "{}")
+    val e = Seq(
+      ev(1, "2024-01-01 10:00:00"),          // first: on time by definition
+      ev(2, "2024-01-01 11:00:00"),          // new max: on time
+      ev(3, "2024-01-01 10:59:30"),          // 30 s late -> bucket 1
+      ev(4, "2024-01-01 10:30:00"),          // 30 min late -> bucket 2
+      ev(5, "2023-12-30 11:00:00"))          // ~2 days late -> bucket 4
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.latenessProfile(e).collect()
+      .map(r => r.getInt(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(0)._1 == 2L && got(0)._2 == 0L, got.toString)
+    assert(got(1) == ((1L, 30L * 1000000L, 200000L)), got.toString)
+    assert(got(2)._1 == 1L && got(2)._2 == 1800L * 1000000L)
+    assert(got(4)._1 == 1L, got.toString)
+    assert(got.values.map(_._3).sum == 1000000L, "shares are half-up ppm")
+  }
+
+  test("rollingRegressionSlope: a perfectly linear revenue ramp reads the " +
+       "exact slope; the first month has no slope (den = 0)") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // months 2024-01..06, revenue 100, 200, ... 600 dollars
+    val e = (1 to 6).map(m =>
+      (m.toLong, ts(f"2024-$m%02d-15 00:00:00"), 1L, "purchase", m * 100.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.rollingRegressionSlope(e).collect().sortBy(_.getDate(0).toString)
+    assert(got.head.isNullAt(3), "single-point window has no slope")
+    // all later windows see the exact 10000 cents/month ramp
+    got.tail.foreach { r =>
+      assert(r.getLong(3) == 10000L * 1000000L, r.toString) }
+    assert(got.last.getLong(2) == 6L, "trailing window caps at 6 months")
+  }
+
+  test("pageHinkley: a level shift makes ph rise from 0; the statistic " +
+       "replays the hand-computed first steps") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val e = (Seq.fill(10)(100.0) ++ Seq.fill(5)(200.0)).zipWithIndex.map {
+      case (v, i) => ((i + 1).toLong,
+        ts(f"2024-01-${i + 1}%02d 00:00:00"), 1L, "purchase", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.pageHinkley(e).collect().sortBy(_.getDate(0).toString)
+    // flat prefix: every term is 0, ph stays 0
+    assert(got.take(10).forall(r => r.getLong(3) == 0L), "flat series: ph = 0")
+    // day 11: x = 20000c, running mean = (10*10000+20000)/11 -> term > 0
+    assert(got(10).getLong(3) > 0L, got(10).toString)
+    // ph is nondecreasing through the shifted tail (mean lags the level)
+    val tail = got.drop(10).map(_.getLong(3))
+    assert(tail.zip(tail.tail).forall { case (a, b) => b >= a }, tail.toSeq.toString)
+  }
 }

@@ -553,4 +553,43 @@ class RelationalOpsSpec extends SparkSpec {
     // top 2 spend 1900 of 5500 -> (19e10 + 275e3) div 55e4 = 345455
     assert(r.getLong(2) == 345455L, r.toString)
   }
+
+  test("rboTopkStability: identical consecutive leaderboards read RBO@10 " +
+       "= sum of the pinned weights; disjoint ones read 0") {
+    import spark.implicits._
+    val d = java.sql.Timestamp.valueOf(_: String)
+    // months 1->2 identical top parts; month 3 disjoint from month 2
+    def li(pk: Long, month: Int, price: Double) =
+      (1L, pk, 1L, 1, 1.0, price, 0.0, 0.0, "N", "O", d(f"2024-$month%02d-10 00:00:00"))
+    val rows = (1 to 10).flatMap(i => Seq(
+      li(i, 1, 1000.0 - i), li(i, 2, 1000.0 - i), li(i + 100, 3, 1000.0 - i)))
+    val lineitem = rows.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    val got = RelationalOps.rboTopkStability(lineitem).collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(2), r.getLong(3)))).toMap
+    // identical lists: A_d = d at every depth, so each term is exactly
+    // w_d -> rbo = sum of the pinned weights = 651321560 ppb
+    assert(got("2024-01-01") == ((10L, 651321560L)), got.toString)
+    assert(got("2024-02-01") == ((0L, 0L)), got.toString)
+  }
+
+  test("duplicatePaymentScreen: flags same-customer same-cents pairs " +
+       "inside the gap window only, canonicalized a < b") {
+    import spark.implicits._
+    val d = java.sql.Timestamp.valueOf(_: String)
+    val orders = Seq(
+      (1L, 7L, "O", 500.00, d("2024-01-01 00:00:00"), "1-URGENT"),
+      (2L, 7L, "O", 500.00, d("2024-01-05 00:00:00"), "1-URGENT"), // dup of 1
+      (3L, 7L, "O", 500.00, d("2024-03-01 00:00:00"), "1-URGENT"), // outside gap
+      (4L, 8L, "O", 500.00, d("2024-01-02 00:00:00"), "1-URGENT"), // other cust
+      (5L, 7L, "O", 501.00, d("2024-01-02 00:00:00"), "1-URGENT")) // other amount
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val got = RelationalOps.duplicatePaymentScreen(orders).collect()
+    assert(got.length == 1, got.mkString(";"))
+    val r = got.head
+    assert(r.getLong(1) == 1L && r.getLong(2) == 2L && r.getLong(4) == 4L,
+      r.toString)
+  }
 }

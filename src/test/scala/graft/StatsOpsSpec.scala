@@ -347,6 +347,18 @@ class StatsOpsSpec extends SparkSpec {
       .getAs[Long]("tau_micros") == 816497L)
   }
 
+  test("mannKendallTrend: monotone series gives S = n(n-1)/2 and z > 0; " +
+       "constant series (all tied) goes NULL") {
+    val up = (1 to 10).map(i => (i, i * 100L)).toDF("k", "x")
+    val r = StatsOps.mannKendallTrend(up, "k", "x").head()
+    assert(r.getAs[Long]("s_stat") == 45L, r.toString)
+    // var = (10*9*25 - 0)/18 = 125; z = 44/sqrt(125) ~ 3.935480
+    assert(r.getAs[Long]("z_micros") == 3935480L, r.toString)
+    val flat = (1 to 10).map(i => (i, 7L)).toDF("k", "x")
+    val rf = StatsOps.mannKendallTrend(flat, "k", "x").head()
+    assert(rf.getAs[Long]("s_stat") == 0L && rf.isNullAt(2), rf.toString)
+  }
+
   test("mahalanobisOutliers: the off-ridge point wins even when an " +
        "on-ridge point is farther in euclidean terms") {
     // ridge y = x; (60, 0) breaks the correlation, (100, 100) rides it
