@@ -1408,6 +1408,12 @@ object SparkEntry {
     // exact p50/p90/p99 session durations via the sharded global rank
     "session_duration_profile" -> ((s, d) =>
       EventOps.sessionDurationProfile(t(s, d, "events"))),
+    // language-model retrieval face: Dirichlet-smoothed query likelihood
+    "qlm_topk" -> ((s, d) => TextOps.qlmTopK(t(s, d, "documents"))),
+    // top principal component of the embedding table via integer-state
+    // power iteration on the scaled covariance
+    "pca_top_component" -> ((s, d) =>
+      SimilarityOps.pcaTopComponent(t(s, d, "embeddings"))),
     // watermark planner: event-time lateness behind the arrival-order
     // high-water mark, bucketed per event type
     "lateness_profile" -> ((s, d) => EventOps.latenessProfile(t(s, d, "events"))),
@@ -2238,6 +2244,50 @@ object SparkEntry {
   private def duckProbeList(nBits: Int): String =
     ("bucket" +: (0 until nBits).map(j => s"xor(bucket, ${1 << j})"))
       .mkString("[", ", ", "]")
+
+  /** Power-iteration oracle for pca_top_component: the integer scaled
+    * covariance M = n·Σqqᵀ − ssᵀ, then `rounds` unrolled MATERIALIZED
+    * (u_k, x_k) CTE pairs replaying the engine's max-norm micros state
+    * exactly (the oracle-side spelling of the checkpoint-every-round
+    * loop rule).
+    */
+  private def pcaPowerOracle(rounds: Int): String = {
+    val iter = (1 to rounds).map { r =>
+      val prev = if (r == 1) "x0" else s"x${r - 1}"
+      s"""u$r AS MATERIALIZED (SELECT m.i, SUM(m.mv * $prev.x) AS u
+         |      FROM m JOIN $prev ON m.j = $prev.i GROUP BY 1),
+         |x$r AS MATERIALIZED (SELECT i,
+         |      CAST(CAST(round(CAST(u AS DOUBLE)
+         |        / CAST((SELECT MAX(abs(u)) FROM u$r) AS DOUBLE) * 1000000) AS BIGINT)
+         |        AS HUGEINT) AS x FROM u$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |qv AS (SELECT vec_id,
+       |      list_transform(emb, x -> CAST(round(x * 1000000) AS BIGINT)) AS q FROM v),
+       |ex AS (SELECT vec_id, i, q[i + 1] AS qq
+       |      FROM (SELECT vec_id, q, unnest(range(0, len(q))) AS i FROM qv)),
+       |gram AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+       |      SUM(CAST(a.qq AS HUGEINT) * b.qq) AS sqq
+       |      FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |sums AS (SELECT i, SUM(CAST(qq AS HUGEINT)) AS s FROM ex GROUP BY 1),
+       |nn AS (SELECT COUNT(*) AS n FROM embeddings),
+       |m AS MATERIALIZED (SELECT g.i, g.j, g.sqq * n - sa.s * sb.s AS mv
+       |      FROM gram g JOIN sums sa ON sa.i = g.i JOIN sums sb ON sb.i = g.j
+       |      CROSS JOIN nn),
+       |x0 AS (SELECT DISTINCT i, CAST(1000000 AS HUGEINT) AS x FROM m),
+       |$iter,
+       |vvv AS (SELECT SUM(x * x) AS vv FROM x$rounds),
+       |ray AS (SELECT SUM(CAST(round(CAST(mv AS DOUBLE) * CAST(xi.x AS DOUBLE)
+       |      * CAST(xj.x AS DOUBLE) / 1000000000000.0) AS HUGEINT)) AS vmv
+       |      FROM m JOIN x$rounds xj ON m.j = xj.i JOIN x$rounds xi ON m.i = xi.i),
+       |tr AS (SELECT SUM(mv) AS tr FROM m WHERE i = j)
+       |SELECT CAST(i AS INTEGER) AS dim,
+       |  CAST(round(CAST(x AS DOUBLE) / sqrt(CAST(vv AS DOUBLE)) * 1000000) AS BIGINT)
+       |    AS loading_micros,
+       |  CAST(round(CAST(vmv AS DOUBLE) / CAST(vv AS DOUBLE) / CAST(tr AS DOUBLE)
+       |    * 1.0e18) AS BIGINT) AS share_ppm
+       |FROM x$rounds CROSS JOIN vvv CROSS JOIN ray CROSS JOIN tr""".stripMargin
+  }
 
   /** Per-doc LSH band keys as a reusable CTE (`bands`) — shared by the
     * candidate-pair closure and the incremental corpus screen.
@@ -4008,6 +4058,35 @@ object SparkEntry {
         |  ) AS BIGINT)) AS BIGINT) AS chi2_micros
         |FROM grid CROSS JOIN nn
         |GROUP BY 1, 2""".stripMargin,
+
+    // QL replay: same three-sum decomposition, every ln term quantized
+    // to micros before any sum, same (score desc, doc_id) top-k
+    "qlm_topk" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+        |      FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
+        |tok AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_all FROM tok),
+        |cf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cf FROM tok
+        |      WHERE token IN ('spark', 'merge', 'window', 'query') GROUP BY 1),
+        |qn AS (SELECT CAST(COUNT(*) AS BIGINT) AS qn FROM cf),
+        |cons AS (SELECT CAST(SUM(CAST(round(ln(2000.0 * CAST(cf AS DOUBLE)
+        |      / CAST(t_all AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS c
+        |      FROM cf CROSS JOIN tot),
+        |hits AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+        |      WHERE token IN ('spark', 'merge', 'window', 'query') GROUP BY 1, 2),
+        |hs AS (SELECT h.doc_id, CAST(SUM(CAST(round(ln(1.0 + (CAST(tf AS DOUBLE)
+        |      * CAST(t_all AS DOUBLE)) / (2000.0 * CAST(cf AS DOUBLE)))
+        |      * 1000000) AS BIGINT)) AS BIGINT) AS hsum
+        |      FROM hits h JOIN cf USING (token) CROSS JOIN tot GROUP BY 1)
+        |SELECT h.doc_id,
+        |  CAST(hsum + c - round(CAST(qn AS DOUBLE) * ln(CAST(dl AS DOUBLE) + 2000.0)
+        |    * 1000000) AS BIGINT) AS qlm_micros
+        |FROM hs h JOIN dl USING (doc_id) CROSS JOIN cons CROSS JOIN qn
+        |ORDER BY qlm_micros DESC, h.doc_id
+        |LIMIT 20""".stripMargin,
+
+    "pca_top_component" -> pcaPowerOracle(8),
 
     // lateness replay: running max over the arrival order (event_id),
     // micros end to end, shared bucket bounds

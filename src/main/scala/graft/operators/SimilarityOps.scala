@@ -1346,4 +1346,82 @@ object SimilarityOps {
         expr("cast((sum(mse_p12) + count(1) div 2) div count(1) as bigint)")
           .as("avg_mse_p12"),
         max(col("mse_p12")).as("max_mse_p12"))
+
+  /** Top principal component of the embedding table by power iteration —
+    * the PCA-whitening / energy-concentration read an embedding pipeline
+    * wants before choosing PQ subspaces or RP dimensions. Entirely
+    * integer-state, so both engines replay it bit-for-bit:
+    *
+    *  - components quantize to micros; the SCALED covariance
+    *    M = n·Σqqᵀ − ssᵀ (s = component sums) is an exact integer matrix —
+    *    multiplying the usual covariance by n² dodges every mean division,
+    *    and power iteration is scale-invariant;
+    *  - Σqqᵀ comes from ONE corpus pass: each vector explodes its d²
+    *    outer-product terms inline (no self-join) into a (i, j) partial
+    *    agg — the shuffle carries d² rows per partition, not per vector;
+    *  - each of the `rounds` iterations is a d²-row matrix-vector product
+    *    (broadcast-joined on the d-row state) re-normalized to max-norm
+    *    micros via one fixed-shape double division per component (IEEE
+    *    div + round on identical integers — deterministic; an integer
+    *    `div` here would hit Spark's DECIMAL(38,0) IntegralDivide
+    *    precision cliff instead);
+    *  - the state frame checkpoints EVERY round (it feeds both the next
+    *    product and the norm — the repo's multi-reference loop rule).
+    *
+    * Output: per-dim L2-normalized loading in micros plus the
+    * explained-variance share λ/trace(M) in ppm (computed once from the
+    * Rayleigh quotient; per-term products quantize before the d²-row sum).
+    */
+  def pcaTopComponent(embeddings: DataFrame, rounds: Int = 8): DataFrame = {
+    val D = DecimalType(38, 0)
+    val q = embeddings.select(
+      expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))")
+        .as("q"))
+    val terms = q.select(expr(
+      """explode(flatten(transform(q, (xi, i) -> transform(q, (xj, j) ->
+        |  struct(i as i, j as j, xi * xj as qq)))))""".stripMargin).as("t"))
+      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.qq").as("qq"))
+    val gram = terms.groupBy(col("i"), col("j")).agg(sum(col("qq").cast(D)).as("sqq"))
+    val sums = q.select(posexplode(col("q")).as(Seq("i", "qv")))
+      .groupBy(col("i")).agg(sum(col("qv").cast(D)).as("s"))
+    val nRow = embeddings.agg(count(lit(1)).as("n"))
+    val m = gram
+      .join(sums.select(col("i"), col("s").as("si")), Seq("i"))
+      .join(sums.select(col("i").as("j"), col("s").as("sj")), Seq("j"))
+      .crossJoin(broadcast(nRow))
+      .select(col("i"), col("j"),
+        (col("sqq") * col("n") - col("si") * col("sj")).cast(D).as("mv"))
+      .localCheckpoint()
+    var v = m.select(col("i")).distinct()
+      .select(col("i"), lit(1000000L).cast(D).as("x"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val u = m.join(broadcast(v.select(col("i").as("j"), col("x"))), Seq("j"))
+        .groupBy(col("i")).agg(sum((col("mv") * col("x")).cast(D)).as("u"))
+      val mx = u.agg(max(abs(col("u"))).as("mx"))
+      v = u.crossJoin(broadcast(mx))
+        .select(col("i"),
+          expr("""cast(cast(round(cast(u as double) / cast(mx as double)
+            | * 1000000) as bigint) as decimal(38,0))""".stripMargin).as("x"))
+        .localCheckpoint()
+    }
+    val vv = v.agg(sum((col("x") * col("x")).cast(D)).as("vv"))
+    val ray = m
+      .join(broadcast(v.select(col("i").as("j"), col("x").as("xj"))), Seq("j"))
+      .join(broadcast(v.select(col("i"), col("x").as("xi"))), Seq("i"))
+      .select(expr("""cast(round(cast(mv as double) * cast(xi as double)
+        | * cast(xj as double) / 1000000000000.0d) as decimal(38,0))""".stripMargin)
+        .as("t_q"))
+      .agg(sum(col("t_q")).as("vmv"))
+    val trace = m.filter(col("i") === col("j")).agg(sum(col("mv")).as("tr"))
+    v.crossJoin(broadcast(vv)).crossJoin(broadcast(ray)).crossJoin(broadcast(trace))
+      .select(col("i").as("dim"),
+        expr("""cast(round(cast(x as double) / sqrt(cast(vv as double))
+          | * 1000000) as bigint)""".stripMargin).as("loading_micros"),
+        // vmv carries vᵀMv / 1e12 (the per-term quantization scale) and
+        // vv carries vᵀv in micros² (= 1e12 × unit) — the two 1e12s
+        // compose to the 1e18 factor restoring λ/trace before the ppm
+        expr("""cast(round(cast(vmv as double) / cast(vv as double)
+          | / cast(tr as double) * 1.0e18) as bigint)""".stripMargin).as("share_ppm"))
+  }
 }

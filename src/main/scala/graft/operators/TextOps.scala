@@ -1238,6 +1238,55 @@ object TextOps {
       .limit(kTop)
   }
 
+  /** Query-likelihood retrieval with Dirichlet smoothing (Zhai & Lafferty
+    * 2004) — the language-modeling alternative to [[bm25TopK]] the IR
+    * stack A/Bs against: score(q,d) = Σ_t ln((tf + μ·p_c(t))/(dl + μ)),
+    * decomposed into the rank-stable form Σ_t ln(1 + tf·T/(μ·cf_t))
+    * + Σ_t ln(μ·cf_t/T) − |q|·ln(dl + μ) so that only docs CONTAINING a
+    * query term are scored (the pure-background docs score strictly
+    * lower and are not shortlist candidates). Same determinism scheme as
+    * BM25: every ln term quantizes to integer micros BEFORE any sum, so
+    * cross-engine float addition order cannot drift the hash; the final
+    * top-k is a TakeOrdered with a (score desc, doc_id) tiebreak.
+    * Query terms absent from the corpus (cf = 0) drop out of all three
+    * sums on both sides, p_c being undefined for them.
+    */
+  def qlmTopK(documents: DataFrame,
+              queryTerms: Seq[String] = Seq("spark", "merge", "window", "query"),
+              kTop: Int = 20, mu: Double = 2000.0): DataFrame = {
+    val toks = documents.select(
+      col("doc_id"),
+      expr(s"size(${toksExprFor(documents)})").cast(LongType).as("dl"),
+      explode(expr(toksExprFor(documents))).as("token"))
+    val tot = documents
+      .agg(sum(expr(s"size(${toksExprFor(documents)})").cast(LongType)).as("t_all"))
+    val cf = toks.filter(col("token").isin(queryTerms: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("cf"))
+    val qn = cf.agg(count(lit(1)).as("qn"))
+    val cons = cf.crossJoin(broadcast(tot))
+      .select(expr(s"""cast(round(ln($mu * cast(cf as double) / cast(t_all as double))
+        | * 1000000) as bigint)""".stripMargin).as("c_term"))
+      .agg(sum(col("c_term")).as("c"))
+    val hits = toks.filter(col("token").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val hs = hits
+      .join(broadcast(cf), Seq("token"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("dl"),
+        expr(s"""cast(round(ln(1.0d + (cast(tf as double) * cast(t_all as double))
+          | / ($mu * cast(cf as double))) * 1000000) as bigint)""".stripMargin).as("h_term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("h_term")).as("hsum"), first(col("dl")).as("dl"))
+    hs.crossJoin(broadcast(cons)).crossJoin(broadcast(qn))
+      .select(col("doc_id"),
+        expr(s"""cast(hsum + c - round(cast(qn as double)
+          | * ln(cast(dl as double) + $mu) * 1000000) as bigint)""".stripMargin)
+          .as("qlm_micros"))
+      .orderBy(col("qlm_micros").desc, col("doc_id"))
+      .limit(kTop)
+  }
+
   /** Exact heavy hitters: the `kTop` most frequent tokens in the corpus.
     * One Generate + one partial-aggregated hash shuffle keyed by token +
     * a TakeOrdered — the exact baseline the sketch tier below is gated

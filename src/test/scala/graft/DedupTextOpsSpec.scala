@@ -1678,4 +1678,23 @@ class DedupTextOpsSpec extends SparkSpec {
     // c=4 is the max count: no N_5 -> NULL
     assert(got(4L)._2.isEmpty)
   }
+
+  test("qlmTopK: higher query-term density outranks longer diluted docs; " +
+       "docs without any query term never enter the shortlist") {
+    val docs = Seq(
+      (1L, "spark query spark window"),              // dense in query terms
+      (2L, "spark and a lot of other words " + ("filler " * 50)), // diluted
+      (3L, "completely unrelated text here"),        // background only
+      (4L, "query window merge spark query"))        // densest
+      .toDF("doc_id", "text")
+    val got = TextOps.qlmTopK(docs).collect()
+    assert(!got.map(_.getLong(0)).contains(3L), "background-only doc excluded")
+    // scores strictly ordered desc with doc_id tiebreak
+    val scores = got.map(_.getLong(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // the densest doc outranks the diluted one
+    val rank = got.map(_.getLong(0)).zipWithIndex.toMap
+    assert(rank(4L) < rank(2L), got.mkString(";"))
+    assert(rank(1L) < rank(2L), got.mkString(";"))
+  }
 }

@@ -705,4 +705,23 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(r.getAs[Long]("avg_mse_p12") <= r.getAs[Long]("max_mse_p12"))
     assert(r.getAs[Long]("avg_mse_p12") >= 0L)
   }
+
+  test("pcaTopComponent: recovers the dominant variance direction of an " +
+       "anisotropic cloud and its explained-variance share") {
+    import spark.implicits._
+    // 2-D cloud stretched along dim 0: x0 in {-8..8}, x1 in {-1, 1} —
+    // PC1 is the x0 axis; var(x0) = 24, var(x1) = 1 (shares ~0.96/0.04)
+    val vecs = (for { a <- -8 to 8; b <- Seq(-1.0f, 1.0f) }
+      yield (a.toLong * 10 + b.toInt, Array(a.toFloat, b), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.pcaTopComponent(vecs).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // loading concentrates on dim 0 (sign is fixed by the deterministic
+    // uniform start vector, so just check magnitudes)
+    assert(math.abs(got(0)._1) > 990000L, got.toString)
+    assert(math.abs(got(1)._1) < 100000L, got.toString)
+    // share = var0 / (var0 + var1): 24/25 with the {-8..8} x {-1,1} grid
+    assert(got(0)._2 == got(1)._2, "share is a single statistic")
+    assert(math.abs(got(0)._2 - 960000L) < 20000L, got.toString)
+  }
 }
