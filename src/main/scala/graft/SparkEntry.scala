@@ -1408,6 +1408,21 @@ object SparkEntry {
     // exact p50/p90/p99 session durations via the sharded global rank
     "session_duration_profile" -> ((s, d) =>
       EventOps.sessionDurationProfile(t(s, d, "events"))),
+    // long-memory diagnostic: rescaled-range Hurst exponent of daily revenue
+    "hurst_exponent" -> ((s, d) => EventOps.hurstExponent(t(s, d, "events"))),
+    // experiment-quality gate: sample-ratio mismatch on the parity split
+    "ab_srm_check" -> ((s, d) => EventOps.abSrmCheck(t(s, d, "events"))),
+    // inter-rater agreement between the char-length and token-count screens
+    "cohens_kappa_screens" -> ((s, d) =>
+      TextOps.cohensKappaScreens(t(s, d, "documents"))),
+    // planner segmentation: Pareto revenue class x demand-regularity class
+    "abc_xyz_matrix" -> ((s, d) => RelationalOps.abcXyzMatrix(t(s, d, "lineitem"))),
+    // aggregation-bias tripwire on the discount->quantity slopes by brand
+    "simpson_paradox_screen" -> ((s, d) =>
+      RelationalOps.simpsonParadoxScreen(t(s, d, "lineitem"), t(s, d, "part"))),
+    // psychological price-point screen: cent-ending chi-square vs uniform
+    "price_point_bias" -> ((s, d) =>
+      StatsOps.pricePointBias(t(s, d, "part"), "p_retailprice")),
     // language-model retrieval face: Dirichlet-smoothed query likelihood
     "qlm_topk" -> ((s, d) => TextOps.qlmTopK(t(s, d, "documents"))),
     // top principal component of the embedding table via integer-state
@@ -2287,6 +2302,59 @@ object SparkEntry {
        |  CAST(round(CAST(vmv AS DOUBLE) / CAST(vv AS DOUBLE) / CAST(tr AS DOUBLE)
        |    * 1.0e18) AS BIGINT) AS share_ppm
        |FROM x$rounds CROSS JOIN vvv CROSS JOIN ray CROSS JOIN tr""".stripMargin
+  }
+
+  /** R/S oracle for hurst_exponent: per block size a full-block scan with
+    * the same integer cumdev/variance numerators, UNION ALL'd into the
+    * 4-point log-log regression.
+    */
+  private def hurstOracle(sizes: Seq[(Int, Long)]): String = {
+    val perS = sizes.map { case (s, lnS) =>
+      s"""  SELECT $s AS s, CAST($lnS AS BIGINT) AS ln_s_micros,
+         |    CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         |    CASE WHEN COUNT(*) = 0 THEN NULL
+         |      ELSE CAST(round(CAST(SUM(ln_rs) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+         |    END AS avg_ln_rs_micros
+         |  FROM (
+         |    SELECT CAST(round(ln(CAST(r_num AS DOUBLE) / sqrt(CAST(q AS DOUBLE)))
+         |      * 1000000) AS BIGINT) AS ln_rs
+         |    FROM (
+         |      SELECT blk, MAX(dev_num) - MIN(dev_num) AS r_num,
+         |             MAX(sq * $s - sm * sm) AS q
+         |      FROM (
+         |        SELECT blk, pos,
+         |          SUM(CAST(x AS HUGEINT)) OVER w * $s - (COUNT(*) OVER w) * sm AS dev_num,
+         |          sm, sq
+         |        FROM (
+         |          SELECT t.blk, t.pos, t.x, g.sm, g.sq FROM
+         |            (SELECT idx // $s AS blk, idx % $s AS pos, x FROM ix) t
+         |            JOIN (SELECT idx // $s AS blk, COUNT(*) AS m,
+         |                  SUM(CAST(x AS HUGEINT)) AS sm,
+         |                  SUM(CAST(x AS HUGEINT) * x) AS sq
+         |                  FROM ix GROUP BY 1 HAVING COUNT(*) = $s) g
+         |            USING (blk))
+         |        WINDOW w AS (PARTITION BY blk ORDER BY pos
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |      GROUP BY blk)
+         |    WHERE q > 0 AND r_num > 0)""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH d AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+       |      CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+       |      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |ix AS (SELECT day, x, row_number() OVER (ORDER BY day) - 1 AS idx FROM d),
+       |pts AS (
+       |$perS
+       |),
+       |p2 AS (SELECT * FROM pts WHERE n_blocks > 0),
+       |sl AS (SELECT COUNT(*) AS k, SUM(ln_s_micros) AS sx, SUM(avg_ln_rs_micros) AS sy,
+       |       SUM(ln_s_micros * avg_ln_rs_micros) AS sxy,
+       |       SUM(ln_s_micros * ln_s_micros) AS sxx FROM p2)
+       |SELECT s, n_blocks, avg_ln_rs_micros,
+       |  CASE WHEN k < 2 OR k * sxx = sx * sx THEN NULL
+       |  ELSE CAST(round(CAST(k * sxy - sx * sy AS DOUBLE)
+       |    / CAST(k * sxx - sx * sx AS DOUBLE) * 1000000) AS BIGINT)
+       |  END AS h_micros
+       |FROM p2 CROSS JOIN sl""".stripMargin
   }
 
   /** Per-doc LSH band keys as a reusable CTE (`bands`) — shared by the
@@ -4058,6 +4126,97 @@ object SparkEntry {
         |  ) AS BIGINT)) AS BIGINT) AS chi2_micros
         |FROM grid CROSS JOIN nn
         |GROUP BY 1, 2""".stripMargin,
+
+    "hurst_exponent" -> hurstOracle(Seq(8 -> 2079442L, 16 -> 2772589L,
+      32 -> 3465736L, 64 -> 4158883L)),
+
+    "ab_srm_check" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |      CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a FROM u),
+        |z AS (SELECT n, n_a,
+        |      CASE WHEN n = 0 THEN NULL
+        |      ELSE CAST(round(CAST(2 * n_a - n AS DOUBLE) / sqrt(CAST(n AS DOUBLE))
+        |        * 1000000) AS BIGINT) END AS z_micros FROM a)
+        |SELECT n, n_a, z_micros, abs(z_micros) > 3000000 AS srm FROM z""".stripMargin,
+
+    "cohens_kappa_screens" ->
+      """WITH f AS (SELECT n_chars >= 500 AS a,
+        |      len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 100 AS b FROM documents),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |      CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+        |      CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+        |      CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        |      CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+        |      FROM f)
+        |SELECT n, n11, n00, a1, b1,
+        |  CASE WHEN n * n = a1 * b1 + (n - a1) * (n - b1) THEN NULL
+        |  ELSE CAST(round(CAST(n * (n11 + n00) - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE)
+        |    / CAST(n * n - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE) * 1000000) AS BIGINT)
+        |  END AS kappa_micros
+        |FROM g""".stripMargin,
+
+    "abc_xyz_matrix" ->
+      """WITH b AS (SELECT l_partkey,
+        |      CAST(date_trunc('month', CAST(l_shipdate AS TIMESTAMP)) AS DATE) AS month,
+        |      CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev,
+        |      CAST(round(l_quantity * 100) AS BIGINT) AS q FROM lineitem),
+        |pm AS (SELECT l_partkey, month, CAST(SUM(rev) AS BIGINT) AS rev_m,
+        |      CAST(SUM(q) AS BIGINT) AS q_m FROM b GROUP BY 1, 2),
+        |pp AS (SELECT l_partkey, CAST(SUM(rev_m) AS BIGINT) AS rev_cents, COUNT(*) AS m,
+        |      SUM(CAST(q_m AS HUGEINT)) AS sq,
+        |      SUM(CAST(q_m AS HUGEINT) * q_m) AS sqq FROM pm GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS tot FROM pp),
+        |cm AS (SELECT l_partkey, rev_cents, m, sq, sqq,
+        |      CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey) AS BIGINT) AS cum_rev
+        |      FROM pp),
+        |cl AS (SELECT rev_cents, tot,
+        |      CASE WHEN (cum_rev * 1000000 + tot // 2) // tot <= 800000 THEN 'A'
+        |           WHEN (cum_rev * 1000000 + tot // 2) // tot <= 950000 THEN 'B'
+        |           ELSE 'C' END AS abc_class,
+        |      CASE WHEN sq = 0 THEN 'Z'
+        |           WHEN sqq * m * 4 <= sq * sq * 5 THEN 'X'
+        |           WHEN sqq * m <= sq * sq * 2 THEN 'Y' ELSE 'Z' END AS xyz_class
+        |      FROM cm CROSS JOIN tt)
+        |SELECT abc_class, xyz_class, COUNT(*) AS n_parts,
+        |  CAST((SUM(rev_cents) * 1000000 + MAX(tot) // 2) // MAX(tot) AS BIGINT) AS rev_share_ppm
+        |FROM cl GROUP BY 1, 2""".stripMargin,
+
+    "simpson_paradox_screen" ->
+      """WITH j AS (SELECT p_brand AS g, CAST(round(l_discount * 1000000) AS BIGINT) AS x,
+        |      CAST(round(l_quantity * 100) AS BIGINT) AS y
+        |      FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |pg AS (SELECT g, COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS sx,
+        |      SUM(CAST(y AS HUGEINT)) AS sy, SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |      SUM(CAST(x AS HUGEINT) * x) AS sxx FROM j GROUP BY 1),
+        |pg2 AS (SELECT g, sxy * n - sx * sy AS num, sxx * n - sx * sx AS den FROM pg),
+        |pl AS (SELECT COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS sx,
+        |      SUM(CAST(y AS HUGEINT)) AS sy, SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |      SUM(CAST(x AS HUGEINT) * x) AS sxx FROM j),
+        |pl2 AS (SELECT sxy * n - sx * sy AS pnum, sxx * n - sx * sx AS pden FROM pl)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(CASE WHEN (num > 0 AND pnum < 0) OR (num < 0 AND pnum > 0)
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_reversed,
+        |  CAST(MAX(CASE WHEN pden > 0 THEN CAST(round(CAST(pnum AS DOUBLE)
+        |    / CAST(pden AS DOUBLE) * 1000000000000.0) AS BIGINT) END) AS BIGINT)
+        |    AS pooled_slope_micros
+        |FROM pg2 CROSS JOIN pl2 WHERE den > 0""".stripMargin,
+
+    "price_point_bias" ->
+      """WITH c AS (SELECT CAST(round(p_retailprice * 100) AS BIGINT) % 100 AS e FROM part),
+        |o AS (SELECT e, COUNT(*) AS obs FROM c GROUP BY 1),
+        |g AS (SELECT r.i AS e, coalesce(obs, 0) AS obs
+        |      FROM (SELECT unnest(range(0, 100)) AS i) r LEFT JOIN o ON o.e = r.i),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+        |te AS (SELECT n, e, obs,
+        |      CAST(round((CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) / 100.0)
+        |        * (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) / 100.0)
+        |        / (CAST(n AS DOUBLE) / 100.0) * 1000000) AS BIGINT) AS term_micros
+        |      FROM g CROSS JOIN t)
+        |SELECT n, CAST(99 AS BIGINT) AS dof, CAST(SUM(term_micros) AS BIGINT) AS chi2_micros,
+        |  CAST((SUM(CASE WHEN e IN (0, 95, 99) THEN obs ELSE 0 END) * 1000000 + n // 2) // n
+        |    AS BIGINT) AS round_ending_ppm
+        |FROM te GROUP BY n""".stripMargin,
 
     // QL replay: same three-sum decomposition, every ln term quantized
     // to micros before any sum, same (score desc, doc_id) top-k

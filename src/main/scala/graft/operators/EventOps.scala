@@ -1579,6 +1579,94 @@ object EventOps {
           .as("slope_micros"))
   }
 
+  /** Sample-ratio-mismatch check (the experimentation platform's first
+    * data-quality gate): users are assigned to arms by a deterministic
+    * parity rule both engines share, and the observed split is tested
+    * against the designed 50/50 with the exact binomial normal
+    * approximation z = (2·n_a − N)/√N. A |z| > 3 experiment is broken
+    * BEFORE any treatment-effect read is meaningful. One distinct-user
+    * aggregate; all integers until the final fixed-shape z.
+    */
+  def abSrmCheck(events: DataFrame): DataFrame =
+    events.select(col("user_id")).distinct()
+      .select(pmod(col("user_id"), lit(2)).as("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"))
+      .select(col("n"), col("n_a"),
+        when(col("n") === 0, lit(null).cast(LongType))
+          .otherwise(expr("""cast(round(cast(2 * n_a - n as double)
+            | / sqrt(cast(n as double)) * 1000000) as bigint)""".stripMargin))
+          .as("z_micros"))
+      .withColumn("srm", abs(col("z_micros")) > 3000000L)
+
+  /** Hurst exponent of the daily revenue series by rescaled-range (R/S)
+    * analysis (Hurst 1951; Mandelbrot's long-memory diagnostic): H ≈ 0.5
+    * is a random walk, H > 0.5 persistent trending, H < 0.5 mean-
+    * reverting — the read that says whether [[rollingRegressionSlope]]'s
+    * momentum is real structure or noise. Per block size s ∈ {8,16,32,64}:
+    * full blocks of the day-indexed series, range of cumulative
+    * deviations over the block, rescaled by the block SD. The algebra is
+    * arranged so every input to the one ln() per block is an EXACT
+    * integer: cumdev numerators ride s·Σxᵢ − t·sum (denominator s cancels
+    * against the SD's), so ln(R/S) = ln(R_num/√(s·Σx² − sum²)). H is the
+    * 4-point log-log OLS slope with PINNED ln(s) micros constants.
+    * All windows run on the day/block dimension (constant-key idiom).
+    */
+  def hurstExponent(events: DataFrame): DataFrame = {
+    val D = DecimalType(38, 0)
+    val daily = events.filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("x"))
+    val wIdx = Window.partitionBy(pmod(col("x"), lit(1))).orderBy(col("day"))
+    val idxed = daily.withColumn("idx", row_number().over(wIdx) - 1)
+    val lnS = Map(8 -> 2079442L, 16 -> 2772589L, 32 -> 3465736L, 64 -> 4158883L)
+    // per-block cumdev needs the BLOCK TOTAL inside the running
+    // expression — block totals first, then the running scan joins them
+    val rows = lnS.keys.toSeq.sorted.map { s =>
+      val blocks = idxed
+        .withColumn("blk", expr(s"idx div $s"))
+        .withColumn("pos", expr(s"idx % $s"))
+      val totals = blocks.groupBy(col("blk"))
+        .agg(count(lit(1)).as("m"), sum(col("x").cast(D)).as("sm"),
+          sum((col("x").cast(D) * col("x")).cast(D)).as("sq"))
+        .filter(col("m") === s)
+      val wBlk = Window.partitionBy(col("blk")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val scans = blocks.join(broadcast(totals.select(col("blk"), col("sm"), col("sq"))),
+          Seq("blk"))
+        .withColumn("cs", sum(col("x").cast(D)).over(wBlk))
+        .withColumn("t", count(lit(1)).over(wBlk))
+        .withColumn("dev_num", (col("cs") * lit(s) - col("t").cast(D) * col("sm")).cast(D))
+        .groupBy(col("blk"))
+        .agg((max(col("dev_num")) - min(col("dev_num"))).cast(D).as("r_num"),
+          max((col("sq") * lit(s) - col("sm") * col("sm")).cast(D)).as("q"))
+      scans
+        .filter(col("q") > 0 && col("r_num") > 0)
+        .select(expr("""cast(round(ln(cast(r_num as double) / sqrt(cast(q as double)))
+          | * 1000000) as bigint)""".stripMargin).as("ln_rs"))
+        .agg(count(lit(1)).as("n_blocks"), sum(col("ln_rs")).as("s_ln"))
+        .select(lit(s).as("s"), lit(lnS(s)).as("ln_s_micros"), col("n_blocks"),
+          // double mean, not integer div: s_ln can be negative and the
+          // engines' integer divisions disagree on negative truncation
+          expr("""case when n_blocks = 0 then null
+            | else cast(round(cast(s_ln as double) / cast(n_blocks as double)) as bigint)
+            | end""".stripMargin)
+            .as("avg_ln_rs_micros"))
+    }.reduce(_ union _)
+    val pts = rows.filter(col("n_blocks") > 0).localCheckpoint()
+    val slope = pts.agg(count(lit(1)).as("k"),
+        sum(col("ln_s_micros")).as("sx"), sum(col("avg_ln_rs_micros")).as("sy"),
+        sum(col("ln_s_micros") * col("avg_ln_rs_micros")).as("sxy"),
+        sum(col("ln_s_micros") * col("ln_s_micros")).as("sxx"))
+      .select(when(col("k") < 2 || col("k") * col("sxx") === col("sx") * col("sx"),
+        lit(null).cast(LongType))
+        .otherwise(expr("""cast(round(cast(k * sxy - sx * sy as double)
+          | / cast(k * sxx - sx * sx as double) * 1000000) as bigint)""".stripMargin))
+        .as("h_micros"))
+    pts.crossJoin(broadcast(slope))
+      .select(col("s"), col("n_blocks"), col("avg_ln_rs_micros"), col("h_micros"))
+  }
+
   /** Page–Hinkley drift statistic over the daily revenue series (Page
     * 1954; the sequential-analysis sibling of [[cusumChangepoint]], which
     * tests against a FIXED reference mean — PH tracks the RUNNING mean,

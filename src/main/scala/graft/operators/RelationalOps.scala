@@ -1237,6 +1237,88 @@ object RelationalOps {
         sum(expr("(w_ppb * a_d + d div 2) div d")).as("rbo_ppb"))
   }
 
+  /** ABC/XYZ inventory classification matrix — the planner's two-axis
+    * segmentation: ABC = cumulative revenue share (A ≤ 80%, B ≤ 95%,
+    * C beyond — Pareto cut on the exact sharded cumulative, never a
+    * one-reducer rank), XYZ = demand regularity from the monthly-quantity
+    * CV, decided by EXACT INTEGER predicates (cv ≤ 0.5 ⟺ 4·m·Σq² ≤
+    * 5·(Σq)²; cv ≤ 1 ⟺ m·Σq² ≤ 2·(Σq)²) so no float threshold can
+    * straddle engines. Output: the 3×3 cell census with revenue share.
+    */
+  def abcXyzMatrix(lineitem: DataFrame): DataFrame = {
+    val D = DecimalType(38, 0)
+    val base = lineitem.select(col("l_partkey"),
+      date_trunc("month", col("l_shipdate")).cast(DateType).as("month"),
+      expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)").as("rev"),
+      expr("cast(round(l_quantity * 100) as bigint)").as("q"))
+    val perMonth = base.groupBy(col("l_partkey"), col("month"))
+      .agg(sum(col("rev")).as("rev_m"), sum(col("q")).as("q_m"))
+    val perPart = perMonth.groupBy(col("l_partkey"))
+      .agg(sum(col("rev_m")).as("rev_cents"), count(lit(1)).as("m"),
+        sum(col("q_m").cast(D)).as("sq"),
+        sum((col("q_m").cast(D) * col("q_m")).cast(D)).as("sqq"))
+    val tot = perPart.agg(sum(col("rev_cents")).as("tot"))
+    val cum = ShardedOrder.withRunningSum(perPart, col("rev_cents"), "cum_rev", 32,
+      col("rev_cents").desc, col("l_partkey"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("l_partkey"), col("rev_cents"), col("m"), col("sq"), col("sqq"),
+        expr("(cum_rev * 1000000 + tot div 2) div tot").as("cum_ppm"), col("tot"))
+      .select(col("rev_cents"), col("tot"),
+        when(col("cum_ppm") <= 800000L, "A")
+          .when(col("cum_ppm") <= 950000L, "B").otherwise("C").as("abc_class"),
+        when(col("sq") === 0, "Z")
+          .when(col("sqq") * col("m") * 4 <= col("sq") * col("sq") * 5, "X")
+          .when(col("sqq") * col("m") <= col("sq") * col("sq") * 2, "Y")
+          .otherwise("Z").as("xyz_class"))
+      .groupBy(col("abc_class"), col("xyz_class"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev_cents")).as("cell_cents"),
+        max(col("tot")).as("tot"))
+      .select(col("abc_class"), col("xyz_class"), col("n_parts"),
+        expr("(cell_cents * 1000000 + tot div 2) div tot").as("rev_share_ppm"))
+  }
+
+  /** Simpson's-paradox screen over the discount→quantity relationship —
+    * the aggregation-bias tripwire: does the POOLED OLS slope point the
+    * opposite way from the WITHIN-BRAND slopes? Per group, only the
+    * slope's SIGN is read, and the sign comes from the exact integer
+    * normal-equation numerator n·Σxy − Σx·Σy (DECIMAL(38,0) — no float
+    * can flip it); the pooled slope value is one double division at the
+    * end. Groups with degenerate x variance are excluded from the count.
+    */
+  def simpsonParadoxScreen(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val D = DecimalType(38, 0)
+    val base = lineitem.join(part, col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("g"),
+        expr("cast(round(l_discount * 1000000) as bigint)").as("x"),
+        expr("cast(round(l_quantity * 100) as bigint)").as("y"))
+    val perG = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x").cast(D)).as("sx"),
+        sum(col("y").cast(D)).as("sy"),
+        sum((col("x").cast(D) * col("y")).cast(D)).as("sxy"),
+        sum((col("x").cast(D) * col("x")).cast(D)).as("sxx"))
+      .select(col("n"), col("sx"), col("sy"),
+        (col("sxy") * col("n") - col("sx") * col("sy")).cast(D).as("num"),
+        (col("sxx") * col("n") - col("sx") * col("sx")).cast(D).as("den"))
+    val pooled = base
+      .agg(count(lit(1)).as("n"), sum(col("x").cast(D)).as("sx"),
+        sum(col("y").cast(D)).as("sy"),
+        sum((col("x").cast(D) * col("y")).cast(D)).as("sxy"),
+        sum((col("x").cast(D) * col("x")).cast(D)).as("sxx"))
+      .select(
+        (col("sxy") * col("n") - col("sx") * col("sy")).cast(D).as("pnum"),
+        (col("sxx") * col("n") - col("sx") * col("sx")).cast(D).as("pden"))
+    perG.crossJoin(broadcast(pooled))
+      .filter(col("den") > 0)
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when((col("num") > 0 && col("pnum") < 0) ||
+          (col("num") < 0 && col("pnum") > 0), 1L).otherwise(0L)).as("n_reversed"),
+        max(when(col("pden") > 0,
+          // cents-per-discount-unit in micros: x is discount micros, so
+          // the per-micro slope scales by 1e6 twice
+          expr("""cast(round(cast(pnum as double) / cast(pden as double)
+            | * 1000000000000.0d) as bigint)""".stripMargin))).as("pooled_slope_micros"))
+  }
+
   /** Duplicate-payment screen — the classic AP-audit read: two orders by
     * the SAME customer for the SAME amount within a gap window are
     * double-billing candidates. Pure equi-join on (custkey, exact cents)

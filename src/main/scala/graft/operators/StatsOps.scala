@@ -692,6 +692,38 @@ object StatsOps {
           .as("tau_micros"))
   }
 
+  /** Price-point (psychological-pricing) bias screen — [[benfordAudit]]'s
+    * retail sibling: the distribution of the price's CENT ENDING
+    * (value mod 100) against the uniform null. Human-set prices pile up
+    * on .00/.95/.99; machine-generated or fabricated ones don't. The
+    * chi-square runs over the FULL 0–99 ending grid (zero-filled — both
+    * engines enumerate the same 100 cells from a literal range, so
+    * absent endings count), each cell's term quantized to micros before
+    * the 100-row sum; the round-ending mass ({0, 95, 99}) is reported as
+    * a half-up ppm share.
+    */
+  def pricePointBias(df: DataFrame, valCol: String): DataFrame = {
+    val cents = df.select(expr(s"pmod(cast(round($valCol * 100) as bigint), 100)").as("e"))
+    val obs = cents.groupBy(col("e")).agg(count(lit(1)).as("obs"))
+    val spark = df.sparkSession
+    val grid = spark.range(0, 100).select(col("id").as("e"))
+      .join(obs, Seq("e"), "left")
+      .select(col("e"), coalesce(col("obs"), lit(0L)).as("obs"))
+    val tot = cents.agg(count(lit(1)).as("n"))
+    grid.crossJoin(broadcast(tot))
+      .select(col("n"), col("obs"), col("e"),
+        expr("""cast(round(
+          |  (cast(obs as double) - cast(n as double) / 100.0d)
+          |  * (cast(obs as double) - cast(n as double) / 100.0d)
+          |  / (cast(n as double) / 100.0d) * 1000000) as bigint)""".stripMargin)
+          .as("term_micros"))
+      .groupBy(col("n"))
+      .agg(sum(col("term_micros")).as("chi2_micros"),
+        sum(when(col("e").isin(0L, 95L, 99L), col("obs")).otherwise(0L)).as("round_obs"))
+      .select(col("n"), lit(99L).as("dof"), col("chi2_micros"),
+        expr("(round_obs * 1000000 + n div 2) div n").as("round_ending_ppm"))
+  }
+
   /** Mann–Kendall trend test over a KEYED DIMENSION-SCALE series — the
     * significance companion to the Theil–Sen slope (Sen's estimator says
     * how steep; MK says whether the monotone trend is real):

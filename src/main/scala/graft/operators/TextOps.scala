@@ -1238,6 +1238,40 @@ object TextOps {
       .limit(kTop)
   }
 
+  /** Cohen's κ between two cheap document screens (char-length vs
+    * token-count gates) — the inter-rater agreement read a labeling
+    * pipeline runs before trusting that two quality signals measure the
+    * same thing: raw agreement p_o corrected by the chance agreement
+    * p_e of the raters' marginals. κ = (p_o − p_e)/(1 − p_e) carried as
+    * ONE double ratio of exact integer contingency sums:
+    * (n·agree − chance)/(n² − chance) with
+    * chance = a₁·b₁ + (n−a₁)(n−b₁). One corpus aggregate; NULL when the
+    * marginals make chance agreement total (κ undefined).
+    */
+  def cohensKappaScreens(documents: DataFrame,
+                         minChars: Long = 500L, minTokens: Long = 100L): DataFrame = {
+    val D = DecimalType(38, 0)
+    val flags = documents.select(
+      (col("n_chars") >= minChars).as("a"),
+      (expr(s"size(${toksExprFor(documents)})") >= minTokens).as("b"))
+    flags
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a"), 1L).otherwise(0L)).as("a1"),
+        sum(when(col("b"), 1L).otherwise(0L)).as("b1"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+      .select(col("n"), col("n11"), col("n00"), col("a1"), col("b1"),
+        when(col("n").cast(D) * col("n") ===
+          (col("a1").cast(D) * col("b1") +
+            (col("n") - col("a1")).cast(D) * (col("n") - col("b1"))).cast(D),
+          lit(null).cast(LongType))
+          .otherwise(expr("""cast(round(
+            |  cast(n * (n11 + n00) - (a1 * b1 + (n - a1) * (n - b1)) as double)
+            |  / cast(n * n - (a1 * b1 + (n - a1) * (n - b1)) as double)
+            |  * 1000000) as bigint)""".stripMargin))
+          .as("kappa_micros"))
+  }
+
   /** Query-likelihood retrieval with Dirichlet smoothing (Zhai & Lafferty
     * 2004) — the language-modeling alternative to [[bm25TopK]] the IR
     * stack A/Bs against: score(q,d) = Σ_t ln((tf + μ·p_c(t))/(dl + μ)),

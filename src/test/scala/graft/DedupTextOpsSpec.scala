@@ -1679,6 +1679,26 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(got(4L)._2.isEmpty)
   }
 
+  test("cohensKappaScreens: perfectly aligned screens read kappa = 1; " +
+       "independent screens read ~0; degenerate marginals go NULL") {
+    // aligned: long docs are also token-rich, short docs token-poor
+    val many = ("w " * 200).trim
+    val aligned = (1 to 10).map(i =>
+      (i.toLong, if (i <= 5) many else "x", if (i <= 5) 600L else 10L))
+      .toDF("doc_id", "text", "n_chars")
+    val r = TextOps.cohensKappaScreens(aligned).head()
+    assert(r.getAs[Long]("kappa_micros") == 1000000L, r.toString)
+    // independent 2x2 with equal cells: po = pe -> kappa 0
+    val indep = (for { a <- Seq(true, false); b <- Seq(true, false); _ <- 1 to 5 }
+      yield (1L, if (b) many else "x", if (a) 600L else 10L))
+      .toDF("doc_id", "text", "n_chars")
+    assert(TextOps.cohensKappaScreens(indep).head().getAs[Long]("kappa_micros") == 0L)
+    // all docs pass both screens: 1 - pe = 0 -> NULL
+    val allPass = (1 to 4).map(i => (i.toLong, many, 600L))
+      .toDF("doc_id", "text", "n_chars")
+    assert(TextOps.cohensKappaScreens(allPass).head().isNullAt(5))
+  }
+
   test("qlmTopK: higher query-term density outranks longer diluted docs; " +
        "docs without any query term never enter the shortlist") {
     val docs = Seq(

@@ -910,6 +910,43 @@ class EventOpsSpec extends SparkSpec {
     assert(got.last.getLong(2) == 6L, "trailing window caps at 6 months")
   }
 
+  test("abSrmCheck: an exact parity split reads z = 0 and no SRM; a " +
+       "lopsided assignment trips the 3-sigma gate") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val even = (1L to 100L).map(u => (u, ts, u, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.abSrmCheck(even).head()
+    assert(r.getLong(0) == 100L && r.getLong(1) == 50L)
+    assert(r.getLong(2) == 0L && !r.getBoolean(3), r.toString)
+    // 90 even vs 10 odd users: z = (180-100)/10 = 8 sigma
+    val skewed = ((1L to 90L).map(_ * 2) ++ (1L to 10L).map(_ * 2 - 1))
+      .zipWithIndex.map { case (u, i) => ((i + 1).toLong, ts, u, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rs = EventOps.abSrmCheck(skewed).head()
+    assert(rs.getLong(2) == 8000000L && rs.getBoolean(3), rs.toString)
+  }
+
+  test("hurstExponent: a deterministic alternating series is strongly " +
+       "mean-reverting (H well below 0.5) with full blocks at every size") {
+    import spark.implicits._
+    // 128 days alternating +/-: R/S stays ~constant as s grows -> H ~ 0
+    val e = (0 until 128).map { i =>
+      ((i + 1).toLong,
+        java.sql.Timestamp.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)
+          .atStartOfDay()),
+        1L, "purchase", if (i % 2 == 0) 100.0 else 200.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.hurstExponent(e).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(got.keySet == Set(8, 16, 32, 64), got.toString)
+    assert(got(8)._1 == 16L && got(64)._1 == 2L, "full blocks only")
+    val h = got(8)._2.get
+    assert(h == got(64)._2.get, "one H statistic replicated per row")
+    assert(h < 200000L, s"alternating series must read far below H=0.5: $h")
+  }
+
   test("pageHinkley: a level shift makes ph rise from 0; the statistic " +
        "replays the hand-computed first steps") {
     import spark.implicits._

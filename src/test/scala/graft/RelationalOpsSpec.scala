@@ -574,6 +574,47 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got("2024-02-01") == ((0L, 0L)), got.toString)
   }
 
+  test("abcXyzMatrix: a dominant steady part classes AX; a tail erratic " +
+       "part classes CZ; cell revenue shares are half-up ppm") {
+    import spark.implicits._
+    val d = java.sql.Timestamp.valueOf(_: String)
+    def li(pk: Long, month: Int, qty: Double, price: Double) =
+      (1L, pk, 1L, 1, qty, price, 0.0, 0.0, "N", "O", d(f"2024-$month%02d-10 00:00:00"))
+    // part 1: 10 steady months x 800 -> A (8000 of 10000 total = 80%), X
+    // part 2: two wild months (1 vs 99) of 1000 each -> C, Z-ish CV
+    val rows = (1 to 10).map(m => li(1, m, 10.0, 800.0)) ++
+      Seq(li(2, 1, 1.0, 1000.0), li(2, 2, 99.0, 1000.0))
+    val lineitem = rows.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    val got = RelationalOps.abcXyzMatrix(lineitem).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(("A", "X")) == ((1L, 800000L)), got.toString)
+    // part 2: cv^2 = 2*(1^2+99^2)/(100^2) - 1 = 0.9602 -> Y (<= 1), C class
+    assert(got(("C", "Y")) == ((1L, 200000L)), got.toString)
+  }
+
+  test("simpsonParadoxScreen: within-group slopes negative while the " +
+       "pooled slope is positive -> every group flags as reversed") {
+    import spark.implicits._
+    val d = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    // brand A at low discounts, brand B at high discounts; within each
+    // brand quantity FALLS with discount, but B's level is far higher,
+    // so pooled OLS rises
+    def li(pk: Long, disc: Double, qty: Double) =
+      (1L, pk, 1L, 1, qty, 100.0, disc, 0.0, "N", "O", d)
+    val lineitem = (Seq(li(1, 0.00, 10), li(1, 0.01, 9), li(1, 0.02, 8)) ++
+      Seq(li(2, 0.08, 100), li(2, 0.09, 99), li(2, 0.10, 98)))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val part = Seq((1L, "p1", "BRAND#A", "t", 1, 1.0), (2L, "p2", "BRAND#B", "t", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    val r = RelationalOps.simpsonParadoxScreen(lineitem, part).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L, r.toString)
+    assert(r.getLong(2) > 0L, "pooled slope must be positive: " + r)
+  }
+
   test("duplicatePaymentScreen: flags same-customer same-cents pairs " +
        "inside the gap window only, canonicalized a < b") {
     import spark.implicits._

@@ -374,6 +374,20 @@ class StatsOpsSpec extends SparkSpec {
       top.map(_.getAs[Long]("d2_micros")).sortBy(-_).toSeq)
   }
 
+  test("pricePointBias: a uniform cent-ending grid reads chi2 = 0; " +
+       "all-.99 pricing maxes the round-ending share and blows up chi2") {
+    // one price at each ending 0..99 -> perfectly uniform
+    val uniform = (0 until 100).map(e => 10.0 + e / 100.0).toDF("p")
+    val ru = StatsOps.pricePointBias(uniform, "p").head()
+    assert(ru.getLong(0) == 100L && ru.getLong(2) == 0L, ru.toString)
+    assert(ru.getLong(3) == 30000L, "3 of 100 endings are round: " + ru)
+    val ninenine = (1 to 50).map(i => i + 0.99).toDF("p")
+    val rn = StatsOps.pricePointBias(ninenine, "p").head()
+    assert(rn.getLong(3) == 1000000L, rn.toString)
+    // chi2 = 99 cells * n/100 + (n - n/100)^2/(n/100) = 49.5 + 4900.5 = 4950
+    assert(rn.getLong(2) == 4950000000L, rn.toString)
+  }
+
   test("tClosenessAudit: a group matching the global mix scores ~0; a " +
        "group concentrated in one tail scores high") {
     // dominant group 'm' uniform over 4 bins (so the global mix is close
