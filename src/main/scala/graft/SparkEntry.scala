@@ -2199,6 +2199,72 @@ object SparkEntry {
         .groupBy(col("n_name"))
         .agg(sum(col("l_extendedprice").cast(Money) * (lit(1) - col("l_discount").cast(Money)))
           .cast(DecimalType(20, 4)).as("revenue"))),
+
+    // ---- r11 tranche XIX: test/design/contract statistics ----
+    // Welch's unequal-variance t: do urgent and low-priority order MEANS
+    // differ (the parametric read beside mann_whitney_u's shift test)
+    "welch_t_test" -> ((s, d) => StatsOps.welchTTest(
+      t(s, d, "orders"), "o_orderpriority", "o_totalprice", "1-URGENT", "5-LOW")),
+    // per-cell standardized Pearson residuals: WHERE the status x priority
+    // dependence lives (|r| > 2 flags the driving cells)
+    "chi_square_residuals" -> ((s, d) =>
+      StatsOps.chiSquareResiduals(t(s, d, "orders"), "o_orderstatus", "o_orderpriority")),
+    // Neyman-optimal stratified audit-sample allocation over segments:
+    // n_h ∝ N_h·σ_h with largest-remainder integer apportionment
+    "neyman_allocation" -> ((s, d) =>
+      StatsOps.neymanAllocation(t(s, d, "customer"), "c_mktsegment", "c_acctbal")),
+    // referential-integrity audit over the warehouse's 7 FK edges —
+    // per-edge orphan counts via left joins against distinct parent keys
+    "fk_orphan_audit" -> ((s, d) => RelationalOps.fkOrphanAudit(Seq(
+      ("lineitem.l_orderkey->orders",
+        t(s, d, "lineitem").select(col("l_orderkey")), t(s, d, "orders").select(col("o_orderkey"))),
+      ("lineitem.l_partkey->part",
+        t(s, d, "lineitem").select(col("l_partkey")), t(s, d, "part").select(col("p_partkey"))),
+      ("lineitem.l_suppkey->supplier",
+        t(s, d, "lineitem").select(col("l_suppkey")), t(s, d, "supplier").select(col("s_suppkey"))),
+      ("orders.o_custkey->customer",
+        t(s, d, "orders").select(col("o_custkey")), t(s, d, "customer").select(col("c_custkey"))),
+      ("customer.c_nationkey->nation",
+        t(s, d, "customer").select(col("c_nationkey")), t(s, d, "nation").select(col("n_nationkey"))),
+      ("supplier.s_nationkey->nation",
+        t(s, d, "supplier").select(col("s_nationkey")), t(s, d, "nation").select(col("n_nationkey"))),
+      ("nation.n_regionkey->region",
+        t(s, d, "nation").select(col("n_regionkey")), t(s, d, "region").select(col("r_regionkey")))))),
+
+    // ---- r11 tranche XX: bipartite importance / decomposition / PR-AUC ----
+    // HITS hubs & authorities over the customer -> part purchase graph:
+    // mutual-reinforcement importance a degree count can't express
+    "hits_customer_part" -> ((s, d) =>
+      GraphOps.hitsBipartite(
+        t(s, d, "orders").join(t(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("hub"), col("l_partkey").as("auth")))),
+    // classical additive decomposition of daily purchase revenue:
+    // centered 7-day MA trend + recentred weekday seasonal + residual
+    "seasonal_decompose" -> ((s, d) => EventOps.seasonalDecompose(t(s, d, "events"))),
+    // average precision of the quality classifier per source — the
+    // imbalance-honest companion to classifier_auc, exact sharded ranks
+    "classifier_pr_auc" -> ((s, d) => TextOps.classifierPrAuc(t(s, d, "documents"))),
+
+    // ---- r11 tranche XXI: demand / effect-size / stylometry ----
+    // Croston intermittent-demand forecast per part: pinned truncated
+    // 0.8^i kernel over demand months, size and interval smoothed apart
+    "croston_forecast" -> ((s, d) =>
+      RelationalOps.crostonForecast(t(s, d, "lineitem"))),
+    // odds ratio of urgent-vs-low priority x any-returned-line, with the
+    // Wald CI (z = 1.96 pinned) — the 2x2 effect size with uncertainty
+    "odds_ratio_returns" -> ((s, d) => {
+      val ret = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o_orderkey")).distinct()
+        .withColumn("retn", lit(true))
+      StatsOps.oddsRatio(
+        t(s, d, "orders").filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+          .join(ret, Seq("o_orderkey"), "left"),
+        "o_orderpriority = '1-URGENT'", "coalesce(retn, false)")
+    }),
+    // Burrows' Delta stylometric distance between sources over the
+    // corpus's top-30 tokens — template/generator provenance by STYLE
+    "burrows_delta" -> ((s, d) => TextOps.burrowsDelta(t(s, d, "documents"))),
   )
 
   /** Shared oracle CTE prefix for shingle-based dedup queries (DuckDB
@@ -3136,6 +3202,31 @@ object SparkEntry {
   // while their oracles replay the full derivation in SQL, so each
   // primary query hash-proves the artifact round trip directly.
   def oracleSql: Map[String, String] = baseOracleSql
+
+  /** HITS replay: the bipartite purchase edges, then 6 unrolled
+    * hub/authority half-rounds with the same integer max-normalization
+    * as the engine ([[graft.operators.GraphOps.hitsBipartite]]).
+    */
+  private val hitsCustomerPartOracle: String = {
+    val iters = (1 to 6).map { i =>
+      s"""hr$i AS MATERIALIZED (SELECT e.hub, CAST(SUM(a.a) AS BIGINT) AS xr
+         |  FROM bedges e JOIN a${i - 1} a ON a.auth = e.auth GROUP BY 1),
+         |h$i AS MATERIALIZED (SELECT hub,
+         |  CAST((xr * 1000000) // (SELECT MAX(xr) FROM hr$i) AS BIGINT) AS h FROM hr$i),
+         |ar$i AS MATERIALIZED (SELECT e.auth, CAST(SUM(h.h) AS BIGINT) AS xr
+         |  FROM bedges e JOIN h$i h ON h.hub = e.hub GROUP BY 1),
+         |a$i AS MATERIALIZED (SELECT auth,
+         |  CAST((xr * 1000000) // (SELECT MAX(xr) FROM ar$i) AS BIGINT) AS a FROM ar$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH bedges AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey AS hub, l_partkey AS auth
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |a0 AS (SELECT DISTINCT auth, CAST(1000000 AS BIGINT) AS a FROM bedges),
+       |$iters
+       |SELECT 'hub' AS side, CAST(hub AS BIGINT) AS node, h AS score_ppm FROM h6
+       |UNION ALL
+       |SELECT 'auth' AS side, CAST(auth AS BIGINT) AS node, a AS score_ppm FROM a6""".stripMargin
+  }
 
   private val baseOracleSql: Map[String, String] = Map(
     // NOTE (r5): every oracle's FINAL decimal output column is cast to
@@ -7980,5 +8071,266 @@ object SparkEntry {
         |round(CAST(SUM(CASE WHEN it.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5.0, 2) AS recall
         |FROM brute br LEFT JOIN ivft it ON br.q_id = it.q_id AND br.vec_id = it.vec_id
         |GROUP BY br.q_id""".stripMargin),
+
+    // Welch's t: exact integer moments per arm, fixed-shape t and
+    // Welch–Satterthwaite df over those integers, micros-quantized
+    "welch_t_test" ->
+      """WITH g AS (SELECT (o_orderpriority = '1-URGENT') AS is_a,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |m AS (SELECT is_a, COUNT(*) AS n, CAST(SUM(v) AS HUGEINT) AS s,
+        |      CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q FROM g GROUP BY 1),
+        |a AS (SELECT n AS n1, s AS s1, q AS q1 FROM m WHERE is_a),
+        |b AS (SELECT n AS n2, s AS s2, q AS q2 FROM m WHERE NOT is_a),
+        |j AS (SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  (CAST(q1 AS DOUBLE) * CAST(n1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |    / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)) AS v1,
+        |  (CAST(q2 AS DOUBLE) * CAST(n2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+        |    / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE)) AS v2,
+        |  CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mdiff
+        |  FROM a CROSS JOIN b)
+        |SELECT n1, n2,
+        |  CASE WHEN n1 <= 1 OR n2 <= 1 OR v1 + v2 <= 0.0 THEN NULL
+        |       ELSE CAST(round(mdiff / sqrt(v1 + v2) * 1000000) AS BIGINT) END AS t_micros,
+        |  CASE WHEN n1 <= 1 OR n2 <= 1 OR v1 + v2 <= 0.0 THEN NULL
+        |       ELSE CAST(round((v1 + v2) * (v1 + v2)
+        |         / (v1 * v1 / CAST(n1 - 1 AS DOUBLE) + v2 * v2 / CAST(n2 - 1 AS DOUBLE))
+        |         * 1000000) AS BIGINT) END AS df_micros
+        |FROM j""".stripMargin,
+
+    // standardized Pearson residuals over the zero-filled full grid
+    "chi_square_residuals" ->
+      """WITH obs AS (SELECT o_orderstatus AS a, o_orderpriority AS b, COUNT(*) AS obs
+        |  FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT a, CAST(SUM(obs) AS BIGINT) AS rt FROM obs GROUP BY 1),
+        |ct AS (SELECT b, CAST(SUM(obs) AS BIGINT) AS ct FROM obs GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM obs),
+        |grid AS (SELECT a, rt, b, ct, coalesce(obs, 0) AS obs
+        |  FROM rt CROSS JOIN ct LEFT JOIN obs USING (a, b)),
+        |r AS (SELECT a, b, CAST(obs AS BIGINT) AS obs,
+        |  CAST(round(
+        |    (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / sqrt(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)
+        |           * (1.0 - CAST(rt AS DOUBLE) / CAST(n AS DOUBLE))
+        |           * (1.0 - CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000
+        |  ) AS BIGINT) AS resid_micros
+        |  FROM grid CROSS JOIN nn)
+        |SELECT a, b, obs, resid_micros, abs(resid_micros) > 2000000 AS flagged FROM r""".stripMargin,
+
+    // Neyman allocation: integer weights, largest-remainder apportionment
+    "neyman_allocation" ->
+      """WITH m AS (SELECT c_mktsegment AS g, COUNT(*) AS n_h,
+        |  CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS HUGEINT) AS s,
+        |  CAST(SUM(CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS HUGEINT)
+        |           * CAST(round(c_acctbal * 100) AS BIGINT)) AS HUGEINT) AS q
+        |  FROM customer GROUP BY 1),
+        |sd AS (SELECT g, CAST(n_h AS BIGINT) AS n_h,
+        |  CASE WHEN n_h <= 1 THEN 0
+        |       ELSE CAST(round(sqrt(
+        |         (CAST(q AS DOUBLE) * CAST(n_h AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |         / (CAST(n_h AS DOUBLE) * CAST(n_h - 1 AS DOUBLE))) * 1000000) AS BIGINT)
+        |  END AS sd_micros FROM m),
+        |w AS (SELECT g, n_h, sd_micros, CAST(n_h AS HUGEINT) * sd_micros AS w FROM sd),
+        |tw AS (SELECT SUM(w) AS tw FROM w),
+        |based AS (SELECT g, n_h, sd_micros,
+        |  CAST((w * 1000) // tw AS BIGINT) AS base,
+        |  w * 1000 - ((w * 1000) // tw) * tw AS rem
+        |  FROM w CROSS JOIN tw),
+        |sh AS (SELECT 1000 - CAST(SUM(base) AS BIGINT) AS short FROM based)
+        |SELECT g AS c_mktsegment, n_h, sd_micros,
+        |  CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, g) <= short
+        |                   THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM based CROSS JOIN sh""".stripMargin,
+
+    // 7 FK edges, each a left join against distinct parent keys
+    "fk_orphan_audit" ->
+      """SELECT 'lineitem.l_orderkey->orders' AS relationship, CAST(COUNT(*) AS BIGINT) AS n_child,
+        |  CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan,
+        |  CAST((SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) * 1000000 + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS orphan_ppm
+        |FROM lineitem c LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p ON c.l_orderkey = p.k
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey->part', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST((SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) * 1000000 + COUNT(*) // 2) // COUNT(*) AS BIGINT)
+        |FROM lineitem c LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) p ON c.l_partkey = p.k
+        |UNION ALL
+        |SELECT 'lineitem.l_suppkey->supplier', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST((SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) * 1000000 + COUNT(*) // 2) // COUNT(*) AS BIGINT)
+        |FROM lineitem c LEFT JOIN (SELECT DISTINCT s_suppkey AS k FROM supplier) p ON c.l_suppkey = p.k
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST((SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) * 1000000 + COUNT(*) // 2) // COUNT(*) AS BIGINT)
+        |FROM orders c LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p ON c.o_custkey = p.k
+        |UNION ALL
+        |SELECT 'customer.c_nationkey->nation', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST((SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) * 1000000 + COUNT(*) // 2) // COUNT(*) AS BIGINT)
+        |FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p ON c.c_nationkey = p.k
+        |UNION ALL
+        |SELECT 'supplier.s_nationkey->nation', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST((SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) * 1000000 + COUNT(*) // 2) // COUNT(*) AS BIGINT)
+        |FROM supplier c LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p ON c.s_nationkey = p.k
+        |UNION ALL
+        |SELECT 'nation.n_regionkey->region', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST((SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) * 1000000 + COUNT(*) // 2) // COUNT(*) AS BIGINT)
+        |FROM nation c LEFT JOIN (SELECT DISTINCT r_regionkey AS k FROM region) p ON c.n_regionkey = p.k""".stripMargin,
+
+    "hits_customer_part" -> hitsCustomerPartOracle,
+
+    // additive decomposition: centered 7-day MA trend (full windows
+    // only), recentred weekday seasonal means, integer residual
+    "seasonal_decompose" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value, event_type FROM events),
+        |d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |      CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |      FROM e WHERE event_type = 'purchase' GROUP BY 1),
+        |ma AS (SELECT day, cents,
+        |      CAST(COUNT(*) OVER w AS BIGINT) AS w_n, CAST(SUM(cents) OVER w AS BIGINT) AS w_s
+        |      FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |tr AS (SELECT day, cents,
+        |      CAST(round(CAST(w_s AS DOUBLE) / 7.0) AS BIGINT) AS trend_cents,
+        |      cents - CAST(round(CAST(w_s AS DOUBLE) / 7.0) AS BIGINT) AS detr,
+        |      ((datediff('day', DATE '1995-01-01', day) % 7) + 7) % 7 AS dow
+        |      FROM ma WHERE w_n = 7),
+        |se AS (SELECT dow, CAST(SUM(detr) AS HUGEINT) AS ds, COUNT(*) AS dn FROM tr GROUP BY 1),
+        |rs AS (SELECT dow, CAST(round(CAST(ds AS DOUBLE) / CAST(dn AS DOUBLE)) AS BIGINT) AS raw_seas FROM se),
+        |ce AS (SELECT CAST(SUM(raw_seas) AS BIGINT) AS cs, COUNT(*) AS ck FROM rs),
+        |sa AS (SELECT dow,
+        |      raw_seas - CAST(round(CAST(cs AS DOUBLE) / CAST(ck AS DOUBLE)) AS BIGINT) AS seasonal_cents
+        |      FROM rs CROSS JOIN ce)
+        |SELECT t.day, t.cents, t.trend_cents, s.seasonal_cents,
+        |       t.detr - s.seasonal_cents AS residual_cents
+        |FROM tr t JOIN sa s ON t.dow = s.dow""".stripMargin,
+
+    // AP per source over the total (score desc, doc_id) order — shares
+    // the classifier_auc scoring chain, ranks via plain windows (replay)
+    "classifier_pr_auc" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+        |wt AS (SELECT doc_id,
+        |  (CAST(concat('0x', substr(md5(CAST(
+        |     CAST(concat('0x', substr(md5(tk), 1, 8)) AS BIGINT) % 1024
+        |   AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000 AS w
+        |  FROM tok),
+        |s AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS s FROM wt GROUP BY doc_id),
+        |clf AS (SELECT t.doc_id,
+        |  CAST(round(CAST(coalesce(s.s, 0) AS DOUBLE) * 1000.0
+        |       / NULLIF(CAST(len(t.toks) AS DOUBLE), 0.0)) AS BIGINT) AS score_u
+        |  FROM t LEFT JOIN s USING (doc_id)),
+        |q AS (SELECT doc_id,
+        |  CAST(round(round(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.5 +
+        |       coalesce(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |                                     t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+        |                / NULLIF(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE), 0), 0) * 0.5,
+        |       6) * 1000000) AS BIGINT) AS q_ppm
+        |  FROM documents),
+        |j AS (SELECT d.source, clf.doc_id, score_u,
+        |      CAST(q_ppm >= 500000 AS BIGINT) AS pos
+        |      FROM clf JOIN q USING (doc_id) JOIN documents d USING (doc_id)
+        |      WHERE score_u IS NOT NULL),
+        |r AS (SELECT source, pos,
+        |      CAST(row_number() OVER (PARTITION BY source ORDER BY score_u DESC, doc_id) AS BIGINT) AS k,
+        |      CAST(SUM(pos) OVER (PARTITION BY source ORDER BY score_u DESC, doc_id) AS BIGINT) AS relcum
+        |      FROM j),
+        |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |      CAST(SUM(CASE WHEN pos = 1 THEN (relcum * 1000000 + k // 2) // k ELSE 0 END) AS BIGINT) AS tsum
+        |      FROM r GROUP BY 1)
+        |SELECT source, n, n_pos,
+        |  CASE WHEN n_pos = 0 THEN NULL
+        |       ELSE CAST((tsum + n_pos // 2) // n_pos AS BIGINT) END AS ap_ppm
+        |FROM a""".stripMargin,
+
+    // Croston: pinned 0.8^(r-1) ppm kernel over the last 8 demand months
+    "croston_forecast" ->
+      """WITH monthly AS (SELECT l_partkey AS part,
+        |  CAST(year(date_trunc('month', l_shipdate)) AS BIGINT) * 12
+        |    + month(date_trunc('month', l_shipdate)) AS mi,
+        |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |seq AS (SELECT part, q, mi,
+        |  mi - lag(mi) OVER (PARTITION BY part ORDER BY mi) AS gap,
+        |  COUNT(*) OVER (PARTITION BY part) AS nm,
+        |  row_number() OVER (PARTITION BY part ORDER BY mi DESC) AS r
+        |  FROM monthly),
+        |wts(r, w) AS (VALUES (1, 1000000), (2, 800000), (3, 640000), (4, 512000),
+        |  (5, 409600), (6, 327680), (7, 262144), (8, 209715)),
+        |j AS (SELECT s.part, s.q, s.gap, s.nm, w.w FROM seq s JOIN wts w ON s.r = w.r),
+        |a AS (SELECT part, CAST(MAX(nm) AS BIGINT) AS n_demand_months,
+        |  CAST(SUM(w * q) AS HUGEINT) AS zn, CAST(SUM(w) AS HUGEINT) AS zd,
+        |  SUM(CASE WHEN gap IS NOT NULL THEN w * gap END) AS pn,
+        |  SUM(CASE WHEN gap IS NOT NULL THEN w END) AS pd
+        |  FROM j GROUP BY 1)
+        |SELECT part, n_demand_months,
+        |  CAST(round(CAST(zn AS DOUBLE) / CAST(zd AS DOUBLE) * 1000) AS BIGINT) AS z_milli,
+        |  CASE WHEN pd IS NULL OR pd = 0 THEN NULL
+        |       ELSE CAST(round(CAST(pn AS DOUBLE) / CAST(pd AS DOUBLE) * 1000) AS BIGINT)
+        |  END AS p_milli,
+        |  CASE WHEN pd IS NULL OR pd = 0 OR pn = 0 THEN NULL
+        |       ELSE CAST(round(CAST(zn AS DOUBLE) * CAST(pd AS DOUBLE)
+        |         / (CAST(zd AS DOUBLE) * CAST(pn AS DOUBLE)) * 1000000) AS BIGINT)
+        |  END AS rate_ppm
+        |FROM a""".stripMargin,
+
+    // 2x2 odds ratio with Wald CI; empty cells read NULL
+    "odds_ratio_returns" ->
+      """WITH ret AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+        |g AS (SELECT (o_orderpriority = '1-URGENT') AS e,
+        |      (r.l_orderkey IS NOT NULL) AS o
+        |      FROM orders LEFT JOIN ret r ON o_orderkey = r.l_orderkey
+        |      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |cc AS (SELECT
+        |  CAST(SUM(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |  CAST(SUM(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |  CAST(SUM(CASE WHEN (NOT e) AND o THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |  CAST(SUM(CASE WHEN (NOT e) AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM g),
+        |r1 AS (SELECT a, b, c, d,
+        |  CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL
+        |       ELSE CAST(round(ln(
+        |         (CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+        |         / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))) * 1000000) AS BIGINT)
+        |  END AS log_or_micros,
+        |  CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL
+        |       ELSE CAST(round(sqrt(
+        |         1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+        |         + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE)) * 1000000) AS BIGINT)
+        |  END AS se_micros
+        |  FROM cc)
+        |SELECT a, b, c, d, log_or_micros,
+        |  log_or_micros - CAST(round(1.96 * se_micros) AS BIGINT) AS ci_lo_micros,
+        |  log_or_micros + CAST(round(1.96 * se_micros) AS BIGINT) AS ci_hi_micros
+        |FROM r1""".stripMargin,
+
+    // Burrows' Delta: top-30 token z-score grid, integer pair deltas
+    "burrows_delta" ->
+      """WITH tf AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT source, token, COUNT(*) AS c FROM tf GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+        |top AS (SELECT token FROM (
+        |  SELECT token, SUM(c) AS ct FROM cnt GROUP BY 1
+        |  ORDER BY ct DESC, token LIMIT 30) t),
+        |grid AS (SELECT t.source, p.token, CAST(coalesce(c.c, 0) AS BIGINT) AS c, t.tot
+        |  FROM tot t CROSS JOIN top p
+        |  LEFT JOIN cnt c ON c.source = t.source AND c.token = p.token),
+        |f AS (SELECT source, token, (c * 1000000 + tot // 2) // tot AS f_ppm FROM grid),
+        |mo AS (SELECT token, COUNT(*) AS k, CAST(SUM(f_ppm) AS BIGINT) AS sf,
+        |       CAST(SUM(f_ppm * f_ppm) AS HUGEINT) AS qf FROM f GROUP BY 1),
+        |z AS (SELECT source, f.token,
+        |  CASE WHEN k * qf - sf * sf <= 0 THEN 0
+        |       ELSE CAST(round(
+        |         (CAST(f_ppm AS DOUBLE) - CAST(sf AS DOUBLE) / CAST(k AS DOUBLE))
+        |         / sqrt((CAST(qf AS DOUBLE) * CAST(k AS DOUBLE) - CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE))
+        |                / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE))) * 1000000) AS BIGINT)
+        |  END AS z_micros
+        |  FROM f JOIN mo ON f.token = mo.token)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST((SUM(abs(a.z_micros - b.z_micros)) + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS delta_micros
+        |FROM z a JOIN z b ON a.token = b.token AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -1694,4 +1694,50 @@ object EventOps {
       .select(col("day"), col("x").as("rev_cents"), col("mt_micros"),
         (col("mt_micros") - col("min_mt")).as("ph_micros"))
   }
+
+  /** Classical additive seasonal decomposition of daily purchase revenue
+    * — rev = trend + seasonal + residual, the series read that UNIFIES
+    * the repo's separate trend ([[theilSenTrend]]), weekday-pattern
+    * ([[weekdaySeasonality]]) and outlier ([[seasonalResidualOutliers]])
+    * ops into per-day components a forecaster can subtract. Trend is the
+    * centered 7-day moving average (full windows only — the first/last 3
+    * days are excluded rather than padded, the honest convention);
+    * seasonal is the per-weekday mean of the detrended series,
+    * re-centered so the seven indices sum to ~0; residual is the exact
+    * integer remainder.
+    *
+    * Determinism: day cents are exact integers; the MA, the weekday
+    * means, and the recentering mean are each ONE fixed-shape double
+    * over integer sums quantized back to cents (negative-safe — no
+    * integer `div`, whose truncation differs from DuckDB's floor `//`
+    * on negatives). All windows ride the constant-key idiom over the
+    * day dimension; facts collapse in the one groupBy.
+    */
+  def seasonalDecompose(events: DataFrame): DataFrame = {
+    val daily = events.filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+    val wMa = Window.partitionBy(pmod(col("cents"), lit(1))).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("w_n", count(lit(1)).over(wMa))
+      .withColumn("w_s", sum(col("cents")).over(wMa))
+      .filter(col("w_n") === 7)
+      .withColumn("trend_cents",
+        expr("cast(round(cast(w_s as double) / 7.0d) as bigint)"))
+      .withColumn("detr", col("cents") - col("trend_cents"))
+      .withColumn("dow", pmod(datediff(col("day"), lit("1995-01-01").cast(DateType)), lit(7)))
+    val seas = trended.groupBy(col("dow"))
+      .agg(sum(col("detr")).as("ds"), count(lit(1)).as("dn"))
+      .withColumn("raw_seas",
+        expr("cast(round(cast(ds as double) / cast(dn as double)) as bigint)"))
+    val center = seas.agg(sum(col("raw_seas")).as("cs"), count(lit(1)).as("ck"))
+    val seasonal = seas.crossJoin(broadcast(center))
+      .select(col("dow"),
+        (col("raw_seas") - expr("cast(round(cast(cs as double) / cast(ck as double)) as bigint)"))
+          .as("seasonal_cents"))
+    trended.join(broadcast(seasonal), Seq("dow"))
+      .select(col("day"), col("cents"), col("trend_cents"), col("seasonal_cents"),
+        (col("detr") - col("seasonal_cents")).as("residual_cents"))
+  }
 }

@@ -298,4 +298,47 @@ object GraphOps {
     labelPropagation(edges, rounds)
       .select(col("node").as("doc_id"), col("lab").as("community"))
   }
+
+  /** HITS (Kleinberg 1999) over a BIPARTITE relation — hubs on the left,
+    * authorities on the right. On the purchase graph (customer → part)
+    * this separates two reads one degree count conflates: an
+    * authoritative part is bought by HIGH-HUB customers (broad,
+    * high-value buyers), not merely by many customers; a hub customer
+    * buys AUTHORITATIVE parts, not merely many parts. The mutual
+    * reinforcement is exactly the two-sided importance the flat
+    * `basket_lift`/`item_similarity` co-occurrence ops can't express.
+    *
+    * Same integer fixed-point discipline as [[eigenvectorCentralityFromPairs]]:
+    * scores start at 1e6, each half-round is one co-partitioned equi-join
+    * + partial-agg shuffle, max-normalized by integer division (scores
+    * are nonnegative so `div` = floor on both engines), localCheckpoint
+    * EVERY round (the frame feeds both the join and the max — the
+    * multi-reference loop rule). The edge frame is distinct (hub, auth)
+    * pairs computed once; nodes with zero in-edges simply drop out, the
+    * standard HITS convention on a connected bipartite core.
+    */
+  def hitsBipartite(edges: DataFrame, rounds: Int = 6): DataFrame = {
+    require(rounds >= 1 && rounds <= 40, s"rounds out of range: $rounds")
+    val e = edges.select(col("hub"), col("auth")).distinct().localCheckpoint()
+    var auth = e.select(col("auth")).distinct()
+      .withColumn("a", lit(1000000L)).localCheckpoint()
+    var hub: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val hr = e.join(auth, Seq("auth"))
+        .groupBy(col("hub")).agg(sum(col("a")).as("xr")).localCheckpoint()
+      val hmx = hr.agg(max(col("xr")).as("mx"))
+      hub = hr.crossJoin(broadcast(hmx))
+        .select(col("hub"), expr("(xr * 1000000) div mx").as("h"))
+        .localCheckpoint()
+      val ar = e.join(hub, Seq("hub"))
+        .groupBy(col("auth")).agg(sum(col("h")).as("xr")).localCheckpoint()
+      val amx = ar.agg(max(col("xr")).as("mx"))
+      auth = ar.crossJoin(broadcast(amx))
+        .select(col("auth"), expr("(xr * 1000000) div mx").as("a"))
+        .localCheckpoint()
+    }
+    hub.select(lit("hub").as("side"), col("hub").as("node"), col("h").as("score_ppm"))
+      .unionByName(auth.select(lit("auth").as("side"),
+        col("auth").as("node"), col("a").as("score_ppm")))
+  }
 }

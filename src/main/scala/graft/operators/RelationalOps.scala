@@ -1341,4 +1341,93 @@ object RelationalOps {
       .select(col("o_custkey"), col("key_a"), col("key_b"), col("cents"),
         abs(datediff(col("db"), col("da"))).cast(LongType).as("gap_days"))
   }
+
+  /** Croston's method (1972) — the intermittent-demand baseline the
+    * [[abcXyzMatrix]]'s X/Y/Z regularity classes call for: for a part
+    * that sells in bursts, a plain moving average smears zeros into the
+    * level; Croston smooths demand SIZE and inter-demand INTERVAL
+    * separately over demand months only, and forecasts rate = z/p.
+    *
+    * The recency kernel is the repo's truncated-EWMA discipline
+    * ([[graft.operators.EventOps.ewmaRevenue]]): pinned integer ppm
+    * weights 0.8^i over the last `kernel` demand months, renormalized by
+    * the weight actually present — no recursive accumulator, so the
+    * statistic is one bounded window + one aggregate per part. Interval
+    * smoothing runs over the rows that HAVE a defined interval (the
+    * second demand month onward), renormalized separately. Parts with a
+    * single demand month read NULL interval/rate.
+    *
+    * Scale shape: facts collapse to the (part × month) grid in one
+    * partial-agg pass; every window is PARTITIONED BY part (bounded by
+    * the month dimension per part). z/p in milli-units, rate in ppm —
+    * each ONE fixed-shape double over exact integers.
+    */
+  def crostonForecast(lineitem: DataFrame, kernel: Int = 8): DataFrame = {
+    require(kernel >= 1 && kernel <= 20, s"kernel out of range: $kernel")
+    val sp = lineitem.sparkSession
+    import sp.implicits._
+    val monthly = lineitem
+      .groupBy(col("l_partkey").as("part"),
+        date_trunc("month", col("l_shipdate")).cast(DateType).as("month"))
+      .agg(sum(expr("cast(round(l_quantity) as bigint)")).as("q"))
+      .select(col("part"), col("q"),
+        (year(col("month")).cast(LongType) * 12 + month(col("month"))).as("mi"))
+    val wAsc = Window.partitionBy(col("part")).orderBy(col("mi"))
+    val wDesc = Window.partitionBy(col("part")).orderBy(col("mi").desc)
+    val recent = monthly
+      .withColumn("gap", col("mi") - lag(col("mi"), 1).over(wAsc))
+      .withColumn("nm", count(lit(1)).over(
+        Window.partitionBy(col("part"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("r", row_number().over(wDesc))
+      .filter(col("r") <= kernel)
+    // pinned 0.8^(r-1) ppm recency weights — shared literals, no pow()
+    val weights = (1 to kernel)
+      .map(r => (r.toLong, math.round(math.pow(0.8, r - 1) * 1e6)))
+      .toDF("r", "w")
+    recent.join(broadcast(weights), Seq("r"))
+      .groupBy(col("part"))
+      .agg(max(col("nm")).as("n_demand_months"),
+        sum(col("w") * col("q")).as("zn"), sum(col("w")).as("zd"),
+        sum(when(col("gap").isNotNull, col("w") * col("gap"))).as("pn"),
+        sum(when(col("gap").isNotNull, col("w"))).as("pd"))
+      .select(col("part"), col("n_demand_months"),
+        expr("cast(round(cast(zn as double) / cast(zd as double) * 1000) as bigint)")
+          .as("z_milli"),
+        when(col("pd").isNull || col("pd") === 0L, lit(null).cast(LongType))
+          .otherwise(expr(
+            "cast(round(cast(pn as double) / cast(pd as double) * 1000) as bigint)"))
+          .as("p_milli"),
+        when(col("pd").isNull || col("pd") === 0L || col("pn") === 0L,
+          lit(null).cast(LongType))
+          .otherwise(expr("""cast(round(
+            |  (cast(zn as double) * cast(pd as double))
+            |  / (cast(zd as double) * cast(pn as double)) * 1000000) as bigint)""".stripMargin))
+          .as("rate_ppm"))
+  }
+
+  /** Referential-integrity orphan audit across a warehouse's FK edges —
+    * the load-time contract check `dq_expectations` (column-level) does
+    * not cover: for each declared child→parent relationship, how many
+    * child rows reference a parent key that does not exist? Each edge is
+    * one LEFT JOIN against the DISTINCT parent keys followed by a
+    * count/count-null aggregate — at fact scale that is a shuffle (or
+    * broadcast, when the parent is a dimension) equi-join per edge, and
+    * the per-edge results union into one audit frame on the driver PLAN
+    * (no data collected). Orphan share in half-up integer ppm; a clean
+    * warehouse reads all zeros, which is the point of gating it.
+    */
+  def fkOrphanAudit(edges: Seq[(String, DataFrame, DataFrame)]): DataFrame = {
+    require(edges.nonEmpty, "fkOrphanAudit needs at least one edge")
+    edges.map { case (label, childKeys, parentKeys) =>
+      val c = childKeys.toDF("k")
+      val p = parentKeys.toDF("k").distinct()
+        .withColumn("present", lit(1L))
+      c.join(p, Seq("k"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("present").isNull, 1L).otherwise(0L)).as("n_orphan"))
+        .select(lit(label).as("relationship"), col("n_child"), col("n_orphan"),
+          expr("(n_orphan * 1000000 + n_child div 2) div n_child").as("orphan_ppm"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -856,4 +856,165 @@ object StatsOps {
             | * 1000000) as bigint)""".stripMargin))
           .as("t_ppm"))
   }
+
+  /** Welch's unequal-variance t-test — the parametric two-sample
+    * companion to [[mannWhitneyU]] (MW asks "is one distribution
+    * shifted"; Welch asks "do the MEANS differ" without [[anovaF]]'s
+    * pooled-variance assumption, which heteroskedastic price groups
+    * violate). Per group one partial-agg pass collects the exact
+    * integer moments (n, Σcents, Σcents² in DECIMAL(38,0)); the t
+    * statistic and the Welch–Satterthwaite degrees of freedom
+    *   t  = (m₁ − m₂) / √(s₁²/n₁ + s₂²/n₂)
+    *   df = (s₁²/n₁ + s₂²/n₂)² / ((s₁²/n₁)²/(n₁−1) + (s₂²/n₂)²/(n₂−1))
+    * are ONE fixed-shape double expression each over those integers,
+    * micros-quantized — no running float accumulator anywhere. NULL on
+    * degenerate groups (n ≤ 1 or both variances zero).
+    */
+  def welchTTest(df: DataFrame, groupCol: String, valCol: String,
+                 groupA: String, groupB: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val cents = df
+      .filter(col(groupCol).isin(groupA, groupB))
+      .select((col(groupCol) === groupA).as("is_a"),
+        expr(s"cast(round($valCol * 100) as bigint)").as("v"))
+    val m = cents.groupBy(col("is_a"))
+      .agg(count(lit(1)).as("n"), sum(col("v").cast(D)).as("s"),
+        sum((col("v").cast(D) * col("v")).cast(D)).as("q"))
+    val a = m.filter(col("is_a")).select(col("n").as("n1"), col("s").as("s1"), col("q").as("q1"))
+    val b = m.filter(!col("is_a")).select(col("n").as("n2"), col("s").as("s2"), col("q").as("q2"))
+    a.crossJoin(broadcast(b))
+      // vₖ = sₖ²/nₖ carried as one double each: variance/n =
+      // (n·Σx² − S²) / (n²(n−1)) — inputs exact integers, shape fixed;
+      // nullif keeps the ANSI divide alive on a degenerate n = 1 arm
+      // (the when() below nulls the output anyway via the n ≤ 1 guard)
+      .select(col("n1"), col("n2"),
+        expr("""(cast(q1 as double) * cast(n1 as double) - cast(s1 as double) * cast(s1 as double))
+          | / nullif(cast(n1 as double) * cast(n1 as double) * cast(n1 - 1 as double), 0.0d)""".stripMargin).as("v1"),
+        expr("""(cast(q2 as double) * cast(n2 as double) - cast(s2 as double) * cast(s2 as double))
+          | / nullif(cast(n2 as double) * cast(n2 as double) * cast(n2 - 1 as double), 0.0d)""".stripMargin).as("v2"),
+        expr("cast(s1 as double) / cast(n1 as double) - cast(s2 as double) / cast(n2 as double)")
+          .as("mdiff"))
+      .select(col("n1"), col("n2"),
+        when(col("n1") <= 1 || col("n2") <= 1 || col("v1") + col("v2") <= 0.0,
+          lit(null).cast(LongType))
+          .otherwise(expr("cast(round(mdiff / sqrt(v1 + v2) * 1000000) as bigint)"))
+          .as("t_micros"),
+        when(col("n1") <= 1 || col("n2") <= 1 || col("v1") + col("v2") <= 0.0,
+          lit(null).cast(LongType))
+          .otherwise(expr("""cast(round((v1 + v2) * (v1 + v2)
+            | / (v1 * v1 / cast(n1 - 1 as double) + v2 * v2 / cast(n2 - 1 as double))
+            | * 1000000) as bigint)""".stripMargin))
+          .as("df_micros"))
+  }
+
+  /** Standardized Pearson residuals — [[chiSquare]]'s per-cell
+    * diagnostic: the one-number test says "dependent", the residual grid
+    * says WHERE. r = (O − E)/√(E(1 − rt/n)(1 − ct/n)) over the same
+    * zero-filled full a×b grid; under independence each r is ~N(0,1),
+    * so |r| > 2 flags the driving cells. The residual is ONE fixed-shape
+    * double per cell over exact integer marginals, micros-quantized; no
+    * sum follows (the grid IS the output), so this is the least
+    * precision-fragile op in the family. Grid is dimension-scale.
+    */
+  def chiSquareResiduals(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("obs"))
+    val rowTot = obs.groupBy(col("a")).agg(sum(col("obs")).as("rt"))
+    val colTot = obs.groupBy(col("b")).agg(sum(col("obs")).as("ct"))
+    val n = obs.agg(sum(col("obs")).as("n"))
+    rowTot.crossJoin(broadcast(colTot))
+      .join(obs, Seq("a", "b"), "left")
+      .withColumn("obs", coalesce(col("obs"), lit(0L)))
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("obs"),
+        // E = rt·ct/n and the (1 − marginal share) deflators in one shape
+        expr("""cast(round(
+          |  (cast(obs as double) - cast(rt as double) * cast(ct as double) / cast(n as double))
+          |  / sqrt(cast(rt as double) * cast(ct as double) / cast(n as double)
+          |         * (1.0d - cast(rt as double) / cast(n as double))
+          |         * (1.0d - cast(ct as double) / cast(n as double))) * 1000000
+          |) as bigint)""".stripMargin).as("resid_micros"))
+      .withColumn("flagged", abs(col("resid_micros")) > 2000000L)
+  }
+
+  /** Odds ratio of a 2×2 exposure × outcome table with the Wald
+    * confidence interval — the epidemiology-shaped effect size
+    * [[chiSquare]] (is there dependence?) and [[chiSquareResiduals]]
+    * (where?) stop short of: HOW MUCH does exposure multiply the odds,
+    * with sampling uncertainty attached. OR = ad/bc; ln OR and
+    * se = √(1/a + 1/b + 1/c + 1/d) are each ONE fixed-shape double over
+    * the four exact counts, micros-quantized; the CI bounds pin
+    * z = 1.96 as a shared literal. Any empty cell reads NULL (the
+    * standard undefined-OR convention — callers wanting Haldane's +0.5
+    * correction can add it to the inputs). One corpus-scale aggregate;
+    * everything after is a 1-row frame.
+    */
+  def oddsRatio(df: DataFrame, exposedSql: String, outcomeSql: String): DataFrame = {
+    df.select(expr(exposedSql).as("e"), expr(outcomeSql).as("o"))
+      .agg(sum(expr("cast(e and o as bigint)")).as("a"),
+        sum(expr("cast(e and not o as bigint)")).as("b"),
+        sum(expr("cast((not e) and o as bigint)")).as("c"),
+        sum(expr("cast((not e) and not o as bigint)")).as("d"))
+      .select(col("a"), col("b"), col("c"), col("d"),
+        when(col("a") === 0L || col("b") === 0L || col("c") === 0L || col("d") === 0L,
+          lit(null).cast(LongType))
+          .otherwise(expr("""cast(round(ln(
+            |  (cast(a as double) * cast(d as double))
+            |  / (cast(b as double) * cast(c as double))) * 1000000) as bigint)""".stripMargin))
+          .as("log_or_micros"),
+        when(col("a") === 0L || col("b") === 0L || col("c") === 0L || col("d") === 0L,
+          lit(null).cast(LongType))
+          .otherwise(expr("""cast(round(sqrt(
+            |  1.0d / cast(a as double) + 1.0d / cast(b as double)
+            |  + 1.0d / cast(c as double) + 1.0d / cast(d as double)) * 1000000) as bigint)""".stripMargin))
+          .as("se_micros"))
+      .select(col("a"), col("b"), col("c"), col("d"), col("log_or_micros"),
+        (col("log_or_micros") - expr("cast(round(1.96d * se_micros) as bigint)"))
+          .as("ci_lo_micros"),
+        (col("log_or_micros") + expr("cast(round(1.96d * se_micros) as bigint)"))
+          .as("ci_hi_micros"))
+  }
+
+  /** Neyman-optimal stratified sample allocation — the sampling-design
+    * op behind every "audit 1 000 rows" request: strata with more mass
+    * AND more variance deserve more of the budget, n_h ∝ N_h·σ_h
+    * (Neyman 1934). Per-stratum moments are exact integers (one
+    * partial-agg pass); σ_h is the one correctly-rounded sqrt per
+    * stratum, micros-quantized into an integer weight; the final
+    * allocation uses LARGEST-REMAINDER apportionment in pure integer
+    * arithmetic (base = ⌊n·w_h/W⌋, the leftover seats go to the largest
+    * remainders, ties broken on stratum key) so the n_h sum to exactly
+    * the budget on any engine. Everything after the first pass runs on
+    * the stratum dimension (constant-key window over ≤ |strata| rows).
+    */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valCol: String,
+                       budget: Int = 1000): DataFrame = {
+    val D = DecimalType(38, 0)
+    val m = df.select(col(stratumCol).as("g"),
+        expr(s"cast(round($valCol * 100) as bigint)").as("v"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_h"), sum(col("v").cast(D)).as("s"),
+        sum((col("v").cast(D) * col("v")).cast(D)).as("q"))
+      .select(col("g"), col("n_h"),
+        when(col("n_h") <= 1, lit(0L))
+          .otherwise(expr("""cast(round(sqrt(
+            |  (cast(q as double) * cast(n_h as double) - cast(s as double) * cast(s as double))
+            |  / (cast(n_h as double) * cast(n_h - 1 as double))) * 1000000) as bigint)""".stripMargin))
+          .as("sd_micros"))
+      .withColumn("w", (col("n_h").cast(D) * col("sd_micros")).cast(D))
+    val tot = m.agg(sum(col("w")).as("tw"))
+    val based = m.crossJoin(broadcast(tot))
+      .select(col("g"), col("n_h"), col("sd_micros"),
+        expr(s"cast((w * $budget) div tw as bigint)").as("base"),
+        // remainder in DECIMAL(38,0) units — exact, orderable
+        (col("w") * lit(budget) - expr(s"((w * $budget) div tw)").cast(D) * col("tw"))
+          .as("rem"))
+    val wRem = Window.partitionBy(lit(0))
+      .orderBy(col("rem").desc, col("g"))
+    val short = based.agg((lit(budget) - sum(col("base"))).as("short"))
+    based.crossJoin(broadcast(short))
+      .withColumn("rr", row_number().over(wRem))
+      .select(col("g").as(stratumCol), col("n_h"), col("sd_micros"),
+        (col("base") + when(col("rr") <= col("short"), 1L).otherwise(0L)).as("alloc"))
+  }
 }

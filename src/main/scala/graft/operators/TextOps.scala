@@ -1751,6 +1751,113 @@ object TextOps {
           .cast(LongType).as("auc_ppm"))
   }
 
+  /** Average precision (PR-AUC) of the quality classifier per source —
+    * [[classifierAuc]]'s companion for the IMBALANCED regime: ROC-AUC
+    * stays optimistic when positives are rare (the usual shape of a
+    * "keep this document" gate at corpus scale); AP weights each hit by
+    * the precision at its rank, so ranking junk above the few keepers
+    * costs visibly. AP = (1/R)·Σ_{rel ranks k} P@k over the TOTAL order
+    * (score desc, doc_id) — the tie-break makes every rank well-defined
+    * on both engines.
+    *
+    * Fact-scale discipline: ranks and relevant-cumulative counts come
+    * from [[ShardedOrder]] over the composite (source, −score, doc_id)
+    * key — per-source values are recovered by subtracting per-source
+    * offsets cumulated on the source DIMENSION (constant-key window over
+    * ≤ |sources| rows), so no per-source window ever serializes a
+    * source's full document list through one reducer. Every P@k term is
+    * half-up integer ppm; the final mean divides once by R.
+    */
+  def classifierPrAuc(documents: DataFrame): DataFrame = {
+    val scored = qualityClassifier(documents)
+      .select(col("doc_id"),
+        expr("cast(round(clf_score * 1000000) as bigint)").as("score_u"))
+      .filter(col("score_u").isNotNull)
+      .join(qualityScore(documents)
+        .select(col("doc_id"),
+          expr("cast(round(quality * 1000000) as bigint) >= 500000").as("pos")),
+        "doc_id")
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("neg_s", -col("score_u"))
+    val ranked = ShardedOrder.withRunningSum(
+      ShardedOrder.withGlobalRank(scored, "grank", 32,
+        col("source"), col("neg_s"), col("doc_id")),
+      expr("cast(pos as bigint)"), "gcum", 32,
+      col("source"), col("neg_s"), col("doc_id"))
+    // per-source offsets: rows / positives in all EARLIER sources
+    val wSrc = Window.partitionBy(pmod(length(col("source")), lit(1)))
+      .orderBy(col("source")).rowsBetween(Window.unboundedPreceding, -1)
+    val offs = ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("sn"), sum(expr("cast(pos as bigint)")).as("sp"))
+      .withColumn("row_off", coalesce(sum(col("sn")).over(wSrc), lit(0L)))
+      .withColumn("pos_off", coalesce(sum(col("sp")).over(wSrc), lit(0L)))
+    ranked.join(broadcast(offs), Seq("source"))
+      .select(col("source"), col("sn"), col("sp"), col("pos"),
+        (col("grank") - col("row_off")).as("k"),
+        (col("gcum") - col("pos_off")).as("relcum"))
+      .groupBy(col("source"), col("sn").as("n"), col("sp").as("n_pos"))
+      .agg(sum(when(col("pos"),
+        expr("(relcum * 1000000 + k div 2) div k")).otherwise(0L)).as("tsum"))
+      .select(col("source"), col("n"), col("n_pos"),
+        when(col("n_pos") === 0L, lit(null).cast(LongType))
+          .otherwise(expr("(tsum + n_pos div 2) div n_pos")).as("ap_ppm"))
+  }
+
+  /** Burrows' Delta (2002) — the stylometric fingerprint distance
+    * between sources: restrict to the corpus's top-K most frequent
+    * tokens (function words dominate, which is the method's insight —
+    * style lives in 'the'/'of' rates, not content words), z-score each
+    * source's relative frequency per token against the cross-source
+    * mean/SD, and read Δ(s₁, s₂) = mean |z₁ − z₂|. Two sources of the
+    * same template/generator sit near 0; a feed that switched generators
+    * mid-corpus splits visibly. The provenance read beside
+    * `source_overlap` (shared content) and `kn_cross_entropy` (language
+    * model fit) — Δ is about STYLE with content held out.
+    *
+    * Scale shape: one fact-scale (source, token) count; the top-K
+    * selection is a TakeOrdered over the token dimension; everything
+    * after (zero-filled grid, per-token moments, pair deltas) runs on
+    * the |sources| × K grid. Relative frequencies are half-up integer
+    * ppm; the z-score is ONE fixed-shape double per cell over exact
+    * integer moments (population SD across sources), micros-quantized
+    * BEFORE the pair algebra — so the pair deltas are pure integers.
+    * Zero-SD tokens read z = 0 everywhere (they carry no signal).
+    */
+  def burrowsDelta(documents: DataFrame, topK: Int = 30): DataFrame = {
+    require(topK >= 1, s"topK must be positive, got $topK")
+    val tf = documents
+      .select(col("source"), explode(expr(toksExprFor(documents))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+    val tot = tf.groupBy(col("source")).agg(sum(col("c")).as("tot"))
+    val top = tf.groupBy(col("token")).agg(sum(col("c")).as("ct"))
+      .orderBy(col("ct").desc, col("token")).limit(topK)
+      .select(col("token"))
+    val grid = tot.crossJoin(broadcast(top))
+      .join(tf, Seq("source", "token"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .select(col("source"), col("token"),
+        expr("(c * 1000000 + tot div 2) div tot").as("f_ppm"))
+    val mo = grid.groupBy(col("token"))
+      .agg(count(lit(1)).as("k"), sum(col("f_ppm")).as("sf"),
+        sum(col("f_ppm") * col("f_ppm")).as("qf"))
+    val z = grid.join(broadcast(mo), Seq("token"))
+      .select(col("source"), col("token"),
+        when(expr("k * qf - sf * sf") <= 0L, lit(0L))
+          .otherwise(expr("""cast(round(
+            |  (cast(f_ppm as double) - cast(sf as double) / cast(k as double))
+            |  / sqrt((cast(qf as double) * cast(k as double) - cast(sf as double) * cast(sf as double))
+            |         / (cast(k as double) * cast(k as double))) * 1000000) as bigint)""".stripMargin))
+          .as("z_micros"))
+    z.select(col("token"), col("source").as("source_a"), col("z_micros").as("za"))
+      .join(z.select(col("token"), col("source").as("source_b"), col("z_micros").as("zb")),
+        Seq("token"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("kk"), sum(abs(col("za") - col("zb"))).as("sd"))
+      .select(col("source_a"), col("source_b"),
+        expr("(sd + kk div 2) div kk").as("delta_micros"))
+  }
+
   /** Lexical-diversity audit per source — type-token ratio and hapax
     * share: the cheap vocabulary-health read beside [[vocabGrowth]]'s
     * Heaps curve (TTR collapsing across sources at equal token counts

@@ -1717,4 +1717,56 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(rank(4L) < rank(2L), got.mkString(";"))
     assert(rank(1L) < rank(2L), got.mkString(";"))
   }
+
+  test("classifierPrAuc: AP = 1e6 when the classifier ranks every " +
+       "positive first, and degrades when a junk doc outranks them") {
+    import spark.implicits._
+    // quality label: long docs with stopwords are positives (quality >= .5)
+    val long = "the a of and to in " * 40 // high stopword share + length
+    val docs = Seq(
+      (1L, "s1", long + "alpha"), (2L, "s1", long + "beta"),
+      (3L, "s1", "qq zz xx"), (4L, "s1", "ww vv uu yy")
+    ).toDF("doc_id", "source", "text")
+    val got = TextOps.classifierPrAuc(docs).collect()
+    assert(got.length == 1, got.mkString(";"))
+    val r = got.head
+    assert(r.getLong(1) == 4L, "all four docs scored: " + r)
+    val nPos = r.getLong(2)
+    assert(nPos >= 1L, "the long stopworded docs are labeled positive: " + r)
+    val ap = r.getAs[Long]("ap_ppm")
+    assert(ap > 0L && ap <= 1000000L, r.toString)
+    // AP is exactly 1e6 iff every positive precedes every negative in
+    // (score desc, doc_id) order — verify against a brute replay
+    val scored = TextOps.qualityClassifier(docs)
+      .join(TextOps.qualityScore(docs).select(col("doc_id"),
+        (expr("cast(round(quality * 1000000) as bigint)") >= 500000L).as("pos")), "doc_id")
+      .select(col("doc_id"), expr("cast(round(clf_score * 1000000) as bigint)").as("s"), col("pos"))
+      .collect().sortBy(r => (-r.getLong(1), r.getLong(0)))
+    var rel = 0L; var terms = Vector.empty[Long]
+    scored.zipWithIndex.foreach { case (row, i) =>
+      if (row.getBoolean(2)) { rel += 1; terms :+= (rel * 1000000L + (i + 1) / 2) / (i + 1) }
+    }
+    val expected = (terms.sum + nPos / 2) / nPos
+    assert(ap == expected, s"AP replay mismatch: $ap vs $expected")
+  }
+
+  test("burrowsDelta: style twins read 0, a two-source frequency flip " +
+       "reads exactly 2e6 per differing token, zero-SD tokens are inert") {
+    import spark.implicits._
+    // s1/s2 identical style, s3 flips the aa/bb balance
+    val docs = Seq(
+      (1L, "s1", "aa aa bb cc"), (2L, "s2", "aa aa bb cc"),
+      (3L, "s3", "aa bb bb cc")
+    ).toDF("doc_id", "source", "text")
+    val got = TextOps.burrowsDelta(docs, topK = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.size == 3, got.toString)
+    assert(got(("s1", "s2")) == 0L, "identical sources: " + got)
+    assert(got(("s1", "s3")) == got(("s2", "s3")) && got(("s1", "s3")) > 0L, got.toString)
+    // k = 3 sources, two sharing a style: per differing token
+    // z_twin = ±1/sqrt(2) = ±707107 micros, z_odd = ∓sqrt(2) = ∓1414214,
+    // gap 2121321 on aa and bb, 0 on the evenly-shared cc ->
+    // delta = (2*2121321 + 1) div 3 = 1414214
+    assert(got(("s1", "s3")) == 1414214L, got.toString)
+  }
 }

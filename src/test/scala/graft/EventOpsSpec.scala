@@ -964,4 +964,28 @@ class EventOpsSpec extends SparkSpec {
     val tail = got.drop(10).map(_.getLong(3))
     assert(tail.zip(tail.tail).forall { case (a, b) => b >= a }, tail.toSeq.toString)
   }
+
+  test("seasonalDecompose: components reassemble the series exactly, " +
+       "edge days without a full MA window are excluded, and a pure " +
+       "weekly pattern lands in the seasonal term") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // 28 days: constant 100 + a +70 spike every 7th day (one weekday)
+    val e = (1 to 28).map { i =>
+      val v = if (i % 7 == 0) 170.0 else 100.0
+      (i.toLong, ts(f"2024-01-$i%02d 00:00:00"), 1L, "purchase", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.seasonalDecompose(e).collect().sortBy(_.getDate(0).toString)
+    assert(got.length == 22, "28 days minus 3 at each edge")
+    // exact reassembly is structural: cents = trend + seasonal + residual
+    assert(got.forall(r =>
+      r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4)), "additivity")
+    // every full window holds exactly one spike -> flat trend = 110
+    assert(got.forall(_.getLong(2) == 11000L), got.map(_.getLong(2)).toSeq.toString)
+    // the spike weekday carries the positive seasonal, residuals ~ 0
+    assert(got.forall(r => math.abs(r.getLong(4)) <= 1L),
+      "pure weekly pattern leaves no residual")
+    assert(got.count(_.getLong(3) > 0L) > 0 &&
+      got.filter(_.getLong(3) > 0L).forall(_.getLong(1) == 17000L))
+  }
 }

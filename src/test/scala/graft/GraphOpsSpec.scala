@@ -196,4 +196,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(got(4L) < got(1L) && got(1L) < got(3L), got.toString)
     assert(got.values.forall(v => v > 0L && v <= 1000000L), got.toString)
   }
+
+  test("hitsBipartite: the part bought by broad buyers outranks the " +
+       "equally-popular part bought by narrow ones; duplicate edges " +
+       "don't double-count") {
+    import spark.implicits._
+    // hubs 1,2 buy widely (parts 10,11,12); hubs 3,4 buy only part 13.
+    // parts 10 and 13 both have 2 buyers — but 10's buyers are hubs.
+    val edges = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (2L, 11L), (2L, 12L),
+      (3L, 13L), (4L, 13L),
+      (3L, 13L) // duplicate purchase: must not add weight
+    ).toDF("hub", "auth")
+    val got = GraphOps.hitsBipartite(edges).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got(("auth", 10L)) == got(("auth", 11L)), got.toString)
+    assert(got(("auth", 10L)) > got(("auth", 13L)),
+      s"hub-endorsed part must outrank the same-degree narrow part: $got")
+    assert(got(("hub", 1L)) == 1000000L && got(("hub", 1L)) > got(("hub", 3L)))
+    assert(got.values.forall(v => v > 0L && v <= 1000000L), got.toString)
+  }
 }

@@ -633,4 +633,39 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r.getLong(1) == 1L && r.getLong(2) == 2L && r.getLong(4) == 4L,
       r.toString)
   }
+
+  test("fkOrphanAudit: clean edges read zero, orphans are counted per " +
+       "edge with half-up ppm, duplicate parent keys don't inflate") {
+    import spark.implicits._
+    val child = Seq(1L, 2L, 3L, 9L).toDF("ck") // 9 has no parent
+    val parent = Seq(1L, 1L, 2L, 3L, 4L).toDF("pk") // dup parent key 1
+    val clean = Seq(4L).toDF("ck2")
+    val got = RelationalOps.fkOrphanAudit(Seq(
+      ("child->parent", child, parent),
+      ("clean->parent", clean, parent))).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("child->parent") == ((4L, 1L, 250000L)), got.toString)
+    assert(got("clean->parent") == ((1L, 0L, 0L)), got.toString)
+  }
+
+  test("crostonForecast: steady monthly demand reads rate = size/month, " +
+       "a single-demand part reads NULL interval and rate") {
+    import spark.implicits._
+    val d = Timestamp.valueOf(_: String)
+    val rows =
+      Seq((10L, d("2024-01-05 00:00:00"), 10.0), (10L, d("2024-02-07 00:00:00"), 10.0),
+        (10L, d("2024-03-09 00:00:00"), 10.0),
+        (20L, d("2024-02-01 00:00:00"), 7.0))
+    val li = rows.toDF("l_partkey", "l_shipdate", "l_quantity")
+    val got = RelationalOps.crostonForecast(li).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val p10 = got(10L)
+    assert(p10.getLong(1) == 3L, p10.toString)
+    assert(p10.getLong(2) == 10000L, "steady size smooths to itself: " + p10)
+    assert(p10.getLong(3) == 1000L, "unit gaps smooth to 1 month: " + p10)
+    assert(p10.getLong(4) == 10000000L, "rate = 10 units/month in ppm: " + p10)
+    val p20 = got(20L)
+    assert(p20.getLong(1) == 1L && p20.getLong(2) == 7000L, p20.toString)
+    assert(p20.isNullAt(3) && p20.isNullAt(4), "one demand: no interval: " + p20)
+  }
 }

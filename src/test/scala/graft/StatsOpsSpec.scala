@@ -402,4 +402,75 @@ class StatsOpsSpec extends SparkSpec {
     assert(got("z") > 300000L, "tail-concentrated group is far from global")
     assert(got("m") < 200000L, "mirroring group is near the global mix")
   }
+
+  test("welchTTest: identical arms read t = 0; a shifted arm with equal " +
+       "spread reads the closed-form t; degenerate arms read NULL") {
+    val same = (1 to 20).flatMap(i => Seq(("a", i * 1.0), ("b", i * 1.0)))
+      .toDF("g", "v")
+    val r0 = StatsOps.welchTTest(same, "g", "v", "a", "b").head()
+    assert(r0.getAs[Long]("t_micros") == 0L, r0.toString)
+    // equal n, equal variance: Welch df = n1 + n2 - 2 = 6
+    val shifted = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 11.0), ("b", 12.0), ("b", 13.0), ("b", 14.0)).toDF("g", "v")
+    val r1 = StatsOps.welchTTest(shifted, "g", "v", "a", "b").head()
+    assert(r1.getAs[Long]("df_micros") == 6000000L, r1.toString)
+    // t = -10 / sqrt(2 * (5/3)/4) cents-scale-invariant
+    assert(math.abs(r1.getAs[Long]("t_micros") + 10954451L) <= 1L, r1.toString)
+    val degenerate = Seq(("a", 5.0), ("b", 7.0)).toDF("g", "v")
+    val r2 = StatsOps.welchTTest(degenerate, "g", "v", "a", "b").head()
+    assert(r2.isNullAt(r2.fieldIndex("t_micros")), r2.toString)
+  }
+
+  test("chiSquareResiduals: the zero-filled full grid appears, residuals " +
+       "are ~0 under independence and flag the driving cell") {
+    // 2x2 independent: every residual 0
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 10 }
+      yield (a, b)).toDF("a", "b")
+    val r0 = StatsOps.chiSquareResiduals(ind, "a", "b").collect()
+    assert(r0.length == 4 && r0.forall(_.getAs[Long]("resid_micros") == 0L))
+    // diagonal-heavy 2x2: all four cells flagged, signs alternate
+    val dep = ((1 to 40).map(_ => ("x", "p")) ++ (1 to 40).map(_ => ("y", "q")) ++
+      Seq(("x", "q"), ("y", "p"))).toDF("a", "b")
+    val r1 = StatsOps.chiSquareResiduals(dep, "a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("resid_micros")).toMap
+    assert(r1(("x", "p")) > 2000000L && r1(("x", "q")) < -2000000L, r1.toString)
+    // a zero-observed cell still gets a row (and a negative residual)
+    val miss = ((1 to 10).map(_ => ("x", "p")) ++ (1 to 10).map(_ => ("y", "p")) ++
+      (1 to 10).map(_ => ("y", "q"))).toDF("a", "b")
+    val r2 = StatsOps.chiSquareResiduals(miss, "a", "b").collect()
+    assert(r2.length == 4, "full grid, not observed cells")
+    assert(r2.find(r => r.getString(0) == "x" && r.getString(1) == "q")
+      .get.getAs[Long]("obs") == 0L)
+  }
+
+  test("neymanAllocation: allocations sum exactly to the budget, a " +
+       "zero-variance stratum gets nothing, high-sigma strata get more") {
+    // g1: high spread, g2: same size low spread, g3: constant (sd = 0)
+    val rows = (1 to 100).map(i => ("wide", (i * 100).toDouble)) ++
+      (1 to 100).map(i => ("narrow", 5000.0 + (i % 2))) ++
+      (1 to 50).map(_ => ("flat", 777.0))
+    val got = StatsOps.neymanAllocation(rows.toDF("g", "v"), "g", "v", budget = 100)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    assert(got.values.sum == 100L, got.toString)
+    assert(got("flat") == 0L, "sd = 0 stratum draws no budget")
+    assert(got("wide") > got("narrow"), got.toString)
+  }
+
+  test("oddsRatio: hand 2x2 replays ln OR and the Wald CI; an empty " +
+       "cell reads NULL") {
+    import spark.implicits._
+    // a=20 exposed+outcome, b=10 exposed only, c=5, d=40 -> OR = 16
+    val rows = Seq.fill(20)((true, true)) ++ Seq.fill(10)((true, false)) ++
+      Seq.fill(5)((false, true)) ++ Seq.fill(40)((false, false))
+    val r = StatsOps.oddsRatio(rows.toDF("e", "o"), "e", "o").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((20L, 10L, 5L, 40L)), r.toString)
+    assert(r.getLong(4) == 2772589L, "ln 16 in micros: " + r)
+    // se = sqrt(1/20+1/10+1/5+1/40) = 0.612372; z = 1.96
+    assert(r.getLong(5) == 2772589L - 1200249L, r.toString)
+    assert(r.getLong(6) == 2772589L + 1200249L, r.toString)
+    val degenerate = Seq((true, true), (false, false)).toDF("e", "o")
+    val r2 = StatsOps.oddsRatio(degenerate, "e", "o").head()
+    assert(r2.isNullAt(4) && r2.isNullAt(5) && r2.isNullAt(6), r2.toString)
+  }
 }
