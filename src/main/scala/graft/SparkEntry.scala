@@ -2265,6 +2265,30 @@ object SparkEntry {
     // Burrows' Delta stylometric distance between sources over the
     // corpus's top-30 tokens — template/generator provenance by STYLE
     "burrows_delta" -> ((s, d) => TextOps.burrowsDelta(t(s, d, "documents"))),
+
+    // ---- r11 tranche XXII: experimentation / series / ER / ML-eval ----
+    // Wang-Hyndman trend/seasonality strength over the decomposition
+    "stl_strength" -> ((s, d) => EventOps.stlStrength(t(s, d, "events"))),
+    // CUPED variance-reduced A/B readout on the parity experiment:
+    // pre-period views explain away post-period revenue noise
+    "cuped_adjustment" -> ((s, d) => EventOps.cupedAdjustment(t(s, d, "events"))),
+    // gains table: cumulative positive capture + lift by score decile
+    "classifier_gains" -> ((s, d) => TextOps.classifierGains(t(s, d, "documents"))),
+    // Fellegi-Sunter EM: unsupervised m/u/lambda over rank-adjacent
+    // customer pairs compared on nation / segment / balance-band
+    "fs_em_weights" -> ((s, d) => {
+      val c = t(s, d, "customer").select(col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"), expr("cast(round(c_acctbal * 100) as bigint)").as("bal"))
+      val ranked = ShardedOrder.withGlobalRank(c, "rk", 32, col("c_name"))
+      val a = ranked.select((col("rk") + 1L).as("rk"), col("c_nationkey").as("na"),
+        col("c_mktsegment").as("sa"), col("bal").as("ba"))
+      val b = ranked.select(col("rk"), col("c_nationkey").as("nb"),
+        col("c_mktsegment").as("sb"), col("bal").as("bb"))
+      EntityOps.fsEmWeights(a.join(b, Seq("rk")).select(
+        (col("na") === col("nb")).as("g1"),
+        (col("sa") === col("sb")).as("g2"),
+        (abs(col("ba") - col("bb")) <= 10000L).as("g3")))
+    }),
   )
 
   /** Shared oracle CTE prefix for shingle-based dedup queries (DuckDB
@@ -3226,6 +3250,57 @@ object SparkEntry {
        |SELECT 'hub' AS side, CAST(hub AS BIGINT) AS node, h AS score_ppm FROM h6
        |UNION ALL
        |SELECT 'auth' AS side, CAST(auth AS BIGINT) AS node, a AS score_ppm FROM a6""".stripMargin
+  }
+
+  /** Fellegi–Sunter EM replay: rank-adjacent customer pairs → pattern
+    * counts → 3 unrolled EM rounds with the same ppm quantization and
+    * [1, 999999] clamps as [[graft.operators.EntityOps.fsEmWeights]].
+    */
+  private val fsEmWeightsOracle: String = {
+    val pm = "(CAST(CASE WHEN g1 THEN m1 ELSE 1000000 - m1 END AS DOUBLE) / 1000000.0)" +
+      " * (CAST(CASE WHEN g2 THEN m2 ELSE 1000000 - m2 END AS DOUBLE) / 1000000.0)" +
+      " * (CAST(CASE WHEN g3 THEN m3 ELSE 1000000 - m3 END AS DOUBLE) / 1000000.0)"
+    val pu = "(CAST(CASE WHEN g1 THEN u1 ELSE 1000000 - u1 END AS DOUBLE) / 1000000.0)" +
+      " * (CAST(CASE WHEN g2 THEN u2 ELSE 1000000 - u2 END AS DOUBLE) / 1000000.0)" +
+      " * (CAST(CASE WHEN g3 THEN u3 ELSE 1000000 - u3 END AS DOUBLE) / 1000000.0)"
+    val iters = (1 to 3).map { i =>
+      s"""w$i AS MATERIALIZED (SELECT g1, g2, g3, cnt,
+         |  greatest(1, least(999999, CAST(round(
+         |    ($pm) * (CAST(lam AS DOUBLE) / 1000000.0)
+         |    / (($pm) * (CAST(lam AS DOUBLE) / 1000000.0)
+         |       + ($pu) * (1.0 - CAST(lam AS DOUBLE) / 1000000.0)) * 1000000) AS BIGINT))) AS w
+         |  FROM pat CROSS JOIN s${i - 1}),
+         |s$i AS MATERIALIZED (SELECT CAST(SUM(cnt) AS BIGINT) AS n_pairs,
+         |  greatest(1, least(999999, CAST(round(
+         |    CAST(SUM(cnt * w) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)) AS BIGINT))) AS lam,
+         |  greatest(1, least(999999, CAST(round(CAST(SUM(CASE WHEN g1 THEN cnt * w ELSE 0 END) AS DOUBLE)
+         |    / CAST(SUM(cnt * w) AS DOUBLE) * 1000000) AS BIGINT))) AS m1,
+         |  greatest(1, least(999999, CAST(round(CAST(SUM(CASE WHEN g2 THEN cnt * w ELSE 0 END) AS DOUBLE)
+         |    / CAST(SUM(cnt * w) AS DOUBLE) * 1000000) AS BIGINT))) AS m2,
+         |  greatest(1, least(999999, CAST(round(CAST(SUM(CASE WHEN g3 THEN cnt * w ELSE 0 END) AS DOUBLE)
+         |    / CAST(SUM(cnt * w) AS DOUBLE) * 1000000) AS BIGINT))) AS m3,
+         |  greatest(1, least(999999, CAST(round(CAST(SUM(CASE WHEN g1 THEN cnt * (1000000 - w) ELSE 0 END) AS DOUBLE)
+         |    / CAST(SUM(cnt * (1000000 - w)) AS DOUBLE) * 1000000) AS BIGINT))) AS u1,
+         |  greatest(1, least(999999, CAST(round(CAST(SUM(CASE WHEN g2 THEN cnt * (1000000 - w) ELSE 0 END) AS DOUBLE)
+         |    / CAST(SUM(cnt * (1000000 - w)) AS DOUBLE) * 1000000) AS BIGINT))) AS u2,
+         |  greatest(1, least(999999, CAST(round(CAST(SUM(CASE WHEN g3 THEN cnt * (1000000 - w) ELSE 0 END) AS DOUBLE)
+         |    / CAST(SUM(cnt * (1000000 - w)) AS DOUBLE) * 1000000) AS BIGINT))) AS u3
+         |  FROM w$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c AS (SELECT c_nationkey, c_mktsegment,
+       |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+       |  row_number() OVER (ORDER BY c_name) AS rk FROM customer),
+       |p AS (SELECT (a.c_nationkey = b.c_nationkey) AS g1,
+       |      (a.c_mktsegment = b.c_mktsegment) AS g2,
+       |      (abs(a.bal - b.bal) <= 10000) AS g3
+       |      FROM c a JOIN c b ON a.rk + 1 = b.rk),
+       |pat AS (SELECT g1, g2, g3, COUNT(*) AS cnt FROM p GROUP BY 1, 2, 3),
+       |s0 AS (SELECT CAST(100000 AS BIGINT) AS lam,
+       |  CAST(900000 AS BIGINT) AS m1, CAST(900000 AS BIGINT) AS m2, CAST(900000 AS BIGINT) AS m3,
+       |  CAST(100000 AS BIGINT) AS u1, CAST(100000 AS BIGINT) AS u2, CAST(100000 AS BIGINT) AS u3),
+       |$iters
+       |SELECT n_pairs, lam AS lambda_ppm, m1 AS m1_ppm, m2 AS m2_ppm, m3 AS m3_ppm,
+       |       u1 AS u1_ppm, u2 AS u2_ppm, u3 AS u3_ppm FROM s3""".stripMargin
   }
 
   private val baseOracleSql: Map[String, String] = Map(
@@ -8332,5 +8407,133 @@ object SparkEntry {
         |  CAST((SUM(abs(a.z_micros - b.z_micros)) + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS delta_micros
         |FROM z a JOIN z b ON a.token = b.token AND a.source < b.source
         |GROUP BY 1, 2""".stripMargin,
+
+    // Wang-Hyndman strengths over the replayed decomposition
+    "stl_strength" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value, event_type FROM events),
+        |d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |      CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |      FROM e WHERE event_type = 'purchase' GROUP BY 1),
+        |ma AS (SELECT day, cents,
+        |      CAST(COUNT(*) OVER w AS BIGINT) AS w_n, CAST(SUM(cents) OVER w AS BIGINT) AS w_s
+        |      FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |tr AS (SELECT day, cents,
+        |      CAST(round(CAST(w_s AS DOUBLE) / 7.0) AS BIGINT) AS trend_cents,
+        |      cents - CAST(round(CAST(w_s AS DOUBLE) / 7.0) AS BIGINT) AS detr,
+        |      ((datediff('day', DATE '1995-01-01', day) % 7) + 7) % 7 AS dow
+        |      FROM ma WHERE w_n = 7),
+        |se AS (SELECT dow, CAST(SUM(detr) AS HUGEINT) AS ds, COUNT(*) AS dn FROM tr GROUP BY 1),
+        |rs AS (SELECT dow, CAST(round(CAST(ds AS DOUBLE) / CAST(dn AS DOUBLE)) AS BIGINT) AS raw_seas FROM se),
+        |ce AS (SELECT CAST(SUM(raw_seas) AS BIGINT) AS cs, COUNT(*) AS ck FROM rs),
+        |sa AS (SELECT dow,
+        |      raw_seas - CAST(round(CAST(cs AS DOUBLE) / CAST(ck AS DOUBLE)) AS BIGINT) AS seasonal_cents
+        |      FROM rs CROSS JOIN ce),
+        |comp AS (SELECT t.detr - s.seasonal_cents AS r,
+        |      t.trend_cents + (t.detr - s.seasonal_cents) AS ds2,
+        |      t.detr AS dt2
+        |      FROM tr t JOIN sa s ON t.dow = s.dow),
+        |mo AS (SELECT COUNT(*) AS n,
+        |      CAST(SUM(r) AS HUGEINT) AS sr, CAST(SUM(CAST(r AS HUGEINT) * r) AS HUGEINT) AS qr,
+        |      CAST(SUM(ds2) AS HUGEINT) AS sds, CAST(SUM(CAST(ds2 AS HUGEINT) * ds2) AS HUGEINT) AS qds,
+        |      CAST(SUM(dt2) AS HUGEINT) AS sdt, CAST(SUM(CAST(dt2 AS HUGEINT) * dt2) AS HUGEINT) AS qdt
+        |      FROM comp)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CASE WHEN CAST(qds AS DOUBLE) * n - CAST(sds AS DOUBLE) * CAST(sds AS DOUBLE) <= 0.0 THEN 0
+        |       ELSE greatest(0, CAST(round((1.0
+        |         - (CAST(qr AS DOUBLE) * n - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+        |           / (CAST(qds AS DOUBLE) * n - CAST(sds AS DOUBLE) * CAST(sds AS DOUBLE)))
+        |         * 1000000) AS BIGINT)) END AS trend_strength_ppm,
+        |  CASE WHEN CAST(qdt AS DOUBLE) * n - CAST(sdt AS DOUBLE) * CAST(sdt AS DOUBLE) <= 0.0 THEN 0
+        |       ELSE greatest(0, CAST(round((1.0
+        |         - (CAST(qr AS DOUBLE) * n - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+        |           / (CAST(qdt AS DOUBLE) * n - CAST(sdt AS DOUBLE) * CAST(sdt AS DOUBLE)))
+        |         * 1000000) AS BIGINT)) END AS seasonal_strength_ppm
+        |FROM mo""".stripMargin,
+
+    // CUPED: pooled theta quantized to micros feeds every downstream term
+    "cuped_adjustment" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |pu AS (SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'view' AND ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16'
+        |           THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+        |  FROM e GROUP BY 1),
+        |pa AS (SELECT user_id % 2 AS arm, x, y FROM pu),
+        |mo AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        |      CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS qx,
+        |      CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS qxy,
+        |      CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS qy FROM pa),
+        |th AS (SELECT *, CASE WHEN CAST(qx AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0.0 THEN NULL
+        |      ELSE CAST(round(
+        |        (CAST(qxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(qx AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * 1000000) AS BIGINT) END AS theta_micros FROM mo),
+        |arms AS (SELECT arm, COUNT(*) AS n_users,
+        |      CAST(SUM(x) AS HUGEINT) AS sxa, CAST(SUM(y) AS HUGEINT) AS sya FROM pa GROUP BY 1)
+        |SELECT arm, CAST(n_users AS BIGINT) AS n_users, theta_micros,
+        |  CAST(round(CAST(sya AS DOUBLE) / n_users * 1000) AS BIGINT) AS mean_y_milli,
+        |  CASE WHEN theta_micros IS NULL THEN NULL
+        |       ELSE CAST(round((CAST(sya AS DOUBLE) / n_users
+        |         - CAST(theta_micros AS DOUBLE) / 1000000.0
+        |           * (CAST(sxa AS DOUBLE) / n_users - CAST(sx AS DOUBLE) / n)) * 1000) AS BIGINT)
+        |  END AS adj_mean_milli,
+        |  CASE WHEN theta_micros IS NULL
+        |         OR CAST(qy AS DOUBLE) * n - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <= 0.0 THEN NULL
+        |       ELSE greatest(0, CAST(round((1.0 -
+        |         ((CAST(qy AS DOUBLE) * n - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |          - 2.0 * (CAST(theta_micros AS DOUBLE) / 1000000.0)
+        |            * (CAST(qxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |          + (CAST(theta_micros AS DOUBLE) / 1000000.0) * (CAST(theta_micros AS DOUBLE) / 1000000.0)
+        |            * (CAST(qx AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |         / (CAST(qy AS DOUBLE) * n - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |        * 1000000) AS BIGINT)) END AS var_reduction_ppm
+        |FROM arms CROSS JOIN th""".stripMargin,
+
+    // gains table over the replayed classifier scoring chain
+    "classifier_gains" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+        |wt AS (SELECT doc_id,
+        |  (CAST(concat('0x', substr(md5(CAST(
+        |     CAST(concat('0x', substr(md5(tk), 1, 8)) AS BIGINT) % 1024
+        |   AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000 AS w
+        |  FROM tok),
+        |s AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS s FROM wt GROUP BY doc_id),
+        |clf AS (SELECT t.doc_id,
+        |  CAST(round(CAST(coalesce(s.s, 0) AS DOUBLE) * 1000.0
+        |       / NULLIF(CAST(len(t.toks) AS DOUBLE), 0.0)) AS BIGINT) AS score_u
+        |  FROM t LEFT JOIN s USING (doc_id)),
+        |q AS (SELECT doc_id,
+        |  CAST(round(round(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.5 +
+        |       coalesce(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |                                     t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+        |                / NULLIF(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE), 0), 0) * 0.5,
+        |       6) * 1000000) AS BIGINT) AS q_ppm
+        |  FROM documents),
+        |j AS (SELECT clf.doc_id, score_u, CAST(q_ppm >= 500000 AS BIGINT) AS pos
+        |      FROM clf JOIN q USING (doc_id) WHERE score_u IS NOT NULL),
+        |r AS (SELECT pos, CAST(row_number() OVER (ORDER BY score_u DESC, doc_id) AS BIGINT) AS grank FROM j),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos FROM r),
+        |pd AS (SELECT ((grank - 1) * 10) // n AS decile,
+        |      CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(pos) AS BIGINT) AS n_hits,
+        |      CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(n_pos) AS BIGINT) AS n_pos
+        |      FROM r CROSS JOIN tot GROUP BY 1),
+        |cm AS (SELECT decile, n_docs, n_hits, n, n_pos,
+        |      CAST(SUM(n_docs) OVER (ORDER BY decile
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+        |      CAST(SUM(n_hits) OVER (ORDER BY decile
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_hits
+        |      FROM pd)
+        |SELECT decile, n_docs, n_hits,
+        |  CASE WHEN n_pos = 0 THEN NULL
+        |       ELSE CAST((cum_hits * 1000000 + n_pos // 2) // n_pos AS BIGINT) END AS capture_ppm,
+        |  CASE WHEN n_pos = 0 OR cum_docs = 0 THEN NULL
+        |       ELSE CAST(round(
+        |         CAST(cum_hits AS DOUBLE) * CAST(n AS DOUBLE)
+        |         / (CAST(cum_docs AS DOUBLE) * CAST(n_pos AS DOUBLE)) * 1000000) AS BIGINT)
+        |  END AS lift_ppm
+        |FROM cm""".stripMargin,
+
+    "fs_em_weights" -> fsEmWeightsOracle,
   )
 }

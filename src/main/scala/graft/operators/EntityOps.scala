@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -200,5 +200,78 @@ object EntityOps {
       .select(col("name"), coalesce(col("canonical"), col("name")).as("canonical_name"))
       .groupBy(col("canonical_name"))
       .agg(countDistinct(col("name")).as("n_variants"), count(lit(1)).as("n_rows"))
+  }
+
+  /** Fellegi–Sunter EM match-weight estimation (Fellegi & Sunter 1969;
+    * Winkler's EM formulation) — the UNSUPERVISED step the rest of the
+    * ER tier assumes away: given candidate pairs and three boolean
+    * field-agreement indicators (g1, g2, g3), estimate per-field
+    * m-probabilities (P(agree | match)), u-probabilities
+    * (P(agree | non-match)) and the match prevalence λ, with the
+    * binary-independence mixture model. The resulting log(m/u) weights
+    * are what a production linker thresholds on; this op outputs the
+    * fitted ppm parameters after `rounds` EM iterations.
+    *
+    * Scale & determinism shape: the only fact-scale stage is the
+    * (g1, g2, g3) pattern COUNT — at most 8 rows regardless of corpus
+    * size, so EM itself runs on a bounded grid. The state is a 1-row
+    * integer-ppm frame re-quantized EVERY round (the iterative
+    * fixed-point discipline of `doc_pagerank`/`pca_top_component`
+    * applied to EM): each responsibility w(γ) and each updated
+    * parameter is ONE fixed-shape double over integer ppm state and
+    * exact integer counts, clamped to [1, 999999] so no product can
+    * degenerate to 0/1 and no later division can hit zero.
+    */
+  def fsEmWeights(pairs: DataFrame, rounds: Int = 3,
+                  initLambdaPpm: Long = 100000L,
+                  initMPpm: Long = 900000L, initUPpm: Long = 100000L): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds out of range: $rounds")
+    val sp = pairs.sparkSession
+    val patterns = pairs
+      .groupBy(col("g1"), col("g2"), col("g3"))
+      .agg(count(lit(1)).as("cnt"))
+    var state = sp.range(1).select(
+      lit(initLambdaPpm).as("lam"),
+      lit(initMPpm).as("m1"), lit(initMPpm).as("m2"), lit(initMPpm).as("m3"),
+      lit(initUPpm).as("u1"), lit(initUPpm).as("u2"), lit(initUPpm).as("u3"))
+    val pm =
+      """(cast(case when g1 then m1 else 1000000 - m1 end as double) / 1000000.0d)
+        | * (cast(case when g2 then m2 else 1000000 - m2 end as double) / 1000000.0d)
+        | * (cast(case when g3 then m3 else 1000000 - m3 end as double) / 1000000.0d)""".stripMargin
+    val pu =
+      """(cast(case when g1 then u1 else 1000000 - u1 end as double) / 1000000.0d)
+        | * (cast(case when g2 then u2 else 1000000 - u2 end as double) / 1000000.0d)
+        | * (cast(case when g3 then u3 else 1000000 - u3 end as double) / 1000000.0d)""".stripMargin
+    def clampPpm(e: String): Column =
+      greatest(lit(1L), least(lit(999999L), expr(e)))
+    for (_ <- 1 to rounds) {
+      val wpat = patterns.crossJoin(broadcast(state))
+        .withColumn("w", clampPpm(
+          s"""cast(round(
+             |  ($pm) * (cast(lam as double) / 1000000.0d)
+             |  / (($pm) * (cast(lam as double) / 1000000.0d)
+             |     + ($pu) * (1.0d - cast(lam as double) / 1000000.0d)) * 1000000) as bigint)""".stripMargin))
+      state = wpat.agg(
+          sum(col("cnt")).as("n"),
+          sum(col("cnt") * col("w")).as("swc"),
+          sum(col("cnt") * (lit(1000000L) - col("w"))).as("suc"),
+          sum(when(col("g1"), col("cnt") * col("w")).otherwise(0L)).as("m1n"),
+          sum(when(col("g2"), col("cnt") * col("w")).otherwise(0L)).as("m2n"),
+          sum(when(col("g3"), col("cnt") * col("w")).otherwise(0L)).as("m3n"),
+          sum(when(col("g1"), col("cnt") * (lit(1000000L) - col("w"))).otherwise(0L)).as("u1n"),
+          sum(when(col("g2"), col("cnt") * (lit(1000000L) - col("w"))).otherwise(0L)).as("u2n"),
+          sum(when(col("g3"), col("cnt") * (lit(1000000L) - col("w"))).otherwise(0L)).as("u3n"))
+        .select(col("n").as("n_pairs"),
+          clampPpm("cast(round(cast(swc as double) / cast(n as double)) as bigint)").as("lam"),
+          clampPpm("cast(round(cast(m1n as double) / cast(swc as double) * 1000000) as bigint)").as("m1"),
+          clampPpm("cast(round(cast(m2n as double) / cast(swc as double) * 1000000) as bigint)").as("m2"),
+          clampPpm("cast(round(cast(m3n as double) / cast(swc as double) * 1000000) as bigint)").as("m3"),
+          clampPpm("cast(round(cast(u1n as double) / cast(suc as double) * 1000000) as bigint)").as("u1"),
+          clampPpm("cast(round(cast(u2n as double) / cast(suc as double) * 1000000) as bigint)").as("u2"),
+          clampPpm("cast(round(cast(u3n as double) / cast(suc as double) * 1000000) as bigint)").as("u3"))
+    }
+    state.select(col("n_pairs"), col("lam").as("lambda_ppm"),
+      col("m1").as("m1_ppm"), col("m2").as("m2_ppm"), col("m3").as("m3_ppm"),
+      col("u1").as("u1_ppm"), col("u2").as("u2_ppm"), col("u3").as("u3_ppm"))
   }
 }

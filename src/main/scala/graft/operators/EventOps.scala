@@ -1740,4 +1740,106 @@ object EventOps {
       .select(col("day"), col("cents"), col("trend_cents"), col("seasonal_cents"),
         (col("detr") - col("seasonal_cents")).as("residual_cents"))
   }
+
+  /** Trend/seasonality STRENGTH (Wang–Hyndman features) over
+    * [[seasonalDecompose]]'s components — the two numbers that let a
+    * fleet of series be triaged without eyeballing plots:
+    * F_T = max(0, 1 − Var(R)/Var(T+R)) (how much the deseasonalized
+    * series is trend), F_S = max(0, 1 − Var(R)/Var(S+R)) (how much the
+    * detrended series is seasonality). Variances are exact integer
+    * moments over the day dimension (components can be negative — sums
+    * are fine, no integer division anywhere); each strength is ONE
+    * fixed-shape double ratio, ppm-quantized and clamped at 0.
+    */
+  def stlStrength(events: DataFrame): DataFrame = {
+    val D = DecimalType(38, 0)
+    val comp = seasonalDecompose(events)
+      .select(col("residual_cents").as("r"),
+        (col("trend_cents") + col("residual_cents")).as("ds"),
+        (col("seasonal_cents") + col("residual_cents")).as("dt"))
+    comp.agg(count(lit(1)).as("n"),
+        sum(col("r").cast(D)).as("sr"), sum((col("r").cast(D) * col("r")).cast(D)).as("qr"),
+        sum(col("ds").cast(D)).as("sds"), sum((col("ds").cast(D) * col("ds")).cast(D)).as("qds"),
+        sum(col("dt").cast(D)).as("sdt"), sum((col("dt").cast(D) * col("dt")).cast(D)).as("qdt"))
+      .select(col("n"),
+        when(expr("cast(qds as double) * n - cast(sds as double) * cast(sds as double)") <= 0.0,
+          lit(0L))
+          .otherwise(greatest(lit(0L), expr("""cast(round((1.0d
+            | - (cast(qr as double) * n - cast(sr as double) * cast(sr as double))
+            |   / (cast(qds as double) * n - cast(sds as double) * cast(sds as double)))
+            | * 1000000) as bigint)""".stripMargin)))
+          .as("trend_strength_ppm"),
+        when(expr("cast(qdt as double) * n - cast(sdt as double) * cast(sdt as double)") <= 0.0,
+          lit(0L))
+          .otherwise(greatest(lit(0L), expr("""cast(round((1.0d
+            | - (cast(qr as double) * n - cast(sr as double) * cast(sr as double))
+            |   / (cast(qdt as double) * n - cast(sdt as double) * cast(sdt as double)))
+            | * 1000000) as bigint)""".stripMargin)))
+          .as("seasonal_strength_ppm"))
+  }
+
+  /** CUPED (Deng et al. 2013) — variance-reduced experiment readout:
+    * adjust each arm's post-period metric by θ·(pre-period metric −
+    * global pre mean), with θ = cov(pre, post)/var(pre) estimated on
+    * the POOLED users (the standard, assignment-independent choice).
+    * Here pre = view count before the cutoff, post = purchase cents on
+    * or after it, arms = the same user-parity rule as
+    * [[abConversionZtest]] — so the two ops read the same experiment.
+    *
+    * Determinism: per-user (x, y) are exact integers from one grouped
+    * pass; all moments ride DECIMAL(38,0); θ is ONE fixed-shape double
+    * QUANTIZED TO MICROS FIRST, and every downstream expression consumes
+    * the quantized θ — so adjusted means and the variance-reduction
+    * ratio are bit-identical on any engine. Everything after the
+    * per-user aggregate runs on a 2-row arm frame.
+    */
+  def cupedAdjustment(events: DataFrame, cutoff: String = "2024-01-16"): DataFrame = {
+    val D = DecimalType(38, 0)
+    val perUser = events.groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "view" &&
+          col("ts") < lit(cutoff).cast(TimestampType), 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase" &&
+          col("ts") >= lit(cutoff).cast(TimestampType),
+          expr("cast(round(value * 100) as bigint)")).otherwise(0L)).as("y"))
+      .select(pmod(col("user_id"), lit(2)).as("arm"), col("x"), col("y"))
+    val mo = perUser.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(D)).as("sx"), sum(col("y").cast(D)).as("sy"),
+      sum((col("x").cast(D) * col("x")).cast(D)).as("qx"),
+      sum((col("x").cast(D) * col("y")).cast(D)).as("qxy"),
+      sum((col("y").cast(D) * col("y")).cast(D)).as("qy"))
+    val withTheta = mo.select(col("*"),
+      when(expr("cast(qx as double) * n - cast(sx as double) * cast(sx as double)") <= 0.0,
+        lit(null).cast(LongType))
+        .otherwise(expr("""cast(round(
+          |  (cast(qxy as double) * n - cast(sx as double) * cast(sy as double))
+          |  / (cast(qx as double) * n - cast(sx as double) * cast(sx as double))
+          |  * 1000000) as bigint)""".stripMargin))
+        .as("theta_micros"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x").cast(D)).as("sxa"), sum(col("y").cast(D)).as("sya"))
+    arms.crossJoin(broadcast(withTheta))
+      .select(col("arm"), col("n_users"), col("theta_micros"),
+        expr("cast(round(cast(sya as double) / n_users * 1000) as bigint)")
+          .as("mean_y_milli"),
+        when(col("theta_micros").isNull, lit(null).cast(LongType))
+          .otherwise(expr("""cast(round((cast(sya as double) / n_users
+            |  - cast(theta_micros as double) / 1000000.0d
+            |    * (cast(sxa as double) / n_users - cast(sx as double) / n)) * 1000) as bigint)""".stripMargin))
+          .as("adj_mean_milli"),
+        // variance of the CUPED residual y − θq·x vs raw y, global ppm
+        when(col("theta_micros").isNull ||
+          expr("cast(qy as double) * n - cast(sy as double) * cast(sy as double)") <= 0.0,
+          lit(null).cast(LongType))
+          .otherwise(greatest(lit(0L), expr("""cast(round((1.0d -
+            |  ((cast(qy as double) * n - cast(sy as double) * cast(sy as double))
+            |   - 2.0d * (cast(theta_micros as double) / 1000000.0d)
+            |     * (cast(qxy as double) * n - cast(sx as double) * cast(sy as double))
+            |   + (cast(theta_micros as double) / 1000000.0d) * (cast(theta_micros as double) / 1000000.0d)
+            |     * (cast(qx as double) * n - cast(sx as double) * cast(sx as double)))
+            |  / (cast(qy as double) * n - cast(sy as double) * cast(sy as double)))
+            | * 1000000) as bigint)""".stripMargin)))
+          .as("var_reduction_ppm"))
+  }
 }

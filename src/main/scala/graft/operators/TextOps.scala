@@ -1803,6 +1803,57 @@ object TextOps {
           .otherwise(expr("(tsum + n_pos div 2) div n_pos")).as("ap_ppm"))
   }
 
+  /** Gains table (cumulative lift by score decile) — the THIRD read of
+    * the quality classifier after [[classifierAuc]] (rank quality) and
+    * [[classifierPrAuc]] (precision under imbalance): if we keep only
+    * the top d deciles by score, how many of the true positives do we
+    * capture, and at what lift over random? This is the curve a
+    * data-selection budget decision actually reads.
+    *
+    * Deciles come from the exact sharded global rank over the total
+    * (−score, doc_id) order — decile = ((rank−1)·10) div n, so bucket
+    * boundaries are rank-exact on any layout. Per-decile and cumulative
+    * counts are pure integers (the cumulative runs on the 10-row decile
+    * dimension); capture share is half-up integer ppm; lift is ONE
+    * fixed-shape double over exact integers, ppm-quantized.
+    */
+  def classifierGains(documents: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
+    val scored = qualityClassifier(documents)
+      .select(col("doc_id"),
+        expr("cast(round(clf_score * 1000000) as bigint)").as("score_u"))
+      .filter(col("score_u").isNotNull)
+      .join(qualityScore(documents)
+        .select(col("doc_id"),
+          expr("cast(round(quality * 1000000) as bigint) >= 500000").as("pos")),
+        "doc_id")
+      .withColumn("neg_s", -col("score_u"))
+    val ranked = ShardedOrder.withGlobalRank(scored, "grank", 32,
+      col("neg_s"), col("doc_id"))
+    val tot = ranked.agg(count(lit(1)).as("n"),
+      sum(expr("cast(pos as bigint)")).as("n_pos"))
+    val perDecile = ranked.crossJoin(broadcast(tot))
+      .select(expr(s"((grank - 1) * $buckets) div n").as("decile"),
+        col("pos"), col("n"), col("n_pos"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(expr("cast(pos as bigint)")).as("n_hits"),
+        max(col("n")).as("n"), max(col("n_pos")).as("n_pos"))
+    val wCum = Window.partitionBy(pmod(col("decile"), lit(1))).orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDecile
+      .withColumn("cum_docs", sum(col("n_docs")).over(wCum))
+      .withColumn("cum_hits", sum(col("n_hits")).over(wCum))
+      .select(col("decile"), col("n_docs"), col("n_hits"),
+        when(col("n_pos") === 0L, lit(null).cast(LongType))
+          .otherwise(expr("(cum_hits * 1000000 + n_pos div 2) div n_pos"))
+          .as("capture_ppm"),
+        when(col("n_pos") === 0L || col("cum_docs") === 0L, lit(null).cast(LongType))
+          .otherwise(expr("""cast(round(
+            |  cast(cum_hits as double) * cast(n as double)
+            |  / (cast(cum_docs as double) * cast(n_pos as double)) * 1000000) as bigint)""".stripMargin))
+          .as("lift_ppm"))
+  }
+
   /** Burrows' Delta (2002) — the stylometric fingerprint distance
     * between sources: restrict to the corpus's top-K most frequent
     * tokens (function words dominate, which is the method's insight —

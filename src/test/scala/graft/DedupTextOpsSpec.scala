@@ -1769,4 +1769,26 @@ class DedupTextOpsSpec extends SparkSpec {
     // delta = (2*2121321 + 1) div 3 = 1414214
     assert(got(("s1", "s3")) == 1414214L, got.toString)
   }
+
+  test("classifierGains: buckets partition the ranked docs, capture ends " +
+       "at 1e6, and a working classifier's top bucket lifts above 1e6") {
+    import spark.implicits._
+    val long = "the a of and to in " * 40
+    val docs = Seq(
+      (1L, "s1", long + "alpha"), (2L, "s1", long + "beta"),
+      (3L, "s1", "qq zz xx"), (4L, "s1", "ww vv uu yy"),
+      (5L, "s1", "kk jj hh gg mm nn")
+    ).toDF("doc_id", "source", "text")
+    val got = TextOps.classifierGains(docs, buckets = 2).collect().sortBy(_.getLong(0))
+    assert(got.map(_.getLong(1)).sum == 5L, "every doc in exactly one bucket")
+    assert(got.last.getAs[Long]("capture_ppm") == 1000000L,
+      "cumulative capture ends at 100%: " + got.mkString(";"))
+    // rank arithmetic: ((r-1)*2) div 5 buckets 5 docs as 3 + 2
+    assert(got.map(_.getLong(1)).toSeq == Seq(3L, 2L), got.mkString(";"))
+    // the full-corpus bucket is definitionally lift = 1
+    assert(got.last.getAs[Long]("lift_ppm") == 1000000L, got.mkString(";"))
+    // capture is nondecreasing across buckets
+    val caps = got.map(_.getAs[Long]("capture_ppm"))
+    assert(caps.zip(caps.tail).forall { case (a, b) => b >= a }, caps.toSeq.toString)
+  }
 }

@@ -158,4 +158,22 @@ class EntityOpsSpec extends SparkSpec {
       .count()
     assert(w1 == 3L, s"n-1 adjacent candidate pairs at w=1: $w1")
   }
+
+  test("fsEmWeights: a clean two-cluster mixture separates — lambda " +
+       "finds the planted match share, m-probabilities rise, " +
+       "u-probabilities fall, and the run is deterministic") {
+    import spark.implicits._
+    // 50 all-agree pairs (the matches), 950 all-disagree (the noise)
+    val pairs = (Seq.fill(50)((true, true, true)) ++
+      Seq.fill(950)((false, false, false))).toDF("g1", "g2", "g3")
+    val r = EntityOps.fsEmWeights(pairs).head()
+    assert(r.getLong(0) == 1000L, r.toString)
+    val lam = r.getLong(1)
+    assert(lam > 30000L && lam < 80000L, s"planted 5% prevalence: $r")
+    assert(r.getLong(2) > 900000L && r.getLong(3) > 900000L && r.getLong(4) > 900000L,
+      "agreement is match evidence: " + r)
+    assert(r.getLong(5) < 100000L && r.getLong(6) < 100000L && r.getLong(7) < 100000L,
+      "agreement is rare among non-matches: " + r)
+    assert(EntityOps.fsEmWeights(pairs).head() == r, "EM replays exactly")
+  }
 }

@@ -988,4 +988,44 @@ class EventOpsSpec extends SparkSpec {
     assert(got.count(_.getLong(3) > 0L) > 0 &&
       got.filter(_.getLong(3) > 0L).forall(_.getLong(1) == 17000L))
   }
+
+  test("stlStrength: a pure weekly pattern reads full seasonal strength " +
+       "and zero trend; a clean linear ramp reads the reverse") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    def ev(rows: Seq[(Int, Double)]) = rows.map { case (i, v) =>
+      (i.toLong, ts(f"2024-01-$i%02d 00:00:00"), 1L, "purchase", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val weekly = EventOps.stlStrength(
+      ev((1 to 28).map(i => (i, if (i % 7 == 0) 170.0 else 100.0)))).head()
+    assert(weekly.getLong(1) == 0L, "flat trend: " + weekly)
+    assert(weekly.getLong(2) == 1000000L, "pure seasonality: " + weekly)
+    val ramp = EventOps.stlStrength(
+      ev((1 to 28).map(i => (i, 100.0 + 10.0 * i)))).head()
+    assert(ramp.getLong(1) == 1000000L, "pure trend: " + ramp)
+    assert(ramp.getLong(2) == 0L, "no seasonality: " + ramp)
+  }
+
+  test("cupedAdjustment: when pre perfectly predicts post, theta is the " +
+       "exact slope, both arms adjust to the same mean, and variance " +
+       "reduction is total") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // user u: u views before the cutoff, one purchase of u dollars after
+    val rows = (1 to 8).flatMap { u =>
+      (1 to u).map(k => (u * 100L + k, ts(f"2024-01-${k}%02d 01:00:00"),
+        u.toLong, "view", 0.0, "{}")) :+
+        ((u * 100L + 99L, ts("2024-01-20 00:00:00"), u.toLong, "purchase",
+          u.toDouble, "{}"))
+    }
+    val got = EventOps.cupedAdjustment(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // y = 100u cents, x = u views -> theta = 100 cents/view exactly
+    assert(got(0L).getLong(2) == 100000000L, got(0L).toString)
+    // arm means 500 vs 400 cents converge to 450 after adjustment
+    assert(got(0L).getLong(3) == 500000L && got(1L).getLong(3) == 400000L)
+    assert(got(0L).getLong(4) == 450000L && got(1L).getLong(4) == 450000L)
+    assert(got(0L).getLong(5) == 1000000L, "perfect predictor: full reduction")
+  }
 }
