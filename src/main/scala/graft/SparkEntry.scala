@@ -2289,6 +2289,34 @@ object SparkEntry {
         (col("sa") === col("sb")).as("g2"),
         (abs(col("ba") - col("bb")) <= 10000L).as("g3")))
     }),
+
+    // ---- r11 tranche XXIII: quasi-experiment / funnel / KPI / ANN ----
+    // difference-in-differences of per-user purchase revenue, parity
+    // arms x pre/post cutoff — the trend-randomized causal read
+    "diff_in_diff" -> ((s, d) => EventOps.diffInDiff(t(s, d, "events"))),
+    // per-transition arm-vs-arm two-proportion z over the 3-stage funnel
+    "funnel_stage_ztest" -> ((s, d) => EventOps.funnelStageZtest(t(s, d, "events"))),
+    // composite fulfillment KPI: all lines within SLA and nothing
+    // returned, per month, with the failure-mode split
+    "perfect_order_rate" -> ((s, d) =>
+      RelationalOps.perfectOrderRate(t(s, d, "orders"), t(s, d, "lineitem"))),
+    // IVF recall-vs-cost frontier: recall@5 against brute at
+    // nprobe in {1, 2, 4} over the same seeded 16-centroid index
+    "ivf_nprobe_sweep" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").persist()
+      val brute = SimilarityOps.cosineTopK(emb, 10, 5)
+        .select(col("q_id"), col("vec_id")).persist()
+      def recallOf(approx: DataFrame, np: Int): DataFrame = {
+        val hit = approx.select(col("q_id"), col("vec_id")).withColumn("hit", lit(1))
+        brute.join(hit, Seq("q_id", "vec_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(round(sum(coalesce(col("hit"), lit(0))).cast(DoubleType) / lit(5.0), 2)
+            .as("recall"))
+          .select(lit(np).as("nprobe"), col("q_id"), col("recall"))
+      }
+      Seq(1, 2, 4).map(np => recallOf(SimilarityOps.ivfTopK(emb, 16, 10, 5, np), np))
+        .reduce(_ unionByName _)
+    }),
   )
 
   /** Shared oracle CTE prefix for shingle-based dedup queries (DuckDB
@@ -8535,5 +8563,144 @@ object SparkEntry {
         |FROM cm""".stripMargin,
 
     "fs_em_weights" -> fsEmWeightsOracle,
+
+    // DiD: 4 cell moments, repeated-cross-section SE
+    "diff_in_diff" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |pu AS (SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' AND ts < TIMESTAMP '2024-01-16'
+        |           THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS pre,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16'
+        |           THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS post
+        |  FROM e GROUP BY 1),
+        |lng AS (SELECT user_id % 2 AS arm, 0 AS period, pre AS v FROM pu
+        |        UNION ALL SELECT user_id % 2, 1, post FROM pu),
+        |cells AS (SELECT arm, period, COUNT(*) AS n,
+        |      CAST(SUM(v) AS HUGEINT) AS s, CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q
+        |      FROM lng GROUP BY 1, 2),
+        |cm AS (SELECT arm, period, n,
+        |      CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |      (CAST(q AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |        / NULLIF(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE), 0.0) AS vn
+        |      FROM cells),
+        |w AS (SELECT
+        |  SUM(CASE WHEN arm = 1 AND period = 1 THEN mean END) AS m11,
+        |  SUM(CASE WHEN arm = 1 AND period = 0 THEN mean END) AS m10,
+        |  SUM(CASE WHEN arm = 0 AND period = 1 THEN mean END) AS m01,
+        |  SUM(CASE WHEN arm = 0 AND period = 0 THEN mean END) AS m00,
+        |  SUM(vn) AS var_sum, CAST(MIN(n) AS BIGINT) AS min_cell_n,
+        |  CAST(SUM(n) AS BIGINT) AS n_obs,
+        |  CAST(SUM(CASE WHEN vn IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate
+        |  FROM cm)
+        |SELECT n_obs, min_cell_n,
+        |  CAST(round(((m11 - m10) - (m01 - m00)) * 1000) AS BIGINT) AS did_milli,
+        |  CASE WHEN n_degenerate > 0 OR var_sum IS NULL OR var_sum <= 0.0 THEN NULL
+        |       ELSE CAST(round(sqrt(var_sum) * 1000) AS BIGINT) END AS se_milli,
+        |  CASE WHEN n_degenerate > 0 OR var_sum IS NULL OR var_sum <= 0.0 THEN NULL
+        |       ELSE CAST(round(((m11 - m10) - (m01 - m00)) / sqrt(var_sum) * 1000000) AS BIGINT)
+        |  END AS t_micros
+        |FROM w""".stripMargin,
+
+    // funnel transitions, pooled-variance z per transition
+    "funnel_stage_ztest" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+        |s0 AS (SELECT user_id, MIN(ts) AS t0 FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, MIN(e.ts) AS t1 FROM e JOIN s0 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY 1),
+        |t12 AS (SELECT s0.user_id % 2 AS arm,
+        |        CASE WHEN s1.user_id IS NULL THEN 0 ELSE 1 END AS c
+        |        FROM s0 LEFT JOIN s1 ON s0.user_id = s1.user_id),
+        |t23 AS (SELECT s1.user_id % 2 AS arm,
+        |        CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END AS c
+        |        FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id),
+        |z12 AS (SELECT
+        |  CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(SUM(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS c_a,
+        |  CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(SUM(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT) AS c_b FROM t12),
+        |z23 AS (SELECT
+        |  CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(SUM(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS c_a,
+        |  CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(SUM(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT) AS c_b FROM t23)
+        |SELECT '1->2' AS transition, n_a, c_a, n_b, c_b,
+        |  CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN NULL
+        |       ELSE CAST(round(
+        |         (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |          - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |         / sqrt(CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+        |                * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |                * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |         * 1000000) AS BIGINT) END AS z_micro
+        |FROM z12
+        |UNION ALL
+        |SELECT '2->3', n_a, c_a, n_b, c_b,
+        |  CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN NULL
+        |       ELSE CAST(round(
+        |         (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |          - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |         / sqrt(CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+        |                * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |                * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |         * 1000000) AS BIGINT) END AS z_micro
+        |FROM z23""".stripMargin,
+
+    // perfect-order KPI with the failure-mode split
+    "perfect_order_rate" ->
+      """WITH po AS (SELECT o.o_orderkey,
+        |  CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+        |  MAX(datediff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))) AS max_lag,
+        |  MAX(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT month, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CASE WHEN max_lag <= 30 AND returned = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect,
+        |  CAST((SUM(CASE WHEN max_lag <= 30 AND returned = 0 THEN 1 ELSE 0 END) * 1000000
+        |        + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS perfect_ppm,
+        |  CAST((SUM(CASE WHEN max_lag > 30 THEN 1 ELSE 0 END) * 1000000
+        |        + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS late_ppm,
+        |  CAST((SUM(CASE WHEN returned = 1 THEN 1 ELSE 0 END) * 1000000
+        |        + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS returned_ppm
+        |FROM po GROUP BY 1""".stripMargin,
+
+    // IVF nprobe sweep: one assignment, three probe depths, recall@5
+    "ivf_nprobe_sweep" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < 10),
+        |brute AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q.q_id, c.vec_id,
+        |           row_number() OVER (PARTITION BY q.q_id
+        |             ORDER BY round(list_cosine_similarity(c.emb, q.q_emb), 4) DESC, c.vec_id) AS rank
+        |    FROM v c CROSS JOIN q WHERE c.vec_id <> q.q_id) t WHERE rank <= 5),
+        |cent AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM v WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT vec_id, emb, centroid_id FROM (
+        |    SELECT v.vec_id, v.emb, c.centroid_id,
+        |           row_number() OVER (PARTITION BY v.vec_id
+        |             ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 6) DESC, c.centroid_id) AS rn
+        |    FROM v CROSS JOIN cent c) t WHERE rn = 1),
+        |pr AS (
+        |  SELECT q_id, q_emb, centroid_id, rn FROM (
+        |    SELECT q.q_id, q.q_emb, c.centroid_id,
+        |           row_number() OVER (PARTITION BY q.q_id
+        |             ORDER BY round(list_cosine_similarity(q.q_emb, c.c_emb), 6) DESC, c.centroid_id) AS rn
+        |    FROM q CROSS JOIN cent c) t WHERE rn <= 4),
+        |np(nprobe) AS (VALUES (1), (2), (4)),
+        |ivfn AS (
+        |  SELECT nprobe, q_id, vec_id FROM (
+        |    SELECT n.nprobe, p.q_id, a.vec_id,
+        |           row_number() OVER (PARTITION BY n.nprobe, p.q_id
+        |             ORDER BY round(list_cosine_similarity(a.emb, p.q_emb), 4) DESC, a.vec_id) AS rank
+        |    FROM np n JOIN pr p ON p.rn <= n.nprobe
+        |    JOIN asg a ON a.centroid_id = p.centroid_id
+        |    WHERE a.vec_id <> p.q_id) t WHERE rank <= 5)
+        |SELECT n.nprobe, br.q_id,
+        |  round(CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5.0, 2) AS recall
+        |FROM np n CROSS JOIN brute br
+        |LEFT JOIN ivfn i ON i.nprobe = n.nprobe AND br.q_id = i.q_id AND br.vec_id = i.vec_id
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -1778,6 +1778,108 @@ object EventOps {
           .as("seasonal_strength_ppm"))
   }
 
+  /** Difference-in-differences over the parity experiment — the
+    * quasi-experimental read when assignment can't be trusted to
+    * randomize LEVELS but can be trusted to randomize TRENDS: compare
+    * each arm's post-vs-pre change in per-user purchase revenue, and
+    * difference the changes. The repeated-cross-section formulation:
+    * four (arm × period) cells, DiD = (ȳ₁ᵖᵒˢᵗ − ȳ₁ᵖʳᵉ) −
+    * (ȳ₀ᵖᵒˢᵗ − ȳ₀ᵖʳᵉ), SE = √Σ s²_g/n_g over the four cells, t = DiD/SE.
+    * One per-user pass collects pre/post cents; cell moments ride
+    * DECIMAL(38,0); DiD/SE/t are fixed-shape doubles quantized to
+    * milli-cents / micros. Everything after the user aggregate runs on
+    * a 4-row cell frame.
+    */
+  def diffInDiff(events: DataFrame, cutoff: String = "2024-01-16"): DataFrame = {
+    val D = DecimalType(38, 0)
+    val perUser = events.groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase" &&
+          col("ts") < lit(cutoff).cast(TimestampType),
+          expr("cast(round(value * 100) as bigint)")).otherwise(0L)).as("pre"),
+        sum(when(col("event_type") === "purchase" &&
+          col("ts") >= lit(cutoff).cast(TimestampType),
+          expr("cast(round(value * 100) as bigint)")).otherwise(0L)).as("post"))
+      .select(pmod(col("user_id"), lit(2)).as("arm"), col("pre"), col("post"))
+    // long (arm, period, value) frame -> 4 cell moment rows
+    val cells = perUser
+      .select(col("arm"), lit(0).as("period"), col("pre").as("v"))
+      .unionByName(perUser.select(col("arm"), lit(1).as("period"), col("post").as("v")))
+      .groupBy(col("arm"), col("period"))
+      .agg(count(lit(1)).as("n"), sum(col("v").cast(D)).as("s"),
+        sum((col("v").cast(D) * col("v")).cast(D)).as("q"))
+      .select(col("arm"), col("period"), col("n"),
+        expr("cast(s as double) / cast(n as double)").as("mean"),
+        // s²/n per cell, nullif-guarded for a degenerate 1-user cell
+        expr("""(cast(q as double) * cast(n as double) - cast(s as double) * cast(s as double))
+          | / nullif(cast(n as double) * cast(n as double) * cast(n - 1 as double), 0.0d)""".stripMargin)
+          .as("vn"))
+    val w = cells.groupBy()
+      .agg(
+        sum(when(col("arm") === 1 && col("period") === 1, col("mean"))).as("m11"),
+        sum(when(col("arm") === 1 && col("period") === 0, col("mean"))).as("m10"),
+        sum(when(col("arm") === 0 && col("period") === 1, col("mean"))).as("m01"),
+        sum(when(col("arm") === 0 && col("period") === 0, col("mean"))).as("m00"),
+        sum(col("vn")).as("var_sum"), min(col("n")).as("min_cell_n"),
+        sum(col("n")).as("n_obs"),
+        sum(when(col("vn").isNull, 1L).otherwise(0L)).as("n_degenerate"))
+    w.select(col("n_obs"), col("min_cell_n"),
+      expr("cast(round(((m11 - m10) - (m01 - m00)) * 1000) as bigint)").as("did_milli"),
+      when(col("n_degenerate") > 0 || col("var_sum").isNull || col("var_sum") <= 0.0,
+        lit(null).cast(LongType))
+        .otherwise(expr("cast(round(sqrt(var_sum) * 1000) as bigint)")).as("se_milli"),
+      when(col("n_degenerate") > 0 || col("var_sum").isNull || col("var_sum") <= 0.0,
+        lit(null).cast(LongType))
+        .otherwise(expr(
+          "cast(round(((m11 - m10) - (m01 - m00)) / sqrt(var_sum) * 1000000) as bigint)"))
+        .as("t_micros"))
+  }
+
+  /** Per-transition two-proportion z-tests over the signup→click→
+    * purchase funnel, arm vs arm — [[funnelConversion]] says WHERE users
+    * drop; this says whether the experiment MOVED either transition.
+    * Stage membership reuses the funnel's strictly-ordered first-times;
+    * arms are the user-parity rule shared with [[abConversionZtest]].
+    * One row per transition with the pooled-variance z in micros
+    * (NULL when a transition is unanimous — zero pooled variance).
+    */
+  def funnelStageZtest(events: DataFrame,
+                       stages: Seq[String] = Seq("signup", "click", "purchase")): DataFrame = {
+    require(stages.length == 3, "three-stage funnel")
+    val s0 = events.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    val s1 = events.filter(col("event_type") === stages(1))
+      .join(s0, Seq("user_id")).filter(col("ts") > col("t0"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = events.filter(col("event_type") === stages(2))
+      .join(s1, Seq("user_id")).filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    def transition(base: DataFrame, next: DataFrame, label: String): DataFrame = {
+      val conv = base.select(col("user_id"))
+        .join(next.select(col("user_id")).withColumn("c", lit(1L)), Seq("user_id"), "left")
+        .select(pmod(col("user_id"), lit(2)).as("arm"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val arms = conv.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("k"))
+      val a = arms.filter(col("arm") === 0).select(col("n").as("n_a"), col("k").as("c_a"))
+      val b = arms.filter(col("arm") === 1).select(col("n").as("n_b"), col("k").as("c_b"))
+      a.crossJoin(broadcast(b))
+        .select(lit(label).as("transition"),
+          col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+          when(col("c_a") + col("c_b") === 0 ||
+            col("c_a") + col("c_b") === col("n_a") + col("n_b"),
+            lit(null).cast(LongType))
+            .otherwise(expr("""cast(round(
+              |  (cast(c_a as double) / cast(n_a as double)
+              |   - cast(c_b as double) / cast(n_b as double))
+              |  / sqrt(cast(c_a + c_b as double) / cast(n_a + n_b as double)
+              |         * (1.0d - cast(c_a + c_b as double) / cast(n_a + n_b as double))
+              |         * (1.0d / cast(n_a as double) + 1.0d / cast(n_b as double)))
+              |  * 1000000) as bigint)""".stripMargin)).as("z_micro"))
+    }
+    transition(s0, s1, "1->2").unionByName(transition(s1, s2, "2->3"))
+  }
+
   /** CUPED (Deng et al. 2013) — variance-reduced experiment readout:
     * adjust each arm's post-period metric by θ·(pre-period metric −
     * global pre mean), with θ = cov(pre, post)/var(pre) estimated on

@@ -1406,6 +1406,37 @@ object RelationalOps {
           .as("rate_ppm"))
   }
 
+  /** Perfect-order rate per month — the composite fulfillment KPI the
+    * supply-chain literature tracks above any single metric: an order is
+    * PERFECT iff every line shipped within `slaDays` of the order date
+    * AND no line came back ('R' return flag). One orders⋈lineitem join,
+    * per-order flags by aggregate (max ship lag, any return), then a
+    * month rollup with the half-up ppm rate and the two failure-mode
+    * shares — so a dropping rate immediately says WHICH promise broke.
+    * Pure integers end to end (day lags, counts, ppm).
+    */
+  def perfectOrderRate(orders: DataFrame, lineitem: DataFrame,
+                       slaDays: Int = 30): DataFrame = {
+    val perOrder = orders
+      .select(col("o_orderkey"), col("o_orderdate"))
+      .join(lineitem.select(col("l_orderkey").as("o_orderkey"),
+        col("l_shipdate"), col("l_returnflag")), Seq("o_orderkey"))
+      .groupBy(col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).cast(DateType).as("month"))
+      .agg(max(datediff(col("l_shipdate").cast(DateType),
+          col("o_orderdate").cast(DateType))).as("max_lag"),
+        max(expr("cast(l_returnflag = 'R' as int)")).as("returned"))
+    perOrder.groupBy(col("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr(s"cast(max_lag <= $slaDays and returned = 0 as bigint)")).as("n_perfect"),
+        sum(expr(s"cast(max_lag > $slaDays as bigint)")).as("n_late"),
+        sum(expr("cast(returned = 1 as bigint)")).as("n_returned"))
+      .select(col("month"), col("n_orders"), col("n_perfect"),
+        expr("(n_perfect * 1000000 + n_orders div 2) div n_orders").as("perfect_ppm"),
+        expr("(n_late * 1000000 + n_orders div 2) div n_orders").as("late_ppm"),
+        expr("(n_returned * 1000000 + n_orders div 2) div n_orders").as("returned_ppm"))
+  }
+
   /** Referential-integrity orphan audit across a warehouse's FK edges —
     * the load-time contract check `dq_expectations` (column-level) does
     * not cover: for each declared child→parent relationship, how many

@@ -1028,4 +1028,50 @@ class EventOpsSpec extends SparkSpec {
     assert(got(0L).getLong(4) == 450000L && got(1L).getLong(4) == 450000L)
     assert(got(0L).getLong(5) == 1000000L, "perfect predictor: full reduction")
   }
+
+  test("diffInDiff: a planted treatment lift on parallel trends reads " +
+       "the exact effect; identical arms read DiD = 0") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // arms share a +200c time trend; odd users (arm 1) get +300c extra
+    // post. Per-arm noise (u mod 4) keeps cell variances positive.
+    def purch(id: Long, u: Long, day: Int, v: Double) =
+      (id, ts(f"2024-01-$day%02d 00:00:00"), u, "purchase", v, "{}")
+    val rows = (1 to 8).flatMap { u =>
+      val noise = (u % 4).toDouble
+      val lift = if (u % 2 == 1) 3.0 else 0.0
+      Seq(purch(u * 10L, u.toLong, 5, 1.0 + noise),
+        purch(u * 10L + 1, u.toLong, 20, 3.0 + noise + lift))
+    }
+    val r = EventOps.diffInDiff(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")).head()
+    assert(r.getLong(0) == 16L && r.getLong(1) == 4L, r.toString)
+    assert(r.getLong(2) == 300000L, "planted 300c lift in milli-cents: " + r)
+    assert(!r.isNullAt(3) && r.getLong(3) > 0L, "positive SE: " + r)
+    // var_sum = 4 * (13333.3/4) cents^2 -> SE = 115.47c, t = 2.598
+    assert(r.getLong(3) == 115470L, r.toString)
+    assert(r.getLong(4) == 2598076L, r.toString)
+  }
+
+  test("funnelStageZtest: both transitions report arm counts that " +
+       "conserve the funnel, and a balanced fixture reads z = 0") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // 4 users sign up; users 1,2 click; user 1 purchases; mirrored so
+    // both arms behave identically -> z exactly 0 on transition 1->2
+    val rows = (1 to 4).flatMap { u =>
+      Seq((u * 10L, ts("2024-01-01 00:00:00"), u.toLong, "signup", 0.0, "{}")) ++
+        (if (u <= 2) Seq((u * 10L + 1, ts("2024-01-02 00:00:00"), u.toLong, "click", 0.0, "{}")) else Nil) ++
+        (if (u == 1) Seq((u * 10L + 2, ts("2024-01-03 00:00:00"), u.toLong, "purchase", 1.0, "{}")) else Nil)
+    }
+    val got = EventOps.funnelStageZtest(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val t12 = got("1->2")
+    assert(t12.getLong(1) == 2L && t12.getLong(3) == 2L, t12.toString)
+    assert(t12.getLong(2) == 1L && t12.getLong(4) == 1L, t12.toString)
+    assert(t12.getLong(5) == 0L, "balanced arms: z = 0: " + t12)
+    val t23 = got("2->3")
+    assert(t23.getLong(1) + t23.getLong(3) == 2L, "clickers carry forward: " + t23)
+  }
 }

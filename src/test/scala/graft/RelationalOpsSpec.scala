@@ -668,4 +668,29 @@ class RelationalOpsSpec extends SparkSpec {
     assert(p20.getLong(1) == 1L && p20.getLong(2) == 7000L, p20.toString)
     assert(p20.isNullAt(3) && p20.isNullAt(4), "one demand: no interval: " + p20)
   }
+
+  test("perfectOrderRate: one late line or one returned line breaks the " +
+       "whole order; the failure-mode split attributes each break") {
+    import spark.implicits._
+    val d = Timestamp.valueOf(_: String)
+    val orders = Seq(
+      (1L, d("2024-01-01 00:00:00")), // perfect
+      (2L, d("2024-01-02 00:00:00")), // one line late
+      (3L, d("2024-01-03 00:00:00")), // one line returned
+      (4L, d("2024-02-01 00:00:00"))  // next month, perfect
+    ).toDF("o_orderkey", "o_orderdate")
+    val li = Seq(
+      (1L, d("2024-01-10 00:00:00"), "N"), (1L, d("2024-01-20 00:00:00"), "N"),
+      (2L, d("2024-01-05 00:00:00"), "N"), (2L, d("2024-03-15 00:00:00"), "N"),
+      (3L, d("2024-01-06 00:00:00"), "R"),
+      (4L, d("2024-02-10 00:00:00"), "N")
+    ).toDF("l_orderkey", "l_shipdate", "l_returnflag")
+    val got = RelationalOps.perfectOrderRate(orders, li).collect()
+      .map(r => r.getDate(0).toString -> r).toMap
+    val jan = got("2024-01-01")
+    assert(jan.getLong(1) == 3L && jan.getLong(2) == 1L, jan.toString)
+    assert(jan.getLong(3) == 333333L, jan.toString)
+    assert(jan.getLong(4) == 333333L && jan.getLong(5) == 333333L, jan.toString)
+    assert(got("2024-02-01").getLong(3) == 1000000L, got("2024-02-01").toString)
+  }
 }

@@ -724,4 +724,31 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(got(0)._2 == got(1)._2, "share is a single statistic")
     assert(math.abs(got(0)._2 - 960000L) < 20000L, got.toString)
   }
+
+  test("ivfTopK nprobe sweep: per-query recall against brute is " +
+       "nondecreasing in nprobe (more probed lists never lose a hit)") {
+    import spark.implicits._
+    // 4 well-separated direction clusters of 10 vectors each
+    val vecs = (for { c <- 0 until 4; i <- 0 until 10 } yield {
+      val base = Array(math.cos(c * 1.5).toFloat, math.sin(c * 1.5).toFloat,
+        (c % 2).toFloat, ((c + 1) % 2).toFloat)
+      ((c * 10 + i).toLong, base.map(v => v * (1.0f + i * 0.01f)), c)
+    }).toDF("vec_id", "embedding", "label")
+    val brute = graft.operators.SimilarityOps.cosineTopK(vecs, 10, 5)
+      .select(col("q_id"), col("vec_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    def recallAt(np: Int): Map[Long, Int] =
+      graft.operators.SimilarityOps.ivfTopK(vecs, 16, 10, 5, np)
+        .select(col("q_id"), col("vec_id")).collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(rs => rs.map(_.getLong(1)).toSet.intersect(
+          brute.getOrElse(rs.head.getLong(0), Set.empty)).size).toMap
+    val r1 = recallAt(1); val r2 = recallAt(2); val r4 = recallAt(4)
+    brute.keys.foreach { q =>
+      assert(r1.getOrElse(q, 0) <= r2.getOrElse(q, 0) &&
+        r2.getOrElse(q, 0) <= r4.getOrElse(q, 0),
+        s"recall must not fall as nprobe grows: q=$q ${r1.get(q)}/${r2.get(q)}/${r4.get(q)}")
+    }
+    assert(r4.values.sum >= r1.values.sum)
+  }
 }
