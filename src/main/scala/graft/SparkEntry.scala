@@ -2300,6 +2300,18 @@ object SparkEntry {
     // returned, per month, with the failure-mode split
     "perfect_order_rate" -> ((s, d) =>
       RelationalOps.perfectOrderRate(t(s, d, "orders"), t(s, d, "lineitem"))),
+    // ---- r11 tranche XXIV: retrieval PRF / mixing / sketch planning ----
+    // BM25 + pseudo-relevance feedback: expansion terms mined from the
+    // top-3 seed hits, down-weighted 0.5, integer ranking key
+    "bm25_prf" -> ((s, d) => TextOps.bm25PrfTopK(t(s, d, "documents"))),
+    // temperature-scaled source mixing (q ∝ p^0.7): the principled
+    // low-resource boost, with the per-source boost factor
+    "corpus_mix_temperature" -> ((s, d) =>
+      TextOps.corpusMixTemperature(t(s, d, "documents"))),
+    // CMS sizing table over the (eps, delta) grid — the planning face
+    // of heavy_hitters_cms
+    "cms_planner" -> ((s, d) => TextOps.cmsPlanner(s)),
+
     // IVF recall-vs-cost frontier: recall@5 against brute at
     // nprobe in {1, 2, 4} over the same seeded 16-centroid index
     "ivf_nprobe_sweep" -> ((s, d) => {
@@ -8702,5 +8714,76 @@ object SparkEntry {
         |FROM np n CROSS JOIN brute br
         |LEFT JOIN ivfn i ON i.nprobe = n.nprobe AND br.q_id = i.q_id AND br.vec_id = i.vec_id
         |GROUP BY 1, 2""".stripMargin,
+
+    // RM3-lite: seed pass -> top-3 feedback docs -> top-5 expansion
+    // terms -> weighted expanded pass, integer ranking key
+    "bm25_prf" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM t),
+        |corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |           AVG(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE)) AS avgdl
+        |           FROM documents),
+        |hits1 AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf, CAST(MIN(dl) AS DOUBLE) AS dl
+        |          FROM tok WHERE token IN ('spark', 'merge', 'window', 'query') GROUP BY doc_id, token),
+        |dfs1 AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM hits1 GROUP BY token),
+        |scored1 AS (SELECT doc_id,
+        |            CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        |                       / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1000000) AS BIGINT) AS sq
+        |            FROM hits1 JOIN dfs1 USING (token) CROSS JOIN corpus),
+        |fb AS (SELECT doc_id FROM (SELECT doc_id, CAST(SUM(sq) AS BIGINT) AS sc
+        |       FROM scored1 GROUP BY 1 ORDER BY sc DESC, doc_id LIMIT 3) f),
+        |expn AS (SELECT token FROM (
+        |  SELECT token, COUNT(*) AS c FROM tok JOIN fb USING (doc_id)
+        |  WHERE token NOT IN ('spark', 'merge', 'window', 'query',
+        |                      'the', 'a', 'of', 'and', 'to', 'in')
+        |  GROUP BY token ORDER BY c DESC, token LIMIT 5) x),
+        |terms AS (SELECT unnest(['spark', 'merge', 'window', 'query']) AS token,
+        |          CAST(1000000 AS BIGINT) AS w_ppm
+        |          UNION ALL SELECT token, CAST(500000 AS BIGINT) FROM expn),
+        |hits2 AS (SELECT tok.doc_id, tok.token, CAST(COUNT(*) AS DOUBLE) AS tf,
+        |          CAST(MIN(dl) AS DOUBLE) AS dl, CAST(MIN(w_ppm) AS BIGINT) AS w_ppm
+        |          FROM tok JOIN terms USING (token) GROUP BY 1, 2),
+        |dfs2 AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM hits2 GROUP BY token),
+        |scored2 AS (SELECT doc_id,
+        |            (CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        |                        / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1000000) AS BIGINT)
+        |             * w_ppm) // 1000000 AS sq
+        |            FROM hits2 JOIN dfs2 USING (token) CROSS JOIN corpus)
+        |SELECT doc_id, CAST(SUM(sq) AS BIGINT) AS score_micros
+        |FROM scored2 GROUP BY 1
+        |ORDER BY score_micros DESC, doc_id LIMIT 20""".stripMargin,
+
+    // temperature mixing: per-source exp(ln(p)/tau), ppm-quantized
+    // before the renormalization
+    "corpus_mix_temperature" ->
+      """WITH tf AS (SELECT source,
+        |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM tf),
+        |sh AS (SELECT source, n_tokens,
+        |  CAST((n_tokens * 1000000 + tot // 2) // tot AS BIGINT) AS p_ppm
+        |  FROM tf CROSS JOIN tot),
+        |w AS (SELECT source, n_tokens, p_ppm,
+        |  CAST(round(exp(ln(CAST(p_ppm AS DOUBLE) / 1000000.0)
+        |    * (CAST(700000 AS DOUBLE) / 1000000.0)) * 1000000) AS BIGINT) AS w_ppm FROM sh),
+        |wt AS (SELECT CAST(SUM(w_ppm) AS BIGINT) AS wt FROM w),
+        |qn AS (SELECT source, n_tokens, p_ppm,
+        |  CAST((w_ppm * 1000000 + wt // 2) // wt AS BIGINT) AS q_ppm
+        |  FROM w CROSS JOIN wt)
+        |SELECT source, n_tokens, p_ppm, q_ppm,
+        |  CASE WHEN p_ppm = 0 THEN NULL
+        |       ELSE CAST((q_ppm * 1000000 + p_ppm // 2) // p_ppm AS BIGINT) END AS boost_ppm
+        |FROM qn""".stripMargin,
+
+    // pinned (eps, delta) grid; width/depth/bytes by the standard sizing
+    "cms_planner" ->
+      """WITH g(eps_ppm, delta_ppm) AS (VALUES (10000, 10000), (10000, 1000),
+        |  (1000, 10000), (1000, 1000), (100, 10000), (100, 1000))
+        |SELECT CAST(eps_ppm AS BIGINT) AS eps_ppm, CAST(delta_ppm AS BIGINT) AS delta_ppm,
+        |  CAST(ceil(CAST(2.718281828459045 AS DOUBLE) * 1000000.0 / CAST(eps_ppm AS DOUBLE)) AS BIGINT) AS width,
+        |  CAST(ceil(ln(1000000.0 / CAST(delta_ppm AS DOUBLE))) AS BIGINT) AS depth,
+        |  CAST(ceil(CAST(2.718281828459045 AS DOUBLE) * 1000000.0 / CAST(eps_ppm AS DOUBLE)) AS BIGINT)
+        |    * CAST(ceil(ln(1000000.0 / CAST(delta_ppm AS DOUBLE))) AS BIGINT) * 8 AS bytes
+        |FROM g""".stripMargin,
   )
 }

@@ -1803,6 +1803,122 @@ object TextOps {
           .otherwise(expr("(tsum + n_pos div 2) div n_pos")).as("ap_ppm"))
   }
 
+  /** BM25 with pseudo-relevance feedback (RM3-lite, Rocchio-shaped) —
+    * the retrieval-quality step after plain [[bm25TopK]]: run the seed
+    * query, mine the top `fbDocs` documents for their most frequent
+    * non-seed, non-stopword terms, and re-score the corpus with the
+    * expanded query (expansion terms down-weighted by `expWeightPpm`).
+    * Fixes the vocabulary-mismatch failure ("merge" never matching docs
+    * that say "join") that no amount of BM25 tuning can.
+    *
+    * Determinism: the feedback doc set is the integer-score top-`fbDocs`
+    * (score desc, doc_id); expansion terms are top-`fbTerms` by
+    * (total tf desc, token) — both total orders. Per-term scores are
+    * micros-quantized then weighted by integer ppm division BEFORE the
+    * per-doc sum, so the final ranking key is a pure integer. Scale
+    * shape: two posting-list joins (seed pass, expanded pass) + one
+    * bounded term-selection TakeOrdered; the expansion frame is
+    * ≤ fbTerms rows, broadcast.
+    */
+  def bm25PrfTopK(documents: DataFrame,
+                  queryTerms: Seq[String] = Seq("spark", "merge", "window", "query"),
+                  kTop: Int = 20, fbDocs: Int = 3, fbTerms: Int = 5,
+                  expWeightPpm: Long = 500000L,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 1, "feedback sizes must be positive")
+    val sp = documents.sparkSession
+    import sp.implicits._
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+    val fb = bm25TopK(documents, queryTerms, fbDocs, k1, b).select(col("doc_id"))
+    val expansion = documents.join(fb, Seq("doc_id"), "left_semi")
+      .select(explode(expr(toksExprFor(documents))).as("token"))
+      .filter(!col("token").isin(queryTerms ++ stop: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(fbTerms)
+      .select(col("token"), lit(expWeightPpm).as("w_ppm"))
+    val terms = queryTerms.map(tk => (tk, 1000000L)).toDF("token", "w_ppm")
+      .unionByName(expansion)
+    val toks = documents.select(
+      col("doc_id"),
+      expr(s"size(${toksExprFor(documents)})").cast(DoubleType).as("dl"),
+      explode(expr(toksExprFor(documents))).as("token"))
+    val hits = toks.join(broadcast(terms), Seq("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).cast(DoubleType).as("tf"), first(col("dl")).as("dl"),
+        first(col("w_ppm")).as("w_ppm"))
+    val dfs = hits.groupBy(col("token")).agg(count(lit(1)).cast(DoubleType).as("df"))
+    val corpus = documents.agg(
+      count(lit(1)).cast(DoubleType).as("n_docs"),
+      avg(expr(s"size(${toksExprFor(documents)})").cast(DoubleType)).as("avgdl"))
+    hits
+      .join(broadcast(dfs), Seq("token"))
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"), col("w_ppm"),
+        (expr("ln(1.0d + (n_docs - df + 0.5d) / (df + 0.5d))") *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("s"))
+      // micros-quantize each per-term score, then the integer ppm weight
+      .select(col("doc_id"),
+        expr("(cast(round(s * 1000000) as bigint) * w_ppm) div 1000000").as("sq"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("sq")).as("score_micros"))
+      .orderBy(col("score_micros").desc, col("doc_id"))
+      .limit(kTop)
+  }
+
+  /** Temperature-scaled corpus mixing (the multilingual-LM sampling rule,
+    * Conneau & Lample 2019): raw source shares p_s are flattened to
+    * q_s ∝ p_s^α with exponent α < 1, boosting low-resource sources
+    * without letting any source dominate — the principled version of the
+    * ad-hoc up-weighting `corpus_mix` leaves to the caller. Per source
+    * the exponent runs as exp(α·ln(p)) — ONE fixed-shape double over the
+    * integer ppm share — quantized back to ppm BEFORE the (≤ sources)
+    * renormalization sum, so the normalized shares are half-up integer
+    * divisions of exact integers. Boost factor q/p in ppm says how much
+    * each source's sampling rate moved; α = 1 is the identity.
+    */
+  def corpusMixTemperature(documents: DataFrame, tauPpm: Long = 700000L): DataFrame = {
+    require(tauPpm >= 100000L && tauPpm <= 1000000L, s"alpha out of range: $tauPpm")
+    val tf = documents
+      .select(col("source"), expr(s"size(${toksExprFor(documents)})").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+    val tot = tf.agg(sum(col("n_tokens")).as("tot"))
+    val shares = tf.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        expr("(n_tokens * 1000000 + tot div 2) div tot").as("p_ppm"))
+      .withColumn("w_ppm", expr(
+        s"""cast(round(exp(ln(cast(p_ppm as double) / 1000000.0d)
+           | * (cast($tauPpm as double) / 1000000.0d)) * 1000000) as bigint)""".stripMargin))
+    val wTot = shares.agg(sum(col("w_ppm")).as("wt"))
+    shares.crossJoin(broadcast(wTot))
+      .select(col("source"), col("n_tokens"), col("p_ppm"),
+        expr("(w_ppm * 1000000 + wt div 2) div wt").as("q_ppm"))
+      .withColumn("boost_ppm",
+        when(col("p_ppm") === 0L, lit(null).cast(LongType))
+          .otherwise(expr("(q_ppm * 1000000 + p_ppm div 2) div p_ppm")))
+  }
+
+  /** Count–min sketch sizing table — the planning face of
+    * [[heavyHittersCms]], the same move as `lsh_band_planner` for the
+    * LSH family: for an (ε, δ) accuracy grid, the standard
+    * width = ⌈e/ε⌉, depth = ⌈ln(1/δ)⌉ sizing and its memory bill, so the
+    * sketch configuration discussion happens over one 6-row table
+    * instead of a re-derivation. Pure arithmetic over pinned ppm
+    * literals — both engines enumerate the identical grid.
+    */
+  def cmsPlanner(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val grid = for { epsPpm <- Seq(10000L, 1000L, 100L); deltaPpm <- Seq(10000L, 1000L) }
+      yield (epsPpm, deltaPpm)
+    grid.toDF("eps_ppm", "delta_ppm")
+      .select(col("eps_ppm"), col("delta_ppm"),
+        expr("cast(ceil(2.718281828459045d * 1000000.0d / cast(eps_ppm as double)) as bigint)")
+          .as("width"),
+        expr("cast(ceil(ln(1000000.0d / cast(delta_ppm as double))) as bigint)").as("depth"))
+      .withColumn("bytes", col("width") * col("depth") * lit(8L))
+  }
+
   /** Gains table (cumulative lift by score decile) — the THIRD read of
     * the quality classifier after [[classifierAuc]] (rank quality) and
     * [[classifierPrAuc]] (precision under imbalance): if we keep only

@@ -1791,4 +1791,58 @@ class DedupTextOpsSpec extends SparkSpec {
     val caps = got.map(_.getAs[Long]("capture_ppm"))
     assert(caps.zip(caps.tail).forall { case (a, b) => b >= a }, caps.toSeq.toString)
   }
+
+  test("bm25PrfTopK: expansion terms mined from seed hits retrieve the " +
+       "vocabulary-mismatched doc plain BM25 cannot see") {
+    import spark.implicits._
+    // docs 1-3 match the seed and all talk about 'shuffle'; doc 4 never
+    // uses a seed term but is dense in 'shuffle' -> only PRF finds it
+    val docs = Seq(
+      (1L, "spark merge shuffle shuffle pipeline"),
+      (2L, "spark window shuffle shuffle stage"),
+      (3L, "query merge shuffle shuffle executor"),
+      (4L, "shuffle shuffle shuffle shuffle shuffle"),
+      (5L, "completely unrelated text about nothing")
+    ).toDF("doc_id", "text")
+    val plain = TextOps.bm25TopK(docs).collect().map(_.getLong(0)).toSet
+    assert(!plain.contains(4L), "plain BM25 misses the mismatched doc")
+    val prf = TextOps.bm25PrfTopK(docs).collect()
+    val ids = prf.map(_.getLong(0)).toSet
+    assert(ids.contains(4L), "PRF recovers it: " + prf.mkString(";"))
+    assert(!ids.contains(5L), "still no free match for unrelated text")
+    // integer ranking key is strictly ordered with the doc_id tiebreak
+    val sc = prf.map(_.getLong(1))
+    assert(sc.zip(sc.tail).forall { case (a, b) => a >= b }, sc.toSeq.toString)
+  }
+
+  test("corpusMixTemperature: tau = 1 is the identity, tau < 1 flattens " +
+       "toward the low-resource source, shares renormalize to ~1e6") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "big", "a b c d e f g h i j a b c d e f g h i j"), // 20 tokens
+      (2L, "big", "a b c d e f g h i j a b c d e f g h i j"),
+      (3L, "small", "a b c d e")                               // 5 tokens
+    ).toDF("doc_id", "source", "text")
+    val t1 = TextOps.corpusMixTemperature(docs, tauPpm = 1000000L).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(t1("big").getAs[Long]("q_ppm") == t1("big").getAs[Long]("p_ppm"),
+      "tau=1 identity: " + t1)
+    val t07 = TextOps.corpusMixTemperature(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(t07("small").getAs[Long]("boost_ppm") > 1000000L,
+      "low-resource source is boosted: " + t07)
+    assert(t07("big").getAs[Long]("boost_ppm") < 1000000L,
+      "dominant source gives up share: " + t07)
+    val qsum = t07.values.map(_.getAs[Long]("q_ppm")).sum
+    assert(math.abs(qsum - 1000000L) <= 2L, s"shares renormalize: $qsum")
+  }
+
+  test("cmsPlanner: the standard sizing table — width ceil(e/eps), " +
+       "depth ceil(ln 1/delta), 6 rows") {
+    val got = TextOps.cmsPlanner(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.size == 6, got.toString)
+    assert(got((10000L, 10000L)) == ((272L, 5L, 272L * 5 * 8)), got.toString)
+    assert(got((100L, 1000L)) == ((27183L, 7L, 27183L * 7 * 8)), got.toString)
+  }
 }
