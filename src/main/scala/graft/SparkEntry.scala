@@ -2312,6 +2312,26 @@ object SparkEntry {
     // of heavy_hitters_cms
     "cms_planner" -> ((s, d) => TextOps.cmsPlanner(s)),
 
+    // ---- r11 tranche XXV: FS decisions / inventory sizing ----
+    // the Fellegi-Sunter THREE-WAY DECISION from the fitted mixture:
+    // match / clerical-review / nonmatch buckets with posterior ranges
+    "fs_match_classify" -> ((s, d) => {
+      val c = t(s, d, "customer").select(col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"), expr("cast(round(c_acctbal * 100) as bigint)").as("bal"))
+      val ranked = ShardedOrder.withGlobalRank(c, "rk", 32, col("c_name"))
+      val a = ranked.select((col("rk") + 1L).as("rk"), col("c_nationkey").as("na"),
+        col("c_mktsegment").as("sa"), col("bal").as("ba"))
+      val b = ranked.select(col("rk"), col("c_nationkey").as("nb"),
+        col("c_mktsegment").as("sb"), col("bal").as("bb"))
+      EntityOps.fsMatchClassify(a.join(b, Seq("rk")).select(
+        (col("na") === col("nb")).as("g1"),
+        (col("sa") === col("sb")).as("g2"),
+        (abs(col("ba") - col("bb")) <= 10000L).as("g3")))
+    }),
+    // z·sigma safety stock + reorder point per part at a pinned 95%
+    // service level — the inventory decision abc_xyz/croston feed
+    "safety_stock" -> ((s, d) => RelationalOps.safetyStock(t(s, d, "lineitem"))),
+
     // IVF recall-vs-cost frontier: recall@5 against brute at
     // nprobe in {1, 2, 4} over the same seeded 16-centroid index
     "ivf_nprobe_sweep" -> ((s, d) => {
@@ -3296,13 +3316,21 @@ object SparkEntry {
     * counts → 3 unrolled EM rounds with the same ppm quantization and
     * [1, 999999] clamps as [[graft.operators.EntityOps.fsEmWeights]].
     */
-  private val fsEmWeightsOracle: String = {
-    val pm = "(CAST(CASE WHEN g1 THEN m1 ELSE 1000000 - m1 END AS DOUBLE) / 1000000.0)" +
+  private val fsPm =
+    "(CAST(CASE WHEN g1 THEN m1 ELSE 1000000 - m1 END AS DOUBLE) / 1000000.0)" +
       " * (CAST(CASE WHEN g2 THEN m2 ELSE 1000000 - m2 END AS DOUBLE) / 1000000.0)" +
       " * (CAST(CASE WHEN g3 THEN m3 ELSE 1000000 - m3 END AS DOUBLE) / 1000000.0)"
-    val pu = "(CAST(CASE WHEN g1 THEN u1 ELSE 1000000 - u1 END AS DOUBLE) / 1000000.0)" +
+  private val fsPu =
+    "(CAST(CASE WHEN g1 THEN u1 ELSE 1000000 - u1 END AS DOUBLE) / 1000000.0)" +
       " * (CAST(CASE WHEN g2 THEN u2 ELSE 1000000 - u2 END AS DOUBLE) / 1000000.0)" +
       " * (CAST(CASE WHEN g3 THEN u3 ELSE 1000000 - u3 END AS DOUBLE) / 1000000.0)"
+
+  /** Shared FS-EM replay chain: candidate pairs → pattern counts → 3
+    * unrolled EM rounds (state lands in `s3`, patterns in `pat`).
+    */
+  private val fsEmCtes: String = {
+    val pm = fsPm
+    val pu = fsPu
     val iters = (1 to 3).map { i =>
       s"""w$i AS MATERIALIZED (SELECT g1, g2, g3, cnt,
          |  greatest(1, least(999999, CAST(round(
@@ -3338,10 +3366,30 @@ object SparkEntry {
        |s0 AS (SELECT CAST(100000 AS BIGINT) AS lam,
        |  CAST(900000 AS BIGINT) AS m1, CAST(900000 AS BIGINT) AS m2, CAST(900000 AS BIGINT) AS m3,
        |  CAST(100000 AS BIGINT) AS u1, CAST(100000 AS BIGINT) AS u2, CAST(100000 AS BIGINT) AS u3),
-       |$iters
-       |SELECT n_pairs, lam AS lambda_ppm, m1 AS m1_ppm, m2 AS m2_ppm, m3 AS m3_ppm,
-       |       u1 AS u1_ppm, u2 AS u2_ppm, u3 AS u3_ppm FROM s3""".stripMargin
+       |$iters""".stripMargin
   }
+
+  private val fsEmWeightsOracle: String =
+    fsEmCtes + """
+      |SELECT n_pairs, lam AS lambda_ppm, m1 AS m1_ppm, m2 AS m2_ppm, m3 AS m3_ppm,
+      |       u1 AS u1_ppm, u2 AS u2_ppm, u3 AS u3_ppm FROM s3""".stripMargin
+
+  /** Decision face: posterior per pattern from the fitted s3 state, the
+    * same formula/quantization/clamps as a w-round, bucketed three ways.
+    */
+  private val fsMatchClassifyOracle: String =
+    fsEmCtes + s""",
+      |wf AS (SELECT g1, g2, g3, cnt,
+      |  greatest(1, least(999999, CAST(round(
+      |    ($fsPm) * (CAST(lam AS DOUBLE) / 1000000.0)
+      |    / (($fsPm) * (CAST(lam AS DOUBLE) / 1000000.0)
+      |       + ($fsPu) * (1.0 - CAST(lam AS DOUBLE) / 1000000.0)) * 1000000) AS BIGINT))) AS w
+      |  FROM pat CROSS JOIN s3)
+      |SELECT CASE WHEN w >= 900000 THEN 'match'
+      |            WHEN w < 100000 THEN 'nonmatch' ELSE 'possible' END AS decision,
+      |  CAST(SUM(cnt) AS BIGINT) AS n_pairs,
+      |  CAST(MIN(w) AS BIGINT) AS min_w_ppm, CAST(MAX(w) AS BIGINT) AS max_w_ppm
+      |FROM wf GROUP BY 1""".stripMargin
 
   private val baseOracleSql: Map[String, String] = Map(
     // NOTE (r5): every oracle's FINAL decimal output column is cast to
@@ -8575,6 +8623,30 @@ object SparkEntry {
         |FROM cm""".stripMargin,
 
     "fs_em_weights" -> fsEmWeightsOracle,
+    "fs_match_classify" -> fsMatchClassifyOracle,
+
+    // monthly demand moments -> z*sigma safety stock, quantized pieces
+    "safety_stock" ->
+      """WITH monthly AS (SELECT l_partkey AS part,
+        |  CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+        |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |mo AS (SELECT part, COUNT(*) AS m, CAST(SUM(q) AS HUGEINT) AS s,
+        |  CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS qq FROM monthly GROUP BY 1),
+        |sd AS (SELECT part, CAST(m AS BIGINT) AS m,
+        |  CAST(round(CAST(s AS DOUBLE) / CAST(m AS DOUBLE) * 1000) AS BIGINT) AS mean_q_milli,
+        |  CASE WHEN m <= 1 THEN NULL
+        |       ELSE CAST(round(sqrt(
+        |         (CAST(qq AS DOUBLE) * CAST(m AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |         / (CAST(m AS DOUBLE) * CAST(m - 1 AS DOUBLE))) * 1000) AS BIGINT)
+        |  END AS sd_q_milli FROM mo)
+        |SELECT part, m, mean_q_milli, sd_q_milli,
+        |  CASE WHEN sd_q_milli IS NULL THEN NULL
+        |       ELSE CAST((sd_q_milli * 1645000) // 1000000 AS BIGINT) END AS safety_stock_milli,
+        |  CASE WHEN sd_q_milli IS NULL THEN NULL
+        |       ELSE CAST(mean_q_milli + (sd_q_milli * 1645000) // 1000000 AS BIGINT)
+        |  END AS reorder_point_milli
+        |FROM sd""".stripMargin,
 
     // DiD: 4 cell moments, repeated-cross-section SE
     "diff_in_diff" ->

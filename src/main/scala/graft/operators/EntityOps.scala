@@ -224,12 +224,19 @@ object EntityOps {
     */
   def fsEmWeights(pairs: DataFrame, rounds: Int = 3,
                   initLambdaPpm: Long = 100000L,
-                  initMPpm: Long = 900000L, initUPpm: Long = 100000L): DataFrame = {
+                  initMPpm: Long = 900000L, initUPpm: Long = 100000L): DataFrame =
+    fsEmState(fsPatterns(pairs), rounds, initLambdaPpm, initMPpm, initUPpm)
+      .select(col("n_pairs"), col("lam").as("lambda_ppm"),
+        col("m1").as("m1_ppm"), col("m2").as("m2_ppm"), col("m3").as("m3_ppm"),
+        col("u1").as("u1_ppm"), col("u2").as("u2_ppm"), col("u3").as("u3_ppm"))
+
+  private def fsPatterns(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("g1"), col("g2"), col("g3")).agg(count(lit(1)).as("cnt"))
+
+  private def fsEmState(patterns: DataFrame, rounds: Int,
+                        initLambdaPpm: Long, initMPpm: Long, initUPpm: Long): DataFrame = {
     require(rounds >= 1 && rounds <= 20, s"rounds out of range: $rounds")
-    val sp = pairs.sparkSession
-    val patterns = pairs
-      .groupBy(col("g1"), col("g2"), col("g3"))
-      .agg(count(lit(1)).as("cnt"))
+    val sp = patterns.sparkSession
     var state = sp.range(1).select(
       lit(initLambdaPpm).as("lam"),
       lit(initMPpm).as("m1"), lit(initMPpm).as("m2"), lit(initMPpm).as("m3"),
@@ -270,8 +277,43 @@ object EntityOps {
           clampPpm("cast(round(cast(u2n as double) / cast(suc as double) * 1000000) as bigint)").as("u2"),
           clampPpm("cast(round(cast(u3n as double) / cast(suc as double) * 1000000) as bigint)").as("u3"))
     }
-    state.select(col("n_pairs"), col("lam").as("lambda_ppm"),
-      col("m1").as("m1_ppm"), col("m2").as("m2_ppm"), col("m3").as("m3_ppm"),
-      col("u1").as("u1_ppm"), col("u2").as("u2_ppm"), col("u3").as("u3_ppm"))
+    state
+  }
+
+  /** The decision face of [[fsEmWeights]]: score every agreement pattern
+    * with the FITTED mixture's posterior match probability
+    * w(γ) = λP_m(γ) / (λP_m(γ) + (1−λ)P_u(γ)) and bucket pairs into the
+    * Fellegi–Sunter three-way decision (match ≥ `hiPpm`, possible in
+    * between — the clerical-review queue — non-match < `loPpm`).
+    * Pattern posteriors reuse the exact formula and ppm quantization of
+    * the EM's final responsibility step, so the classification is the
+    * model's own fixed point, not a re-derivation. Output is the
+    * 3-row decision table with pair counts and the posterior range per
+    * bucket; everything after the pattern count is grid-scale.
+    */
+  def fsMatchClassify(pairs: DataFrame, rounds: Int = 3,
+                      hiPpm: Long = 900000L, loPpm: Long = 100000L): DataFrame = {
+    val patterns = fsPatterns(pairs)
+    val state = fsEmState(patterns, rounds, 100000L, 900000L, 100000L)
+    val pm =
+      """(cast(case when g1 then m1 else 1000000 - m1 end as double) / 1000000.0d)
+        | * (cast(case when g2 then m2 else 1000000 - m2 end as double) / 1000000.0d)
+        | * (cast(case when g3 then m3 else 1000000 - m3 end as double) / 1000000.0d)""".stripMargin
+    val pu =
+      """(cast(case when g1 then u1 else 1000000 - u1 end as double) / 1000000.0d)
+        | * (cast(case when g2 then u2 else 1000000 - u2 end as double) / 1000000.0d)
+        | * (cast(case when g3 then u3 else 1000000 - u3 end as double) / 1000000.0d)""".stripMargin
+    patterns.crossJoin(broadcast(state))
+      .withColumn("w", greatest(lit(1L), least(lit(999999L), expr(
+        s"""cast(round(
+           |  ($pm) * (cast(lam as double) / 1000000.0d)
+           |  / (($pm) * (cast(lam as double) / 1000000.0d)
+           |     + ($pu) * (1.0d - cast(lam as double) / 1000000.0d)) * 1000000) as bigint)""".stripMargin))))
+      .withColumn("decision",
+        when(col("w") >= hiPpm, "match")
+          .when(col("w") < loPpm, "nonmatch").otherwise("possible"))
+      .groupBy(col("decision"))
+      .agg(sum(col("cnt")).as("n_pairs"),
+        min(col("w")).as("min_w_ppm"), max(col("w")).as("max_w_ppm"))
   }
 }

@@ -1406,6 +1406,43 @@ object RelationalOps {
           .as("rate_ppm"))
   }
 
+  /** Safety-stock sizing per part (the classic z·σ_demand rule at a
+    * pinned 95% service level, z = 1.645) — the inventory decision
+    * [[abcXyzMatrix]]'s regularity classes and [[crostonForecast]]'s
+    * rate feed into: how much buffer does each part need against its
+    * OWN demand volatility? Monthly demand collapses to the
+    * (part × month) grid in one pass; per-part moments ride
+    * DECIMAL(38,0); σ is the one correctly-rounded sqrt per part,
+    * quantized to milli-units, and the safety stock / reorder point are
+    * integer arithmetic on the quantized pieces (reorder = mean + ss).
+    * Single-month parts read NULL σ (no variance evidence) rather
+    * than a fake zero.
+    */
+  def safetyStock(lineitem: DataFrame, zMicros: Long = 1645000L): DataFrame = {
+    val D = DecimalType(38, 0)
+    val monthly = lineitem
+      .groupBy(col("l_partkey").as("part"),
+        date_trunc("month", col("l_shipdate")).cast(DateType).as("month"))
+      .agg(sum(expr("cast(round(l_quantity) as bigint)")).as("q"))
+    monthly.groupBy(col("part"))
+      .agg(count(lit(1)).as("m"), sum(col("q").cast(D)).as("s"),
+        sum((col("q").cast(D) * col("q")).cast(D)).as("qq"))
+      .select(col("part"), col("m"),
+        expr("cast(round(cast(s as double) / cast(m as double) * 1000) as bigint)")
+          .as("mean_q_milli"),
+        when(col("m") <= 1, lit(null).cast(LongType))
+          .otherwise(expr("""cast(round(sqrt(
+            |  (cast(qq as double) * cast(m as double) - cast(s as double) * cast(s as double))
+            |  / (cast(m as double) * cast(m - 1 as double))) * 1000) as bigint)""".stripMargin))
+          .as("sd_q_milli"))
+      .select(col("part"), col("m"), col("mean_q_milli"), col("sd_q_milli"),
+        when(col("sd_q_milli").isNull, lit(null).cast(LongType))
+          .otherwise(expr(s"(sd_q_milli * $zMicros) div 1000000")).as("safety_stock_milli"))
+      .withColumn("reorder_point_milli",
+        when(col("safety_stock_milli").isNull, lit(null).cast(LongType))
+          .otherwise(col("mean_q_milli") + col("safety_stock_milli")))
+  }
+
   /** Perfect-order rate per month — the composite fulfillment KPI the
     * supply-chain literature tracks above any single metric: an order is
     * PERFECT iff every line shipped within `slaDays` of the order date

@@ -176,4 +176,18 @@ class EntityOpsSpec extends SparkSpec {
       "agreement is rare among non-matches: " + r)
     assert(EntityOps.fsEmWeights(pairs).head() == r, "EM replays exactly")
   }
+
+  test("fsMatchClassify: the all-agree pattern lands in 'match', the " +
+       "all-disagree mass in 'nonmatch', and pair counts conserve") {
+    import spark.implicits._
+    val pairs = (Seq.fill(50)((true, true, true)) ++
+      Seq.fill(950)((false, false, false))).toDF("g1", "g2", "g3")
+    val got = EntityOps.fsMatchClassify(pairs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("match").getLong(1) == 50L, got.toString)
+    assert(got("nonmatch").getLong(1) == 950L, got.toString)
+    assert(got.values.map(_.getLong(1)).sum == 1000L, "pairs conserve")
+    assert(got("match").getAs[Long]("min_w_ppm") >= 900000L, got.toString)
+    assert(got("nonmatch").getAs[Long]("max_w_ppm") < 100000L, got.toString)
+  }
 }

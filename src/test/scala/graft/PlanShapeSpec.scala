@@ -446,4 +446,37 @@ class PlanShapeSpec extends SparkSpec {
         s"$q aggregate partial+final:\n$p")
     }
   }
+
+  test("r11 final tier: stats/contract/retrieval/experiment ops keep " +
+       "their scale shapes") {
+    // no op in the tier may cross-join a fact table (broadcast-scale
+    // 1-row/constant frames are the only legitimate cross joins)
+    for (q <- Seq("welch_t_test", "chi_square_residuals", "neyman_allocation",
+                  "fk_orphan_audit", "seasonal_decompose", "classifier_pr_auc",
+                  "croston_forecast", "odds_ratio_returns", "burrows_delta",
+                  "stl_strength", "cuped_adjustment", "classifier_gains",
+                  "fs_em_weights", "diff_in_diff", "funnel_stage_ztest",
+                  "perfect_order_rate", "bm25_prf", "corpus_mix_temperature",
+                  "cms_planner"))
+      assert(!plan(q).contains("CartesianProduct"), s"$q plans a cartesian")
+    // single-moment-pass tests: join-free, partial+final aggregation
+    for (q <- Seq("welch_t_test", "neyman_allocation")) {
+      val p = plan(q)
+      assert(!"SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).hasNext,
+        s"$q must not shuffle-join:\n$p")
+      assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2,
+        s"$q aggregate partial+final:\n$p")
+    }
+    // croston's series windows are PARTITIONED BY part — the fact-scale
+    // key — never a global window
+    assert(!plan("croston_forecast").contains("No Partition Defined"),
+      "croston windows partition by part")
+    // perfect-order is two keyed aggregates over one equi-join
+    val po = plan("perfect_order_rate")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(po).size == 1,
+      s"one orders-lineitem join:\n$po")
+    // FK audit: parent side is DISTINCT-ed before every join (the
+    // hot-parent-key fan-out guard) — one agg pair per edge + distincts
+    assert(plan("fk_orphan_audit").contains("Join"), "edges are joins")
+  }
 }

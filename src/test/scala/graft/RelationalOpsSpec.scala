@@ -693,4 +693,24 @@ class RelationalOpsSpec extends SparkSpec {
     assert(jan.getLong(4) == 333333L && jan.getLong(5) == 333333L, jan.toString)
     assert(got("2024-02-01").getLong(3) == 1000000L, got("2024-02-01").toString)
   }
+
+  test("safetyStock: steady demand needs zero buffer, volatile demand " +
+       "sizes z*sigma, single-month parts read NULL") {
+    import spark.implicits._
+    val d = Timestamp.valueOf(_: String)
+    val li = Seq(
+      (1L, d("2024-01-05 00:00:00"), 10.0), (1L, d("2024-02-05 00:00:00"), 10.0),
+      (1L, d("2024-03-05 00:00:00"), 10.0),
+      (2L, d("2024-01-05 00:00:00"), 5.0), (2L, d("2024-02-05 00:00:00"), 15.0),
+      (3L, d("2024-01-05 00:00:00"), 7.0)
+    ).toDF("l_partkey", "l_shipdate", "l_quantity")
+    val got = RelationalOps.safetyStock(li).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(3) == 0L && got(1L).getLong(4) == 0L, got(1L).toString)
+    assert(got(1L).getAs[Long]("reorder_point_milli") == 10000L, got(1L).toString)
+    // part 2: sd of {5, 15} = 7.0711 -> ss = 7071 * 1.645 = 11631
+    assert(got(2L).getLong(3) == 7071L, got(2L).toString)
+    assert(got(2L).getLong(4) == (7071L * 1645000L) / 1000000L, got(2L).toString)
+    assert(got(3L).isNullAt(3) && got(3L).isNullAt(4), got(3L).toString)
+  }
 }
