@@ -837,7 +837,10 @@ object StatsOps {
     val nAll = binned.agg(count(lit(1)).as("n"), countDistinct(col("bin")).as("b"))
     val wG = Window.partitionBy(col("g")).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wQ = Window.partitionBy(lit(0)).orderBy(col("bin"))
+    // constant-key idiom (pmod of a column, NOT a foldable literal —
+    // Catalyst folds lit(0) away and the window goes global): fine over
+    // the ≤ bins-row dimension frame
+    val wQ = Window.partitionBy(pmod(col("bin"), lit(1))).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cumQ = tot.withColumn("cum_q", sum(col("q_cnt")).over(wQ))
       .select(col("bin"), col("cum_q"))
@@ -1009,7 +1012,8 @@ object StatsOps {
         // remainder in DECIMAL(38,0) units — exact, orderable
         (col("w") * lit(budget) - expr(s"((w * $budget) div tw)").cast(D) * col("tw"))
           .as("rem"))
-    val wRem = Window.partitionBy(lit(0))
+    // constant-key idiom (non-foldable) over the ≤ |strata| rows
+    val wRem = Window.partitionBy(pmod(length(col("g")), lit(1)))
       .orderBy(col("rem").desc, col("g"))
     val short = based.agg((lit(budget) - sum(col("base"))).as("short"))
     based.crossJoin(broadcast(short))
