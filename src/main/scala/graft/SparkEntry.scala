@@ -2332,6 +2332,15 @@ object SparkEntry {
     // service level — the inventory decision abc_xyz/croston feed
     "safety_stock" -> ((s, d) => RelationalOps.safetyStock(t(s, d, "lineitem"))),
 
+    // ---- r11 tranche XXVI: graph mixing / recommender eval ----
+    // Newman degree assortativity of the dup graph (7th consumer of the
+    // persisted pair index): hub-and-spoke vs core-core mixing in ONE r
+    "graph_assortativity" -> ((s, d) =>
+      GraphOps.degreeAssortativity(DedupOps.pairIndex(s, pairIndexFor(s, d)))),
+    // leave-one-out hit@3 of the item-item recommender: fixed holdout,
+    // similarity refit on train only, symmetrized neighbor lists
+    "item_rec_hitrate" -> ((s, d) => EventOps.itemRecHitrate(t(s, d, "events"))),
+
     // IVF recall-vs-cost frontier: recall@5 against brute at
     // nprobe in {1, 2, 4} over the same seeded 16-centroid index
     "ivf_nprobe_sweep" -> ((s, d) => {
@@ -8624,6 +8633,56 @@ object SparkEntry {
 
     "fs_em_weights" -> fsEmWeightsOracle,
     "fs_match_classify" -> fsMatchClassifyOracle,
+
+    // Newman r over directed edge instances of the minhash pair graph
+    "graph_assortativity" ->
+      (minhashPairsCtes + """,
+        |dedges AS (SELECT doc_a AS src, doc_b AS dst FROM mpairs
+        |           UNION ALL SELECT doc_b, doc_a FROM mpairs),
+        |deg AS (SELECT src AS n, COUNT(*) AS d FROM dedges GROUP BY 1),
+        |j AS (SELECT dx.d AS dx, dy.d AS dy
+        |      FROM dedges e JOIN deg dx ON e.src = dx.n JOIN deg dy ON e.dst = dy.n),
+        |mo AS (SELECT COUNT(*) AS m2,
+        |       CAST(SUM(dx) AS HUGEINT) AS sx, CAST(SUM(dy) AS HUGEINT) AS sy,
+        |       CAST(SUM(CAST(dx AS HUGEINT) * dy) AS HUGEINT) AS sxy,
+        |       CAST(SUM(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS sxx FROM j)
+        |SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+        |  CASE WHEN CAST(sxx AS DOUBLE) * m2 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0.0 THEN NULL
+        |       ELSE CAST(round(
+        |         (CAST(sxy AS DOUBLE) * m2 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |         / (CAST(sxx AS DOUBLE) * m2 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         * 1000000) AS BIGINT)
+        |  END AS assortativity_micros
+        |FROM mo""".stripMargin),
+
+    // leave-one-out hit@3: holdout = max item per user, train-only refit
+    "item_rec_hitrate" ->
+      """WITH ui AS (SELECT DISTINCT user_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS item
+        |            FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |ok AS (SELECT user_id FROM ui GROUP BY 1 HAVING COUNT(*) <= 50 AND COUNT(*) >= 2),
+        |b AS (SELECT ui.user_id, item FROM ui JOIN ok USING (user_id)),
+        |h AS (SELECT user_id, MAX(item) AS holdout FROM b GROUP BY 1),
+        |tr AS (SELECT b.user_id, item FROM b JOIN h USING (user_id) WHERE item <> holdout),
+        |ni AS (SELECT item, COUNT(*) AS n_i FROM tr GROUP BY 1),
+        |p AS (SELECT a.item AS item_a, bb.item AS item_b, COUNT(*) AS c_ab
+        |      FROM tr a JOIN tr bb ON a.user_id = bb.user_id AND a.item < bb.item
+        |      GROUP BY 1, 2),
+        |sc AS (SELECT item_a, item_b,
+        |       CAST(round(c_ab * 1000000 / sqrt(CAST(na.n_i * nb.n_i AS DOUBLE))) AS BIGINT) AS cosine_ppm
+        |       FROM p JOIN ni na ON item_a = na.item JOIN ni nb ON item_b = nb.item),
+        |sym AS (SELECT item_a AS src, item_b AS dst, cosine_ppm FROM sc
+        |        UNION ALL SELECT item_b, item_a, cosine_ppm FROM sc),
+        |tk AS (SELECT src, dst FROM (
+        |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cosine_ppm DESC, dst) AS rk
+        |  FROM sym) t WHERE rk <= 3),
+        |ev AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM h),
+        |ht AS (SELECT CAST(COUNT(DISTINCT t.user_id) AS BIGINT) AS n_hits
+        |       FROM tr t JOIN h ON t.user_id = h.user_id
+        |       JOIN tk ON t.item = tk.src AND tk.dst = h.holdout)
+        |SELECT 3 AS k, n_users, n_hits,
+        |  CASE WHEN n_users = 0 THEN NULL
+        |       ELSE CAST((n_hits * 1000000 + n_users // 2) // n_users AS BIGINT) END AS hitrate_ppm
+        |FROM ev CROSS JOIN ht""".stripMargin,
 
     // monthly demand moments -> z*sigma safety stock, quantized pieces
     "safety_stock" ->

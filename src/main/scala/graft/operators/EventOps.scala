@@ -1057,6 +1057,63 @@ object EventOps {
         col("rk").cast(IntegerType).as("rk"))
   }
 
+  /** Leave-one-out hit@k of the [[itemSimilarity]] recommender — the
+    * eval that turns "we computed neighbor lists" into a number: hold
+    * out ONE item per user (deterministically the max item id — a fixed
+    * holdout, reproducible under retries and engines), rebuild the
+    * co-interaction cosine on the remaining TRAIN interactions only (no
+    * leakage), and count users whose held-out item appears in the top-k
+    * SYMMETRIZED neighbor list of any of their train items. Same
+    * per-user item cap as the recommender (bounds the pair fan-out);
+    * everything after the capped self-join is item-dimension work.
+    * Output is one row: evaluated users, hits, half-up ppm hit rate.
+    */
+  def itemRecHitrate(events: DataFrame, k: Int = 3,
+                     maxUserItems: Int = 50): DataFrame = {
+    val ui = events
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("item"))
+      .filter(col("item").isNotNull)
+      .distinct()
+    val okUsers = ui.groupBy(col("user_id")).agg(count(lit(1)).as("n_items"))
+      .filter(col("n_items") <= maxUserItems && col("n_items") >= 2)
+      .select(col("user_id"))
+    val bounded = ui.join(okUsers, Seq("user_id"))
+    val hold = bounded.groupBy(col("user_id")).agg(max(col("item")).as("holdout"))
+    val train = bounded.join(hold, Seq("user_id"))
+      .filter(col("item") =!= col("holdout"))
+      .select(col("user_id"), col("item"))
+    val nI = train.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
+    val pairs = train.select(col("user_id"), col("item").as("item_a"))
+      .join(train.select(col("user_id"), col("item").as("item_b")), Seq("user_id"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("c_ab"))
+    val scored = pairs
+      .join(broadcast(nI.select(col("item").as("item_a"), col("n_i").as("n_a"))), Seq("item_a"))
+      .join(broadcast(nI.select(col("item").as("item_b"), col("n_i").as("n_b"))), Seq("item_b"))
+      .select(col("item_a"), col("item_b"),
+        expr("cast(round(c_ab * 1000000 / sqrt(cast(n_a * n_b as double))) as bigint)")
+          .as("cosine_ppm"))
+    val sym = scored.select(col("item_a").as("src"), col("item_b").as("dst"), col("cosine_ppm"))
+      .unionByName(scored.select(col("item_b").as("src"), col("item_a").as("dst"), col("cosine_ppm")))
+    val wN = Window.partitionBy(col("src")).orderBy(col("cosine_ppm").desc, col("dst"))
+    val topk = sym.withColumn("rk", row_number().over(wN))
+      .filter(col("rk") <= k).select(col("src"), col("dst"))
+    val evald = hold.agg(count(lit(1)).as("n_users"))
+    val hits = train.select(col("user_id"), col("item").as("src"))
+      .join(hold, Seq("user_id"))
+      .join(topk, Seq("src"))
+      .filter(col("dst") === col("holdout"))
+      .select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_hits"))
+    evald.crossJoin(broadcast(hits))
+      .select(lit(k).as("k"), col("n_users"), col("n_hits"),
+        when(col("n_users") === 0L, lit(null).cast(LongType))
+          .otherwise(expr("(n_hits * 1000000 + n_users div 2) div n_users"))
+          .as("hitrate_ppm"))
+  }
+
   /** Session path mining: the top-`k` most common 3-event paths inside
     * 30-minute-gap sessions — second-order, session-bounded sequence
     * structure that `eventTransitions` (first-order, unbounded) can't

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Iterative graph analytics over document-relation graphs — the family
   * the dup-component collapse (`DedupOps.dupComponents`) opened, extended
@@ -297,6 +298,42 @@ object GraphOps {
       .distinct()
     labelPropagation(edges, rounds)
       .select(col("node").as("doc_id"), col("lab").as("community"))
+  }
+
+  /** Degree assortativity (Newman 2002) of an undirected pair graph —
+    * ONE number for the dup graph's mixing structure: r > 0 means
+    * high-degree nodes attach to other high-degree nodes (template
+    * families linking to each other — collapse decisions compound),
+    * r < 0 means hub-and-spoke (boilerplate cores with leaf variants —
+    * min-label collapse is safe). Pearson correlation of endpoint
+    * degrees over DIRECTED edge instances (each undirected edge counted
+    * in both directions, the standard convention, which also makes
+    * Σdx = Σdy exactly). Exact integer moments in DECIMAL(38,0); the
+    * coefficient is ONE fixed-shape double, micros-quantized; NULL on
+    * zero degree variance (a regular graph has no mixing signal).
+    * Scale shape: one degree aggregate + two co-partitioned joins +
+    * one moment pass — no iteration, no pair blowup.
+    */
+  def degreeAssortativity(pairs: DataFrame): DataFrame = {
+    val D = DecimalType(38, 0)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = edges.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+    edges
+      .join(deg.select(col("n").as("src"), col("d").as("dx")), Seq("src"))
+      .join(deg.select(col("n").as("dst"), col("d").as("dy")), Seq("dst"))
+      .agg(count(lit(1)).as("m2"),
+        sum(col("dx").cast(D)).as("sx"), sum(col("dy").cast(D)).as("sy"),
+        sum((col("dx").cast(D) * col("dy")).cast(D)).as("sxy"),
+        sum((col("dx").cast(D) * col("dx")).cast(D)).as("sxx"))
+      .select(expr("m2 div 2").as("n_edges"),
+        when(expr("cast(sxx as double) * m2 - cast(sx as double) * cast(sx as double)") <= 0.0,
+          lit(null).cast(LongType))
+          .otherwise(expr("""cast(round(
+            |  (cast(sxy as double) * m2 - cast(sx as double) * cast(sy as double))
+            |  / (cast(sxx as double) * m2 - cast(sx as double) * cast(sx as double))
+            |  * 1000000) as bigint)""".stripMargin))
+          .as("assortativity_micros"))
   }
 
   /** HITS (Kleinberg 1999) over a BIPARTITE relation — hubs on the left,

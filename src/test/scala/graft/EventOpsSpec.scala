@@ -1074,4 +1074,31 @@ class EventOpsSpec extends SparkSpec {
     val t23 = got("2->3")
     assert(t23.getLong(1) + t23.getLong(3) == 2L, "clickers carry forward: " + t23)
   }
+
+  test("itemRecHitrate: co-purchase structure recovers the held-out item; " +
+       "a user with unrelated items misses; single-item users are excluded") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+    // holdouts must DIFFER across users or the held-out item vanishes
+    // from all training: u1 {1,2,3} holds 3 (train 1,2); u2 {1,2,3,4}
+    // holds 4 but TRAINS on 3, so 3 survives into the neighbor lists;
+    // u3 {2,3} holds 3; u4 {9,1} holds an item nobody trains on;
+    // u5 single item -> excluded
+    def ev(id: Long, u: Long, item: Int) =
+      (id, ts, u, "view", 0.0, s"""{"k":$item}""")
+    val rows = Seq(
+      ev(1, 1, 1), ev(2, 1, 2), ev(3, 1, 3),
+      ev(4, 2, 1), ev(5, 2, 2), ev(6, 2, 3), ev(7, 2, 4),
+      ev(8, 3, 2), ev(9, 3, 3),
+      ev(10, 4, 9), ev(11, 4, 1),
+      ev(12, 5, 7))
+    val r = EventOps.itemRecHitrate(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")).head()
+    assert(r.getInt(0) == 3, r.toString)
+    assert(r.getLong(1) == 4L, "users 1-4 evaluated, 5 excluded: " + r)
+    // u1 hit (3 in item 1/2's lists via u2's train pairs), u3 hit
+    // (3 in item 2's list), u2 miss (4 trained by nobody), u4 miss
+    assert(r.getLong(2) == 2L, r.toString)
+    assert(r.getLong(3) == 500000L, r.toString)
+  }
 }

@@ -217,4 +217,18 @@ class GraphOpsSpec extends SparkSpec {
     assert(got(("hub", 1L)) == 1000000L && got(("hub", 1L)) > got(("hub", 3L)))
     assert(got.values.forall(v => v > 0L && v <= 1000000L), got.toString)
   }
+
+  test("degreeAssortativity: a star is maximally disassortative, a " +
+       "clique-pair chain graph is regular (NULL), edge count is exact") {
+    import spark.implicits._
+    // star 0-{1..5}: every edge joins deg 5 to deg 1 -> r = -1 exactly
+    val star = (1L to 5L).map(i => (0L, i)).toDF("doc_a", "doc_b")
+    val rs = GraphOps.degreeAssortativity(star).head()
+    assert(rs.getLong(0) == 5L, rs.toString)
+    assert(rs.getLong(1) == -1000000L, "star reads r = -1: " + rs)
+    // triangle: all degrees 2 -> zero degree variance -> NULL
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val rt = GraphOps.degreeAssortativity(tri).head()
+    assert(rt.getLong(0) == 3L && rt.isNullAt(1), rt.toString)
+  }
 }
