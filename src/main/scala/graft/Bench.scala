@@ -97,7 +97,15 @@ object Bench {
     // so total / (n_queries - n_failed) is the comparable per-query mean.
     val nFailed = results.count(_._2 < 0)
     val sfNum = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("\"" + sfDir + "\"")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries":$qs,"sf":$sfNum}""")
+    val metricLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries":$qs,"sf":$sfNum}"""
+    println(metricLine)
+    // The stdout line reaches the driver wrapped in sbt log prefixes, and
+    // its tail capture has recorded parsed: null in r10/r11. Also write the
+    // exact metric line as a clean, unprefixed JSON file so any driver that
+    // looks for a sibling artifact can parse it directly.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_metric.json"),
+      metricLine + "\n")
     // Full-precision artifact: the printed line is capped at 0.1 s for the
     // driver's tail capture, which blinds regression detection for the ~60
     // sub-0.5 s queries (a 0.2 s -> 0.4 s doubling rounds invisibly).

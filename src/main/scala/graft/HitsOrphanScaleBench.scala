@@ -64,8 +64,9 @@ object HitsOrphanScaleBench {
         val t = timedMin2 {
           val row = RelationalOps.fkOrphanAudit(Seq(("child->parent", child, parent)))
             .head()
-          assert(row.getLong(2) == n / 100,
-            s"planted orphan count: ${row.getLong(2)} vs ${n / 100}")
+          // ids 0, 100, ... are planted orphans: ceil(n/100) of them
+          assert(row.getLong(2) == (n + 99) / 100,
+            s"planted orphan count: ${row.getLong(2)} vs ${(n + 99) / 100}")
         }
         println(f"[orphan] child=$n%d sec=$t%.2f")
       }

@@ -1429,6 +1429,10 @@ object SparkEntry {
     // power iteration on the scaled covariance
     "pca_top_component" -> ((s, d) =>
       SimilarityOps.pcaTopComponent(t(s, d, "embeddings"))),
+    // top-4 principal basis via Hotelling deflation over the same
+    // exact-integer scaled covariance — the PQ-subspace/whitening basis
+    "pca_components" -> ((s, d) =>
+      SimilarityOps.pcaComponents(t(s, d, "embeddings"))),
     // watermark planner: event-time lateness behind the arrival-order
     // high-water mark, bucketed per event type
     "lateness_profile" -> ((s, d) => EventOps.latenessProfile(t(s, d, "events"))),
@@ -2083,6 +2087,25 @@ object SparkEntry {
         .select(lit("pq").as("method"), col("q_id"), col("recall"))
     }),
 
+    // recall@5 of seeded PQ over the OPQ-lite-ROTATED corpus (top-4 PCA
+    // basis → Householder rotation placing one principal direction per
+    // subspace) vs full-precision brute in the original space — the
+    // measured value of the rotation, with the whole PCA+QR+rotate+ADC
+    // chain oracle-replayed
+    "ann_recall_pq_opq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").persist()
+      val rot = SimilarityOps.opqRotate(emb,
+        SimilarityOps.opqRotationVectors(emb)).persist()
+      val brute = SimilarityOps.cosineTopK(emb, 10, 5).select(col("q_id"), col("vec_id"))
+      val hit = SimilarityOps.pqTopK(rot, 10, 5)
+        .select(col("q_id"), col("vec_id")).withColumn("hit", lit(1))
+      brute.join(hit, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(round(sum(coalesce(col("hit"), lit(0))).cast(DoubleType) / lit(5.0), 2)
+          .as("recall"))
+        .select(lit("pq_opq").as("method"), col("q_id"), col("recall"))
+    }),
+
     // the corpus pipeline at FULL width: dedup → collapse → quality floor
     // → Gopher gate → repetition cap → PII scrub → chunking, one call,
     // the whole composition replayed in one oracle
@@ -2461,6 +2484,170 @@ object SparkEntry {
        |  CAST(round(CAST(vmv AS DOUBLE) / CAST(vv AS DOUBLE) / CAST(tr AS DOUBLE)
        |    * 1.0e18) AS BIGINT) AS share_ppm
        |FROM x$rounds CROSS JOIN vvv CROSS JOIN ray CROSS JOIN tr""".stripMargin
+  }
+
+  /** Unrolled-deflation oracle for pca_components: k copies of the
+    * pcaPowerOracle iteration chain, each running on the previous
+    * component's Hotelling-deflated matrix m{c+1} = m{c} − λuuᵀ (the same
+    * one fixed-shape double round per entry as the engine), UNION ALL'd
+    * into the (component, dim) basis table.
+    */
+  private def pcaComponentsOracle(k: Int, rounds: Int): String = {
+    val out = (1 to k).map { c =>
+      s"""SELECT CAST($c AS INTEGER) AS component, CAST(i AS INTEGER) AS dim,
+         |  u AS loading_micros,
+         |  CAST(round(CAST(vmv AS DOUBLE) / CAST(vv AS DOUBLE) / CAST(tr AS DOUBLE)
+         |    * 1.0e18) AS BIGINT) AS share_ppm
+         |FROM uu$c CROSS JOIN vvv$c CROSS JOIN ray$c CROSS JOIN trc""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${pcaComponentsCtes(k, rounds)}
+       |$out""".stripMargin
+  }
+
+  /** Full OPQ-lite recall replay: the pca_components CTEs feed a
+    * Householder-QR chain (component c reflected onto pivot (c−1)·16,
+    * earlier pivots zeroed first — SimilarityOps.opqRotationVectors), the
+    * corpus rotates through the m reflections in integer micros
+    * (opqRotate), and the rotated corpus runs the verbatim seeded-PQ/ADC
+    * chain; recall@5 is measured against full-precision brute in the
+    * ORIGINAL space. Every stage — Lloyd-free but 4-deep iterative — is
+    * replayed, including the deflation that produced the basis.
+    */
+  private def opqRecallOracle(m: Int, rounds: Int): String = {
+    val sub = 64 / m
+    val qr = (1 to m).map { c =>
+      val pc = (c - 1) * sub
+      val refl = (1 until c).map { r =>
+        val prev = if (r == 1) s"t${c}_0" else s"t${c}_${r - 1}"
+        s"""wt${c}_$r AS (SELECT SUM(w.w * t.t) AS wt FROM w$r w JOIN $prev t ON w.i = t.i),
+           |t${c}_$r AS (SELECT t.i,
+           |      t.t - CAST(round(2.0 * CAST(wt AS DOUBLE) * CAST(w.w AS DOUBLE)
+           |        / CAST(ww AS DOUBLE)) AS BIGINT) AS t
+           |      FROM $prev t JOIN w$r w ON t.i = w.i CROSS JOIN wt${c}_$r CROSS JOIN ww$r),""".stripMargin
+      }.mkString("\n")
+      val tLast = if (c == 1) s"t${c}_0" else s"t${c}_${c - 1}"
+      val zero = if (c == 1) "t"
+        else s"CASE WHEN i IN (${(1 until c).map(cc => (cc - 1) * sub).mkString(", ")}) THEN 0 ELSE t END"
+      s"""t${c}_0 AS (SELECT i, u AS t FROM uu$c),
+         |$refl
+         |z$c AS (SELECT i, $zero AS z FROM $tLast),
+         |nz$c AS (SELECT CAST(round(sqrt(CAST(SUM(z * z) AS DOUBLE))) AS BIGINT) AS nz,
+         |      MAX(CASE WHEN i = $pc THEN z END) AS zp FROM z$c),
+         |w$c AS MATERIALIZED (SELECT i,
+         |      z + CASE WHEN i = $pc THEN (CASE WHEN zp >= 0 THEN nz ELSE -nz END)
+         |          ELSE 0 END AS w FROM z$c CROSS JOIN nz$c),
+         |ww$c AS (SELECT SUM(w * w) AS ww FROM w$c),
+         |wa$c AS (SELECT list(w ORDER BY i) AS w FROM w$c)""".stripMargin
+    }.mkString(",\n")
+    val rotate = (1 to m).map { c =>
+      s"""y$c AS MATERIALIZED (SELECT vec_id,
+         |      list_transform(range(1, 65), ii ->
+         |        y[ii] - CAST(round(2.0 * wt * CAST(w[ii] AS DOUBLE)
+         |          / CAST(ww AS DOUBLE)) AS BIGINT)) AS y
+         |      FROM (SELECT vec_id, y, w, ww,
+         |            list_inner_product(CAST(y AS DOUBLE[]), CAST(w AS DOUBLE[])) AS wt
+         |            FROM y${c - 1} CROSS JOIN wa$c CROSS JOIN ww$c) t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${pcaComponentsCtes(m, rounds)},
+       |$qr,
+       |y0 AS (SELECT vec_id,
+       |      list_transform(emb, x -> CAST(round(x * 1000000) AS BIGINT)) AS y FROM v),
+       |$rotate,
+       |vr AS (SELECT vec_id, list_transform(y, t -> CAST(t AS DOUBLE) / 1000000.0) AS emb
+       |      FROM y$m),
+       |subs AS (SELECT * FROM generate_series(0, ${m - 1}) t(sub)),
+       |slr AS (SELECT vec_id, sub, emb[sub * $sub + 1 : sub * $sub + $sub] AS v_sub
+       |      FROM vr CROSS JOIN subs),
+       |cbr AS (SELECT sub, vec_id AS code_id, v_sub AS c_sub FROM slr WHERE vec_id < 16),
+       |codesr AS (SELECT vec_id, sub, code_id FROM (
+       |      SELECT sl.vec_id, sl.sub, c.code_id,
+       |             row_number() OVER (PARTITION BY sl.vec_id, sl.sub
+       |               ORDER BY round(list_distance(sl.v_sub, c.c_sub), 6), c.code_id) AS rnk
+       |      FROM slr sl JOIN cbr c USING (sub)) t WHERE rnk = 1),
+       |csqr AS (SELECT sub, code_id,
+       |      CAST(round(list_inner_product(c_sub, c_sub) * 1000000) AS BIGINT) AS c_sq_q
+       |      FROM cbr),
+       |reconr AS (SELECT vec_id, SUM(c_sq_q) AS recon_sq_q
+       |      FROM codesr JOIN csqr USING (sub, code_id) GROUP BY vec_id),
+       |qrot AS (SELECT vec_id AS q_id, emb AS q_emb FROM vr WHERE vec_id < 10),
+       |qnr AS (SELECT q_id, sqrt(list_inner_product(q_emb, q_emb)) AS q_norm FROM qrot),
+       |qslr AS (SELECT q_id, sub, q_emb[sub * $sub + 1 : sub * $sub + $sub] AS q_sub
+       |      FROM qrot CROSS JOIN subs),
+       |lutr AS (SELECT q_id, sub, code_id,
+       |      CAST(round(list_inner_product(q_sub, c_sub) * 1000000) AS BIGINT) AS pd_q
+       |      FROM qslr JOIN cbr USING (sub)),
+       |dotsr AS (SELECT q_id, vec_id, SUM(pd_q) AS dot_q
+       |      FROM codesr JOIN lutr USING (sub, code_id) GROUP BY q_id, vec_id),
+       |pqr AS (SELECT q_id, vec_id FROM (
+       |      SELECT q_id, vec_id,
+       |             row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+       |      FROM (SELECT d.q_id, d.vec_id,
+       |                   round((d.dot_q / 1000000.0)
+       |                     / (qn.q_norm * sqrt(r.recon_sq_q / 1000000.0)), 6) AS score
+       |            FROM dotsr d JOIN reconr r USING (vec_id) JOIN qnr qn USING (q_id)
+       |            WHERE d.vec_id <> d.q_id) s) t WHERE rank <= 5),
+       |brute AS (SELECT q_id, vec_id FROM (
+       |      SELECT q.vec_id AS q_id, c.vec_id,
+       |             row_number() OVER (PARTITION BY q.vec_id
+       |               ORDER BY round(list_cosine_similarity(c.emb, q.emb), 4) DESC, c.vec_id) AS rank
+       |      FROM v c CROSS JOIN v q
+       |      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) t WHERE rank <= 5)
+       |SELECT 'pq_opq' AS method, b.q_id,
+       |       round(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 2) AS recall
+       |FROM brute b LEFT JOIN pqr p ON b.q_id = p.q_id AND b.vec_id = p.vec_id
+       |GROUP BY b.q_id""".stripMargin
+  }
+
+  /** The WITH-body of the pca_components replay (no leading WITH, no final
+    * select): exposes v (the corpus), m1..mk, and per component the
+    * normalized basis uu{c} + vvv{c}/ray{c} — reused verbatim by the OPQ
+    * rotation oracle, which consumes the basis downstream.
+    */
+  private def pcaComponentsCtes(k: Int, rounds: Int): String = {
+    val comps = (1 to k).map { c =>
+      val iter = (1 to rounds).map { r =>
+        val prev = if (r == 1) s"x${c}_0" else s"x${c}_${r - 1}"
+        s"""u${c}_$r AS MATERIALIZED (SELECT m.i, SUM(m.mv * $prev.x) AS u
+           |      FROM m$c m JOIN $prev ON m.j = $prev.i GROUP BY 1),
+           |x${c}_$r AS MATERIALIZED (SELECT i,
+           |      CAST(CAST(round(CAST(u AS DOUBLE)
+           |        / CAST((SELECT MAX(abs(u)) FROM u${c}_$r) AS DOUBLE) * 1000000) AS BIGINT)
+           |        AS HUGEINT) AS x FROM u${c}_$r)""".stripMargin
+      }.mkString(",\n")
+      val defl = if (c < k)
+        s""",
+           |m${c + 1} AS MATERIALIZED (SELECT m.i, m.j,
+           |      m.mv - CAST(round(CAST(vmv AS DOUBLE) * CAST(ui.u AS DOUBLE)
+           |        * CAST(uj.u AS DOUBLE) / CAST(vv AS DOUBLE)) AS HUGEINT) AS mv
+           |      FROM m$c m JOIN uu$c ui ON m.i = ui.i JOIN uu$c uj ON m.j = uj.i
+           |      CROSS JOIN ray$c CROSS JOIN vvv$c)""".stripMargin
+      else ""
+      s"""x${c}_0 AS (SELECT DISTINCT i, CAST(1000000 AS HUGEINT) AS x FROM m$c),
+         |$iter,
+         |vvv$c AS (SELECT SUM(x * x) AS vv FROM x${c}_$rounds),
+         |uu$c AS MATERIALIZED (SELECT i,
+         |      CAST(round(CAST(x AS DOUBLE) / sqrt(CAST(vv AS DOUBLE)) * 1000000) AS BIGINT)
+         |        AS u FROM x${c}_$rounds CROSS JOIN vvv$c),
+         |ray$c AS (SELECT SUM(CAST(round(CAST(mv AS DOUBLE) * CAST(xi.x AS DOUBLE)
+         |      * CAST(xj.x AS DOUBLE) / 1000000000000.0) AS HUGEINT)) AS vmv
+         |      FROM m$c m JOIN x${c}_$rounds xj ON m.j = xj.i
+         |      JOIN x${c}_$rounds xi ON m.i = xi.i)$defl""".stripMargin
+    }.mkString(",\n")
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |qv AS (SELECT vec_id,
+       |      list_transform(emb, x -> CAST(round(x * 1000000) AS BIGINT)) AS q FROM v),
+       |ex AS (SELECT vec_id, i, q[i + 1] AS qq
+       |      FROM (SELECT vec_id, q, unnest(range(0, len(q))) AS i FROM qv)),
+       |gram AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+       |      SUM(CAST(a.qq AS HUGEINT) * b.qq) AS sqq
+       |      FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |sums AS (SELECT i, SUM(CAST(qq AS HUGEINT)) AS s FROM ex GROUP BY 1),
+       |nn AS (SELECT COUNT(*) AS n FROM embeddings),
+       |m1 AS MATERIALIZED (SELECT g.i, g.j, g.sqq * n - sa.s * sb.s AS mv
+       |      FROM gram g JOIN sums sa ON sa.i = g.i JOIN sums sb ON sb.i = g.j
+       |      CROSS JOIN nn),
+       |trc AS (SELECT SUM(mv) AS tr FROM m1 WHERE i = j),
+       |$comps""".stripMargin
   }
 
   /** R/S oracle for hurst_exponent: per block size a full-block scan with
@@ -4509,6 +4696,8 @@ object SparkEntry {
         |LIMIT 20""".stripMargin,
 
     "pca_top_component" -> pcaPowerOracle(8),
+    "pca_components" -> pcaComponentsOracle(4, 8),
+    "ann_recall_pq_opq" -> opqRecallOracle(4, 8),
 
     // lateness replay: running max over the arrival order (event_id),
     // micros end to end, shared bucket bounds
@@ -8303,11 +8492,15 @@ object SparkEntry {
         |         / (CAST(n_h AS DOUBLE) * CAST(n_h - 1 AS DOUBLE))) * 1000000) AS BIGINT)
         |  END AS sd_micros FROM m),
         |w AS (SELECT g, n_h, sd_micros, CAST(n_h AS HUGEINT) * sd_micros AS w FROM sd),
-        |tw AS (SELECT SUM(w) AS tw FROM w),
-        |based AS (SELECT g, n_h, sd_micros,
-        |  CAST((w * 1000) // tw AS BIGINT) AS base,
-        |  w * 1000 - ((w * 1000) // tw) * tw AS rem
+        |tw AS (SELECT SUM(w) AS tw, SUM(CAST(n_h AS HUGEINT)) AS tn FROM w),
+        |we AS (SELECT g, n_h, sd_micros,
+        |  CASE WHEN tw = 0 THEN CAST(n_h AS HUGEINT) ELSE w END AS we,
+        |  CASE WHEN tw = 0 THEN tn ELSE tw END AS te
         |  FROM w CROSS JOIN tw),
+        |based AS (SELECT g, n_h, sd_micros,
+        |  CAST((we * 1000) // te AS BIGINT) AS base,
+        |  we * 1000 - ((we * 1000) // te) * te AS rem
+        |  FROM we),
         |sh AS (SELECT 1000 - CAST(SUM(base) AS BIGINT) AS short FROM based)
         |SELECT g AS c_mktsegment, n_h, sd_micros,
         |  CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, g) <= short
@@ -8895,8 +9088,9 @@ object SparkEntry {
         |  CAST((n_tokens * 1000000 + tot // 2) // tot AS BIGINT) AS p_ppm
         |  FROM tf CROSS JOIN tot),
         |w AS (SELECT source, n_tokens, p_ppm,
-        |  CAST(round(exp(ln(CAST(p_ppm AS DOUBLE) / 1000000.0)
-        |    * (CAST(700000 AS DOUBLE) / 1000000.0)) * 1000000) AS BIGINT) AS w_ppm FROM sh),
+        |  CASE WHEN p_ppm = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(round(exp(ln(CAST(p_ppm AS DOUBLE) / 1000000.0)
+        |    * (CAST(700000 AS DOUBLE) / 1000000.0)) * 1000000) AS BIGINT) END AS w_ppm FROM sh),
         |wt AS (SELECT CAST(SUM(w_ppm) AS BIGINT) AS wt FROM w),
         |qn AS (SELECT source, n_tokens, p_ppm,
         |  CAST((w_ppm * 1000000 + wt // 2) // wt AS BIGINT) AS q_ppm

@@ -1372,7 +1372,12 @@ object SimilarityOps {
     * explained-variance share λ/trace(M) in ppm (computed once from the
     * Rayleigh quotient; per-term products quantize before the d²-row sum).
     */
-  def pcaTopComponent(embeddings: DataFrame, rounds: Int = 8): DataFrame = {
+  /** The exact-integer scaled covariance M = n·Σqqᵀ − ssᵀ shared by the
+    * PCA family: one corpus pass exploding d² outer-product terms into a
+    * partial agg (shuffle carries d² rows per partition, not per vector),
+    * checkpointed because every caller reads it more than once.
+    */
+  private def scaledCovariance(embeddings: DataFrame): DataFrame = {
     val D = DecimalType(38, 0)
     val q = embeddings.select(
       expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))")
@@ -1385,13 +1390,18 @@ object SimilarityOps {
     val sums = q.select(posexplode(col("q")).as(Seq("i", "qv")))
       .groupBy(col("i")).agg(sum(col("qv").cast(D)).as("s"))
     val nRow = embeddings.agg(count(lit(1)).as("n"))
-    val m = gram
+    gram
       .join(sums.select(col("i"), col("s").as("si")), Seq("i"))
       .join(sums.select(col("i").as("j"), col("s").as("sj")), Seq("j"))
       .crossJoin(broadcast(nRow))
       .select(col("i"), col("j"),
         (col("sqq") * col("n") - col("si") * col("sj")).cast(D).as("mv"))
       .localCheckpoint()
+  }
+
+  def pcaTopComponent(embeddings: DataFrame, rounds: Int = 8): DataFrame = {
+    val D = DecimalType(38, 0)
+    val m = scaledCovariance(embeddings)
     var v = m.select(col("i")).distinct()
       .select(col("i"), lit(1000000L).cast(D).as("x"))
       .localCheckpoint()
@@ -1423,5 +1433,177 @@ object SimilarityOps {
         // compose to the 1e18 factor restoring λ/trace before the ppm
         expr("""cast(round(cast(vmv as double) / cast(vv as double)
           | / cast(tr as double) * 1.0e18) as bigint)""".stripMargin).as("share_ppm"))
+  }
+
+  /** Top-k principal components by power iteration WITH DEFLATION —
+    * [[pcaTopComponent]] taken to the basis the op's own motivation needs
+    * (PQ subspace choice / whitening wants more than one direction). The
+    * integer-state discipline extends component-wise:
+    *
+    *  - the scaled covariance M₁ = n·Σqqᵀ − ssᵀ is the same exact-integer
+    *    matrix ([[scaledCovariance]], ONE corpus pass);
+    *  - component c power-iterates `rounds` times on M_c (max-norm micros
+    *    state, checkpoint every round — the multi-reference loop rule),
+    *    then L2-normalizes to the integer loading u in micros and takes
+    *    the Rayleigh numerator vᵀM_cv with the same per-term quantization
+    *    as the single-component op;
+    *  - deflation is Hotelling's: M_{c+1} = M_c − λ·uuᵀ with λ in M-scale,
+    *    i.e. per entry ONE fixed-shape double round(vmv·u_i·u_j/vv)
+    *    subtracted from the exact integer — both engines replay the IEEE
+    *    expression on identical integers, so the deflated matrix is again
+    *    a shared exact-integer state and the next component is
+    *    deterministic;
+    *  - share_ppm divides every component's λ by the trace of the ORIGINAL
+    *    M₁, so the k shares are comparable energy fractions.
+    *
+    * All post-corpus work runs on the d- and d²-row dimension frames;
+    * corpus cost is the single [[scaledCovariance]] pass regardless of k.
+    */
+  def pcaComponents(embeddings: DataFrame, k: Int = 4, rounds: Int = 8): DataFrame = {
+    val D = DecimalType(38, 0)
+    var m = scaledCovariance(embeddings)
+    val trace = m.filter(col("i") === col("j")).agg(sum(col("mv")).as("tr"))
+      .localCheckpoint()
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (c <- 1 to k) {
+      var v = m.select(col("i")).distinct()
+        .select(col("i"), lit(1000000L).cast(D).as("x"))
+        .localCheckpoint()
+      for (_ <- 1 to rounds) {
+        val u = m.join(broadcast(v.select(col("i").as("j"), col("x"))), Seq("j"))
+          .groupBy(col("i")).agg(sum((col("mv") * col("x")).cast(D)).as("u"))
+        val mx = u.agg(max(abs(col("u"))).as("mx"))
+        v = u.crossJoin(broadcast(mx))
+          .select(col("i"),
+            expr("""cast(cast(round(cast(u as double) / cast(mx as double)
+              | * 1000000) as bigint) as decimal(38,0))""".stripMargin).as("x"))
+          .localCheckpoint()
+      }
+      val vv = v.agg(sum((col("x") * col("x")).cast(D)).as("vv")).localCheckpoint()
+      val ray = m
+        .join(broadcast(v.select(col("i").as("j"), col("x").as("xj"))), Seq("j"))
+        .join(broadcast(v.select(col("i"), col("x").as("xi"))), Seq("i"))
+        .select(expr("""cast(round(cast(mv as double) * cast(xi as double)
+          | * cast(xj as double) / 1000000000000.0d) as decimal(38,0))""".stripMargin)
+          .as("t_q"))
+        .agg(sum(col("t_q")).as("vmv"))
+        .localCheckpoint()
+      val loadings = v.crossJoin(broadcast(vv))
+        .select(col("i"),
+          expr("""cast(round(cast(x as double) / sqrt(cast(vv as double))
+            | * 1000000) as bigint)""".stripMargin).as("u"))
+        .localCheckpoint()
+      parts += loadings.crossJoin(broadcast(vv)).crossJoin(broadcast(ray))
+        .crossJoin(broadcast(trace))
+        .select(lit(c).as("component"), col("i").as("dim"),
+          col("u").as("loading_micros"),
+          expr("""cast(round(cast(vmv as double) / cast(vv as double)
+            | / cast(tr as double) * 1.0e18) as bigint)""".stripMargin).as("share_ppm"))
+      if (c < k) {
+        // Hotelling deflation: M − λuuᵀ, λ = vᵀMv/vᵀv in M-scale; per
+        // entry one fixed-shape double over the exact integers
+        m = m
+          .join(broadcast(loadings.select(col("i"), col("u").as("ui"))), Seq("i"))
+          .join(broadcast(loadings.select(col("i").as("j"), col("u").as("uj"))), Seq("j"))
+          .crossJoin(broadcast(ray)).crossJoin(broadcast(vv))
+          .select(col("i"), col("j"),
+            (col("mv") - expr("""cast(round(cast(vmv as double) * cast(ui as double)
+              | * cast(uj as double) / cast(vv as double)) as decimal(38,0))""".stripMargin))
+              .cast(D).as("mv"))
+          .localCheckpoint()
+      }
+    }
+    parts.reduce(_.unionAll(_))
+  }
+
+  /** OPQ-lite rotation artifact: the Householder-QR of the top-m principal
+    * basis ([[pcaComponents]]), with component c's reflection targeting
+    * coordinate (c−1)·(dim/m) — the FIRST dimension of subspace c. After
+    * rotation each PQ subspace holds exactly one dominant principal
+    * direction, the eigenvalue-allocation balance OPQ's parametric variant
+    * argues for (Ge et al., CVPR 2013) without needing the full d-dim
+    * eigenbasis. All arithmetic stays in the engine's integer-micros
+    * discipline on d-row frames:
+    *
+    *  - basis vectors push through the previously-built reflections
+    *    (exact integer dot products; ONE fixed-shape double round per
+    *    entry for the update);
+    *  - already-fixed target coordinates are zeroed before building the
+    *    next reflector (they carry only quantization residue — zeroing
+    *    makes each H exactly fix the earlier pivots);
+    *  - w = z + sign(z_p)·|z|·e_p, the cancellation-free Householder
+    *    choice, with |z| one correctly-rounded sqrt in micros.
+    *
+    * Output: ONE broadcastable row with w1..wm (micros bigint arrays,
+    * index order) and their exact squared norms ww1..wwm — the rotation
+    * R = H_m…H_1 in closed form, O(m·dim) state regardless of corpus size.
+    */
+  def opqRotationVectors(embeddings: DataFrame, m: Int = 4, dim: Int = 64,
+                         rounds: Int = 8): DataFrame = {
+    val sub = dim / m
+    val basis = pcaComponents(embeddings, m, rounds)
+    var ws = List.empty[(DataFrame, DataFrame)] // ascending c: (w(i,w), ww)
+    for (c <- 1 to m) {
+      var t = basis.filter(col("component") === c)
+        .select(col("dim").as("i"), col("loading_micros").as("t"))
+      for ((wf, wwf) <- ws) {
+        val wt = t.join(wf, Seq("i")).agg(sum(col("w") * col("t")).as("wt"))
+        t = t.join(wf, Seq("i"))
+          .crossJoin(broadcast(wt)).crossJoin(broadcast(wwf))
+          .select(col("i"),
+            (col("t") - expr("""cast(round(2.0d * cast(wt as double)
+              | * cast(w as double) / cast(ww as double)) as bigint)""".stripMargin))
+              .as("t"))
+      }
+      val pc = (c - 1) * sub
+      val prevTargets = (1 until c).map(cc => ((cc - 1) * sub).toLong)
+      val z = (if (prevTargets.isEmpty) t.select(col("i"), col("t").as("z"))
+               else t.select(col("i"),
+                 when(col("i").isin(prevTargets: _*), 0L).otherwise(col("t")).as("z")))
+      val nz = z.agg(
+        expr("cast(round(sqrt(cast(sum(z * z) as double))) as bigint)").as("nz"),
+        max(when(col("i") === pc, col("z"))).as("zp"))
+      val w = z.crossJoin(broadcast(nz))
+        .select(col("i"),
+          (col("z") + when(col("i") === lit(pc),
+            when(col("zp") >= 0L, col("nz")).otherwise(-col("nz")))
+            .otherwise(lit(0L))).as("w"))
+        .localCheckpoint()
+      val ww = w.agg(sum(col("w") * col("w")).as("ww")).localCheckpoint()
+      ws = ws :+ ((w, ww))
+    }
+    ws.zipWithIndex.map { case ((w, ww), idx) =>
+      val c = idx + 1
+      w.agg(expr("transform(sort_array(collect_list(struct(i, w))), p -> p.w)")
+          .as(s"w$c"))
+        .crossJoin(broadcast(ww.select(col("ww").as(s"ww$c"))))
+    }.reduce(_.crossJoin(_))
+  }
+
+  /** Apply the [[opqRotationVectors]] rotation to a corpus: per vector m
+    * chained reflections y ← y − round(2(w·y)/ww · w), with w·y an EXACT
+    * integer dot (micros × micros fits long at these magnitudes) and one
+    * fixed-shape double round per entry — both engines replay the rotated
+    * corpus bit-for-bit. One narrow map over the corpus, no shuffle; the
+    * rotation artifact is a broadcast 1-row cross join. Output swaps the
+    * `embedding` column for its rotated double form (micros / 1e6), so
+    * every downstream PQ/IVF/top-k operator runs unchanged.
+    */
+  def opqRotate(embeddings: DataFrame, rotation: DataFrame, m: Int = 4): DataFrame = {
+    var df = embeddings.crossJoin(broadcast(rotation))
+      .withColumn("y0",
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"))
+    for (c <- 1 to m) {
+      df = df
+        .withColumn(s"wt$c",
+          expr(s"aggregate(zip_with(y${c - 1}, w$c, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"))
+        .withColumn(s"y$c",
+          expr(s"""zip_with(y${c - 1}, w$c, (t, wi) -> t - cast(round(2.0d
+             | * cast(wt$c as double) * cast(wi as double)
+             | / cast(ww$c as double)) as bigint))""".stripMargin))
+    }
+    val keep = embeddings.columns.filterNot(_ == "embedding").map(col).toSeq
+    df.select(keep :+
+      expr(s"transform(y$m, t -> cast(t as double) / 1000000.0d)").as("embedding"): _*)
   }
 }

@@ -1005,12 +1005,18 @@ object StatsOps {
             |  / (cast(n_h as double) * cast(n_h - 1 as double))) * 1000000) as bigint)""".stripMargin))
           .as("sd_micros"))
       .withColumn("w", (col("n_h").cast(D) * col("sd_micros")).cast(D))
-    val tot = m.agg(sum(col("w")).as("tw"))
+    val tot = m.agg(sum(col("w")).as("tw"), sum(col("n_h").cast(D)).as("tn"))
+    // tw = 0 (every stratum degenerate: n_h <= 1 or zero variance) would be
+    // an ANSI divide-by-zero; fall back to allocation proportional to n_h.
     val based = m.crossJoin(broadcast(tot))
+      .withColumn("we", when(col("tw") === lit(0).cast(D), col("n_h").cast(D))
+        .otherwise(col("w")))
+      .withColumn("te", when(col("tw") === lit(0).cast(D), col("tn"))
+        .otherwise(col("tw")))
       .select(col("g"), col("n_h"), col("sd_micros"),
-        expr(s"cast((w * $budget) div tw as bigint)").as("base"),
+        expr(s"cast((we * $budget) div te as bigint)").as("base"),
         // remainder in DECIMAL(38,0) units — exact, orderable
-        (col("w") * lit(budget) - expr(s"((w * $budget) div tw)").cast(D) * col("tw"))
+        (col("we") * lit(budget) - expr(s"((we * $budget) div te)").cast(D) * col("te"))
           .as("rem"))
     // constant-key idiom (non-foldable) over the ≤ |strata| rows
     val wRem = Window.partitionBy(pmod(length(col("g")), lit(1)))

@@ -1592,6 +1592,165 @@ object TextOps {
         expr("(chars * 1000000 + n_bpe_symbols div 2) div n_bpe_symbols")
           .as("chars_per_sym_ppm"))
 
+  // --- Unigram-LM tokenizer training (Kudo 2018, hard-EM/Viterbi) ---
+
+  /** Penalty for a substring absent from the vocabulary: far below any
+    * real path (worst all-chars path ≥ −len·|ln pmin|·1e6 ≈ −10⁹) yet
+    * bounded so a length-capped fold can never overflow a long.
+    */
+  private val UnigramNeg = -1000000000000L
+
+  /** Per-word Viterbi segmentation under a piece→logprob(micros) map
+    * column `vmap`, as TWO higher-order folds (no UDF):
+    *
+    *  1. dp: acc[i+1] = (best score, best piece length) for prefix w[1..i]
+    *     — at position i an inner `transform` scores the ≤ maxPieceLen
+    *     candidate pieces ending there and `array_max` picks by
+    *     (score, length) struct order (longer piece on ties, the same
+    *     lexicographic-struct argmax idiom as pqCodesWith's min(struct));
+    *  2. backtrace: walk positions n → 0 through the dp lengths,
+    *     collecting pieces (at most n steps; a finished walk no-ops).
+    *
+    * Both folds are O(len·maxPieceLen) integer work per DISTINCT word —
+    * vocabulary-scale, never corpus-scale.
+    */
+  private def unigramDpSql(maxPieceLen: Int): String =
+    s"""aggregate(sequence(1, length(w)),
+       |  array(named_struct('s', 0L, 'l', 0)),
+       |  (acc, i) -> concat(acc, array(
+       |    array_max(transform(sequence(1, least($maxPieceLen, i)), l ->
+       |      named_struct(
+       |        's', element_at(acc, i - l + 1).s
+       |             + coalesce(element_at(vmap, substr(w, i - l + 1, l)),
+       |                        ${UnigramNeg}L),
+       |        'l', l))))))""".stripMargin
+
+  /** Backtrace over a materialized `dp` column (Generate-gated by the
+    * callers so the dp fold evaluates once, not per backtrace step). */
+  private val unigramBacktraceSql: String =
+    """aggregate(sequence(1, length(w)),
+      |  named_struct('pos', length(w), 'ps', cast(array() as array<string>)),
+      |  (st, x) -> if(st.pos <= 0, st,
+      |    named_struct(
+      |      'pos', st.pos - element_at(dp, st.pos + 1).l,
+      |      'ps', concat(st.ps, array(substr(w,
+      |        st.pos - element_at(dp, st.pos + 1).l + 1,
+      |        element_at(dp, st.pos + 1).l))))),
+      |  st -> st.ps)""".stripMargin
+
+  /** Unigram-LM tokenizer trainer (Kudo 2018, SentencePiece's model),
+    * in the hard-EM (Viterbi) variant: seed the vocabulary with every
+    * substring up to maxPieceLen weighted by word frequency, keep the
+    * top `vocabTarget` multi-char pieces (plus ALL single chars — the
+    * coverage floor, never pruned), then iterate: Viterbi-segment every
+    * distinct word under the current piece log-probs, re-count pieces
+    * from the segmentations, re-prune, re-normalize. Deterministic end
+    * to end: integer counts, (count DESC, piece ASC) pruning, micros
+    * log-probs from one fixed-shape ln per piece, and the argmax inside
+    * Viterbi breaks ties on longer length.
+    *
+    * Scale shape (same discipline as [[bpeTrain]]): the ONLY corpus-
+    * scale stage is the word-frequency aggregate; seeding, EM counting
+    * and pruning run on the DISTINCT-WORD / piece tables. Per round:
+    * one vocab-scale explode + hash agg, a ≤(vocabTarget+|chars|)-row
+    * sort, and a 1-row broadcast map — no corpus pass, no window.
+    * Returns the final (piece, piece_len, cnt, logp_micros) vocabulary.
+    */
+  def unigramTrain(documents: DataFrame, vocabTarget: Int = 40,
+                   emRounds: Int = 3, maxPieceLen: Int = 4): DataFrame = {
+    require(vocabTarget >= 1 && emRounds >= 1 && maxPieceLen >= 2,
+      s"bad unigram params: $vocabTarget/$emRounds/$maxPieceLen")
+    val sp = documents.sparkSession
+    val wf = documents
+      .select(explode(expr(toksExprFor(documents))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    val seeds = wf.select(col("freq"), explode(expr(
+      s"""flatten(transform(sequence(1, length(w)), i ->
+         |  transform(sequence(1, least($maxPieceLen, length(w) - i + 1)),
+         |            l -> substr(w, i, l))))""".stripMargin)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      .localCheckpoint()
+    val chars = seeds.filter(length(col("piece")) === 1)
+      .select(col("piece")).localCheckpoint()
+    def prune(counts: DataFrame): DataFrame = {
+      val multi = counts.filter(length(col("piece")) > 1)
+        .orderBy(col("cnt").desc, col("piece")).limit(vocabTarget)
+      val kept = chars.join(counts, Seq("piece"), "left")
+        .select(col("piece"), coalesce(col("cnt"), lit(1L)).as("cnt"))
+        .unionByName(multi)
+      val tot = kept.agg(sum(col("cnt")).as("total"))
+      kept.crossJoin(broadcast(tot))
+        .select(col("piece"), length(col("piece")).cast(LongType).as("piece_len"),
+          col("cnt"),
+          expr("""cast(round(ln(cast(cnt as double) / cast(total as double))
+            | * 1000000) as bigint)""".stripMargin).as("logp_micros"))
+        .localCheckpoint()
+    }
+    var vocab = prune(seeds)
+    for (_ <- 1 to emRounds) {
+      val vmap = vocab.agg(
+        map_from_entries(collect_list(struct(col("piece"), col("logp_micros"))))
+          .as("vmap"))
+      val counts = wf.crossJoin(broadcast(vmap))
+        .withColumn("dp", expr(unigramDpSql(maxPieceLen)))
+        .select(col("freq"), explode(expr(unigramBacktraceSql)).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      vocab = prune(counts)
+    }
+    vocab
+  }
+
+  /** The trained unigram tokenizer applied to the corpus: Viterbi-
+    * segment each DISTINCT word once under the final vocabulary (the
+    * same two folds as training), then join the per-word piece count
+    * back to the exploded corpus — the corpus-scale pass carries one
+    * broadcast hash join, no re-segmentation per occurrence. Per-doc
+    * totals mirror [[bpeEncode]] so the two tokenizers compare
+    * row-for-row.
+    */
+  def unigramEncode(documents: DataFrame, vocab: DataFrame,
+                    maxPieceLen: Int = 4): DataFrame = {
+    val vmap = vocab.agg(
+      map_from_entries(collect_list(struct(col("piece"), col("logp_micros"))))
+        .as("vmap"))
+    val toks = documents
+      .select(col("doc_id"), explode(expr(toksExprFor(documents))).as("w"))
+    val perWord = toks.select(col("w")).distinct()
+      .crossJoin(broadcast(vmap))
+      .withColumn("dp", expr(unigramDpSql(maxPieceLen)))
+      .select(col("w"),
+        expr(s"cast(size($unigramBacktraceSql) as bigint)").as("n_pieces"))
+    toks.join(broadcast(perWord), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(col("w")).cast(LongType)).as("n_chars_tok"),
+        sum(col("n_pieces")).as("n_unigram_pieces"))
+  }
+
+  /** BPE vs unigram fertility on the SAME corpus — the comparison row
+    * the tokenizer choice is made on: pieces-per-token and chars-per-
+    * piece in half-up integer ppm over exact corpus-wide sums, one row
+    * per tokenizer. Low fertility at equal vocabulary budget = better
+    * compression = more text per context window.
+    */
+  def tokenizerFertilityCompare(documents: DataFrame,
+                                merges: Seq[(String, String)],
+                                vocab: DataFrame): DataFrame = {
+    def roll(enc: DataFrame, name: String, pieceCol: String): DataFrame =
+      enc.agg(sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars_tok")).as("chars"),
+        sum(col(pieceCol)).as("n_pieces"))
+        .select(lit(name).as("tokenizer"), col("n_tokens"), col("n_pieces"),
+          expr("(n_pieces * 1000000 + n_tokens div 2) div n_tokens")
+            .as("fertility_ppm"),
+          expr("(chars * 1000000 + n_pieces div 2) div n_pieces")
+            .as("chars_per_piece_ppm"))
+    roll(bpeEncode(documents, merges), "bpe", "n_bpe_symbols")
+      .unionByName(roll(unigramEncode(documents, vocab), "unigram",
+        "n_unigram_pieces"))
+  }
+
   def bpeEncode(documents: DataFrame,
                 merges: Seq[(String, String)]): DataFrame = {
     val applied = merges.foldLeft(symsInitSql) { case (acc, (a, b)) =>
@@ -1887,9 +2046,9 @@ object TextOps {
     val shares = tf.crossJoin(broadcast(tot))
       .select(col("source"), col("n_tokens"),
         expr("(n_tokens * 1000000 + tot div 2) div tot").as("p_ppm"))
-      .withColumn("w_ppm", expr(
+      .withColumn("w_ppm", when(col("p_ppm") === 0L, lit(0L)).otherwise(expr(
         s"""cast(round(exp(ln(cast(p_ppm as double) / 1000000.0d)
-           | * (cast($tauPpm as double) / 1000000.0d)) * 1000000) as bigint)""".stripMargin))
+           | * (cast($tauPpm as double) / 1000000.0d)) * 1000000) as bigint)""".stripMargin)))
     val wTot = shares.agg(sum(col("w_ppm")).as("wt"))
     shares.crossJoin(broadcast(wTot))
       .select(col("source"), col("n_tokens"), col("p_ppm"),

@@ -1198,6 +1198,49 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L), s"$got")
   }
 
+  test("unigramTrain: hand-computed hard-EM fixed point on the banana " +
+       "corpus — seed prune, Viterbi re-count, char floor, exact logp") {
+    // wf: banana x3, bananas x1, aaaa x2. Seed multi-char top-3 by
+    // (cnt desc, piece asc): an=8, ana=8, na=8; chars a=20 b=4 n=8 s=1.
+    // EM r1 Viterbi: banana -> b|an|ana (longer-piece tiebreak at pos 6),
+    // bananas -> b|an|ana|s, aaaa -> a|a|a|a (aa was pruned). Counts:
+    // a=8, b=4, an=4, ana=4, s=1, n never used -> char floor 1; na drops.
+    // r2/r3: same segmentations -> fixed point. total=22.
+    val d = Seq(
+      (1L, "banana banana banana bananas", "en", "s", 30L),
+      (2L, "aaaa aaaa", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val v = TextOps.unigramTrain(d, vocabTarget = 3, emRounds = 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(v.keySet == Set("a", "b", "n", "s", "an", "ana"), v.keySet.toString)
+    assert(v("a") == ((1L, 8L, -1011601L)), v("a").toString)   // ln(8/22)
+    assert(v("an") == ((2L, 4L, -1704748L)), v("an").toString) // ln(4/22)
+    assert(v("ana") == ((3L, 4L, -1704748L)), v("ana").toString)
+    assert(v("b") == ((1L, 4L, -1704748L)), v("b").toString)
+    assert(v("n") == ((1L, 1L, -3091042L)), v("n").toString)   // ln(1/22)
+    assert(v("s") == ((1L, 1L, -3091042L)), v("s").toString)
+
+    // encode under the trained vocab: banana=3 pieces, bananas=4, aaaa=4
+    val vocab = TextOps.unigramTrain(d, vocabTarget = 3, emRounds = 3)
+    val enc = TextOps.unigramEncode(d, vocab).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(enc(1L) == ((4L, 25L, 13L)), enc(1L).toString) // 3*3+4 pieces
+    assert(enc(2L) == ((2L, 8L, 8L)), enc(2L).toString)   // 4+4
+
+    // fertility comparison carries one row per tokenizer over the same
+    // corpus totals: unigram 21 pieces / 6 tokens = 3.5 ppm-exact
+    val merges = TextOps.bpeTrain(d, rounds = 3).orderBy(col("round"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val cmp = TextOps.tokenizerFertilityCompare(d, merges, vocab).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(cmp("unigram") == ((6L, 21L, 3500000L)), cmp("unigram").toString)
+    // bpe with merges (a,n),(a,a),(an,a): 13 + 4 = 17 syms over 6 tokens
+    assert(cmp("bpe") == ((6L, 17L, 2833333L)), cmp("bpe").toString)
+  }
+
   test("bpeTrain: exhausted vocabulary never empties the word table " +
        "(single-char vocab, more rounds than possible merges)") {
     val d = Seq((1L, "a b a b", "en", "s", 8L))

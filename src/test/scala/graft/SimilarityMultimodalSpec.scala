@@ -725,6 +725,66 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(math.abs(got(0)._2 - 960000L) < 20000L, got.toString)
   }
 
+  test("pcaComponents: deflation recovers an orthogonal basis in " +
+       "descending-share order on an axis-aligned anisotropic cloud") {
+    import spark.implicits._
+    // 4-D grid with variances 24 (dim0), ~5.25 (dim1), 1 (dim2), 0 (dim3):
+    // components must land on dims 0,1,2 in that order
+    val vecs = (for { a <- -8 to 8; b <- Seq(-4.0f, -1.0f, 1.0f, 4.0f); c <- Seq(-1.0f, 1.0f) }
+      yield ((a + 10) * 1000L + (b.toInt + 10) * 10 + c.toInt,
+        Array(a.toFloat, b, c, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val rows = SimilarityOps.pcaComponents(vecs, k = 3, rounds = 8).collect()
+    val byComp = rows.groupBy(_.getInt(0)).view
+      .mapValues(_.map(r => r.getInt(1) -> r.getLong(2)).toMap).toMap
+    // each component concentrates on its own axis
+    assert(math.abs(byComp(1)(0)) > 990000L, byComp(1).toString)
+    assert(math.abs(byComp(2)(1)) > 990000L, byComp(2).toString)
+    assert(math.abs(byComp(3)(2)) > 990000L, byComp(3).toString)
+    // pairwise orthogonality of the micros loadings (unit = 1e6)
+    for (c1 <- 1 to 3; c2 <- (c1 + 1) to 3) {
+      val dot = (0 to 3).map(i =>
+        byComp(c1).getOrElse(i, 0L) * byComp(c2).getOrElse(i, 0L)).sum
+      assert(math.abs(dot) < 2e10, s"components $c1,$c2 not orthogonal: $dot")
+    }
+    // shares descend and stay positive
+    val shares = rows.groupBy(_.getInt(0)).view
+      .mapValues(_.head.getLong(3)).toMap
+    assert(shares(1) > shares(2) && shares(2) > shares(3) && shares(3) > 0L,
+      shares.toString)
+  }
+
+  test("opqRotationVectors + opqRotate: the rotation is norm-preserving " +
+       "and maps each principal direction onto its subspace pivot") {
+    import spark.implicits._
+    // 8-D cloud, dominant variance on dims 5 and 2 (away from the pivots
+    // 0 and 4), m=2 subspaces of 4 dims
+    val vecs = (for { a <- -6 to 6; b <- Seq(-3.0f, 3.0f) } yield {
+      val e = Array.fill(8)(0.0f)
+      e(5) = a.toFloat; e(2) = b
+      ((a + 10) * 10L + b.toInt + 5, e, 0)
+    }).toDF("vec_id", "embedding", "label")
+    val rotW = SimilarityOps.opqRotationVectors(vecs, m = 2, dim = 8, rounds = 8)
+    val rot = SimilarityOps.opqRotate(vecs, rotW, m = 2)
+    val before = vecs.select(col("vec_id"),
+      expr("aggregate(embedding, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))")
+        .as("n2")).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val after = rot.select(col("vec_id"),
+      expr("aggregate(embedding, 0D, (acc, x) -> acc + x * x)").as("n2"),
+      expr("abs(embedding[0])").as("p0"), expr("abs(embedding[4])").as("p4"),
+      expr("aggregate(embedding, 0D, (acc, x) -> acc + abs(x))").as("l1"))
+      .collect()
+    after.foreach { r =>
+      val id = r.getLong(0)
+      // norm preserved to quantization (micros on unit-ish magnitudes)
+      assert(math.abs(r.getDouble(1) - before(id)) < 1e-3 * (1 + before(id)),
+        s"norm drift for $id: ${r.getDouble(1)} vs ${before(id)}")
+      // energy concentrates on the two pivots: dims 0 and 4 carry ~all L1
+      assert(r.getDouble(2) + r.getDouble(3) > 0.99 * r.getDouble(4),
+        s"pivots carry ${r.getDouble(2) + r.getDouble(3)} of L1 ${r.getDouble(4)} for $id")
+    }
+  }
+
   test("ivfTopK nprobe sweep: per-query recall against brute is " +
        "nondecreasing in nprobe (more probed lists never lose a hit)") {
     import spark.implicits._
