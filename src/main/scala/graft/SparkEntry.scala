@@ -94,6 +94,16 @@ object SparkEntry {
       TextOps.bpeTrain(t(s, sfDir, "documents"), rounds = 10)
         .write.mode("overwrite").parquet(out)))
 
+  /** Trained unigram-LM vocabulary — persisted like the BPE merge table:
+    * the hard-EM train runs once per corpus snapshot; consumers (the
+    * vocab read, the corpus encode, the fertility comparison) load the
+    * ≤(vocabTarget+|chars|)-row artifact.
+    */
+  private def unigramVocabFor(s: SparkSession, sfDir: String): DataFrame =
+    s.read.parquet(artifactDir("unigram_vocab", sfDir, "v40_em3_len4")(out =>
+      TextOps.unigramTrain(t(s, sfDir, "documents"))
+        .write.mode("overwrite").parquet(out)))
+
   /** Flagship (driver smoke gate, sf0.001): the reference's E3 mart path —
     * scan → cast → date_trunc year → avg (mart_financial_summary.sql:4-8)
     * over orders.
@@ -621,6 +631,11 @@ object SparkEntry {
     "substring_dedup" -> ((s, d) => DedupOps.substringDedup(t(s, d, "documents"))),
     // per-source span-removal audit over the same operator
     "span_dedup_stats" -> ((s, d) => DedupOps.substringDedupStats(t(s, d, "documents"))),
+    // containment + recall of the suffix-array stand-in vs the EXACT
+    // duplicated-substring coverage (violations must be 0; the kept share
+    // is the keep-first allowance)
+    "span_dedup_recall_audit" -> ((s, d) =>
+      DedupOps.spanDedupRecallAudit(t(s, d, "documents"))),
     // token-budgeted stratified mixture: per-source budgets, docs admitted
     // in portable-hash priority order until each budget fills
     "corpus_mix" -> ((s, d) => {
@@ -1374,6 +1389,21 @@ object SparkEntry {
       val merges = bpeMergesFor(s, d).orderBy(col("round")).collect()
         .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b"))).toSeq
       TextOps.bpeFertilityByLang(t(s, d, "documents"), merges)
+    }),
+    // unigram-LM tokenizer (Kudo 2018, hard-EM): substring seed, 3
+    // Viterbi re-count/prune/renormalize rounds, char coverage floor;
+    // oracle unrolls every round including the per-word Viterbi DP
+    "unigram_vocab" -> ((s, d) => unigramVocabFor(s, d)),
+    // the trained unigram tokenizer applied to the corpus: per-DISTINCT-
+    // word Viterbi once, broadcast join back to the exploded corpus
+    "unigram_encode" -> ((s, d) =>
+      TextOps.unigramEncode(t(s, d, "documents"), unigramVocabFor(s, d))),
+    // BPE vs unigram fertility on the same corpus, one row per tokenizer
+    "tokenizer_fertility_compare" -> ((s, d) => {
+      val merges = bpeMergesFor(s, d).orderBy(col("round")).collect()
+        .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b"))).toSeq
+      TextOps.tokenizerFertilityCompare(t(s, d, "documents"), merges,
+        unigramVocabFor(s, d))
     }),
     // first-order Markov transition matrix over per-user event sequences:
     // where users actually GO from each state, integer-ppm probabilities
@@ -3267,6 +3297,129 @@ object SparkEntry {
          |FROM cnt GROUP BY split""".stripMargin
   }
 
+  // --- Unigram-LM tokenizer replay (TextOps.unigramTrain / Encode) ---
+
+  /** One Viterbi pass in DuckDB as a RECURSIVE CTE pair: dp rows
+    * (w, i, ss, ll) grow the score/backpointer lists one position per
+    * recursion step (candidate lengths as guarded LEFT JOINs into
+    * `vocabName`, ties to the LONGER piece via the descending CASE),
+    * then wk walks the backpointers from length(w) to 0 collecting
+    * pieces. Recursion replaces the first-cut unrolled dp-column chain:
+    * that chain's multi-offset references (level i reads levels
+    * i-1..i-maxPieceLen) made DuckDB's CTE inlining expand the DAG into
+    * a tree - >60 s at depth 16 even MATERIALIZED, vs 0.2 s recursive.
+    * Unbounded in word length, like the engine's HOF folds.
+    */
+  private def unigramViterbiCtes(tag: String, vocabName: String,
+                                 maxPieceLen: Int): String = {
+    val ls = 1 to maxPieceLen
+    val joins = ls.map { l =>
+      s"      LEFT JOIN $vocabName vj$l ON $l <= d.i + 1 AND vj$l.piece = substr(d.w, d.i + 2 - $l, $l)"
+    }.mkString("\n")
+    val cands = ls.map { l =>
+      s"        CASE WHEN $l <= d.i + 1 THEN d.ss[d.i + 2 - $l] + COALESCE(vj$l.lp, -1000000000000) END AS c$l"
+    }.mkString(",\n")
+    val greatest = s"GREATEST(${ls.map(l => s"c$l").mkString(", ")})"
+    val argmax = ls.reverse.map(l => s"WHEN c$l = s THEN $l").mkString(" ")
+    s"""dp$tag AS (
+       |      SELECT w, freq, 0 AS i, [CAST(0 AS BIGINT)] AS ss, [0] AS ll FROM wfu
+       |      UNION ALL
+       |      SELECT w, freq, i + 1, list_append(ss, s), list_append(ll, l)
+       |      FROM (SELECT d.w, d.freq, d.i, d.ss, d.ll, $greatest AS s,
+       |                   (CASE $argmax END) AS l
+       |            FROM (SELECT d.*,
+       |$cands
+       |        FROM dp$tag d
+       |$joins
+       |      WHERE d.i < length(d.w)) d) t),
+       |fin$tag AS (SELECT w, freq, ll FROM dp$tag WHERE i = length(w)),
+       |wk$tag AS (
+       |      SELECT w, freq, CAST(length(w) AS BIGINT) AS pos,
+       |             CAST([] AS VARCHAR[]) AS pieces FROM fin$tag
+       |      UNION ALL
+       |      SELECT f.w, f.freq, f.pos - f.ll[f.pos + 1],
+       |             list_append(f.pieces,
+       |               substr(f.w, f.pos - f.ll[f.pos + 1] + 1, f.ll[f.pos + 1]))
+       |      FROM (SELECT k.w, k.freq, k.pos, k.pieces, f0.ll
+       |            FROM wk$tag k JOIN fin$tag f0 USING (w) WHERE k.pos > 0) f),
+       |walk$tag AS (SELECT w, freq, pieces FROM wk$tag WHERE pos = 0)""".stripMargin
+  }
+
+  /** WITH-body of the unigram hard-EM replay: word frequencies, the
+    * substring seed, then emRounds unrolled (Viterbi segment → re-count →
+    * prune top-vocabTarget multi-char + char floor → renormalize) rounds
+    * ending at v{emRounds}, plus the final-vocab encode chain (tag `e`).
+    */
+  private def unigramCtes(emRounds: Int, vocabTarget: Int,
+                          maxPieceLen: Int): String = {
+    def prune(r: Int, cntName: String): String =
+      s"""mu$r AS (SELECT piece, cnt FROM $cntName WHERE length(piece) > 1
+         |      ORDER BY cnt DESC, piece LIMIT $vocabTarget),
+         |kp$r AS (SELECT c.piece, COALESCE(n.cnt, 1) AS cnt
+         |      FROM charsu c LEFT JOIN $cntName n USING (piece)
+         |      UNION ALL SELECT piece, cnt FROM mu$r),
+         |tt$r AS (SELECT SUM(cnt) AS total FROM kp$r),
+         |v$r AS MATERIALIZED (SELECT piece, cnt,
+         |      CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+         |        * 1000000) AS BIGINT) AS lp
+         |      FROM kp$r CROSS JOIN tt$r)""".stripMargin
+    val rounds = (1 to emRounds).map { r =>
+      s"""${unigramViterbiCtes(r.toString, s"v${r - 1}", maxPieceLen)},
+         |cnt$r AS (SELECT piece, SUM(freq) AS cnt FROM
+         |      (SELECT freq, unnest(pieces) AS piece FROM walk$r) GROUP BY 1),
+         |${prune(r, s"cnt$r")}""".stripMargin
+    }.mkString(",\n")
+    s"""wfu AS MATERIALIZED (SELECT t AS w, COUNT(*) AS freq FROM
+       |      (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+       |       FROM documents) GROUP BY 1),
+       |sdu AS (SELECT substr(w, i, l) AS piece, SUM(freq) AS cnt
+       |      FROM wfu, range(1, 65) t1(i), range(1, ${maxPieceLen + 1}) t2(l)
+       |      WHERE i + l - 1 <= length(w) GROUP BY 1),
+       |charsu AS (SELECT piece FROM sdu WHERE length(piece) = 1),
+       |${prune(0, "sdu")},
+       |$rounds,
+       |${unigramViterbiCtes("e", s"v$emRounds", maxPieceLen)},
+       |pwu AS (SELECT w, CAST(len(pieces) AS BIGINT) AS n_pieces FROM walke),
+       |toku AS (SELECT doc_id,
+       |      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |      FROM documents)""".stripMargin
+  }
+
+  private val unigramVocabOracle: String =
+    s"""WITH RECURSIVE ${unigramCtes(3, 40, 4)}
+       |SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len,
+       |       CAST(cnt AS BIGINT) AS cnt, lp AS logp_micros
+       |FROM v3""".stripMargin
+
+  private val unigramEncodeOracle: String =
+    s"""WITH RECURSIVE ${unigramCtes(3, 40, 4)}
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |       CAST(SUM(length(t.w)) AS BIGINT) AS n_chars_tok,
+       |       CAST(SUM(pwu.n_pieces) AS BIGINT) AS n_unigram_pieces
+       |FROM toku t JOIN pwu USING (w) GROUP BY doc_id""".stripMargin
+
+  private val tokenizerCompareOracle: String =
+    bpeCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") + ",\n" + unigramCtes(3, 40, 4) +
+    s""",
+       |bentot AS (SELECT COUNT(*) AS n_tokens,
+       |      SUM(CAST(length(t.w) AS BIGINT)) AS chars,
+       |      SUM(CAST(len(string_split(trim(f.syms, '|'), '||')) AS BIGINT)) AS n_pieces
+       |      FROM btok t JOIN bw$bpeRounds f ON t.w = f.w),
+       |unitot AS (SELECT COUNT(*) AS n_tokens,
+       |      SUM(CAST(length(t.w) AS BIGINT)) AS chars,
+       |      SUM(pwu.n_pieces) AS n_pieces
+       |      FROM toku t JOIN pwu USING (w))
+       |SELECT 'bpe' AS tokenizer, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(n_pieces AS BIGINT) AS n_pieces,
+       |       CAST((n_pieces * 1000000 + n_tokens // 2) // n_tokens AS BIGINT) AS fertility_ppm,
+       |       CAST((chars * 1000000 + n_pieces // 2) // n_pieces AS BIGINT) AS chars_per_piece_ppm
+       |FROM bentot
+       |UNION ALL
+       |SELECT 'unigram', CAST(n_tokens AS BIGINT), CAST(n_pieces AS BIGINT),
+       |       CAST((n_pieces * 1000000 + n_tokens // 2) // n_tokens AS BIGINT),
+       |       CAST((chars * 1000000 + n_pieces // 2) // n_pieces AS BIGINT)
+       |FROM unitot""".stripMargin
+
   private val bpeMergesOracle: String = bpeCtes + "\n" +
     (1 to bpeRounds).map { r =>
       s"SELECT CAST($r AS INTEGER) AS round, x AS sym_a, y AS sym_b, x || y AS merged, CAST(wt AS BIGINT) AS weight FROM bb$r"
@@ -4081,6 +4234,37 @@ object SparkEntry {
         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
         |       coalesce(a.n_kept, 0) AS n_kept, coalesce(a.clean_text, '') AS clean_text
         |FROM t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // exact duplicated-substring coverage (all occurrences of duplicated
+    // windows), the engine's removed set, and their containment — ground
+    // truth derived with no reference to keep-first
+    "span_dedup_recall_audit" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |wp AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 7, 0))) AS pos FROM t),
+        |wins AS (SELECT doc_id, pos, md5(array_to_string(toks[pos+1:pos+8], ' ')) AS wh FROM wp),
+        |occ AS (SELECT doc_id, pos,
+        |        row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn,
+        |        COUNT(*) OVER (PARTITION BY wh) AS c FROM wins),
+        |covered AS (SELECT DISTINCT doc_id, pos + i AS tok_idx FROM
+        |        (SELECT doc_id, pos, unnest(range(1, 9)) AS i FROM occ WHERE c >= 2)),
+        |removed AS (SELECT DISTINCT doc_id, pos + i AS tok_idx FROM
+        |        (SELECT doc_id, pos, unnest(range(1, 9)) AS i FROM occ WHERE rn > 1)),
+        |tot AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS n_token_positions FROM t),
+        |cn AS (SELECT CAST(COUNT(*) AS BIGINT) AS covered_positions FROM covered),
+        |rm AS (SELECT CAST(COUNT(*) AS BIGINT) AS removed_positions FROM removed),
+        |viol AS (SELECT CAST(COUNT(*) AS BIGINT) AS violations FROM removed r
+        |        WHERE NOT EXISTS (SELECT 1 FROM covered c
+        |                          WHERE c.doc_id = r.doc_id AND c.tok_idx = r.tok_idx))
+        |SELECT CAST(8 AS BIGINT) AS k, n_token_positions, covered_positions,
+        |       removed_positions,
+        |       covered_positions - removed_positions AS kept_dup_positions,
+        |       violations,
+        |       CAST((covered_positions * 1000000 + n_token_positions // 2)
+        |            // n_token_positions AS BIGINT) AS covered_ppm,
+        |       CASE WHEN covered_positions = 0 THEN NULL
+        |            ELSE CAST((removed_positions * 1000000 + covered_positions // 2)
+        |                 // covered_positions AS BIGINT) END AS removed_share_of_covered_ppm
+        |FROM tot CROSS JOIN cn CROSS JOIN rm CROSS JOIN viol""".stripMargin,
 
     // same window CTEs as substring_dedup, rolled up per source
     "span_dedup_stats" ->
@@ -5297,6 +5481,9 @@ object SparkEntry {
     "bpe_merges" -> bpeMergesOracle,
     "bpe_encode" -> bpeEncodeOracle,
     "bpe_fertility" -> bpeFertilityOracle,
+    "unigram_vocab" -> unigramVocabOracle,
+    "unigram_encode" -> unigramEncodeOracle,
+    "tokenizer_fertility_compare" -> tokenizerCompareOracle,
     "bpe_oov" -> bpeOovOracle,
 
 

@@ -1259,6 +1259,68 @@ object DedupOps {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Recall/containment audit of [[substringDedup]] against the EXACT
+    * duplicated-substring ground truth — the measurement `lsh_recall_audit`
+    * provides for banding, applied to the suffix-array stand-in (Lee et
+    * al. 2022). The identity that makes the ground truth computable
+    * relationally: a token position lies inside a duplicated substring of
+    * length ≥ k IFF some k-window containing it is duplicated, so the
+    * exact covered-position set is the union of all occurrences of all
+    * duplicated k-windows — brute-forced here (and independently by the
+    * DuckDB oracle) with no reference to the dedup's own keep-first
+    * logic. Reported against it:
+    *
+    *  - `violations` = |removed \ covered|: the containment certificate —
+    *    the stand-in must NEVER remove a position outside a true
+    *    duplicated span (position-level precision 1.0). Must be 0.
+    *  - `removed_share_of_covered_ppm`: position-level recall against
+    *    the full duplicated mass; the complement (`kept_dup_positions`)
+    *    is exactly the keep-first allowance — duplicated-span positions
+    *    retained because their occurrence is the global first. This is
+    *    the number a user tuning k reads: how much duplicated mass the
+    *    keep-one policy leaves in the corpus.
+    *
+    * One Generate + ONE wh-keyed window shuffle (row_number and the
+    * occurrence count share the partition), two bounded position
+    * explodes, 1-row rollup — the same scale shape as the dedup itself.
+    */
+  def spanDedupRecallAudit(documents: DataFrame, k: Int = 8): DataFrame = {
+    val winsSql = letScalar(toksSql, "t",
+      s"if(size(t) < $k, cast(array() as array<struct<pos:int,wh:string>>), " +
+        s"transform(sequence(0, size(t) - $k), " +
+        s"st -> struct(st as pos, md5(concat_ws(' ', slice(t, st + 1, $k))) as wh)))")
+    val wSpec = Window.partitionBy(col("wh"))
+    val marked = documents
+      .select(col("doc_id"), explode(expr(winsSql)).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.wh").as("wh"))
+      .withColumn("rn", row_number().over(wSpec.orderBy(col("doc_id"), col("pos"))))
+      .withColumn("c", count(lit(1)).over(wSpec))
+      .persist()
+    def positions(flt: org.apache.spark.sql.Column): DataFrame =
+      marked.filter(flt)
+        .select(col("doc_id"), explode(expr(s"sequence(pos + 1, pos + $k)")).as("tok_idx"))
+        .distinct()
+    val covered = positions(col("c") >= 2)
+    val removed = positions(col("rn") > 1)
+    val tot = documents.agg(
+      sum(expr(s"size($toksSql)").cast(LongType)).as("n_token_positions"))
+    val cn = covered.agg(count(lit(1)).as("covered_positions"))
+    val rm = removed.agg(count(lit(1)).as("removed_positions"))
+    val viol = removed.join(covered, Seq("doc_id", "tok_idx"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+    tot.crossJoin(broadcast(cn)).crossJoin(broadcast(rm)).crossJoin(broadcast(viol))
+      .select(lit(k.toLong).as("k"), col("n_token_positions"),
+        col("covered_positions"), col("removed_positions"),
+        (col("covered_positions") - col("removed_positions")).as("kept_dup_positions"),
+        col("violations"),
+        expr("(covered_positions * 1000000 + n_token_positions div 2) div n_token_positions")
+          .as("covered_ppm"),
+        when(col("covered_positions") === 0L, lit(null).cast(LongType))
+          .otherwise(expr(
+            "(removed_positions * 1000000 + covered_positions div 2) div covered_positions"))
+          .as("removed_share_of_covered_ppm"))
+  }
+
   /** Span-dedup observability: per-source token-removal rates from
     * `substringDedup` — the audit a pipeline reads before turning span
     * removal on for a source (a mirror-heavy crawl loses half its tokens;

@@ -840,6 +840,26 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(got(3L) == ((5L, 5L, "tiny doc under eight tokens")), "sub-k docs pass through")
   }
 
+  test("spanDedupRecallAudit: hand-counted coverage, containment " +
+       "certificate, and the keep-first retention share") {
+    val span = "alpha beta gamma delta epsilon zeta eta theta iota kappa" // 10 tokens
+    val d = Seq(
+      (1L, span, "en", "s1", 10L),                             // origin (kept)
+      (2L, s"unique1 unique2 unique3 $span", "en", "s2", 13L), // dup at offset 3
+      (3L, "tiny doc under eight tokens", "en", "s1", 5L))     // sub-k, no windows
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = DedupOps.spanDedupRecallAudit(d).head()
+    // total positions = 10 + 13 + 5; covered = BOTH occurrences of the
+    // 10-token span (10 + 10); removed = the second occurrence only (10)
+    assert(r.getAs[Long]("n_token_positions") == 28L, r.toString)
+    assert(r.getAs[Long]("covered_positions") == 20L, r.toString)
+    assert(r.getAs[Long]("removed_positions") == 10L, r.toString)
+    assert(r.getAs[Long]("kept_dup_positions") == 10L, r.toString)
+    assert(r.getAs[Long]("violations") == 0L, "containment must hold")
+    assert(r.getAs[Long]("covered_ppm") == 714286L, r.toString)   // 20/28
+    assert(r.getAs[Long]("removed_share_of_covered_ppm") == 500000L, r.toString)
+  }
+
   test("substringDedup: within-doc self-repetition removed; partition-invariant") {
     val phrase = "one two three four five six seven eight"
     val d = Seq((1L, s"$phrase filler $phrase", "en", "s1", 17L))
