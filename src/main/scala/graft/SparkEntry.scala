@@ -1309,6 +1309,10 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       SimilarityOps.ivfTopKWith(emb, SimilarityOps.ivfTrainCentroids(emb, 16, iters = 2), 10, 5)
     }),
+    // recall decay of an unretrained IVF index under 1x/5x/10x appends vs
+    // a fresh retrain — the rebuild-threshold read for appendToIvfIndex
+    "ivf_append_drift" -> ((s, d) =>
+      SimilarityOps.ivfAppendDrift(t(s, d, "embeddings"))),
     "embedding_dup_pairs" -> ((s, d) => SimilarityOps.embeddingDupPairs(t(s, d, "embeddings"), 0.8)),
     // the scale path: candidates from an LSH-bucket equi-join, no
     // nested-loop join in the plan; brute variant above = recall reference
@@ -2065,6 +2069,15 @@ object SparkEntry {
         e.filter(col("event_type") === "signup"))
     }),
 
+    // the LEFT OUTER variant: every purchase emits, orphans null-padded
+    // (streaming face: nulls emit at watermark expiry — spec-proven)
+    "events_attribution_outer" -> ((s, d) => {
+      val e = t(s, d, "events")
+      graft.streaming.StreamingOps.purchaseAttributionOuter(
+        e.filter(col("event_type") === "purchase"),
+        e.filter(col("event_type") === "signup"))
+    }),
+
     // recall@5 of each ANN tier vs the brute-force top-k — the number that
     // makes ANN regressions visible as values, not just hash flips
     "ann_recall" -> ((s, d) => {
@@ -2446,17 +2459,93 @@ object SparkEntry {
     * blocks; compose after a `v` CTE.
     */
   private def duckLloydIter(prev: String, out: String): String =
+    duckLloydIterOn("v", prev, out)
+
+  /** One Lloyd iteration over an arbitrary corpus CTE — the parametric
+    * form the append-drift audit needs (Lloyd on base vs grown slices).
+    */
+  private def duckLloydIterOn(src: String, prev: String, out: String): String =
     s"""a_$out AS (
        |  SELECT vec_id, emb, centroid_id FROM (
        |    SELECT v.vec_id, v.emb, c.centroid_id,
        |           row_number() OVER (PARTITION BY v.vec_id
        |             ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 6) DESC, c.centroid_id) AS rn
-       |    FROM v CROSS JOIN $prev c) t WHERE rn = 1),
+       |    FROM $src v CROSS JOIN $prev c) t WHERE rn = 1),
        |$out AS (
        |  SELECT centroid_id, list(m ORDER BY pos) AS c_emb FROM (
        |    SELECT centroid_id, pos, round(avg(val), 6) AS m
        |    FROM (SELECT centroid_id, unnest(emb) AS val, generate_subscripts(emb, 1) AS pos FROM a_$out)
        |    GROUP BY centroid_id, pos) t GROUP BY centroid_id)""".stripMargin
+
+  /** ivf_append_drift replay: stale centroids Lloyd-trained on the base
+    * 1/11 slice; per growth factor a fresh Lloyd train on the grown
+    * slice, both probed/assigned over the grown corpus and scored for
+    * recall@5 against brute — the engine chain verbatim.
+    */
+  private def ivfAppendDriftOracle(factors: Seq[Int]): String = {
+    def ivfTop(p: String, corpus: String, cent: String): String =
+      s"""asg$p AS (
+         |  SELECT vec_id, emb, centroid_id FROM (
+         |    SELECT v.vec_id, v.emb, c.centroid_id,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 6) DESC, c.centroid_id) AS rn
+         |    FROM $corpus v CROSS JOIN $cent c) t WHERE rn = 1),
+         |pro$p AS (
+         |  SELECT q_id, q_emb, centroid_id FROM (
+         |    SELECT q.vec_id AS q_id, q.emb AS q_emb, c.centroid_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY round(list_cosine_similarity(q.emb, c.c_emb), 6) DESC, c.centroid_id) AS rn
+         |    FROM $corpus q CROSS JOIN $cent c WHERE q.vec_id < 10) t WHERE rn <= 2),
+         |top$p AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT a.q_id, a.vec_id,
+         |           row_number() OVER (PARTITION BY a.q_id ORDER BY a.score DESC, a.vec_id) AS rank
+         |    FROM (SELECT p.q_id, a.vec_id,
+         |                 round(list_cosine_similarity(a.emb, p.q_emb), 4) AS score
+         |          FROM asg$p a JOIN pro$p p ON a.centroid_id = p.centroid_id
+         |          WHERE a.vec_id <> p.q_id) a) t WHERE rank <= 5)""".stripMargin
+    val blocks = factors.map { f =>
+      s"""vf$f AS MATERIALIZED (SELECT v.vec_id, v.emb FROM v CROSS JOIN nbx
+         |      WHERE vec_id < nb * ${1 + f}),
+         |brute$f AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY round(list_cosine_similarity(c.emb, q.emb), 4) DESC, c.vec_id) AS rank
+         |    FROM vf$f c CROSS JOIN vf$f q
+         |    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) t WHERE rank <= 5),
+         |fc${f}_0 AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM vf$f WHERE vec_id < 16),
+         |${duckLloydIterOn(s"vf$f", s"fc${f}_0", s"fc${f}_1")},
+         |${duckLloydIterOn(s"vf$f", s"fc${f}_1", s"fc${f}_2")},
+         |${ivfTop(s"s$f", s"vf$f", "sc2")},
+         |${ivfTop(s"f$f", s"vf$f", s"fc${f}_2")},
+         |rec$f AS (
+         |  SELECT (SELECT SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |          FROM brute$f b LEFT JOIN tops$f t
+         |            ON b.q_id = t.q_id AND b.vec_id = t.vec_id) AS h_stale,
+         |         (SELECT SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |          FROM brute$f b LEFT JOIN topf$f t
+         |            ON b.q_id = t.q_id AND b.vec_id = t.vec_id) AS h_fresh,
+         |         (SELECT COUNT(*) FROM brute$f) AS tot)""".stripMargin
+    }.mkString(",\n")
+    val out = factors.map { f =>
+      s"""SELECT CAST($f AS BIGINT) AS append_factor, CAST(nb AS BIGINT) AS n_base,
+         |  CAST(nb * ${1 + f} AS BIGINT) AS n_corpus,
+         |  CAST((h_stale * 1000000 + tot // 2) // tot AS BIGINT) AS recall_stale_ppm,
+         |  CAST((h_fresh * 1000000 + tot // 2) // tot AS BIGINT) AS recall_fresh_ppm,
+         |  CAST((h_fresh * 1000000 + tot // 2) // tot
+         |    - (h_stale * 1000000 + tot // 2) // tot AS BIGINT) AS drift_ppm
+         |FROM rec$f CROSS JOIN nbx""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |nbx AS (SELECT COUNT(*) // 11 AS nb FROM embeddings),
+       |vb AS MATERIALIZED (SELECT v.vec_id, v.emb FROM v CROSS JOIN nbx WHERE vec_id < nb),
+       |sc0 AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM vb WHERE vec_id < 16),
+       |${duckLloydIterOn("vb", "sc0", "sc1")},
+       |${duckLloydIterOn("vb", "sc1", "sc2")},
+       |$blocks
+       |$out""".stripMargin
+  }
 
   /** Shared oracle CTE: embeddings with their LSH bucket. */
   private def lshBucketCtes(nBits: Int): String =
@@ -6297,6 +6386,7 @@ object SparkEntry {
 
     "cosine_topk_ivfpq" -> ivfPqTopKOracle,
     "cosine_topk_ivfpq_stored" -> ivfPqTopKOracle,
+    "ivf_append_drift" -> ivfAppendDriftOracle(Seq(1, 5, 10)),
 
     // PQ recall gate: full-precision brute top-5 LEFT-joined to the ADC
     // top-5, hits / 5 per query
@@ -8541,6 +8631,15 @@ object SparkEntry {
         |FROM events p JOIN events s
         |  ON p.user_id = s.user_id
         | AND p.event_type = 'purchase' AND s.event_type = 'signup'
+        | AND CAST(s.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        | AND CAST(s.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 7 DAY""".stripMargin,
+
+    "events_attribution_outer" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |CAST(p.ts AS TIMESTAMP) AS purchase_ts, CAST(s.ts AS TIMESTAMP) AS signup_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id
         | AND CAST(s.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
         | AND CAST(s.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 7 DAY""".stripMargin,
 

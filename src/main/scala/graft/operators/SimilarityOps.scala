@@ -504,6 +504,52 @@ object SimilarityOps {
       .write.mode("append").partitionBy("centroid_id").parquet(s"$dir/lists")
   }
 
+  /** Recall decay of an UNRETRAINED IVF index under appends — the
+    * measurement [[appendToIvfIndex]]'s doc promises as "operational
+    * policy layered on the mechanism", now a gated value: centroids train
+    * (Lloyd) on the base 1/11 of the corpus, the corpus then grows by
+    * 1×/5×/10× the base size, and per growth factor the audit reports
+    * recall@k of (a) the STALE index — base-trained centroids assigning
+    * the grown corpus, exactly what repeated `appendToIvfIndex` calls
+    * produce — vs (b) a FRESH full retrain, both against full-precision
+    * brute on the same grown corpus. drift_ppm = fresh − stale is the
+    * number the rebuild threshold reads: retrain when it exceeds the
+    * recall budget. Base/growth slices are vec_id prefixes (deterministic;
+    * the synthetic ids are dense), sized from one driver-side count.
+    */
+  def ivfAppendDrift(embeddings: DataFrame, factors: Seq[Int] = Seq(1, 5, 10),
+                     nCentroids: Int = 16, iters: Int = 2,
+                     nQueries: Int = 10, k: Int = 5, nProbe: Int = 2): DataFrame = {
+    val nb = embeddings.count() / 11
+    val base = embeddings.filter(col("vec_id") < nb)
+    val cStale = ivfTrainCentroids(base, nCentroids, iters)
+    val rows = factors.map { f =>
+      val corpus = embeddings.filter(col("vec_id") < nb * (1 + f)).persist()
+      val brute = cosineTopK(corpus, nQueries, k).select(col("q_id"), col("vec_id"))
+      val queries = corpus.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      def recallOf(c: DataFrame): DataFrame = {
+        val hits = ivfTopKOverLists(ivfAssignWith(corpus, c), c, queries, k, nProbe)
+          .select(col("q_id"), col("vec_id")).withColumn("hit", lit(1L))
+        brute.join(hits, Seq("q_id", "vec_id"), "left")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+            count(lit(1)).as("tot"))
+      }
+      val cFresh = ivfTrainCentroids(corpus, nCentroids, iters)
+      recallOf(cStale).select(col("hits").as("h_stale"), col("tot"))
+        .crossJoin(broadcast(recallOf(cFresh).select(col("hits").as("h_fresh"))))
+        .select(lit(f.toLong).as("append_factor"),
+          lit(nb).as("n_base"),
+          lit(nb * (1 + f)).as("n_corpus"),
+          expr("(h_stale * 1000000 + tot div 2) div tot").as("recall_stale_ppm"),
+          expr("(h_fresh * 1000000 + tot div 2) div tot").as("recall_fresh_ppm"),
+          expr("""(h_fresh * 1000000 + tot div 2) div tot
+            | - (h_stale * 1000000 + tot div 2) div tot""".stripMargin)
+            .as("drift_ppm"))
+    }
+    rows.reduce(_.unionAll(_))
+  }
+
   /** Top-k against a persisted index — no training, no assignment, just
     * probe + score over the pruned lists.
     */

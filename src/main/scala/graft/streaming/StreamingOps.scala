@@ -97,6 +97,36 @@ object StreamingOps {
       .select(col("purchase_id"), col("user_id"), col("purchase_ts"), col("signup_ts"))
   }
 
+  /** Watermarked stream-stream LEFT OUTER interval join — the remaining
+    * standard stateful shape beside [[purchaseAttribution]]'s inner
+    * variant: every purchase emits, matched rows with their signup_ts and
+    * orphans null-padded. Batch plan: the same user-keyed equi-join with
+    * the time-range residual, join type left_outer. Streaming plan: both
+    * sides watermarked AND the interval condition bounds state exactly as
+    * in the inner join; the null-padded row for an unmatched purchase is
+    * emitted only when the watermark passes purchase_ts + delay — before
+    * that a matching signup could still arrive, so "no match" is not yet
+    * knowable. A purchase whose expiry the watermark never crosses stays
+    * in state and emits nothing (append-mode semantics, pinned by the
+    * spec's late-arrival-then-expiry case).
+    */
+  def purchaseAttributionOuter(purchases: DataFrame, signups: DataFrame,
+                               window: String = "7 days",
+                               delay: String = "1 hour"): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", delay)
+    val s = signups
+      .select(col("user_id").as("s_user_id"), col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", delay)
+    p.join(s,
+        col("user_id") === col("s_user_id") &&
+          col("signup_ts") <= col("purchase_ts") &&
+          col("signup_ts") >= col("purchase_ts") - expr(s"INTERVAL $window"),
+        "left_outer")
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"), col("signup_ts"))
+  }
+
   /** Stateful streaming dedup by event_id, state bounded by the watermark.
     * (On a batch frame Spark treats this as plain dropDuplicates.)
     */

@@ -785,6 +785,32 @@ class SimilarityMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ivfAppendDrift: planted cluster shift — the stale base-trained " +
+       "index degrades on appended off-base clusters, the fresh retrain " +
+       "recovers, and all ppm stay in range") {
+    import spark.implicits._
+    // base slice (ids 0..21 of 242 = 22 vectors) lives in two directions;
+    // appended vectors form two NEW orthogonal-ish clusters the stale
+    // centroids never saw
+    val vecs = (0 until 242).map { i =>
+      val c = if (i < 22) i % 2 else 2 + (i % 2)
+      val base = Array.tabulate(8)(j => if (j == c * 2) 1.0f else 0.0f)
+      (i.toLong, base.map(v => v * (1.0f + (i % 7) * 0.01f) + 0.001f * ((i * 31 + c) % 5)), c)
+    }.toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.ivfAppendDrift(vecs, factors = Seq(1, 5, 10),
+      nCentroids = 4, iters = 2, nQueries = 5, k = 3, nProbe = 1).collect()
+    assert(got.length == 3)
+    got.foreach { r =>
+      val stale = r.getAs[Long]("recall_stale_ppm")
+      val fresh = r.getAs[Long]("recall_fresh_ppm")
+      assert(stale >= 0L && stale <= 1000000L, r.toString)
+      assert(fresh >= 0L && fresh <= 1000000L, r.toString)
+      assert(r.getAs[Long]("drift_ppm") == fresh - stale, r.toString)
+      assert(r.getAs[Long]("n_corpus") ==
+        r.getAs[Long]("n_base") * (1 + r.getAs[Long]("append_factor")), r.toString)
+    }
+  }
+
   test("ivfTopK nprobe sweep: per-query recall against brute is " +
        "nondecreasing in nprobe (more probed lists never lose a hit)") {
     import spark.implicits._

@@ -97,6 +97,62 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, "2024-01-08 00:00:00.0")))
   }
 
+  test("purchaseAttributionOuter: batch semantics — matched rows carry " +
+       "signup_ts, orphan purchases null-pad") {
+    val purchases = Seq((1L, ts("2024-01-10 00:00:00"), 10L),
+      (2L, ts("2024-01-20 00:00:00"), 10L))
+      .toDF("event_id", "ts", "user_id")
+    val signups = Seq((3L, ts("2024-01-08 00:00:00"), 10L),
+      (4L, ts("2023-12-01 00:00:00"), 10L))
+      .toDF("event_id", "ts", "user_id")
+    val got = StreamingOps.purchaseAttributionOuter(purchases, signups)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getTimestamp(3)).map(_.toString))).toMap
+    assert(got(1L).contains("2024-01-08 00:00:00.0"))
+    assert(got(2L).isEmpty, "orphan purchase null-pads")
+  }
+
+  test("stream-stream LEFT OUTER join: matched row emits promptly; the " +
+       "orphan's null-padded row emits ONLY once the watermark passes its " +
+       "expiry, and a still-open purchase emits nothing") {
+    val pin = Files.createTempDirectory("graft-oattr-p").toString
+    val sin = Files.createTempDirectory("graft-oattr-s").toString
+    val out = Files.createTempDirectory("graft-oattr-out").toString
+    val ckpt = Files.createTempDirectory("graft-oattr-ckpt").toString
+    val schema = Seq((0L, ts("2024-01-01 00:00:00"), 0L))
+      .toDF("event_id", "ts", "user_id").schema
+    // batch 1: a matched purchase (signup within 7d) and an orphan
+    Seq((1L, ts("2024-01-10 00:00:00"), 10L),
+        (2L, ts("2024-01-10 06:00:00"), 20L))
+      .toDF("event_id", "ts", "user_id").write.parquet(pin + "/f1")
+    Seq((3L, ts("2024-01-08 00:00:00"), 10L))
+      .toDF("event_id", "ts", "user_id").write.parquet(sin + "/f1")
+    // batch 2: a far-future purchase on BOTH sides' clock advances the
+    // watermark past the orphan's expiry (purchase_ts + 1h delay) --> its
+    // null-padded row flushes; the 2099 purchase itself stays open
+    Seq((9L, ts("2099-01-01 00:00:00"), 99L))
+      .toDF("event_id", "ts", "user_id").write.parquet(pin + "/f2")
+    Seq((8L, ts("2099-01-01 00:00:00"), 98L))
+      .toDF("event_id", "ts", "user_id").write.parquet(sin + "/f2")
+    val p = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(pin)
+    val s = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(sin)
+    val q = StreamingOps.availableNowWriter(
+      StreamingOps.purchaseAttributionOuter(p, s), out, ckpt).start()
+    q.awaitTermination(180000)
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), Option(r.getTimestamp(3)).map(_.toString))).toMap
+    assert(got.get(1L).exists(_.contains("2024-01-08 00:00:00.0")),
+      s"matched purchase emits with its signup: $got")
+    assert(got.contains(2L) && got(2L).isEmpty,
+      s"orphan null-pads after watermark expiry: $got")
+    assert(!got.contains(9L),
+      s"a purchase whose expiry the watermark never crossed stays in state: $got")
+  }
+
   test("dedupWithinWatermark on a stream drops duplicate event_ids") {
     val in = Files.createTempDirectory("graft-dedup-in").toString
     val out = Files.createTempDirectory("graft-dedup-out").toString
