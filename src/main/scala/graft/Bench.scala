@@ -43,6 +43,9 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      // stderr marker so JVM warnings (task-binary size, GC) between two
+      // markers attribute to a query — the r11 hygiene pass had to guess
+      System.err.println(s"[bench] start $name")
       def once(): Double = {
         val t0 = System.nanoTime()
         try {

@@ -94,6 +94,15 @@ object SparkEntry {
       TextOps.bpeTrain(t(s, sfDir, "documents"), rounds = 10)
         .write.mode("overwrite").parquet(out)))
 
+  /** Top-4 PCA basis — persisted like the BPE merge table: the deflation
+    * train (the d²-explode corpus pass) runs once per corpus snapshot;
+    * consumers (the basis read, the OPQ rotation) load the 4·dim rows.
+    */
+  private def pcaBasisFor(s: SparkSession, sfDir: String): DataFrame =
+    s.read.parquet(artifactDir("pca_basis", sfDir, "k4_r8")(out =>
+      SimilarityOps.pcaComponents(t(s, sfDir, "embeddings"))
+        .write.mode("overwrite").parquet(out)))
+
   /** Trained unigram-LM vocabulary — persisted like the BPE merge table:
     * the hard-EM train runs once per corpus snapshot; consumers (the
     * vocab read, the corpus encode, the fertility comparison) load the
@@ -1465,8 +1474,7 @@ object SparkEntry {
       SimilarityOps.pcaTopComponent(t(s, d, "embeddings"))),
     // top-4 principal basis via Hotelling deflation over the same
     // exact-integer scaled covariance — the PQ-subspace/whitening basis
-    "pca_components" -> ((s, d) =>
-      SimilarityOps.pcaComponents(t(s, d, "embeddings"))),
+    "pca_components" -> ((s, d) => pcaBasisFor(s, d)),
     // watermark planner: event-time lateness behind the arrival-order
     // high-water mark, bucketed per event type
     "lateness_profile" -> ((s, d) => EventOps.latenessProfile(t(s, d, "events"))),
@@ -2138,7 +2146,7 @@ object SparkEntry {
     "ann_recall_pq_opq" -> ((s, d) => {
       val emb = t(s, d, "embeddings").persist()
       val rot = SimilarityOps.opqRotate(emb,
-        SimilarityOps.opqRotationVectors(emb)).persist()
+        SimilarityOps.opqRotationVectorsFrom(pcaBasisFor(s, d))).persist()
       val brute = SimilarityOps.cosineTopK(emb, 10, 5).select(col("q_id"), col("vec_id"))
       val hit = SimilarityOps.pqTopK(rot, 10, 5)
         .select(col("q_id"), col("vec_id")).withColumn("hit", lit(1))

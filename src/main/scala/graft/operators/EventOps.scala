@@ -510,7 +510,10 @@ object EventOps {
       .agg(sum(when(col("m") === col("m0"), col("cents")).otherwise(0L)).as("new_cents"),
         sum(when(col("m") =!= col("m0"), col("cents")).otherwise(0L)).as("returning_cents"))
       .withColumn("new_share_ppm",
-        expr("""(new_cents * 1000000 + (new_cents + returning_cents) div 2)
+        // DECIMAL-widened ppm: a month's cents sum past ~9.2e12 would
+        // overflow the LONG multiply (the abc_xyz sf1-ladder lesson)
+        expr("""(cast(new_cents as decimal(38,0)) * 1000000
+          | + (new_cents + returning_cents) div 2)
           | div (new_cents + returning_cents)""".stripMargin))
   }
 

@@ -1261,8 +1261,13 @@ object RelationalOps {
     val cum = ShardedOrder.withRunningSum(perPart, col("rev_cents"), "cum_rev", 32,
       col("rev_cents").desc, col("l_partkey"))
     cum.crossJoin(broadcast(tot))
+      // ppm share over DECIMAL(38,0): cum_rev*1e6 overflows LONG once the
+      // corpus-wide cents sum passes ~9.2e12 (measured: sf1 ladder threw
+      // ARITHMETIC_OVERFLOW at ~1.8e13 total cents). 20-digit numerators
+      // stay far under the 28-digit IntegralDivide precision cliff.
       .select(col("l_partkey"), col("rev_cents"), col("m"), col("sq"), col("sqq"),
-        expr("(cum_rev * 1000000 + tot div 2) div tot").as("cum_ppm"), col("tot"))
+        expr("(cast(cum_rev as decimal(38,0)) * 1000000 + tot div 2) div tot")
+          .as("cum_ppm"), col("tot"))
       .select(col("rev_cents"), col("tot"),
         when(col("cum_ppm") <= 800000L, "A")
           .when(col("cum_ppm") <= 950000L, "B").otherwise("C").as("abc_class"),
@@ -1274,7 +1279,8 @@ object RelationalOps {
       .agg(count(lit(1)).as("n_parts"), sum(col("rev_cents")).as("cell_cents"),
         max(col("tot")).as("tot"))
       .select(col("abc_class"), col("xyz_class"), col("n_parts"),
-        expr("(cell_cents * 1000000 + tot div 2) div tot").as("rev_share_ppm"))
+        expr("(cast(cell_cents as decimal(38,0)) * 1000000 + tot div 2) div tot")
+          .as("rev_share_ppm"))
   }
 
   /** Simpson's-paradox screen over the discount→quantity relationship —

@@ -50,12 +50,19 @@ object ScaleOps {
     * frame the optimizer can't see through.
     */
   def bloomPrunedJoin(big: DataFrame, small: DataFrame, key: String,
-                      expectedItems: Long = 1000000L): DataFrame = {
+                      expectedItems: Long = 0L): DataFrame = {
+    // Size the sketch to the BUILD side: a fixed 1M-item default builds a
+    // ~1.2 MB filter for a few-hundred-row dim, and the scalar ships in
+    // EVERY task binary of the big side's scan stage (measured: 2.9 MiB
+    // task binaries in bloom_join, the r12 bench's worst offender). One
+    // count() on the small side is the cheapest stage of the whole join.
+    val items = if (expectedItems > 0) expectedItems
+                else math.max(small.count(), 1024L)
     // might_contain requires its sketch to be a constant or scalar
     // subquery (it ships with the task as a literal, not a join input) —
     // Dataset.scalar() plans the 1-row aggregate as exactly that
     val bf = small
-      .agg(expr(s"bloom_agg(xxhash64($key), ${expectedItems}L)").as("__bf"))
+      .agg(expr(s"bloom_agg(xxhash64($key), ${items}L)").as("__bf"))
       .scalar()
     big
       .filter(call_function("bloom_might_contain", bf, xxhash64(col(key))))

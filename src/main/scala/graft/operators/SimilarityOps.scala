@@ -1057,7 +1057,11 @@ object SimilarityOps {
         .agg(expr("transform(sort_array(collect_list(struct(pos, mv))), p -> round(p.mv, 6))")
           .as("c_sub"))
     }
-    cb.persist()
+    // localCheckpoint, not persist: same executor-cached blocks, but the
+    // Lloyd lineage is TRUNCATED — with persist, every downstream stage's
+    // task binary still serializes the full training DAG (measured:
+    // 2.1 MiB task binaries in the pq_trained/ivfpq benches)
+    cb.localCheckpoint()
   }
 
   /** Asymmetric-distance ANN top-k over PQ codes: queries stay exact, the
@@ -1585,9 +1589,17 @@ object SimilarityOps {
     * R = H_m…H_1 in closed form, O(m·dim) state regardless of corpus size.
     */
   def opqRotationVectors(embeddings: DataFrame, m: Int = 4, dim: Int = 64,
-                         rounds: Int = 8): DataFrame = {
+                         rounds: Int = 8): DataFrame =
+    opqRotationVectorsFrom(pcaComponents(embeddings, m, rounds), m, dim)
+
+  /** The QR half alone, over an already-computed (component, dim,
+    * loading_micros) basis — lets callers amortize the PCA corpus pass
+    * through a persisted basis artifact.
+    */
+  def opqRotationVectorsFrom(basisIn: DataFrame, m: Int = 4,
+                             dim: Int = 64): DataFrame = {
     val sub = dim / m
-    val basis = pcaComponents(embeddings, m, rounds)
+    val basis = basisIn
     var ws = List.empty[(DataFrame, DataFrame)] // ascending c: (w(i,w), ww)
     for (c <- 1 to m) {
       var t = basis.filter(col("component") === c)

@@ -1801,8 +1801,12 @@ object TextOps {
       .join(broadcast(sizesDf),
         col("rk") === least(col("vocab_size").cast(LongType), col("n_vocab")))
       .select(col("vocab_size"), col("n_vocab"), col("total").as("n_occurrences"),
-        expr("(cum_f * 1000000 + total div 2) div total").as("coverage_ppm"),
-        expr("1000000 - (cum_f * 1000000 + total div 2) div total").as("oov_ppm"))
+        // DECIMAL-widened ppm: cum_f is a corpus-wide occurrence count —
+        // ~1e13 tokens at 100 TB would overflow the LONG multiply
+        expr("(cast(cum_f as decimal(38,0)) * 1000000 + total div 2) div total")
+          .as("coverage_ppm"),
+        expr("1000000 - (cast(cum_f as decimal(38,0)) * 1000000 + total div 2) div total")
+          .as("oov_ppm"))
   }
 
   /** Per-source quality PERCENTILE normalization — the cross-source

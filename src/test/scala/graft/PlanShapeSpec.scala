@@ -479,4 +479,26 @@ class PlanShapeSpec extends SparkSpec {
     // hot-parent-key fan-out guard) — one agg pair per edge + distincts
     assert(plan("fk_orphan_audit").contains("Join"), "edges are joins")
   }
+
+  test("r12 tier: PCA/OPQ, unigram, span audit, outer attribution and " +
+       "IVF drift keep their scale shapes") {
+    for (q <- Seq("pca_components", "ann_recall_pq_opq", "unigram_vocab",
+                  "unigram_encode", "tokenizer_fertility_compare",
+                  "span_dedup_recall_audit", "events_attribution_outer",
+                  "ivf_append_drift"))
+      assert(!plan(q).contains("CartesianProduct"), s"$q plans a cartesian")
+    // the outer interval join stays an equi-join on user with the range
+    // residual — never a nested loop over the fact sides
+    val oat = plan("events_attribution_outer")
+    assert(!oat.contains("BroadcastNestedLoopJoin"),
+      s"outer attribution must stay user-keyed:\n$oat")
+    assert(oat.contains("LeftOuter"), s"left-outer semantics in plan:\n$oat")
+    // span audit: the only window partitions by the window fingerprint
+    assert(!plan("span_dedup_recall_audit").contains("No Partition Defined"),
+      "span audit window partitions by wh")
+    // unigram encode: per-word Viterbi joins back by broadcast, never a
+    // shuffle of the corpus keyed on the word
+    assert(plan("unigram_encode").contains("BroadcastHashJoin"),
+      "per-word piece counts broadcast back to the corpus")
+  }
 }
