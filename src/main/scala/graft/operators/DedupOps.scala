@@ -812,7 +812,11 @@ object DedupOps {
     * other two is the false-positive shape a collapse review looks for;
     * three-of-three is safe to hard-merge. Scale: the band self-join is
     * the same bucket join the candidate derivation already pays, the
-    * rest is per-pair probes — O(|pairs|), never corpus².
+    * rest is per-pair probes — O(|pairs|), never corpus². NOTE |pairs|
+    * itself is quadratic in duplicate-CLUSTER size (a 10-copy cluster is
+    * 45 pairs — measured e=1.87 on the sf1 ladder's dup-heavy
+    * expansion): on a duplicate-heavy corpus run the component collapse
+    * first and spend the evidence budget per cluster, not per pair.
     */
   def dupEvidence(documents: DataFrame, mpairs: DataFrame, wpairs: DataFrame,
                   maxHamming: Int = 3): DataFrame = {
@@ -1313,11 +1317,13 @@ object DedupOps {
         col("covered_positions"), col("removed_positions"),
         (col("covered_positions") - col("removed_positions")).as("kept_dup_positions"),
         col("violations"),
-        expr("(covered_positions * 1000000 + n_token_positions div 2) div n_token_positions")
+        expr("(cast(covered_positions as decimal(38,0)) * 1000000 " +
+          "+ n_token_positions div 2) div n_token_positions")
           .as("covered_ppm"),
         when(col("covered_positions") === 0L, lit(null).cast(LongType))
           .otherwise(expr(
-            "(removed_positions * 1000000 + covered_positions div 2) div covered_positions"))
+            "(cast(removed_positions as decimal(38,0)) * 1000000 " +
+              "+ covered_positions div 2) div covered_positions"))
           .as("removed_share_of_covered_ppm"))
   }
 
@@ -1342,7 +1348,8 @@ object DedupOps {
       .withColumn("removal_rate_ppm",
         // Pure-integer half-up rounding: no double division, no engine
         // round() semantics, no float-repr surface for the comparator.
-        expr("(removed_tokens * 1000000L + total_tokens div 2) div total_tokens"))
+        expr("(cast(removed_tokens as decimal(38,0)) * 1000000 " +
+          "+ total_tokens div 2) div total_tokens"))
 
   /** Cross-source contamination matrix: for every source pair, how much
     * segment-level content they share — the audit a multi-crawl pipeline

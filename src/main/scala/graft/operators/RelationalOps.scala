@@ -1186,7 +1186,8 @@ object RelationalOps {
       .groupBy(col("n"), col("s_tot"))
       .agg(count(lit(1)).as("k_top"), sum(col("cents")).as("s_top"))
       .select(col("n").as("n_customers"), col("k_top"),
-        expr("(s_top * 1000000 + s_tot div 2) div s_tot").as("top_share_ppm"))
+        expr("(cast(s_top as decimal(38,0)) * 1000000 + s_tot div 2) div s_tot")
+          .as("top_share_ppm"))
   }
 
   /** Rank-biased overlap (Webber, Moffat & Zobel 2010) between consecutive

@@ -1587,9 +1587,9 @@ object TextOps {
         sum(col("n_bpe_symbols")).as("n_bpe_symbols"),
         sum(col("n_chars_tok")).as("chars"))
       .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_bpe_symbols"),
-        expr("(n_bpe_symbols * 1000000 + n_tokens div 2) div n_tokens")
+        expr("(cast(n_bpe_symbols as decimal(38,0)) * 1000000 + n_tokens div 2) div n_tokens")
           .as("fertility_ppm"),
-        expr("(chars * 1000000 + n_bpe_symbols div 2) div n_bpe_symbols")
+        expr("(cast(chars as decimal(38,0)) * 1000000 + n_bpe_symbols div 2) div n_bpe_symbols")
           .as("chars_per_sym_ppm"))
 
   // --- Unigram-LM tokenizer training (Kudo 2018, hard-EM/Viterbi) ---
@@ -1742,9 +1742,9 @@ object TextOps {
         sum(col("n_chars_tok")).as("chars"),
         sum(col(pieceCol)).as("n_pieces"))
         .select(lit(name).as("tokenizer"), col("n_tokens"), col("n_pieces"),
-          expr("(n_pieces * 1000000 + n_tokens div 2) div n_tokens")
+          expr("(cast(n_pieces as decimal(38,0)) * 1000000 + n_tokens div 2) div n_tokens")
             .as("fertility_ppm"),
-          expr("(chars * 1000000 + n_pieces div 2) div n_pieces")
+          expr("(cast(chars as decimal(38,0)) * 1000000 + n_pieces div 2) div n_pieces")
             .as("chars_per_piece_ppm"))
     roll(bpeEncode(documents, merges), "bpe", "n_bpe_symbols")
       .unionByName(roll(unigramEncode(documents, vocab), "unigram",
