@@ -1294,6 +1294,24 @@ object SparkEntry {
         SimilarityOps.widenInt8(s.read.parquet(dir)), 10, 5)
     }),
     "cosine_topk_lsh" -> ((s, d) => SimilarityOps.lshBucketedTopK(t(s, d, "embeddings"), 10, 5)),
+    // graph-based ANN (NSW-class): beam search over the LSH-built kNN
+    // graph — per round ONE equi-join on the graph key; corpus-size-free
+    // once the graph exists
+    "cosine_topk_graph" -> ((s, d) =>
+      SimilarityOps.graphAnnTopK(t(s, d, "embeddings"), 10, 5)),
+    // recall@5 of the graph tier vs brute — the gate that prices the
+    // beam/graphK/rounds knobs
+    "ann_recall_graph" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").persist()
+      val brute = SimilarityOps.cosineTopK(emb, 10, 5).select(col("q_id"), col("vec_id"))
+      val hit = SimilarityOps.graphAnnTopK(emb, 10, 5)
+        .select(col("q_id"), col("vec_id")).withColumn("hit", lit(1))
+      brute.join(hit, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(round(sum(coalesce(col("hit"), lit(0))).cast(DoubleType) / lit(5.0), 2)
+          .as("recall"))
+        .select(lit("graph").as("method"), col("q_id"), col("recall"))
+    }),
     // Johnson–Lindenstrauss Rademacher projection, 64 → 16 dims: the
     // third ANN memory lever (after int8 and PQ); integer-exact both
     // engines (seeded md5-parity signs, 1e-3 grid quantization)
@@ -2568,6 +2586,63 @@ object SparkEntry {
   private def duckProbeList(nBits: Int): String =
     ("bucket" +: (0 until nBits).map(j => s"xor(bucket, ${1 << j})"))
       .mkString("[", ", ", "]")
+
+  /** Graph-ANN replay: the LSH-candidate kNN graph (multi-probe src side,
+    * per-src top-graphK by round-6 cosine, dst tiebreak), fixed entry
+    * seeds, then `rounds` unrolled beam iterations — expand through the
+    * graph, score ONLY unvisited nodes, re-select the beam from all
+    * visited — ending in the top-k of the final visited set. CTEs per
+    * round MATERIALIZED (the unigram lesson: multi-reference chains
+    * inline into trees otherwise).
+    */
+  private def graphAnnOracle(rounds: Int, beam: Int, graphK: Int, k: Int,
+                             entrySeeds: Int, finalSelect: String): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""exp$r AS (SELECT DISTINCT f.q_id, g.dst AS node
+         |      FROM fr${r - 1} f JOIN g ON g.src = f.node
+         |      WHERE g.dst <> f.q_id AND NOT EXISTS (SELECT 1 FROM vis${r - 1} vv
+         |            WHERE vv.q_id = f.q_id AND vv.node = g.dst)),
+         |vis$r AS MATERIALIZED (SELECT * FROM vis${r - 1}
+         |      UNION ALL
+         |      SELECT e.q_id, e.node,
+         |             round(list_cosine_similarity(n.emb, q.q_emb), 6) AS score
+         |      FROM exp$r e JOIN v n ON n.vec_id = e.node JOIN q ON q.q_id = e.q_id),
+         |fr$r AS (SELECT q_id, node FROM (SELECT q_id, node,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, node) AS rnk
+         |      FROM vis$r) t WHERE rnk <= $beam)""".stripMargin
+    }.mkString(",\n")
+    lshBucketCtes(4) +
+    s""",
+       |gsrc AS (SELECT vec_id AS src, emb AS s_emb, unnest(${duckProbeList(4)}) AS bucket
+       |      FROM b),
+       |gd AS (SELECT src, dst FROM (
+       |      SELECT s.src, d.vec_id AS dst,
+       |             row_number() OVER (PARTITION BY s.src
+       |               ORDER BY round(list_cosine_similarity(s.s_emb, d.emb), 6) DESC,
+       |                        d.vec_id) AS rnk
+       |      FROM gsrc s JOIN b d USING (bucket) WHERE s.src <> d.vec_id) t
+       |      WHERE rnk <= $graphK),
+       |g AS MATERIALIZED (SELECT src, dst FROM gd
+       |      UNION SELECT dst AS src, src AS dst FROM gd),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < 10),
+       |ent AS (SELECT q.q_id, e.vec_id AS node
+       |      FROM q CROSS JOIN (SELECT vec_id FROM v WHERE vec_id < $entrySeeds) e
+       |      WHERE e.vec_id <> q.q_id),
+       |vis0 AS MATERIALIZED (SELECT e.q_id, e.node,
+       |      round(list_cosine_similarity(n.emb, q.q_emb), 6) AS score
+       |      FROM ent e JOIN v n ON n.vec_id = e.node JOIN q ON q.q_id = e.q_id),
+       |fr0 AS (SELECT q_id, node FROM (SELECT q_id, node,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, node) AS rnk
+       |      FROM vis0) t WHERE rnk <= $beam),
+       |$roundCtes,
+       |gtop AS (SELECT q_id, vec_id, score, rank FROM (
+       |      SELECT q_id, vec_id, score,
+       |             CAST(row_number() OVER (PARTITION BY q_id
+       |               ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+       |      FROM (SELECT q_id, node AS vec_id, round(score, 4) AS score
+       |            FROM vis$rounds) t0) t WHERE rank <= $k)
+       |$finalSelect""".stripMargin
+  }
 
   /** Power-iteration oracle for pca_top_component: the integer scaled
     * covariance M = n·Σqqᵀ − ssᵀ, then `rounds` unrolled MATERIALIZED
@@ -6561,6 +6636,27 @@ object SparkEntry {
         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
         |  FROM scored)
         |SELECT q_id, vec_id, score, rank FROM ranked WHERE rank <= 5""".stripMargin),
+
+    // graph-ANN beam search fully replayed: kNN-graph build, entry seeds,
+    // 3 unrolled beam rounds, final visited top-5
+    "cosine_topk_graph" ->
+      graphAnnOracle(3, 8, 8, 5, 4,
+        "SELECT q_id, vec_id, score, rank FROM gtop"),
+
+    "ann_recall_graph" ->
+      graphAnnOracle(3, 8, 8, 5, 4,
+        """,
+          |brute AS (SELECT q_id, vec_id FROM (
+          |      SELECT q.q_id, c.vec_id,
+          |             row_number() OVER (PARTITION BY q.q_id
+          |               ORDER BY round(list_cosine_similarity(c.emb, q.q_emb), 4) DESC,
+          |                        c.vec_id) AS rank
+          |      FROM v c JOIN q ON c.vec_id <> q.q_id) t WHERE rank <= 5)
+          |SELECT 'graph' AS method, b.q_id,
+          |       round(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 2)
+          |         AS recall
+          |FROM brute b LEFT JOIN gtop p ON b.q_id = p.q_id AND b.vec_id = p.vec_id
+          |GROUP BY b.q_id""".stripMargin),
 
     // full DuckDB replay of IVF: first-16 centroids, assignment and probe
     // rankings on round(cos, 6) with centroid_id tiebreak — exactly the

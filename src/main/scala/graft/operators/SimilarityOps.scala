@@ -850,6 +850,96 @@ object SimilarityOps {
       .select(col("vec_a"), col("vec_b"), col("score"))
   }
 
+  /** Directed kNN graph over LSH candidates — the index half of the
+    * graph-ANN tier: every node keeps its `graphK` nearest neighbors
+    * among same-bucket (plus Hamming-1 multi-probe) candidates. Candidate
+    * generation is the [[embeddingDupPairsLsh]] equi-join — shuffle by
+    * bucket, never all-pairs — and the per-node top-k is a bucket-keyed
+    * window. Edges are SYMMETRIZED (directed top-k ∪ its reverse, the
+    * NSW/HNSW reverse-link rule): a node that is nobody's top-k
+    * OUT-neighbor would otherwise be unreachable by any beam — measured
+    * on the clustered spec fixture as a hard recall ceiling (~0.67 even
+    * with a wide beam) that symmetrization removes. Deterministic:
+    * round-6 scores, dst tiebreak. At 100 TB this build is exactly the
+    * near-dup candidate pass the dedup family already pays; the graph is
+    * ≤ 2·corpus·graphK rows at rest.
+    */
+  def knnGraphLsh(embeddings: DataFrame, graphK: Int = 8, nBits: Int = 4,
+                  multiProbe: Boolean = true): DataFrame = {
+    val bucketed = embeddings.withColumn("bucket", lshBucket(col("embedding"), nBits))
+    val src = bucketed.select(col("vec_id").as("src"), col("embedding").as("s_emb"),
+      explode(lshProbeBuckets(col("bucket"), nBits, multiProbe)).as("bucket"))
+    val dst = bucketed.select(col("bucket"), col("vec_id").as("dst"),
+      col("embedding").as("d_emb"))
+    val w = Window.partitionBy("src").orderBy(col("score").desc, col("dst"))
+    val directed = src.join(dst, Seq("bucket"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("score",
+        round(graft.functions.GraftFunctions.cosineSim(col("s_emb"), col("d_emb")), 6))
+      .select(col("src"), col("dst"), col("score"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= graphK)
+      .select(col("src"), col("dst"))
+    directed
+      .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+
+  /** Graph-based ANN (the HNSW/NSW recall path, DataFrame-native): greedy
+    * BEAM SEARCH over the [[knnGraphLsh]] kNN graph instead of pointer
+    * chasing — per round, the current top-`beam` candidates of every
+    * query expand through ONE equi-join on the graph's src key, newly
+    * reached nodes score against their query (broadcast query set), and
+    * the beam re-selects from everything visited. Termination mimics
+    * HNSW's: when the beam stops producing unvisited neighbors the
+    * frontier fixes itself. Deterministic end to end (round-6 scores,
+    * node tiebreaks, the visited set keyed by (q_id, node)); every round
+    * localCheckpoints (multi-reference loop rule). Per round the work is
+    * |queries|·beam·graphK candidate rows — independent of corpus size
+    * once the graph is built, which is what makes the graph tier the
+    * low-latency end of the ANN frontier.
+    */
+  def graphAnnTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+                   beam: Int = 8, rounds: Int = 3, graphK: Int = 8,
+                   entrySeeds: Int = 4): DataFrame = {
+    val graph = knnGraphLsh(embeddings, graphK).localCheckpoint()
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def scored(cand: DataFrame): DataFrame = cand
+      .join(embeddings.select(col("vec_id").as("node"), col("embedding").as("n_emb")),
+        Seq("node"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("score",
+        round(graft.functions.GraftFunctions.cosineSim(col("n_emb"), col("q_emb")), 6))
+      .select(col("q_id"), col("node"), col("score"))
+    val entry = embeddings.filter(col("vec_id") < entrySeeds)
+      .select(col("vec_id").as("node"))
+      .crossJoin(broadcast(queries.select(col("q_id"))))
+      .filter(col("node") =!= col("q_id"))
+    var visited = scored(entry).localCheckpoint()
+    val wb = Window.partitionBy("q_id").orderBy(col("score").desc, col("node"))
+    def beamOf(vis: DataFrame): DataFrame = vis
+      .withColumn("rnk", row_number().over(wb))
+      .filter(col("rnk") <= beam).select(col("q_id"), col("node"))
+    var frontier = beamOf(visited).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val expand = frontier
+        .join(graph.select(col("src").as("node"), col("dst")), Seq("node"))
+        .select(col("q_id"), col("dst").as("node"))
+        .filter(col("node") =!= col("q_id"))
+        .distinct()
+        .join(visited.select(col("q_id"), col("node")), Seq("q_id", "node"), "left_anti")
+      visited = visited.unionByName(scored(expand)).localCheckpoint()
+      frontier = beamOf(visited).localCheckpoint()
+    }
+    val wk = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    visited
+      .select(col("q_id"), col("node").as("vec_id"), round(col("score"), 4).as("score"))
+      .select(col("q_id"), col("vec_id"), col("score"),
+        row_number().over(wk).as("rank"))
+      .filter(col("rank") <= k)
+  }
+
   /** Query-side probe set: the query's own bucket plus (with multiProbe)
     * every bucket at Hamming distance 1 — the standard multi-probe LSH
     * recall recovery. A corpus vector lives in exactly one bucket, so the

@@ -485,7 +485,7 @@ class PlanShapeSpec extends SparkSpec {
     for (q <- Seq("pca_components", "ann_recall_pq_opq", "unigram_vocab",
                   "unigram_encode", "tokenizer_fertility_compare",
                   "span_dedup_recall_audit", "events_attribution_outer",
-                  "ivf_append_drift"))
+                  "ivf_append_drift", "cosine_topk_graph", "ann_recall_graph"))
       assert(!plan(q).contains("CartesianProduct"), s"$q plans a cartesian")
     // the outer interval join stays an equi-join on user with the range
     // residual — never a nested loop over the fact sides
