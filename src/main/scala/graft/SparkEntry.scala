@@ -1429,6 +1429,9 @@ object SparkEntry {
     // word Viterbi once, broadcast join back to the exploded corpus
     "unigram_encode" -> ((s, d) =>
       TextOps.unigramEncode(t(s, d, "documents"), unigramVocabFor(s, d))),
+    // unigram generalization: train on the hash-90%, encode both splits
+    "unigram_holdout" -> ((s, d) =>
+      TextOps.unigramHoldoutAudit(t(s, d, "documents"))),
     // BPE vs unigram fertility on the same corpus, one row per tokenizer
     "tokenizer_fertility_compare" -> ((s, d) => {
       val merges = bpeMergesFor(s, d).orderBy(col("round")).collect()
@@ -1700,6 +1703,13 @@ object SparkEntry {
       SimilarityOps.ivfPqTopKFromIndex(s, dir,
         emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), 5)
+    }),
+    // beam search against the PERSISTED graph index (edges + vectors):
+    // bit-identical to the inline build, no bucket pass at query time
+    "cosine_topk_graph_stored" -> ((s, d) => {
+      val dir = artifactDir("graph_index", d)(out =>
+        SimilarityOps.writeGraphIndex(t(s, d, "embeddings"), out))
+      SimilarityOps.graphAnnTopKFromIndex(s, dir, 10, 5)
     }),
 
     // TimescaleDB gapfill+locf analog: daily totals per status densified
@@ -3483,7 +3493,8 @@ object SparkEntry {
     * Unbounded in word length, like the engine's HOF folds.
     */
   private def unigramViterbiCtes(tag: String, vocabName: String,
-                                 maxPieceLen: Int): String = {
+                                 maxPieceLen: Int,
+                                 wordsCte: String = "wfu"): String = {
     val ls = 1 to maxPieceLen
     val joins = ls.map { l =>
       s"      LEFT JOIN $vocabName vj$l ON $l <= d.i + 1 AND vj$l.piece = substr(d.w, d.i + 2 - $l, $l)"
@@ -3494,7 +3505,7 @@ object SparkEntry {
     val greatest = s"GREATEST(${ls.map(l => s"c$l").mkString(", ")})"
     val argmax = ls.reverse.map(l => s"WHEN c$l = s THEN $l").mkString(" ")
     s"""dp$tag AS (
-       |      SELECT w, freq, 0 AS i, [CAST(0 AS BIGINT)] AS ss, [0] AS ll FROM wfu
+       |      SELECT w, freq, 0 AS i, [CAST(0 AS BIGINT)] AS ss, [0] AS ll FROM $wordsCte
        |      UNION ALL
        |      SELECT w, freq, i + 1, list_append(ss, s), list_append(ll, l)
        |      FROM (SELECT d.w, d.freq, d.i, d.ss, d.ll, $greatest AS s,
@@ -3523,7 +3534,7 @@ object SparkEntry {
     * ending at v{emRounds}, plus the final-vocab encode chain (tag `e`).
     */
   private def unigramCtes(emRounds: Int, vocabTarget: Int,
-                          maxPieceLen: Int): String = {
+                          maxPieceLen: Int, trainWhere: String = ""): String = {
     def prune(r: Int, cntName: String): String =
       s"""mu$r AS (SELECT piece, cnt FROM $cntName WHERE length(piece) > 1
          |      ORDER BY cnt DESC, piece LIMIT $vocabTarget),
@@ -3543,6 +3554,9 @@ object SparkEntry {
     }.mkString(",\n")
     s"""wfu AS MATERIALIZED (SELECT t AS w, COUNT(*) AS freq FROM
        |      (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+       |       FROM documents$trainWhere) GROUP BY 1),
+       |wall AS MATERIALIZED (SELECT t AS w, COUNT(*) AS freq FROM
+       |      (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
        |       FROM documents) GROUP BY 1),
        |sdu AS (SELECT substr(w, i, l) AS piece, SUM(freq) AS cnt
        |      FROM wfu, range(1, 65) t1(i), range(1, ${maxPieceLen + 1}) t2(l)
@@ -3550,11 +3564,32 @@ object SparkEntry {
        |charsu AS (SELECT piece FROM sdu WHERE length(piece) = 1),
        |${prune(0, "sdu")},
        |$rounds,
-       |${unigramViterbiCtes("e", s"v$emRounds", maxPieceLen)},
+       |${unigramViterbiCtes("e", s"v$emRounds", maxPieceLen, "wall")},
        |pwu AS (SELECT w, CAST(len(pieces) AS BIGINT) AS n_pieces FROM walke),
        |toku AS (SELECT doc_id,
        |      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
        |      FROM documents)""".stripMargin
+  }
+
+  private val unigramHoldoutOracle: String = {
+    val trainWhere =
+      " WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90"
+    s"""WITH RECURSIVE ${unigramCtes(3, 40, 4, trainWhere)},
+       |atok AS (SELECT doc_id,
+       |      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+       |      CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+       |           THEN 'train' ELSE 'heldout' END AS split
+       |      FROM documents),
+       |tv AS (SELECT DISTINCT w FROM atok WHERE split = 'train'),
+       |enc AS (SELECT split, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_tokens,
+       |      CAST(SUM(length(a.w)) AS BIGINT) AS n_chars_tok,
+       |      CAST(SUM(p.n_pieces) AS BIGINT) AS n_unigram_pieces
+       |      FROM atok a JOIN pwu p USING (w) GROUP BY split),
+       |uns AS (SELECT split, COUNT(DISTINCT a.w) AS unseen_words
+       |      FROM atok a LEFT JOIN tv ON a.w = tv.w WHERE tv.w IS NULL GROUP BY split)
+       |SELECT e.split, e.n_docs, e.n_tokens, e.n_chars_tok, e.n_unigram_pieces,
+       |       COALESCE(u.unseen_words, 0) AS unseen_words
+       |FROM enc e LEFT JOIN uns u USING (split)""".stripMargin
   }
 
   private val unigramVocabOracle: String =
@@ -5656,6 +5691,7 @@ object SparkEntry {
     "unigram_vocab" -> unigramVocabOracle,
     "unigram_encode" -> unigramEncodeOracle,
     "tokenizer_fertility_compare" -> tokenizerCompareOracle,
+    "unigram_holdout" -> unigramHoldoutOracle,
     "bpe_oov" -> bpeOovOracle,
 
 
@@ -6640,6 +6676,10 @@ object SparkEntry {
     // graph-ANN beam search fully replayed: kNN-graph build, entry seeds,
     // 3 unrolled beam rounds, final visited top-5
     "cosine_topk_graph" ->
+      graphAnnOracle(3, 8, 8, 5, 4,
+        "SELECT q_id, vec_id, score, rank FROM gtop"),
+    // identical replay: the stored index holds exactly the inline graph
+    "cosine_topk_graph_stored" ->
       graphAnnOracle(3, 8, 8, 5, 4,
         "SELECT q_id, vec_id, score, rank FROM gtop"),
 

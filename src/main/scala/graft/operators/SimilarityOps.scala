@@ -901,8 +901,33 @@ object SimilarityOps {
     */
   def graphAnnTopK(embeddings: DataFrame, nQueries: Int, k: Int,
                    beam: Int = 8, rounds: Int = 3, graphK: Int = 8,
-                   entrySeeds: Int = 4): DataFrame = {
-    val graph = knnGraphLsh(embeddings, graphK).localCheckpoint()
+                   entrySeeds: Int = 4): DataFrame =
+    graphAnnSearch(embeddings, knnGraphLsh(embeddings, graphK).localCheckpoint(),
+      nQueries, k, beam, rounds, entrySeeds)
+
+  /** Persist the graph-ANN index: the symmetrized edge list plus the
+    * vectors (the same self-contained layout as [[writeIvfIndex]] — a
+    * reader needs no access to the source table). Build once per corpus
+    * snapshot; every query batch afterwards pays beam search only.
+    */
+  def writeGraphIndex(embeddings: DataFrame, dir: String, graphK: Int = 8): Unit = {
+    knnGraphLsh(embeddings, graphK).write.mode("overwrite").parquet(s"$dir/edges")
+    embeddings.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/vectors")
+  }
+
+  /** Beam search against a persisted index — no bucket pass, no graph
+    * build, just the per-round equi-join over the stored edges.
+    */
+  def graphAnnTopKFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                            nQueries: Int, k: Int, beam: Int = 8,
+                            rounds: Int = 3, entrySeeds: Int = 4): DataFrame =
+    graphAnnSearch(spark.read.parquet(s"$dir/vectors"),
+      spark.read.parquet(s"$dir/edges"), nQueries, k, beam, rounds, entrySeeds)
+
+  private def graphAnnSearch(embeddings: DataFrame, graph: DataFrame,
+                             nQueries: Int, k: Int, beam: Int, rounds: Int,
+                             entrySeeds: Int): DataFrame = {
     val queries = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     def scored(cand: DataFrame): DataFrame = cand

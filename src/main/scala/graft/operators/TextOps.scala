@@ -1728,6 +1728,47 @@ object TextOps {
         sum(col("n_pieces")).as("n_unigram_pieces"))
   }
 
+  /** Train/held-out generalization audit for the unigram tokenizer — the
+    * [[bpeHoldoutAudit]] read applied to the hard-EM vocabulary: train on
+    * the portable-hash 90%, Viterbi-encode BOTH splits under the trained
+    * pieces, and emit per-split totals plus words unseen in training.
+    * Held-out words always encode (single chars carry the NEG penalty but
+    * are always candidates, so the DP never dead-ends — a heldout-only
+    * character segments as itself); the held-out fertility vs train
+    * fertility is the generalization read a vocabulary ships against.
+    */
+  def unigramHoldoutAudit(documents: DataFrame, vocabTarget: Int = 40,
+                          emRounds: Int = 3, maxPieceLen: Int = 4,
+                          trainPct: Int = 90): DataFrame = {
+    val withSplit = documents.withColumn("split",
+      expr("if(cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)" +
+        s" % 100 < $trainPct, 'train', 'heldout')"))
+    val vocab = unigramTrain(withSplit.filter(col("split") === "train"),
+      vocabTarget, emRounds, maxPieceLen)
+    val toks = withSplit.select(col("split"), col("doc_id"),
+      explode(expr(toksExprFor(withSplit))).as("w"))
+    val trainWords = toks.filter(col("split") === "train")
+      .select(col("w")).distinct()
+    val vmap = vocab.agg(
+      map_from_entries(collect_list(struct(col("piece"), col("logp_micros"))))
+        .as("vmap"))
+    val perWord = toks.select(col("w")).distinct()
+      .crossJoin(broadcast(vmap))
+      .withColumn("dp", expr(unigramDpSql(maxPieceLen)))
+      .select(col("w"),
+        expr(s"cast(size($unigramBacktraceSql) as bigint)").as("n_pieces"))
+    val enc = toks.join(broadcast(perWord), Seq("w"))
+      .groupBy(col("split"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(length(col("w")).cast(LongType)).as("n_chars_tok"),
+        sum(col("n_pieces")).as("n_unigram_pieces"))
+    val unseen = toks.join(trainWords, Seq("w"), "left_anti")
+      .groupBy(col("split")).agg(countDistinct(col("w")).as("unseen_words"))
+    enc.join(unseen, Seq("split"), "left")
+      .na.fill(0L, Seq("unseen_words"))
+  }
+
   /** BPE vs unigram fertility on the SAME corpus — the comparison row
     * the tokenizer choice is made on: pieces-per-token and chars-per-
     * piece in half-up integer ppm over exact corpus-wide sums, one row

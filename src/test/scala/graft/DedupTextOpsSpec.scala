@@ -1261,6 +1261,28 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(cmp("bpe") == ((6L, 17L, 2833333L)), cmp("bpe").toString)
   }
 
+  test("unigramHoldoutAudit: heldout docs encode under the train-only " +
+       "vocabulary; heldout-only words count as unseen and still segment") {
+    // doc_id 8 lands heldout under the md5%100 split (verified offline);
+    // 'zq' never appears in training → unseen, segments via chars
+    val d = Seq(
+      (1L, "banana banana banana bananas", "en", "s", 30L), // train
+      (2L, "aaaa aaaa", "en", "s", 10L),                    // train
+      (8L, "banana zq", "en", "s", 9L))                     // heldout
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.unigramHoldoutAudit(d, vocabTarget = 3).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // train = the banana-corpus fixed point: 6 tokens, 25+8 chars,
+    // 13+8 pieces (banana=3, bananas=4, aaaa=4 each), nothing unseen
+    assert(got("train") == ((2L, 6L, 33L, 21L, 0L)), got("train").toString)
+    // heldout: banana segments b|an|ana = 3 under the train vocab; 'zq'
+    // has NO trained pieces or chars — the DP takes ONE unknown span
+    // (a single NEG penalty beats two), so 'zq' = 1 piece
+    assert(got("heldout") == ((1L, 2L, 8L, 4L, 1L)), got("heldout").toString)
+  }
+
   test("bpeTrain: exhausted vocabulary never empties the word table " +
        "(single-char vocab, more rounds than possible merges)") {
     val d = Seq((1L, "a b a b", "en", "s", 8L))

@@ -824,6 +824,33 @@ class SimilarityMultimodalSpec extends SparkSpec {
       s"wide-beam converged recall on a clustered fixture: $rWide (narrow $r5)")
   }
 
+  test("persisted graph index: beam results equal the inline build; the " +
+       "indexed plan reads parquet and never re-runs the bucket pass") {
+    import spark.implicits._
+    val vecs = (0 until 40).map { i =>
+      val c = i % 2
+      val e = Array.fill(8)(0.0f)
+      e(c * 4) = 1.0f
+      e(1) = 0.01f * ((i * 7) % 11); e(3) = 0.01f * ((i * 5) % 13)
+      (i.toLong, e, c)
+    }.toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft-gann").toString
+    SimilarityOps.writeGraphIndex(vecs, dir)
+    val inline = SimilarityOps.graphAnnTopK(vecs, 4, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val fromIdx = SimilarityOps.graphAnnTopKFromIndex(spark, dir, 4, 5)
+    val got = fromIdx.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == inline, s"stored vs inline: ${got.diff(inline)} / ${inline.diff(got)}")
+    // (the search localCheckpoints per round, so the FINAL plan's leaves
+    // are checkpoint RDDs — assert the at-rest index itself instead)
+    val edges = spark.read.parquet(s"$dir/edges")
+    assert(edges.columns.sorted.toSeq == Seq("dst", "src"))
+    val nEdges = edges.count()
+    assert(nEdges > 0 && nEdges <= 2L * 40 * 8,
+      s"symmetrized edge budget: $nEdges")
+  }
+
   test("ivfAppendDrift: planted cluster shift — the stale base-trained " +
        "index degrades on appended off-base clusters, the fresh retrain " +
        "recovers, and all ppm stay in range") {
