@@ -59,8 +59,12 @@ object Sf1Ladder {
     tbl("events").write.mode("overwrite").parquet(s"$outDir/events.parquet")
     val docs = tbl("documents")
     val md = maxOf(docs, "doc_id")
+    // copy 0 stays byte-identical to the source corpus (no suffix) so the
+    // sf0.1-vs-sf1 comparison is a strict superset expansion for document
+    // queries (r12 advice); only the shifted copies get the near-dup suffix
     shifted(docs, Map("doc_id" -> md), (d, k) =>
-      d.withColumn("text",
+      if (k == 0) d
+      else d.withColumn("text",
         concat(col("text"), lit(s" copy$k v"), pmod(col("doc_id"), lit(97L)))))
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     val emb = tbl("embeddings")

@@ -689,6 +689,13 @@ object SparkEntry {
     "dup_evidence" -> ((s, d) =>
       DedupOps.dupEvidence(t(s, d, "documents"),
         DedupOps.pairIndex(s, pairIndexFor(s, d)), winnowPairsFor(s, d))),
+    // the per-cluster pair budget BINDING (keep 2): same chain, budget=2,
+    // so the gate hash-proves the collapse-first + signature-rank keep
+    // rule the shipping default (24) only exercises on template floods
+    "dup_evidence_budgeted" -> ((s, d) =>
+      DedupOps.dupEvidence(t(s, d, "documents"),
+        DedupOps.pairIndex(s, pairIndexFor(s, d)), winnowPairsFor(s, d),
+        maxPairsPerComponent = 2)),
     // LSH health: bucket-occupancy histogram with per-size candidate-pair
     // volume — the candidate blowup visible BEFORE the pair join runs
     "lsh_bucket_occupancy" -> ((s, d) =>
@@ -1295,16 +1302,18 @@ object SparkEntry {
     }),
     "cosine_topk_lsh" -> ((s, d) => SimilarityOps.lshBucketedTopK(t(s, d, "embeddings"), 10, 5)),
     // graph-based ANN (NSW-class): beam search over the LSH-built kNN
-    // graph — per round ONE equi-join on the graph key; corpus-size-free
-    // once the graph exists
+    // graph under the SCALE-CONTRACT knobs (beam = 6·lg n, seeds = 2·lg n,
+    // graphK = 16 — r13) — per round ONE equi-join on the graph key;
+    // per-query work O(log n) once the graph exists
     "cosine_topk_graph" -> ((s, d) =>
-      SimilarityOps.graphAnnTopK(t(s, d, "embeddings"), 10, 5)),
+      SimilarityOps.graphAnnTopKScaled(t(s, d, "embeddings"), 10, 5)),
     // recall@5 of the graph tier vs brute — the gate that prices the
-    // beam/graphK/rounds knobs
+    // scale-contract knobs; GraphAnnGateSpec pins the ≥0.90 floor at all
+    // three SFs on top of this hash gate
     "ann_recall_graph" -> ((s, d) => {
       val emb = t(s, d, "embeddings").persist()
       val brute = SimilarityOps.cosineTopK(emb, 10, 5).select(col("q_id"), col("vec_id"))
-      val hit = SimilarityOps.graphAnnTopK(emb, 10, 5)
+      val hit = SimilarityOps.graphAnnTopKScaled(emb, 10, 5)
         .select(col("q_id"), col("vec_id")).withColumn("hit", lit(1))
       brute.join(hit, Seq("q_id", "vec_id"), "left")
         .groupBy(col("q_id"))
@@ -1312,6 +1321,12 @@ object SparkEntry {
           .as("recall"))
         .select(lit("graph").as("method"), col("q_id"), col("recall"))
     }),
+    // recall decay of an append-attached graph index vs a full rebuild —
+    // ivf_append_drift's graph analog: stale = base edges + LSH-attached
+    // delta (no rewiring of old nodes), fresh = full rebuild, both beam-
+    // searched under the grown corpus's contract knobs vs brute
+    "graph_append_drift" -> ((s, d) =>
+      SimilarityOps.graphAppendDrift(t(s, d, "embeddings"))),
     // Johnson–Lindenstrauss Rademacher projection, 64 → 16 dims: the
     // third ANN memory lever (after int8 and PQ); integer-exact both
     // engines (seeded md5-parity signs, 1e-3 grid quantization)
@@ -1705,11 +1720,13 @@ object SparkEntry {
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), 5)
     }),
     // beam search against the PERSISTED graph index (edges + vectors):
-    // bit-identical to the inline build, no bucket pass at query time
+    // bit-identical to the inline build, no bucket pass at query time;
+    // the reader re-derives the contract knobs from the stored vector
+    // count, so index and inline tier stay in lockstep
     "cosine_topk_graph_stored" -> ((s, d) => {
       val dir = artifactDir("graph_index", d)(out =>
-        SimilarityOps.writeGraphIndex(t(s, d, "embeddings"), out))
-      SimilarityOps.graphAnnTopKFromIndex(s, dir, 10, 5)
+        SimilarityOps.writeGraphIndexScaled(t(s, d, "embeddings"), out))
+      SimilarityOps.graphAnnTopKFromIndexScaled(s, dir, 10, 5)
     }),
 
     // TimescaleDB gapfill+locf analog: daily totals per status densified
@@ -2605,8 +2622,12 @@ object SparkEntry {
     * round MATERIALIZED (the unigram lesson: multi-reference chains
     * inline into trees otherwise).
     */
-  private def graphAnnOracle(rounds: Int, beam: Int, graphK: Int, k: Int,
-                             entrySeeds: Int, finalSelect: String): String = {
+  private def graphAnnOracle(rounds: Int, graphK: Int, k: Int,
+                             finalSelect: String): String = {
+    // scale-contract knobs (r13): beam = 6·lg n, seeds = 2·lg n where
+    // lg = bit-length of the corpus count — length(bin(n)) is DuckDB's
+    // exact integer log2+1, matching the engine's
+    // 64 - numberOfLeadingZeros(n) with no float-log edge cases
     val roundCtes = (1 to rounds).map { r =>
       s"""exp$r AS (SELECT DISTINCT f.q_id, g.dst AS node
          |      FROM fr${r - 1} f JOIN g ON g.src = f.node
@@ -2619,10 +2640,12 @@ object SparkEntry {
          |      FROM exp$r e JOIN v n ON n.vec_id = e.node JOIN q ON q.q_id = e.q_id),
          |fr$r AS (SELECT q_id, node FROM (SELECT q_id, node,
          |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, node) AS rnk
-         |      FROM vis$r) t WHERE rnk <= $beam)""".stripMargin
+         |      FROM vis$r) t WHERE rnk <= (SELECT beam FROM kn))""".stripMargin
     }.mkString(",\n")
     lshBucketCtes(4) +
     s""",
+       |kn AS (SELECT 6 * length(bin(COUNT(*))) AS beam,
+       |              2 * length(bin(COUNT(*))) AS seeds FROM v),
        |gsrc AS (SELECT vec_id AS src, emb AS s_emb, unnest(${duckProbeList(4)}) AS bucket
        |      FROM b),
        |gd AS (SELECT src, dst FROM (
@@ -2636,14 +2659,15 @@ object SparkEntry {
        |      UNION SELECT dst AS src, src AS dst FROM gd),
        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < 10),
        |ent AS (SELECT q.q_id, e.vec_id AS node
-       |      FROM q CROSS JOIN (SELECT vec_id FROM v WHERE vec_id < $entrySeeds) e
+       |      FROM q CROSS JOIN (SELECT vec_id FROM v
+       |            WHERE vec_id < (SELECT seeds FROM kn)) e
        |      WHERE e.vec_id <> q.q_id),
        |vis0 AS MATERIALIZED (SELECT e.q_id, e.node,
        |      round(list_cosine_similarity(n.emb, q.q_emb), 6) AS score
        |      FROM ent e JOIN v n ON n.vec_id = e.node JOIN q ON q.q_id = e.q_id),
        |fr0 AS (SELECT q_id, node FROM (SELECT q_id, node,
        |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, node) AS rnk
-       |      FROM vis0) t WHERE rnk <= $beam),
+       |      FROM vis0) t WHERE rnk <= (SELECT beam FROM kn)),
        |$roundCtes,
        |gtop AS (SELECT q_id, vec_id, score, rank FROM (
        |      SELECT q_id, vec_id, score,
@@ -2652,6 +2676,108 @@ object SparkEntry {
        |      FROM (SELECT q_id, node AS vec_id, round(score, 4) AS score
        |            FROM vis$rounds) t0) t WHERE rank <= $k)
        |$finalSelect""".stripMargin
+  }
+
+  /** graph_append_drift replay: per growth factor, the FRESH kNN graph
+    * over the grown slice and the STALE graph (base-built edges plus
+    * LSH-attached delta edges, no rewiring), each beam-searched under the
+    * grown slice's contract knobs against the same brute top-k. Buckets
+    * are per-row, so every slice's bucketed frame is a filter of the one
+    * full-table bucket CTE — the oracle pays the signature pass once.
+    */
+  private def graphDriftOracle(factors: Seq[Int], rounds: Int, graphK: Int,
+                               k: Int): String = {
+    def knnGraph(sfx: String, srcFrom: String, corpus: String): String =
+      s"""gsrc$sfx AS (SELECT vec_id AS src, emb AS s_emb,
+         |      unnest(${duckProbeList(4)}) AS bucket FROM $srcFrom),
+         |gd$sfx AS (SELECT src, dst FROM (
+         |      SELECT s.src, d.vec_id AS dst,
+         |             row_number() OVER (PARTITION BY s.src
+         |               ORDER BY round(list_cosine_similarity(s.s_emb, d.emb), 6) DESC,
+         |                        d.vec_id) AS rnk
+         |      FROM gsrc$sfx s JOIN $corpus d USING (bucket)
+         |      WHERE s.src <> d.vec_id) t
+         |      WHERE rnk <= $graphK)""".stripMargin
+    def beamChain(sfx: String, g: String, c: String, kn: String): String = {
+      val roundCtes = (1 to rounds).map { r =>
+        s"""exp$r$sfx AS (SELECT DISTINCT f.q_id, g.dst AS node
+           |      FROM fr${r - 1}$sfx f JOIN $g g ON g.src = f.node
+           |      WHERE g.dst <> f.q_id AND NOT EXISTS (SELECT 1 FROM vis${r - 1}$sfx vv
+           |            WHERE vv.q_id = f.q_id AND vv.node = g.dst)),
+           |vis$r$sfx AS MATERIALIZED (SELECT * FROM vis${r - 1}$sfx
+           |      UNION ALL
+           |      SELECT e.q_id, e.node,
+           |             round(list_cosine_similarity(n.emb, q.q_emb), 6) AS score
+           |      FROM exp$r$sfx e JOIN $c n ON n.vec_id = e.node
+           |      JOIN q ON q.q_id = e.q_id),
+           |fr$r$sfx AS (SELECT q_id, node FROM (SELECT q_id, node,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, node) AS rnk
+           |      FROM vis$r$sfx) t WHERE rnk <= (SELECT beam FROM $kn))""".stripMargin
+      }.mkString(",\n")
+      s"""ent$sfx AS (SELECT q.q_id, e.vec_id AS node
+         |      FROM q CROSS JOIN (SELECT vec_id FROM $c
+         |            WHERE vec_id < (SELECT seeds FROM $kn)) e
+         |      WHERE e.vec_id <> q.q_id),
+         |vis0$sfx AS MATERIALIZED (SELECT e.q_id, e.node,
+         |      round(list_cosine_similarity(n.emb, q.q_emb), 6) AS score
+         |      FROM ent$sfx e JOIN $c n ON n.vec_id = e.node
+         |      JOIN q ON q.q_id = e.q_id),
+         |fr0$sfx AS (SELECT q_id, node FROM (SELECT q_id, node,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, node) AS rnk
+         |      FROM vis0$sfx) t WHERE rnk <= (SELECT beam FROM $kn)),
+         |$roundCtes,
+         |gtop$sfx AS (SELECT q_id, vec_id FROM (
+         |      SELECT q_id, node AS vec_id,
+         |             row_number() OVER (PARTITION BY q_id
+         |               ORDER BY round(score, 4) DESC, node) AS rank
+         |      FROM vis$rounds$sfx) t WHERE rank <= $k)""".stripMargin
+    }
+    val perFactor = factors.map { f =>
+      val n = s"(SELECT nb * ${1 + f} FROM nbc)"
+      s"""b$f AS MATERIALIZED (SELECT * FROM b WHERE vec_id < $n),
+         |kn$f AS (SELECT 6 * length(bin(COUNT(*))) AS beam,
+         |               2 * length(bin(COUNT(*))) AS seeds FROM b$f),
+         |${knnGraph(s"F$f", s"b$f", s"b$f")},
+         |gF$f AS MATERIALIZED (SELECT src, dst FROM gdF$f
+         |      UNION SELECT dst, src FROM gdF$f),
+         |${knnGraph(s"A$f",
+           s"(SELECT * FROM b$f WHERE vec_id >= (SELECT nb FROM nbc)) sa$f", s"b$f")},
+         |gS$f AS MATERIALIZED (SELECT src, dst FROM gB
+         |      UNION SELECT src, dst FROM gdA$f
+         |      UNION SELECT dst, src FROM gdA$f),
+         |bt$f AS (SELECT q_id, vec_id FROM (
+         |      SELECT q.q_id, c.vec_id,
+         |             row_number() OVER (PARTITION BY q.q_id
+         |               ORDER BY round(list_cosine_similarity(c.emb, q.q_emb), 4) DESC,
+         |                        c.vec_id) AS rank
+         |      FROM b$f c JOIN q ON c.vec_id <> q.q_id) t WHERE rank <= $k),
+         |${beamChain(s"S$f", s"gS$f", s"b$f", s"kn$f")},
+         |${beamChain(s"F$f", s"gF$f", s"b$f", s"kn$f")},
+         |hS$f AS (SELECT SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS h,
+         |      COUNT(*) AS tot FROM bt$f t
+         |      LEFT JOIN gtopS$f p ON p.q_id = t.q_id AND p.vec_id = t.vec_id),
+         |hF$f AS (SELECT SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS h,
+         |      COUNT(*) AS tot FROM bt$f t
+         |      LEFT JOIN gtopF$f p ON p.q_id = t.q_id AND p.vec_id = t.vec_id),
+         |r$f AS (SELECT CAST($f AS BIGINT) AS append_factor,
+         |      CAST((SELECT nb FROM nbc) AS BIGINT) AS n_base,
+         |      CAST($n AS BIGINT) AS n_corpus,
+         |      CAST((s.h * 1000000 + s.tot // 2) // s.tot AS BIGINT) AS recall_stale_ppm,
+         |      CAST((ff.h * 1000000 + ff.tot // 2) // ff.tot AS BIGINT) AS recall_fresh_ppm,
+         |      CAST((ff.h * 1000000 + ff.tot // 2) // ff.tot
+         |        - (s.h * 1000000 + s.tot // 2) // s.tot AS BIGINT) AS drift_ppm
+         |      FROM hS$f s CROSS JOIN hF$f ff)""".stripMargin
+    }.mkString(",\n")
+    lshBucketCtes(4) +
+      s""",
+         |nbc AS (SELECT COUNT(*) // 11 AS nb FROM v),
+         |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < 10),
+         |bb AS (SELECT * FROM b WHERE vec_id < (SELECT nb FROM nbc)),
+         |${knnGraph("B", "bb", "bb")},
+         |gB AS MATERIALIZED (SELECT src, dst FROM gdB
+         |      UNION SELECT dst, src FROM gdB),
+         |$perFactor
+         |${factors.map(f => s"SELECT * FROM r$f").mkString("\n", "\nUNION ALL\n", "")}""".stripMargin
   }
 
   /** Power-iteration oracle for pca_top_component: the integer scaled
@@ -2754,10 +2880,11 @@ object SparkEntry {
     val rotate = (1 to m).map { c =>
       s"""y$c AS MATERIALIZED (SELECT vec_id,
          |      list_transform(range(1, 65), ii ->
-         |        y[ii] - CAST(round(2.0 * wt * CAST(w[ii] AS DOUBLE)
+         |        y[ii] - CAST(round(2.0 * CAST(wt AS DOUBLE) * CAST(w[ii] AS DOUBLE)
          |          / CAST(ww AS DOUBLE)) AS BIGINT)) AS y
          |      FROM (SELECT vec_id, y, w, ww,
-         |            list_inner_product(CAST(y AS DOUBLE[]), CAST(w AS DOUBLE[])) AS wt
+         |            list_sum(list_transform(range(1, 65),
+         |              ii -> CAST(y[ii] AS HUGEINT) * w[ii])) AS wt
          |            FROM y${c - 1} CROSS JOIN wa$c CROSS JOIN ww$c) t)""".stripMargin
     }.mkString(",\n")
     s"""WITH ${pcaComponentsCtes(m, rounds)},
@@ -2952,6 +3079,86 @@ object SparkEntry {
 
   private val dupComponentsOracle =
     dupComponentsCtes + "\nSELECT doc_id, component FROM comps"
+
+  /** dup_evidence oracle with the per-cluster pair budget replayed in
+    * SQL — mirrors DedupOps.dupEvidence's default path exactly: union
+    * pair graph → recursive-CTE components → signature-agreement rank
+    * (est DESC, doc_a, doc_b) → keep rn ≤ budget → the three screens
+    * over kept pairs only.
+    */
+  private def dupEvidenceOracleSql(budget: Int): String =
+    "WITH RECURSIVE " + minhashPairsCtes.stripPrefix("WITH ") +
+      s""",
+        |bits AS (SELECT * FROM generate_series(0, 31) t(bit)),
+        |votes AS (
+        |  SELECT doc_id, bit, SUM(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM h CROSS JOIN bits GROUP BY doc_id, bit),
+        |sim AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM votes GROUP BY doc_id),
+        |wps AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 2, 0))) AS i FROM tk),
+        |whs AS (SELECT doc_id, i,
+        |        CAST(concat('0x', substr(md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]), 1, 8)) AS BIGINT) AS h
+        |        FROM wps),
+        |wm AS (SELECT doc_id, COUNT(*) AS m FROM whs GROUP BY doc_id),
+        |wjs AS (SELECT doc_id, unnest(range(0, m - 3)) AS j FROM wm WHERE m >= 4),
+        |wwins AS (SELECT wjs.doc_id, wjs.j, whs.i, whs.h
+        |          FROM wjs JOIN whs ON whs.doc_id = wjs.doc_id AND whs.i BETWEEN wjs.j AND wjs.j + 3),
+        |wsel AS (SELECT doc_id, j, i, h,
+        |         row_number() OVER (PARTITION BY doc_id, j ORDER BY h ASC, i DESC) AS rn
+        |         FROM wwins),
+        |wprints AS (SELECT DISTINCT doc_id, h AS fp FROM wsel WHERE rn = 1),
+        |wdf AS (SELECT fp, COUNT(*) AS c FROM wprints GROUP BY fp),
+        |wpf AS (SELECT p.doc_id, p.fp FROM wprints p JOIN wdf ON p.fp = wdf.fp
+        |        WHERE wdf.c > 1 AND wdf.c <= 50),
+        |wshared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        |            FROM wpf a JOIN wpf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |upairs AS (SELECT DISTINCT doc_a, doc_b FROM (
+        |           SELECT doc_a, doc_b FROM mpairs
+        |           UNION ALL SELECT doc_a, doc_b FROM wshared) tu),
+        |uedges AS (SELECT DISTINCT src, dst FROM (
+        |           SELECT doc_a AS src, doc_b AS dst FROM upairs
+        |           UNION ALL SELECT doc_b, doc_a FROM upairs) te),
+        |ureach(src, dst) AS (
+        |  SELECT src, dst FROM uedges
+        |  UNION
+        |  SELECT r.src, e.dst FROM ureach r JOIN uedges e ON r.dst = e.src),
+        |ucomps AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+        |           FROM ureach GROUP BY src),
+        |uest AS (SELECT p.doc_a, p.doc_b,
+        |        CAST((SUM(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END) * 1000000 + 8)
+        |             // 16 AS BIGINT) AS est_ppm
+        |        FROM upairs p
+        |        JOIN mh a ON a.doc_id = p.doc_a
+        |        JOIN mh b ON b.doc_id = p.doc_b AND b.hash_idx = a.hash_idx
+        |        GROUP BY 1, 2),
+        |ukeep AS (SELECT doc_a, doc_b FROM (
+        |  SELECT u.doc_a, u.doc_b,
+        |         row_number() OVER (PARTITION BY c.component
+        |           ORDER BY COALESCE(e.est_ppm, 0) DESC, u.doc_a, u.doc_b) AS rn
+        |  FROM upairs u
+        |  JOIN ucomps c ON c.doc_id = u.doc_a
+        |  LEFT JOIN uest e ON e.doc_a = u.doc_a AND e.doc_b = u.doc_b) t
+        |  WHERE rn <= $budget),
+        |bshare AS (SELECT b1.doc_id AS doc_a, b2.doc_id AS doc_b, COUNT(*) AS n_bands
+        |           FROM bands b1 JOIN bands b2
+        |             ON b1.band = b2.band AND b1.band_key = b2.band_key
+        |           WHERE b1.doc_id < b2.doc_id GROUP BY 1, 2)
+        |SELECT u.doc_a, u.doc_b,
+        |  CAST(COALESCE(bs.n_bands, 0) AS BIGINT) AS n_bands,
+        |  CAST(COALESCE(ws.n_shared, 0) AS BIGINT) AS n_winnow,
+        |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS sim_hamming,
+        |  CAST(CAST(COALESCE(bs.n_bands, 0) > 0 AS INTEGER)
+        |       + CAST(COALESCE(ws.n_shared, 0) >= 2 AS INTEGER)
+        |       + CAST(bit_count(xor(sa.simhash, sb.simhash)) <= 3 AS INTEGER) AS INTEGER)
+        |    AS evidence_tiers
+        |FROM ukeep u
+        |LEFT JOIN bshare bs ON bs.doc_a = u.doc_a AND bs.doc_b = u.doc_b
+        |LEFT JOIN wshared ws ON ws.doc_a = u.doc_a AND ws.doc_b = u.doc_b
+        |JOIN sim sa ON sa.doc_id = u.doc_a
+        |JOIN sim sb ON sb.doc_id = u.doc_b""".stripMargin
 
   private val bcubedOracle: String =
     dupComponentsCtes +
@@ -3559,7 +3766,8 @@ object SparkEntry {
        |      (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
        |       FROM documents) GROUP BY 1),
        |sdu AS (SELECT substr(w, i, l) AS piece, SUM(freq) AS cnt
-       |      FROM wfu, range(1, 65) t1(i), range(1, ${maxPieceLen + 1}) t2(l)
+       |      FROM (SELECT w, freq, unnest(range(1, length(w) + 1)) AS i FROM wfu) wi,
+       |           range(1, ${maxPieceLen + 1}) t2(l)
        |      WHERE i + l - 1 <= length(w) GROUP BY 1),
        |charsu AS (SELECT piece FROM sdu WHERE length(piece) = 1),
        |${prune(0, "sdu")},
@@ -4804,55 +5012,13 @@ object SparkEntry {
     // multi-screen evidence audit: the minhash band/pair chain, the
     // SimHash fold (reusing the SAME shingle-hash CTE `h`), and the
     // winnowing chain (renamed w* to avoid CTE collisions) fused over
-    // the union pair set — three detectors, one row per pair
-    "dup_evidence" ->
-      (minhashPairsCtes +
-      """,
-        |bits AS (SELECT * FROM generate_series(0, 31) t(bit)),
-        |votes AS (
-        |  SELECT doc_id, bit, SUM(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-        |  FROM h CROSS JOIN bits GROUP BY doc_id, bit),
-        |sim AS (
-        |  SELECT doc_id,
-        |         CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
-        |  FROM votes GROUP BY doc_id),
-        |wps AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 2, 0))) AS i FROM tk),
-        |whs AS (SELECT doc_id, i,
-        |        CAST(concat('0x', substr(md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]), 1, 8)) AS BIGINT) AS h
-        |        FROM wps),
-        |wm AS (SELECT doc_id, COUNT(*) AS m FROM whs GROUP BY doc_id),
-        |wjs AS (SELECT doc_id, unnest(range(0, m - 3)) AS j FROM wm WHERE m >= 4),
-        |wwins AS (SELECT wjs.doc_id, wjs.j, whs.i, whs.h
-        |          FROM wjs JOIN whs ON whs.doc_id = wjs.doc_id AND whs.i BETWEEN wjs.j AND wjs.j + 3),
-        |wsel AS (SELECT doc_id, j, i, h,
-        |         row_number() OVER (PARTITION BY doc_id, j ORDER BY h ASC, i DESC) AS rn
-        |         FROM wwins),
-        |wprints AS (SELECT DISTINCT doc_id, h AS fp FROM wsel WHERE rn = 1),
-        |wdf AS (SELECT fp, COUNT(*) AS c FROM wprints GROUP BY fp),
-        |wpf AS (SELECT p.doc_id, p.fp FROM wprints p JOIN wdf ON p.fp = wdf.fp
-        |        WHERE wdf.c > 1 AND wdf.c <= 50),
-        |wshared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-        |            FROM wpf a JOIN wpf b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-        |upairs AS (SELECT doc_a, doc_b FROM mpairs
-        |           UNION SELECT doc_a, doc_b FROM wshared),
-        |bshare AS (SELECT b1.doc_id AS doc_a, b2.doc_id AS doc_b, COUNT(*) AS n_bands
-        |           FROM bands b1 JOIN bands b2
-        |             ON b1.band = b2.band AND b1.band_key = b2.band_key
-        |           WHERE b1.doc_id < b2.doc_id GROUP BY 1, 2)
-        |SELECT u.doc_a, u.doc_b,
-        |  CAST(COALESCE(bs.n_bands, 0) AS BIGINT) AS n_bands,
-        |  CAST(COALESCE(ws.n_shared, 0) AS BIGINT) AS n_winnow,
-        |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS sim_hamming,
-        |  CAST(CAST(COALESCE(bs.n_bands, 0) > 0 AS INTEGER)
-        |       + CAST(COALESCE(ws.n_shared, 0) >= 2 AS INTEGER)
-        |       + CAST(bit_count(xor(sa.simhash, sb.simhash)) <= 3 AS INTEGER) AS INTEGER)
-        |    AS evidence_tiers
-        |FROM upairs u
-        |LEFT JOIN bshare bs ON bs.doc_a = u.doc_a AND bs.doc_b = u.doc_b
-        |LEFT JOIN wshared ws ON ws.doc_a = u.doc_a AND ws.doc_b = u.doc_b
-        |JOIN sim sa ON sa.doc_id = u.doc_a
-        |JOIN sim sb ON sb.doc_id = u.doc_b""".stripMargin),
+    // the union pair set, per-cluster pair budget enforced (the shipping
+    // default) — three detectors, one row per kept pair
+    "dup_evidence" -> dupEvidenceOracleSql(24),
+    // the budget BINDING at gate scale (3-doc components → 3 pairs, keep
+    // 2): hash-proves the component closure + signature-rank + keep rule,
+    // not just the non-binding default
+    "dup_evidence_budgeted" -> dupEvidenceOracleSql(2),
 
     // estimator-accuracy audit: signature-agreement Jaccard vs exact
     // shingle-set Jaccard per candidate pair — reuses the full signature
@@ -6673,18 +6839,19 @@ object SparkEntry {
         |  FROM scored)
         |SELECT q_id, vec_id, score, rank FROM ranked WHERE rank <= 5""".stripMargin),
 
-    // graph-ANN beam search fully replayed: kNN-graph build, entry seeds,
-    // 3 unrolled beam rounds, final visited top-5
+    // graph-ANN beam search fully replayed: kNN-graph build, contract
+    // knobs (beam/seeds from the corpus bit-length), entry seeds, 3
+    // unrolled beam rounds, final visited top-5
     "cosine_topk_graph" ->
-      graphAnnOracle(3, 8, 8, 5, 4,
+      graphAnnOracle(3, 16, 5,
         "SELECT q_id, vec_id, score, rank FROM gtop"),
     // identical replay: the stored index holds exactly the inline graph
     "cosine_topk_graph_stored" ->
-      graphAnnOracle(3, 8, 8, 5, 4,
+      graphAnnOracle(3, 16, 5,
         "SELECT q_id, vec_id, score, rank FROM gtop"),
 
     "ann_recall_graph" ->
-      graphAnnOracle(3, 8, 8, 5, 4,
+      graphAnnOracle(3, 16, 5,
         """,
           |brute AS (SELECT q_id, vec_id FROM (
           |      SELECT q.q_id, c.vec_id,
@@ -6697,6 +6864,11 @@ object SparkEntry {
           |         AS recall
           |FROM brute b LEFT JOIN gtop p ON b.q_id = p.q_id AND b.vec_id = p.vec_id
           |GROUP BY b.q_id""".stripMargin),
+
+    // append-drift replay: per factor, fresh rebuild vs base+attach
+    // stale graph, both beam-searched under the grown slice's contract
+    // knobs against brute — the full engine chain in SQL
+    "graph_append_drift" -> graphDriftOracle(Seq(1, 5, 10), 3, 16, 5),
 
     // full DuckDB replay of IVF: first-16 centroids, assignment and probe
     // rankings on round(cos, 6) with centroid_id tiebreak — exactly the

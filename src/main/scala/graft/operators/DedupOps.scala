@@ -815,13 +815,52 @@ object DedupOps {
     * rest is per-pair probes — O(|pairs|), never corpus². NOTE |pairs|
     * itself is quadratic in duplicate-CLUSTER size (a 10-copy cluster is
     * 45 pairs — measured e=1.87 on the sf1 ladder's dup-heavy
-    * expansion): on a duplicate-heavy corpus run the component collapse
-    * first and spend the evidence budget per cluster, not per pair.
+    * expansion), so the collapse-first deploy rule is ENFORCED here
+    * (r12 verdict task 2), not just documented: the default path runs
+    * the component collapse over the union pair graph and keeps at most
+    * `maxPairsPerComponent` pairs per cluster — deterministic keep, top
+    * pairs by (signature-estimated Jaccard DESC, doc_a, doc_b) — before
+    * any of the three per-pair screens run. A template-flood cluster of
+    * c docs then costs c·log c (components) + the cheap 16-row signature
+    * probe per candidate pair for the ranking, but the three-detector
+    * evidence work and the output are bounded at `maxPairsPerComponent`
+    * rows per cluster instead of c(c−1)/2. Pass Int.MaxValue for the
+    * unbudgeted control shape.
     */
   def dupEvidence(documents: DataFrame, mpairs: DataFrame, wpairs: DataFrame,
-                  maxHamming: Int = 3): DataFrame = {
-    val u = mpairs.select(col("doc_a"), col("doc_b"))
+                  maxHamming: Int = 3,
+                  maxPairsPerComponent: Int = 24): DataFrame = {
+    val uAll = mpairs.select(col("doc_a"), col("doc_b"))
       .union(wpairs.select(col("doc_a"), col("doc_b"))).distinct()
+    val u =
+      if (maxPairsPerComponent == Int.MaxValue) uAll
+      else {
+        val comps = dupComponents(uAll)
+        val sig = minhashSignatures(documents)
+        // the SAME signature-agreement estimate minhashEstimateAudit
+        // gates — 16 signature rows per pair, O(|pairs|) — as the rank
+        // key; left + coalesce(0) so a pair whose doc has an empty
+        // signature (sub-shingle-length text) still ranks, at the bottom
+        val est = uAll
+          .join(sig.select(col("doc_id").as("doc_a"), col("hash_idx"),
+            col("minhash").as("ma")), Seq("doc_a"))
+          .join(sig.select(col("doc_id").as("doc_b"), col("hash_idx"),
+            col("minhash").as("mb")), Seq("doc_b", "hash_idx"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(expr(
+            "cast((sum(case when ma = mb then 1 else 0 end) * 1000000 + 8) div 16 as bigint)")
+            .as("est_ppm"))
+        val wspec = Window.partitionBy(col("component"))
+          .orderBy(col("est_ppm").desc, col("doc_a"), col("doc_b"))
+        uAll
+          .join(est, Seq("doc_a", "doc_b"), "left")
+          .na.fill(0L, Seq("est_ppm"))
+          .join(comps.select(col("doc_id").as("doc_a"), col("component")),
+            Seq("doc_a"))
+          .withColumn("rn", row_number().over(wspec))
+          .filter(col("rn") <= maxPairsPerComponent)
+          .select(col("doc_a"), col("doc_b"))
+      }
     val bands = lshBands(documents)
     val bshare = bands.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
       .join(bands.select(col("band"), col("band_key"), col("doc_id").as("doc_b")),
@@ -1312,7 +1351,11 @@ object DedupOps {
     val rm = removed.agg(count(lit(1)).as("removed_positions"))
     val viol = removed.join(covered, Seq("doc_id", "tok_idx"), "left_anti")
       .agg(count(lit(1)).as("violations"))
-    tot.crossJoin(broadcast(cn)).crossJoin(broadcast(rm)).crossJoin(broadcast(viol))
+    // the result is one row: eagerly materialize it (localCheckpoint) so
+    // the op-internal `marked` cache can be dropped before returning —
+    // otherwise the window-marked explode frame stays cached for the
+    // session's lifetime, unreachable by callers (r12 advice)
+    val out = tot.crossJoin(broadcast(cn)).crossJoin(broadcast(rm)).crossJoin(broadcast(viol))
       .select(lit(k.toLong).as("k"), col("n_token_positions"),
         col("covered_positions"), col("removed_positions"),
         (col("covered_positions") - col("removed_positions")).as("kept_dup_positions"),
@@ -1325,6 +1368,9 @@ object DedupOps {
             "(cast(removed_positions as decimal(38,0)) * 1000000 " +
               "+ covered_positions div 2) div covered_positions"))
           .as("removed_share_of_covered_ppm"))
+      .localCheckpoint()
+    marked.unpersist()
+    out
   }
 
   /** Span-dedup observability: per-source token-removal rates from

@@ -536,7 +536,12 @@ object SimilarityOps {
             count(lit(1)).as("tot"))
       }
       val cFresh = ivfTrainCentroids(corpus, nCentroids, iters)
-      recallOf(cStale).select(col("hits").as("h_stale"), col("tot"))
+      // eager localCheckpoint forces the 1-row aggregate NOW so the
+      // per-factor corpus cache can be dropped before the next factor
+      // grows its own copy — without it the three cached corpora (the
+      // largest = the full frame) pile up for the session's lifetime
+      // (r12 advice)
+      val row = recallOf(cStale).select(col("hits").as("h_stale"), col("tot"))
         .crossJoin(broadcast(recallOf(cFresh).select(col("hits").as("h_fresh"))))
         .select(lit(f.toLong).as("append_factor"),
           lit(nb).as("n_base"),
@@ -546,6 +551,9 @@ object SimilarityOps {
           expr("""(h_fresh * 1000000 + tot div 2) div tot
             | - (h_stale * 1000000 + tot div 2) div tot""".stripMargin)
             .as("drift_ppm"))
+        .localCheckpoint()
+      corpus.unpersist()
+      row
     }
     rows.reduce(_.unionAll(_))
   }
@@ -905,6 +913,34 @@ object SimilarityOps {
     graphAnnSearch(embeddings, knnGraphLsh(embeddings, graphK).localCheckpoint(),
       nQueries, k, beam, rounds, entrySeeds)
 
+  /** The graph tier's SCALE CONTRACT (r12 verdict task 3): at fixed knobs
+    * recall@5 decayed 0.50/0.34/0.22 across the three fixture SFs, because
+    * a constant beam explores a constant number of nodes while the true
+    * top-k spreads through a growing graph. The rule scales the explored
+    * set with corpus size: with lg = bit-length of n (exact integer log2,
+    * `64 - numberOfLeadingZeros`, = `length(bin(n))` on the oracle side),
+    *
+    *   beam = 6·lg(n), entrySeeds = 2·lg(n), rounds = 3, graphK = 16.
+    *
+    * Per-round work stays |queries|·beam·graphK = O(log n) per query —
+    * still corpus-size-free in the dominant term once the graph exists.
+    * Measured (GraphAnnKnobProbe, r13): recall@5 = 0.98 / 1.00 / 0.96
+    * across sf0.001/sf0.01/sf0.1 vs 0.50/0.34/0.22 shipped in r12; the
+    * `ann_recall_graph` gate pins the ≥ 0.90 floor at all three SFs.
+    */
+  def graphKnobs(n: Long): (Int, Int, Int, Int) = {
+    val lg = 64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L))
+    (6 * lg, 3, 16, 2 * lg) // (beam, rounds, graphK, entrySeeds)
+  }
+
+  /** [[graphAnnTopK]] under the scale-contract knobs — one driver-side
+    * count picks the rule's beam/seed widths for this corpus.
+    */
+  def graphAnnTopKScaled(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val (beam, rounds, graphK, seeds) = graphKnobs(embeddings.count())
+    graphAnnTopK(embeddings, nQueries, k, beam, rounds, graphK, seeds)
+  }
+
   /** Persist the graph-ANN index: the symmetrized edge list plus the
     * vectors (the same self-contained layout as [[writeIvfIndex]] — a
     * reader needs no access to the source table). Build once per corpus
@@ -924,6 +960,104 @@ object SimilarityOps {
                             rounds: Int = 3, entrySeeds: Int = 4): DataFrame =
     graphAnnSearch(spark.read.parquet(s"$dir/vectors"),
       spark.read.parquet(s"$dir/edges"), nQueries, k, beam, rounds, entrySeeds)
+
+  /** [[writeGraphIndex]] / [[graphAnnTopKFromIndex]] under the scale
+    * contract: the build picks graphK from the rule, the reader re-derives
+    * beam/seeds from the persisted vector count — index and query side
+    * agree on the knobs without a side-channel config.
+    */
+  def writeGraphIndexScaled(embeddings: DataFrame, dir: String): Unit =
+    writeGraphIndex(embeddings, dir, graphKnobs(embeddings.count())._3)
+
+  def graphAnnTopKFromIndexScaled(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String, nQueries: Int, k: Int): DataFrame = {
+    val vectors = spark.read.parquet(s"$dir/vectors")
+    val (beam, rounds, _, seeds) = graphKnobs(vectors.count())
+    graphAnnSearch(vectors, spark.read.parquet(s"$dir/edges"),
+      nQueries, k, beam, rounds, seeds)
+  }
+
+  /** Incremental graph-index append: edges for the NEW nodes only —
+    * each delta vector finds its graphK nearest among the FULL grown
+    * corpus through the same LSH bucket equi-join the build uses, and the
+    * new edges are symmetrized in. Existing nodes' own top-k lists are
+    * NOT rewired (that is the whole point of an append: no corpus-scale
+    * rebuild), which is exactly the staleness [[graphAppendDrift]]
+    * measures — an old node whose true nearest neighbor arrived in the
+    * delta still points only at its build-time neighbors, so queries
+    * navigating through it can stall on the old neighborhood.
+    */
+  def knnGraphAttach(corpus: DataFrame, deltaMinId: Long, graphK: Int = 16,
+                     nBits: Int = 4, multiProbe: Boolean = true): DataFrame = {
+    val bucketed = corpus.withColumn("bucket", lshBucket(col("embedding"), nBits))
+    val src = bucketed.filter(col("vec_id") >= deltaMinId)
+      .select(col("vec_id").as("src"), col("embedding").as("s_emb"),
+        explode(lshProbeBuckets(col("bucket"), nBits, multiProbe)).as("bucket"))
+    val dst = bucketed.select(col("bucket"), col("vec_id").as("dst"),
+      col("embedding").as("d_emb"))
+    val w = Window.partitionBy("src").orderBy(col("score").desc, col("dst"))
+    val directed = src.join(dst, Seq("bucket"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("score",
+        round(graft.functions.GraftFunctions.cosineSim(col("s_emb"), col("d_emb")), 6))
+      .select(col("src"), col("dst"), col("score"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= graphK)
+      .select(col("src"), col("dst"))
+    directed
+      .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+
+  /** Recall decay of an append-attached graph index vs a full rebuild —
+    * [[ivfAppendDrift]]'s analog for the graph tier (r12 verdict task 3):
+    * the base 1/11 of the corpus builds the graph, the corpus grows
+    * 1×/5×/10×, and per factor the audit reports beam-search recall@k of
+    * (a) the STALE index — base-time edges plus [[knnGraphAttach]]-only
+    * delta edges, exactly what repeated appends produce — vs (b) a FRESH
+    * [[knnGraphLsh]] rebuild, both under the scale-contract knobs for the
+    * GROWN size and both against full-precision brute. drift_ppm =
+    * fresh − stale is the rebuild-policy number. Slices are vec_id
+    * prefixes (deterministic, dense ids), sized from one driver count.
+    */
+  def graphAppendDrift(embeddings: DataFrame, factors: Seq[Int] = Seq(1, 5, 10),
+                       nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val nb = embeddings.count() / 11
+    val rows = factors.map { f =>
+      val n = nb * (1 + f)
+      val corpus = embeddings.filter(col("vec_id") < n).persist()
+      val (beam, rounds, graphK, seeds) = graphKnobs(n)
+      val base = corpus.filter(col("vec_id") < nb)
+      val stale = knnGraphLsh(base, graphK)
+        .unionByName(knnGraphAttach(corpus, nb, graphK)).distinct()
+      val fresh = knnGraphLsh(corpus, graphK)
+      val brute = cosineTopK(corpus, nQueries, k).select(col("q_id"), col("vec_id"))
+      def recallOf(edges: DataFrame): DataFrame = {
+        val hits = graphAnnSearch(corpus, edges.localCheckpoint(),
+            nQueries, k, beam, rounds, seeds)
+          .select(col("q_id"), col("vec_id")).withColumn("hit", lit(1L))
+        brute.join(hits, Seq("q_id", "vec_id"), "left")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+            count(lit(1)).as("tot"))
+      }
+      // eager localCheckpoint then unpersist: same cache discipline as
+      // ivfAppendDrift — no per-factor corpus blocks outlive their row
+      val row = recallOf(stale).select(col("hits").as("h_stale"), col("tot"))
+        .crossJoin(broadcast(recallOf(fresh).select(col("hits").as("h_fresh"))))
+        .select(lit(f.toLong).as("append_factor"),
+          lit(nb).as("n_base"),
+          lit(n).as("n_corpus"),
+          expr("(h_stale * 1000000 + tot div 2) div tot").as("recall_stale_ppm"),
+          expr("(h_fresh * 1000000 + tot div 2) div tot").as("recall_fresh_ppm"),
+          expr("""(h_fresh * 1000000 + tot div 2) div tot
+            | - (h_stale * 1000000 + tot div 2) div tot""".stripMargin)
+            .as("drift_ppm"))
+        .localCheckpoint()
+      corpus.unpersist()
+      row
+    }
+    rows.reduce(_.unionAll(_))
+  }
 
   private def graphAnnSearch(embeddings: DataFrame, graph: DataFrame,
                              nQueries: Int, k: Int, beam: Int, rounds: Int,
@@ -1621,64 +1755,57 @@ object SimilarityOps {
     *  - share_ppm divides every component's λ by the trace of the ORIGINAL
     *    M₁, so the k shares are comparable energy fractions.
     *
-    * All post-corpus work runs on the d- and d²-row dimension frames;
-    * corpus cost is the single [[scaledCovariance]] pass regardless of k.
+    * All post-corpus work runs DRIVER-SIDE on the collected D×D integer
+    * matrix (r12 verdict task 4): the covariance is dimension²-bounded
+    * (d = 64 → 4096 rows — the same vocabulary-scale-collect class as the
+    * BPE merge tables), while the distributed deflation loop cost
+    * k·rounds Spark jobs of driver latency each — 170 s at sf1 for k = 4
+    * against a ~12 s covariance pass. Corpus cost is the single
+    * [[scaledCovariance]] pass regardless of k; every rounding below
+    * replays the former distributed expressions bit-for-bit (Decimal →
+    * double casts, HALF_UP double rounds, the same association order), so
+    * the basis is hash-identical to the r12 artifact.
     */
   def pcaComponents(embeddings: DataFrame, k: Int = 4, rounds: Int = 8): DataFrame = {
-    val D = DecimalType(38, 0)
-    var m = scaledCovariance(embeddings)
-    val trace = m.filter(col("i") === col("j")).agg(sum(col("mv")).as("tr"))
-      .localCheckpoint()
-    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val spark = embeddings.sparkSession
+    // one corpus-scale pass; d² = 4096 exact-integer cells to the driver
+    val covRows = scaledCovariance(embeddings).collect()
+    var m: Map[(Int, Int), BigInt] = covRows.map(r =>
+      (r.getInt(0), r.getInt(1)) -> BigInt(r.getDecimal(2).toBigInteger)).toMap
+    val dims = covRows.map(_.getInt(0)).distinct.sorted
+    val tr = dims.map(i => m((i, i))).sum
+    // cast(<decimal(38,0)> as double) = java BigDecimal.doubleValue;
+    // round(<double>) = scala BigDecimal(d).setScale(0, HALF_UP) — the
+    // exact semantics of Spark's Cast and Round on these types
+    def dbl(x: BigInt): Double = new java.math.BigDecimal(x.bigInteger).doubleValue()
+    def rnd(v: Double): Long =
+      BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble.toLong
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Long)]
     for (c <- 1 to k) {
-      var v = m.select(col("i")).distinct()
-        .select(col("i"), lit(1000000L).cast(D).as("x"))
-        .localCheckpoint()
+      var x: Map[Int, BigInt] = dims.map(_ -> BigInt(1000000L)).toMap
       for (_ <- 1 to rounds) {
-        val u = m.join(broadcast(v.select(col("i").as("j"), col("x"))), Seq("j"))
-          .groupBy(col("i")).agg(sum((col("mv") * col("x")).cast(D)).as("u"))
-        val mx = u.agg(max(abs(col("u"))).as("mx"))
-        v = u.crossJoin(broadcast(mx))
-          .select(col("i"),
-            expr("""cast(cast(round(cast(u as double) / cast(mx as double)
-              | * 1000000) as bigint) as decimal(38,0))""".stripMargin).as("x"))
-          .localCheckpoint()
+        val u = dims.map(i => i -> dims.map(j => m((i, j)) * x(j)).sum).toMap
+        val mx = u.values.map(_.abs).max
+        x = dims.map(i => i -> BigInt(rnd(dbl(u(i)) / dbl(mx) * 1000000d))).toMap
       }
-      val vv = v.agg(sum((col("x") * col("x")).cast(D)).as("vv")).localCheckpoint()
-      val ray = m
-        .join(broadcast(v.select(col("i").as("j"), col("x").as("xj"))), Seq("j"))
-        .join(broadcast(v.select(col("i"), col("x").as("xi"))), Seq("i"))
-        .select(expr("""cast(round(cast(mv as double) * cast(xi as double)
-          | * cast(xj as double) / 1000000000000.0d) as decimal(38,0))""".stripMargin)
-          .as("t_q"))
-        .agg(sum(col("t_q")).as("vmv"))
-        .localCheckpoint()
-      val loadings = v.crossJoin(broadcast(vv))
-        .select(col("i"),
-          expr("""cast(round(cast(x as double) / sqrt(cast(vv as double))
-            | * 1000000) as bigint)""".stripMargin).as("u"))
-        .localCheckpoint()
-      parts += loadings.crossJoin(broadcast(vv)).crossJoin(broadcast(ray))
-        .crossJoin(broadcast(trace))
-        .select(lit(c).as("component"), col("i").as("dim"),
-          col("u").as("loading_micros"),
-          expr("""cast(round(cast(vmv as double) / cast(vv as double)
-            | / cast(tr as double) * 1.0e18) as bigint)""".stripMargin).as("share_ppm"))
+      val vv = dims.map(i => x(i) * x(i)).sum
+      val vmv = dims.flatMap(i => dims.map(j =>
+        BigInt(rnd(dbl(m((i, j))) * dbl(x(i)) * dbl(x(j)) / 1.0e12)))).sum
+      val u = dims.map(i =>
+        i -> rnd(dbl(x(i)) / math.sqrt(dbl(vv)) * 1000000d)).toMap
+      val share = rnd(dbl(vmv) / dbl(vv) / dbl(tr) * 1.0e18)
+      dims.foreach(i => out += ((c, i, u(i), share)))
       if (c < k) {
         // Hotelling deflation: M − λuuᵀ, λ = vᵀMv/vᵀv in M-scale; per
-        // entry one fixed-shape double over the exact integers
-        m = m
-          .join(broadcast(loadings.select(col("i"), col("u").as("ui"))), Seq("i"))
-          .join(broadcast(loadings.select(col("i").as("j"), col("u").as("uj"))), Seq("j"))
-          .crossJoin(broadcast(ray)).crossJoin(broadcast(vv))
-          .select(col("i"), col("j"),
-            (col("mv") - expr("""cast(round(cast(vmv as double) * cast(ui as double)
-              | * cast(uj as double) / cast(vv as double)) as decimal(38,0))""".stripMargin))
-              .cast(D).as("mv"))
-          .localCheckpoint()
+        // entry one fixed-shape double round over the exact integers
+        m = m.map { case ((i, j), mv) =>
+          (i, j) -> (mv - BigInt(rnd(
+            dbl(vmv) * u(i).toDouble * u(j).toDouble / dbl(vv))))
+        }
       }
     }
-    parts.reduce(_.unionAll(_))
+    import spark.implicits._
+    out.toSeq.toDF("component", "dim", "loading_micros", "share_ppm")
   }
 
   /** OPQ-lite rotation artifact: the Householder-QR of the top-m principal

@@ -1704,10 +1704,14 @@ object TextOps {
   /** The trained unigram tokenizer applied to the corpus: Viterbi-
     * segment each DISTINCT word once under the final vocabulary (the
     * same two folds as training), then join the per-word piece count
-    * back to the exploded corpus — the corpus-scale pass carries one
-    * broadcast hash join, no re-segmentation per occurrence. Per-doc
-    * totals mirror [[bpeEncode]] so the two tokenizers compare
-    * row-for-row.
+    * back to the exploded corpus — no re-segmentation per occurrence.
+    * The per-word join is deliberately UNHINTED: `perWord` is the
+    * distinct-word table, whose cardinality is corpus-dependent and
+    * unbounded (NOT the ≤vocab-scale `vmap`, which IS broadcast) — at
+    * 100 TB a forced broadcast would exceed driver memory, so AQE
+    * decides (it picks broadcast when the word table is actually small,
+    * a shuffle join when it isn't). Per-doc totals mirror [[bpeEncode]]
+    * so the two tokenizers compare row-for-row.
     */
   def unigramEncode(documents: DataFrame, vocab: DataFrame,
                     maxPieceLen: Int = 4): DataFrame = {
@@ -1721,7 +1725,7 @@ object TextOps {
       .withColumn("dp", expr(unigramDpSql(maxPieceLen)))
       .select(col("w"),
         expr(s"cast(size($unigramBacktraceSql) as bigint)").as("n_pieces"))
-    toks.join(broadcast(perWord), Seq("w"))
+    toks.join(perWord, Seq("w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(length(col("w")).cast(LongType)).as("n_chars_tok"),
@@ -1752,12 +1756,14 @@ object TextOps {
     val vmap = vocab.agg(
       map_from_entries(collect_list(struct(col("piece"), col("logp_micros"))))
         .as("vmap"))
+    // same unhinted per-word join as unigramEncode: distinct-word
+    // cardinality is corpus-scale, not broadcastable by contract
     val perWord = toks.select(col("w")).distinct()
       .crossJoin(broadcast(vmap))
       .withColumn("dp", expr(unigramDpSql(maxPieceLen)))
       .select(col("w"),
         expr(s"cast(size($unigramBacktraceSql) as bigint)").as("n_pieces"))
-    val enc = toks.join(broadcast(perWord), Seq("w"))
+    val enc = toks.join(perWord, Seq("w"))
       .groupBy(col("split"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_tokens"),

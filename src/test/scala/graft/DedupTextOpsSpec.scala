@@ -1417,6 +1417,34 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(hd == 0 && tiers == 3, got.toString)
   }
 
+  test("dupEvidence: per-cluster pair budget bounds a template flood — " +
+       "kept pairs ≤ budget per component, deterministic, a subset of the " +
+       "unbudgeted control") {
+    import spark.implicits._
+    // template flood: 8 exact copies chain into ONE component with
+    // 8·7/2 = 28 candidate pairs; the unrelated doc stays outside
+    val tmpl = "breaking news template header repeated across every crawl " +
+      "snapshot of the mirror site today"
+    val docs = ((1L to 8L).map(i => (i, tmpl)) :+
+      (9L, "completely unrelated content about warehouse tables and rows"))
+      .toDF("doc_id", "text")
+    val mp = DedupOps.minhashCandidatePairs(docs)
+    val wp = TextOps.winnowOverlapPairs(docs)
+    def pairsOf(budget: Int): Seq[(Long, Long)] =
+      DedupOps.dupEvidence(docs, mp, wp, maxPairsPerComponent = budget)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val full = pairsOf(Int.MaxValue)
+    assert(full.size == 28, s"flood control should see all 28 pairs: $full")
+    val kept = pairsOf(5)
+    assert(kept.size == 5, s"budget=5 keeps exactly 5 pairs: $kept")
+    assert(kept.toSet.subsetOf(full.toSet), "budgeted output ⊆ control")
+    // all-identical copies tie on est → keep rule falls to (doc_a, doc_b):
+    // the lexicographically-first five pairs of the cluster
+    assert(kept == full.sorted.take(5), s"deterministic keep: $kept")
+    assert(pairsOf(5) == kept, "re-run reproduces the same keep set")
+  }
+
   test("minhashEstimateAudit: identical docs estimate and measure J=1 with " +
        "zero error; estimate stays a valid ppm for partial overlaps") {
     import spark.implicits._

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SimilarityOps
+
+/** The graph-ANN tier's scale-contract gate (r12 verdict task 3): recall@5
+  * vs brute must hold a pinned floor at ALL THREE fixture SFs under the
+  * shipping knob rule (beam = 6·lg n, seeds = 2·lg n, rounds = 3,
+  * graphK = 16). r12 shipped fixed knobs whose recall decayed
+  * 0.50/0.34/0.22 across the SFs; the rule measured 0.98/1.00/0.96
+  * (GraphAnnKnobProbe), and this spec fails the suite if either the rule
+  * or the graph build regresses below 0.90 anywhere on the ladder —
+  * recall-vs-scale is a structural property here, like the plan shapes
+  * in PlanShapeSpec.
+  */
+class GraphAnnGateSpec extends SparkSpec {
+
+  private val floor = 0.90
+
+  for (sf <- Seq("sf0.001", "sf0.01", "sf0.1"))
+    test(s"graph-ANN scale contract: mean recall@5 >= $floor at $sf") {
+      val dir = s"/root/testdata/$sf"
+      val emb = graft.sources.Tables.load(spark, dir, "embeddings").persist()
+      try {
+        val brute = SimilarityOps.cosineTopK(emb, 10, 5)
+          .select(col("q_id"), col("vec_id"))
+        val hits = SimilarityOps.graphAnnTopKScaled(emb, 10, 5)
+          .select(col("q_id"), col("vec_id")).withColumn("hit", lit(1L))
+        val recall = brute.join(hits, Seq("q_id", "vec_id"), "left")
+          .agg((sum(coalesce(col("hit"), lit(0L))) / count(lit(1))).as("r"))
+          .head().getDouble(0)
+        assert(recall >= floor,
+          s"graph-ANN recall@5 $recall below contract floor $floor at $sf")
+      } finally {
+        emb.unpersist()
+        spark.catalog.clearCache()
+      }
+    }
+
+  test("knob rule scales: beam/seeds grow with lg n, rounds and graphK fixed") {
+    val (b1, r1, g1, s1) = SimilarityOps.graphKnobs(500L)
+    val (b2, r2, g2, s2) = SimilarityOps.graphKnobs(2000L)
+    val (b3, r3, g3, s3) = SimilarityOps.graphKnobs(1L << 40)
+    assert((b1, s1) == ((54, 18)) && (b2, s2) == ((66, 22)) && (b3, s3) == ((246, 82)))
+    assert(r1 == r2 && r2 == r3 && g1 == g2 && g2 == g3)
+    // exact integer log2: no float-log edge case at powers of two
+    assert(SimilarityOps.graphKnobs(512L)._1 == 60 &&
+      SimilarityOps.graphKnobs(511L)._1 == 54)
+  }
+
+  test("graphAppendDrift: stale-attach recall never exceeds fresh rebuild " +
+       "by contract, rows carry the three growth factors") {
+    val dir = "/root/testdata/sf0.01"
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+    val got = SimilarityOps.graphAppendDrift(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == Set(1L, 5L, 10L), got.toString)
+    got.foreach { case (f, (stale, fresh, drift)) =>
+      assert(drift == fresh - stale, s"factor $f: drift must be fresh-stale")
+      assert(stale >= 0L && stale <= 1000000L && fresh >= 0L && fresh <= 1000000L)
+    }
+    spark.catalog.clearCache()
+  }
+}

@@ -496,9 +496,17 @@ class PlanShapeSpec extends SparkSpec {
     // span audit: the only window partitions by the window fingerprint
     assert(!plan("span_dedup_recall_audit").contains("No Partition Defined"),
       "span audit window partitions by wh")
-    // unigram encode: per-word Viterbi joins back by broadcast, never a
-    // shuffle of the corpus keyed on the word
-    assert(plan("unigram_encode").contains("BroadcastHashJoin"),
-      "per-word piece counts broadcast back to the corpus")
+    // unigram encode: the vocab map (bounded) broadcasts, but the
+    // per-word join-back must NOT be a forced broadcast — perWord is the
+    // distinct-word table, corpus-dependent cardinality (r12 advice); AQE
+    // may still CHOOSE broadcast at test scale, so the assertion pins the
+    // absence of the static hint (no broadcast marker in the ANALYZED
+    // logical plan), not the physical join choice
+    val ue = SparkEntry.queries("unigram_encode")(spark, sf)
+      .queryExecution.analyzed.toString
+    val hints = "UnresolvedHint|ResolvedHint|hints=\\[broadcast".r
+      .findAllIn(ue).size
+    assert(hints <= 1,
+      s"unigram_encode should carry exactly one broadcast hint (vmap), found $hints:\n$ue")
   }
 }
