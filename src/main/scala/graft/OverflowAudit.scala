@@ -33,7 +33,9 @@ object OverflowAudit {
   /** (pattern, bound-justification). Pattern is matched against the
     * offending multiply's sql text.
     */
-  val KnownBounded: Seq[(String, String)] = Seq.empty
+  val KnownBounded: Seq[(String, String)] = Seq(
+    ("sum(CASE WHEN (ma = mb) THEN 1 ELSE 0 END) * 1000000" ->
+      "MinHash signature agreement: sum over exactly 16 hash_idx rows per pair, bound 16e6 << 2^63"))
 
   private val ScaleLits: Set[Long] = Set(100L, 10000L, 100000L, 1000000L, 1000000000L)
 

@@ -20,7 +20,12 @@ object Sf1Ladder {
   private val DefaultQueries =
     "pca_top_component,pca_components,hits_customer_part,bootstrap_ci," +
     "corpus_full,classifier_pr_auc,abc_xyz_matrix,dup_components," +
-    "jaccard_pairs,ann_recall"
+    "jaccard_pairs,ann_recall," +
+    // tranche 3 (r13): the r12/r13 heavy tier, previously unladdered
+    "ivf_append_drift,ann_recall_pq_opq,unigram_vocab,unigram_holdout," +
+    "cosine_topk_graph,cosine_topk_graph_stored,ann_recall_graph," +
+    "graph_append_drift,span_dedup_recall_audit,dup_evidence," +
+    "dup_evidence_budgeted"
 
   def expand(spark: SparkSession, srcDir: String, outDir: String,
              factor: Int = 10): Unit = {

@@ -1599,7 +1599,7 @@ object SparkEntry {
       t(s, d, "events").groupBy(col("event_type")).agg(count(lit(1)).as("n_raw"))
         .join(kept, Seq("event_type"))
         .select(col("event_type"), col("n_raw"), col("n_kept"),
-          expr("((n_raw - n_kept) * 1000000 + n_raw div 2) div n_raw").as("drop_ppm"))
+          expr("(cast(n_raw - n_kept as decimal(38,0)) * 1000000 + n_raw div 2) div n_raw").as("drop_ppm"))
     }),
     // month-over-month churn of the active-user base
     "monthly_churn" -> ((s, d) => EventOps.monthlyChurn(t(s, d, "events"))),

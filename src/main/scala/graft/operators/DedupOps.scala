@@ -158,7 +158,7 @@ object DedupOps {
       .agg(count(lit(1)).as("n_shingles"),
         count(when(col("c") === 1, lit(1))).as("n_unique"))
       .select(col("doc_id"), col("n_shingles"), col("n_unique"),
-        expr("(n_unique * 1000000L + n_shingles div 2) div n_shingles")
+        expr("(cast(n_unique as decimal(38,0)) * 1000000 + n_shingles div 2) div n_shingles")
           .as("novelty_ppm"))
   }
 
@@ -205,7 +205,7 @@ object DedupOps {
       .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
       .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("est_ppm"),
-        expr("""cast((coalesce(inter, 0L) * 1000000
+        expr("""cast((cast(coalesce(inter, 0L) as decimal(38,0)) * 1000000
           | + (na + nb - coalesce(inter, 0L)) div 2)
           | div (na + nb - coalesce(inter, 0L)) as bigint)""".stripMargin)
           .as("exact_ppm"))
@@ -331,7 +331,7 @@ object DedupOps {
         sum(coalesce(col("_found"), lit(0L))).as("found_pairs"))
       .select(col("true_pairs"), col("found_pairs"),
         when(col("true_pairs") > 0,
-          expr("(found_pairs * 1000000 + true_pairs div 2) div true_pairs"))
+          expr("(cast(found_pairs as decimal(38,0)) * 1000000 + true_pairs div 2) div true_pairs"))
           .as("recall_ppm"))
   }
 
@@ -511,9 +511,9 @@ object DedupOps {
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
       .select(explode(array(
         struct(col("doc_a").as("contained_id"), col("doc_b").as("container_id"),
-          expr("(common * 1000000L + na div 2) div na").as("containment_ppm")),
+          expr("(cast(common as decimal(38,0)) * 1000000 + na div 2) div na").as("containment_ppm")),
         struct(col("doc_b").as("contained_id"), col("doc_a").as("container_id"),
-          expr("(common * 1000000L + nb div 2) div nb").as("containment_ppm")))).as("r"))
+          expr("(cast(common as decimal(38,0)) * 1000000 + nb div 2) div nb").as("containment_ppm")))).as("r"))
       .select(col("r.contained_id").as("contained_id"),
         col("r.container_id").as("container_id"),
         col("r.containment_ppm").as("containment_ppm"))
@@ -790,8 +790,8 @@ object DedupOps {
     val cell = assign.groupBy(col("pred"), col("gold")).agg(count(lit(1)).as("c"))
     val tot = assign.agg(count(lit(1)).as("n"))
     cell.join(np, "pred").join(ng, "gold")
-      .agg(sum(expr("c * ((c * 1000000 + n_p div 2) div n_p)")).as("sp"),
-        sum(expr("c * ((c * 1000000 + n_g div 2) div n_g)")).as("sr"))
+      .agg(sum(expr("cast(c as decimal(38,0)) * ((cast(c as decimal(38,0)) * 1000000 + n_p div 2) div n_p)")).as("sp"),
+        sum(expr("cast(c as decimal(38,0)) * ((cast(c as decimal(38,0)) * 1000000 + n_g div 2) div n_g)")).as("sr"))
       .crossJoin(broadcast(tot))
       .select(col("n").as("n_docs"),
         expr("(sp + n div 2) div n").as("precision_ppm"),

@@ -174,7 +174,7 @@ object EntityOps {
       .select(col("n_values"), col("n_blocks"), col("max_block"), col("candidate_pairs"),
         expr("n_values * (n_values - 1) div 2").as("total_pairs"),
         expr("""case when n_values > 1 then
-          |  ((n_values * (n_values - 1) div 2 - candidate_pairs) * 1000000
+          |  (cast(n_values * (n_values - 1) div 2 - candidate_pairs as decimal(38,0)) * 1000000
           |   + (n_values * (n_values - 1) div 2) div 2)
           |  div (n_values * (n_values - 1) div 2) end""".stripMargin)
           .as("reduction_ppm"))

@@ -207,7 +207,7 @@ object EventOps {
         // pure-integer half-up ppm: no double division, no engine round()
         // semantics (n_both·n_users·1e6 stays well inside BIGINT for any
         // corpus whose distinct-pair count fits an analytics audit)
-        expr("(n_both * n_users * 1000000L + (n_a * n_b) div 2) div (n_a * n_b)")
+        expr("(cast(n_both as decimal(38,0)) * n_users * 1000000 + (n_a * n_b) div 2) div (n_a * n_b)")
           .as("lift_ppm"))
   }
 
@@ -321,7 +321,7 @@ object EventOps {
       .agg(sum(col("n")).as("from_total"))
     pairs.join(broadcast(totals), Seq("from_type"))
       .select(col("from_type"), col("to_type"), col("n"),
-        expr("(n * 1000000L + from_total div 2) div from_total").as("p_ppm"))
+        expr("(cast(n as decimal(38,0)) * 1000000 + from_total div 2) div from_total").as("p_ppm"))
   }
 
   /** Telemetry debounce — the double-fire cleaner every event pipeline
@@ -347,7 +347,7 @@ object EventOps {
       .agg(count(lit(1)).as("n_raw"),
         sum(expr("cast(first_of_burst as bigint)")).as("n_kept"))
       .withColumn("drop_ppm",
-        expr("((n_raw - n_kept) * 1000000 + n_raw div 2) div n_raw"))
+        expr("(cast(n_raw - n_kept as decimal(38,0)) * 1000000 + n_raw div 2) div n_raw"))
   }
 
   /** Monthly churn — the cohort-free retention pulse next to
@@ -376,7 +376,7 @@ object EventOps {
       .filter(col("m") < col("mx"))
       .select(col("m").as("month"), col("n_active"),
         coalesce(col("n_retained"), lit(0L)).as("n_retained"),
-        expr("""((n_active - coalesce(n_retained, 0L)) * 1000000
+        expr("""(cast(n_active - coalesce(n_retained, 0L) as decimal(38,0)) * 1000000
           | + n_active div 2) div n_active""".stripMargin).as("churn_ppm"))
   }
 
@@ -424,7 +424,7 @@ object EventOps {
     val tc = tr.groupBy(col("f"), col("t")).agg(count(lit(1)).as("n"))
     val p = tc.join(broadcast(tc.groupBy(col("f")).agg(sum(col("n")).as("tot"))), Seq("f"))
       .select(col("f"), col("t"),
-        expr("(n * 1000000 + tot div 2) div tot").as("p_ppm"))
+        expr("(cast(n as decimal(38,0)) * 1000000 + tot div 2) div tot").as("p_ppm"))
       .localCheckpoint() // referenced every round
     val scenarios = p.select(col("f").as("scenario")).filter(col("scenario") =!= "START")
       .distinct().unionAll(p.sparkSession.range(1).select(lit("base").as("scenario")))
@@ -488,7 +488,7 @@ object EventOps {
       .join(reUsers, Seq("m"), "left")
       .select(col("m").as("month"), col("n_active"),
         coalesce(col("n_reactivated"), lit(0L)).as("n_reactivated"),
-        expr("""(coalesce(n_reactivated, 0L) * 1000000 + n_active div 2)
+        expr("""(cast(coalesce(n_reactivated, 0L) as decimal(38,0)) * 1000000 + n_active div 2)
           | div n_active""".stripMargin).as("reactivation_ppm"))
   }
 
@@ -549,7 +549,7 @@ object EventOps {
       .agg(count(lit(1)).as("n_eligible"),
         sum(expr("cast(coalesce(hit, 0) as bigint)")).as("n_retained"))
       .select(col("n_day"), col("n_eligible"), col("n_retained"),
-        expr("(n_retained * 1000000 + n_eligible div 2) div n_eligible")
+        expr("(cast(n_retained as decimal(38,0)) * 1000000 + n_eligible div 2) div n_eligible")
           .as("retention_ppm"))
   }
 
@@ -607,8 +607,8 @@ object EventOps {
     val b = arms.filter(col("arm") === 1).select(col("n").as("n_b"), col("c").as("c_b"))
     a.crossJoin(b)
       .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
-        expr("(c_a * 1000000 + n_a div 2) div n_a").as("rate_a_ppm"),
-        expr("(c_b * 1000000 + n_b div 2) div n_b").as("rate_b_ppm"),
+        expr("(cast(c_a as decimal(38,0)) * 1000000 + n_a div 2) div n_a").as("rate_a_ppm"),
+        expr("(cast(c_b as decimal(38,0)) * 1000000 + n_b div 2) div n_b").as("rate_b_ppm"),
         // pooled p of exactly 0 or 1 has zero variance: the test is
         // undefined (both arms unanimous) -> NULL, not a division error
         when(col("c_a") + col("c_b") === 0 ||
@@ -966,8 +966,8 @@ object EventOps {
         // (both engines truncate toward zero — verified — but the split
         // keeps the contract visible and convention-proof)
         expr("""case when cents >= expected_cents
-          |  then (cents - expected_cents) * 1000000 div expected_cents
-          |  else -((expected_cents - cents) * 1000000 div expected_cents)
+          |  then cast(cents - expected_cents as decimal(38,0)) * 1000000 div expected_cents
+          |  else -(cast(expected_cents - cents as decimal(38,0)) * 1000000 div expected_cents)
           |end""".stripMargin).as("residual_ppm"))
       .filter(abs(col("residual_ppm")) > thresholdPpm)
 
@@ -1050,7 +1050,7 @@ object EventOps {
       .join(broadcast(nI.select(col("item").as("item_a"), col("n_i").as("n_a"))), Seq("item_a"))
       .join(broadcast(nI.select(col("item").as("item_b"), col("n_i").as("n_b"))), Seq("item_b"))
       .select(col("item_a"), col("item_b"), col("c_ab"),
-        expr("cast(round(c_ab * 1000000 / sqrt(cast(n_a * n_b as double))) as bigint)")
+        expr("cast(round(cast(c_ab as decimal(38,0)) * 1000000 / sqrt(cast(n_a * n_b as double))) as bigint)")
           .as("cosine_ppm"))
     val w = Window.partitionBy(col("item_a"))
       .orderBy(col("cosine_ppm").desc, col("item_b"))
@@ -1096,7 +1096,7 @@ object EventOps {
       .join(broadcast(nI.select(col("item").as("item_a"), col("n_i").as("n_a"))), Seq("item_a"))
       .join(broadcast(nI.select(col("item").as("item_b"), col("n_i").as("n_b"))), Seq("item_b"))
       .select(col("item_a"), col("item_b"),
-        expr("cast(round(c_ab * 1000000 / sqrt(cast(n_a * n_b as double))) as bigint)")
+        expr("cast(round(cast(c_ab as decimal(38,0)) * 1000000 / sqrt(cast(n_a * n_b as double))) as bigint)")
           .as("cosine_ppm"))
     val sym = scored.select(col("item_a").as("src"), col("item_b").as("dst"), col("cosine_ppm"))
       .unionByName(scored.select(col("item_b").as("src"), col("item_a").as("dst"), col("cosine_ppm")))
@@ -1113,7 +1113,7 @@ object EventOps {
     evald.crossJoin(broadcast(hits))
       .select(lit(k).as("k"), col("n_users"), col("n_hits"),
         when(col("n_users") === 0L, lit(null).cast(LongType))
-          .otherwise(expr("(n_hits * 1000000 + n_users div 2) div n_users"))
+          .otherwise(expr("(cast(n_hits as decimal(38,0)) * 1000000 + n_users div 2) div n_users"))
           .as("hitrate_ppm"))
   }
 
@@ -1208,7 +1208,7 @@ object EventOps {
       .groupBy(col("day")).agg(count(lit(1)).as("wau"))
     dau.join(wau, Seq("day"))
       .select(col("day"), col("dau"), col("wau"),
-        expr("(dau * 1000000L + wau div 2) div wau").as("stickiness_ppm"))
+        expr("(cast(dau as decimal(38,0)) * 1000000 + wau div 2) div wau").as("stickiness_ppm"))
   }
 
   def skewProfile(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
@@ -1230,7 +1230,7 @@ object EventOps {
     top.crossJoin(broadcast(total))
       .withColumn("cum_cnt", sum(col("cnt")).over(cum))
       .select(col(keyCol), col("cnt"),
-        expr("(cnt * 1000000L + total div 2) div total").as("share_ppm"),
+        expr("(cast(cnt as decimal(38,0)) * 1000000 + total div 2) div total").as("share_ppm"),
         expr("(cum_cnt * 1000000L + total div 2) div total").as("cum_share_ppm"))
   }
 
@@ -1513,7 +1513,7 @@ object EventOps {
     val tot = cells.agg(sum(col("n_events")).as("n_all"))
     cells.crossJoin(broadcast(tot))
       .select(col("dow"), col("hour"), col("n_events"), col("total_cents"),
-        expr("(n_events * 1000000 + n_all div 2) div n_all").as("share_ppm"))
+        expr("(cast(n_events as decimal(38,0)) * 1000000 + n_all div 2) div n_all").as("share_ppm"))
   }
 
   /** Customer-value decile profile — the LTV concentration read: rank
@@ -1604,7 +1604,7 @@ object EventOps {
     counts.join(broadcast(tot), Seq("event_type"))
       .select(col("event_type"), col("bucket").cast(IntegerType).as("bucket"),
         col("n_events"), col("max_late_us"),
-        expr("(n_events * 1000000 + n_type div 2) div n_type").as("share_ppm"))
+        expr("(cast(n_events as decimal(38,0)) * 1000000 + n_type div 2) div n_type").as("share_ppm"))
   }
 
   /** Trailing 6-month OLS revenue slope — the momentum read between

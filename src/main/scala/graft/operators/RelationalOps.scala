@@ -491,7 +491,7 @@ object RelationalOps {
         count(lit(1)).as("active_users"),
         sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("new_users"))
       .withColumn("new_rate_ppm",
-        expr("(new_users * 1000000L + active_users div 2) div active_users"))
+        expr("(cast(new_users as decimal(38,0)) * 1000000 + active_users div 2) div active_users"))
   }
 
   /** SCD2 point-in-time join: enrich facts with THE dimension version
@@ -1066,7 +1066,7 @@ object RelationalOps {
       .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)")).as("ext_cents"),
         sum(expr("cast(l_quantity as bigint)")).as("qty"))
       .filter(col("qty") > 0)
-      .withColumn("up_cc", expr("(ext_cents * 100 + qty div 2) div qty"))
+      .withColumn("up_cc", expr("(cast(ext_cents as decimal(38,0)) * 100 + qty div 2) div qty"))
     val base = pm.crossJoin(broadcast(pm.agg(min(col("month")).as("m0"))))
       .filter(col("month") === col("m0"))
       .select(col("partkey"), col("up_cc").as("up0"), col("qty").as("q0"))
@@ -1099,7 +1099,7 @@ object RelationalOps {
       .agg(count(lit(1)).as("n_orders"),
         sum(expr("cast(met as bigint)")).as("n_met"))
       .withColumn("sla_met_ppm",
-        expr("(n_met * 1000000 + n_orders div 2) div n_orders"))
+        expr("(cast(n_met as decimal(38,0)) * 1000000 + n_orders div 2) div n_orders"))
 
   /** Fulfillment-lag profile — exact p50/p90/p99 of order-date → last
     * lineitem ship-date lag in days: the operational SLO one-number
@@ -1164,7 +1164,7 @@ object RelationalOps {
       .groupBy(col("l_suppkey").as("suppkey"))
       .agg(count(lit(1)).as("n_lines"),
         sum(expr("cast(round(l_extendedprice * 100) as bigint)")).as("revenue_cents"),
-        expr("""(sum(cast(l_returnflag = 'R' as bigint)) * 1000000
+        expr("""(cast(sum(cast(l_returnflag = 'R' as bigint)) as decimal(38,0)) * 1000000
           | + count(1) div 2) div count(1)""".stripMargin).as("return_ppm"))
 
   /** Revenue concentration (the 80/20 read) — the share of total spend
@@ -1476,9 +1476,9 @@ object RelationalOps {
         sum(expr(s"cast(max_lag > $slaDays as bigint)")).as("n_late"),
         sum(expr("cast(returned = 1 as bigint)")).as("n_returned"))
       .select(col("month"), col("n_orders"), col("n_perfect"),
-        expr("(n_perfect * 1000000 + n_orders div 2) div n_orders").as("perfect_ppm"),
-        expr("(n_late * 1000000 + n_orders div 2) div n_orders").as("late_ppm"),
-        expr("(n_returned * 1000000 + n_orders div 2) div n_orders").as("returned_ppm"))
+        expr("(cast(n_perfect as decimal(38,0)) * 1000000 + n_orders div 2) div n_orders").as("perfect_ppm"),
+        expr("(cast(n_late as decimal(38,0)) * 1000000 + n_orders div 2) div n_orders").as("late_ppm"),
+        expr("(cast(n_returned as decimal(38,0)) * 1000000 + n_orders div 2) div n_orders").as("returned_ppm"))
   }
 
   /** Referential-integrity orphan audit across a warehouse's FK edges —
@@ -1502,7 +1502,7 @@ object RelationalOps {
         .agg(count(lit(1)).as("n_child"),
           sum(when(col("present").isNull, 1L).otherwise(0L)).as("n_orphan"))
         .select(lit(label).as("relationship"), col("n_child"), col("n_orphan"),
-          expr("(n_orphan * 1000000 + n_child div 2) div n_child").as("orphan_ppm"))
+          expr("(cast(n_orphan as decimal(38,0)) * 1000000 + n_child div 2) div n_child").as("orphan_ppm"))
     }.reduce(_ unionByName _)
   }
 }

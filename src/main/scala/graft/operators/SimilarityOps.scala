@@ -133,7 +133,7 @@ object SimilarityOps {
       .select(col("q_id"), (coalesce(col("rel"), lit(0L)) * weight).as("g"))
       .groupBy(col("q_id")).agg(sum(col("g")).as("dcg"))
       .select(col("q_id"), col("dcg"),
-        expr(s"(dcg * 1000000 + ${idcg / 2}) div $idcg").as("ndcg_ppm"))
+        expr(s"(cast(dcg as decimal(38,0)) * 1000000 + ${idcg / 2}) div $idcg").as("ndcg_ppm"))
   }
 
   /** Per-query reciprocal rank of the TRUE nearest neighbor inside the
@@ -1586,7 +1586,7 @@ object SimilarityOps {
     val tot = sizes.agg(sum(col("n_vecs")).as("n_all"))
     sizes.crossJoin(broadcast(tot))
       .select(col("centroid_id"), col("n_vecs"),
-        expr("(n_vecs * 1000000 + n_all div 2) div n_all").as("share_ppm"))
+        expr("(cast(n_vecs as decimal(38,0)) * 1000000 + n_all div 2) div n_all").as("share_ppm"))
   }
 
   /** Embedding-table health profile — the pre-flight read before ANY

@@ -271,7 +271,7 @@ object StatsOps {
         df.select(expr(s"cast(round($valCol * 100) as bigint)").as("c"))
           .filter(col("c") > 0).agg(count(lit(1)).as("total"))))
       .select(col("digit"), col("n"),
-        expr("(n * 1000000 + total div 2) div total").as("share_ppm"),
+        expr("(cast(n as decimal(38,0)) * 1000000 + total div 2) div total").as("share_ppm"),
         expr("cast(round(ln(1.0d + 1.0d / cast(digit as double)) / ln(10.0d) * 1000000) as bigint)")
           .as("benford_ppm"))
 
@@ -297,7 +297,7 @@ object StatsOps {
         df.select(expr(s"cast(round($valCol * 100) as bigint)").as("c"))
           .filter(col("c") >= 10).agg(count(lit(1)).as("total"))))
       .select(col("digit"), col("n"),
-        expr("(n * 1000000 + total div 2) div total").as("share_ppm"),
+        expr("(cast(n as decimal(38,0)) * 1000000 + total div 2) div total").as("share_ppm"),
         expr(s"cast(round($expected * 1000000) as bigint)").as("benford_ppm"))
   }
 
@@ -319,7 +319,7 @@ object StatsOps {
     val tot = daily.agg(sum(col("n")).as("nt"), sum(col("n_err")).as("et"))
     daily.crossJoin(broadcast(tot))
       .select(col("day"), col("n"), col("n_err"),
-        expr("(n_err * 1000000 + n div 2) div n").as("err_ppm"),
+        expr("(cast(n_err as decimal(38,0)) * 1000000 + n div 2) div n").as("err_ppm"),
         expr("""cast(round((cast(et as double) / cast(nt as double)
           | + 3.0d * sqrt(cast(et as double) / cast(nt as double)
           |     * (1.0d - cast(et as double) / cast(nt as double))
@@ -596,8 +596,8 @@ object StatsOps {
     val tots = binned.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
     binned.crossJoin(broadcast(tots))
       .select(col("ta"), col("tb"),
-        expr("greatest((na * 1000000 + ta div 2) div ta, 1L)").as("p_ppm"),
-        expr("greatest((nb * 1000000 + tb div 2) div tb, 1L)").as("q_ppm"))
+        expr("greatest((cast(na as decimal(38,0)) * 1000000 + ta div 2) div ta, 1L)").as("p_ppm"),
+        expr("greatest((cast(nb as decimal(38,0)) * 1000000 + tb div 2) div tb, 1L)").as("q_ppm"))
       .select(col("ta"), col("tb"),
         expr("""cast(round((p_ppm - q_ppm)
           | * ln(cast(p_ppm as double) / cast(q_ppm as double))) as bigint)""".stripMargin)
@@ -721,7 +721,7 @@ object StatsOps {
       .agg(sum(col("term_micros")).as("chi2_micros"),
         sum(when(col("e").isin(0L, 95L, 99L), col("obs")).otherwise(0L)).as("round_obs"))
       .select(col("n"), lit(99L).as("dof"), col("chi2_micros"),
-        expr("(round_obs * 1000000 + n div 2) div n").as("round_ending_ppm"))
+        expr("(cast(round_obs as decimal(38,0)) * 1000000 + n div 2) div n").as("round_ending_ppm"))
   }
 
   /** Mann–Kendall trend test over a KEYED DIMENSION-SCALE series — the

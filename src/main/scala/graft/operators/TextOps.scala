@@ -226,7 +226,7 @@ object TextOps {
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
-        expr("(n_shared * 1000000L + least(na, nb) div 2) div least(na, nb)")
+        expr("(cast(n_shared as decimal(38,0)) * 1000000 + least(na, nb) div 2) div least(na, nb)")
           .as("overlap_ppm"))
   }
 
@@ -377,7 +377,7 @@ object TextOps {
       col("weight_micro").desc, col("token"))
       .crossJoin(broadcast(tot))
       .select(col("token"), col("n"), col("weight_micro"),
-        expr("(weight_micro * 1000000 + w_tot div 2) div w_tot").as("share_ppm"),
+        expr("(cast(weight_micro as decimal(38,0)) * 1000000 + w_tot div 2) div w_tot").as("share_ppm"),
         col("cum_hi"))
   }
 
@@ -554,7 +554,7 @@ object TextOps {
     val tot = c.groupBy(col("lang")).agg(sum(col("n")).as("tot"))
     c.join(broadcast(tot), Seq("lang"))
       .select(col("lang"), col("pred_lang"), col("n"),
-        expr("(n * 1000000 + tot div 2) div tot").as("share_ppm"))
+        expr("(cast(n as decimal(38,0)) * 1000000 + tot div 2) div tot").as("share_ppm"))
   }
 
   /** Heaps-law vocabulary growth curve: split the corpus into `buckets`
@@ -912,7 +912,7 @@ object TextOps {
         sum(col("fill")).as("total_tokens"),
         sum(when(col("fill") > seqBudget, 1L).otherwise(0L)).as("n_overflow"))
       .select(col("n_seqs"), col("total_tokens"), col("n_overflow"),
-        expr(s"""cast((total_tokens * 1000000 + (n_seqs * ${seqBudget}L) div 2)
+        expr(s"""cast((cast(total_tokens as decimal(38,0)) * 1000000 + (n_seqs * ${seqBudget}L) div 2)
                 | div (n_seqs * ${seqBudget}L) as bigint)""".stripMargin)
           .as("avg_fill_ppm"))
   }
@@ -1912,7 +1912,7 @@ object TextOps {
       .agg(count(lit(1)).as("n"),
         expr("cast((sum(score_u) + count(1) div 2) div count(1) as bigint)")
           .as("mean_score_u"),
-        expr("""cast((sum(cast(q_ppm >= 500000 as bigint)) * 1000000
+        expr("""cast((cast(sum(cast(q_ppm >= 500000 as bigint)) as decimal(38,0)) * 1000000
           | + count(1) div 2) div count(1) as bigint)""".stripMargin)
           .as("pos_rate_ppm"))
   }
@@ -1957,7 +1957,7 @@ object TextOps {
       .select(col("source"), col("n_pos"), col("n_neg"),
         when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null))
           .otherwise(expr(
-            "(u2 * 1000000 + n_pos * n_neg) div (2 * n_pos * n_neg)"))
+            "(cast(u2 as decimal(38,0)) * 1000000 + n_pos * n_neg) div (2 * n_pos * n_neg)"))
           .cast(LongType).as("auc_ppm"))
   }
 
@@ -2096,17 +2096,17 @@ object TextOps {
     val tot = tf.agg(sum(col("n_tokens")).as("tot"))
     val shares = tf.crossJoin(broadcast(tot))
       .select(col("source"), col("n_tokens"),
-        expr("(n_tokens * 1000000 + tot div 2) div tot").as("p_ppm"))
+        expr("(cast(n_tokens as decimal(38,0)) * 1000000 + tot div 2) div tot").as("p_ppm"))
       .withColumn("w_ppm", when(col("p_ppm") === 0L, lit(0L)).otherwise(expr(
         s"""cast(round(exp(ln(cast(p_ppm as double) / 1000000.0d)
            | * (cast($tauPpm as double) / 1000000.0d)) * 1000000) as bigint)""".stripMargin)))
     val wTot = shares.agg(sum(col("w_ppm")).as("wt"))
     shares.crossJoin(broadcast(wTot))
       .select(col("source"), col("n_tokens"), col("p_ppm"),
-        expr("(w_ppm * 1000000 + wt div 2) div wt").as("q_ppm"))
+        expr("(cast(w_ppm as decimal(38,0)) * 1000000 + wt div 2) div wt").as("q_ppm"))
       .withColumn("boost_ppm",
         when(col("p_ppm") === 0L, lit(null).cast(LongType))
-          .otherwise(expr("(q_ppm * 1000000 + p_ppm div 2) div p_ppm")))
+          .otherwise(expr("(cast(q_ppm as decimal(38,0)) * 1000000 + p_ppm div 2) div p_ppm")))
   }
 
   /** Count–min sketch sizing table — the planning face of
@@ -2213,7 +2213,7 @@ object TextOps {
       .join(tf, Seq("source", "token"), "left")
       .withColumn("c", coalesce(col("c"), lit(0L)))
       .select(col("source"), col("token"),
-        expr("(c * 1000000 + tot div 2) div tot").as("f_ppm"))
+        expr("(cast(c as decimal(38,0)) * 1000000 + tot div 2) div tot").as("f_ppm"))
     val mo = grid.groupBy(col("token"))
       .agg(count(lit(1)).as("k"), sum(col("f_ppm")).as("sf"),
         sum(col("f_ppm") * col("f_ppm")).as("qf"))
@@ -2251,8 +2251,8 @@ object TextOps {
       .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
         sum(expr("cast(c = 1 as bigint)")).as("n_hapax"))
       .select(col("source"), col("n_tokens"), col("n_types"),
-        expr("(n_types * 1000000 + n_tokens div 2) div n_tokens").as("ttr_ppm"),
-        expr("(n_hapax * 1000000 + n_types div 2) div n_types").as("hapax_ppm"))
+        expr("(cast(n_types as decimal(38,0)) * 1000000 + n_tokens div 2) div n_tokens").as("ttr_ppm"),
+        expr("(cast(n_hapax as decimal(38,0)) * 1000000 + n_types div 2) div n_types").as("hapax_ppm"))
   }
 
   /** Wilson score interval on per-source keep rates — the small-sample
@@ -2503,10 +2503,10 @@ object TextOps {
     val tot = kept.agg(sum(col("n_docs")).as("n_tot"), sum(col("n_keep")).as("keep_tot"))
     kept.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("n_keep"),
-        expr("(n_keep * 1000000 + n_docs div 2) div n_docs").as("keep_ppm"),
+        expr("(cast(n_keep as decimal(38,0)) * 1000000 + n_docs div 2) div n_docs").as("keep_ppm"),
         when(col("keep_tot") === 0L, lit(null))
           .otherwise(expr(
-            "(n_keep * n_tot * 1000000 + (n_docs * keep_tot) div 2) div (n_docs * keep_tot)"))
+            "(cast(n_keep as decimal(38,0)) * n_tot * 1000000 + (n_docs * keep_tot) div 2) div (n_docs * keep_tot)"))
           .cast(LongType).as("parity_ppm"))
       .withColumn("below_four_fifths",
         when(col("parity_ppm").isNull, lit(null)).otherwise(col("parity_ppm") < 800000L))
