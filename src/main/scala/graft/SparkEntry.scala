@@ -638,6 +638,22 @@ object SparkEntry {
     // Lee-et-al span dedup: OVERLAPPING k-token windows, keep-first by
     // (doc_id, pos), covered token positions removed, survivors reassembled
     "substring_dedup" -> ((s, d) => DedupOps.substringDedup(t(s, d, "documents"))),
+    // self-repetition removal: keep-first span dedup WITHIN each doc
+    // ((doc_id, wh) window key — boilerplate windows can't form a hot
+    // partition); composes with the corpus-level substring_dedup
+    "intra_doc_dedup" -> ((s, d) => DedupOps.intraDocDedup(t(s, d, "documents"))),
+    // per-source self-repetition removal rates over the intra-doc pass
+    // (the observability row a pipeline reads before enabling it)
+    "intra_doc_dedup_stats" -> ((s, d) =>
+      DedupOps.intraDocDedup(t(s, d, "documents"))
+        .join(t(s, d, "documents").select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_tokens") - col("n_kept")).as("removed_tokens"))
+        .withColumn("removal_rate_ppm",
+          expr("(cast(removed_tokens as decimal(38,0)) * 1000000 " +
+            "+ total_tokens div 2) div total_tokens"))),
     // per-source span-removal audit over the same operator
     "span_dedup_stats" -> ((s, d) => DedupOps.substringDedupStats(t(s, d, "documents"))),
     // containment + recall of the suffix-array stand-in vs the EXACT
@@ -2614,6 +2630,78 @@ object SparkEntry {
     ("bucket" +: (0 until nBits).map(j => s"xor(bucket, ${1 << j})"))
       .mkString("[", ", ", "]")
 
+  /** Dynamic-nBits forms of the bucket and Hamming-1 probe list — the
+    * graph tier's scale-contract bucketing (nb = min(16, max(4, lg n −
+    * 7)) lives in a `kn`-style 1-row CTE; both expressions reference its
+    * `nb` column, so CROSS JOIN that CTE wherever these are emitted).
+    * Proven value-identical to the static 4-bit spelling at every gate
+    * SF (nb = 4 below 2^11 vectors).
+    */
+  /** The hashed frame behind the descent build (graph-tier scale
+    * contract): static 4-bit sign bucket for locality, plus the two
+    * portable-hash partitions — ~128-vector `cell`s inside each bucket
+    * and geometry-independent ~128-vector `rgroup`s — whose moduli live
+    * in the `kn`-style 1-row CTE (ncell, ngrp).
+    */
+  private def duckHashedFrame(name: String, corpus: String, kn: String): String =
+    s"""$name AS MATERIALIZED (SELECT vec_id, emb,
+       |      ${duckLshBucket("emb", "stride", 4)} AS bucket,
+       |      CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |        % $kn.ncell AS cell,
+       |      CAST(concat('0x', substr(md5('g' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |        % $kn.ngrp AS rgroup
+       |      FROM (SELECT vec_id, emb,
+       |            greatest(CAST(len(emb) // 4 AS INTEGER), 1) AS stride
+       |            FROM $corpus) t0 CROSS JOIN $kn)""".stripMargin
+
+  /** Per-src exact-cosine top-n over a candidate pair CTE — the oracle
+    * spelling of knnGraphDescent's topN (round-6 score, dst tiebreak).
+    */
+  private def duckEdgeTopN(out: String, cand: String, corpus: String,
+                           n: Int): String =
+    s"""$out AS MATERIALIZED (SELECT src, dst FROM (
+       |      SELECT c.src, c.dst,
+       |             row_number() OVER (PARTITION BY c.src
+       |               ORDER BY round(list_cosine_similarity(sv.emb, dv.emb), 6) DESC,
+       |                        c.dst) AS rnk
+       |      FROM $cand c JOIN $corpus sv ON sv.vec_id = c.src
+       |      JOIN $corpus dv ON dv.vec_id = c.dst) t WHERE rnk <= $n)""".stripMargin
+
+  /** The full NN-descent build replay, suffixed CTEs ending in the
+    * SYMMETRIZED edge set `g$sfx`: (bucket, cell) ∪ rgroup init pairs →
+    * top-graphK → `descentRounds` two-hop refinement rounds → union the
+    * per-node top-`longK` random-group shortcuts (NSW long links) →
+    * symmetrize. Mirrors SimilarityOps.knnGraphDescent exactly.
+    */
+  private def duckDescentBuild(sfx: String, hashed: String, corpus: String,
+                               descentRounds: Int, graphK: Int,
+                               longK: Int): String = {
+    val roundCtes = (1 to descentRounds).map { r =>
+      s"""nb$r$sfx AS (SELECT src, dst FROM e${r - 1}$sfx
+         |      UNION SELECT dst, src FROM e${r - 1}$sfx),
+         |th$r$sfx AS (SELECT DISTINCT a.src, b.dst FROM nb$r$sfx a
+         |      JOIN nb$r$sfx b ON a.dst = b.src WHERE a.src <> b.dst),
+         |cd$r$sfx AS (SELECT src, dst FROM th$r$sfx
+         |      UNION SELECT src, dst FROM e${r - 1}$sfx),
+         |${duckEdgeTopN(s"e$r$sfx", s"cd$r$sfx", corpus, graphK)}""".stripMargin
+    }.mkString(",\n")
+    s"""cp$sfx AS (SELECT a.vec_id AS src, bb.vec_id AS dst
+       |      FROM $hashed a JOIN $hashed bb
+       |      ON a.bucket = bb.bucket AND a.cell = bb.cell
+       |      WHERE a.vec_id <> bb.vec_id),
+       |gp$sfx AS (SELECT a.vec_id AS src, bb.vec_id AS dst
+       |      FROM $hashed a JOIN $hashed bb
+       |      ON a.rgroup = bb.rgroup WHERE a.vec_id <> bb.vec_id),
+       |${duckEdgeTopN(s"le$sfx", s"gp$sfx", corpus, longK)},
+       |ic$sfx AS (SELECT src, dst FROM cp$sfx UNION SELECT src, dst FROM gp$sfx),
+       |${duckEdgeTopN(s"e0$sfx", s"ic$sfx", corpus, graphK)},
+       |$roundCtes,
+       |gd$sfx AS (SELECT src, dst FROM e$descentRounds$sfx
+       |      UNION SELECT src, dst FROM le$sfx),
+       |g$sfx AS MATERIALIZED (SELECT src, dst FROM gd$sfx
+       |      UNION SELECT dst, src FROM gd$sfx)""".stripMargin
+  }
+
   /** Graph-ANN replay: the LSH-candidate kNN graph (multi-probe src side,
     * per-src top-graphK by round-6 cosine, dst tiebreak), fixed entry
     * seeds, then `rounds` unrolled beam iterations — expand through the
@@ -2642,21 +2730,13 @@ object SparkEntry {
          |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, node) AS rnk
          |      FROM vis$r) t WHERE rnk <= (SELECT beam FROM kn))""".stripMargin
     }.mkString(",\n")
-    lshBucketCtes(4) +
-    s""",
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |kn AS (SELECT 6 * length(bin(COUNT(*))) AS beam,
-       |              2 * length(bin(COUNT(*))) AS seeds FROM v),
-       |gsrc AS (SELECT vec_id AS src, emb AS s_emb, unnest(${duckProbeList(4)}) AS bucket
-       |      FROM b),
-       |gd AS (SELECT src, dst FROM (
-       |      SELECT s.src, d.vec_id AS dst,
-       |             row_number() OVER (PARTITION BY s.src
-       |               ORDER BY round(list_cosine_similarity(s.s_emb, d.emb), 6) DESC,
-       |                        d.vec_id) AS rnk
-       |      FROM gsrc s JOIN b d USING (bucket) WHERE s.src <> d.vec_id) t
-       |      WHERE rnk <= $graphK),
-       |g AS MATERIALIZED (SELECT src, dst FROM gd
-       |      UNION SELECT dst AS src, src AS dst FROM gd),
+       |              2 * length(bin(COUNT(*))) AS seeds,
+       |              greatest(1, COUNT(*) // 2048) AS ncell,
+       |              greatest(1, COUNT(*) // 128) AS ngrp FROM v),
+       |${duckHashedFrame("b", "v", "kn")},
+       |${duckDescentBuild("", "b", "v", 2, graphK, 4)},
        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < 10),
        |ent AS (SELECT q.q_id, e.vec_id AS node
        |      FROM q CROSS JOIN (SELECT vec_id FROM v
@@ -2678,26 +2758,15 @@ object SparkEntry {
        |$finalSelect""".stripMargin
   }
 
-  /** graph_append_drift replay: per growth factor, the FRESH kNN graph
-    * over the grown slice and the STALE graph (base-built edges plus
-    * LSH-attached delta edges, no rewiring), each beam-searched under the
-    * grown slice's contract knobs against the same brute top-k. Buckets
-    * are per-row, so every slice's bucketed frame is a filter of the one
-    * full-table bucket CTE — the oracle pays the signature pass once.
+  /** graph_append_drift replay: per growth factor, the FRESH descent
+    * build over the grown slice (grown-slice hash moduli) and the STALE
+    * graph — the base slice's descent build plus init-only attached
+    * delta edges, both hashed under the BASE moduli (re-hashing is a
+    * rebuild) — each beam-searched under the grown slice's contract
+    * query knobs against the same brute top-k.
     */
   private def graphDriftOracle(factors: Seq[Int], rounds: Int, graphK: Int,
                                k: Int): String = {
-    def knnGraph(sfx: String, srcFrom: String, corpus: String): String =
-      s"""gsrc$sfx AS (SELECT vec_id AS src, emb AS s_emb,
-         |      unnest(${duckProbeList(4)}) AS bucket FROM $srcFrom),
-         |gd$sfx AS (SELECT src, dst FROM (
-         |      SELECT s.src, d.vec_id AS dst,
-         |             row_number() OVER (PARTITION BY s.src
-         |               ORDER BY round(list_cosine_similarity(s.s_emb, d.emb), 6) DESC,
-         |                        d.vec_id) AS rnk
-         |      FROM gsrc$sfx s JOIN $corpus d USING (bucket)
-         |      WHERE s.src <> d.vec_id) t
-         |      WHERE rnk <= $graphK)""".stripMargin
     def beamChain(sfx: String, g: String, c: String, kn: String): String = {
       val roundCtes = (1 to rounds).map { r =>
         s"""exp$r$sfx AS (SELECT DISTINCT f.q_id, g.dst AS node
@@ -2734,31 +2803,43 @@ object SparkEntry {
     }
     val perFactor = factors.map { f =>
       val n = s"(SELECT nb * ${1 + f} FROM nbc)"
-      s"""b$f AS MATERIALIZED (SELECT * FROM b WHERE vec_id < $n),
-         |kn$f AS (SELECT 6 * length(bin(COUNT(*))) AS beam,
-         |               2 * length(bin(COUNT(*))) AS seeds FROM b$f),
-         |${knnGraph(s"F$f", s"b$f", s"b$f")},
-         |gF$f AS MATERIALIZED (SELECT src, dst FROM gdF$f
-         |      UNION SELECT dst, src FROM gdF$f),
-         |${knnGraph(s"A$f",
-           s"(SELECT * FROM b$f WHERE vec_id >= (SELECT nb FROM nbc)) sa$f", s"b$f")},
+      // fresh: descent build with the GROWN slice's hash moduli (kn$f);
+      // stale: base descent graph + init-only attach under the BASE
+      // moduli (knB) - the index keeps its build-time hash functions
+      s"""c$f AS MATERIALIZED (SELECT * FROM v WHERE vec_id < $n),
+         |kn$f AS (SELECT 6 * length(bin(nb * ${1 + f})) AS beam,
+         |               2 * length(bin(nb * ${1 + f})) AS seeds,
+         |               greatest(1, (nb * ${1 + f}) // 2048) AS ncell,
+         |               greatest(1, (nb * ${1 + f}) // 128) AS ngrp FROM nbc),
+         |${duckHashedFrame(s"bF$f", s"c$f", s"kn$f")},
+         |${duckDescentBuild(s"F$f", s"bF$f", s"c$f", 2, graphK, 4)},
+         |${duckHashedFrame(s"bA$f", s"c$f", "knB")},
+         |acp$f AS (SELECT a.vec_id AS src, bb.vec_id AS dst
+         |      FROM (SELECT * FROM bA$f WHERE vec_id >= (SELECT nb FROM nbc)) a
+         |      JOIN bA$f bb ON a.bucket = bb.bucket AND a.cell = bb.cell
+         |      WHERE a.vec_id <> bb.vec_id),
+         |agp$f AS (SELECT a.vec_id AS src, bb.vec_id AS dst
+         |      FROM (SELECT * FROM bA$f WHERE vec_id >= (SELECT nb FROM nbc)) a
+         |      JOIN bA$f bb ON a.rgroup = bb.rgroup WHERE a.vec_id <> bb.vec_id),
+         |ac$f AS (SELECT src, dst FROM acp$f UNION SELECT src, dst FROM agp$f),
+         |${duckEdgeTopN(s"aA$f", s"ac$f", s"c$f", graphK)},
          |gS$f AS MATERIALIZED (SELECT src, dst FROM gB
-         |      UNION SELECT src, dst FROM gdA$f
-         |      UNION SELECT dst, src FROM gdA$f),
+         |      UNION SELECT src, dst FROM aA$f
+         |      UNION SELECT dst, src FROM aA$f),
          |bt$f AS (SELECT q_id, vec_id FROM (
          |      SELECT q.q_id, c.vec_id,
          |             row_number() OVER (PARTITION BY q.q_id
          |               ORDER BY round(list_cosine_similarity(c.emb, q.q_emb), 4) DESC,
          |                        c.vec_id) AS rank
-         |      FROM b$f c JOIN q ON c.vec_id <> q.q_id) t WHERE rank <= $k),
-         |${beamChain(s"S$f", s"gS$f", s"b$f", s"kn$f")},
-         |${beamChain(s"F$f", s"gF$f", s"b$f", s"kn$f")},
+         |      FROM c$f c JOIN q ON c.vec_id <> q.q_id) t WHERE rank <= $k),
+         |${beamChain(s"S$f", s"gS$f", s"c$f", s"kn$f")},
+         |${beamChain(s"Fr$f", s"gF$f", s"c$f", s"kn$f")},
          |hS$f AS (SELECT SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS h,
          |      COUNT(*) AS tot FROM bt$f t
          |      LEFT JOIN gtopS$f p ON p.q_id = t.q_id AND p.vec_id = t.vec_id),
          |hF$f AS (SELECT SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS h,
          |      COUNT(*) AS tot FROM bt$f t
-         |      LEFT JOIN gtopF$f p ON p.q_id = t.q_id AND p.vec_id = t.vec_id),
+         |      LEFT JOIN gtopFr$f p ON p.q_id = t.q_id AND p.vec_id = t.vec_id),
          |r$f AS (SELECT CAST($f AS BIGINT) AS append_factor,
          |      CAST((SELECT nb FROM nbc) AS BIGINT) AS n_base,
          |      CAST($n AS BIGINT) AS n_corpus,
@@ -2768,16 +2849,16 @@ object SparkEntry {
          |        - (s.h * 1000000 + s.tot // 2) // s.tot AS BIGINT) AS drift_ppm
          |      FROM hS$f s CROSS JOIN hF$f ff)""".stripMargin
     }.mkString(",\n")
-    lshBucketCtes(4) +
-      s""",
-         |nbc AS (SELECT COUNT(*) // 11 AS nb FROM v),
-         |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < 10),
-         |bb AS (SELECT * FROM b WHERE vec_id < (SELECT nb FROM nbc)),
-         |${knnGraph("B", "bb", "bb")},
-         |gB AS MATERIALIZED (SELECT src, dst FROM gdB
-         |      UNION SELECT dst, src FROM gdB),
-         |$perFactor
-         |${factors.map(f => s"SELECT * FROM r$f").mkString("\n", "\nUNION ALL\n", "")}""".stripMargin
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |nbc AS (SELECT COUNT(*) // 11 AS nb FROM v),
+       |knB AS (SELECT greatest(1, nb // 2048) AS ncell,
+       |               greatest(1, nb // 128) AS ngrp FROM nbc),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < 10),
+       |cb AS (SELECT * FROM v WHERE vec_id < (SELECT nb FROM nbc)),
+       |${duckHashedFrame("bB", "cb", "knB")},
+       |${duckDescentBuild("B", "bB", "cb", 2, graphK, 4)},
+       |$perFactor
+       |${factors.map(f => s"SELECT * FROM r$f").mkString("\n", "\nUNION ALL\n", "")}""".stripMargin
   }
 
   /** Power-iteration oracle for pca_top_component: the integer scaled
@@ -4649,6 +4730,48 @@ object SparkEntry {
         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
         |       coalesce(a.n_kept, 0) AS n_kept, coalesce(a.clean_text, '') AS clean_text
         |FROM t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // within-doc keep-first: identical chain with the occurrence window
+    // partitioned by (doc_id, wh) — cross-doc duplication invisible
+    "intra_doc_dedup" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |wp AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 7, 0))) AS pos FROM t),
+        |wins AS (SELECT doc_id, pos, md5(array_to_string(toks[pos+1:pos+8], ' ')) AS wh FROM wp),
+        |occ AS (SELECT doc_id, pos,
+        |        row_number() OVER (PARTITION BY doc_id, wh ORDER BY pos) AS rn FROM wins),
+        |dup AS (SELECT doc_id, pos FROM occ WHERE rn > 1),
+        |cv0 AS (SELECT doc_id, pos, unnest(range(1, 9)) AS i FROM dup),
+        |covered AS (SELECT DISTINCT doc_id, pos + i AS tok_idx FROM cv0),
+        |tp0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS tok_idx FROM t),
+        |tokpos AS (SELECT doc_id, tok_idx, toks[tok_idx] AS tok FROM tp0),
+        |kept AS (SELECT p.doc_id, p.tok_idx, p.tok FROM tokpos p
+        |         WHERE NOT EXISTS (SELECT 1 FROM covered c
+        |                           WHERE c.doc_id = p.doc_id AND c.tok_idx = p.tok_idx)),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |        string_agg(tok, ' ' ORDER BY tok_idx) AS clean_text FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |       coalesce(a.n_kept, 0) AS n_kept, coalesce(a.clean_text, '') AS clean_text
+        |FROM t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "intra_doc_dedup_stats" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |wp AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 7, 0))) AS pos FROM t),
+        |wins AS (SELECT doc_id, pos, md5(array_to_string(toks[pos+1:pos+8], ' ')) AS wh FROM wp),
+        |occ AS (SELECT doc_id, pos,
+        |        row_number() OVER (PARTITION BY doc_id, wh ORDER BY pos) AS rn FROM wins),
+        |dup AS (SELECT doc_id, pos FROM occ WHERE rn > 1),
+        |cv0 AS (SELECT doc_id, pos, unnest(range(1, 9)) AS i FROM dup),
+        |covered AS (SELECT DISTINCT doc_id, pos + i AS tok_idx FROM cv0),
+        |nc AS (SELECT doc_id, COUNT(*) AS n_cov FROM covered GROUP BY doc_id),
+        |out AS (SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |        CAST(len(t.toks) - coalesce(nc.n_cov, 0) AS BIGINT) AS n_kept
+        |        FROM t LEFT JOIN nc USING (doc_id))
+        |SELECT d.source, COUNT(*) AS n_docs,
+        |       CAST(SUM(o.n_tokens) AS BIGINT) AS total_tokens,
+        |       CAST(SUM(o.n_tokens - o.n_kept) AS BIGINT) AS removed_tokens,
+        |       CAST((SUM(o.n_tokens - o.n_kept) * 1000000 + SUM(o.n_tokens) // 2)
+        |            // SUM(o.n_tokens) AS BIGINT) AS removal_rate_ppm
+        |FROM out o JOIN documents d USING (doc_id) GROUP BY d.source""".stripMargin,
 
     // exact duplicated-substring coverage (all occurrences of duplicated
     // windows), the engine's removed set, and their containment — ground

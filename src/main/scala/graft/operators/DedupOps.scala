@@ -1302,6 +1302,54 @@ object DedupOps {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** INTRA-document span dedup — self-repetition removal, the within-doc
+    * counterpart of [[substringDedup]] (Lee et al. 2022 apply the same
+    * suffix-array pass inside documents; boilerplate loops, scraper
+    * stutter, and templated repeats inside ONE page are what it removes).
+    * A k-token window occurrence is dropped iff the SAME document already
+    * contains that window at an earlier position — cross-document
+    * duplication is deliberately invisible here, so the operator composes
+    * with (and is independent of) the corpus-level span dedup. Keep-first
+    * inside the doc, covered-position removal, order-preserving
+    * reassembly — identical shape to [[substringDedup]] with the window
+    * partitioned by (doc_id, wh) instead of wh: the shuffle key gains the
+    * doc id, so hot boilerplate windows shared by millions of docs can't
+    * form a hot partition — strictly BETTER skew behavior than the
+    * corpus-level pass at 100 TB.
+    */
+  def intraDocDedup(documents: DataFrame, k: Int = 8): DataFrame = {
+    val winsSql = letScalar(toksSql, "t",
+      s"if(size(t) < $k, cast(array() as array<struct<pos:int,wh:string>>), " +
+        s"transform(sequence(0, size(t) - $k), " +
+        s"st -> struct(st as pos, md5(concat_ws(' ', slice(t, st + 1, $k))) as wh)))")
+    val wins = documents
+      .select(col("doc_id"), explode(expr(winsSql)).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.wh").as("wh"))
+    val keepFirst = Window.partitionBy(col("doc_id"), col("wh")).orderBy(col("pos"))
+    val covered = wins
+      .withColumn("rn", row_number().over(keepFirst))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"), explode(expr(s"sequence(pos + 1, pos + $k)")).as("tok_idx"))
+      .distinct()
+    val tokpos = documents
+      .select(col("doc_id"), posexplode(expr(toksSql)).as(Seq("idx0", "tok")))
+      .select(col("doc_id"), (col("idx0") + 1).as("tok_idx"), col("tok"))
+    val reassembled = tokpos
+      .join(covered, Seq("doc_id", "tok_idx"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(sort_array(collect_list(struct(tok_idx, tok))), x -> x.tok)"))
+          .as("clean_text"))
+    documents
+      .select(col("doc_id"), expr(s"size($toksSql)").cast(LongType).as("n_tokens"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Recall/containment audit of [[substringDedup]] against the EXACT
     * duplicated-substring ground truth — the measurement `lsh_recall_audit`
     * provides for banding, applied to the suffix-array stand-in (Lee et

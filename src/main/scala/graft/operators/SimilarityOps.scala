@@ -893,6 +893,97 @@ object SimilarityOps {
       .distinct()
   }
 
+  /** LINEAR-cost kNN-graph build: bucket-cell exhaustive init + NN-descent
+    * refinement (Dong, Moses & Li, WWW'11 — the public algorithm, re-
+    * expressed as DataFrame ops). The one-shot LSH-bucket build
+    * ([[knnGraphLsh]]) scores n²·(nBits+1)/2^nBits pairs — measured
+    * e = 1.4 at the sf1 decade with nBits pinned at 4, and raising nBits
+    * on an isotropic corpus collapses recall (sign-bit collision p^nBits
+    * → buckets stop containing true neighbors; measured 0.00 recall@5 at
+    * nBits = 8). NN-descent sidesteps the trade entirely:
+    *
+    *  - INIT: vectors split into (bucket, cell) groups — the 4-bit sign
+    *    bucket for locality, then a portable-hash cell so every group is
+    *    ~[[cellTarget]] vectors regardless of corpus size; exhaustive
+    *    kNN inside each group costs n·cellTarget scored pairs. LINEAR.
+    *  - DESCENT round: every node's candidates = its neighbors'
+    *    neighbors over the SYMMETRIZED current graph (the NN-descent
+    *    invariant: a neighbor of my neighbor is probably my neighbor),
+    *    rescored exactly, keep top graphK. ≤ n·(2·graphK)² candidate
+    *    rows per round. LINEAR, and each round can only improve the
+    *    graph (keep-best on exact scores).
+    *
+    * Deterministic end to end: round-6 scores, dst tiebreak, md5-derived
+    * cells, every round localCheckpointed. Returns the DIRECTED top-k
+    * edges; callers symmetrize (same contract as [[knnGraphLsh]]'s
+    * directed stage).
+    */
+  def knnGraphDescent(embeddings: DataFrame, graphK: Int = 16,
+                      descentRounds: Int = 2, nBits: Int = 4,
+                      cellTarget: Int = 128, longK: Int = 4): DataFrame = {
+    val n = embeddings.count()
+    val nCells = math.max(1L, n / ((1L << nBits) * cellTarget))
+    // a SECOND, geometry-independent hash partition: ~cellTarget-sized
+    // groups spanning every bucket. The locality cells alone make the
+    // init a union of disconnected cliques (measured: beam recall frozen
+    // at the init value through 6 descent rounds — two-hop never escapes
+    // a clique); the salted-hash groups are NN-descent's random-init
+    // component, connecting the graph so descent can propagate.
+    val nGroups = math.max(1L, n / cellTarget)
+    val cellEx = s"cast(conv(substr(md5(cast(vec_id as string)), 1, 8), 16, 10) " +
+      s"as bigint) % $nCells"
+    val groupEx = s"cast(conv(substr(md5(concat('g', cast(vec_id as string))), 1, 8), 16, 10) " +
+      s"as bigint) % $nGroups"
+    val bucketed = embeddings
+      .withColumn("bucket", lshBucket(col("embedding"), nBits))
+      .withColumn("cell", expr(cellEx))
+      .withColumn("rgroup", expr(groupEx))
+    def topN(cand: DataFrame, n: Int): DataFrame = {
+      val w = Window.partitionBy("src").orderBy(col("score").desc, col("dst"))
+      cand
+        .join(embeddings.select(col("vec_id").as("src"), col("embedding").as("s_emb")),
+          Seq("src"))
+        .join(embeddings.select(col("vec_id").as("dst"), col("embedding").as("d_emb")),
+          Seq("dst"))
+        .withColumn("score",
+          round(graft.functions.GraftFunctions.cosineSim(col("s_emb"), col("d_emb")), 6))
+        .select(col("src"), col("dst"), col("score"),
+          row_number().over(w).as("rnk"))
+        .filter(col("rnk") <= n)
+        .select(col("src"), col("dst"))
+    }
+    val cellPairs = bucketed.select(col("bucket"), col("cell"), col("vec_id").as("src"))
+      .join(bucketed.select(col("bucket"), col("cell"), col("vec_id").as("dst")),
+        Seq("bucket", "cell"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    val groupPairs = bucketed.select(col("rgroup"), col("vec_id").as("src"))
+      .join(bucketed.select(col("rgroup"), col("vec_id").as("dst")), Seq("rgroup"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    // NSW-style LONG links: each node's best `longK` out of its random
+    // group, kept ALONGSIDE the refined kNN edges. Descent converges
+    // toward the pure kNN graph, which is exactly the graph greedy beam
+    // search navigates WORST (measured at sf1: recall 0.64 after 2
+    // rounds, 0.26 after 3 — better graph, worse navigability); the
+    // random-sample shortcuts restore the small-world property the beam
+    // needs (Malkov et al., NSW 2014).
+    val longEdges = topN(groupPairs, longK).localCheckpoint()
+    var edges = topN(cellPairs.unionByName(groupPairs).distinct(), graphK)
+      .localCheckpoint()
+    for (_ <- 1 to descentRounds) {
+      val nbr = edges
+        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val twoHop = nbr.select(col("src"), col("dst").as("mid"))
+        .join(nbr.select(col("src").as("mid"), col("dst")), Seq("mid"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+      edges = topN(twoHop.unionByName(edges).distinct(), graphK).localCheckpoint()
+    }
+    edges.unionByName(longEdges).distinct()
+  }
+
   /** Graph-based ANN (the HNSW/NSW recall path, DataFrame-native): greedy
     * BEAM SEARCH over the [[knnGraphLsh]] kNN graph instead of pointer
     * chasing — per round, the current top-`beam` candidates of every
@@ -922,23 +1013,34 @@ object SimilarityOps {
     *
     *   beam = 6·lg(n), entrySeeds = 2·lg(n), rounds = 3, graphK = 16.
     *
-    * Per-round work stays |queries|·beam·graphK = O(log n) per query —
-    * still corpus-size-free in the dominant term once the graph exists.
-    * Measured (GraphAnnKnobProbe, r13): recall@5 = 0.98 / 1.00 / 0.96
-    * across sf0.001/sf0.01/sf0.1 vs 0.50/0.34/0.22 shipped in r12; the
-    * `ann_recall_graph` gate pins the ≥ 0.90 floor at all three SFs.
+    * The BUILD-side half of the contract is [[knnGraphDescent]] (linear
+    * cell-bounded init + NN-descent + NSW long links): the one-shot LSH
+    * build's candidate join is n²·(nBits+1)/2^nBits — measured e = 1.4
+    * at the sf1 decade at nBits = 4, and raising nBits to keep buckets
+    * bounded collapses recall on an isotropic corpus (measured 0.00 at
+    * nBits = 8: sign-bit collision p^nBits empties the buckets of true
+    * neighbors). Query-side work stays |queries|·beam·graphK = O(log n)
+    * per query once the graph exists. Measured (GraphSf1Probe, r13):
+    * recall@5 = 1.00 / 1.00 / 0.98 / 0.98 across sf0.001/sf0.01/sf0.1/
+    * sf1(20k vectors) with the descent build at these query knobs, vs
+    * 0.50/0.34/0.22 shipped in r12; the `ann_recall_graph` gate pins the
+    * ≥ 0.90 floor at all three gate SFs.
     */
   def graphKnobs(n: Long): (Int, Int, Int, Int) = {
     val lg = 64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L))
     (6 * lg, 3, 16, 2 * lg) // (beam, rounds, graphK, entrySeeds)
   }
 
-  /** [[graphAnnTopK]] under the scale-contract knobs — one driver-side
-    * count picks the rule's beam/seed widths for this corpus.
+  /** Graph ANN under the full scale contract: [[knnGraphDescent]] build
+    * (symmetrized) + beam search at the contract query knobs — one
+    * driver-side count picks every width for this corpus.
     */
   def graphAnnTopKScaled(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val (beam, rounds, graphK, seeds) = graphKnobs(embeddings.count())
-    graphAnnTopK(embeddings, nQueries, k, beam, rounds, graphK, seeds)
+    val directed = knnGraphDescent(embeddings, graphK)
+    val sym = directed.unionByName(
+      directed.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    graphAnnSearch(embeddings, sym.localCheckpoint(), nQueries, k, beam, rounds, seeds)
   }
 
   /** Persist the graph-ANN index: the symmetrized edge list plus the
@@ -966,8 +1068,15 @@ object SimilarityOps {
     * beam/seeds from the persisted vector count — index and query side
     * agree on the knobs without a side-channel config.
     */
-  def writeGraphIndexScaled(embeddings: DataFrame, dir: String): Unit =
-    writeGraphIndex(embeddings, dir, graphKnobs(embeddings.count())._3)
+  def writeGraphIndexScaled(embeddings: DataFrame, dir: String): Unit = {
+    val (_, _, graphK, _) = graphKnobs(embeddings.count())
+    val directed = knnGraphDescent(embeddings, graphK)
+    directed.unionByName(
+        directed.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      .write.mode("overwrite").parquet(s"$dir/edges")
+    embeddings.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/vectors")
+  }
 
   def graphAnnTopKFromIndexScaled(spark: org.apache.spark.sql.SparkSession,
                                   dir: String, nQueries: Int, k: Int): DataFrame = {
@@ -977,27 +1086,44 @@ object SimilarityOps {
       nQueries, k, beam, rounds, seeds)
   }
 
-  /** Incremental graph-index append: edges for the NEW nodes only —
-    * each delta vector finds its graphK nearest among the FULL grown
-    * corpus through the same LSH bucket equi-join the build uses, and the
-    * new edges are symmetrized in. Existing nodes' own top-k lists are
-    * NOT rewired (that is the whole point of an append: no corpus-scale
-    * rebuild), which is exactly the staleness [[graphAppendDrift]]
-    * measures — an old node whose true nearest neighbor arrived in the
-    * delta still points only at its build-time neighbors, so queries
-    * navigating through it can stall on the old neighborhood.
+  /** Incremental graph-index append for the DESCENT-built index: edges
+    * for the NEW nodes only — each delta vector runs just the INIT step
+    * of the build (its (bucket, cell) locality candidates plus its
+    * random-group candidates, both under the index's BUILD-TIME hash
+    * moduli `moduliN` — rebucketing IS a rebuild) against the full grown
+    * corpus, takes its top graphK, and the new edges are symmetrized in.
+    * No descent rounds, and existing nodes' own top-k lists are NOT
+    * rewired — exactly the staleness [[graphAppendDrift]] measures.
     */
-  def knnGraphAttach(corpus: DataFrame, deltaMinId: Long, graphK: Int = 16,
-                     nBits: Int = 4, multiProbe: Boolean = true): DataFrame = {
-    val bucketed = corpus.withColumn("bucket", lshBucket(col("embedding"), nBits))
-    val src = bucketed.filter(col("vec_id") >= deltaMinId)
-      .select(col("vec_id").as("src"), col("embedding").as("s_emb"),
-        explode(lshProbeBuckets(col("bucket"), nBits, multiProbe)).as("bucket"))
-    val dst = bucketed.select(col("bucket"), col("vec_id").as("dst"),
-      col("embedding").as("d_emb"))
+  def knnGraphAttach(corpus: DataFrame, deltaMinId: Long, moduliN: Long,
+                     graphK: Int = 16, nBits: Int = 4,
+                     cellTarget: Int = 128): DataFrame = {
+    val nCells = math.max(1L, moduliN / ((1L << nBits) * cellTarget))
+    val nGroups = math.max(1L, moduliN / cellTarget)
+    val cellEx = s"cast(conv(substr(md5(cast(vec_id as string)), 1, 8), 16, 10) " +
+      s"as bigint) % $nCells"
+    val groupEx = s"cast(conv(substr(md5(concat('g', cast(vec_id as string))), 1, 8), 16, 10) " +
+      s"as bigint) % $nGroups"
+    val bucketed = corpus
+      .withColumn("bucket", lshBucket(col("embedding"), nBits))
+      .withColumn("cell", expr(cellEx))
+      .withColumn("rgroup", expr(groupEx))
+    val delta = bucketed.filter(col("vec_id") >= deltaMinId)
+    val cellCand = delta.select(col("bucket"), col("cell"), col("vec_id").as("src"))
+      .join(bucketed.select(col("bucket"), col("cell"), col("vec_id").as("dst")),
+        Seq("bucket", "cell"))
+      .select(col("src"), col("dst"))
+    val groupCand = delta.select(col("rgroup"), col("vec_id").as("src"))
+      .join(bucketed.select(col("rgroup"), col("vec_id").as("dst")), Seq("rgroup"))
+      .select(col("src"), col("dst"))
     val w = Window.partitionBy("src").orderBy(col("score").desc, col("dst"))
-    val directed = src.join(dst, Seq("bucket"))
+    val directed = cellCand.unionByName(groupCand)
       .filter(col("src") =!= col("dst"))
+      .distinct()
+      .join(corpus.select(col("vec_id").as("src"), col("embedding").as("s_emb")),
+        Seq("src"))
+      .join(corpus.select(col("vec_id").as("dst"), col("embedding").as("d_emb")),
+        Seq("dst"))
       .withColumn("score",
         round(graft.functions.GraftFunctions.cosineSim(col("s_emb"), col("d_emb")), 6))
       .select(col("src"), col("dst"), col("score"),
@@ -1023,14 +1149,19 @@ object SimilarityOps {
   def graphAppendDrift(embeddings: DataFrame, factors: Seq[Int] = Seq(1, 5, 10),
                        nQueries: Int = 10, k: Int = 5): DataFrame = {
     val nb = embeddings.count() / 11
+    def sym(directed: DataFrame): DataFrame = directed.unionByName(
+      directed.select(col("dst").as("src"), col("src").as("dst"))).distinct()
     val rows = factors.map { f =>
       val n = nb * (1 + f)
       val corpus = embeddings.filter(col("vec_id") < n).persist()
       val (beam, rounds, graphK, seeds) = graphKnobs(n)
       val base = corpus.filter(col("vec_id") < nb)
-      val stale = knnGraphLsh(base, graphK)
-        .unionByName(knnGraphAttach(corpus, nb, graphK)).distinct()
-      val fresh = knnGraphLsh(corpus, graphK)
+      // the persisted index keeps its BUILD-TIME hash moduli: appends
+      // attach through the base-size cells/groups (re-hashing IS a
+      // rebuild), while the fresh rebuild gets the grown corpus's moduli
+      val stale = sym(knnGraphDescent(base, graphK))
+        .unionByName(knnGraphAttach(corpus, nb, nb, graphK)).distinct()
+      val fresh = sym(knnGraphDescent(corpus, graphK))
       val brute = cosineTopK(corpus, nQueries, k).select(col("q_id"), col("vec_id"))
       def recallOf(edges: DataFrame): DataFrame = {
         val hits = graphAnnSearch(corpus, edges.localCheckpoint(),
@@ -1058,6 +1189,13 @@ object SimilarityOps {
     }
     rows.reduce(_.unionAll(_))
   }
+
+  /** Beam search over a caller-supplied symmetrized edge set — the public
+    * face of the search half, for custom graph builds.
+    */
+  def graphAnnTopKOver(embeddings: DataFrame, edges: DataFrame, nQueries: Int,
+                       k: Int, beam: Int, rounds: Int, entrySeeds: Int): DataFrame =
+    graphAnnSearch(embeddings, edges, nQueries, k, beam, rounds, entrySeeds)
 
   private def graphAnnSearch(embeddings: DataFrame, graph: DataFrame,
                              nQueries: Int, k: Int, beam: Int, rounds: Int,
@@ -1699,39 +1837,63 @@ object SimilarityOps {
   }
 
   def pcaTopComponent(embeddings: DataFrame, rounds: Int = 8): DataFrame = {
-    val D = DecimalType(38, 0)
-    val m = scaledCovariance(embeddings)
-    var v = m.select(col("i")).distinct()
-      .select(col("i"), lit(1000000L).cast(D).as("x"))
-      .localCheckpoint()
-    for (_ <- 1 to rounds) {
-      val u = m.join(broadcast(v.select(col("i").as("j"), col("x"))), Seq("j"))
-        .groupBy(col("i")).agg(sum((col("mv") * col("x")).cast(D)).as("u"))
-      val mx = u.agg(max(abs(col("u"))).as("mx"))
-      v = u.crossJoin(broadcast(mx))
-        .select(col("i"),
-          expr("""cast(cast(round(cast(u as double) / cast(mx as double)
-            | * 1000000) as bigint) as decimal(38,0))""".stripMargin).as("x"))
-        .localCheckpoint()
+    // same driver-side deflation core as pcaComponents (k = 1): one
+    // corpus pass for the dimension²-bounded covariance, zero per-round
+    // jobs; the integer/double rounding chain is bit-identical to the
+    // former distributed expressions (see pcaComponents doc)
+    val spark = embeddings.sparkSession
+    val rows = pcaDeflate(scaledCovariance(embeddings).collect(), 1, rounds)
+    import spark.implicits._
+    rows.map { case (_, dim, u, share) => (dim, u, share) }
+      .toDF("dim", "loading_micros", "share_ppm")
+  }
+
+  /** Driver-side power-iteration + Hotelling-deflation core shared by
+    * [[pcaTopComponent]] and [[pcaComponents]] — exact BigInt state, the
+    * double/HALF_UP rounding chain replaying Spark's Cast/Round on the
+    * same values. Input is the collected (i, j, mv) covariance grid;
+    * output rows are (component, dim, loading_micros, share_ppm).
+    */
+  private def pcaDeflate(covRows: Array[org.apache.spark.sql.Row],
+                         k: Int, rounds: Int): Seq[(Int, Int, Long, Long)] = {
+    var m: Map[(Int, Int), BigInt] = covRows.map(r =>
+      (r.getInt(0), r.getInt(1)) -> BigInt(r.getDecimal(2).toBigInteger)).toMap
+    val dims = covRows.map(_.getInt(0)).distinct.sorted
+    val tr = dims.map(i => m((i, i))).sum
+    // cast(<decimal(38,0)> as double) = java BigDecimal.doubleValue;
+    // round(<double>) = scala BigDecimal(d).setScale(0, HALF_UP) — the
+    // exact semantics of Spark's Cast and Round on these types
+    def dbl(x: BigInt): Double = new java.math.BigDecimal(x.bigInteger).doubleValue()
+    def rnd(v: Double): Long =
+      BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble.toLong
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Long)]
+    for (c <- 1 to k) {
+      var x: Map[Int, BigInt] = dims.map(_ -> BigInt(1000000L)).toMap
+      for (_ <- 1 to rounds) {
+        val u = dims.map(i => i -> dims.map(j => m((i, j)) * x(j)).sum).toMap
+        val mx = u.values.map(_.abs).max
+        x = dims.map(i => i -> BigInt(rnd(dbl(u(i)) / dbl(mx) * 1000000d))).toMap
+      }
+      val vv = dims.map(i => x(i) * x(i)).sum
+      val vmv = dims.flatMap(i => dims.map(j =>
+        BigInt(rnd(dbl(m((i, j))) * dbl(x(i)) * dbl(x(j)) / 1.0e12)))).sum
+      val u = dims.map(i =>
+        i -> rnd(dbl(x(i)) / math.sqrt(dbl(vv)) * 1000000d)).toMap
+      // vmv carries vᵀMv / 1e12 (the per-term quantization scale) and vv
+      // carries vᵀv in micros² (= 1e12 × unit) — the two 1e12s compose to
+      // the 1e18 factor restoring λ/trace before the ppm
+      val share = rnd(dbl(vmv) / dbl(vv) / dbl(tr) * 1.0e18)
+      dims.foreach(i => out += ((c, i, u(i), share)))
+      if (c < k) {
+        // Hotelling deflation: M − λuuᵀ, λ = vᵀMv/vᵀv in M-scale; per
+        // entry one fixed-shape double round over the exact integers
+        m = m.map { case ((i, j), mv) =>
+          (i, j) -> (mv - BigInt(rnd(
+            dbl(vmv) * u(i).toDouble * u(j).toDouble / dbl(vv))))
+        }
+      }
     }
-    val vv = v.agg(sum((col("x") * col("x")).cast(D)).as("vv"))
-    val ray = m
-      .join(broadcast(v.select(col("i").as("j"), col("x").as("xj"))), Seq("j"))
-      .join(broadcast(v.select(col("i"), col("x").as("xi"))), Seq("i"))
-      .select(expr("""cast(round(cast(mv as double) * cast(xi as double)
-        | * cast(xj as double) / 1000000000000.0d) as decimal(38,0))""".stripMargin)
-        .as("t_q"))
-      .agg(sum(col("t_q")).as("vmv"))
-    val trace = m.filter(col("i") === col("j")).agg(sum(col("mv")).as("tr"))
-    v.crossJoin(broadcast(vv)).crossJoin(broadcast(ray)).crossJoin(broadcast(trace))
-      .select(col("i").as("dim"),
-        expr("""cast(round(cast(x as double) / sqrt(cast(vv as double))
-          | * 1000000) as bigint)""".stripMargin).as("loading_micros"),
-        // vmv carries vᵀMv / 1e12 (the per-term quantization scale) and
-        // vv carries vᵀv in micros² (= 1e12 × unit) — the two 1e12s
-        // compose to the 1e18 factor restoring λ/trace before the ppm
-        expr("""cast(round(cast(vmv as double) / cast(vv as double)
-          | / cast(tr as double) * 1.0e18) as bigint)""".stripMargin).as("share_ppm"))
+    out.toSeq
   }
 
   /** Top-k principal components by power iteration WITH DEFLATION —
@@ -1769,43 +1931,9 @@ object SimilarityOps {
   def pcaComponents(embeddings: DataFrame, k: Int = 4, rounds: Int = 8): DataFrame = {
     val spark = embeddings.sparkSession
     // one corpus-scale pass; d² = 4096 exact-integer cells to the driver
-    val covRows = scaledCovariance(embeddings).collect()
-    var m: Map[(Int, Int), BigInt] = covRows.map(r =>
-      (r.getInt(0), r.getInt(1)) -> BigInt(r.getDecimal(2).toBigInteger)).toMap
-    val dims = covRows.map(_.getInt(0)).distinct.sorted
-    val tr = dims.map(i => m((i, i))).sum
-    // cast(<decimal(38,0)> as double) = java BigDecimal.doubleValue;
-    // round(<double>) = scala BigDecimal(d).setScale(0, HALF_UP) — the
-    // exact semantics of Spark's Cast and Round on these types
-    def dbl(x: BigInt): Double = new java.math.BigDecimal(x.bigInteger).doubleValue()
-    def rnd(v: Double): Long =
-      BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble.toLong
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Long)]
-    for (c <- 1 to k) {
-      var x: Map[Int, BigInt] = dims.map(_ -> BigInt(1000000L)).toMap
-      for (_ <- 1 to rounds) {
-        val u = dims.map(i => i -> dims.map(j => m((i, j)) * x(j)).sum).toMap
-        val mx = u.values.map(_.abs).max
-        x = dims.map(i => i -> BigInt(rnd(dbl(u(i)) / dbl(mx) * 1000000d))).toMap
-      }
-      val vv = dims.map(i => x(i) * x(i)).sum
-      val vmv = dims.flatMap(i => dims.map(j =>
-        BigInt(rnd(dbl(m((i, j))) * dbl(x(i)) * dbl(x(j)) / 1.0e12)))).sum
-      val u = dims.map(i =>
-        i -> rnd(dbl(x(i)) / math.sqrt(dbl(vv)) * 1000000d)).toMap
-      val share = rnd(dbl(vmv) / dbl(vv) / dbl(tr) * 1.0e18)
-      dims.foreach(i => out += ((c, i, u(i), share)))
-      if (c < k) {
-        // Hotelling deflation: M − λuuᵀ, λ = vᵀMv/vᵀv in M-scale; per
-        // entry one fixed-shape double round over the exact integers
-        m = m.map { case ((i, j), mv) =>
-          (i, j) -> (mv - BigInt(rnd(
-            dbl(vmv) * u(i).toDouble * u(j).toDouble / dbl(vv))))
-        }
-      }
-    }
+    val rows = pcaDeflate(scaledCovariance(embeddings).collect(), k, rounds)
     import spark.implicits._
-    out.toSeq.toDF("component", "dim", "loading_micros", "share_ppm")
+    rows.toDF("component", "dim", "loading_micros", "share_ppm")
   }
 
   /** OPQ-lite rotation artifact: the Householder-QR of the top-m principal

@@ -1417,6 +1417,24 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(hd == 0 && tiers == 3, got.toString)
   }
 
+  test("intraDocDedup: removes the repeated window INSIDE a doc, keeps the " +
+       "first occurrence, and leaves cross-doc duplicates untouched") {
+    import spark.implicits._
+    val span = "alpha bravo charlie delta echo foxtrot golf hotel" // 8 tokens
+    val docs = Seq(
+      // doc 1: span, filler, span again → second occurrence removed
+      (1L, s"$span india juliet $span"),
+      // doc 2: exact copy of doc 1's span ONCE — cross-doc dup, untouched
+      (2L, s"$span kilo lima"),
+      (3L, "short text")) // < k tokens: no windows, fully kept
+      .toDF("doc_id", "text")
+    val got = DedupOps.intraDocDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((18L, 10L, s"$span india juliet")), got(1L).toString)
+    assert(got(2L) == ((10L, 10L, s"$span kilo lima")), got(2L).toString)
+    assert(got(3L) == ((2L, 2L, "short text")), got(3L).toString)
+  }
+
   test("dupEvidence: per-cluster pair budget bounds a template flood — " +
        "kept pairs ≤ budget per component, deterministic, a subset of the " +
        "unbudgeted control") {
