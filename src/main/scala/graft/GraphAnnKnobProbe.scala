@@ -4,11 +4,13 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.operators.SimilarityOps
 
-/** Measurement harness behind the graph-ANN scale contract (round-13
-  * verdict task 3): recall@5 of [[SimilarityOps.graphAnnTopK]] vs brute
-  * across the three fixture SFs for a grid of (beam, rounds, graphK,
-  * entrySeeds) knob rules — the data the beam-scaling rule and the
-  * `ann_recall_graph` floor are pinned from, instead of guessed.
+/** Measurement harness behind the graph-ANN QUERY-side scale contract
+  * (r13): recall@5 of [[SimilarityOps.graphAnnTopK]] (legacy LSH build)
+  * vs brute across the three fixture SFs for a grid of (beam, rounds,
+  * graphK, entrySeeds) knob rules — the data the beam-scaling rule and
+  * the `ann_recall_graph` floor were pinned from, instead of guessed.
+  * The BUILD-side contract (linear NN-descent + NSW long links) was
+  * measured separately by [[GraphSf1Probe]] at the sf1 decade.
   *
   * Usage: runMain graft.GraphAnnKnobProbe
   */
