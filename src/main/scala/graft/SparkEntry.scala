@@ -113,6 +113,21 @@ object SparkEntry {
       TextOps.unigramTrain(t(s, sfDir, "documents"))
         .write.mode("overwrite").parquet(out)))
 
+  /** Trained WordPiece merge table + its encode vocabulary — persisted
+    * like the BPE artifacts: the likelihood-scored train runs once per
+    * corpus snapshot; the vocab derives from the merge table + the
+    * training char set (≤ |chars| + rounds rows).
+    */
+  private def wordpieceMergesFor(s: SparkSession, sfDir: String): DataFrame =
+    s.read.parquet(artifactDir("wordpiece_merges", sfDir, "rounds=10")(out =>
+      TextOps.wordpieceTrain(t(s, sfDir, "documents"), rounds = 10)
+        .write.mode("overwrite").parquet(out)))
+  private def wordpieceVocabFor(s: SparkSession, sfDir: String): DataFrame =
+    s.read.parquet(artifactDir("wordpiece_vocab", sfDir, "rounds=10_len8")(out =>
+      TextOps.wordpieceVocabFrom(t(s, sfDir, "documents"),
+        wordpieceMergesFor(s, sfDir))
+        .write.mode("overwrite").parquet(out)))
+
   /** Flagship (driver smoke gate, sf0.001): the reference's E3 mart path —
     * scan → cast → date_trunc year → avg (mart_financial_summary.sql:4-8)
     * over orders.
@@ -1463,13 +1478,27 @@ object SparkEntry {
     // unigram generalization: train on the hash-90%, encode both splits
     "unigram_holdout" -> ((s, d) =>
       TextOps.unigramHoldoutAudit(t(s, d, "documents"))),
-    // BPE vs unigram fertility on the same corpus, one row per tokenizer
+    // BPE vs unigram vs WordPiece fertility on the same corpus, one row
+    // per tokenizer — the table the tokenizer choice is made on
     "tokenizer_fertility_compare" -> ((s, d) => {
       val merges = bpeMergesFor(s, d).orderBy(col("round")).collect()
         .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b"))).toSeq
       TextOps.tokenizerFertilityCompare(t(s, d, "documents"), merges,
-        unigramVocabFor(s, d))
+        unigramVocabFor(s, d), wordpieceVocabFor(s, d))
     }),
+    // WordPiece training (Schuster & Nakajima 2012): BPE's merge loop
+    // under the likelihood score pf/(sf_x*sf_y), exact-integer argmax
+    // (score_pt = pf*10^12 div sfx*sfy in DECIMAL(38,0)); oracle unrolls
+    // every round with the same HUGEINT division
+    "wordpiece_merges" -> ((s, d) => wordpieceMergesFor(s, d)),
+    // the trained WordPiece vocabulary applied greedily (longest-match-
+    // first fold per DISTINCT word, UNK on unseen chars) to the corpus
+    "wordpiece_encode" -> ((s, d) =>
+      TextOps.wordpieceEncode(t(s, d, "documents"), wordpieceVocabFor(s, d))),
+    // WordPiece generalization: train on the hash-90%, encode both
+    // splits; n_unk on heldout is the vocabulary-coverage risk read
+    "wordpiece_holdout" -> ((s, d) =>
+      TextOps.wordpieceHoldoutAudit(t(s, d, "documents"))),
     // first-order Markov transition matrix over per-user event sequences:
     // where users actually GO from each state, integer-ppm probabilities
     "event_transitions" -> ((s, d) =>
@@ -3894,9 +3923,14 @@ object SparkEntry {
        |       CAST(SUM(pwu.n_pieces) AS BIGINT) AS n_unigram_pieces
        |FROM toku t JOIN pwu USING (w) GROUP BY doc_id""".stripMargin
 
-  private val tokenizerCompareOracle: String =
+  // lazy: references the WordPiece CTE vals declared further down the
+  // object body — strict init here would read them as null
+  private lazy val tokenizerCompareOracle: String =
     bpeCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") + ",\n" + unigramCtes(3, 40, 4) +
+    ",\n" + wpCtes + ",\n" + wpVocabCtes +
     s""",
+       |wpall AS (SELECT DISTINCT w FROM wptok),
+       |${wpEncodeCtes("wpall")},
        |bentot AS (SELECT COUNT(*) AS n_tokens,
        |      SUM(CAST(length(t.w) AS BIGINT)) AS chars,
        |      SUM(CAST(len(string_split(trim(f.syms, '|'), '||')) AS BIGINT)) AS n_pieces
@@ -3904,7 +3938,11 @@ object SparkEntry {
        |unitot AS (SELECT COUNT(*) AS n_tokens,
        |      SUM(CAST(length(t.w) AS BIGINT)) AS chars,
        |      SUM(pwu.n_pieces) AS n_pieces
-       |      FROM toku t JOIN pwu USING (w))
+       |      FROM toku t JOIN pwu USING (w)),
+       |wptot AS (SELECT COUNT(*) AS n_tokens,
+       |      SUM(CAST(length(t.w) AS BIGINT)) AS chars,
+       |      SUM(e.np) AS n_pieces
+       |      FROM wptok t JOIN wenc e USING (w))
        |SELECT 'bpe' AS tokenizer, CAST(n_tokens AS BIGINT) AS n_tokens,
        |       CAST(n_pieces AS BIGINT) AS n_pieces,
        |       CAST((n_pieces * 1000000 + n_tokens // 2) // n_tokens AS BIGINT) AS fertility_ppm,
@@ -3914,7 +3952,12 @@ object SparkEntry {
        |SELECT 'unigram', CAST(n_tokens AS BIGINT), CAST(n_pieces AS BIGINT),
        |       CAST((n_pieces * 1000000 + n_tokens // 2) // n_tokens AS BIGINT),
        |       CAST((chars * 1000000 + n_pieces // 2) // n_pieces AS BIGINT)
-       |FROM unitot""".stripMargin
+       |FROM unitot
+       |UNION ALL
+       |SELECT 'wordpiece', CAST(n_tokens AS BIGINT), CAST(n_pieces AS BIGINT),
+       |       CAST((n_pieces * 1000000 + n_tokens // 2) // n_tokens AS BIGINT),
+       |       CAST((chars * 1000000 + n_pieces // 2) // n_pieces AS BIGINT)
+       |FROM wptot""".stripMargin
 
   private val bpeMergesOracle: String = bpeCtes + "\n" +
     (1 to bpeRounds).map { r =>
@@ -3948,6 +3991,130 @@ object SparkEntry {
        |       CAST((SUM(p.chars) * 1000000 + SUM(p.syms) // 2) // SUM(p.syms) AS BIGINT) AS chars_per_sym_ppm
        |FROM perdoc p JOIN documents d USING (doc_id)
        |GROUP BY d.lang""".stripMargin
+
+  // --- WordPiece replay (TextOps.wordpieceTrain / Encode) ---
+
+  /** WordPiece training replay: the BPE round structure with the
+    * likelihood score — per round, CURRENT-segmentation symbol
+    * frequencies (wsf), adjacent-pair frequencies (wpp), then the
+    * (score_pt DESC, pair ASC) argmax where score_pt is the SAME
+    * exact-integer pf·10¹² div (sf_x·sf_y) the engine computes in
+    * DECIMAL(38,0), here in HUGEINT. The merge application is the
+    * identical literal sentinel replace.
+    */
+  private val wpRounds = 10
+  private val wpMaxPieceLen = 8
+  private def wpCtesWhere(where: String): String = {
+    val base =
+      s"""wptok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents$where),
+        |wpwf AS MATERIALIZED (SELECT w, COUNT(*) AS freq FROM wptok GROUP BY w),
+        |ww0 AS MATERIALIZED (SELECT w, '|' || array_to_string(regexp_extract_all(w, '.'), '||') || '|' AS syms, freq FROM wpwf)""".stripMargin
+    // ww$r/wbb$r MATERIALIZED: each round references ww{r-1} THREE times
+    // (symbol freqs, pair freqs, the replace) — inlined, the chain expands
+    // 3^rounds scans of the base table and exhausts file handles (the
+    // unigram MATERIALIZED lesson at a higher branching factor)
+    val rounds = (1 to wpRounds).map { r =>
+      s"""wsf$r AS (SELECT s, SUM(freq) AS sf FROM (
+         |  SELECT freq, unnest(string_split(trim(syms, '|'), '||')) AS s
+         |  FROM ww${r - 1}) t GROUP BY s),
+         |wpp$r AS (SELECT x, y, SUM(freq) AS pf FROM (
+         |  SELECT freq, a[i + 1] AS x, a[i + 2] AS y FROM (
+         |    SELECT freq, string_split(trim(syms, '|'), '||') AS a,
+         |           unnest(range(0, greatest(len(string_split(trim(syms, '|'), '||')) - 1, 0))) AS i
+         |    FROM ww${r - 1}) t) p GROUP BY x, y),
+         |wbb$r AS MATERIALIZED (SELECT x, y, pf,
+         |          CAST((CAST(pf AS HUGEINT) * 1000000000000)
+         |               // (CAST(sx.sf AS HUGEINT) * sy.sf) AS BIGINT) AS score_pt
+         |          FROM wpp$r p JOIN wsf$r sx ON p.x = sx.s JOIN wsf$r sy ON p.y = sy.s
+         |          ORDER BY score_pt DESC, x, y LIMIT 1),
+         |ww$r AS MATERIALIZED (SELECT w, replace(syms, '|' || b.x || '||' || b.y || '|',
+         |                           '|' || b.x || b.y || '|') AS syms, freq
+         |         FROM ww${r - 1}, wbb$r b)""".stripMargin
+    }.mkString(",\n")
+    base + ",\n" + rounds
+  }
+  private val wpCtes: String = wpCtesWhere("")
+
+  /** Encode vocabulary CTE: training chars + merged pieces, ≤ wpMaxPieceLen
+    * (DISTINCT over UNION ALL — under WITH RECURSIVE DuckDB's plain UNION
+    * stops deduplicating across non-recursive branches, the r13 quirk).
+    */
+  private val wpVocabCtes: String =
+    s"""wpchars AS (SELECT DISTINCT unnest(regexp_extract_all(w, '.')) AS piece FROM wpwf),
+       |wpmg AS (SELECT DISTINCT piece FROM (
+       |  ${(1 to wpRounds).map(r => s"SELECT x || y AS piece FROM wbb$r").mkString(" UNION ALL ")}) t),
+       |wpv AS MATERIALIZED (SELECT DISTINCT piece FROM (
+       |  SELECT piece FROM wpchars UNION ALL SELECT piece FROM wpmg) t
+       |  WHERE length(piece) <= $wpMaxPieceLen)""".stripMargin
+
+  /** Greedy longest-match-first segmentation as a RECURSIVE CTE over
+    * (w, pos): candidate lengths as guarded LEFT JOINs into wpv (the
+    * unigram Viterbi idiom), ml = longest hit (GREATEST ignores the
+    * NULL guards), UNK consumes one char when ml = 0. Terminal row per
+    * word lands at pos = length(w) + 1 exactly.
+    */
+  private def wpEncodeCtes(wordsCte: String): String = {
+    val ls = 1 to wpMaxPieceLen
+    val joins = ls.map { l =>
+      s"      LEFT JOIN wpv vj$l ON $l <= length(d.w) - d.pos + 1 AND vj$l.piece = substr(d.w, d.pos, $l)"
+    }.mkString("\n")
+    val cases = ls.reverse.map(l =>
+      s"CASE WHEN vj$l.piece IS NOT NULL THEN $l END").mkString(", ")
+    s"""wseg AS (
+       |      SELECT w, 1 AS pos, CAST(0 AS BIGINT) AS np, CAST(0 AS BIGINT) AS unk FROM $wordsCte
+       |      UNION ALL
+       |      SELECT w, pos + CASE WHEN ml = 0 THEN 1 ELSE ml END,
+       |             np + 1, unk + CASE WHEN ml = 0 THEN 1 ELSE 0 END
+       |      FROM (SELECT d.w, d.pos, d.np, d.unk,
+       |                   GREATEST($cases, 0) AS ml
+       |            FROM wseg d
+       |$joins
+       |            WHERE d.pos <= length(d.w)) t),
+       |wenc AS (SELECT w, np, unk FROM wseg WHERE pos = length(w) + 1)""".stripMargin
+  }
+
+  private val wordpieceMergesOracle: String =
+    "WITH " + wpCtes + "\n" +
+      (1 to wpRounds).map { r =>
+        s"SELECT CAST($r AS INTEGER) AS round, x AS sym_a, y AS sym_b, x || y AS merged, CAST(pf AS BIGINT) AS pair_freq, score_pt FROM wbb$r"
+      }.mkString("\nUNION ALL\n")
+
+  private val wordpieceEncodeOracle: String =
+    s"""WITH RECURSIVE $wpCtes,
+       |$wpVocabCtes,
+       |wpall AS (SELECT DISTINCT w FROM wptok),
+       |${wpEncodeCtes("wpall")}
+       |SELECT t.doc_id, COUNT(*) AS n_tokens,
+       |       CAST(SUM(length(t.w)) AS BIGINT) AS n_chars_tok,
+       |       CAST(SUM(e.np) AS BIGINT) AS n_wp_pieces,
+       |       CAST(SUM(e.unk) AS BIGINT) AS n_unk
+       |FROM wptok t JOIN wenc e USING (w) GROUP BY t.doc_id""".stripMargin
+
+  private val wordpieceHoldoutOracle: String = {
+    val trainWhere =
+      " WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90"
+    s"""WITH RECURSIVE ${wpCtesWhere(trainWhere)},
+       |$wpVocabCtes,
+       |wpatok AS (SELECT doc_id,
+       |      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+       |      CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+       |           THEN 'train' ELSE 'heldout' END AS split
+       |      FROM documents),
+       |wpall AS (SELECT DISTINCT w FROM wpatok),
+       |${wpEncodeCtes("wpall")},
+       |wptv AS (SELECT DISTINCT w FROM wpatok WHERE split = 'train'),
+       |wpe AS (SELECT split, COUNT(DISTINCT a.doc_id) AS n_docs, COUNT(*) AS n_tokens,
+       |      CAST(SUM(length(a.w)) AS BIGINT) AS n_chars_tok,
+       |      CAST(SUM(e.np) AS BIGINT) AS n_wp_pieces,
+       |      CAST(SUM(e.unk) AS BIGINT) AS n_unk
+       |      FROM wpatok a JOIN wenc e USING (w) GROUP BY split),
+       |wpu AS (SELECT split, COUNT(DISTINCT a.w) AS unseen_words
+       |      FROM wpatok a LEFT JOIN wptv tv ON a.w = tv.w
+       |      WHERE tv.w IS NULL GROUP BY split)
+       |SELECT e.split, e.n_docs, e.n_tokens, e.n_chars_tok, e.n_wp_pieces, e.n_unk,
+       |       COALESCE(u.unseen_words, 0) AS unseen_words
+       |FROM wpe e LEFT JOIN wpu u USING (split)""".stripMargin
+  }
 
   /** Per-doc SimHash as a reusable CTE (DuckDB spelling of DedupOps.simhash). */
   private val simhashCtes = shingleCtes +
@@ -5980,6 +6147,9 @@ object SparkEntry {
     "unigram_vocab" -> unigramVocabOracle,
     "unigram_encode" -> unigramEncodeOracle,
     "tokenizer_fertility_compare" -> tokenizerCompareOracle,
+    "wordpiece_merges" -> wordpieceMergesOracle,
+    "wordpiece_encode" -> wordpieceEncodeOracle,
+    "wordpiece_holdout" -> wordpieceHoldoutOracle,
     "unigram_holdout" -> unigramHoldoutOracle,
     "bpe_oov" -> bpeOovOracle,
 

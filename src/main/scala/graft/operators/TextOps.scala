@@ -1775,15 +1775,16 @@ object TextOps {
       .na.fill(0L, Seq("unseen_words"))
   }
 
-  /** BPE vs unigram fertility on the SAME corpus — the comparison row
-    * the tokenizer choice is made on: pieces-per-token and chars-per-
-    * piece in half-up integer ppm over exact corpus-wide sums, one row
-    * per tokenizer. Low fertility at equal vocabulary budget = better
-    * compression = more text per context window.
+  /** BPE vs unigram vs WordPiece fertility on the SAME corpus — the
+    * comparison table the tokenizer choice is made on: pieces-per-token
+    * and chars-per-piece in half-up integer ppm over exact corpus-wide
+    * sums, one row per tokenizer. Low fertility at equal vocabulary
+    * budget = better compression = more text per context window.
     */
   def tokenizerFertilityCompare(documents: DataFrame,
                                 merges: Seq[(String, String)],
-                                vocab: DataFrame): DataFrame = {
+                                vocab: DataFrame,
+                                wpVocab: DataFrame): DataFrame = {
     def roll(enc: DataFrame, name: String, pieceCol: String): DataFrame =
       enc.agg(sum(col("n_tokens")).as("n_tokens"),
         sum(col("n_chars_tok")).as("chars"),
@@ -1796,6 +1797,8 @@ object TextOps {
     roll(bpeEncode(documents, merges), "bpe", "n_bpe_symbols")
       .unionByName(roll(unigramEncode(documents, vocab), "unigram",
         "n_unigram_pieces"))
+      .unionByName(roll(wordpieceEncode(documents, wpVocab), "wordpiece",
+        "n_wp_pieces"))
   }
 
   def bpeEncode(documents: DataFrame,
@@ -1816,6 +1819,184 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("chars")).as("n_chars_tok"),
         sum(col("bpe_syms")).as("n_bpe_symbols"))
+  }
+
+  // --- WordPiece tokenizer (Schuster & Nakajima 2012; the BERT vocab) ---
+
+  /** WordPiece merge-table training: BPE's merge loop with the
+    * LIKELIHOOD score — each round merges the adjacent symbol pair
+    * maximizing freq(xy) / (freq(x)·freq(y)), the pair whose merge most
+    * increases a unigram LM's corpus likelihood (Schuster & Nakajima
+    * 2012, as implemented in the public BERT/HuggingFace trainers),
+    * where freq(x) is the symbol's occurrence count under the CURRENT
+    * segmentation. The score is exact-integer end to end: score_pt =
+    * (pf·10¹²) div (sf(x)·sf(y)) in DECIMAL(38,0) — pf ≤ 10¹³ tokens at
+    * 100 TB keeps the numerator ≤ 10²⁵ and the denominator ≤ 10²⁶, both
+    * inside 38 digits, and the floored quotient ≤ 10¹² lands in a LONG —
+    * so the (score DESC, pair ASC) argmax is deterministic and replays
+    * bit-for-bit in the DuckDB oracle's HUGEINT division.
+    *
+    * Scale shape = [[bpeTrain]]: one corpus-scale word-frequency
+    * aggregate, then every round is vocabulary-scale (a symbol
+    * frequency aggregate + a pair aggregate + a 1-row broadcast + one
+    * literal replace), `localCheckpoint` per round to cut the ARGMAX
+    * lineage chain. Returns (round, sym_a, sym_b, merged, pair_freq,
+    * score_pt).
+    */
+  def wordpieceTrain(documents: DataFrame, rounds: Int = 10,
+                     minFreq: Long = 1L): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val init = documents
+      .select(explode(expr(toksExprFor(documents))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+      .select(expr(symsInitSql).as("syms"), col("freq"))
+    var words = init.localCheckpoint()
+    val merges = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      val symsArr = expr("split(substr(syms, 2, length(syms) - 2), '\\\\|\\\\|')")
+      val symFreq = words
+        .select(col("freq"), explode(symsArr).as("s"))
+        .groupBy(col("s")).agg(sum(col("freq")).as("sf"))
+      val pairs = words
+        .select(col("freq"), symsArr.as("a"))
+        .select(col("freq"), explode(expr(
+          "if(size(a) >= 2, transform(sequence(1, size(a) - 1), " +
+            "i -> struct(element_at(a, i) as x, element_at(a, i + 1) as y)), " +
+            "array())")).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("freq")).as("pf"))
+      val best = broadcast(
+        pairs
+          .join(symFreq.select(col("s").as("x"), col("sf").as("sfx")), Seq("x"))
+          .join(symFreq.select(col("s").as("y"), col("sf").as("sfy")), Seq("y"))
+          .select(col("x"), col("y"), col("pf"),
+            expr("""cast((cast(pf as decimal(38,0)) * 1000000000000)
+              | div (cast(sfx as decimal(38,0)) * cast(sfy as decimal(38,0)))
+              | as bigint)""".stripMargin).as("score_pt"))
+          .orderBy(col("score_pt").desc, col("x"), col("y")).limit(1)
+          .localCheckpoint())
+      merges += best.select(lit(r).as("round"), col("x").as("sym_a"),
+        col("y").as("sym_b"), concat(col("x"), col("y")).as("merged"),
+        col("pf").as("pair_freq"), col("score_pt"))
+      // same null-guarded replace as bpeTrain: an exhausted vocabulary
+      // (no adjacent pairs anywhere) must no-op, not empty the table
+      words = words.join(best, lit(true), "left")
+        .select(expr("replace(syms, coalesce(concat('|', x, '||', y, '|'), " +
+          "char(0)), concat('|', coalesce(concat(x, y), ''), '|'))").as("syms"),
+          col("freq"))
+        .localCheckpoint()
+    }
+    merges.result().reduce(_ unionByName _)
+  }
+
+  /** The WordPiece ENCODE vocabulary from a trained merge table: every
+    * single character seen in training (the coverage floor — WordPiece's
+    * inference never dead-ends on trained text) plus each round's merged
+    * piece, capped at `maxPieceLen` (the greedy matcher's candidate
+    * window; a longer merged piece simply never matches, on BOTH
+    * engines). Vocabulary-scale by construction: ≤ |chars| + rounds rows.
+    */
+  def wordpieceVocabFrom(train: DataFrame, merges: DataFrame,
+                         maxPieceLen: Int = 8): DataFrame = {
+    val chars = train
+      .select(explode(expr(toksExprFor(train))).as("w"))
+      .select(explode(expr("regexp_extract_all(w, '.', 0)")).as("piece"))
+    chars.unionByName(merges.select(col("merged").as("piece")))
+      .filter(length(col("piece")) <= maxPieceLen)
+      .distinct()
+      .select(col("piece"), length(col("piece")).cast(LongType).as("piece_len"))
+  }
+
+  /** Greedy longest-match-first WordPiece segmentation of one word
+    * column `w` under a piece-membership map column `vmap`, as a single
+    * higher-order fold (no UDF): state (pos, pieces, unks); each step
+    * either consumes the LONGEST vocab piece starting at pos (ties
+    * impossible — lengths are distinct) or, when no piece matches (a
+    * character unseen in training), emits one UNK consuming one char —
+    * the standard WordPiece out-of-vocabulary rule. O(len·maxPieceLen)
+    * map probes per DISTINCT word; the array(...)-transform wrapper is
+    * the let-binding idiom (evaluate the longest-match once, use twice).
+    */
+  private def wordpieceFoldSql(maxPieceLen: Int): String =
+    s"""aggregate(sequence(1, length(w)),
+       |  named_struct('pos', 1, 'np', 0L, 'unk', 0L),
+       |  (st, z) -> if(st.pos > length(w), st,
+       |    element_at(transform(array(
+       |      array_max(transform(sequence(1, least($maxPieceLen, length(w) - st.pos + 1)),
+       |        l -> if(element_at(vmap, substr(w, st.pos, l)) is not null, l, 0)))),
+       |      ml -> if(ml = 0,
+       |        named_struct('pos', st.pos + 1, 'np', st.np + 1L, 'unk', st.unk + 1L),
+       |        named_struct('pos', st.pos + ml, 'np', st.np + 1L, 'unk', st.unk))), 1)),
+       |  st -> named_struct('np', st.np, 'unk', st.unk))""".stripMargin
+
+  /** The trained WordPiece tokenizer applied to the corpus: greedy
+    * longest-match-first segmentation of each DISTINCT word (the fold
+    * above) under the broadcast piece map — the map is vocabulary-scale
+    * (≤ |chars| + rounds entries) and IS broadcastable by contract,
+    * unlike the distinct-word table, whose join back to the exploded
+    * corpus stays unhinted for AQE exactly as [[unigramEncode]]'s.
+    * Per-doc totals mirror bpeEncode/unigramEncode so the three
+    * tokenizers compare row-for-row; `n_unk` counts UNK emissions
+    * (chars unseen in training — zero when trained on the full corpus).
+    */
+  def wordpieceEncode(documents: DataFrame, vocab: DataFrame,
+                      maxPieceLen: Int = 8): DataFrame = {
+    val vmap = vocab.agg(
+      map_from_entries(collect_list(struct(col("piece"), lit(1))))
+        .as("vmap"))
+    val toks = documents
+      .select(col("doc_id"), explode(expr(toksExprFor(documents))).as("w"))
+    val perWord = toks.select(col("w")).distinct()
+      .crossJoin(broadcast(vmap))
+      .select(col("w"), expr(wordpieceFoldSql(maxPieceLen)).as("seg"))
+      .select(col("w"), col("seg.np").as("n_pieces"), col("seg.unk").as("n_unk"))
+    toks.join(perWord, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(col("w")).cast(LongType)).as("n_chars_tok"),
+        sum(col("n_pieces")).as("n_wp_pieces"),
+        sum(col("n_unk")).as("n_unk"))
+  }
+
+  /** Train/held-out generalization audit for WordPiece — the
+    * [[bpeHoldoutAudit]] read on the likelihood-scored vocabulary:
+    * train on the portable-hash 90%, greedy-encode BOTH splits, emit
+    * per-split totals plus unseen words AND UNK emissions. UNK is the
+    * read unique to WordPiece: BPE/unigram degrade to char pieces on
+    * held-out text, WordPiece's matcher can DROP signal (one UNK per
+    * unseen char) — `n_unk` on the heldout split is the vocabulary-
+    * coverage risk a WordPiece deployment is judged by.
+    */
+  def wordpieceHoldoutAudit(documents: DataFrame, rounds: Int = 10,
+                            maxPieceLen: Int = 8,
+                            trainPct: Int = 90): DataFrame = {
+    val withSplit = documents.withColumn("split",
+      expr("if(cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)" +
+        s" % 100 < $trainPct, 'train', 'heldout')"))
+    val train = withSplit.filter(col("split") === "train")
+    val vocab = wordpieceVocabFrom(train, wordpieceTrain(train, rounds), maxPieceLen)
+    val vmap = vocab.agg(
+      map_from_entries(collect_list(struct(col("piece"), lit(1)))).as("vmap"))
+    val toks = withSplit.select(col("split"), col("doc_id"),
+      explode(expr(toksExprFor(withSplit))).as("w"))
+    val trainWords = toks.filter(col("split") === "train")
+      .select(col("w")).distinct()
+    val perWord = toks.select(col("w")).distinct()
+      .crossJoin(broadcast(vmap))
+      .select(col("w"), expr(wordpieceFoldSql(maxPieceLen)).as("seg"))
+      .select(col("w"), col("seg.np").as("n_pieces"), col("seg.unk").as("n_unk"))
+    val enc = toks.join(perWord, Seq("w"))
+      .groupBy(col("split"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(length(col("w")).cast(LongType)).as("n_chars_tok"),
+        sum(col("n_pieces")).as("n_wp_pieces"),
+        sum(col("n_unk")).as("n_unk"))
+    val unseen = toks.join(trainWords, Seq("w"), "left_anti")
+      .groupBy(col("split")).agg(countDistinct(col("w")).as("unseen_words"))
+    enc.join(unseen, Seq("split"), "left")
+      .na.fill(0L, Seq("unseen_words"))
   }
 
   /** Vocabulary coverage curve — the tokenizer-sizing audit: for each

@@ -1253,12 +1253,64 @@ class DedupTextOpsSpec extends SparkSpec {
     // corpus totals: unigram 21 pieces / 6 tokens = 3.5 ppm-exact
     val merges = TextOps.bpeTrain(d, rounds = 3).orderBy(col("round"))
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
-    val cmp = TextOps.tokenizerFertilityCompare(d, merges, vocab).collect()
+    val wpVocab = TextOps.wordpieceVocabFrom(d, TextOps.wordpieceTrain(d, rounds = 3))
+    val cmp = TextOps.tokenizerFertilityCompare(d, merges, vocab, wpVocab).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
     assert(cmp("unigram") == ((6L, 21L, 3500000L)), cmp("unigram").toString)
     // bpe with merges (a,n),(a,a),(an,a): 13 + 4 = 17 syms over 6 tokens
     assert(cmp("bpe") == ((6L, 17L, 2833333L)), cmp("bpe").toString)
+    // wordpiece (merges an,ban,banan — see the wordpieceTrain test):
+    // banana banan|a, bananas banan|a|s, aaaa a|a|a|a → 17 pieces
+    assert(cmp("wordpiece") == ((6L, 17L, 2833333L)), cmp("wordpiece").toString)
+  }
+
+  test("wordpieceTrain: hand-computed likelihood argmax on the banana " +
+       "corpus — score ties break on pair order, and the score ranks " +
+       "rare-symbol merges above raw pair frequency") {
+    val d = Seq(
+      (1L, "banana banana banana bananas", "en", "s", 30L),
+      (2L, "aaaa aaaa", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // r1: sf a=20 b=4 n=8 s=1; pf (a,n)=8 (n,a)=8 (b,a)=4 (a,a)=6 (a,s)=1.
+    // scores·10¹²: (a,n)=8/160, (n,a)=8/160, (b,a)=4/80, (a,s)=1/20 ALL
+    // tie at 5e10 — (a,n) wins the pair-asc tie-break. r2: (b,an)=4/32 =
+    // 1.25e11 beats (a,s)=1/12 and (an,an)=4/64 — the likelihood score
+    // promotes the rare-but-exclusive pair where BPE's raw frequency
+    // would re-merge the frequent symbols. r3: (ban,an)=4/16 = 2.5e11.
+    val m = TextOps.wordpieceTrain(d, rounds = 3).orderBy(col("round")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))
+    assert(m(0) == ((1, "a", "n", "an", 8L, 50000000000L)), m(0).toString)
+    assert(m(1) == ((2, "b", "an", "ban", 4L, 125000000000L)), m(1).toString)
+    assert(m(2) == ((3, "ban", "an", "banan", 4L, 250000000000L)), m(2).toString)
+
+    // greedy longest-match encode under vocab {a,b,n,s,an,ban,banan}:
+    // banana = banan|a (2), bananas = banan|a|s (3), aaaa = a|a|a|a (4)
+    val vocab = TextOps.wordpieceVocabFrom(d, TextOps.wordpieceTrain(d, rounds = 3))
+    assert(vocab.collect().map(_.getString(0)).toSet ==
+      Set("a", "b", "n", "s", "an", "ban", "banan"))
+    val enc = TextOps.wordpieceEncode(d, vocab).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(enc(1L) == ((4L, 25L, 9L, 0L)), enc(1L).toString)
+    assert(enc(2L) == ((2L, 8L, 8L, 0L)), enc(2L).toString)
+  }
+
+  test("wordpieceHoldoutAudit: heldout chars unseen in training emit UNK " +
+       "(one per char), unlike BPE/unigram which degrade to char pieces") {
+    val d = Seq(
+      (1L, "banana banana banana bananas", "en", "s", 30L), // train
+      (2L, "aaaa aaaa", "en", "s", 10L),                    // train
+      (8L, "banana zq", "en", "s", 9L))                     // heldout
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.wordpieceHoldoutAudit(d, rounds = 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // train = the banana corpus: 6 tokens, 33 chars, 17 pieces, no UNKs
+    assert(got("train") == ((2L, 6L, 33L, 17L, 0L, 0L)), got("train").toString)
+    // heldout: banana = banan|a (2); 'zq' → z,q both unseen → 2 UNKs
+    assert(got("heldout") == ((1L, 2L, 8L, 4L, 2L, 1L)), got("heldout").toString)
   }
 
   test("unigramHoldoutAudit: heldout docs encode under the train-only " +
