@@ -776,6 +776,14 @@ object SparkEntry {
     // consumer (see doc_pagerank note)
     "doc_communities" -> ((s, d) =>
       GraphOps.docCommunitiesFromPairs(DedupOps.pairIndex(s, pairIndexFor(s, d)))),
+    // Newman modularity of those LPA labels over the same dup graph —
+    // the quality gate on the community structure itself (Q ≈ 0 means
+    // the labels are no better than random wiring); exact integer
+    // moments, one micros-quantized double at the end
+    "graph_modularity" -> ((s, d) => {
+      val pairs = DedupOps.pairIndex(s, pairIndexFor(s, d))
+      GraphOps.modularity(pairs, GraphOps.docCommunitiesFromPairs(pairs))
+    }),
     // the same collapse via large-star/small-star contraction — O(log²)
     // rounds regardless of dup-chain diameter; identical oracle to
     // dup_components (same function, different algorithm), pair-index fed
@@ -3339,7 +3347,7 @@ object SparkEntry {
     * — the exact per-round computation the engine runs. Shared verbatim
     * by `doc_communities` and its stored-pair-index variant.
     */
-  private val docCommunitiesOracle = {
+  private val lpaCtes: String = {
     def round(r: Int) =
       s""",
          |c$r AS (SELECT e.dst AS node, l.lab, COUNT(*) AS c
@@ -3352,9 +3360,39 @@ object SparkEntry {
         |dedges AS (SELECT doc_a AS src, doc_b AS dst FROM mpairs
         |           UNION SELECT doc_b, doc_a FROM mpairs),
         |s0 AS (SELECT DISTINCT src AS node, src AS lab FROM dedges)""".stripMargin +
-      (1 to 4).map(round).mkString +
-      "\nSELECT node AS doc_id, CAST(lab AS BIGINT) AS community FROM s4"
+      (1 to 4).map(round).mkString
   }
+
+  private val docCommunitiesOracle =
+    lpaCtes + "\nSELECT node AS doc_id, CAST(lab AS BIGINT) AS community FROM s4"
+
+  /** Newman modularity of the LPA labels over the same symmetrized dup
+    * graph: directed-instance moments (m2 = 2m, intra2 = 2Σe_c,
+    * Σ deg_c²) exactly in HUGEINT, one double division micros-quantized
+    * — GraphOps.modularity's DECIMAL(38,0) discipline replayed.
+    */
+  private val graphModularityOracle =
+    lpaCtes +
+      """,
+        |mdeg AS (SELECT src AS node, COUNT(*) AS d FROM dedges GROUP BY src),
+        |mcomm AS (SELECT COUNT(*) AS n_communities,
+        |          SUM(CAST(dc AS HUGEINT) * dc) AS sdc2 FROM (
+        |          SELECT l.lab, SUM(g.d) AS dc FROM mdeg g
+        |          JOIN s4 l USING (node) GROUP BY l.lab) t),
+        |mnodes AS (SELECT COUNT(*) AS n_nodes FROM mdeg),
+        |mm AS (SELECT COUNT(*) AS m2,
+        |       SUM(CASE WHEN la.lab = lb.lab THEN 1 ELSE 0 END) AS intra2
+        |       FROM dedges e JOIN s4 la ON e.src = la.node
+        |                     JOIN s4 lb ON e.dst = lb.node)
+        |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+        |       CAST(m2 // 2 AS BIGINT) AS n_edges,
+        |       CAST(n_communities AS BIGINT) AS n_communities,
+        |       CAST(intra2 // 2 AS BIGINT) AS intra_edges,
+        |       CASE WHEN m2 = 0 THEN NULL ELSE
+        |         CAST(round(CAST(CAST(intra2 AS HUGEINT) * m2 - sdc2 AS DOUBLE)
+        |              / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE))
+        |              * 1000000) AS BIGINT) END AS modularity_micros
+        |FROM mm CROSS JOIN mcomm CROSS JOIN mnodes""".stripMargin
 
   /** Trailing-frame 2σ anomaly replay — shared by `events_anomaly` and
     * the streaming state machine's batch face (`anomaly_typed`).
@@ -6136,6 +6174,7 @@ object SparkEntry {
     "eigenvector_centrality" -> eigenvectorCentralityOracle,
     "doc_pagerank" -> docPagerankOracle,
     "doc_communities" -> docCommunitiesOracle,
+    "graph_modularity" -> graphModularityOracle,
     "graph_triangles" -> graphTrianglesOracle,
     "graph_triangles_stored" -> graphTrianglesStoredOracle,
     "link_prediction" -> linkPredictionOracle,

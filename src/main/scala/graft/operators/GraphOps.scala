@@ -336,6 +336,53 @@ object GraphOps {
           .as("assortativity_micros"))
   }
 
+  /** Newman modularity of a community assignment over an undirected pair
+    * graph — the ONE number that says whether the LPA labels actually
+    * carve the dup graph at its joints: Q = Σ_c [e_c/m − (deg_c/2m)²],
+    * e_c = intra-community edges, deg_c = community degree mass. Q near
+    * 0 means the "communities" are no better than random wiring (collapse
+    * decisions shouldn't trust them); Q ≳ 0.3 is real structure. The
+    * quality gate [[labelPropagation]] ships against.
+    *
+    * Exact integer moments in DECIMAL(38,0) (directed-edge counts and
+    * Σ deg_c² stay well inside 38 digits at 10¹³ edges), ONE fixed-shape
+    * double division micros-quantized at the end — the
+    * [[degreeAssortativity]] discipline, so the oracle's HUGEINT replay
+    * is bit-identical. Over directed instances: m2 = 2m, intra2 = 2Σe_c,
+    * Q = (intra2·m2 − Σdeg_c²) / m2². Scale shape: one degree aggregate,
+    * two co-partitioned label joins, two broadcast-scale rollups — no
+    * iteration, no pair blowup. NULL modularity on an empty edge set.
+    */
+  def modularity(pairs: DataFrame, labels: DataFrame): DataFrame = {
+    val D = DecimalType(38, 0)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+    val lab = labels.select(col("doc_id").as("node"), col("community"))
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val comm = deg.join(lab, Seq("node"))
+      .groupBy(col("community")).agg(sum(col("d")).as("dc"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum((col("dc").cast(D) * col("dc").cast(D)).cast(D)).as("sdc2"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    edges
+      .join(lab.select(col("node").as("src"), col("community").as("ca")), Seq("src"))
+      .join(lab.select(col("node").as("dst"), col("community").as("cb")), Seq("dst"))
+      .agg(count(lit(1)).as("m2"),
+        sum(when(col("ca") === col("cb"), 1L).otherwise(0L)).as("intra2"))
+      .crossJoin(broadcast(comm))
+      .crossJoin(broadcast(nodes))
+      .select(col("n_nodes"), expr("m2 div 2").as("n_edges"),
+        col("n_communities"), expr("intra2 div 2").as("intra_edges"),
+        when(col("m2") === 0L, lit(null).cast(LongType))
+          .otherwise(expr(
+            """cast(round(
+              |  cast(cast(intra2 as decimal(38,0)) * m2 - sdc2 as double)
+              |  / (cast(m2 as double) * cast(m2 as double))
+              |  * 1000000) as bigint)""".stripMargin))
+          .as("modularity_micros"))
+  }
+
   /** HITS (Kleinberg 1999) over a BIPARTITE relation — hubs on the left,
     * authorities on the right. On the purchase graph (customer → part)
     * this separates two reads one degree count conflates: an

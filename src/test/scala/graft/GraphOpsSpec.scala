@@ -231,4 +231,23 @@ class GraphOpsSpec extends SparkSpec {
     val rt = GraphOps.degreeAssortativity(tri).head()
     assert(rt.getLong(0) == 3L && rt.isNullAt(1), rt.toString)
   }
+
+  test("modularity: two bridged triangles under the natural 2-community " +
+       "split read Q = 70/196; the all-one-community split reads Q = 0 " +
+       "(the null model exactly cancels)") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("doc_a", "doc_b")
+    // m=7, degrees 2,2,3,3,2,2; split {1,2,3}/{4,5,6}: Σe_c=6, deg_c=7,7
+    // Q = (12·14 − 98)/14² = 70/196 = 0.357142857 → 357143 micros
+    val split = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("doc_id", "community")
+    val r = GraphOps.modularity(pairs, split).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((6L, 7L, 2L, 6L)), r.toString)
+    assert(r.getLong(4) == 357143L, r.toString)
+    // one community: intra2 = m2 and Σdeg_c² = m2² → Q = 0 exactly
+    val one = (1L to 6L).map(i => (i, 1L)).toDF("doc_id", "community")
+    assert(GraphOps.modularity(pairs, one).head().getLong(4) == 0L)
+  }
 }
