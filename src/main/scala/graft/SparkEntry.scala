@@ -1169,6 +1169,11 @@ object SparkEntry {
     // reliability diagram: hashed-classifier score bins vs observed
     // quality-gate positive rate — the calibration read before clf_keep
     // is trusted as a corpus filter
+    // isotonic (PAV) calibration of the classifier's per-bin rates via
+    // the minimax identity — relational (span grid + min/max cascade
+    // over the bounded bin grid), exact integer ppm, monotone output
+    "isotonic_calibration" -> ((s, d) =>
+      TextOps.isotonicCalibration(t(s, d, "documents"))),
     "classifier_reliability" -> ((s, d) =>
       TextOps.classifierReliability(t(s, d, "documents"))),
 
@@ -5186,6 +5191,52 @@ object SparkEntry {
         |    // COUNT(*) AS BIGINT) AS pos_rate_ppm
         |FROM j CROSS JOIN b
         |GROUP BY 1""".stripMargin,
+
+    // PAV via the minimax identity: span means over exact prefix sums
+    // (triangular self-joins — gaps-safe strict prefix), min over k ≥ i,
+    // max over j ≤ i, all on the bounded bin grid
+    "isotonic_calibration" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+        |wt AS (SELECT doc_id,
+        |  (CAST(concat('0x', substr(md5(CAST(
+        |     CAST(concat('0x', substr(md5(tk), 1, 8)) AS BIGINT) % 1024
+        |   AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000 AS w
+        |  FROM tok),
+        |s AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS s FROM wt GROUP BY doc_id),
+        |clf AS (SELECT t.doc_id,
+        |  CAST(round(CAST(coalesce(s.s, 0) AS DOUBLE) * 1000.0
+        |       / NULLIF(CAST(len(t.toks) AS DOUBLE), 0.0)) AS BIGINT) AS score_u
+        |  FROM t LEFT JOIN s USING (doc_id)),
+        |q AS (SELECT doc_id,
+        |  CAST(round(round(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.5 +
+        |       coalesce(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |                                     t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+        |                / NULLIF(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE), 0), 0) * 0.5,
+        |       6) * 1000000) AS BIGINT) AS q_ppm
+        |  FROM documents),
+        |j AS (SELECT clf.doc_id, score_u, q_ppm FROM clf JOIN q USING (doc_id)
+        |      WHERE score_u IS NOT NULL),
+        |b AS (SELECT MIN(score_u) AS mn, MAX(score_u) AS mx FROM j),
+        |g AS (SELECT (score_u - mn) * 10 // (mx - mn + 1) AS bin,
+        |      CAST(COUNT(*) AS BIGINT) AS n,
+        |      CAST(SUM(CAST(q_ppm >= 500000 AS BIGINT)) AS BIGINT) AS p
+        |      FROM j CROSS JOIN b GROUP BY 1),
+        |pre AS (SELECT a.bin AS k, SUM(b2.n) AS nk, SUM(b2.p) AS pk
+        |        FROM g a JOIN g b2 ON b2.bin <= a.bin GROUP BY a.bin),
+        |jm AS (SELECT a.bin AS j, coalesce(SUM(b2.n), 0) AS n0, coalesce(SUM(b2.p), 0) AS p0
+        |       FROM g a LEFT JOIN g b2 ON b2.bin < a.bin GROUP BY a.bin),
+        |spans AS (SELECT jm.j, pre.k,
+        |          CAST((CAST(pre.pk - jm.p0 AS HUGEINT) * 1000000 + (pre.nk - jm.n0) // 2)
+        |               // (pre.nk - jm.n0) AS BIGINT) AS avg_ppm
+        |          FROM jm JOIN pre ON pre.k >= jm.j),
+        |im AS (SELECT i.bin AS i, sp.j, MIN(sp.avg_ppm) AS mnv
+        |       FROM g i JOIN spans sp ON sp.j <= i.bin AND sp.k >= i.bin GROUP BY 1, 2),
+        |iso AS (SELECT i, MAX(mnv) AS isotonic_ppm FROM im GROUP BY i)
+        |SELECT g.bin, g.n AS n_docs,
+        |  CAST((g.p * 1000000 + g.n // 2) // g.n AS BIGINT) AS pos_rate_ppm,
+        |  iso.isotonic_ppm
+        |FROM g JOIN iso ON iso.i = g.bin""".stripMargin,
 
     // Mann-Whitney via the tie-aware identity 2U = sum_s np(s)*(2*c_lt(s)+nn(s))
     "classifier_auc" ->

@@ -2075,8 +2075,11 @@ object TextOps {
     * binning off a broadcast bounds row); two corpus-scale per-doc
     * passes + one partial-agg shuffle over ≤ bins cells.
     */
-  def classifierReliability(documents: DataFrame, bins: Int = 10): DataFrame = {
-    require(bins >= 1, s"bins out of range: $bins")
+  /** (doc_id, score_u, q_ppm): the hashed-classifier score next to the
+    * quality-gate label — the shared input of the calibration family
+    * ([[classifierReliability]], [[isotonicCalibration]]).
+    */
+  private def clfLabeled(documents: DataFrame): DataFrame = {
     val clf = qualityClassifier(documents)
       .select(col("doc_id"),
         expr("cast(round(clf_score * 1000000) as bigint)").as("score_u"))
@@ -2084,7 +2087,12 @@ object TextOps {
     val q = qualityScore(documents)
       .select(col("doc_id"),
         expr("cast(round(quality * 1000000) as bigint)").as("q_ppm"))
-    val j = clf.join(q, "doc_id")
+    clf.join(q, "doc_id")
+  }
+
+  def classifierReliability(documents: DataFrame, bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins out of range: $bins")
+    val j = clfLabeled(documents)
     val b = j.agg(min(col("score_u")).as("mn"), max(col("score_u")).as("mx"))
     j.crossJoin(broadcast(b))
       .select(expr(s"(score_u - mn) * $bins div (mx - mn + 1)").as("bin"),
@@ -2096,6 +2104,69 @@ object TextOps {
         expr("""cast((cast(sum(cast(q_ppm >= 500000 as bigint)) as decimal(38,0)) * 1000000
           | + count(1) div 2) div count(1) as bigint)""".stripMargin)
           .as("pos_rate_ppm"))
+  }
+
+  /** Isotonic (PAV) calibration of the hashed classifier against the
+    * quality gate — the monotone regression [[classifierReliability]]'s
+    * raw per-bin rates feed in every production calibration stack
+    * (Zadrozny & Elkan 2002): the calibrated curve is the closest
+    * non-decreasing fit to the per-bin positive rates, so a higher
+    * classifier score can never map to a LOWER calibrated probability.
+    *
+    * Pool-adjacent-violators is computed via the minimax identity
+    * ŷ_i = max_{j≤i} min_{k≥i} mean(j..k) (Robertson, Wright & Dykstra
+    * 1988) rather than the sequential stack — over B bins that is a
+    * B²-span grid + a B³-row min/max cascade, all RELATIONAL: exact
+    * prefix sums via triangular self-joins on the broadcast-scale bin
+    * grid (deliberately windowless — a global window over even 10 rows
+    * is a single-partition plan), span means in the half-up integer ppm
+    * idiom, min/max over those exact integers. Deterministic, identical
+    * in DuckDB, and monotone by construction. B ≤ 64 keeps the cascade
+    * ≤ 256k rows — constant-bounded at any corpus size.
+    */
+  def isotonicCalibration(documents: DataFrame, bins: Int = 10): DataFrame = {
+    require(bins >= 1 && bins <= 64, s"bins out of range: $bins")
+    val j = clfLabeled(documents)
+    val b = j.agg(min(col("score_u")).as("mn"), max(col("score_u")).as("mx"))
+    // per-bin counts: the one corpus-scale pass; everything after runs
+    // on ≤ bins rows (localCheckpoint: 5 downstream consumers would
+    // otherwise re-run the scoring chain per self-join branch)
+    val g = j.crossJoin(broadcast(b))
+      .select(expr(s"(score_u - mn) * $bins div (mx - mn + 1)").as("bin"),
+        expr("cast(q_ppm >= 500000 as bigint)").as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
+      .localCheckpoint()
+    pavIsotonic(g)
+  }
+
+  /** The PAV minimax cascade over a prebuilt (bin, n, p) grid —
+    * separated so the regression itself is testable on hand fixtures.
+    * Gaps in bin ids are fine (strict-prefix sums, never "bin − 1").
+    */
+  def pavIsotonic(g: DataFrame): DataFrame = {
+    val grid = g.select(col("bin").as("b2"), col("n"), col("p"))
+    val pre = g.select(col("bin").as("k"))
+      .join(broadcast(grid), col("b2") <= col("k"))
+      .groupBy(col("k")).agg(sum(col("n")).as("nk"), sum(col("p")).as("pk"))
+    // strict-prefix at j (empty bins may leave gaps, so "sum below j",
+    // never "prefix at j-1")
+    val jm = g.select(col("bin").as("j"))
+      .join(broadcast(grid), col("b2") < col("j"), "left")
+      .groupBy(col("j"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n0"),
+        coalesce(sum(col("p")), lit(0L)).as("p0"))
+    val spans = jm.join(broadcast(pre), col("k") >= col("j"))
+      .select(col("j"), col("k"),
+        expr("(cast(pk - p0 as decimal(38,0)) * 1000000 + (nk - n0) div 2) div (nk - n0)")
+          .as("avg_ppm"))
+    val im = g.select(col("bin").as("i"))
+      .join(broadcast(spans), col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy(col("i"), col("j")).agg(min(col("avg_ppm")).as("mnv"))
+    val iso = im.groupBy(col("i")).agg(max(col("mnv")).as("isotonic_ppm"))
+    g.select(col("bin"), col("n").as("n_docs"),
+      expr("(cast(p as decimal(38,0)) * 1000000 + n div 2) div n").as("pos_rate_ppm"))
+      .join(iso.select(col("i").as("bin"), col("isotonic_ppm")), Seq("bin"))
   }
 
   /** Per-source ROC AUC of the hashed classifier against the quality

@@ -1313,6 +1313,35 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(got("heldout") == ((1L, 2L, 8L, 4L, 2L, 1L)), got("heldout").toString)
   }
 
+  test("pavIsotonic: hand-computed pool-adjacent-violators — a leading " +
+       "violation pools to the pooled mean, gaps in bin ids are safe, " +
+       "and the output is always non-decreasing") {
+    // rates [0.8, 0.2, 0.5]: PAV pools bins 0,1 to 10/20 = 0.5, then
+    // 0.5 vs 0.5 holds → all three calibrate to 500000 ppm
+    val g1 = Seq((0L, 10L, 8L), (1L, 10L, 2L), (2L, 10L, 5L))
+      .toDF("bin", "n", "p")
+    val r1 = TextOps.pavIsotonic(g1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(r1(0L) == ((10L, 800000L, 500000L)), r1.toString)
+    assert(r1(1L) == ((10L, 200000L, 500000L)), r1.toString)
+    assert(r1(2L) == ((10L, 500000L, 500000L)), r1.toString)
+    // bin ids 0,2,3 (gap at 1); rates [0.2, 0.9, 0.5]: pool 2,3 → 0.7
+    val g2 = Seq((0L, 10L, 2L), (2L, 10L, 9L), (3L, 10L, 5L))
+      .toDF("bin", "n", "p")
+    val r2 = TextOps.pavIsotonic(g2).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(r2 == Map(0L -> 200000L, 2L -> 700000L, 3L -> 700000L), r2.toString)
+    // end-to-end on the real scoring chain: monotone, bins complete
+    val docs = Seq.tabulate(40)(i =>
+      (i.toLong, s"the quick doc $i " + ("and of to in " * (i % 7)), "en", "s", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val iso = TextOps.isotonicCalibration(docs).orderBy(col("bin")).collect()
+    assert(iso.map(_.getLong(1)).sum == 40L, iso.mkString(","))
+    val curve = iso.map(_.getLong(3))
+    assert(curve.zip(curve.tail).forall { case (a, b) => a <= b },
+      s"isotonic output must be non-decreasing: ${curve.mkString(",")}")
+  }
+
   test("unigramHoldoutAudit: heldout docs encode under the train-only " +
        "vocabulary; heldout-only words count as unseen and still segment") {
     // doc_id 8 lands heldout under the md5%100 split (verified offline);
