@@ -1151,6 +1151,16 @@ object SparkEntry {
       RelationalOps.zorderSpanAudit(o, "ck", "doff")
     }),
 
+    // Hilbert layout audit over the SAME keys: row-for-row comparable
+    // with zorder_span_audit — the no-diagonal-jumps walk gets tighter
+    // per-bucket boxes than Morton for the same sorted write
+    "hilbert_span_audit" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_custkey").as("ck"),
+        datediff(date_trunc("day", col("o_orderdate")).cast(DateType),
+          lit("1995-01-01").cast(DateType)).cast(LongType).as("doff"))
+      RelationalOps.hilbertSpanAudit(o, "ck", "doff")
+    }),
+
     // Poisson-bootstrap CI for mean order value: 32 deterministic
     // hash-lottery resamples, exact integer means, order-statistic CI
     "bootstrap_ci" -> ((s, d) =>
@@ -8081,6 +8091,40 @@ object SparkEntry {
         |  CAST(((max_a - min_a + 1) * 1000000 + 32768) // 65536 AS BIGINT) AS span_a_ppm,
         |  CAST(((max_b - min_b + 1) * 1000000 + 32768) // 65536 AS BIGINT) AS span_b_ppm
         |FROM g""".stripMargin,
+
+    // the Hilbert xy2d walk unrolled as 16 CASE-projection steps —
+    // integer-exact twin of the native HilbertIndex codegen expression
+    // (reflection is ~v on 16 bits, so scrambled high bits never reach
+    // the bits later steps read)
+    "hilbert_span_audit" -> {
+      val steps = (15 to 0 by -1).zipWithIndex.map { case (bit, i) =>
+        val s = 1L << bit
+        val ss = s * s
+        s"""h${i + 1} AS (SELECT a, b,
+           |  d + $ss * (CASE WHEN (x & $s) != 0 AND (y & $s) != 0 THEN 2
+           |                  WHEN (x & $s) != 0 THEN 3
+           |                  WHEN (y & $s) != 0 THEN 1 ELSE 0 END) AS d,
+           |  CASE WHEN (y & $s) != 0 THEN x
+           |       WHEN (x & $s) != 0 THEN 65535 - y ELSE y END AS x,
+           |  CASE WHEN (y & $s) != 0 THEN y
+           |       WHEN (x & $s) != 0 THEN 65535 - x ELSE x END AS y
+           |  FROM h$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH o AS (SELECT
+         |  ((CAST(o_custkey AS BIGINT) % 65536) + 65536) % 65536 AS a,
+         |  ((CAST(datediff('day', DATE '1995-01-01',
+         |      CAST(date_trunc('day', o_orderdate) AS DATE)) AS BIGINT) % 65536) + 65536) % 65536 AS b
+         |  FROM orders),
+         |h0 AS (SELECT a, b, CAST(0 AS BIGINT) AS d, a AS x, b AS y FROM o),
+         |$steps,
+         |g AS (SELECT d // ${1L << 26} AS bucket, COUNT(*) AS n,
+         |      MIN(a) AS min_a, MAX(a) AS max_a, MIN(b) AS min_b, MAX(b) AS max_b
+         |      FROM h16 GROUP BY 1)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n,
+         |  CAST(((max_a - min_a + 1) * 1000000 + 32768) // 65536 AS BIGINT) AS span_a_ppm,
+         |  CAST(((max_b - min_b + 1) * 1000000 + 32768) // 65536 AS BIGINT) AS span_b_ppm
+         |FROM g""".stripMargin
+    },
 
     "bootstrap_ci" -> {
       val wExpr = graft.operators.StatsOps.poissonU32

@@ -26,4 +26,10 @@ object GraftFunctions {
     */
   def jaroWinkler(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.JaroWinkler(a, b)
+
+  /** Hilbert-curve index of two 16-bit cell indices (LONG) — the
+    * locality-tighter clustering key next to [[interleaveBits]].
+    */
+  def hilbertIndex(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.HilbertIndex(a, b)
 }

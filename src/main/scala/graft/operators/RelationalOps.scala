@@ -442,6 +442,34 @@ object RelationalOps {
         expr("((max_b - min_b + 1) * 1000000 + 32768) div 65536").as("span_b_ppm"))
   }
 
+  /** Hilbert-layout effectiveness audit — [[zorderSpanAudit]]'s read with
+    * the Hilbert index ([[graft.functions.GraftFunctions.hilbertIndex]],
+    * codegen'd) as the clustering key. Same quantization, same equal
+    * curve-range bucketing, same per-bucket bounding-box spans — so the
+    * two audits are row-for-row comparable, and the comparison is the
+    * point: the Hilbert walk has no quadrant-boundary diagonal jumps, so
+    * its equal-count ranges get strictly tighter boxes than Morton's on
+    * the same keys (better min/max skipping for the same sorted write).
+    */
+  def hilbertSpanAudit(df: DataFrame, aCol: String, bCol: String,
+                       bucketBits: Int = 6): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= 16, s"bucketBits out of range: $bucketBits")
+    val q = df.select(
+      expr(s"((cast($aCol as bigint) % 65536) + 65536) % 65536").as("a"),
+      expr(s"((cast($bCol as bigint) % 65536) + 65536) % 65536").as("b"))
+    q.select(col("a"), col("b"),
+        graft.functions.GraftFunctions.hilbertIndex(col("a"), col("b")).as("h"))
+      .select(col("a"), col("b"),
+        expr(s"h div ${1L << (32 - bucketBits)}").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("a")).as("min_a"), max(col("a")).as("max_a"),
+        min(col("b")).as("min_b"), max(col("b")).as("max_b"))
+      .select(col("bucket"), col("n"),
+        expr("((max_a - min_a + 1) * 1000000 + 32768) div 65536").as("span_a_ppm"),
+        expr("((max_b - min_b + 1) * 1000000 + 32768) div 65536").as("span_b_ppm"))
+  }
+
   /** 2-D Pareto frontier (skyline): the rows no other row dominates on
     * (x, y) — "who is on the efficient edge" (biggest spenders for their
     * order count, best quality for their length, …). Dominance: q beats p

@@ -384,6 +384,47 @@ class RelationalOpsSpec extends SparkSpec {
       gn.toString)
   }
 
+  test("hilbertIndex: the order-16 walk restricted to the origin 4x4 " +
+       "subgrid is a bijection onto d in [0,16) with unit-Manhattan " +
+       "steps (the Hilbert property Morton lacks)") {
+    val xy2d = org.apache.spark.sql.graft.HilbertIndex.xy2d _
+    assert(xy2d(0L, 0L) == 0L)
+    // self-similarity: the curve fills the origin subquadrant first, so
+    // cells [0,4)^2 get exactly d in [0,16)
+    val cells = for { x <- 0 until 4; y <- 0 until 4 } yield (x, y, xy2d(x.toLong, y.toLong))
+    assert(cells.map(_._3).sorted == (0L until 16L), cells.toString)
+    val byD = cells.map(c => c._3 -> ((c._1, c._2))).toMap
+    (0L until 15L).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"d=$d -> d+1 must be an adjacent cell: ($x1,$y1) -> ($x2,$y2)")
+    }
+    // Morton on the same subgrid jumps diagonally: d=1 -> d=2 moves
+    // (1,0) -> (0,1), Manhattan 2 — the locality gap Hilbert closes
+    val mort = org.apache.spark.sql.graft.InterleaveBits.interleave _
+    val mByD = (for { x <- 0 until 4; y <- 0 until 4 }
+      yield mort(x.toLong, y.toLong) -> ((x, y))).toMap
+    val (mx1, my1) = mByD(1L); val (mx2, my2) = mByD(2L)
+    assert(math.abs(mx1 - mx2) + math.abs(my1 - my2) == 2)
+  }
+
+  test("hilbertSpanAudit: rows conserved; buckets bound BOTH dimensions; " +
+       "total bounding-box area is no worse than the Morton layout's on " +
+       "a uniform grid") {
+    val grid = (for { i <- 0 until 64; j <- 0 until 64 }
+      yield (i * 1024L, j * 1024L)).toDF("a", "b")
+    val hs = RelationalOps.hilbertSpanAudit(grid, "a", "b").collect()
+    assert(hs.map(_.getLong(1)).sum == 4096L, "rows conserved")
+    hs.foreach { r =>
+      assert(r.getLong(2) <= 500000L && r.getLong(3) <= 500000L,
+        s"bucket bounding box leaks a dimension: $r") }
+    val zs = RelationalOps.zorderSpanAudit(grid, "a", "b").collect()
+    def area(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => r.getLong(2) * r.getLong(3)).sum
+    assert(area(hs) <= area(zs),
+      s"hilbert total box area ${area(hs)} must not exceed morton ${area(zs)}")
+  }
+
   test("paretoFrontier: dominated points drop, same-x ties keep only the " +
        "best y, exact duplicates both survive, partitioning-invariant") {
     val pts = Seq(
