@@ -1397,6 +1397,11 @@ object SparkEntry {
     // IVF list-balance audit: per-list population + ppm share — nprobe
     // latency is bounded by the fattest probed list (lsh_bucket_occupancy's
     // ANN sibling)
+    // simplified silhouette of the IVF lists: (s1−s2)/(1−s2) per vector
+    // in exact integer ppm — the belongs-to-its-list quality gate next
+    // to the size-balance read
+    "ivf_silhouette" -> ((s, d) =>
+      SimilarityOps.ivfSilhouette(t(s, d, "embeddings"))),
     "ivf_cluster_balance" -> ((s, d) =>
       SimilarityOps.ivfClusterBalance(t(s, d, "embeddings"))),
     // IVF over Lloyd-trained centroids (2 assign→mean passes); the oracle
@@ -7280,6 +7285,28 @@ object SparkEntry {
         |SELECT centroid_id, n_vecs,
         |  CAST((n_vecs * 1000000 + n_all // 2) // n_all AS BIGINT) AS share_ppm
         |FROM sizes CROSS JOIN t""".stripMargin,
+
+    // top-2 centroid scores per vector (same round-6 micros lift and
+    // smaller-centroid tie-break as the assignment), then the cosine
+    // silhouette identity (s1−s2)/(1−s2) in half-up integer ppm
+    "ivf_silhouette" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM v WHERE vec_id < 16),
+        |sc AS (SELECT v.vec_id, cent.centroid_id,
+        |       CAST(round(round(list_cosine_similarity(v.emb, cent.c_emb), 6) * 1000000) AS BIGINT) AS s_u
+        |       FROM v CROSS JOIN cent),
+        |top2 AS (SELECT vec_id, centroid_id, s_u,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY s_u DESC, centroid_id) AS rn
+        |         FROM sc),
+        |pv AS (SELECT a.vec_id, a.centroid_id, a.s_u AS s1, b.s_u AS s2
+        |       FROM top2 a JOIN top2 b USING (vec_id) WHERE a.rn = 1 AND b.rn = 2),
+        |sil AS (SELECT centroid_id,
+        |        CASE WHEN 1000000 - s2 = 0 THEN 0
+        |             ELSE ((s1 - s2) * 1000000 + (1000000 - s2) // 2) // (1000000 - s2)
+        |        END AS sp FROM pv)
+        |SELECT centroid_id, COUNT(*) AS n_vecs,
+        |  CAST((SUM(sp) + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS mean_sil_ppm
+        |FROM sil GROUP BY 1""".stripMargin,
 
     "cosine_topk_ivf" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

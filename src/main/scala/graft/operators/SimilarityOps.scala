@@ -1727,6 +1727,48 @@ object SimilarityOps {
         expr("(cast(n_vecs as decimal(38,0)) * 1000000 + n_all div 2) div n_all").as("share_ppm"))
   }
 
+  /** Simplified silhouette of the IVF partition (Hartigan's centroid
+    * silhouette) — the cluster-quality gate next to [[ivfClusterBalance]]'s
+    * size read: balance says the lists are evenly SIZED, this says the
+    * vectors actually BELONG to their list. Per vector, with s1/s2 the
+    * top-2 round-6 centroid cosine scores, the cosine-distance silhouette
+    * collapses to (s1−s2)/(1−s2) — near 1 when the vector is decisively
+    * closer to its own centroid, near 0 on the list boundary (exactly the
+    * vectors nprobe > 1 exists to rescue, so a LOW mean here says raise
+    * nprobe or retrain, the `ivf_nprobe_sweep` knob's quality side).
+    *
+    * Integer discipline: round-6 scores lifted to micros, the ratio in
+    * half-up integer ppm, per-list mean DECIMAL(38,0)-widened (corpus-
+    * scale sum of ppm values). Top-2 via sort_array over the collected
+    * ≤nCentroids struct list (centroid-scale per vector, no window);
+    * ties break to the smaller centroid_id, matching [[ivfAssignWith]].
+    * One broadcast pass over the corpus — the assignment's cost shape.
+    */
+  def ivfSilhouette(embeddings: DataFrame, nCentroids: Int = 16): DataFrame = {
+    val cents = seedCentroids(embeddings, nCentroids)
+    embeddings.join(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        expr("cast(-centroid_id as bigint)").as("ncid"),
+        (round(graft.functions.GraftFunctions.cosineSim(
+          col("embedding"), col("c_emb")), 6) * lit(1000000d)).as("s_d"))
+      .select(col("vec_id"), col("ncid"),
+        expr("cast(round(s_d) as bigint)").as("s_u"))
+      .groupBy(col("vec_id"))
+      .agg(expr("sort_array(collect_list(struct(s_u, ncid)), false)").as("cs"))
+      .select(
+        expr("-element_at(cs, 1).ncid").as("centroid_id"),
+        expr("element_at(cs, 1).s_u").as("s1"),
+        expr("element_at(cs, 2).s_u").as("s2"))
+      .select(col("centroid_id"),
+        expr("""if(1000000 - s2 = 0, 0L,
+          |  ((s1 - s2) * 1000000 + (1000000 - s2) div 2) div (1000000 - s2))"""
+          .stripMargin).as("sp"))
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("""cast((cast(sum(sp) as decimal(38,0)) + count(1) div 2)
+          | div count(1) as bigint)""".stripMargin).as("mean_sil_ppm"))
+  }
+
   /** Embedding-table health profile — the pre-flight read before ANY
     * similarity tier trusts the column: vector count, zero-vector count
     * (cosine is undefined on them — every ANN tier here silently drops

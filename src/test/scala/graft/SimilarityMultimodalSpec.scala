@@ -674,6 +674,23 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(r.getAs[Long]("avg_norm_micros") == 2000000L, r.toString) // (0+1e6+5e6+1)/3 half-up
   }
 
+  test("ivfSilhouette: a vector on its centroid reads 1e6 ppm, an " +
+       "equidistant boundary vector reads 0, per-list half-up means") {
+    import spark.implicits._
+    val r2 = (1.0 / math.sqrt(2)).toFloat
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f)),  // centroid 0 (seed)
+      (1L, Array(0.0f, 1.0f)),  // centroid 1 (seed)
+      (2L, Array(1.0f, 0.0f)),  // exactly on c0: s1=1e6, s2=0 → sil 1e6
+      (3L, Array(r2, r2))       // boundary: s1=s2=707107 → sil 0, ties to c0
+    ).toDF("vec_id", "embedding")
+    val r = SimilarityOps.ivfSilhouette(embs, nCentroids = 2).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // c0: vecs 0,2 at 1e6 + boundary vec 3 at 0 → (2e6 + 1) div 3
+    assert(r(0L) == ((3L, 666667L)), r.toString)
+    assert(r(1L) == ((1L, 1000000L)), r.toString)
+  }
+
   test("semanticContamination: a planted duplicate flags its eval twin; " +
        "an orthogonal eval vector stays clean") {
     import spark.implicits._
