@@ -197,6 +197,18 @@ class IngestOpsSpec extends SparkSpec {
       "x-clustered control: every file spans all of y — nothing prunes on a y slice")
     assert(touching(zb) <= 8,
       s"z-order: y ranges must be bounded per file; got ${touching(zb)}/16 touching")
+    // Hilbert sibling: same slice prunes at least as many files, and the
+    // total per-file box area never exceeds the Morton layout's
+    IngestOps.writeHilbertOrdered(grid, s"$base/h", "x", "y", files = 16)
+    val hb2 = boxes(s"$base/h")
+    assert(hb2.length == 16)
+    assert(spark.read.parquet(s"$base/h").count() == 64L * 64L)
+    assert(touching(hb2) <= touching(zb),
+      s"hilbert: ${touching(hb2)} touching vs z-order ${touching(zb)}")
+    def area(bs: Seq[(Long, Long, Long, Long)]) =
+      bs.map { case (lx, hx, ly, hy) => (hx - lx + 1) * (hy - ly + 1) }.sum
+    assert(area(hb2) <= area(zb),
+      s"hilbert total box area ${area(hb2)} vs z-order ${area(zb)}")
   }
 
   test("partition-column group-by pushes into the scan (PushedGroupBy): " +
