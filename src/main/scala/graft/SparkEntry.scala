@@ -1166,6 +1166,12 @@ object SparkEntry {
     "bootstrap_ci" -> ((s, d) =>
       StatsOps.bootstrapCi(t(s, d, "orders"), "o_orderkey", "o_totalprice")),
 
+    // split-conformal intervals (fit 60 / calibrate 20 / test 20 hash
+    // splits): type-1 calibration residual quantile, measured test
+    // coverage per alpha — the distribution-free uncertainty audit
+    "conformal_interval" -> ((s, d) =>
+      StatsOps.conformalInterval(t(s, d, "orders"))),
+
     // per-source quality percentile normalization: the cross-source
     // comparable score a mixer wants (src A's p80 == src B's p80),
     // per-source ECDF via source-partitioned cumulative
@@ -8152,6 +8158,33 @@ object SparkEntry {
          |  CAST(((max_b - min_b + 1) * 1000000 + 32768) // 65536 AS BIGINT) AS span_b_ppm
          |FROM g""".stripMargin
     },
+
+    // split-conformal replay: same hash splits, per-priority fit mean,
+    // type-1 residual quantile at ceil((n+1)(1−α)) clamped to n, coverage
+    "conformal_interval" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS grp,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS h
+        |  FROM orders),
+        |fit AS (SELECT * FROM base WHERE h < 60),
+        |model AS (SELECT grp, CAST((SUM(cents) + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS pred_cents
+        |          FROM fit GROUP BY grp),
+        |nf AS (SELECT COUNT(*) AS n_fit FROM fit),
+        |calib AS (SELECT b.k, abs(b.cents - m.pred_cents) AS r
+        |          FROM base b JOIN model m USING (grp) WHERE h >= 60 AND h < 80),
+        |rkd AS (SELECT r, row_number() OVER (ORDER BY r, k) AS rk FROM calib),
+        |nc AS (SELECT COUNT(*) AS n_calib FROM calib),
+        |al AS (SELECT unnest([10, 20]) AS alpha_pct),
+        |qh AS (SELECT alpha_pct, n_calib, r AS qhat_cents
+        |       FROM al CROSS JOIN nc
+        |       JOIN rkd ON rkd.rk = least(n_calib, ((n_calib + 1) * (100 - alpha_pct) + 99) // 100)),
+        |tst AS (SELECT b.cents, m.pred_cents, abs(b.cents - m.pred_cents) AS r_test
+        |        FROM base b JOIN model m USING (grp) WHERE h >= 80)
+        |SELECT alpha_pct, n_fit, n_calib, COUNT(*) AS n_test, qhat_cents,
+        |  CAST((SUM(CAST(r_test <= qhat_cents AS BIGINT)) * 1000000 + COUNT(*) // 2)
+        |       // COUNT(*) AS BIGINT) AS coverage_ppm
+        |FROM tst CROSS JOIN qh CROSS JOIN nf
+        |GROUP BY alpha_pct, n_fit, n_calib, qhat_cents""".stripMargin,
 
     "bootstrap_ci" -> {
       val wExpr = graft.operators.StatsOps.poissonU32

@@ -1027,4 +1027,67 @@ object StatsOps {
       .select(col("g").as(stratumCol), col("n_h"), col("sd_micros"),
         (col("base") + when(col("rr") <= col("short"), 1L).otherwise(0L)).as("alloc"))
   }
+
+  /** Split-conformal prediction intervals with a measured coverage audit
+    * (Vovk et al.; the Lei et al. 2018 split recipe) — the
+    * distribution-free uncertainty read a forecasting/regression
+    * deployment ships against: whatever the predictor, |y − ŷ| ≤ q̂
+    * holds on fresh data with probability ≥ 1 − α when q̂ is the
+    * ⌈(n+1)(1−α)⌉-th calibration residual. Three disjoint portable-hash
+    * splits (fit 60 / calibrate 20 / test 20 on md5(o_orderkey)); the
+    * fitted predictor is the per-priority half-up integer mean — the
+    * conformal guarantee is predictor-agnostic, so the simplest
+    * deterministic model exercises the full recipe.
+    *
+    * Exact end to end: cents-integer residuals, the calibration quantile
+    * as a type-1 order statistic over [[ShardedOrder]] global ranks
+    * (never a single-reducer window), coverage in half-up ppm. One row
+    * per α: (alpha_pct, n_fit, n_calib, n_test, qhat_cents,
+    * coverage_ppm) — coverage_ppm ≥ (1−α)·1e6 up to finite-sample noise
+    * is the audit a production conformal wrapper re-checks per snapshot.
+    */
+  def conformalInterval(orders: DataFrame,
+                        alphasPct: Seq[Int] = Seq(10, 20)): DataFrame = {
+    require(alphasPct.nonEmpty && alphasPct.forall(a => a >= 1 && a <= 99),
+      s"bad alphas: $alphasPct")
+    val sp = orders.sparkSession
+    import sp.implicits._
+    val base = orders.select(col("o_orderkey").as("k"),
+      col("o_orderpriority").as("grp"),
+      expr("cast(round(o_totalprice * 100) as bigint)").as("cents"),
+      expr("cast(conv(substr(md5(cast(o_orderkey as string)), 1, 8), 16, 10) as bigint) % 100")
+        .as("h"))
+    val fit = base.filter(col("h") < 60)
+    // per-priority mean on the fit split; priority domain is ≤ 5 values
+    // so the model broadcasts by construction
+    val model = fit.groupBy(col("grp")).agg(
+      expr("""cast((cast(sum(cents) as decimal(38,0)) + count(1) div 2)
+        | div count(1) as bigint)""".stripMargin).as("pred_cents"))
+    val nFit = fit.agg(count(lit(1)).as("n_fit"))
+    val calib = base.filter(col("h") >= 60 && col("h") < 80)
+      .join(broadcast(model), Seq("grp"))
+      .select(col("k"), expr("abs(cents - pred_cents)").as("r"))
+    val ranked = ShardedOrder.withGlobalRank(calib, "rk", 32, col("r"), col("k"))
+    val nCal = ranked.agg(count(lit(1)).as("n_calib"))
+    val alphas = alphasPct.toDF("alpha_pct")
+    // type-1 conformal index: ceil((n+1)(1−α)) clamped to n
+    val qhat = broadcast(alphas).crossJoin(broadcast(nCal))
+      .select(col("alpha_pct"), col("n_calib"),
+        expr("least(n_calib, ((n_calib + 1) * (100 - alpha_pct) + 99) div 100)")
+          .as("k_idx"))
+      .join(ranked, col("rk") === col("k_idx"))
+      .select(col("alpha_pct"), col("n_calib"), col("r").as("qhat_cents"))
+    val test = base.filter(col("h") >= 80)
+      .join(broadcast(model), Seq("grp"))
+      .select(expr("abs(cents - pred_cents)").as("r_test"))
+    test.crossJoin(broadcast(qhat))
+      .groupBy(col("alpha_pct"), col("n_calib"), col("qhat_cents"))
+      .agg(count(lit(1)).as("n_test"),
+        expr("""cast((cast(sum(cast(r_test <= qhat_cents as bigint)) as decimal(38,0))
+          | * 1000000 + count(1) div 2) div count(1) as bigint)""".stripMargin)
+          .as("coverage_ppm"))
+      .crossJoin(broadcast(nFit))
+      .select(col("alpha_pct"), col("n_fit"), col("n_calib"), col("n_test"),
+        col("qhat_cents"), col("coverage_ppm"))
+  }
 }
