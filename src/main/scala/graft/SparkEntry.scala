@@ -1161,6 +1161,15 @@ object SparkEntry {
       RelationalOps.hilbertSpanAudit(o, "ck", "doff")
     }),
 
+    // the layout decision row: both curve audits rolled to one row per
+    // curve (mean spans + mean box area) — hilbert ≤ morton, measured
+    "curve_span_compare" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_custkey").as("ck"),
+        datediff(date_trunc("day", col("o_orderdate")).cast(DateType),
+          lit("1995-01-01").cast(DateType)).cast(LongType).as("doff"))
+      RelationalOps.curveSpanCompare(o, "ck", "doff")
+    }),
+
     // Poisson-bootstrap CI for mean order value: 32 deterministic
     // hash-lottery resamples, exact integer means, order-statistic CI
     "bootstrap_ci" -> ((s, d) =>
@@ -4178,6 +4187,37 @@ object SparkEntry {
        |SELECT e.split, e.n_docs, e.n_tokens, e.n_chars_tok, e.n_wp_pieces, e.n_unk,
        |       COALESCE(u.unseen_words, 0) AS unseen_words
        |FROM wpe e LEFT JOIN wpu u USING (split)""".stripMargin
+  }
+
+  /** Shared 16-bit cell quantization of (custkey, order day) — the base
+    * CTE of both curve-layout oracles.
+    */
+  private val ordersCellCte: String =
+    """o AS (SELECT
+      |  ((CAST(o_custkey AS BIGINT) % 65536) + 65536) % 65536 AS a,
+      |  ((CAST(datediff('day', DATE '1995-01-01',
+      |      CAST(date_trunc('day', o_orderdate) AS DATE)) AS BIGINT) % 65536) + 65536) % 65536 AS b
+      |  FROM orders)""".stripMargin
+
+  /** The Hilbert xy2d walk as 16 unrolled CASE-projection CTEs h0..h16
+    * over a (a, b) cell CTE — shared by `hilbert_span_audit` and
+    * `curve_span_compare`.
+    */
+  private def hilbertStepCtes(baseCte: String): String = {
+    val steps = (15 to 0 by -1).zipWithIndex.map { case (bit, i) =>
+      val s = 1L << bit
+      val ss = s * s
+      s"""h${i + 1} AS (SELECT a, b,
+         |  d + CAST($ss AS BIGINT) * (CASE WHEN (x & $s) != 0 AND (y & $s) != 0 THEN 2
+         |                  WHEN (x & $s) != 0 THEN 3
+         |                  WHEN (y & $s) != 0 THEN 1 ELSE 0 END) AS d,
+         |  CASE WHEN (y & $s) != 0 THEN x
+         |       WHEN (x & $s) != 0 THEN 65535 - y ELSE y END AS x,
+         |  CASE WHEN (y & $s) != 0 THEN y
+         |       WHEN (x & $s) != 0 THEN 65535 - x ELSE x END AS y
+         |  FROM h$i)""".stripMargin
+    }.mkString(",\n")
+    s"h0 AS (SELECT a, b, CAST(0 AS BIGINT) AS d, a AS x, b AS y FROM $baseCte),\n" + steps
   }
 
   /** Per-doc SimHash as a reusable CTE (DuckDB spelling of DedupOps.simhash). */
@@ -8129,35 +8169,61 @@ object SparkEntry {
     // integer-exact twin of the native HilbertIndex codegen expression
     // (reflection is ~v on 16 bits, so scrambled high bits never reach
     // the bits later steps read)
-    "hilbert_span_audit" -> {
-      val steps = (15 to 0 by -1).zipWithIndex.map { case (bit, i) =>
-        val s = 1L << bit
-        val ss = s * s
-        s"""h${i + 1} AS (SELECT a, b,
-           |  d + $ss * (CASE WHEN (x & $s) != 0 AND (y & $s) != 0 THEN 2
-           |                  WHEN (x & $s) != 0 THEN 3
-           |                  WHEN (y & $s) != 0 THEN 1 ELSE 0 END) AS d,
-           |  CASE WHEN (y & $s) != 0 THEN x
-           |       WHEN (x & $s) != 0 THEN 65535 - y ELSE y END AS x,
-           |  CASE WHEN (y & $s) != 0 THEN y
-           |       WHEN (x & $s) != 0 THEN 65535 - x ELSE x END AS y
-           |  FROM h$i)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH o AS (SELECT
-         |  ((CAST(o_custkey AS BIGINT) % 65536) + 65536) % 65536 AS a,
-         |  ((CAST(datediff('day', DATE '1995-01-01',
-         |      CAST(date_trunc('day', o_orderdate) AS DATE)) AS BIGINT) % 65536) + 65536) % 65536 AS b
-         |  FROM orders),
-         |h0 AS (SELECT a, b, CAST(0 AS BIGINT) AS d, a AS x, b AS y FROM o),
-         |$steps,
+    "hilbert_span_audit" ->
+      s"""WITH $ordersCellCte,
+         |${hilbertStepCtes("o")},
          |g AS (SELECT d // ${1L << 26} AS bucket, COUNT(*) AS n,
          |      MIN(a) AS min_a, MAX(a) AS max_a, MIN(b) AS min_b, MAX(b) AS max_b
          |      FROM h16 GROUP BY 1)
          |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n,
          |  CAST(((max_a - min_a + 1) * 1000000 + 32768) // 65536 AS BIGINT) AS span_a_ppm,
          |  CAST(((max_b - min_b + 1) * 1000000 + 32768) // 65536 AS BIGINT) AS span_b_ppm
-         |FROM g""".stripMargin
-    },
+         |FROM g""".stripMargin,
+
+    // both curve chains on the same cells, rolled to one decision row
+    // per curve: mean spans + mean bounding-box area (ppm²)
+    "curve_span_compare" ->
+      s"""WITH o0 AS (SELECT CAST(o_custkey AS BIGINT) AS va,
+         |  CAST(datediff('day', DATE '1995-01-01',
+         |      CAST(date_trunc('day', o_orderdate) AS DATE)) AS BIGINT) AS vb
+         |  FROM orders),
+         |mm AS (SELECT MIN(va) AS mna, MAX(va) AS mxa,
+         |       MIN(vb) AS mnb, MAX(vb) AS mxb FROM o0),
+         |o AS (SELECT ((va - mna) * 65536) // (mxa - mna + 1) AS a,
+         |      ((vb - mnb) * 65536) // (mxb - mnb + 1) AS b
+         |      FROM o0 CROSS JOIN mm),
+         |zs1 AS (SELECT a, b, ((a | (a << 8)) & 16711935) AS xa,
+         |       ((b | (b << 8)) & 16711935) AS xb FROM o),
+         |zs2 AS (SELECT a, b, ((xa | (xa << 4)) & 252645135) AS xa,
+         |       ((xb | (xb << 4)) & 252645135) AS xb FROM zs1),
+         |zs3 AS (SELECT a, b, ((xa | (xa << 2)) & 858993459) AS xa,
+         |       ((xb | (xb << 2)) & 858993459) AS xb FROM zs2),
+         |zs4 AS (SELECT a, b, ((xa | (xa << 1)) & 1431655765) AS xa,
+         |       ((xb | (xb << 1)) & 1431655765) AS xb FROM zs3),
+         |zg AS (SELECT (xa | (xb << 1)) // ${1L << 25} AS bucket,
+         |      MIN(a) AS min_a, MAX(a) AS max_a, MIN(b) AS min_b, MAX(b) AS max_b
+         |      FROM zs4 GROUP BY 1),
+         |zsp AS (SELECT ((max_a - min_a + 1) * 1000000 + 32768) // 65536 AS sa,
+         |        ((max_b - min_b + 1) * 1000000 + 32768) // 65536 AS sb FROM zg),
+         |${hilbertStepCtes("o")},
+         |hg AS (SELECT d // ${1L << 25} AS bucket,
+         |      MIN(a) AS min_a, MAX(a) AS max_a, MIN(b) AS min_b, MAX(b) AS max_b
+         |      FROM h16 GROUP BY 1),
+         |hsp AS (SELECT ((max_a - min_a + 1) * 1000000 + 32768) // 65536 AS sa,
+         |        ((max_b - min_b + 1) * 1000000 + 32768) // 65536 AS sb FROM hg)
+         |SELECT 'morton' AS curve, COUNT(*) AS n_buckets,
+         |  CAST((SUM(sa) + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS mean_span_a_ppm,
+         |  CAST((SUM(sb) + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS mean_span_b_ppm,
+         |  CAST((SUM(greatest(sa, sb)) + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS mean_max_span_ppm,
+         |  CAST((SUM(sa * sb) + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS mean_box_ppm2
+         |FROM zsp
+         |UNION ALL
+         |SELECT 'hilbert', COUNT(*),
+         |  CAST((SUM(sa) + COUNT(*) // 2) // COUNT(*) AS BIGINT),
+         |  CAST((SUM(sb) + COUNT(*) // 2) // COUNT(*) AS BIGINT),
+         |  CAST((SUM(greatest(sa, sb)) + COUNT(*) // 2) // COUNT(*) AS BIGINT),
+         |  CAST((SUM(sa * sb) + COUNT(*) // 2) // COUNT(*) AS BIGINT)
+         |FROM hsp""".stripMargin,
 
     // split-conformal replay: same hash splits, per-priority fit mean,
     // type-1 residual quantile at ceil((n+1)(1−α)) clamped to n, coverage

