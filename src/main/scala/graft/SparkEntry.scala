@@ -1181,6 +1181,13 @@ object SparkEntry {
     "conformal_interval" -> ((s, d) =>
       StatsOps.conformalInterval(t(s, d, "orders"))),
 
+    // empirical-Bayes beta-binomial shrinkage of per-supplier return
+    // rates: small-n suppliers borrow the corpus prior, K by method of
+    // moments — the small-sample fix for every per-group rate table
+    "eb_shrunk_returns" -> ((s, d) =>
+      StatsOps.ebShrunkRates(t(s, d, "lineitem"), "l_suppkey",
+        "l_returnflag = 'R'")),
+
     // per-source quality percentile normalization: the cross-source
     // comparable score a mixer wants (src A's p80 == src B's p80),
     // per-source ECDF via source-partitioned cumulative
@@ -1436,6 +1443,11 @@ object SparkEntry {
       SimilarityOps.embeddingDupPairsLsh(t(s, d, "embeddings"), 0.8)),
     "multimodal_meta" -> ((s, d) => MultimodalOps.payloadMeta(t(s, d, "documents"))),
     "text_chunks" -> ((s, d) => TextOps.chunks(t(s, d, "documents"))),
+    // sentence-boundary chunking: whole sentences packed greedily into
+    // ≤32-token chunks (never cuts mid-sentence) — per-doc HOF fold,
+    // replayed as a per-doc recursive walk in the oracle
+    "sentence_chunks" -> ((s, d) =>
+      TextOps.sentenceChunks(t(s, d, "documents"))),
     // word2vec negative-sampling table: unigram^0.75 cumulative ranges
     "negative_sampling_table" -> ((s, d) =>
       TextOps.negativeSamplingTable(t(s, d, "documents"))),
@@ -1557,6 +1569,10 @@ object SparkEntry {
     "shapley_attribution" -> ((s, d) => EventOps.shapleyAttribution(t(s, d, "events"))),
     // walk-forward MAE/bias of the naive and seasonal-naive baselines
     "forecast_backtest" -> ((s, d) => EventOps.forecastBacktest(t(s, d, "events"))),
+    // Holt level+trend smoothing as exact integer recursions (α=0.2,
+    // β=0.1 as 2/10 and 1/10 integer weights, sign-safe floor div);
+    // one-step in-sample MAE beside the naive MAE in the same pass
+    "holt_forecast" -> ((s, d) => EventOps.holtForecast(t(s, d, "events"))),
     // two-proportion z-test on conversion by user-parity arm
     "ab_conversion_ztest" -> ((s, d) => EventOps.abConversionZtest(t(s, d, "events"))),
     // D1/D7/D14/D28 retention with right-censoring eligibility
@@ -6231,6 +6247,36 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_ltv_cents
         |FROM g""".stripMargin,
 
+    // Holt replay: the same integer recursion as a recursive CTE walk
+    // over the day-ranked series (fdiv10 = subtract sign-preserving mod
+    // then divide, floor == trunc on the exact multiple in both engines)
+    "holt_forecast" -> {
+      def fdiv10(e: String): String =
+        s"((($e) - (((($e) % 10) + 10) % 10)) // 10)"
+      s"""WITH RECURSIVE d AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         |        SUM(CAST(round(value * 100) AS BIGINT)) AS cents FROM events GROUP BY 1),
+         |sq AS (SELECT cents, row_number() OVER (ORDER BY day) AS rn FROM d),
+         |nn AS (SELECT COUNT(*) AS n FROM sq),
+         |init AS (SELECT 2 AS rn, b.cents AS l, b.cents - a.cents AS b,
+         |         b.cents AS prev, CAST(0 AS BIGINT) AS sae_h, CAST(0 AS BIGINT) AS sae_n
+         |         FROM sq a, sq b WHERE a.rn = 1 AND b.rn = 2),
+         |walk AS (
+         |  SELECT * FROM init
+         |  UNION ALL
+         |  SELECT rn, l2 AS l, ${fdiv10("(l2 - l) + 9 * b")} AS b, y AS prev,
+         |         sae_h + abs(y - (l + b)), sae_n + abs(y - prev)
+         |  FROM (SELECT s.rn AS rn, s.cents AS y, w.l, w.b, w.prev, w.sae_h, w.sae_n,
+         |               ${fdiv10("2 * s.cents + 8 * (w.l + w.b)")} AS l2
+         |        FROM walk w JOIN sq s ON s.rn = w.rn + 1) t)
+         |SELECT CAST(nn.n AS BIGINT) AS n_days,
+         |  CAST(l AS BIGINT) AS level_cents, CAST(b AS BIGINT) AS trend_cents,
+         |  CAST(l + b AS BIGINT) AS forecast_1_cents,
+         |  CAST(l + 7 * b AS BIGINT) AS forecast_7_cents,
+         |  CAST((sae_h + (nn.n - 2) // 2) // (nn.n - 2) AS BIGINT) AS mae_holt_cents,
+         |  CAST((sae_n + (nn.n - 2) // 2) // (nn.n - 2) AS BIGINT) AS mae_naive_cents
+         |FROM walk, nn WHERE walk.rn = nn.n AND nn.n >= 3""".stripMargin
+    },
+
     "discount_elasticity" ->
       """WITH m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
         |  CAST(SUM(CAST(round(l_discount * 1000) AS BIGINT)) AS HUGEINT) AS sx,
@@ -8225,6 +8271,28 @@ object SparkEntry {
          |  CAST((SUM(sa * sb) + COUNT(*) // 2) // COUNT(*) AS BIGINT)
          |FROM hsp""".stripMargin,
 
+    // EB shrinkage replay: exact group rates + HUGEINT moment sums, the
+    // same fixed-shape double chain (mu, v, K clamp, shrunk) as the engine
+    "eb_shrunk_returns" ->
+      """WITH gg AS (SELECT l_suppkey AS g, COUNT(*) AS n,
+        |            SUM(CAST(l_returnflag = 'R' AS BIGINT)) AS x FROM lineitem GROUP BY 1),
+        |gp AS (SELECT g, n, x, (x * 1000000 + n // 2) // n AS p_u FROM gg),
+        |mom AS (SELECT COUNT(*) AS n_groups, SUM(CAST(p_u AS HUGEINT)) AS sp,
+        |        SUM(CAST(p_u AS HUGEINT) * p_u) AS sp2 FROM gp),
+        |sc AS (SELECT g, n, x, p_u,
+        |       CAST(sp AS DOUBLE) / CAST(n_groups AS DOUBLE) / 1e6 AS mu,
+        |       (CAST(sp2 AS DOUBLE) / CAST(n_groups AS DOUBLE)
+        |        - (CAST(sp AS DOUBLE) / CAST(n_groups AS DOUBLE))
+        |          * (CAST(sp AS DOUBLE) / CAST(n_groups AS DOUBLE))) / 1e12 AS v
+        |       FROM gp CROSS JOIN mom),
+        |kk AS (SELECT *, CASE WHEN v > 0 THEN greatest(mu * (1 - mu) / v - 1, 0)
+        |                      ELSE 0 END AS k FROM sc)
+        |SELECT g AS l_suppkey, CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS x,
+        |       CAST(p_u AS BIGINT) AS raw_ppm,
+        |       CAST(round((CAST(x AS DOUBLE) + k * mu)
+        |            / (CAST(n AS DOUBLE) + k) * 1000000) AS BIGINT) AS shrunk_ppm
+        |FROM kk""".stripMargin,
+
     // split-conformal replay: same hash splits, per-priority fit mean,
     // type-1 residual quantile at ceil((n+1)(1−α)) clamped to n, coverage
     "conformal_interval" ->
@@ -8870,6 +8938,26 @@ object SparkEntry {
         |array_to_string(toks[s+1:least(s + 32, len(toks))], ' ') AS chunk,
         |CAST(least(s + 32, len(toks)) - s AS INTEGER) AS n_chunk_tokens
         |FROM st WHERE s < len(toks)""".stripMargin,
+
+    // greedy sentence packing replayed as a per-doc recursive walk over
+    // the kept (token-bearing) sentences in order
+    "sentence_chunks" ->
+      """WITH RECURSIVE sl AS (SELECT doc_id, regexp_split_to_array(text, '[.!?]+') AS l FROM documents),
+        |sc AS (SELECT doc_id, len(regexp_extract_all(lower(l[i]), '[a-z0-9]+')) AS tk, i
+        |       FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM sl) t),
+        |seq AS (SELECT doc_id, tk,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+        |        FROM sc WHERE tk > 0),
+        |walk AS (
+        |  SELECT doc_id, rn, tk, 0 AS idx, tk AS cur FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.doc_id, s.rn, s.tk,
+        |         CASE WHEN w.cur + s.tk > 32 THEN w.idx + 1 ELSE w.idx END,
+        |         CASE WHEN w.cur + s.tk > 32 THEN s.tk ELSE w.cur + s.tk END
+        |  FROM walk w JOIN seq s ON s.doc_id = w.doc_id AND s.rn = w.rn + 1)
+        |SELECT doc_id, CAST(idx AS INTEGER) AS chunk_idx,
+        |       COUNT(*) AS n_sentences, CAST(SUM(tk) AS BIGINT) AS n_chunk_tokens
+        |FROM walk GROUP BY 1, 2""".stripMargin,
 
     "negative_sampling_table" ->
       """WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),

@@ -758,6 +758,59 @@ object EventOps {
     naive.unionByName(snaive)
   }
 
+  /** Sign-safe integer floor division by 10 — `div` truncates toward
+    * zero on Spark while DuckDB's `//` floors, and Holt's trend can go
+    * negative; subtracting the sign-preserving mod first makes the
+    * numerator an exact multiple, where truncation == floor on BOTH
+    * engines.
+    */
+  private def fdiv10(e: String): String =
+    s"((($e) - (((($e) % 10) + 10) % 10)) div 10)"
+
+  /** Holt double-exponential smoothing (level + trend) over the daily
+    * revenue series — the first real MODEL next to [[forecastBacktest]]'s
+    * naive baselines: l_t = α·y_t + (1−α)(l+b), b_t = β(l_t−l) + (1−β)b
+    * with α = 0.2, β = 0.1 as EXACT integer-weight recursions
+    * (fdiv10(2y + 8(l+b)), fdiv10((l'−l) + 9b)) — deterministic to the
+    * cent at any length, replayed by a recursive CTE in the oracle. The
+    * in-sample one-step MAE lands beside the naive MAE computed in the
+    * same pass, so the row answers the only question that matters: does
+    * the trend model beat carry-yesterday on this series?
+    *
+    * Scale shape: one corpus (day) aggregate; the recursion runs over
+    * the COLLECTED day series — calendar-bounded (~10³ rows at ANY
+    * corpus size), the BPE-merge-table collect class, never corpus-scale.
+    */
+  def holtForecast(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+    val foldSql =
+      s"""aggregate(slice(s, 3, greatest(size(s) - 2, 0)),
+         |  named_struct('l', element_at(s, 2).cents,
+         |               'b', element_at(s, 2).cents - element_at(s, 1).cents,
+         |               'prev', element_at(s, 2).cents,
+         |               'sae_h', 0L, 'sae_n', 0L),
+         |  (st, e) -> element_at(transform(array(
+         |      ${fdiv10("2 * e.cents + 8 * (st.l + st.b)")}), l2 ->
+         |    named_struct('l', l2,
+         |                 'b', ${fdiv10("(l2 - st.l) + 9 * st.b")},
+         |                 'prev', e.cents,
+         |                 'sae_h', st.sae_h + abs(e.cents - (st.l + st.b)),
+         |                 'sae_n', st.sae_n + abs(e.cents - st.prev))), 1),
+         |  st -> st)""".stripMargin
+    daily.agg(expr("sort_array(collect_list(struct(day, cents)))").as("s"))
+      .filter(expr("size(s) >= 3"))
+      .select(expr("cast(size(s) as bigint)").as("n_days"),
+        expr(foldSql).as("r"))
+      .select(col("n_days"), col("r.l").as("level_cents"),
+        col("r.b").as("trend_cents"),
+        expr("r.l + r.b").as("forecast_1_cents"),
+        expr("r.l + 7 * r.b").as("forecast_7_cents"),
+        expr("(r.sae_h + (n_days - 2) div 2) div (n_days - 2)").as("mae_holt_cents"),
+        expr("(r.sae_n + (n_days - 2) div 2) div (n_days - 2)").as("mae_naive_cents"))
+  }
+
   /** Shapley-value attribution over observed touch SETS — the
     * order-independent, axiomatically fair companion to
     * [[markovAttribution]]'s chain model (Shapley 1953; the simplified

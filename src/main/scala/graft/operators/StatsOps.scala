@@ -1028,6 +1028,51 @@ object StatsOps {
         (col("base") + when(col("rr") <= col("short"), 1L).otherwise(0L)).as("alloc"))
   }
 
+  /** Empirical-Bayes (beta-binomial) shrinkage of per-group rates — the
+    * small-sample fix every per-supplier/per-source rate table needs: a
+    * supplier with 2 returns out of 3 items is NOT a 67 % returner; its
+    * rate shrinks toward the population mean in proportion to the prior
+    * strength K = μ(1−μ)/s² − 1 estimated across groups by method of
+    * moments (Robbins 1956; the baseball-batting-average classic).
+    * shrunk = (x + K·μ)/(n + K): big-n groups keep their rate, small-n
+    * groups borrow the corpus prior.
+    *
+    * Determinism: per-group micros rates and the cross-group moment sums
+    * are exact integers (Σp² DECIMAL(38,0)-widened — group counts at
+    * corpus scale would overflow LONG); μ, s², K and the shrunk rate are
+    * ONE fixed-shape double chain micros-quantized at the end, the
+    * chi-square/assortativity discipline. K clamps to 0 when the
+    * observed spread is at or above the binomial prior bound (s² ≥
+    * μ(1−μ)) or degenerate (s² = 0) — shrunk = raw, never a negative
+    * prior. Scale shape: one partial-agg pass to groups, one
+    * broadcast-scale moment rollup, one map-side join back.
+    */
+  def ebShrunkRates(df: DataFrame, groupCol: String,
+                    successExpr: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val g = df.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr(s"cast($successExpr as bigint)")).as("x"))
+      .withColumn("p_u", expr("(x * 1000000 + n div 2) div n"))
+    val mom = g.agg(count(lit(1)).as("n_groups"),
+      sum(col("p_u")).cast(D).as("sp"),
+      sum((col("p_u").cast(D) * col("p_u").cast(D)).cast(D)).as("sp2"))
+    g.crossJoin(broadcast(mom))
+      .select(col("g").as(groupCol), col("n"), col("x"),
+        col("p_u").as("raw_ppm"),
+        expr(
+          """cast(round(element_at(transform(array(
+            |  named_struct(
+            |    'mu', cast(sp as double) / cast(n_groups as double) / 1e6,
+            |    'v', (cast(sp2 as double) / cast(n_groups as double)
+            |          - (cast(sp as double) / cast(n_groups as double))
+            |            * (cast(sp as double) / cast(n_groups as double))) / 1e12)),
+            |  m -> element_at(transform(array(
+            |         if(m.v > 0d, greatest(m.mu * (1d - m.mu) / m.v - 1d, 0d), 0d)),
+            |       k -> (cast(x as double) + k * m.mu) / (cast(n as double) + k)), 1)),
+            |  1) * 1000000) as bigint)""".stripMargin).as("shrunk_ppm"))
+  }
+
   /** Split-conformal prediction intervals with a measured coverage audit
     * (Vovk et al.; the Lei et al. 2018 split recipe) — the
     * distribution-free uncertainty read a forecasting/regression

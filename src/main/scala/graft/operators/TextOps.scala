@@ -317,6 +317,41 @@ object TextOps {
         col("c.chunk").as("chunk"), col("c.n_chunk_tokens").as("n_chunk_tokens"))
   }
 
+  /** Sentence-boundary chunking — the RAG-prep sibling of the
+    * fixed-window [[chunks]]: split on sentence punctuation, then pack
+    * WHOLE sentences greedily into chunks of ≤ `maxTokens` (a retrieval
+    * chunk that never cuts mid-sentence embeds and reads better than a
+    * fixed window; an oversized single sentence gets its own chunk — the
+    * standard greedy rule). The chunk assignment is one per-doc
+    * higher-order fold over the sentence token counts (bounded by
+    * sentences/doc, never corpus-scale), replayed in the oracle as a
+    * per-doc recursive walk. Emits per-chunk sentence and token counts —
+    * zero shuffles before the final per-doc aggregate.
+    */
+  def sentenceChunks(documents: DataFrame, maxTokens: Int = 32): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be positive, got $maxTokens")
+    val cntsSql =
+      s"""filter(transform(split(text, '[.!?]+'),
+         |         x -> size(regexp_extract_all(lower(x), '$TokenPattern', 0))),
+         |       c -> c > 0)""".stripMargin
+    val idsSql =
+      s"""aggregate(cnts,
+         |  named_struct('cur', 0, 'idx', 0, 'ids', cast(array() as array<int>)),
+         |  (st, tk) -> if(st.cur > 0 and st.cur + tk > $maxTokens,
+         |    named_struct('cur', tk, 'idx', st.idx + 1,
+         |                 'ids', concat(st.ids, array(st.idx + 1))),
+         |    named_struct('cur', st.cur + tk, 'idx', st.idx,
+         |                 'ids', concat(st.ids, array(st.idx)))),
+         |  st -> st.ids)""".stripMargin
+    documents
+      .select(col("doc_id"), expr(cntsSql).as("cnts"))
+      .select(col("doc_id"), col("cnts"), expr(idsSql).as("ids"))
+      .select(col("doc_id"), explode(expr("arrays_zip(cnts, ids)")).as("z"))
+      .groupBy(col("doc_id"), col("z.ids").as("chunk_idx"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(col("z.cnts")).cast(LongType).as("n_chunk_tokens"))
+  }
+
   private val tokensSql = s"regexp_extract_all(lower(text), '$TokenPattern', 0)"
 
   /** Global token histogram: explode + one hash aggregate. The groupBy key

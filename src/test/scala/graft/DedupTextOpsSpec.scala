@@ -1313,6 +1313,26 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(got("heldout") == ((1L, 2L, 8L, 4L, 2L, 1L)), got("heldout").toString)
   }
 
+  test("sentenceChunks: whole sentences pack greedily to the token " +
+       "budget, an oversized sentence gets its own chunk, empty " +
+       "segments drop") {
+    val d = Seq(
+      (1L, "a b c. d e! f g h i? x", "en", "s", 22L),
+      (2L, "one two three four five six. a.", "en", "s", 31L),
+      (3L, "...", "en", "s", 3L)) // no tokens at all → zero rows
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextOps.sentenceChunks(d, maxTokens = 5).collect()
+      .map(x => (x.getLong(0), x.getInt(1)) -> ((x.getLong(2), x.getLong(3))))
+      .toMap
+    // doc 1 counts [3,2,4,1]: (3+2=5 | 4+1=5) → two full chunks
+    assert(r((1L, 0)) == ((2L, 5L)), r.toString)
+    assert(r((1L, 1)) == ((2L, 5L)), r.toString)
+    // doc 2: the 6-token sentence exceeds the budget alone → own chunk
+    assert(r((2L, 0)) == ((1L, 6L)), r.toString)
+    assert(r((2L, 1)) == ((1L, 1L)), r.toString)
+    assert(!r.keySet.exists(_._1 == 3L), r.toString)
+  }
+
   test("pavIsotonic: hand-computed pool-adjacent-violators — a leading " +
        "violation pools to the pooled mean, gaps in bin ids are safe, " +
        "and the output is always non-decreasing") {

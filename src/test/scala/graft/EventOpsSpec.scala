@@ -831,6 +831,26 @@ class EventOpsSpec extends SparkSpec {
     assert(got("seasonal_naive") == ((2L, 700L, 700L)), got.toString)
   }
 
+  test("holtForecast: a perfectly linear series is learned exactly " +
+       "(in-sample MAE 0 vs naive = the slope); forecasts extrapolate " +
+       "the trend") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // daily cents 100, 120, 140, 160: init l=120 b=20; every one-step
+    // forecast l+b hits y exactly, l/b stay (y, 20) through fdiv10
+    val e = (1 to 4).map(i =>
+      (i.toLong, ts(f"2024-01-0$i%01d 00:00:00"), 1L, "purchase", 0.80 + i * 0.20, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.holtForecast(e).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 160L, 20L)), r.toString)
+    assert((r.getLong(3), r.getLong(4)) == ((180L, 300L)), r.toString)
+    assert(r.getLong(5) == 0L, "holt learns the line exactly: " + r)
+    assert(r.getLong(6) == 20L, "naive lags by one slope step: " + r)
+    // under 3 days there is no recursion to run — zero rows, no crash
+    val tiny = e.limit(2)
+    assert(EventOps.holtForecast(tiny).count() == 0L)
+  }
+
   test("shapleyAttribution: hand-computed two-channel game; shares sum to " +
        "v(full) - v(empty) (efficiency axiom)") {
     import spark.implicits._

@@ -474,6 +474,29 @@ class StatsOpsSpec extends SparkSpec {
     assert(r2.isNullAt(4) && r2.isNullAt(5) && r2.isNullAt(6), r2.toString)
   }
 
+  test("ebShrunkRates: extreme small-n groups shrink toward the corpus " +
+       "mean, a large group holds its rate; constant rates mean K = 0 " +
+       "(shrunk == raw)") {
+    import spark.implicits._
+    // groups: 2/2 returns, 0/2, 500/1000 → p = [1e6, 0, 5e5] micros;
+    // mu = 0.5, v = 1/6, K = 0.25/(1/6) − 1 = 0.5 exactly:
+    // shrunk(1.0, n=2) = 2.25/2.5 = 0.9; shrunk(0.0, n=2) = 0.1;
+    // shrunk(0.5, n=1000) = 500.25/1000.5 = 0.5 exactly
+    val rows = Seq.fill(2)((1L, true)) ++ Seq.fill(2)((2L, false)) ++
+      (1 to 1000).map(i => (3L, i <= 500))
+    val d = rows.toDF("s", "r")
+    val got = StatsOps.ebShrunkRates(d, "s", "r").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(3), x.getLong(4)))).toMap
+    assert(got(1L) == ((1000000L, 900000L)), got.toString)
+    assert(got(2L) == ((0L, 100000L)), got.toString)
+    assert(got(3L) == ((500000L, 500000L)), got.toString)
+    // all-equal rates: zero variance → K = 0 → shrunk == raw
+    val flat = Seq((1L, true), (1L, false), (2L, true), (2L, false)).toDF("s", "r")
+    val g2 = StatsOps.ebShrunkRates(flat, "s", "r").collect()
+      .map(x => (x.getLong(3), x.getLong(4)))
+    assert(g2.forall { case (raw, sh) => raw == sh }, g2.mkString(","))
+  }
+
   test("conformalInterval: splits partition the table, qhat is a real " +
        "calibration residual (monotone in alpha), and test coverage " +
        "honors the conformal guarantee up to finite-sample noise") {
