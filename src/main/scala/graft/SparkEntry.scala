@@ -1573,6 +1573,10 @@ object SparkEntry {
     // β=0.1 as 2/10 and 1/10 integer weights, sign-safe floor div);
     // one-step in-sample MAE beside the naive MAE in the same pass
     "holt_forecast" -> ((s, d) => EventOps.holtForecast(t(s, d, "events"))),
+    // per-user lifetime-spend milestone crossings (batch face of the
+    // transformWithState processor — spec proves stream ≡ batch)
+    "spend_milestones" -> ((s, d) =>
+      EventOps.spendMilestones(t(s, d, "events"))),
     // two-proportion z-test on conversion by user-parity arm
     "ab_conversion_ztest" -> ((s, d) => EventOps.abConversionZtest(t(s, d, "events"))),
     // D1/D7/D14/D28 retention with right-censoring eligibility
@@ -6276,6 +6280,21 @@ object SparkEntry {
          |  CAST((sae_n + (nn.n - 2) // 2) // (nn.n - 2) AS BIGINT) AS mae_naive_cents
          |FROM walk, nn WHERE walk.rn = nn.n AND nn.n >= 3""".stripMargin
     },
+
+    // milestone crossings: per-user ordered cumulative cents, emit when
+    // the step quotient advances (highest multiple reached)
+    "spend_milestones" ->
+      """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |           CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id, cents,
+        |      SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM p)
+        |SELECT user_id, event_id,
+        |       CAST((cum // 10000) * 10000 AS BIGINT) AS milestone_cents,
+        |       CAST(cum AS BIGINT) AS cum_cents
+        |FROM c WHERE cum // 10000 > (cum - cents) // 10000""".stripMargin,
 
     "discount_elasticity" ->
       """WITH m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,

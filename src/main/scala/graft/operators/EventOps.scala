@@ -758,6 +758,30 @@ object EventOps {
     naive.unionByName(snaive)
   }
 
+  /** Per-user spend milestones — the batch face of the
+    * [[graft.streaming.Milestones]] transformWithState processor: order
+    * each user's purchases by (ts, event_id), run the cumulative
+    * cents, and emit one row per purchase whose cumulative total CROSSES
+    * a `stepCents` multiple (milestone = the highest multiple reached —
+    * a single large purchase that jumps several marks emits once, at the
+    * top one). The loyalty/limit-alert primitive: "tell me when a
+    * customer passes each $100 of lifetime spend". Per-user window —
+    * user-keyed partitions, never a global sort.
+    */
+  def spendMilestones(events: DataFrame, stepCents: Long = 10000L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .withColumn("cum", sum(col("cents")).over(w))
+      .filter(expr(s"cum div $stepCents > (cum - cents) div $stepCents"))
+      .select(col("user_id"), col("event_id"),
+        expr(s"(cum div $stepCents) * $stepCents").as("milestone_cents"),
+        col("cum").as("cum_cents"))
+  }
+
   /** Sign-safe integer floor division by 10 — `div` truncates toward
     * zero on Spark while DuckDB's `//` floors, and Holt's trend can go
     * negative; subtracting the sign-preserving mod first makes the

@@ -550,4 +550,56 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.sameElements(Array(1L, 4L)),
       s"burst must stay collapsed across micro-batches: ${got.toSeq}")
   }
+
+  test("Milestones (transformWithState): spend crossings match the batch " +
+       "window face, and a crossing whose purchases SPAN a micro-batch " +
+       "boundary still fires exactly once (ValueState carries the total)") {
+    import graft.streaming.Milestones
+    import graft.streaming.Milestones.{Milestone, Purchase}
+    // user 1: $60, $50, $10, $90 → cum 6000/11000/12000/21000 cents:
+    // crossings at 11000 (mark 10000) and 21000 (mark 20000);
+    // user 2: one $250 purchase jumps two marks → ONE row at 20000
+    val purchases = Seq(
+      Purchase(1L, ts("2024-01-01 00:00:00"), 60.0, 1L),
+      Purchase(1L, ts("2024-01-01 01:00:00"), 50.0, 2L),
+      Purchase(1L, ts("2024-01-02 00:00:00"), 10.0, 3L),
+      Purchase(1L, ts("2024-01-02 01:00:00"), 90.0, 4L),
+      Purchase(2L, ts("2024-01-01 00:00:00"), 250.0, 5L))
+    val expected = Set(
+      Milestone(1L, 2L, 10000L, 11000L),
+      Milestone(1L, 4L, 20000L, 21000L),
+      Milestone(2L, 5L, 20000L, 25000L))
+
+    // batch face (the registered spend_milestones query)
+    val ev = purchases.map(p => (p.event_id, p.ts, p.user_id, "purchase", p.value, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val batchFace = graft.operators.EventOps.spendMilestones(ev).collect()
+      .map(r => Milestone(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batchFace == expected, s"batch face: $batchFace")
+
+    // streaming: split MID-USER-1 (crossing 2 needs state from batch A);
+    // transformWithState requires the RocksDB state store provider
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[Purchase]
+      val q = Milestones.milestones(mem.toDS())
+        .writeStream.format("memory").queryName("milestone_stream")
+        .outputMode("append").start()
+      try {
+        mem.addData(purchases.take(2): _*)
+        q.processAllAvailable()
+        mem.addData(purchases.drop(2): _*)
+        q.processAllAvailable()
+        val got = spark.table("milestone_stream").as[Milestone].collect().toSet
+        assert(got == expected, s"stream ≡ batch across the split: $got")
+      } finally q.stop()
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
