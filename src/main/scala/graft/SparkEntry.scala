@@ -1577,6 +1577,10 @@ object SparkEntry {
     // transformWithState processor — spec proves stream ≡ batch)
     "spend_milestones" -> ((s, d) =>
       EventOps.spendMilestones(t(s, d, "events"))),
+    // Holt–Winters additive weekly seasonality, exact integer recursions
+    // over the collected day series; MAE vs naive from the same range
+    "holt_winters" -> ((s, d) =>
+      EventOps.holtWintersForecast(t(s, d, "events"))),
     // two-proportion z-test on conversion by user-parity arm
     "ab_conversion_ztest" -> ((s, d) => EventOps.abConversionZtest(t(s, d, "events"))),
     // D1/D7/D14/D28 retention with right-censoring eligibility
@@ -6295,6 +6299,44 @@ object SparkEntry {
         |       CAST((cum // 10000) * 10000 AS BIGINT) AS milestone_cents,
         |       CAST(cum AS BIGINT) AS cum_cents
         |FROM c WHERE cum // 10000 > (cum - cents) // 10000""".stripMargin,
+
+    // Holt–Winters replay: the holt_forecast walk grown a 7-slot LIST
+    // state column (weekday deviations), updated one slot per step
+    "holt_winters" -> {
+      def fdiv10(e: String): String =
+        s"((($e) - (((($e) % 10) + 10) % 10)) // 10)"
+      s"""WITH RECURSIVE d AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         |        SUM(CAST(round(value * 100) AS BIGINT)) AS cents FROM events GROUP BY 1),
+         |sq AS (SELECT cents, row_number() OVER (ORDER BY day) AS rn FROM d),
+         |nn AS (SELECT COUNT(*) AS n FROM sq),
+         |lz AS (SELECT SUM(cents) // 7 AS l0 FROM sq WHERE rn <= 7),
+         |iw AS (SELECT list(cents ORDER BY rn) AS yl FROM (SELECT * FROM sq WHERE rn <= 7) t),
+         |init AS (SELECT 7 AS rn, l0 AS l, CAST(0 AS BIGINT) AS b,
+         |         list_transform(yl, c -> c - l0) AS sv,
+         |         yl[7] AS prev, CAST(0 AS BIGINT) AS sae_h, CAST(0 AS BIGINT) AS sae_n
+         |         FROM lz, iw),
+         |walk AS (
+         |  SELECT * FROM init
+         |  UNION ALL
+         |  SELECT rn, l2 AS l, ${fdiv10("(l2 - l) + 9 * b")} AS b,
+         |         list_transform(range(7), j -> CASE WHEN j = slot
+         |           THEN ${fdiv10("2 * (y - l2) + 8 * sv[slot + 1]")}
+         |           ELSE sv[j + 1] END) AS sv,
+         |         y AS prev,
+         |         sae_h + abs(y - (l + b + sv[slot + 1])),
+         |         sae_n + abs(y - prev)
+         |  FROM (SELECT s.rn AS rn, s.cents AS y, w.l, w.b, w.sv, w.prev,
+         |               w.sae_h, w.sae_n, ((s.rn - 1) % 7) AS slot,
+         |               ${fdiv10("2 * (s.cents - w.sv[((s.rn - 1) % 7) + 1]) + 8 * (w.l + w.b)")} AS l2
+         |        FROM walk w JOIN sq s ON s.rn = w.rn + 1) t)
+         |SELECT CAST(nn.n AS BIGINT) AS n_days, CAST(l AS BIGINT) AS level_cents,
+         |  CAST(b AS BIGINT) AS trend_cents,
+         |  CAST(l + b + sv[CAST(nn.n % 7 AS INTEGER) + 1] AS BIGINT) AS forecast_1_cents,
+         |  CAST(list_max(sv) - list_min(sv) AS BIGINT) AS seas_amp_cents,
+         |  CAST((sae_h + (nn.n - 7) // 2) // (nn.n - 7) AS BIGINT) AS mae_hw_cents,
+         |  CAST((sae_n + (nn.n - 7) // 2) // (nn.n - 7) AS BIGINT) AS mae_naive_cents
+         |FROM walk, nn WHERE walk.rn = nn.n AND nn.n >= 8""".stripMargin
+    },
 
     "discount_elasticity" ->
       """WITH m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,

@@ -851,6 +851,29 @@ class EventOpsSpec extends SparkSpec {
     assert(EventOps.holtForecast(tiny).count() == 0L)
   }
 
+  test("holtWintersForecast: a pure weekly sawtooth is learned exactly " +
+       "(in-sample MAE 0, level/trend/seasonals at fixed point); naive " +
+       "pays the weekly jump") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // 4 weeks of 1.00..7.00 dollars: l0 = 400 cents, sv = [-300..300],
+    // b = 0 — every recursion step reproduces the state exactly
+    val e = (0 until 28).map { i =>
+      (i.toLong + 1, ts(f"2024-01-${i + 1}%02d 00:00:00"), 1L, "purchase",
+        (i % 7 + 1) * 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.holtWintersForecast(e).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((28L, 400L, 0L)), r.toString)
+    // next slot is 28 % 7 = 0 → the 100-cent weekday
+    assert(r.getLong(3) == 100L, r.toString)
+    assert(r.getLong(4) == 600L, r.toString)
+    assert(r.getLong(5) == 0L, "HW learns the sawtooth exactly: " + r)
+    // naive: +100 six times, -600 once per week over 21 scored steps
+    assert(r.getLong(6) == 171L, r.toString)
+    // under 8 days there is no seasonal init — zero rows, no crash
+    assert(EventOps.holtWintersForecast(e.limit(6)).count() == 0L)
+  }
+
   test("shapleyAttribution: hand-computed two-channel game; shares sum to " +
        "v(full) - v(empty) (efficiency axiom)") {
     import spark.implicits._
