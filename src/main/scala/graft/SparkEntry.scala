@@ -8337,7 +8337,7 @@ object SparkEntry {
     "eb_shrunk_returns" ->
       """WITH gg AS (SELECT l_suppkey AS g, COUNT(*) AS n,
         |            SUM(CAST(l_returnflag = 'R' AS BIGINT)) AS x FROM lineitem GROUP BY 1),
-        |gp AS (SELECT g, n, x, (x * 1000000 + n // 2) // n AS p_u FROM gg),
+        |gp AS (SELECT g, n, x, (CAST(x AS HUGEINT) * 1000000 + n // 2) // n AS p_u FROM gg),
         |mom AS (SELECT COUNT(*) AS n_groups, SUM(CAST(p_u AS HUGEINT)) AS sp,
         |        SUM(CAST(p_u AS HUGEINT) * p_u) AS sp2 FROM gp),
         |sc AS (SELECT g, n, x, p_u,

@@ -1053,7 +1053,9 @@ object StatsOps {
     val g = df.groupBy(col(groupCol).as("g"))
       .agg(count(lit(1)).as("n"),
         sum(expr(s"cast($successExpr as bigint)")).as("x"))
-      .withColumn("p_u", expr("(x * 1000000 + n div 2) div n"))
+      // DECIMAL-widened ppm: x is a per-group success COUNT — corpus-scale
+      // at the 100 TB target, where the LONG multiply overflows
+      .withColumn("p_u", expr("(cast(x as decimal(38,0)) * 1000000 + n div 2) div n"))
     val mom = g.agg(count(lit(1)).as("n_groups"),
       sum(col("p_u")).cast(D).as("sp"),
       sum((col("p_u").cast(D) * col("p_u").cast(D)).cast(D)).as("sp2"))
