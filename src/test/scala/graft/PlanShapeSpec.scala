@@ -509,4 +509,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(hints <= 1,
       s"unigram_encode should carry exactly one broadcast hint (vmap), found $hints:\n$ue")
   }
+
+  test("r13 second-session tier: WordPiece, calibration, layout, EB, " +
+       "forecasting and milestone queries keep their scale shapes") {
+    // no unbroadcast cartesians anywhere in the new tier
+    for (q <- Seq("wordpiece_merges", "wordpiece_encode", "wordpiece_holdout",
+                  "graph_modularity", "isotonic_calibration",
+                  "hilbert_span_audit", "curve_span_compare", "ivf_silhouette",
+                  "conformal_interval", "sentence_chunks", "eb_shrunk_returns",
+                  "holt_forecast", "holt_winters", "spend_milestones"))
+      assert(!plan(q).contains("CartesianProduct"), s"$q plans a cartesian")
+    // wordpiece encode inherits the unigram contract: the vocab map
+    // (bounded) broadcasts; the per-word corpus join-back stays unhinted
+    val we = SparkEntry.queries("wordpiece_encode")(spark, sf)
+      .queryExecution.analyzed.toString
+    val hints = "UnresolvedHint|ResolvedHint|hints=\\[broadcast".r
+      .findAllIn(we).size
+    assert(hints <= 1,
+      s"wordpiece_encode should carry exactly one broadcast hint (vmap), found $hints:\n$we")
+    // the spend-milestone window is user-keyed, never a global sort
+    assert(!plan("spend_milestones").contains("No Partition Defined"),
+      "spend_milestones window partitions by user_id")
+    // the curve audits are one codegen'd map pass + a bounded aggregate:
+    // no shuffle wider than the final ≤2^bits-group exchange, no window
+    for (q <- Seq("hilbert_span_audit", "zorder_span_audit"))
+      assert(!plan(q).contains("Window"), s"$q must stay window-free")
+    // holt/HW fold over ONE collected row: no window, no join
+    for (q <- Seq("holt_forecast", "holt_winters")) {
+      val p = plan(q)
+      assert(!p.contains("Window") && !p.contains("Join"),
+        s"$q is one aggregate + one fold, found window/join:\n$p")
+    }
+  }
 }
