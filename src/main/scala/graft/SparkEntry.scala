@@ -1554,6 +1554,10 @@ object SparkEntry {
     // splits; n_unk on heldout is the vocabulary-coverage risk read
     "wordpiece_holdout" -> ((s, d) =>
       TextOps.wordpieceHoldoutAudit(t(s, d, "documents"))),
+    // WordPiece fertility by language + the UNK-loss equity column
+    "wordpiece_fertility" -> ((s, d) =>
+      TextOps.wordpieceFertilityByLang(t(s, d, "documents"),
+        wordpieceVocabFor(s, d))),
     // first-order Markov transition matrix over per-user event sequences:
     // where users actually GO from each state, integer-ppm probabilities
     "event_transitions" -> ((s, d) =>
@@ -4187,6 +4191,25 @@ object SparkEntry {
        |       CAST(SUM(e.unk) AS BIGINT) AS n_unk
        |FROM wptok t JOIN wenc e USING (w) GROUP BY t.doc_id""".stripMargin
 
+  private val wordpieceFertilityOracle: String =
+    s"""WITH RECURSIVE $wpCtes,
+       |$wpVocabCtes,
+       |wpall AS (SELECT DISTINCT w FROM wptok),
+       |${wpEncodeCtes("wpall")},
+       |perdoc AS (SELECT t.doc_id, COUNT(*) AS n_tokens,
+       |       CAST(SUM(length(t.w)) AS BIGINT) AS chars,
+       |       CAST(SUM(e.np) AS BIGINT) AS np,
+       |       CAST(SUM(e.unk) AS BIGINT) AS unk
+       |       FROM wptok t JOIN wenc e USING (w) GROUP BY t.doc_id)
+       |SELECT d.lang, COUNT(*) AS n_docs,
+       |       CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(p.np) AS BIGINT) AS n_wp_pieces,
+       |       CAST(SUM(p.unk) AS BIGINT) AS n_unk,
+       |       CAST((SUM(p.np) * 1000000 + SUM(p.n_tokens) // 2) // SUM(p.n_tokens) AS BIGINT) AS fertility_ppm,
+       |       CAST((SUM(p.chars) * 1000000 + SUM(p.np) // 2) // SUM(p.np) AS BIGINT) AS chars_per_piece_ppm
+       |FROM perdoc p JOIN documents d USING (doc_id)
+       |GROUP BY d.lang""".stripMargin
+
   private val wordpieceHoldoutOracle: String = {
     val trainWhere =
       " WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90"
@@ -6408,6 +6431,7 @@ object SparkEntry {
     "wordpiece_merges" -> wordpieceMergesOracle,
     "wordpiece_encode" -> wordpieceEncodeOracle,
     "wordpiece_holdout" -> wordpieceHoldoutOracle,
+    "wordpiece_fertility" -> wordpieceFertilityOracle,
     "unigram_holdout" -> unigramHoldoutOracle,
     "bpe_oov" -> bpeOovOracle,
 

@@ -1994,6 +1994,29 @@ object TextOps {
         sum(col("n_unk")).as("n_unk"))
   }
 
+  /** WordPiece fertility by language — [[bpeFertilityByLang]]'s
+    * multilingual-equity read for the likelihood-scored vocabulary, plus
+    * the UNK column BPE doesn't have: a language whose characters fall
+    * outside the training char set LOSES text to UNK, the harshest
+    * equity failure a WordPiece deployment can ship.
+    */
+  def wordpieceFertilityByLang(documents: DataFrame,
+                               vocab: DataFrame): DataFrame =
+    wordpieceEncode(documents, vocab)
+      .join(documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_wp_pieces")).as("n_wp_pieces"),
+        sum(col("n_unk")).as("n_unk"),
+        sum(col("n_chars_tok")).as("chars"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_wp_pieces"),
+        col("n_unk"),
+        expr("(cast(n_wp_pieces as decimal(38,0)) * 1000000 + n_tokens div 2) div n_tokens")
+          .as("fertility_ppm"),
+        expr("(cast(chars as decimal(38,0)) * 1000000 + n_wp_pieces div 2) div n_wp_pieces")
+          .as("chars_per_piece_ppm"))
+
   /** Train/held-out generalization audit for WordPiece — the
     * [[bpeHoldoutAudit]] read on the likelihood-scored vocabulary:
     * train on the portable-hash 90%, greedy-encode BOTH splits, emit

@@ -1295,6 +1295,13 @@ class DedupTextOpsSpec extends SparkSpec {
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     assert(enc(1L) == ((4L, 25L, 9L, 0L)), enc(1L).toString)
     assert(enc(2L) == ((2L, 8L, 8L, 0L)), enc(2L).toString)
+
+    // per-lang equity rollup: one 'en' row over the same totals
+    val f = TextOps.wordpieceFertilityByLang(d, vocab).collect()
+    assert(f.length == 1 && f.head.getString(0) == "en")
+    assert((f.head.getLong(1), f.head.getLong(2), f.head.getLong(3),
+      f.head.getLong(4)) == ((2L, 6L, 17L, 0L)), f.head.toString)
+    assert(f.head.getLong(5) == 2833333L, f.head.toString)
   }
 
   test("wordpieceHoldoutAudit: heldout chars unseen in training emit UNK " +
