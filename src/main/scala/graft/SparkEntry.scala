@@ -85,6 +85,17 @@ object SparkEntry {
     s.read.parquet(artifactDir("winnow_pairs", sfDir)(out =>
       TextOps.winnowOverlapPairs(t(s, sfDir, "documents"))
         .write.mode("overwrite").parquet(out)))
+  /** Persisted dup-evidence BASE (r13 verdict task 3): every union-graph
+    * pair with component, signature-rank key, and all three detector
+    * readings, built once per corpus snapshot so every budget read
+    * (`dup_evidence_stored`, `dup_evidence_budgeted`) is one window +
+    * one filter instead of a re-clustering + band self-join per query.
+    */
+  private def evidenceBaseFor(s: SparkSession, sfDir: String): DataFrame =
+    s.read.parquet(artifactDir("dup_evidence_base", sfDir)(out =>
+      DedupOps.dupEvidenceBase(t(s, sfDir, "documents"),
+        DedupOps.pairIndex(s, pairIndexFor(s, sfDir)), winnowPairsFor(s, sfDir))
+        .write.mode("overwrite").parquet(out)))
   /** Trained BPE merge table — the sixth persisted artifact: the
     * tokenizer is trained once per corpus snapshot; every consumer
     * (the merge-table read, the corpus encode) loads K rows.
@@ -720,12 +731,17 @@ object SparkEntry {
     "dup_evidence" -> ((s, d) =>
       DedupOps.dupEvidence(t(s, d, "documents"),
         DedupOps.pairIndex(s, pairIndexFor(s, d)), winnowPairsFor(s, d))),
-    // the per-cluster pair budget BINDING (keep 2): same chain, budget=2,
+    // the production default path (r13 verdict task 3): the same budget-24
+    // evidence read routed through the persisted evidence base — oracle
+    // shared VERBATIM with dup_evidence, so the store is hash-proven
+    // equal to the inline derivation
+    "dup_evidence_stored" -> ((s, d) =>
+      DedupOps.dupEvidenceFromBase(evidenceBaseFor(s, d))),
+    // the per-cluster pair budget BINDING (keep 2): same base, budget=2,
     // so the gate hash-proves the collapse-first + signature-rank keep
     // rule the shipping default (24) only exercises on template floods
     "dup_evidence_budgeted" -> ((s, d) =>
-      DedupOps.dupEvidence(t(s, d, "documents"),
-        DedupOps.pairIndex(s, pairIndexFor(s, d)), winnowPairsFor(s, d),
+      DedupOps.dupEvidenceFromBase(evidenceBaseFor(s, d),
         maxPairsPerComponent = 2)),
     // LSH health: bucket-occupancy histogram with per-size candidate-pair
     // volume — the candidate blowup visible BEFORE the pair join runs
@@ -1397,6 +1413,11 @@ object SparkEntry {
           .as("recall"))
         .select(lit("graph").as("method"), col("q_id"), col("recall"))
     }),
+    // two-stage graph retrieval (r13 verdict task 7): beam-search top-20
+    // shortlist under the contract knobs, exact cosine rescore to top-5 —
+    // graph recall + full-precision final order as one gated call
+    "graph_topk_rescored" -> ((s, d) =>
+      SimilarityOps.graphTopKRescored(t(s, d, "embeddings"), 10, 5)),
     // recall decay of an append-attached graph index vs a full rebuild —
     // ivf_append_drift's graph analog: stale = base edges + LSH-attached
     // delta (no rewiring of old nodes), fresh = full rebuild, both beam-
@@ -5502,6 +5523,7 @@ object SparkEntry {
     // the union pair set, per-cluster pair budget enforced (the shipping
     // default) — three detectors, one row per kept pair
     "dup_evidence" -> dupEvidenceOracleSql(24),
+    "dup_evidence_stored" -> dupEvidenceOracleSql(24),
     // the budget BINDING at gate scale (3-doc components → 3 pairs, keep
     // 2): hash-proves the component closure + signature-rank + keep rule,
     // not just the non-binding default
@@ -7424,6 +7446,21 @@ object SparkEntry {
     "cosine_topk_graph_stored" ->
       graphAnnOracle(3, 16, 5,
         "SELECT q_id, vec_id, score, rank FROM gtop"),
+
+    // the beam chain widened to a 20-candidate shortlist, then the exact
+    // round-4 rescore re-ranks the final 5 — pqTopKRescored's stage-2 SQL
+    "graph_topk_rescored" ->
+      graphAnnOracle(3, 16, 20,
+        """,
+          |resc AS (SELECT g.q_id, g.vec_id,
+          |         round(list_cosine_similarity(c.emb, q.q_emb), 4) AS score
+          |         FROM gtop g JOIN v c ON c.vec_id = g.vec_id
+          |         JOIN q ON q.q_id = g.q_id),
+          |rr AS (SELECT q_id, vec_id, score,
+          |       CAST(row_number() OVER (PARTITION BY q_id
+          |         ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+          |       FROM resc)
+          |SELECT q_id, vec_id, score, rank FROM rr WHERE rank <= 5""".stripMargin),
 
     "ann_recall_graph" ->
       graphAnnOracle(3, 16, 5,

@@ -882,6 +882,78 @@ object DedupOps {
                 | + cast(sim_hamming <= $maxHamming as int)""".stripMargin))
   }
 
+  /** The persisted EVIDENCE-BASE build for [[dupEvidence]] (r13 verdict
+    * task 3): every union-graph pair with its component label, its
+    * signature-agreement rank key, and all three detector readings, as
+    * one narrow table landed once per corpus snapshot. [[dupEvidence]]
+    * and its budget variants re-derived union pairs + components +
+    * signature ranks + the band self-join PER QUERY (~25 s combined at
+    * sf0.1; a full re-clustering per consumer at 100 TB); against this
+    * base each budget read is one window + one filter — the
+    * `graph_triangles_stored` amortization, applied to the evidence
+    * family. Columns: (doc_a, doc_b, component, est_ppm, n_bands,
+    * n_winnow, sim_hamming) — everything [[dupEvidenceFromBase]] needs
+    * to replay ANY budget, so one artifact serves every budget knob.
+    */
+  def dupEvidenceBase(documents: DataFrame, mpairs: DataFrame,
+                      wpairs: DataFrame): DataFrame = {
+    val uAll = mpairs.select(col("doc_a"), col("doc_b"))
+      .union(wpairs.select(col("doc_a"), col("doc_b"))).distinct()
+    val comps = dupComponents(uAll)
+    val sig = minhashSignatures(documents)
+    val est = uAll
+      .join(sig.select(col("doc_id").as("doc_a"), col("hash_idx"),
+        col("minhash").as("ma")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("hash_idx"),
+        col("minhash").as("mb")), Seq("doc_b", "hash_idx"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(expr(
+        "cast((sum(case when ma = mb then 1 else 0 end) * 1000000 + 8) div 16 as bigint)")
+        .as("est_ppm"))
+    val bands = lshBands(documents)
+    val bshare = bands.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("band"), col("band_key"), col("doc_id").as("doc_b")),
+        Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_bands"))
+    val sim = simhash(documents)
+    uAll
+      .join(est, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("est_ppm"))
+      .join(comps.select(col("doc_id").as("doc_a"), col("component")), Seq("doc_a"))
+      .join(bshare, Seq("doc_a", "doc_b"), "left")
+      .join(wpairs.select(col("doc_a"), col("doc_b"), col("n_shared").as("n_winnow")),
+        Seq("doc_a", "doc_b"), "left")
+      .join(sim.select(col("doc_id").as("doc_a"), col("simhash").as("sa")), Seq("doc_a"))
+      .join(sim.select(col("doc_id").as("doc_b"), col("simhash").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("component"), col("est_ppm"),
+        coalesce(col("n_bands"), lit(0L)).as("n_bands"),
+        coalesce(col("n_winnow"), lit(0L)).as("n_winnow"),
+        expr("cast(bit_count(sa ^ sb) as int)").as("sim_hamming"))
+  }
+
+  /** Budget replay over the persisted evidence base — semantically
+    * identical to [[dupEvidence]] at the same budget (the oracle is
+    * shared VERBATIM in the registry): per component, keep the top
+    * `maxPairsPerComponent` pairs by (est_ppm DESC, doc_a, doc_b), then
+    * read the three detector columns already landed in the base. Cost
+    * shape: one component-keyed window over the pair table — no corpus
+    * scan, no band self-join, no component iteration.
+    */
+  def dupEvidenceFromBase(base: DataFrame, maxHamming: Int = 3,
+                          maxPairsPerComponent: Int = 24): DataFrame = {
+    val wspec = Window.partitionBy(col("component"))
+      .orderBy(col("est_ppm").desc, col("doc_a"), col("doc_b"))
+    base
+      .withColumn("rn", row_number().over(wspec))
+      .filter(col("rn") <= maxPairsPerComponent)
+      .select(col("doc_a"), col("doc_b"), col("n_bands"), col("n_winnow"),
+        col("sim_hamming"))
+      .withColumn("evidence_tiers",
+        expr(s"""cast(n_bands > 0 as int) + cast(n_winnow >= 2 as int)
+                | + cast(sim_hamming <= $maxHamming as int)""".stripMargin))
+  }
+
   /** Connected components over a near-dup pair graph — the collapse step
     * after candidate generation: every doc in a duplicate cluster gets the
     * cluster's minimum doc_id as its component, so "keep one survivor per

@@ -777,7 +777,10 @@ object EventOps {
     val daily = events
       .groupBy(date_trunc("day", col("ts")).cast(DateType).as("day"))
       .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
-    val l0 = "(aggregate(slice(s, 1, 7), 0L, (a, e) -> a + e.cents) div 7)"
+    // Sign-safe floor div 7 (fdiv10's shape): a refund-heavy first week
+    // can sum negative, where `div` truncates but the oracle's `//` floors.
+    val wk1 = "aggregate(slice(s, 1, 7), 0L, (a, e) -> a + e.cents)"
+    val l0 = s"((($wk1) - (((($wk1) % 7) + 7) % 7)) div 7)"
     val foldSql =
       s"""element_at(transform(array($l0), l0 ->
          |  aggregate(slice(s, 8, greatest(size(s) - 7, 0)),
@@ -821,16 +824,22 @@ object EventOps {
     * user-keyed partitions, never a global sort.
     */
   def spendMilestones(events: DataFrame, stepCents: Long = 10000L): DataFrame = {
+    require(stepCents > 0, s"stepCents must be positive: $stepCents")
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Floor (not truncating) division: refunds can drive a cumulative
+    // NEGATIVE, and the oracle's `//` floors while Spark's `div`
+    // truncates — fdivN keeps the two engines equal on both signs.
+    def fdivStep(e: String): String =
+      s"((($e) - (((($e) % $stepCents) + $stepCents) % $stepCents)) div $stepCents)"
     events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), col("ts"),
         expr("cast(round(value * 100) as bigint)").as("cents"))
       .withColumn("cum", sum(col("cents")).over(w))
-      .filter(expr(s"cum div $stepCents > (cum - cents) div $stepCents"))
+      .filter(expr(s"${fdivStep("cum")} > ${fdivStep("cum - cents")}"))
       .select(col("user_id"), col("event_id"),
-        expr(s"(cum div $stepCents) * $stepCents").as("milestone_cents"),
+        expr(s"${fdivStep("cum")} * $stepCents").as("milestone_cents"),
         col("cum").as("cum_cents"))
   }
 

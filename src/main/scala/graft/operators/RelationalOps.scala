@@ -505,9 +505,13 @@ object RelationalOps {
       col(bCol).cast(LongType).as("vb"))
     val mm = v.agg(min(col("va")).as("mna"), max(col("va")).as("mxa"),
       min(col("vb")).as("mnb"), max(col("vb")).as("mxb"))
+    // DECIMAL(38,0)-widened: a column domain wider than ~2^47 would wrap
+    // the ×65536 silently under LONG (DuckDB raises instead); the widen
+    // keeps the generic API exact on any LONG domain.
     val cells = v.crossJoin(broadcast(mm))
-      .select(expr("((va - mna) * 65536) div (mxa - mna + 1)").as("ca"),
-        expr("((vb - mnb) * 65536) div (mxb - mnb + 1)").as("cb"))
+      .select(
+        expr("cast((cast(va - mna as decimal(38,0)) * 65536) div (mxa - mna + 1) as bigint)").as("ca"),
+        expr("cast((cast(vb - mnb as decimal(38,0)) * 65536) div (mxb - mnb + 1) as bigint)").as("cb"))
     def roll(audit: DataFrame, name: String): DataFrame =
       audit.agg(count(lit(1)).as("n_buckets"),
         expr("(sum(span_a_ppm) + count(1) div 2) div count(1)").as("mean_span_a_ppm"),

@@ -45,9 +45,11 @@ object Milestones {
       sorted.foreach { p =>
         val cents = math.round(p.value * 100)
         val next = c + cents
-        if (next / stepCents > c / stepCents)
+        // floorDiv, not `/`: the batch face floors (matching DuckDB `//`),
+        // and refunds can drive the cumulative negative.
+        if (Math.floorDiv(next, stepCents) > Math.floorDiv(c, stepCents))
           out += Milestone(key, p.event_id,
-            (next / stepCents) * stepCents, next)
+            Math.floorDiv(next, stepCents) * stepCents, next)
         c = next
       }
       cum.update(c)
@@ -61,6 +63,7 @@ object Milestones {
     */
   def milestones(purchases: Dataset[Purchase],
                  stepCents: Long = 10000L): Dataset[Milestone] = {
+    require(stepCents > 0, s"stepCents must be positive: $stepCents")
     implicit val outEnc = Encoders.product[Milestone]
     purchases
       .groupByKey(_.user_id)(Encoders.scalaLong)

@@ -1571,6 +1571,31 @@ class DedupTextOpsSpec extends SparkSpec {
     assert(pairsOf(5) == kept, "re-run reproduces the same keep set")
   }
 
+  test("dupEvidenceBase + FromBase ≡ inline dupEvidence at every budget — " +
+       "the persisted evidence path replays the derivation exactly") {
+    import spark.implicits._
+    val tmpl = "breaking news template header repeated across every crawl " +
+      "snapshot of the mirror site today"
+    val base = "the quick brown fox jumps over the lazy old dog again today"
+    val docs = ((1L to 6L).map(i => (i, tmpl)) ++ Seq(
+      (7L, base), (8L, base),
+      (9L, "completely unrelated content about warehouse tables and rows")))
+      .toDF("doc_id", "text")
+    val mp = DedupOps.minhashCandidatePairs(docs)
+    val wp = TextOps.winnowOverlapPairs(docs)
+    val evBase = DedupOps.dupEvidenceBase(docs, mp, wp)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("doc_a", "doc_b", "n_bands", "n_winnow", "sim_hamming",
+        "evidence_tiers").collect().map(_.mkString("|")).toSeq.sorted
+    for (budget <- Seq(2, 5, 24, Int.MaxValue)) {
+      val inline = rows(DedupOps.dupEvidence(docs, mp, wp,
+        maxPairsPerComponent = budget))
+      val stored = rows(DedupOps.dupEvidenceFromBase(evBase,
+        maxPairsPerComponent = budget))
+      assert(stored == inline, s"budget=$budget: stored path diverged")
+    }
+  }
+
   test("minhashEstimateAudit: identical docs estimate and measure J=1 with " +
        "zero error; estimate stays a valid ppm for partial overlaps") {
     import spark.implicits._

@@ -48,6 +48,31 @@ class GraphAnnGateSpec extends SparkSpec {
       SimilarityOps.graphKnobs(511L)._1 == 54)
   }
 
+  test("graphTopKRescored: the 20-wide shortlist + exact rescore never " +
+       "recalls worse than the plain 5-beam graph tier, and its scores " +
+       "are exact round-4 cosines of the brute frame") {
+    val dir = "/root/testdata/sf0.01"
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings").persist()
+    try {
+      val brute = SimilarityOps.cosineTopK(emb, 10, 5)
+        .select(col("q_id"), col("vec_id"), col("score"))
+      def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+        brute.select(col("q_id"), col("vec_id"))
+          .join(df.select(col("q_id"), col("vec_id")).withColumn("hit", lit(1L)),
+            Seq("q_id", "vec_id"), "left")
+          .agg((sum(coalesce(col("hit"), lit(0L))) / count(lit(1))).as("r"))
+          .head().getDouble(0)
+      val plain = SimilarityOps.graphAnnTopKScaled(emb, 10, 5)
+      val rescored = SimilarityOps.graphTopKRescored(emb, 10, 5)
+      assert(recallOf(rescored) >= recallOf(plain),
+        "rescored stack must not recall below the plain graph tier")
+      // every rescored hit that IS a true neighbor carries the brute score
+      val mismatch = rescored.join(brute.withColumnRenamed("score", "bscore"),
+        Seq("q_id", "vec_id")).filter(col("score") =!= col("bscore")).count()
+      assert(mismatch == 0L, s"$mismatch rescored rows disagree with brute scores")
+    } finally { emb.unpersist(); spark.catalog.clearCache() }
+  }
+
   test("graphAppendDrift: stale-attach recall never exceeds fresh rebuild " +
        "by contract, rows carry the three growth factors") {
     val dir = "/root/testdata/sf0.01"
