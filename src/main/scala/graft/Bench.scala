@@ -74,21 +74,30 @@ object Bench {
       }.toMap
     val passA = timedPass("A", registry, warmup = true)
     val passB = timedPass("B", registry.reverse, warmup = false)
-    val results = registry.map { case (name, _) =>
-      val (a, b) = (passA(name), passB(name))
-      val best = (a, b) match {
-        case (x, y) if x >= 0 && y >= 0 => math.min(x, y)
-        case (x, y) => math.max(x, y) // one failed (-1): use the survivor; both: -1
-      }
-      name -> best
-    }
     // cross-pass disagreement >3x on a non-trivial reading (>0.5 s floor:
     // sub-half-second queries jitter 3x on scheduler noise alone and are
     // not what the flag exists to catch)
+    def disagree(a: Double, b: Double): Boolean =
+      a >= 0 && b >= 0 && math.max(a, b) > 0.5 && math.max(a, b) > 3.0 * math.min(a, b)
+    // Tie-break pass C (r13 verdict task 4): a min over one clean and one
+    // poisoned sample is still a single clean sample — re-run ONLY the
+    // flagged queries after the suite's load has drained, so the committed
+    // reading rests on 2+ mutually corroborating samples. A query stays
+    // suspect only if, after C, no second sample lands within 3x of its min.
+    val suspects0 = registry.map(_._1).filter(n => disagree(passA(n), passB(n)))
+    val passC: Map[String, Double] =
+      if (suspects0.isEmpty) Map.empty
+      else timedPass("C", registry.filter(q => suspects0.contains(q._1)), warmup = false)
+    val results = registry.map { case (name, _) =>
+      val samples = Seq(passA(name), passB(name)) ++ passC.get(name)
+      val ok = samples.filter(_ >= 0)
+      name -> (if (ok.isEmpty) -1.0 else ok.min)
+    }
     val suspect: Map[String, Boolean] = registry.map { case (name, _) =>
-      val (a, b) = (passA(name), passB(name))
-      name -> (a >= 0 && b >= 0 && math.max(a, b) > 0.5 &&
-        math.max(a, b) > 3.0 * math.min(a, b))
+      val ok = (Seq(passA(name), passB(name)) ++ passC.get(name)).filter(_ >= 0)
+      val corroborated = ok.nonEmpty &&
+        (ok.min <= 0.5 || ok.count(_ <= 3.0 * ok.min) >= 2)
+      name -> (ok.size >= 2 && !corroborated)
     }.toMap
     // 1-decimal (0.1 s) timings on the printed line: the driver keeps only
     // the last 2000 chars of output (plus sbt's trailing success line), so
@@ -151,6 +160,7 @@ object Bench {
     val fullQs = results.map { case (k, v) =>
       "\"" + k + "\":{\"sec\":" + full(v) +
         ",\"pass_a\":" + full(passA(k)) + ",\"pass_b\":" + full(passB(k)) +
+        passC.get(k).map(c => ",\"pass_c\":" + full(c)).getOrElse("") +
         ",\"suspect\":" + suspect(k) + "}"
     }.mkString("{", ",", "}")
     // subset runs (diagnosis) must not clobber the full-suite artifact

@@ -1,0 +1,100 @@
+package graft
+
+/** Committed sf1 bench for the HEAVY query tier (r13 verdict task 2):
+  * until now the "survives 10×" evidence lived as ad-hoc `Sf1Ladder`
+  * rows quoted in SCALE.md prose; this main makes it a tracked per-round
+  * artifact. It expands the sf0.1 fixture 10× (the `Sf1Ladder.expand`
+  * methodology — FK-consistent key shifts, near-dup document suffixes,
+  * perturbed embeddings), then runs the heavy tier under the SAME
+  * protocol as `graft.Bench`: pass A (warm-up + timed) ascending, pass B
+  * timed descending, suspect tie-break pass C, per-query min. Each row
+  * also carries one timed sf0.1 reading and the decade exponent
+  * e = log10(sf1/sf0.1), so the artifact is self-contained: a consumer
+  * checks "no query above ~2× its ladder-predicted time" as
+  * e ≲ 1.3 without reaching for SCALE.md history.
+  *
+  * Output: BENCH_sf1.json in the repo root (committed at round close).
+  */
+object BenchSf1 {
+  /** The heavy tier: r13's slowest ~30 by sf0.1 cost plus this round's
+    * additions (`dup_evidence_stored`, `graph_topk_rescored`) — the
+    * queries whose scale behavior is worth a tracked number. Static so
+    * the tier is stable round over round; grow it when the bench top-30
+    * changes.
+    */
+  val HeavyTier: Seq[String] = Seq(
+    "graph_append_drift", "dup_evidence", "dup_evidence_budgeted",
+    "dup_evidence_stored", "ivf_append_drift", "ann_recall_graph",
+    "ann_recall_pq_opq", "cosine_topk_graph", "cosine_topk_graph_stored",
+    "graph_topk_rescored", "hits_customer_part", "corpus_full",
+    "dup_components", "bootstrap_ci", "corpus_pipeline",
+    "pca_top_component", "abc_xyz_matrix", "wordpiece_holdout", "bpe_oov",
+    "classifier_pr_auc", "classifier_gains", "ann_recall",
+    "lsh_recall_audit", "jaccard_pairs_prefix", "eigenvector_centrality",
+    "containment_pairs", "jaccard_threshold_sweep", "bm25_prf",
+    "span_dedup_recall_audit", "unigram_holdout")
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.getOrCreate("graft-bench-sf1")
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sf1 = "/tmp/graft_sf1_ladder"
+    Sf1Ladder.expand(spark, src, sf1)
+    val only = args.headOption.map(_.split(",").toSet)
+    val tier = HeavyTier.filter(n => only.forall(_.contains(n)))
+      .filter(SparkEntry.queries.contains)
+    def once(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench-sf1] $name failed: $e"); -1.0
+      } finally spark.catalog.clearCache()
+    }
+    def timedPass(pass: String, names: Seq[String], dir: String,
+                  warmup: Boolean): Map[String, Double] =
+      names.map { n =>
+        System.err.println(s"[bench-sf1] $pass $n")
+        if (warmup) once(n, dir)
+        n -> once(n, dir)
+      }.toMap
+    // one clean sf0.1 reading per query (after a warm-up) — the exponent
+    // denominator, measured in THIS JVM so JIT state matches the sf1 runs
+    val base01 = timedPass("base-sf0.1", tier, src, warmup = true)
+    val passA = timedPass("A", tier, sf1, warmup = false)
+    val passB = timedPass("B", tier.reverse, sf1, warmup = false)
+    def disagree(a: Double, b: Double): Boolean =
+      a >= 0 && b >= 0 && math.max(a, b) > 0.5 && math.max(a, b) > 3.0 * math.min(a, b)
+    val suspects0 = tier.filter(n => disagree(passA(n), passB(n)))
+    val passC =
+      if (suspects0.isEmpty) Map.empty[String, Double]
+      else timedPass("C", suspects0, sf1, warmup = false)
+    def full(v: Double): String =
+      if (v < 0) "null"
+      else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val rows = tier.map { n =>
+      val samples = (Seq(passA(n), passB(n)) ++ passC.get(n)).filter(_ >= 0)
+      val best = if (samples.isEmpty) -1.0 else samples.min
+      val corroborated = samples.nonEmpty &&
+        (samples.min <= 0.5 || samples.count(_ <= 3.0 * samples.min) >= 2)
+      val susp = samples.size >= 2 && !corroborated
+      val e =
+        if (best > 0 && base01(n) > 0) full(math.log10(best / base01(n)))
+        else "null"
+      "\"" + n + "\":{\"sec_sf01\":" + full(base01(n)) +
+        ",\"sec_sf1\":" + full(best) +
+        ",\"pass_a\":" + full(passA(n)) + ",\"pass_b\":" + full(passB(n)) +
+        passC.get(n).map(c => ",\"pass_c\":" + full(c)).getOrElse("") +
+        ",\"e\":" + e + ",\"suspect\":" + susp + "}"
+    }.mkString("{", ",", "}")
+    val nFailed = tier.count(n => passA(n) < 0 && passB(n) < 0)
+    val json = s"""{"tier":"heavy","n_queries":${tier.size},"n_failed":$nFailed,""" +
+      s""""expand_factor":10,"src_sf":0.1,"queries":$rows}"""
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_sf1.json"),
+      json + "\n")
+    spark.stop()
+  }
+}

@@ -1,9 +1,11 @@
 package graft
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum, Count}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
+  Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType,
+  ShortType}
 
 /** Static LONG-overflow audit over every registered query's OPTIMIZED
   * logical plan (r12 verdict task 6) — the automated version of the sf1
@@ -39,11 +41,151 @@ object OverflowAudit {
 
   private val ScaleLits: Set[Long] = Set(100L, 10000L, 100000L, 1000000L, 1000000000L)
 
+  /** DECIMAL companion detector (r13 verdict task 5): Spark with ANSI off
+    * silently NULLs a decimal whose value exceeds its type — and any
+    * decimal op whose IDEAL precision exceeds 38 gets CAPPED at 38, so
+    * the type no longer covers the operands' worst case. The LONG
+    * detector can't see this class; now that the registry is
+    * DECIMAL(38,0)-widened everywhere, this is the remaining
+    * silent-corruption surface.
+    *
+    * Detector: a worst-case INTEGRAL-DIGIT bound propagated through the
+    * optimized plan (alias lineage fixpoint, like the LONG detector's
+    * aggAttrs). Model leaf bounds, documented as the audit's scale
+    * assumptions: a raw LONG/INT scan column holds ≤ 10^13 (micros /
+    * cents / ppm-scaled row values), one aggregation multiplies row
+    * count ≤ 10^15 into a Sum (so a single corpus Sum of row values is
+    * ≤ 10^28) and a Count is ≤ 10^15. A decimal expression whose digit
+    * bound exceeds its declared (precision − scale) capacity can
+    * silently NULL under the model → offender. Ops BELOW the 38 cap can
+    * never fire (Spark's ideal result type covers the operands'
+    * type-level worst case, and the model bound is never wider); the
+    * detector therefore fires exactly on capped arithmetic whose
+    * headroom the model exhausts — stacked scale multiplies,
+    * aggregate × aggregate products, Sum-of-products chains.
+    */
+  val RowValueDigits = 9 // raw scan-column numeric ≤ 10^9 (prices, counts,
+  // quantities, ppm shares); DERIVED cents/micros/ppm columns pick up their
+  // scale factor's digits through literal propagation (x * 1e6 → +7), so
+  // the model still prices the scaled idioms correctly
+  val RowCountDigits = 15 // rows or groups per aggregate ≤ 10^15 (100 TB class)
+
+  /** (query-name regex, bound-justification) for decimal sites whose REAL
+    * bound is provably below the model's worst case — the model cannot see
+    * (a) calendar/window-bounded group sizes, (b) value domains tighter
+    * than 10^RowValueDigits (ppm shares, discount micros, rank sums), or
+    * (c) producer bounds lost across ShardedOrder/localCheckpoint leaf
+    * boundaries (the attr re-enters the plan as a bare DECIMAL(38,0)).
+    * An entry is an audited claim with its arithmetic spelled out; any
+    * NEW query tripping the detector must widen, restructure, or land
+    * here with a proven bound.
+    */
+  val KnownBoundedDecimal: Seq[(String, String)] = Seq(
+    ("moments_profile|interarrival_profile" ->
+      "central-moment integer polynomials n^k*mk: |x| <= 3e4 (documented input bound) and the kurtosis numerator needs n^4*m4 <= 10^38 -> valid for group sizes n <= ~1e5 rows, now stated in momentsProfile's scaladoc; corpus-scale groups must pre-aggregate"),
+    ("revenue_trend|rolling_regression_slope|rolling_corr|ljung_box|revenue_acf|safety_stock|price_index_monthly|stl_strength|seasonal_residual_outliers" ->
+      "time-series family over the CALENDAR-DAY aggregate series: n <= 1e4 days, daily sums <= 1e13 cents -> d*d sums <= 1e30, n*sxy <= 1e34 << 1e38"),
+    ("simpson_paradox_screen|discount_elasticity|cuped_adjustment|diff_in_diff|welch_t_test|anova_priority_spend|neyman_allocation|gini_spend|mahalanobis_outliers|eb_shrunk_returns" ->
+      "micros-share normal equations/variance screens: x,y are bounded domains (discount micros <= 1e6, quantity cents <= 1e6, ppm <= 1e6), so sx,sy <= 1e18 over 1e12 rows; n*sxy <= 1e36 and sx*sy <= 1e36 < 1e38 (the DECIMAL(38,0) design bound in the simpson scaladoc)"),
+    ("ks_source_drift.*|ks_reference_drift.*|t_closeness_audit|customer_value_deciles" ->
+      "ECDF cross-products of COUNTS: cum and n are both row counts <= 1e12 (dec-38 typing is the ShardedOrder checkpoint boundary, not the value) -> products <= 1e24 << 1e38"),
+    ("classifier_auc|mann_whitney_u|clf_keep_parity|er_blocking_audit|bcubed_dedup_eval" ->
+      "U-statistic / pair-count ratios: rank sums and pair counts <= n^2 = 1e24; * 1e6 ppm = 1e30 << 1e38; bcubed inner (c*1e6 div n) is a share <= 1e6 (c <= n), outer sum <= 1e6*N <= 1e18"),
+    ("abc_xyz_matrix" ->
+      "per-part CALENDAR sums behind the shard boundary: sq <= 1e3 months * 1e9 cents = 1e12, sq*sq <= 1e24, sqq*m*4 <= 1e24 (the 20-digit-numerator claim in the scaladoc)"),
+    ("graph_modularity|graph_assortativity" ->
+      "degree products over edges: deg <= |E| = 1e12, sum over edges of dx*dy <= 1e12 * 1e24 = 1e36 < 1e38"),
+    ("embedding_centroid_drift" ->
+      "per-dimension micros sums: |component micros| <= 1e6 * 1e12 vecs = 1e18 per dim; sa*sb <= 1e36, summed over the 64-dim grid stays < 1e38 (one fixed-shape division at the end, per the scaladoc)"),
+    ("token_burstiness" ->
+      "dispersion moments of per-doc term counts: count <= 1e6/doc, s1 <= 1e18 over 1e12 docs, s1^2 <= 1e36 < 1e38"),
+    ("mv_incremental" ->
+      "algebraic money-sum state: corpus revenue <= 1e14 dollars against the dec(p+10,2) sum type's 1e20+ integral capacity"),
+    ("q9_profit_nation" ->
+      "TPC-H money chain in dec(18,2) arithmetic: per-row profit <= 1e7, per-(nation,year) sums <= 1e19 against the capped 1e34 integral capacity"))
+
+  private def digitsOf(v: Any): Int = v match {
+    case null => 1
+    case d: org.apache.spark.sql.types.Decimal =>
+      d.toBigDecimal.abs.toBigInt.toString.length
+    case b: java.math.BigDecimal => b.abs.toBigInteger.toString.length
+    case n: Number => math.abs(n.longValue).toString.length
+    case _ => 38
+  }
+
+  /** Worst-case integral-digit bound under the model; `known` carries
+    * alias-lineage bounds for attributes. Capped at 99 (only the ≤ 38
+    * comparisons matter).
+    */
+  private def digitBound(e: Expression, known: Map[ExprId, Int]): Int = {
+    def b(x: Expression): Int = math.min(99, digitBound(x, known))
+    e match {
+      case Literal(v, _) => digitsOf(v)
+      case ar: AttributeReference => known.getOrElse(ar.exprId, ar.dataType match {
+        case d: DecimalType => d.precision - d.scale
+        case LongType       => RowValueDigits // model: raw scan long
+        case IntegerType    => math.min(RowValueDigits, 10)
+        case ShortType      => 5
+        case ByteType       => 3
+        case _              => RowValueDigits
+      })
+      case c: Cast => c.dataType match {
+        case d: DecimalType => math.min(b(c.child), d.precision - d.scale)
+        case LongType       => math.min(b(c.child), 19)
+        case IntegerType    => math.min(b(c.child), 10)
+        case _              => b(c.child)
+      }
+      case ae: AggregateExpression => ae.aggregateFunction match {
+        case s: Sum     => math.min(99, b(s.child) + RowCountDigits)
+        case _: Count   => RowCountDigits
+        case m: Min     => b(m.child)
+        case m: Max     => b(m.child)
+        case a: Average => b(a.child)
+        case f          => f.dataType match {
+          case d: DecimalType => d.precision - d.scale
+          case _              => 19
+        }
+      }
+      case w: WindowExpression => b(w.windowFunction)
+      case Add(l, r, _)      => math.max(b(l), b(r)) + 1
+      case Subtract(l, r, _) => math.max(b(l), b(r)) + 1
+      case Multiply(l, r, _) => b(l) + b(r)
+      case Divide(l, r, _)   => b(l) + (r.dataType match {
+        case d: DecimalType => d.scale // denominator can be as small as 10^-s
+        case _              => 0
+      }) + 1
+      case IntegralDivide(l, _, _) => b(l)
+      case Remainder(_, r, _) => b(r)
+      case Pmod(_, r, _)      => b(r)
+      case u: UnaryMinus      => b(u.child)
+      case a: Abs             => b(a.child)
+      case r: Round           => b(r.child)
+      case r: BRound          => b(r.child)
+      case c: Coalesce        => c.children.map(b).max
+      case i: If              => math.max(b(i.trueValue), b(i.falseValue))
+      case cw: CaseWhen =>
+        (cw.branches.map(_._2) ++ cw.elseValue.toSeq).map(b).max
+      case g: Greatest => g.children.map(b).max
+      case l: Least    => l.children.map(b).max
+      case al: Alias   => b(al.child)
+      // unknown producer: fall back to the declared type's capacity
+      case other =>
+        (try other.dataType catch { case _: Throwable => null }) match {
+          case d: DecimalType => d.precision - d.scale
+          case LongType       => 19
+          case IntegerType    => 10
+          case _              => RowValueDigits
+        }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = GraftSession.getOrCreate("graft-overflow-audit")
     var offenders = 0
     var allowlisted = 0
+    var decOffenders = 0
+    var decAllowlisted = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       System.err.println(s"[overflow-audit-q] $name")
       try {
@@ -121,11 +263,65 @@ object OverflowAudit {
             case _ =>
           })
         }
+        // ---- DECIMAL companion pass: digit-bound model vs capacity ----
+        // alias-lineage fixpoint: bound every named column by its
+        // producing expression, so downstream nodes see 28 for a corpus
+        // sum instead of the type-level 38
+        var known = Map.empty[ExprId, Int]
+        var changed = true
+        var iters = 0
+        while (changed && iters < 10) {
+          changed = false; iters += 1
+          plan.foreach { node =>
+            node.expressions.foreach(_.foreach {
+              case al: Alias =>
+                val nb = math.min(99, digitBound(al.child, known))
+                if (known.get(al.exprId).forall(_ > nb)) {
+                  known += al.exprId -> nb; changed = true
+                }
+              case _ =>
+            })
+          }
+        }
+        val flagged = scala.collection.mutable.Set.empty[String]
+        plan.foreach { node =>
+          node.expressions.foreach(_.foreach { e =>
+            val arithmetic = e match {
+              case _: Add | _: Subtract | _: Multiply | _: Divide => true
+              case ae: AggregateExpression =>
+                ae.aggregateFunction.isInstanceOf[Sum]
+              case _ => false
+            }
+            // WindowSpecDefinition and friends throw on dataType — they are
+            // never arithmetic, so a null sentinel skips them
+            val dt = try e.dataType catch { case _: Throwable => null }
+            dt match {
+              case d: DecimalType if arithmetic =>
+                val cap = d.precision - d.scale
+                val bound = digitBound(e, known)
+                if (bound > cap) {
+                  val txt = e.sql.take(160)
+                  if (flagged.add(txt)) {
+                    KnownBoundedDecimal.find { case (pat, _) => name.matches(pat) } match {
+                      case Some((_, why)) =>
+                        decAllowlisted += 1
+                        println(s"[dec-bounded-ok] $name :: $txt :: $why")
+                      case None =>
+                        decOffenders += 1
+                        println(s"[decimal-overflow-risk] $name :: bound=10^$bound cap=10^$cap :: $txt")
+                    }
+                  }
+                }
+              case _ =>
+            }
+          })
+        }
       } catch {
         case e: Throwable => println(s"[plan-error] $name: ${e.getMessage}")
       } finally spark.catalog.clearCache()
     }
-    println(s"[summary] offenders=$offenders allowlisted=$allowlisted")
+    println(s"[summary] offenders=$offenders allowlisted=$allowlisted " +
+      s"dec_offenders=$decOffenders dec_allowlisted=$decAllowlisted")
     spark.stop()
   }
 }

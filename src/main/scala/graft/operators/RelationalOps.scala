@@ -893,7 +893,13 @@ object RelationalOps {
     * g1) — deterministic on any engine, any partitioning. Bounds:
     * |x| ≤ ~3·10⁴ keeps x⁴ in a long; per-group Σ terms stay well under
     * DECIMAL(38,0) (checked against DuckDB's HUGEINT on the oracle
-    * side). Constant groups (B = 0) yield NULL moments, not NaN — NaN
+    * side) — PROVIDED the group stays under ~10⁵ rows: the kurtosis
+    * numerator C carries n⁴·m4, and with m4 ≤ x⁴ ≈ 10¹⁸ the 38-digit
+    * capacity runs out at n ≈ 10⁵ (the r14 decimal-overflow audit's
+    * finding; ANSI-off Spark would NULL the moment silently past it).
+    * Corpus-scale groups must pre-aggregate (profile per stratum or
+    * sample) — the n⁴ growth is intrinsic to the exact closed form.
+    * Constant groups (B = 0) yield NULL moments, not NaN — NaN
     * repr is not portable across engines. One shuffle: the group-by.
     */
   def momentsProfile(df: DataFrame, valCol: String, keyCol: String): DataFrame = {

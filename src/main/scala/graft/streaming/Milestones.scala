@@ -27,13 +27,12 @@ object Milestones {
   case class Milestone(user_id: Long, event_id: Long,
                        milestone_cents: Long, cum_cents: Long)
 
-  private class SpendProcessor(stepCents: Long)
+  private class SpendProcessor(stepCents: Long, ttl: TTLConfig)
       extends StatefulProcessor[Long, Purchase, Milestone] {
     @transient private var cum: org.apache.spark.sql.streaming.ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      cum = getHandle.getValueState[Long]("cum", Encoders.scalaLong,
-        TTLConfig.NONE)
+      cum = getHandle.getValueState[Long]("cum", Encoders.scalaLong, ttl)
 
     override def handleInputRows(key: Long, rows: Iterator[Purchase],
                                  timerValues: TimerValues): Iterator[Milestone] = {
@@ -60,14 +59,25 @@ object Milestones {
   /** Streaming entry point (requires the RocksDB state store provider);
     * the BATCH face is [[graft.operators.EventOps.spendMilestones]] —
     * the oracled window query the spec proves this processor equal to.
+    *
+    * `ttl`: retention for the per-user cumulative — an expired user
+    * restarts from zero on their next purchase (the dormant-customer
+    * reset a loyalty program actually wants, and the bound that keeps
+    * RocksDB state from growing with the all-time user count). TTL
+    * requires processing-time semantics, so a non-NONE ttl switches
+    * the processor to TimeMode.ProcessingTime; the spec pins both the
+    * expiry reset and restart-from-checkpoint state survival.
     */
   def milestones(purchases: Dataset[Purchase],
-                 stepCents: Long = 10000L): Dataset[Milestone] = {
+                 stepCents: Long = 10000L,
+                 ttl: TTLConfig = TTLConfig.NONE): Dataset[Milestone] = {
     require(stepCents > 0, s"stepCents must be positive: $stepCents")
     implicit val outEnc = Encoders.product[Milestone]
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     purchases
       .groupByKey(_.user_id)(Encoders.scalaLong)
-      .transformWithState(new SpendProcessor(stepCents),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new SpendProcessor(stepCents, ttl),
+        timeMode, OutputMode.Append())
   }
 }

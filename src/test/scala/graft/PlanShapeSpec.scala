@@ -541,4 +541,22 @@ class PlanShapeSpec extends SparkSpec {
         s"$q is one aggregate + one fold, found window/join:\n$p")
     }
   }
+
+  test("r14 tier: the stored evidence path is a probe, not a re-derivation, " +
+       "and the rescored graph stack keeps the contract shapes") {
+    for (q <- Seq("dup_evidence_stored", "graph_topk_rescored"))
+      assert(!plan(q).contains("CartesianProduct"), s"$q plans a cartesian")
+    // dup_evidence_stored reads the landed base: one component-keyed
+    // window + filter over a parquet scan — none of the derivation stages
+    // (shingle Generate explosion, band self-join, iterative collapse)
+    // may reappear in its plan
+    val st = plan("dup_evidence_stored")
+    assert(!st.contains("Generate"),
+      s"stored evidence path must not re-shingle:\n$st")
+    assert(st.contains("Window"), "budget replay is one window")
+    // the inline control DOES carry the derivation (the A/B pair the
+    // oracle hash-proves equal)
+    assert(plan("dup_evidence").contains("Generate"),
+      "inline dup_evidence keeps the full derivation as the control")
+  }
 }

@@ -602,4 +602,106 @@ class StreamingOpsSpec extends SparkSpec {
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("Milestones restart-from-checkpoint: a NEW query over the same " +
+       "checkpoint resumes the RocksDB ValueState — the carried cumulative " +
+       "places the post-restart crossing at the right mark") {
+    import graft.streaming.Milestones
+    import graft.streaming.Milestones.Purchase
+    val in = Files.createTempDirectory("graft-ms-in")
+    val out = Files.createTempDirectory("graft-ms-out").toString
+    val ckpt = Files.createTempDirectory("graft-ms-ckpt").toString
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def runOnce(): Unit = {
+        val stream = spark.readStream
+          .schema("user_id BIGINT, ts TIMESTAMP, value DOUBLE, event_id BIGINT")
+          .option("recursiveFileLookup", "true")
+          .parquet(in.toString).as[Purchase]
+        val q = Milestones.milestones(stream).toDF()
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination(180000)
+      }
+      // run 1: $60 + $50 → cum 11000, crossing at mark 10000
+      Seq(Purchase(1L, ts("2024-01-01 00:00:00"), 60.0, 1L),
+          Purchase(1L, ts("2024-01-01 01:00:00"), 50.0, 2L))
+        .toDF().write.parquet(in.resolve("f1").toString)
+      runOnce()
+      // run 2 — a NEW query from the same checkpoint: $10 + $90. With the
+      // restored cum=11000 the crossing lands at mark 20000/cum 21000;
+      // lost state would misread it as mark 10000/cum 10000
+      Seq(Purchase(1L, ts("2024-01-02 00:00:00"), 10.0, 3L),
+          Purchase(1L, ts("2024-01-02 01:00:00"), 90.0, 4L))
+        .toDF().write.parquet(in.resolve("f2").toString)
+      runOnce()
+      val got = spark.read.parquet(out)
+        .select("user_id", "event_id", "milestone_cents", "cum_cents")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == Set((1L, 2L, 10000L, 11000L), (1L, 4L, 20000L, 21000L)),
+        s"checkpoint restart must carry the cumulative: $got")
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("Milestones TTL expiry: a dormant user's cumulative expires and the " +
+       "next purchase counts from zero — the same mark fires again instead " +
+       "of advancing") {
+    import graft.streaming.Milestones
+    import graft.streaming.Milestones.Purchase
+    // Two AvailableNow runs against one checkpoint with a real-time gap
+    // longer than the TTL — the restart-test harness with expiry in the
+    // middle. (ProcessingTime mode + a continuous trigger never settles
+    // for processAllAvailable: expiry work keeps every trigger busy, so
+    // the bounded-run shape is the deterministic way to drive TTL.)
+    val in = Files.createTempDirectory("graft-ttl-in")
+    val out = Files.createTempDirectory("graft-ttl-out").toString
+    val ckpt = Files.createTempDirectory("graft-ttl-ckpt").toString
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def runOnce(): Unit = {
+        val stream = spark.readStream
+          .schema("user_id BIGINT, ts TIMESTAMP, value DOUBLE, event_id BIGINT")
+          .option("recursiveFileLookup", "true")
+          .parquet(in.toString).as[Purchase]
+        val q = Milestones.milestones(stream,
+            ttl = org.apache.spark.sql.streaming.TTLConfig(
+              java.time.Duration.ofSeconds(2))).toDF()
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination(180000)
+      }
+      // run 1: $120 → cum 12000, crossing at mark 10000; state written
+      // with a 2s TTL
+      Seq(Purchase(7L, ts("2024-01-01 00:00:00"), 120.0, 1L))
+        .toDF().write.parquet(in.resolve("f1").toString)
+      runOnce()
+      Thread.sleep(5000) // let the TTL lapse in real (processing) time
+      // run 2: the SAME purchase again. Expired state reads as absent →
+      // the cumulative restarts at zero and the SAME 10000 mark fires
+      // (un-expired state would advance to mark 20000 / cum 24000 —
+      // exactly what the no-TTL restart test above proves)
+      Seq(Purchase(7L, ts("2024-03-01 00:00:00"), 120.0, 2L))
+        .toDF().write.parquet(in.resolve("f2").toString)
+      runOnce()
+      val got = spark.read.parquet(out)
+        .select("user_id", "event_id", "milestone_cents", "cum_cents")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == Set((7L, 1L, 10000L, 12000L), (7L, 2L, 10000L, 12000L)),
+        s"TTL must reset the dormant cumulative: $got")
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
