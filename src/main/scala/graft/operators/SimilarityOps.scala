@@ -1175,7 +1175,15 @@ object SimilarityOps {
           .as("score"))
       .localCheckpoint()
     val wBrute = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
-    val rows = factors.map { f =>
+    // The three factor pipelines are independent chains of SMALL eager
+    // jobs (each localCheckpoint is an action on a few-hundred-row
+    // frame); run them from concurrent driver threads so the scheduler
+    // overlaps them on idle cores — multi-threaded job submission on one
+    // session is the standard Spark pattern, and per-arm results are
+    // scheduling-independent. Order is preserved by Future.sequence.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rows = Await.result(Future.sequence(factors.map { f => Future {
       val n = nb * (1 + f)
       val corpus = embeddings.filter(col("vec_id") < n).persist()
       val (beam, rounds, _, seeds) = graphKnobs(n)
@@ -1189,18 +1197,25 @@ object SimilarityOps {
         .select(col("q_id"), col("vec_id"),
           row_number().over(wBrute).as("rank"))
         .filter(col("rank") <= k).select(col("q_id"), col("vec_id"))
-      def recallOf(edges: DataFrame): DataFrame = {
-        val hits = graphAnnSearch(corpus, edges.localCheckpoint(),
-            nQueries, k, beam, rounds, seeds)
-          .select(col("q_id"), col("vec_id")).withColumn("hit", lit(1L))
-        brute.join(hits, Seq("q_id", "vec_id"), "left")
+      // ONE (arm, q_id)-keyed beam chain for both arms (r14): stale and
+      // fresh share corpus, queries and knobs within a factor — only the
+      // edge set differs — so a single keyed chain replaces two full
+      // chains (half the per-round jobs and checkpoints), per-arm
+      // results identical by construction
+      val hits = graphAnnSearchArms(corpus,
+          Seq("stale" -> stale.localCheckpoint(), "fresh" -> fresh.localCheckpoint()),
+          nQueries, k, beam, rounds, seeds)
+        .select(col("arm"), col("q_id"), col("vec_id")).withColumn("hit", lit(1L))
+        .localCheckpoint()
+      def recallOf(arm: String): DataFrame =
+        brute.join(hits.filter(col("arm") === arm).drop("arm"),
+            Seq("q_id", "vec_id"), "left")
           .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
             count(lit(1)).as("tot"))
-      }
       // eager localCheckpoint then unpersist: same cache discipline as
       // ivfAppendDrift — no per-factor corpus blocks outlive their row
-      val row = recallOf(stale).select(col("hits").as("h_stale"), col("tot"))
-        .crossJoin(broadcast(recallOf(fresh).select(col("hits").as("h_fresh"))))
+      val row = recallOf("stale").select(col("hits").as("h_stale"), col("tot"))
+        .crossJoin(broadcast(recallOf("fresh").select(col("hits").as("h_fresh"))))
         .select(lit(f.toLong).as("append_factor"),
           lit(nb).as("n_base"),
           lit(n).as("n_corpus"),
@@ -1212,7 +1227,7 @@ object SimilarityOps {
         .localCheckpoint()
       corpus.unpersist()
       row
-    }
+    }}), scala.concurrent.duration.Duration.Inf)
     rows.reduce(_.unionAll(_))
   }
 
@@ -1251,6 +1266,64 @@ object SimilarityOps {
   def graphAnnTopKOver(embeddings: DataFrame, edges: DataFrame, nQueries: Int,
                        k: Int, beam: Int, rounds: Int, entrySeeds: Int): DataFrame =
     graphAnnSearch(embeddings, edges, nQueries, k, beam, rounds, entrySeeds)
+
+  /** [[graphAnnSearch]] over SEVERAL edge sets at once, every frame keyed
+    * by an extra `arm` column — for callers (the drift audit) whose arms
+    * share corpus, queries and knobs and differ only in the graph. One
+    * keyed chain costs one set of per-round jobs/checkpoints instead of
+    * one per arm; per-arm output is identical to a per-arm
+    * [[graphAnnSearch]] call (same scores, same (q_id, node) tie-breaks —
+    * every window partitions by (arm, q_id)).
+    */
+  private def graphAnnSearchArms(embeddings: DataFrame,
+                                 graphs: Seq[(String, DataFrame)],
+                                 nQueries: Int, k: Int, beam: Int, rounds: Int,
+                                 entrySeeds: Int): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val graph = graphs.map { case (a, g) =>
+      g.select(lit(a).as("arm"), col("src"), col("dst"))
+    }.reduce(_ unionByName _)
+    val armsDf = graphs.map(_._1).toDF("arm")
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def scored(cand: DataFrame): DataFrame = cand
+      .join(embeddings.select(col("vec_id").as("node"), col("embedding").as("n_emb")),
+        Seq("node"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("score",
+        round(graft.functions.GraftFunctions.cosineSim(col("n_emb"), col("q_emb")), 6))
+      .select(col("arm"), col("q_id"), col("node"), col("score"))
+    val entry = embeddings.filter(col("vec_id") < entrySeeds)
+      .select(col("vec_id").as("node"))
+      .crossJoin(broadcast(queries.select(col("q_id"))))
+      .filter(col("node") =!= col("q_id"))
+      .crossJoin(broadcast(armsDf))
+    var visited = scored(entry).localCheckpoint()
+    val wb = Window.partitionBy("arm", "q_id").orderBy(col("score").desc, col("node"))
+    def beamOf(vis: DataFrame): DataFrame = vis
+      .withColumn("rnk", row_number().over(wb))
+      .filter(col("rnk") <= beam).select(col("arm"), col("q_id"), col("node"))
+    var frontier = beamOf(visited).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val expand = frontier
+        .join(graph.select(col("arm"), col("src").as("node"), col("dst")),
+          Seq("arm", "node"))
+        .select(col("arm"), col("q_id"), col("dst").as("node"))
+        .filter(col("node") =!= col("q_id"))
+        .distinct()
+        .join(visited.select(col("arm"), col("q_id"), col("node")),
+          Seq("arm", "q_id", "node"), "left_anti")
+      visited = visited.unionByName(scored(expand)).localCheckpoint()
+      frontier = beamOf(visited).localCheckpoint()
+    }
+    val wk = Window.partitionBy("arm", "q_id").orderBy(col("score").desc, col("vec_id"))
+    visited
+      .select(col("arm"), col("q_id"), col("node").as("vec_id"),
+        round(col("score"), 4).as("score"))
+      .select(col("arm"), col("q_id"), col("vec_id"), col("score"),
+        row_number().over(wk).as("rank"))
+      .filter(col("rank") <= k)
+  }
 
   private def graphAnnSearch(embeddings: DataFrame, graph: DataFrame,
                              nQueries: Int, k: Int, beam: Int, rounds: Int,
