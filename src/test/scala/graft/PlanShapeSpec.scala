@@ -15,6 +15,19 @@ class PlanShapeSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("registry contract: every query has an oracle (or is deliberately " +
+       "rows-only), and the sf1 heavy tier names only registered queries") {
+    // BenchSf1 silently filters unknown names (so a deleted query can't
+    // crash the bench main); this pin makes a rename/removal FAIL the
+    // suite instead of silently shrinking the committed sf1 artifact
+    val missing = BenchSf1.HeavyTier.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"HeavyTier names not in the registry: $missing")
+    // every oracle key must have a query (a dangling oracle is dead SQL
+    // the driver would never exercise)
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracles without queries: $dangling")
+  }
+
   test("per-row signature/scan queries are completely narrow: zero exchanges") {
     val narrow = Seq(
       "minhash_signatures", "simhash", "token_count", "lang_id",
