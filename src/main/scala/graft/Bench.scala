@@ -142,8 +142,12 @@ object Bench {
     // The stdout line reaches the driver wrapped in sbt log prefixes, and
     // its tail capture has recorded parsed: null in r10/r11. Also write the
     // exact metric line as a clean, unprefixed JSON file so any driver that
-    // looks for a sibling artifact can parse it directly.
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_metric.json"),
+    // looks for a sibling artifact can parse it directly. Subset runs
+    // (diagnosis) must not clobber the committed full-suite artifact —
+    // the same guard BENCH_local.json already has (r14: a one-query
+    // diagnostic overwrote the round's metric line).
+    val metricName = if (only.isEmpty) "BENCH_metric.json" else "BENCH_metric_subset.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(metricName),
       metricLine + "\n")
     // Full-precision artifact: the printed line is capped at 0.1 s for the
     // driver's tail capture, which blinds regression detection for the ~60
