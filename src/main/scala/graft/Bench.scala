@@ -93,10 +93,15 @@ object Bench {
       val ok = samples.filter(_ >= 0)
       name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
+    // corroborated = a second sample within 3x of the min, OR every
+    // sample sub-half-second (pure scheduler jitter). The escape must be
+    // on ok.MAX, not ok.min: a 0.45 s min next to two 40 s samples is a
+    // possibly cache-contaminated outlier outvoted by two large readings
+    // — exactly what the flag exists to catch (r14 ADVICE).
     val suspect: Map[String, Boolean] = registry.map { case (name, _) =>
       val ok = (Seq(passA(name), passB(name)) ++ passC.get(name)).filter(_ >= 0)
       val corroborated = ok.nonEmpty &&
-        (ok.min <= 0.5 || ok.count(_ <= 3.0 * ok.min) >= 2)
+        (ok.max <= 0.5 || ok.count(_ <= 3.0 * ok.min) >= 2)
       name -> (ok.size >= 2 && !corroborated)
     }.toMap
     // 1-decimal (0.1 s) timings on the printed line: the driver keeps only
@@ -123,6 +128,43 @@ object Bench {
     // count → bounded line length at any registry size) plus an aggregate
     // of the omitted fast tail; every query's full-precision number is in
     // BENCH_local.json below.
+    // Cross-round regression gate (r14 verdict task 2): fuzzy_canonicalize
+    // shipped a silent 4.8x wall-time regression because nothing compared
+    // the new artifact to the previous round's. Read the PRIOR committed
+    // BENCH_local.json (before this run overwrites it) and list every
+    // query whose new min exceeds 3x its prior reading above the 0.5 s
+    // noise floor — the close protocol requires the list empty or each
+    // entry explained in SCALE.md. Regex parse: the file is our own
+    // fixed format, and the build must not add a JSON dependency.
+    val priorSecs: Map[String, Double] =
+      if (only.nonEmpty) Map.empty // subset runs have no comparable prior
+      else scala.util.Try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_local.json")), "UTF-8")
+        """"([A-Za-z0-9_]+)":\{"sec":([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+    val regressions = results.collect {
+      case (name, v) if v > 0.5 && priorSecs.get(name).exists(p => p > 0 && v > 3.0 * p) =>
+        name -> (priorSecs(name), v)
+    }
+    // Canary drift normalizer (r14 verdict task 7): ~57 s of the r14
+    // round-over-round delta was diffuse host drift, which makes raw
+    // total comparisons weak evidence. Five stable, cheap, code-frozen
+    // queries spanning the suite's plan shapes (agg, window, join+topn,
+    // text join, event window) act as canaries; canary_ratio = this
+    // run's canary total over the prior artifact's, so a consumer can
+    // drift-adjust any cross-round comparison mechanically.
+    val canaries = Seq("mart_yearly_avg", "rolling_avg", "tf_idf",
+      "cohort_retention", "q3_revenue_topn")
+    val canaryRatio: Option[Double] = {
+      val pairs = canaries.flatMap(n =>
+        results.collectFirst { case (`n`, v) if v > 0 => v }
+          .zip(priorSecs.get(n).filter(_ > 0)))
+      if (pairs.size == canaries.size)
+        Some(pairs.map(_._1).sum / pairs.map(_._2).sum)
+      else None
+    }
     val ok = results.filter(_._2 >= 0)
     val slow = ok.sortBy(-_._2).take(30).sortBy(_._1)
     val rest = ok.sortBy(-_._2).drop(30)
@@ -136,8 +178,11 @@ object Bench {
     // so total / (n_queries - n_failed) is the comparable per-query mean.
     val nFailed = results.count(_._2 < 0)
     val sfNum = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("\"" + sfDir + "\"")
+    val canaryStr = canaryRatio
+      .map(r => String.format(java.util.Locale.ROOT, "%.3f", Double.box(r)))
+      .getOrElse("null")
     val metricLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"n_suspect":${suspect.values.count(identity)},"queries":$qs,"sf":$sfNum}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"n_suspect":${suspect.values.count(identity)},"n_regressions":${regressions.size},"canary_ratio":$canaryStr,"queries":$qs,"sf":$sfNum}"""
     println(metricLine)
     // The stdout line reaches the driver wrapped in sbt log prefixes, and
     // its tail capture has recorded parsed: null in r10/r11. Also write the
@@ -170,8 +215,11 @@ object Bench {
     // subset runs (diagnosis) must not clobber the full-suite artifact
     val localName = if (only.isEmpty) "BENCH_local.json" else "BENCH_local_subset.json"
     val nSuspect = suspect.values.count(identity)
+    val regStr = regressions.map { case (n, (p, v)) =>
+      "\"" + n + "\":{\"prior\":" + full(p) + ",\"now\":" + full(v) + "}"
+    }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(localName),
-      s"""{"n_queries":${results.size},"n_failed":$nFailed,"n_suspect":$nSuspect,"sf":$sfNum,"queries":$fullQs}""" + "\n")
+      s"""{"n_queries":${results.size},"n_failed":$nFailed,"n_suspect":$nSuspect,"n_regressions":${regressions.size},"canary_ratio":$canaryStr,"regressions":$regStr,"sf":$sfNum,"queries":$fullQs}""" + "\n")
     spark.stop()
   }
 }

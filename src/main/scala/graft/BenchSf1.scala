@@ -16,14 +16,15 @@ package graft
   * Output: BENCH_sf1.json in the repo root (committed at round close).
   */
 object BenchSf1 {
-  /** The heavy tier: r13's slowest ~30 by sf0.1 cost plus this round's
-    * additions (`dup_evidence_stored`, `graph_topk_rescored`) — the
-    * queries whose scale behavior is worth a tracked number. Static so
-    * the tier is stable round over round; grow it when the bench top-30
-    * changes.
+  /** The heavy tier: the bench's slowest ~30 by sf0.1 cost plus recent
+    * rounds' additions — the queries whose scale behavior is worth a
+    * tracked number. Static so the tier is stable round over round;
+    * refreshed at close when the bench top-30 changes. r15: dropped the
+    * retired inline `dup_evidence` control (verdict task 4) and added
+    * the six r14 top-30 absentees (verdict task 5).
     */
   val HeavyTier: Seq[String] = Seq(
-    "graph_append_drift", "dup_evidence", "dup_evidence_budgeted",
+    "graph_append_drift", "dup_evidence_budgeted",
     "dup_evidence_stored", "ivf_append_drift", "ann_recall_graph",
     "ann_recall_pq_opq", "cosine_topk_graph", "cosine_topk_graph_stored",
     "graph_topk_rescored", "hits_customer_part", "corpus_full",
@@ -32,7 +33,10 @@ object BenchSf1 {
     "classifier_pr_auc", "classifier_gains", "ann_recall",
     "lsh_recall_audit", "jaccard_pairs_prefix", "eigenvector_centrality",
     "containment_pairs", "jaccard_threshold_sweep", "bm25_prf",
-    "span_dedup_recall_audit", "unigram_holdout")
+    "span_dedup_recall_audit", "unigram_holdout",
+    "fuzzy_canonicalize", "containment_pairs_prefix",
+    "quantile_sketch_rollup", "classifier_reliability", "jaccard_pairs",
+    "jaccard_pairs_unguarded")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.getOrCreate("graft-bench-sf1")
@@ -77,8 +81,10 @@ object BenchSf1 {
     val rows = tier.map { n =>
       val samples = (Seq(passA(n), passB(n)) ++ passC.get(n)).filter(_ >= 0)
       val best = if (samples.isEmpty) -1.0 else samples.min
+      // max-gated sub-half-second escape, same rationale as Bench.scala:
+      // a tiny outlier min outvoted by two large samples must stay suspect
       val corroborated = samples.nonEmpty &&
-        (samples.min <= 0.5 || samples.count(_ <= 3.0 * samples.min) >= 2)
+        (samples.max <= 0.5 || samples.count(_ <= 3.0 * samples.min) >= 2)
       val susp = samples.size >= 2 && !corroborated
       val e =
         if (best > 0 && base01(n) > 0) full(math.log10(best / base01(n)))
@@ -93,7 +99,12 @@ object BenchSf1 {
     val json = s"""{"tier":"heavy","n_queries":${tier.size},"n_failed":$nFailed,""" +
       s""""expand_factor":10,"src_sf":0.1,"queries":$rows}"""
     println(json)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_sf1.json"),
+    // subset runs (diagnosis) must not clobber the committed full-tier
+    // artifact — the same guard Bench.scala applies to BENCH_metric.json/
+    // BENCH_local.json (r14: a one-query diagnostic overwrote the
+    // committed metric line)
+    val outName = if (only.isEmpty) "BENCH_sf1.json" else "BENCH_sf1_subset.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outName),
       json + "\n")
     spark.stop()
   }

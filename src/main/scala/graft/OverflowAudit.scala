@@ -82,7 +82,7 @@ object OverflowAudit {
     */
   val KnownBoundedDecimal: Seq[(String, String)] = Seq(
     ("moments_profile|interarrival_profile" ->
-      "central-moment integer polynomials n^k*mk: |x| <= 3e4 (documented input bound) and the kurtosis numerator needs n^4*m4 <= 10^38 -> valid for group sizes n <= ~1e5 rows, now stated in momentsProfile's scaladoc; corpus-scale groups must pre-aggregate"),
+      "central-moment integer polynomials n^k*mk: ENFORCED (r15) — momentsProfile raise_errors inside the moment columns when max|x| > 3e4 or n*max|x| > 1.5e9 (14*(n*max|x|)^4 <= 7.1e37 < 10^38 covers every intermediate term), so ANSI-off decimal NULLing cannot silently corrupt a large group; corpus-scale groups must pre-aggregate"),
     ("revenue_trend|rolling_regression_slope|rolling_corr|ljung_box|revenue_acf|safety_stock|price_index_monthly|stl_strength|seasonal_residual_outliers" ->
       "time-series family over the CALENDAR-DAY aggregate series: n <= 1e4 days, daily sums <= 1e13 cents -> d*d sums <= 1e30, n*sxy <= 1e34 << 1e38"),
     ("simpson_paradox_screen|discount_elasticity|cuped_adjustment|diff_in_diff|welch_t_test|anova_priority_spend|neyman_allocation|gini_spend|mahalanobis_outliers|eb_shrunk_returns" ->

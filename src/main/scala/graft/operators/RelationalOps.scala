@@ -505,13 +505,19 @@ object RelationalOps {
       col(bCol).cast(LongType).as("vb"))
     val mm = v.agg(min(col("va")).as("mna"), max(col("va")).as("mxa"),
       min(col("vb")).as("mnb"), max(col("vb")).as("mxb"))
-    // DECIMAL(38,0)-widened: a column domain wider than ~2^47 would wrap
-    // the ×65536 silently under LONG (DuckDB raises instead); the widen
-    // keeps the generic API exact on any LONG domain.
+    // DECIMAL(38,0)-widened PER OPERAND: a column domain wider than ~2^47
+    // would wrap the ×65536 silently under LONG (DuckDB raises instead),
+    // and `cast(va - mna as decimal)` still evaluates the subtraction in
+    // LONG first — a domain spanning more than Long.MaxValue (min near
+    // -2^62, max near 2^62) wraps BEFORE the cast, as does the
+    // `mxa - mna + 1` range width (r14 ADVICE). Widening each operand
+    // before any arithmetic keeps the whole expression exact on any LONG
+    // domain; DuckDB raises rather than wraps on such domains, so the
+    // engines can never silently disagree.
     val cells = v.crossJoin(broadcast(mm))
       .select(
-        expr("cast((cast(va - mna as decimal(38,0)) * 65536) div (mxa - mna + 1) as bigint)").as("ca"),
-        expr("cast((cast(vb - mnb as decimal(38,0)) * 65536) div (mxb - mnb + 1) as bigint)").as("cb"))
+        expr("cast(((cast(va as decimal(38,0)) - mna) * 65536) div (cast(mxa as decimal(38,0)) - mna + 1) as bigint)").as("ca"),
+        expr("cast(((cast(vb as decimal(38,0)) - mnb) * 65536) div (cast(mxb as decimal(38,0)) - mnb + 1) as bigint)").as("cb"))
     def roll(audit: DataFrame, name: String): DataFrame =
       audit.agg(count(lit(1)).as("n_buckets"),
         expr("(sum(span_a_ppm) + count(1) div 2) div count(1)").as("mean_span_a_ppm"),
@@ -901,6 +907,20 @@ object RelationalOps {
     * sample) — the n⁴ growth is intrinsic to the exact closed form.
     * Constant groups (B = 0) yield NULL moments, not NaN — NaN
     * repr is not portable across engines. One shuffle: the group-by.
+    *
+    * The bound is ENFORCED, not advisory (r14 verdict task 3 — the
+    * decimal audit's one real finding was this operator's kurtosis
+    * numerator, and ANSI-off Spark NULLs a capped DECIMAL silently):
+    * the aggregate also lands max|x| per group, and the moment columns
+    * `raise_error` when max|x| > 3·10⁴ (the per-row x⁴ long-wrap bound)
+    * or n·max|x| > 1.5·10⁹. The latter is the data-adaptive DECIMAL(38,0)
+    * capacity line: every term of C is ≤ (n·max|x|)⁴ in magnitude and
+    * their absolute sum ≤ 14·(n·max|x|)⁴, so n·max|x| ≤ 1.5e9 keeps the
+    * worst intermediate at 7.1·10³⁷ < 10³⁸ — at max|x| = 3e4 that is the
+    * documented n ≈ 10⁵ knee, and a small-valued column buys
+    * proportionally larger groups. The guard lives INSIDE the skewness/
+    * kurtosis expressions (not a separate audit pass) so no plan rewrite
+    * or column pruning can drop it while a moment is being read.
     */
   def momentsProfile(df: DataFrame, valCol: String, keyCol: String): DataFrame = {
     val D = DecimalType(38, 0)
@@ -911,21 +931,35 @@ object RelationalOps {
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"),
         sum(col("x").cast(D)).as("s1"), sum(col("x2").cast(D)).as("s2"),
-        sum(col("x3").cast(D)).as("s3"), sum(col("x4").cast(D)).as("s4"))
+        sum(col("x3").cast(D)).as("s3"), sum(col("x4").cast(D)).as("s4"),
+        max(abs(col("x"))).as("mx"))
+    // n·mx compared in DECIMAL — the product itself would wrap LONG for
+    // exactly the groups the guard exists to catch
+    val violated = col("mx") > lit(30000L) ||
+      (col("n").cast(D) * col("mx")) > lit(1500000000L)
+    val boundsError = raise_error(concat(
+      lit("momentsProfile: group "), col(keyCol).cast(StringType),
+      lit(" exceeds the exact-moment bounds (n="), col("n").cast(StringType),
+      lit(", max|x|="), col("mx").cast(StringType),
+      lit("): requires max|x| <= 3e4 and n*max|x| <= 1.5e9 or the "),
+      lit("DECIMAL(38,0) moment numerators overflow — "),
+      lit("pre-aggregate per stratum or profile a sample")))
+    def guarded(c: Column): Column =
+      when(violated, boundsError.cast(DoubleType)).otherwise(c)
     sums
-      .select(col(keyCol), col("n"),
+      .select(col(keyCol), col("n"), col("mx"),
         expr("cast((s1 * 1000000 + n div 2) div n as bigint)").as("mean_micros"),
         expr("n * s2 - s1 * s1").as("B"),
         expr("n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1").as("A"),
         expr("n * n * n * s4 - 4 * n * n * s1 * s3 + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1").as("C"))
       .select(col(keyCol), col("n"), col("mean_micros"),
-        when(col("B") =!= 0,
+        guarded(when(col("B") =!= 0,
           round(col("A").cast(DoubleType) /
-            (col("B").cast(DoubleType) * sqrt(col("B").cast(DoubleType))), 6))
+            (col("B").cast(DoubleType) * sqrt(col("B").cast(DoubleType))), 6)))
           .as("skewness"),
-        when(col("B") =!= 0,
+        guarded(when(col("B") =!= 0,
           round(col("C").cast(DoubleType) /
-            (col("B").cast(DoubleType) * col("B").cast(DoubleType)) - 3, 6))
+            (col("B").cast(DoubleType) * col("B").cast(DoubleType)) - 3, 6)))
           .as("kurtosis"))
   }
 

@@ -1316,6 +1316,7 @@ object SimilarityOps {
       visited = visited.unionByName(scored(expand)).localCheckpoint()
       frontier = beamOf(visited).localCheckpoint()
     }
+    // round-4 output ranking, same binding note as graphAnnSearch below
     val wk = Window.partitionBy("arm", "q_id").orderBy(col("score").desc, col("vec_id"))
     visited
       .select(col("arm"), col("q_id"), col("node").as("vec_id"),
@@ -1357,6 +1358,15 @@ object SimilarityOps {
       visited = visited.unionByName(scored(expand)).localCheckpoint()
       frontier = beamOf(visited).localCheckpoint()
     }
+    // The output ranking (and thus any shortlist boundary a two-stage
+    // caller like graphTopKRescored cuts at) is on the ROUND-4 score
+    // with vec_id tie-break: wk's `col("score")` resolves against the
+    // projection below it, where `score` is already round(score, 4) —
+    // NOT against visited's round-6 beam score. This matches the
+    // oracle's gtop CTE (round(score, 4) before its window) exactly, so
+    // a round-4 tie at the boundary admits the same candidates in both
+    // engines (r14 ADVICE review; pinned by GraphAnnGateSpec's round-4
+    // boundary spec).
     val wk = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
     visited
       .select(col("q_id"), col("node").as("vec_id"), round(col("score"), 4).as("score"))

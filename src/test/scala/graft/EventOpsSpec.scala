@@ -334,6 +334,31 @@ class EventOpsSpec extends SparkSpec {
     assert(got("c") == ((2L, 7000000L, None, None)), got.toString)
   }
 
+  test("momentsProfile: a group past the exact-moment bounds fails LOUDLY " +
+       "(raise_error), never a silent ANSI-off decimal NULL") {
+    // |x| bound: one row at 40000 > 3e4 (x^4 would wrap LONG well before
+    // the decimal sums are even reached)
+    val wide = Seq(("a", 40000)).toDF("k", "v")
+    val e1 = intercept[Exception] {
+      graft.operators.RelationalOps.momentsProfile(wide, "v", "k").collect()
+    }
+    assert(e1.getMessage.contains("exceeds the exact-moment bounds"),
+      e1.getMessage)
+    // n*max|x| bound: 60001 rows at 30000 -> 1.80003e9 > 1.5e9, the
+    // DECIMAL(38,0) capacity line for the kurtosis numerator's terms
+    val big = spark.range(60001).selectExpr("'g' as k", "30000 as v")
+    val e2 = intercept[Exception] {
+      graft.operators.RelationalOps.momentsProfile(big, "v", "k").collect()
+    }
+    assert(e2.getMessage.contains("exceeds the exact-moment bounds"),
+      e2.getMessage)
+    // just inside both bounds still computes (50000 * 30000 = 1.5e9)
+    val ok = spark.range(50000).selectExpr("'g' as k",
+      "case when id = 0 then 30000 else 0 end as v")
+    val row = graft.operators.RelationalOps.momentsProfile(ok, "v", "k").collect()
+    assert(row.length == 1 && row(0).getLong(1) == 50000L, row.mkString)
+  }
+
   test("revenueTrend: exact slope on a linear series; single-day series " +
        "reads NULL (zero x-variance)") {
     // type "up": daily cents 1000 + 250·k over 5 consecutive days → the
