@@ -96,6 +96,36 @@ object SparkEntry {
       DedupOps.dupEvidenceBase(t(s, sfDir, "documents"),
         DedupOps.pairIndex(s, pairIndexFor(s, sfDir)), winnowPairsFor(s, sfDir))
         .write.mode("overwrite").parquet(out)))
+  /** The delta-maintenance fixture boundary (r14 verdict task 6): the
+    * corpus splits at 90% of its doc count — the first 90% is the
+    * "snapshot" whose artifacts are landed, the last 10% is the append.
+    * One driver-side count per (JVM, corpus dir), cached like the
+    * artifact paths.
+    */
+  private val cutoffCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def docCutoff(s: SparkSession, sfDir: String): Long =
+    cutoffCache.getOrElseUpdate(sfDir, {
+      val n = t(s, sfDir, "documents").count()
+      n - n / 10
+    })
+  /** The three artifacts a snapshot owner persists for O(delta) evidence
+    * maintenance, built over the pre-append 90% slice: the evidence base
+    * itself plus the two per-doc indexes ([[DedupOps.winnowPrintIndex]],
+    * [[DedupOps.lshBands]]) the delta probes.
+    */
+  private def oldEvidenceArtifacts(s: SparkSession, sfDir: String): (DataFrame, DataFrame, DataFrame) = {
+    val cut = docCutoff(s, sfDir)
+    def oldDocs = t(s, sfDir, "documents").filter(col("doc_id") < cut)
+    val base = s.read.parquet(artifactDir("dup_evidence_base_old", sfDir, s"cut=$cut")(out =>
+      DedupOps.dupEvidenceBase(oldDocs, DedupOps.minhashCandidatePairs(oldDocs),
+        TextOps.winnowOverlapPairs(oldDocs)).write.mode("overwrite").parquet(out)))
+    val prints = s.read.parquet(artifactDir("winnow_print_index_old", sfDir, s"cut=$cut")(out =>
+      DedupOps.winnowPrintIndex(oldDocs).write.mode("overwrite").parquet(out)))
+    val bands = s.read.parquet(artifactDir("band_index_old", sfDir, s"cut=$cut")(out =>
+      DedupOps.lshBands(oldDocs).write.mode("overwrite").parquet(out)))
+    (base, prints, bands)
+  }
   /** Trained BPE merge table — the sixth persisted artifact: the
     * tokenizer is trained once per corpus snapshot; every consumer
     * (the merge-table read, the corpus encode) loads K rows.
@@ -727,14 +757,14 @@ object SparkEntry {
         DedupOps.pairIndex(s, pairIndexFor(s, d)))),
     // multi-screen evidence fusion: per union-graph pair, LSH band
     // agreement + shared winnowing fingerprints + SimHash Hamming, with
-    // the fired-tier count — the collapse-review explanation row
-    "dup_evidence" -> ((s, d) =>
-      DedupOps.dupEvidence(t(s, d, "documents"),
-        DedupOps.pairIndex(s, pairIndexFor(s, d)), winnowPairsFor(s, d))),
-    // the production default path (r13 verdict task 3): the same budget-24
-    // evidence read routed through the persisted evidence base — oracle
-    // shared VERBATIM with dup_evidence, so the store is hash-proven
-    // equal to the inline derivation
+    // the fired-tier count — the collapse-review explanation row. The
+    // production default path (r13 verdict task 3) routes through the
+    // persisted evidence base; the inline derivation no longer runs in
+    // the bench registry (r14 verdict task 4: it cost 16.5 s × 2 passes
+    // at sf0.1 purely as an A/B control) — its ≡-stored equivalence is
+    // proven once per round by DedupOpsSpec's sf0.01 hash gate, and the
+    // oracle below replays the FULL inline derivation in DuckDB, so the
+    // store stays hash-proven equal to the derivation every round.
     "dup_evidence_stored" -> ((s, d) =>
       DedupOps.dupEvidenceFromBase(evidenceBaseFor(s, d))),
     // the per-cluster pair budget BINDING (keep 2): same base, budget=2,
@@ -743,6 +773,25 @@ object SparkEntry {
     "dup_evidence_budgeted" -> ((s, d) =>
       DedupOps.dupEvidenceFromBase(evidenceBaseFor(s, d),
         maxPairsPerComponent = 2)),
+    // O(delta) base maintenance (r14 verdict task 6): the 90%-slice
+    // artifacts plus the 10% append, updated through the delta path —
+    // the oracle is the FULL-REBUILD SQL verbatim, so the gate
+    // hash-proves the incremental update converges to exactly what a
+    // re-land would compute (pair additions, df-guard removals,
+    // component merges AND splits included)
+    "dup_evidence_incremental" -> ((s, d) => {
+      val (base, prints, bands) = oldEvidenceArtifacts(s, d)
+      DedupOps.dupEvidenceFromBase(DedupOps.dupEvidenceBaseDelta(
+        base, prints, bands, t(s, d, "documents"), docCutoff(s, d)))
+    }),
+    // the freshness row: how stale the landed 90%-snapshot base is
+    // against the grown corpus — added/removed union pairs and the
+    // changed-pairs-per-million rebuild-policy number
+    "dup_evidence_staleness" -> ((s, d) => {
+      val (base, prints, bands) = oldEvidenceArtifacts(s, d)
+      DedupOps.dupEvidenceStaleness(
+        base, prints, bands, t(s, d, "documents"), docCutoff(s, d))
+    }),
     // LSH health: bucket-occupancy histogram with per-size candidate-pair
     // volume — the candidate blowup visible BEFORE the pair join runs
     "lsh_bucket_occupancy" -> ((s, d) =>
@@ -3362,6 +3411,71 @@ object SparkEntry {
         |JOIN sim sa ON sa.doc_id = u.doc_a
         |JOIN sim sb ON sb.doc_id = u.doc_b""".stripMargin
 
+  /** dup_evidence_staleness oracle: the grown union pair graph vs the
+    * 90%-snapshot's, both derived from the SAME per-doc CTEs (band keys
+    * and winnow prints are corpus-independent, so the old chain is the
+    * per-doc frame re-aggregated under a doc_id < cut filter — including
+    * re-derived old dfs, because the winnow guard reads GLOBAL posting
+    * sizes). bands/wprints are MATERIALIZED once (each feeds two
+    * self-joins — four inlined minhash chains otherwise).
+    */
+  private val dupEvidenceStalenessOracle: String =
+    minhashBandsCtes +
+      """,
+        |bm AS MATERIALIZED (SELECT doc_id, band, band_key FROM bands),
+        |cutv AS (SELECT COUNT(*) - COUNT(*) // 10 AS cut FROM documents),
+        |mp AS (SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+        |       FROM bm b1 JOIN bm b2 ON b1.band = b2.band AND b1.band_key = b2.band_key
+        |       WHERE b1.doc_id < b2.doc_id),
+        |omp AS (SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+        |       FROM bm b1 JOIN bm b2 ON b1.band = b2.band AND b1.band_key = b2.band_key
+        |       WHERE b1.doc_id < b2.doc_id AND b2.doc_id < (SELECT cut FROM cutv)),
+        |wps AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 2, 0))) AS i FROM tk),
+        |whs AS (SELECT doc_id, i,
+        |        CAST(concat('0x', substr(md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]), 1, 8)) AS BIGINT) AS h
+        |        FROM wps),
+        |wm AS (SELECT doc_id, COUNT(*) AS m FROM whs GROUP BY doc_id),
+        |wjs AS (SELECT doc_id, unnest(range(0, m - 3)) AS j FROM wm WHERE m >= 4),
+        |wwins AS (SELECT wjs.doc_id, wjs.j, whs.i, whs.h
+        |          FROM wjs JOIN whs ON whs.doc_id = wjs.doc_id AND whs.i BETWEEN wjs.j AND wjs.j + 3),
+        |wsel AS (SELECT doc_id, j, i, h,
+        |         row_number() OVER (PARTITION BY doc_id, j ORDER BY h ASC, i DESC) AS rn
+        |         FROM wwins),
+        |wpm AS MATERIALIZED (SELECT DISTINCT doc_id, h AS fp FROM wsel WHERE rn = 1),
+        |wdf AS (SELECT fp, COUNT(*) AS c FROM wpm GROUP BY fp),
+        |wpf AS (SELECT p.doc_id, p.fp FROM wpm p JOIN wdf ON p.fp = wdf.fp
+        |        WHERE wdf.c > 1 AND wdf.c <= 50),
+        |ws AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |       FROM wpf a JOIN wpf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |owp AS (SELECT doc_id, fp FROM wpm WHERE doc_id < (SELECT cut FROM cutv)),
+        |owdf AS (SELECT fp, COUNT(*) AS c FROM owp GROUP BY fp),
+        |owpf AS (SELECT p.doc_id, p.fp FROM owp p JOIN owdf ON p.fp = owdf.fp
+        |         WHERE owdf.c > 1 AND owdf.c <= 50),
+        |ows AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |        FROM owpf a JOIN owpf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |un AS MATERIALIZED (SELECT DISTINCT doc_a, doc_b FROM (
+        |     SELECT doc_a, doc_b FROM mp UNION ALL SELECT doc_a, doc_b FROM ws) t),
+        |uo AS MATERIALIZED (SELECT DISTINCT doc_a, doc_b FROM (
+        |     SELECT doc_a, doc_b FROM omp UNION ALL SELECT doc_a, doc_b FROM ows) t),
+        |ad AS (SELECT COUNT(*) AS na FROM (
+        |     SELECT doc_a, doc_b FROM un EXCEPT SELECT doc_a, doc_b FROM uo) t),
+        |rm AS (SELECT COUNT(*) AS nr FROM (
+        |     SELECT doc_a, doc_b FROM uo EXCEPT SELECT doc_a, doc_b FROM un) t),
+        |dc AS (SELECT SUM(CASE WHEN doc_id < (SELECT cut FROM cutv) THEN 1 ELSE 0 END) AS ndb,
+        |       SUM(CASE WHEN doc_id >= (SELECT cut FROM cutv) THEN 1 ELSE 0 END) AS ndd
+        |       FROM documents),
+        |po AS (SELECT COUNT(*) AS npb FROM uo),
+        |pn AS (SELECT COUNT(*) AS npg FROM un)
+        |SELECT CAST(ndb AS BIGINT) AS n_docs_base, CAST(ndd AS BIGINT) AS n_docs_delta,
+        |  CAST(npb AS BIGINT) AS n_pairs_base, CAST(npg AS BIGINT) AS n_pairs_grown,
+        |  CAST(na AS BIGINT) AS n_added, CAST(nr AS BIGINT) AS n_removed,
+        |  CAST(CASE WHEN npg > 0
+        |    THEN (CAST(na + nr AS HUGEINT) * 1000000 + npg // 2) // npg
+        |    ELSE 0 END AS BIGINT) AS stale_ppm
+        |FROM dc CROSS JOIN po CROSS JOIN pn CROSS JOIN ad CROSS JOIN rm""".stripMargin
+
   private val bcubedOracle: String =
     dupComponentsCtes +
       """,
@@ -5521,13 +5635,21 @@ object SparkEntry {
     // SimHash fold (reusing the SAME shingle-hash CTE `h`), and the
     // winnowing chain (renamed w* to avoid CTE collisions) fused over
     // the union pair set, per-cluster pair budget enforced (the shipping
-    // default) — three detectors, one row per kept pair
-    "dup_evidence" -> dupEvidenceOracleSql(24),
+    // default) — three detectors, one row per kept pair. The oracle
+    // replays the FULL INLINE derivation, and the stored path must
+    // hash-match it: the persisted base is re-proven equal to the
+    // derivation every round even though the inline query itself left
+    // the bench registry (r14 verdict task 4)
     "dup_evidence_stored" -> dupEvidenceOracleSql(24),
     // the budget BINDING at gate scale (3-doc components → 3 pairs, keep
     // 2): hash-proves the component closure + signature-rank + keep rule,
     // not just the non-binding default
     "dup_evidence_budgeted" -> dupEvidenceOracleSql(2),
+    // the O(delta) maintenance gate: the oracle is the FULL-REBUILD
+    // derivation verbatim — the incremental path must converge to
+    // exactly what a re-land computes, hash-proven
+    "dup_evidence_incremental" -> dupEvidenceOracleSql(24),
+    "dup_evidence_staleness" -> dupEvidenceStalenessOracle,
 
     // estimator-accuracy audit: signature-agreement Jaccard vs exact
     // shingle-set Jaccard per candidate pair — reuses the full signature

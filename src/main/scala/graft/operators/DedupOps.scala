@@ -954,6 +954,268 @@ object DedupOps {
                 | + cast(sim_hamming <= $maxHamming as int)""".stripMargin))
   }
 
+  /** The winnow PRINT index — (doc_id, fp) distinct — the third narrow
+    * artifact a production deployment lands alongside [[dupEvidenceBase]]
+    * and the band index ([[lshBands]]) at snapshot time. Prints are
+    * per-document (corpus-independent), so the index is one shuffle-free
+    * pass; [[dupEvidenceBaseDelta]] probes it by fingerprint to find the
+    * docs a delta's winnow overlaps can possibly touch.
+    */
+  def winnowPrintIndex(documents: DataFrame): DataFrame =
+    TextOps.winnowFingerprints(documents)
+      .select(col("doc_id"), col("fp")).distinct()
+
+  /** Everything the delta maintenance shares between the base update and
+    * the staleness row: the grown union pair set with its change sets.
+    */
+  private case class EvidencePairDelta(
+      uOld: DataFrame, uGrown: DataFrame, added: DataFrame,
+      removed: DataFrame, wANew: DataFrame, aDocs: DataFrame,
+      newBands: DataFrame)
+
+  /** The pair-set half of [[dupEvidenceBaseDelta]] — all frames are
+    * delta-bounded given the persisted indexes (see that method's
+    * scaladoc for the touched-fingerprint argument).
+    */
+  private def evidencePairDelta(oldBase: DataFrame, oldPrints: DataFrame,
+                                oldBands: DataFrame, grownDocs: DataFrame,
+                                cutoff: Long): EvidencePairDelta = {
+    val newDocs = grownDocs.filter(col("doc_id") >= cutoff)
+    val newPrints = TextOps.winnowFingerprints(newDocs)
+      .select(col("doc_id"), col("fp")).distinct().localCheckpoint()
+    val newBands = lshBands(newDocs).localCheckpoint()
+
+    // ---- winnow tier: only pairs of docs holding a TOUCHED fingerprint
+    // (one the delta also holds) can change — a pair's n_shared counts
+    // fingerprints BOTH endpoints hold whose global doc-frequency sits in
+    // the (1, 50] guard window, and a delta can only move the membership
+    // or df of fingerprints it holds. So the affected doc set A is the
+    // holders of touched fps (old, via the print index probe) plus the
+    // delta itself, and the winnow pair set is recomputed EXACTLY on A×A
+    // (with GLOBAL dfs) while every pair outside A×A is provably
+    // unchanged.
+    val touchedFps = newPrints.select(col("fp")).distinct()
+    val aOldDocs = oldPrints.join(touchedFps, Seq("fp"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val aDocs = aOldDocs.union(newDocs.select(col("doc_id")))
+      .distinct().localCheckpoint()
+    val printsAOld = oldPrints.join(aDocs, Seq("doc_id"), "left_semi")
+    val printsA = printsAOld.unionByName(newPrints).localCheckpoint()
+    // global dfs (the [2, 50] emission guard reads the FULL posting-list
+    // size, never the A-restricted one). The old df aggregate is one
+    // narrow pass over the print index; a production deployment persists
+    // it next to the index and probes both by touched fp.
+    val oldDf = oldPrints.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    val newDf = newPrints.groupBy(col("fp")).agg(count(lit(1)).as("dfn"))
+    val dfGrown = oldDf.join(newDf, Seq("fp"), "full_outer")
+      .select(col("fp"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("dfn"), lit(0L))).as("df"))
+    def wsharedOf(prints: DataFrame, dfs: DataFrame): DataFrame = {
+      val guarded = prints.join(
+        dfs.filter(col("df") > 1 && col("df") <= 50).select(col("fp")),
+        Seq("fp"), "left_semi")
+      guarded.select(col("fp"), col("doc_id").as("doc_a"))
+        .join(guarded.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+    }
+    val wANew = wsharedOf(printsA, dfGrown).localCheckpoint()
+    val wAOld = wsharedOf(printsAOld, oldDf)
+    // membership is n_shared >= 2 (winnowOverlapPairs' minShared); the
+    // old A×A slice is recomputed identically, so set algebra is exact
+    val wOldPairs = oldBase.filter(col("n_winnow") >= 2)
+      .select(col("doc_a"), col("doc_b"))
+    val wGrownPairs = wOldPairs
+      .join(wAOld.filter(col("n_shared") >= 2).select(col("doc_a"), col("doc_b")),
+        Seq("doc_a", "doc_b"), "left_anti")
+      .union(wANew.filter(col("n_shared") >= 2).select(col("doc_a"), col("doc_b")))
+      .distinct()
+
+    // ---- minhash tier: band keys are per-doc, so the old-old pair set
+    // is INVARIANT under growth (no df guard in the band join); new pairs
+    // come only from buckets the delta touches, and a pair has a delta
+    // endpoint iff its larger id clears the cutoff (delta ids are the
+    // largest by construction).
+    val touchedKeys = newBands.select(col("band"), col("band_key")).distinct()
+    val bandsTouched = oldBands.unionByName(newBands)
+      .join(touchedKeys, Seq("band", "band_key"), "left_semi")
+    val mDelta = bandsTouched
+      .groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(bucketPairsSql)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .filter(col("doc_b") >= cutoff)
+      .distinct()
+    val mGrownPairs = oldBase.filter(col("n_bands") >= 1)
+      .select(col("doc_a"), col("doc_b"))
+      .union(mDelta).distinct()
+
+    val uOld = oldBase.select(col("doc_a"), col("doc_b"))
+    val uGrown = mGrownPairs.union(wGrownPairs).distinct().localCheckpoint()
+    val added = uGrown.join(uOld, Seq("doc_a", "doc_b"), "left_anti")
+      .localCheckpoint()
+    val removed = uOld.join(uGrown, Seq("doc_a", "doc_b"), "left_anti")
+      .localCheckpoint()
+    EvidencePairDelta(uOld, uGrown, added, removed, wANew, aDocs, newBands)
+  }
+
+  /** O(delta) maintenance for the persisted dup-evidence base (r14
+    * verdict task 6): [[dupEvidenceBase]] lands once per corpus snapshot
+    * but had no append path — a corpus delta forced a full re-land,
+    * unlike the fp/band indexes ([[screenDeltaAgainstCorpus]]) and the
+    * ANN indexes (knnGraphAttach). This takes the landed base, the
+    * winnow print index, the band posting index, and the grown corpus,
+    * and produces the grown base EXACTLY equal to a full rebuild
+    * (`dup_evidence_incremental`'s oracle IS the full-rebuild SQL), with
+    * every recomputation delta-bounded:
+    *  - minhash pairs: per-doc band keys are corpus-independent, so only
+    *    buckets the delta touches can add pairs, and old-old pairs never
+    *    change.
+    *  - winnow pairs: the [2, 50] df guard makes old-old pairs
+    *    non-invariant (a delta doc pushing a fingerprint past the guard
+    *    REMOVES old contributions), so the affected doc set A (holders
+    *    of delta-touched fingerprints) is recomputed exactly, old A×A
+    *    slice and grown A×A slice, with global dfs — every pair outside
+    *    A×A is provably untouched.
+    *  - detector readings (est_ppm, n_bands, sim_hamming) are per-pair
+    *    and corpus-independent: recomputed only for added pairs (from
+    *    the endpoint docs alone); n_winnow is refreshed for kept A×A
+    *    pairs from the recomputed slice.
+    *  - components: labels can MERGE (added edges) and SPLIT (removed
+    *    winnow edges), so the touched components — those containing any
+    *    endpoint of a changed pair — are re-collapsed from their kept
+    *    edges plus the additions, and every untouched component keeps
+    *    its label (its edge set is unchanged, so its min-id label is
+    *    too). At 100 TB this is the difference between re-clustering
+    *    the corpus per append and collapsing a delta-bounded subgraph.
+    */
+  def dupEvidenceBaseDelta(oldBase: DataFrame, oldPrints: DataFrame,
+                           oldBands: DataFrame, grownDocs: DataFrame,
+                           cutoff: Long): DataFrame = {
+    val d = evidencePairDelta(oldBase, oldPrints, oldBands, grownDocs, cutoff)
+
+    // ---- component rebuild region: components holding any changed-pair
+    // endpoint (old endpoints map through the base's labels; delta docs
+    // enter as fresh nodes via the added pairs themselves)
+    val oldLabels = oldBase.select(col("doc_a").as("doc_id"), col("component"))
+      .union(oldBase.select(col("doc_b").as("doc_id"), col("component")))
+      .distinct()
+    val changed = d.added.union(d.removed)
+    val changedOldEnds = changed.select(col("doc_a").as("doc_id"))
+      .union(changed.select(col("doc_b").as("doc_id")))
+      .distinct().filter(col("doc_id") < cutoff)
+    val touchedComps = oldLabels.join(changedOldEnds, Seq("doc_id"), "left_semi")
+      .select(col("component")).distinct().localCheckpoint()
+    val keptBase = oldBase.join(d.removed, Seq("doc_a", "doc_b"), "left_anti")
+      .localCheckpoint()
+    val regionEdges = keptBase.join(touchedComps, Seq("component"), "left_semi")
+      .select(col("doc_a"), col("doc_b"))
+      .union(d.added.select(col("doc_a"), col("doc_b")))
+    val regionLabels = dupComponents(regionEdges)
+
+    // ---- fresh readings for added pairs: all three detectors read only
+    // the endpoint docs (per-pair, corpus-independent), so the probe set
+    // is the added pairs' endpoints
+    val epIds = d.added.select(col("doc_a").as("doc_id"))
+      .union(d.added.select(col("doc_b").as("doc_id"))).distinct()
+    val epDocs = grownDocs.join(epIds, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val sig = minhashSignatures(epDocs)
+    val estAdded = d.added
+      .join(sig.select(col("doc_id").as("doc_a"), col("hash_idx"),
+        col("minhash").as("ma")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("hash_idx"),
+        col("minhash").as("mb")), Seq("doc_b", "hash_idx"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(expr(
+        "cast((sum(case when ma = mb then 1 else 0 end) * 1000000 + 8) div 16 as bigint)")
+        .as("est_ppm"))
+    val allBands = oldBands.unionByName(d.newBands)
+    val nBandsAdded = d.added
+      .join(allBands.select(col("doc_id").as("doc_a"), col("band"),
+        col("band_key")), Seq("doc_a"))
+      .join(allBands.select(col("doc_id").as("doc_b"), col("band"),
+        col("band_key")), Seq("doc_b", "band", "band_key"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_bands"))
+    val simEp = simhash(epDocs)
+    val addedRows = d.added
+      .join(estAdded, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("est_ppm"))
+      .join(nBandsAdded, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_bands"))
+      .join(d.wANew.select(col("doc_a"), col("doc_b"), col("n_shared")),
+        Seq("doc_a", "doc_b"), "left")
+      .withColumn("n_winnow",
+        when(col("n_shared") >= 2, col("n_shared")).otherwise(lit(0L)))
+      .join(simEp.select(col("doc_id").as("doc_a"), col("simhash").as("sa")),
+        Seq("doc_a"))
+      .join(simEp.select(col("doc_id").as("doc_b"), col("simhash").as("sb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("est_ppm"), col("n_bands"),
+        col("n_winnow"), expr("cast(bit_count(sa ^ sb) as int)").as("sim_hamming"))
+
+    // ---- kept pairs: readings carry over, except n_winnow on A×A pairs
+    // (the recomputed slice is the truth — values can shrink when a
+    // fingerprint crosses the df guard)
+    val keptRows = keptBase
+      .join(d.aDocs.select(col("doc_id").as("doc_a"), lit(1).as("fa")),
+        Seq("doc_a"), "left")
+      .join(d.aDocs.select(col("doc_id").as("doc_b"), lit(1).as("fb")),
+        Seq("doc_b"), "left")
+      .join(d.wANew.select(col("doc_a"), col("doc_b"),
+        col("n_shared").as("ns_new")), Seq("doc_a", "doc_b"), "left")
+      .withColumn("n_winnow",
+        when(col("fa").isNotNull && col("fb").isNotNull,
+          when(col("ns_new") >= 2, col("ns_new")).otherwise(lit(0L)))
+          .otherwise(col("n_winnow")))
+      .select(col("doc_a"), col("doc_b"), col("component"), col("est_ppm"),
+        col("n_bands"), col("n_winnow"), col("sim_hamming"))
+
+    // ---- final labels: a doc appears in the region relabeling iff its
+    // whole component was touched (or it is new), so one left join +
+    // coalesce assigns every pair its grown-graph label
+    keptRows
+      .unionByName(addedRows.withColumn("component",
+        lit(null).cast(keptRows.schema("component").dataType))
+        .select(col("doc_a"), col("doc_b"), col("component"), col("est_ppm"),
+          col("n_bands"), col("n_winnow"), col("sim_hamming")))
+      .join(regionLabels.select(col("doc_id").as("doc_a"),
+        col("component").as("rcomp")), Seq("doc_a"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("rcomp"), col("component")).as("component"),
+        col("est_ppm"), col("n_bands"), col("n_winnow"), col("sim_hamming"))
+  }
+
+  /** The freshness row for the evidence base — `index_staleness`'s shape
+    * applied to the dedup artifact family: how much of the GROWN union
+    * pair graph the landed base already covers, and how much a delta
+    * append would change (pairs added by the delta, pairs removed by
+    * df-guard crossings). stale_ppm = changed pairs per million grown
+    * pairs — the rebuild-policy number a snapshot owner reads before
+    * deciding between [[dupEvidenceBaseDelta]] and a full re-land.
+    */
+  def dupEvidenceStaleness(oldBase: DataFrame, oldPrints: DataFrame,
+                           oldBands: DataFrame, grownDocs: DataFrame,
+                           cutoff: Long): DataFrame = {
+    val d = evidencePairDelta(oldBase, oldPrints, oldBands, grownDocs, cutoff)
+    val docs = grownDocs.agg(
+      sum(when(col("doc_id") < cutoff, 1L).otherwise(0L)).as("n_docs_base"),
+      sum(when(col("doc_id") >= cutoff, 1L).otherwise(0L)).as("n_docs_delta"))
+    docs
+      .crossJoin(broadcast(d.uOld.agg(count(lit(1)).as("n_pairs_base"))))
+      .crossJoin(broadcast(d.uGrown.agg(count(lit(1)).as("n_pairs_grown"))))
+      .crossJoin(broadcast(d.added.agg(count(lit(1)).as("n_added"))))
+      .crossJoin(broadcast(d.removed.agg(count(lit(1)).as("n_removed"))))
+      .select(col("n_docs_base"), col("n_docs_delta"), col("n_pairs_base"),
+        col("n_pairs_grown"), col("n_added"), col("n_removed"),
+        expr("""case when n_pairs_grown > 0 then
+          |  (cast(n_added + n_removed as decimal(38,0)) * 1000000
+          |   + n_pairs_grown div 2)
+          |  div n_pairs_grown else 0 end""".stripMargin).as("stale_ppm"))
+  }
+
   /** Connected components over a near-dup pair graph — the collapse step
     * after candidate generation: every doc in a duplicate cluster gets the
     * cluster's minimum doc_id as its component, so "keep one survivor per
