@@ -1380,6 +1380,76 @@ object DedupOps {
     out
   }
 
+  /** Connected components for BROADCAST-SCALE graphs — the third tier
+    * next to [[dupComponents]] (diameter rounds) and [[dupComponentsStar]]
+    * (O(log²) rounds): a driver-side union-find over a collected edge
+    * list, with exactly [[dupComponents]]' labeling (every node in ≥1
+    * pair labeled with its component's minimum id).
+    *
+    * When to use it: a VALUE-level graph — a string column's distinct
+    * values, an entity vocabulary — is bounded by vocabulary, not corpus
+    * (EntityOps' scale note: names/brands/cities grow sublinearly in
+    * rows). For such graphs the distributed collapse pays ≥6 Spark jobs
+    * per round × graph diameter of pure scheduling fixed cost (~5 s at
+    * any data size — r14's fuzzy_canonicalize regression was exactly
+    * this, amplified by suite state), while the edge list itself is KBs.
+    * This is the same bounded-and-documented driver-side class as the
+    * BPE/WordPiece merge-table collects: the collect is HARD-CAPPED at
+    * `maxEdges` (limit + require, so a corpus-scale graph fails loudly
+    * with a pointer to the distributed tiers instead of OOMing the
+    * driver), and the result re-enters the cluster as a broadcast-scale
+    * frame.
+    */
+  def dupComponentsLocal(pairs: DataFrame, maxEdges: Int = 1 << 20): DataFrame = {
+    val sp = pairs.sparkSession
+    val idType = pairs.schema("doc_a").dataType
+    val edges = pairs.select(col("doc_a"), col("doc_b"))
+      .limit(maxEdges + 1).collect()
+    require(edges.length <= maxEdges,
+      s"dupComponentsLocal: graph exceeds $maxEdges edges — this tier is " +
+        "for broadcast-scale value graphs; use dupComponents/" +
+        "dupComponentsStar for corpus-scale graphs")
+    val ord: Ordering[Any] = idType match {
+      case StringType => Ordering.by(_.asInstanceOf[String])
+      case LongType => Ordering.by(_.asInstanceOf[Long])
+      case IntegerType => Ordering.by(_.asInstanceOf[Int])
+      case other => throw new IllegalArgumentException(
+        s"dupComponentsLocal: unsupported id type $other")
+    }
+    // classic union-find with path halving + size union; label = min id
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    val sz = scala.collection.mutable.HashMap.empty[Any, Int]
+    def find(x0: Any): Any = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)); x = parent(x)
+      }
+      x
+    }
+    edges.foreach { r =>
+      Seq(r.get(0), r.get(1)).foreach { v =>
+        if (!parent.contains(v)) { parent(v) = v; sz(v) = 1 }
+      }
+      val (ra, rb) = (find(r.get(0)), find(r.get(1)))
+      if (ra != rb) {
+        val (big, small) = if (sz(ra) >= sz(rb)) (ra, rb) else (rb, ra)
+        parent(small) = big
+        sz(big) = sz(big) + sz(small)
+      }
+    }
+    val label = parent.keys.toSeq.groupBy(find)
+      .flatMap { case (_, members) =>
+        val m = members.min(ord)
+        members.map(_ -> m)
+      }
+    val schema = StructType(Seq(
+      StructField("doc_id", idType), StructField("component", idType)))
+    import scala.jdk.CollectionConverters._
+    sp.createDataFrame(
+      label.map { case (n, c) => org.apache.spark.sql.Row(n, c) }.toSeq.asJava,
+      schema)
+  }
+
   /** Within-bucket ordered struct pairs (carries payload fields through,
     * unlike bucketPairsSql's bare ids); ds sorts by the struct's first
     * field (doc_id), so pairs come out doc_a < doc_b.

@@ -181,19 +181,26 @@ object EntityOps {
   }
 
   /** Transitive canonicalization: connected components over the fuzzy
-    * match graph (reusing the dedup collapse — `DedupOps.dupComponents`
-    * is type-agnostic, so string node ids label with the lexicographic
-    * min), then every ROW of the input mapped to its canonical value.
-    * Output is the merge audit: per canonical value, how many raw
-    * variants collapsed into it and how many rows it now covers.
+    * match graph, then every ROW of the input mapped to its canonical
+    * value (the component's lexicographic-min name). Output is the merge
+    * audit: per canonical value, how many raw variants collapsed into it
+    * and how many rows it now covers.
     *
-    * The component step runs on the distinct-value graph (broadcast
-    * scale); the row-level assignment is one broadcast join.
+    * The component step runs on the distinct-value graph, which is
+    * broadcast scale by the vocabulary argument in the object scaladoc —
+    * so it uses `DedupOps.dupComponentsLocal` (hard-capped driver-side
+    * union-find), not the iterative distributed collapse: the match
+    * graph is KBs of edges, and `dupComponents`' per-round fixed cost
+    * (≥6 scheduled jobs × graph diameter) was this operator's entire
+    * wall time (the r14 bench regression — 5.2 s standalone of which
+    * ~4.9 s was collapse scheduling on a sub-10⁴-edge graph). The
+    * row-level assignment is one broadcast join, as before; semantics
+    * are unchanged (same min-label components, oracle shared).
     */
   def fuzzyCanonicalize(df: DataFrame, valueCol: String, maxDist: Int = 3): DataFrame = {
     val pairs = fuzzyNameMatch(df, valueCol, maxDist)
       .select(col("name_a").as("doc_a"), col("name_b").as("doc_b"))
-    val comps = DedupOps.dupComponents(pairs)
+    val comps = DedupOps.dupComponentsLocal(pairs)
       .select(col("doc_id").as("name"), col("component").as("canonical"))
     df.select(col(valueCol).as("name"))
       .join(broadcast(comps), Seq("name"), "left")

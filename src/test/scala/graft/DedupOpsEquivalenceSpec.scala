@@ -90,6 +90,24 @@ class DedupOpsEquivalenceSpec extends SparkSpec {
     assert(st.getAs[Long]("n_added") > 0L, s"expected added pairs, got $st")
   }
 
+  test("dupComponentsLocal ≡ dupComponents (string and long ids: chain, " +
+       "triangle, disjoint pairs), and the edge cap fails loudly") {
+    import graft.operators.DedupOps
+    // a 4-chain (diameter > 1), a triangle, a disjoint pair
+    val sPairs = Seq(("b", "c"), ("c", "d"), ("d", "e"), ("x", "y"),
+      ("y", "z"), ("x", "z"), ("q", "r")).toDF("doc_a", "doc_b")
+    assert(rows(DedupOps.dupComponentsLocal(sPairs)) ==
+           rows(DedupOps.dupComponents(sPairs)))
+    val lPairs = Seq((2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    assert(rows(DedupOps.dupComponentsLocal(lPairs)) ==
+           rows(DedupOps.dupComponents(lPairs)))
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.dupComponentsLocal(lPairs, maxEdges = 3)
+    }
+    assert(e.getMessage.contains("broadcast-scale"), e.getMessage)
+  }
+
   test("dupEvidenceBaseDelta ≡ full rebuild at sf0.001 (90% snapshot + " +
        "10% append, the registry's gate shape)") {
     import graft.operators.DedupOps
