@@ -1473,6 +1473,13 @@ object SparkEntry {
     // searched under the grown corpus's contract knobs vs brute
     "graph_append_drift" -> ((s, d) =>
       SimilarityOps.graphAppendDrift(t(s, d, "embeddings"))),
+    // the PRODUCTION stack under append drift (r14 verdict task 8): the
+    // stale attach-only index beam-searched at the 20-wide shortlist,
+    // plain top-5 and exact-rescored top-5 recalled against brute from
+    // the one chain — measures whether the rescore stage moves the
+    // rebuild threshold
+    "graph_topk_rescored_drift" -> ((s, d) =>
+      SimilarityOps.graphTopKRescoredDrift(t(s, d, "embeddings"))),
     // Johnson–Lindenstrauss Rademacher projection, 64 → 16 dims: the
     // third ANN memory lever (after int8 and PQ); integer-exact both
     // engines (seeded md5-parity signs, 1e-3 grid quantization)
@@ -3018,6 +3025,117 @@ object SparkEntry {
          |      CAST((ff.h * 1000000 + ff.tot // 2) // ff.tot
          |        - (s.h * 1000000 + s.tot // 2) // s.tot AS BIGINT) AS drift_ppm
          |      FROM hS$f s CROSS JOIN hF$f ff)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |nbc AS (SELECT COUNT(*) // 11 AS nb FROM v),
+       |knB AS (SELECT greatest(1, nb // 2048) AS ncell,
+       |               greatest(1, nb // 128) AS ngrp FROM nbc),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < 10),
+       |cb AS (SELECT * FROM v WHERE vec_id < (SELECT nb FROM nbc)),
+       |${duckHashedFrame("bB", "cb", "knB")},
+       |${duckDescentBuild("B", "bB", "cb", 2, graphK, 4)},
+       |$perFactor
+       |${factors.map(f => s"SELECT * FROM r$f").mkString("\n", "\nUNION ALL\n", "")}""".stripMargin
+  }
+
+  /** graph_topk_rescored_drift replay (r14 verdict task 8): the STALE
+    * graph per growth factor — base descent build plus init-only
+    * attached delta edges under the base moduli — beam-searched at the
+    * 20-wide SHORTLIST under the grown slice's contract knobs, then both
+    * production faces read from the one chain: plain top-k (shortlist
+    * rank ≤ k — the k-beam filter and the shortlist share the round-4
+    * ranking) and the exact-rescored top-k, each against brute.
+    */
+  private def graphRescoredDriftOracle(factors: Seq[Int], rounds: Int,
+                                       graphK: Int, k: Int,
+                                       shortlist: Int): String = {
+    def beamChain(sfx: String, g: String, c: String, kn: String): String = {
+      val roundCtes = (1 to rounds).map { r =>
+        s"""exp$r$sfx AS (SELECT DISTINCT f.q_id, g.dst AS node
+           |      FROM fr${r - 1}$sfx f JOIN $g g ON g.src = f.node
+           |      WHERE g.dst <> f.q_id AND NOT EXISTS (SELECT 1 FROM vis${r - 1}$sfx vv
+           |            WHERE vv.q_id = f.q_id AND vv.node = g.dst)),
+           |vis$r$sfx AS MATERIALIZED (SELECT * FROM vis${r - 1}$sfx
+           |      UNION ALL
+           |      SELECT e.q_id, e.node,
+           |             round(list_cosine_similarity(n.emb, q.q_emb), 6) AS score
+           |      FROM exp$r$sfx e JOIN $c n ON n.vec_id = e.node
+           |      JOIN q ON q.q_id = e.q_id),
+           |fr$r$sfx AS (SELECT q_id, node FROM (SELECT q_id, node,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, node) AS rnk
+           |      FROM vis$r$sfx) t WHERE rnk <= (SELECT beam FROM $kn))""".stripMargin
+      }.mkString(",\n")
+      s"""ent$sfx AS (SELECT q.q_id, e.vec_id AS node
+         |      FROM q CROSS JOIN (SELECT vec_id FROM $c
+         |            WHERE vec_id < (SELECT seeds FROM $kn)) e
+         |      WHERE e.vec_id <> q.q_id),
+         |vis0$sfx AS MATERIALIZED (SELECT e.q_id, e.node,
+         |      round(list_cosine_similarity(n.emb, q.q_emb), 6) AS score
+         |      FROM ent$sfx e JOIN $c n ON n.vec_id = e.node
+         |      JOIN q ON q.q_id = e.q_id),
+         |fr0$sfx AS (SELECT q_id, node FROM (SELECT q_id, node,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, node) AS rnk
+         |      FROM vis0$sfx) t WHERE rnk <= (SELECT beam FROM $kn)),
+         |$roundCtes,
+         |gtop$sfx AS (SELECT q_id, vec_id, rank FROM (
+         |      SELECT q_id, node AS vec_id,
+         |             row_number() OVER (PARTITION BY q_id
+         |               ORDER BY round(score, 4) DESC, node) AS rank
+         |      FROM vis$rounds$sfx) t WHERE rank <= $shortlist)""".stripMargin
+    }
+    val perFactor = factors.map { f =>
+      val n = s"(SELECT nb * ${1 + f} FROM nbc)"
+      s"""c$f AS MATERIALIZED (SELECT * FROM v WHERE vec_id < $n),
+         |kn$f AS (SELECT 6 * length(bin(nb * ${1 + f})) AS beam,
+         |               2 * length(bin(nb * ${1 + f})) AS seeds,
+         |               greatest(1, (nb * ${1 + f}) // 2048) AS ncell,
+         |               greatest(1, (nb * ${1 + f}) // 128) AS ngrp FROM nbc),
+         |${duckHashedFrame(s"bA$f", s"c$f", "knB")},
+         |acp$f AS (SELECT a.vec_id AS src, bb.vec_id AS dst
+         |      FROM (SELECT * FROM bA$f WHERE vec_id >= (SELECT nb FROM nbc)) a
+         |      JOIN bA$f bb ON a.bucket = bb.bucket AND a.cell = bb.cell
+         |      WHERE a.vec_id <> bb.vec_id),
+         |agp$f AS (SELECT a.vec_id AS src, bb.vec_id AS dst
+         |      FROM (SELECT * FROM bA$f WHERE vec_id >= (SELECT nb FROM nbc)) a
+         |      JOIN bA$f bb ON a.rgroup = bb.rgroup WHERE a.vec_id <> bb.vec_id),
+         |ac$f AS (SELECT src, dst FROM acp$f UNION SELECT src, dst FROM agp$f),
+         |${duckEdgeTopN(s"aA$f", s"ac$f", s"c$f", graphK)},
+         |gS$f AS MATERIALIZED (SELECT src, dst FROM gB
+         |      UNION SELECT src, dst FROM aA$f
+         |      UNION SELECT dst, src FROM aA$f),
+         |bt$f AS (SELECT q_id, vec_id FROM (
+         |      SELECT q.q_id, c.vec_id,
+         |             row_number() OVER (PARTITION BY q.q_id
+         |               ORDER BY round(list_cosine_similarity(c.emb, q.q_emb), 4) DESC,
+         |                        c.vec_id) AS rank
+         |      FROM c$f c JOIN q ON c.vec_id <> q.q_id) t WHERE rank <= $k),
+         |${beamChain(s"S$f", s"gS$f", s"c$f", s"kn$f")},
+         |resc$f AS (SELECT g.q_id, g.vec_id,
+         |      round(list_cosine_similarity(cc.emb, q.q_emb), 4) AS score
+         |      FROM gtopS$f g JOIN c$f cc ON cc.vec_id = g.vec_id
+         |      JOIN q ON q.q_id = g.q_id),
+         |rr$f AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY score DESC, vec_id) AS rnk
+         |      FROM resc$f) t WHERE rnk <= $k),
+         |pl$f AS (SELECT q_id, vec_id FROM gtopS$f WHERE rank <= $k),
+         |hP$f AS (SELECT SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS h,
+         |      COUNT(*) AS tot FROM bt$f t
+         |      LEFT JOIN pl$f p ON p.q_id = t.q_id AND p.vec_id = t.vec_id),
+         |hR$f AS (SELECT SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS h,
+         |      COUNT(*) AS tot FROM bt$f t
+         |      LEFT JOIN rr$f p ON p.q_id = t.q_id AND p.vec_id = t.vec_id),
+         |r$f AS (SELECT CAST($f AS BIGINT) AS append_factor,
+         |      CAST((SELECT nb FROM nbc) AS BIGINT) AS n_base,
+         |      CAST($n AS BIGINT) AS n_corpus,
+         |      CAST((p.h * 1000000 + p.tot // 2) // p.tot AS BIGINT)
+         |        AS recall_stale_plain_ppm,
+         |      CAST((rr.h * 1000000 + rr.tot // 2) // rr.tot AS BIGINT)
+         |        AS recall_stale_rescored_ppm,
+         |      CAST((rr.h * 1000000 + rr.tot // 2) // rr.tot
+         |        - (p.h * 1000000 + p.tot // 2) // p.tot AS BIGINT)
+         |        AS rescore_lift_ppm
+         |      FROM hP$f p CROSS JOIN hR$f rr)""".stripMargin
     }.mkString(",\n")
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |nbc AS (SELECT COUNT(*) // 11 AS nb FROM v),
@@ -7603,6 +7721,10 @@ object SparkEntry {
     // stale graph, both beam-searched under the grown slice's contract
     // knobs against brute — the full engine chain in SQL
     "graph_append_drift" -> graphDriftOracle(Seq(1, 5, 10), 3, 16, 5),
+    // the production-stack drift replay: stale graph only, 20-shortlist
+    // beam chain, plain and rescored top-5 recalls per factor
+    "graph_topk_rescored_drift" ->
+      graphRescoredDriftOracle(Seq(5, 10), 3, 16, 5, 20),
 
     // full DuckDB replay of IVF: first-16 centroids, assignment and probe
     // rankings on round(cos, 6) with centroid_id tiebreak — exactly the

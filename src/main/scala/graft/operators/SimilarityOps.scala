@@ -1231,6 +1231,98 @@ object SimilarityOps {
     rows.reduce(_.unionAll(_))
   }
 
+  /** Append-drift audit for the PRODUCTION retrieval stack (r14 verdict
+    * task 8): [[graphAppendDrift]] measures the stale-index rebuild
+    * threshold for the plain k-beam tier, but what ships is the
+    * two-stage stack ([[graphTopKRescored]]: 20-wide beam shortlist →
+    * exact rescore). This audit composes the two findings: per growth
+    * factor, the base-1/11 graph plus attach-only delta edges (exactly
+    * what repeated appends produce) is beam-searched at `shortlist`
+    * width under the GROWN corpus's contract knobs, and recall@k vs
+    * full-precision brute is reported for BOTH faces from the one
+    * chain — the plain top-k (shortlist rank ≤ k: the k-beam filter and
+    * the shortlist share the round-4 ranking, so one search serves
+    * both) and the exact-rescored top-k. rescore_lift_ppm =
+    * rescored − plain is how much of the stale index's recall loss the
+    * rescore stage buys back — the number that decides whether the
+    * rebuild threshold for the production stack differs from the plain
+    * tier's. Same factor-shared work as [[graphAppendDrift]]: one base
+    * build, one brute scoring pass over the largest slice, concurrent
+    * factor pipelines.
+    */
+  def graphTopKRescoredDrift(embeddings: DataFrame,
+                             factors: Seq[Int] = Seq(5, 10),
+                             nQueries: Int = 10, k: Int = 5,
+                             shortlist: Int = 20): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k = $k")
+    val nb = embeddings.count() / 11
+    def sym(directed: DataFrame): DataFrame = directed.unionByName(
+      directed.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val nMax = nb * (1 + factors.max)
+    val graphK = graphKnobs(nMax)._3
+    val baseSym = sym(knnGraphDescent(
+      embeddings.filter(col("vec_id") < nb), graphK)).localCheckpoint()
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scoredAll = embeddings.filter(col("vec_id") < nMax)
+      .select(col("vec_id"), col("embedding"))
+      .join(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(graft.functions.GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 4)
+          .as("score"))
+      .localCheckpoint()
+    val wBrute = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rows = Await.result(Future.sequence(factors.map { f => Future {
+      val n = nb * (1 + f)
+      val corpus = embeddings.filter(col("vec_id") < n).persist()
+      val (beam, rounds, _, seeds) = graphKnobs(n)
+      val stale = baseSym
+        .unionByName(knnGraphAttach(corpus, nb, nb, graphK)).distinct()
+      val brute = scoredAll.filter(col("vec_id") < n)
+        .select(col("q_id"), col("vec_id"),
+          row_number().over(wBrute).as("rank"))
+        .filter(col("rank") <= k).select(col("q_id"), col("vec_id"))
+      val sl = graphAnnSearch(corpus, stale.localCheckpoint(), nQueries,
+        shortlist, beam, rounds, seeds).localCheckpoint()
+      val plainHits = sl.filter(col("rank") <= k)
+        .select(col("q_id"), col("vec_id")).withColumn("hit", lit(1L))
+      val wResc = Window.partitionBy("q_id")
+        .orderBy(col("score").desc, col("vec_id"))
+      val rescHits = sl.select(col("q_id"), col("vec_id"))
+        .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .join(broadcast(queries), Seq("q_id"))
+        .withColumn("score",
+          round(graft.functions.GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 4))
+        .select(col("q_id"), col("vec_id"),
+          row_number().over(wResc).as("rnk"))
+        .filter(col("rnk") <= k)
+        .select(col("q_id"), col("vec_id")).withColumn("hit", lit(1L))
+      def recallOf(hits: DataFrame): DataFrame =
+        brute.join(hits, Seq("q_id", "vec_id"), "left")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+            count(lit(1)).as("tot"))
+      val row = recallOf(plainHits).select(col("hits").as("h_plain"), col("tot"))
+        .crossJoin(broadcast(recallOf(rescHits).select(col("hits").as("h_resc"))))
+        .select(lit(f.toLong).as("append_factor"),
+          lit(nb).as("n_base"),
+          lit(n).as("n_corpus"),
+          expr("(h_plain * 1000000 + tot div 2) div tot")
+            .as("recall_stale_plain_ppm"),
+          expr("(h_resc * 1000000 + tot div 2) div tot")
+            .as("recall_stale_rescored_ppm"),
+          expr("""(h_resc * 1000000 + tot div 2) div tot
+            | - (h_plain * 1000000 + tot div 2) div tot""".stripMargin)
+            .as("rescore_lift_ppm"))
+        .localCheckpoint()
+      corpus.unpersist()
+      row
+    }}), scala.concurrent.duration.Duration.Inf)
+    rows.reduce(_.unionAll(_))
+  }
+
   /** Two-stage GRAPH retrieval: beam-search shortlist, exact rescore —
     * [[pqTopKRescored]]'s composition applied to the graph tier (r13
     * verdict task 7), the production-shaped stack (graph recall + exact
