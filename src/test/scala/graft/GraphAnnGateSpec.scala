@@ -48,6 +48,31 @@ class GraphAnnGateSpec extends SparkSpec {
       SimilarityOps.graphKnobs(511L)._1 == 54)
   }
 
+  test("beam-search output ranks on the ROUND-4 score with vec_id " +
+       "tie-break — a round-6 winner with a larger id loses a round-4 tie " +
+       "(the oracle's gtop ordering, r14 ADVICE)") {
+    import spark.implicits._
+    // node 2 and node 3 tie at round-4 (both 0.1234) but node 3 wins at
+    // round-6 (0.123448 > 0.123412): a round-6-ranked output would order
+    // 3 before 2; the contract (and the DuckDB gtop CTE) orders 2 first
+    def unit(c: Double) = Array(c.toFloat, math.sqrt(1 - c * c).toFloat)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), // the query
+      (1L, unit(0.9)),
+      (2L, unit(0.123412)),
+      (3L, unit(0.123448))).toDF("vec_id", "embedding")
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val got = SimilarityOps.graphAnnTopKOver(emb, edges, nQueries = 1, k = 3,
+        beam = 8, rounds = 2, entrySeeds = 2)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getLong(1), r.getInt(3), r.getDouble(2)))
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq((1L, 1), (2L, 2), (3L, 3)),
+      s"round-4 tie at the boundary must break on vec_id: ${got.mkString(", ")}")
+    assert(got(1)._3 == 0.1234 && got(2)._3 == 0.1234,
+      s"both boundary candidates surface the round-4 score: ${got.mkString(", ")}")
+  }
+
   test("graphTopKRescored: the 20-wide shortlist + exact rescore never " +
        "recalls worse than the plain 5-beam graph tier, and its scores " +
        "are exact round-4 cosines of the brute frame") {
