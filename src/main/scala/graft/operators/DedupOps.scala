@@ -1110,10 +1110,24 @@ object DedupOps {
       .select(col("component")).distinct().localCheckpoint()
     val keptBase = oldBase.join(d.removed, Seq("doc_a", "doc_b"), "left_anti")
       .localCheckpoint()
-    val regionEdges = keptBase.join(touchedComps, Seq("component"), "left_semi")
-      .select(col("doc_a"), col("doc_b"))
-      .union(d.added.select(col("doc_a"), col("doc_b")))
-    val regionLabels = dupComponents(regionEdges)
+    // Union children are scrubbed through the RDD boundary: a
+    // localCheckpoint leaf PRESERVES the origin plan's constraints, and
+    // here those reference attributes pruned before the checkpoint (the
+    // semi-join's `component`, the anti-join lineage) — when an
+    // optimizer rule asks the Union above them for constraints,
+    // Catalyst's rewrite crashes with key-not-found. createDataFrame
+    // over the checkpointed RDD mints constraint-free leaves; both
+    // frames are delta-bounded, so the row round-trip is noise.
+    val regionKept = keptBase.join(touchedComps, Seq("component"), "left_semi")
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    def scrubbed(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, df.schema)
+    val regionEdges = scrubbed(regionKept)
+      .union(scrubbed(d.added.select(col("doc_a"), col("doc_b"))))
+    // size-branched collapse: a delta's touched region is normally
+    // delta-bounded (driver union-find, no per-round scheduling cost);
+    // a template flood falls back to the distributed tier
+    val regionLabels = dupComponentsAuto(regionEdges)
 
     // ---- fresh readings for added pairs: all three detectors read only
     // the endpoint docs (per-pair, corpus-independent), so the probe set
@@ -1448,6 +1462,28 @@ object DedupOps {
     sp.createDataFrame(
       label.map { case (n, c) => org.apache.spark.sql.Row(n, c) }.toSeq.asJava,
       schema)
+  }
+
+  /** Component tier picked by MEASURED graph size: edge lists at or
+    * under `localCap` take the driver-side union-find (zero iterative
+    * scheduling cost), larger ones take the distributed min-label
+    * collapse. The one count action runs on an eagerly checkpointed
+    * frame, so the edges compute once regardless of tier. This is the
+    * right default for DELTA-shaped callers ([[dupEvidenceBaseDelta]]'s
+    * rebuild region): a daily append's touched region is normally
+    * delta-bounded (local tier), but a template flood can touch a
+    * corpus-scale component — the branch keeps that case on the
+    * distributed path instead of failing the local cap.
+    */
+  def dupComponentsAuto(pairs: DataFrame, localCap: Int = 1 << 20): DataFrame = {
+    // explicit aliases mint fresh attribute ids: a bare re-projection
+    // directly atop a Union whose children share upstream attributes
+    // trips Catalyst's union constraint rewrite (key-not-found during
+    // analysis) on Spark 4.1 — aliasing sidesteps the rewrite
+    val p = pairs.select(col("doc_a").as("doc_a"), col("doc_b").as("doc_b"))
+      .localCheckpoint()
+    if (p.count() <= localCap) dupComponentsLocal(p, localCap)
+    else dupComponents(p)
   }
 
   /** Within-bucket ordered struct pairs (carries payload fields through,

@@ -579,4 +579,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(inline.contains("Generate"),
       "inline dupEvidence keeps the full derivation as the control")
   }
+
+  test("r15 tier: the delta-maintenance plans stay join-shaped (no " +
+       "cartesian products)") {
+    // building these frames runs the eager delta prep (checkpoints of
+    // delta-bounded frames) at sf0.001 — cheap, and the final frame
+    // still carries the real join tree the pin inspects.
+    // graph_topk_rescored_drift is excluded: its registry frame is a
+    // union of checkpointed result rows, so the pin would be vacuous.
+    for (q <- Seq("dup_evidence_incremental", "dup_evidence_staleness"))
+      assert(!plan(q).contains("CartesianProduct"), s"$q plans a cartesian")
+  }
 }
