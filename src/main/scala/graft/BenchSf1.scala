@@ -36,7 +36,9 @@ object BenchSf1 {
     "span_dedup_recall_audit", "unigram_holdout",
     "fuzzy_canonicalize", "containment_pairs_prefix",
     "quantile_sketch_rollup", "classifier_reliability", "jaccard_pairs",
-    "jaccard_pairs_unguarded")
+    "jaccard_pairs_unguarded",
+    "dup_evidence_incremental", "dup_evidence_staleness",
+    "graph_topk_rescored_drift")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.getOrCreate("graft-bench-sf1")
