@@ -126,6 +126,16 @@ object SparkEntry {
       DedupOps.lshBands(oldDocs).write.mode("overwrite").parquet(out)))
     (base, prints, bands)
   }
+  /** The 90%-snapshot component index — the artifact
+    * [[DedupOps.componentIndexDelta]] maintains; shares the band
+    * posting index with the evidence family above.
+    */
+  private def oldComponentIndexFor(s: SparkSession, sfDir: String): DataFrame = {
+    val cut = docCutoff(s, sfDir)
+    s.read.parquet(artifactDir("component_index_old", sfDir, s"cut=$cut")(out =>
+      DedupOps.writeComponentIndex(
+        t(s, sfDir, "documents").filter(col("doc_id") < cut), out)))
+  }
   /** Trained BPE merge table — the sixth persisted artifact: the
     * tokenizer is trained once per corpus snapshot; every consumer
     * (the merge-table read, the corpus encode) loads K rows.
@@ -784,6 +794,12 @@ object SparkEntry {
       DedupOps.dupEvidenceFromBase(DedupOps.dupEvidenceBaseDelta(
         base, prints, bands, t(s, d, "documents"), docCutoff(s, d)))
     }),
+    // O(delta) maintenance for the COMPONENT index: the contraction
+    // shortcut (MinHash appends only MERGE — no df guard, no splits),
+    // gated against dup_components' full-rebuild oracle VERBATIM
+    "dup_components_incremental" -> ((s, d) =>
+      DedupOps.componentIndexDelta(oldComponentIndexFor(s, d),
+        oldEvidenceArtifacts(s, d)._3, t(s, d, "documents"), docCutoff(s, d))),
     // the freshness row: how stale the landed 90%-snapshot base is
     // against the grown corpus — added/removed union pairs and the
     // changed-pairs-per-million rebuild-policy number
@@ -5763,10 +5779,11 @@ object SparkEntry {
     // 2): hash-proves the component closure + signature-rank + keep rule,
     // not just the non-binding default
     "dup_evidence_budgeted" -> dupEvidenceOracleSql(2),
-    // the O(delta) maintenance gate: the oracle is the FULL-REBUILD
-    // derivation verbatim — the incremental path must converge to
+    // the O(delta) maintenance gates: each oracle is the FULL-REBUILD
+    // derivation verbatim — the incremental paths must converge to
     // exactly what a re-land computes, hash-proven
     "dup_evidence_incremental" -> dupEvidenceOracleSql(24),
+    "dup_components_incremental" -> dupComponentsOracle,
     "dup_evidence_staleness" -> dupEvidenceStalenessOracle,
 
     // estimator-accuracy audit: signature-agreement Jaccard vs exact

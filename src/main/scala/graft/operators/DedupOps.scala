@@ -1464,6 +1464,60 @@ object DedupOps {
       schema)
   }
 
+  /** O(delta) maintenance for the persisted COMPONENT index
+    * ([[writeComponentIndex]]) — the simple sibling of
+    * [[dupEvidenceBaseDelta]]: the MinHash pair graph has no df guard,
+    * so appends can only ADD edges (old-old pairs are invariant and
+    * every delta pair has a delta endpoint) — components MERGE, never
+    * split. That admits an exact contraction shortcut with no edge
+    * persistence at all: map each delta pair's old endpoint to its old
+    * component label (labels are component minima, so supernode ids ARE
+    * the candidate minima), collapse the contracted delta graph with
+    * the size-branched tier, and relabel — merged groups take the min
+    * over contracted node ids, which is exactly the grown component's
+    * global min. Untouched components keep their labels by a left-join
+    * miss; delta docs and previously-unpaired old docs enter through
+    * their own node ids. Cost: one delta band pass + one delta-scale
+    * collapse against the persisted band index — vs a full corpus
+    * re-clustering per snapshot. Gate: `dup_components_incremental`
+    * shares `dup_components`' full-rebuild oracle VERBATIM.
+    */
+  def componentIndexDelta(oldLabels: DataFrame, oldBands: DataFrame,
+                          grownDocs: DataFrame, cutoff: Long): DataFrame = {
+    val newBands = lshBands(grownDocs.filter(col("doc_id") >= cutoff))
+      .localCheckpoint()
+    val touchedKeys = newBands.select(col("band"), col("band_key")).distinct()
+    val mDelta = oldBands.unionByName(newBands)
+      .join(touchedKeys, Seq("band", "band_key"), "left_semi")
+      .groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(bucketPairsSql)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .filter(col("doc_b") >= cutoff)
+      .distinct().localCheckpoint()
+    val mapped = mDelta
+      .join(oldLabels.select(col("doc_id").as("doc_a"), col("component").as("ca")),
+        Seq("doc_a"), "left")
+      .join(oldLabels.select(col("doc_id").as("doc_b"), col("component").as("cb")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("ca"), col("doc_a")).as("doc_a"),
+        coalesce(col("cb"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val superMap = dupComponentsAuto(mapped)
+      .select(col("doc_id").as("snode"), col("component").as("newc"))
+      .localCheckpoint()
+    val oldFinal = oldLabels
+      .join(superMap.withColumnRenamed("snode", "component"), Seq("component"), "left")
+      .select(col("doc_id"), coalesce(col("newc"), col("component")).as("component"))
+    val fresh = mDelta.select(col("doc_a").as("doc_id"))
+      .union(mDelta.select(col("doc_b").as("doc_id"))).distinct()
+      .join(oldLabels, Seq("doc_id"), "left_anti")
+      .join(superMap.withColumnRenamed("snode", "doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), col("newc").as("component"))
+    oldFinal.unionByName(fresh)
+  }
+
   /** Component tier picked by MEASURED graph size: edge lists at or
     * under `localCap` take the driver-side union-find (zero iterative
     * scheduling cost), larger ones take the distributed min-label

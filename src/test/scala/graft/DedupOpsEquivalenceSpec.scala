@@ -108,6 +108,53 @@ class DedupOpsEquivalenceSpec extends SparkSpec {
     assert(e.getMessage.contains("broadcast-scale"), e.getMessage)
   }
 
+  test("componentIndexDelta ≡ full dupComponents rebuild: merge fixture " +
+       "(a bridge doc joins two old components) and sf0.001 90%+10%") {
+    import graft.operators.DedupOps
+    // two old near-dup families (identical text up to the last token →
+    // band collisions), one delta doc carrying both templates: the
+    // bridge merges the two components under the smaller family's min
+    val mk = (rows: Seq[(Long, String)]) => rows
+      .map { case (id, tx) => (id, tx, "en", "t", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val fam1 = (0L until 3L).map(i =>
+      (i, s"quick brown fox jumps over the lazy dog again and again forever f$i"))
+    val fam2 = (10L until 13L).map(i =>
+      (i, s"pack my box with five dozen liquor jugs every single day always z$i"))
+    // near-copies of each family (only the tail token differs → band
+    // collisions guaranteed): both old components get contracted and
+    // relabeled through the supernode map, and the delta docs enter
+    // through the fresh-node path
+    val bridge = Seq(
+      (100L, "quick brown fox jumps over the lazy dog again and again forever f100"),
+      (101L, "pack my box with five dozen liquor jugs every single day always z101"))
+    val grown = mk(fam1 ++ fam2 ++ bridge).localCheckpoint()
+    val cutoff = 100L
+    val oldDocs = grown.filter($"doc_id" < cutoff)
+    val oldLabels = DedupOps.dupComponents(
+      DedupOps.minhashCandidatePairs(oldDocs)).localCheckpoint()
+    val delta = DedupOps.componentIndexDelta(oldLabels,
+      DedupOps.lshBands(oldDocs).localCheckpoint(), grown, cutoff)
+    val rebuilt = DedupOps.dupComponents(DedupOps.minhashCandidatePairs(grown))
+    assert(rows(delta) == rows(rebuilt),
+      "incremental component index must equal the full rebuild")
+    // the fresh-node + relabel paths really ran: the bridge doc entered
+    // the index (band-collided with at least one family, whose old
+    // component got contracted through the supernode map)
+    assert(delta.filter($"doc_id" === 100L).count() == 1L,
+      "fixture expects the bridge doc to join the index")
+    // sf0.001, the registry's gate shape
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val n = docs.count(); val cut = n - n / 10
+    val od = docs.filter($"doc_id" < cut)
+    val d2 = DedupOps.componentIndexDelta(
+      DedupOps.dupComponents(DedupOps.minhashCandidatePairs(od)).localCheckpoint(),
+      DedupOps.lshBands(od).localCheckpoint(), docs, cut)
+    val r2 = DedupOps.dupComponents(DedupOps.minhashCandidatePairs(docs))
+    assert(rows(d2) == rows(r2),
+      "sf0.001 incremental component index must equal the full rebuild")
+  }
+
   test("dupEvidenceBaseDelta ≡ full rebuild at sf0.001 (90% snapshot + " +
        "10% append, the registry's gate shape)") {
     import graft.operators.DedupOps
