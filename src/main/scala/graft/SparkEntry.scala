@@ -1446,6 +1446,44 @@ object SparkEntry {
     // int8 scalar quantization (4-8x memory cut for the scoring pass); the
     // bit-portable floor-quantizer is replayed verbatim by the oracle
     "cosine_topk_int8" -> ((s, d) => SimilarityOps.cosineTopKInt8(t(s, d, "embeddings"), 10, 5)),
+    // binary (sign) quantization two-stage tier: Hamming top-20 shortlist
+    // over 1-bit packed signatures (64x at-rest cut, XOR+popcount scoring)
+    // → exact cosine rescore to top-5 — the modern vector-store default
+    // first pass; whole pack→Hamming→rescore chain replayed by the oracle
+    "cosine_topk_binary_rescored" -> ((s, d) =>
+      SimilarityOps.cosineTopKBinaryRescored(t(s, d, "embeddings"), 10, 5)),
+    // what 1 bit/dim retrieves ALONE (Hamming top-5) vs through the
+    // rescored stack, against brute — the decision row for whether the
+    // binary tier needs its rescore stage on this corpus (it does:
+    // rescored ≥ ham per query by construction, gap = what rescore buys)
+    "ann_recall_binary" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").persist()
+      val brute = SimilarityOps.cosineTopK(emb, 10, 5)
+        .select(col("q_id"), col("vec_id")).persist()
+      def recallOf(approx: DataFrame, method: String): DataFrame = {
+        val hit = approx.select(col("q_id"), col("vec_id")).withColumn("hit", lit(1))
+        brute.join(hit, Seq("q_id", "vec_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(round(sum(coalesce(col("hit"), lit(0))).cast(DoubleType) / lit(5.0), 2)
+            .as("recall"))
+          .select(lit(method).as("method"), col("q_id"), col("recall"))
+      }
+      recallOf(SimilarityOps.hammingShortlist(
+          SimilarityOps.packSignBits(emb), 10, 5), "binary_ham")
+        .unionByName(recallOf(
+          SimilarityOps.cosineTopKBinaryRescored(emb, 10, 5), "binary_rescored"))
+    }),
+    // matryoshka truncation audit: recall@5 of brute cosine over the first
+    // 8/16/32 dims vs the full 64-dim brute — the measured table a
+    // dimension-truncated serving decision reads (every halving of dims
+    // halves index bytes at EVERY tier above)
+    "matryoshka_recall" -> ((s, d) =>
+      SimilarityOps.matryoshkaRecall(t(s, d, "embeddings").persist(), 10, 5)),
+    // recall vs Hamming shortlist width (10/20/50/100) — the knob table a
+    // binary-tier deployment reads; one Hamming pass serves every width
+    // (each width is an srank cut of the same ranked frame)
+    "binary_shortlist_sweep" -> ((s, d) =>
+      SimilarityOps.binaryShortlistSweep(t(s, d, "embeddings").persist())),
     // the SAME scorer through the at-rest layout (quantize → persist as
     // array<tinyint> → read → widen → score); shares cosine_topk_int8's
     // oracle verbatim — the driver hash-gate is what proves the persisted
@@ -1466,11 +1504,16 @@ object SparkEntry {
       SimilarityOps.graphAnnTopKScaled(t(s, d, "embeddings"), 10, 5)),
     // recall@5 of the graph tier vs brute — the gate that prices the
     // scale-contract knobs; GraphAnnGateSpec pins the ≥0.90 floor at all
-    // three SFs on top of this hash gate
+    // three SFs on the INLINE build, and cosine_topk_graph_stored proves
+    // stored ≡ inline with the shared oracle — so this face reads the
+    // persisted index (the production read path) without weakening either
+    // guarantee, and the bench prices the QUERY, not a per-query rebuild
     "ann_recall_graph" -> ((s, d) => {
       val emb = t(s, d, "embeddings").persist()
+      val dir = artifactDir("graph_index", d)(out =>
+        SimilarityOps.writeGraphIndexScaled(emb, out))
       val brute = SimilarityOps.cosineTopK(emb, 10, 5).select(col("q_id"), col("vec_id"))
-      val hit = SimilarityOps.graphAnnTopKScaled(emb, 10, 5)
+      val hit = SimilarityOps.graphAnnTopKFromIndexScaled(s, dir, 10, 5)
         .select(col("q_id"), col("vec_id")).withColumn("hit", lit(1))
       brute.join(hit, Seq("q_id", "vec_id"), "left")
         .groupBy(col("q_id"))
@@ -1480,9 +1523,14 @@ object SparkEntry {
     }),
     // two-stage graph retrieval (r13 verdict task 7): beam-search top-20
     // shortlist under the contract knobs, exact cosine rescore to top-5 —
-    // graph recall + full-precision final order as one gated call
-    "graph_topk_rescored" -> ((s, d) =>
-      SimilarityOps.graphTopKRescored(t(s, d, "embeddings"), 10, 5)),
+    // graph recall + full-precision final order as one gated call; rides
+    // the persisted index (bit-identical to the inline composition, which
+    // stays spec-gated rescored ≥ plain in GraphAnnGateSpec)
+    "graph_topk_rescored" -> ((s, d) => {
+      val dir = artifactDir("graph_index", d)(out =>
+        SimilarityOps.writeGraphIndexScaled(t(s, d, "embeddings"), out))
+      SimilarityOps.graphTopKRescoredFromIndex(s, dir, 10, 5)
+    }),
     // recall decay of an append-attached graph index vs a full rebuild —
     // ivf_append_drift's graph analog: stale = base edges + LSH-attached
     // delta (no rewiring of old nodes), fresh = full rebuild, both beam-
@@ -4577,6 +4625,24 @@ object SparkEntry {
       |proj AS (SELECT q.vec_id, c.i, CAST(SUM(c.s * q.qv[c.j + 1]) AS BIGINT) AS comp
       |         FROM q CROSS JOIN cells c GROUP BY q.vec_id, c.i)""".stripMargin
 
+  /** Binary-tier replay, shared half: sign bits packed 32 per BIGINT word
+    * (bits 0..31 — no two's-complement top bit on either engine) and the
+    * per-(query, candidate) Hamming distance Σ bit_count(xor). Shared by
+    * cosine_topk_binary_rescored and ann_recall_binary.
+    */
+  private val binarySigCtes: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |dm AS (SELECT vec_id, unnest(emb) AS x,
+      |               CAST(unnest(generate_series(1, len(emb))) AS INTEGER) AS i FROM v),
+      |wrd AS (SELECT vec_id, (i - 1) // 32 AS w,
+      |               CAST(SUM(CASE WHEN x >= 0 THEN (CAST(1 AS BIGINT) << ((i - 1) % 32)) ELSE 0 END) AS BIGINT) AS word
+      |        FROM dm GROUP BY vec_id, (i - 1) // 32),
+      |ham AS (SELECT q.vec_id AS q_id, c.vec_id,
+      |               CAST(SUM(bit_count(xor(c.word, q.word))) AS BIGINT) AS ham
+      |        FROM wrd c JOIN wrd q ON c.w = q.w
+      |        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+      |        GROUP BY q.vec_id, c.vec_id)""".stripMargin
+
   private val int8TopKOracle: String =
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |s AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale FROM v),
@@ -7635,6 +7701,106 @@ object SparkEntry {
     // the int8 quantizer replayed verbatim: per-vector scale, floor-snap,
     // then the same cosine/rank pipeline over the integer-valued vectors
     "cosine_topk_int8" -> int8TopKOracle,
+
+    // the binary tier replayed verbatim: sign bits packed 32/word (bits
+    // 0..31 only — no two's-complement top bit in either engine), Hamming
+    // = Σ bit_count(xor) ascending with vec_id tie-break, exact round-4
+    // cosine rescore of the 20-shortlist
+    "cosine_topk_binary_rescored" ->
+      (binarySigCtes +
+      """,
+        |sl AS (SELECT q_id, vec_id FROM (
+        |         SELECT q_id, vec_id,
+        |                row_number() OVER (PARTITION BY q_id ORDER BY ham, vec_id) AS srank
+        |         FROM ham) t WHERE srank <= 20),
+        |qq AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < 10),
+        |scored AS (SELECT s.q_id, s.vec_id,
+        |                  round(list_cosine_similarity(c.emb, qq.q_emb), 4) AS score
+        |           FROM sl s JOIN v c ON c.vec_id = s.vec_id JOIN qq ON qq.q_id = s.q_id),
+        |ranked AS (SELECT q_id, vec_id, score,
+        |                  CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+        |           FROM scored)
+        |SELECT q_id, vec_id, score, rank FROM ranked WHERE rank <= 5""".stripMargin),
+
+    // binary recall gate: Hamming-only top-5 and the rescored top-5, each
+    // LEFT-joined to the full-precision brute top-5
+    "ann_recall_binary" ->
+      (binarySigCtes +
+      """,
+        |qq AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < 10),
+        |brute AS (SELECT q_id, vec_id FROM (
+        |    SELECT qq.q_id, c.vec_id,
+        |           row_number() OVER (PARTITION BY qq.q_id
+        |             ORDER BY round(list_cosine_similarity(c.emb, qq.q_emb), 4) DESC, c.vec_id) AS rank
+        |    FROM v c JOIN qq ON c.vec_id <> qq.q_id) t WHERE rank <= 5),
+        |hm5 AS (SELECT q_id, vec_id FROM (
+        |         SELECT q_id, vec_id,
+        |                row_number() OVER (PARTITION BY q_id ORDER BY ham, vec_id) AS srank
+        |         FROM ham) t WHERE srank <= 5),
+        |sl AS (SELECT q_id, vec_id FROM (
+        |         SELECT q_id, vec_id,
+        |                row_number() OVER (PARTITION BY q_id ORDER BY ham, vec_id) AS srank
+        |         FROM ham) t WHERE srank <= 20),
+        |rs5 AS (SELECT q_id, vec_id FROM (
+        |         SELECT s.q_id, s.vec_id,
+        |                row_number() OVER (PARTITION BY s.q_id
+        |                  ORDER BY round(list_cosine_similarity(c.emb, qq.q_emb), 4) DESC, s.vec_id) AS rank
+        |         FROM sl s JOIN v c ON c.vec_id = s.vec_id JOIN qq ON qq.q_id = s.q_id) t
+        |        WHERE rank <= 5)
+        |SELECT 'binary_ham' AS method, b.q_id,
+        |       round(SUM(CASE WHEN h.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 2) AS recall
+        |FROM brute b LEFT JOIN hm5 h ON b.q_id = h.q_id AND b.vec_id = h.vec_id
+        |GROUP BY b.q_id
+        |UNION ALL
+        |SELECT 'binary_rescored' AS method, b.q_id,
+        |       round(SUM(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 2) AS recall
+        |FROM brute b LEFT JOIN rs5 r ON b.q_id = r.q_id AND b.vec_id = r.vec_id
+        |GROUP BY b.q_id""".stripMargin),
+
+    // one ranked Hamming frame, four srank cuts — recall per (width, query)
+    "binary_shortlist_sweep" ->
+      (binarySigCtes +
+      """,
+        |rk AS (SELECT q_id, vec_id,
+        |              row_number() OVER (PARTITION BY q_id ORDER BY ham, vec_id) AS srank
+        |       FROM ham),
+        |wds AS (SELECT * FROM (VALUES (10), (20), (50), (100)) AS t(shortlist)),
+        |qq AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < 10),
+        |brute AS (SELECT q_id, vec_id FROM (
+        |    SELECT qq.q_id, c.vec_id,
+        |           row_number() OVER (PARTITION BY qq.q_id
+        |             ORDER BY round(list_cosine_similarity(c.emb, qq.q_emb), 4) DESC, c.vec_id) AS rank
+        |    FROM v c JOIN qq ON c.vec_id <> qq.q_id) t WHERE rank <= 5)
+        |SELECT w.shortlist, b.q_id,
+        |       round(SUM(CASE WHEN rk.srank IS NOT NULL AND rk.srank <= w.shortlist THEN 1 ELSE 0 END) / 5.0, 2) AS recall
+        |FROM brute b CROSS JOIN wds w
+        |LEFT JOIN rk ON rk.q_id = b.q_id AND rk.vec_id = b.vec_id
+        |GROUP BY w.shortlist, b.q_id""".stripMargin),
+
+    // the truncation arms re-rank over list_slice prefixes; the recall
+    // join replays the engine's hits/5 per (dims, query)
+    "matryoshka_recall" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |qq AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < 10),
+        |brute AS (SELECT q_id, vec_id FROM (
+        |    SELECT qq.q_id, c.vec_id,
+        |           row_number() OVER (PARTITION BY qq.q_id
+        |             ORDER BY round(list_cosine_similarity(c.emb, qq.q_emb), 4) DESC, c.vec_id) AS rank
+        |    FROM v c JOIN qq ON c.vec_id <> qq.q_id) t WHERE rank <= 5),
+        |m AS (SELECT * FROM (VALUES (8), (16), (32)) AS t(dims)),
+        |sc AS (SELECT m.dims, qq.q_id, c.vec_id,
+        |              round(list_cosine_similarity(list_slice(c.emb, 1, m.dims),
+        |                                           list_slice(qq.q_emb, 1, m.dims)), 4) AS score
+        |       FROM v c CROSS JOIN qq CROSS JOIN m WHERE c.vec_id <> qq.q_id),
+        |tr AS (SELECT dims, q_id, vec_id FROM (
+        |        SELECT dims, q_id, vec_id,
+        |               row_number() OVER (PARTITION BY dims, q_id ORDER BY score DESC, vec_id) AS rank
+        |        FROM sc) t WHERE rank <= 5)
+        |SELECT m.dims, b.q_id,
+        |       round(SUM(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 2) AS recall
+        |FROM brute b CROSS JOIN m
+        |LEFT JOIN tr ON tr.dims = m.dims AND tr.q_id = b.q_id AND tr.vec_id = b.vec_id
+        |GROUP BY m.dims, b.q_id""".stripMargin,
 
     "rp_project" ->
       (rpProjCtes +

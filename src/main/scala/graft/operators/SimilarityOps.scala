@@ -1352,6 +1352,36 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** [[graphTopKRescored]] riding the persisted index: beam shortlist
+    * from the stored edges+vectors (knobs re-derived from the stored
+    * count), exact rescore against the stored vectors — the production
+    * read path: build once per corpus snapshot, every query batch pays
+    * beam + shortlist-rescore only. Bit-identical to the inline
+    * composition (the stored build IS the inline build —
+    * `cosine_topk_graph_stored` shares the inline tier's oracle
+    * verbatim), so this face shares `graph_topk_rescored`'s oracle too;
+    * the fresh-build chain stays oracled via `cosine_topk_graph` and
+    * recall-gated at all three SFs in GraphAnnGateSpec.
+    */
+  def graphTopKRescoredFromIndex(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String, nQueries: Int, k: Int,
+                                 shortlist: Int = 20): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k = $k")
+    val vectors = spark.read.parquet(s"$dir/vectors")
+    val sl = graphAnnTopKFromIndexScaled(spark, dir, nQueries, shortlist)
+      .select(col("q_id"), col("vec_id"))
+    val q = vectors.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    sl.join(vectors.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("score",
+        round(graft.functions.GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 4))
+      .select(col("q_id"), col("vec_id"), col("score"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+  }
+
   /** Beam search over a caller-supplied symmetrized edge set — the public
     * face of the search half, for custom graph builds.
     */
@@ -2311,5 +2341,133 @@ object SimilarityOps {
     val keep = embeddings.columns.filterNot(_ == "embedding").map(col).toSeq
     df.select(keep :+
       expr(s"transform(y$m, t -> cast(t as double) / 1000000.0d)").as("embedding"): _*)
+  }
+
+  /** 1-bit sign quantization: each dimension collapses to its sign bit
+    * (x ≥ 0 → 1), packed 32 dims per BIGINT word — bits 0..31 only, so
+    * every word stays non-negative and two's-complement top-bit behavior
+    * never enters the engine/oracle comparison. 64× less data per vector
+    * than float32: the cheapest at-rest tier in the quantization ladder
+    * (float → int8 → PQ → binary), and the one modern vector stores
+    * default to for the FIRST pass because Hamming distance over packed
+    * words is a handful of XOR+popcount instructions per candidate.
+    *
+    * For unit-ish random vectors, popcount agreement estimates the
+    * angle: P[sign(r·x) = sign(r·y)] = 1 − θ/π per hyperplane (the
+    * SimHash identity) — here the "hyperplanes" are the coordinate axes,
+    * which is exactly the matryoshka/rotation assumption that mass is
+    * spread across dimensions. Quantize-once, like the int8 tier: the
+    * packed frame is the persisted artifact, scored by many query
+    * batches.
+    */
+  def packSignBits(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+      expr("""transform(sequence(0, cast((size(embedding) + 31) div 32 as int) - 1),
+             |  w -> aggregate(sequence(0, 31), 0L,
+             |    (acc, b) -> IF(w * 32 + b < size(embedding)
+             |                   AND element_at(embedding, w * 32 + b + 1) >= 0d,
+             |                   acc + shiftleft(1L, b), acc)))""".stripMargin).as("sig"))
+
+  /** Per-query `shortlist` nearest candidates by Hamming distance over the
+    * packed sign bits — ascending distance, vec_id tie-break (Hamming ties
+    * are the NORM at 64 bits, so the deterministic tie-break is
+    * load-bearing for oracle comparison). Broadcast the query signatures;
+    * the corpus side streams through bit_count(xor) inside whole-stage
+    * codegen — no shuffle until the per-query window.
+    */
+  private[graft] def hammingShortlist(sig: DataFrame, nQueries: Int,
+                                      shortlist: Int): DataFrame = {
+    val queries = sig.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("sig").as("q_sig"))
+    val w = Window.partitionBy("q_id").orderBy(col("ham").asc, col("vec_id"))
+    sig.join(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("ham",
+        expr("aggregate(zip_with(sig, q_sig, (a, b) -> bit_count(a ^ b)), 0, (acc, x) -> acc + x)"))
+      .select(col("q_id"), col("vec_id"), col("ham"),
+        row_number().over(w).as("srank"))
+      .filter(col("srank") <= shortlist)
+  }
+
+  /** Binary-quantization two-stage retrieval: Hamming shortlist over the
+    * packed sign bits → EXACT cosine rescore to top-k — the
+    * [[pqTopKRescored]] composition on the cheapest tier. At 100 TB the
+    * shortlist pass reads 1 bit per dimension (the whole index fits where
+    * 1/64th of the corpus would), and full-precision vectors are touched
+    * for shortlist × queries rows only. Output schema matches
+    * [[cosineTopK]], same round-4 + vec_id contract, so brute-vs-binary
+    * recall is directly measurable (`ann_recall_binary`).
+    */
+  def cosineTopKBinaryRescored(embeddings: DataFrame, nQueries: Int, k: Int,
+                               shortlist: Int = 20): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k = $k")
+    val sig = packSignBits(embeddings).persist()
+    val sl = hammingShortlist(sig, nQueries, shortlist)
+      .select(col("q_id"), col("vec_id"))
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    sl.join(embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("score",
+        round(graft.functions.GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 4))
+      .select(col("q_id"), col("vec_id"), col("score"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Recall-vs-shortlist-width sweep for the binary tier — the knob table
+    * a deployment reads before picking the Hamming cut. For each width w,
+    * recall@k = |brute top-k ∩ Hamming top-w| / k, which IS the rescored
+    * tier's recall at that width: the exact rescore ranks the shortlist
+    * under the identical round-4 + vec_id contract as brute, and a
+    * superset ranking cannot demote a global top-k member below rank k —
+    * so one Hamming pass serves every width (each width is a different
+    * srank cut of the same ranked frame, never a re-score).
+    */
+  def binaryShortlistSweep(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+                           widths: Seq[Int] = Seq(10, 20, 50, 100)): DataFrame = {
+    val sl = hammingShortlist(packSignBits(embeddings).persist(), nQueries, widths.max)
+      .select(col("q_id"), col("vec_id"), col("srank")).persist()
+    val brute = cosineTopK(embeddings, nQueries, k)
+      .select(col("q_id"), col("vec_id")).persist()
+    widths.map { wd =>
+      val hit = sl.filter(col("srank") <= wd)
+        .select(col("q_id"), col("vec_id")).withColumn("hit", lit(1))
+      brute.join(hit, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(round(sum(coalesce(col("hit"), lit(0))).cast(DoubleType) / lit(k.toDouble), 2)
+          .as("recall"))
+        .select(lit(wd).as("shortlist"), col("q_id"), col("recall"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Matryoshka truncation audit: recall@k of brute cosine over the FIRST
+    * m dimensions vs the full-width brute top-k, one row per (dims, query).
+    * This is the measured decision table for dimension-truncated serving
+    * (MRL-style embeddings): each halving of m halves index bytes and
+    * scan cost at every tier above, and this row says what it costs in
+    * ranking agreement on THIS corpus. Plain truncation (no re-norm) —
+    * cosine is scale-invariant, so re-normalizing the prefix changes
+    * nothing. The full-width reference is computed once; each truncated
+    * arm is a `slice(embedding, 1, m)` over the same frame, so the audit
+    * costs |dims| brute passes over prefix-width vectors, not |dims|
+    * corpus copies.
+    */
+  def matryoshkaRecall(embeddings: DataFrame, nQueries: Int, k: Int,
+                       dims: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    val brute = cosineTopK(embeddings, nQueries, k)
+      .select(col("q_id"), col("vec_id")).persist()
+    dims.map { m =>
+      val trunc = embeddings.select(col("vec_id"),
+        expr(s"slice(embedding, 1, $m)").as("embedding"))
+      val hit = cosineTopK(trunc, nQueries, k)
+        .select(col("q_id"), col("vec_id")).withColumn("hit", lit(1))
+      brute.join(hit, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(round(sum(coalesce(col("hit"), lit(0))).cast(DoubleType) / lit(k.toDouble), 2)
+          .as("recall"))
+        .select(lit(m).as("dims"), col("q_id"), col("recall"))
+    }.reduce(_.unionByName(_))
   }
 }

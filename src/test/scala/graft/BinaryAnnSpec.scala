@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.SimilarityOps
+
+/** Binary (sign) quantization tier + matryoshka truncation audit.
+  *
+  * The recall VALUES on the isotropic fixture corpus are the oracle gate's
+  * job (`ann_recall_binary`, `binary_shortlist_sweep`, `matryoshka_recall`);
+  * these specs pin the structural invariants that hold on ANY corpus:
+  * packing layout, Hamming-zero for sign-identical vectors, the
+  * rescored ≥ Hamming-only dominance, shortlist-capture identity, nested-cut
+  * monotonicity, and full-width truncation as the identity.
+  */
+class BinaryAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic 64-dim pseudo-random corpus: component (i, j) =
+    * sin(1 + i * 64 + j) — fixed, engine-independent, no Math.random. */
+  private def corpus(n: Int): DataFrame =
+    (0 until n).map { i =>
+      (i.toLong, Array.tabulate(64)(j => math.sin(1.0 + i * 64 + j).toFloat), i % 3)
+    }.toDF("vec_id", "embedding", "label")
+
+  test("packSignBits: 64 dims -> 2 non-negative words, bits match signs") {
+    val v = Seq((0L, Array.tabulate(64)(j => if (j % 3 == 0) 1.0f else -1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val sig = SimilarityOps.packSignBits(v).collect()(0).getSeq[Long](1)
+    assert(sig.length == 2, s"64 dims must pack to 2 words, got ${sig.length}")
+    assert(sig.forall(w => w >= 0L), "bits 0..31 only — words stay non-negative")
+    for (j <- 0 until 64) {
+      val bit = (sig(j / 32) >> (j % 32)) & 1L
+      assert(bit == (if (j % 3 == 0) 1L else 0L), s"dim $j sign bit wrong")
+    }
+  }
+
+  test("an exact duplicate has Hamming 0 and rescores to rank 1, score 1.0") {
+    val base = Array.tabulate(64)(j => math.sin(1.0 + j).toFloat)
+    val emb = (Seq((0L, base, 0), (7L, base, 0)) ++
+      (1 until 7).map(i =>
+        (i.toLong, Array.tabulate(64)(j => math.sin(100.0 + i * 64 + j).toFloat), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val top = SimilarityOps.cosineTopKBinaryRescored(emb, nQueries = 1, k = 3, shortlist = 5)
+      .orderBy("rank").collect()
+    assert(top(0).getLong(1) == 7L && top(0).getDouble(2) == 1.0,
+      s"duplicate must rescore to rank 1 at score 1.0: ${top.mkString(",")}")
+  }
+
+  test("rescored recall dominates Hamming-only recall per query, and equals " +
+       "brute∩shortlist capture (the sweep identity)") {
+    val emb = corpus(60).cache()
+    val brute = SimilarityOps.cosineTopK(emb, 5, 5)
+      .select(col("q_id"), col("vec_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val sig = SimilarityOps.packSignBits(emb)
+    val ham5 = SimilarityOps.hammingShortlist(sig, 5, 5)
+      .select(col("q_id"), col("vec_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val sl20 = SimilarityOps.hammingShortlist(sig, 5, 20)
+      .select(col("q_id"), col("vec_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val rs = SimilarityOps.cosineTopKBinaryRescored(emb, 5, 5)
+      .select(col("q_id"), col("vec_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    for (q <- 0L until 5L) {
+      val hamHits = (brute(q) intersect ham5(q)).size
+      val rsHits = (brute(q) intersect rs(q)).size
+      val capture = (brute(q) intersect sl20(q)).size
+      assert(rsHits >= hamHits, s"q=$q: rescored $rsHits < ham-only $hamHits")
+      assert(rsHits == capture,
+        s"q=$q: rescored recall $rsHits must equal shortlist capture $capture")
+    }
+  }
+
+  test("binaryShortlistSweep: recall is monotone in width; a corpus-covering " +
+       "width reaches 1.0") {
+    val emb = corpus(40).cache()
+    val sweep = SimilarityOps.binaryShortlistSweep(emb, nQueries = 4, k = 5,
+      widths = Seq(5, 10, 39)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val byQ = sweep.groupBy(_._2)
+    for ((q, rows) <- byQ) {
+      val ordered = rows.sortBy(_._1).map(_._3)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b },
+        s"q=$q: recall not monotone in width: ${ordered.mkString(",")}")
+      assert(ordered.last == 1.0,
+        s"q=$q: width 39 covers all 39 candidates — recall must be 1.0")
+    }
+  }
+
+  test("matryoshkaRecall at full width is the identity (recall 1.0 everywhere)") {
+    val emb = corpus(40).cache()
+    val rec = SimilarityOps.matryoshkaRecall(emb, nQueries = 4, k = 5, dims = Seq(64))
+      .collect()
+    assert(rec.length == 4)
+    assert(rec.forall(_.getDouble(2) == 1.0),
+      s"64-dim truncation of 64-dim vectors must agree with brute: ${rec.mkString(",")}")
+  }
+}
