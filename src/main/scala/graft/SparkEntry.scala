@@ -1484,6 +1484,12 @@ object SparkEntry {
     // (each width is an srank cut of the same ranked frame)
     "binary_shortlist_sweep" -> ((s, d) =>
       SimilarityOps.binaryShortlistSweep(t(s, d, "embeddings").persist())),
+    // pre-filter vs post-filter policy for label-constrained search: how
+    // many results post-filtering the unfiltered top-20 actually returns
+    // (the deficit every selective filter causes) and its recall against
+    // the pre-filter truth — the filtered-search pitfall as a measured row
+    "filtered_ann_policy" -> ((s, d) =>
+      SimilarityOps.filteredAnnPolicy(t(s, d, "embeddings"), 10, 5)),
     // the SAME scorer through the at-rest layout (quantize → persist as
     // array<tinyint> → read → widen → score); shares cosine_topk_int8's
     // oracle verbatim — the driver hash-gate is what proves the persisted
@@ -1544,6 +1550,13 @@ object SparkEntry {
     // rebuild threshold
     "graph_topk_rescored_drift" -> ((s, d) =>
       SimilarityOps.graphTopKRescoredDrift(t(s, d, "embeddings"))),
+    // the tombstone problem — the DELETE half of the index-maintenance
+    // story: per deleted fraction (10/20/40%), route-through-tombstones
+    // serving vs hard edge-pruning, both against brute on the survivors;
+    // routing_gain_ppm prices keeping tombstones as waypoints, and the
+    // rebuild policy reads recall_tomb against the contract's 0.90 floor
+    "graph_delete_drift" -> ((s, d) =>
+      SimilarityOps.graphDeleteDrift(t(s, d, "embeddings").persist())),
     // Johnson–Lindenstrauss Rademacher projection, 64 → 16 dims: the
     // third ANN memory lever (after int8 and PQ); integer-exact both
     // engines (seeded md5-parity signs, 1e-3 grid quantization)
@@ -3211,6 +3224,93 @@ object SparkEntry {
        |${duckDescentBuild("B", "bB", "cb", 2, graphK, 4)},
        |$perFactor
        |${factors.map(f => s"SELECT * FROM r$f").mkString("\n", "\nUNION ALL\n", "")}""".stripMargin
+  }
+
+  /** graph_delete_drift replay: ONE full-corpus descent build (the index
+    * predates the deletes), one full-edge beam chain shared by every
+    * fraction's tombstone reading, one pruned-edge chain per fraction
+    * for the hard-delete arm; each fraction's final rankings exclude
+    * deleted nodes (vec_id ≥ 10 AND vec_id % 10 < f) and recall against
+    * brute over the survivors.
+    */
+  private def graphDeleteDriftOracle(delTenths: Seq[Int], rounds: Int,
+                                     graphK: Int, k: Int): String = {
+    def beamChain(sfx: String, g: String): String = {
+      val roundCtes = (1 to rounds).map { r =>
+        s"""exp$r$sfx AS (SELECT DISTINCT f.q_id, g.dst AS node
+           |      FROM fr${r - 1}$sfx f JOIN $g g ON g.src = f.node
+           |      WHERE g.dst <> f.q_id AND NOT EXISTS (SELECT 1 FROM vis${r - 1}$sfx vv
+           |            WHERE vv.q_id = f.q_id AND vv.node = g.dst)),
+           |vis$r$sfx AS MATERIALIZED (SELECT * FROM vis${r - 1}$sfx
+           |      UNION ALL
+           |      SELECT e.q_id, e.node,
+           |             round(list_cosine_similarity(n.emb, q.q_emb), 6) AS score
+           |      FROM exp$r$sfx e JOIN v n ON n.vec_id = e.node
+           |      JOIN q ON q.q_id = e.q_id),
+           |fr$r$sfx AS (SELECT q_id, node FROM (SELECT q_id, node,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, node) AS rnk
+           |      FROM vis$r$sfx) t WHERE rnk <= (SELECT beam FROM kn))""".stripMargin
+      }.mkString(",\n")
+      s"""ent$sfx AS (SELECT q.q_id, e.vec_id AS node
+         |      FROM q CROSS JOIN (SELECT vec_id FROM v
+         |            WHERE vec_id < (SELECT seeds FROM kn)) e
+         |      WHERE e.vec_id <> q.q_id),
+         |vis0$sfx AS MATERIALIZED (SELECT e.q_id, e.node,
+         |      round(list_cosine_similarity(n.emb, q.q_emb), 6) AS score
+         |      FROM ent$sfx e JOIN v n ON n.vec_id = e.node
+         |      JOIN q ON q.q_id = e.q_id),
+         |fr0$sfx AS (SELECT q_id, node FROM (SELECT q_id, node,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, node) AS rnk
+         |      FROM vis0$sfx) t WHERE rnk <= (SELECT beam FROM kn)),
+         |$roundCtes""".stripMargin
+    }
+    def alive(c: String, f: Int): String = s"($c < 10 OR $c % 10 >= $f)"
+    val hardEdges = delTenths.map { f =>
+      s"""gh$f AS (SELECT src, dst FROM g
+         |      WHERE ${alive("src", f)} AND ${alive("dst", f)})""".stripMargin
+    }.mkString(",\n")
+    val perFraction = delTenths.map { f =>
+      s"""br$f AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+         |      FROM sc WHERE ${alive("vec_id", f)}) t WHERE rank <= $k),
+         |tt$f AS (SELECT q_id, vec_id FROM (SELECT q_id, node AS vec_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY round(score, 4) DESC, node) AS rank
+         |      FROM vis${rounds}T WHERE ${alive("node", f)}) t WHERE rank <= $k),
+         |htp$f AS (SELECT q_id, vec_id FROM (SELECT q_id, node AS vec_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY round(score, 4) DESC, node) AS rank
+         |      FROM vis${rounds}H$f WHERE ${alive("node", f)}) t WHERE rank <= $k),
+         |hT$f AS (SELECT SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS h,
+         |      COUNT(*) AS tot FROM br$f t
+         |      LEFT JOIN tt$f p ON p.q_id = t.q_id AND p.vec_id = t.vec_id),
+         |hH$f AS (SELECT SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS h,
+         |      COUNT(*) AS tot FROM br$f t
+         |      LEFT JOIN htp$f p ON p.q_id = t.q_id AND p.vec_id = t.vec_id),
+         |r$f AS (SELECT CAST(${f * 10} AS BIGINT) AS del_pct,
+         |      CAST((SELECT COUNT(*) FROM v WHERE ${alive("vec_id", f)}) AS BIGINT) AS n_alive,
+         |      CAST((tt.h * 1000000 + tt.tot // 2) // tt.tot AS BIGINT) AS recall_tomb_ppm,
+         |      CAST((hh.h * 1000000 + hh.tot // 2) // hh.tot AS BIGINT) AS recall_hard_ppm,
+         |      CAST((tt.h * 1000000 + tt.tot // 2) // tt.tot
+         |        - (hh.h * 1000000 + hh.tot // 2) // hh.tot AS BIGINT) AS routing_gain_ppm
+         |      FROM hT$f tt CROSS JOIN hH$f hh)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |kn AS (SELECT 6 * length(bin(COUNT(*))) AS beam,
+       |              2 * length(bin(COUNT(*))) AS seeds,
+       |              greatest(1, COUNT(*) // 2048) AS ncell,
+       |              greatest(1, COUNT(*) // 128) AS ngrp FROM v),
+       |${duckHashedFrame("b", "v", "kn")},
+       |${duckDescentBuild("", "b", "v", 2, graphK, 4)},
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < 10),
+       |$hardEdges,
+       |${beamChain("T", "g")},
+       |${delTenths.map(f => beamChain(s"H$f", s"gh$f")).mkString(",\n")},
+       |sc AS MATERIALIZED (SELECT q.q_id, c.vec_id,
+       |      round(list_cosine_similarity(c.emb, q.q_emb), 4) AS score
+       |      FROM v c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+       |$perFraction
+       |${delTenths.map(f => s"SELECT * FROM r$f").mkString("\n", "\nUNION ALL\n", "")}""".stripMargin
   }
 
   /** Power-iteration oracle for pca_top_component: the integer scaled
@@ -7777,6 +7877,31 @@ object SparkEntry {
         |LEFT JOIN rk ON rk.q_id = b.q_id AND rk.vec_id = b.vec_id
         |GROUP BY w.shortlist, b.q_id""".stripMargin),
 
+    // global ranking cut at 20, label survivors re-ranked to 5; truth =
+    // the label-local ranking; n_post counted from the post frame itself
+    "filtered_ann_policy" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+        |qq AS (SELECT vec_id AS q_id, emb AS q_emb, label AS q_label FROM v WHERE vec_id < 10),
+        |sc AS (SELECT qq.q_id, qq.q_label, c.vec_id, c.label,
+        |              round(list_cosine_similarity(c.emb, qq.q_emb), 4) AS score
+        |       FROM v c CROSS JOIN qq WHERE c.vec_id <> qq.q_id),
+        |g AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS grank
+        |      FROM sc),
+        |post AS (SELECT q_id, vec_id FROM (
+        |          SELECT q_id, vec_id,
+        |                 row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS prank
+        |          FROM g WHERE grank <= 20 AND label = q_label) t WHERE prank <= 5),
+        |truth AS (SELECT q_id, vec_id FROM (
+        |           SELECT q_id, vec_id,
+        |                  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+        |           FROM sc WHERE label = q_label) t WHERE rank <= 5),
+        |pc AS (SELECT q_id, COUNT(*) AS n_post FROM post GROUP BY q_id)
+        |SELECT t.q_id, CAST(COALESCE(pc.n_post, 0) AS BIGINT) AS n_post,
+        |       round(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*), 2) AS recall_post
+        |FROM truth t LEFT JOIN post p ON p.q_id = t.q_id AND p.vec_id = t.vec_id
+        |LEFT JOIN pc ON pc.q_id = t.q_id
+        |GROUP BY t.q_id, pc.n_post""".stripMargin,
+
     // the truncation arms re-rank over list_slice prefixes; the recall
     // join replays the engine's hits/5 per (dims, query)
     "matryoshka_recall" ->
@@ -7904,6 +8029,7 @@ object SparkEntry {
     // stale graph, both beam-searched under the grown slice's contract
     // knobs against brute — the full engine chain in SQL
     "graph_append_drift" -> graphDriftOracle(Seq(1, 5, 10), 3, 16, 5),
+    "graph_delete_drift" -> graphDeleteDriftOracle(Seq(1, 2, 4), 3, 16, 5),
     // the production-stack drift replay: stale graph only, 20-shortlist
     // beam chain, plain and rescored top-5 recalls per factor
     "graph_topk_rescored_drift" ->

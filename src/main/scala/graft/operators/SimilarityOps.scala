@@ -1323,6 +1323,93 @@ object SimilarityOps {
     rows.reduce(_.unionAll(_))
   }
 
+  /** DELETE-drift audit for the graph index — the tombstone problem, the
+    * other half of the index-maintenance story next to the append-drift
+    * family: vectors leave a 100 TB corpus too (takedowns, dedup
+    * rewrites, retention), and a graph index degrades under deletion in
+    * a mode appends never trigger — removing a node's EDGES fragments
+    * the navigable graph, because deleted hubs were load-bearing routing
+    * waypoints. Per deleted fraction (delTenths/10 of the corpus, query
+    * vectors always kept), two serving policies against brute over the
+    * SURVIVORS:
+    *
+    *  - `tomb` (tombstone/route-through, what HNSW deployments ship):
+    *    the index keeps every edge; deleted nodes still ROUTE the beam
+    *    but are excluded from the final ranking;
+    *  - `hard` (edge prune, the tempting "clean" fix): every edge
+    *    touching a deleted node is dropped, no rewiring — connectivity
+    *    pays.
+    *
+    * `routing_gain_ppm` = tomb − hard is the measured value of letting
+    * tombstones route. The rebuild policy reads `recall_tomb_ppm`
+    * against the scale contract's 0.90 floor — a fresh rebuild on the
+    * survivors is the contract tier itself (gated at all SFs), so no
+    * third rebuild arm is burned here. ONE descent build (the index
+    * predates the deletes, fraction-independent) and ONE (1 + |tenths|)-
+    * arm beam chain serve every reading: the tomb arms of all fractions
+    * share the full-edge chain — only the exclusion at the final window
+    * differs — and each hard arm is the same chain over pruned edges.
+    * Entry seeds are drawn from the full corpus in EVERY arm (the seed
+    * list is part of the stale index too); a deleted seed routes in the
+    * tomb arm, expands nothing in a hard arm (its edges are gone), and
+    * is never returned anywhere.
+    */
+  def graphDeleteDrift(embeddings: DataFrame, delTenths: Seq[Int] = Seq(1, 2, 4),
+                       nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val n = embeddings.count()
+    val (beam, rounds, graphK, seeds) = graphKnobs(n)
+    def sym(d: DataFrame): DataFrame = d.unionByName(
+      d.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val full = sym(knnGraphDescent(embeddings, graphK)).localCheckpoint()
+    def aliveOn(c: String, f: Int): Column =
+      col(c) < nQueries || col(c) % 10 >= f
+    val arms = ("full" -> full) +: delTenths.map { f =>
+      s"hard$f" -> full.filter(aliveOn("src", f) && aliveOn("dst", f))
+    }
+    val vis = graphAnnSearchArmsVisited(embeddings, arms, nQueries, beam,
+      rounds, seeds).localCheckpoint()
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scoredAll = embeddings.select(col("vec_id"), col("embedding"))
+      .join(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(graft.functions.GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 4)
+          .as("score"))
+      .localCheckpoint()
+    val wq = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    val rows = delTenths.map { f =>
+      val aliveV = aliveOn("vec_id", f)
+      val brute = scoredAll.filter(aliveV)
+        .select(col("q_id"), col("vec_id"), row_number().over(wq).as("rank"))
+        .filter(col("rank") <= k).select(col("q_id"), col("vec_id"))
+      def armTop(arm: String): DataFrame =
+        vis.filter(col("arm") === arm).drop("arm")
+          .filter(aliveV)
+          .select(col("q_id"), col("vec_id"), row_number().over(wq).as("rank"))
+          .filter(col("rank") <= k)
+          .select(col("q_id"), col("vec_id")).withColumn("hit", lit(1L))
+      def recallOf(arm: String): DataFrame =
+        brute.join(armTop(arm), Seq("q_id", "vec_id"), "left")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+            count(lit(1)).as("tot"))
+      val nAlive = embeddings
+        .agg(sum(when(aliveV, 1L).otherwise(0L)).as("n_alive"))
+      recallOf("full").select(col("hits").as("h_tomb"), col("tot"))
+        .crossJoin(broadcast(recallOf(s"hard$f").select(col("hits").as("h_hard"))))
+        .crossJoin(broadcast(nAlive))
+        .select(lit(f.toLong * 10L).as("del_pct"),
+          col("n_alive"),
+          expr("(h_tomb * 1000000 + tot div 2) div tot").as("recall_tomb_ppm"),
+          expr("(h_hard * 1000000 + tot div 2) div tot").as("recall_hard_ppm"),
+          expr("""(h_tomb * 1000000 + tot div 2) div tot
+            | - (h_hard * 1000000 + tot div 2) div tot""".stripMargin)
+            .as("routing_gain_ppm"))
+        .localCheckpoint()
+    }
+    rows.reduce(_.unionAll(_))
+  }
+
   /** Two-stage GRAPH retrieval: beam-search shortlist, exact rescore —
     * [[pqTopKRescored]]'s composition applied to the graph tier (r13
     * verdict task 7), the production-shaped stack (graph recall + exact
@@ -1401,6 +1488,22 @@ object SimilarityOps {
                                  graphs: Seq[(String, DataFrame)],
                                  nQueries: Int, k: Int, beam: Int, rounds: Int,
                                  entrySeeds: Int): DataFrame = {
+    val wk = Window.partitionBy("arm", "q_id").orderBy(col("score").desc, col("vec_id"))
+    graphAnnSearchArmsVisited(embeddings, graphs, nQueries, beam, rounds, entrySeeds)
+      .select(col("arm"), col("q_id"), col("vec_id"), col("score"),
+        row_number().over(wk).as("rank"))
+      .filter(col("rank") <= k)
+  }
+
+  /** The arms chain WITHOUT the final top-k cut: every visited node per
+    * (arm, query) with its round-4 score — for callers (the delete-drift
+    * audit) that apply their own exclusion before ranking. The ranked
+    * [[graphAnnSearchArms]] is exactly this frame windowed to k.
+    */
+  private def graphAnnSearchArmsVisited(embeddings: DataFrame,
+                                        graphs: Seq[(String, DataFrame)],
+                                        nQueries: Int, beam: Int, rounds: Int,
+                                        entrySeeds: Int): DataFrame = {
     import embeddings.sparkSession.implicits._
     val graph = graphs.map { case (a, g) =>
       g.select(lit(a).as("arm"), col("src"), col("dst"))
@@ -1438,14 +1541,10 @@ object SimilarityOps {
       visited = visited.unionByName(scored(expand)).localCheckpoint()
       frontier = beamOf(visited).localCheckpoint()
     }
-    // round-4 output ranking, same binding note as graphAnnSearch below
-    val wk = Window.partitionBy("arm", "q_id").orderBy(col("score").desc, col("vec_id"))
+    // round-4 output scores, same binding note as graphAnnSearch below
     visited
       .select(col("arm"), col("q_id"), col("node").as("vec_id"),
         round(col("score"), 4).as("score"))
-      .select(col("arm"), col("q_id"), col("vec_id"), col("score"),
-        row_number().over(wk).as("rank"))
-      .filter(col("rank") <= k)
   }
 
   private def graphAnnSearch(embeddings: DataFrame, graph: DataFrame,
@@ -2440,6 +2539,57 @@ object SimilarityOps {
           .as("recall"))
         .select(lit(wd).as("shortlist"), col("q_id"), col("recall"))
     }.reduce(_.unionByName(_))
+  }
+
+  /** Pre-filter vs post-filter policy audit for metadata-constrained
+    * vector search — the classic filtered-search pitfall every vector
+    * store documents: post-filtering a TOP-`shortlist` unfiltered result
+    * by the metadata predicate starves when the filter is selective
+    * (selectivity s leaves ~s·shortlist survivors, a DEFICIT against k),
+    * while pre-filtering ([[cosineTopKFiltered]]) always fills k but must
+    * push the predicate into the scan. Per query: how many results the
+    * post-filter policy actually returned, and its recall against the
+    * pre-filter truth. Because the global ordering restricted to the
+    * label IS the label-local ordering (same score, same tie-break), the
+    * post-filter survivors are exactly a PREFIX of the pre-filter truth —
+    * recall = n_post / n_true identically; the join computes it anyway so
+    * the oracle checks the tie-break consistency, not just the count.
+    */
+  def filteredAnnPolicy(embeddings: DataFrame, nQueries: Int, k: Int,
+                        shortlist: Int = 20): DataFrame = {
+    val corpus = embeddings.select(col("vec_id"), col("embedding"), col("label"))
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val wAll = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    val wPost = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    val post = corpus
+      .join(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score",
+        round(graft.functions.GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 4))
+      .withColumn("grank", row_number().over(wAll))
+      .filter(col("grank") <= shortlist)
+      .filter(col("label") === col("q_label"))
+      .withColumn("prank", row_number().over(wPost))
+      .filter(col("prank") <= k)
+      .select(col("q_id"), col("vec_id"))
+    val truth = cosineTopKFiltered(embeddings, nQueries, k)
+      .select(col("q_id"), col("vec_id"))
+    val hit = post.withColumn("hit", lit(1))
+    // n_post counted from the post frame itself (NOT from the hits), so a
+    // prefix-property violation would surface as n_post > hits·k/n_true
+    // instead of being silently absorbed into the recall
+    val postCnt = post.groupBy(col("q_id")).agg(count(lit(1)).as("n_post"))
+    truth.join(hit, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0))).as("hits"))
+      .join(postCnt, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_post"), lit(0L)).cast("bigint").as("n_post"),
+        round(col("hits").cast(DoubleType) / col("n_true").cast(DoubleType), 2)
+          .as("recall_post"))
   }
 
   /** Matryoshka truncation audit: recall@k of brute cosine over the FIRST

@@ -89,6 +89,46 @@ class BinaryAnnSpec extends SparkSpec {
     }
   }
 
+  test("filteredAnnPolicy: post-filter survivors are a PREFIX of the " +
+       "pre-filter truth — recall_post == n_post / n_true; an all-match " +
+       "filter recovers full recall") {
+    val emb = corpus(50).cache()
+    val got = SimilarityOps.filteredAnnPolicy(emb, nQueries = 5, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 5)
+    val truth = SimilarityOps.cosineTopKFiltered(emb, 5, 5)
+      .select(col("q_id")).groupBy("q_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((q, nPost, recall) <- got) {
+      val nTrue = truth(q)
+      assert(math.abs(recall - math.round(nPost.toDouble / nTrue * 100) / 100.0) < 1e-9,
+        s"q=$q: prefix identity broken — recall $recall vs n_post/n_true $nPost/$nTrue")
+    }
+    // single-label corpus: the filter matches everything → post-filter
+    // top-5 of top-20 IS the unfiltered top-5 → full recall, no deficit
+    val oneLabel = corpus(50).withColumn("label", lit(0)).cache()
+    val full = SimilarityOps.filteredAnnPolicy(oneLabel, nQueries = 5, k = 5).collect()
+    assert(full.forall(r => r.getLong(1) == 5L && r.getDouble(2) == 1.0),
+      s"all-match filter must return k with recall 1.0: ${full.mkString(",")}")
+  }
+
+  test("graphDeleteDrift: the zero-fraction row degenerates to the plain " +
+       "tier (tomb == hard, gain 0, n_alive = n); n_alive follows the " +
+       "vec_id arithmetic") {
+    val emb = corpus(60).cache()
+    val z = SimilarityOps.graphDeleteDrift(emb, delTenths = Seq(0),
+      nQueries = 4, k = 3).collect()(0)
+    assert(z.getLong(0) == 0L && z.getLong(1) == 60L,
+      s"zero fraction: del_pct 0, n_alive 60 — got $z")
+    assert(z.getLong(2) == z.getLong(3) && z.getLong(4) == 0L,
+      s"no deletes → both arms are the plain tier: $z")
+    val r = SimilarityOps.graphDeleteDrift(emb, delTenths = Seq(2),
+      nQueries = 4, k = 3).collect()(0)
+    val expected = 4 + (4 until 60).count(i => i % 10 >= 2)
+    assert(r.getLong(0) == 20L && r.getLong(1) == expected,
+      s"n_alive must be the exact survivor count $expected: $r")
+  }
+
   test("matryoshkaRecall at full width is the identity (recall 1.0 everywhere)") {
     val emb = corpus(40).cache()
     val rec = SimilarityOps.matryoshkaRecall(emb, nQueries = 4, k = 5, dims = Seq(64))
