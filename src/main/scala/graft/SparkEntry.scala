@@ -3265,9 +3265,22 @@ object SparkEntry {
          |$roundCtes""".stripMargin
     }
     def alive(c: String, f: Int): String = s"($c < 10 OR $c % 10 >= $f)"
+    // hard arm = surviving edges; repair arm = surviving ∪ symmetrized
+    // per-source top-4 bridges a → b across each deleted waypoint d
+    // (DISTINCT before the rank: two waypoints can yield the same pair)
     val hardEdges = delTenths.map { f =>
       s"""gh$f AS (SELECT src, dst FROM g
-         |      WHERE ${alive("src", f)} AND ${alive("dst", f)})""".stripMargin
+         |      WHERE ${alive("src", f)} AND ${alive("dst", f)}),
+         |bc$f AS (SELECT DISTINCT i.src, o.dst FROM
+         |      (SELECT src, dst AS d FROM g
+         |       WHERE ${alive("src", f)} AND NOT ${alive("dst", f)}) i
+         |      JOIN (SELECT src AS d, dst FROM g
+         |       WHERE NOT ${alive("src", f)} AND ${alive("dst", f)}) o
+         |      ON i.d = o.d WHERE i.src <> o.dst),
+         |${duckEdgeTopN(s"bt$f", s"bc$f", "v", 4)},
+         |gr$f AS (SELECT src, dst FROM gh$f
+         |      UNION SELECT src, dst FROM bt$f
+         |      UNION SELECT dst, src FROM bt$f)""".stripMargin
     }.mkString(",\n")
     val perFraction = delTenths.map { f =>
       s"""br$f AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
@@ -3281,19 +3294,29 @@ object SparkEntry {
          |      row_number() OVER (PARTITION BY q_id
          |        ORDER BY round(score, 4) DESC, node) AS rank
          |      FROM vis${rounds}H$f WHERE ${alive("node", f)}) t WHERE rank <= $k),
+         |rtp$f AS (SELECT q_id, vec_id FROM (SELECT q_id, node AS vec_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY round(score, 4) DESC, node) AS rank
+         |      FROM vis${rounds}R$f WHERE ${alive("node", f)}) t WHERE rank <= $k),
          |hT$f AS (SELECT SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS h,
          |      COUNT(*) AS tot FROM br$f t
          |      LEFT JOIN tt$f p ON p.q_id = t.q_id AND p.vec_id = t.vec_id),
          |hH$f AS (SELECT SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS h,
          |      COUNT(*) AS tot FROM br$f t
          |      LEFT JOIN htp$f p ON p.q_id = t.q_id AND p.vec_id = t.vec_id),
+         |hR$f AS (SELECT SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS h,
+         |      COUNT(*) AS tot FROM br$f t
+         |      LEFT JOIN rtp$f p ON p.q_id = t.q_id AND p.vec_id = t.vec_id),
          |r$f AS (SELECT CAST(${f * 10} AS BIGINT) AS del_pct,
          |      CAST((SELECT COUNT(*) FROM v WHERE ${alive("vec_id", f)}) AS BIGINT) AS n_alive,
          |      CAST((tt.h * 1000000 + tt.tot // 2) // tt.tot AS BIGINT) AS recall_tomb_ppm,
          |      CAST((hh.h * 1000000 + hh.tot // 2) // hh.tot AS BIGINT) AS recall_hard_ppm,
+         |      CAST((rr.h * 1000000 + rr.tot // 2) // rr.tot AS BIGINT) AS recall_repair_ppm,
          |      CAST((tt.h * 1000000 + tt.tot // 2) // tt.tot
-         |        - (hh.h * 1000000 + hh.tot // 2) // hh.tot AS BIGINT) AS routing_gain_ppm
-         |      FROM hT$f tt CROSS JOIN hH$f hh)""".stripMargin
+         |        - (hh.h * 1000000 + hh.tot // 2) // hh.tot AS BIGINT) AS routing_gain_ppm,
+         |      CAST((rr.h * 1000000 + rr.tot // 2) // rr.tot
+         |        - (hh.h * 1000000 + hh.tot // 2) // hh.tot AS BIGINT) AS repair_gain_ppm
+         |      FROM hT$f tt CROSS JOIN hH$f hh CROSS JOIN hR$f rr)""".stripMargin
     }.mkString(",\n")
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |kn AS (SELECT 6 * length(bin(COUNT(*))) AS beam,
@@ -3306,6 +3329,7 @@ object SparkEntry {
        |$hardEdges,
        |${beamChain("T", "g")},
        |${delTenths.map(f => beamChain(s"H$f", s"gh$f")).mkString(",\n")},
+       |${delTenths.map(f => beamChain(s"R$f", s"gr$f")).mkString(",\n")},
        |sc AS MATERIALIZED (SELECT q.q_id, c.vec_id,
        |      round(list_cosine_similarity(c.emb, q.q_emb), 4) AS score
        |      FROM v c CROSS JOIN q WHERE c.vec_id <> q.q_id),

@@ -1354,6 +1354,56 @@ object SimilarityOps {
     * tomb arm, expands nothing in a hard arm (its edges are gone), and
     * is never returned anywhere.
     */
+  /** LOCAL repair of a graph index after deletes — the third policy
+    * between tombstone routing and a full rebuild, and the one real HNSW
+    * deployments apply at compaction: for every deleted waypoint d,
+    * bridge its alive in-neighbors to its alive out-neighbors (a → d → b
+    * becomes a → b), keep each source's best `bridgeK` bridges by exact
+    * cosine, and add them (symmetrized) to the surviving edges. Strictly
+    * additive — surviving edges are never re-selected, so the repair
+    * touches only the delete neighborhoods — and delta-bounded: bridge
+    * candidate volume is Σ_d deg_in(d)·deg_out(d) = O(|deleted|·graphK²),
+    * one per-source window, never a corpus-scale rebuild.
+    */
+  def graphDeleteRepair(embeddings: DataFrame, edges: DataFrame,
+                        deleted: DataFrame, bridgeK: Int = 4): DataFrame = {
+    val del = deleted.select(col("vec_id"))
+    val surviving = edges
+      .join(del.select(col("vec_id").as("src")), Seq("src"), "left_anti")
+      .join(del.select(col("vec_id").as("dst")), Seq("dst"), "left_anti")
+      .select(col("src"), col("dst"))
+    val inA = edges
+      .join(del.select(col("vec_id").as("dst")), Seq("dst"))
+      .join(del.select(col("vec_id").as("src")), Seq("src"), "left_anti")
+      .select(col("src").as("a"), col("dst").as("d"))
+    val outB = edges
+      .join(del.select(col("vec_id").as("src")), Seq("src"))
+      .join(del.select(col("vec_id").as("dst")), Seq("dst"), "left_anti")
+      .select(col("src").as("d"), col("dst").as("b"))
+    // DISTINCT before the window: two deleted waypoints can yield the
+    // same (a, b) pair, and duplicate rows under a (score, dst) ordering
+    // tie nondeterministically — dedup makes the rank well-defined
+    val cand = inA.join(outB, Seq("d"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a").as("src"), col("b").as("dst"))
+      .distinct()
+    val w = Window.partitionBy("src").orderBy(col("score").desc, col("dst"))
+    val top = cand
+      .join(embeddings.select(col("vec_id").as("src"), col("embedding").as("s_emb")),
+        Seq("src"))
+      .join(embeddings.select(col("vec_id").as("dst"), col("embedding").as("d_emb")),
+        Seq("dst"))
+      .withColumn("score",
+        round(graft.functions.GraftFunctions.cosineSim(col("s_emb"), col("d_emb")), 6))
+      .select(col("src"), col("dst"), row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= bridgeK)
+      .select(col("src"), col("dst"))
+    surviving
+      .unionByName(top)
+      .unionByName(top.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+
   def graphDeleteDrift(embeddings: DataFrame, delTenths: Seq[Int] = Seq(1, 2, 4),
                        nQueries: Int = 10, k: Int = 5): DataFrame = {
     val n = embeddings.count()
@@ -1363,8 +1413,11 @@ object SimilarityOps {
     val full = sym(knnGraphDescent(embeddings, graphK)).localCheckpoint()
     def aliveOn(c: String, f: Int): Column =
       col(c) < nQueries || col(c) % 10 >= f
-    val arms = ("full" -> full) +: delTenths.map { f =>
-      s"hard$f" -> full.filter(aliveOn("src", f) && aliveOn("dst", f))
+    val arms = ("full" -> full) +: delTenths.flatMap { f =>
+      val hard = full.filter(aliveOn("src", f) && aliveOn("dst", f))
+      val repaired = graphDeleteRepair(embeddings, full,
+        embeddings.filter(!aliveOn("vec_id", f)).select(col("vec_id")))
+      Seq(s"hard$f" -> hard, s"repair$f" -> repaired)
     }
     val vis = graphAnnSearchArmsVisited(embeddings, arms, nQueries, beam,
       rounds, seeds).localCheckpoint()
@@ -1397,14 +1450,19 @@ object SimilarityOps {
         .agg(sum(when(aliveV, 1L).otherwise(0L)).as("n_alive"))
       recallOf("full").select(col("hits").as("h_tomb"), col("tot"))
         .crossJoin(broadcast(recallOf(s"hard$f").select(col("hits").as("h_hard"))))
+        .crossJoin(broadcast(recallOf(s"repair$f").select(col("hits").as("h_rep"))))
         .crossJoin(broadcast(nAlive))
         .select(lit(f.toLong * 10L).as("del_pct"),
           col("n_alive"),
           expr("(h_tomb * 1000000 + tot div 2) div tot").as("recall_tomb_ppm"),
           expr("(h_hard * 1000000 + tot div 2) div tot").as("recall_hard_ppm"),
+          expr("(h_rep * 1000000 + tot div 2) div tot").as("recall_repair_ppm"),
           expr("""(h_tomb * 1000000 + tot div 2) div tot
             | - (h_hard * 1000000 + tot div 2) div tot""".stripMargin)
-            .as("routing_gain_ppm"))
+            .as("routing_gain_ppm"),
+          expr("""(h_rep * 1000000 + tot div 2) div tot
+            | - (h_hard * 1000000 + tot div 2) div tot""".stripMargin)
+            .as("repair_gain_ppm"))
         .localCheckpoint()
     }
     rows.reduce(_.unionAll(_))

@@ -120,13 +120,29 @@ class BinaryAnnSpec extends SparkSpec {
       nQueries = 4, k = 3).collect()(0)
     assert(z.getLong(0) == 0L && z.getLong(1) == 60L,
       s"zero fraction: del_pct 0, n_alive 60 — got $z")
-    assert(z.getLong(2) == z.getLong(3) && z.getLong(4) == 0L,
-      s"no deletes → both arms are the plain tier: $z")
+    assert(z.getLong(2) == z.getLong(3) && z.getLong(3) == z.getLong(4) &&
+      z.getLong(5) == 0L && z.getLong(6) == 0L,
+      s"no deletes → all three arms are the plain tier: $z")
     val r = SimilarityOps.graphDeleteDrift(emb, delTenths = Seq(2),
       nQueries = 4, k = 3).collect()(0)
     val expected = 4 + (4 until 60).count(i => i % 10 >= 2)
     assert(r.getLong(0) == 20L && r.getLong(1) == expected,
       s"n_alive must be the exact survivor count $expected: $r")
+  }
+
+  test("graphDeleteRepair: a deleted waypoint is bridged (a→d→b becomes " +
+       "a↔b) and no deleted endpoint survives") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.1f) ++ Array.fill(62)(0.0f), 0),
+      (1L, Array(1.0f, 0.5f) ++ Array.fill(62)(0.0f), 0),
+      (2L, Array(1.0f, 0.9f) ++ Array.fill(62)(0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val deleted = Seq(Tuple1(1L)).toDF("vec_id")
+    val rep = SimilarityOps.graphDeleteRepair(emb, edges, deleted)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rep == Set((0L, 2L), (2L, 0L)),
+      s"repair must bridge across the deleted waypoint, symmetrized: $rep")
   }
 
   test("matryoshkaRecall at full width is the identity (recall 1.0 everywhere)") {
