@@ -75,6 +75,21 @@ object SparkEntry {
   private def pairIndexFor(s: SparkSession, sfDir: String): String =
     artifactDir("pair_index", sfDir)(
       out => DedupOps.writePairIndex(t(s, sfDir, "documents"), out))
+  /** Full-corpus LSH band posting index — the artifact the DELETE-side
+    * component maintenance probes (the append side probes the 90%-slice
+    * twin in [[oldEvidenceArtifacts]]).
+    */
+  private def bandIndexFor(s: SparkSession, sfDir: String): DataFrame =
+    s.read.parquet(artifactDir("band_index_full", sfDir)(out =>
+      DedupOps.lshBands(t(s, sfDir, "documents"))
+        .write.mode("overwrite").parquet(out)))
+  /** Full-corpus winnow print index — the DELETE-side twin of the
+    * 90%-slice prints in [[oldEvidenceArtifacts]].
+    */
+  private def printIndexFor(s: SparkSession, sfDir: String): DataFrame =
+    s.read.parquet(artifactDir("winnow_print_index_full", sfDir)(out =>
+      DedupOps.winnowPrintIndex(t(s, sfDir, "documents"))
+        .write.mode("overwrite").parquet(out)))
   /** Winnowing fingerprint-overlap pairs — the second edge screen of the
     * multi-evidence graph, persisted once per (session, corpus) exactly
     * like the MinHash pair index so `graph_triangles` reads both screens
@@ -800,6 +815,27 @@ object SparkEntry {
     "dup_components_incremental" -> ((s, d) =>
       DedupOps.componentIndexDelta(oldComponentIndexFor(s, d),
         oldEvidenceArtifacts(s, d)._3, t(s, d, "documents"), docCutoff(s, d))),
+    // the DELETE direction for the EVIDENCE base: removals lower dfs, so
+    // fingerprints can cross INTO the (1,50] guard from above and ADD
+    // pairs between surviving holders — deletions are not a subset
+    // operation here; guard-entry pairs read their detectors fresh,
+    // touched components re-collapse (splits AND merges), and the oracle
+    // is the full evidence rebuild over the survivor corpus
+    "dup_evidence_shrunk" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      DedupOps.dupEvidenceFromBase(DedupOps.dupEvidenceBaseShrink(
+        evidenceBaseFor(s, d), printIndexFor(s, d), bandIndexFor(s, d),
+        docs, docs.filter(col("doc_id") % 10 === 3).select(col("doc_id"))))
+    }),
+    // the DELETE direction: removals only SPLIT (band pairs have no df
+    // guard), so only components holding a removed doc re-collapse, from
+    // the persisted band index; oracle = dup_components' full rebuild
+    // over the survivor corpus
+    "dup_components_shrunk" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      DedupOps.componentIndexShrink(componentIndexFor(s, d), bandIndexFor(s, d),
+        docs.filter(col("doc_id") % 10 === 3).select(col("doc_id")))
+    }),
     // the freshness row: how stale the landed 90%-snapshot base is
     // against the grown corpus — added/removed union pairs and the
     // changed-pairs-per-million rebuild-policy number
@@ -5974,6 +6010,15 @@ object SparkEntry {
     // exactly what a re-land computes, hash-proven
     "dup_evidence_incremental" -> dupEvidenceOracleSql(24),
     "dup_components_incremental" -> dupComponentsOracle,
+    // the full rebuild over the survivor corpus — the shrink must be
+    // indistinguishable from re-clustering what's left
+    "dup_components_shrunk" -> dupComponentsOracle.replace(
+      "FROM documents", "FROM documents WHERE doc_id % 10 <> 3"),
+    // the full evidence rebuild over the survivor corpus — guard-entry
+    // pair additions, removed-endpoint drops, and the component
+    // splits/merges must all converge to a re-land's output
+    "dup_evidence_shrunk" -> dupEvidenceOracleSql(24).replace(
+      "FROM documents", "FROM documents WHERE doc_id % 10 <> 3"),
     "dup_evidence_staleness" -> dupEvidenceStalenessOracle,
 
     // estimator-accuracy audit: signature-agreement Jaccard vs exact

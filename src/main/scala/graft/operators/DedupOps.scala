@@ -1202,6 +1202,179 @@ object DedupOps {
         col("est_ppm"), col("n_bands"), col("n_winnow"), col("sim_hamming"))
   }
 
+  /** O(delta) DELETE maintenance for the persisted dup-evidence base —
+    * the direction [[dupEvidenceBaseDelta]] doesn't cover, and the one
+    * where the winnow df guard works AGAINST intuition: removing docs
+    * LOWERS fingerprint doc-frequencies, so a fingerprint can cross INTO
+    * the (1, 50] guard window from above and ADD pairs between surviving
+    * holders — deletions from this base are not a subset operation. The
+    * touched-fingerprint argument bounds the work symmetrically to the
+    * append side: a pair's n_winnow can change only through fingerprints
+    * whose df changed, and dfs change only for fingerprints the REMOVED
+    * docs hold. So:
+    *
+    *  - winnow tier: A = surviving holders of touched fps; the A×A slice
+    *    recomputes exactly (survivor prints, globally SHRUNK dfs), every
+    *    pair outside A×A is provably unchanged, and pairs with a removed
+    *    endpoint drop;
+    *  - minhash tier: band keys are per-doc, so removals only REMOVE
+    *    pairs (drop rows touching a removed doc) — exactly the mirror of
+    *    the append side's old-old invariance;
+    *  - readings: per-pair and corpus-independent, so kept pairs carry
+    *    their readings except n_winnow on A×A (the recomputed slice is
+    *    the truth); added (guard-entry) pairs read their detectors fresh
+    *    from the endpoint docs;
+    *  - components: both splits (removed edges/docs) and merges
+    *    (guard-entry edges) are possible — the changed-pair endpoints'
+    *    components re-collapse, everything else keeps its label.
+    *
+    * Gate: `dup_evidence_shrunk` = [[dupEvidenceFromBase]] over this
+    * frame vs the FULL-REBUILD evidence SQL on the survivor corpus.
+    */
+  def dupEvidenceBaseShrink(oldBase: DataFrame, oldPrints: DataFrame,
+                            oldBands: DataFrame, documents: DataFrame,
+                            removed: DataFrame): DataFrame = {
+    val rem = removed.select(col("doc_id")).localCheckpoint()
+    // USING-column joins move the key columns to the FRONT of the output
+    // (the second anti-join below yields (doc_b, doc_a) order), so every
+    // consumer must re-select — a positional union downstream would
+    // silently swap pair endpoints otherwise
+    def survPairs(pairs: DataFrame): DataFrame = pairs
+      .join(rem.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
+      .join(rem.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
+      .select(col("doc_a"), col("doc_b"))
+
+    // ---- winnow tier: exact A×A recompute under the shrunk global dfs
+    val touchedFps = oldPrints.join(rem, Seq("doc_id"), "left_semi")
+      .select(col("fp")).distinct()
+    val aDocs = oldPrints.join(touchedFps, Seq("fp"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .join(rem, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val printsA = oldPrints.join(aDocs, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val oldDf = oldPrints.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    val remDf = oldPrints.join(rem, Seq("doc_id"), "left_semi")
+      .groupBy(col("fp")).agg(count(lit(1)).as("dfr"))
+    val dfShrunk = oldDf.join(remDf, Seq("fp"), "left")
+      .select(col("fp"),
+        (col("df") - coalesce(col("dfr"), lit(0L))).as("df"))
+    def wsharedOf(prints: DataFrame, dfs: DataFrame): DataFrame = {
+      val guarded = prints.join(
+        dfs.filter(col("df") > 1 && col("df") <= 50).select(col("fp")),
+        Seq("fp"), "left_semi")
+      guarded.select(col("fp"), col("doc_id").as("doc_a"))
+        .join(guarded.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+    }
+    val wANew = wsharedOf(printsA, dfShrunk).localCheckpoint()
+    val wAOld = wsharedOf(printsA, oldDf)
+    val wShrunkPairs = survPairs(
+        oldBase.filter(col("n_winnow") >= 2).select(col("doc_a"), col("doc_b")))
+      .join(wAOld.filter(col("n_shared") >= 2).select(col("doc_a"), col("doc_b")),
+        Seq("doc_a", "doc_b"), "left_anti")
+      .select(col("doc_a"), col("doc_b"))
+      .unionByName(wANew.filter(col("n_shared") >= 2).select(col("doc_a"), col("doc_b")))
+      .distinct()
+
+    // ---- minhash tier: per-doc band keys — removals only remove
+    val mShrunkPairs = survPairs(
+      oldBase.filter(col("n_bands") >= 1).select(col("doc_a"), col("doc_b")))
+
+    val uOld = oldBase.select(col("doc_a"), col("doc_b"))
+    val uShrunk = mShrunkPairs.unionByName(wShrunkPairs).distinct().localCheckpoint()
+    val added = uShrunk.join(uOld, Seq("doc_a", "doc_b"), "left_anti")
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val removedPairs = uOld.join(uShrunk, Seq("doc_a", "doc_b"), "left_anti")
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+
+    // ---- component rebuild region (same shape as the append side)
+    val oldLabels = oldBase.select(col("doc_a").as("doc_id"), col("component"))
+      .union(oldBase.select(col("doc_b").as("doc_id"), col("component")))
+      .distinct()
+    val changedEnds = added.union(removedPairs)
+      .select(col("doc_a").as("doc_id"))
+      .union(added.union(removedPairs).select(col("doc_b").as("doc_id")))
+      .distinct()
+    val touchedComps = oldLabels.join(changedEnds, Seq("doc_id"), "left_semi")
+      .select(col("component")).distinct().localCheckpoint()
+    val keptBase = oldBase.join(removedPairs, Seq("doc_a", "doc_b"), "left_anti")
+      .localCheckpoint()
+    val regionKept = keptBase.join(touchedComps, Seq("component"), "left_semi")
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    def scrubbed(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, df.schema)
+    val regionLabels = dupComponentsAuto(
+      scrubbed(regionKept).union(scrubbed(added.select(col("doc_a"), col("doc_b")))))
+
+    // ---- fresh readings for guard-entry pairs
+    val epIds = added.select(col("doc_a").as("doc_id"))
+      .union(added.select(col("doc_b").as("doc_id"))).distinct()
+    val epDocs = documents.join(epIds, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val sig = minhashSignatures(epDocs)
+    val estAdded = added
+      .join(sig.select(col("doc_id").as("doc_a"), col("hash_idx"),
+        col("minhash").as("ma")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("hash_idx"),
+        col("minhash").as("mb")), Seq("doc_b", "hash_idx"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(expr(
+        "cast((sum(case when ma = mb then 1 else 0 end) * 1000000 + 8) div 16 as bigint)")
+        .as("est_ppm"))
+    val survBands = oldBands.join(rem, Seq("doc_id"), "left_anti")
+    val nBandsAdded = added
+      .join(survBands.select(col("doc_id").as("doc_a"), col("band"),
+        col("band_key")), Seq("doc_a"))
+      .join(survBands.select(col("doc_id").as("doc_b"), col("band"),
+        col("band_key")), Seq("doc_b", "band", "band_key"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_bands"))
+    val simEp = simhash(epDocs)
+    val addedRows = added
+      .join(estAdded, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("est_ppm"))
+      .join(nBandsAdded, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_bands"))
+      .join(wANew.select(col("doc_a"), col("doc_b"), col("n_shared")),
+        Seq("doc_a", "doc_b"), "left")
+      .withColumn("n_winnow",
+        when(col("n_shared") >= 2, col("n_shared")).otherwise(lit(0L)))
+      .join(simEp.select(col("doc_id").as("doc_a"), col("simhash").as("sa")),
+        Seq("doc_a"))
+      .join(simEp.select(col("doc_id").as("doc_b"), col("simhash").as("sb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("est_ppm"), col("n_bands"),
+        col("n_winnow"), expr("cast(bit_count(sa ^ sb) as int)").as("sim_hamming"))
+
+    // ---- kept pairs: readings carry over except n_winnow on A×A
+    val keptRows = keptBase
+      .join(aDocs.select(col("doc_id").as("doc_a"), lit(1).as("fa")),
+        Seq("doc_a"), "left")
+      .join(aDocs.select(col("doc_id").as("doc_b"), lit(1).as("fb")),
+        Seq("doc_b"), "left")
+      .join(wANew.select(col("doc_a"), col("doc_b"),
+        col("n_shared").as("ns_new")), Seq("doc_a", "doc_b"), "left")
+      .withColumn("n_winnow",
+        when(col("fa").isNotNull && col("fb").isNotNull,
+          when(col("ns_new") >= 2, col("ns_new")).otherwise(lit(0L)))
+          .otherwise(col("n_winnow")))
+      .select(col("doc_a"), col("doc_b"), col("component"), col("est_ppm"),
+        col("n_bands"), col("n_winnow"), col("sim_hamming"))
+
+    keptRows
+      .unionByName(addedRows.withColumn("component",
+        lit(null).cast(keptRows.schema("component").dataType))
+        .select(col("doc_a"), col("doc_b"), col("component"), col("est_ppm"),
+          col("n_bands"), col("n_winnow"), col("sim_hamming")))
+      .join(regionLabels.select(col("doc_id").as("doc_a"),
+        col("component").as("rcomp")), Seq("doc_a"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("rcomp"), col("component")).as("component"),
+        col("est_ppm"), col("n_bands"), col("n_winnow"), col("sim_hamming"))
+  }
+
   /** The freshness row for the evidence base — `index_staleness`'s shape
     * applied to the dedup artifact family: how much of the GROWN union
     * pair graph the landed base already covers, and how much a delta
@@ -1516,6 +1689,52 @@ object DedupOps {
       .join(superMap.withColumnRenamed("snode", "doc_id"), Seq("doc_id"))
       .select(col("doc_id"), col("newc").as("component"))
     oldFinal.unionByName(fresh)
+  }
+
+  /** O(delta) DELETE maintenance for the persisted component index — the
+    * other direction from [[componentIndexDelta]]: document removals
+    * (takedowns, retention, upstream re-crawls) can only REMOVE band
+    * pairs (a pair is a shared band key, and band keys are per-doc — no
+    * df guard in this path), so components only SPLIT or shrink, never
+    * merge. That bounds the work to the components that actually lost a
+    * member:
+    *
+    *  - components holding no removed doc keep their labels untouched
+    *    (their min member is still present, so the label is still the
+    *    component min — full-rebuild-exact by construction);
+    *  - each TOUCHED component's surviving members re-derive their pairs
+    *    from the persisted band index (restricted to those members —
+    *    closed by construction: a band collision with any outside doc
+    *    would have put it in the same old component) and re-collapse;
+    *    a survivor left pair-less drops from the index, exactly as a
+    *    full rebuild drops singletons.
+    *
+    * One semi-join band pass over the touched membership + one
+    * touched-scale collapse; the removed docs' band rows themselves are
+    * dropped by the survivor semi-join (the band-index maintenance is a
+    * filter). Gate: `dup_components_shrunk` shares `dup_components`'
+    * full-rebuild oracle over the survivor corpus.
+    */
+  def componentIndexShrink(oldLabels: DataFrame, oldBands: DataFrame,
+                           removed: DataFrame): DataFrame = {
+    val rem = removed.select(col("doc_id")).localCheckpoint()
+    val touched = oldLabels.join(rem, Seq("doc_id"), "left_semi")
+      .select(col("component")).distinct()
+    val untouched = oldLabels.join(touched, Seq("component"), "left_anti")
+      .select(col("doc_id"), col("component"))
+    val touchedSurvivors = oldLabels
+      .join(touched, Seq("component"), "left_semi")
+      .join(rem, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+    val pairs = oldBands.join(touchedSurvivors, Seq("doc_id"), "left_semi")
+      .groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(bucketPairsSql)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+    untouched.unionByName(
+      dupComponentsAuto(pairs).select(col("doc_id"), col("component")))
   }
 
   /** Component tier picked by MEASURED graph size: edge lists at or

@@ -155,6 +155,89 @@ class DedupOpsEquivalenceSpec extends SparkSpec {
       "sf0.001 incremental component index must equal the full rebuild")
   }
 
+  test("componentIndexShrink: a removed cut-vertex SPLITS its component " +
+       "(survivors re-pair from the band index or drop); untouched " +
+       "components keep labels; sf0.001 ≡ full rebuild on survivors") {
+    import graft.operators.DedupOps
+    // synthetic band index pins the mechanism exactly: doc 1 is the cut
+    // vertex (shares k1 with 0 and 3, k2 with 2). Removing it leaves
+    // {0, 3} still paired through k1 (component keeps min 0), doc 2
+    // pair-less (drops — a full rebuild drops singletons), and the
+    // untouched {10, 11} family labeled as before.
+    val bands = Seq(
+      (0L, 0, "k1"), (1L, 0, "k1"), (3L, 0, "k1"),
+      (1L, 1, "k2"), (2L, 1, "k2"),
+      (10L, 2, "k9"), (11L, 2, "k9"))
+      .toDF("doc_id", "band", "band_key")
+    val labels = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "component")
+    val removed = Seq(Tuple1(1L)).toDF("doc_id")
+    val got = DedupOps.componentIndexShrink(labels, bands, removed)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    assert(got == Seq((0L, 0L), (3L, 0L), (10L, 10L), (11L, 10L)),
+      s"split semantics: ${got.mkString(",")}")
+    // sf0.001, the registry's gate shape: full-corpus artifacts, 10%
+    // removed, shrink ≡ re-clustering the survivors
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val full = DedupOps.dupComponents(
+      DedupOps.minhashCandidatePairs(docs)).localCheckpoint()
+    val shrunk = DedupOps.componentIndexShrink(full,
+      DedupOps.lshBands(docs).localCheckpoint(),
+      docs.filter($"doc_id" % 10 === 3).select($"doc_id"))
+    val survivors = docs.filter($"doc_id" % 10 =!= 3)
+    val rebuilt = DedupOps.dupComponents(DedupOps.minhashCandidatePairs(survivors))
+    assert(rows(shrunk) == rows(rebuilt),
+      "shrunk component index must equal the survivor rebuild")
+  }
+
+  test("dupEvidenceBaseShrink ≡ full rebuild on survivors at sf0.001, and " +
+       "a df guard-ENTRY fixture proves deletions ADD pairs (52 holders " +
+       "→ 49 crosses into the (1,50] window)") {
+    import graft.operators.{DedupOps, TextOps}
+    // sf0.001, the registry's gate shape: 10% removed by doc_id % 10
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val removed = docs.filter($"doc_id" % 10 === 3).select($"doc_id")
+    val survivors = docs.filter($"doc_id" % 10 =!= 3)
+    val oldBase = DedupOps.dupEvidenceBase(docs,
+      DedupOps.minhashCandidatePairs(docs),
+      TextOps.winnowOverlapPairs(docs)).localCheckpoint()
+    val shrunk = DedupOps.dupEvidenceBaseShrink(oldBase,
+      DedupOps.winnowPrintIndex(docs).localCheckpoint(),
+      DedupOps.lshBands(docs).localCheckpoint(), docs, removed)
+    val rebuilt = DedupOps.dupEvidenceBase(survivors,
+      DedupOps.minhashCandidatePairs(survivors),
+      TextOps.winnowOverlapPairs(survivors))
+    assert(rows(shrunk) == rows(rebuilt),
+      "shrunk base must equal the survivor rebuild row-for-row")
+    // guard-entry fixture: 52 docs share a 20-token sentence (fp df = 52
+    // > 50 → winnow-suppressed); removing 3 holders lands df at 49,
+    // inside the guard — pairs must APPEAR on deletion
+    val cs = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val fix = (0 until 52).map { i =>
+      val filler = (0 until 40).map(j => s"w${i}x$j").mkString(" ")
+      (i.toLong, s"$cs $filler", "en", "t", 100L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars").localCheckpoint()
+    val rem2 = Seq(49L, 50L, 51L).toDF("doc_id")
+    val base2 = DedupOps.dupEvidenceBase(fix,
+      DedupOps.minhashCandidatePairs(fix),
+      TextOps.winnowOverlapPairs(fix)).localCheckpoint()
+    val shr2 = DedupOps.dupEvidenceBaseShrink(base2,
+      DedupOps.winnowPrintIndex(fix).localCheckpoint(),
+      DedupOps.lshBands(fix).localCheckpoint(), fix, rem2).localCheckpoint()
+    val surv2 = fix.filter(!$"doc_id".isin(49L, 50L, 51L))
+    val reb2 = DedupOps.dupEvidenceBase(surv2,
+      DedupOps.minhashCandidatePairs(surv2),
+      TextOps.winnowOverlapPairs(surv2))
+    assert(rows(shr2) == rows(reb2),
+      "guard-entry shrink must equal the survivor rebuild")
+    val addedCnt = shr2.select("doc_a", "doc_b")
+      .except(base2.select("doc_a", "doc_b")).count()
+    assert(addedCnt > 0,
+      "df 52 → 49 must cross into the (1,50] guard and ADD pairs — " +
+      "deletion from this base is not a subset operation")
+  }
+
   test("dupEvidenceBaseDelta ≡ full rebuild at sf0.001 (90% snapshot + " +
        "10% append, the registry's gate shape)") {
     import graft.operators.DedupOps
