@@ -2590,6 +2590,19 @@ object SparkEntry {
         .groupBy(col("phash"))
         .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("canonical_doc"))
         .filter(col("n_images") >= 2)),
+    // decode → REAL area-average resize (36×28 → 9×7 box filter, integer
+    // block means) → dHash — the full perceptual-dedup composition,
+    // closing the one stage the gradient-PNG scaladoc declared stubbed;
+    // every resized pixel replayed from the closed-form gradient
+    "image_resize_phash" -> ((s, d) =>
+      MultimodalOps.imageResizePhash(
+        MultimodalOps.withGradientPngScaled(t(s, d, "documents")))),
+    // uniform-time frame-sample manifest over typed video metadata
+    // (duration/fps/frame_bytes): pure integer expression plumbing
+    // (explode over sequence, zero shuffles) — the fan-out a downstream
+    // batched decode consumes; the codec itself is honestly absent here
+    "video_frame_sample" -> ((s, d) =>
+      MultimodalOps.frameSample(MultimodalOps.withVideoMeta(t(s, d, "documents")))),
 
     // PII scrub pass: emails/IPs/long digit runs replaced, one projection
     "pii_redact" -> ((s, d) => TextOps.redactPii(t(s, d, "documents"))),
@@ -9565,6 +9578,42 @@ object SparkEntry {
         |SELECT doc_id, CAST(9 AS INTEGER) AS width, CAST(7 AS INTEGER) AS height,
         |       CAST(SUM(bv) AS BIGINT) AS phash
         |FROM bits GROUP BY doc_id""".stripMargin,
+
+    // the resize replayed pixel-for-pixel: each 9×7 cell is the floor
+    // mean of its 4×4 source block of the closed-form gradient, then the
+    // same dHash bit rule over the resized grid
+    "image_resize_phash" ->
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 7 AS a, (doc_id // 7) % 5 AS b,
+        |           n_chars % 256 AS c FROM documents),
+        |cg AS (SELECT cx, cy FROM (SELECT unnest(range(0, 9)) AS cx) ax
+        |       CROSS JOIN (SELECT unnest(range(0, 7)) AS cy) ay),
+        |sg AS (SELECT dx, dy FROM (SELECT unnest(range(0, 4)) AS dx) bx
+        |       CROSS JOIN (SELECT unnest(range(0, 4)) AS dy) cy2),
+        |cell AS (SELECT doc_id, cx, cy,
+        |         SUM((a*(cx*4+dx) + b*(cy*4+dy) + c) % 256) // 16 AS lum
+        |         FROM p CROSS JOIN cg CROSS JOIN sg GROUP BY doc_id, cx, cy),
+        |bits AS (SELECT l.doc_id,
+        |         CASE WHEN r.lum > l.lum
+        |              THEN CAST(1 AS BIGINT) << CAST(l.cy*8 + l.cx AS INTEGER)
+        |              ELSE 0 END AS bv
+        |         FROM cell l JOIN cell r ON r.doc_id = l.doc_id AND r.cy = l.cy
+        |              AND r.cx = l.cx + 1
+        |         WHERE l.cx < 8)
+        |SELECT doc_id, CAST(36 AS INTEGER) AS src_w, CAST(28 AS INTEGER) AS src_h,
+        |       CAST(SUM(bv) AS BIGINT) AS phash
+        |FROM bits GROUP BY doc_id""".stripMargin,
+
+    // the sampling manifest replayed as pure integer arithmetic
+    "video_frame_sample" ->
+      """WITH m AS (SELECT doc_id, 1000 + (n_chars % 60) * 1000 AS duration_ms,
+        |           24 + (doc_id % 2) * 6 AS fps, 4096 AS frame_bytes FROM documents),
+        |s AS (SELECT doc_id, duration_ms, fps, frame_bytes,
+        |      unnest(range(0, (duration_ms - 1) // 1000 + 1)) AS sample_idx FROM m)
+        |SELECT doc_id, CAST(sample_idx AS BIGINT) AS sample_idx,
+        |       CAST(sample_idx * 1000 AS BIGINT) AS ts_ms,
+        |       CAST((sample_idx * 1000 * fps) // 1000 AS BIGINT) AS frame_idx,
+        |       CAST(((sample_idx * 1000 * fps) // 1000) * frame_bytes AS BIGINT) AS byte_off
+        |FROM s""".stripMargin,
 
     "image_phash_dups" ->
       """WITH p AS (SELECT doc_id, 1 + doc_id % 7 AS a, (doc_id // 7) % 5 AS b,

@@ -251,4 +251,146 @@ object MultimodalOps {
     }
     spark.createDataFrame(rows, outSchema)
   }
+
+  /** [[withGradientPng]] at `scale`× resolution (canvas 9·scale ×
+    * 7·scale, the SAME closed-form luminance over the larger grid) — the
+    * input that makes a real resize stage exercisable: the production
+    * pipeline decodes arbitrary-size images and area-averages them down
+    * to the hash grid, and this payload gives that stage real work while
+    * keeping every downstream pixel SQL-replayable.
+    */
+  def withGradientPngScaled(documents: DataFrame, scale: Int = 4): DataFrame = {
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val spark = documents.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val rows = documents.select("doc_id", "n_chars").rdd.mapPartitions { iter =>
+      javax.imageio.ImageIO.setUseCache(false)
+      iter.map { r =>
+        val (docId, nChars) = (r.getLong(0), r.getLong(1))
+        val a = (1 + docId % 7).toInt
+        val b = ((docId / 7) % 5).toInt
+        val c = (nChars % 256).toInt
+        val (w, h) = (9 * scale, 7 * scale)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val lum = (a * x + b * y + c) % 256
+            img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(docId, bos.toByteArray)
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Decode → REAL area-average resize → dHash: the full production
+    * composition for perceptual image dedup, closing the one stage
+    * [[withGradientPng]]'s scaladoc declared stubbed. Each target cell is
+    * the integer mean (sum div blockArea — floor division on both
+    * engines) of its (w/targetW)×(h/targetH) source block; the dHash
+    * then reads the resized grid exactly as [[imagePhash]] reads a
+    * native-size one. Area averaging is the resize used by real
+    * perceptual-hash front-ends (box filter = antialiased downscale),
+    * and on the closed-form gradient every resized pixel — and therefore
+    * the hash — is SQL-replayable. Same batched `mapPartitions`
+    * per-partition-init shape as every codec stage here.
+    */
+  def imageResizePhash(payloads: DataFrame, targetW: Int = 9,
+                       targetH: Int = 7): DataFrame = {
+    val spark = payloads.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("src_w", IntegerType),
+      StructField("src_h", IntegerType),
+      StructField("phash", LongType)))
+    val rows = payloads.select("doc_id", "payload").rdd.mapPartitions { iter =>
+      javax.imageio.ImageIO.setUseCache(false)
+      iter.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+        val (w, h) = (img.getWidth, img.getHeight)
+        require(w % targetW == 0 && h % targetH == 0,
+          s"source ${w}x$h must tile the ${targetW}x$targetH target grid")
+        val (bw, bh) = (w / targetW, h / targetH)
+        val cells = Array.ofDim[Int](targetH, targetW)
+        var cy = 0
+        while (cy < targetH) {
+          var cx = 0
+          while (cx < targetW) {
+            var sum = 0
+            var dy = 0
+            while (dy < bh) {
+              var dx = 0
+              while (dx < bw) {
+                sum += (img.getRGB(cx * bw + dx, cy * bh + dy) >> 16) & 0xff
+                dx += 1
+              }
+              dy += 1
+            }
+            cells(cy)(cx) = sum / (bw * bh)
+            cx += 1
+          }
+          cy += 1
+        }
+        var hash = 0L
+        var y = 0
+        while (y < targetH) {
+          var x = 0
+          while (x < targetW - 1) {
+            if (cells(y)(x + 1) > cells(y)(x)) hash |= 1L << (y * (targetW - 1) + x)
+            x += 1
+          }
+          y += 1
+        }
+        Row(r.getAs[Long]("doc_id"), w, h, hash)
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Deterministic video metadata derived from the row's own columns —
+    * the typed-metadata half of the opaque-binary video pattern
+    * (duration and fps a real container parse would surface; the codec
+    * itself is honestly absent in this environment, so the values are
+    * engineered from (doc_id, n_chars) exactly like the gradient PNG's
+    * luminance constants, keeping every downstream computation
+    * oracle-replayable).
+    */
+  def withVideoMeta(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      (lit(1000L) + (col("n_chars") % 60) * 1000L).as("duration_ms"),
+      (lit(24L) + (col("doc_id") % 2) * 6L).as("fps"),
+      lit(4096L).as("frame_bytes"))
+
+  /** Uniform-time frame sampling over the video metadata: one sample per
+    * `everyMs` of media time, each mapped to its container frame index
+    * (ts·fps div 1000) and byte offset — the manifest a downstream
+    * decode stage fans out over. Pure per-row expression work (explode
+    * over `sequence`, every derived column integer arithmetic) inside
+    * whole-stage codegen: zero shuffles, composes with a corpus scan at
+    * any scale, and partition count alone governs decode parallelism —
+    * exactly the Spark-side plumbing contract for multimodal columns.
+    */
+  def frameSample(meta: DataFrame, everyMs: Long = 1000L): DataFrame = {
+    require(everyMs > 0, s"sampling period must be positive, got $everyMs")
+    meta
+      .select(col("doc_id"), col("duration_ms"), col("fps"), col("frame_bytes"),
+        explode(expr(s"sequence(0L, (duration_ms - 1) div $everyMs)"))
+          .as("sample_idx"))
+      .select(col("doc_id"), col("sample_idx"),
+        (col("sample_idx") * lit(everyMs)).as("ts_ms"),
+        expr(s"(sample_idx * $everyMs * fps) div 1000").as("frame_idx"),
+        expr(s"((sample_idx * $everyMs * fps) div 1000) * frame_bytes")
+          .as("byte_off"))
+  }
 }

@@ -920,4 +920,38 @@ class SimilarityMultimodalSpec extends SparkSpec {
     }
     assert(r4.values.sum >= r1.values.sum)
   }
+
+  test("imageResizePhash: scale-1 resize is the identity (phash equals " +
+       "imagePhash bit-for-bit); scale-4 resize decodes and hashes every doc") {
+    val docs = Seq(
+      (0L, "t", "en", "s", 17L), (9L, "t", "en", "s", 255L),
+      (13L, "t", "en", "s", 300L), (40L, "t", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val native = MultimodalOps.imagePhash(MultimodalOps.withGradientPng(docs))
+      .select("doc_id", "phash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val identity = MultimodalOps.imageResizePhash(
+      MultimodalOps.withGradientPngScaled(docs, scale = 1))
+      .select("doc_id", "phash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(identity == native,
+      s"1x1 block mean is the identity resize: $identity vs $native")
+    val scaled = MultimodalOps.imageResizePhash(
+      MultimodalOps.withGradientPngScaled(docs, scale = 4)).collect()
+    assert(scaled.length == 4)
+    assert(scaled.forall(r => r.getInt(1) == 36 && r.getInt(2) == 28))
+    assert(scaled.forall(r => r.getLong(3) >= 0L), "56-bit hash stays positive")
+  }
+
+  test("frameSample: a 2500 ms / 30 fps video samples frames 0/30/60 at " +
+       "byte offsets frame_idx * frame_bytes") {
+    val meta = Seq((7L, 2500L, 30L, 4096L))
+      .toDF("doc_id", "duration_ms", "fps", "frame_bytes")
+    val got = MultimodalOps.frameSample(meta).orderBy("sample_idx").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 0L, 0L),
+      (1L, 1000L, 30L, 30L * 4096L),
+      (2L, 2000L, 60L, 60L * 4096L)), got.mkString(","))
+  }
 }
