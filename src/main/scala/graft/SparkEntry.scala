@@ -1626,6 +1626,12 @@ object SparkEntry {
     // a fresh retrain — the rebuild-threshold read for appendToIvfIndex
     "ivf_append_drift" -> ((s, d) =>
       SimilarityOps.ivfAppendDrift(t(s, d, "embeddings"))),
+    // the delete direction: lists shed deleted rows trivially (no routing
+    // structure to fragment), but the centroids were trained on mass
+    // that left — stale partition of the space vs a survivor retrain,
+    // per 10/20/40% deletion
+    "ivf_delete_drift" -> ((s, d) =>
+      SimilarityOps.ivfDeleteDrift(t(s, d, "embeddings").persist())),
     "embedding_dup_pairs" -> ((s, d) => SimilarityOps.embeddingDupPairs(t(s, d, "embeddings"), 0.8)),
     // the scale path: candidates from an LSH-bucket equi-join, no
     // nested-loop join in the plan; brute variant above = recall reference
@@ -2915,6 +2921,75 @@ object SparkEntry {
        |sc0 AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM vb WHERE vec_id < 16),
        |${duckLloydIterOn("vb", "sc0", "sc1")},
        |${duckLloydIterOn("vb", "sc1", "sc2")},
+       |$blocks
+       |$out""".stripMargin
+  }
+
+  /** ivf_delete_drift replay: stale centroids Lloyd-trained on the FULL
+    * corpus (the pre-delete index, fraction-independent); per deleted
+    * fraction a fresh Lloyd retrain on the survivor slice, both
+    * assigned/probed over the survivors and recalled against brute —
+    * the engine chain verbatim.
+    */
+  private def ivfDeleteDriftOracle(delTenths: Seq[Int]): String = {
+    def ivfTop(p: String, corpus: String, cent: String): String =
+      s"""asg$p AS (
+         |  SELECT vec_id, emb, centroid_id FROM (
+         |    SELECT v.vec_id, v.emb, c.centroid_id,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 6) DESC, c.centroid_id) AS rn
+         |    FROM $corpus v CROSS JOIN $cent c) t WHERE rn = 1),
+         |pro$p AS (
+         |  SELECT q_id, q_emb, centroid_id FROM (
+         |    SELECT q.vec_id AS q_id, q.emb AS q_emb, c.centroid_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY round(list_cosine_similarity(q.emb, c.c_emb), 6) DESC, c.centroid_id) AS rn
+         |    FROM $corpus q CROSS JOIN $cent c WHERE q.vec_id < 10) t WHERE rn <= 2),
+         |top$p AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT a.q_id, a.vec_id,
+         |           row_number() OVER (PARTITION BY a.q_id ORDER BY a.score DESC, a.vec_id) AS rank
+         |    FROM (SELECT p.q_id, a.vec_id,
+         |                 round(list_cosine_similarity(a.emb, p.q_emb), 4) AS score
+         |          FROM asg$p a JOIN pro$p p ON a.centroid_id = p.centroid_id
+         |          WHERE a.vec_id <> p.q_id) a) t WHERE rank <= 5)""".stripMargin
+    val blocks = delTenths.map { f =>
+      s"""sv$f AS MATERIALIZED (SELECT vec_id, emb FROM v
+         |      WHERE vec_id < 10 OR vec_id % 10 >= $f),
+         |brute$f AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY round(list_cosine_similarity(c.emb, q.emb), 4) DESC, c.vec_id) AS rank
+         |    FROM sv$f c CROSS JOIN sv$f q
+         |    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) t WHERE rank <= 5),
+         |fc${f}_0 AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM sv$f WHERE vec_id < 16),
+         |${duckLloydIterOn(s"sv$f", s"fc${f}_0", s"fc${f}_1")},
+         |${duckLloydIterOn(s"sv$f", s"fc${f}_1", s"fc${f}_2")},
+         |${ivfTop(s"s$f", s"sv$f", "sc2")},
+         |${ivfTop(s"f$f", s"sv$f", s"fc${f}_2")},
+         |rec$f AS (
+         |  SELECT (SELECT SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |          FROM brute$f b LEFT JOIN tops$f t
+         |            ON b.q_id = t.q_id AND b.vec_id = t.vec_id) AS h_stale,
+         |         (SELECT SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |          FROM brute$f b LEFT JOIN topf$f t
+         |            ON b.q_id = t.q_id AND b.vec_id = t.vec_id) AS h_fresh,
+         |         (SELECT COUNT(*) FROM brute$f) AS tot)""".stripMargin
+    }.mkString(",\n")
+    val out = delTenths.map { f =>
+      s"""SELECT CAST(${f * 10} AS BIGINT) AS del_pct,
+         |  CAST((SELECT COUNT(*) FROM sv$f) AS BIGINT) AS n_alive,
+         |  CAST((h_stale * 1000000 + tot // 2) // tot AS BIGINT) AS recall_stale_ppm,
+         |  CAST((h_fresh * 1000000 + tot // 2) // tot AS BIGINT) AS recall_fresh_ppm,
+         |  CAST((h_fresh * 1000000 + tot // 2) // tot
+         |    - (h_stale * 1000000 + tot // 2) // tot AS BIGINT) AS drift_ppm
+         |FROM rec$f""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |sc0 AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM v WHERE vec_id < 16),
+       |${duckLloydIterOn("v", "sc0", "sc1")},
+       |${duckLloydIterOn("v", "sc1", "sc2")},
        |$blocks
        |$out""".stripMargin
   }
@@ -7774,6 +7849,7 @@ object SparkEntry {
     "cosine_topk_ivfpq" -> ivfPqTopKOracle,
     "cosine_topk_ivfpq_stored" -> ivfPqTopKOracle,
     "ivf_append_drift" -> ivfAppendDriftOracle(Seq(1, 5, 10)),
+    "ivf_delete_drift" -> ivfDeleteDriftOracle(Seq(1, 2, 4)),
 
     // PQ recall gate: full-precision brute top-5 LEFT-joined to the ADC
     // top-5, hits / 5 per query

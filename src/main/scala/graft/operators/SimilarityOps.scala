@@ -558,6 +558,55 @@ object SimilarityOps {
     rows.reduce(_.unionAll(_))
   }
 
+  /** DELETE-drift audit for the IVF index — the centroid-bias question,
+    * completing the append/delete symmetry ([[ivfAppendDrift]] measures
+    * growth): after churn removes a fraction of the corpus, the lists
+    * shed their deleted rows trivially (IVF has no routing structure to
+    * fragment — the graph tier's delete problem doesn't exist here), but
+    * the CENTROIDS were trained on mass that is no longer there, so
+    * probe pruning follows a stale partition of the space. Per deleted
+    * fraction: stale centroids (trained pre-delete on the full corpus,
+    * fraction-independent — trained once) vs a fresh Lloyd retrain on
+    * the survivors, both assigned/probed over the survivors and
+    * recalled against brute. drift_ppm = fresh − stale is what a
+    * retrain buys back; the rebuild policy reads it exactly like the
+    * append side's.
+    */
+  def ivfDeleteDrift(embeddings: DataFrame, delTenths: Seq[Int] = Seq(1, 2, 4),
+                     nCentroids: Int = 16, iters: Int = 2,
+                     nQueries: Int = 10, k: Int = 5, nProbe: Int = 2): DataFrame = {
+    val cStale = ivfTrainCentroids(embeddings, nCentroids, iters)
+    val rows = delTenths.map { f =>
+      val corpus = embeddings.filter(
+        col("vec_id") < nQueries || col("vec_id") % 10 >= f).persist()
+      val nAlive = corpus.count()
+      val brute = cosineTopK(corpus, nQueries, k).select(col("q_id"), col("vec_id"))
+      val queries = corpus.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      def recallOf(c: DataFrame): DataFrame = {
+        val hits = ivfTopKOverLists(ivfAssignWith(corpus, c), c, queries, k, nProbe)
+          .select(col("q_id"), col("vec_id")).withColumn("hit", lit(1L))
+        brute.join(hits, Seq("q_id", "vec_id"), "left")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+            count(lit(1)).as("tot"))
+      }
+      val cFresh = ivfTrainCentroids(corpus, nCentroids, iters)
+      val row = recallOf(cStale).select(col("hits").as("h_stale"), col("tot"))
+        .crossJoin(broadcast(recallOf(cFresh).select(col("hits").as("h_fresh"))))
+        .select(lit(f.toLong * 10L).as("del_pct"),
+          lit(nAlive).as("n_alive"),
+          expr("(h_stale * 1000000 + tot div 2) div tot").as("recall_stale_ppm"),
+          expr("(h_fresh * 1000000 + tot div 2) div tot").as("recall_fresh_ppm"),
+          expr("""(h_fresh * 1000000 + tot div 2) div tot
+            | - (h_stale * 1000000 + tot div 2) div tot""".stripMargin)
+            .as("drift_ppm"))
+        .localCheckpoint()
+      corpus.unpersist()
+      row
+    }
+    rows.reduce(_.unionAll(_))
+  }
+
   /** Top-k against a persisted index — no training, no assignment, just
     * probe + score over the pruned lists.
     */

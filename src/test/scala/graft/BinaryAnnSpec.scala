@@ -130,6 +130,22 @@ class BinaryAnnSpec extends SparkSpec {
       s"n_alive must be the exact survivor count $expected: $r")
   }
 
+  test("ivfDeleteDrift: the zero-fraction row degenerates (stale == fresh " +
+       "centroids on the same corpus → drift 0); n_alive follows the " +
+       "vec_id arithmetic") {
+    val emb = corpus(60).cache()
+    val z = SimilarityOps.ivfDeleteDrift(emb, delTenths = Seq(0),
+      nQueries = 4, k = 3).collect()(0)
+    assert(z.getLong(0) == 0L && z.getLong(1) == 60L, s"zero fraction: $z")
+    assert(z.getLong(2) == z.getLong(3) && z.getLong(4) == 0L,
+      s"identical corpus → identical train → drift 0: $z")
+    val r = SimilarityOps.ivfDeleteDrift(emb, delTenths = Seq(2),
+      nQueries = 4, k = 3).collect()(0)
+    val expected = 4 + (4 until 60).count(i => i % 10 >= 2)
+    assert(r.getLong(0) == 20L && r.getLong(1) == expected,
+      s"n_alive must be the exact survivor count $expected: $r")
+  }
+
   test("graphDeleteRepair: a deleted waypoint is bridged (a→d→b becomes " +
        "a↔b) and no deleted endpoint survives") {
     val emb = Seq(
