@@ -38,7 +38,11 @@ object BenchSf1 {
     "quantile_sketch_rollup", "classifier_reliability", "jaccard_pairs",
     "jaccard_pairs_unguarded",
     "dup_evidence_incremental", "dup_evidence_staleness",
-    "graph_topk_rescored_drift")
+    "graph_topk_rescored_drift",
+    // r15 second session: the delete-maintenance family + the heavier
+    // new ANN faces
+    "graph_delete_drift", "ivf_delete_drift",
+    "dup_evidence_shrunk", "dup_components_shrunk")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.getOrCreate("graft-bench-sf1")

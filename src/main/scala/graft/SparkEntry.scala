@@ -1591,8 +1591,13 @@ object SparkEntry {
     // serving vs hard edge-pruning, both against brute on the survivors;
     // routing_gain_ppm prices keeping tombstones as waypoints, and the
     // rebuild policy reads recall_tomb against the contract's 0.90 floor
-    "graph_delete_drift" -> ((s, d) =>
-      SimilarityOps.graphDeleteDrift(t(s, d, "embeddings").persist())),
+    "graph_delete_drift" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").persist()
+      val dir = artifactDir("graph_index", d)(out =>
+        SimilarityOps.writeGraphIndexScaled(emb, out))
+      SimilarityOps.graphDeleteDrift(emb,
+        prebuiltEdges = Some(s.read.parquet(s"$dir/edges")))
+    }),
     // Johnson–Lindenstrauss Rademacher projection, 64 → 16 dims: the
     // third ANN memory lever (after int8 and PQ); integer-exact both
     // engines (seeded md5-parity signs, 1e-3 grid quantization)

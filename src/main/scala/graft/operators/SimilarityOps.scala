@@ -1454,12 +1454,20 @@ object SimilarityOps {
   }
 
   def graphDeleteDrift(embeddings: DataFrame, delTenths: Seq[Int] = Seq(1, 2, 4),
-                       nQueries: Int = 10, k: Int = 5): DataFrame = {
+                       nQueries: Int = 10, k: Int = 5,
+                       prebuiltEdges: Option[DataFrame] = None): DataFrame = {
     val n = embeddings.count()
     val (beam, rounds, graphK, seeds) = graphKnobs(n)
     def sym(d: DataFrame): DataFrame = d.unionByName(
       d.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-    val full = sym(knnGraphDescent(embeddings, graphK)).localCheckpoint()
+    // "the index that predates the deletes" IS the persisted graph index
+    // when the caller has one — passing its edges skips a per-call
+    // descent rebuild (stored ≡ inline is hash-proven by
+    // cosine_topk_graph_stored's shared oracle); the default still
+    // builds inline for standalone callers and specs
+    val full = prebuiltEdges
+      .map(_.select(col("src"), col("dst")).localCheckpoint())
+      .getOrElse(sym(knnGraphDescent(embeddings, graphK)).localCheckpoint())
     def aliveOn(c: String, f: Int): Column =
       col(c) < nQueries || col(c) % 10 >= f
     val arms = ("full" -> full) +: delTenths.flatMap { f =>
