@@ -92,8 +92,14 @@ object BenchSf1 {
       val corroborated = samples.nonEmpty &&
         (samples.max <= 0.5 || samples.count(_ <= 3.0 * samples.min) >= 2)
       val susp = samples.size >= 2 && !corroborated
+      // format the exponent directly: `full`'s v < 0 → null convention is
+      // the FAILED-TIMING sentinel, and reusing it here silently swallowed
+      // legitimate NEGATIVE exponents (sf1 faster than sf0.1 — constant
+      // artifact-replay paths) as null in the committed artifact
       val e =
-        if (best > 0 && base01(n) > 0) full(math.log10(best / base01(n)))
+        if (best > 0 && base01(n) > 0)
+          String.format(java.util.Locale.ROOT, "%.4f",
+            Double.box(math.log10(best / base01(n))))
         else "null"
       "\"" + n + "\":{\"sec_sf01\":" + full(base01(n)) +
         ",\"sec_sf1\":" + full(best) +
