@@ -108,7 +108,59 @@ object BenchSf1 {
         ",\"e\":" + e + ",\"suspect\":" + susp + "}"
     }.mkString("{", ",", "}")
     val nFailed = tier.count(n => passA(n) < 0 && passB(n) < 0)
+    // Cross-round regression gate (r15 verdict task 7): Bench self-diffs
+    // against the prior BENCH_local.json, but BENCH_sf1.json did not — a
+    // 3× jump in a heavy-tier reading (or a silent drift in a decade
+    // exponent) would ship unflagged. Read the PRIOR committed artifact
+    // before this run overwrites it and apply the same >3×-above-0.5 s
+    // rule to sec_sf1, plus a drift check on e: |Δe| > 0.30 decades means
+    // the sf1/sf0.1 ratio itself moved ~2× on unchanged code — exactly the
+    // scale-shape change the artifact exists to track. Regex parse of our
+    // own fixed format (no JSON dependency), as Bench.scala does.
+    val priorEntries: Map[String, (Double, Option[Double])] =
+      if (only.nonEmpty) Map.empty // subset runs have no comparable prior
+      else scala.util.Try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_sf1.json")), "UTF-8")
+        """"([A-Za-z0-9_]+)":\{([^{}]*)\}""".r.findAllMatchIn(txt).flatMap { m =>
+          val body = m.group(2)
+          val sec = """"sec_sf1":([0-9.]+)""".r.findFirstMatchIn(body)
+            .map(_.group(1).toDouble)
+          val e = """"e":(-?[0-9.]+)""".r.findFirstMatchIn(body)
+            .map(_.group(1).toDouble)
+          sec.map(s => m.group(1) -> (s, e))
+        }.toMap
+      }.getOrElse(Map.empty)
+    val bestOf: Map[String, Double] = tier.map { n =>
+      val s = (Seq(passA(n), passB(n)) ++ passC.get(n)).filter(_ >= 0)
+      n -> (if (s.isEmpty) -1.0 else s.min)
+    }.toMap
+    val eOf: Map[String, Double] = tier.flatMap { n =>
+      val b = bestOf(n)
+      if (b > 0 && base01(n) > 0) Some(n -> math.log10(b / base01(n))) else None
+    }.toMap
+    val regressions = tier.collect {
+      case n if bestOf(n) > 0.5 &&
+        priorEntries.get(n).exists { case (p, _) => p > 0 && bestOf(n) > 3.0 * p } =>
+        n -> (priorEntries(n)._1, bestOf(n))
+    }
+    val eDrift = tier.collect {
+      case n if eOf.contains(n) &&
+        priorEntries.get(n).flatMap(_._2).exists(pe => math.abs(eOf(n) - pe) > 0.30) =>
+        n -> (priorEntries(n)._2.get, eOf(n))
+    }
+    val regStr = regressions.map { case (n, (p, v)) =>
+      "\"" + n + "\":{\"prior\":" + full(p) + ",\"now\":" + full(v) + "}"
+    }.mkString("{", ",", "}")
+    val driftStr = eDrift.map { case (n, (p, v)) =>
+      "\"" + n + "\":{\"prior_e\":" +
+        String.format(java.util.Locale.ROOT, "%.4f", Double.box(p)) +
+        ",\"now_e\":" +
+        String.format(java.util.Locale.ROOT, "%.4f", Double.box(v)) + "}"
+    }.mkString("{", ",", "}")
     val json = s"""{"tier":"heavy","n_queries":${tier.size},"n_failed":$nFailed,""" +
+      s""""n_regressions":${regressions.size},"regressions":$regStr,""" +
+      s""""n_e_drift":${eDrift.size},"e_drift":$driftStr,""" +
       s""""expand_factor":10,"src_sf":0.1,"queries":$rows}"""
     println(json)
     // subset runs (diagnosis) must not clobber the committed full-tier

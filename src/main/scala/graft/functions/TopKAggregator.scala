@@ -26,8 +26,15 @@ class TopKAggregator(k: Int)
     b.sorted(ord).take(k)
 
   override def zero: Seq[(Double, Long)] = Nil
+  // invariant: every buffer this class produces is sorted best-first and
+  // ≤ k long (zero/bound), so b.last is the current k-th best. Once the
+  // buffer is full, a row that does not beat it is rejected with ONE
+  // comparison instead of re-sorting the buffer per row (r16: the common
+  // case at corpus scale — most scored rows never enter the top-k).
+  // (score, id) pairs are distinct within a group (ids unique), so the
+  // gteq rejection can never drop a row that the sort would have kept.
   override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
-    bound(b :+ a)
+    if (b.size >= k && ord.gteq(a, b.last)) b else bound(b :+ a)
   override def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
     bound(x ++ y)
   override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r.sorted(ord)

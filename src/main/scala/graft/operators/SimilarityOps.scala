@@ -28,9 +28,46 @@ import org.apache.spark.sql.types._
   */
 object SimilarityOps {
 
+  /** Bounded per-group top-k selection shared by every brute/quantized
+    * scoring tier (r16): [[graft.functions.TopKAggregator]] over
+    * (score, vec_id) keyed by `keys`, exploded back to one row per kept
+    * candidate with its rank. Replaces the
+    * `row_number().over(partitionBy(q_id).orderBy(score desc, vec_id))`
+    * window wherever the partition key is a bounded query set over an
+    * unpruned corpus. What the window formulation actually planned
+    * (the committed r16 before-plan files under plans/r16): Spark 4's rank-limit
+    * pushdown DID bound the shuffle (WindowGroupLimit Partial below the
+    * exchange, Final above), but only after a map-side Sort of EVERY
+    * scored pair — a full O((n·q/P)·log) per-task sort of rows that are
+    * then thrown away — and the rewrite is an optimizer courtesy that
+    * evaporates the moment the rank filter is no longer adjacent to the
+    * window. The aggregator plans partial+final ObjectHashAggregate:
+    * no sort of the scored stream at all, ≤ k pairs per group per map
+    * task, merged map-side — the bounded shape is a property of the
+    * query, not of a rewrite. The ordering contract is the window's
+    * exactly: (−score, vec_id) ascending = score desc, vec_id asc;
+    * rank = position in the merged buffer + 1 = the old row_number.
+    * Callers guarantee score is never NaN (all corpora/prefixes are
+    * nonzero-norm; quantizeInt8 drops scale-0 rows) — the two
+    * formulations order NaN differently, nothing else.
+    */
+  private def topKSelect(scored: DataFrame, keys: Seq[String], k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
+    scored.groupBy(keys.map(col): _*)
+      .agg(topk(col("score"), col("vec_id")).as("top"))
+      .select(keys.map(col) :+ posexplode(col("top")): _*)
+      .select(keys.map(col) ++ Seq(col("col._2").as("vec_id"),
+        col("col._1").as("score"),
+        (col("pos") + 1).cast(IntegerType).as("rank")): _*)
+  }
+
   /** Brute-force top-k cosine neighbors for each query vector (vec_id <
-    * nQueries), excluding self. Query side is broadcast; per-query top-k via
-    * row_number with vec_id tiebreak for determinism.
+    * nQueries), excluding self. Query side is broadcast; per-query top-k
+    * via the bounded [[topKSelect]] aggregation (vec_id tiebreak for
+    * determinism, identical to the historical row_number formulation).
     */
   def cosineTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val corpus = embeddings.select(col("vec_id"), col("embedding"))
@@ -42,11 +79,7 @@ object SimilarityOps {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("score",
         round(graft.functions.GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 4))
-    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
-    scored
-      .select(col("q_id"), col("vec_id"), col("score"),
-        row_number().over(w).as("rank"))
-      .filter(col("rank") <= k)
+    topKSelect(scored, Seq("q_id"), k)
   }
 
   /** Hard-negative mining: for each query, the top-k most-similar vectors
@@ -70,16 +103,13 @@ object SimilarityOps {
     val queries = embeddings
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
-    corpus
+    val banded = corpus
       .join(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("score",
         round(graft.functions.GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 4))
       .filter(col("score") >= lo && col("score") < hi)
-      .select(col("q_id"), col("vec_id"), col("score"),
-        row_number().over(w).as("rank"))
-      .filter(col("rank") <= k)
+    topKSelect(banded, Seq("q_id"), k)
   }
 
   /** Two-stage retrieval: ADC shortlist, EXACT rescore — the pattern
@@ -601,9 +631,15 @@ object SimilarityOps {
             | - (h_stale * 1000000 + tot div 2) div tot""".stripMargin)
             .as("drift_ppm"))
         .localCheckpoint()
+      // ivfTrainCentroids persists its result internally; drop each
+      // fraction's fresh centroids once its row is checkpointed so cached
+      // blocks don't accumulate across fractions in a long-lived session
+      // (r15 ADVICE) — cStale is shared by every fraction, dropped below.
+      cFresh.unpersist()
       corpus.unpersist()
       row
     }
+    cStale.unpersist()
     rows.reduce(_.unionAll(_))
   }
 
@@ -685,11 +721,7 @@ object SimilarityOps {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("score",
         round(graft.functions.GraftFunctions.cosineSim(col("pd"), col("q_pd")), 4))
-    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
-    scored
-      .select(col("q_id"), col("vec_id"), col("score"),
-        row_number().over(w).as("rank"))
-      .filter(col("rank") <= topK)
+    topKSelect(scored, Seq("q_id"), topK)
   }
 
   /** Scalar int8 quantization of the embedding column: per-vector scale =
@@ -751,6 +783,15 @@ object SimilarityOps {
   /** Shared scoring body of the int8 brute tier: per-query top-k over a
     * (vec_id, qv) quantized frame — in-memory and at-rest paths differ
     * only in where that frame comes from.
+    *
+    * Same bounded-aggregation selection as [[hammingShortlist]] (r15
+    * verdict task 1's stretch): the per-q_id corpus-wide row_number window
+    * is replaced by [[topKSelect]]'s TopKAggregator — ≤ k pairs per query
+    * per map task, merged map-side, no sort of the scored stream.
+    * Ordering contract identical: (−score, vec_id) ascending = (score
+    * desc, vec_id asc), the exact window ordering; scores are round-4
+    * doubles from nonzero vectors (quantizeInt8 drops scale-0 rows), so
+    * no NaN enters the comparator.
     */
   private[graft] def topKOverQuantized(q: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val corpus = q.select(col("vec_id"), col("qv"))
@@ -761,11 +802,7 @@ object SimilarityOps {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("score",
         round(graft.functions.GraftFunctions.cosineSim(col("qv"), col("q_qv")), 4))
-    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
-    scored
-      .select(col("q_id"), col("vec_id"), col("score"),
-        row_number().over(w).as("rank"))
-      .filter(col("rank") <= k)
+    topKSelect(scored, Seq("q_id"), k)
   }
 
   /** Brute-force top-k over the int8-quantized corpus — `cosineTopK` with
@@ -807,11 +844,10 @@ object SimilarityOps {
         col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
       .withColumn("score",
         round(graft.functions.GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 4))
-    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
-    scored
-      .select(col("q_id"), col("q_label").as("label"), col("vec_id"), col("score"),
-        row_number().over(w).as("rank"))
-      .filter(col("rank") <= k)
+    // q_label rides the group key (1:1 with q_id) so the output keeps the
+    // label column; selection itself is the bounded aggregation
+    topKSelect(scored, Seq("q_id", "q_label"), k)
+      .withColumnRenamed("q_label", "label")
   }
 
   def cosineTopKInt8(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame =
@@ -1464,9 +1500,15 @@ object SimilarityOps {
     // when the caller has one — passing its edges skips a per-call
     // descent rebuild (stored ≡ inline is hash-proven by
     // cosine_topk_graph_stored's shared oracle); the default still
-    // builds inline for standalone callers and specs
+    // builds inline for standalone callers and specs. The supplied frame
+    // is symmetrized defensively (r15 ADVICE): the in/out bridge
+    // derivation and the hard prune both assume a symmetric edge set, and
+    // sym() is idempotent on one — so the registered caller's plan gains
+    // only a distinct over its already-symmetric index, while a caller
+    // passing a DIRECTED edge list now gets correct readings instead of
+    // silently skewed ones.
     val full = prebuiltEdges
-      .map(_.select(col("src"), col("dst")).localCheckpoint())
+      .map(e => sym(e.select(col("src"), col("dst"))).localCheckpoint())
       .getOrElse(sym(knnGraphDescent(embeddings, graphK)).localCheckpoint())
     def aliveOn(c: String, f: Int): Column =
       col(c) < nQueries || col(c) % 10 >= f
@@ -2109,8 +2151,11 @@ object SimilarityOps {
         expr("cast(round(aggregate(zip_with(q_sub, c_sub, (x, y) -> x * y), " +
           "0D, (a, v) -> a + v) * 1000000) as bigint)"))
       .select(col("q_id"), col("sub"), col("code_id"), col("pd_q"))
-    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
-    codes.join(broadcast(lut), Seq("sub", "code_id"))
+    // plain PQ scores the WHOLE corpus from codes (no coarse prune — that
+    // is ivfPqTopK's job), so its selection must be the bounded
+    // aggregation, not a per-q_id corpus-wide window (r16: same shape fix
+    // as the binary/int8 tiers)
+    val scored = codes.join(broadcast(lut), Seq("sub", "code_id"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("pd_q")).as("dot_q"))
       .join(recon, Seq("vec_id"))
@@ -2119,9 +2164,7 @@ object SimilarityOps {
       .withColumn("score", round(
         (col("dot_q") / lit(1000000.0d)) /
           (col("q_norm") * sqrt(col("recon_sq_q") / lit(1000000.0d))), 6))
-      .select(col("q_id"), col("vec_id"), col("score"),
-        row_number().over(w).as("rank"))
-      .filter(col("rank") <= k)
+    topKSelect(scored, Seq("q_id"), k)
   }
 
   /** Hybrid retrieval: reciprocal-rank fusion (RRF) of the lexical BM25
@@ -2587,20 +2630,39 @@ object SimilarityOps {
     * are the NORM at 64 bits, so the deterministic tie-break is
     * load-bearing for oracle comparison). Broadcast the query signatures;
     * the corpus side streams through bit_count(xor) inside whole-stage
-    * codegen — no shuffle until the per-query window.
+    * codegen.
+    *
+    * Selection is a bounded typed aggregation ([[graft.functions.TopKAggregator]]
+    * keyed by q_id, score = −ham so "best" = smallest distance), NOT a
+    * per-q_id row_number window — the shape the r15 verdict flagged in
+    * this tier (see [[topKSelect]] for what the window actually planned
+    * and why the aggregation is the scale-correct form). The aggregator's
+    * partial buffers carry at most `shortlist` (ham, vec_id) pairs per
+    * query per map task, merge map-side, and the final merge touches
+    * (#partitions × shortlist) rows per query — bounded at any corpus
+    * size, with no sort of the scored stream. Ordering contract is
+    * identical (ham asc, vec_id asc: the aggregator orders by (−score,
+    * id) = (ham, vec_id)); `srank` = position in the merged buffer + 1 =
+    * the old row_number. No NaN surface: ham is an INT sum.
     */
   private[graft] def hammingShortlist(sig: DataFrame, nQueries: Int,
                                       shortlist: Int): DataFrame = {
     val queries = sig.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("sig").as("q_sig"))
-    val w = Window.partitionBy("q_id").orderBy(col("ham").asc, col("vec_id"))
+    val topw = udaf(new graft.functions.TopKAggregator(shortlist),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
     sig.join(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("ham",
         expr("aggregate(zip_with(sig, q_sig, (a, b) -> bit_count(a ^ b)), 0, (acc, x) -> acc + x)"))
-      .select(col("q_id"), col("vec_id"), col("ham"),
-        row_number().over(w).as("srank"))
-      .filter(col("srank") <= shortlist)
+      .groupBy(col("q_id"))
+      .agg(topw((-col("ham")).cast(DoubleType), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col._2").as("vec_id"),
+        (-col("col._1")).cast(IntegerType).as("ham"),
+        (col("pos") + 1).cast(IntegerType).as("srank"))
   }
 
   /** Binary-quantization two-stage retrieval: Hamming shortlist over the

@@ -161,6 +161,52 @@ class BinaryAnnSpec extends SparkSpec {
       s"repair must bridge across the deleted waypoint, symmetrized: $rep")
   }
 
+  test("hammingShortlist / topKOverQuantized: the bounded TopKAggregator " +
+       "selection equals the row_number-window formulation row for row — " +
+       "ranks, distances and tie-breaks included (r16 task 1)") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = corpus(80).cache()
+    // Hamming: ties are the NORM at 64 bits, so this corpus exercises the
+    // vec_id tie-break on nearly every rank boundary
+    val sig = SimilarityOps.packSignBits(emb).cache()
+    val qs = sig.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("sig").as("q_sig"))
+    val ham = sig.join(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("ham",
+        expr("aggregate(zip_with(sig, q_sig, (a, b) -> bit_count(a ^ b)), 0, (acc, x) -> acc + x)"))
+    val wHam = Window.partitionBy("q_id").orderBy(col("ham").asc, col("vec_id"))
+    val refHam = ham
+      .select(col("q_id"), col("vec_id"), col("ham"),
+        row_number().over(wHam).as("srank"))
+      .filter(col("srank") <= 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val gotHam = SimilarityOps.hammingShortlist(sig, 5, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(gotHam == refHam,
+      s"aggregated shortlist diverges from the window reference: " +
+        s"missing=${refHam -- gotHam} extra=${gotHam -- refHam}")
+    // int8: round-4 scores collide too, same tie-break contract
+    val q8 = SimilarityOps.quantizeInt8(emb).cache()
+    val q8qs = q8.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
+    val scored = q8.select(col("vec_id"), col("qv")).join(broadcast(q8qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score",
+        round(graft.functions.GraftFunctions.cosineSim(col("qv"), col("q_qv")), 4))
+    val wSc = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    val refInt8 = scored
+      .select(col("q_id"), col("vec_id"), col("score"),
+        row_number().over(wSc).as("rank"))
+      .filter(col("rank") <= 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val gotInt8 = SimilarityOps.topKOverQuantized(q8, 5, 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(gotInt8 == refInt8,
+      s"aggregated int8 top-k diverges from the window reference: " +
+        s"missing=${refInt8 -- gotInt8} extra=${gotInt8 -- refInt8}")
+  }
+
   test("matryoshkaRecall at full width is the identity (recall 1.0 everywhere)") {
     val emb = corpus(40).cache()
     val rec = SimilarityOps.matryoshkaRecall(emb, nQueries = 4, k = 5, dims = Seq(64))

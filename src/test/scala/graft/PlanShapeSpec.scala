@@ -580,6 +580,37 @@ class PlanShapeSpec extends SparkSpec {
       "inline dupEvidence keeps the full derivation as the control")
   }
 
+  test("r16 task 1: binary/int8 top-k selection is a bounded aggregation — " +
+       "no per-query corpus-wide window partition anywhere in the tier") {
+    // the Hamming shortlist operator itself: zero Window nodes (the r15
+    // weak item was a row_number window partitioned by q_id over the
+    // UNPRUNED corpus — a corpus-sized sort per query at scale); selection
+    // is now a typed TopKAggregator planning partial+final object
+    // aggregation, whose partial buffers bound every map task's
+    // contribution to `shortlist` rows per query
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val sl = graft.operators.SimilarityOps.hammingShortlist(
+      graft.operators.SimilarityOps.packSignBits(emb), 10, 20)
+      .queryExecution.executedPlan.toString
+    assert(!sl.contains("Window"),
+      s"hammingShortlist must not plan a window:\n$sl")
+    assert("ObjectHashAggregate|SortAggregate".r.findAllIn(sl).size >= 2,
+      s"shortlist aggregation must plan partial+final (bounded buffers):\n$sl")
+    // int8 brute tier shares the shape: the whole query is the selection,
+    // so the registered plan must be window-free end to end
+    val i8 = plan("cosine_topk_int8")
+    assert(!i8.contains("Window"),
+      s"cosine_topk_int8 selection must be the bounded aggregation:\n$i8")
+    assert("ObjectHashAggregate|SortAggregate".r.findAllIn(i8).size >= 2,
+      s"int8 top-k must plan partial+final:\n$i8")
+    // the rescored binary stack: its ONLY remaining window is the exact
+    // rescore over ≤ shortlist × queries rows (bounded by construction);
+    // the shortlist stage contributes aggregation nodes, not windows
+    val br = plan("cosine_topk_binary_rescored")
+    assert("ObjectHashAggregate|SortAggregate".r.findAllIn(br).size >= 2,
+      s"binary shortlist stage must keep the bounded aggregation:\n$br")
+  }
+
   test("r15 tier: the delta-maintenance plans stay join-shaped (no " +
        "cartesian products)") {
     // building these frames runs the eager delta prep (checkpoints of
