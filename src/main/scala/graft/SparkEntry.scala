@@ -169,6 +169,18 @@ object SparkEntry {
       SimilarityOps.pcaComponents(t(s, sfDir, "embeddings"))
         .write.mode("overwrite").parquet(out)))
 
+  /** Full-corpus Lloyd-trained IVF centroids (k=16, 2 iterations) —
+    * persisted like the other index artifacts (r16): one train per (JVM,
+    * corpus); consumers (`cosine_topk_ivf_trained`, `ivf_delete_drift`'s
+    * pre-delete stale arm) read the nCentroids×dim frame. Round-6
+    * centroid components make the parquet round trip exact.
+    */
+  private def ivfCentroidsFullFor(s: SparkSession, sfDir: String): String =
+    artifactDir("ivf_centroids_full", sfDir, "k16_it2")(out => {
+      val c = SimilarityOps.ivfTrainCentroids(t(s, sfDir, "embeddings"), 16, 2)
+      c.write.mode("overwrite").parquet(out); c.unpersist()
+    })
+
   /** Trained unigram-LM vocabulary — persisted like the BPE merge table:
     * the hard-EM train runs once per corpus snapshot; consumers (the
     * vocab read, the corpus encode, the fertility comparison) load the
@@ -1577,15 +1589,31 @@ object SparkEntry {
     // ivf_append_drift's graph analog: stale = base edges + LSH-attached
     // delta (no rewiring of old nodes), fresh = full rebuild, both beam-
     // searched under the grown corpus's contract knobs vs brute
-    "graph_append_drift" -> ((s, d) =>
-      SimilarityOps.graphAppendDrift(t(s, d, "embeddings"))),
+    // both append-drift audits replay the SAME base-1/11 descent graph
+    // ("the index that predates the appends" — the delete audit's r15
+    // argument applied to the append side): one persisted base-slice
+    // artifact per (JVM, corpus) replaces two per-call descent builds;
+    // stored ≡ inline is exact (deterministic build, integer edge ids),
+    // and both oracles still replay the inline chain, hash-proving it
+    "graph_append_drift" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").persist()
+      val dir = artifactDir("graph_base11", d)(out =>
+        SimilarityOps.writeGraphBase11(emb, out))
+      SimilarityOps.graphAppendDrift(emb,
+        prebuiltBase = Some(s.read.parquet(dir)))
+    }),
     // the PRODUCTION stack under append drift (r14 verdict task 8): the
     // stale attach-only index beam-searched at the 20-wide shortlist,
     // plain top-5 and exact-rescored top-5 recalled against brute from
     // the one chain — measures whether the rescore stage moves the
     // rebuild threshold
-    "graph_topk_rescored_drift" -> ((s, d) =>
-      SimilarityOps.graphTopKRescoredDrift(t(s, d, "embeddings"))),
+    "graph_topk_rescored_drift" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").persist()
+      val dir = artifactDir("graph_base11", d)(out =>
+        SimilarityOps.writeGraphBase11(emb, out))
+      SimilarityOps.graphTopKRescoredDrift(emb,
+        prebuiltBase = Some(s.read.parquet(dir)))
+    }),
     // the tombstone problem — the DELETE half of the index-maintenance
     // story: per deleted fraction (10/20/40%), route-through-tombstones
     // serving vs hard edge-pruning, both against brute on the survivors;
@@ -1623,20 +1651,35 @@ object SparkEntry {
       SimilarityOps.ivfClusterBalance(t(s, d, "embeddings"))),
     // IVF over Lloyd-trained centroids (2 assign→mean passes); the oracle
     // replays the training, so the learned index itself is hash-gated
+    // the trained-centroid frame is a persisted index artifact (one Lloyd
+    // train per (JVM, corpus) — r16): this face and both IVF drift audits
+    // read it instead of re-training per call; round-6 centroid
+    // components make the parquet round trip exact, and every consumer's
+    // oracle still replays the inline train, hash-proving stored ≡ inline
     "cosine_topk_ivf_trained" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      SimilarityOps.ivfTopKWith(emb, SimilarityOps.ivfTrainCentroids(emb, 16, iters = 2), 10, 5)
+      SimilarityOps.ivfTopKWith(emb, s.read.parquet(ivfCentroidsFullFor(s, d)), 10, 5)
     }),
     // recall decay of an unretrained IVF index under 1x/5x/10x appends vs
-    // a fresh retrain — the rebuild-threshold read for appendToIvfIndex
-    "ivf_append_drift" -> ((s, d) =>
-      SimilarityOps.ivfAppendDrift(t(s, d, "embeddings"))),
+    // a fresh retrain — the rebuild-threshold read for appendToIvfIndex;
+    // the stale arm's base-slice centroids ride the shared artifact
+    "ivf_append_drift" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dir = artifactDir("ivf_centroids_base11", d, "k16_it2")(out => {
+        val nb = emb.count() / 11
+        val c = SimilarityOps.ivfTrainCentroids(emb.filter(col("vec_id") < nb), 16, 2)
+        c.write.mode("overwrite").parquet(out); c.unpersist()
+      })
+      SimilarityOps.ivfAppendDrift(emb, prebuiltStale = Some(s.read.parquet(dir)))
+    }),
     // the delete direction: lists shed deleted rows trivially (no routing
     // structure to fragment), but the centroids were trained on mass
     // that left — stale partition of the space vs a survivor retrain,
-    // per 10/20/40% deletion
+    // per 10/20/40% deletion; the pre-delete centroids ARE the persisted
+    // trained index's frame, read from the shared artifact
     "ivf_delete_drift" -> ((s, d) =>
-      SimilarityOps.ivfDeleteDrift(t(s, d, "embeddings").persist())),
+      SimilarityOps.ivfDeleteDrift(t(s, d, "embeddings").persist(),
+        prebuiltStale = Some(s.read.parquet(ivfCentroidsFullFor(s, d))))),
     "embedding_dup_pairs" -> ((s, d) => SimilarityOps.embeddingDupPairs(t(s, d, "embeddings"), 0.8)),
     // the scale path: candidates from an LSH-bucket equi-join, no
     // nested-loop join in the plan; brute variant above = recall reference
@@ -2016,9 +2059,16 @@ object SparkEntry {
       SimilarityOps.pqTopK(t(s, d, "embeddings"), 10, 5)),
     // same ADC pipeline over per-subspace Lloyd-trained codebooks (one
     // assign->mean iteration, round-6 deterministic)
+    // the trained codebook is THE persisted artifact of a PQ deployment
+    // (r16): one per-subspace Lloyd train per (JVM, corpus), round-6
+    // components so the parquet round trip is exact; the oracle still
+    // replays the inline train, hash-proving stored ≡ inline
     "cosine_topk_pq_trained" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      SimilarityOps.pqTopKWith(emb, SimilarityOps.pqTrainCodebooks(emb), 10, 5)
+      val dir = artifactDir("pq_codebook_trained", d, "m4_k16_it1")(out =>
+        SimilarityOps.pqTrainCodebooks(emb)
+          .write.mode("overwrite").parquet(out))
+      SimilarityOps.pqTopKWith(emb, s.read.parquet(dir), 10, 5)
     }),
     // the composed FAISS-shape tier: IVF probe prunes to nProbe lists,
     // ADC scores PQ codes only for candidates inside them
@@ -2507,8 +2557,15 @@ object SparkEntry {
     // chain oracle-replayed
     "ann_recall_pq_opq" -> ((s, d) => {
       val emb = t(s, d, "embeddings").persist()
-      val rot = SimilarityOps.opqRotate(emb,
-        SimilarityOps.opqRotationVectorsFrom(pcaBasisFor(s, d))).persist()
+      // the OPQ-rotated corpus is an at-rest transform artifact exactly
+      // like int8_corpus (r16): rotation output is integer-grid doubles
+      // (exact parquet round trip), rotated once per (JVM, corpus)
+      // instead of re-running the m-sweep HOF chain per pass
+      val dir = artifactDir("opq_corpus", d, "m4")(out =>
+        SimilarityOps.opqRotate(emb,
+          SimilarityOps.opqRotationVectorsFrom(pcaBasisFor(s, d)))
+          .write.mode("overwrite").parquet(out))
+      val rot = s.read.parquet(dir).persist()
       val brute = SimilarityOps.cosineTopK(emb, 10, 5).select(col("q_id"), col("vec_id"))
       val hit = SimilarityOps.pqTopK(rot, 10, 5)
         .select(col("q_id"), col("vec_id")).withColumn("hit", lit(1))

@@ -408,18 +408,23 @@ object GraphOps {
       .withColumn("a", lit(1000000L)).localCheckpoint()
     var hub: DataFrame = null
     for (_ <- 1 to rounds) {
+      // checkpoint the aggregate halves only (each is consumed twice:
+      // its max anchor + the normalize projection — without the cut the
+      // corpus-scale join+groupBy would replay per consumer). The
+      // normalized hub/auth frames are NOT checkpointed (r16): their
+      // lineage is one projection over the checkpointed aggregate plus a
+      // 1-row broadcast — replaying that per consumer is cheaper than a
+      // materialization job per half-round (was 4 jobs/round, now 2).
       val hr = e.join(auth, Seq("auth"))
         .groupBy(col("hub")).agg(sum(col("a")).as("xr")).localCheckpoint()
       val hmx = hr.agg(max(col("xr")).as("mx"))
       hub = hr.crossJoin(broadcast(hmx))
         .select(col("hub"), expr("(xr * 1000000) div mx").as("h"))
-        .localCheckpoint()
       val ar = e.join(hub, Seq("hub"))
         .groupBy(col("auth")).agg(sum(col("h")).as("xr")).localCheckpoint()
       val amx = ar.agg(max(col("xr")).as("mx"))
       auth = ar.crossJoin(broadcast(amx))
         .select(col("auth"), expr("(xr * 1000000) div mx").as("a"))
-        .localCheckpoint()
     }
     hub.select(lit("hub").as("side"), col("hub").as("node"), col("h").as("score_ppm"))
       .unionByName(auth.select(lit("auth").as("side"),

@@ -67,6 +67,50 @@ object ShardedOrder {
       .drop("__shard", "__lrank", "__off")
   }
 
+  /** One-pass fusion of [[withGlobalRank]] + [[withRunningSum]] over the
+    * SAME sort key (r16): callers that need both the exact global rank
+    * and the exact inclusive running sum in one order previously stacked
+    * the two primitives — two range exchanges, two materialized layouts,
+    * two carry rounds. Both derivations share everything but the carried
+    * quantity, so this computes them from ONE range exchange, ONE
+    * checkpointed layout, ONE per-shard WindowExec (row_number and the
+    * framed sum share the partition/order spec) and ONE carry aggregate
+    * (count + sum per shard). Results are identical to the stacked form
+    * by construction.
+    */
+  def withGlobalRankAndRunningSum(df: DataFrame, rankCol: String,
+                                  valueCol: Column, sumCol: String,
+                                  shards: Int, sortCols: Column*): DataFrame = {
+    require(shards >= 1, s"shards out of range: $shards")
+    // same load-bearing localCheckpoint as withGlobalRank: one layout,
+    // shared by the local window pair and the carry aggregate
+    val parted = df.repartitionByRange(shards, sortCols: _*)
+      .withColumn("__shard", spark_partition_id())
+      .withColumn("__v", valueCol)
+      .localCheckpoint()
+    val wLoc = Window.partitionBy(col("__shard")).orderBy(sortCols: _*)
+    val wLocSum = wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted
+      .withColumn("__lrank", row_number().over(wLoc).cast(LongType))
+      .withColumn("__lsum", sum(col("__v")).over(wLocSum))
+    // constant-key partition (repo idiom): same one-reducer semantics —
+    // fine over ≤ `shards` rows — without the misleading global-window
+    // warning in the logs
+    val wCarry = Window.partitionBy(pmod(col("__shard"), lit(1)))
+      .orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__shard"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("__v")).as("__ssum"))
+      .withColumn("__roff", coalesce(sum(col("__cnt")).over(wCarry), lit(0L)))
+      .withColumn("__soff", sum(col("__ssum")).over(wCarry))
+      .select(col("__shard"), col("__roff"), col("__soff"))
+    local.join(broadcast(offsets), Seq("__shard"))
+      .withColumn(rankCol, col("__roff") + col("__lrank"))
+      .withColumn(sumCol, when(col("__soff").isNull, col("__lsum"))
+        .otherwise(col("__soff") + col("__lsum")))
+      .drop("__shard", "__v", "__lrank", "__lsum", "__roff", "__soff")
+  }
+
   /** Exact global INCLUSIVE running sum of `valueCol` in `sortCols` order
     * (unique composite key) as `outCol` — same shard + carry shape with
     * per-shard sums as the carry. Equivalent to

@@ -549,10 +549,16 @@ object SimilarityOps {
     */
   def ivfAppendDrift(embeddings: DataFrame, factors: Seq[Int] = Seq(1, 5, 10),
                      nCentroids: Int = 16, iters: Int = 2,
-                     nQueries: Int = 10, k: Int = 5, nProbe: Int = 2): DataFrame = {
+                     nQueries: Int = 10, k: Int = 5, nProbe: Int = 2,
+                     prebuiltStale: Option[DataFrame] = None): DataFrame = {
     val nb = embeddings.count() / 11
     val base = embeddings.filter(col("vec_id") < nb)
-    val cStale = ivfTrainCentroids(base, nCentroids, iters)
+    // the stale arm's centroids are "the index trained before the
+    // appends" — the registered query reads them from a per-(JVM, corpus)
+    // artifact (r16, the graph_base11 argument applied to IVF) instead of
+    // re-running the Lloyd train per call; the default still trains
+    // inline for standalone callers and specs
+    val cStale = prebuiltStale.getOrElse(ivfTrainCentroids(base, nCentroids, iters))
     val rows = factors.map { f =>
       val corpus = embeddings.filter(col("vec_id") < nb * (1 + f)).persist()
       val brute = cosineTopK(corpus, nQueries, k).select(col("q_id"), col("vec_id"))
@@ -604,8 +610,13 @@ object SimilarityOps {
     */
   def ivfDeleteDrift(embeddings: DataFrame, delTenths: Seq[Int] = Seq(1, 2, 4),
                      nCentroids: Int = 16, iters: Int = 2,
-                     nQueries: Int = 10, k: Int = 5, nProbe: Int = 2): DataFrame = {
-    val cStale = ivfTrainCentroids(embeddings, nCentroids, iters)
+                     nQueries: Int = 10, k: Int = 5, nProbe: Int = 2,
+                     prebuiltStale: Option[DataFrame] = None): DataFrame = {
+    // "trained pre-delete on the full corpus" IS the persisted trained
+    // index's centroid frame — the registered query reads the shared
+    // per-(JVM, corpus) artifact (r16); the default trains inline
+    val cStale = prebuiltStale.getOrElse(
+      ivfTrainCentroids(embeddings, nCentroids, iters))
     val rows = delTenths.map { f =>
       val corpus = embeddings.filter(
         col("vec_id") < nQueries || col("vec_id") % 10 >= f).persist()
@@ -1163,6 +1174,27 @@ object SimilarityOps {
       .write.mode("overwrite").parquet(s"$dir/vectors")
   }
 
+  /** Persist the base-1/11 slice's descent-built SYMMETRIC edge set — the
+    * "index that predates the appends" that [[graphAppendDrift]] and
+    * [[graphTopKRescoredDrift]] both replay (r16): the two audits derive
+    * the IDENTICAL frame (same nb; graphK is the scale-constant contract
+    * knob), so the registry builds it once per (JVM, corpus) like every
+    * other persisted index instead of running two descent builds per
+    * bench pass. Determinism of the descent build (round-6 scores,
+    * md5-derived cells, dst tie-breaks) makes the parquet round trip
+    * exact — stored ≡ inline edge set, so both audits' oracles (which
+    * replay the inline build) keep hash-proving the equivalence.
+    */
+  def writeGraphBase11(embeddings: DataFrame, dir: String): Unit = {
+    val n = embeddings.count()
+    val nb = n / 11
+    val graphK = graphKnobs(n)._3
+    val directed = knnGraphDescent(embeddings.filter(col("vec_id") < nb), graphK)
+    directed.unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .write.mode("overwrite").parquet(dir)
+  }
+
   def graphAnnTopKFromIndexScaled(spark: org.apache.spark.sql.SparkSession,
                                   dir: String, nQueries: Int, k: Int): DataFrame = {
     val vectors = spark.read.parquet(s"$dir/vectors")
@@ -1232,7 +1264,8 @@ object SimilarityOps {
     * prefixes (deterministic, dense ids), sized from one driver count.
     */
   def graphAppendDrift(embeddings: DataFrame, factors: Seq[Int] = Seq(1, 5, 10),
-                       nQueries: Int = 10, k: Int = 5): DataFrame = {
+                       nQueries: Int = 10, k: Int = 5,
+                       prebuiltBase: Option[DataFrame] = None): DataFrame = {
     val nb = embeddings.count() / 11
     def sym(directed: DataFrame): DataFrame = directed.unionByName(
       directed.select(col("dst").as("src"), col("src").as("dst"))).distinct()
@@ -1247,8 +1280,16 @@ object SimilarityOps {
     //     window — one corpus scoring pass instead of |factors|.
     val nMax = nb * (1 + factors.max)
     val graphK = graphKnobs(nMax)._3
-    val baseSym = sym(knnGraphDescent(
-      embeddings.filter(col("vec_id") < nb), graphK)).localCheckpoint()
+    // the STALE side's base graph is "the index that predates the
+    // appends" — when the caller holds it persisted (the registered query
+    // shares one base-slice artifact with graphTopKRescoredDrift, built
+    // once per JVM), reading it skips a per-call descent rebuild; sym()
+    // is idempotent on the already-symmetric stored set, so the guard
+    // costs one distinct and a directed caller still reads right
+    val baseSym = prebuiltBase
+      .map(e => sym(e.select(col("src"), col("dst"))).localCheckpoint())
+      .getOrElse(sym(knnGraphDescent(
+        embeddings.filter(col("vec_id") < nb), graphK)).localCheckpoint())
     val queries = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val scoredAll = embeddings.filter(col("vec_id") < nMax)
@@ -1338,15 +1379,20 @@ object SimilarityOps {
   def graphTopKRescoredDrift(embeddings: DataFrame,
                              factors: Seq[Int] = Seq(5, 10),
                              nQueries: Int = 10, k: Int = 5,
-                             shortlist: Int = 20): DataFrame = {
+                             shortlist: Int = 20,
+                             prebuiltBase: Option[DataFrame] = None): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must cover k = $k")
     val nb = embeddings.count() / 11
     def sym(directed: DataFrame): DataFrame = directed.unionByName(
       directed.select(col("dst").as("src"), col("src").as("dst"))).distinct()
     val nMax = nb * (1 + factors.max)
     val graphK = graphKnobs(nMax)._3
-    val baseSym = sym(knnGraphDescent(
-      embeddings.filter(col("vec_id") < nb), graphK)).localCheckpoint()
+    // same prebuilt-base read as [[graphAppendDrift]] — the two audits
+    // share one persisted base-slice artifact in the registry
+    val baseSym = prebuiltBase
+      .map(e => sym(e.select(col("src"), col("dst"))).localCheckpoint())
+      .getOrElse(sym(knnGraphDescent(
+        embeddings.filter(col("vec_id") < nb), graphK)).localCheckpoint())
     val queries = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val scoredAll = embeddings.filter(col("vec_id") < nMax)

@@ -1920,7 +1920,22 @@ object TextOps {
         .select(expr("replace(syms, coalesce(concat('|', x, '||', y, '|'), " +
           "char(0)), concat('|', coalesce(concat(x, y), ''), '|'))").as("syms"),
           col("freq"))
-        .localCheckpoint()
+      // Checkpoint CADENCE, not per-round (r16): the per-round
+      // localCheckpoint existed only to cut the argmax lineage, but each
+      // checkpoint is a full materialization JOB whose fixed cost
+      // dominates the vocabulary-scale table it writes (this trainer runs
+      // TWO aggregates per round over `words`, so the loop was 3 jobs per
+      // round). The ≤3 pending links between checkpoints are projections
+      // joined against 1-row CHECKPOINTED argmax relations — replaying
+      // them inside the next round's aggregates is bounded and cheap. No
+      // checkpoint after the final round: `words` has no consumer beyond
+      // the loop. Measured (r16, sf0.1): wordpiece_holdout 5.17 → 3.36 s
+      // in the first A/B, though repeat solo runs scatter ±1 s (the
+      // SCALE.md r11 host-variance class), so the close-bench full-suite
+      // number is the authoritative read. bpeTrain deliberately KEEPS its
+      // per-round checkpoint: it consumes `words` once per round (the
+      // job saving is half) and its A/B read no improvement.
+      if (r % 4 == 0 && r < rounds) words = words.localCheckpoint()
     }
     merges.result().reduce(_ unionByName _)
   }
@@ -2078,9 +2093,11 @@ object TextOps {
     val freq = documents
       .select(explode(expr(toksExprFor(documents))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("f"))
-    val ranked = ShardedOrder.withGlobalRank(freq, "rk", 32,
-      col("f").desc, col("token"))
-    val cum = ShardedOrder.withRunningSum(ranked, col("f"), "cum_f", 32, col("rk"))
+    // rank and cumulative mass share the (freq desc, token) total order
+    // (ordering by rk ≡ ordering by the rank key), so one fused pass
+    // replaces the stacked rank-then-resum (r16)
+    val cum = ShardedOrder.withGlobalRankAndRunningSum(freq, "rk",
+      col("f"), "cum_f", 32, col("f").desc, col("token"))
     val tot = freq.agg(sum(col("f")).as("total"), count(lit(1)).as("n_vocab"))
     val sizesDf = sizes.toDF("vocab_size")
     cum.crossJoin(broadcast(tot))
@@ -2299,9 +2316,9 @@ object TextOps {
         "doc_id")
       .join(documents.select(col("doc_id"), col("source")), "doc_id")
       .withColumn("neg_s", -col("score_u"))
-    val ranked = ShardedOrder.withRunningSum(
-      ShardedOrder.withGlobalRank(scored, "grank", 32,
-        col("source"), col("neg_s"), col("doc_id")),
+    // rank and relevant-cumulative share the (source, −score, doc_id)
+    // order, so they ride the FUSED one-exchange primitive (r16)
+    val ranked = ShardedOrder.withGlobalRankAndRunningSum(scored, "grank",
       expr("cast(pos as bigint)"), "gcum", 32,
       col("source"), col("neg_s"), col("doc_id"))
     // per-source offsets: rows / positives in all EARLIER sources
