@@ -559,7 +559,16 @@ object SimilarityOps {
     // re-running the Lloyd train per call; the default still trains
     // inline for standalone callers and specs
     val cStale = prebuiltStale.getOrElse(ivfTrainCentroids(base, nCentroids, iters))
-    val rows = factors.map { f =>
+    // concurrent factor pipelines (r17): each factor's work is one eager
+    // row-checkpoint job chain over its own corpus slice — the factors
+    // are independent, so submitting them from driver threads lets the
+    // scheduler overlap their stages on idle cores, exactly the pattern
+    // the graph drift audits already use (guide §2.6 overlap independent
+    // jobs). Per-factor results are scheduling-independent; order is
+    // preserved by Future.sequence.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rows = Await.result(Future.sequence(factors.map { f => Future {
       val corpus = embeddings.filter(col("vec_id") < nb * (1 + f)).persist()
       val brute = cosineTopK(corpus, nQueries, k).select(col("q_id"), col("vec_id"))
       val queries = corpus.filter(col("vec_id") < nQueries)
@@ -590,7 +599,7 @@ object SimilarityOps {
         .localCheckpoint()
       corpus.unpersist()
       row
-    }
+    }}), scala.concurrent.duration.Duration.Inf)
     rows.reduce(_.unionAll(_))
   }
 
@@ -617,7 +626,13 @@ object SimilarityOps {
     // per-(JVM, corpus) artifact (r16); the default trains inline
     val cStale = prebuiltStale.getOrElse(
       ivfTrainCentroids(embeddings, nCentroids, iters))
-    val rows = delTenths.map { f =>
+    // concurrent fraction pipelines (r17): same argument as
+    // ivfAppendDrift — independent per-fraction chains, overlapped from
+    // driver threads (guide §2.6); cStale is shared read-only and
+    // unpersisted only after every fraction completes
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rows = Await.result(Future.sequence(delTenths.map { f => Future {
       val corpus = embeddings.filter(
         col("vec_id") < nQueries || col("vec_id") % 10 >= f).persist()
       val nAlive = corpus.count()
@@ -649,7 +664,7 @@ object SimilarityOps {
       cFresh.unpersist()
       corpus.unpersist()
       row
-    }
+    }}), scala.concurrent.duration.Duration.Inf)
     cStale.unpersist()
     rows.reduce(_.unionAll(_))
   }
@@ -1064,7 +1079,11 @@ object SimilarityOps {
     // rounds, 0.26 after 3 — better graph, worse navigability); the
     // random-sample shortcuts restore the small-world property the beam
     // needs (Malkov et al., NSW 2014).
-    val longEdges = topN(groupPairs, longK).localCheckpoint()
+    // longEdges has exactly ONE consumer (the final union below), so its
+    // eager checkpoint was a pure driver-barrier job: un-checkpointed it
+    // materializes once inside the caller's consuming action (r17 cadence
+    // cut, guide §5). groupPairs was already computed twice either way.
+    val longEdges = topN(groupPairs, longK)
     var edges = topN(cellPairs.unionByName(groupPairs).distinct(), graphK)
       .localCheckpoint()
     for (_ <- 1 to descentRounds) {
@@ -1300,7 +1319,6 @@ object SimilarityOps {
         round(graft.functions.GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 4)
           .as("score"))
       .localCheckpoint()
-    val wBrute = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
     // The three factor pipelines are independent chains of SMALL eager
     // jobs (each localCheckpoint is an action on a few-hundred-row
     // frame); run them from concurrent driver threads so the scheduler
@@ -1319,28 +1337,36 @@ object SimilarityOps {
       val stale = baseSym
         .unionByName(knnGraphAttach(corpus, nb, nb, graphK)).distinct()
       val fresh = sym(knnGraphDescent(corpus, graphK))
-      val brute = scoredAll.filter(col("vec_id") < n)
-        .select(col("q_id"), col("vec_id"),
-          row_number().over(wBrute).as("rank"))
-        .filter(col("rank") <= k).select(col("q_id"), col("vec_id"))
+      // brute ground truth via the bounded topKSelect aggregation (r17,
+      // guide §2.3): same (score desc, vec_id asc) contract as the old
+      // row_number window, no map-side sort of every scored pair
+      val brute = topKSelect(scoredAll.filter(col("vec_id") < n), Seq("q_id"), k)
+        .select(col("q_id"), col("vec_id"))
       // ONE (arm, q_id)-keyed beam chain for both arms (r14): stale and
       // fresh share corpus, queries and knobs within a factor — only the
       // edge set differs — so a single keyed chain replaces two full
       // chains (half the per-round jobs and checkpoints), per-arm
-      // results identical by construction
+      // results identical by construction. The arms ride uncheckpointed
+      // into the chain: graphAnnSearchArmsVisited materializes the union
+      // graph once (r17), replacing the two per-arm checkpoint jobs.
       val hits = graphAnnSearchArms(corpus,
-          Seq("stale" -> stale.localCheckpoint(), "fresh" -> fresh.localCheckpoint()),
+          Seq("stale" -> stale, "fresh" -> fresh),
           nQueries, k, beam, rounds, seeds)
         .select(col("arm"), col("q_id"), col("vec_id")).withColumn("hit", lit(1L))
         .localCheckpoint()
+      corpus.unpersist()
       def recallOf(arm: String): DataFrame =
         brute.join(hits.filter(col("arm") === arm).drop("arm"),
             Seq("q_id", "vec_id"), "left")
           .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
             count(lit(1)).as("tot"))
-      // eager localCheckpoint then unpersist: same cache discipline as
-      // ivfAppendDrift — no per-factor corpus blocks outlive their row
-      val row = recallOf("stale").select(col("hits").as("h_stale"), col("tot"))
+      // the factor's row is LAZY now (r17): every frame it reads (hits,
+      // scoredAll) is already checkpointed, so the per-factor row
+      // checkpoint was one more driver-barrier job per factor — the
+      // caller's single consuming action computes all factor rows in ONE
+      // job. corpus can unpersist above: hits is the last eager
+      // corpus-dependent frame.
+      recallOf("stale").select(col("hits").as("h_stale"), col("tot"))
         .crossJoin(broadcast(recallOf("fresh").select(col("hits").as("h_fresh"))))
         .select(lit(f.toLong).as("append_factor"),
           lit(nb).as("n_base"),
@@ -1350,9 +1376,6 @@ object SimilarityOps {
           expr("""(h_fresh * 1000000 + tot div 2) div tot
             | - (h_stale * 1000000 + tot div 2) div tot""".stripMargin)
             .as("drift_ppm"))
-        .localCheckpoint()
-      corpus.unpersist()
-      row
     }}), scala.concurrent.duration.Duration.Inf)
     rows.reduce(_.unionAll(_))
   }
@@ -1403,7 +1426,6 @@ object SimilarityOps {
         round(graft.functions.GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 4)
           .as("score"))
       .localCheckpoint()
-    val wBrute = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     val rows = Await.result(Future.sequence(factors.map { f => Future {
@@ -1412,10 +1434,11 @@ object SimilarityOps {
       val (beam, rounds, _, seeds) = graphKnobs(n)
       val stale = baseSym
         .unionByName(knnGraphAttach(corpus, nb, nb, graphK)).distinct()
-      val brute = scoredAll.filter(col("vec_id") < n)
-        .select(col("q_id"), col("vec_id"),
-          row_number().over(wBrute).as("rank"))
-        .filter(col("rank") <= k).select(col("q_id"), col("vec_id"))
+      // brute ground truth via the bounded topKSelect aggregation (r17,
+      // guide §2.3): same (score desc, vec_id asc) contract as the old
+      // row_number window, no map-side sort of every scored pair
+      val brute = topKSelect(scoredAll.filter(col("vec_id") < n), Seq("q_id"), k)
+        .select(col("q_id"), col("vec_id"))
       val sl = graphAnnSearch(corpus, stale.localCheckpoint(), nQueries,
         shortlist, beam, rounds, seeds).localCheckpoint()
       val plainHits = sl.filter(col("rank") <= k)
@@ -1435,7 +1458,13 @@ object SimilarityOps {
         brute.join(hits, Seq("q_id", "vec_id"), "left")
           .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
             count(lit(1)).as("tot"))
-      val row = recallOf(plainHits).select(col("hits").as("h_plain"), col("tot"))
+      // LAZY row (r17): sl is checkpointed and brute reads the
+      // checkpointed scoredAll; rescHits re-reads the (registry-persisted)
+      // embeddings slice — so the per-factor row checkpoint was one more
+      // driver barrier per factor, and the caller's single consuming
+      // action now computes both factor rows in one job
+      corpus.unpersist()
+      recallOf(plainHits).select(col("hits").as("h_plain"), col("tot"))
         .crossJoin(broadcast(recallOf(rescHits).select(col("hits").as("h_resc"))))
         .select(lit(f.toLong).as("append_factor"),
           lit(nb).as("n_base"),
@@ -1447,9 +1476,6 @@ object SimilarityOps {
           expr("""(h_resc * 1000000 + tot div 2) div tot
             | - (h_plain * 1000000 + tot div 2) div tot""".stripMargin)
             .as("rescore_lift_ppm"))
-        .localCheckpoint()
-      corpus.unpersist()
-      row
     }}), scala.concurrent.duration.Duration.Inf)
     rows.reduce(_.unionAll(_))
   }
@@ -1578,9 +1604,13 @@ object SimilarityOps {
     val wq = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
     val rows = delTenths.map { f =>
       val aliveV = aliveOn("vec_id", f)
-      val brute = scoredAll.filter(aliveV)
-        .select(col("q_id"), col("vec_id"), row_number().over(wq).as("rank"))
-        .filter(col("rank") <= k).select(col("q_id"), col("vec_id"))
+      // brute ground truth via the bounded topKSelect aggregation (r17,
+      // guide §2.3): same (score desc, vec_id asc) contract as the old
+      // row_number window, no map-side sort of every scored pair. The
+      // arm windows below stay: their input is the visited set (beam-
+      // bounded by construction), not a corpus-scale scored stream.
+      val brute = topKSelect(scoredAll.filter(aliveV), Seq("q_id"), k)
+        .select(col("q_id"), col("vec_id"))
       def armTop(arm: String): DataFrame =
         vis.filter(col("arm") === arm).drop("arm")
           .filter(aliveV)
@@ -1593,6 +1623,11 @@ object SimilarityOps {
             count(lit(1)).as("tot"))
       val nAlive = embeddings
         .agg(sum(when(aliveV, 1L).otherwise(0L)).as("n_alive"))
+      // LAZY per-fraction rows (r17): everything they read (vis,
+      // scoredAll) is checkpointed and embeddings is the caller's
+      // persisted frame, so the old per-fraction row checkpoints were
+      // three more driver-barrier jobs — the caller's single consuming
+      // action computes all fraction rows in one job
       recallOf("full").select(col("hits").as("h_tomb"), col("tot"))
         .crossJoin(broadcast(recallOf(s"hard$f").select(col("hits").as("h_hard"))))
         .crossJoin(broadcast(recallOf(s"repair$f").select(col("hits").as("h_rep"))))
@@ -1608,7 +1643,6 @@ object SimilarityOps {
           expr("""(h_rep * 1000000 + tot div 2) div tot
             | - (h_hard * 1000000 + tot div 2) div tot""".stripMargin)
             .as("repair_gain_ppm"))
-        .localCheckpoint()
     }
     rows.reduce(_.unionAll(_))
   }
@@ -1708,9 +1742,16 @@ object SimilarityOps {
                                         nQueries: Int, beam: Int, rounds: Int,
                                         entrySeeds: Int): DataFrame = {
     import embeddings.sparkSession.implicits._
+    // ONE materialization of every arm's edge set (r17): the union graph
+    // is consumed by the expand join in EVERY round, and without its own
+    // checkpoint each round's job recomputed every arm's derivation —
+    // for the delete audit that meant re-running all per-fraction repair
+    // windows rounds× (guide §5: cache/checkpoint what is reused). Arm
+    // callers no longer pre-checkpoint their frames individually; this
+    // single job replaces one job per arm.
     val graph = graphs.map { case (a, g) =>
       g.select(lit(a).as("arm"), col("src"), col("dst"))
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _).localCheckpoint()
     val armsDf = graphs.map(_._1).toDF("arm")
     val queries = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -1728,11 +1769,18 @@ object SimilarityOps {
       .crossJoin(broadcast(armsDf))
     var visited = scored(entry).localCheckpoint()
     val wb = Window.partitionBy("arm", "q_id").orderBy(col("score").desc, col("node"))
+    // `visited` keeps its per-round checkpoint (3 consumers per round:
+    // the anti-join, the union, the beam window). `frontier` is a pure
+    // window over the just-checkpointed `visited` with ONE consumer (the
+    // next round's expand join), so its checkpoint was a driver-barrier
+    // job computing nothing the expand job wouldn't — same
+    // projection-lineage argument as the r16 HITS cut (guide §5); and
+    // the final round's frontier was never consumed at all.
     def beamOf(vis: DataFrame): DataFrame = vis
       .withColumn("rnk", row_number().over(wb))
       .filter(col("rnk") <= beam).select(col("arm"), col("q_id"), col("node"))
-    var frontier = beamOf(visited).localCheckpoint()
-    for (_ <- 1 to rounds) {
+    var frontier = beamOf(visited)
+    for (r <- 1 to rounds) {
       val expand = frontier
         .join(graph.select(col("arm"), col("src").as("node"), col("dst")),
           Seq("arm", "node"))
@@ -1742,7 +1790,7 @@ object SimilarityOps {
         .join(visited.select(col("arm"), col("q_id"), col("node")),
           Seq("arm", "q_id", "node"), "left_anti")
       visited = visited.unionByName(scored(expand)).localCheckpoint()
-      frontier = beamOf(visited).localCheckpoint()
+      if (r < rounds) frontier = beamOf(visited)
     }
     // round-4 output scores, same binding note as graphAnnSearch below
     visited
@@ -1768,11 +1816,15 @@ object SimilarityOps {
       .filter(col("node") =!= col("q_id"))
     var visited = scored(entry).localCheckpoint()
     val wb = Window.partitionBy("q_id").orderBy(col("score").desc, col("node"))
+    // frontier = one window over the checkpointed `visited`, ONE consumer
+    // (next round's expand join): its per-round checkpoint was a pure
+    // driver-barrier tax, and the last round's frontier was dead work —
+    // same cadence cut as graphAnnSearchArmsVisited (r17, guide §5)
     def beamOf(vis: DataFrame): DataFrame = vis
       .withColumn("rnk", row_number().over(wb))
       .filter(col("rnk") <= beam).select(col("q_id"), col("node"))
-    var frontier = beamOf(visited).localCheckpoint()
-    for (_ <- 1 to rounds) {
+    var frontier = beamOf(visited)
+    for (r <- 1 to rounds) {
       val expand = frontier
         .join(graph.select(col("src").as("node"), col("dst")), Seq("node"))
         .select(col("q_id"), col("dst").as("node"))
@@ -1780,7 +1832,7 @@ object SimilarityOps {
         .distinct()
         .join(visited.select(col("q_id"), col("node")), Seq("q_id", "node"), "left_anti")
       visited = visited.unionByName(scored(expand)).localCheckpoint()
-      frontier = beamOf(visited).localCheckpoint()
+      if (r < rounds) frontier = beamOf(visited)
     }
     // The output ranking (and thus any shortlist boundary a two-stage
     // caller like graphTopKRescored cuts at) is on the ROUND-4 score
