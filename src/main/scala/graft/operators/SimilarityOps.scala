@@ -1049,19 +1049,22 @@ object SimilarityOps {
       .withColumn("bucket", lshBucket(col("embedding"), nBits))
       .withColumn("cell", expr(cellEx))
       .withColumn("rgroup", expr(groupEx))
+    // per-src keep-best via the bounded topKSelect aggregation (r17,
+    // guide §2.3): the row_number window paid a map-side sort of EVERY
+    // candidate pair per round — n·(2·graphK)² rows at corpus scale —
+    // before discarding all but graphK per src. Same ordering contract
+    // (score desc, dst asc); round-6 scores, no NaN (nonzero-norm corpus).
     def topN(cand: DataFrame, n: Int): DataFrame = {
-      val w = Window.partitionBy("src").orderBy(col("score").desc, col("dst"))
-      cand
+      val scored = cand
         .join(embeddings.select(col("vec_id").as("src"), col("embedding").as("s_emb")),
           Seq("src"))
         .join(embeddings.select(col("vec_id").as("dst"), col("embedding").as("d_emb")),
           Seq("dst"))
         .withColumn("score",
           round(graft.functions.GraftFunctions.cosineSim(col("s_emb"), col("d_emb")), 6))
-        .select(col("src"), col("dst"), col("score"),
-          row_number().over(w).as("rnk"))
-        .filter(col("rnk") <= n)
-        .select(col("src"), col("dst"))
+        .select(col("src"), col("dst").as("vec_id"), col("score"))
+      topKSelect(scored, Seq("src"), n)
+        .select(col("src"), col("vec_id").as("dst"))
     }
     val cellPairs = bucketed.select(col("bucket"), col("cell"), col("vec_id").as("src"))
       .join(bucketed.select(col("bucket"), col("cell"), col("vec_id").as("dst")),
@@ -1252,8 +1255,10 @@ object SimilarityOps {
     val groupCand = delta.select(col("rgroup"), col("vec_id").as("src"))
       .join(bucketed.select(col("rgroup"), col("vec_id").as("dst")), Seq("rgroup"))
       .select(col("src"), col("dst"))
-    val w = Window.partitionBy("src").orderBy(col("score").desc, col("dst"))
-    val directed = cellCand.unionByName(groupCand)
+    // same bounded keep-best as knnGraphDescent's topN (r17, guide §2.3):
+    // delta × (cell ∪ group) candidates, top graphK per src without the
+    // map-side sort; ordering contract unchanged (score desc, dst asc)
+    val scored = cellCand.unionByName(groupCand)
       .filter(col("src") =!= col("dst"))
       .distinct()
       .join(corpus.select(col("vec_id").as("src"), col("embedding").as("s_emb")),
@@ -1262,10 +1267,9 @@ object SimilarityOps {
         Seq("dst"))
       .withColumn("score",
         round(graft.functions.GraftFunctions.cosineSim(col("s_emb"), col("d_emb")), 6))
-      .select(col("src"), col("dst"), col("score"),
-        row_number().over(w).as("rnk"))
-      .filter(col("rnk") <= graphK)
-      .select(col("src"), col("dst"))
+      .select(col("src"), col("dst").as("vec_id"), col("score"))
+    val directed = topKSelect(scored, Seq("src"), graphK)
+      .select(col("src"), col("vec_id").as("dst"))
     directed
       .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -1544,17 +1548,19 @@ object SimilarityOps {
       .filter(col("a") =!= col("b"))
       .select(col("a").as("src"), col("b").as("dst"))
       .distinct()
-    val w = Window.partitionBy("src").orderBy(col("score").desc, col("dst"))
-    val top = cand
+    // bounded keep-best (r17, guide §2.3): same contract as the old
+    // row_number window (score desc, dst asc), no sort of the bridge
+    // candidate stream; candidates are distinct so ties are impossible
+    val scoredBridges = cand
       .join(embeddings.select(col("vec_id").as("src"), col("embedding").as("s_emb")),
         Seq("src"))
       .join(embeddings.select(col("vec_id").as("dst"), col("embedding").as("d_emb")),
         Seq("dst"))
       .withColumn("score",
         round(graft.functions.GraftFunctions.cosineSim(col("s_emb"), col("d_emb")), 6))
-      .select(col("src"), col("dst"), row_number().over(w).as("rnk"))
-      .filter(col("rnk") <= bridgeK)
-      .select(col("src"), col("dst"))
+      .select(col("src"), col("dst").as("vec_id"), col("score"))
+    val top = topKSelect(scoredBridges, Seq("src"), bridgeK)
+      .select(col("src"), col("vec_id").as("dst"))
     surviving
       .unionByName(top)
       .unionByName(top.select(col("dst").as("src"), col("src").as("dst")))
