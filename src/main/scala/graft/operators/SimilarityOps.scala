@@ -481,14 +481,17 @@ object SimilarityOps {
       .withColumn("c_rank", row_number().over(wq))
       .filter(col("c_rank") <= nProbe)
       .select(col("q_id"), col("q_emb"), col("centroid_id"))
-    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
-    lists.join(probes, Seq("centroid_id"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("score",
-        round(graft.functions.GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 4))
-      .select(col("q_id"), col("vec_id"), col("score"),
-        row_number().over(w).as("rank"))
-      .filter(col("rank") <= k)
+    // bounded keep-best (r17, guide §2.3): the probed-list stream is
+    // nProbe/nCentroids of the corpus per query — still corpus-scale —
+    // and the old window paid a map-side sort of it; topKSelect keeps
+    // the same (score desc, vec_id asc) contract and rank semantics
+    topKSelect(
+      lists.join(probes, Seq("centroid_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("score",
+          round(graft.functions.GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 4))
+        .select(col("q_id"), col("vec_id"), col("score")),
+      Seq("q_id"), k)
   }
 
   /** Persist the trained IVF index: centroids plus the corpus assignment
@@ -990,15 +993,17 @@ object SimilarityOps {
       explode(lshProbeBuckets(col("bucket"), nBits, multiProbe)).as("bucket"))
     val dst = bucketed.select(col("bucket"), col("vec_id").as("dst"),
       col("embedding").as("d_emb"))
-    val w = Window.partitionBy("src").orderBy(col("score").desc, col("dst"))
-    val directed = src.join(dst, Seq("bucket"))
+    // bounded keep-best (r17, guide §2.3): the bucket-join candidate
+    // stream is corpus-scale; same (score desc, dst asc) contract as the
+    // old row_number window, each (src, dst) occurs at most once (a
+    // corpus vector lives in exactly one bucket)
+    val scored = src.join(dst, Seq("bucket"))
       .filter(col("src") =!= col("dst"))
       .withColumn("score",
         round(graft.functions.GraftFunctions.cosineSim(col("s_emb"), col("d_emb")), 6))
-      .select(col("src"), col("dst"), col("score"),
-        row_number().over(w).as("rnk"))
-      .filter(col("rnk") <= graphK)
-      .select(col("src"), col("dst"))
+      .select(col("src"), col("dst").as("vec_id"), col("score"))
+    val directed = topKSelect(scored, Seq("src"), graphK)
+      .select(col("src"), col("vec_id").as("dst"))
     directed
       .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -1893,11 +1898,11 @@ object SimilarityOps {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("score",
         round(graft.functions.GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 4))
-    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
-    scored
-      .select(col("q_id"), col("vec_id"), col("score"),
-        row_number().over(w).as("rank"))
-      .filter(col("rank") <= k)
+    // bounded keep-best (r17, guide §2.3): the bucket candidate stream is
+    // a corpus fraction (~30% multi-probe), the old window sorted it all
+    // map-side; same contract, each (q_id, vec_id) occurs at most once
+    topKSelect(scored.select(col("q_id"), col("vec_id"), col("score")),
+      Seq("q_id"), k)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -2140,22 +2145,22 @@ object SimilarityOps {
         expr("cast(round(aggregate(zip_with(q_sub, c_sub, (x, y) -> x * y), " +
           "0D, (a, v) -> a + v) * 1000000) as bigint)"))
       .select(col("q_id"), col("sub"), col("code_id"), col("pd_q"))
-    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
     // candidate prune FIRST: the LUT join + ADC aggregate see only probed
-    // lists, never the corpus
-    cands.join(codes, Seq("vec_id"))
-      .join(broadcast(lut), Seq("q_id", "sub", "code_id"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum(col("pd_q")).as("dot_q"))
-      .join(recon, Seq("vec_id"))
-      .join(broadcast(qNorm), Seq("q_id"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("score", round(
-        (col("dot_q") / lit(1000000.0d)) /
-          (col("q_norm") * sqrt(col("recon_sq_q") / lit(1000000.0d))), 6))
-      .select(col("q_id"), col("vec_id"), col("score"),
-        row_number().over(w).as("rank"))
-      .filter(col("rank") <= k)
+    // lists, never the corpus. Final selection via the bounded topKSelect
+    // aggregation (r17, guide §2.3) — same contract as pqTopKWith's (r16).
+    topKSelect(
+      cands.join(codes, Seq("vec_id"))
+        .join(broadcast(lut), Seq("q_id", "sub", "code_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("pd_q")).as("dot_q"))
+        .join(recon, Seq("vec_id"))
+        .join(broadcast(qNorm), Seq("q_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("score", round(
+          (col("dot_q") / lit(1000000.0d)) /
+            (col("q_norm") * sqrt(col("recon_sq_q") / lit(1000000.0d))), 6))
+        .select(col("q_id"), col("vec_id"), col("score")),
+      Seq("q_id"), k)
   }
 
   /** Persist the composed IVF-PQ index: centroids + per-subspace codebook
@@ -2221,19 +2226,21 @@ object SimilarityOps {
         expr("cast(round(aggregate(zip_with(q_sub, c_sub, (x, y) -> x * y), " +
           "0D, (a, v) -> a + v) * 1000000) as bigint)"))
       .select(col("q_id"), col("sub"), col("code_id"), col("pd_q"))
-    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
-    probes.join(codeRows, Seq("centroid_id"))
-      .join(broadcast(lut), Seq("q_id", "sub", "code_id"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum(col("pd_q")).as("dot_q"), first(col("recon_sq_q")).as("recon_sq_q"))
-      .join(broadcast(qNorm), Seq("q_id"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("score", round(
-        (col("dot_q") / lit(1000000.0d)) /
-          (col("q_norm") * sqrt(col("recon_sq_q") / lit(1000000.0d))), 6))
-      .select(col("q_id"), col("vec_id"), col("score"),
-        row_number().over(w).as("rank"))
-      .filter(col("rank") <= k)
+    // bounded topKSelect selection (r17, guide §2.3) — same contract as
+    // the inline ivfPqTopK above; the probed code-row stream is
+    // corpus-scale, the old window sorted it map-side
+    topKSelect(
+      probes.join(codeRows, Seq("centroid_id"))
+        .join(broadcast(lut), Seq("q_id", "sub", "code_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("pd_q")).as("dot_q"), first(col("recon_sq_q")).as("recon_sq_q"))
+        .join(broadcast(qNorm), Seq("q_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("score", round(
+          (col("dot_q") / lit(1000000.0d)) /
+            (col("q_norm") * sqrt(col("recon_sq_q") / lit(1000000.0d))), 6))
+        .select(col("q_id"), col("vec_id"), col("score")),
+      Seq("q_id"), k)
   }
 
   def pqTopKWith(embeddings: DataFrame, cb: DataFrame, nQueries: Int,

@@ -132,9 +132,11 @@ class SimilarityMultimodalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     assert(got == inline)
     // amortization is structural: the indexed plan scans parquet and
-    // contains no Lloyd machinery (per-dimension posexplode aggregate)
+    // contains no Lloyd machinery (the per-DIMENSION posexplode over the
+    // embedding arrays; r17 — the bounded top-k selection legitimately
+    // posexplodes its rank buffer, so the pin targets Lloyd's signature)
     val plan = fromIdx.queryExecution.executedPlan.toString
-    assert(!plan.toLowerCase.contains("posexplode"),
+    assert(!plan.toLowerCase.contains("posexplode(embedding"),
       s"indexed path must not retrain:\n$plan")
     assert(plan.contains("Scan parquet") || plan.contains("FileScan"),
       s"indexed path should read the persisted index:\n$plan")
