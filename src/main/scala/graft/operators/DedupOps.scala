@@ -1004,7 +1004,14 @@ object DedupOps {
     // global dfs (the [2, 50] emission guard reads the FULL posting-list
     // size, never the A-restricted one). The old df aggregate is one
     // narrow pass over the print index; a production deployment persists
-    // it next to the index and probes both by touched fp.
+    // it next to the index and probes both by touched fp. r17 MEASURED
+    // NEGATIVE: pre-restricting the aggregate to printsA's fps (a
+    // left_semi before the groupBy — result-identical, delta-scale
+    // shuffle at 100 TB) read +0.8 s on dup_evidence_incremental here
+    // (5.8 → 6.6 s, adjacent same-context subset runs) — oldDf is
+    // consumed twice and the added broadcast-semi chains cost more
+    // locally than the smaller aggregate saves; kept as the documented
+    // scale formulation for a deployment, not worth the local tax.
     val oldDf = oldPrints.groupBy(col("fp")).agg(count(lit(1)).as("df"))
     val newDf = newPrints.groupBy(col("fp")).agg(count(lit(1)).as("dfn"))
     val dfGrown = oldDf.join(newDf, Seq("fp"), "full_outer")
@@ -1106,8 +1113,10 @@ object DedupOps {
     val changedOldEnds = changed.select(col("doc_a").as("doc_id"))
       .union(changed.select(col("doc_b").as("doc_id")))
       .distinct().filter(col("doc_id") < cutoff)
+    // single consumer (regionKept's semi-join, itself checkpointed) — no
+    // eager barrier needed here (r17, guide §5)
     val touchedComps = oldLabels.join(changedOldEnds, Seq("doc_id"), "left_semi")
-      .select(col("component")).distinct().localCheckpoint()
+      .select(col("component")).distinct()
     val keptBase = oldBase.join(d.removed, Seq("doc_a", "doc_b"), "left_anti")
       .localCheckpoint()
     // Union children are scrubbed through the RDD boundary: a
@@ -1298,8 +1307,10 @@ object DedupOps {
       .select(col("doc_a").as("doc_id"))
       .union(added.union(removedPairs).select(col("doc_b").as("doc_id")))
       .distinct()
+    // single consumer (regionKept's semi-join, itself checkpointed) — no
+    // eager barrier needed here (r17, guide §5)
     val touchedComps = oldLabels.join(changedEnds, Seq("doc_id"), "left_semi")
-      .select(col("component")).distinct().localCheckpoint()
+      .select(col("component")).distinct()
     val keptBase = oldBase.join(removedPairs, Seq("doc_a", "doc_b"), "left_anti")
       .localCheckpoint()
     val regionKept = keptBase.join(touchedComps, Seq("component"), "left_semi")
