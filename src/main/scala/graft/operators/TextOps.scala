@@ -1720,6 +1720,11 @@ object TextOps {
           col("cnt"),
           expr("""cast(round(ln(cast(cnt as double) / cast(total as double))
             | * 1000000) as bigint)""".stripMargin).as("logp_micros"))
+        // per-round checkpoint is the MEASURED optimum (r17 A/B, the
+        // bpeTrain result repeated here): without it the 3 EM rounds nest
+        // the Viterbi DP expression into one deep plan and
+        // unigram_holdout read 9.6 s vs 2.9 s — planning/codegen, not
+        // task work. Do not re-try (r16 measured the same for bpeTrain).
         .localCheckpoint()
     }
     var vocab = prune(seeds)
