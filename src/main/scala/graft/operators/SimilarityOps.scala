@@ -1036,8 +1036,12 @@ object SimilarityOps {
     */
   def knnGraphDescent(embeddings: DataFrame, graphK: Int = 16,
                       descentRounds: Int = 2, nBits: Int = 4,
-                      cellTarget: Int = 128, longK: Int = 4): DataFrame = {
-    val n = embeddings.count()
+                      cellTarget: Int = 128, longK: Int = 4,
+                      knownN: Option[Long] = None): DataFrame = {
+    // knownN skips the count action when the caller already sized the
+    // corpus (every registered caller slices dense vec_id prefixes and
+    // knows n exactly) — one fewer driver barrier per build (r17, §5)
+    val n = knownN.getOrElse(embeddings.count())
     val nCells = math.max(1L, n / ((1L << nBits) * cellTarget))
     // a SECOND, geometry-independent hash partition: ~cellTarget-sized
     // groups spanning every bucket. The locality cells alone make the
@@ -1159,8 +1163,9 @@ object SimilarityOps {
     * driver-side count picks every width for this corpus.
     */
   def graphAnnTopKScaled(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val (beam, rounds, graphK, seeds) = graphKnobs(embeddings.count())
-    val directed = knnGraphDescent(embeddings, graphK)
+    val n = embeddings.count()
+    val (beam, rounds, graphK, seeds) = graphKnobs(n)
+    val directed = knnGraphDescent(embeddings, graphK, knownN = Some(n))
     val sym = directed.unionByName(
       directed.select(col("dst").as("src"), col("src").as("dst"))).distinct()
     graphAnnSearch(embeddings, sym.localCheckpoint(), nQueries, k, beam, rounds, seeds)
@@ -1192,8 +1197,9 @@ object SimilarityOps {
     * agree on the knobs without a side-channel config.
     */
   def writeGraphIndexScaled(embeddings: DataFrame, dir: String): Unit = {
-    val (_, _, graphK, _) = graphKnobs(embeddings.count())
-    val directed = knnGraphDescent(embeddings, graphK)
+    val n = embeddings.count()
+    val (_, _, graphK, _) = graphKnobs(n)
+    val directed = knnGraphDescent(embeddings, graphK, knownN = Some(n))
     directed.unionByName(
         directed.select(col("dst").as("src"), col("src").as("dst"))).distinct()
       .write.mode("overwrite").parquet(s"$dir/edges")
@@ -1216,7 +1222,8 @@ object SimilarityOps {
     val n = embeddings.count()
     val nb = n / 11
     val graphK = graphKnobs(n)._3
-    val directed = knnGraphDescent(embeddings.filter(col("vec_id") < nb), graphK)
+    val directed = knnGraphDescent(embeddings.filter(col("vec_id") < nb), graphK,
+      knownN = Some(nb))
     directed.unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .write.mode("overwrite").parquet(dir)
@@ -1317,7 +1324,8 @@ object SimilarityOps {
     val baseSym = prebuiltBase
       .map(e => sym(e.select(col("src"), col("dst"))).localCheckpoint())
       .getOrElse(sym(knnGraphDescent(
-        embeddings.filter(col("vec_id") < nb), graphK)).localCheckpoint())
+        embeddings.filter(col("vec_id") < nb), graphK, knownN = Some(nb)))
+        .localCheckpoint())
     val queries = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val scoredAll = embeddings.filter(col("vec_id") < nMax)
@@ -1345,7 +1353,7 @@ object SimilarityOps {
       // rebuild), while the fresh rebuild gets the grown corpus's moduli
       val stale = baseSym
         .unionByName(knnGraphAttach(corpus, nb, nb, graphK)).distinct()
-      val fresh = sym(knnGraphDescent(corpus, graphK))
+      val fresh = sym(knnGraphDescent(corpus, graphK, knownN = Some(n)))
       // brute ground truth via the bounded topKSelect aggregation (r17,
       // guide §2.3): same (score desc, vec_id asc) contract as the old
       // row_number window, no map-side sort of every scored pair
@@ -1424,7 +1432,8 @@ object SimilarityOps {
     val baseSym = prebuiltBase
       .map(e => sym(e.select(col("src"), col("dst"))).localCheckpoint())
       .getOrElse(sym(knnGraphDescent(
-        embeddings.filter(col("vec_id") < nb), graphK)).localCheckpoint())
+        embeddings.filter(col("vec_id") < nb), graphK, knownN = Some(nb)))
+        .localCheckpoint())
     val queries = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val scoredAll = embeddings.filter(col("vec_id") < nMax)
@@ -1592,7 +1601,8 @@ object SimilarityOps {
     // silently skewed ones.
     val full = prebuiltEdges
       .map(e => sym(e.select(col("src"), col("dst"))).localCheckpoint())
-      .getOrElse(sym(knnGraphDescent(embeddings, graphK)).localCheckpoint())
+      .getOrElse(sym(knnGraphDescent(embeddings, graphK, knownN = Some(n)))
+        .localCheckpoint())
     def aliveOn(c: String, f: Int): Column =
       col(c) < nQueries || col(c) % 10 >= f
     val arms = ("full" -> full) +: delTenths.flatMap { f =>
