@@ -1456,16 +1456,21 @@ object DedupOps {
         .join(labels.select(col("doc_id").as("dst"), col("component").as("ncomp")), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("ncomp")).as("nmin"))
+      // the convergence flag rides the round's own projection (r17):
+      // moved ⇔ the neighbor minimum beat the current label, so the
+      // changed-row count is a filter over `next` itself — the old
+      // formulation re-joined next against labels corpus-wide every
+      // round purely to detect the fixpoint (guide §2.4: don't compute
+      // what a carried column already knows)
       val next0 = labels
         .join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"),
+          (coalesce(col("nmin"), col("component")) < col("component")).as("moved"))
       val next =
         if ((iter + 1) % checkpointEvery == 0) next0.localCheckpoint()
         else next0.persist()
-      val changed = next.select(col("doc_id"), col("component").as("c2"))
-        .join(labels, Seq("doc_id"))
-        .filter(col("c2") =!= col("component")).count()
+      val changed = next.filter(col("moved")).count()
       labels.unpersist()
       labels = next
       done = changed == 0
@@ -1490,7 +1495,7 @@ object DedupOps {
     // truncates lineage the result must be materialized while the blocks
     // it derives from still exist. Only then is it safe to free the
     // intermediates.
-    val out = labels.localCheckpoint()
+    val out = labels.select(col("doc_id"), col("component")).localCheckpoint()
     labels.unpersist()
     edges.unpersist()
     // observability breadcrumb (read by ComponentScaleBench and available
