@@ -35,9 +35,21 @@ object OverflowAudit {
   /** (pattern, bound-justification). Pattern is matched against the
     * offending multiply's sql text.
     */
-  val KnownBounded: Seq[(String, String)] = Seq(
-    ("sum(CASE WHEN (ma = mb) THEN 1 ELSE 0 END) * 1000000" ->
-      "MinHash signature agreement: sum over exactly 16 hash_idx rows per pair, bound 16e6 << 2^63"))
+  val KnownBounded: Seq[(String, String)] = {
+    // the ANN drift audits' recall-ppm numerators (r17): h_* is a sum of
+    // 0/1 hit flags over the brute ground-truth rows, ≤ k·nQueries = 50
+    // at the fixed audit knobs (SF-independent — the knobs, not the
+    // corpus, bound the row count), so h·1e6 ≤ 5e7 << 2^63. These
+    // expressions predate r17; the audit only sees them now because the
+    // per-factor result rows became lazy (no checkpoint leaf hides them).
+    val driftRecallWhy = "drift-audit recall numerator: sum of hit flags over " +
+      "brute top-k rows, <= k*nQueries = 50 at the fixed audit knobs; *1e6 <= 5e7"
+    Seq(
+      ("sum(CASE WHEN (ma = mb) THEN 1 ELSE 0 END) * 1000000" ->
+        "MinHash signature agreement: sum over exactly 16 hash_idx rows per pair, bound 16e6 << 2^63")) ++
+      Seq("h_stale", "h_fresh", "h_tomb", "h_hard", "h_rep", "h_plain", "h_resc")
+        .map(h => s"($h * 1000000L)" -> driftRecallWhy)
+  }
 
   private val ScaleLits: Set[Long] = Set(100L, 10000L, 100000L, 1000000L, 1000000000L)
 
